@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from streaming_data_pipeline_azure_spark.session import get_spark
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF0001
