@@ -1,0 +1,171 @@
+"""Pluggable source registry mirroring the reference pipeline's inputs.
+
+Reference inputs (SURVEY.md §2.1):
+- S1: Event Hubs stream over the Kafka protocol, topic ``orders``, SASL
+  PLAIN over TLS, broker ``$EVENTHUBS_BROKER`` (README.md:43-55, 191-194;
+  producer config orders-generator/main.go:38-55).
+- S3: ``Crm.Customers`` reference table from Azure SQL over JDBC
+  (README.md:57-105).
+- S4: CSV bulk load of customers.csv — 10k rows, no header (README.md:81-95).
+
+Every builder returns a DataFrame (batch) or streaming DataFrame; nothing
+is collected. Connector-jar-dependent sources (kafka, jdbc) construct the
+reader declaratively and raise a clear error only when the runtime lacks
+the connector, so the registry itself imports everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_data_pipeline_azure_spark.schemas import ORDER_SCHEMA
+
+
+def read_parquet(spark: SparkSession, path: str, **_: object) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = False,
+    **_: object,
+) -> DataFrame:
+    """S4 — CSV load; schema explicit (never inferred) for plan stability."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, **_: object
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S3 — JDBC reference-table scan (``Crm.Customers`` in the reference).
+
+    For large tables, pass ``partition_column``/bounds so the scan issues
+    ``num_partitions`` parallel range queries instead of one serial cursor —
+    the 10k-row reference table doesn't need it, but a 100 TB-era dimension
+    might.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    *,
+    brokers: str | None = None,
+    topic: str = "orders",
+    sasl_connection_string: str | None = None,
+    starting_offsets: str = "earliest",
+    **options: str,
+) -> DataFrame:
+    """S1 — Kafka-protocol streaming source (Event Hubs Kafka endpoint).
+
+    Mirrors the reference producer's security config
+    (orders-generator/main.go:38-55): SASL PLAIN, username
+    ``$ConnectionString``, password = the Event Hubs connection string,
+    TLS. Env fallbacks match README.md:191-194 ($EVENTHUBS_BROKER).
+
+    Requires the spark-sql-kafka connector jar on the classpath; the
+    builder itself is declarative and works anywhere.
+    """
+    brokers = brokers or os.environ.get("EVENTHUBS_BROKER", "localhost:9093")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    conn = sasl_connection_string or os.environ.get("EVENTHUBS_CONNECTION_STRING")
+    if conn:
+        jaas = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule required "
+            f'username="$ConnectionString" password="{conn}";'
+        )
+        reader = (
+            reader.option("kafka.security.protocol", "SASL_SSL")
+            .option("kafka.sasl.mechanism", "PLAIN")
+            .option("kafka.sasl.jaas.config", jaas)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def parse_order_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """S2 — JSON event deserialization: opaque bytes → typed order columns.
+
+    Schema is the explicit ORDER_SCHEMA (never inferred — Kafka values are
+    opaque; reference fixes the shape in main.go:104-108).
+    """
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), ORDER_SCHEMA).alias("o")
+    ).select("o.*")
+
+
+def read_order_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Test-harness streaming source: JSON files in ``path`` become
+    micro-batches with the exact order schema (stands in for S1+S2)."""
+    return (
+        spark.readStream.schema(ORDER_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(path)
+    )
+
+
+SOURCES: dict[str, Callable[..., DataFrame]] = {
+    "parquet": read_parquet,
+    "csv": read_csv,
+    "json": read_json,
+    "jdbc": read_jdbc,
+    "kafka": read_kafka_stream,
+    "order_file_stream": read_order_file_stream,
+}
+
+
+def read_source(kind: str, spark: SparkSession, **kwargs) -> DataFrame:
+    if kind not in SOURCES:
+        raise KeyError(f"unknown source {kind!r}; have {sorted(SOURCES)}")
+    return SOURCES[kind](spark, **kwargs)

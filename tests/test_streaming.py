@@ -1,0 +1,140 @@
+"""Streaming integration tests: file-source micro-batches → enrichment →
+keyed upsert sink (the M2 slice, SURVEY.md §7)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from streaming_data_pipeline_azure_spark.schemas import CUSTOMER_SCHEMA
+from streaming_data_pipeline_azure_spark.sources.registry import (
+    parse_order_events,
+    read_order_file_stream,
+)
+from streaming_data_pipeline_azure_spark.sources.sinks import ParquetUpsertSink
+from streaming_data_pipeline_azure_spark.streaming.generator import (
+    order_batch,
+    order_stream,
+    to_kafka_payload,
+)
+from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+    build_enrichment_query,
+    run_to_completion,
+)
+
+CUSTOMERS = [
+    (1, "Willis Collins", "Dallas"),
+    (2, "Casey Brady", "Chicago"),
+    (3, "Walker Wong", "SanJose"),
+]
+
+
+def _write_order_files(tmp_path, batches: list[list[dict]]) -> str:
+    src = tmp_path / "orders_in"
+    src.mkdir()
+    for i, batch in enumerate(batches):
+        (src / f"batch{i}.json").write_text(
+            "\n".join(json.dumps(o) for o in batch)
+        )
+    return str(src)
+
+
+@pytest.fixture()
+def customers(spark):
+    return spark.createDataFrame(CUSTOMERS, CUSTOMER_SCHEMA)
+
+
+def test_stream_enrichment_end_to_end(spark, tmp_path, customers):
+    src = _write_order_files(
+        tmp_path,
+        [
+            [{"orderID": "a", "customerID": 1, "amount": 100}],
+            [{"orderID": "b", "customerID": 2, "amount": 200},
+             {"orderID": "c", "customerID": 9999, "amount": 5}],  # unmatched
+        ],
+    )
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    q = build_enrichment_query(
+        read_order_file_stream(spark, src),
+        customers,
+        sink,
+        str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+    rows = {r["order_id"]: r for r in sink.read(spark).collect()}
+    assert set(rows) == {"a", "b"}  # inner join dropped customerID 9999
+    assert rows["a"]["customer_name"] == "Willis Collins"
+    assert rows["b"]["city"] == "Chicago"
+    assert rows["a"]["customer_id"] == "1"  # sink string coercion
+    assert len(rows["a"]["id"]) == 36  # cosmos-style GUID
+
+
+def test_replay_is_idempotent(spark, tmp_path, customers):
+    """Re-processing the same batches (fresh checkpoint, same sink) must not
+    duplicate documents — the upsert key is deterministic order_id."""
+    src = _write_order_files(
+        tmp_path, [[{"orderID": "a", "customerID": 1, "amount": 100}]]
+    )
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    for attempt in range(2):
+        q = build_enrichment_query(
+            read_order_file_stream(spark, src),
+            customers,
+            sink,
+            str(tmp_path / f"ckpt{attempt}"),
+            trigger_available_now=True,
+        )
+        run_to_completion(q)
+    out = sink.read(spark).collect()
+    assert len(out) == 1
+
+
+def test_per_batch_reference_refresh(spark, tmp_path):
+    """ASA re-snapshots reference data periodically (SURVEY.md §4.3); in
+    per_batch mode the loader is consulted again and later batches see the
+    updated dimension."""
+    src = _write_order_files(
+        tmp_path, [[{"orderID": f"o{i}", "customerID": 1, "amount": i}] for i in range(3)]
+    )
+    versions = iter(["v1", "v2", "v3"])
+
+    def loader():
+        name = next(versions)
+        return spark.createDataFrame([(1, name, "Dallas")], CUSTOMER_SCHEMA)
+
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    q = build_enrichment_query(
+        read_order_file_stream(spark, src),
+        loader,
+        sink,
+        str(tmp_path / "ckpt"),
+        refresh="per_batch",
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+    names = {r["customer_name"] for r in sink.read(spark).collect()}
+    assert len(names) > 1  # dimension was refreshed between batches
+
+
+def test_kafka_wire_shape(spark):
+    payload = to_kafka_payload(order_batch(spark, 10)).collect()
+    assert len(payload) == 10
+    doc = json.loads(payload[0]["value"])
+    assert set(doc) == {"orderID", "customerID", "amount"}
+    assert payload[0]["key"] == doc["orderID"]
+    assert 1 <= doc["customerID"] <= 10_000
+    assert 20 <= doc["amount"] <= 499
+
+
+def test_rate_generator_stream_is_streaming(spark):
+    assert order_stream(spark).isStreaming
+
+
+def test_parse_order_events(spark):
+    raw = spark.createDataFrame(
+        [(b'{"orderID": "x", "customerID": 7, "amount": 42}',)], ["value"]
+    )
+    [row] = parse_order_events(raw).collect()
+    assert (row["orderID"], row["customerID"], row["amount"]) == ("x", 7, 42)
