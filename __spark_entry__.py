@@ -22,7 +22,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_pipeline_azure_spark.operators import enrich, relational
+from streaming_data_pipeline_azure_spark.operators import (
+    dedup,
+    enrich,
+    relational,
+    similarity,
+    text as tx,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -64,6 +70,127 @@ def entry(spark: SparkSession) -> DataFrame:
     return _enriched(spark, SF0001)
 
 
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    """The events table ships nanosecond parquet timestamps, which Spark's
+    vectorized reader rejects; read them as epoch-nanos longs and convert
+    with exact integer division (no double round-trip)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _query_vector(spark: SparkSession, sf: str) -> list[float]:
+    """The similarity queries' literal query vector: embedding of vec_id=0
+    (a one-row lookup — part of the query definition, not the dataflow)."""
+    [row] = _emb(spark, sf).filter("vec_id = 0").collect()
+    return [float(x) for x in row["embedding"]]
+
+
+def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf), ["text"], "doc_id")
+
+
+def _doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select(
+        "doc_id", tx.fingerprint("text").alias("fp")
+    )
+
+
+def _token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+    )
+
+
+def _quality(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.quality_score(_docs(spark, sf)).select(
+        "doc_id", "punct_ratio", "avg_token_len", "stopword_ratio", "quality_score"
+    )
+
+
+def _lang_id_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _docs(spark, sf)
+        .select(tx.language_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.corpus_stats(_docs(spark, sf))
+
+
+def _events_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    return _events(spark, sf).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+def _events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _events(spark, sf)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    q = _query_vector(spark, sf)
+    return similarity.topk_bruteforce(_emb(spark, sf), "embedding", q, k=10)
+
+
+def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_dedup(
+        _docs(spark, sf), "doc_id", "text", threshold=0.8
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_dedup(_docs(spark, sf), "doc_id", "text").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        _emb(spark, sf), "vec_id", "embedding", threshold=0.95
+    )
+
+
+# SQL fragments shared by quality/lang oracles (DuckDB dialect; 'g' flag =
+# replace-all to match Spark regexp_replace semantics).
+_D_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _d_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return (
+        f"len(list_filter({_D_TOKENS}, t -> list_contains([{words}], lower(t))))"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- core surface (SURVEY.md §2.1) ----
@@ -83,6 +210,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": lambda spark, sf: relational.top_n(
             _tables(spark, sf, "customer")[0], 10, order_col="c_custkey"
         ),
+        # ---- extension surface (SURVEY.md §2.3, X1-X5) ----
+        "dedup_exact": _dedup_exact,
+        "doc_fingerprint": _doc_fingerprints,
+        "token_stats": _token_stats,
+        "quality_scores": _quality,
+        "lang_id_counts": _lang_id_counts,
+        "corpus_stats": _corpus_stats,
+        "events_by_type": _events_by_type,
+        "events_hourly": _events_hourly,
+        "similarity_topk": _similarity_topk,
+        # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "embedding_neardup_pairs": _embedding_neardup,
     }
 
 
@@ -111,5 +252,105 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers": """
             SELECT * FROM customer ORDER BY c_custkey LIMIT 10
+        """,
+        # ---- extension surface ----
+        "dedup_exact": """
+            SELECT text, doc_id, lang, source, n_chars FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "token_stats": rf"""
+            SELECT doc_id,
+                   CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_m
+            FROM documents
+        """,
+        "quality_scores": rf"""
+            WITH feats AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len({_D_TOKENS}) AS n_tok,
+                       length(text)
+                         - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                         AS n_punct,
+                       length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+                       {_d_hits('en')} AS n_stop
+                FROM documents
+            ), ratios AS (
+                SELECT doc_id,
+                       CASE WHEN n_chars > 0
+                            THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN n_tok > 0
+                            THEN CAST(n_nonspace AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                            ELSE 0.0 END AS avg_token_len,
+                       CASE WHEN n_tok > 0
+                            THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                            ELSE 0.0 END AS stopword_ratio
+                FROM feats
+            )
+            SELECT doc_id, punct_ratio, avg_token_len, stopword_ratio,
+                   0.5 * least(stopword_ratio * 4.0, 1.0)
+                   + 0.3 * least(avg_token_len / 8.0, 1.0)
+                   + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) AS quality_score
+            FROM ratios
+        """,
+        "lang_id_counts": f"""
+            WITH scored AS (
+                SELECT {_d_hits('de')} AS s_de, {_d_hits('en')} AS s_en,
+                       {_d_hits('es')} AS s_es, {_d_hits('fr')} AS s_fr,
+                       {_d_hits('zh')} AS s_zh
+                FROM documents
+            ), pred AS (
+                SELECT CASE
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                  WHEN s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+                  ELSE 'de' END AS lang_pred
+                FROM scored
+            )
+            SELECT lang_pred, COUNT(*) AS n_docs FROM pred GROUP BY lang_pred
+        """,
+        "corpus_stats": rf"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len({_D_TOKENS})) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CAST(length(text) AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                       AS hour_epoch,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "similarity_topk": """
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+                SELECT vec_id,
+                       list_aggregate(list_transform(
+                           list_zip(embedding::DOUBLE[], qv), x -> x[1] * x[2]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(
+                              list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+                              x -> x[1] * x[2]), 'sum'))
+                          * sqrt(list_aggregate(list_transform(
+                              list_zip(qv, qv), x -> x[1] * x[2]), 'sum'))) AS score
+                FROM embeddings, q
+            )
+            SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
         """,
     }

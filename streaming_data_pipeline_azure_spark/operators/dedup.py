@@ -1,0 +1,444 @@
+"""X1/X2 — deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-frugal and driver-free:
+
+- :func:`exact_dedup` — hash group-by on the key columns (one shuffle).
+- :func:`normalized_dedup` — exact dedup on an md5 fingerprint of
+  normalized text (whitespace/case-insensitive).
+- :func:`minhash_dedup` — MinHash over word shingles + LSH banding:
+  shingle → 64-perm signature → b bands → bucket self-join → exact
+  Jaccard verify. Candidate generation touches only same-bucket pairs, so
+  the join is |bucket|²-bounded, not |corpus|².
+- :func:`simhash_dedup` — 64-bit SimHash + pigeonhole chunk blocking
+  (hamming ≤ h pairs must share ≥1 of h+1 chunks) + exact hamming verify
+  via xor/bit_count.
+- :func:`embedding_dedup` — random-hyperplane sign-LSH buckets over an
+  embedding column + exact cosine verify.
+
+Dedup semantics (all strategies): **keep the smallest-id document of each
+duplicate group found**; a doc is dropped iff a verified duplicate with a
+smaller id exists. This greedy one-pass rule is deterministic, needs no
+iterative connected-components, and is the standard choice in large-scale
+corpus dedup. (A full union-find would need an iterative join loop; the
+greedy rule differs only on chains A~B~C where A!~C.)
+
+Everything is built-in Catalyst expressions — signatures, banding, and
+verification all run inside whole-stage codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.functions.vector import (
+    cosine_similarity,
+    to_double_array,
+)
+from streaming_data_pipeline_azure_spark.operators.text import (
+    fingerprint,
+    normalized_text,
+)
+
+
+def exact_dedup(df: DataFrame, keys: list[str], tiebreaker: str) -> DataFrame:
+    """X1 — exact dedup: keep the row with the smallest ``tiebreaker`` per
+    distinct ``keys`` combination. One hash shuffle on ``keys``; map-side
+    partial aggregation collapses duplicates before the exchange, so
+    shuffle volume is O(distinct keys), not O(rows)."""
+    others = [c for c in df.columns if c not in keys]
+    return (
+        df.groupBy(*keys)
+        .agg(F.min_by(F.struct(*others), F.col(tiebreaker)).alias("__v"))
+        .select(*keys, *[F.col(f"__v.{c}").alias(c) for c in others])
+    )
+
+
+def normalized_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint (case/whitespace
+    insensitive). The md5 fingerprint (16 bytes) shuffles instead of the
+    full document body — at 100 TB that is the difference between
+    shuffling the corpus and shuffling 1% of it."""
+    with_fp = df.withColumn("__fp", fingerprint(text_col))
+    deduped = exact_dedup(with_fp, ["__fp"], id_col)
+    return deduped.drop("__fp")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy stages.
+
+    Local single-file parquet arrives as 1 partition — signature hashing
+    would run on one core. At real scale inputs already have >= cores
+    partitions, so this is a no-op there (we never shuffle a wide corpus
+    just to rebalance)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text. Short docs
+    (< n tokens) contribute their whole text as one shingle."""
+    toks = F.split(normalized_text(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def char_shingles(text_col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of normalized text."""
+    norm = normalized_text(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, n),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """MinHash signature as an array expression: perm i = min over shingles
+    of xxhash64(shingle, seed=i).
+
+    NOTE: higher-order-function lambdas are interpreted (not codegen'd) in
+    Spark, so this row-local form is only for small/ad-hoc use. The dedup
+    pipeline uses :func:`minhash_signatures_table` — an explode +
+    64-codegen'd-hash-columns + groupBy(min...) plan that measured ~100×
+    faster at 5k docs and parallelizes across the cluster."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_signatures_table(
+    shingled: DataFrame, id_col: str, shingle_col: str, num_perm: int = 64
+) -> DataFrame:
+    """(id, shingle array) → (id, __sig array<long>) via the codegen path:
+
+    explode shingles → num_perm plain ``xxhash64(shingle, i)`` columns
+    (whole-stage codegen, no interpreted lambdas) → partial+final min
+    aggregation per doc. Shuffle volume = num_perm longs per doc (the
+    map-side partial min already collapses each partition)."""
+    exploded = shingled.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("__s")
+    )
+    hashed = exploded.select(
+        id_col,
+        *[F.xxhash64(F.col("__s"), F.lit(i)).alias(f"__h{i}") for i in range(num_perm)],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_perm)]
+    )
+    return mins.select(
+        id_col, F.array(*[f"__m{i}" for i in range(num_perm)]).alias("__sig")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _candidate_pairs_by_band(
+    sigs: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of >=1 band become candidate
+    pairs. Returns distinct (id_a, id_b) with id_a < id_b."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(
+                        F.slice(
+                            F.col(sig_col), b * rows_per_band + 1, rows_per_band
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("bucket")
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("bucket")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    shingle_kind: str = "word",
+) -> DataFrame:
+    """Verified near-duplicate pairs (exact Jaccard >= threshold) found via
+    MinHash-LSH candidate generation. With 64 perms / 16 bands / 4 rows the
+    S-curve crosses ~0.5 at s≈0.5 and catches s>=0.8 with P≈1-(1-0.8^4)^16
+    ≈ 0.9997."""
+    mk = word_shingles if shingle_kind == "word" else char_shingles
+    shingled = _ensure_parallelism(df).select(
+        F.col(id_col), mk(text_col, shingle_n).alias("__sh")
+    )
+    sigs = minhash_signatures_table(shingled, id_col, "__sh", num_perm)
+    pairs = _candidate_pairs_by_band(sigs, id_col, "__sig", bands, num_perm // bands)
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def _drop_matched(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Greedy keep-smallest-id: drop every doc that appears as the larger
+    id of a verified pair (broadcast-able anti-join when dup count is
+    small, else shuffled left_anti — Catalyst/AQE decides)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    """X2 — MinHash-LSH near-dup dedup (keep smallest id per found pair)."""
+    pairs = minhash_near_dup_pairs(df, id_col, text_col, **kw)
+    return _drop_matched(df, id_col, pairs)
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, threshold: float = 0.8, n: int = 5, **kw
+) -> DataFrame:
+    """Character n-gram Jaccard dedup: same LSH candidate path, exact
+    character-shingle Jaccard verification."""
+    pairs = minhash_near_dup_pairs(
+        df, id_col, text_col, threshold=threshold, shingle_n=n,
+        shingle_kind="char", **kw
+    )
+    return _drop_matched(df, id_col, pairs)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text_col: Column | str, shingle_n: int = 3) -> Column:
+    """64-bit SimHash over word shingles, as a signed bigint.
+
+    Per shingle: xxhash64 → 64 bit votes (+1/-1); votes summed per bit
+    across shingles; sign of each bit-sum becomes the output bit. Entirely
+    row-local aggregate/zip_with — runs in codegen, no shuffle."""
+    hashes = F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+
+    def bitvec(h: Column) -> Column:
+        # shift amounts must be Python ints (static in the expression tree)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(64)
+            ]
+        )
+
+    bitvotes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, v: a + v),
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(bitvotes, b + 1) > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, text) → (id, __sim bigint) via the codegen path (same strategy
+    as :func:`minhash_signatures_table`): explode shingles → one plain
+    xxhash64 per shingle → 64 conditional-sum bit votes in a single
+    partial+final aggregation → fold sums into the signature bigint."""
+    shingled = _ensure_parallelism(df).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
+    )
+    hashed = shingled.select(id_col, F.xxhash64(F.col("__s")).alias("__h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__v{b}") > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), sig.alias("__sim"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Verified pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocking: split the 64-bit signature into ``max_hamming + 1`` chunks —
+    pigeonhole guarantees any pair within the distance agrees exactly on at
+    least one chunk, so the self-join on (chunk_idx, chunk_value) has no
+    false negatives."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sigs = simhash_table(df, id_col, text_col)
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        id_col,
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("__sim"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "__sim", "cc.chunk", "cc.ckey")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a"), "chunk", "ckey"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b"), "chunk", "ckey"
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sim_a", "__sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("__sim_a ^ __sim_b")),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_dedup(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    """X2 (SimHash flavor) — near-dup dedup, keep smallest id."""
+    pairs = simhash_near_dup_pairs(df, id_col, text_col, **kw)
+    return _drop_matched(df, id_col, pairs)
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (fixed seed so the
+    bucketing is reproducible across runs and engines)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = (vec · plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    v = to_double_array(vec_col)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Verified pairs with cosine >= threshold, candidates from sign-LSH
+    buckets (recall is probabilistic: near-identical vectors land in the
+    same bucket with P = (1 - theta/pi)^n_planes)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col),
+        to_double_array(vec_col).alias("__v"),
+        sign_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .distinct()
+    )
+
+
+def embedding_dedup(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame:
+    """Embedding-cosine near-dup dedup, keep smallest id."""
+    pairs = embedding_near_dup_pairs(df, id_col, vec_col, **kw)
+    return _drop_matched(df, id_col, pairs)

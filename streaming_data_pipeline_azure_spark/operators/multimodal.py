@@ -1,0 +1,176 @@
+"""X5 — multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, plus decode / feature-extract / resize / frame-sample
+stages as Arrow-batched ``mapInPandas`` operators.
+
+Spark-side design (the part that matters at 100 TB):
+
+- payloads are a single ``BinaryType`` column next to a typed metadata
+  struct — parquet stores them as byte arrays, column pruning means a
+  metadata-only query never reads a byte of media;
+- per-item processing is ``mapInPandas``: Arrow ships whole record batches
+  to one Python worker per core, the UDF is amortized per-batch, and the
+  output schema is declared so Catalyst keeps planning around it;
+- heavy stages repartition first so batches are balanced even when media
+  sizes are skewed.
+
+The actual codec work (PIL/ffmpeg/torchaudio) is NOT in this container, so
+the decode kernels are deterministic fakes gated behind
+``STUB_DECODERS = True`` — the schema, batching, partitioning, and UDF
+signatures (the Spark plumbing) are real and tested. Swapping in a real
+decoder changes only the body of ``_decode_batch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STUB_DECODERS = True  # no image/audio libs in this container (by design)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, format string, width int, height int, "
+    "n_bytes long, sha256 string"
+)
+
+FEATURE_SCHEMA = "media_id long, feature array<float>"
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_payload binary"
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table from the documents fixture: payload =
+    utf-8 bytes of the text (stands in for encoded media), metadata derived
+    from payload length. Lets every downstream stage run real bytes through
+    the real plumbing."""
+    n = F.length(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("synthetic").alias("format"),
+            (n % 640 + 16).cast("int").alias("width"),
+            (n % 480 + 16).cast("int").alias("height"),
+            (n * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB decode kernel. A real implementation opens each payload with
+    PIL/ffmpeg and emits true dimensions; this deterministic fake hashes
+    the bytes so tests can assert exact values end-to-end."""
+    if not STUB_DECODERS:  # pragma: no cover
+        raise NotImplementedError("real decoders are not installed in this container")
+    payloads = pdf["payload"]
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "kind": pdf["kind"],
+            "format": pdf["meta"].map(lambda m: m["format"] if m else None),
+            "width": pdf["meta"].map(lambda m: m["width"] if m else None),
+            "height": pdf["meta"].map(lambda m: m["height"] if m else None),
+            "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+            "sha256": payloads.map(
+                lambda b: hashlib.sha256(b or b"").hexdigest()
+            ),
+        }
+    )
+
+
+def decode_media(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Decode stage: binary payload → typed per-item record (Arrow-batched).
+    ``partitions`` rebalances skewed media sizes before the Python stage."""
+    df = media.repartition(partitions) if partitions else media
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+    return df.mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extract stage: payload → dim-float vector. STUB kernel
+    derives the vector from the payload's sha256 (deterministic); a real
+    kernel would run an image/audio encoder over the batch."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [
+                    int.from_bytes(
+                        hashlib.sha256((b or b"") + bytes([i])).digest()[:4], "big"
+                    )
+                    / 2**32
+                    for i in range(dim)
+                ]
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+    return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Frame-sample stage (video): one row per sampled frame. Frame index
+    plan comes from metadata (pure Catalyst: sequence + explode); only the
+    per-frame payload slice is Python. STUB slices bytes instead of
+    decoding real frames."""
+    video = media.filter(F.col("kind") == "video")
+    planned = video.select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.slice(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                ),
+                1,
+                max_frames,
+            )
+        ).alias("frame_ms"),
+    )
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx = pdf.groupby("media_id").cumcount()
+            sliced = [
+                (b or b"")[m % max(len(b or b" "), 1) :][:16]
+                for b, m in zip(pdf["payload"], pdf["frame_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": idx.astype("int32"),
+                    "frame_ms": pdf["frame_ms"].astype("int32"),
+                    "frame_payload": sliced,
+                }
+            )
+    return planned.mapInPandas(gen, schema=FRAME_SCHEMA)

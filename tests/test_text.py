@@ -1,0 +1,66 @@
+"""Unit tests for text analysis (X4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.operators import text as tx
+
+DOCS = [
+    (1, "the quick brown fox and the lazy dog", "en"),
+    (2, "el perro y el gato en la casa", "es"),
+    (3, "der Hund und die Katze ist nicht da", "de"),
+    (4, "  spaced   out\ttext  ", "en"),
+    (5, "!!! ??? ###", "xx"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+
+
+def test_token_count(spark):
+    got = {
+        r["doc_id"]: r["n"]
+        for r in _df(spark).select("doc_id", tx.token_count("text").alias("n")).collect()
+    }
+    assert got[1] == 8
+    assert got[4] == 3  # whitespace collapsed by trim+split
+    assert got[5] == 3
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")], ["id", "text"]
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", tx.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_language_id(spark):
+    got = {
+        r["doc_id"]: r["lid"]
+        for r in _df(spark).select("doc_id", tx.language_id("text").alias("lid")).collect()
+    }
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+    assert got[5] == "de"  # zero hits everywhere → alphabetically first
+
+
+def test_quality_score_ranges(spark):
+    rows = tx.quality_score(_df(spark)).collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0, r
+    by_id = {r["doc_id"]: r for r in rows}
+    # fluent English prose scores above punctuation soup
+    assert by_id[1]["quality_score"] > by_id[5]["quality_score"]
+    assert by_id[5]["punct_ratio"] > 0.5
+
+
+def test_corpus_stats(spark):
+    got = {r["lang"]: r for r in tx.corpus_stats(_df(spark)).collect()}
+    assert got["en"]["n_docs"] == 2
+    assert got["en"]["total_tokens"] == 11
+    assert got["es"]["avg_chars"] == 29.0
