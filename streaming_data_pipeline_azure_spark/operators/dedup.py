@@ -154,13 +154,62 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def _pairs_in_buckets(
+    bucketed: DataFrame, member_col: str, cap: int
+) -> DataFrame:
+    """(bucket keys, member) → distinct candidate pairs (__a, __b) struct
+    columns, generated *within* each bucket.
+
+    One groupBy shuffle collects each bucket's members co-located, then a
+    row-local combination expansion emits the pairs — the signature/bucket
+    pipeline upstream is computed exactly ONCE (a self-join would compute
+    it once per join branch and shuffle it twice).
+
+    Skew guard for 100 TB: a degenerate bucket of B members would expand
+    to B²/2 pairs in one task. Buckets larger than ``cap`` fall back to
+    star-pairing — every member pairs with the bucket minimum only (O(B)).
+    Under keep-smallest-id dedup semantics this still removes every
+    verified member of the bucket except the minimum; only exhaustive
+    pair *listing* inside oversized buckets is sacrificed."""
+    key_cols = [c for c in bucketed.columns if c != member_col]
+    grouped = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(member_col)).alias("__ms"))
+        .filter(F.size("__ms") > 1)
+    )
+    ms = F.col("__ms")
+    all_pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    star_pairs = F.transform(
+        F.slice(ms, 2, F.size(ms)),
+        lambda y: F.struct(F.element_at(ms, 1).alias("a"), y.alias("b")),
+    )
+    pairs = F.when(F.size(ms) <= F.lit(cap), all_pairs).otherwise(star_pairs)
+    return (
+        grouped.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+        .distinct()
+    )
+
+
 def _candidate_pairs_by_band(
-    sigs: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+    cap: int = 256,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of >=1 band become candidate
     pairs. Returns distinct (id_a, id_b) with id_a < id_b."""
     banded = sigs.select(
-        F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -174,18 +223,10 @@ def _candidate_pairs_by_band(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("band"), F.col("bucket")
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("band"), F.col("bucket")
-    )
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        F.col(id_col).alias("__m"),
+    ).select("bb.band", "bb.bucket", "__m")
+    return _pairs_in_buckets(banded, "__m", cap).select(
+        F.col("__a").alias("id_a"), F.col("__b").alias("id_b")
     )
 
 
@@ -205,8 +246,14 @@ def minhash_near_dup_pairs(
     S-curve crosses ~0.5 at s≈0.5 and catches s>=0.8 with P≈1-(1-0.8^4)^16
     ≈ 0.9997."""
     mk = word_shingles if shingle_kind == "word" else char_shingles
-    shingled = _ensure_parallelism(df).select(
-        F.col(id_col), mk(text_col, shingle_n).alias("__sh")
+    # Persist the shingle table: it feeds signature generation AND both
+    # branches of the verify join — without it the normalize+shingle scan
+    # re-executes 3x (measured 5x wall-clock at sf0.1). MEMORY_AND_DISK
+    # spills gracefully when the corpus outgrows executor memory.
+    shingled = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col), mk(text_col, shingle_n).alias("__sh"))
+        .persist()
     )
     sigs = minhash_signatures_table(shingled, id_col, "__sh", num_perm)
     pairs = _candidate_pairs_by_band(sigs, id_col, "__sig", bands, num_perm // bands)
@@ -330,11 +377,17 @@ def simhash_near_dup_pairs(
     false negatives."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sigs = simhash_table(df, id_col, text_col)
+    # Persist the (id, sim) table: it is tiny (16 bytes/doc), and cutting
+    # the lineage here stops Catalyst from inlining the 64-level signature
+    # fold expression into every chunk projection downstream (a measured
+    # multi-second planning/codegen blowup, not an execution cost).
+    sigs = simhash_table(df, id_col, text_col).persist()
     mask = (1 << chunk_bits) - 1
+    # Members carry (id, signature) into the bucket groupBy so hamming
+    # verification is row-local on the expanded pairs — the signature
+    # pipeline runs exactly once (a blocking self-join would run it per
+    # join branch). Struct sort key is the leading id field.
     chunks = sigs.select(
-        id_col,
-        "__sim",
         F.explode(
             F.array(
                 *[
@@ -348,24 +401,20 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select(id_col, "__sim", "cc.chunk", "cc.ckey")
-    a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a"), "chunk", "ckey"
-    )
-    b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b"), "chunk", "ckey"
-    )
+        F.struct(F.col(id_col).alias("id"), F.col("__sim").alias("sim")).alias("__m"),
+    ).select("cc.chunk", "cc.ckey", "__m")
     return (
-        a.join(b, ["chunk", "ckey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sim_a", "__sim_b")
-        .distinct()
+        _pairs_in_buckets(chunks, "__m", cap=256)
         .withColumn(
             "hamming",
-            F.bit_count(F.expr("__sim_a ^ __sim_b")),
+            F.bit_count(F.col("__a.sim").bitwiseXOR(F.col("__b.sim"))),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.col("__a.id").alias("id_a"),
+            F.col("__b.id").alias("id_b"),
+            "hamming",
+        )
     )
 
 
@@ -417,21 +466,50 @@ def embedding_near_dup_pairs(
     buckets (recall is probabilistic: near-identical vectors land in the
     same bucket with P = (1 - theta/pi)^n_planes)."""
     planes = random_hyperplanes(dim, n_planes, seed)
+    # Buckets here are COARSE (2^n_planes of them), so a bucket holds many
+    # vectors and the candidate set is a large self-join — the in-bucket
+    # collect_list expansion used by minhash/simhash would build
+    # multi-megabyte arrays per bucket row. Shape choices that matter:
+    # 1. persist the bucketed table so plane projections run once, not
+    #    once per join branch;
+    # 2. pre-normalize each vector ONCE so per-pair verification is a
+    #    bare dot product (the naive cosine recomputes both norms for
+    #    every one of the O(B²) candidate pairs).
+    v = to_double_array(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     bucketed = df.select(
         F.col(id_col),
-        to_double_array(vec_col).alias("__v"),
+        v.alias("__v"),
+        norm.alias("__n"),
         sign_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
+    ).persist()
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__bucket",
     )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot / (F.col("__na") * F.col("__nb")),
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .withColumn("cosine_sim", cos)
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
         .distinct()
