@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from streaming_data_pipeline_azure_spark.operators import (
     dedup,
     enrich,
+    multimodal,
     relational,
     similarity,
     text as tx,
@@ -179,6 +180,44 @@ def _embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.normalized_dedup(_docs(spark, sf), "doc_id", "text")
+
+
+def _dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_dedup(
+        _docs(spark, sf), "doc_id", "text", threshold=0.8
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def _multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.decode_media(
+        multimodal.synthesize_media(_docs(spark, sf))
+    )
+
+
+def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.extract_features(
+        multimodal.synthesize_media(_docs(spark, sf))
+    )
+
+
+def _multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.sample_frames(
+        multimodal.synthesize_media(_docs(spark, sf))
+    ).select("media_id", "frame_idx", "frame_ms")
+
+
+def _ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index build + probe (the scale path for X3): partitioned write,
+    centroid ranking, partition-pruned probe scan."""
+    import tempfile
+
+    idx = similarity.IvfIndex(tempfile.mkdtemp(prefix="ivf_"))
+    idx.build(_emb(spark, sf), "embedding")
+    return idx.probe(spark, _query_vector(spark, sf), k=10)
+
+
 # SQL fragments shared by quality/lang oracles (DuckDB dialect; 'g' flag =
 # replace-all to match Spark regexp_replace semantics).
 _D_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -220,10 +259,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _events_by_type,
         "events_hourly": _events_hourly,
         "similarity_topk": _similarity_topk,
-        # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops
+        "dedup_normalized": _dedup_normalized,
+        "multimodal_decode": _multimodal_decode,
+        # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
+        # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_ngram": _dedup_ngram,
         "embedding_neardup_pairs": _embedding_neardup,
+        "multimodal_features": _multimodal_features,
+        "multimodal_frames": _multimodal_frames,
+        "ann_ivf_topk": _ann_ivf_topk,
     }
 
 
@@ -323,6 +369,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(length(text) AS DECIMAL(18,4))) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "dedup_normalized": r"""
+            SELECT text, doc_id, lang, source, n_chars FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                ORDER BY doc_id) = 1
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                   'synthetic' AS format,
+                   CAST(length(text) % 640 + 16 AS INT) AS width,
+                   CAST(length(text) % 480 + 16 AS INT) AS height,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
         """,
         "events_by_type": """
             SELECT event_type, COUNT(*) AS n_events,
