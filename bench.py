@@ -40,6 +40,10 @@ def main() -> None:
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+        # operators that persist() intermediates (LSH dedup) hold blocks
+        # until the session drops them; clear between queries so each
+        # timing is isolated instead of degrading under accumulated cache
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -126,22 +126,35 @@ def minhash_signatures_table(
 ) -> DataFrame:
     """(id, shingle array) → (id, __sig array<long>) via the codegen path:
 
-    explode shingles → num_perm plain ``xxhash64(shingle, i)`` columns
-    (whole-stage codegen, no interpreted lambdas) → partial+final min
-    aggregation per doc. Shuffle volume = num_perm longs per doc (the
-    map-side partial min already collapses each partition)."""
+    explode shingles → ONE ``xxhash64`` of the shingle string → num_perm
+    derived permutation hashes ``xxhash64(base, i)`` (each re-hashes a
+    fixed 16 bytes instead of the variable-length string — the string is
+    hashed once, not num_perm times, which dominates on
+    multi-hundred-shingle documents) → partial+final min aggregation per
+    doc. Shuffle volume = num_perm longs per doc (the map-side partial
+    min collapses each partition)."""
+    # Tall shape, not wide: a 64-column min-aggregate generates a huge
+    # whole-stage-codegen function that costs ~20s of Janino compilation
+    # per distinct plan (measured); exploding the perm index instead keeps
+    # every generated function small. The extra 64x row blowup never
+    # shuffles at full size — map-side partial min collapses each
+    # partition to num_perm rows per doc before the exchange.
     exploded = shingled.select(
         F.col(id_col), F.explode(F.col(shingle_col)).alias("__s")
-    )
-    hashed = exploded.select(
+    ).select(F.col(id_col), F.xxhash64(F.col("__s")).alias("__h"))
+    perms = exploded.select(
         id_col,
-        *[F.xxhash64(F.col("__s"), F.lit(i)).alias(f"__h{i}") for i in range(num_perm)],
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("__i"),
+    ).select(
+        id_col, "__i", F.xxhash64(F.col("__h"), F.col("__i")).alias("__hv")
     )
-    mins = hashed.groupBy(id_col).agg(
-        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_perm)]
-    )
-    return mins.select(
-        id_col, F.array(*[f"__m{i}" for i in range(num_perm)]).alias("__sig")
+    mins = perms.groupBy(id_col, "__i").agg(F.min("__hv").alias("__m"))
+    return mins.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "__m"))),
+            lambda s: s["__m"],
+        ).alias("__sig")
     )
 
 
@@ -246,13 +259,24 @@ def minhash_near_dup_pairs(
     S-curve crosses ~0.5 at s≈0.5 and catches s>=0.8 with P≈1-(1-0.8^4)^16
     ≈ 0.9997."""
     mk = word_shingles if shingle_kind == "word" else char_shingles
-    # Persist the shingle table: it feeds signature generation AND both
-    # branches of the verify join — without it the normalize+shingle scan
-    # re-executes 3x (measured 5x wall-clock at sf0.1). MEMORY_AND_DISK
-    # spills gracefully when the corpus outgrows executor memory.
+    # The shingle SET is kept as xxhash64 longs, not strings: signature
+    # derivation then re-hashes 8-byte values instead of variable-length
+    # strings, the verify join intersects long arrays instead of string
+    # arrays (~3x cheaper at 200-shingle documents), and the persisted
+    # table is a fraction of the size. Exact Jaccard over the hash sets
+    # equals Jaccard over the shingle sets up to 2^-64 collisions.
+    # Persist it: it feeds signature generation AND both branches of the
+    # verify join — without it the normalize+shingle scan re-executes 3x
+    # (measured 5x wall-clock at sf0.1).
     shingled = (
         _ensure_parallelism(df)
-        .select(F.col(id_col), mk(text_col, shingle_n).alias("__sh"))
+        .select(F.col(id_col), mk(text_col, shingle_n).alias("__g"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(F.col("__g"), lambda s: F.xxhash64(s))
+            ).alias("__sh"),
+        )
         .persist()
     )
     sigs = minhash_signatures_table(shingled, id_col, "__sh", num_perm)
@@ -283,13 +307,19 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
 
 
 def ngram_jaccard_dedup(
-    df: DataFrame, id_col: str, text_col: str, *, threshold: float = 0.8, n: int = 5, **kw
+    df: DataFrame, id_col: str, text_col: str, *, threshold: float = 0.8,
+    n: int = 5, bands: int = 8, **kw
 ) -> DataFrame:
     """Character n-gram Jaccard dedup: same LSH candidate path, exact
-    character-shingle Jaccard verification."""
+    character-shingle Jaccard verification.
+
+    Char shingles of unrelated documents overlap far more than word
+    shingles (common 5-grams), so the default banding is 8 bands x 8 rows:
+    the S-curve crosses ~0.77, cutting candidate volume ~300x vs 16x4 at
+    the cost of P(catch)=0.77 at s=0.8 (0.99 at s=0.9)."""
     pairs = minhash_near_dup_pairs(
         df, id_col, text_col, threshold=threshold, shingle_n=n,
-        shingle_kind="char", **kw
+        shingle_kind="char", bands=bands, **kw
     )
     return _drop_matched(df, id_col, pairs)
 
@@ -336,34 +366,40 @@ def simhash(text_col: Column | str, shingle_n: int = 3) -> Column:
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, text) → (id, __sim bigint) via the codegen path (same strategy
-    as :func:`minhash_signatures_table`): explode shingles → one plain
-    xxhash64 per shingle → 64 conditional-sum bit votes in a single
-    partial+final aggregation → fold sums into the signature bigint."""
+    """(id, text) → (id, __sim bigint) via the codegen path (same tall
+    strategy as :func:`minhash_signatures_table` — a 64-column vote
+    aggregate plus a 64-deep signature fold generates Janino-hostile
+    megafunctions): explode shingles → one xxhash64 per shingle → explode
+    the bit index → per-(doc, bit) vote sums (map-side partial collapses
+    before the shuffle) → one sum of shifted bits rebuilds the bigint.
+
+    The bit-63 term lands as the sign bit: ``shiftleft(1L, 63)`` wraps to
+    Long.MIN_VALUE and the vote sum of distinct powers of two is exactly
+    the signed-two's-complement signature, with every partial sum in
+    range (ANSI-safe)."""
     shingled = _ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
     )
     hashed = shingled.select(id_col, F.xxhash64(F.col("__s")).alias("__h"))
-    votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            ).alias(f"__v{b}")
-            for b in range(64)
-        ]
+    bits = hashed.select(
+        id_col,
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__b"),
+    ).select(
+        id_col,
+        "__b",
+        F.when(F.expr("(shiftright(__h, __b) & 1) = 1"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("__v"),
     )
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig.bitwiseOR(
+    votes = bits.groupBy(id_col, "__b").agg(F.sum("__v").alias("__vs"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
             F.when(
-                F.col(f"__v{b}") > 0,
-                F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+                F.col("__vs") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), __b)")
             ).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select(F.col(id_col), sig.alias("__sim"))
+        ).alias("__sim")
+    )
 
 
 def simhash_near_dup_pairs(
