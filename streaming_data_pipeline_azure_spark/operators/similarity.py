@@ -9,8 +9,8 @@ Two paths:
   is the correctness baseline and is genuinely the right plan for one-off
   queries even at scale (one pass over the corpus).
 - :func:`IvfIndex` — IVF-style partitioned index for repeated queries:
-  vectors are assigned to the nearest of C centroids (sign-LSH-seeded,
-  refined by a few k-means-ish passes over a sample) and written
+  vectors are assigned to the nearest of C centroids (bucket means of a
+  sign-LSH partitioning — one pass, deterministic) and written
   partitioned by centroid id; a query probes only the ``n_probe`` nearest
   centroids' partitions, so the scan touches ~n_probe/C of the data and
   partition pruning keeps the rest unread on disk.

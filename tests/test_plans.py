@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: a correct-but-shuffling plan is a
+regression at 100 TB even when results match. These pin the plan
+properties the engine's scale story depends on."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.operators import (
+    relational,
+    similarity,
+    text as tx,
+)
+from streaming_data_pipeline_azure_spark.operators.enrich import enrich_orders
+from streaming_data_pipeline_azure_spark.plans.inspect import physical_plan
+
+
+def _enriched(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return enrich_orders(
+        orders, customer,
+        order_id_col="o_orderkey", customer_fk_col="o_custkey",
+        amount_col="o_totalprice", customer_pk_col="c_custkey",
+        customer_name_col="c_name", city_col="c_mktsegment",
+    )
+
+
+def test_city_filter_pushes_through_join_to_scan(spark, sf_dir):
+    """F1 on the joined view must reach the customer parquet scan as a
+    pushed filter — at scale this skips row groups before the join."""
+    df = relational.filter_by_city(_enriched(spark, sf_dir), "BUILDING")
+    plan = physical_plan(df)
+    assert re.search(r"PushedFilters:.*c_mktsegment.*BUILDING", plan), plan
+
+
+def test_projection_prunes_parquet_columns(spark, sf_dir):
+    """token_stats reads a 2-column slice of documents — the scan schema
+    must not include lang/source/n_chars."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select("doc_id", tx.token_count("text").alias("n_tokens"))
+    plan = physical_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    """Brute-force top-k must plan as TakeOrderedAndProject (per-partition
+    heaps), never a full Sort + Exchange of the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = similarity.topk_bruteforce(emb, "embedding", [0.0] * 64, k=10)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    """A2/A3 shapes must partial-aggregate map-side: two HashAggregate
+    nodes around one Exchange, so shuffle volume is O(groups) not O(rows)."""
+    df = relational.avg_purchase_by_city(_enriched(spark, sf_dir))
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_enrichment_join_never_shuffles_stream_side(spark, sf_dir):
+    """The orders side of J1 must not appear below an Exchange — broadcast
+    of the dimension is the whole scale story for the flagship join."""
+    plan = physical_plan(_enriched(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the only Exchange allowed is the BroadcastExchange of the dimension
+    exchanges = re.findall(r"(\w*Exchange)", plan)
+    assert set(exchanges) <= {"BroadcastExchange"}, exchanges
+
+
+def test_scalar_agg_is_two_phase(spark, sf_dir):
+    """A1 (whole-table AVG) must reduce per-partition then merge — a
+    single-partition pre-shuffle would serialize the scan."""
+    df = relational.avg_purchase(_enriched(spark, sf_dir), "BUILDING")
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
