@@ -28,6 +28,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     text as tx,
 )
 
@@ -157,6 +158,70 @@ def _events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON property extraction from the events props column (schema-on-
+    read over a string column, the batch analogue of S2)."""
+    return (
+        _events(spark, sf)
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+def _top_orders_per_city(spark: SparkSession, sf: str) -> DataFrame:
+    return temporal.top_n_per_group(
+        _enriched(spark, sf), ["city"], "purchase_amount", 3,
+        tiebreak_col="order_id",
+    )
+
+
+def _asof_latest_click(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join: for each purchase event, the value of the
+    same user's most recent click at-or-before the purchase."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # dedup right side per (user, ts) so tie-resolution is deterministic
+    # in both engines
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return temporal.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_value"],
+    ).select("event_id", "user_id", "value", "click_value")
+
+
+def _events_sessionized(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization via native session_window (30 min gap)."""
+    return (
+        _events(spark, sf)
+        .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def _similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = _query_vector(spark, sf)
     return similarity.topk_bruteforce(_emb(spark, sf), "embedding", q, k=10)
@@ -258,6 +323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _corpus_stats,
         "events_by_type": _events_by_type,
         "events_hourly": _events_hourly,
+        "events_json_extract": _events_json_extract,
+        "events_sessionized": _events_sessionized,
+        "top_orders_per_city": _top_orders_per_city,
+        "asof_latest_click": _asof_latest_click,
         "similarity_topk": _similarity_topk,
         "dedup_normalized": _dedup_normalized,
         "multimodal_decode": _multimodal_decode,
@@ -398,6 +467,50 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_json_extract": """
+            SELECT event_type,
+                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
+            FROM events GROUP BY event_type
+        """,
+        "events_sessionized": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), grouped AS (
+                SELECT *, SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+                   user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_value
+            FROM grouped GROUP BY user_id, sid
+        """,
+        "top_orders_per_city": f"""
+            SELECT * FROM ({_ENRICHED_ORACLE})
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY city
+                ORDER BY purchase_amount DESC, order_id) <= 3
+        """,
+        "asof_latest_click": """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts, MAX(value) AS click_value FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id, p.value, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "similarity_topk": """
             WITH q AS (

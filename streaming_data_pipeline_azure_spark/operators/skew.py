@@ -1,0 +1,99 @@
+"""Skew-resistant join and aggregation utilities (SURVEY.md §7 M5).
+
+AQE's skew-join splitting covers sort-merge joins at runtime, and map-side
+partial aggregation absorbs most group-by skew. The two gaps these
+utilities close at 100 TB:
+
+- :func:`salted_join` — equi-join where the probe side has hot keys and
+  the build side is too large to broadcast: the big side gets a
+  deterministic per-row salt in ``[0, n_salts)``, the small side is
+  replicated ``n_salts`` times, and the join runs on ``(key, salt)`` so a
+  hot key's rows spread over ``n_salts`` tasks instead of one straggler.
+  Cost: small side shuffles ``n_salts`` copies — size it so
+  ``|small| * n_salts`` stays well under the big side.
+- :func:`salted_groupby_agg` — two-phase aggregation for decomposable
+  aggregates when a single group dominates: phase 1 aggregates
+  ``(keys, salt)`` (hot group split across tasks), phase 2 merges per
+  key. With healthy map-side combine this is redundant; it exists for
+  high-cardinality-accumulator cases (long strings, collect-ish state)
+  where partial aggregation degrades.
+
+Salts are ``pmod(xxhash64(whole row), n)`` — deterministic under retries
+(a random salt would break exactly-once task re-execution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGES = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+_PARTIALS = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    return F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(n_salts))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    *,
+    n_salts: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    Result is identical to ``big.join(small, on, how)`` for ``inner`` and
+    ``left`` joins (each big row matches exactly its salt's replica)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    big_s = big.withColumn("__salt", _row_salt(big, n_salts))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return big_s.join(small_s, keys + ["__salt"], how).drop("__salt")
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    metrics: dict[str, tuple[str, str]],
+    *,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-phase group-by for decomposable aggregates.
+
+    ``metrics`` maps output name → ``(agg, col)`` with agg in
+    sum/count/min/max. AVG composes as sum/count in the caller (keeping
+    the decimal-accumulation discipline the engine uses for oracle
+    determinism)."""
+    bad = {a for a, _ in metrics.values()} - set(_PARTIALS)
+    if bad:
+        raise ValueError(f"non-decomposable aggregates: {sorted(bad)}")
+    salted = df.withColumn("__salt", _row_salt(df, n_salts))
+    phase1 = salted.groupBy(*group_cols, "__salt").agg(
+        *[
+            _PARTIALS[agg](F.col(col)).alias(name)
+            for name, (agg, col) in metrics.items()
+        ]
+    )
+    return phase1.groupBy(*group_cols).agg(
+        *[
+            _MERGES[agg](F.col(name)).alias(name)
+            for name, (agg, _) in metrics.items()
+        ]
+    )

@@ -1,0 +1,113 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and
+time-bucketed top-N.
+
+The reference pipeline declares no temporal operators (SURVEY.md §2.2 —
+its only join is stream-to-static on an equi-key), so these extend the
+engine for event-history workloads.
+
+As-of join strategy: Spark has no ASOF JOIN physical operator (DuckDB and
+kdb do). The scalable formulation here is a *union + window* merge — both
+sides are tagged and unioned, then one pass of ``last(..., ignorenulls)``
+over a window partitioned by key and ordered by time carries the most
+recent right-side row onto each left row:
+
+- one shuffle on the key (the union shuffles once for the window sort);
+  no range join, no per-row probe;
+- skew behaves like any window over a hot key — the partition sorts
+  ``n_left + n_right`` rows per key;
+- memory is bounded by the window frame (unbounded-preceding ``last`` is
+  incremental, not buffered).
+
+A join+filter+max_by formulation was rejected: ``left.ts >= right.ts``
+range joins plan as broadcast-nested-loop (O(L×R) per key) — correct at
+test scale, catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.right_ts <= left.left_ts`` for the same ``on`` key (backward
+    as-of join, DuckDB ``ASOF JOIN`` semantics). Left rows with no prior
+    right row keep nulls.
+
+    ``tolerance`` (an INTERVAL string like ``'1 hour'``) additionally
+    requires ``left_ts - right_ts <= tolerance``.
+    """
+    r_struct = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
+    )
+    r_type = right.select(r_struct.alias("s")).schema["s"].dataType
+    l_type = left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    rhs = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    # right rows sort before left rows at the same (__ts) so an exact-tie
+    # right row is visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lhs.unionByName(rhs).withColumn(
+        "__last_r", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__last_r",
+            F.when(
+                F.col("__last_r.__rts")
+                >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
+                F.col("__last_r"),
+            ),
+        )
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__last_r.{c}").alias(c) for c in right_cols],
+    )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    n: int,
+    *,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-N rows per group via ``row_number`` — one shuffle on the group
+    key; with AQE, skewed groups split across tasks during the sort."""
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [oc] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
