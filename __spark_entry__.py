@@ -414,11 +414,11 @@ def oracle_sql() -> dict[str, str]:
                    + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) AS quality_score
             FROM ratios
         """,
-        "lang_id_counts": f"""
+        "lang_id_counts": rf"""
             WITH scored AS (
                 SELECT {_d_hits('de')} AS s_de, {_d_hits('en')} AS s_en,
                        {_d_hits('es')} AS s_es, {_d_hits('fr')} AS s_fr,
-                       {_d_hits('zh')} AS s_zh
+                       length(regexp_replace(text, '[^\x{{4e00}}-\x{{9fff}}]', '', 'g')) AS s_zh
                 FROM documents
             ), pred AS (
                 SELECT CASE

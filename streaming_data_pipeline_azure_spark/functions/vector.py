@@ -33,8 +33,13 @@ def norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """cos(a,b) = dot/(|a|*|b|). Formula written exactly as
     dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))) so an oracle engine replicating
-    the same expression gets bit-identical doubles."""
-    return dot(a, b) / (norm(a) * norm(b))
+    the same expression gets bit-identical doubles.
+
+    Zero-norm inputs return 0.0 (undefined angle → "not similar") instead
+    of raising DIVIDE_BY_ZERO under ANSI mode — found by property testing
+    with all-zero vectors."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def literal_vector(values: list[float]) -> Column:

@@ -137,6 +137,46 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int"
+)
+
+
+def resize_images(
+    media: DataFrame, target_width: int = 224, target_height: int = 224
+) -> DataFrame:
+    """Resize stage (image): payload → payload at target dimensions.
+
+    STUB kernel: a real implementation decodes with PIL, resizes, and
+    re-encodes; the deterministic fake scales the byte length by the area
+    ratio (so size-dependent downstream behavior is exercised) and stamps
+    the target dimensions. Only ``kind == 'image'`` rows are processed —
+    the filter happens JVM-side so non-image payload bytes are never
+    shipped to Python."""
+    images = media.filter(F.col("kind") == "image")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for b, m in zip(pdf["payload"], pdf["meta"]):
+                b = b or b""
+                src_area = max((m["width"] or 1) * (m["height"] or 1), 1)
+                ratio = (target_width * target_height) / src_area
+                n = max(int(len(b) * min(ratio, 1.0)), 1)
+                out_payload.append(b[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "width": target_width,
+                    "height": target_height,
+                }
+            )
+
+    return images.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
     """Frame-sample stage (video): one row per sampled frame. Frame index
     plan comes from metadata (pure Catalyst: sequence + explode); only the

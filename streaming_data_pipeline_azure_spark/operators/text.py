@@ -58,13 +58,23 @@ def stopword_hits(text_col: Column | str, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
 
 
+def cjk_char_count(text_col: Column | str) -> Column:
+    """Number of CJK-unified-ideograph characters — the zh signal.
+    Chinese text is unsegmented, so token-based stopword hits are always
+    zero for it; characters are the right evidence unit."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.length(F.regexp_replace(c, "[^一-鿿]", ""))
+
+
 def language_id(text_col: Column | str) -> Column:
     """Heuristic language ID: the alphabetically-first language whose
-    stopword-hit count is >= every other language's count. Expressed as a
-    CASE chain so the exact same decision procedure is one SQL statement
-    in any oracle engine."""
+    score is >= every other language's score. Scores are stopword-token
+    hits for space-segmented languages and the CJK character count for
+    zh. Expressed as a CASE chain so the exact same decision procedure is
+    one SQL statement in any oracle engine."""
     langs = sorted(STOPWORDS)
     scores = {lang: stopword_hits(text_col, lang) for lang in langs}
+    scores["zh"] = cjk_char_count(text_col)
     expr: Column | None = None
     for lang in langs:
         cond = None

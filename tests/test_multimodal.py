@@ -53,3 +53,18 @@ def test_frame_sampling(spark, sf_dir):
         assert len(fr) <= 4
         idxs = sorted(f["frame_idx"] for f in fr)
         assert idxs == list(range(len(fr)))
+
+
+def test_resize_images(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    resized = mm.resize_images(media, target_width=64, target_height=64)
+    rows = resized.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images > 0
+    src = {r["media_id"]: r for r in media.collect()}
+    for r in rows:
+        assert (r["width"], r["height"]) == (64, 64)
+        m = src[r["media_id"]]["meta"]
+        ratio = (64 * 64) / max(m["width"] * m["height"], 1)
+        expect = max(int(len(bytes(src[r["media_id"]]["payload"])) * min(ratio, 1.0)), 1)
+        assert len(bytes(r["payload"])) == expect

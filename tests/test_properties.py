@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis): algebraic invariants that must hold
+for arbitrary inputs, not just fixtures. Example counts are kept small
+because each example runs a Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.functions.vector import (
+    cosine_similarity,
+    literal_vector,
+    to_double_array,
+)
+from streaming_data_pipeline_azure_spark.operators.dedup import exact_dedup, jaccard
+from streaming_data_pipeline_azure_spark.operators.skew import salted_groupby_agg
+from streaming_data_pipeline_azure_spark.operators.temporal import asof_join
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(alphabet="abcde ", min_size=0, max_size=12)
+vecs = st.lists(
+    st.floats(-10, 10, allow_nan=False, width=32), min_size=4, max_size=4
+)
+
+
+@SETTINGS
+@given(a=st.lists(words, max_size=8), b=st.lists(words, max_size=8))
+def test_jaccard_bounds_and_symmetry(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a array<string>, b array<string>")
+    [r] = df.select(
+        jaccard(F.col("a"), F.col("b")).alias("ab"),
+        jaccard(F.col("b"), F.col("a")).alias("ba"),
+        jaccard(F.col("a"), F.col("a")).alias("aa"),
+    ).collect()
+    assert 0.0 <= r["ab"] <= 1.0
+    assert r["ab"] == r["ba"]
+    assert r["aa"] == (1.0 if set(a) else 0.0)
+
+
+@SETTINGS
+@given(v=vecs, w=vecs)
+def test_cosine_bounds(spark, v, w):
+    df = spark.createDataFrame([(v,)], "v array<float>")
+    [r] = df.select(
+        cosine_similarity(to_double_array(F.col("v")), literal_vector(w)).alias("c"),
+        cosine_similarity(
+            to_double_array(F.col("v")), literal_vector(v)
+        ).alias("self"),
+    ).collect()
+    assert -1.0 - 1e-9 <= r["c"] <= 1.0 + 1e-9
+    if any(x != 0.0 for x in v):
+        assert abs(r["self"] - 1.0) < 1e-6
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_exact_dedup_keeps_min_id_per_key(spark, rows):
+    df = spark.createDataFrame(
+        [(k, i) for k, i in rows], "k int, id int"
+    )
+    out = {r["k"]: r["id"] for r in exact_dedup(df, ["k"], "id").collect()}
+    want = {}
+    for k, i in rows:
+        want[k] = min(want.get(k, i), i)
+    assert out == want
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_naive(spark, lefts, rights):
+    # dedup right on (key, ts) like production callers must
+    rmap = {}
+    for k, ts, val in rights:
+        rmap[(k, ts)] = max(rmap.get((k, ts), val), val)
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lefts)], "lid int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in rmap.items()] or [(99, 0, 0)],
+        "k int, ts int, v int",
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"]
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(lefts):
+        cands = [v for (rk, rts), v in rmap.items() if rk == k and rts <= ts]
+        best = max(
+            ((rts, v) for (rk, rts), v in rmap.items() if rk == k and rts <= ts),
+            default=None,
+        )
+        assert got[i] == (best[1] if best else None)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_salted_agg_equals_plain(spark, rows):
+    df = spark.createDataFrame(rows, "g int, x int")
+    plain = {
+        r["g"]: (r["s"], r["mn"])
+        for r in df.groupBy("g")
+        .agg(F.sum("x").alias("s"), F.min("x").alias("mn"))
+        .collect()
+    }
+    salted = {
+        r["g"]: (r["s"], r["mn"])
+        for r in salted_groupby_agg(
+            df, ["g"], {"s": ("sum", "x"), "mn": ("min", "x")}, n_salts=4
+        ).collect()
+    }
+    assert salted == plain
