@@ -27,6 +27,53 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_streaming(spark, sf_dir: str) -> float:
+    """End-to-end micro-batch streaming: sf orders as JSON order events
+    through file-source -> broadcast enrichment join -> keyed upsert sink,
+    8 micro-batches, availableNow. Returns drain wall-seconds (input
+    materialization excluded)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.sources.registry import (
+        read_order_file_stream,
+    )
+    from streaming_data_pipeline_azure_spark.sources.sinks import ParquetUpsertSink
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_enrichment_query,
+        run_to_completion,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").cast("string").alias("orderID"),
+            F.col("o_custkey").cast("int").alias("customerID"),
+            F.col("o_totalprice").cast("int").alias("amount"),
+        )
+        orders.repartition(4).write.mode("overwrite").json(f"{root}/in")
+        customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").cast("int").alias("cust_id"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_mktsegment").alias("city"),
+        )
+        sink = ParquetUpsertSink(f"{root}/sink")
+        t0 = time.perf_counter()
+        q = build_enrichment_query(
+            read_order_file_stream(spark, f"{root}/in"),
+            customers,
+            sink,
+            f"{root}/ckpt",
+            trigger_available_now=True,
+        )
+        run_to_completion(q)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -44,6 +91,8 @@ def main() -> None:
         # until the session drops them; clear between queries so each
         # timing is isolated instead of degrading under accumulated cache
         spark.catalog.clearCache()
+
+    timings["streaming_enrich_pipeline"] = round(bench_streaming(spark, sf_dir), 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -158,6 +158,43 @@ def minhash_signatures_table(
     )
 
 
+def oph_signatures_table(
+    shingled: DataFrame, id_col: str, shingle_col: str, num_perm: int = 64
+) -> DataFrame:
+    """One-permutation-hashing signatures: each shingle hash lands in bin
+    ``pmod(h, num_perm)`` and the per-bin minimum is the signature row —
+    ONE hash op per shingle instead of ``num_perm`` derived hashes
+    (~num_perm× less CPU than the classic table; the choice for
+    dense-shingle inputs like char n-grams).
+
+    Empty bins (P ≈ e^(-shingles/num_perm); ~4% at 200 shingles / 64
+    bins) are hash-filled from the document's global minimum — identical
+    shingle sets still produce identical signatures, and the recall loss
+    is bounded by the empty-bin fraction, so this table is only the
+    default for shingle-dense inputs. ``shingle_col`` must already hold
+    hashed (long) shingles."""
+    exploded = shingled.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("__h")
+    )
+    mins = (
+        exploded.withColumn("__bin", F.pmod(F.col("__h"), F.lit(num_perm)))
+        .groupBy(id_col, "__bin")
+        .agg(F.min("__h").alias("__m"))
+    )
+    entries = mins.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__bin", "__m"))).alias("__mp")
+    )
+    doc_min = F.array_min(F.map_values(F.col("__mp")))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__mp"), i.cast("long")),
+            F.xxhash64(doc_min, i),
+        ),
+    )
+    return entries.select(F.col(id_col), sig.alias("__sig"))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns (as sets)."""
     inter = F.size(F.array_intersect(a, b))
@@ -249,15 +286,19 @@ def minhash_near_dup_pairs(
     text_col: str,
     *,
     threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 32,
+    bands: int = 8,
     shingle_n: int = 3,
     shingle_kind: str = "word",
+    sig_method: str = "classic",
 ) -> DataFrame:
     """Verified near-duplicate pairs (exact Jaccard >= threshold) found via
-    MinHash-LSH candidate generation. With 64 perms / 16 bands / 4 rows the
-    S-curve crosses ~0.5 at s≈0.5 and catches s>=0.8 with P≈1-(1-0.8^4)^16
-    ≈ 0.9997."""
+    MinHash-LSH candidate generation. Default 32 perms / 8 bands / 4 rows:
+    the S-curve crosses ~0.5 at s≈0.5 and catches s>=0.8 with
+    P≈1-(1-0.8^4)^8 ≈ 0.982 — word-shingle similarity of unrelated
+    documents is near zero (disjoint vocabulary), so 4-row bands stay
+    selective and 32 permutations halve signature CPU vs 64 with ~1.5%
+    recall loss at the threshold boundary."""
     mk = word_shingles if shingle_kind == "word" else char_shingles
     # The shingle SET is kept as xxhash64 longs, not strings: signature
     # derivation then re-hashes 8-byte values instead of variable-length
@@ -279,7 +320,10 @@ def minhash_near_dup_pairs(
         )
         .persist()
     )
-    sigs = minhash_signatures_table(shingled, id_col, "__sh", num_perm)
+    sig_table = (
+        oph_signatures_table if sig_method == "oph" else minhash_signatures_table
+    )
+    sigs = sig_table(shingled, id_col, "__sh", num_perm)
     pairs = _candidate_pairs_by_band(sigs, id_col, "__sig", bands, num_perm // bands)
     sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -316,10 +360,13 @@ def ngram_jaccard_dedup(
     Char shingles of unrelated documents overlap far more than word
     shingles (common 5-grams), so the default banding is 8 bands x 8 rows:
     the S-curve crosses ~0.77, cutting candidate volume ~300x vs 16x4 at
-    the cost of P(catch)=0.77 at s=0.8 (0.99 at s=0.9)."""
+    the cost of P(catch)=0.77 at s=0.8 (0.99 at s=0.9). Signatures use
+    one-permutation hashing — char-shingle sets are dense (hundreds per
+    document), exactly the regime where OPH's empty-bin fraction is
+    negligible and the num_perm-fold hash saving dominates."""
     pairs = minhash_near_dup_pairs(
         df, id_col, text_col, threshold=threshold, shingle_n=n,
-        shingle_kind="char", bands=bands, **kw
+        shingle_kind="char", bands=bands, sig_method="oph", **kw
     )
     return _drop_matched(df, id_col, pairs)
 

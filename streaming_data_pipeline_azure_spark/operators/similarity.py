@@ -77,11 +77,14 @@ class IvfIndex:
 
     def build(self, df: DataFrame, vec_col: str, id_col: str = "vec_id") -> None:
         spark = df.sparkSession
+        # persisted: feeds both the centroid aggregation and the
+        # assignment join, and the sign-LSH projection is the expensive
+        # part of this scan
         vecs = df.select(
             F.col(id_col),
             to_double_array(F.col(vec_col)).alias("__v"),
             sign_bucket(F.col(vec_col), self.planes).alias("__b"),
-        )
+        ).persist()
         # centroid = elementwise mean of each LSH bucket. Computed via
         # posexplode + per-position avg so no bucket's vectors ever
         # collect into a single row (scales to arbitrarily hot buckets);
@@ -114,9 +117,13 @@ class IvfIndex:
                 F.col("a.__v").alias("vec"),
             )
         )
-        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            f"{self.path}/vectors"
-        )
+        # co-locate each centroid's vectors before the partitioned write:
+        # one file per centroid directory instead of tasks × centroids
+        # fragments (also the right layout for probe-side scan locality)
+        assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(f"{self.path}/vectors")
+        vecs.unpersist()
 
     def probe(
         self, spark, query: list[float], k: int = 10, n_probe: int = 4,
