@@ -158,6 +158,80 @@ def _events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """lineitem's l_shipdate is microsecond-precision parquet (reads
+    natively) — but if the session-global nanosAsLong conf was set by an
+    events query first, nano columns elsewhere read as longs, so convert
+    defensively by observed dtype."""
+    raw = spark.read.parquet(f"{sf}/lineitem.parquet")
+    if dict(raw.dtypes).get("l_shipdate") == "bigint":
+        raw = raw.withColumn(
+            "l_shipdate", F.timestamp_micros(F.expr("l_shipdate div 1000"))
+        )
+    return raw
+
+
+def _dec_sum(col, alias: str):
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def _pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-flavored pricing summary over the largest table: filtered
+    scan -> map-side partial hash agg on a 6-group key."""
+    li = _lineitem(spark, sf).filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+        _dec_sum(disc_price, "sum_disc_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _orders_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-way dimension join: orders ⋈ customer ⋈ nation, both
+    dimensions broadcast (25-row and 15k-row build sides)."""
+    orders, customer, nation = _tables(spark, sf, "orders", "customer", "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+
+
+def _revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-fact join (lineitem ⋈ orders, shuffle on orderkey) plus a
+    broadcast customer dimension — the shape that dominates at 100 TB."""
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    li = _lineitem(spark, sf)
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            _dec_sum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def _events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """JSON property extraction from the events props column (schema-on-
     read over a string column, the batch analogue of S2)."""
@@ -314,6 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": lambda spark, sf: relational.top_n(
             _tables(spark, sf, "customer")[0], 10, order_col="c_custkey"
         ),
+        "pricing_summary": _pricing_summary,
+        "orders_by_nation": _orders_by_nation,
+        "revenue_by_segment": _revenue_by_segment,
         # ---- extension surface (SURVEY.md §2.3, X1-X5) ----
         "dedup_exact": _dedup_exact,
         "doc_fingerprint": _doc_fingerprints,
@@ -367,6 +444,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers": """
             SELECT * FROM customer ORDER BY c_custkey LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         # ---- extension surface ----
         "dedup_exact": """
