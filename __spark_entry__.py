@@ -110,6 +110,7 @@ def _token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return _docs(spark, sf).select(
         "doc_id",
         tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_m"),
     )
 
@@ -489,6 +490,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": rf"""
             SELECT doc_id,
                    CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS n_bpe_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_m
             FROM documents
         """,

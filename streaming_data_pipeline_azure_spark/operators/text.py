@@ -38,6 +38,21 @@ def token_count(text_col: Column | str) -> Column:
     return F.size(tokens(text_col))
 
 
+# Letters-run | single digit | single non-space symbol — a BPE-ish
+# pre-tokenization pattern (GPT-2-style splits digits and punctuation into
+# their own tokens). Restricted to ASCII classes so Java regex (Spark) and
+# RE2 (DuckDB/oracle) agree exactly.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """Subword-ish token count: the number of BPE-pretokenizer matches.
+    Approximates LLM token budgeting without a vocabulary file — the
+    count is what a 100 TB budget query needs, not the token ids."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def normalized_text(text_col: Column | str) -> Column:
     """Whitespace-collapsed, lowercased, trimmed text."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
