@@ -297,6 +297,30 @@ def _events_sessionized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_in_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join (point-in-interval): each event joined into its user's
+    session interval [first_event, last_event] — bucketized equi-join, not
+    a nested-loop. Per-user session/event counts verify the join exactly."""
+    ev = _events(spark, sf).select("user_id", "ts")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("w_start"),
+            F.expr("s.end - INTERVAL 30 MINUTES").alias("w_end"),
+        )
+    )
+    joined = temporal.range_join(
+        ev, sessions, on="user_id", left_ts="ts",
+        right_start="w_start", right_end="w_end", bucket_seconds=3600,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("w_start").alias("n_sessions"),
+    )
+
+
 def _similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = _query_vector(spark, sf)
     return similarity.topk_bruteforce(_emb(spark, sf), "embedding", q, k=10)
@@ -405,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _events_sessionized,
         "top_orders_per_city": _top_orders_per_city,
         "asof_latest_click": _asof_latest_click,
+        "events_in_sessions": _events_in_sessions,
         "similarity_topk": _similarity_topk,
         "dedup_normalized": _dedup_normalized,
         "multimodal_decode": _multimodal_decode,
@@ -611,6 +636,30 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY city
                 ORDER BY purchase_amount DESC, order_id) <= 3
+        """,
+        "events_in_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), grouped AS (
+                SELECT *, SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ), sessions AS (
+                SELECT user_id, MIN(ts) AS w_start, MAX(ts) AS w_end
+                FROM grouped GROUP BY user_id, sid
+            )
+            SELECT e.user_id, COUNT(*) AS n_events,
+                   COUNT(DISTINCT s.w_start) AS n_sessions
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND e.ts BETWEEN s.w_start AND s.w_end
+            GROUP BY e.user_id
         """,
         "asof_latest_click": """
             WITH p AS (

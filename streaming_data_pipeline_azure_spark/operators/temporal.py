@@ -92,6 +92,50 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: each left row pairs with every right row
+    whose ``[right_start, right_end]`` interval contains ``left_ts``
+    (same ``on`` key).
+
+    Spark plans a raw ``l.ts BETWEEN r.start AND r.end`` join as a
+    broadcast-nested-loop — O(L×R) per key. The bucketized formulation
+    here is an equi-join: left rows get their time bucket, right
+    intervals explode into every bucket they cover, and the join runs on
+    ``(key, bucket)`` with the exact BETWEEN as a post-filter. A left row
+    lives in exactly one bucket, so each qualifying (left, interval) pair
+    matches exactly once — no dedup pass. Cost scales with interval
+    length / bucket width (replication factor of the right side); pick
+    ``bucket_seconds`` near the typical interval length. Inner-join
+    semantics (an outer variant needs the BETWEEN inside the join
+    condition, which forfeits the clean equi-join shape)."""
+    us = F.unix_micros
+    bucket_us = F.lit(bucket_seconds * 1_000_000).cast("long")
+    lhs = left.withColumn("__b", F.floor(us(F.col(left_ts)) / bucket_us))
+    rhs = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(us(F.col(right_start)) / bucket_us),
+                F.floor(us(F.col(right_end)) / bucket_us),
+            )
+        ),
+    )
+    joined = lhs.join(rhs, [on, "__b"], "inner").filter(
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) <= F.col(right_end))
+    )
+    return joined.drop("__b")
+
+
 def top_n_per_group(
     df: DataFrame,
     group_cols: list[str],

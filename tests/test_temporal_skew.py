@@ -160,3 +160,44 @@ def test_salted_groupby_matches_plain(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_range_join_point_in_interval(spark):
+    from streaming_data_pipeline_azure_spark.operators.temporal import range_join
+
+    events = spark.createDataFrame(
+        [(1, _t(9, 30), "a"), (1, _t(11, 30), "b"), (1, _t(13), "c"),
+         (2, _t(9, 30), "d")],
+        ["k", "ts", "tag"],
+    )
+    windows = spark.createDataFrame(
+        [(1, _t(9), _t(10), "w1"), (1, _t(11), _t(12), "w2"),
+         (2, _t(20), _t(21), "w3")],
+        ["k", "ws", "we", "win"],
+    )
+    out = {
+        (r["tag"], r["win"])
+        for r in range_join(
+            events, windows, on="k", left_ts="ts",
+            right_start="ws", right_end="we", bucket_seconds=1800,
+        ).collect()
+    }
+    # a->w1, b->w2; c outside all windows; d's key-2 window doesn't cover it
+    assert out == {("a", "w1"), ("b", "w2")}
+
+
+def test_range_join_inclusive_bounds(spark):
+    from streaming_data_pipeline_azure_spark.operators.temporal import range_join
+
+    events = spark.createDataFrame(
+        [(1, _t(9), "lo"), (1, _t(10), "hi")], ["k", "ts", "tag"]
+    )
+    windows = spark.createDataFrame([(1, _t(9), _t(10), "w")], ["k", "ws", "we", "win"])
+    out = {
+        r["tag"]
+        for r in range_join(
+            events, windows, on="k", left_ts="ts",
+            right_start="ws", right_end="we", bucket_seconds=3600,
+        ).collect()
+    }
+    assert out == {"lo", "hi"}  # both boundary points included
