@@ -26,6 +26,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     dedup,
     enrich,
     multimodal,
+    profile,
     relational,
     similarity,
     temporal,
@@ -233,6 +234,20 @@ def _revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _documents_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return profile.profile_columns(_docs(spark, sf))
+
+
+def _lineitem_numeric_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return profile.numeric_summary(
+        _lineitem(spark, sf), ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+def _events_value_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    return profile.value_sketches(_events(spark, sf), "event_type", "value", "user_id")
+
+
 def _events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """JSON property extraction from the events props column (schema-on-
     read over a string column, the batch analogue of S2)."""
@@ -430,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_city": _top_orders_per_city,
         "asof_latest_click": _asof_latest_click,
         "events_in_sessions": _events_in_sessions,
+        "documents_profile": _documents_profile,
+        "lineitem_numeric_summary": _lineitem_numeric_summary,
         "similarity_topk": _similarity_topk,
         "dedup_normalized": _dedup_normalized,
         "multimodal_decode": _multimodal_decode,
@@ -442,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
         "ann_ivf_topk": _ann_ivf_topk,
+        "events_value_sketches": _events_value_sketches,
     }
 
 
@@ -604,6 +622,43 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "documents_profile": """
+            SELECT 'text' AS col_name, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(text) AS n_nulls,
+                   COUNT(DISTINCT text) AS n_distinct FROM documents
+            UNION ALL
+            SELECT 'doc_id', COUNT(*), COUNT(*) - COUNT(doc_id),
+                   COUNT(DISTINCT doc_id) FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                   COUNT(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                   COUNT(DISTINCT source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars) FROM documents
+        """,
+        "lineitem_numeric_summary": """
+            SELECT 'l_quantity' AS col_name,
+                   CAST(MIN(l_quantity) AS DOUBLE) AS min_value,
+                   CAST(MAX(l_quantity) AS DOUBLE) AS max_value,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       / CAST(COUNT(l_quantity) AS DOUBLE) AS mean_value
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(MIN(l_extendedprice) AS DOUBLE),
+                   CAST(MAX(l_extendedprice) AS DOUBLE),
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                       / CAST(COUNT(l_extendedprice) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', CAST(MIN(l_discount) AS DOUBLE),
+                   CAST(MAX(l_discount) AS DOUBLE),
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                       / CAST(COUNT(l_discount) AS DOUBLE)
+            FROM lineitem
         """,
         "events_json_extract": """
             SELECT event_type,

@@ -1,0 +1,95 @@
+"""Table profiling — the data-quality pass a training-data pipeline runs
+before anything else: per-column null counts and cardinalities, plus
+sketch-based summaries where exact answers don't scale.
+
+One full scan produces every statistic (a single ``agg`` with all the
+per-column expressions), then the wide row unpivots to one row per column
+— never one job per column.
+
+``exact_distinct=True`` uses ``count_distinct`` (Catalyst expands the
+aggregate per distinct column — fine up to a handful of columns, and
+required for oracle comparison). At 100 TB with many columns, pass
+``False`` for HyperLogLog++ (``approx_count_distinct``) — one pass, fixed
+memory, ~2% relative error."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile: (col_name, n_rows, n_nulls, n_distinct)."""
+    cols = cols or df.columns
+    nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"__nd_{c}"))
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def numeric_summary(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact min/max/decimal-mean per numeric column (long format)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.min(F.col(c)).cast("double").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__max_{c}"),
+            F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(f"__sum_{c}"),
+            F.count(F.col(c)).alias(f"__cnt_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+                F.when(
+                    F.col(f"__cnt_{c}") > 0,
+                    F.col(f"__sum_{c}") / F.col(f"__cnt_{c}").cast("double"),
+                ).alias("mean_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def value_sketches(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    distinct_col: str,
+    *,
+    percentiles: list[float] = (0.5, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch summaries per group: HLL++ distinct estimate and
+    approximate percentiles (Greenwald-Khanna). Both are one-pass,
+    mergeable, fixed-memory — the only viable shapes at 100 TB. Approx
+    results are engine-specific (rows-only verification)."""
+    return df.groupBy(group_col).agg(
+        F.approx_count_distinct(distinct_col).alias("approx_distinct"),
+        F.percentile_approx(
+            value_col, list(percentiles), accuracy
+        ).alias("approx_percentiles"),
+    )
