@@ -234,6 +234,29 @@ def _revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pricing_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (flag, status) -> (flag) -> grand total,
+    one pass, partial-aggregated like any hash agg."""
+    return (
+        _lineitem(spark, sf)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _clickers_not_buyers(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operation (EXCEPT): users who clicked but did not purchase in
+    the first 6 hours of the dataset (time-sliced so the result is
+    non-trivially non-empty in the dense synthetic data)."""
+    ev = _events(spark, sf).filter(F.col("ts") < F.lit("2024-01-01 06:00:00"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)  # EXCEPT (distinct) semantics
+
+
 def _documents_profile(spark: SparkSession, sf: str) -> DataFrame:
     return profile.profile_columns(_docs(spark, sf))
 
@@ -447,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_in_sessions": _events_in_sessions,
         "documents_profile": _documents_profile,
         "lineitem_numeric_summary": _lineitem_numeric_summary,
+        "pricing_rollup": _pricing_rollup,
+        "clickers_not_buyers": _clickers_not_buyers,
         "similarity_topk": _similarity_topk,
         "dedup_normalized": _dedup_normalized,
         "multimodal_decode": _multimodal_decode,
@@ -622,6 +647,23 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "clickers_not_buyers": """
+            SELECT user_id FROM events
+            WHERE event_type = 'click'
+              AND ts < TIMESTAMP '2024-01-01 06:00:00'
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase'
+              AND ts < TIMESTAMP '2024-01-01 06:00:00'
         """,
         "documents_profile": """
             SELECT 'text' AS col_name, COUNT(*) AS n_rows,
