@@ -104,6 +104,34 @@ def char_shingles(text_col: Column | str, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def exploded_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, kind: str = "word"
+) -> DataFrame:
+    """(id, text) → exploded (id, __h) rows: one xxhash64 long per
+    position-distinct shingle, entirely in whole-stage codegen.
+
+    The array-building shingle functions (:func:`word_shingles` /
+    :func:`char_shingles`) run their per-element lambdas interpreted —
+    fine for ad-hoc column use, but in the dedup hot path this explode +
+    column-expression form (``substring``/``slice`` with a column
+    position) keeps the 10^6-shingle stage inside codegen."""
+    norm = normalized_text(text_col)
+    if kind == "word":
+        base = df.select(F.col(id_col), F.split(norm, " ").alias("__base"))
+        count = F.greatest(F.size(F.col("__base")) - (n - 1), F.lit(1))
+        gram = F.expr(f"concat_ws(' ', slice(__base, __i, {n}))")
+    else:
+        base = df.select(F.col(id_col), norm.alias("__base"))
+        count = F.greatest(F.length(F.col("__base")) - (n - 1), F.lit(1))
+        gram = F.expr(f"substring(__base, __i, {n})")
+    pos = base.select(
+        F.col(id_col),
+        "__base",
+        F.explode(F.sequence(F.lit(1), count)).alias("__i"),
+    )
+    return pos.select(F.col(id_col), F.xxhash64(gram).alias("__h"))
+
+
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     """MinHash signature as an array expression: perm i = min over shingles
     of xxhash64(shingle, seed=i).
@@ -299,25 +327,23 @@ def minhash_near_dup_pairs(
     documents is near zero (disjoint vocabulary), so 4-row bands stay
     selective and 32 permutations halve signature CPU vs 64 with ~1.5%
     recall loss at the threshold boundary."""
-    mk = word_shingles if shingle_kind == "word" else char_shingles
     # The shingle SET is kept as xxhash64 longs, not strings: signature
     # derivation then re-hashes 8-byte values instead of variable-length
     # strings, the verify join intersects long arrays instead of string
     # arrays (~3x cheaper at 200-shingle documents), and the persisted
     # table is a fraction of the size. Exact Jaccard over the hash sets
     # equals Jaccard over the shingle sets up to 2^-64 collisions.
+    # Construction is the codegen explode path (no interpreted lambdas);
+    # collect_set dedups per doc with map-side partial merge.
     # Persist it: it feeds signature generation AND both branches of the
     # verify join — without it the normalize+shingle scan re-executes 3x
     # (measured 5x wall-clock at sf0.1).
+    hashes = exploded_shingle_hashes(
+        _ensure_parallelism(df), id_col, text_col, shingle_n, shingle_kind
+    )
     shingled = (
-        _ensure_parallelism(df)
-        .select(F.col(id_col), mk(text_col, shingle_n).alias("__g"))
-        .select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform(F.col("__g"), lambda s: F.xxhash64(s))
-            ).alias("__sh"),
-        )
+        hashes.groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__sh"))
         .persist()
     )
     sig_table = (
@@ -424,10 +450,11 @@ def simhash_table(
     Long.MIN_VALUE and the vote sum of distinct powers of two is exactly
     the signed-two's-complement signature, with every partial sum in
     range (ANSI-safe)."""
-    shingled = _ensure_parallelism(df).select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s")
+    # codegen explode path; duplicate shingles vote with their frequency
+    # (classic frequency-weighted SimHash)
+    hashed = exploded_shingle_hashes(
+        _ensure_parallelism(df), id_col, text_col, shingle_n, "word"
     )
-    hashed = shingled.select(id_col, F.xxhash64(F.col("__s")).alias("__h"))
     bits = hashed.select(
         id_col,
         "__h",
