@@ -376,6 +376,17 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_minhash_cc(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive-closure dedup: connected components over verified
+    near-dup pairs (iterative min-label propagation), keep the minimum
+    doc of each component."""
+    docs = _docs(spark, sf)
+    pairs = dedup.minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.8)
+    return dedup.dedup_by_components(docs, "doc_id", pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def _embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(
         _emb(spark, sf), "vec_id", "embedding", threshold=0.95
@@ -480,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram": _dedup_ngram,
+        "dedup_minhash_cc": _dedup_minhash_cc,
         "embedding_neardup_pairs": _embedding_neardup,
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,

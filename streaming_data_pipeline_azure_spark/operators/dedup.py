@@ -362,6 +362,76 @@ def minhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Distributed connected components over a pair list via iterative
+    min-label propagation: every vertex repeatedly adopts the minimum
+    label among itself and its neighbors until a fixpoint.
+
+    Returns (id, component) where ``component`` is the minimum vertex id
+    of the component. Converges in O(diameter) rounds — duplicate
+    clusters are near-cliques from LSH pair generation, so 2-3 rounds in
+    practice. Each round is one join + one aggregation; lineage is
+    truncated per round with ``localCheckpoint`` (an iterative plan that
+    doubles every round would otherwise blow up the optimizer). The
+    driver loop only reads the scalar change-count per round — control
+    flow on the driver, data never leaves the cluster (the GraphX /
+    Pregel execution shape)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__chg"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Full transitive dedup: keep only the minimum-id document of each
+    connected component of the verified-pair graph (stricter than the
+    greedy pair rule on chains A~B, B~C where A~C was never verified)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def _drop_matched(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Greedy keep-smallest-id: drop every doc that appears as the larger
     id of a verified pair (broadcast-able anti-join when dup count is

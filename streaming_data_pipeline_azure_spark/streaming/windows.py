@@ -123,6 +123,41 @@ def sessionized_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a time-range bound: right rows within
+    ``[left_ts - within, left_ts]`` of the left row (funnel-attribution
+    shape: purchases joined to the clicks that preceded them).
+
+    The reference pipeline has no stream-stream join (its ASA job joins
+    stream to static reference data only, and ASA stream-stream joins
+    would require DATEDIFF bounds — SURVEY.md §2.2); this extends the
+    engine to that class. Both sides carry watermarks and the join
+    condition bounds event-time distance, which is what lets the state
+    store EVICT buffered rows — an unbounded stream-stream join would
+    hold both streams forever. State per key ≈ rows inside the
+    ``within + watermark_delay`` horizon. Column names must be disjoint
+    across the two sides (rename before calling)."""
+    lk, rk = on
+    l = left.withWatermark(left_ts, watermark_delay)
+    r = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (l[lk] == r[rk])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {within}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, how)
+
+
 RUNNING_STATS_SCHEMA = "user_id long, n_events long, total_value double"
 _RUNNING_STATE_SCHEMA = "n long, total double"
 

@@ -84,3 +84,28 @@ def test_embedding_dedup(spark):
     assert len(found) == 1
     out = dedup.embedding_dedup(df, "vec_id", "embedding", threshold=0.99, dim=4, n_planes=4)
     assert {r["vec_id"] for r in out.collect()} == {1, 3, 4}
+
+
+def test_connected_components_chains_and_islands(spark):
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        connected_components,
+        dedup_by_components,
+    )
+    import pyspark.sql.functions as F
+
+    # chain 1-2-3-4-5 (forces multi-round propagation) + island 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 4, 5, 7, 10, 11]], ["doc_id", "text"]
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_by_components(docs, "doc_id", pairs).collect()
+    }
+    # one survivor per component; untouched doc 7 stays
+    assert kept == {1, 7, 10}

@@ -165,3 +165,68 @@ def test_running_user_stats_keeps_state_across_batches(spark, tmp_path):
     assert u1["total_value"] == 12.5
     u2 = next(r for r in rows if r["user_id"] == 2)
     assert (u2["n_events"], u2["total_value"]) == (1, 5.0)
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    """Purchases join clicks by the same user within the preceding hour —
+    matches emit; clicks outside the window don't."""
+    import pyspark.sql.types as T
+
+    from streaming_data_pipeline_azure_spark.streaming.windows import (
+        stream_stream_join,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir(), buys_dir.mkdir()
+    (clicks_dir / "c0.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"c_user": 1, "cts": "2024-01-01T10:00:00Z", "click_id": 100},
+                {"c_user": 2, "cts": "2024-01-01T07:00:00Z", "click_id": 200},
+            ]
+        )
+    )
+    (buys_dir / "b0.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"b_user": 1, "bts": "2024-01-01T10:30:00Z", "buy_id": 7},
+                {"b_user": 2, "bts": "2024-01-01T10:30:00Z", "buy_id": 8},
+            ]
+        )
+    )
+    cs = T.StructType(
+        [
+            T.StructField("c_user", T.LongType()),
+            T.StructField("cts", T.TimestampType()),
+            T.StructField("click_id", T.LongType()),
+        ]
+    )
+    bs = T.StructType(
+        [
+            T.StructField("b_user", T.LongType()),
+            T.StructField("bts", T.TimestampType()),
+            T.StructField("buy_id", T.LongType()),
+        ]
+    )
+    buys = spark.readStream.schema(bs).json(str(buys_dir))
+    clicks = spark.readStream.schema(cs).json(str(clicks_dir))
+    out = stream_stream_join(
+        buys, clicks, on=("b_user", "c_user"), left_ts="bts", right_ts="cts",
+        within="1 hour",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT buy_id, click_id FROM ss_join").collect()
+    # user1: click 30 min before purchase -> match
+    # user2: click 3.5 h before purchase -> outside the 1 h window
+    assert {(r["buy_id"], r["click_id"]) for r in rows} == {(7, 100)}
