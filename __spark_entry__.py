@@ -271,6 +271,16 @@ def _events_value_sketches(spark: SparkSession, sf: str) -> DataFrame:
     return profile.value_sketches(_events(spark, sf), "event_type", "value", "user_id")
 
 
+def _value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentiles (sort-based aggregate, linear interpolation) —
+    the exact counterpart of the sketch query; both engines interpolate
+    at rank (n-1)*q so the doubles match bitwise."""
+    return _events(spark, sf).groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+
+
 def _events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """JSON property extraction from the events props column (schema-on-
     read over a string column, the batch analogue of S2)."""
@@ -483,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_numeric_summary": _lineitem_numeric_summary,
         "pricing_rollup": _pricing_rollup,
         "clickers_not_buyers": _clickers_not_buyers,
+        "value_percentiles": _value_percentiles,
         "similarity_topk": _similarity_topk,
         "dedup_normalized": _dedup_normalized,
         "multimodal_decode": _multimodal_decode,
@@ -713,6 +724,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
                        / CAST(COUNT(l_discount) AS DOUBLE)
             FROM lineitem
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
         """,
         "events_json_extract": """
             SELECT event_type,
