@@ -386,6 +386,12 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.jaccard_dedup_exact(
+        _docs(spark, sf), "doc_id", "text", threshold=0.8
+    )
+
+
 def _dedup_minhash_cc(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive-closure dedup: connected components over verified
     near-dup pairs (iterative min-label propagation), keep the minimum
@@ -496,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _value_percentiles,
         "similarity_topk": _similarity_topk,
         "dedup_normalized": _dedup_normalized,
+        "dedup_jaccard_exact": _dedup_jaccard_exact,
         "multimodal_decode": _multimodal_decode,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
@@ -647,6 +654,29 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                 ORDER BY doc_id) = 1
+        """,
+        "dedup_jaccard_exact": r"""
+            WITH sets AS (
+              SELECT doc_id,
+                     list_distinct([
+                        array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-2, 1) + 1)
+                     ]) AS g
+              FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                           ' ') AS toks
+                FROM documents
+              )
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.g, b.g))
+                    >= 0.8 * len(list_distinct(a.g || b.g))
+            )
+            SELECT text, doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM pairs)
         """,
         "multimodal_decode": """
             SELECT doc_id AS media_id,

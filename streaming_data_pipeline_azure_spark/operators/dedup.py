@@ -362,6 +362,69 @@ def minhash_near_dup_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    shingle_kind: str = "word",
+) -> DataFrame:
+    """EXACT near-duplicate pairs (Jaccard >= threshold) via prefix
+    filtering (AllPairs/PPJoin): each doc exposes only the
+    ``floor((1-t)·|d|)+1`` globally-smallest shingle hashes as its
+    "prefix"; any pair meeting the threshold provably shares a prefix
+    element, so the candidate equi-join on prefix hashes loses NO
+    qualifying pair — unlike MinHash-LSH this is deterministic and
+    recall-1.0, at the cost of candidate volume that grows with document
+    overlap (use the LSH path when approximate recall is acceptable)."""
+    hashes = exploded_shingle_hashes(
+        _ensure_parallelism(df), id_col, text_col, shingle_n, shingle_kind
+    )
+    sets = (
+        hashes.groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__sh"))
+        .persist()
+    )
+    pre = sets.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "slice(array_sort(__sh), 1, "
+                f"CAST(floor({1.0 - threshold} * size(__sh)) AS INT) + 1)"
+            )
+        ).alias("__p"),
+    )
+    a = pre.select(F.col(id_col).alias("id_a"), "__p")
+    b = pre.select(F.col(id_col).alias("id_b"), "__p")
+    cand = (
+        a.join(b, "__p")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    uni = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b")))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(inter.cast("double") >= F.lit(threshold) * uni.cast("double"))
+        .select("id_a", "id_b")
+    )
+
+
+def jaccard_dedup_exact(
+    df: DataFrame, id_col: str, text_col: str, **kw
+) -> DataFrame:
+    """Exact Jaccard dedup (keep smallest id) — the deterministic
+    oracle-comparable counterpart of :func:`minhash_dedup`."""
+    pairs = prefix_filter_jaccard_pairs(df, id_col, text_col, **kw)
+    return _drop_matched(df, id_col, pairs)
+
+
 def connected_components(
     pairs: DataFrame,
     *,

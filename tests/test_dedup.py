@@ -109,3 +109,38 @@ def test_connected_components_chains_and_islands(spark):
     }
     # one survivor per component; untouched doc 7 stays
     assert kept == {1, 7, 10}
+
+
+def test_prefix_filter_exact_matches_lsh_on_testdata(spark, sf_dir):
+    """Exact prefix-filtered Jaccard pairs are a superset-or-equal of the
+    LSH-found pairs (LSH may miss; exact may not), and on this corpus the
+    dedup results coincide."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        jaccard_dedup_exact,
+        minhash_dedup,
+        minhash_near_dup_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert lsh <= exact
+    kept_exact = {
+        r["doc_id"]
+        for r in jaccard_dedup_exact(docs, "doc_id", "text").collect()
+    }
+    kept_lsh = {
+        r["doc_id"] for r in minhash_dedup(docs, "doc_id", "text").collect()
+    }
+    assert kept_exact <= kept_lsh  # exact can only drop more, never fewer
