@@ -403,6 +403,15 @@ def _dedup_minhash_cc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold 0.45 sits in the thin upper tail of the random-embedding
+    cosine distribution (max ~0.51 at sf0.01) so the result is
+    non-trivially non-empty."""
+    return similarity.allpairs_cosine_pairs(
+        _emb(spark, sf), "vec_id", "embedding", threshold=0.45
+    )
+
+
 def _embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(
         _emb(spark, sf), "vec_id", "embedding", threshold=0.95
@@ -503,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _similarity_topk,
         "dedup_normalized": _dedup_normalized,
         "dedup_jaccard_exact": _dedup_jaccard_exact,
+        "embedding_neardup_exact": _embedding_neardup_exact,
         "multimodal_decode": _multimodal_decode,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
@@ -677,6 +687,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT text, doc_id, lang, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+        """,
+        "embedding_neardup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         """,
         "multimodal_decode": """
             SELECT doc_id AS media_id,

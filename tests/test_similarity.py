@@ -47,3 +47,30 @@ def test_ivf_index_probe_matches_bruteforce(spark, tmp_path, sf_dir):
     # the query's own vector must be found, and recall should be decent
     assert approx[0] == 0
     assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_recall_at_k(spark, tmp_path, sf_dir):
+    """Recall@10 over several probe queries: IVF with n_probe=4 of ~16
+    centroids must recover most of the exact top-10."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = sim.IvfIndex(str(tmp_path / "ivf"), dim=64, n_planes=4)
+    idx.build(emb, "embedding")
+    recalls = []
+    for qid in [0, 5, 11]:
+        q = [float(x) for x in emb.filter(f"vec_id = {qid}").collect()[0]["embedding"]]
+        exact = {r["vec_id"] for r in sim.topk_bruteforce(emb, "embedding", q, k=10).collect()}
+        approx = {r["vec_id"] for r in idx.probe(spark, q, k=10, n_probe=4).collect()}
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.5  # random-vector corpus; probes 1/4 of partitions
+
+
+def test_allpairs_cosine_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sim.allpairs_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert pairs == {(0, 1)}
