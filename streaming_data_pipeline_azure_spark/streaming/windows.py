@@ -191,3 +191,55 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same running per-user aggregate on the modern
+    ``transformWithStateInPandas`` API (Spark 4 ``StatefulProcessor`` —
+    the successor of applyInPandasWithState): typed ValueState, explicit
+    lifecycle, composable timers. Requires the RocksDB state store
+    provider (``spark.sql.streaming.stateStore.providerClass``) — which
+    is also the right provider at scale: state lives off-heap/on-disk
+    with incremental checkpointing instead of in executor heap.
+
+    The TWS wire protocol needs ``google.protobuf``; environments without
+    it (like this container) must use :func:`running_user_stats`
+    (applyInPandasWithState) — identical semantics."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf (not "
+            "installed here); use running_user_stats() instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", _RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=RUNNING_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -230,3 +230,55 @@ def test_stream_stream_join_within_window(spark, tmp_path):
     # user1: click 30 min before purchase -> match
     # user2: click 3.5 h before purchase -> outside the 1 h window
     assert {(r["buy_id"], r["click_id"]) for r in rows} == {(7, 100)}
+
+
+def test_running_user_stats_tws(spark, tmp_path):
+    """Same semantics as the applyInPandasWithState operator, on the
+    transformWithStateInPandas API (RocksDB state store). Skipped where
+    google.protobuf (the TWS wire-protocol dependency) is unavailable."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed (TWS wire protocol)")
+    from streaming_data_pipeline_azure_spark.streaming.windows import (
+        running_user_stats_tws,
+    )
+
+    src = _write_batches(
+        tmp_path,
+        [
+            [
+                _ev(1, "2024-01-01T00:00:00Z", user_id=1, value=10.0),
+                _ev(2, "2024-01-01T00:01:00Z", user_id=2, value=5.0),
+            ],
+            [_ev(3, "2024-01-01T00:02:00Z", user_id=1, value=2.5)],
+        ],
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = running_user_stats_tws(read_event_file_stream(spark, src))
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql("SELECT * FROM tws_out").collect()
+    u1 = max((r for r in rows if r["user_id"] == 1), key=lambda r: r["n_events"])
+    assert (u1["n_events"], u1["total_value"]) == (2, 12.5)
+    u2 = next(r for r in rows if r["user_id"] == 2)
+    assert (u2["n_events"], u2["total_value"]) == (1, 5.0)
