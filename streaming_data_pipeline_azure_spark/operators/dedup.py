@@ -451,9 +451,18 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Size the iteration's parallelism to the graph: a near-dup pair graph
+    # is usually tiny relative to the corpus, and running each round's
+    # join over the session's full shuffle-partition count schedules
+    # mostly-empty tasks (measured: 4x wall-clock on a 512-edge graph).
+    # ~1M edges per partition keeps big graphs parallel.
+    n_edges = edges.count()
+    parts = max(1, min(n_edges // 1_000_000 + 1, 200))
+    edges = edges.repartition(parts, "dst")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
+        .repartition(parts, "id")
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
