@@ -257,6 +257,57 @@ def _clickers_not_buyers(spark: SparkSession, sf: str) -> DataFrame:
     return clicks.subtract(buys)  # EXCEPT (distinct) semantics
 
 
+def _customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join: customers with no high-value order (the price
+    filter keeps the probe set non-trivial in the dense synthetic data
+    — an unfiltered anti is empty because every customer has orders)."""
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    big = orders.filter(F.col("o_totalprice") > 300_000)
+    return customer.join(
+        big, customer["c_custkey"] == big["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def _customers_with_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join: existence probe without fact-side multiplication."""
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def _segments_above_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL entry path: HAVING with a correlated-free scalar subquery —
+    Catalyst plans the subquery as a broadcast scalar and the outer agg
+    normally (subquery appears once, not per row)."""
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    orders.createOrReplaceTempView("v_orders")
+    customer.createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_price
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
+               > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)
+                  FROM v_orders)
+        """
+    )
+
+
+def _pricing_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of (flag, status)."""
+    return (
+        _lineitem(spark, sf)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def _documents_profile(spark: SparkSession, sf: str) -> DataFrame:
     return profile.profile_columns(_docs(spark, sf))
 
@@ -507,8 +558,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_profile": _documents_profile,
         "lineitem_numeric_summary": _lineitem_numeric_summary,
         "pricing_rollup": _pricing_rollup,
+        "pricing_cube": _pricing_cube,
         "clickers_not_buyers": _clickers_not_buyers,
         "value_percentiles": _value_percentiles,
+        "customers_without_orders": _customers_without_orders,
+        "customers_with_orders": _customers_with_orders,
+        "segments_above_avg": _segments_above_avg,
         "similarity_topk": _similarity_topk,
         "dedup_normalized": _dedup_normalized,
         "dedup_jaccard_exact": _dedup_jaccard_exact,
@@ -724,6 +779,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pricing_cube": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "segments_above_avg": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avg_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)
+                   > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)
+                      FROM orders)
         """,
         "clickers_not_buyers": """
             SELECT user_id FROM events
