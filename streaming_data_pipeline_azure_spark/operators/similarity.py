@@ -155,21 +155,42 @@ class IvfIndex:
         centroids.select("centroid_id", "centroid").write.mode("overwrite").parquet(
             f"{self.path}/centroids"
         )
-        cent = spark.read.parquet(f"{self.path}/centroids")
-        # assign each vector to nearest centroid (broadcast C rows)
-        joined = vecs.crossJoin(F.broadcast(cent)).withColumn(
-            "__sim", cosine_similarity(F.col("__v"), F.col("centroid"))
-        )
-        assigned = (
-            joined.groupBy(id_col)
-            .agg(
-                F.max_by(F.struct("centroid_id", "__v"), F.col("__sim")).alias("a")
-            )
-            .select(
-                id_col,
-                F.col("a.centroid_id").alias("centroid_id"),
-                F.col("a.__v").alias("vec"),
-            )
+        # assign each vector to its nearest centroid: the centroid matrix
+        # (C×d, tiny) broadcasts to every Python worker and each Arrow
+        # batch is one numpy matmul + argmax — vectorized BLAS instead of
+        # C interpreted cosine expressions per row (the crossJoin+max_by
+        # formulation measured ~10x slower at 2k vectors × 64 centroids)
+        import numpy as np
+
+        cent_rows = spark.read.parquet(f"{self.path}/centroids").collect()
+        c_ids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+        c_mat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+        c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+        c_norm[c_norm == 0] = 1.0
+        c_mat = c_mat / c_norm
+        b_ids = spark.sparkContext.broadcast(c_ids)
+        b_mat = spark.sparkContext.broadcast(c_mat)
+
+        def assign(batches):
+            import pandas as pd
+
+            ids, mat = b_ids.value, b_mat.value
+            for pdf in batches:
+                bm = np.array(list(pdf["__v"]), dtype=np.float64)
+                bn = np.linalg.norm(bm, axis=1, keepdims=True)
+                bn[bn == 0] = 1.0
+                best = ids[np.argmax((bm / bn) @ mat.T, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "centroid_id": best,
+                        "vec": pdf["__v"],
+                    }
+                )
+
+        assigned = vecs.select(id_col, "__v").mapInPandas(
+            assign,
+            schema=f"{id_col} long, centroid_id long, vec array<double>",
         )
         # co-locate each centroid's vectors before the partitioned write:
         # one file per centroid directory instead of tasks × centroids
