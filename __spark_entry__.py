@@ -135,6 +135,28 @@ def _corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     return tx.corpus_stats(_docs(spark, sf))
 
 
+def _corpus_clean_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The composite cleaning pipeline a training-data corpus actually
+    runs: quality filter → language filter → normalized exact dedup →
+    per-source stats. Every stage is an existing oracle-checked operator;
+    this verifies their COMPOSITION end to end."""
+    docs = _docs(spark, sf)
+    cleaned = tx.quality_score(docs).filter(
+        (F.col("quality_score") >= 0.45) & F.col("lang").isin("en", "de")
+    )
+    deduped = dedup.normalized_dedup(
+        cleaned.select("text", "doc_id", "lang", "source", "n_chars"),
+        "doc_id",
+        "text",
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_chars"),
+    )
+
+
 def _events_by_type(spark: SparkSession, sf: str) -> DataFrame:
     return _events(spark, sf).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -548,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _quality,
         "lang_id_counts": _lang_id_counts,
         "corpus_stats": _corpus_stats,
+        "corpus_clean_stats": _corpus_clean_stats,
         "events_by_type": _events_by_type,
         "events_hourly": _events_hourly,
         "events_json_extract": _events_json_extract,
@@ -758,6 +781,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "corpus_clean_stats": rf"""
+            WITH feats AS (
+                SELECT doc_id, text, lang, source,
+                       length(text) AS n_chars,
+                       len({_D_TOKENS}) AS n_tok,
+                       length(text)
+                         - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                         AS n_punct,
+                       length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+                       {_d_hits('en')} AS n_stop
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, text, lang, source,
+                       0.5 * least((CASE WHEN n_tok > 0
+                            THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                            ELSE 0.0 END) * 4.0, 1.0)
+                       + 0.3 * least((CASE WHEN n_tok > 0
+                            THEN CAST(n_nonspace AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                            ELSE 0.0 END) / 8.0, 1.0)
+                       + 0.2 * (1.0 - least((CASE WHEN n_chars > 0
+                            THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                            ELSE 0.0 END) * 5.0, 1.0)) AS quality_score
+                FROM feats
+            ), cleaned AS (
+                SELECT * FROM scored
+                WHERE quality_score >= 0.45 AND lang IN ('en', 'de')
+            ), deduped AS (
+                SELECT * FROM cleaned
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                    ORDER BY doc_id) = 1
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(length(text) AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_chars
+            FROM deduped GROUP BY source
         """,
         "events_by_type": """
             SELECT event_type, COUNT(*) AS n_events,

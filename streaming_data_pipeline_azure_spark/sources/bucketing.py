@@ -41,3 +41,26 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+    sort_within: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout: equality/IN predicates on
+    ``partition_cols`` prune whole directories at plan time
+    (PartitionFilters — zero bytes read for excluded partitions), and
+    ``sort_within`` orders rows inside each file so min/max row-group
+    stats prune within the survivors.
+
+    ``repartition(partition_cols)`` first: without it every task writes a
+    fragment into every partition directory (tasks × partitions small
+    files — the classic small-file problem at scale)."""
+    out = df.repartition(*[df[c] for c in partition_cols])
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)

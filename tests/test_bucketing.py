@@ -43,3 +43,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
+    """An equality filter on the partition column must become a
+    PartitionFilter (directory pruning), not a data filter."""
+    import re
+
+    from streaming_data_pipeline_azure_spark.sources.bucketing import (
+        write_partitioned,
+    )
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    path = str(tmp_path / "by_segment")
+    write_partitioned(
+        customer, path,
+        partition_cols=["c_mktsegment"], sort_within=["c_custkey"],
+    )
+    df = spark.read.parquet(path).filter("c_mktsegment = 'BUILDING'")
+    plan = physical_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "c_mktsegment" in m.group(1), plan
+    # correctness: same rows as filtering the unpartitioned table
+    want = customer.filter("c_mktsegment = 'BUILDING'").count()
+    assert df.count() == want
+    # layout: one file per partition directory (plus metadata), not
+    # tasks x partitions fragments
+    import glob, os
+    parts = glob.glob(os.path.join(path, "c_mktsegment=*"))
+    assert parts
+    for p in parts:
+        files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        assert len(files) == 1, (p, files)
