@@ -28,6 +28,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     multimodal,
     profile,
     relational,
+    sampling,
     similarity,
     temporal,
     text as tx,
@@ -133,6 +134,22 @@ def _lang_id_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 def _corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     return tx.corpus_stats(_docs(spark, sf))
+
+
+def _train_test_split_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic md5-threshold split of documents (20% test), with
+    per-split stats — the assignment is a pure function of doc_id, so
+    both engines (and every re-run) agree row by row."""
+    return (
+        sampling.train_test_split(_docs(spark, sf), "doc_id", 0.2)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_chars"),
+        )
+    )
 
 
 def _corpus_clean_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -571,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": _lang_id_counts,
         "corpus_stats": _corpus_stats,
         "corpus_clean_stats": _corpus_clean_stats,
+        "train_test_split_stats": _train_test_split_stats,
         "events_by_type": _events_by_type,
         "events_hourly": _events_hourly,
         "events_json_extract": _events_json_extract,
@@ -781,6 +799,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "train_test_split_stats": """
+            SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '33333333'
+                        THEN 'test' ELSE 'train' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(length(text) AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_chars
+            FROM documents GROUP BY 1
         """,
         "corpus_clean_stats": rf"""
             WITH feats AS (

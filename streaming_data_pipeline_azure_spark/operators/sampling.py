@@ -1,0 +1,51 @@
+"""Deterministic splitting and sampling for training-data pipelines.
+
+The split must be a pure function of the row KEY — not of partitioning,
+row order, or an RNG stream — so that (a) re-runs and backfills land every
+row in the same split, (b) any engine computes the same assignment (the
+DuckDB oracle reproduces it exactly), and (c) adding data never reshuffles
+existing rows between splits. ``df.randomSplit`` guarantees none of these.
+
+Mechanism: md5 of the key rendered as lowercase hex, compared against a
+hex threshold on the first 8 nibbles — uniform over keys, identical in
+any engine with an md5 function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(frac: float) -> str:
+    """First-8-nibble hex threshold t such that P(md5_prefix < t) = frac."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0,1], got {frac}")
+    return format(int(frac * 16**8), "08x")
+
+
+def split_column(key_col: Column | str, test_frac: float) -> Column:
+    """'test' iff the md5 prefix of the key falls below the threshold."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    prefix = F.substring(F.md5(c.cast("string")), 1, 8)
+    return F.when(
+        prefix < F.lit(_hex_threshold(test_frac)), F.lit("test")
+    ).otherwise(F.lit("train"))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_frac: float = 0.1
+) -> DataFrame:
+    """Append a deterministic 'split' column ('train' / 'test')."""
+    return df.withColumn("split", split_column(key_col, test_frac))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, frac: float
+) -> DataFrame:
+    """Key-deterministic sample: the same keys are selected on every run
+    and every engine (unlike ``df.sample``, whose RNG is partition- and
+    seed-dependent)."""
+    c = F.col(key_col)
+    prefix = F.substring(F.md5(c.cast("string")), 1, 8)
+    return df.filter(prefix < F.lit(_hex_threshold(frac)))
