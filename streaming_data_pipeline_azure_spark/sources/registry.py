@@ -143,6 +143,32 @@ def parse_order_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     ).select("o.*")
 
 
+def parse_order_events_with_dlq(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """S2 with a dead-letter channel: returns (valid, dead) DataFrames.
+
+    ``from_json`` in permissive mode yields an all-null (or
+    partially-null) row for malformed payloads — silently passing those
+    on corrupts downstream joins, and dropping them loses the evidence. A
+    row is dead iff any schema-required field is null; the dead frame
+    carries the raw payload for quarantine/replay. Both frames derive
+    from one parse expression, and at scale the dead side is a
+    near-empty filter, not a second scan of the topic."""
+    parsed = raw.select(
+        F.col(value_col).cast("string").alias("__raw"),
+        F.from_json(F.col(value_col).cast("string"), ORDER_SCHEMA).alias("o"),
+    )
+    complete = (
+        F.col("o.orderID").isNotNull()
+        & F.col("o.customerID").isNotNull()
+        & F.col("o.amount").isNotNull()
+    )
+    valid = parsed.filter(complete).select("o.*")
+    dead = parsed.filter(~complete).select(F.col("__raw").alias("payload"))
+    return valid, dead
+
+
 def read_order_file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

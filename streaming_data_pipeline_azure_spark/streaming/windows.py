@@ -123,6 +123,24 @@ def sessionized_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drops re-deliveries of the same key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``), turning an
+    at-least-once source into an effectively-once stream ahead of any
+    aggregation. State = one entry per key seen inside the horizon, then
+    evicted — unlike plain ``dropDuplicates`` on a stream, which keeps
+    every key forever and OOMs at 100 TB."""
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -138,3 +138,69 @@ def test_parse_order_events(spark):
     )
     [row] = parse_order_events(raw).collect()
     assert (row["orderID"], row["customerID"], row["amount"]) == ("x", 7, 42)
+
+
+def test_parse_with_dead_letter_channel(spark):
+    from streaming_data_pipeline_azure_spark.sources.registry import (
+        parse_order_events_with_dlq,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (b'{"orderID": "x", "customerID": 7, "amount": 42}',),
+            (b"not json at all",),
+            (b'{"orderID": "y"}',),  # parseable but incomplete
+        ],
+        ["value"],
+    )
+    valid, dead = parse_order_events_with_dlq(raw)
+    ok = valid.collect()
+    assert len(ok) == 1 and ok[0]["orderID"] == "x"
+    quarantined = {r["payload"] for r in dead.collect()}
+    assert quarantined == {"not json at all", '{"orderID": "y"}'}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import json as _json
+    import time as _time
+
+    from streaming_data_pipeline_azure_spark.streaming.windows import (
+        dedup_within_watermark,
+        read_event_file_stream,
+    )
+
+    src = tmp_path / "dups_in"
+    src.mkdir()
+    batches = [
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+        ],
+        [  # same event re-delivered in a later batch + a new one
+            {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:05:00Z", "user_id": 1,
+             "event_type": "click", "value": 2.0, "props": "{}"},
+        ],
+    ]
+    for i, b in enumerate(batches):
+        (src / f"b{i:03d}.json").write_text(
+            "\n".join(_json.dumps(e) for e in b)
+        )
+        _time.sleep(0.01)
+    out = dedup_within_watermark(
+        read_event_file_stream(spark, str(src)), ["event_id"]
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    if q.exception() is not None:
+        raise q.exception()
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]  # replay dropped
