@@ -476,6 +476,16 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _multiquery_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched k-NN: queries = the first 5 vectors, scored against the
+    whole corpus in one pass."""
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.multiquery_topk(emb, queries, k=5)
+
+
 def _dedup_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.jaccard_dedup_exact(
         _docs(spark, sf), "doc_id", "text", threshold=0.8
@@ -606,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders": _customers_with_orders,
         "segments_above_avg": _segments_above_avg,
         "similarity_topk": _similarity_topk,
+        "multiquery_topk": _multiquery_topk,
         "dedup_normalized": _dedup_normalized,
         "dedup_jaccard_exact": _dedup_jaccard_exact,
         "embedding_neardup_exact": _embedding_neardup_exact,
@@ -1015,6 +1026,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, p.user_id, p.value, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "multiquery_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_aggregate(list_transform(
+                           list_zip(e.embedding::DOUBLE[], qv), x -> x[1] * x[2]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(
+                              list_zip(e.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+                              x -> x[1] * x[2]), 'sum'))
+                          * sqrt(list_aggregate(list_transform(
+                              list_zip(qv, qv), x -> x[1] * x[2]), 'sum'))) AS score
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, score FROM scored
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
         """,
         "similarity_topk": """
             WITH q AS (

@@ -59,6 +59,46 @@ def topk_bruteforce(
     )
 
 
+def multiquery_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Batched k-NN: exact top-k corpus neighbors for EVERY query vector
+    in one job (the realistic serving/backfill shape — one query at a
+    time wastes a full corpus scan per query).
+
+    The query set broadcasts (it is the small side by construction);
+    scoring is a broadcast nested-loop the optimizer chooses for the
+    crossJoin, and the per-query top-k is a window ``row_number`` over
+    (query, score) — one shuffle on query_id, k rows per query out."""
+    q = queries.select(
+        F.col(query_id_col),
+        to_double_array(F.col(vec_col)).alias("__qv"),
+    )
+    scored = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__cv")
+    ).crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def allpairs_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
