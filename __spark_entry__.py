@@ -347,6 +347,15 @@ def _pricing_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _clickers_and_buyers(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operation (INTERSECT): users who both clicked and purchased in
+    the first 6 hours."""
+    ev = _events(spark, sf).filter(F.col("ts") < F.lit("2024-01-01 06:00:00"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
 def _documents_profile(spark: SparkSession, sf: str) -> DataFrame:
     return profile.profile_columns(_docs(spark, sf))
 
@@ -611,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": _pricing_rollup,
         "pricing_cube": _pricing_cube,
         "clickers_not_buyers": _clickers_not_buyers,
+        "clickers_and_buyers": _clickers_and_buyers,
         "value_percentiles": _value_percentiles,
         "customers_without_orders": _customers_without_orders,
         "customers_with_orders": _customers_with_orders,
@@ -912,6 +922,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'click'
               AND ts < TIMESTAMP '2024-01-01 06:00:00'
             EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase'
+              AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        """,
+        "clickers_and_buyers": """
+            SELECT user_id FROM events
+            WHERE event_type = 'click'
+              AND ts < TIMESTAMP '2024-01-01 06:00:00'
+            INTERSECT
             SELECT user_id FROM events
             WHERE event_type = 'purchase'
               AND ts < TIMESTAMP '2024-01-01 06:00:00'
