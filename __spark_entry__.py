@@ -347,6 +347,50 @@ def _pricing_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_daily_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: one row per day, one count column per event type (explicit
+    value list so the output schema is static — required for both plan
+    stability and oracle parity)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        _events(spark, sf)
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def _customer_name_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string-function surface: upper/substring/length/replace/
+    concat in one projection (the reference's queries use no scalar
+    functions at all — SURVEY.md §2.2 — so this documents the library)."""
+    [customer] = _tables(spark, sf, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("c_name")).cast("long").alias("name_len"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("name_masked"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
+    )
+
+
+def _events_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time function surface: calendar breakdown aggregation.
+    dayofweek conventions differ across engines (Spark: 1=Sunday;
+    DuckDB dow: 0=Sunday) — the oracle compensates explicitly."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            F.dayofweek("ts").cast("long").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def _clickers_and_buyers(spark: SparkSession, sf: str) -> DataFrame:
     """Set operation (INTERSECT): users who both clicked and purchased in
     the first 6 hours."""
@@ -621,6 +665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_cube": _pricing_cube,
         "clickers_not_buyers": _clickers_not_buyers,
         "clickers_and_buyers": _clickers_and_buyers,
+        "events_daily_pivot": _events_daily_pivot,
+        "customer_name_features": _customer_name_features,
+        "events_date_parts": _events_date_parts,
         "value_percentiles": _value_percentiles,
         "customers_without_orders": _customers_without_orders,
         "customers_with_orders": _customers_with_orders,
@@ -925,6 +972,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             WHERE event_type = 'purchase'
               AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        """,
+        "events_daily_pivot": """
+            SELECT CAST(ts AS DATE) AS day,
+                   COUNT(*) FILTER (event_type = 'click') AS click,
+                   COUNT(*) FILTER (event_type = 'view') AS view,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (event_type = 'error') AS error
+            FROM events GROUP BY 1
+        """,
+        "customer_name_features": """
+            SELECT c_custkey,
+                   upper(c_name) AS name_upper,
+                   substring(c_name, 1, 8) AS name_prefix,
+                   CAST(length(c_name) AS BIGINT) AS name_len,
+                   regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+                   concat_ws('|', c_mktsegment, c_name) AS seg_name
+            FROM customer
+        """,
+        "events_date_parts": """
+            SELECT CAST(year(ts) AS BIGINT) AS y,
+                   CAST(month(ts) AS BIGINT) AS m,
+                   CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
         """,
         "clickers_and_buyers": """
             SELECT user_id FROM events
