@@ -347,6 +347,25 @@ def _pricing_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _embedding_array_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function surface over the embedding column: size, min/max
+    element, L2 norm (same left-to-right accumulation both engines)."""
+    v = F.col("embedding").cast("array<double>")
+    return _emb(spark, sf).select(
+        "vec_id",
+        F.size(v).cast("long").alias("dim"),
+        F.array_min(v).alias("min_val"),
+        F.array_max(v).alias("max_val"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("l2_norm"),
+    )
+
+
 def _events_daily_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """PIVOT: one row per day, one count column per event type (explicit
     value list so the output schema is static — required for both plan
@@ -666,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickers_not_buyers": _clickers_not_buyers,
         "clickers_and_buyers": _clickers_and_buyers,
         "events_daily_pivot": _events_daily_pivot,
+        "embedding_array_stats": _embedding_array_stats,
         "customer_name_features": _customer_name_features,
         "events_date_parts": _events_date_parts,
         "value_percentiles": _value_percentiles,
@@ -972,6 +992,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             WHERE event_type = 'purchase'
               AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        """,
+        "embedding_array_stats": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   list_min(embedding::DOUBLE[]) AS min_val,
+                   list_max(embedding::DOUBLE[]) AS max_val,
+                   sqrt(list_aggregate(list_transform(
+                        list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+                        x -> x[1] * x[2]), 'sum')) AS l2_norm
+            FROM embeddings
         """,
         "events_daily_pivot": """
             SELECT CAST(ts AS DATE) AS day,
