@@ -204,3 +204,50 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         raise q.exception()
     rows = spark.sql("SELECT event_id FROM dedup_out").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]  # replay dropped
+
+
+def test_checkpoint_resume_processes_only_new_data(spark, tmp_path, customers):
+    """Exactly-once source progress: a restarted query with the SAME
+    checkpoint must skip already-committed files and process only new
+    ones — no gaps, no duplicates, without relying on sink-side dedup
+    (every row carries its batch provenance here)."""
+    src = tmp_path / "orders_in"
+    src.mkdir()
+
+    def add_file(i, orders):
+        (src / f"f{i}.json").write_text(
+            "\n".join(json.dumps(o) for o in orders)
+        )
+
+    add_file(0, [{"orderID": "a", "customerID": 1, "amount": 100}])
+    add_file(1, [{"orderID": "b", "customerID": 2, "amount": 200}])
+    sink = ParquetUpsertSink(str(tmp_path / "sink"))
+    ckpt = str(tmp_path / "ckpt")  # ONE checkpoint across both runs
+    q = build_enrichment_query(
+        read_order_file_stream(spark, str(src)),
+        customers, sink, ckpt, trigger_available_now=True,
+    )
+    run_to_completion(q)
+    first_batches = {
+        r["order_id"]: r["batch_id"]
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    assert set(first_batches) == {"a", "b"}
+
+    add_file(2, [{"orderID": "c", "customerID": 3, "amount": 300}])
+    q2 = build_enrichment_query(
+        read_order_file_stream(spark, str(src)),
+        customers, sink, ckpt, trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    raw = spark.read.parquet(str(tmp_path / "sink")).collect()
+    # a and b appear exactly once, in their ORIGINAL batch partitions
+    # (the resumed query never rewrote them); c was appended by batch 2+
+    per_key = {}
+    for r in raw:
+        per_key.setdefault(r["order_id"], []).append(r["batch_id"])
+    assert set(per_key) == {"a", "b", "c"}
+    assert all(len(v) == 1 for v in per_key.values()), per_key
+    assert per_key["a"] == [first_batches["a"]]
+    assert per_key["b"] == [first_batches["b"]]
+    assert per_key["c"][0] > max(first_batches.values())
