@@ -347,6 +347,23 @@ def _pricing_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_props_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-type surface: props JSON parsed into map<string,int>, keys
+    exploded and aggregated (schema-on-read into a MapType instead of a
+    fixed struct — the shape for open-ended property bags)."""
+    ev = _events(spark, sf).select(
+        F.from_json("props", "map<string,int>").alias("m")
+    )
+    return (
+        ev.select(F.explode("m").alias("k", "v"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("sum_v"),
+        )
+    )
+
+
 def _embedding_array_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Array-function surface over the embedding column: size, min/max
     element, L2 norm (same left-to-right accumulation both engines)."""
@@ -686,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickers_and_buyers": _clickers_and_buyers,
         "events_daily_pivot": _events_daily_pivot,
         "embedding_array_stats": _embedding_array_stats,
+        "events_props_map": _events_props_map,
         "customer_name_features": _customer_name_features,
         "events_date_parts": _events_date_parts,
         "value_percentiles": _value_percentiles,
@@ -992,6 +1010,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             WHERE event_type = 'purchase'
               AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        """,
+        "events_props_map": """
+            WITH kv AS (
+                SELECT unnest(json_keys(props::JSON)) AS k,
+                       props FROM events
+            )
+            SELECT k, COUNT(*) AS n,
+                   CAST(SUM(CAST(CAST(json_extract(props::JSON, '$.' || k)
+                       AS INTEGER) AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+            FROM kv GROUP BY k
         """,
         "embedding_array_stats": """
             SELECT vec_id,
