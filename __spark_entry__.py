@@ -1110,8 +1110,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_extract": """
             SELECT event_type,
-                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
-                   COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_with_k
             FROM events GROUP BY event_type
         """,
         "events_sessionized": """

