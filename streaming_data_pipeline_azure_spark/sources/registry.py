@@ -9,9 +9,12 @@ Reference inputs (SURVEY.md §2.1):
 - S4: CSV bulk load of customers.csv — 10k rows, no header (README.md:81-95).
 
 Every builder returns a DataFrame (batch) or streaming DataFrame; nothing
-is collected. Connector-jar-dependent sources (kafka, jdbc) construct the
-reader declaratively and raise a clear error only when the runtime lacks
-the connector, so the registry itself imports everywhere.
+is collected. Connector-jar-dependent sources construct the reader
+declaratively and raise a clear error only when the runtime lacks the
+connector, so the registry itself imports everywhere. The JDBC path is
+exercised for real against embedded Derby (jars ship with Spark) in
+``tests/test_jdbc.py``; Kafka remains declarative-only until a
+spark-sql-kafka jar is present.
 """
 
 from __future__ import annotations
@@ -88,6 +91,24 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_jdbc_customers(
+    spark: SparkSession, url: str, dbtable: str = "Customers", **options: str
+) -> DataFrame:
+    """S3 — the ``Crm.Customers`` dimension over JDBC, normalized to
+    CUSTOMER_SCHEMA column names (reference README.md:57-105 creates it as
+    ``Crm.Customers(customerID, customerName, city)``; JDBC metadata often
+    upper-cases identifiers, e.g. Derby/Oracle, so we rename by position
+    of the declared schema rather than trusting the driver's case)."""
+    from streaming_data_pipeline_azure_spark.schemas import CUSTOMER_SCHEMA
+
+    df = read_jdbc(spark, url, dbtable, **options)
+    names = [f.name for f in CUSTOMER_SCHEMA.fields]
+    df = df.toDF(*names)
+    return df.select(
+        *(F.col(n).cast(f.dataType) for n, f in zip(names, CUSTOMER_SCHEMA.fields))
+    )
 
 
 def read_kafka_stream(
