@@ -711,13 +711,19 @@ def embedding_near_dup_pairs(
     *,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Verified pairs with cosine >= threshold, candidates from sign-LSH
-    buckets (recall is probabilistic: near-identical vectors land in the
-    same bucket with P = (1 - theta/pi)^n_planes)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    buckets with OR-amplification across ``n_tables`` independent hash
+    tables: a pair is a candidate if it collides in ANY table, so recall
+    is 1 - (1 - p^k)^L for p = 1 - theta/pi, k = n_planes, L = n_tables.
+    One table of 8 planes suits near-identical thresholds (~0.95);
+    moderate thresholds (~0.5) need several short tables (e.g. k=4, L=8
+    gives ~0.8 recall at cos 0.45). Candidate volume and the bucketed
+    table scale linearly in L — the standard LSH memory/recall trade."""
+    planes = random_hyperplanes(dim, n_planes * n_tables, seed)
     # Buckets here are COARSE (2^n_planes of them), so a bucket holds many
     # vectors and the candidate set is a large self-join — the in-bucket
     # collect_list expansion used by minhash/simhash would build
@@ -727,44 +733,54 @@ def embedding_near_dup_pairs(
     # 2. pre-normalize each vector ONCE so per-pair verification is a
     #    bare dot product (the naive cosine recomputes both norms for
     #    every one of the O(B²) candidate pairs).
-    v = to_double_array(vec_col)
-    norm = F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    # Shape choices that matter (r2 rework after the L>1 amplification
+    # made the old vector-dragging join 6x slower):
+    # 1. candidate generation is NARROW — the per-table self-join carries
+    #    only (id, table, bucket), never the 64-double vectors, so the
+    #    O(sum |bucket|^2) candidate blowup shuffles 24 bytes/row;
+    # 2. `distinct` collapses the L-fold multi-table duplication BEFORE
+    #    vectors attach and the dot product runs — each surviving pair is
+    #    verified exactly once;
+    # 3. vectors are pre-normalized ONCE (JVM transform), so per-pair
+    #    verification is a bare zip_with dot product, and they attach via
+    #    two equi-joins on id (AQE broadcasts the vector table when
+    #    small; at scale it shuffle-joins on the id key).
+    tables = F.array(*[
+        sign_bucket(F.col(vec_col), planes[t * n_planes:(t + 1) * n_planes])
+        for t in range(n_tables)
+    ])
     bucketed = df.select(
-        F.col(id_col),
-        v.alias("__v"),
-        norm.alias("__n"),
-        sign_bucket(F.col(vec_col), planes).alias("__bucket"),
-    ).persist()
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-        "__bucket",
+        F.col(id_col).alias("__id"),
+        F.posexplode(tables).alias("__t", "__bucket"),
+    ).persist()  # both self-join branches reuse the plane projections
+    a = bucketed.select(F.col("__id").alias("id_a"), "__t", "__bucket")
+    b = bucketed.select(F.col("__id").alias("id_b"), "__t", "__bucket")
+    cand = (
+        a.join(b, ["__t", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-        "__bucket",
+    v = to_double_array(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = df.select(
+        F.col(id_col).alias("__id"),
+        F.when(norm > 0, F.transform(v, lambda x: x / norm))
+        .otherwise(v).alias("__u"),
     )
     dot = F.aggregate(
-        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.zip_with(F.col("__ua"), F.col("__ub"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.when(
-        (F.col("__na") > 0) & (F.col("__nb") > 0),
-        dot / (F.col("__na") * F.col("__nb")),
-    ).otherwise(F.lit(0.0))
     return (
-        a.join(b, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cos)
+        cand.join(unit.select(F.col("__id").alias("id_a"),
+                              F.col("__u").alias("__ua")), "id_a")
+        .join(unit.select(F.col("__id").alias("id_b"),
+                          F.col("__u").alias("__ub")), "id_b")
+        .withColumn("cosine_sim", dot)
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
-        .distinct()
     )
 
 

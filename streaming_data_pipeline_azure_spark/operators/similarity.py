@@ -195,50 +195,23 @@ class IvfIndex:
     never opened), brute-force within.
     """
 
-    def __init__(self, path: str, dim: int = 64, n_planes: int = 6, seed: int = 42):
+    def __init__(self, path: str, dim: int = 64, n_planes: int = 6, seed: int = 42,
+                 kmeans_iters: int = 4):
         self.path = path
         self.dim = dim
         self.planes = random_hyperplanes(dim, n_planes, seed)
+        self.kmeans_iters = kmeans_iters
 
-    def build(self, df: DataFrame, vec_col: str, id_col: str = "vec_id") -> None:
-        spark = df.sparkSession
-        # persisted: feeds both the centroid aggregation and the
-        # assignment join, and the sign-LSH projection is the expensive
-        # part of this scan
-        vecs = df.select(
-            F.col(id_col),
-            to_double_array(F.col(vec_col)).alias("__v"),
-            sign_bucket(F.col(vec_col), self.planes).alias("__b"),
-        ).persist()
-        # centroid = elementwise mean of each LSH bucket. Computed via
-        # posexplode + per-position avg so no bucket's vectors ever
-        # collect into a single row (scales to arbitrarily hot buckets);
-        # the final collect_list is exactly `dim` rows per bucket.
-        per_pos = vecs.select(
-            "__b", F.posexplode("__v").alias("pos", "val")
-        ).groupBy("__b", "pos").agg(F.avg("val").alias("m"))
-        centroids = per_pos.groupBy("__b").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
-        ).select(F.col("__b").alias("centroid_id"), "centroid")
-        centroids.select("centroid_id", "centroid").write.mode("overwrite").parquet(
-            f"{self.path}/centroids"
-        )
-        # assign each vector to its nearest centroid: the centroid matrix
-        # (C×d, tiny) broadcasts to every Python worker and each Arrow
-        # batch is one numpy matmul + argmax — vectorized BLAS instead of
-        # C interpreted cosine expressions per row (the crossJoin+max_by
-        # formulation measured ~10x slower at 2k vectors × 64 centroids)
+    @staticmethod
+    def _assign(vecs: DataFrame, id_col: str, c_ids, c_mat) -> DataFrame:
+        """Nearest-centroid assignment: the centroid matrix (C×d, tiny)
+        broadcasts to every Python worker and each Arrow batch is one
+        numpy matmul + argmax — vectorized BLAS instead of C interpreted
+        cosine expressions per row (the crossJoin+max_by formulation
+        measured ~10x slower at 2k vectors × 64 centroids)."""
         import numpy as np
 
-        cent_rows = spark.read.parquet(f"{self.path}/centroids").collect()
-        c_ids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
-        c_mat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-        c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
-        c_norm[c_norm == 0] = 1.0
-        c_mat = c_mat / c_norm
+        spark = vecs.sparkSession
         b_ids = spark.sparkContext.broadcast(c_ids)
         b_mat = spark.sparkContext.broadcast(c_mat)
 
@@ -259,10 +232,77 @@ class IvfIndex:
                     }
                 )
 
-        assigned = vecs.select(id_col, "__v").mapInPandas(
+        return vecs.select(id_col, "__v").mapInPandas(
             assign,
             schema=f"{id_col} long, centroid_id long, vec array<double>",
         )
+
+    @staticmethod
+    def _cluster_means(assigned: DataFrame, key: str) -> DataFrame:
+        """Elementwise mean vector per cluster via posexplode + per-position
+        avg, so no cluster's vectors ever collect into a single row
+        (scales to arbitrarily hot clusters): the explode feeds a
+        map-side partial aggregate in the same stage, so the shuffle
+        carries only C×d partials per task, and the final collect_list is
+        exactly `dim` rows per cluster."""
+        per_pos = assigned.select(
+            key, F.posexplode("vec").alias("pos", "val")
+        ).groupBy(key, "pos").agg(F.avg("val").alias("m"))
+        return per_pos.groupBy(key).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+
+    def build(self, df: DataFrame, vec_col: str, id_col: str = "vec_id") -> None:
+        import numpy as np
+
+        spark = df.sparkSession
+        # persisted: feeds the init means, every Lloyd pass, and the final
+        # assignment — and the sign-LSH projection is the expensive part
+        # of this scan
+        vecs = df.select(
+            F.col(id_col),
+            to_double_array(F.col(vec_col)).alias("__v"),
+            sign_bucket(F.col(vec_col), self.planes).alias("__b"),
+        ).persist()
+
+        def normalized(mat: "np.ndarray") -> "np.ndarray":
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return mat / n
+
+        # init: sign-LSH bucket means — one deterministic pass that lands
+        # near the data's density without k-means++ sampling rounds
+        init = self._cluster_means(
+            vecs.select(F.col("__b").alias("centroid_id"),
+                        F.col("__v").alias("vec")),
+            "centroid_id",
+        ).collect()  # O(C×d): C ≤ 2^n_planes centroids, driver-tiny
+        c_ids = np.array([r["centroid_id"] for r in init], dtype=np.int64)
+        c_mat = normalized(np.array([r["centroid"] for r in init],
+                                    dtype=np.float64))
+        # Lloyd's iterations (spherical k-means: cosine assignment, mean
+        # update, centroid renormalization). Each pass is one scan of the
+        # persisted vectors + a C×d-partial shuffle; the centroid state
+        # that round-trips through the driver is O(C×d), never O(N).
+        for _ in range(self.kmeans_iters):
+            assigned = self._assign(vecs, id_col, c_ids, c_mat)
+            means = self._cluster_means(assigned, "centroid_id").collect()
+            by_id = {r["centroid_id"]: r["centroid"] for r in means}
+            new_mat = np.array(
+                [by_id.get(int(c), c_mat[i]) for i, c in enumerate(c_ids)],
+                dtype=np.float64,
+            )  # empty clusters keep their previous centroid
+            c_mat = normalized(new_mat)
+
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in row]) for c, row in zip(c_ids, c_mat)],
+            "centroid_id long, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+
+        assigned = self._assign(vecs, id_col, c_ids, c_mat)
         # co-locate each centroid's vectors before the partitioned write:
         # one file per centroid directory instead of tasks × centroids
         # fragments (also the right layout for probe-side scan locality)

@@ -58,6 +58,15 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **_: object) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning story as parquet (the
+    reader reports PushedFilters/ReadSchema identically), for lakes that
+    standardized on ORC. Built into Spark; no connector jar needed.
+    (Avro/Kafka sources stay declarative-only in this container: no
+    spark-avro or spark-sql-kafka jar ships with the pyspark distro.)"""
+    return spark.read.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -206,6 +215,7 @@ SOURCES: dict[str, Callable[..., DataFrame]] = {
     "parquet": read_parquet,
     "csv": read_csv,
     "json": read_json,
+    "orc": read_orc,
     "jdbc": read_jdbc,
     "kafka": read_kafka_stream,
     "order_file_stream": read_order_file_stream,

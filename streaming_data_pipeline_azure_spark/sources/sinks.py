@@ -37,12 +37,13 @@ class ParquetUpsertSink:
         self.key = key
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             batch_df.dropDuplicates([self.key])  # within-batch upsert
             .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
+            # per-write, NOT session conf: a session-global dynamic mode
+            # would silently change any later static partitioned overwrite
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(self.path)
         )

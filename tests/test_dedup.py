@@ -86,6 +86,30 @@ def test_embedding_dedup(spark):
     assert {r["vec_id"] for r in out.collect()} == {1, 3, 4}
 
 
+def test_embedding_lsh_amplified_recall(spark, sf_dir):
+    """OR-amplification across L=8 tables of k=4 planes must recover a
+    solid fraction of the exact cosine>=0.4 pairs on real embeddings —
+    one table of 8 planes finds near none at this moderate threshold
+    (p^8 with p~0.6), which is exactly the vacuity ADVICE r1 flagged."""
+    from streaming_data_pipeline_azure_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.allpairs_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding",
+            threshold=0.4, n_planes=4, n_tables=8,
+        ).collect()
+    }
+    assert lsh <= exact  # verification filter guarantees no false positives
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.5  # expected ~0.8
+
+
 def test_connected_components_chains_and_islands(spark):
     from streaming_data_pipeline_azure_spark.operators.dedup import (
         connected_components,

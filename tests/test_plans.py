@@ -83,3 +83,19 @@ def test_scalar_agg_is_two_phase(spark, sf_dir):
     df = relational.avg_purchase(_enriched(spark, sf_dir), "BUILDING")
     plan = physical_plan(df)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_skewed_join_query_uses_salted_path(spark, sf_dir):
+    """The registered skewed_join_totals query must actually run through
+    salted_join: the join keys include the deterministic salt (xxhash64
+    on the big side, an exploded salt sequence replicating the dim), so
+    the hot key's rows spread over n_salts tasks instead of one
+    straggler."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["skewed_join_totals"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "xxhash64" in plan, plan
+    assert re.search(r"[Ee]xplode", plan), plan
+    # still an equi-join on (key, salt) — not a degenerate cross product
+    assert "CartesianProduct" not in plan, plan

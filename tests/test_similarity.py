@@ -64,6 +64,36 @@ def test_ivf_recall_at_k(spark, tmp_path, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.5  # random-vector corpus; probes 1/4 of partitions
 
 
+def test_ivf_kmeans_recall_planted(spark, tmp_path):
+    """k-means-refined centroids (Lloyd's on sign-LSH init) must recover
+    >=0.8 of the exact top-10 at n_probe=4 on planted-cluster data: 20
+    tight gaussian clusters of 100 points; each query sits at a cluster
+    center so its true neighbors share one centroid cell."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for ci, c in enumerate(centers):
+        pts = c + rng.normal(scale=0.05, size=(100, 32))
+        for pi, p in enumerate(pts):
+            rows.append((ci * 100 + pi, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = sim.IvfIndex(str(tmp_path / "ivf"), dim=32, n_planes=5,
+                       kmeans_iters=4)
+    idx.build(df, "embedding")
+    recalls = []
+    for ci in [0, 7, 13]:
+        q = [float(x) for x in centers[ci]]
+        exact = {r["vec_id"] for r in
+                 sim.topk_bruteforce(df, "embedding", q, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  idx.probe(spark, q, k=10, n_probe=4).collect()}
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
 def test_allpairs_cosine_exact(spark):
     vecs = [
         (0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
