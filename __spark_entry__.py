@@ -654,6 +654,23 @@ def _dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.normalized_dedup(_docs(spark, sf), "doc_id", "text")
 
 
+def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-delta dedup: sources src10+ arrive as the new batch and
+    dedup against the src0-src9 corpus — the anti-join runs on distinct
+    16-byte fingerprints, never document bodies. The synthetic corpus
+    has no natural cross-source dupes, so the batch additionally
+    re-crawls every 50th corpus doc under a fresh doc_id; those must be
+    dropped by the anti-join (non-vacuous by construction)."""
+    docs = _docs(spark, sf)
+    srcnum = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    corpus = docs.filter(srcnum < 10)
+    recrawled = corpus.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    batch = docs.filter(srcnum >= 10).unionByName(recrawled)
+    return dedup.incremental_dedup(batch, corpus, "doc_id", "text")
+
+
 def _dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_dedup(
         _docs(spark, sf), "doc_id", "text", threshold=0.8
@@ -768,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": _embedding_neardup_exact,
         "multimodal_decode": _multimodal_decode,
         "skewed_join_totals": _skewed_join_totals,
+        "dedup_incremental": _dedup_incremental,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -918,6 +936,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                 ORDER BY doc_id) = 1
+        """,
+        "dedup_incremental": r"""
+            WITH t AS (
+                SELECT *,
+                       CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                           AS sn,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                           AS fp
+                FROM documents
+            ), corpus AS (
+                SELECT * FROM t WHERE sn < 10
+            ), batch AS (
+                SELECT text, doc_id, lang, source, n_chars, fp
+                FROM t WHERE sn >= 10
+                UNION ALL
+                SELECT text, doc_id + 1000000, lang, source, n_chars, fp
+                FROM corpus WHERE doc_id % 50 = 0
+            )
+            SELECT text, doc_id, lang, source, n_chars FROM batch
+            WHERE fp NOT IN (SELECT fp FROM corpus)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         """,
         "dedup_jaccard_exact": r"""
             WITH sets AS (

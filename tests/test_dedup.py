@@ -168,3 +168,23 @@ def test_prefix_filter_exact_matches_lsh_on_testdata(spark, sf_dir):
         r["doc_id"] for r in minhash_dedup(docs, "doc_id", "text").collect()
     }
     assert kept_exact <= kept_lsh  # exact can only drop more, never fewer
+
+
+def test_incremental_dedup(spark):
+    """Batch-vs-corpus: already-ingested content is dropped (anti-join on
+    fingerprint), fresh within-batch dupes keep the min id, and
+    normalization applies across the boundary."""
+    corpus = spark.createDataFrame(
+        [(1, "hello world"), (2, "old news")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Hello   WORLD"),   # normalized dup of corpus 1 -> dropped
+            (11, "fresh thing"),
+            (12, "fresh thing"),     # within-batch dup of 11 -> dropped
+            (13, "another one"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.incremental_dedup(batch, corpus, "doc_id", "text")
+    assert {r["doc_id"] for r in out.collect()} == {11, 13}

@@ -251,3 +251,45 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path, customers):
     assert per_key["a"] == [first_batches["a"]]
     assert per_key["b"] == [first_batches["b"]]
     assert per_key["c"][0] > max(first_batches.values())
+
+
+def test_sink_compaction_gc_and_replay(spark, tmp_path):
+    """compact() must (1) preserve the resolved view, (2) physically drop
+    shadowed versions, (3) keep replays idempotent afterwards: a stale
+    replayed batch is still shadowed by the surviving higher batch_id."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sink = ParquetUpsertSink(str(tmp_path / "sink"), key="k")
+
+    def batch(batch_id, rows):
+        sink.write_batch(
+            spark.createDataFrame(rows, "k string, v int"), batch_id
+        )
+
+    batch(0, [("a", 1), ("b", 1)])
+    batch(1, [("a", 2)])           # shadows a@0
+    batch(2, [("b", 3), ("c", 3)])  # shadows b@0
+    before = {(r["k"], r["v"]) for r in sink.read(spark).collect()}
+    assert before == {("a", 2), ("b", 3), ("c", 3)}
+
+    sink.compact(spark)
+    after = {(r["k"], r["v"]) for r in sink.read(spark).collect()}
+    assert after == before
+    # batch 0 is fully shadowed -> its partition is gone; log holds
+    # exactly one physical row per key
+    dirs = {d for d in os.listdir(sink.path) if d.startswith("batch_id=")}
+    assert "batch_id=0" not in dirs
+    assert spark.read.parquet(sink.path).count() == 3
+
+    # replay batch 1 (its original content) after compaction: no dupes,
+    # resolved view unchanged
+    batch(1, [("a", 2)])
+    assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == before
+
+    # a NEW batch still upserts on top of the compacted log
+    batch(3, [("a", 9)])
+    assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == {
+        ("a", 9), ("b", 3), ("c", 3),
+    }
