@@ -654,6 +654,53 @@ def _dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.normalized_dedup(_docs(spark, sf), "doc_id", "text")
 
 
+def _top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide term frequencies, top 20: token explode -> count
+    agg (map-side partials collapse the long tail before the exchange)
+    -> TakeOrderedAndProject on (count desc, term asc) so no global
+    sort materializes the full vocabulary."""
+    docs = _docs(spark, sf)
+    toks = F.split(tx.normalized_text(F.col("text")), " ")
+    return (
+        docs.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def _pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 pre-training scrub: count + redact emails/phone-shaped runs.
+    The synthetic corpus carries no natural PII, so deterministic
+    addresses/numbers are planted on doc_id multiples first — the
+    redaction then provably fires (counts > 0, tags in output)."""
+    docs = _docs(spark, sf)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                "text", F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat("text", F.lit(" call +1 555-010-0000")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        tx.count_emails("text").cast("long").alias("n_emails"),
+        tx.count_phones("text").cast("long").alias("n_phones"),
+        tx.redact_pii("text").alias("clean_text"),
+    )
+
+
 def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Ingestion-delta dedup: sources src10+ arrive as the new batch and
     dedup against the src0-src9 corpus — the anti-join runs on distinct
@@ -786,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _multimodal_decode,
         "skewed_join_totals": _skewed_join_totals,
         "dedup_incremental": _dedup_incremental,
+        "pii_redaction": _pii_redaction,
+        "top_terms": _top_terms,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -936,6 +985,43 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                 ORDER BY doc_id) = 1
+        """,
+        "top_terms": r"""
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT unnest(regexp_split_to_array(
+                    lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                    ' ')) AS term
+                FROM documents
+            )
+            WHERE term <> ''
+            GROUP BY term
+            ORDER BY n DESC, term ASC
+            LIMIT 20
+        """,
+        "pii_redaction": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN text || ' contact user' || doc_id
+                                 || '@example.com'
+                            WHEN doc_id % 7 = 0
+                            THEN text || ' call +1 555-010-0000'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\+?[0-9][0-9\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9\- ]{7,}[0-9]', '<PHONE>', 'g')
+                       AS clean_text
+            FROM planted
         """,
         "dedup_incremental": r"""
             WITH t AS (

@@ -53,6 +53,33 @@ def bpe_ish_token_count(text_col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
 
 
+# ASCII-only patterns so Java regex (Spark) and RE2 (DuckDB oracle)
+# agree byte-for-byte. Redaction is the standard pre-training scrub:
+# replace, never drop the document (length statistics stay comparable).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9\- ]{7,}[0-9]"
+
+
+def count_emails(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
+
+
+def count_phones(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), 0))
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Replace emails then phone-number-shaped digit runs with typed
+    placeholder tags. Email first: an address can contain digit runs
+    that the phone pattern would otherwise split mid-token. Pure
+    codegen expressions — no Python in the path."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    no_email = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
 def normalized_text(text_col: Column | str) -> Column:
     """Whitespace-collapsed, lowercased, trimmed text."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

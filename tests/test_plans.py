@@ -99,3 +99,19 @@ def test_skewed_join_query_uses_salted_path(spark, sf_dir):
     assert re.search(r"[Ee]xplode", plan), plan
     # still an equi-join on (key, salt) — not a degenerate cross product
     assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_dedup_corpus_stays_narrow(spark, sf_dir):
+    """dedup_incremental's corpus side must collapse to a broadcast
+    DISTINCT fingerprint set before the anti-join — the corpus scan reads
+    only the fingerprint inputs (text [+ the source split column]), never
+    doc_id/lang/n_chars, and the batch side anti-joins without an
+    exchange of its own."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dedup_incremental"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    narrow = [s for s in schemas if "doc_id" not in s and "text" in s]
+    assert narrow, schemas  # at least one corpus scan pruned to fp inputs

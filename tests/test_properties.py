@@ -138,3 +138,40 @@ def test_salted_agg_equals_plain(spark, rows):
         ).collect()
     }
     assert salted == plain
+
+
+@SETTINGS
+@given(
+    corpus_texts=st.lists(words, min_size=0, max_size=6),
+    batch_texts=st.lists(words, min_size=1, max_size=6),
+)
+def test_incremental_dedup_equals_global_dedup(spark, corpus_texts, batch_texts):
+    """Invariant: for a pre-deduped corpus with ids below all batch ids,
+    corpus + incremental(batch, corpus) == normalized_dedup(corpus UNION
+    batch). Incremental processing must never change the final corpus."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        incremental_dedup,
+        normalized_dedup,
+    )
+
+    corpus_raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)] or [(0, "seed")],
+        "doc_id long, text string",
+    )
+    corpus = normalized_dedup(corpus_raw, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    incremental = {
+        r["doc_id"]
+        for r in incremental_dedup(batch, corpus, "doc_id", "text").collect()
+    }
+    union_kept = {
+        r["doc_id"]
+        for r in normalized_dedup(
+            corpus.unionByName(batch), "doc_id", "text"
+        ).collect()
+    }
+    corpus_ids = {r["doc_id"] for r in corpus.collect()}
+    assert corpus_ids | incremental == union_kept

@@ -64,3 +64,30 @@ def test_corpus_stats(spark):
     assert got["en"]["n_docs"] == 2
     assert got["en"]["total_tokens"] == 11
     assert got["es"]["avg_chars"] == 29.0
+
+
+def test_pii_redaction_and_counts(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@mail.example.org thanks"),
+        (2, "call +1 555-010-0000 or 555-123-4567 today"),
+        (3, "id 42 is clean prose with small numbers 7"),
+        (4, "both a@b.io and 555-010-9999 here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            tx.count_emails("text").alias("ne"),
+            tx.count_phones("text").alias("np"),
+            tx.redact_pii("text").alias("clean"),
+        ).collect()
+    }
+    assert out[1]["ne"] == 1 and "<EMAIL>" in out[1]["clean"]
+    assert "jo.doe" not in out[1]["clean"]
+    assert out[2]["np"] == 2 and out[2]["clean"].count("<PHONE>") == 2
+    assert out[3]["ne"] == 0 and out[3]["np"] == 0
+    assert out[3]["clean"] == rows[2][1]  # untouched
+    # email redacts before the phone pass so digit runs inside an
+    # address never split into a partial <PHONE>
+    assert out[4]["clean"] == "both <EMAIL> and <PHONE> here"
