@@ -26,6 +26,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     dedup,
     enrich,
     multimodal,
+    packing,
     profile,
     relational,
     sampling,
@@ -654,6 +655,17 @@ def _dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.normalized_dedup(_docs(spark, sf), "doc_id", "text")
 
 
+def _pack_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for pretraining batches: greedy-boundary bin
+    assignment over the doc_id total order via a distributed prefix sum
+    (no single-partition window), summarized per bin."""
+    docs = _docs(spark, sf).select(
+        "doc_id", tx.token_count("text").alias("n_tokens")
+    )
+    packed = packing.pack_sequences(docs, "doc_id", "n_tokens", capacity=512)
+    return packing.pack_stats(packed, "n_tokens")
+
+
 def _top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-wide term frequencies, top 20: token explode -> count
     agg (map-side partials collapse the long tail before the exchange)
@@ -835,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "pii_redaction": _pii_redaction,
         "top_terms": _top_terms,
+        "pack_documents": _pack_documents,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -985,6 +998,25 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                 ORDER BY doc_id) = 1
+        """,
+        "pack_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\s+'))
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cumx
+                FROM toks
+            )
+            SELECT CAST(cumx // 512 AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM c GROUP BY 1
         """,
         "top_terms": r"""
             SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
