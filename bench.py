@@ -81,6 +81,14 @@ def main() -> None:
     spark = get_spark("bench")
     # JVM/codegen warmup on a trivial job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python-worker warmup: first Arrow/pandas task per core pays worker
+    # spawn + imports (~10 s across 32 cores); that is session fixed cost,
+    # not per-query cost, so pay it here exactly like the JVM warmup.
+    def _identity(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(256).repartition(64).mapInPandas(_identity, "id long").count()
     # Build the session-cached IVF index outside the timed region: an ANN
     # index amortizes across many probes in any real deployment, so the
     # ann_ivf_topk entry measures probe cost (centroid ranking +
