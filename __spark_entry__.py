@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_azure_spark.operators import (
+    corpus,
     dedup,
     enrich,
     multimodal,
@@ -772,6 +773,134 @@ def _ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _IVF_CACHE[key].probe(spark, _query_vector(spark, sf), k=10)
 
 
+_EVAL_THRESHOLD = "0ccccccc"  # md5-prefix threshold for the 5% eval split
+
+
+def _decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 5% of the corpus plays
+    the eval set; training docs sharing any word 5-gram with it are
+    flagged with their shared-gram count. The eval side collapses to
+    distinct grams and broadcasts, so the corpus side never shuffles."""
+    docs = _docs(spark, sf)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    eval_df = docs.filter(prefix < _EVAL_THRESHOLD)
+    train_df = docs.filter(prefix >= _EVAL_THRESHOLD)
+    return corpus.ngram_overlap(train_df, eval_df, n=5)
+
+
+def _repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus.repetition_stats(_docs(spark, sf))
+
+
+def _stratified_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain mixing: downsample the high-resource languages, keep the
+    low-resource ones whole, and report the post-mix per-language
+    token budget."""
+    rates = {"de": 1.0, "en": 0.3, "es": 0.5, "fr": 0.5, "zh": 1.0}
+    sampled = sampling.stratified_sample(
+        _docs(spark, sf), "doc_id", "lang", rates
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+def _chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus.chunk_documents(
+        _docs(spark, sf), chunk_size=64, overlap=16
+    )
+
+
+def _tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus.tfidf_top_terms(_docs(spark, sf), k=3)
+
+
+def _order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count. The
+    left join keeps zero-order customers (count(col) skips their null
+    order keys in both engines)."""
+    customer, orders = _tables(spark, sf, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def _small_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders of
+    one brand's parts stopped. The per-part avg-quantity threshold is an
+    explicit aggregate-then-join (the plan Catalyst decorrelates the
+    textbook correlated subquery into), with decimal accumulation so the
+    threshold — and therefore row membership — is bit-identical across
+    engines."""
+    li = _lineitem(spark, sf)
+    part = _tables(spark, sf, "part")[0]
+    thresh = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("qty_thresh")
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(
+            F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+        )
+        .join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def _large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300, with
+    their customer. Decimal quantity accumulation keeps the HAVING
+    membership deterministic; the big-order key set is tiny, so the
+    joins back to orders/customer broadcast it."""
+    li = _lineitem(spark, sf)
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
 # SQL fragments shared by quality/lang oracles (DuckDB dialect; 'g' flag =
 # replace-all to match Spark regexp_replace semantics).
 _D_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -848,6 +977,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _pii_redaction,
         "top_terms": _top_terms,
         "pack_documents": _pack_documents,
+        "decontaminate_ngrams": _decontaminate_ngrams,
+        "repetition_stats": _repetition_stats,
+        "stratified_sample_stats": _stratified_sample_stats,
+        "chunk_documents": _chunk_documents,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "order_count_distribution": _order_count_distribution,
+        "small_order_revenue": _small_order_revenue,
+        "large_orders": _large_orders,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1075,6 +1212,190 @@ def oracle_sql() -> dict[str, str]:
             SELECT text, doc_id, lang, source, n_chars FROM batch
             WHERE fp NOT IN (SELECT fp FROM corpus)
             QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        """,
+        "decontaminate_ngrams": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct([
+                        array_to_string(toks[i:i+4], ' ')
+                        FOR i IN range(1, greatest(len(toks)-4, 0) + 1)
+                     ])) AS gram
+              FROM norm
+            ), ev AS (
+              SELECT DISTINCT gram FROM grams
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '0ccccccc'
+            )
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+            FROM grams g JOIN ev USING (gram)
+            WHERE substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
+                  >= '0ccccccc'
+            GROUP BY g.doc_id
+        """,
+        "repetition_stats": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), uc AS (
+              SELECT doc_id, t, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(toks) AS t FROM norm)
+              WHERE t <> '' GROUP BY doc_id, t
+            ), us AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     COUNT(*) AS n_distinct, MAX(c) AS top_c
+              FROM uc GROUP BY doc_id
+            ), bc AS (
+              SELECT doc_id, g, COUNT(*) AS c FROM (
+                SELECT doc_id,
+                       unnest([
+                          array_to_string(toks[i:i+1], ' ')
+                          FOR i IN range(1, greatest(len(toks)-1, 0) + 1)
+                       ]) AS g
+                FROM norm)
+              GROUP BY doc_id, g
+            ), bs AS (
+              SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bi_c
+              FROM bc GROUP BY doc_id
+            )
+            SELECT us.doc_id, n_tokens,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS top_token_frac,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(n_tokens - n_distinct AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS dup_token_frac,
+                   CASE WHEN COALESCE(n_bigrams, 0) > 0
+                        THEN CAST(COALESCE(top_bi_c, 0) AS DOUBLE)
+                             / CAST(COALESCE(n_bigrams, 0) AS DOUBLE)
+                        ELSE 0.0 END AS top_bigram_frac,
+                   (CASE WHEN n_tokens > 0
+                         THEN CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         ELSE 0.0 END) <= 0.20
+                   AND (CASE WHEN COALESCE(n_bigrams, 0) > 0
+                             THEN CAST(COALESCE(top_bi_c, 0) AS DOUBLE)
+                                  / CAST(COALESCE(n_bigrams, 0) AS DOUBLE)
+                             ELSE 0.0 END) <= 0.18
+                   AND (CASE WHEN n_tokens > 0
+                             THEN CAST(n_tokens - n_distinct AS DOUBLE)
+                                  / CAST(n_tokens AS DOUBLE)
+                             ELSE 0.0 END) <= 0.60 AS keep
+            FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+        """,
+        "stratified_sample_stats": r"""
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                        AS BIGINT) AS total_tokens
+            FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'de' THEN 'g'
+                            WHEN 'en' THEN '4ccccccc'
+                            WHEN 'es' THEN '80000000'
+                            WHEN 'fr' THEN '80000000'
+                            WHEN 'zh' THEN 'g'
+                            ELSE '00000000' END
+            GROUP BY lang
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks)-1, 0) + 1, 48))
+                         AS start
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(start // 48 AS BIGINT) AS chunk_idx,
+                   CAST(start AS BIGINT) AS start_token,
+                   CAST(least(64, len(toks) - start) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(toks[start+1 : start+64], ' ')
+                       AS chunk_text
+            FROM s
+        """,
+        "tfidf_top_terms": r"""
+            WITH terms AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                           ' ')) AS t
+                FROM documents)
+              WHERE t <> ''
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1
+            ), n AS (
+              SELECT COUNT(*) AS n_docs FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+                     CAST(tf.tf AS DOUBLE)
+                     * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df_t AS DOUBLE))
+                         AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df_t AS BIGINT) AS df_t,
+                   CAST(rank AS BIGINT) AS rank, score
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+              FROM scored)
+            WHERE rank <= 3
+        """,
+        "order_count_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+              SELECT c.c_custkey,
+                     CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "small_order_revenue": """
+            WITH thresh AS (
+              SELECT l_partkey,
+                     0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                                 AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE)) AS qty_thresh
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE) / 7.0 AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN thresh t ON l.l_partkey = t.l_partkey
+            WHERE p.p_brand = 'Brand#1'
+              AND l.l_quantity < t.qty_thresh
+        """,
+        "large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     > 300.0
+            )
+            SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, b.sum_qty
+            FROM orders o
+            JOIN big b ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "dedup_jaccard_exact": r"""
             WITH sets AS (

@@ -12,5 +12,7 @@ prefix-filter-exact / embedding / connected-components), ``similarity``
 (tokens, BPE-ish counts, language ID, quality, fingerprints), ``multimodal``
 (binary payload decode/feature/resize/frames), ``temporal`` (as-of join,
 range join, top-N per group), ``skew`` (salted join/agg), ``profile``
-(column profiling, sketches), ``sampling`` (deterministic splits).
+(column profiling, sketches), ``sampling`` (deterministic splits,
+stratified domain mixing), ``packing`` (sequence packing), ``corpus``
+(n-gram decontamination, repetition filters, chunking, TF-IDF).
 """

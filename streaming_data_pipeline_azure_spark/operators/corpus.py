@@ -1,0 +1,246 @@
+"""Corpus-level operators a large-scale training-data pipeline needs on
+top of per-document text analysis (``text.py``): benchmark
+decontamination, repetition-based quality filtering (Gopher-style),
+document chunking, and TF-IDF keyword extraction.
+
+Scale design (the 100 TB contract):
+
+- Everything tokenizes with built-in ``pyspark.sql.functions`` inside
+  whole-stage codegen — no Python workers in any of these paths.
+- Decontamination joins the (huge) training side against a *broadcast*
+  of the eval corpus' distinct n-grams: eval sets are benchmarks, i.e.
+  orders of magnitude smaller than the corpus, so the corpus side never
+  shuffles; per-document ``array_distinct`` bounds the exploded row
+  count before the join.
+- Repetition stats and TF-IDF shuffle ``(doc_id, term)`` pairs — the
+  natural partial-aggregation shape (map-side combine collapses repeats
+  of a term inside a partition before the exchange).
+- Chunking is a pure per-row explode: no shuffle at all.
+
+Determinism contract (same as ``text.py``): integer counts, and doubles
+produced by single IEEE divisions/multiplications of exact integers, so
+the DuckDB oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.operators.text import normalized_text
+
+
+def word_ngrams(tokens_col: Column, n: int) -> Column:
+    """All contiguous word ``n``-grams of a token array, space-joined.
+    A document with fewer than ``n`` tokens yields an empty array (no
+    clamped short grams — short docs simply contribute nothing)."""
+    last_start = F.size(tokens_col) - (n - 1)
+    idx = F.when(last_start > 0, F.sequence(F.lit(1), last_start)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)))
+
+
+def _norm_tokens(text_col: str) -> Column:
+    """Lowercased whitespace-collapsed tokens — single-space split so SQL
+    engines (``regexp_split_to_array(..., ' ')``) agree exactly."""
+    return F.split(normalized_text(text_col), " ")
+
+
+def ngram_overlap(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, the number
+    of distinct word ``n``-grams it shares with the eval corpus (only
+    contaminated documents are returned; drop them upstream of training).
+
+    The standard pipeline step (GPT-3 used 13-gram overlap; the n is a
+    parameter because tokenizers differ). Plan shape: the corpus side is
+    a single explode → broadcast-hash-join → partial count; the eval
+    side collapses to distinct grams once and broadcasts.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        g = word_ngrams(_norm_tokens(text_col), n)
+        return df.select(
+            F.col(id_col), F.explode(F.array_distinct(g)).alias("gram")
+        )
+
+    eval_grams = grams(eval_df).select("gram").distinct()
+    shared = grams(train_df).join(F.broadcast(eval_grams), "gram")
+    # grams are distinct within a doc, so a plain count is the distinct count
+    return shared.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_ngrams")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens accounted for by the single most frequent token / bigram, and
+    the fraction of tokens that are repeats of an earlier token.
+
+    Natural-language text keeps all three low; boilerplate, keyword spam
+    and generator loops blow them up. ``keep`` applies fixed documented
+    thresholds (most-common-token ≤ 20 %, most-common-bigram ≤ 18 %,
+    duplicate-token fraction ≤ 60 %) — the Gopher-rule shape with
+    thresholds tuned for short synthetic docs.
+    """
+    toks = _norm_tokens(text_col)
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("toks"))
+
+    uni = (
+        base.select("__id", F.explode("toks").alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("__id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_c"),
+        )
+    )
+    bi = (
+        base.select("__id", F.explode(word_ngrams(F.col("toks"), 2)).alias("g"))
+        .groupBy("__id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bi_c"),
+        )
+    )
+
+    j = uni.join(bi, "__id", "left")
+    frac = lambda num, den: F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    top_token_frac = frac(F.col("top_c"), F.col("n_tokens"))
+    dup_token_frac = frac(
+        F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")
+    )
+    top_bigram_frac = frac(
+        F.coalesce(F.col("top_bi_c"), F.lit(0)),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)),
+    )
+    return j.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens"),
+        top_token_frac.alias("top_token_frac"),
+        dup_token_frac.alias("dup_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        (
+            (top_token_frac <= 0.20)
+            & (top_bigram_frac <= 0.18)
+            & (dup_token_frac <= 0.60)
+        ).alias("keep"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-window packing precursor (a doc longer than the model
+    context must be windowed before ``packing.pack_documents`` bins it).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; the final chunk is short rather
+    than padded. Pure per-row codegen (sequence + slice + posexplode);
+    no shuffle, so it streams at scan speed at any scale.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__n"),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "start_token"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.least(F.lit(chunk_size), F.col("__n") - F.col("start_token"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("start_token") + 1, chunk_size)
+        ).alias("chunk_text"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf×idf.
+
+    ``log_idf=False`` (default) scores with the raw inverse document
+    frequency ratio ``tf * (N / df)`` — the same "rarer is heavier"
+    monotone idf weighting as the classic ``tf * ln(N/df)``, chosen
+    because it is computable bit-identically in any engine (single IEEE
+    divide and multiply of exact integers; ``ln`` is only ulp-accurate
+    and differs across libms, which would break cross-engine
+    verification). The two scores can rank differently where the log
+    compresses large ratios — the raw ratio weighs rarity harder.
+    ``log_idf=True`` gives the textbook smoothed ``tf * ln((1+N)/(1+df))``
+    for in-Spark use.
+
+    Plan: one explode + two hash aggregates; the term→df side joins back
+    to the tf table on ``term``. At corpus scale the vocabulary is Zipf
+    (small relative to the corpus) but unbounded, so this is a shuffle
+    join on term, not a broadcast; the per-doc top-k is a window over the
+    doc partition (map-side partial rank via TakeOrdered does not apply,
+    but each doc's group is tiny).
+    """
+    terms = (
+        df.select(F.col(id_col), F.explode(_norm_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(docfreq, "term").crossJoin(F.broadcast(n_docs))
+    if log_idf:
+        score = F.col("tf").cast("double") * F.log(
+            (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df_t"))
+        )
+    else:
+        score = F.col("tf").cast("double") * (
+            F.col("n_docs").cast("double") / F.col("df_t").cast("double")
+        )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_t").cast("long").alias("df_t"),
+            F.col("rank").cast("long").alias("rank"),
+            "score",
+        )
+    )

@@ -18,9 +18,16 @@ from pyspark.sql import functions as F
 
 
 def _hex_threshold(frac: float) -> str:
-    """First-8-nibble hex threshold t such that P(md5_prefix < t) = frac."""
+    """First-8-nibble hex threshold t such that P(md5_prefix < t) = frac.
+
+    frac=1.0 maps to 'g': format() would give the 9-char '100000000',
+    which sorts BEFORE most 8-char hex prefixes lexicographically and
+    would silently empty the selection; 'g' sorts after every hex digit,
+    so `prefix < 'g'` keeps every row in any engine."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0,1], got {frac}")
+    if frac >= 1.0:
+        return "g"
     return format(int(frac * 16**8), "08x")
 
 
@@ -49,3 +56,32 @@ def deterministic_sample(
     c = F.col(key_col)
     prefix = F.substring(F.md5(c.cast("string")), 1, 8)
     return df.filter(prefix < F.lit(_hex_threshold(frac)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain-mixing resample: keep each row with a per-stratum rate
+    (e.g. downweight crawl English, keep all low-resource languages).
+
+    Same md5-threshold mechanism as :func:`deterministic_sample`, so the
+    kept set is a pure function of (key, stratum-rate): reruns, engines
+    and backfills agree row-for-row, and changing one stratum's rate
+    only adds/removes rows of that stratum. The threshold CASE is pure
+    codegen — a 100 TB scan filters at parquet speed with no shuffle.
+    """
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    threshold: Column | None = None
+    for stratum in sorted(rates):
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(_hex_threshold(rates[stratum]))
+        threshold = (
+            F.when(cond, lit) if threshold is None else threshold.when(cond, lit)
+        )
+    default = F.lit(_hex_threshold(default_rate))
+    threshold = default if threshold is None else threshold.otherwise(default)
+    return df.filter(prefix < threshold)

@@ -1,0 +1,164 @@
+"""Unit tests for corpus-level operators (decontamination, repetition
+filters, chunking, TF-IDF) and stratified sampling — tiny hand-built
+corpora with hand-computed expected outputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.operators import corpus, sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_overlap_flags_only_contaminated(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training text here now"),
+            (3, "quick brown fox jumps over something else entirely"),
+        ],
+    )
+    ev = _docs(spark, [(100, "a quick brown fox jumps over the fence")])
+    out = corpus.ngram_overlap(train, ev, n=5).collect()
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in out}
+    # doc 1 shares "quick brown fox jumps over" and "brown fox jumps
+    # over the"; doc 3 shares only the first (its text diverges after
+    # "over"); doc 2 shares nothing and is absent.
+    assert got == {1: 2, 3: 1}
+
+
+def test_ngram_overlap_short_docs_yield_nothing(spark):
+    train = _docs(spark, [(1, "too short"), (2, "")])
+    ev = _docs(spark, [(100, "too short")])
+    assert corpus.ngram_overlap(train, ev, n=5).count() == 0
+
+
+def test_repetition_stats_flags_spam(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "each word in this sentence appears exactly once"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.repetition_stats(df).collect()}
+    spam, clean = out[1], out[2]
+    assert spam["n_tokens"] == 8
+    assert spam["top_token_frac"] == 0.5  # "buy" 4/8
+    assert spam["dup_token_frac"] == 0.75  # 8 tokens, 2 distinct
+    # bigrams: "buy now" x4, "now buy" x3 -> top 4/7
+    assert abs(spam["top_bigram_frac"] - 4 / 7) < 1e-12
+    assert spam["keep"] is False
+    assert clean["dup_token_frac"] == 0.0
+    assert clean["top_token_frac"] == 1 / 8
+    assert clean["keep"] is True
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = _docs(spark, [(1, text)])
+    out = (
+        corpus.chunk_documents(df, chunk_size=4, overlap=1)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # stride 3: starts 0,3,6,9 -> lengths 4,4,4,1
+    assert [r["start_token"] for r in out] == [0, 3, 6, 9]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 1]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert out[3]["chunk_text"] == "w9"
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    assert out[0]["chunk_text"].split()[-1:] == out[1]["chunk_text"].split()[:1]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = _docs(spark, [(1, "a b c")])
+    try:
+        corpus.chunk_documents(df, chunk_size=4, overlap=4)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "shared shared zebra"),
+            (2, "shared shared yak"),
+            (3, "shared shared shared"),
+        ],
+    )
+    out = corpus.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # "shared" appears in all 3 docs (idf ratio 1); the unique animals
+    # score tf=1 * 3/1 = 3 > 2 * 1.
+    assert top[1] == "zebra"
+    assert top[2] == "yak"
+    assert top[3] == "shared"
+    ranks = {(r["doc_id"], r["rank"]) for r in out}
+    assert ranks == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_tfidf_log_idf_variant(spark):
+    # corpus where the winner is unambiguous under both scorings: the
+    # unique animal beats "shared" on raw ratio (3 > 2) and on smoothed
+    # ln-idf ("shared" in every doc -> idf ~ 0)
+    df = _docs(
+        spark,
+        [
+            (1, "shared shared zebra"),
+            (2, "shared shared yak"),
+            (3, "shared shared shared"),
+        ],
+    )
+    logd = corpus.tfidf_top_terms(df, k=1, log_idf=True).collect()
+    top = {r["doc_id"]: r["term"] for r in logd}
+    assert top[1] == "zebra" and top[2] == "yak"
+
+
+def test_stratified_sample_rates_zero_and_one(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out = sampling.stratified_sample(
+        df, "doc_id", "lang", {"en": 0.0, "zh": 1.0}
+    )
+    langs = [r["lang"] for r in out.collect()]
+    assert len(langs) == 100 and set(langs) == {"zh"}
+
+
+def test_stratified_sample_is_deterministic_and_nested(spark):
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(400)], "doc_id long, lang string"
+    )
+    half = sampling.stratified_sample(df, "doc_id", "lang", {"en": 0.5})
+    again = sampling.stratified_sample(df, "doc_id", "lang", {"en": 0.5})
+    quarter = sampling.stratified_sample(df, "doc_id", "lang", {"en": 0.25})
+    half_ids = {r["doc_id"] for r in half.collect()}
+    assert half_ids == {r["doc_id"] for r in again.collect()}
+    # thresholds nest: lowering a rate only removes rows
+    assert {r["doc_id"] for r in quarter.collect()} <= half_ids
+    # default_rate drops strata not in the rate map
+    assert (
+        sampling.stratified_sample(df, "doc_id", "lang", {"other": 1.0}).count()
+        == 0
+    )
+
+
+def test_word_ngrams_edge_sizes(spark):
+    df = spark.createDataFrame([("a b c",)], "t string")
+    row = df.select(
+        corpus.word_ngrams(F.split(F.col("t"), " "), 2).alias("g2"),
+        corpus.word_ngrams(F.split(F.col("t"), " "), 3).alias("g3"),
+        corpus.word_ngrams(F.split(F.col("t"), " "), 4).alias("g4"),
+    ).first()
+    assert row["g2"] == ["a b", "b c"]
+    assert row["g3"] == ["a b c"]
+    assert row["g4"] == []
