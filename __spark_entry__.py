@@ -901,6 +901,64 @@ def _large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _nation_trade_flows(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between (supplier nation, customer nation)
+    pairs, international only. Exercises the 5-way join: the two nation
+    legs and supplier broadcast (tiny dims); lineitem↔orders↔customer
+    shuffle on their keys. Revenue terms are rounded to DECIMAL(18,4)
+    pre-sum so accumulation order can't change the total."""
+    li = _lineitem(spark, sf)
+    orders, customer, supplier, nation = _tables(
+        spark, sf, "orders", "customer", "supplier", "nation"
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus clustering stats: every embedding assigns to its nearest of
+    8 fixed centroids (the embeddings of vec_id 0..7 — a deterministic
+    centroid set, so the assignment is exactly SQL-checkable), then per-
+    cluster size and mean similarity. The centroid collect is O(C)=8
+    rows — query definition, not dataflow (same pattern as
+    ``_query_vector``)."""
+    emb = _emb(spark, sf)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    assigned = similarity.assign_fixed_centroids(emb, "embedding", cents)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_cos"),
+    )
+
+
 # SQL fragments shared by quality/lang oracles (DuckDB dialect; 'g' flag =
 # replace-all to match Spark regexp_replace semantics).
 _D_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -985,6 +1043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_count_distribution": _order_count_distribution,
         "small_order_revenue": _small_order_revenue,
         "large_orders": _large_orders,
+        "nation_trade_flows": _nation_trade_flows,
+        "kmeans_assign_stats": _kmeans_assign_stats,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1313,8 +1373,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), s AS (
               SELECT doc_id, toks,
-                     unnest(range(0, greatest(len(toks)-1, 0) + 1, 48))
-                         AS start
+                     unnest(range(0,
+                         ((greatest(len(toks)-64, 0) + 47) // 48) * 48 + 1,
+                         48)) AS start
               FROM t
             )
             SELECT doc_id,
@@ -1396,6 +1457,48 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "nation_trade_flows": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY n1.n_name, n2.n_name
+        """,
+        "kmeans_assign_stats": """
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, c.cid,
+                       list_aggregate(list_transform(
+                           list_zip(e.embedding::DOUBLE[], c.cv),
+                           x -> x[1] * x[2]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(
+                              list_zip(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[]),
+                              x -> x[1] * x[2]), 'sum'))
+                          * sqrt(list_aggregate(list_transform(
+                              list_zip(c.cv, c.cv),
+                              x -> x[1] * x[2]), 'sum'))) AS score
+                FROM embeddings e CROSS JOIN cents c
+            ), best AS (
+                SELECT vec_id, cid, score FROM scored
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cid ASC) = 1
+            )
+            SELECT CAST(cid AS BIGINT) AS cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avg_cos
+            FROM best GROUP BY cid
         """,
         "dedup_jaccard_exact": r"""
             WITH sets AS (

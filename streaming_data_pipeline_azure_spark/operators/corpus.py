@@ -156,15 +156,21 @@ def chunk_documents(
 
     Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)`` with
     ``stride = chunk_size - overlap``; the final chunk is short rather
-    than padded. Pure per-row codegen (sequence + slice + posexplode);
-    no shuffle, so it streams at scan speed at any scale.
+    than padded, and generation stops as soon as the tail is covered
+    (``n_chunks = 1 + ceil(max(n - chunk_size, 0) / stride)``) so no
+    chunk is fully contained in its predecessor — contained tails would
+    be silently duplicated training tokens. Pure per-row codegen
+    (sequence + slice + posexplode); no shuffle, so it streams at scan
+    speed at any scale.
     """
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     stride = chunk_size - overlap
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    uncovered = F.greatest(F.size(toks) - chunk_size, F.lit(0))
+    last_chunk = F.floor((uncovered + F.lit(stride - 1)) / F.lit(stride))
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+        F.lit(0), (last_chunk * stride).cast("int"), F.lit(stride)
     )
     exploded = df.select(
         F.col(id_col),

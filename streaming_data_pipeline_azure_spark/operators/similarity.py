@@ -44,6 +44,39 @@ def score_against(df: DataFrame, vec_col: str, query: list[float],
     )
 
 
+def assign_fixed_centroids(
+    df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment against a FIXED centroid set — the
+    k-means E-step (and the classification step of cluster-balanced
+    corpus sampling) as a pure codegen expression.
+
+    Each row evaluates all |C| cosines inline and picks the argmax via
+    ``array_min`` over ``struct(-score, cid)`` (struct comparison is
+    lexicographic: highest score wins, ties break to the smallest
+    centroid id) — no join, no shuffle, no Python; a 100 TB corpus
+    assigns at scan speed. The iterative Lloyd's refinement lives in
+    :meth:`IvfIndex.build` (driver state O(C×d)); this is the exactly
+    verifiable step, so it is the one the SQL oracle checks."""
+    vec = to_double_array(F.col(vec_col))
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine_similarity(vec, literal_vector(c))).alias("negscore"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    best = F.array_min(scored)
+    return df.withColumns(
+        {
+            "cluster_id": best["cid"].cast("long"),
+            "score": -best["negscore"],
+        }
+    )
+
+
 def topk_bruteforce(
     df: DataFrame, vec_col: str, query: list[float], k: int = 10,
     id_col: str = "vec_id",

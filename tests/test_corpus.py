@@ -66,14 +66,36 @@ def test_chunk_documents_windows_and_tail(spark):
         .orderBy("chunk_idx")
         .collect()
     )
-    # stride 3: starts 0,3,6,9 -> lengths 4,4,4,1
-    assert [r["start_token"] for r in out] == [0, 3, 6, 9]
-    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 1]
+    # stride 3, 10 tokens: starts 0,3,6 cover everything; no redundant
+    # tail chunk at 9 (it would be contained in [6,10))
+    assert [r["start_token"] for r in out] == [0, 3, 6]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4]
     assert out[0]["chunk_text"] == "w0 w1 w2 w3"
     assert out[1]["chunk_text"] == "w3 w4 w5 w6"
-    assert out[3]["chunk_text"] == "w9"
+    assert out[2]["chunk_text"] == "w6 w7 w8 w9"
     # overlap invariant: consecutive chunks share exactly `overlap` tokens
     assert out[0]["chunk_text"].split()[-1:] == out[1]["chunk_text"].split()[:1]
+
+
+def test_chunk_documents_coverage_properties(spark):
+    # across lengths: full coverage, no contained chunks, short tail only
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 30)]
+    df = _docs(spark, rows)
+    out = corpus.chunk_documents(df, chunk_size=8, overlap=3)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n, chunks in ((n, by_doc[n]) for n, _ in rows):
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        last = chunks[-1]
+        assert last["start_token"] + last["n_chunk_tokens"] == n  # covers tail
+        assert all(c["n_chunk_tokens"] > 0 for c in chunks)
+        # every chunk extends past its predecessor's end (none contained)
+        ends = [c["start_token"] + c["n_chunk_tokens"] for c in chunks]
+        assert ends == sorted(set(ends))
+        # n <= chunk_size -> exactly one chunk
+        if n <= 8:
+            assert len(chunks) == 1
 
 
 def test_chunk_documents_rejects_bad_overlap(spark):

@@ -146,3 +146,29 @@ def test_allpairs_no_driver_collect(spark, monkeypatch):
     plan_df = sim.allpairs_cosine_pairs(df, threshold=0.5, block_size=8)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_assign_fixed_centroids_planted_and_ties(spark):
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [1.0, 1.0]), (13, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in sim.assign_fixed_centroids(df, "embedding", cents).collect()
+    }
+    assert out[10]["cluster_id"] == 0
+    assert out[11]["cluster_id"] == 1
+    # exact cosine tie (1/sqrt(2) to both) -> smallest centroid id wins
+    assert out[12]["cluster_id"] == 0
+    # zero vector: cosine 0.0 to both -> deterministic cid 0
+    assert out[13]["cluster_id"] == 0 and out[13]["score"] == 0.0
+    # no shuffle in the plan: assignment is a pure projection
+    plan = (
+        sim.assign_fixed_centroids(df, "embedding", cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
