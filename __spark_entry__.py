@@ -901,6 +901,58 @@ def _large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _rolling_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily event value plus a 7-day trailing window (sum + avg) — the
+    rolling-metric shape (ROWS BETWEEN 6 PRECEDING) on top of a daily
+    pre-aggregate. The window input stays DECIMAL so frame accumulation
+    order cannot perturb the double result; the per-day pre-aggregate
+    means the window runs over ~n_days rows, not raw events."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__daily_dec")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("__daily_dec").cast("double").alias("daily_value"),
+        F.sum("__daily_dec").over(w).cast("double").alias("trailing_7d_sum"),
+        (
+            F.sum("__daily_dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("trailing_7d_avg"),
+    )
+
+
+def _doc_length_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus length distribution via ntile(10) — the bucketing step of
+    length-balanced sampling. Tie-break on doc_id makes the decile
+    assignment a total order, hence engine-independent.
+
+    Scale note: an unpartitioned ntile is a global sort onto one task —
+    exact by design here, because it is the verification anchor for the
+    approximate path (at 100 TB you'd take decile BOUNDARIES from the
+    GK sketch in ``profile.py`` — O(1) driver state — and assign by
+    comparison, a shuffle-free projection like assign_fixed_centroids)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf)
+    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def _nation_trade_flows(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: revenue between (supplier nation, customer nation)
     pairs, international only. Exercises the 5-way join: the two nation
@@ -1045,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": _large_orders,
         "nation_trade_flows": _nation_trade_flows,
         "kmeans_assign_stats": _kmeans_assign_stats,
+        "rolling_daily_revenue": _rolling_daily_revenue,
+        "doc_length_deciles": _doc_length_deciles,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1457,6 +1511,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "rolling_daily_revenue": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       SUM(CAST(value AS DECIMAL(18,4))) AS daily_dec
+                FROM events GROUP BY 1
+            )
+            SELECT day,
+                   CAST(daily_dec AS DOUBLE) AS daily_value,
+                   CAST(SUM(daily_dec) OVER w AS DOUBLE) AS trailing_7d_sum,
+                   CAST(SUM(daily_dec) OVER w AS DOUBLE)
+                       / CAST(COUNT(*) OVER w AS DOUBLE) AS trailing_7d_avg
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "doc_length_deciles": """
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM (
+                SELECT doc_id, n_chars,
+                       NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+                FROM documents)
+            GROUP BY decile
         """,
         "nation_trade_flows": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
