@@ -953,6 +953,21 @@ def _doc_length_deciles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _doc_length_deciles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB decile path: GK-sketch boundaries + shuffle-free
+    comparison assignment (see `_doc_length_deciles` for the exact
+    anchor). Sketch output is engine-specific → rows-only; the pytest
+    suite bounds its divergence from the exact ntile instead."""
+    bucketed = profile.approx_quantile_buckets(
+        _docs(spark, sf), "n_chars", 10, bucket_name="decile"
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def _nation_trade_flows(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: revenue between (supplier nation, customer nation)
     pairs, international only. Exercises the 5-way join: the two nation
@@ -1099,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign_stats": _kmeans_assign_stats,
         "rolling_daily_revenue": _rolling_daily_revenue,
         "doc_length_deciles": _doc_length_deciles,
+        "doc_length_deciles_approx": _doc_length_deciles_approx,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,

@@ -74,6 +74,35 @@ def numeric_summary(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
 
 
+def approx_quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    *,
+    accuracy: int = 10000,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Quantile bucketing the way it survives 100 TB: boundaries from a
+    one-pass Greenwald-Khanna sketch (driver state O(n_buckets)), then
+    assignment as a pure codegen comparison — no global sort, no
+    shuffle. The exact-ntile counterpart (`doc_length_deciles` in the
+    registered queries) is the correctness anchor; this is the scale
+    path it documents.
+
+    Bucket i (1-based) = 1 + number of boundaries strictly below the
+    value, so assignment is monotone in ``value_col`` and every row —
+    including values outside the sketched range — lands in a bucket."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    [row] = df.agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("__b")
+    ).collect()
+    bounds = [float(x) for x in row["__b"]]
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(value_col) > b, 1).otherwise(0)
+    return df.withColumn(bucket_name, bucket.cast("int"))
+
+
 def value_sketches(
     df: DataFrame,
     group_col: str,

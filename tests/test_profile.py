@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.operators import profile
 from streaming_data_pipeline_azure_spark.operators.profile import (
     numeric_summary,
     profile_columns,
@@ -46,3 +49,33 @@ def test_value_sketches_shapes(spark, sf_dir):
     p50, p95 = r["approx_percentiles"]
     assert 3.0 <= p50 <= 6.0
     assert p95 >= 8.0
+
+
+def test_approx_quantile_buckets_tracks_exact_ntile(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    approx = profile.approx_quantile_buckets(docs, "n_chars", 10, bucket_name="decile")
+    counts = {r["decile"]: r["cnt"] for r in approx.groupBy("decile").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # every decile populated and within 40% of the ideal n/10 (sketch
+    # accuracy at this corpus size is much better; the bar is a guard)
+    assert set(counts) == set(range(1, 11))
+    for d, c in counts.items():
+        assert abs(c - n / 10) <= 0.4 * n / 10, (d, c, n)
+    # assignment is monotone in the value: per-decile [min,max] ranges
+    # must not interleave
+    ranges = (
+        approx.groupBy("decile")
+        .agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+        .orderBy("decile")
+        .collect()
+    )
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+
+def test_approx_quantile_buckets_covers_out_of_range(spark):
+    df = spark.createDataFrame([(v,) for v in [1, 2, 3, 1000000]], "v long")
+    out = profile.approx_quantile_buckets(df, "v", 4)
+    got = {r["v"]: r["bucket"] for r in out.collect()}
+    assert got[1] == 1 and got[1000000] == 4
+    assert sorted(got.values()) == list(got[k] for k in sorted(got))

@@ -293,3 +293,66 @@ def test_sink_compaction_gc_and_replay(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == {
         ("a", 9), ("b", 3), ("c", 3),
     }
+
+
+def test_streaming_corpus_clean_matches_batch(spark, tmp_path):
+    """Corpus cleaning (quality filter + PII redaction + fingerprint) is
+    a stateless projection, so the SAME DataFrame code must produce the
+    SAME rows whether the documents arrive as a stream of micro-batches
+    or one batch read — the stream/batch-agnostic contract the flagship
+    enrichment join already guarantees, extended to the corpus ops."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators import text as tx
+
+    docs = [
+        {"doc_id": 1, "text": "the cat sat on the mat and it was good",
+         "lang": "en", "source": "s0", "n_chars": 38},
+        {"doc_id": 2, "text": "mail me at someone@example.com for the offer",
+         "lang": "en", "source": "s0", "n_chars": 44},
+        {"doc_id": 3, "text": "%%% ### !!! @@@ &&&", "lang": "en",
+         "source": "s1", "n_chars": 19},  # punctuation soup -> filtered
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(d) for d in docs[:2]))
+    (src / "b1.json").write_text(_json.dumps(docs[2]))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def clean(df):
+        scored = tx.quality_score(df)
+        return scored.filter(F.col("quality_score") >= 0.45).select(
+            "doc_id",
+            tx.redact_pii("text").alias("clean_text"),
+            tx.fingerprint("text").alias("fp"),
+        )
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        clean(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_clean_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_cc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    if q.exception() is not None:
+        raise q.exception()
+
+    streamed = {
+        (r["doc_id"], r["clean_text"], r["fp"])
+        for r in spark.sql("SELECT * FROM corpus_clean_stream").collect()
+    }
+    batch = {
+        (r["doc_id"], r["clean_text"], r["fp"])
+        for r in clean(spark.read.schema(schema).json(str(src))).collect()
+    }
+    assert streamed == batch
+    assert {d for d, _, _ in streamed} == {1, 2}  # doc 3 quality-filtered
+    [(_, redacted, _)] = [t for t in streamed if t[0] == 2]
+    assert "<EMAIL>" in redacted and "example.com" not in redacted
