@@ -968,6 +968,15 @@ def _doc_length_deciles_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean embedding in long (label, dim, value) form."""
+    return similarity.groupwise_centroids(_emb(spark, sf), "label", "embedding")
+
+
+def _embedding_quantize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.quantize_int8_stats(_emb(spark, sf), "vec_id", "embedding")
+
+
 def _nation_trade_flows(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: revenue between (supplier nation, customer nation)
     pairs, international only. Exercises the 5-way join: the two nation
@@ -1115,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_daily_revenue": _rolling_daily_revenue,
         "doc_length_deciles": _doc_length_deciles,
         "doc_length_deciles_approx": _doc_length_deciles_approx,
+        "embedding_centroids": _embedding_centroids,
+        "embedding_quantize_stats": _embedding_quantize_stats,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1527,6 +1538,41 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "embedding_centroids": """
+            SELECT label, CAST(i AS BIGINT) AS dim,
+                   CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS centroid_val
+            FROM (
+                SELECT label,
+                       unnest(generate_series(1, len(embedding))) AS i,
+                       unnest(embedding::DOUBLE[]) AS x
+                FROM embeddings)
+            GROUP BY label, i
+        """,
+        "embedding_quantize_stats": """
+            WITH scaled AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       CASE WHEN list_max(list_transform(
+                                embedding::DOUBLE[], x -> abs(x))) > 0
+                            THEN list_max(list_transform(
+                                embedding::DOUBLE[], x -> abs(x))) / 127.0
+                            ELSE 0.0 END AS qscale
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id, qscale, v,
+                       list_transform(v, x ->
+                           CASE WHEN qscale > 0
+                                THEN CAST(floor(x/qscale + 0.5) AS BIGINT)
+                                ELSE 0 END) AS qv
+                FROM scaled
+            )
+            SELECT vec_id, qscale,
+                   list_max(list_transform(qv, x -> abs(x))) AS q_absmax,
+                   list_max(list_transform(list_zip(qv, v),
+                       p -> abs(CAST(p[1] AS DOUBLE)*qscale - p[2])))
+                       AS recon_max_err
+            FROM q
         """,
         "rolling_daily_revenue": """
             WITH daily AS (

@@ -77,6 +77,82 @@ def assign_fixed_centroids(
     )
 
 
+def groupwise_centroids(
+    df: DataFrame, group_col: str, vec_col: str
+) -> DataFrame:
+    """Element-wise mean vector per group — per-class prototypes / the
+    k-means M-step — in long ``(group, dim, centroid_val)`` form.
+
+    posexplode → (group, dim) aggregate is the shape that scales: no
+    D-wide aggregate row (Janino-hostile at large D), partial sums
+    collapse map-side onto the small (groups × dims) key domain, and
+    the shuffle carries one decimal per key, not vectors. Sums
+    accumulate in DECIMAL so the means are bit-identical across engines
+    and partitionings."""
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(to_double_array(F.col(vec_col))).alias("__d0", "__x"),
+    )
+    return (
+        exploded.groupBy(group_col, (F.col("__d0") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("__x").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid_val")
+        )
+        .select(group_col, F.col("dim").cast("long").alias("dim"), "centroid_val")
+    )
+
+
+def quantize_int8_stats(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column with per-vector
+    scale (amax/127) and exact reconstruction-error stats — the storage
+    op that turns a 100 TB float corpus into a 25 TB int8 one.
+
+    Rounding is ``floor(x/scale + 0.5)`` (round-half-up) rather than
+    ``round``: engines disagree on round's tie rule (half-even vs
+    half-away), floor is IEEE-exact everywhere. All work is row-local
+    higher-order functions — no shuffle; the per-row ``qscale`` is
+    materialized as a column first so HOF lambdas reference a bound
+    value instead of re-deriving the max per element."""
+    base = df.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    amax = F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x)))
+    base = base.withColumn(
+        "__qscale",
+        F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0)),
+    )
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.when(
+            F.col("__qscale") > 0,
+            F.floor(x / F.col("__qscale") + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    base = base.withColumn("__q", q)
+    err = F.array_max(
+        F.zip_with(
+            F.col("__q"),
+            F.col("__v"),
+            lambda qi, x: F.abs(qi.cast("double") * F.col("__qscale") - x),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("__qscale").alias("qscale"),
+        F.array_max(F.transform(F.col("__q"), lambda x: F.abs(x))).alias(
+            "q_absmax"
+        ),
+        err.alias("recon_max_err"),
+    )
+
+
 def topk_bruteforce(
     df: DataFrame, vec_col: str, query: list[float], k: int = 10,
     id_col: str = "vec_id",

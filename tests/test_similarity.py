@@ -172,3 +172,38 @@ def test_assign_fixed_centroids_planted_and_ties(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_groupwise_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [5.0, 6.0])],
+        "g string, v array<double>",
+    )
+    out = {
+        (r["g"], r["dim"]): r["centroid_val"]
+        for r in sim.groupwise_centroids(df, "g", "v").collect()
+    }
+    assert out == {
+        ("a", 1): 2.0, ("a", 2): 3.0, ("b", 1): 5.0, ("b", 2): 6.0,
+    }
+
+
+def test_quantize_int8_stats_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in sim.quantize_int8_stats(df, "vec_id", "v").collect()
+    }
+    r1 = out[1]
+    # amax maps exactly to +/-127; error bounded by half a quantum
+    assert r1["q_absmax"] == 127
+    assert r1["qscale"] == 1.0 / 127.0
+    assert r1["recon_max_err"] <= r1["qscale"] / 2 + 1e-15
+    # all-zero vector: guarded scale, zero everything
+    r2 = out[2]
+    assert r2["qscale"] == 0.0
+    assert r2["q_absmax"] == 0
+    assert r2["recon_max_err"] == 0.0
