@@ -115,3 +115,49 @@ def test_incremental_dedup_corpus_stays_narrow(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     narrow = [s for s in schemas if "doc_id" not in s and "text" in s]
     assert narrow, schemas  # at least one corpus scan pruned to fp inputs
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The corpus side of decontamination must probe a broadcast of the
+    eval grams — a shuffle of the corpus' exploded n-grams would be the
+    dominant cost at scale. Also: exactly one Exchange (the final
+    per-doc count), nothing shuffles pre-join."""
+    from streaming_data_pipeline_azure_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    plan = physical_plan(corpus.ngram_overlap(train, ev, n=5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    # one for the eval-side distinct, one for the final per-doc count;
+    # the exploded corpus grams themselves never hash-partition
+    assert n_exchanges <= 2, plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    from streaming_data_pipeline_azure_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = physical_plan(corpus.chunk_documents(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_quantization_is_shuffle_free(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = physical_plan(
+        similarity.quantize_int8_stats(emb, "vec_id", "embedding")
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_centroids_aggregate_partially_before_shuffle(spark, sf_dir):
+    """Element sums must collapse map-side (partial_sum before the
+    exchange) so the shuffle carries (group, dim) partials, not every
+    exploded element."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = physical_plan(
+        similarity.groupwise_centroids(emb, "label", "embedding")
+    )
+    assert "partial_sum" in plan, plan
