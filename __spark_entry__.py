@@ -968,6 +968,76 @@ def _doc_length_deciles_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of l_extendedprice. Two-pass shape:
+    a scalar min/max aggregate broadcast-cross-joined back (stays a
+    lazy distributed plan — no driver collect), then bucket assignment
+    as a codegen projection and a count over 20 keys. The top edge
+    clamps into the last bin."""
+    li = _lineitem(spark, sf).select("l_extendedprice")
+    minmax = li.agg(
+        F.min("l_extendedprice").alias("__lo"),
+        F.max("l_extendedprice").alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("__lo")) / width),
+        F.lit(19),
+    ).cast("long")
+    return (
+        li.crossJoin(F.broadcast(minmax))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of supplier revenue into ASIA's
+    customer market, per order year — the 6-table star join plus
+    conditional aggregation. Numerator and denominator accumulate in
+    DECIMAL; the share is one double division."""
+    li = _lineitem(spark, sf)
+    orders, customer, supplier, nation, region = _tables(
+        spark, sf, "orders", "customer", "supplier", "nation", "region"
+    )
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            )
+            .cast("double")
+            .alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "market_share",
+            F.col("nation_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
 def _embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label mean embedding in long (label, dim, value) form."""
     return similarity.groupwise_centroids(_emb(spark, sf), "label", "embedding")
@@ -1126,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_deciles_approx": _doc_length_deciles_approx,
         "embedding_centroids": _embedding_centroids,
         "embedding_quantize_stats": _embedding_quantize_stats,
+        "price_histogram": _price_histogram,
+        "nation_market_share": _nation_market_share,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1538,6 +1610,45 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "price_histogram": """
+            WITH mm AS (
+                SELECT MIN(l_extendedprice) AS lo,
+                       MAX(l_extendedprice) AS hi
+                FROM lineitem
+            )
+            SELECT CAST(least(
+                       floor((l_extendedprice - lo) / ((hi - lo) / 20.0)),
+                       19) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem CROSS JOIN mm
+            GROUP BY 1
+        """,
+        "nation_market_share": """
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS order_year,
+                   CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                            THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                                      AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                       AS nation_revenue,
+                   CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                            AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+                   CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                            THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                                      AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE) AS market_share
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            JOIN region r ON nc.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY 1
         """,
         "embedding_centroids": """
             SELECT label, CAST(i AS BIGINT) AS dim,
