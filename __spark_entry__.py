@@ -968,6 +968,41 @@ def _doc_length_deciles_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _skewed_agg_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation over the same deliberately-skewed
+    key domain as `_skewed_join_totals` (~50% of lineitem on one hot
+    key): phase 1 aggregates (key, salt) so the hot group spreads over
+    16 tasks, phase 2 merges per key. Salting preserves decomposable-
+    aggregate semantics, so this has a plain GROUP BY oracle. DECIMAL
+    partials keep both phases order-independent."""
+    li = _lineitem(spark, sf).select(
+        F.when(F.col("l_quantity") < 26, F.lit(0))
+        .otherwise(F.pmod(F.col("l_partkey"), F.lit(100)))
+        .cast("long")
+        .alias("grp_key"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price_dec"),
+        "l_quantity",
+    )
+    agg = skew.salted_groupby_agg(
+        li,
+        ["grp_key"],
+        {
+            "total_price": ("sum", "price_dec"),
+            "n_rows": ("count", "price_dec"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        n_salts=16,
+    )
+    return agg.select(
+        "grp_key",
+        F.col("total_price").cast("double").alias("total_price"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("min_qty").cast("double").alias("min_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
 def _price_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-width 20-bin histogram of l_extendedprice. Two-pass shape:
     a scalar min/max aggregate broadcast-cross-joined back (stays a
@@ -1198,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_stats": _embedding_quantize_stats,
         "price_histogram": _price_histogram,
         "nation_market_share": _nation_market_share,
+        "skewed_agg_totals": _skewed_agg_totals,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1610,6 +1646,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "skewed_agg_totals": """
+            SELECT CASE WHEN l_quantity < 26 THEN 0
+                        ELSE l_partkey % 100 END AS grp_key,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE) AS total_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+                   CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+            FROM lineitem
+            GROUP BY 1
         """,
         "price_histogram": """
             WITH mm AS (
