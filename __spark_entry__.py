@@ -968,6 +968,19 @@ def _doc_length_deciles_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _source_capped_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain cap: at most 20 docs per source (md5-ranked within the
+    group, so the survivors are a deterministic uniform pick), then
+    per-source stats proving the cap held."""
+    capped = sampling.cap_per_group(_docs(spark, sf), "source", "doc_id", 20)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_chars"),
+    )
+
+
 def _skewed_agg_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Two-phase salted aggregation over the same deliberately-skewed
     key domain as `_skewed_join_totals` (~50% of lineitem on one hot
@@ -1234,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": _price_histogram,
         "nation_market_share": _nation_market_share,
         "skewed_agg_totals": _skewed_agg_totals,
+        "source_capped_stats": _source_capped_stats,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1646,6 +1660,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "source_capped_stats": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(length(text) AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_chars
+            FROM (
+                SELECT source, text FROM documents
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20)
+            GROUP BY source
         """,
         "skewed_agg_totals": """
             SELECT CASE WHEN l_quantity < 26 THEN 0

@@ -58,6 +58,30 @@ def deterministic_sample(
     return df.filter(prefix < F.lit(_hex_threshold(frac)))
 
 
+def cap_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — the per-domain cap every crawl
+    pipeline applies so no single source dominates the corpus.
+
+    Which k rows survive is decided by ranking on the md5 of the key
+    (with the key itself as tie-break), i.e. a uniform, deterministic
+    shuffle within each group: re-runs and engines agree, and the kept
+    set is stable as other groups grow. One hash-partitioned window per
+    group; groups are independent so the hot-group ceiling is k."""
+    from pyspark.sql import Window
+
+    c = F.col(key_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(c.cast("string")), c
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,
