@@ -968,6 +968,38 @@ def _doc_length_deciles_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _daily_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series densification: daily totals of a sparse event slice
+    (high-value purchases) left-joined onto a generated date spine, with
+    missing days forward-filled from the last observed value. The spine
+    bounds come from a scalar aggregate broadcast back (no driver
+    collect); the fill window runs over O(days) pre-aggregated rows, not
+    raw events, so the unpartitioned window is bounded at any corpus
+    scale."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf)
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 200.0))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("__dec"))
+    )
+    bounds = daily.agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.col("__dec").isNotNull().alias("observed"),
+        F.last("__dec", ignorenulls=True).over(w).cast("double").alias(
+            "filled_value"
+        ),
+    )
+
+
 def _source_capped_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-domain cap: at most 20 docs per source (md5-ranked within the
     group, so the survivors are a deterministic uniform pick), then
@@ -1248,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": _nation_market_share,
         "skewed_agg_totals": _skewed_agg_totals,
         "source_capped_stats": _source_capped_stats,
+        "daily_gapfill": _daily_gapfill,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1660,6 +1693,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "daily_gapfill": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       SUM(CAST(value AS DECIMAL(18,4))) AS dec
+                FROM events
+                WHERE event_type = 'purchase' AND value > 200.0
+                GROUP BY 1
+            ), spine AS (
+                SELECT CAST(unnest(generate_series(
+                           (SELECT MIN(day) FROM daily),
+                           (SELECT MAX(day) FROM daily),
+                           INTERVAL 1 DAY)) AS DATE) AS day
+            )
+            SELECT s.day,
+                   d.dec IS NOT NULL AS observed,
+                   CAST(LAST_VALUE(d.dec IGNORE NULLS) OVER (
+                       ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE) AS filled_value
+            FROM spine s LEFT JOIN daily d ON s.day = d.day
         """,
         "source_capped_stats": """
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
