@@ -968,6 +968,28 @@ def _doc_length_deciles_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pricing_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id() — the generalization
+    rollup/cube compile down to, exercised directly (SQL path; the
+    DataFrame API only exposes the rollup/cube specializations). One
+    scan expands to the three set shapes; grouping_id disambiguates
+    NULL-as-total from NULL-as-value in the output."""
+    _lineitem(spark, sf).createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT)
+                   AS gid,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+        """
+    )
+
+
 def _daily_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series densification: daily totals of a sparse event slice
     (high-value purchases) left-joined onto a generated date spine, with
@@ -1281,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_agg_totals": _skewed_agg_totals,
         "source_capped_stats": _source_capped_stats,
         "daily_gapfill": _daily_gapfill,
+        "pricing_grouping_sets": _pricing_grouping_sets,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1693,6 +1716,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "pricing_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                        AS BIGINT) AS gid,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_linestatus), ())
         """,
         "daily_gapfill": """
             WITH daily AS (
