@@ -968,6 +968,52 @@ def _doc_length_deciles_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _user_activity_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Derived-feature similarity: per-user day-of-week activity
+    profiles (7 conditional DECIMAL sums → a dense vector built by
+    aggregation, no embedding table involved), then cosine top-10
+    against the lowest-user-id profile. The query profile attaches via
+    broadcast (no collect); top-k is TakeOrdered, no global sort. The
+    feature build shuffles once on user_id with map-side partials —
+    the shape of any per-entity profile computation at 100 TB."""
+    from streaming_data_pipeline_azure_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    ev = _events(spark, sf)
+    zero = F.lit(0).cast("decimal(18,4)")
+    prof = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.dayofweek("ts") == d,
+                    F.col("value").cast("decimal(18,4)"),
+                ).otherwise(zero)
+            )
+            .cast("double")
+            .alias(f"__d{d}")
+            for d in range(1, 8)
+        ]
+    )
+    prof = prof.select(
+        "user_id", F.array(*[F.col(f"__d{d}") for d in range(1, 8)]).alias("profile")
+    )
+    min_user = ev.agg(F.min("user_id").alias("user_id"))
+    query = prof.join(F.broadcast(min_user), "user_id").select(
+        F.col("user_id").alias("__qid"), F.col("profile").alias("__qv")
+    )
+    return (
+        prof.crossJoin(F.broadcast(query))
+        .filter(F.col("user_id") != F.col("__qid"))
+        .select(
+            "user_id",
+            cosine_similarity(F.col("profile"), F.col("__qv")).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
 def _pricing_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping_id() — the generalization
     rollup/cube compile down to, exercised directly (SQL path; the
@@ -1304,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_capped_stats": _source_capped_stats,
         "daily_gapfill": _daily_gapfill,
         "pricing_grouping_sets": _pricing_grouping_sets,
+        "user_activity_similarity": _user_activity_similarity,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "dedup_minhash": _dedup_minhash,
@@ -1716,6 +1763,44 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        # DuckDB EXTRACT(dow) is 0-based Sunday; Spark dayofweek is
+        # 1-based Sunday — entries below are Spark d=1..7 as dow=0..6.
+        "user_activity_similarity": """
+            WITH prof AS (
+              SELECT user_id, list_value(
+                   CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = 0 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE),
+                   CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = 1 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE),
+                   CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = 2 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE),
+                   CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = 3 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE),
+                   CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = 4 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE),
+                   CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = 5 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE),
+                   CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) = 6 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 ) AS profile
+              FROM events GROUP BY user_id
+            ), q AS (
+              SELECT user_id AS qid, profile AS qv FROM prof
+              WHERE user_id = (SELECT MIN(user_id) FROM events)
+            ), scored AS (
+              SELECT p.user_id,
+                     list_aggregate(list_transform(
+                         list_zip(p.profile, q.qv), x -> x[1] * x[2]),
+                         'sum') AS dot,
+                     sqrt(list_aggregate(list_transform(
+                         list_zip(p.profile, p.profile), x -> x[1] * x[2]),
+                         'sum'))
+                     * sqrt(list_aggregate(list_transform(
+                         list_zip(q.qv, q.qv), x -> x[1] * x[2]),
+                         'sum')) AS denom
+              FROM prof p CROSS JOIN q
+              WHERE p.user_id <> q.qid
+            )
+            SELECT user_id,
+                   CASE WHEN denom > 0 THEN dot / denom ELSE 0.0 END
+                       AS score
+            FROM scored
+            ORDER BY score DESC, user_id
+            LIMIT 10
         """,
         "pricing_grouping_sets": """
             SELECT l_returnflag, l_linestatus,
