@@ -175,3 +175,74 @@ def test_incremental_dedup_equals_global_dedup(spark, corpus_texts, batch_texts)
     }
     corpus_ids = {r["doc_id"] for r in corpus.collect()}
     assert corpus_ids | incremental == union_kept
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_word_ngrams_match_python_reference(spark, texts, n):
+    """word_ngrams over arbitrary whitespace-y text equals the obvious
+    Python sliding window over the same normalized tokens."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import word_ngrams
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        normalized_text,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["g"]
+        for r in df.select(
+            "i",
+            word_ngrams(F.split(normalized_text("t"), " "), n).alias("g"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = " ".join(t.split()).lower().split(" ")
+        expect = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ]
+        assert got[i] == expect, (t, n)
+
+
+@given(
+    st.integers(min_value=0, max_value=60),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_matches_python_reference(spark, n_tokens, chunk, overlap):
+    """chunk_documents equals the reference sliding window for any
+    (length, chunk_size, overlap) with overlap < chunk_size."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (
+            (r["chunk_idx"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+            for r in chunk_documents(
+                df, chunk_size=chunk, overlap=overlap
+            ).collect()
+        )
+    )
+    # reference: tokens of the trimmed text ('' -> [''], matching \s+ split)
+    toks = text.split(" ") if text else [""]
+    n = len(toks)
+    n_chunks = 1 + max(0, -(-(n - chunk) // stride))
+    expect = []
+    for ci in range(n_chunks):
+        s = ci * stride
+        piece = toks[s : s + chunk]
+        expect.append((ci, s, len(piece), " ".join(piece)))
+    assert rows == expect, (n_tokens, chunk, overlap)
