@@ -179,14 +179,20 @@ def resize_images(
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
     """Frame-sample stage (video): one row per sampled frame. Frame index
-    plan comes from metadata (pure Catalyst: sequence + explode); only the
-    per-frame payload slice is Python. STUB slices bytes instead of
-    decoding real frames."""
+    AND position plan come from metadata (pure Catalyst: sequence +
+    posexplode); only the per-frame payload slice is Python. STUB slices
+    bytes instead of decoding real frames.
+
+    ``frame_idx`` is derived JVM-side by ``posexplode`` (VERDICT r2 #2):
+    a per-batch ``groupby().cumcount()`` in the Python kernel would
+    restart at 0 whenever one media's frames straddle an Arrow batch
+    boundary (default 10k rows), silently duplicating indices at scale.
+    The position column makes the kernel independent of batch layout."""
     video = media.filter(F.col("kind") == "video")
     planned = video.select(
         "media_id",
         "payload",
-        F.explode(
+        F.posexplode(
             F.slice(
                 F.sequence(
                     F.lit(0),
@@ -196,11 +202,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
                 1,
                 max_frames,
             )
-        ).alias("frame_ms"),
+        ).alias("frame_idx", "frame_ms"),
     )
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            idx = pdf.groupby("media_id").cumcount()
             sliced = [
                 (b or b"")[m % max(len(b or b" "), 1) :][:16]
                 for b, m in zip(pdf["payload"], pdf["frame_ms"])
@@ -208,7 +213,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "frame_idx": idx.astype("int32"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
                     "frame_ms": pdf["frame_ms"].astype("int32"),
                     "frame_payload": sliced,
                 }

@@ -55,6 +55,35 @@ def test_frame_sampling(spark, sf_dir):
         assert idxs == list(range(len(fr)))
 
 
+def test_frame_idx_stable_across_arrow_batches(spark, sf_dir):
+    """VERDICT r2 #2: frame_idx must not restart when one media's frames
+    straddle an Arrow batch boundary. Force 2-row batches so every media's
+    4 frames are guaranteed to split across batches."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        frames = mm.sample_frames(
+            _media(spark, sf_dir).coalesce(1), every_ms=500, max_frames=4
+        )
+        rows = frames.collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    per_media: dict[int, list] = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r)
+    multi = [fr for fr in per_media.values() if len(fr) > 2]
+    assert multi, "need media with >2 frames to cross a 2-row batch boundary"
+    for fr in per_media.values():
+        idxs = sorted(f["frame_idx"] for f in fr)
+        assert idxs == list(range(len(fr))), "frame_idx restarted mid-media"
+        by_idx = {f["frame_idx"]: f["frame_ms"] for f in fr}
+        assert by_idx[idxs[0]] == 0  # position 0 is the first sampled frame
+
+
 def test_resize_images(spark, sf_dir):
     media = _media(spark, sf_dir)
     resized = mm.resize_images(media, target_width=64, target_height=64)
