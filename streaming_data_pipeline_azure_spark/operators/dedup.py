@@ -301,17 +301,15 @@ def _pairs_in_buckets(
     )
 
 
-def _candidate_pairs_by_band(
-    sigs: DataFrame,
-    id_col: str,
-    sig_col: str,
-    bands: int,
-    rows_per_band: int,
-    cap: int = 256,
+def banded_buckets(
+    sigs: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: docs agreeing on all rows of >=1 band become candidate
-    pairs. Returns distinct (id_a, id_b) with id_a < id_b."""
-    banded = sigs.select(
+    """(id, signature) → (band, bucket, id): one row per LSH band, where
+    ``bucket`` is a hash of that band's signature slice. Two docs agreeing
+    on all rows of a band land in the same (band, bucket) cell. This table
+    IS the persistable near-dup index of a corpus (see
+    :class:`MinHashCorpusIndex`)."""
+    return sigs.select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -325,11 +323,40 @@ def _candidate_pairs_by_band(
                 ),
             )
         ).alias("bb"),
-        F.col(id_col).alias("__m"),
-    ).select("bb.band", "bb.bucket", "__m")
+        F.col(id_col),
+    ).select("bb.band", "bb.bucket", id_col)
+
+
+def _candidate_pairs_by_band(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+    cap: int = 256,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of >=1 band become candidate
+    pairs. Returns distinct (id_a, id_b) with id_a < id_b."""
+    banded = banded_buckets(sigs, id_col, sig_col, bands, rows_per_band).select(
+        "band", "bucket", F.col(id_col).alias("__m")
+    )
     return _pairs_in_buckets(banded, "__m", cap).select(
         F.col("__a").alias("id_a"), F.col("__b").alias("id_b")
     )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int, kind: str = "word"
+) -> DataFrame:
+    """(id, text) → (id, __sh array<long>): the document's distinct
+    shingle-hash set, built on the codegen explode path. The 8-byte hash
+    set is the unit all downstream near-dup machinery works on — signature
+    derivation re-hashes fixed-width longs and exact-Jaccard verification
+    intersects long arrays (collisions bounded by 2^-64)."""
+    hashes = exploded_shingle_hashes(
+        _ensure_parallelism(df), id_col, text_col, n, kind
+    )
+    return hashes.groupBy(id_col).agg(F.collect_set("__h").alias("__sh"))
 
 
 def minhash_near_dup_pairs(
@@ -362,14 +389,7 @@ def minhash_near_dup_pairs(
     # Persist it: it feeds signature generation AND both branches of the
     # verify join — without it the normalize+shingle scan re-executes 3x
     # (measured 5x wall-clock at sf0.1).
-    hashes = exploded_shingle_hashes(
-        _ensure_parallelism(df), id_col, text_col, shingle_n, shingle_kind
-    )
-    shingled = (
-        hashes.groupBy(id_col)
-        .agg(F.collect_set("__h").alias("__sh"))
-        .persist()
-    )
+    shingled = shingle_sets(df, id_col, text_col, shingle_n, shingle_kind).persist()
     sig_table = (
         oph_signatures_table if sig_method == "oph" else minhash_signatures_table
     )
@@ -403,14 +423,7 @@ def prefix_filter_jaccard_pairs(
     qualifying pair — unlike MinHash-LSH this is deterministic and
     recall-1.0, at the cost of candidate volume that grows with document
     overlap (use the LSH path when approximate recall is acceptable)."""
-    hashes = exploded_shingle_hashes(
-        _ensure_parallelism(df), id_col, text_col, shingle_n, shingle_kind
-    )
-    sets = (
-        hashes.groupBy(id_col)
-        .agg(F.collect_set("__h").alias("__sh"))
-        .persist()
-    )
+    sets = shingle_sets(df, id_col, text_col, shingle_n, shingle_kind).persist()
     pre = sets.select(
         F.col(id_col),
         F.explode(
@@ -561,6 +574,166 @@ def ngram_jaccard_dedup(
         shingle_kind="char", bands=bands, sig_method="oph", **kw
     )
     return _drop_matched(df, id_col, pairs)
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup: persisted corpus signature index
+# --------------------------------------------------------------------------
+
+class MinHashCorpusIndex:
+    """Persisted MinHash-LSH index of an ingested corpus, for
+    batch-vs-corpus NEAR-dup dedup — the crawl-delta shape
+    :func:`incremental_dedup` covers for exact duplicates, extended to
+    paraphrased / lightly-edited re-crawls.
+
+    Layout under ``path`` (all parquet, so the index lives on the same
+    DFS as the corpus):
+
+    - ``bands/``     (band, bucket, <id>) — the LSH banding table
+    - ``shingles/``  (<id>, __sh array<long>) — hashed shingle sets for
+      exact-Jaccard verification of banding candidates
+    - ``params/``    one-row JSON pinning the signature parameters, so a
+      later session probes with bit-identical banding
+
+    Scale contract (the reason this class exists): a crawl delta probing
+    a petabyte corpus must touch the corpus ONLY through this index. The
+    corpus text is never re-read, re-shingled, or re-paired; the index
+    tables are a small fixed multiple of the doc count (bands: ``bands``
+    rows × ~20 B/doc; shingles: one long per distinct shingle). Both
+    probe joins broadcast the batch side, so the corpus-side scans
+    stream map-side through broadcast hash joins — zero corpus shuffle
+    per delta. Accepting a batch is two parquet appends; no rebuild.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        *,
+        threshold: float = 0.8,
+        num_perm: int = 32,
+        bands: int = 8,
+        shingle_n: int = 3,
+        shingle_kind: str = "word",
+        sig_method: str = "classic",
+    ) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.threshold = threshold
+        self.num_perm = num_perm
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.shingle_kind = shingle_kind
+        self.sig_method = sig_method
+
+    # -- construction ------------------------------------------------------
+
+    def _prepared(self, df: DataFrame, text_col: str):
+        """(shingle-set table, signature table) for any document frame,
+        using the index's pinned parameters."""
+        sets = shingle_sets(df, self.id_col, text_col, self.shingle_n,
+                            self.shingle_kind)
+        table = (
+            oph_signatures_table if self.sig_method == "oph"
+            else minhash_signatures_table
+        )
+        return sets, table(sets, self.id_col, "__sh", self.num_perm)
+
+    def _write(self, df: DataFrame, text_col: str, mode: str) -> None:
+        sets, sigs = self._prepared(df, text_col)
+        sets = sets.persist()  # feeds both the banding chain and its own write
+        banded = banded_buckets(
+            sigs, self.id_col, "__sig", self.bands, self.num_perm // self.bands
+        )
+        banded.write.mode(mode).parquet(f"{self.path}/bands")
+        sets.write.mode(mode).parquet(f"{self.path}/shingles")
+        sets.unpersist()
+
+    def build(self, corpus: DataFrame, text_col: str = "text") -> None:
+        """Index an existing corpus (one full scan, ever — every later
+        delta probes the result)."""
+        self._write(corpus, text_col, "overwrite")
+        corpus.sparkSession.createDataFrame(
+            [(self.id_col, self.threshold, self.num_perm, self.bands,
+              self.shingle_n, self.shingle_kind, self.sig_method)],
+            "id_col string, threshold double, num_perm int, bands int, "
+            "shingle_n int, shingle_kind string, sig_method string",
+        ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
+
+    def append(self, accepted: DataFrame, text_col: str = "text") -> None:
+        """Fold an accepted batch into the index (two parquet appends —
+        the existing index files are untouched)."""
+        self._write(accepted, text_col, "append")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MinHashCorpusIndex":
+        """Reopen an index with the exact parameters it was built with."""
+        p = spark.read.json(f"{path}/params").collect()[0]
+        return cls(
+            path, p["id_col"], threshold=p["threshold"],
+            num_perm=int(p["num_perm"]), bands=int(p["bands"]),
+            shingle_n=int(p["shingle_n"]), shingle_kind=p["shingle_kind"],
+            sig_method=p["sig_method"],
+        )
+
+    # -- probing -----------------------------------------------------------
+
+    def probe_pairs(self, batch: DataFrame, text_col: str = "text") -> DataFrame:
+        """Verified near-dup pairs between a new batch and the indexed
+        corpus: (batch_id, corpus_id, jaccard_sim) with exact shingle
+        Jaccard >= threshold.
+
+        Join order is chosen for the delta-vs-petabyte case: the batch's
+        banding table broadcasts into the corpus ``bands/`` scan, the
+        surviving candidate ids broadcast into the ``shingles/`` scan —
+        the corpus side of both joins never shuffles."""
+        spark = batch.sparkSession
+        b_sets, b_sigs = self._prepared(batch, text_col)
+        b_sets = b_sets.persist()  # feeds banding AND verification
+        b_banded = banded_buckets(
+            b_sigs, self.id_col, "__sig", self.bands, self.num_perm // self.bands
+        ).withColumnRenamed(self.id_col, "batch_id")
+        c_banded = spark.read.parquet(f"{self.path}/bands")
+        cand = (
+            c_banded.join(F.broadcast(b_banded), ["band", "bucket"])
+            .select("batch_id", F.col(self.id_col).alias("corpus_id"))
+            .distinct()
+        )
+        c_sets = spark.read.parquet(f"{self.path}/shingles").select(
+            F.col(self.id_col).alias("corpus_id"), F.col("__sh").alias("__sh_c")
+        )
+        b_side = b_sets.select(
+            F.col(self.id_col).alias("batch_id"), F.col("__sh").alias("__sh_b")
+        )
+        return (
+            c_sets.join(F.broadcast(cand), "corpus_id")
+            .join(F.broadcast(b_side), "batch_id")
+            .withColumn("jaccard_sim", jaccard(F.col("__sh_b"), F.col("__sh_c")))
+            .filter(F.col("jaccard_sim") >= self.threshold)
+            .select("batch_id", "corpus_id", "jaccard_sim")
+        )
+
+    def filter_novel(
+        self, batch: DataFrame, text_col: str = "text", *,
+        dedup_within: bool = True,
+    ) -> DataFrame:
+        """The incremental-ingestion operator: batch rows that are not a
+        near-dup of anything in the corpus, optionally near-dup-deduped
+        within the batch itself (same parameters). The survivors are what
+        :meth:`append` should fold into the index."""
+        pairs = self.probe_pairs(batch, text_col)
+        dropped = pairs.select(
+            F.col("batch_id").alias(self.id_col)
+        ).distinct()
+        fresh = batch.join(F.broadcast(dropped), self.id_col, "left_anti")
+        if dedup_within:
+            fresh = minhash_dedup(
+                fresh, self.id_col, text_col, threshold=self.threshold,
+                num_perm=self.num_perm, bands=self.bands,
+                shingle_n=self.shingle_n, shingle_kind=self.shingle_kind,
+                sig_method=self.sig_method,
+            )
+        return fresh
 
 
 # --------------------------------------------------------------------------

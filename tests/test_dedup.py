@@ -188,3 +188,70 @@ def test_incremental_dedup(spark):
     )
     out = dedup.incremental_dedup(batch, corpus, "doc_id", "text")
     assert {r["doc_id"] for r in out.collect()} == {11, 13}
+
+
+def test_minhash_corpus_index_probe(spark, tmp_path):
+    """Incremental NEAR-dup (VERDICT r2 #1): a paraphrased re-crawl of an
+    indexed corpus doc must be dropped by the signature probe (exact
+    fingerprints cannot catch it), genuinely new content must survive,
+    and within-batch near-dups keep the min id."""
+    corpus = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, "old news about a completely unrelated topic from yesterday"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = dedup.MinHashCorpusIndex(
+        str(tmp_path / "idx"), "doc_id",
+        threshold=0.5, num_perm=32, bands=16,
+    )
+    idx.build(corpus, "text")
+    batch = spark.createDataFrame(
+        [
+            (10, BASE.replace("lazy", "sleepy")),  # paraphrased re-crawl -> drop
+            (11, BASE),                            # exact re-crawl -> drop
+            (12, "fresh document describing spark physical plans in detail"),
+            (13, "fresh document describing spark physical plans in detail today"),  # near-dup of 12
+            (14, "entirely new content with no overlap whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = idx.probe_pairs(batch, "text").collect()
+    hit = {(r["batch_id"], r["corpus_id"]) for r in pairs}
+    assert (10, 1) in hit and (11, 1) in hit
+    assert all(b not in (12, 13, 14) for b, _ in hit)
+    for r in pairs:
+        assert 0.5 <= r["jaccard_sim"] <= 1.0
+
+    out = idx.filter_novel(batch, "text")
+    assert {r["doc_id"] for r in out.collect()} == {12, 14}
+
+
+def test_minhash_corpus_index_append_and_load(spark, tmp_path):
+    """Accepted batches fold into the index via parquet append; a probe
+    after append drops the re-sent batch. load() restores the pinned
+    parameters so a later session bands identically."""
+    corpus = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    idx = dedup.MinHashCorpusIndex(
+        path, "doc_id", threshold=0.5, num_perm=32, bands=16,
+    )
+    idx.build(corpus, "text")
+    batch = spark.createDataFrame(
+        [(20, "a brand new document about distributed joins and shuffles")],
+        ["doc_id", "text"],
+    )
+    accepted = idx.filter_novel(batch, "text")
+    assert accepted.count() == 1
+    idx.append(accepted, "text")
+
+    reopened = dedup.MinHashCorpusIndex.load(spark, path)
+    assert (reopened.num_perm, reopened.bands, reopened.threshold) == (32, 16, 0.5)
+    assert reopened.shingle_kind == "word" and reopened.sig_method == "classic"
+    # the re-sent batch is now a corpus near-dup -> nothing survives
+    assert reopened.filter_novel(batch, "text").count() == 0
+    # and the original corpus content still indexed
+    assert reopened.filter_novel(
+        spark.createDataFrame([(30, BASE)], ["doc_id", "text"]), "text"
+    ).count() == 0
