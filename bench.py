@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from streaming_data_pipeline_azure_spark.functions.cache import release_caches
 from streaming_data_pipeline_azure_spark.session import get_spark
 
 import __spark_entry__ as entrymod
@@ -89,20 +90,29 @@ def main() -> None:
             yield pdf
 
     spark.range(256).repartition(64).mapInPandas(_identity, "id long").count()
-    # Build the session-cached IVF index outside the timed region: an ANN
-    # index amortizes across many probes in any real deployment, so the
-    # ann_ivf_topk entry measures probe cost (centroid ranking +
-    # partition-pruned scan), not a one-off build.
-    entrymod.queries()["ann_ivf_topk"](spark, sf_dir)
 
     timings: dict[str, float] = {}
+    # Session-cached index builds happen before the per-query loop: an
+    # index amortizes across many probes in any real deployment, so the
+    # probe entries measure probe cost. The relocated build cost is NOT
+    # hidden — each build is its own labeled entry (ADVICE r2), counted
+    # into the total, so round-over-round totals stay like-for-like.
+    t0 = time.perf_counter()
+    entrymod.queries()["ann_ivf_topk"](spark, sf_dir)
+    timings["preamble_ivf_index_build"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    entrymod._corpus_minhash_index(spark, sf_dir)
+    timings["preamble_minhash_index_build"] = round(time.perf_counter() - t0, 4)
+
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
-        # operators that persist() intermediates (LSH dedup) hold blocks
-        # until the session drops them; clear between queries so each
-        # timing is isolated instead of degrading under accumulated cache
+        # operators that persist() intermediates (LSH dedup, packing)
+        # register them with the cache tracker; release between queries so
+        # each timing is isolated instead of degrading under accumulated
+        # blocks. clearCache sweeps anything untracked.
+        release_caches()
         spark.catalog.clearCache()
 
     timings["streaming_enrich_pipeline"] = round(bench_streaming(spark, sf_dir), 4)

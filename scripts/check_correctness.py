@@ -17,6 +17,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from streaming_data_pipeline_azure_spark.functions.cache import release_caches
 from streaming_data_pipeline_azure_spark.schemas import TESTDATA_TABLES
 from streaming_data_pipeline_azure_spark.session import get_spark
 
@@ -61,6 +62,7 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        release_caches()  # drop operator-internal persists between queries
         if name not in oracles:
             print(f"  {name:28s} rows-only: {len(srows)} rows, cols={scols}")
             continue

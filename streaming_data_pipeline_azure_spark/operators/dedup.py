@@ -33,6 +33,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.cache import persist_tracked
 from streaming_data_pipeline_azure_spark.functions.vector import (
     cosine_similarity,
     to_double_array,
@@ -389,7 +390,9 @@ def minhash_near_dup_pairs(
     # Persist it: it feeds signature generation AND both branches of the
     # verify join — without it the normalize+shingle scan re-executes 3x
     # (measured 5x wall-clock at sf0.1).
-    shingled = shingle_sets(df, id_col, text_col, shingle_n, shingle_kind).persist()
+    shingled = persist_tracked(
+        shingle_sets(df, id_col, text_col, shingle_n, shingle_kind)
+    )
     sig_table = (
         oph_signatures_table if sig_method == "oph" else minhash_signatures_table
     )
@@ -423,7 +426,9 @@ def prefix_filter_jaccard_pairs(
     qualifying pair — unlike MinHash-LSH this is deterministic and
     recall-1.0, at the cost of candidate volume that grows with document
     overlap (use the LSH path when approximate recall is acceptable)."""
-    sets = shingle_sets(df, id_col, text_col, shingle_n, shingle_kind).persist()
+    sets = persist_tracked(
+        shingle_sets(df, id_col, text_col, shingle_n, shingle_kind)
+    )
     pre = sets.select(
         F.col(id_col),
         F.explode(
@@ -689,7 +694,7 @@ class MinHashCorpusIndex:
         the corpus side of both joins never shuffles."""
         spark = batch.sparkSession
         b_sets, b_sigs = self._prepared(batch, text_col)
-        b_sets = b_sets.persist()  # feeds banding AND verification
+        b_sets = persist_tracked(b_sets)  # feeds banding AND verification
         b_banded = banded_buckets(
             b_sigs, self.id_col, "__sig", self.bands, self.num_perm // self.bands
         ).withColumnRenamed(self.id_col, "batch_id")
@@ -830,7 +835,7 @@ def simhash_near_dup_pairs(
     # the lineage here stops Catalyst from inlining the 64-level signature
     # fold expression into every chunk projection downstream (a measured
     # multi-second planning/codegen blowup, not an execution cost).
-    sigs = simhash_table(df, id_col, text_col).persist()
+    sigs = persist_tracked(simhash_table(df, id_col, text_col))
     mask = (1 << chunk_bits) - 1
     # Members carry (id, signature) into the bucket groupBy so hamming
     # verification is row-local on the expanded pairs — the signature
@@ -949,7 +954,8 @@ def embedding_near_dup_pairs(
     bucketed = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(tables).alias("__t", "__bucket"),
-    ).persist()  # both self-join branches reuse the plane projections
+    )
+    bucketed = persist_tracked(bucketed)  # both self-join branches reuse the plane projections
     a = bucketed.select(F.col("__id").alias("id_a"), "__t", "__bucket")
     b = bucketed.select(F.col("__id").alias("id_b"), "__t", "__bucket")
     cand = (

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.cache import persist_tracked
+
 
 def with_global_cumsum(
     df: DataFrame,
@@ -48,7 +50,10 @@ def with_global_cumsum(
     ranged = df.withColumn("__val", value).repartitionByRange(
         n_ranges, F.col(order_col)
     ).withColumn("__pid", F.spark_partition_id())
-    ranged = ranged.persist()  # totals pass + final pass read it once each
+    # totals pass + final pass read it once each; released by the host's
+    # next release_caches() sweep (ADVICE r2: a bare persist accumulated
+    # blocks across the 80+-query bench loop)
+    ranged = persist_tracked(ranged)
     totals = (
         ranged.groupBy("__pid").agg(F.sum("__val").alias("__tot")).collect()
     )

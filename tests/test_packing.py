@@ -65,3 +65,24 @@ def test_cumsum_independent_of_partition_count(spark):
         for r in packing.with_global_cumsum(df, "id", "v", n_ranges=13).collect()
     }
     assert a == b
+
+
+def test_persist_tracker_releases_blocks(spark, sf_dir):
+    """Operators register internal persists; release_caches() unpersists
+    them all (ADVICE r2: bare persists accumulated blocks across the
+    bench loop)."""
+    from streaming_data_pipeline_azure_spark.functions import cache as c
+    from streaming_data_pipeline_azure_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    c.release_caches()  # drain anything earlier tests left behind
+    docs = spark.range(100).selectExpr("id AS doc_id", "id % 7 + 1 AS toks")
+    pack_sequences(docs, "doc_id", "toks", capacity=50).collect()
+    assert len(c._LIVE) >= 1
+    tracked = list(c._LIVE)
+    released = c.release_caches()
+    assert released == len(tracked)
+    assert not c._LIVE
+    for df in tracked:
+        assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
