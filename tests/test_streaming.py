@@ -230,7 +230,7 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path, customers):
     run_to_completion(q)
     first_batches = {
         r["order_id"]: r["batch_id"]
-        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+        for r in spark.read.parquet(sink.log_path(spark)).collect()
     }
     assert set(first_batches) == {"a", "b"}
 
@@ -240,7 +240,7 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path, customers):
         customers, sink, ckpt, trigger_available_now=True,
     )
     run_to_completion(q2)
-    raw = spark.read.parquet(str(tmp_path / "sink")).collect()
+    raw = spark.read.parquet(sink.log_path(spark)).collect()
     # a and b appear exactly once, in their ORIGINAL batch partitions
     # (the resumed query never rewrote them); c was appended by batch 2+
     per_key = {}
@@ -279,9 +279,12 @@ def test_sink_compaction_gc_and_replay(spark, tmp_path):
     assert after == before
     # batch 0 is fully shadowed -> its partition is gone; log holds
     # exactly one physical row per key
-    dirs = {d for d in os.listdir(sink.path) if d.startswith("batch_id=")}
+    dirs = {
+        d for d in os.listdir(sink.log_path(spark))
+        if d.startswith("batch_id=")
+    }
     assert "batch_id=0" not in dirs
-    assert spark.read.parquet(sink.path).count() == 3
+    assert spark.read.parquet(sink.log_path(spark)).count() == 3
 
     # replay batch 1 (its original content) after compaction: no dupes,
     # resolved view unchanged
@@ -356,3 +359,47 @@ def test_streaming_corpus_clean_matches_batch(spark, tmp_path):
     assert {d for d, _, _ in streamed} == {1, 2}  # doc 3 quality-filtered
     [(_, redacted, _)] = [t for t in streamed if t[0] == 2]
     assert "<EMAIL>" in redacted and "example.com" not in redacted
+
+
+def test_sink_compaction_is_generational_and_crash_safe(spark, tmp_path):
+    """Generation-swap compaction (VERDICT r2 #6): survivors are staged
+    into gen=G+1 and become live only when the _COMMITTED marker lands.
+    A crash between stage and commit leaves the old generation fully
+    readable; commit flips atomically; GC then drops the old log."""
+    import os
+
+    sink = ParquetUpsertSink(str(tmp_path / "sink"), key="k")
+    sink.write_batch(spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int"), 0)
+    sink.write_batch(spark.createDataFrame([("a", 2)], "k string, v int"), 1)
+    before = {(r["k"], r["v"]) for r in sink.read(spark).collect()}
+    assert before == {("a", 2), ("b", 1)}
+    assert sink.current_gen(spark) == 0
+
+    # simulate the crash: survivors staged, marker never created
+    sink._write_generation(spark, 1)
+    assert os.path.isdir(f"{sink.path}/gen=1")
+    assert not os.path.exists(f"{sink.path}/gen=1/_COMMITTED")
+    assert sink.current_gen(spark) == 0  # new gen invisible
+    assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == before
+    # and the interrupted stage can be retried wholesale (overwrite mode)
+    sink._write_generation(spark, 1)
+
+    # the flip: one marker create makes gen 1 live
+    sink._commit(spark, 1)
+    assert sink.current_gen(spark) == 1
+    assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == before
+    # old generation still on disk until GC (crash-after-commit window)
+    assert os.path.isdir(f"{sink.path}/gen=0")
+    sink._gc(spark, keep=1)
+    assert not os.path.isdir(f"{sink.path}/gen=0")
+
+    # full compact() on top: writes gen 2, flips, GCs gen 1
+    sink.write_batch(spark.createDataFrame([("c", 5)], "k string, v int"), 2)
+    sink.compact(spark)
+    assert sink.current_gen(spark) == 2
+    assert not os.path.isdir(f"{sink.path}/gen=1")
+    assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == (
+        before | {("c", 5)}
+    )
+    # nothing in compact() ever staged survivors via localCheckpoint
+    # (non-replayable executor state) — the stage is a plain parquet write
