@@ -833,6 +833,21 @@ def _ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _IVF_CACHE[key].probe(spark, _query_vector(spark, sf), k=10)
 
 
+def _ann_ivf_multiquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched IVF serving probe: the same 5-query set multiquery_topk
+    answers exactly, through one pruned scan of the IVF index's probed
+    partitions (VERDICT r2 #7). Recall vs the exact batched answer is
+    pinned in tests/test_similarity.py."""
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = (id(spark), sf)
+    if key not in _IVF_CACHE:
+        _ann_ivf_topk(spark, sf)  # builds + caches
+    return _IVF_CACHE[key].probe_batch(spark, queries, k=5)
+
+
 _EVAL_THRESHOLD = "0ccccccc"  # md5-prefix threshold for the 5% eval split
 
 
@@ -1422,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_multiquery": _ann_ivf_multiquery,
         "events_value_sketches": _events_value_sketches,
     }
 

@@ -6,6 +6,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from streaming_data_pipeline_azure_spark.operators import similarity as sim
 
 VECS = [
@@ -207,3 +209,56 @@ def test_quantize_int8_stats_bounds(spark):
     assert r2["qscale"] == 0.0
     assert r2["q_absmax"] == 0
     assert r2["recon_max_err"] == 0.0
+
+
+def test_ivf_batched_probe_matches_single_and_exact(spark, tmp_path, sf_dir):
+    """probe_batch (VERDICT r2 #7): the batched probe must (1) agree
+    exactly with per-query probe() at the same n_probe — same pruned
+    partitions, same scoring — and (2) keep decent recall vs the exact
+    batched answer (multiquery_topk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = sim.IvfIndex(str(tmp_path / "ivf"), dim=64, n_planes=4)
+    idx.build(emb, "embedding")
+    qids = [0, 5, 11]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batched = idx.probe_batch(spark, queries, k=10, n_probe=4)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    assert set(got) == set(qids)
+    recalls = []
+    for qid in qids:
+        q = [float(x) for x in
+             emb.filter(f"vec_id = {qid}").collect()[0]["embedding"]]
+        single = [(r["vec_id"], r["score"])
+                  for r in idx.probe(spark, q, k=10, n_probe=4).collect()]
+        b = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+        assert [v for v, _ in b] == [v for v, _ in single]
+        for (_, sa), (_, sb) in zip(b, single):
+            assert abs(sa - sb) < 1e-9
+        exact = {r["vec_id"] for r in
+                 sim.topk_bruteforce(emb, "embedding", q, k=10).collect()}
+        recalls.append(len(exact & {v for v, _ in b}) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_batched_probe_prunes_partitions(spark, tmp_path, sf_dir):
+    """The batched probe's vector scan must carry a centroid_id partition
+    filter (union of probed partitions) and join the broadcast probe
+    plan — never a full-index scan or sort-merge join."""
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = sim.IvfIndex(str(tmp_path / "ivf"), dim=64, n_planes=4)
+    idx.build(emb, "embedding")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = physical_plan(idx.probe_batch(spark, queries, k=5, n_probe=2))
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
