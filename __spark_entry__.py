@@ -93,8 +93,14 @@ def _events(spark: SparkSession, sf: str) -> DataFrame:
     plan resolved (ADVICE r1: avoid order-dependent session state)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf}/events.parquet")
-    if dict(raw.dtypes)["ts"] == "bigint":
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # round-4 testdata ships micros WITHOUT the UTC-adjusted flag; the
+        # session tz is pinned to UTC, so the cast reinterprets the same
+        # wall-clock instants and unix_micros/session_window keep working
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -737,10 +743,18 @@ def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
 _MINHASH_IDX_CACHE: dict = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Cache key that cannot alias across sessions: ``id(spark)`` can
+    recycle after a stopped session is GC'd and would hand a stale index
+    path to a new session in a long-lived multi-session process (VERDICT
+    r3 minor #4); applicationId is unique per SparkContext lifetime."""
+    return spark.sparkContext.applicationId
+
+
 def _corpus_minhash_index(spark: SparkSession, sf: str):
     """Session-cached MinHash index of the src0-src9 corpus half — built
     once (the corpus' single full scan), probed by every delta."""
-    key = (id(spark), sf)
+    key = (_session_key(spark), sf)
     if key not in _MINHASH_IDX_CACHE:
         docs = _docs(spark, sf)
         srcnum = F.regexp_extract("source", r"(\d+)", 1).cast("int")
@@ -825,7 +839,7 @@ def _ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     pruned scan. The index is built once per (session, sf) and reused —
     an index is amortized across many probes in any real deployment, so
     the query measures probe cost, not build cost (VERDICT r1 #4)."""
-    key = (id(spark), sf)
+    key = (_session_key(spark), sf)
     if key not in _IVF_CACHE:
         idx = similarity.IvfIndex(_fresh_index_dir("ivf_"))
         idx.build(_emb(spark, sf), "embedding")
@@ -842,7 +856,7 @@ def _ann_ivf_multiquery(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    key = (id(spark), sf)
+    key = (_session_key(spark), sf)
     if key not in _IVF_CACHE:
         _ann_ivf_topk(spark, sf)  # builds + caches
     return _IVF_CACHE[key].probe_batch(spark, queries, k=5)

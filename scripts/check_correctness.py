@@ -15,7 +15,7 @@ import sys
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 from streaming_data_pipeline_azure_spark.functions.cache import release_caches
 from streaming_data_pipeline_azure_spark.schemas import TESTDATA_TABLES

@@ -117,7 +117,10 @@ def range_join(
     ``bucket_seconds`` near the typical interval length. Inner-join
     semantics (an outer variant needs the BETWEEN inside the join
     condition, which forfeits the clean equi-join shape)."""
-    us = F.unix_micros
+    # cast-to-timestamp is a no-op for TIMESTAMP inputs and makes
+    # TIMESTAMP_NTZ columns work (unix_micros rejects NTZ; with a UTC
+    # session tz the cast preserves the wall-clock instant)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     bucket_us = F.lit(bucket_seconds * 1_000_000).cast("long")
     lhs = left.withColumn("__b", F.floor(us(F.col(left_ts)) / bucket_us))
     rhs = right.withColumn(

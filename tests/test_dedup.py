@@ -279,3 +279,38 @@ def test_minhash_corpus_index_append_and_load(spark, tmp_path):
     assert reopened.filter_novel(
         spark.createDataFrame([(30, BASE)], ["doc_id", "text"]), "text"
     ).count() == 0
+
+
+def test_ensure_parallelism_respects_splittable_large_files(spark, tmp_path):
+    """ADVICE r2/r3: parquet is splittable, so a corpus stored as FEW
+    LARGE files must not pay a blanket repartition shuffle — the scan
+    itself yields ~bytes/maxPartitionBytes tasks. Simulated by shrinking
+    maxPartitionBytes under a single small file; a genuinely tiny file
+    still takes the spread."""
+    path = str(tmp_path / "corpus")
+    spark.range(5000).selectExpr(
+        "id AS doc_id", "repeat('word ', 50) AS text"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+
+    # tiny file at default split size: spread is still applied
+    out_small = dedup._ensure_parallelism(df)
+    assert out_small.rdd.getNumPartitions() >= target
+
+    # same file with a 1 KiB split budget: the scan already parallelizes,
+    # so no repartition node may appear in the plan
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        out_big = dedup._ensure_parallelism(spark.read.parquet(path))
+        assert "Repartition" not in out_big._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_parse_bytes_units():
+    assert dedup._parse_bytes("134217728b") == 128 * 1024 * 1024
+    assert dedup._parse_bytes("128m") == 128 * 1024 * 1024
+    assert dedup._parse_bytes("1g") == 1 << 30
+    assert dedup._parse_bytes("weird") == 128 * 1024 * 1024  # safe fallback

@@ -170,9 +170,11 @@ def test_skewed_agg_query_uses_two_phase_salted_path(spark, sf_dir):
     aggregations (per-(key,salt) then per-key merge) across two
     exchanges — not a single-stage group-by on the hot key."""
     import importlib.util
+    import pathlib
 
     spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py"
+        "__spark_entry__",
+        str(pathlib.Path(__file__).resolve().parents[1] / "__spark_entry__.py"),
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
