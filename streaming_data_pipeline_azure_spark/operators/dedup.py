@@ -34,6 +34,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_azure_spark.functions.cache import persist_tracked
+from streaming_data_pipeline_azure_spark.functions.generations import (
+    GenerationalDir,
+)
 from streaming_data_pipeline_azure_spark.functions.vector import (
     cosine_similarity,
     to_double_array,
@@ -627,11 +630,13 @@ class MinHashCorpusIndex:
     Layout under ``path`` (all parquet, so the index lives on the same
     DFS as the corpus):
 
-    - ``bands/``     (band, bucket, <id>) — the LSH banding table
-    - ``shingles/``  (<id>, __sh array<long>) — hashed shingle sets for
-      exact-Jaccard verification of banding candidates
+    - ``gen=G/bands/``     (band, bucket, <id>) — the LSH banding table
+    - ``gen=G/shingles/``  (<id>, __sh array<long>) — hashed shingle
+      sets for exact-Jaccard verification of banding candidates
     - ``params/``    one-row JSON pinning the signature parameters, so a
-      later session probes with bit-identical banding
+      later session probes with bit-identical banding; verified against
+      the instance's parameters on every probe/append (a mismatched
+      banding would silently return garbage candidates)
 
     Scale contract (the reason this class exists): a crawl delta probing
     a petabyte corpus must touch the corpus ONLY through this index. The
@@ -641,6 +646,13 @@ class MinHashCorpusIndex:
     probe joins broadcast the batch side, so the corpus-side scans
     stream map-side through broadcast hash joins — zero corpus shuffle
     per delta. Accepting a batch is two parquet appends; no rebuild.
+
+    Maintenance (VERDICT r3 #5): every :meth:`append` adds a task's
+    worth of small files, so a long-lived index accumulates a file-count
+    tax on each probe's scan. :meth:`compact` rewrites the live tables
+    into few right-sized files using the same crash-safe generation swap
+    as the upsert sink — stage ``gen=G+1``, marker-commit, GC — and
+    :meth:`stats` reports doc/band/file counts for scheduling it.
     """
 
     def __init__(
@@ -663,6 +675,38 @@ class MinHashCorpusIndex:
         self.shingle_n = shingle_n
         self.shingle_kind = shingle_kind
         self.sig_method = sig_method
+        self._gens = GenerationalDir(path)
+        self._params_verified = False
+
+    def _bands_path(self, spark) -> str:
+        return f"{self._gens.gen_path(spark)}/bands"
+
+    def _shingles_path(self, spark) -> str:
+        return f"{self._gens.gen_path(spark)}/shingles"
+
+    def _params_tuple(self):
+        return (self.id_col, float(self.threshold), int(self.num_perm),
+                int(self.bands), int(self.shingle_n), self.shingle_kind,
+                self.sig_method)
+
+    def _check_params(self, spark) -> None:
+        """Refuse to probe/append with parameters that differ from the
+        ones the on-disk index was built with — MinHash banding is only
+        meaningful when both sides hash identically, and a silent
+        mismatch would return garbage candidates, not an error."""
+        if self._params_verified:
+            return
+        p = spark.read.json(f"{self.path}/params").collect()[0]
+        on_disk = (p["id_col"], float(p["threshold"]), int(p["num_perm"]),
+                   int(p["bands"]), int(p["shingle_n"]), p["shingle_kind"],
+                   p["sig_method"])
+        if on_disk != self._params_tuple():
+            raise ValueError(
+                f"MinHashCorpusIndex parameter mismatch at {self.path}: "
+                f"index was built with {on_disk}, instance has "
+                f"{self._params_tuple()}; reopen via MinHashCorpusIndex.load()"
+            )
+        self._params_verified = True
 
     # -- construction ------------------------------------------------------
 
@@ -678,13 +722,14 @@ class MinHashCorpusIndex:
         return sets, table(sets, self.id_col, "__sh", self.num_perm)
 
     def _write(self, df: DataFrame, text_col: str, mode: str) -> None:
+        spark = df.sparkSession
         sets, sigs = self._prepared(df, text_col)
         sets = sets.persist()  # feeds both the banding chain and its own write
         banded = banded_buckets(
             sigs, self.id_col, "__sig", self.bands, self.num_perm // self.bands
         )
-        banded.write.mode(mode).parquet(f"{self.path}/bands")
-        sets.write.mode(mode).parquet(f"{self.path}/shingles")
+        banded.write.mode(mode).parquet(self._bands_path(spark))
+        sets.write.mode(mode).parquet(self._shingles_path(spark))
         sets.unpersist()
 
     def build(self, corpus: DataFrame, text_col: str = "text") -> None:
@@ -697,22 +742,67 @@ class MinHashCorpusIndex:
             "id_col string, threshold double, num_perm int, bands int, "
             "shingle_n int, shingle_kind string, sig_method string",
         ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
+        self._params_verified = True
 
     def append(self, accepted: DataFrame, text_col: str = "text") -> None:
         """Fold an accepted batch into the index (two parquet appends —
         the existing index files are untouched)."""
+        self._check_params(accepted.sparkSession)
         self._write(accepted, text_col, "append")
+
+    # -- maintenance -------------------------------------------------------
+
+    def stats(self, spark) -> dict:
+        """Index health counters for scheduling :meth:`compact`:
+        ``n_docs`` (one shingle-set row per indexed doc), ``n_band_rows``
+        (= n_docs × bands), ``n_band_files`` / ``n_shingle_files`` (the
+        small-file accumulation appends cause), and the live
+        ``generation``."""
+        bands_df = spark.read.parquet(self._bands_path(spark))
+        sh_df = spark.read.parquet(self._shingles_path(spark))
+        return {
+            "generation": self._gens.current_gen(spark),
+            "n_docs": sh_df.count(),
+            "n_band_rows": bands_df.count(),
+            "n_band_files": len(bands_df.inputFiles()),
+            "n_shingle_files": len(sh_df.inputFiles()),
+        }
+
+    def compact(self, spark, target_files: int | None = None) -> None:
+        """Merge append-accumulated small files: rewrite the live bands/
+        shingles tables into ``target_files`` right-sized files under
+        generation G+1, marker-commit, GC generation G. Crash-safe the
+        same way the upsert sink is — a crash before the commit leaves
+        generation G fully live; the stale stage is GC'd by the next
+        successful compaction. Contents are untouched (pure re-layout),
+        so probes before and after are identical."""
+        nxt = self._gens.current_gen(spark) + 1
+        live_bands = spark.read.parquet(self._bands_path(spark))
+        live_sh = spark.read.parquet(self._shingles_path(spark))
+        n = target_files or max(
+            1, spark.sparkContext.defaultParallelism // 4
+        )
+        live_bands.repartition(n).write.mode("overwrite").parquet(
+            f"{self.path}/gen={nxt}/bands"
+        )
+        live_sh.repartition(n).write.mode("overwrite").parquet(
+            f"{self.path}/gen={nxt}/shingles"
+        )
+        self._gens.commit(spark, nxt)
+        self._gens.gc_below(spark, keep=nxt)
 
     @classmethod
     def load(cls, spark, path: str) -> "MinHashCorpusIndex":
         """Reopen an index with the exact parameters it was built with."""
         p = spark.read.json(f"{path}/params").collect()[0]
-        return cls(
+        idx = cls(
             path, p["id_col"], threshold=p["threshold"],
             num_perm=int(p["num_perm"]), bands=int(p["bands"]),
             shingle_n=int(p["shingle_n"]), shingle_kind=p["shingle_kind"],
             sig_method=p["sig_method"],
         )
+        idx._params_verified = True  # parameters came from the index itself
+        return idx
 
     # -- probing -----------------------------------------------------------
 
@@ -726,18 +816,19 @@ class MinHashCorpusIndex:
         surviving candidate ids broadcast into the ``shingles/`` scan —
         the corpus side of both joins never shuffles."""
         spark = batch.sparkSession
+        self._check_params(spark)
         b_sets, b_sigs = self._prepared(batch, text_col)
         b_sets = persist_tracked(b_sets)  # feeds banding AND verification
         b_banded = banded_buckets(
             b_sigs, self.id_col, "__sig", self.bands, self.num_perm // self.bands
         ).withColumnRenamed(self.id_col, "batch_id")
-        c_banded = spark.read.parquet(f"{self.path}/bands")
+        c_banded = spark.read.parquet(self._bands_path(spark))
         cand = (
             c_banded.join(F.broadcast(b_banded), ["band", "bucket"])
             .select("batch_id", F.col(self.id_col).alias("corpus_id"))
             .distinct()
         )
-        c_sets = spark.read.parquet(f"{self.path}/shingles").select(
+        c_sets = spark.read.parquet(self._shingles_path(spark)).select(
             F.col(self.id_col).alias("corpus_id"), F.col("__sh").alias("__sh_c")
         )
         b_side = b_sets.select(

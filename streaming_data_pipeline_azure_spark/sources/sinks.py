@@ -38,51 +38,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_MARKER = "_COMMITTED"
+from streaming_data_pipeline_azure_spark.functions.generations import (
+    GenerationalDir,
+)
 
 
 class ParquetUpsertSink:
     """Keyed, idempotent, log-structured parquet sink with generational
-    compaction."""
+    compaction (generation bookkeeping shared with the corpus indexes via
+    :class:`GenerationalDir`)."""
 
     def __init__(self, path: str, key: str = "order_id"):
         self.path = path
         self.key = key
-
-    # -- generation bookkeeping (Hadoop FS API: works on any scheme Spark
-    # -- can write — local, HDFS, ABFS/S3A) --------------------------------
-
-    def _fs(self, spark):
-        jvm = spark.sparkContext._jvm
-        root = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        return fs, jvm
-
-    def _gens_on_disk(self, spark) -> list[tuple[int, bool]]:
-        """[(gen, committed?)] for every gen=N child of the sink root."""
-        fs, jvm = self._fs(spark)
-        root = jvm.org.apache.hadoop.fs.Path(self.path)
-        if not fs.exists(root):
-            return []
-        out = []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if name.startswith("gen="):
-                marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), _MARKER)
-                out.append((int(name[4:]), bool(fs.exists(marker))))
-        return sorted(out)
+        self._gens = GenerationalDir(path)
 
     def current_gen(self, spark) -> int:
         """The live generation: highest committed, else 0 (the bootstrap
         generation needs no marker — it is only ever superseded by a
         committed successor)."""
-        committed = [g for g, ok in self._gens_on_disk(spark) if ok]
-        return committed[-1] if committed else 0
+        return self._gens.current_gen(spark)
 
     def log_path(self, spark) -> str:
         """Directory of the live generation's batch log (what a raw
         ``spark.read.parquet`` of the sink should point at)."""
-        return f"{self.path}/gen={self.current_gen(spark)}"
+        return self._gens.gen_path(spark)
 
     # -- write / read ------------------------------------------------------
 
@@ -146,24 +126,6 @@ class ParquetUpsertSink:
             .parquet(f"{self.path}/gen={gen}")
         )
 
-    def _commit(self, spark, gen: int) -> None:
-        """The atomic flip: one marker-file create makes ``gen`` live."""
-        fs, jvm = self._fs(spark)
-        fs.createNewFile(
-            jvm.org.apache.hadoop.fs.Path(f"{self.path}/gen={gen}/{_MARKER}")
-        )
-
-    def _gc(self, spark, keep: int) -> None:
-        """Drop every generation below ``keep`` (shadowed data + any
-        stale uncommitted stage left by a crashed compaction)."""
-        fs, jvm = self._fs(spark)
-        for g, _ in self._gens_on_disk(spark):
-            if g < keep:
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(f"{self.path}/gen={g}"),
-                    True,
-                )
-
     def compact(self, spark) -> None:
         """Garbage-collect shadowed versions: survivors → generation G+1,
         marker-commit, GC older generations. Caps the read-side
@@ -172,8 +134,8 @@ class ParquetUpsertSink:
         docstring."""
         nxt = self.current_gen(spark) + 1
         self._write_generation(spark, nxt)
-        self._commit(spark, nxt)
-        self._gc(spark, keep=nxt)
+        self._gens.commit(spark, nxt)
+        self._gens.gc_below(spark, keep=nxt)
 
 
 def write_parquet_append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

@@ -314,3 +314,81 @@ def test_parse_bytes_units():
     assert dedup._parse_bytes("128m") == 128 * 1024 * 1024
     assert dedup._parse_bytes("1g") == 1 << 30
     assert dedup._parse_bytes("weird") == 128 * 1024 * 1024  # safe fallback
+
+
+def test_minhash_corpus_index_compact_and_stats(spark, tmp_path):
+    """VERDICT r3 #5: compact() merges append-accumulated small files via
+    the crash-safe generation swap without changing probe results; stats()
+    reports doc/band/file counters; probing with parameters that differ
+    from the on-disk pin raises instead of silently mis-banding."""
+    import os
+
+    path = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} about shared topic {i % 3} words") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    idx = dedup.MinHashCorpusIndex(path, "doc_id", threshold=0.5,
+                                   num_perm=32, bands=16)
+    idx.build(corpus, "text")
+    for j in range(3):  # three accepted deltas -> three appends of small files
+        idx.append(
+            spark.createDataFrame(
+                [(100 + 10 * j + k, f"delta {j} novel doc {k} content xyz")
+                 for k in range(2)],
+                ["doc_id", "text"],
+            ),
+            "text",
+        )
+
+    before = idx.stats(spark)
+    assert before["generation"] == 0
+    assert before["n_docs"] == 26
+    assert before["n_band_rows"] == 26 * 16
+
+    probe = spark.createDataFrame(
+        [(900, "corpus doc 7 about shared topic 1 words"),
+         (901, "delta 2 novel doc 1 content xyz"),
+         (902, "completely unrelated fresh text with zero overlap")],
+        ["doc_id", "text"],
+    )
+    pairs_before = {
+        (r["batch_id"], r["corpus_id"])
+        for r in idx.probe_pairs(probe, "text").collect()
+    }
+    assert any(b == 900 for b, _ in pairs_before)  # corpus hit
+    assert any(b == 901 for b, _ in pairs_before)  # appended-delta hit
+
+    idx.compact(spark, target_files=1)
+    after = idx.stats(spark)
+    assert after["generation"] == 1
+    assert not os.path.isdir(f"{path}/gen=0")  # old generation GC'd
+    # contents identical, layout merged
+    assert (after["n_docs"], after["n_band_rows"]) == (
+        before["n_docs"], before["n_band_rows"]
+    )
+    assert after["n_band_files"] == 1 and after["n_shingle_files"] == 1
+    assert after["n_band_files"] < before["n_band_files"]
+    pairs_after = {
+        (r["batch_id"], r["corpus_id"])
+        for r in idx.probe_pairs(probe, "text").collect()
+    }
+    assert pairs_after == pairs_before
+
+    # append still works on the compacted generation and lands in gen=1
+    idx.append(
+        spark.createDataFrame([(500, "post compact novel doc")],
+                              ["doc_id", "text"]), "text",
+    )
+    assert idx.stats(spark)["n_docs"] == 27
+
+    # mismatched parameters: a directly-constructed instance with a
+    # different banding must refuse to probe or append
+    import pytest
+
+    wrong = dedup.MinHashCorpusIndex(path, "doc_id", threshold=0.5,
+                                     num_perm=32, bands=8)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        wrong.probe_pairs(probe, "text")
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        wrong.append(probe, "text")

@@ -385,12 +385,12 @@ def test_sink_compaction_is_generational_and_crash_safe(spark, tmp_path):
     sink._write_generation(spark, 1)
 
     # the flip: one marker create makes gen 1 live
-    sink._commit(spark, 1)
+    sink._gens.commit(spark, 1)
     assert sink.current_gen(spark) == 1
     assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == before
     # old generation still on disk until GC (crash-after-commit window)
     assert os.path.isdir(f"{sink.path}/gen=0")
-    sink._gc(spark, keep=1)
+    sink._gens.gc_below(spark, keep=1)
     assert not os.path.isdir(f"{sink.path}/gen=0")
 
     # full compact() on top: writes gen 2, flips, GCs gen 1
