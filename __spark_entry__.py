@@ -862,6 +862,57 @@ def _ann_ivf_multiquery(spark: SparkSession, sf: str) -> DataFrame:
     return _IVF_CACHE[key].probe_batch(spark, queries, k=5)
 
 
+_EMB_NEARDUP_IVF_CACHE: dict = {}
+
+
+def _corpus_ivf_index(spark: SparkSession, sf: str):
+    """Session-cached IVF index of the vec_id%10<8 corpus slice of the
+    embeddings table — built once (the corpus' single full scan), probed
+    by every crawl delta (the embedding twin of _corpus_minhash_index)."""
+    key = (_session_key(spark), sf)
+    if key not in _EMB_NEARDUP_IVF_CACHE:
+        corpus = _emb(spark, sf).filter(F.col("vec_id") % 10 < 8)
+        idx = similarity.IvfIndex(_fresh_index_dir("ivf_neardup_"))
+        idx.build(corpus, "embedding")
+        _EMB_NEARDUP_IVF_CACHE[key] = idx
+    return _EMB_NEARDUP_IVF_CACHE[key]
+
+
+def _embedding_neardup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-delta EMBEDDING near-dup dedup (VERDICT r3 #2): vec_id%10>=8
+    vectors arrive as the new batch and probe the persisted IVF index of
+    the vec_id%10<8 corpus. The corpus embeddings are scanned exactly
+    once (at index build); every probe reads ONLY the probed centroid
+    partitions of the index's vectors/ parquet, with the batch broadcast
+    into the scan — zero corpus shuffle per delta (plan-tested in
+    test_plans.py::test_ivf_probe_pairs_reads_only_index_partitions).
+
+    Non-vacuous by construction: the synthetic embeddings have no
+    natural near-identical pairs at cos 0.95, so the batch re-crawls
+    every 25th corpus vector under a fresh id with a tiny element-wise
+    perturbation (the lightly-re-encoded re-crawl case exact fingerprints
+    cannot catch); those must be dropped by the index probe. The planted
+    drop is additionally pinned at controlled scale in
+    tests/test_similarity.py::test_ivf_probe_pairs_incremental_dedup."""
+    emb = _emb(spark, sf)
+    idx = _corpus_ivf_index(spark, sf)
+    recrawled = (
+        emb.filter((F.col("vec_id") % 10 < 8) & (F.col("vec_id") % 25 == 0))
+        .withColumn("vec_id", F.col("vec_id") + 1000000)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x + F.lit(0.003) * ((i % F.lit(3)) - F.lit(1)),
+            ),
+        )
+    )
+    batch = emb.filter(F.col("vec_id") % 10 >= 8).unionByName(recrawled)
+    return idx.filter_novel(
+        batch, threshold=0.95, n_probe=4, dedup_within=False
+    ).select("vec_id", "label")
+
+
 _EVAL_THRESHOLD = "0ccccccc"  # md5-prefix threshold for the 5% eval split
 
 
@@ -1355,9 +1406,70 @@ def _d_hits(lang: str) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is deliberate (VERDICT r3 #3): the driver's CORRECTNESS
+    # gate caps at the first 50 entries, so oracle-backed queries the
+    # driver has NOT yet hash-checked come first, followed by the
+    # riskiest previously-green ones; simple previously-green entries and
+    # rows-only ops (which get the weaker rows-only record regardless)
+    # sit past the window. scripts/check_correctness.py still verifies
+    # ALL oracle entries locally each round.
     return {
-        # ---- core surface (SURVEY.md §2.1) ----
+        # ---- oracle-backed, driver-unseen through r3 (rotated in) ----
+        "decontaminate_ngrams": _decontaminate_ngrams,
+        "repetition_stats": _repetition_stats,
+        "stratified_sample_stats": _stratified_sample_stats,
+        "chunk_documents": _chunk_documents,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "order_count_distribution": _order_count_distribution,
+        "small_order_revenue": _small_order_revenue,
+        "large_orders": _large_orders,
+        "nation_trade_flows": _nation_trade_flows,
+        "kmeans_assign_stats": _kmeans_assign_stats,
+        "rolling_daily_revenue": _rolling_daily_revenue,
+        "doc_length_deciles": _doc_length_deciles,
+        "embedding_centroids": _embedding_centroids,
+        "embedding_quantize_stats": _embedding_quantize_stats,
+        "price_histogram": _price_histogram,
+        "nation_market_share": _nation_market_share,
+        "skewed_agg_totals": _skewed_agg_totals,
+        "source_capped_stats": _source_capped_stats,
+        "daily_gapfill": _daily_gapfill,
+        "pricing_grouping_sets": _pricing_grouping_sets,
+        "user_activity_similarity": _user_activity_similarity,
+        # ---- oracle-backed, driver-green in r3; riskiest kept in-window
+        # (flagship join, dedup/similarity, timestamp-sensitive after the
+        # r4 NTZ testdata change, UDF-backed multimodal, salted skew) ----
         "enriched_orders": _enriched,
+        "pricing_summary": _pricing_summary,
+        "orders_by_nation": _orders_by_nation,
+        "revenue_by_segment": _revenue_by_segment,
+        "dedup_exact": _dedup_exact,
+        "dedup_normalized": _dedup_normalized,
+        "dedup_jaccard_exact": _dedup_jaccard_exact,
+        "dedup_incremental": _dedup_incremental,
+        "embedding_neardup_exact": _embedding_neardup_exact,
+        "similarity_topk": _similarity_topk,
+        "multiquery_topk": _multiquery_topk,
+        "multimodal_decode": _multimodal_decode,
+        "skewed_join_totals": _skewed_join_totals,
+        "pii_redaction": _pii_redaction,
+        "top_terms": _top_terms,
+        "pack_documents": _pack_documents,
+        "events_sessionized": _events_sessionized,
+        "events_hourly": _events_hourly,
+        "events_in_sessions": _events_in_sessions,
+        "asof_latest_click": _asof_latest_click,
+        "events_date_parts": _events_date_parts,
+        "events_daily_pivot": _events_daily_pivot,
+        "doc_fingerprint": _doc_fingerprints,
+        "token_stats": _token_stats,
+        "quality_scores": _quality,
+        "lang_id_counts": _lang_id_counts,
+        "corpus_stats": _corpus_stats,
+        "value_percentiles": _value_percentiles,
+        "events_by_type": _events_by_type,
+        # ---- oracle-backed, driver-green in r3, simple shapes (past the
+        # 50-entry window this round; still in check_correctness.py) ----
         "filter_city": lambda spark, sf: relational.filter_by_city(
             _enriched(spark, sf), FILTER_CITY
         ),
@@ -1373,81 +1485,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": lambda spark, sf: relational.top_n(
             _tables(spark, sf, "customer")[0], 10, order_col="c_custkey"
         ),
-        "pricing_summary": _pricing_summary,
-        "orders_by_nation": _orders_by_nation,
-        "revenue_by_segment": _revenue_by_segment,
-        # ---- extension surface (SURVEY.md §2.3, X1-X5) ----
-        "dedup_exact": _dedup_exact,
-        "doc_fingerprint": _doc_fingerprints,
-        "token_stats": _token_stats,
-        "quality_scores": _quality,
-        "lang_id_counts": _lang_id_counts,
-        "corpus_stats": _corpus_stats,
         "corpus_clean_stats": _corpus_clean_stats,
         "train_test_split_stats": _train_test_split_stats,
-        "events_by_type": _events_by_type,
-        "events_hourly": _events_hourly,
         "events_json_extract": _events_json_extract,
-        "events_sessionized": _events_sessionized,
         "top_orders_per_city": _top_orders_per_city,
-        "asof_latest_click": _asof_latest_click,
-        "events_in_sessions": _events_in_sessions,
         "documents_profile": _documents_profile,
         "lineitem_numeric_summary": _lineitem_numeric_summary,
         "pricing_rollup": _pricing_rollup,
         "pricing_cube": _pricing_cube,
         "clickers_not_buyers": _clickers_not_buyers,
         "clickers_and_buyers": _clickers_and_buyers,
-        "events_daily_pivot": _events_daily_pivot,
         "embedding_array_stats": _embedding_array_stats,
         "events_props_map": _events_props_map,
         "customer_name_features": _customer_name_features,
-        "events_date_parts": _events_date_parts,
-        "value_percentiles": _value_percentiles,
         "customers_without_orders": _customers_without_orders,
         "customers_with_orders": _customers_with_orders,
         "segments_above_avg": _segments_above_avg,
-        "similarity_topk": _similarity_topk,
-        "multiquery_topk": _multiquery_topk,
-        "dedup_normalized": _dedup_normalized,
-        "dedup_jaccard_exact": _dedup_jaccard_exact,
-        "embedding_neardup_exact": _embedding_neardup_exact,
-        "multimodal_decode": _multimodal_decode,
-        "skewed_join_totals": _skewed_join_totals,
-        "dedup_incremental": _dedup_incremental,
-        "pii_redaction": _pii_redaction,
-        "top_terms": _top_terms,
-        "pack_documents": _pack_documents,
-        "decontaminate_ngrams": _decontaminate_ngrams,
-        "repetition_stats": _repetition_stats,
-        "stratified_sample_stats": _stratified_sample_stats,
-        "chunk_documents": _chunk_documents,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "order_count_distribution": _order_count_distribution,
-        "small_order_revenue": _small_order_revenue,
-        "large_orders": _large_orders,
-        "nation_trade_flows": _nation_trade_flows,
-        "kmeans_assign_stats": _kmeans_assign_stats,
-        "rolling_daily_revenue": _rolling_daily_revenue,
-        "doc_length_deciles": _doc_length_deciles,
-        "doc_length_deciles_approx": _doc_length_deciles_approx,
-        "embedding_centroids": _embedding_centroids,
-        "embedding_quantize_stats": _embedding_quantize_stats,
-        "price_histogram": _price_histogram,
-        "nation_market_share": _nation_market_share,
-        "skewed_agg_totals": _skewed_agg_totals,
-        "source_capped_stats": _source_capped_stats,
-        "daily_gapfill": _daily_gapfill,
-        "pricing_grouping_sets": _pricing_grouping_sets,
-        "user_activity_similarity": _user_activity_similarity,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
-        "dedup_minhash": _dedup_minhash,
+        "embedding_neardup_incremental": _embedding_neardup_incremental,
         "dedup_incremental_neardup": _dedup_incremental_neardup,
+        "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram": _dedup_ngram,
         "dedup_minhash_cc": _dedup_minhash_cc,
         "embedding_neardup_pairs": _embedding_neardup,
+        "doc_length_deciles_approx": _doc_length_deciles_approx,
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
         "ann_ivf_topk": _ann_ivf_topk,

@@ -103,6 +103,11 @@ def main() -> None:
     t0 = time.perf_counter()
     entrymod._corpus_minhash_index(spark, sf_dir)
     timings["preamble_minhash_index_build"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    entrymod._corpus_ivf_index(spark, sf_dir)
+    timings["preamble_emb_neardup_index_build"] = round(
+        time.perf_counter() - t0, 4
+    )
 
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.cache import persist_tracked
 from streaming_data_pipeline_azure_spark.functions.vector import (
     cosine_similarity,
     literal_vector,
@@ -302,14 +303,72 @@ class IvfIndex:
     the query (tiny driver-side computation over C rows), read only the
     ``n_probe`` best partitions (partition pruning → untouched files are
     never opened), brute-force within.
+
+    Beyond serving (:meth:`probe` / :meth:`probe_batch`), the persisted
+    layout doubles as the EMBEDDING-side crawl-delta dedup index (VERDICT
+    r3 #2 — the vector twin of ``dedup.MinHashCorpusIndex``):
+    :meth:`probe_pairs` finds corpus near-dups of a new batch through ONE
+    partition-pruned scan of the probed centroid partitions with the
+    batch broadcast into it — zero corpus shuffle per delta —
+    :meth:`filter_novel` drops the matched batch rows, and :meth:`append`
+    folds an accepted batch in as a partitioned parquet append against
+    the frozen centroid set (standard IVF practice: the quantizer does
+    not move on insert; rebuild when drift warrants it). ``params/`` pins
+    the build parameters so a later session reopens via :meth:`load`
+    with a verified-identical configuration.
     """
 
     def __init__(self, path: str, dim: int = 64, n_planes: int = 6, seed: int = 42,
                  kmeans_iters: int = 4):
         self.path = path
         self.dim = dim
+        self.n_planes = n_planes
+        self.seed = seed
         self.planes = random_hyperplanes(dim, n_planes, seed)
         self.kmeans_iters = kmeans_iters
+        self._params_verified = False
+        self._cstate = None  # (c_ids, c_mat) after first centroid read
+
+    def _params_tuple(self):
+        return (int(self.dim), int(self.n_planes), int(self.seed))
+
+    def _check_params(self, spark) -> None:
+        """Refuse to probe/append with a configuration that differs from
+        the on-disk pin (same contract as MinHashCorpusIndex: a silent
+        mismatch — wrong dim above all — would score garbage)."""
+        if self._params_verified:
+            return
+        p = spark.read.json(f"{self.path}/params").collect()[0]
+        on_disk = (int(p["dim"]), int(p["n_planes"]), int(p["seed"]))
+        if on_disk != self._params_tuple():
+            raise ValueError(
+                f"IvfIndex parameter mismatch at {self.path}: index was "
+                f"built with (dim, n_planes, seed)={on_disk}, instance "
+                f"has {self._params_tuple()}; reopen via IvfIndex.load()"
+            )
+        self._params_verified = True
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        """Reopen an index with the exact parameters it was built with."""
+        p = spark.read.json(f"{path}/params").collect()[0]
+        idx = cls(path, dim=int(p["dim"]), n_planes=int(p["n_planes"]),
+                  seed=int(p["seed"]), kmeans_iters=int(p["kmeans_iters"]))
+        idx._params_verified = True
+        return idx
+
+    def _centroid_state(self, spark):
+        """(c_ids, c_mat) from the persisted centroid table — O(C×d)
+        driver state, cached per instance (centroids are immutable after
+        build; appends never move them)."""
+        if self._cstate is None:
+            import numpy as np
+
+            cent = spark.read.parquet(f"{self.path}/centroids").collect()
+            c_ids = np.array([r["centroid_id"] for r in cent], dtype=np.int64)
+            c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
+            self._cstate = (c_ids, c_mat)
+        return self._cstate
 
     @staticmethod
     def _assign(vecs: DataFrame, id_col: str, c_ids, c_mat) -> DataFrame:
@@ -419,6 +478,13 @@ class IvfIndex:
             "centroid_id"
         ).parquet(f"{self.path}/vectors")
         vecs.unpersist()
+        spark.createDataFrame(
+            [(int(self.dim), int(self.n_planes), int(self.seed),
+              int(self.kmeans_iters), id_col)],
+            "dim int, n_planes int, seed int, kmeans_iters int, id_col string",
+        ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
+        self._params_verified = True
+        self._cstate = None  # rebuilt centroids invalidate the cache
 
     def probe_batch(
         self,
@@ -514,3 +580,164 @@ class IvfIndex:
             .limit(k)
             .select(id_col, "score")
         )
+
+    # -- incremental embedding near-dup (VERDICT r3 #2) --------------------
+
+    def _assign_multi(
+        self, vecs: DataFrame, id_col: str, c_ids, c_mat, n_probe: int
+    ) -> DataFrame:
+        """Multi-probe assignment: each vector → its ``n_probe`` nearest
+        centroids, one output row per (vector, probed centroid). Same
+        broadcast-centroids + Arrow-batch BLAS shape as :meth:`_assign`;
+        ``argpartition`` keeps the per-batch cost O(B×C), not O(B×C log C)."""
+        import numpy as np
+
+        spark = vecs.sparkSession
+        b_ids = spark.sparkContext.broadcast(c_ids)
+        b_mat = spark.sparkContext.broadcast(c_mat)
+
+        def assign(batches):
+            import pandas as pd
+
+            ids, mat = b_ids.value, b_mat.value
+            k = min(n_probe, len(ids))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                bm = np.array(list(pdf["__v"]), dtype=np.float64)
+                bn = np.linalg.norm(bm, axis=1, keepdims=True)
+                bn[bn == 0] = 1.0
+                sims = (bm / bn) @ mat.T  # B×C
+                if k < sims.shape[1]:
+                    top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+                else:
+                    top = np.tile(np.arange(sims.shape[1]), (len(bm), 1))
+                rep = np.repeat(np.arange(len(pdf)), top.shape[1])
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[rep],
+                        "centroid_id": ids[top].ravel(),
+                        "vec": pdf["__v"].iloc[rep].to_numpy(),
+                    }
+                )
+
+        return vecs.select(id_col, "__v").mapInPandas(
+            assign,
+            schema=f"{id_col} long, centroid_id long, vec array<double>",
+        )
+
+    def probe_pairs(
+        self,
+        batch: DataFrame,
+        *,
+        threshold: float = 0.95,
+        n_probe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Verified near-dup pairs between a new batch and the indexed
+        corpus: (batch_id, corpus_id, cosine_sim) with cosine >=
+        ``threshold`` — the embedding twin of
+        ``MinHashCorpusIndex.probe_pairs``.
+
+        Shape, chosen for the delta-vs-petabyte case:
+
+        - batch vectors multi-probe their ``n_probe`` nearest centroids
+          (Arrow-batched BLAS against the broadcast O(C×d) centroid
+          table — the batch is never collected);
+        - ONE partition-pruned scan reads the union of probed partitions
+          (files of unprobed centroids stay unread on disk);
+        - the corpus side streams through a broadcast hash join against
+          the batch's (centroid, vec) probe rows — zero corpus shuffle;
+        - each corpus vector lives in exactly one partition and each
+          (batch, centroid) probe row is unique, so a (batch, corpus)
+          pair is scored at most once — no dedup pass.
+
+        Recall: a corpus near-dup is missed only if its home centroid is
+        not among the batch vector's ``n_probe`` closest — for
+        near-identical thresholds (the dedup regime) the two vectors
+        rank centroids almost identically, so even ``n_probe=1`` is
+        nearly exact; raise ``n_probe`` for looser thresholds. The exact
+        anchor (:func:`allpairs_cosine_pairs`) remains the recall-1.0
+        fallback."""
+        spark = batch.sparkSession
+        self._check_params(spark)
+        c_ids, c_mat = self._centroid_state(spark)
+        b_vecs = batch.select(
+            F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+        )
+        assigned = self._assign_multi(b_vecs, id_col, c_ids, c_mat, n_probe)
+        assigned = persist_tracked(
+            assigned.select(
+                F.col(id_col).alias("batch_id"),
+                "centroid_id",
+                F.col("vec").alias("__bv"),
+            )
+        )  # feeds the probed-partition listing AND the verify join
+        probed = sorted(
+            r["centroid_id"]
+            for r in assigned.select("centroid_id").distinct().collect()
+        )  # O(C) driver rows — bounds the partition pruning
+        vecs = spark.read.parquet(f"{self.path}/vectors").filter(
+            F.col("centroid_id").isin(probed)  # partition pruning
+        )
+        return (
+            vecs.join(F.broadcast(assigned), "centroid_id")
+            .withColumn(
+                "cosine_sim", cosine_similarity(F.col("vec"), F.col("__bv"))
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+            .select(
+                "batch_id", F.col(id_col).alias("corpus_id"), "cosine_sim"
+            )
+        )
+
+    def filter_novel(
+        self,
+        batch: DataFrame,
+        *,
+        threshold: float = 0.95,
+        n_probe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dedup_within: bool = True,
+    ) -> DataFrame:
+        """The incremental-ingestion operator: batch rows whose embedding
+        is not a near-dup of anything indexed, optionally near-dup-deduped
+        within the batch itself. The survivors are what :meth:`append`
+        should fold into the index."""
+        pairs = self.probe_pairs(
+            batch, threshold=threshold, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+        )
+        dropped = pairs.select(F.col("batch_id").alias(id_col)).distinct()
+        fresh = batch.join(F.broadcast(dropped), id_col, "left_anti")
+        if dedup_within:
+            from streaming_data_pipeline_azure_spark.operators.dedup import (
+                embedding_dedup,
+            )
+
+            fresh = embedding_dedup(
+                fresh, id_col, vec_col,
+                threshold=threshold, dim=self.dim, seed=self.seed,
+            )
+        return fresh
+
+    def append(
+        self, accepted: DataFrame, vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Fold an accepted batch into the index: nearest-centroid assign
+        against the FROZEN centroid set, then a partitioned parquet
+        append — existing files are untouched, centroids do not move
+        (rebuild when ingestion drift degrades probe recall)."""
+        spark = accepted.sparkSession
+        self._check_params(spark)
+        c_ids, c_mat = self._centroid_state(spark)
+        vecs = accepted.select(
+            F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+        )
+        assigned = self._assign(vecs, id_col, c_ids, c_mat)
+        assigned.repartition("centroid_id").write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(f"{self.path}/vectors")

@@ -209,3 +209,36 @@ def test_incremental_neardup_probe_reads_only_index(spark, tmp_path):
         assert str(tmp_path / "idx") in loc, (loc, plan)
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_probe_pairs_reads_only_index_partitions(spark, tmp_path):
+    """IvfIndex.probe_pairs (VERDICT r3 #2): the corpus participates ONLY
+    through its persisted IVF layout — every parquet scan in the probe
+    plan points at the index directory (the source table is never
+    re-read), the vectors scan is partition-pruned to the probed
+    centroids, the batch side broadcasts into the corpus-side join, and
+    nothing sort-merge-joins (zero corpus shuffle)."""
+    from streaming_data_pipeline_azure_spark.operators import similarity
+
+    rows = [
+        (i, [float(10.0 * (i % 4 == d)) + 0.01 * ((i * 7 + d) % 5)
+             for d in range(8)])
+        for i in range(64)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = similarity.IvfIndex(str(tmp_path / "ivf"), dim=8, n_planes=3, seed=5)
+    idx.build(corpus, "embedding")
+
+    batch = spark.createDataFrame(
+        rows[:4], "vec_id long, embedding array<double>"
+    )  # local relation: any parquet scan in the plan must be the index
+    plan = physical_plan(idx.probe_pairs(batch, threshold=0.9, n_probe=2))
+    locations = re.findall(r"Location:.*\[(.*)\]", plan)
+    parquet_locs = [loc for loc in locations if loc]
+    assert parquet_locs, plan
+    for loc in parquet_locs:
+        assert str(tmp_path / "ivf") in loc, (loc, plan)
+    assert re.search(r"PartitionFilters: \[.*centroid_id", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
