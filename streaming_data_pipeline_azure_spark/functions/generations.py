@@ -62,6 +62,13 @@ class GenerationalDir:
             jvm.org.apache.hadoop.fs.Path(f"{self.path}/gen={gen}/{_MARKER}")
         )
 
+    def reset(self, spark) -> None:
+        """Delete the whole generation family (fresh rebuild): removes
+        stale markers along with the data, so a rebuild can never leave a
+        committed-but-empty higher generation shadowing the new gen=0."""
+        fs, jvm = self._fs(spark)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(self.path), True)
+
     def gc_below(self, spark, keep: int) -> None:
         """Drop every generation below ``keep`` (shadowed data + stale
         uncommitted stages left by crashed rewrites)."""

@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_azure_spark.functions.cache import persist_tracked
+from streaming_data_pipeline_azure_spark.functions.generations import (
+    GenerationalDir,
+)
 from streaming_data_pipeline_azure_spark.functions.vector import (
     cosine_similarity,
     literal_vector,
@@ -328,6 +331,13 @@ class IvfIndex:
         self.kmeans_iters = kmeans_iters
         self._params_verified = False
         self._cstate = None  # (c_ids, c_mat) after first centroid read
+        # vectors live under vectors/gen=G so append-accumulated small
+        # files can merge via the same crash-safe stage/commit/GC swap
+        # the sink and the MinHash index use
+        self._vgens = GenerationalDir(f"{path}/vectors")
+
+    def _vectors_path(self, spark) -> str:
+        return self._vgens.gen_path(spark)
 
     def _params_tuple(self):
         return (int(self.dim), int(self.n_planes), int(self.seed))
@@ -473,10 +483,13 @@ class IvfIndex:
         assigned = self._assign(vecs, id_col, c_ids, c_mat)
         # co-locate each centroid's vectors before the partitioned write:
         # one file per centroid directory instead of tasks × centroids
-        # fragments (also the right layout for probe-side scan locality)
+        # fragments (also the right layout for probe-side scan locality).
+        # reset() first: a rebuild over an old index must not leave a
+        # committed higher generation shadowing the fresh gen=0
+        self._vgens.reset(spark)
         assigned.repartition("centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
-        ).parquet(f"{self.path}/vectors")
+        ).parquet(f"{self.path}/vectors/gen=0")
         vecs.unpersist()
         spark.createDataFrame(
             [(int(self.dim), int(self.n_planes), int(self.seed),
@@ -535,7 +548,7 @@ class IvfIndex:
             f"{query_id_col} long, centroid_id long, __qv array<double>",
         )
         probed = sorted({cid for _, cid, _ in plan_rows})
-        vecs = spark.read.parquet(f"{self.path}/vectors").filter(
+        vecs = spark.read.parquet(self._vectors_path(spark)).filter(
             F.col("centroid_id").isin(probed)  # partition pruning
         )
         scored = vecs.join(F.broadcast(probe_plan), "centroid_id").select(
@@ -569,7 +582,7 @@ class IvfIndex:
             .collect()
         )  # tiny: C rows -> n_probe ids; this collect is O(n_probe)
         ids = [r["centroid_id"] for r in best]
-        vecs = spark.read.parquet(f"{self.path}/vectors").filter(
+        vecs = spark.read.parquet(self._vectors_path(spark)).filter(
             F.col("centroid_id").isin(ids)  # partition pruning
         )
         scored = vecs.withColumn(
@@ -678,7 +691,7 @@ class IvfIndex:
             r["centroid_id"]
             for r in assigned.select("centroid_id").distinct().collect()
         )  # O(C) driver rows — bounds the partition pruning
-        vecs = spark.read.parquet(f"{self.path}/vectors").filter(
+        vecs = spark.read.parquet(self._vectors_path(spark)).filter(
             F.col("centroid_id").isin(probed)  # partition pruning
         )
         return (
@@ -740,4 +753,33 @@ class IvfIndex:
         assigned = self._assign(vecs, id_col, c_ids, c_mat)
         assigned.repartition("centroid_id").write.mode("append").partitionBy(
             "centroid_id"
-        ).parquet(f"{self.path}/vectors")
+        ).parquet(self._vectors_path(spark))
+
+    # -- maintenance -------------------------------------------------------
+
+    def stats(self, spark) -> dict:
+        """Index health counters for scheduling :meth:`compact`:
+        ``n_vectors``, ``n_centroids`` (live partitions), ``n_files``
+        (the small-file accumulation appends cause), and the live
+        ``generation``."""
+        vecs = spark.read.parquet(self._vectors_path(spark))
+        return {
+            "generation": self._vgens.current_gen(spark),
+            "n_vectors": vecs.count(),
+            "n_centroids": vecs.select("centroid_id").distinct().count(),
+            "n_files": len(vecs.inputFiles()),
+        }
+
+    def compact(self, spark) -> None:
+        """Merge append-accumulated small files: rewrite the live vectors
+        table back to one file per centroid partition under generation
+        G+1, marker-commit, GC generation G — the same crash-safe swap
+        as ``MinHashCorpusIndex.compact`` / the sink. Pure re-layout:
+        assignments, centroids, and probe results are untouched."""
+        nxt = self._vgens.current_gen(spark) + 1
+        live = spark.read.parquet(self._vectors_path(spark))
+        live.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(f"{self.path}/vectors/gen={nxt}")
+        self._vgens.commit(spark, nxt)
+        self._vgens.gc_below(spark, keep=nxt)

@@ -347,3 +347,55 @@ def test_ivf_load_and_params_guard(spark, tmp_path):
         wrong.probe_pairs(batch)
     with pytest.raises(ValueError, match="parameter mismatch"):
         wrong.append(batch)
+
+
+def test_ivf_compact_and_stats(spark, tmp_path):
+    """IVF maintenance (symmetry with MinHashCorpusIndex.compact):
+    appends accumulate small files per centroid partition; compact()
+    merges them under generation G+1 with the crash-safe marker swap,
+    GC's the old generation, and leaves probe results untouched."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    rows = _clustered_corpus()
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = sim.IvfIndex(path, dim=16, n_planes=4, seed=11)
+    idx.build(corpus, "embedding")
+    for j in range(2):  # two fold-ins -> small files in partition dirs
+        delta = spark.createDataFrame(
+            [(300000 + 100 * j + i, v) for i, (vid, v) in enumerate(rows[j::7])],
+            "vec_id long, embedding array<double>",
+        )
+        idx.append(delta)
+
+    before = idx.stats(spark)
+    assert before["generation"] == 0
+    assert before["n_vectors"] == 160 + len(rows[0::7]) + len(rows[1::7])
+
+    probe = spark.createDataFrame(rows[:5], "vec_id long, embedding array<double>")
+    pairs_before = {
+        (r["batch_id"], r["corpus_id"])
+        for r in idx.probe_pairs(probe, threshold=0.99, n_probe=2).collect()
+    }
+    assert pairs_before  # self-hits at minimum
+
+    idx.compact(spark)
+    after = idx.stats(spark)
+    assert after["generation"] == 1
+    assert not os.path.isdir(f"{path}/vectors/gen=0")
+    assert (after["n_vectors"], after["n_centroids"]) == (
+        before["n_vectors"], before["n_centroids"]
+    )
+    assert after["n_files"] == after["n_centroids"]  # one file per partition
+    assert after["n_files"] < before["n_files"]
+    pairs_after = {
+        (r["batch_id"], r["corpus_id"])
+        for r in idx.probe_pairs(probe, threshold=0.99, n_probe=2).collect()
+    }
+    assert pairs_after == pairs_before
+
+    # rebuild over a compacted index must land cleanly back at gen=0
+    idx2 = sim.IvfIndex(path, dim=16, n_planes=4, seed=11)
+    idx2.build(corpus, "embedding")
+    assert idx2.stats(spark)["generation"] == 0
+    assert idx2.stats(spark)["n_vectors"] == 160
