@@ -297,6 +297,72 @@ def allpairs_cosine_pairs(
     )
 
 
+def batch_corpus_cosine_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT batch-vs-corpus cosine pairs >= threshold — the recall-1.0
+    anchor for :meth:`IvfIndex.probe_pairs` (the asymmetric counterpart
+    of :func:`allpairs_cosine_pairs`, which anchors the symmetric LSH
+    paths).
+
+    The batch (crawl delta — small by construction, the same contract
+    under which the MinHash probe broadcasts its batch side) is
+    collected once into an O(delta×d) normalized matrix and broadcast;
+    the corpus side streams through Arrow-batched numpy matmuls at scan
+    speed and never shuffles. A crossJoin + per-pair HOF cosine computes
+    the same thing ~30× slower (interpreted lambda per pair vs one BLAS
+    call per Arrow batch — measured 21 s vs <1 s at sf0.1).
+    Exact-but-linear-per-delta: at petabyte corpus scale every delta
+    re-pays one full corpus scan, which is precisely the cost the
+    persisted IVF index probe avoids — this op exists as the
+    correctness/recall oracle for that path, and as the honest fallback
+    when index recall is not acceptable."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    b_rows = batch.select(id_col, vec_col).collect()  # O(delta×d) by contract
+    b_ids = np.array([r[id_col] for r in b_rows], dtype=np.int64)
+    b_mat = np.array([list(r[vec_col]) for r in b_rows], dtype=np.float64)
+    bn = np.linalg.norm(b_mat, axis=1, keepdims=True)
+    bn[bn == 0] = 1.0
+    bc_ids = spark.sparkContext.broadcast(b_ids)
+    bc_mat = spark.sparkContext.broadcast(b_mat / bn)
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids, mat = bc_ids.value, bc_mat.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids) == 0:
+                continue
+            cm = np.array(list(pdf["__v"]), dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cn[cn == 0] = 1.0
+            sims = (cm / cn) @ mat.T  # corpus_block × delta
+            ci, bi = np.nonzero(sims >= threshold)
+            if len(ci) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "batch_id": ids[bi],
+                    "corpus_id": pdf[id_col].to_numpy()[ci],
+                    "cosine_sim": sims[ci, bi],
+                }
+            )
+
+    c = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    return c.mapInPandas(
+        kernel, schema="batch_id long, corpus_id long, cosine_sim double"
+    )
+
+
 class IvfIndex:
     """IVF-flat index over parquet: build once, probe cheaply many times.
 

@@ -24,3 +24,32 @@ def test_every_query_runs_and_oracle_keys_subset(spark, sf_dir):
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_embedding_incremental_probe_matches_exact_anchor(spark, sf_dir):
+    """The IVF-probe incremental dedup must agree with its oracle-green
+    exact twin on the registered split: in the near-identical regime
+    (cos 0.95, n_probe=4) probe recall vs brute-force batch-vs-corpus is
+    1.0, so the survivor sets are identical."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        str(pathlib.Path(__file__).resolve().parents[1] / "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    probe = {
+        (r["vec_id"], r["label"])
+        for r in mod._embedding_neardup_incremental(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["vec_id"], r["label"])
+        for r in mod._embedding_neardup_incremental_exact(spark, sf_dir).collect()
+    }
+    assert probe == exact
+    # non-vacuous: planted re-crawls exist in the batch and were dropped
+    assert all(v < 1000000 for v, _ in exact)
+    assert len(exact) > 0
