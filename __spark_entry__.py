@@ -766,34 +766,64 @@ def _corpus_minhash_index(spark: SparkSession, sf: str):
     return _MINHASH_IDX_CACHE[key]
 
 
-def _dedup_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Crawl-delta NEAR-dup dedup (VERDICT r2 next-round #1): sources
-    src10+ arrive as the new batch and probe the persisted MinHash-LSH
-    index of the src0-src9 corpus. The corpus text is scanned exactly
-    once (at index build); every probe touches only the index's bands/
-    and shingles/ parquet via broadcast joins — zero corpus shuffle per
-    delta (plan-tested in test_plans.py).
-
-    Non-vacuous by construction: the synthetic corpus has no natural
-    cross-source near-dups, so the batch re-crawls every 25th corpus doc
-    under a fresh id with a light edit (an appended suffix — the
-    paraphrased-re-crawl case exact fingerprints cannot catch); those
-    must be dropped by the signature probe, not an exact match."""
+def _doc_delta_split(spark: SparkSession, sf: str):
+    """(corpus, batch) for the text crawl-delta queries: sources
+    src0-src9 play the ingested corpus; the batch is src10+ plus a
+    planted re-crawl of every 25th corpus doc under a fresh id with a
+    light edit (an appended suffix — the paraphrased-re-crawl case exact
+    fingerprints cannot catch). The synthetic corpus has no natural
+    cross-source near-dups, so the planted rows make the probe
+    non-vacuous by construction."""
     docs = _docs(spark, sf)
     srcnum = F.regexp_extract("source", r"(\d+)", 1).cast("int")
-    idx = _corpus_minhash_index(spark, sf)
+    corpus = docs.filter(srcnum < 10)
     recrawled = (
-        docs.filter(srcnum < 10)
-        .filter(F.col("doc_id") % 25 == 0)
+        corpus.filter(F.col("doc_id") % 25 == 0)
         .withColumn("doc_id", F.col("doc_id") + 2000000)
         .withColumn(
             "text", F.concat(F.col("text"), F.lit(" revised crawl copy"))
         )
     )
     batch = docs.filter(srcnum >= 10).unionByName(recrawled)
+    return corpus, batch
+
+
+def _dedup_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-delta NEAR-dup dedup (VERDICT r2 next-round #1): the batch
+    probes the persisted MinHash-LSH index of the corpus. The corpus
+    text is scanned exactly once (at index build); every probe touches
+    only the index's bands/ and shingles/ parquet via broadcast joins —
+    zero corpus shuffle per delta (plan-tested in test_plans.py).
+    Planted paraphrased re-crawls (see :func:`_doc_delta_split`) must be
+    dropped by the signature probe, not an exact match; the oracle-backed
+    exact twin is `dedup_incremental_neardup_exact` (same split,
+    prefix-filter exact Jaccard instead of the index)."""
+    _, batch = _doc_delta_split(spark, sf)
+    idx = _corpus_minhash_index(spark, sf)
     return idx.filter_novel(batch, "text").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def _dedup_incremental_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-green exact twin of `dedup_incremental_neardup`: same
+    corpus/batch split, but corpus matches come from recall-1.0
+    cross-collection prefix-filter Jaccard (batch broadcast, corpus
+    never join-shuffles) and the within-batch pass is the exact
+    prefix-filter dedup — mirroring filter_novel's drop-then-dedup
+    order. Linear per delta (the corpus is re-shingled every probe),
+    which is exactly the cost the persisted index avoids at scale; this
+    entry is its correctness anchor (the
+    `embedding_neardup_incremental_exact` pattern, completed for text)."""
+    corpus, batch = _doc_delta_split(spark, sf)
+    pairs = dedup.batch_corpus_jaccard_pairs(
+        corpus, batch, "doc_id", "text", threshold=0.8
+    )
+    dropped = pairs.select(F.col("batch_id").alias("doc_id")).distinct()
+    fresh = batch.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return dedup.jaccard_dedup_exact(
+        fresh, "doc_id", "text", threshold=0.8
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 def _dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
@@ -1453,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- oracle-backed, new in r4 / driver-unseen through r3 ----
         "embedding_neardup_incremental_exact": _embedding_neardup_incremental_exact,
+        "dedup_incremental_neardup_exact": _dedup_incremental_neardup_exact,
         "decontaminate_ngrams": _decontaminate_ngrams,
         "repetition_stats": _repetition_stats,
         "stratified_sample_stats": _stratified_sample_stats,
@@ -1504,9 +1535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _quality,
         "lang_id_counts": _lang_id_counts,
         "corpus_stats": _corpus_stats,
-        "value_percentiles": _value_percentiles,
         # ---- oracle-backed, driver-green in r3, simple shapes (past the
         # 50-entry window this round; still in check_correctness.py) ----
+        "value_percentiles": _value_percentiles,
         "events_by_type": _events_by_type,
         "filter_city": lambda spark, sf: relational.filter_by_city(
             _enriched(spark, sf), FILTER_CITY
@@ -2216,6 +2247,62 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        """,
+        "dedup_incremental_neardup_exact": r"""
+            WITH t AS (
+                SELECT doc_id, lang, source, n_chars, text,
+                       CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                           AS sn
+                FROM documents
+            ), batch AS (
+                SELECT doc_id, lang, source, n_chars, text
+                FROM t WHERE sn >= 10
+                UNION ALL
+                SELECT doc_id + 2000000, lang, source, n_chars,
+                       text || ' revised crawl copy'
+                FROM t WHERE sn < 10 AND doc_id % 25 = 0
+            ), cs AS (
+                SELECT doc_id,
+                       list_distinct([
+                          array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(toks)-2, 1) + 1)
+                       ]) AS g
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(
+                                 lower(regexp_replace(trim(text),
+                                                      '\s+', ' ', 'g')),
+                                 ' ') AS toks
+                      FROM t WHERE sn < 10)
+            ), bs AS (
+                SELECT doc_id,
+                       list_distinct([
+                          array_to_string(toks[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(toks)-2, 1) + 1)
+                       ]) AS g
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(
+                                 lower(regexp_replace(trim(text),
+                                                      '\s+', ' ', 'g')),
+                                 ' ') AS toks
+                      FROM batch)
+            ), dropped AS (
+                SELECT DISTINCT b.doc_id
+                FROM bs b JOIN cs c
+                  ON len(list_intersect(b.g, c.g))
+                     >= 0.8 * len(list_distinct(b.g || c.g))
+            ), fresh AS (
+                SELECT * FROM batch
+                WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ), wpairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+                WHERE a.doc_id IN (SELECT doc_id FROM fresh)
+                  AND b.doc_id IN (SELECT doc_id FROM fresh)
+                  AND len(list_intersect(a.g, b.g))
+                      >= 0.8 * len(list_distinct(a.g || b.g))
+            )
+            SELECT doc_id, lang, source, n_chars FROM fresh
+            WHERE doc_id NOT IN (SELECT id_b FROM wpairs)
         """,
         "embedding_neardup_incremental_exact": """
             WITH corpus AS (

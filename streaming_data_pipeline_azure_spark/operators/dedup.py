@@ -503,6 +503,68 @@ def jaccard_dedup_exact(
     return _drop_matched(df, id_col, pairs)
 
 
+def batch_corpus_jaccard_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    shingle_kind: str = "word",
+) -> DataFrame:
+    """EXACT batch-vs-corpus Jaccard pairs >= threshold — the recall-1.0
+    anchor for :meth:`MinHashCorpusIndex.probe_pairs` (the asymmetric
+    counterpart of :func:`prefix_filter_jaccard_pairs`).
+
+    Candidate generation is cross-collection prefix filtering: both
+    sides expose only the ``floor((1-t)·|d|)+1`` globally-smallest
+    shingle hashes, and any pair meeting the threshold provably shares a
+    prefix element — recall 1.0, deterministic. The batch side (crawl
+    delta — small by contract) broadcasts into both the candidate join
+    and the verify join, so the corpus side streams map-side with no
+    join shuffle; the corpus IS re-shingled (one groupBy to build its
+    sets), which is exactly the linear-per-delta cost the persisted
+    index probe avoids — this op exists as that path's oracle."""
+
+    def prefix(sets_df: DataFrame, out_id: str) -> DataFrame:
+        return sets_df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.expr(
+                    "slice(array_sort(__sh), 1, "
+                    f"CAST(floor({1.0 - threshold} * size(__sh)) AS INT) + 1)"
+                )
+            ).alias("__p"),
+        )
+
+    c_sets = persist_tracked(
+        shingle_sets(corpus, id_col, text_col, shingle_n, shingle_kind)
+    )
+    b_sets = persist_tracked(
+        shingle_sets(batch, id_col, text_col, shingle_n, shingle_kind)
+    )
+    cand = (
+        prefix(c_sets, "corpus_id")
+        .join(F.broadcast(prefix(b_sets, "batch_id")), "__p")
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    c_side = c_sets.select(
+        F.col(id_col).alias("corpus_id"), F.col("__sh").alias("__sh_c")
+    )
+    b_side = b_sets.select(
+        F.col(id_col).alias("batch_id"), F.col("__sh").alias("__sh_b")
+    )
+    return (
+        c_side.join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(b_side), "batch_id")
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_b"), F.col("__sh_c")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard_sim")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

@@ -53,3 +53,41 @@ def test_embedding_incremental_probe_matches_exact_anchor(spark, sf_dir):
     # non-vacuous: planted re-crawls exist in the batch and were dropped
     assert all(v < 1000000 for v, _ in exact)
     assert len(exact) > 0
+
+
+def test_text_incremental_probe_anchored_by_exact_twin(spark, sf_dir):
+    """The MinHash-index incremental dedup is anchored by its oracle-green
+    exact twin on the registered split: banding is probabilistic, so
+    probe survivors must be a SUPERSET of the exact survivors (exact
+    verification means the probe never over-drops), with drop recall
+    >= 0.9 (at 32 perms / 8 bands the planted J>=0.85 re-crawls are
+    caught with P ~ 0.997+)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        str(pathlib.Path(__file__).resolve().parents[1] / "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    probe = {
+        r["doc_id"]
+        for r in mod._dedup_incremental_neardup(spark, sf_dir).collect()
+    }
+    exact = {
+        r["doc_id"]
+        for r in mod._dedup_incremental_neardup_exact(spark, sf_dir).collect()
+    }
+    assert exact <= probe  # probe never drops a non-duplicate
+    all_batch = {
+        r["doc_id"]
+        for r in mod._doc_delta_split(spark, sf_dir)[1].select("doc_id").collect()
+    }
+    exact_drops = all_batch - exact
+    probe_drops = all_batch - probe
+    assert len(exact_drops) > 0  # planted re-crawls make this non-vacuous
+    assert len(probe_drops) / len(exact_drops) >= 0.9
+    # planted re-crawls carry shifted ids; none may survive the exact twin
+    assert all(d < 2000000 for d in exact)
