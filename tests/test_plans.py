@@ -242,3 +242,37 @@ def test_ivf_probe_pairs_reads_only_index_partitions(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_exact_anchor_probes_never_shuffle_corpus_side(spark, sf_dir):
+    """The corpus-probe stage of both incremental exact anchors keeps the
+    batch side broadcast — the anchors' linear-per-delta cost is the
+    corpus SCAN, never a corpus join shuffle. (The subsequent
+    within-batch dedup pass shuffles only the delta, which is out of
+    this contract.)"""
+    import importlib.util
+    import pathlib
+
+    from streaming_data_pipeline_azure_spark.operators import dedup
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        str(pathlib.Path(__file__).resolve().parents[1] / "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    corpus, batch = mod._doc_delta_split(spark, sf_dir)
+    text_plan = physical_plan(
+        dedup.batch_corpus_jaccard_pairs(corpus, batch, "doc_id", "text")
+    )
+    assert "SortMergeJoin" not in text_plan, text_plan
+    assert text_plan.count("BroadcastHashJoin") >= 2, text_plan
+
+    emb_plan = physical_plan(
+        mod._embedding_neardup_incremental_exact(spark, sf_dir)
+    )
+    # the cosine kernel is mapInPandas over the corpus scan; the only
+    # join is the broadcast anti-join dropping matched batch rows
+    assert "SortMergeJoin" not in emb_plan, emb_plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", emb_plan), emb_plan
