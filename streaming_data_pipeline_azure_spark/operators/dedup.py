@@ -868,25 +868,32 @@ class MinHashCorpusIndex:
 
     # -- probing -----------------------------------------------------------
 
-    def probe_pairs(self, batch: DataFrame, text_col: str = "text") -> DataFrame:
-        """Verified near-dup pairs between a new batch and the indexed
-        corpus: (batch_id, corpus_id, jaccard_sim) with exact shingle
-        Jaccard >= threshold.
-
-        Join order is chosen for the delta-vs-petabyte case: the batch's
-        banding table broadcasts into the corpus ``bands/`` scan, the
-        surviving candidate ids broadcast into the ``shingles/`` scan —
-        the corpus side of both joins never shuffles."""
-        spark = batch.sparkSession
-        self._check_params(spark)
+    def _batch_tables(self, batch: DataFrame, text_col: str):
+        """(shingle sets, banded buckets) for a batch, using the index's
+        pinned parameters — both persisted, because the shingle/signature
+        pipeline is the expensive part of any delta and every downstream
+        consumer (corpus probe, within-batch dedup, verification) reuses
+        these two tables instead of re-deriving them."""
         b_sets, b_sigs = self._prepared(batch, text_col)
-        b_sets = persist_tracked(b_sets)  # feeds banding AND verification
-        b_banded = banded_buckets(
-            b_sigs, self.id_col, "__sig", self.bands, self.num_perm // self.bands
-        ).withColumnRenamed(self.id_col, "batch_id")
+        b_sets = persist_tracked(b_sets)
+        b_banded = persist_tracked(
+            banded_buckets(
+                b_sigs, self.id_col, "__sig", self.bands,
+                self.num_perm // self.bands,
+            )
+        )
+        return b_sets, b_banded
+
+    def _probe_from(self, spark, b_sets: DataFrame, b_banded: DataFrame) -> DataFrame:
+        """Corpus probe over prebuilt batch tables. Join order is chosen
+        for the delta-vs-petabyte case: the batch's banding table
+        broadcasts into the corpus ``bands/`` scan, the surviving
+        candidate ids broadcast into the ``shingles/`` scan — the corpus
+        side of both joins never shuffles."""
+        b_banded_r = b_banded.withColumnRenamed(self.id_col, "batch_id")
         c_banded = spark.read.parquet(self._bands_path(spark))
         cand = (
-            c_banded.join(F.broadcast(b_banded), ["band", "bucket"])
+            c_banded.join(F.broadcast(b_banded_r), ["band", "bucket"])
             .select("batch_id", F.col(self.id_col).alias("corpus_id"))
             .distinct()
         )
@@ -904,6 +911,15 @@ class MinHashCorpusIndex:
             .select("batch_id", "corpus_id", "jaccard_sim")
         )
 
+    def probe_pairs(self, batch: DataFrame, text_col: str = "text") -> DataFrame:
+        """Verified near-dup pairs between a new batch and the indexed
+        corpus: (batch_id, corpus_id, jaccard_sim) with exact shingle
+        Jaccard >= threshold."""
+        spark = batch.sparkSession
+        self._check_params(spark)
+        b_sets, b_banded = self._batch_tables(batch, text_col)
+        return self._probe_from(spark, b_sets, b_banded)
+
     def filter_novel(
         self, batch: DataFrame, text_col: str = "text", *,
         dedup_within: bool = True,
@@ -911,19 +927,46 @@ class MinHashCorpusIndex:
         """The incremental-ingestion operator: batch rows that are not a
         near-dup of anything in the corpus, optionally near-dup-deduped
         within the batch itself (same parameters). The survivors are what
-        :meth:`append` should fold into the index."""
-        pairs = self.probe_pairs(batch, text_col)
+        :meth:`append` should fold into the index.
+
+        The delta's text is shingled and signed exactly ONCE: the corpus
+        probe and the within-batch pass both reuse the same persisted
+        (sets, banded) tables — signatures are per-doc pure functions, so
+        restricting the batch's banded table to the fresh survivors
+        reproduces ``minhash_dedup(fresh)``'s candidates identically
+        (measured ~2 s of a 5 s delta at sf0.1 before the fuse)."""
+        spark = batch.sparkSession
+        self._check_params(spark)
+        b_sets, b_banded = self._batch_tables(batch, text_col)
+        pairs = self._probe_from(spark, b_sets, b_banded)
         dropped = pairs.select(
             F.col("batch_id").alias(self.id_col)
         ).distinct()
         fresh = batch.join(F.broadcast(dropped), self.id_col, "left_anti")
         if dedup_within:
-            fresh = minhash_dedup(
-                fresh, self.id_col, text_col, threshold=self.threshold,
-                num_perm=self.num_perm, bands=self.bands,
-                shingle_n=self.shingle_n, shingle_kind=self.shingle_kind,
-                sig_method=self.sig_method,
+            fresh_ids = fresh.select(self.id_col)  # delta-small
+            fb = b_banded.join(
+                F.broadcast(fresh_ids), self.id_col, "semi"
+            ).select("band", "bucket", F.col(self.id_col).alias("__m"))
+            cand = _pairs_in_buckets(fb, "__m", cap=256).select(
+                F.col("__a").alias("id_a"), F.col("__b").alias("id_b")
             )
+            sh_a = b_sets.select(
+                F.col(self.id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+            )
+            sh_b = b_sets.select(
+                F.col(self.id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+            )
+            verified = (
+                cand.join(sh_a, "id_a")
+                .join(sh_b, "id_b")
+                .withColumn(
+                    "jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b"))
+                )
+                .filter(F.col("jaccard_sim") >= self.threshold)
+                .select("id_a", "id_b")
+            )
+            fresh = _drop_matched(fresh, self.id_col, verified)
         return fresh
 
 
