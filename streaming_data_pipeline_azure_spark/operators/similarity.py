@@ -784,7 +784,13 @@ class IvfIndex:
         """The incremental-ingestion operator: batch rows whose embedding
         is not a near-dup of anything indexed, optionally near-dup-deduped
         within the batch itself. The survivors are what :meth:`append`
-        should fold into the index."""
+        should fold into the index.
+
+        The within-batch pass is EXACT (block-BLAS all-pairs, keep
+        smallest id): the batch is a crawl delta — small by the same
+        contract under which it broadcasts into the corpus probe — so
+        exact quadratic-in-delta dedup is affordable and avoids a second
+        LSH configuration whose recall would need its own tuning."""
         pairs = self.probe_pairs(
             batch, threshold=threshold, n_probe=n_probe,
             id_col=id_col, vec_col=vec_col,
@@ -792,14 +798,11 @@ class IvfIndex:
         dropped = pairs.select(F.col("batch_id").alias(id_col)).distinct()
         fresh = batch.join(F.broadcast(dropped), id_col, "left_anti")
         if dedup_within:
-            from streaming_data_pipeline_azure_spark.operators.dedup import (
-                embedding_dedup,
+            pairs_w = allpairs_cosine_pairs(
+                fresh, id_col, vec_col, threshold=threshold
             )
-
-            fresh = embedding_dedup(
-                fresh, id_col, vec_col,
-                threshold=threshold, dim=self.dim, seed=self.seed,
-            )
+            losers = pairs_w.select(F.col("id_b").alias(id_col)).distinct()
+            fresh = fresh.join(F.broadcast(losers), id_col, "left_anti")
         return fresh
 
     def append(

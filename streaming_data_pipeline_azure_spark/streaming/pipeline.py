@@ -93,3 +93,60 @@ def run_to_completion(query: StreamingQuery, timeout_sec: float = 120.0) -> None
         raise TimeoutError("streaming query did not drain in time")
     if query.exception() is not None:
         raise query.exception()
+
+
+def build_dedup_ingest_query(
+    doc_stream: DataFrame,
+    index,
+    accepted_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    dedup_within: bool = True,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming corpus ingestion with incremental NEAR-dup dedup — the
+    production shape the persisted index exists for:
+
+        doc stream ── foreachBatch ── index.filter_novel(batch)
+                                        ├── append survivors to parquet
+                                        └── index.append(survivors)
+
+    Each micro-batch probes the :class:`~streaming_data_pipeline_azure_
+    spark.operators.dedup.MinHashCorpusIndex` (corpus text never
+    re-read; batch broadcasts into the index scans) and folds its
+    survivors into both the accepted-documents table and the index, so
+    later batches dedup against everything already ingested — including
+    paraphrased re-sends across micro-batches, which the watermarked
+    exact-key streaming dedup (:func:`streaming.windows.dedup_within_
+    watermark`) cannot catch.
+
+    The survivors are materialized once (``localCheckpoint``) because
+    they feed two writes; exactly-once across a crash between those
+    writes is the sink table's upsert concern — replaying a batch
+    re-probes an index that already contains its survivors, so the
+    replayed survivors set is empty and the fold-in is idempotent at the
+    index level."""
+    from streaming_data_pipeline_azure_spark.functions.cache import (
+        release_caches,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = index.filter_novel(
+            batch_df, text_col, dedup_within=dedup_within
+        ).localCheckpoint()
+        if survivors.isEmpty():
+            release_caches()
+            return
+        survivors.write.mode("append").parquet(accepted_path)
+        index.append(survivors, text_col)
+        release_caches()  # drop the probe's persisted batch tables
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

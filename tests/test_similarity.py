@@ -399,3 +399,36 @@ def test_ivf_compact_and_stats(spark, tmp_path):
     idx2.build(corpus, "embedding")
     assert idx2.stats(spark)["generation"] == 0
     assert idx2.stats(spark)["n_vectors"] == 160
+
+
+def test_ivf_filter_novel_dedups_within_batch_exactly(spark, tmp_path):
+    """filter_novel's within-batch pass is exact block-BLAS all-pairs:
+    two near-identical NOVEL vectors in one delta collapse to the
+    smallest id (no LSH recall caveat within the delta)."""
+    import numpy as np
+
+    corpus = spark.createDataFrame(
+        _clustered_corpus(), "vec_id long, embedding array<double>"
+    )
+    idx = sim.IvfIndex(str(tmp_path / "ivf"), dim=16, n_planes=4, seed=11)
+    idx.build(corpus, "embedding")
+
+    rng = np.random.default_rng(3)
+    v = np.zeros(16)
+    v[9] = 10.0  # unused axis -> novel vs corpus
+    v = v + rng.normal(0, 0.5, size=16)
+    twin = v + rng.normal(0, 0.01, size=16)  # near-identical to v
+    other = np.zeros(16)
+    other[12] = 10.0
+    batch = spark.createDataFrame(
+        [
+            (500001, [float(x) for x in v]),
+            (500002, [float(x) for x in twin]),
+            (500003, [float(x) for x in other]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"] for r in idx.filter_novel(
+        batch, threshold=0.95, n_probe=2, dedup_within=True
+    ).collect()}
+    assert got == {500001, 500003}  # twin 500002 collapsed onto 500001

@@ -403,3 +403,74 @@ def test_sink_compaction_is_generational_and_crash_safe(spark, tmp_path):
     )
     # nothing in compact() ever staged survivors via localCheckpoint
     # (non-replayable executor state) — the stage is a plain parquet write
+
+
+def test_streaming_ingest_dedups_across_microbatches(spark, tmp_path):
+    """build_dedup_ingest_query: each micro-batch probes the persisted
+    MinHash index and folds its survivors in, so a paraphrase arriving
+    in batch 2 of a doc ACCEPTED in batch 1 is dropped — the cross-batch
+    near-dup case watermarked exact-key dedup cannot catch. Replaying
+    the whole stream accepts nothing new (index-level idempotence)."""
+    import os
+    import time
+
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        MinHashCorpusIndex,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_dedup_ingest_query,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    doc_a = "a fresh article describing spark physical plans in careful detail"
+    doc_b = "totally unrelated text about cooking pasta with garlic and olive oil"
+    idx = MinHashCorpusIndex(str(tmp_path / "idx"), "doc_id", threshold=0.5)
+    idx.build(
+        spark.createDataFrame([(1, base)], ["doc_id", "text"]), "text"
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch1 = [
+        {"doc_id": 10, "text": base.replace("lazy", "sleepy")},  # corpus paraphrase
+        {"doc_id": 11, "text": doc_a},                            # novel -> accept
+    ]
+    batch2 = [
+        {"doc_id": 20, "text": doc_a + " indeed"},  # paraphrase of batch-1 ACCEPT
+        {"doc_id": 21, "text": doc_b},              # novel -> accept
+        {"doc_id": 22, "text": base},               # exact corpus re-send
+    ]
+    (in_dir / "a.json").write_text("\n".join(json.dumps(d) for d in batch1))
+    time.sleep(1.1)  # distinct mtimes: file source orders batches by mtime
+    (in_dir / "b.json").write_text("\n".join(json.dumps(d) for d in batch2))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        run_to_completion,
+    )
+
+    accepted = str(tmp_path / "accepted")
+    q = build_dedup_ingest_query(
+        stream, idx, accepted, str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+
+    got = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert got == {11, 21}  # paraphrases + re-send dropped, novels accepted
+    assert idx.stats(spark)["n_docs"] == 3  # corpus + the two accepts
+
+    # replay the whole input through a fresh checkpoint: index-level
+    # idempotence means nothing new is accepted
+    q2 = build_dedup_ingest_query(
+        stream, idx, accepted, str(tmp_path / "ckpt2"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    got2 = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert got2 == {11, 21}
+    assert idx.stats(spark)["n_docs"] == 3
