@@ -104,6 +104,9 @@ def build_dedup_ingest_query(
     text_col: str = "text",
     dedup_within: bool = True,
     trigger_available_now: bool = False,
+    filter_fn: Callable[[DataFrame], DataFrame] | None = None,
+    append_fn: Callable[[DataFrame], None] | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming corpus ingestion with incremental NEAR-dup dedup — the
     production shape the persisted index exists for:
@@ -126,20 +129,34 @@ def build_dedup_ingest_query(
     writes is the sink table's upsert concern — replaying a batch
     re-probes an index that already contains its survivors, so the
     replayed survivors set is empty and the fold-in is idempotent at the
-    index level."""
+    index level.
+
+    Defaults drive a :class:`MinHashCorpusIndex` over ``text_col``; for
+    any other index shape (e.g. :class:`IvfIndex` over an embedding
+    column) pass ``filter_fn``/``append_fn`` overrides. ``compact_every``
+    runs the index's crash-safe ``compact()`` after every N accepted
+    batches, bounding the small-file accumulation of a long-running
+    ingest (each append is one task-set of files)."""
     from streaming_data_pipeline_azure_spark.functions.cache import (
         release_caches,
     )
 
+    probe = filter_fn or (
+        lambda b: index.filter_novel(b, text_col, dedup_within=dedup_within)
+    )
+    fold = append_fn or (lambda acc: index.append(acc, text_col))
+    state = {"accepted_batches": 0}
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = index.filter_novel(
-            batch_df, text_col, dedup_within=dedup_within
-        ).localCheckpoint()
+        survivors = probe(batch_df).localCheckpoint()
         if survivors.isEmpty():
             release_caches()
             return
         survivors.write.mode("append").parquet(accepted_path)
-        index.append(survivors, text_col)
+        fold(survivors)
+        state["accepted_batches"] += 1
+        if compact_every and state["accepted_batches"] % compact_every == 0:
+            index.compact(batch_df.sparkSession)
         release_caches()  # drop the probe's persisted batch tables
 
     writer = (

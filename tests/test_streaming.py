@@ -474,3 +474,68 @@ def test_streaming_ingest_dedups_across_microbatches(spark, tmp_path):
     got2 = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
     assert got2 == {11, 21}
     assert idx.stats(spark)["n_docs"] == 3
+
+
+def test_streaming_embedding_ingest_with_periodic_compaction(spark, tmp_path):
+    """The same ingestion builder drives the EMBEDDING index via
+    filter_fn/append_fn overrides: a near-identical vector arriving in
+    batch 2 of one accepted in batch 1 is dropped, and compact_every=1
+    keeps the index at one file per centroid partition while advancing
+    generations crash-safely."""
+    import time
+
+    from streaming_data_pipeline_azure_spark.operators.similarity import (
+        IvfIndex,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_dedup_ingest_query,
+    )
+
+    def vec(axis, nudge=0.0):
+        v = [0.0] * 8
+        v[axis] = 10.0
+        v[(axis + 1) % 8] += nudge
+        return v
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i % 4)) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex(str(tmp_path / "ivf"), dim=8, n_planes=3, seed=5)
+    idx.build(corpus, "embedding")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch1 = [
+        {"vec_id": 100, "embedding": vec(0, 0.1)},   # corpus near-dup -> drop
+        {"vec_id": 101, "embedding": vec(5)},        # novel axis -> accept
+    ]
+    batch2 = [
+        {"vec_id": 200, "embedding": vec(5, 0.05)},  # near-dup of batch-1 ACCEPT
+        {"vec_id": 201, "embedding": vec(6)},        # novel -> accept
+    ]
+    (in_dir / "a.json").write_text("\n".join(json.dumps(d) for d in batch1))
+    time.sleep(1.1)
+    (in_dir / "b.json").write_text("\n".join(json.dumps(d) for d in batch2))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    accepted = str(tmp_path / "accepted")
+    q = build_dedup_ingest_query(
+        stream, idx, accepted, str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+        filter_fn=lambda b: idx.filter_novel(b, threshold=0.95, n_probe=2),
+        append_fn=lambda acc: idx.append(acc),
+        compact_every=1,
+    )
+    run_to_completion(q)
+
+    got = {r["vec_id"] for r in spark.read.parquet(accepted).collect()}
+    assert got == {101, 201}
+    stats = idx.stats(spark)
+    assert stats["n_vectors"] == 18  # 16 corpus + 2 accepts
+    assert stats["generation"] == 2  # one compaction per accepted batch
+    assert stats["n_files"] == stats["n_centroids"]
