@@ -723,6 +723,52 @@ def _pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pii_redaction_extended(spark: SparkSession, sf: str) -> DataFrame:
+    """Extended PII scrub: emails + phone runs + IPv4 addresses +
+    card-shaped digit groups, typed tags, card-before-phone ordering (a
+    separated card number is also a phone-shaped run and must get the
+    typed tag). Same planted-PII construction as `pii_redaction` with
+    two more plant classes; counts are independent pattern matches on
+    the raw text (a planted card also counts as one phone-shaped run —
+    deliberate, and mirrored exactly in the oracle)."""
+    docs = _docs(spark, sf)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                "text", F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat("text", F.lit(" call +1 555-010-0000")),
+        )
+        .when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                "text", F.lit(" origin server 10.0."),
+                (F.col("doc_id") % 200).cast("string"), F.lit(".7 logged"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat("text", F.lit(" card 4111 1111 1111 1111 on file")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        tx.count_emails("text").cast("long").alias("n_emails"),
+        tx.count_phones("text").cast("long").alias("n_phones"),
+        tx.count_ips("text").cast("long").alias("n_ips"),
+        tx.count_cards("text").cast("long").alias("n_cards"),
+        tx.redact_pii_extended("text").alias("clean_text"),
+    )
+
+
 def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Ingestion-delta dedup: sources src10+ arrive as the new batch and
     dedup against the src0-src9 corpus — the anti-join runs on distinct
@@ -1484,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- oracle-backed, new in r4 / driver-unseen through r3 ----
         "embedding_neardup_incremental_exact": _embedding_neardup_incremental_exact,
         "dedup_incremental_neardup_exact": _dedup_incremental_neardup_exact,
+        "pii_redaction_extended": _pii_redaction_extended,
         "decontaminate_ngrams": _decontaminate_ngrams,
         "repetition_stats": _repetition_stats,
         "stratified_sample_stats": _stratified_sample_stats,
@@ -1534,9 +1581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _token_stats,
         "quality_scores": _quality,
         "lang_id_counts": _lang_id_counts,
-        "corpus_stats": _corpus_stats,
         # ---- oracle-backed, driver-green in r3, simple shapes (past the
         # 50-entry window this round; still in check_correctness.py) ----
+        "corpus_stats": _corpus_stats,
         "value_percentiles": _value_percentiles,
         "events_by_type": _events_by_type,
         "filter_city": lambda spark, sf: relational.filter_by_city(
@@ -1778,6 +1825,47 @@ def oracle_sql() -> dict[str, str]:
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                            '<EMAIL>', 'g'),
                        '\+?[0-9][0-9\- ]{7,}[0-9]', '<PHONE>', 'g')
+                       AS clean_text
+            FROM planted
+        """,
+        "pii_redaction_extended": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN text || ' contact user' || doc_id
+                                 || '@example.com'
+                            WHEN doc_id % 7 = 0
+                            THEN text || ' call +1 555-010-0000'
+                            WHEN doc_id % 9 = 0
+                            THEN text || ' origin server 10.0.'
+                                 || (doc_id % 200) || '.7 logged'
+                            WHEN doc_id % 11 = 0
+                            THEN text || ' card 4111 1111 1111 1111 on file'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\+?[0-9][0-9\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+                       AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b|\b[0-9]{16}\b'))
+                       AS BIGINT) AS n_cards,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                   '<EMAIL>', 'g'),
+                               '\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b|\b[0-9]{16}\b',
+                               '<CARD>', 'g'),
+                           '\+?[0-9][0-9\- ]{7,}[0-9]', '<PHONE>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
                        AS clean_text
             FROM planted
         """,

@@ -80,6 +80,35 @@ def redact_pii(text_col: Column | str) -> Column:
     return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
 
 
+# \b and (?:...) behave identically in Java regex and RE2; [0-9] (not \d)
+# keeps the charset explicitly ASCII in both.
+IPV4_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+CARD_PATTERN = r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b|\b[0-9]{16}\b"
+
+
+def count_ips(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(IPV4_PATTERN), 0))
+
+
+def count_cards(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(CARD_PATTERN), 0))
+
+
+def redact_pii_extended(text_col: Column | str) -> Column:
+    """Typed redaction of emails, card numbers, phone runs, and IPv4
+    addresses, in that order. Card BEFORE phone: a separated card number
+    is also a phone-shaped digit run, and the typed tag must win. IP
+    last is safe either way — dotted quads never match the phone
+    pattern (dots break its digit-run charset)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    out = F.regexp_replace(out, CARD_PATTERN, "<CARD>")
+    out = F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+    return F.regexp_replace(out, IPV4_PATTERN, "<IP>")
+
+
 def normalized_text(text_col: Column | str) -> Column:
     """Whitespace-collapsed, lowercased, trimmed text."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -91,3 +91,27 @@ def test_pii_redaction_and_counts(spark):
     # email redacts before the phone pass so digit runs inside an
     # address never split into a partial <PHONE>
     assert out[4]["clean"] == "both <EMAIL> and <PHONE> here"
+
+
+def test_redact_pii_extended_typed_tags_and_ordering(spark):
+    """Card numbers must get the typed <CARD> tag even though a separated
+    card is also a phone-shaped digit run (ordering: email, card, phone,
+    IP); dotted quads never match the phone pattern."""
+    from streaming_data_pipeline_azure_spark.operators import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "pay with 4111 1111 1111 1111 or 4111111111111111, "
+             "call +1 555-010-0000, host 192.168.0.1, a@b.com")],
+        ["id", "text"],
+    )
+    [row] = df.select(
+        tx.redact_pii_extended("text").alias("clean"),
+        tx.count_cards("text").alias("n_cards"),
+        tx.count_ips("text").alias("n_ips"),
+    ).collect()
+    assert row["n_cards"] == 2 and row["n_ips"] == 1
+    assert "<CARD>" in row["clean"] and row["clean"].count("<CARD>") == 2
+    assert "<PHONE>" in row["clean"] and "<IP>" in row["clean"]
+    assert "<EMAIL>" in row["clean"]
+    assert "4111" not in row["clean"] and "192.168" not in row["clean"]
