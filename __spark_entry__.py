@@ -1045,6 +1045,16 @@ def _repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.repetition_stats(_docs(spark, sf))
 
 
+def _cross_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repetition profile: per doc, how many of its
+    distinct word 5-grams appear in at least one other document
+    (boilerplate/template/mirror signal — the dimension within-doc
+    repetition_stats cannot see). Non-vacuous on this corpus: the
+    near-dup document groups the dedup queries find share nearly all
+    their grams."""
+    return corpus.cross_doc_shared_ngrams(_docs(spark, sf))
+
+
 def _stratified_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Domain mixing: downsample the high-resource languages, keep the
     low-resource ones whole, and report the post-mix per-language
@@ -1531,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_incremental_exact": _embedding_neardup_incremental_exact,
         "dedup_incremental_neardup_exact": _dedup_incremental_neardup_exact,
         "pii_redaction_extended": _pii_redaction_extended,
+        "cross_doc_repetition": _cross_doc_repetition,
         "decontaminate_ngrams": _decontaminate_ngrams,
         "repetition_stats": _repetition_stats,
         "stratified_sample_stats": _stratified_sample_stats,
@@ -1580,9 +1591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprints,
         "token_stats": _token_stats,
         "quality_scores": _quality,
-        "lang_id_counts": _lang_id_counts,
         # ---- oracle-backed, driver-green in r3, simple shapes (past the
         # 50-entry window this round; still in check_correctness.py) ----
+        "lang_id_counts": _lang_id_counts,
         "corpus_stats": _corpus_stats,
         "value_percentiles": _value_percentiles,
         "events_by_type": _events_by_type,
@@ -1915,6 +1926,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
                   >= '0ccccccc'
             GROUP BY g.doc_id
+        """,
+        "cross_doc_repetition": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct([
+                        array_to_string(toks[i:i+4], ' ')
+                        FOR i IN range(1, greatest(len(toks)-4, 0) + 1)
+                     ])) AS gram
+              FROM norm
+            ), df_t AS (
+              SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+            ), per_doc AS (
+              SELECT g.doc_id, COUNT(*) AS n_grams,
+                     SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+              FROM grams g JOIN df_t USING (gram)
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+                   CASE WHEN COALESCE(n_grams, 0) > 0
+                        THEN CAST(n_shared AS DOUBLE)
+                             / CAST(n_grams AS DOUBLE) END AS shared_frac
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
         """,
         "repetition_stats": r"""
             WITH norm AS (

@@ -258,3 +258,53 @@ def tfidf_top_terms(
             "score",
         )
     )
+
+
+def cross_doc_shared_ngrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Per-document count and fraction of distinct word ``n``-grams
+    shared with at least one OTHER document — the cross-document
+    repetition signal (boilerplate headers, templated text, mirrored
+    content) that within-document :func:`repetition_stats` cannot see,
+    and the standard precursor statistic to span-level corpus dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022).
+
+    Shape: distinct (doc, gram-hash) pairs → gram document-frequency via
+    a partial-aggregated groupBy → join back on the gram key. The
+    gram-keyed shuffle is inherent to any corpus-wide gram statistic
+    (the doc-frequency table is itself corpus-sized, so no broadcast
+    exists); both shuffles carry 8-byte ``xxhash64`` gram keys, never
+    gram strings, and AQE picks the join strategy. Documents shorter
+    than ``n`` tokens report 0 grams and a NULL fraction."""
+    toks = _norm_tokens(text_col)
+    grams = (
+        df.select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("__g"))
+        .select(id_col, F.xxhash64("__g").alias("__h"))
+        .distinct()
+    )
+    docfreq = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        grams.join(docfreq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_grams"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("__n_shared"),
+        )
+    )
+    n_grams = F.coalesce(F.col("__n_grams"), F.lit(0)).cast("long")
+    n_shared = F.coalesce(F.col("__n_shared"), F.lit(0)).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            n_grams.alias("n_grams"),
+            n_shared.alias("n_shared"),
+            F.when(
+                n_grams > 0,
+                n_shared.cast("double") / n_grams.cast("double"),
+            ).alias("shared_frac"),
+        )
+    )

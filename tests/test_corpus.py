@@ -184,3 +184,30 @@ def test_word_ngrams_edge_sizes(spark):
     assert row["g2"] == ["a b", "b c"]
     assert row["g3"] == ["a b c"]
     assert row["g4"] == []
+
+
+def test_cross_doc_shared_ngrams_flags_boilerplate(spark):
+    """Docs sharing a template header have shared grams; a unique doc
+    has zero; a doc shorter than n tokens reports 0 grams / NULL frac."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        cross_doc_shared_ngrams,
+    )
+
+    header = "subscribe to our newsletter for weekly updates and offers"
+    docs = [
+        (1, header + " alpha beta gamma delta epsilon zeta"),
+        (2, header + " one two three four five six seven"),
+        (3, "entirely unique content about distributed query planning today"),
+        (4, "too short"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_shared_ngrams(
+            spark.createDataFrame(docs, ["doc_id", "text"]), n=5
+        ).collect()
+    }
+    # the 5-grams inside the shared header appear in both doc 1 and 2
+    assert out[1]["n_shared"] >= 5 and out[2]["n_shared"] >= 5
+    assert 0 < out[1]["shared_frac"] < 1
+    assert out[3]["n_shared"] == 0 and out[3]["shared_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["shared_frac"] is None
