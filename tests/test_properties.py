@@ -246,3 +246,50 @@ def test_chunking_matches_python_reference(spark, n_tokens, chunk, overlap):
         piece = toks[s : s + chunk]
         expect.append((ci, s, len(piece), " ".join(piece)))
     assert rows == expect, (n_tokens, chunk, overlap)
+
+
+def _pv_docs(spark, parts):
+    rows = [
+        (i, f"shared template header words {'alpha beta gamma' if i % 3 else 'delta five six'} "
+            f"plus unique tail {i} {i*7} {i*13}")
+        for i in range(24)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(parts)
+
+
+def test_cross_doc_shared_ngrams_partition_invariant(spark):
+    """Corpus-wide gram statistics are pure functions of the data — the
+    input's partitioning must not change a single row."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        cross_doc_shared_ngrams,
+    )
+
+    def run(parts):
+        return {
+            (r["doc_id"], r["n_grams"], r["n_shared"], r["shared_frac"])
+            for r in cross_doc_shared_ngrams(_pv_docs(spark, parts)).collect()
+        }
+
+    assert run(1) == run(7)
+
+
+def test_batch_corpus_jaccard_pairs_partition_invariant(spark):
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        batch_corpus_jaccard_pairs,
+    )
+
+    def run(parts):
+        corpus = _pv_docs(spark, parts)
+        batch = corpus.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000
+        ).repartition(max(1, parts - 2) if parts > 1 else 1)
+        return {
+            (r["batch_id"], r["corpus_id"])
+            for r in batch_corpus_jaccard_pairs(
+                corpus, batch, "doc_id", "text", threshold=0.6
+            ).collect()
+        }
+
+    one = run(1)
+    assert one  # planted re-crawls guarantee matches
+    assert one == run(7)
