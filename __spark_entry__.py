@@ -1069,6 +1069,29 @@ def _stratified_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _alpha_mixture_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature alpha=0.5 domain mixing with corpus-DERIVED rates:
+    per language, the original count, the sqrt-temperature keep rate
+    (smallest language keeps 1.0), and the rows actually kept under the
+    engine-agnostic Knuth-uniform Bernoulli. Complements
+    stratified_sample_stats, whose rates are caller-fixed."""
+    docs = _docs(spark, sf)
+    rates = sampling.sqrt_temperature_rates(docs, "lang")
+    kept = sampling.sqrt_temperature_sample(docs, "doc_id", "lang")
+    kept_counts = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    return (
+        rates.join(kept_counts, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_orig").cast("long").alias("n_orig"),
+            "keep_rate",
+            F.coalesce(F.col("__k"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def _chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.chunk_documents(
         _docs(spark, sf), chunk_size=64, overlap=16
@@ -1542,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_neardup_exact": _dedup_incremental_neardup_exact,
         "pii_redaction_extended": _pii_redaction_extended,
         "cross_doc_repetition": _cross_doc_repetition,
+        "alpha_mixture_stats": _alpha_mixture_stats,
         "decontaminate_ngrams": _decontaminate_ngrams,
         "repetition_stats": _repetition_stats,
         "stratified_sample_stats": _stratified_sample_stats,
@@ -1590,9 +1614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_pivot": _events_daily_pivot,
         "doc_fingerprint": _doc_fingerprints,
         "token_stats": _token_stats,
-        "quality_scores": _quality,
         # ---- oracle-backed, driver-green in r3, simple shapes (past the
         # 50-entry window this round; still in check_correctness.py) ----
+        "quality_scores": _quality,
         "lang_id_counts": _lang_id_counts,
         "corpus_stats": _corpus_stats,
         "value_percentiles": _value_percentiles,
@@ -1926,6 +1950,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
                   >= '0ccccccc'
             GROUP BY g.doc_id
+        """,
+        "alpha_mixture_stats": """
+            WITH counts AS (
+                SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang
+            ), mn AS (
+                SELECT MIN(n_orig) AS n_min FROM counts
+            ), rates AS (
+                SELECT lang, n_orig,
+                       sqrt(CAST(n_min AS DOUBLE) / CAST(n_orig AS DOUBLE))
+                           AS keep_rate
+                FROM counts, mn
+            ), kept AS (
+                SELECT d.lang, COUNT(*) AS n_kept
+                FROM documents d JOIN rates USING (lang)
+                WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                      / 4294967296.0 < keep_rate
+                GROUP BY d.lang
+            )
+            SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+            FROM rates r LEFT JOIN kept k USING (lang)
         """,
         "cross_doc_repetition": r"""
             WITH norm AS (

@@ -109,3 +109,52 @@ def stratified_sample(
     default = F.lit(_hex_threshold(default_rate))
     threshold = default if threshold is None else threshold.otherwise(default)
     return df.filter(prefix < threshold)
+
+
+def knuth_uniform(key_col: Column | str) -> Column:
+    """Deterministic uniform in [0, 1) from an integer key via the Knuth
+    multiplicative hash — pure BIGINT arithmetic plus one exact double
+    division, so every SQL engine computes the identical value (unlike
+    engine-specific hash functions or md5-prefix string orderings)."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        (k.cast("long") * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+
+
+def sqrt_temperature_rates(
+    df: DataFrame, domain_col: str
+) -> DataFrame:
+    """Per-domain keep rates for temperature alpha=0.5 mixing (the XLM-R
+    style rebalance: sample domains ∝ n^alpha, here realized as the
+    largest feasible per-row Bernoulli rates): the smallest domain keeps
+    everything and domain d keeps ``sqrt(n_min / n_d)`` — high-resource
+    domains are downsampled toward the square-root mixture.
+
+    Exactness contract: the rate is one integer division + one ``sqrt``
+    (both correctly-rounded IEEE everywhere) — deliberately NOT
+    ``pow(n, alpha-1)``, whose rounding is engine-specific. Returns
+    (domain, n_orig, keep_rate); O(domains) rows."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_orig"))
+    n_min = counts.agg(F.min("n_orig").alias("__n_min"))
+    return counts.crossJoin(F.broadcast(n_min)).select(
+        domain_col,
+        "n_orig",
+        F.sqrt(
+            F.col("__n_min").cast("double") / F.col("n_orig").cast("double")
+        ).alias("keep_rate"),
+    )
+
+
+def sqrt_temperature_sample(
+    df: DataFrame, id_col: str, domain_col: str
+) -> DataFrame:
+    """Temperature alpha=0.5 domain mixing with corpus-DERIVED rates
+    (:func:`stratified_sample` is its fixed-rate counterpart): keep row
+    iff ``knuth_uniform(id) < keep_rate(domain)``. The rate table is
+    O(domains) and broadcasts; the corpus side filters at scan speed
+    with no shuffle beyond the tiny counts aggregate."""
+    rates = sqrt_temperature_rates(df, domain_col)
+    return df.join(
+        F.broadcast(rates.select(domain_col, "keep_rate")), domain_col
+    ).filter(knuth_uniform(id_col) < F.col("keep_rate"))

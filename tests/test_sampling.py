@@ -68,3 +68,30 @@ def test_cap_per_group_limits_and_is_deterministic(spark):
     # survivors at k=5 nest inside survivors at k=10 (rank stability)
     ids5 = {r["doc_id"] for r in cap_per_group(df, "source", "doc_id", 5).collect()}
     assert ids5 <= set(ids1)
+
+
+def test_sqrt_temperature_sample_rebalances_domains(spark):
+    """alpha=0.5 mixing: the smallest domain keeps rate 1.0 (all rows);
+    a domain 16x larger keeps ~1/4 of its rows; the kept set is a pure
+    function of (id, domain counts) — rerun-identical."""
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        sqrt_temperature_rates,
+        sqrt_temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(1600)] + [
+        (10000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {r["lang"]: r["keep_rate"]
+             for r in sqrt_temperature_rates(df, "lang").collect()}
+    assert rates["small"] == 1.0
+    assert rates["big"] == 0.25  # sqrt(100/1600)
+
+    kept1 = {r["doc_id"] for r in sqrt_temperature_sample(df, "doc_id", "lang").collect()}
+    kept2 = {r["doc_id"] for r in sqrt_temperature_sample(df, "doc_id", "lang").collect()}
+    assert kept1 == kept2  # deterministic
+    n_small = sum(1 for k in kept1 if k >= 10000)
+    n_big = len(kept1) - n_small
+    assert n_small == 100          # smallest domain intact
+    assert 300 <= n_big <= 500     # ~0.25 * 1600 under the Knuth uniform
