@@ -1092,6 +1092,33 @@ def _alpha_mixture_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _shard_balance_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Export-stage shard assignment: 8 deterministic training shards
+    (Knuth-uniform of doc_id — contiguous crawl-id ranges scatter
+    uniformly), with per-shard doc/token totals and the balance ratio vs
+    the ideal n/8 share — what a shard-writer checks before committing a
+    layout."""
+    docs = _docs(spark, sf).select(
+        "doc_id", tx.token_count("text").alias("__tok")
+    )
+    sharded = sampling.assign_shards(docs, "doc_id", 8)
+    per = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+    )
+    total = per.agg(F.sum("n_docs").alias("__n")).select(
+        (F.col("__n").cast("double") / F.lit(8.0)).alias("__ideal")
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_tokens",
+        (F.col("n_docs").cast("double") / F.col("__ideal")).alias(
+            "balance_ratio"
+        ),
+    )
+
+
 def _chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.chunk_documents(
         _docs(spark, sf), chunk_size=64, overlap=16
@@ -1566,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_extended": _pii_redaction_extended,
         "cross_doc_repetition": _cross_doc_repetition,
         "alpha_mixture_stats": _alpha_mixture_stats,
+        "shard_balance_stats": _shard_balance_stats,
         "decontaminate_ngrams": _decontaminate_ngrams,
         "repetition_stats": _repetition_stats,
         "stratified_sample_stats": _stratified_sample_stats,
@@ -1613,9 +1641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_date_parts": _events_date_parts,
         "events_daily_pivot": _events_daily_pivot,
         "doc_fingerprint": _doc_fingerprints,
-        "token_stats": _token_stats,
         # ---- oracle-backed, driver-green in r3, simple shapes (past the
         # 50-entry window this round; still in check_correctness.py) ----
+        "token_stats": _token_stats,
         "quality_scores": _quality,
         "lang_id_counts": _lang_id_counts,
         "corpus_stats": _corpus_stats,
@@ -1950,6 +1978,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
                   >= '0ccccccc'
             GROUP BY g.doc_id
+        """,
+        "shard_balance_stats": rf"""
+            WITH sharded AS (
+                SELECT doc_id,
+                       CAST(floor(
+                           CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                           / 4294967296.0 * 8.0) AS BIGINT) AS shard,
+                       len({_D_TOKENS}) AS tok
+                FROM documents
+            ), per AS (
+                SELECT shard, COUNT(*) AS n_docs, SUM(tok) AS total_tokens
+                FROM sharded GROUP BY shard
+            ), t AS (
+                SELECT CAST(SUM(n_docs) AS DOUBLE) / 8.0 AS ideal FROM per
+            )
+            SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(total_tokens AS BIGINT) AS total_tokens,
+                   CAST(n_docs AS DOUBLE) / ideal AS balance_ratio
+            FROM per, t
         """,
         "alpha_mixture_stats": """
             WITH counts AS (

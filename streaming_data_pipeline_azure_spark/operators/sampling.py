@@ -146,6 +146,20 @@ def sqrt_temperature_rates(
     )
 
 
+def assign_shards(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard =
+    ``floor(knuth_uniform(id) * n_shards)`` — a pure function of the id,
+    so re-exports, engines, and resumed jobs place every document in the
+    same shard; the multiplicative hash scatters contiguous crawl-id
+    ranges uniformly (a bare ``id % n`` would stripe correlated
+    neighbors into lock-step shards); the downstream write is just
+    ``partitionBy("shard")``, no coordination."""
+    shard = F.floor(knuth_uniform(id_col) * F.lit(float(n_shards)))
+    return df.withColumn("shard", shard.cast("long"))
+
+
 def sqrt_temperature_sample(
     df: DataFrame, id_col: str, domain_col: str
 ) -> DataFrame:

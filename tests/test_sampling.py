@@ -95,3 +95,19 @@ def test_sqrt_temperature_sample_rebalances_domains(spark):
     n_big = len(kept1) - n_small
     assert n_small == 100          # smallest domain intact
     assert 300 <= n_big <= 500     # ~0.25 * 1600 under the Knuth uniform
+
+
+def test_assign_shards_deterministic_and_spread(spark):
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        assign_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], ["doc_id"])
+    a = {r["doc_id"]: r["shard"] for r in assign_shards(df, "doc_id", 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in assign_shards(df, "doc_id", 8).collect()}
+    assert a == b
+    assert set(a.values()) == set(range(8))
+    from collections import Counter
+    sizes = Counter(a.values())
+    # contiguous ids scatter near-uniformly: every shard within 25% of ideal
+    assert all(abs(s - 500) < 125 for s in sizes.values()), sizes
