@@ -1571,6 +1571,19 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
 _D_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
+def _knuth_sql(key: str) -> str:
+    """DuckDB expression mirroring sampling.knuth_uniform exactly: pmod
+    reduce to 32 bits, then the same 16-bit-split overflow-safe
+    ``(kr * 2654435761) mod 2^32`` — largest intermediate ~1.74e14, so no
+    BIGINT overflow for any int64 key (sampling.py:knuth_uniform)."""
+    kr = f"((({key}) % 4294967296 + 4294967296) % 4294967296)"
+    return (
+        f"(CAST(((({kr} // 65536) * 2654435761) % 65536) * 65536"
+        f" + ({kr} % 65536) * 2654435761 AS BIGINT) % 4294967296)"
+        f" / 4294967296.0"
+    )
+
+
 def _d_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
     return (
@@ -1983,8 +1996,7 @@ def oracle_sql() -> dict[str, str]:
             WITH sharded AS (
                 SELECT doc_id,
                        CAST(floor(
-                           CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
-                           / 4294967296.0 * 8.0) AS BIGINT) AS shard,
+                           {_knuth_sql('doc_id')} * 8.0) AS BIGINT) AS shard,
                        len({_D_TOKENS}) AS tok
                 FROM documents
             ), per AS (
@@ -1998,7 +2010,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_docs AS DOUBLE) / ideal AS balance_ratio
             FROM per, t
         """,
-        "alpha_mixture_stats": """
+        "alpha_mixture_stats": f"""
             WITH counts AS (
                 SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang
             ), mn AS (
@@ -2011,8 +2023,7 @@ def oracle_sql() -> dict[str, str]:
             ), kept AS (
                 SELECT d.lang, COUNT(*) AS n_kept
                 FROM documents d JOIN rates USING (lang)
-                WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
-                      / 4294967296.0 < keep_rate
+                WHERE {_knuth_sql('d.doc_id')} < keep_rate
                 GROUP BY d.lang
             )
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,

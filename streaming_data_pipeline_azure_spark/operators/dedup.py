@@ -106,6 +106,26 @@ def _parse_bytes(conf_val: str) -> int:
     return int(m.group(1)) * mult
 
 
+#: Block-compression codec extensions Spark cannot split: a file carrying
+#: one of these scans as exactly one task regardless of size. (bzip2 IS
+#: splittable but is rare enough that the one-task assumption only errs
+#: toward a harmless extra repartition.)
+_MONOLITHIC_EXTS = (".gz", ".zst", ".lz4", ".snappy", ".deflate", ".zip", ".bz2")
+
+
+def _is_splittable_file(path: str) -> bool:
+    """True when the scan can split the file into byte-range tasks.
+
+    Parquet/ORC split on internal row-group/stripe boundaries whatever
+    their internal codec (``part-*.snappy.parquet`` ends in ``.parquet``);
+    plain text splits on line boundaries; text behind a block codec
+    extension does not split at all."""
+    low = path.lower()
+    if low.endswith((".parquet", ".orc")):
+        return True
+    return not low.endswith(_MONOLITHIC_EXTS)
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy stages.
 
@@ -122,8 +142,12 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     therefore repartition only when BOTH the file count and the estimated
     split count fall short of cores — a 4-file × 10 GB corpus is left
     alone (the scan already parallelizes), while a 1-file × 200 KB test
-    fixture takes the spread. Non-file-backed inputs (in-memory test
-    frames) take the repartition as before."""
+    fixture takes the spread. The byte estimate counts only SPLITTABLE
+    files (parquet/orc, or text without a block-compression codec
+    extension): a few large .json.gz files yield one task each no matter
+    their size (ADVICE r4), so they count toward the file total, not the
+    split total. Non-file-backed inputs (in-memory test frames) take the
+    repartition as before."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
@@ -132,14 +156,20 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     if files:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
-        total = 0
+        splittable_bytes = 0
+        n_monolithic = 0
         for f in files:  # bounded: len(files) < target RPCs
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+            if _is_splittable_file(f):
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                splittable_bytes += (
+                    p.getFileSystem(hconf).getFileStatus(p).getLen()
+                )
+            else:
+                n_monolithic += 1
         split = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-        if total // max(split, 1) >= target:
+        if splittable_bytes // max(split, 1) + n_monolithic >= target:
             return df  # splittable scan already yields >= cores tasks
     return df.repartition(target)
 
@@ -739,11 +769,41 @@ class MinHashCorpusIndex:
         self.sig_method = sig_method
         self._gens = GenerationalDir(path)
         self._params_verified = False
+        self._layout_checked = False
+
+    def _adopt_legacy_layout(self, spark) -> None:
+        """Pre-generation indexes stored ``bands/`` and ``shingles/``
+        flat under ``path`` (no ``gen=*``); resolving ``gen=0/bands``
+        against one failed with an opaque missing-path error (ADVICE r4).
+        Adopt such a layout as generation 0 with two metadata renames —
+        idempotent and crash-resumable, because each table is checked and
+        moved independently (a crash between the renames leaves one table
+        flat; the next open moves it too)."""
+        if self._layout_checked:
+            return
+        self._layout_checked = True
+        fs, jvm = self._gens._fs(spark)
+        P = jvm.org.apache.hadoop.fs.Path
+        for sub in ("bands", "shingles"):
+            src = P(f"{self.path}/{sub}")
+            if fs.exists(src):
+                dst = P(f"{self.path}/gen=0/{sub}")
+                if fs.exists(dst):
+                    raise ValueError(
+                        f"MinHashCorpusIndex at {self.path} has BOTH a "
+                        f"legacy flat {sub}/ and gen=0/{sub} — ambiguous; "
+                        f"delete one (the flat copy predates the "
+                        f"generation layout) and reopen"
+                    )
+                fs.mkdirs(P(f"{self.path}/gen=0"))
+                fs.rename(src, dst)
 
     def _bands_path(self, spark) -> str:
+        self._adopt_legacy_layout(spark)
         return f"{self._gens.gen_path(spark)}/bands"
 
     def _shingles_path(self, spark) -> str:
+        self._adopt_legacy_layout(spark)
         return f"{self._gens.gen_path(spark)}/shingles"
 
     def _params_tuple(self):

@@ -111,15 +111,36 @@ def stratified_sample(
     return df.filter(prefix < threshold)
 
 
+#: Knuth's multiplicative-hash constant (golden-ratio prime) and the
+#: 32-/16-bit moduli of the overflow-safe schoolbook multiply below.
+_KNUTH_A = 2654435761
+_M32 = 4294967296
+_M16 = 65536
+
+
 def knuth_uniform(key_col: Column | str) -> Column:
     """Deterministic uniform in [0, 1) from an integer key via the Knuth
     multiplicative hash — pure BIGINT arithmetic plus one exact double
     division, so every SQL engine computes the identical value (unlike
-    engine-specific hash functions or md5-prefix string orderings)."""
+    engine-specific hash functions or md5-prefix string orderings).
+
+    Defined for the FULL int64 key domain, negatives included: the key is
+    first reduced to ``kr = pmod(key, 2^32)``, then ``(kr * A) mod 2^32``
+    is computed with a 16-bit-split schoolbook multiply —
+    ``((hi*A mod 2^16) * 2^16 + lo*A) mod 2^32`` with ``hi = kr >> 16``,
+    ``lo = kr & 0xffff`` — whose largest intermediate is
+    ``65535 * A ≈ 1.74e14``, far inside int64, so neither ANSI mode nor
+    DuckDB can overflow. For ``0 <= key < 2^32`` the value is bit-identical
+    to the naive ``(key * A) mod 2^32``."""
     k = F.col(key_col) if isinstance(key_col, str) else key_col
-    return (
-        (k.cast("long") * F.lit(2654435761)) % F.lit(4294967296)
-    ).cast("double") / F.lit(4294967296.0)
+    k = k.cast("long")
+    kr = ((k % F.lit(_M32)) + F.lit(_M32)) % F.lit(_M32)
+    hi = F.shiftright(kr, 16)
+    lo = kr.bitwiseAND(F.lit(_M16 - 1))
+    prod = ((hi * F.lit(_KNUTH_A)) % F.lit(_M16)) * F.lit(_M16) + lo * F.lit(
+        _KNUTH_A
+    )
+    return (prod % F.lit(_M32)).cast("double") / F.lit(float(_M32))
 
 
 def sqrt_temperature_rates(

@@ -125,11 +125,16 @@ def build_dedup_ingest_query(
     watermark`) cannot catch.
 
     The survivors are materialized once (``localCheckpoint``) because
-    they feed two writes; exactly-once across a crash between those
-    writes is the sink table's upsert concern — replaying a batch
-    re-probes an index that already contains its survivors, so the
-    replayed survivors set is empty and the fold-in is idempotent at the
-    index level.
+    they feed two writes, and BOTH writes are replay-idempotent: the
+    accepted table is laid out as ``accepted_path/batch_id=N/`` and each
+    batch OVERWRITES its own partition directory, so a crash between the
+    accepted write and the index fold-in makes the replay recompute the
+    same survivor set (the index still lacks it) and rewrite the same
+    directory in place — no duplicate rows, unlike a plain append
+    (ADVICE r4). A crash *after* the fold-in leaves the replayed
+    survivor set empty, so the early return preserves the already-
+    written partition. Readers see ``batch_id`` as an ordinary partition
+    column when scanning the root.
 
     Defaults drive a :class:`MinHashCorpusIndex` over ``text_col``; for
     any other index shape (e.g. :class:`IvfIndex` over an embedding
@@ -152,7 +157,9 @@ def build_dedup_ingest_query(
         if survivors.isEmpty():
             release_caches()
             return
-        survivors.write.mode("append").parquet(accepted_path)
+        survivors.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch_id={batch_id}"
+        )
         fold(survivors)
         state["accepted_batches"] += 1
         if compact_every and state["accepted_batches"] % compact_every == 0:

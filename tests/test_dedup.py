@@ -281,6 +281,39 @@ def test_minhash_corpus_index_append_and_load(spark, tmp_path):
     ).count() == 0
 
 
+def test_minhash_corpus_index_adopts_legacy_flat_layout(spark, tmp_path):
+    """ADVICE r4: an index written by the pre-generation layout
+    (bands/ and shingles/ flat under path, no gen=*) must reopen
+    cleanly — it is adopted as generation 0 by metadata renames — and a
+    half-migrated crash state (bands moved, shingles flat) must also
+    recover on the next open."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    idx = dedup.MinHashCorpusIndex(
+        path, "doc_id", threshold=0.5, num_perm=32, bands=16,
+    )
+    idx.build(spark.createDataFrame([(1, BASE)], ["doc_id", "text"]), "text")
+    # rewrite to the legacy flat layout
+    shutil.move(f"{path}/gen=0/bands", f"{path}/bands")
+    shutil.move(f"{path}/gen=0/shingles", f"{path}/shingles")
+    shutil.rmtree(f"{path}/gen=0")
+
+    reopened = dedup.MinHashCorpusIndex.load(spark, path)
+    assert reopened.filter_novel(
+        spark.createDataFrame([(30, BASE)], ["doc_id", "text"]), "text"
+    ).count() == 0  # old content still probes
+    assert (tmp_path / "idx" / "gen=0" / "bands").is_dir()  # migrated
+
+    # crash window: bands migrated, shingles still flat
+    shutil.move(f"{path}/gen=0/shingles", f"{path}/shingles")
+    recovered = dedup.MinHashCorpusIndex.load(spark, path)
+    assert recovered.filter_novel(
+        spark.createDataFrame([(31, BASE)], ["doc_id", "text"]), "text"
+    ).count() == 0
+    assert (tmp_path / "idx" / "gen=0" / "shingles").is_dir()
+
+
 def test_ensure_parallelism_respects_splittable_large_files(spark, tmp_path):
     """ADVICE r2/r3: parquet is splittable, so a corpus stored as FEW
     LARGE files must not pay a blanket repartition shuffle — the scan
@@ -305,6 +338,26 @@ def test_ensure_parallelism_respects_splittable_large_files(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
         out_big = dedup._ensure_parallelism(spark.read.parquet(path))
         assert "Repartition" not in out_big._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_ensure_parallelism_gzip_json_is_not_splittable(spark, tmp_path):
+    """ADVICE r4: a corpus stored as one large .json.gz scans as ONE task
+    however small maxPartitionBytes is, so the byte-based shortcut must
+    not skip the repartition for it."""
+    path = str(tmp_path / "gzcorpus")
+    spark.range(5000).selectExpr(
+        "id AS doc_id", "repeat('word ', 50) AS text"
+    ).coalesce(1).write.option("compression", "gzip").json(path)
+    target = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        df = spark.read.schema("doc_id long, text string").json(path)
+        assert any(f.endswith(".gz") for f in df.inputFiles())
+        out = dedup._ensure_parallelism(df)
+        assert out.rdd.getNumPartitions() >= target  # spread still applied
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 

@@ -111,3 +111,76 @@ def test_assign_shards_deterministic_and_spread(spark):
     sizes = Counter(a.values())
     # contiguous ids scatter near-uniformly: every shard within 25% of ideal
     assert all(abs(s - 500) < 125 for s in sizes.values()), sizes
+
+
+def test_knuth_uniform_full_int64_domain(spark):
+    """Overflow-safe over the WHOLE int64 key domain (ADVICE r4): keys
+    past 2^63/A and negative keys must neither overflow (ANSI would
+    throw) nor go negative, and must equal the big-int reference
+    (key mod 2^32) * A mod 2^32 / 2^32 computed in Python."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        assign_shards,
+        knuth_uniform,
+    )
+
+    keys = [
+        0,
+        1,
+        4_000_000_000,           # > 2^63 / 2654435761 — old formula overflowed
+        2**32 - 1,
+        2**32,
+        2**63 - 1,               # int64 max
+        -1,
+        -4_000_000_000,
+        -(2**63),                # int64 min
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    got = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", knuth_uniform("doc_id").alias("u")
+        ).collect()
+    }
+    for k in keys:
+        ref = ((k % 2**32) * 2654435761 % 2**32) / 2**32
+        assert got[k] == ref, (k, got[k], ref)
+        assert 0.0 <= got[k] < 1.0
+    # assign_shards never emits a negative or out-of-range shard
+    shards = {
+        r["shard"] for r in assign_shards(df, "doc_id", 8).collect()
+    }
+    assert shards <= set(range(8)), shards
+    # ANSI mode would have raised on the old formula; prove it stays safe
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df.select(knuth_uniform("doc_id")).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_knuth_uniform_matches_duckdb_oracle_fragment(spark):
+    """The DuckDB SQL fragment used by the shard/alpha oracles computes
+    bit-identical uniforms to the Spark column across the int64 domain."""
+    import duckdb
+
+    import __spark_entry__ as se
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        knuth_uniform,
+    )
+
+    keys = [0, 1, 7, 4_000_000_000, 2**32, 2**63 - 1, -1, -(2**63)]
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    spark_vals = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", knuth_uniform("doc_id").alias("u")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        (duck,) = con.execute(
+            f"SELECT {se._knuth_sql(str(k))}"
+        ).fetchone()
+        assert spark_vals[k] == duck, (k, spark_vals[k], duck)

@@ -476,6 +476,50 @@ def test_streaming_ingest_dedups_across_microbatches(spark, tmp_path):
     assert idx.stats(spark)["n_docs"] == 3
 
 
+def test_streaming_ingest_accepted_write_is_replay_idempotent(spark, tmp_path):
+    """Crash window (ADVICE r4): the accepted parquet was written but the
+    crash hit before the index fold-in, so the replayed batch recomputes
+    the SAME survivor set and must OVERWRITE its ``batch_id=N`` partition
+    — each survivor lands exactly once, where a plain append would
+    duplicate it."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        MinHashCorpusIndex,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_dedup_ingest_query,
+        run_to_completion,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    doc_a = "a fresh article describing spark physical plans in careful detail"
+    idx = MinHashCorpusIndex(str(tmp_path / "idx"), "doc_id", threshold=0.5)
+    idx.build(spark.createDataFrame([(1, base)], ["doc_id", "text"]), "text")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.json").write_text(json.dumps({"doc_id": 11, "text": doc_a}))
+
+    accepted = str(tmp_path / "accepted")
+    # simulate the crashed first attempt: survivors durably written under
+    # batch_id=0, index NOT folded, checkpoint NOT committed
+    spark.createDataFrame(
+        [(11, doc_a)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{accepted}/batch_id=0")
+
+    q = build_dedup_ingest_query(
+        spark.readStream.schema("doc_id long, text string").json(str(in_dir)),
+        idx,
+        accepted,
+        str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+
+    rows = spark.read.parquet(accepted).collect()
+    assert [r["doc_id"] for r in rows] == [11]  # exactly once, not doubled
+    assert idx.stats(spark)["n_docs"] == 2  # corpus + the replayed accept
+
+
 def test_streaming_embedding_ingest_with_periodic_compaction(spark, tmp_path):
     """The same ingestion builder drives the EMBEDDING index via
     filter_fn/append_fn overrides: a near-identical vector arriving in
