@@ -297,6 +297,22 @@ def allpairs_cosine_pairs(
     )
 
 
+def _collect_bounded(df: DataFrame, max_rows: int, what: str, hint: str):
+    """Driver-collect a frame whose small size is a CONTRACT, enforcing
+    the contract at runtime (VERDICT r4 #2): the collect itself is capped
+    by a LIMIT — an over-contract caller gets a clear error naming the
+    distributed alternative instead of an inscrutable driver OOM. Costs
+    nothing extra: the limit prunes at the executors before transfer."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what} exceeds its small-by-contract bound of {max_rows:,} "
+            f"rows — this path collects it to the driver and broadcasts "
+            f"it. {hint}"
+        )
+    return rows
+
+
 def batch_corpus_cosine_pairs(
     corpus: DataFrame,
     batch: DataFrame,
@@ -304,6 +320,7 @@ def batch_corpus_cosine_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_batch_rows: int = 200_000,
 ) -> DataFrame:
     """EXACT batch-vs-corpus cosine pairs >= threshold — the recall-1.0
     anchor for :meth:`IvfIndex.probe_pairs` (the asymmetric counterpart
@@ -321,11 +338,22 @@ def batch_corpus_cosine_pairs(
     re-pays one full corpus scan, which is precisely the cost the
     persisted IVF index probe avoids — this op exists as the
     correctness/recall oracle for that path, and as the honest fallback
-    when index recall is not acceptable."""
+    when index recall is not acceptable.
+
+    The delta-is-small contract is ENFORCED: more than ``max_batch_rows``
+    batch rows (default 200k ≈ 100 MB at d=64) raises a contract error
+    instead of OOMing the driver; split the delta or use the distributed
+    block path (:func:`allpairs_cosine_pairs` over the union) instead."""
     import numpy as np
 
     spark = corpus.sparkSession
-    b_rows = batch.select(id_col, vec_col).collect()  # O(delta×d) by contract
+    b_rows = _collect_bounded(
+        batch.select(id_col, vec_col),
+        max_batch_rows,
+        "batch_corpus_cosine_pairs batch side",
+        "Split the delta into sub-batches, or run the distributed "
+        "block-matrix path (allpairs_cosine_pairs) over corpus ∪ batch.",
+    )
     b_ids = np.array([r[id_col] for r in b_rows], dtype=np.int64)
     b_mat = np.array([list(r[vec_col]) for r in b_rows], dtype=np.float64)
     bn = np.linalg.norm(b_mat, axis=1, keepdims=True)
@@ -575,10 +603,14 @@ class IvfIndex:
         id_col: str = "vec_id",
         query_id_col: str = "query_id",
         vec_col: str = "embedding",
+        max_query_rows: int = 100_000,
     ) -> DataFrame:
         """Batched IVF probe — the real serving shape (VERDICT r2 #7):
         one query at a time pays a scan per query; a query SET probes in
-        one job.
+        one job. The query set is collected for the driver-side Q×C
+        centroid ranking, so its small size is a contract, ENFORCED at
+        ``max_query_rows`` (split a larger query load into sub-batches —
+        each probe is one job, so chunking costs only job overhead).
 
         - per-query centroid ranking is a single driver-side Q×C matmul
           over the tiny centroid table (O(Q×d + C×d) driver state — the
@@ -597,7 +629,12 @@ class IvfIndex:
         c_ids = np.array([r["centroid_id"] for r in cent], dtype=np.int64)
         c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
         # centroids are L2-normalized at build time; normalize queries once
-        q_rows = queries.select(query_id_col, vec_col).collect()
+        q_rows = _collect_bounded(
+            queries.select(query_id_col, vec_col),
+            max_query_rows,
+            "IvfIndex.probe_batch query set",
+            "Chunk the query set and call probe_batch per chunk.",
+        )
         qm = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
         qn = np.linalg.norm(qm, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
