@@ -20,6 +20,59 @@ from __future__ import annotations
 _MARKER = "_COMMITTED"
 
 
+class TombstoneSet:
+    """Append-only deleted-id set under ``<root>/tombstones/`` — the
+    takedown/right-to-be-forgotten primitive both corpus indexes share
+    (VERDICT r4 #5).
+
+    Deletes are LOGICAL until the next compaction: :meth:`add` appends
+    the ids as parquet (no index rewrite — O(delete) cost at petabyte
+    index scale), probes anti-join :meth:`frame` so a deleted doc stops
+    matching IMMEDIATELY, and ``compact()`` drops the rows physically
+    and then :meth:`clear`s the set. Crash between compact-commit and
+    clear is safe: the surviving tombstones anti-join rows that no
+    longer exist (no-op) and the next compaction clears them. Ids are
+    permanent — re-appending a previously deleted id before a compaction
+    has run is hidden by its tombstone (takedown wins).
+    """
+
+    def __init__(self, root: str, id_col: str):
+        self.path = f"{root}/tombstones"
+        self.id_col = id_col
+
+    def _fs(self, spark):
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return p.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        ), jvm, p
+
+    def add(self, spark, ids) -> None:
+        """Record deleted ids (an int iterable or a 1-column DataFrame)."""
+        if hasattr(ids, "select"):
+            df = ids.select(self.id_col)
+        else:
+            df = spark.createDataFrame(
+                [(int(i),) for i in ids], f"{self.id_col} long"
+            )
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def frame(self, spark):
+        """The tombstoned ids as a DataFrame, or None when none exist."""
+        fs, _, p = self._fs(spark)
+        if not fs.exists(p):
+            return None
+        return spark.read.parquet(self.path).select(self.id_col).distinct()
+
+    def count(self, spark) -> int:
+        df = self.frame(spark)
+        return 0 if df is None else df.count()
+
+    def clear(self, spark) -> None:
+        fs, _, p = self._fs(spark)
+        fs.delete(p, True)
+
+
 class GenerationalDir:
     """Commit/GC helper over one ``<root>/gen=N`` directory family."""
 

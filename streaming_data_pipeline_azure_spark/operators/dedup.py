@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from streaming_data_pipeline_azure_spark.functions.cache import persist_tracked
 from streaming_data_pipeline_azure_spark.functions.generations import (
     GenerationalDir,
+    TombstoneSet,
 )
 from streaming_data_pipeline_azure_spark.functions.vector import (
     cosine_similarity,
@@ -729,6 +730,8 @@ class MinHashCorpusIndex:
       later session probes with bit-identical banding; verified against
       the instance's parameters on every probe/append (a mismatched
       banding would silently return garbage candidates)
+    - ``tombstones/`` deleted doc ids (:meth:`delete`) — anti-joined at
+      probe time, physically dropped by :meth:`compact`
 
     Scale contract (the reason this class exists): a crawl delta probing
     a petabyte corpus must touch the corpus ONLY through this index. The
@@ -768,6 +771,7 @@ class MinHashCorpusIndex:
         self.shingle_kind = shingle_kind
         self.sig_method = sig_method
         self._gens = GenerationalDir(path)
+        self._tombs = TombstoneSet(path, id_col)
         self._params_verified = False
         self._layout_checked = False
 
@@ -872,6 +876,13 @@ class MinHashCorpusIndex:
         self._check_params(accepted.sparkSession)
         self._write(accepted, text_col, "append")
 
+    def delete(self, spark, doc_ids) -> None:
+        """Takedown: tombstone ``doc_ids`` (an int iterable or 1-column
+        DataFrame). Logical-immediate, physical at the next
+        :meth:`compact` — see :class:`TombstoneSet` for the contract.
+        O(delete-set) cost; the index tables are untouched until then."""
+        self._tombs.add(spark, doc_ids)
+
     # -- maintenance -------------------------------------------------------
 
     def stats(self, spark) -> dict:
@@ -888,6 +899,7 @@ class MinHashCorpusIndex:
             "n_band_rows": bands_df.count(),
             "n_band_files": len(bands_df.inputFiles()),
             "n_shingle_files": len(sh_df.inputFiles()),
+            "n_tombstones": self._tombs.count(spark),
         }
 
     def compact(self, spark, target_files: int | None = None) -> None:
@@ -896,11 +908,22 @@ class MinHashCorpusIndex:
         generation G+1, marker-commit, GC generation G. Crash-safe the
         same way the upsert sink is — a crash before the commit leaves
         generation G fully live; the stale stage is GC'd by the next
-        successful compaction. Contents are untouched (pure re-layout),
-        so probes before and after are identical."""
+        successful compaction. Contents are untouched (pure re-layout)
+        EXCEPT tombstoned docs, whose band/shingle rows are dropped
+        physically here and whose tombstones are then cleared — probes
+        before and after stay identical (the tombstones were already
+        hiding those docs at probe time)."""
         nxt = self._gens.current_gen(spark) + 1
         live_bands = spark.read.parquet(self._bands_path(spark))
         live_sh = spark.read.parquet(self._shingles_path(spark))
+        tombs = self._tombs.frame(spark)
+        if tombs is not None:
+            live_bands = live_bands.join(
+                F.broadcast(tombs), self.id_col, "left_anti"
+            )
+            live_sh = live_sh.join(
+                F.broadcast(tombs), self.id_col, "left_anti"
+            )
         n = target_files or max(
             1, spark.sparkContext.defaultParallelism // 4
         )
@@ -912,6 +935,7 @@ class MinHashCorpusIndex:
         )
         self._gens.commit(spark, nxt)
         self._gens.gc_below(spark, keep=nxt)
+        self._tombs.clear(spark)
 
     @classmethod
     def load(cls, spark, path: str) -> "MinHashCorpusIndex":
@@ -957,6 +981,16 @@ class MinHashCorpusIndex:
             .select("batch_id", F.col(self.id_col).alias("corpus_id"))
             .distinct()
         )
+        tombs = self._tombs.frame(spark)
+        if tombs is not None:
+            # deleted docs stop matching IMMEDIATELY — applied to the
+            # already-tiny candidate set, so it's a broadcast anti-join,
+            # not a corpus-side filter; compact() drops the rows for real
+            cand = cand.join(
+                F.broadcast(tombs.withColumnRenamed(self.id_col, "corpus_id")),
+                "corpus_id",
+                "left_anti",
+            )
         c_sets = spark.read.parquet(self._shingles_path(spark)).select(
             F.col(self.id_col).alias("corpus_id"), F.col("__sh").alias("__sh_c")
         )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from streaming_data_pipeline_azure_spark.functions.cache import persist_tracked
 from streaming_data_pipeline_azure_spark.functions.generations import (
     GenerationalDir,
+    TombstoneSet,
 )
 from streaming_data_pipeline_azure_spark.functions.vector import (
     cosine_similarity,
@@ -429,9 +430,28 @@ class IvfIndex:
         # files can merge via the same crash-safe stage/commit/GC swap
         # the sink and the MinHash index use
         self._vgens = GenerationalDir(f"{path}/vectors")
+        self._tombs = TombstoneSet(path, "vec_id")
 
     def _vectors_path(self, spark) -> str:
         return self._vgens.gen_path(spark)
+
+    def _without_tombstoned(self, spark, vecs: DataFrame, id_col: str) -> DataFrame:
+        """Hide deleted vectors from a probe scan (broadcast anti-join;
+        no-op when nothing is tombstoned). compact() drops them for real."""
+        tombs = self._tombs.frame(spark)
+        if tombs is None:
+            return vecs
+        return vecs.join(
+            F.broadcast(tombs.withColumnRenamed("vec_id", id_col)),
+            id_col,
+            "left_anti",
+        )
+
+    def delete(self, spark, vec_ids) -> None:
+        """Takedown: tombstone ``vec_ids`` (int iterable or 1-column
+        DataFrame named ``vec_id``). Logical-immediate — every probe path
+        stops returning them — physical at the next :meth:`compact`."""
+        self._tombs.add(spark, vec_ids)
 
     def _params_tuple(self):
         return (int(self.dim), int(self.n_planes), int(self.seed))
@@ -654,6 +674,7 @@ class IvfIndex:
         vecs = spark.read.parquet(self._vectors_path(spark)).filter(
             F.col("centroid_id").isin(probed)  # partition pruning
         )
+        vecs = self._without_tombstoned(spark, vecs, id_col)
         scored = vecs.join(F.broadcast(probe_plan), "centroid_id").select(
             query_id_col,
             id_col,
@@ -688,6 +709,7 @@ class IvfIndex:
         vecs = spark.read.parquet(self._vectors_path(spark)).filter(
             F.col("centroid_id").isin(ids)  # partition pruning
         )
+        vecs = self._without_tombstoned(spark, vecs, id_col)
         scored = vecs.withColumn(
             "score", cosine_similarity(F.col("vec"), literal_vector(query))
         )
@@ -797,6 +819,7 @@ class IvfIndex:
         vecs = spark.read.parquet(self._vectors_path(spark)).filter(
             F.col("centroid_id").isin(probed)  # partition pruning
         )
+        vecs = self._without_tombstoned(spark, vecs, id_col)
         return (
             vecs.join(F.broadcast(assigned), "centroid_id")
             .withColumn(
@@ -874,18 +897,32 @@ class IvfIndex:
             "n_vectors": vecs.count(),
             "n_centroids": vecs.select("centroid_id").distinct().count(),
             "n_files": len(vecs.inputFiles()),
+            "n_tombstones": self._tombs.count(spark),
         }
 
     def compact(self, spark) -> None:
         """Merge append-accumulated small files: rewrite the live vectors
         table back to one file per centroid partition under generation
         G+1, marker-commit, GC generation G — the same crash-safe swap
-        as ``MinHashCorpusIndex.compact`` / the sink. Pure re-layout:
-        assignments, centroids, and probe results are untouched."""
+        as ``MinHashCorpusIndex.compact`` / the sink. Pure re-layout —
+        assignments, centroids, and probe results are untouched — EXCEPT
+        tombstoned vectors, which are dropped physically here and their
+        tombstones cleared (probes were already hiding them)."""
         nxt = self._vgens.current_gen(spark) + 1
         live = spark.read.parquet(self._vectors_path(spark))
+        tombs = self._tombs.frame(spark)
+        if tombs is not None:
+            id_col = next(  # build wrote (id, centroid_id, vec)
+                c for c in live.schema.names if c not in ("centroid_id", "vec")
+            )
+            live = live.join(
+                F.broadcast(tombs.withColumnRenamed("vec_id", id_col)),
+                id_col,
+                "left_anti",
+            )
         live.repartition("centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
         ).parquet(f"{self.path}/vectors/gen={nxt}")
         self._vgens.commit(spark, nxt)
         self._vgens.gc_below(spark, keep=nxt)
+        self._tombs.clear(spark)
