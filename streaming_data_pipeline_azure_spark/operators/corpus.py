@@ -260,6 +260,82 @@ def tfidf_top_terms(
     )
 
 
+def drop_duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Span-level cross-document dedup (VERDICT r4 #1 — the Lee et al.
+    ACL 2022 step between doc-level near-dup and a clean corpus, for
+    which :func:`cross_doc_shared_ngrams` is the precursor statistic):
+    REMOVE every token covered by a word ``n``-gram that already occurs
+    in an earlier document, keeping the FIRST occurrence.
+
+    Keep-first semantics, deterministic and engine-independent: a gram's
+    "first" document is the one with the smallest ``id_col``; only
+    occurrences in LATER documents are removed (within-document repeats
+    are in-doc signal — :func:`repetition_stats` territory — and are
+    kept). A token is dropped iff ANY duplicated gram window covers it,
+    so overlapping duplicated windows merge into one removed span, which
+    is exactly the repeated-run semantics (a shared 50-token boilerplate
+    block yields 50-n+1 duplicated windows whose union is the block).
+
+    Returns (id, n_tokens, n_removed, clean_text) for EVERY input
+    document — ``n_removed`` doubles as the annotation for callers that
+    want to filter rather than rewrite.
+
+    Scale shape (100 TB contract):
+
+    - the gram table shuffles 8-byte ``xxhash64`` keys, never gram
+      strings — the one corpus-wide shuffle any cross-document gram
+      statistic needs (the gram doc-frequency table is corpus-sized, so
+      no broadcast exists);
+    - duplicated window starts return to their documents as
+      ``collect_set`` INT ARRAYS keyed by doc — O(dup windows) ints,
+      no token-level rows ever shuffle;
+    - the rewrite itself is a per-row codegen HOF filter (token kept iff
+      no remembered start covers its index) — embarrassingly parallel,
+      no Python workers;
+    - the corpus is scanned twice (gram pass + rewrite pass) — the same
+      multi-pass structure as the suffix-array pipeline in Lee et al.,
+      with the heavy pass keyed on fixed-width hashes.
+    """
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    toks = _norm_tokens(text_col)
+    # spread a narrow input before the CPU-heavy gram explode+hash (same
+    # rationale as the signature pipelines — no-op at real scale)
+    base = _ensure_parallelism(df).select(F.col(id_col), toks.alias("__toks"))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col("__toks"), n)).alias("__s", "__g"),
+    ).select(id_col, "__s", F.xxhash64("__g").alias("__h"))
+    first = grams.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    dup_starts = (
+        grams.join(first, "__h")
+        .filter(F.col(id_col) > F.col("__first"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__s")).alias("__starts"))
+    )
+    starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            starts, lambda s: (s <= i) & (i <= s + F.lit(n - 1))
+        ),
+    )
+    n_tokens = F.size("__toks").cast("long")
+    return (
+        base.join(dup_starts, id_col, "left")
+        .select(
+            id_col,
+            n_tokens.alias("n_tokens"),
+            (n_tokens - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+    )
+
+
 def cross_doc_shared_ngrams(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:

@@ -211,3 +211,56 @@ def test_cross_doc_shared_ngrams_flags_boilerplate(spark):
     assert 0 < out[1]["shared_frac"] < 1
     assert out[3]["n_shared"] == 0 and out[3]["shared_frac"] == 0.0
     assert out[4]["n_grams"] == 0 and out[4]["shared_frac"] is None
+
+
+def test_drop_duplicate_spans_keep_first(spark):
+    """Span dedup (VERDICT r4 #1): the shared header survives verbatim
+    in the FIRST doc, is excised from later docs (overlapping duplicated
+    windows merge into one removed run), unique text is untouched, and
+    sub-n docs pass through whole."""
+    header = "subscribe to our newsletter for weekly updates and offers"
+    docs = [
+        (1, header + " alpha beta gamma delta epsilon zeta"),
+        (2, header + " one two three four five six seven"),
+        (3, "entirely unique content about distributed query planning today"),
+        (4, "too short"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in corpus.drop_duplicate_spans(_docs(spark, docs), n=5).collect()
+    }
+    # doc 1 is the first occurrence: nothing removed
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == docs[0][1].lower()
+    # doc 2 loses exactly the 9 header tokens (its tail shares no 5-gram)
+    assert out[2]["n_tokens"] == 16
+    assert out[2]["n_removed"] == 9
+    assert out[2]["clean_text"] == "one two three four five six seven"
+    # unique and sub-n docs untouched
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == docs[2][1].lower()
+    assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == "too short"
+
+
+def test_drop_duplicate_spans_partition_invariance(spark):
+    """The result is a pure function of the data, not of partitioning:
+    identical rows under 1 vs 7 input partitions (VERDICT r4 #1 done
+    criterion)."""
+    header = "this template header repeats across many mirrored documents daily"
+    rows = [
+        (i, header + f" unique tail {i} with words number {i * 7} end")
+        for i in range(1, 40)
+    ] + [(100 + i, f"singleton doc {i} having completely distinct tokens only") for i in range(5)]
+    df = _docs(spark, rows)
+    a = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in corpus.drop_duplicate_spans(df.repartition(1), n=5).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in corpus.drop_duplicate_spans(df.repartition(7), n=5).collect()
+    )
+    assert a == b
+    by_id = dict((t[0], t) for t in a)
+    assert by_id[1][2] == 0          # first doc keeps the template
+    assert all(by_id[i][2] >= 9 for i in range(2, 40))  # later docs lose it
