@@ -1274,6 +1274,10 @@ def embedding_near_dup_pairs(
         sign_bucket(F.col(vec_col), planes[t * n_planes:(t + 1) * n_planes])
         for t in range(n_tables)
     ])
+    # spread a narrow input before the CPU-heavy plane projections (the
+    # single-file local corpus otherwise projects on one core; no-op at
+    # real scale)
+    df = _ensure_parallelism(df)
     bucketed = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(tables).alias("__t", "__bucket"),
