@@ -1604,71 +1604,19 @@ def _d_hits(lang: str) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict ORDER is deliberate (VERDICT r3 #3): the driver's CORRECTNESS
-    # gate caps at the first 50 entries, so oracle-backed queries the
-    # driver has NOT yet hash-checked come first, followed by the
-    # riskiest previously-green ones; simple previously-green entries and
-    # rows-only ops (which get the weaker rows-only record regardless)
-    # sit past the window. scripts/check_correctness.py still verifies
-    # ALL oracle entries locally each round.
+    # Dict ORDER is deliberate (VERDICT r3 #3 / r4 #6): the driver's
+    # CORRECTNESS gate caps at the first 50 entries, so the window
+    # rotates every round — the 27 entries that sat PAST the r4 window
+    # (judge-run then) lead the r5 window together with the new r5 query,
+    # and the remaining slots hold the queries this round's code changes
+    # touched most (knuth rewrite, collect guards, dedup/similarity
+    # internals, flagship join, timestamp-sensitive events). Entries past
+    # the window were driver-verified in r4; scripts/check_correctness.py
+    # still verifies ALL oracle entries locally each round.
     return {
-        # ---- oracle-backed, new in r4 / driver-unseen through r3 ----
-        "embedding_neardup_incremental_exact": _embedding_neardup_incremental_exact,
-        "dedup_incremental_neardup_exact": _dedup_incremental_neardup_exact,
-        "pii_redaction_extended": _pii_redaction_extended,
-        "cross_doc_repetition": _cross_doc_repetition,
+        # ---- new in r5 ----
         "span_dedup": _span_dedup,
-        "alpha_mixture_stats": _alpha_mixture_stats,
-        "shard_balance_stats": _shard_balance_stats,
-        "decontaminate_ngrams": _decontaminate_ngrams,
-        "repetition_stats": _repetition_stats,
-        "stratified_sample_stats": _stratified_sample_stats,
-        "chunk_documents": _chunk_documents,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "order_count_distribution": _order_count_distribution,
-        "small_order_revenue": _small_order_revenue,
-        "large_orders": _large_orders,
-        "nation_trade_flows": _nation_trade_flows,
-        "kmeans_assign_stats": _kmeans_assign_stats,
-        "rolling_daily_revenue": _rolling_daily_revenue,
-        "doc_length_deciles": _doc_length_deciles,
-        "embedding_centroids": _embedding_centroids,
-        "embedding_quantize_stats": _embedding_quantize_stats,
-        "price_histogram": _price_histogram,
-        "nation_market_share": _nation_market_share,
-        "skewed_agg_totals": _skewed_agg_totals,
-        "source_capped_stats": _source_capped_stats,
-        "daily_gapfill": _daily_gapfill,
-        "pricing_grouping_sets": _pricing_grouping_sets,
-        "user_activity_similarity": _user_activity_similarity,
-        # ---- oracle-backed, driver-green in r3; riskiest kept in-window
-        # (flagship join, dedup/similarity, timestamp-sensitive after the
-        # r4 NTZ testdata change, UDF-backed multimodal, salted skew) ----
-        "enriched_orders": _enriched,
-        "pricing_summary": _pricing_summary,
-        "orders_by_nation": _orders_by_nation,
-        "revenue_by_segment": _revenue_by_segment,
-        "dedup_exact": _dedup_exact,
-        "dedup_normalized": _dedup_normalized,
-        "dedup_jaccard_exact": _dedup_jaccard_exact,
-        "dedup_incremental": _dedup_incremental,
-        "embedding_neardup_exact": _embedding_neardup_exact,
-        "similarity_topk": _similarity_topk,
-        "multiquery_topk": _multiquery_topk,
-        "multimodal_decode": _multimodal_decode,
-        "skewed_join_totals": _skewed_join_totals,
-        "pii_redaction": _pii_redaction,
-        "top_terms": _top_terms,
-        "pack_documents": _pack_documents,
-        "events_sessionized": _events_sessionized,
-        "events_hourly": _events_hourly,
-        "events_in_sessions": _events_in_sessions,
-        "asof_latest_click": _asof_latest_click,
-        "events_date_parts": _events_date_parts,
-        "events_daily_pivot": _events_daily_pivot,
-        "doc_fingerprint": _doc_fingerprints,
-        # ---- oracle-backed, driver-green in r3, simple shapes (past the
-        # 50-entry window this round; still in check_correctness.py) ----
+        # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
         "lang_id_counts": _lang_id_counts,
@@ -1706,6 +1654,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _customers_without_orders,
         "customers_with_orders": _customers_with_orders,
         "segments_above_avg": _segments_above_avg,
+        # ---- r5-riskiest previously-green (touched by this round's
+        # changes: knuth_uniform rewrite, contract-collect guards,
+        # dedup/similarity internals, flagship join, NTZ-sensitive) ----
+        "alpha_mixture_stats": _alpha_mixture_stats,
+        "shard_balance_stats": _shard_balance_stats,
+        "embedding_neardup_incremental_exact": _embedding_neardup_incremental_exact,
+        "dedup_incremental_neardup_exact": _dedup_incremental_neardup_exact,
+        "embedding_neardup_exact": _embedding_neardup_exact,
+        "dedup_exact": _dedup_exact,
+        "dedup_normalized": _dedup_normalized,
+        "dedup_jaccard_exact": _dedup_jaccard_exact,
+        "dedup_incremental": _dedup_incremental,
+        "enriched_orders": _enriched,
+        "similarity_topk": _similarity_topk,
+        "multiquery_topk": _multiquery_topk,
+        "multimodal_decode": _multimodal_decode,
+        "events_sessionized": _events_sessionized,
+        "asof_latest_click": _asof_latest_click,
+        "events_hourly": _events_hourly,
+        "events_in_sessions": _events_in_sessions,
+        "pricing_summary": _pricing_summary,
+        "orders_by_nation": _orders_by_nation,
+        "revenue_by_segment": _revenue_by_segment,
+        "pack_documents": _pack_documents,
+        "pii_redaction_extended": _pii_redaction_extended,
+        # ---- oracle-backed, driver-green in r4, past the 50-entry window
+        # this round; still in check_correctness.py ----
+        "cross_doc_repetition": _cross_doc_repetition,
+        "decontaminate_ngrams": _decontaminate_ngrams,
+        "repetition_stats": _repetition_stats,
+        "stratified_sample_stats": _stratified_sample_stats,
+        "chunk_documents": _chunk_documents,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "order_count_distribution": _order_count_distribution,
+        "small_order_revenue": _small_order_revenue,
+        "large_orders": _large_orders,
+        "nation_trade_flows": _nation_trade_flows,
+        "kmeans_assign_stats": _kmeans_assign_stats,
+        "rolling_daily_revenue": _rolling_daily_revenue,
+        "doc_length_deciles": _doc_length_deciles,
+        "embedding_centroids": _embedding_centroids,
+        "embedding_quantize_stats": _embedding_quantize_stats,
+        "price_histogram": _price_histogram,
+        "nation_market_share": _nation_market_share,
+        "skewed_agg_totals": _skewed_agg_totals,
+        "source_capped_stats": _source_capped_stats,
+        "daily_gapfill": _daily_gapfill,
+        "pricing_grouping_sets": _pricing_grouping_sets,
+        "user_activity_similarity": _user_activity_similarity,
+        "skewed_join_totals": _skewed_join_totals,
+        "pii_redaction": _pii_redaction,
+        "top_terms": _top_terms,
+        "events_date_parts": _events_date_parts,
+        "events_daily_pivot": _events_daily_pivot,
+        "doc_fingerprint": _doc_fingerprints,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes
         "embedding_neardup_incremental": _embedding_neardup_incremental,
