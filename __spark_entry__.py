@@ -1041,6 +1041,20 @@ def _decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.ngram_overlap(train_df, eval_df, n=5)
 
 
+def _span_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level decontamination (r5): the same 5% eval split as
+    `decontaminate_ngrams`, but instead of flagging contaminated
+    training docs, the leaked 5-gram spans themselves are scrubbed —
+    the surgical alternative that keeps the rest of the document.
+    Non-vacuous here: near-dup groups straddling the split leak most of
+    their grams, so those train docs collapse to their unique tail."""
+    docs = _docs(spark, sf)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    eval_df = docs.filter(prefix < _EVAL_THRESHOLD)
+    train_df = docs.filter(prefix >= _EVAL_THRESHOLD)
+    return corpus.scrub_eval_spans(train_df, eval_df, n=5)
+
+
 def _repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.repetition_stats(_docs(spark, sf))
 
@@ -1616,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- new in r5 ----
         "span_dedup": _span_dedup,
+        "span_decontaminate": _span_decontaminate,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2045,6 +2060,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM rates r LEFT JOIN kept k USING (lang)
+        """,
+        "span_decontaminate": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks,
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '0ccccccc' AS is_eval
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, is_eval, i AS s,
+                     array_to_string(toks[i:i+4], ' ') AS g
+              FROM norm, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks)-4, 0) + 1)) AS i
+              )
+            ), ev AS (
+              SELECT DISTINCT g FROM grams WHERE is_eval
+            ), bad AS (
+              SELECT DISTINCT gr.doc_id, gr.s
+              FROM grams gr SEMI JOIN ev USING (g)
+              WHERE NOT gr.is_eval
+            ), dropped AS (
+              SELECT DISTINCT b.doc_id, b.s + o.off AS p
+              FROM bad b, LATERAL (
+                SELECT unnest(range(0, 5)) AS off
+              ) o
+            ), tokpos AS (
+              SELECT doc_id, p, toks[p] AS tok
+              FROM norm, LATERAL (
+                SELECT unnest(range(1, len(toks) + 1)) AS p
+              )
+              WHERE NOT is_eval
+            ), kept AS (
+              SELECT tp.doc_id, tp.p, tp.tok
+              FROM tokpos tp ANTI JOIN dropped dr
+                ON tp.doc_id = dr.doc_id AND tp.p = dr.p
+            )
+            SELECT nm.doc_id,
+                   CAST(len(nm.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(nm.toks) - COUNT(k.p) AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '')
+                       AS clean_text
+            FROM norm nm LEFT JOIN kept k USING (doc_id)
+            WHERE NOT nm.is_eval
+            GROUP BY nm.doc_id, len(nm.toks)
         """,
         "span_dedup": r"""
             WITH norm AS (

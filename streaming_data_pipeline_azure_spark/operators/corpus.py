@@ -302,20 +302,44 @@ def drop_duplicate_spans(
         _ensure_parallelism,
     )
 
-    toks = _norm_tokens(text_col)
-    # spread a narrow input before the CPU-heavy gram explode+hash (same
-    # rationale as the signature pipelines — no-op at real scale)
-    base = _ensure_parallelism(df).select(F.col(id_col), toks.alias("__toks"))
+    base, grams = _tokens_and_grams(df, id_col, text_col, n)
+    first = grams.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    bad_windows = (
+        grams.join(first, "__h")
+        .filter(F.col(id_col) > F.col("__first"))
+        .select(id_col, "__s")
+    )
+    return _remove_spans(base, bad_windows, id_col, n)
+
+
+def _tokens_and_grams(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(token-array frame, (id, start, gram-hash) frame) — the shared
+    front half of the span operators. The input is spread before the
+    CPU-heavy gram explode+hash (same rationale as the signature
+    pipelines — no-op at real scale)."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col), _norm_tokens(text_col).alias("__toks")
+    )
     grams = base.select(
         F.col(id_col),
         F.posexplode(word_ngrams(F.col("__toks"), n)).alias("__s", "__g"),
     ).select(id_col, "__s", F.xxhash64("__g").alias("__h"))
-    first = grams.groupBy("__h").agg(F.min(id_col).alias("__first"))
-    dup_starts = (
-        grams.join(first, "__h")
-        .filter(F.col(id_col) > F.col("__first"))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("__s")).alias("__starts"))
+    return base, grams
+
+
+def _remove_spans(
+    base: DataFrame, bad_windows: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Shared back half of the span operators: collapse flagged window
+    starts to per-doc int arrays (the only doc-keyed shuffle — no
+    token-level rows move), then rewrite each doc with a codegen HOF
+    filter dropping every token some flagged window covers."""
+    dup_starts = bad_windows.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("__s")).alias("__starts")
     )
     starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
     kept = F.filter(
@@ -334,6 +358,44 @@ def drop_duplicate_spans(
             F.concat_ws(" ", kept).alias("clean_text"),
         )
     )
+
+
+def scrub_eval_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Span-level benchmark decontamination — the surgical counterpart
+    of :func:`ngram_overlap` (which *flags* contaminated documents):
+    REMOVE from each training document exactly the tokens covered by a
+    word ``n``-gram that appears anywhere in the eval corpus, keeping
+    the rest of the document. Dropping whole documents over one shared
+    sentence wastes data at 100 TB; scrubbing just the leaked span is
+    the standard middle ground.
+
+    Same machinery as :func:`drop_duplicate_spans` with a cheaper plan:
+    the eval side collapses to DISTINCT gram hashes and BROADCASTS
+    (eval sets are benchmarks — orders of magnitude smaller than the
+    corpus), so flagging windows is a map-side semi-join; the only
+    corpus shuffle is the per-contaminated-doc start aggregation, whose
+    rows are (id, int) pairs for matched windows only. Returns the same
+    (id, n_tokens, n_removed, clean_text) shape for every train doc."""
+    base, grams = _tokens_and_grams(train_df, id_col, text_col, n)
+    eval_grams = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(word_ngrams(_norm_tokens(text_col), n))
+            ).alias("__g")
+        )
+        .select(F.xxhash64("__g").alias("__h"))
+        .distinct()
+    )
+    bad_windows = grams.join(F.broadcast(eval_grams), "__h", "semi").select(
+        id_col, "__s"
+    )
+    return _remove_spans(base, bad_windows, id_col, n)
 
 
 def cross_doc_shared_ngrams(

@@ -264,3 +264,31 @@ def test_drop_duplicate_spans_partition_invariance(spark):
     by_id = dict((t[0], t) for t in a)
     assert by_id[1][2] == 0          # first doc keeps the template
     assert all(by_id[i][2] >= 9 for i in range(2, 40))  # later docs lose it
+
+
+def test_scrub_eval_spans_removes_only_leaked_spans(spark):
+    """Span-level decontamination: the leaked eval sentence is excised
+    from training docs, the unique remainder survives, untouched docs
+    pass through whole, and eval docs never appear in the output."""
+    leak = "the secret benchmark answer is forty two exactly here"
+    ev = _docs(spark, [(100, "prefix words " + leak + " suffix words")])
+    train = _docs(
+        spark,
+        [
+            (1, leak + " and my own analysis follows in detail"),
+            (2, "entirely original writing about spark physical plans today"),
+            (3, "tiny doc"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.scrub_eval_spans(train, ev, n=5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_removed"] == 9  # exactly the 9 leaked tokens
+    assert out[1]["clean_text"] == "and my own analysis follows in detail"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == (
+        "entirely original writing about spark physical plans today"
+    )
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == "tiny doc"
