@@ -31,6 +31,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     profile,
     relational,
     sampling,
+    search,
     similarity,
     skew,
     temporal,
@@ -1041,6 +1042,18 @@ def _decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.ngram_overlap(train_df, eval_df, n=5)
 
 
+def _bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical relevance retrieval (r5): top-15 documents by log-free
+    BM25 for a fixed 3-term query — the keyword counterpart of
+    `similarity_topk`. Non-matching tokens die in the scan stage, the
+    df/corpus-stats sides broadcast, and the top-k is
+    TakeOrderedAndProject (see operators/search.py for the 100 TB
+    contract and the ln-free determinism note)."""
+    return search.bm25_topk(
+        _docs(spark, sf), ["hash", "join", "spark"], k=15
+    )
+
+
 def _span_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Span-level decontamination (r5): the same 5% eval split as
     `decontaminate_ngrams`, but instead of flagging contaminated
@@ -1631,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in r5 ----
         "span_dedup": _span_dedup,
         "span_decontaminate": _span_decontaminate,
+        "bm25_search": _bm25_search,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2060,6 +2074,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM rates r LEFT JOIN kept k USING (lang)
+        """,
+        "bm25_search": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+              FROM norm
+            ), tokrows AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM norm
+            ), tf AS (
+              SELECT doc_id, dl, t, COUNT(*) AS tf
+              FROM tokrows WHERE t IN ('hash', 'join', 'spark')
+              GROUP BY doc_id, dl, t
+            ), dfreq AS (
+              SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+            )
+            SELECT f.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched,
+                   CAST(SUM(CAST(
+                       ((n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                       * ((tf * CAST(2.2 AS DOUBLE))
+                          / (tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE)
+                                  * (dl / (CAST(total_len AS DOUBLE)
+                                           / n_docs)))))
+                   AS DECIMAL(28,10))) AS DOUBLE) AS score
+            FROM tf f JOIN dfreq USING (t), stats
+            GROUP BY f.doc_id
+            ORDER BY score DESC, f.doc_id
+            LIMIT 15
         """,
         "span_decontaminate": r"""
             WITH norm AS (
