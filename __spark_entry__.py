@@ -1054,6 +1054,21 @@ def _bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (r5): BM25 top-50 (lexical) and brute-force
+    cosine top-50 for the vec_id=0 query vector (semantic; doc and
+    embedding ids align row-for-row in the testdata) fused by
+    reciprocal-rank fusion, top-10 out — the standard two-tower serving
+    composition, built entirely from existing operators."""
+    lex = search.bm25_topk(
+        _docs(spark, sf), ["hash", "join", "spark"], k=50
+    )
+    sem = similarity.topk_bruteforce(
+        _emb(spark, sf), "embedding", _query_vector(spark, sf), k=50
+    ).select(F.col("vec_id").alias("doc_id"), "score")
+    return search.rrf_fuse(lex, sem, "doc_id", topk=10)
+
+
 def _span_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Span-level decontamination (r5): the same 5% eval split as
     `decontaminate_ngrams`, but instead of flagging contaminated
@@ -1645,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _span_dedup,
         "span_decontaminate": _span_decontaminate,
         "bm25_search": _bm25_search,
+        "hybrid_search": _hybrid_search,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2074,6 +2090,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM rates r LEFT JOIN kept k USING (lang)
+        """,
+        "hybrid_search": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+              FROM norm
+            ), tokrows AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM norm
+            ), tf AS (
+              SELECT doc_id, dl, t, COUNT(*) AS tf
+              FROM tokrows WHERE t IN ('hash', 'join', 'spark')
+              GROUP BY doc_id, dl, t
+            ), dfreq AS (
+              SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+            ), lex AS (
+              SELECT f.doc_id,
+                     CAST(SUM(CAST(
+                         ((n_docs - df + CAST(0.5 AS DOUBLE))
+                          / (df + CAST(0.5 AS DOUBLE)))
+                         * ((tf * CAST(2.2 AS DOUBLE))
+                            / (tf + CAST(1.2 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE)
+                                    * (dl / (CAST(total_len AS DOUBLE)
+                                             / n_docs)))))
+                     AS DECIMAL(28,10))) AS DOUBLE) AS score
+              FROM tf f JOIN dfreq USING (t), stats
+              GROUP BY f.doc_id
+            ), lexr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+              FROM lex QUALIFY ra <= 50
+            ), q AS (
+              SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0
+            ), sem AS (
+              SELECT vec_id AS doc_id,
+                     list_aggregate(list_transform(
+                         list_zip(embedding::DOUBLE[], qv),
+                         x -> x[1] * x[2]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(
+                            list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+                            x -> x[1] * x[2]), 'sum'))
+                        * sqrt(list_aggregate(list_transform(
+                            list_zip(qv, qv), x -> x[1] * x[2]), 'sum')))
+                         AS score
+              FROM embeddings, q
+            ), semr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+              FROM sem QUALIFY rb <= 50
+            )
+            SELECT doc_id,
+                   CAST((CASE WHEN ra IS NULL THEN 0 ELSE 1 END)
+                        + (CASE WHEN rb IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_lists,
+                   COALESCE(CAST(1.0 AS DOUBLE) / (60 + ra), 0.0)
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rb), 0.0)
+                       AS rrf_score
+            FROM lexr l FULL OUTER JOIN semr s USING (doc_id)
+            ORDER BY rrf_score DESC, doc_id
+            LIMIT 10
         """,
         "bm25_search": r"""
             WITH norm AS (

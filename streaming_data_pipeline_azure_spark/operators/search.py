@@ -97,3 +97,50 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval result lists (the
+    standard hybrid-search combiner — Cormack et al. SIGIR 2009):
+    ``rrf(d) = Σ_lists 1/(k + rank_list(d))``, which fuses
+    incomparable score scales (BM25 vs cosine) through ranks alone.
+
+    Inputs are TOP-K LISTS (each with an ``id_col`` and a ``score``
+    column), small by construction — so the single-partition rank
+    windows and the full-outer join cost nothing at any corpus scale;
+    the heavy lifting already happened inside the per-modality top-k
+    retrievals. Ranks break score ties by id, making the fusion
+    deterministic across engines. Returns (id, n_lists, rrf_score),
+    best first."""
+
+    def ranked(df: DataFrame, rank_name: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+        return df.select(id_col, "score").select(
+            F.col(id_col), F.row_number().over(w).alias(rank_name)
+        )
+
+    a = ranked(ranked_a, "__ra")
+    b = ranked(ranked_b, "__rb")
+    contrib_a = F.lit(1.0) / (F.lit(k) + F.col("__ra"))
+    contrib_b = F.lit(1.0) / (F.lit(k) + F.col("__rb"))
+    fused = a.join(b, id_col, "full_outer").select(
+        F.col(id_col),
+        (
+            F.col("__ra").isNotNull().cast("int")
+            + F.col("__rb").isNotNull().cast("int")
+        ).cast("long").alias("n_lists"),
+        (
+            F.coalesce(contrib_a, F.lit(0.0))
+            + F.coalesce(contrib_b, F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(topk)

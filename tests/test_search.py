@@ -47,3 +47,24 @@ def test_bm25_topk_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: a doc present in both lists outranks single-list docs with
+    similar ranks; missing-list contribution is 0; n_lists counts the
+    lists a doc appears in; score is exactly 1/(60+ra) + 1/(60+rb)."""
+    a = _docs_scores(spark, [(1, 9.0), (2, 5.0), (3, 1.0)])
+    b = _docs_scores(spark, [(2, 0.9), (4, 0.8)])
+    rows = search.rrf_fuse(a, b, "doc_id", topk=10).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert [r["doc_id"] for r in rows][0] == 2    # both-lists doc wins
+    assert by_id[2]["n_lists"] == 2
+    assert abs(by_id[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-15
+    assert by_id[1]["n_lists"] == 1
+    assert abs(by_id[1]["rrf_score"] - 1 / 61) < 1e-15
+    assert by_id[4]["rrf_score"] == 1 / 62
+    assert set(by_id) == {1, 2, 3, 4}
+
+
+def _docs_scores(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, score double")
