@@ -835,6 +835,36 @@ def _doc_delta_split(spark: SparkSession, sf: str):
     return corpus, batch
 
 
+_GRAM_IDX_CACHE: dict = {}
+
+
+def _corpus_gram_index(spark: SparkSession, sf: str):
+    """Session-cached gram-membership index of the src0-src9 corpus half
+    — built once, probed by every delta (the span-level member of the
+    incremental index family)."""
+    key = (_session_key(spark), sf)
+    if key not in _GRAM_IDX_CACHE:
+        corpus_df, _ = _doc_delta_split(spark, sf)
+        idx = corpus.GramCorpusIndex(_fresh_index_dir("gram_idx_"), n=5)
+        idx.build(corpus_df, "doc_id", "text")
+        _GRAM_IDX_CACHE[key] = idx
+    return _GRAM_IDX_CACHE[key]
+
+
+def _span_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SPAN-level dedup (r5): the crawl delta scrubs every
+    token span already present in the ingested corpus by probing the
+    persisted gram-membership index — the corpus text is never re-read
+    (two broadcast joins; zero corpus shuffle per delta). Unlike the
+    LSH index probes, gram membership is EXACT, so this query is
+    oracle-backed directly: the oracle recomputes the same scrub from
+    the raw tables. Planted re-crawls (_doc_delta_split) collapse to
+    their appended suffix; genuinely novel docs pass through whole."""
+    _, batch = _doc_delta_split(spark, sf)
+    idx = _corpus_gram_index(spark, sf)
+    return idx.scrub(batch, "doc_id", "text")
+
+
 def _dedup_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-delta NEAR-dup dedup (VERDICT r2 next-round #1): the batch
     probes the persisted MinHash-LSH index of the corpus. The corpus
@@ -1661,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_decontaminate": _span_decontaminate,
         "bm25_search": _bm25_search,
         "hybrid_search": _hybrid_search,
+        "span_dedup_incremental": _span_dedup_incremental,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2090,6 +2121,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM rates r LEFT JOIN kept k USING (lang)
+        """,
+        "span_dedup_incremental": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                           AS sn
+                FROM documents
+            ), batch AS (
+                SELECT doc_id, text FROM t WHERE sn >= 10
+                UNION ALL
+                SELECT doc_id + 2000000, text || ' revised crawl copy'
+                FROM t WHERE sn < 10 AND doc_id % 25 = 0
+            ), cnorm AS (
+              SELECT regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM t WHERE sn < 10
+            ), cgrams AS (
+              SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS g
+              FROM cnorm, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks)-4, 0) + 1)) AS i
+              )
+            ), bnorm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM batch
+            ), bgrams AS (
+              SELECT doc_id, i AS s,
+                     array_to_string(toks[i:i+4], ' ') AS g
+              FROM bnorm, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks)-4, 0) + 1)) AS i
+              )
+            ), bad AS (
+              SELECT DISTINCT bg.doc_id, bg.s
+              FROM bgrams bg SEMI JOIN cgrams USING (g)
+            ), dropped AS (
+              SELECT DISTINCT b.doc_id, b.s + o.off AS p
+              FROM bad b, LATERAL (
+                SELECT unnest(range(0, 5)) AS off
+              ) o
+            ), tokpos AS (
+              SELECT doc_id, p, toks[p] AS tok
+              FROM bnorm, LATERAL (
+                SELECT unnest(range(1, len(toks) + 1)) AS p
+              )
+            ), kept AS (
+              SELECT tp.doc_id, tp.p, tp.tok
+              FROM tokpos tp ANTI JOIN dropped dr
+                ON tp.doc_id = dr.doc_id AND tp.p = dr.p
+            )
+            SELECT nm.doc_id,
+                   CAST(len(nm.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(nm.toks) - COUNT(k.p) AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '')
+                       AS clean_text
+            FROM bnorm nm LEFT JOIN kept k USING (doc_id)
+            GROUP BY nm.doc_id, len(nm.toks)
         """,
         "hybrid_search": r"""
             WITH norm AS (

@@ -332,15 +332,27 @@ def _tokens_and_grams(df: DataFrame, id_col: str, text_col: str, n: int):
 
 
 def _remove_spans(
-    base: DataFrame, bad_windows: DataFrame, id_col: str, n: int
+    base: DataFrame,
+    bad_windows: DataFrame,
+    id_col: str,
+    n: int,
+    *,
+    broadcast_starts: bool = False,
 ) -> DataFrame:
     """Shared back half of the span operators: collapse flagged window
     starts to per-doc int arrays (the only doc-keyed shuffle — no
     token-level rows move), then rewrite each doc with a codegen HOF
-    filter dropping every token some flagged window covers."""
+    filter dropping every token some flagged window covers.
+
+    ``broadcast_starts=True`` pins a broadcast on the starts side of the
+    rewrite join — right for the incremental probe, whose flagged set is
+    delta-sized by contract; the full-corpus operators leave it False
+    (corpus-sized starts must shuffle-join at scale)."""
     dup_starts = bad_windows.groupBy(id_col).agg(
         F.sort_array(F.collect_set("__s")).alias("__starts")
     )
+    if broadcast_starts:
+        dup_starts = F.broadcast(dup_starts)
     starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
     kept = F.filter(
         F.col("__toks"),
@@ -396,6 +408,153 @@ def scrub_eval_spans(
         id_col, "__s"
     )
     return _remove_spans(base, bad_windows, id_col, n)
+
+
+class GramCorpusIndex:
+    """Persisted distinct-gram-hash membership index of an ingested
+    corpus — the SPAN-level member of the incremental-dedup index family
+    (exact: ``dedup.incremental_dedup``; doc-level near-dup:
+    ``dedup.MinHashCorpusIndex``; embedding: ``similarity.IvfIndex``).
+    A crawl delta scrubs every token span already present in the corpus
+    (:meth:`scrub` = the incremental form of
+    :func:`drop_duplicate_spans`'s keep-first semantics, where the
+    whole corpus is "first") without the corpus text ever being
+    re-read.
+
+    Unlike the LSH probes, gram MEMBERSHIP is exact, so the probe
+    output equals the direct two-sided scrub
+    (``scrub_eval_spans(delta, corpus)``) bit-for-bit (modulo 64-bit
+    hash collisions) — the incremental query is oracle-backed directly,
+    with no separate exact anchor needed.
+
+    Layout under ``path``: ``gen=G/grams/`` (distinct ``__h`` BIGINT
+    hashes — ~9 bytes/distinct gram in parquet), ``params/`` pinning
+    the gram width ``n`` (a mismatched ``n`` would silently scrub
+    nothing). Scale contract: a delta probe touches the corpus ONLY
+    through two broadcast joins — the delta's distinct gram hashes
+    broadcast-semi-join INTO the index scan (map-side, no index
+    shuffle), and the matched hashes (≤ delta grams, small) broadcast
+    back onto the delta's windows. Accepting a batch is one parquet
+    append of its distinct hashes; :meth:`compact` re-distincts into
+    few right-sized files via the crash-safe generation swap. Takedown
+    note: membership is aggregate information (a gram may come from
+    many docs), so per-doc tombstones do not apply — takedown of span
+    history is a rebuild."""
+
+    def __init__(self, path: str, *, n: int = 5) -> None:
+        from streaming_data_pipeline_azure_spark.functions.generations import (
+            GenerationalDir,
+        )
+
+        self.path = path
+        self.n = n
+        self._gens = GenerationalDir(path)
+        self._params_verified = False
+
+    def _grams_path(self, spark) -> str:
+        return f"{self._gens.gen_path(spark)}/grams"
+
+    def _check_params(self, spark) -> None:
+        if self._params_verified:
+            return
+        p = spark.read.json(f"{self.path}/params").collect()[0]
+        if int(p["n"]) != int(self.n):
+            raise ValueError(
+                f"GramCorpusIndex width mismatch at {self.path}: index "
+                f"was built with n={int(p['n'])}, instance has n={self.n}; "
+                f"reopen via GramCorpusIndex.load()"
+            )
+        self._params_verified = True
+
+    @classmethod
+    def load(cls, spark, path: str) -> "GramCorpusIndex":
+        p = spark.read.json(f"{path}/params").collect()[0]
+        idx = cls(path, n=int(p["n"]))
+        idx._params_verified = True
+        return idx
+
+    def _hashes(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        _, grams = _tokens_and_grams(df, id_col, text_col, self.n)
+        return grams.select("__h").distinct()
+
+    def build(
+        self, corpus: DataFrame, id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Index an existing corpus (its single full scan, ever)."""
+        spark = corpus.sparkSession
+        self._gens.reset(spark)
+        self._hashes(corpus, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/gen=0/grams")
+        spark.createDataFrame([(int(self.n),)], "n int").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{self.path}/params")
+        self._params_verified = True
+
+    def scrub(
+        self, batch: DataFrame, id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """(id, n_tokens, n_removed, clean_text) for every batch doc,
+        with every token covered by a corpus-present gram removed.
+        Compose :func:`drop_duplicate_spans` on the output for
+        within-batch keep-first dedup of the surviving text."""
+        from streaming_data_pipeline_azure_spark.functions.cache import (
+            persist_tracked,
+        )
+
+        spark = batch.sparkSession
+        self._check_params(spark)
+        base, grams = _tokens_and_grams(batch, id_col, text_col, self.n)
+        # tracked persist: the delta is shingled once and feeds both the
+        # probe hash set and the window flags; the caller releases at its
+        # query boundary (release_caches), not before the plan runs
+        grams = persist_tracked(grams)
+        delta_hashes = grams.select("__h").distinct()
+        matched = spark.read.parquet(self._grams_path(spark)).join(
+            F.broadcast(delta_hashes), "__h", "semi"
+        )
+        bad_windows = grams.join(F.broadcast(matched), "__h", "semi").select(
+            id_col, "__s"
+        )
+        return _remove_spans(
+            base, bad_windows, id_col, self.n, broadcast_starts=True
+        )
+
+    def append(
+        self, accepted: DataFrame, id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Fold accepted (post-scrub) documents' grams in — one parquet
+        append of their distinct hashes; overlap with existing hashes is
+        harmless for membership and collapses at the next compact."""
+        spark = accepted.sparkSession
+        self._check_params(spark)
+        self._hashes(accepted, id_col, text_col).write.mode(
+            "append"
+        ).parquet(self._grams_path(spark))
+
+    def stats(self, spark) -> dict:
+        grams = spark.read.parquet(self._grams_path(spark))
+        return {
+            "generation": self._gens.current_gen(spark),
+            "n_grams": grams.count(),
+            "n_distinct_grams": grams.distinct().count(),
+            "n_files": len(grams.inputFiles()),
+        }
+
+    def compact(self, spark, target_files: int | None = None) -> None:
+        """Re-distinct and re-layout into generation G+1 via the shared
+        crash-safe stage → marker-commit → GC swap."""
+        nxt = self._gens.current_gen(spark) + 1
+        live = spark.read.parquet(self._grams_path(spark)).distinct()
+        n = target_files or max(1, spark.sparkContext.defaultParallelism // 4)
+        live.repartition(n).write.mode("overwrite").parquet(
+            f"{self.path}/gen={nxt}/grams"
+        )
+        self._gens.commit(spark, nxt)
+        self._gens.gc_below(spark, keep=nxt)
 
 
 def cross_doc_shared_ngrams(

@@ -292,3 +292,79 @@ def test_scrub_eval_spans_removes_only_leaked_spans(spark):
         "entirely original writing about spark physical plans today"
     )
     assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == "tiny doc"
+
+
+def test_gram_corpus_index_scrub_append_load(spark, tmp_path):
+    """GramCorpusIndex: a delta doc repeating a corpus span collapses to
+    its unique remainder WITHOUT the corpus being re-read; accepted text
+    folds in via append so later deltas scrub against it; load()
+    restores the pinned gram width and a mismatched width refuses."""
+    import pytest
+
+    boiler = "subscribe to our newsletter for weekly updates and offers"
+    idx = corpus.GramCorpusIndex(str(tmp_path / "gidx"), n=5)
+    idx.build(
+        _docs(spark, [(1, boiler + " first article body here")]),
+        "doc_id", "text",
+    )
+
+    batch = _docs(
+        spark,
+        [
+            (10, boiler + " and my original commentary follows"),
+            (11, "completely novel text about query planners and joins"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in idx.scrub(batch, "doc_id", "text").collect()}
+    assert out[10]["clean_text"] == "and my original commentary follows"
+    assert out[10]["n_removed"] == 9
+    assert out[11]["n_removed"] == 0
+
+    # fold doc 11 in; a re-send of its text is now fully scrubbed
+    idx.append(
+        _docs(spark, [(11, "completely novel text about query planners and joins")]),
+        "doc_id", "text",
+    )
+    resent = _docs(
+        spark, [(20, "completely novel text about query planners and joins")]
+    )
+    [r] = idx.scrub(resent, "doc_id", "text").collect()
+    assert r["clean_text"] == "" and r["n_removed"] == r["n_tokens"]
+
+    reopened = corpus.GramCorpusIndex.load(spark, str(tmp_path / "gidx"))
+    assert reopened.n == 5
+    [r2] = reopened.scrub(resent, "doc_id", "text").collect()
+    assert r2["clean_text"] == ""
+    with pytest.raises(ValueError, match="width mismatch"):
+        corpus.GramCorpusIndex(str(tmp_path / "gidx"), n=3).scrub(
+            resent, "doc_id", "text"
+        )
+
+
+def test_gram_corpus_index_compact_preserves_probe(spark, tmp_path):
+    """compact() re-distincts append-accumulated hashes into one
+    generation without changing any scrub result."""
+    idx = corpus.GramCorpusIndex(str(tmp_path / "gidx"), n=5)
+    idx.build(_docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta")]),
+              "doc_id", "text")
+    idx.append(_docs(spark, [(2, "one two three four five six seven")]),
+               "doc_id", "text")
+    probe = _docs(spark, [(30, "alpha beta gamma delta epsilon zeta eta"),
+                          (31, "one two three four five six seven"),
+                          (32, "untouched fresh words entirely different here now")])
+    before = sorted(
+        (r["doc_id"], r["n_removed"], r["clean_text"])
+        for r in idx.scrub(probe, "doc_id", "text").collect()
+    )
+    st0 = idx.stats(spark)
+    idx.compact(spark)
+    st1 = idx.stats(spark)
+    assert st1["generation"] == st0["generation"] + 1
+    assert st1["n_grams"] == st1["n_distinct_grams"]
+    after = sorted(
+        (r["doc_id"], r["n_removed"], r["clean_text"])
+        for r in idx.scrub(probe, "doc_id", "text").collect()
+    )
+    assert before == after
+    assert before[0][2] == "" and before[1][2] == ""  # both scrubbed whole
+    assert before[2][1] == 0                          # novel untouched

@@ -211,6 +211,33 @@ def test_incremental_neardup_probe_reads_only_index(spark, tmp_path):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_gram_index_scrub_reads_only_index(spark, tmp_path):
+    """GramCorpusIndex.scrub (r5): the corpus participates ONLY through
+    its persisted gram-hash set — every parquet scan in the probe plan
+    points at the index directory, the delta side broadcasts into the
+    index scan and the matched hashes broadcast back, and nothing
+    sort-merge-joins (zero corpus shuffle per delta)."""
+    from streaming_data_pipeline_azure_spark.operators import corpus
+
+    docs = [(i, f"corpus document number {i} about topic {i % 7} with shared words")
+            for i in range(40)]
+    idx = corpus.GramCorpusIndex(str(tmp_path / "gidx"), n=5)
+    idx.build(spark.createDataFrame(docs, ["doc_id", "text"]), "doc_id", "text")
+
+    batch = spark.createDataFrame(
+        [(100 + i, f"new crawl delta doc {i} with some shared words") for i in range(5)],
+        ["doc_id", "text"],
+    )  # local relation: any parquet scan in the plan must be the index
+    plan = physical_plan(idx.scrub(batch, "doc_id", "text"))
+    locations = re.findall(r"Location:.*\[(.*)\]", plan)
+    parquet_locs = [loc for loc in locations if loc]
+    assert parquet_locs, plan
+    for loc in parquet_locs:
+        assert str(tmp_path / "gidx") in loc, (loc, plan)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_ivf_probe_pairs_reads_only_index_partitions(spark, tmp_path):
     """IvfIndex.probe_pairs (VERDICT r3 #2): the corpus participates ONLY
     through its persisted IVF layout — every parquet scan in the probe
