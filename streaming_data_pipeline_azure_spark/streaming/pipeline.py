@@ -174,3 +174,62 @@ def build_dedup_ingest_query(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def build_span_scrub_ingest_query(
+    doc_stream: DataFrame,
+    index,
+    accepted_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_kept_frac: float = 0.2,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming ingestion with SPAN-level dedup — the transforming
+    sibling of :func:`build_dedup_ingest_query` (which drops or keeps
+    whole documents): each micro-batch scrubs every span already in the
+    :class:`~streaming_data_pipeline_azure_spark.operators.corpus.
+    GramCorpusIndex`, keeps documents whose surviving fraction is at
+    least ``min_kept_frac`` (a fully-scrubbed re-send keeps nothing and
+    is dropped entirely), writes the CLEANED text, and folds the
+    accepted clean text's grams into the index so later batches scrub
+    against everything already ingested.
+
+    Same replay-idempotence shape as the dedup ingest: accepted rows
+    overwrite their own ``batch_id=N`` partition, and a replayed batch
+    whose grams are already indexed scrubs its own accepted text to
+    empty — so re-sends across micro-batches OR replays add nothing."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.functions.cache import (
+        release_caches,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        scrubbed = index.scrub(batch_df, id_col, text_col)
+        accepted = scrubbed.filter(
+            (F.col("n_tokens") > 0)
+            & (
+                (F.col("n_tokens") - F.col("n_removed"))
+                >= F.col("n_tokens") * F.lit(min_kept_frac)
+            )
+        ).select(id_col, F.col("clean_text").alias(text_col)).localCheckpoint()
+        if accepted.isEmpty():
+            release_caches()
+            return
+        accepted.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch_id={batch_id}"
+        )
+        index.append(accepted, id_col, text_col)
+        release_caches()
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -597,6 +597,71 @@ def test_streaming_ingest_accepted_write_is_replay_idempotent(spark, tmp_path):
     assert idx.stats(spark)["n_docs"] == 2  # corpus + the replayed accept
 
 
+def test_streaming_span_scrub_ingest(spark, tmp_path):
+    """build_span_scrub_ingest_query: micro-batches scrub corpus-known
+    spans via the gram index, keep docs above the surviving-fraction
+    floor with their CLEANED text, and fold accepted grams in — so
+    content accepted in batch 1 scrubs a batch-2 repeat to nothing.
+    Full-stream replay accepts nothing new (index-level idempotence)."""
+    import time
+
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        GramCorpusIndex,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_span_scrub_ingest_query,
+        run_to_completion,
+    )
+
+    boiler = "subscribe to our newsletter for weekly updates and offers today"
+    unique = "my original analysis of broadcast joins follows here in detail"
+    idx = GramCorpusIndex(str(tmp_path / "gidx"), n=5)
+    idx.build(
+        spark.createDataFrame([(1, boiler)], ["doc_id", "text"]),
+        "doc_id", "text",
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch1 = [
+        {"doc_id": 10, "text": boiler + " " + unique},  # partial -> kept clean
+        {"doc_id": 11, "text": boiler},                  # whole re-send -> drop
+    ]
+    batch2 = [
+        {"doc_id": 20, "text": unique},  # repeats batch-1 ACCEPT -> drop
+        {"doc_id": 21, "text": "totally new cooking text with pasta and garlic"},
+    ]
+    (in_dir / "a.json").write_text("\n".join(json.dumps(d) for d in batch1))
+    time.sleep(1.1)
+    (in_dir / "b.json").write_text("\n".join(json.dumps(d) for d in batch2))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    accepted = str(tmp_path / "accepted")
+    q = build_span_scrub_ingest_query(
+        stream, idx, accepted, str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(accepted).collect()}
+    assert set(got) == {10, 21}
+    assert got[10] == unique  # boilerplate excised, unique tail kept
+
+    # replay everything through a fresh checkpoint: accepted text's grams
+    # are indexed, so every replayed accept scrubs to empty -> no change
+    q2 = build_span_scrub_ingest_query(
+        stream, idx, accepted, str(tmp_path / "ckpt2"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(accepted).collect()}
+    assert got2 == got
+
+
 def test_streaming_embedding_ingest_with_periodic_compaction(spark, tmp_path):
     """The same ingestion builder drives the EMBEDDING index via
     filter_fn/append_fn overrides: a near-identical vector arriving in
