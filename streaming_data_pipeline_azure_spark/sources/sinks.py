@@ -100,10 +100,72 @@ class ParquetUpsertSink:
         )
 
     def read(self, spark) -> DataFrame:
-        """Dedup-on-read: latest version of each key wins."""
-        return self._resolved(
-            spark.read.parquet(self.log_path(spark))
+        """Dedup-on-read: latest version of each key wins; keys behind a
+        delete horizon (:meth:`delete_keys`) are hidden."""
+        return self._visible(
+            self._resolved(spark.read.parquet(self.log_path(spark))), spark
         ).drop("batch_id")
+
+    # -- deletes -----------------------------------------------------------
+
+    def _deletes_frame(self, spark):
+        """(key, __del_bid) delete horizons, or None when none exist."""
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/deletes")
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        return (
+            spark.read.parquet(f"{self.path}/deletes")
+            .groupBy(self.key)
+            .agg(F.max("batch_id").alias("__del_bid"))
+        )
+
+    def _visible(self, resolved: DataFrame, spark) -> DataFrame:
+        """Apply delete horizons: a key is visible iff its latest version
+        was written AFTER its highest delete stamp."""
+        d = self._deletes_frame(spark)
+        if d is None:
+            return resolved
+        return (
+            resolved.join(F.broadcast(d), self.key, "left")
+            .filter(
+                F.col("__del_bid").isNull()
+                | (F.col("batch_id") > F.col("__del_bid"))
+            )
+            .drop("__del_bid")
+        )
+
+    def delete_keys(self, spark, keys, batch_id: int | None = None) -> None:
+        """Takedown: delete ``keys`` (an iterable or a 1-column
+        DataFrame) as of ``batch_id`` — every version written at or
+        before that batch is hidden immediately and dropped physically
+        by the next :meth:`compact`; a LATER ``write_batch`` of the same
+        key resurrects it (ordered delete semantics, like a Cosmos
+        document delete or a Delta MERGE DELETE). ``batch_id`` defaults
+        to the highest batch in the live log (= "delete what exists
+        now").
+
+        The delete markers are retained across compactions ON PURPOSE:
+        after the data rows are gone, a replayed old micro-batch would
+        re-deliver the deleted document, and the surviving marker is
+        what keeps shadowing it — the same reason Delta retains deletion
+        history until VACUUM passes the replay horizon. The marker table
+        is O(deleted keys) and broadcast at read time."""
+        if batch_id is None:
+            row = (
+                spark.read.parquet(self.log_path(spark))
+                .agg(F.max("batch_id"))
+                .collect()[0]
+            )
+            batch_id = int(row[0]) if row[0] is not None else 0
+        if hasattr(keys, "select"):
+            df = keys.select(self.key)
+        else:
+            df = spark.createDataFrame([(k,) for k in keys], [self.key])
+        df.withColumn("batch_id", F.lit(int(batch_id))).coalesce(
+            1
+        ).write.mode("append").parquet(f"{self.path}/deletes")
 
     # -- compaction --------------------------------------------------------
 
@@ -117,8 +179,8 @@ class ParquetUpsertSink:
         the surviving row elsewhere — replay idempotence survives
         compaction. Reading the old directory while writing the new one
         needs no checkpoint/staging copy."""
-        survivors = self._resolved(
-            spark.read.parquet(self.log_path(spark))
+        survivors = self._visible(
+            self._resolved(spark.read.parquet(self.log_path(spark))), spark
         )
         (
             survivors.write.mode("overwrite")  # overwrite: retry a crashed stage

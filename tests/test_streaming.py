@@ -361,6 +361,48 @@ def test_streaming_corpus_clean_matches_batch(spark, tmp_path):
     assert "<EMAIL>" in redacted and "example.com" not in redacted
 
 
+def test_sink_delete_keys_takedown(spark, tmp_path):
+    """Sink takedown (r5): delete_keys hides every version at or before
+    its batch stamp immediately, a LATER write_batch resurrects the key
+    (ordered delete semantics), compact drops hidden rows physically,
+    and the retained markers keep shadowing a replayed old batch that
+    re-delivers the deleted document."""
+    import os
+
+    sink = ParquetUpsertSink(str(tmp_path / "sink"), key="k")
+
+    def batch(batch_id, rows):
+        sink.write_batch(
+            spark.createDataFrame(rows, "k string, v int"), batch_id
+        )
+
+    batch(0, [("a", 1), ("b", 1)])
+    batch(1, [("b", 2), ("c", 2)])
+    sink.delete_keys(spark, ["b"])  # stamp = max batch (1)
+    assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == {
+        ("a", 1), ("c", 2),
+    }
+    # later write resurrects the key
+    batch(2, [("b", 7)])
+    assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == {
+        ("a", 1), ("b", 7), ("c", 2),
+    }
+    # delete again (stamp 2) and compact: physically gone from the log
+    sink.delete_keys(spark, ["b"])
+    sink.compact(spark)
+    assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == {
+        ("a", 1), ("c", 2),
+    }
+    log = spark.read.parquet(sink.log_path(spark))
+    assert {r["k"] for r in log.select("k").collect()} == {"a", "c"}
+    # a replayed OLD batch re-delivers the deleted doc: the retained
+    # marker still shadows it (and the other keys stay intact)
+    batch(1, [("b", 2), ("c", 2)])
+    assert {(r["k"], r["v"]) for r in sink.read(spark).collect()} == {
+        ("a", 1), ("c", 2),
+    }
+
+
 def test_sink_compaction_is_generational_and_crash_safe(spark, tmp_path):
     """Generation-swap compaction (VERDICT r2 #6): survivors are staged
     into gen=G+1 and become live only when the _COMMITTED marker lands.
