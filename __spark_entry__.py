@@ -1072,6 +1072,14 @@ def _decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.ngram_overlap(train_df, eval_df, n=5)
 
 
+def _source_mirror_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Mirror/boilerplate-network detection (r5): pairwise distinct
+    5-gram overlap between sources. Non-vacuous here: the corpus'
+    near-dup document groups put shared grams into multiple sources, so
+    several pairs report n_shared > 0."""
+    return corpus.source_mirror_overlap(_docs(spark, sf), n=5)
+
+
 def _bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """Lexical relevance retrieval (r5): top-15 documents by log-free
     BM25 for a fixed 3-term query — the keyword counterpart of
@@ -1692,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,
         "hybrid_search": _hybrid_search,
         "span_dedup_incremental": _span_dedup_incremental,
+        "source_mirror_overlap": _source_mirror_overlap,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2121,6 +2130,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM rates r LEFT JOIN kept k USING (lang)
+        """,
+        "source_mirror_overlap": r"""
+            WITH norm AS (
+              SELECT source,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT source,
+                     array_to_string(toks[i:i+4], ' ') AS g
+              FROM norm, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks)-4, 0) + 1)) AS i
+              )
+            ), sizes AS (
+              SELECT source, COUNT(*) AS n FROM grams GROUP BY source
+            ), shared AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     COUNT(*) AS n_shared
+              FROM grams a JOIN grams b USING (g)
+              WHERE a.source < b.source
+              GROUP BY a.source, b.source
+            )
+            SELECT s.source_a, s.source_b,
+                   CAST(s.n_shared AS BIGINT) AS n_shared,
+                   CAST(s.n_shared AS DOUBLE)
+                       / (na.n + nb.n - s.n_shared) AS jaccard
+            FROM shared s
+            JOIN sizes na ON na.source = s.source_a
+            JOIN sizes nb ON nb.source = s.source_b
         """,
         "span_dedup_incremental": r"""
             WITH t AS (

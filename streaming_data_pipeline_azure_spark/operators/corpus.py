@@ -410,6 +410,67 @@ def scrub_eval_spans(
     return _remove_spans(base, bad_windows, id_col, n)
 
 
+def source_mirror_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Pairwise content overlap between SOURCES: for every source pair,
+    the number of distinct word ``n``-grams both contain and their gram
+    Jaccard — the mirror-site / boilerplate-network detector that
+    doc-level dedup cannot see (two mirrors may share 90% of their gram
+    vocabulary while no single document pair crosses a near-dup
+    threshold). Crawl pipelines use this to pick ONE representative of
+    a mirror cluster before doc-level dedup ever runs.
+
+    Shape: distinct (source, gram-hash) pairs → self-join on the 8-byte
+    hash with ``source_a < source_b`` → one tiny count per pair, joined
+    to per-source gram counts for the Jaccard. The gram-keyed shuffle is
+    the inherent corpus-wide cost (same as
+    :func:`cross_doc_shared_ngrams`); the pair expansion per gram is
+    bounded by (#sources choose 2), and the output is O(#sources²) rows.
+    Returns (source_a, source_b, n_shared, jaccard), largest overlap
+    first."""
+    toks = _norm_tokens(text_col)
+    grams = (
+        df.select(
+            F.col(group_col).alias("__src"),
+            F.explode(word_ngrams(toks, n)).alias("__g"),
+        )
+        .select("__src", F.xxhash64("__g").alias("__h"))
+        .distinct()
+    )
+    sizes = grams.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
+    a = grams.select(F.col("__src").alias("source_a"), "__h")
+    b = grams.select(F.col("__src").alias("source_b"), "__h")
+    shared = (
+        a.join(b, "__h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = F.broadcast(sizes.select(F.col("__src").alias("source_a"),
+                                  F.col("__n").alias("__na")))
+    nb = F.broadcast(sizes.select(F.col("__src").alias("source_b"),
+                                  F.col("__n").alias("__nb")))
+    return (
+        shared.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "source_a", "source_b")
+    )
+
+
 class GramCorpusIndex:
     """Persisted distinct-gram-hash membership index of an ingested
     corpus — the SPAN-level member of the incremental-dedup index family

@@ -368,3 +368,23 @@ def test_gram_corpus_index_compact_preserves_probe(spark, tmp_path):
     assert before == after
     assert before[0][2] == "" and before[1][2] == ""  # both scrubbed whole
     assert before[2][1] == 0                          # novel untouched
+
+
+def test_source_mirror_overlap_detects_mirrors(spark):
+    """Two sources carrying the same template rank first with high gram
+    Jaccard; a source sharing nothing produces no pair rows."""
+    tpl = "breaking news article about markets and rates published this morning"
+    rows = [
+        (1, tpl + " mirror one extra", "siteA"),
+        (2, tpl + " mirror two extra", "siteB"),
+        (3, "entirely different content about cooking pasta with garlic sauce", "siteC"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus.source_mirror_overlap(df, n=5).collect()
+    pairs = {(r["source_a"], r["source_b"]): r for r in out}
+    assert ("siteA", "siteB") in pairs
+    ab = pairs[("siteA", "siteB")]
+    assert ab["n_shared"] >= 6          # the shared template's 5-grams
+    assert ab["jaccard"] > 0.3
+    # siteC shares no 5-gram with anyone
+    assert all("siteC" not in k for k in pairs)
