@@ -1072,6 +1072,16 @@ def _decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.ngram_overlap(train_df, eval_df, n=5)
 
 
+def _funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Strict-sequence view→click→purchase funnel (r5): per step, users
+    who performed it strictly after their earliest qualifying previous
+    step, with conversion fraction from step 1 (temporal.funnel_steps
+    docstring has the per-user-keyed plan shape)."""
+    return temporal.funnel_steps(
+        _events(spark, sf), ["view", "click", "purchase"]
+    )
+
+
 def _source_mirror_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Mirror/boilerplate-network detection (r5): pairwise distinct
     5-gram overlap between sources. Non-vacuous here: the corpus'
@@ -1701,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _hybrid_search,
         "span_dedup_incremental": _span_dedup_incremental,
         "source_mirror_overlap": _source_mirror_overlap,
+        "funnel_conversion": _funnel_conversion,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2130,6 +2141,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM rates r LEFT JOIN kept k USING (lang)
+        """,
+        "funnel_conversion": """
+            WITH s1 AS (
+              SELECT user_id AS u, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            ), c AS (
+              SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n FROM s1
+              UNION ALL
+              SELECT 2, 'click', COUNT(*) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', COUNT(*) FROM s3
+            ), f AS (
+              SELECT n AS n1 FROM c WHERE step_idx = 1
+            )
+            SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+                   CAST(n AS BIGINT) AS n_users,
+                   CAST(n AS DOUBLE) / n1 AS frac_of_first
+            FROM c, f
         """,
         "source_mirror_overlap": r"""
             WITH norm AS (

@@ -158,3 +158,67 @@ def top_n_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-sequence funnel analysis: how many users performed the
+    ``steps`` events IN ORDER (each step strictly after the previous
+    one's first qualifying occurrence — re-orderings don't count, the
+    standard product-analytics semantics).
+
+    Per step k, the reached-set is users with a step-k event strictly
+    after their earliest qualifying step-(k-1) time; earliest-first
+    makes the result a pure function of the data (no per-user path
+    search). Returns one row per step: (step_idx, step, n_users,
+    frac_of_first).
+
+    Plan shape: one user-keyed aggregation per step, each joined to the
+    previous step's (user, time) frame — k-1 equi-joins on the user
+    key, the natural partitioning for any per-user history operator
+    (AQE handles hot users; no windows over the whole event stream, so
+    nothing sorts more than the per-step filtered events)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for k, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(prev, "__u")
+                .filter(F.col("__ts") > F.col("__t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        reached.append(cur)
+        prev = cur
+    counts = None
+    for k, (step, cur) in enumerate(zip(steps, reached)):
+        row = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(k + 1).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col("n_users").cast("long"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    first = F.broadcast(
+        reached[0].agg(F.count(F.lit(1)).alias("__n1"))
+    )
+    return counts.crossJoin(first).select(
+        "step_idx",
+        "step",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("__n1")).alias(
+            "frac_of_first"
+        ),
+    )

@@ -201,3 +201,40 @@ def test_range_join_inclusive_bounds(spark):
         ).collect()
     }
     assert out == {"lo", "hi"}  # both boundary points included
+
+
+def test_funnel_steps_strict_order(spark):
+    """Funnel semantics: a user counts for step k only with a step-k
+    event strictly AFTER their earliest step-(k-1) time — out-of-order
+    histories stop at the last in-order stage."""
+    from datetime import datetime
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: full in-order funnel
+        (1, T(0), "view"), (1, T(5), "click"), (1, T(9), "purchase"),
+        # u2: purchase BEFORE click -> stops after click
+        (2, T(0), "view"), (2, T(6), "click"), (2, T(3), "purchase"),
+        # u3: click before any view -> stops at view
+        (3, T(5), "view"), (3, T(2), "click"),
+        # u4: never viewed -> not even step 1
+        (4, T(1), "click"), (4, T(2), "purchase"),
+        # u5: simultaneous view/click (strict > excludes) -> stops at view
+        (5, T(0), "view"), (5, T(0), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r["step"]: r for r in
+           funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 4        # u1, u2, u3, u5
+    assert out["click"]["n_users"] == 2       # u1, u2
+    assert out["purchase"]["n_users"] == 1    # u1
+    assert out["view"]["frac_of_first"] == 1.0
+    assert out["click"]["frac_of_first"] == 0.5
+    assert out["purchase"]["frac_of_first"] == 0.25
+    assert [out[s]["step_idx"] for s in ("view", "click", "purchase")] == [1, 2, 3]
