@@ -1082,6 +1082,14 @@ def _funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention (r5): users cohorted by the ISO week of
+    their first signup event; per later week-offset, the count/fraction
+    of the cohort with any activity that week
+    (temporal.cohort_retention docstring has the plan shape)."""
+    return temporal.cohort_retention(_events(spark, sf))
+
+
 def _source_mirror_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Mirror/boilerplate-network detection (r5): pairwise distinct
     5-gram overlap between sources. Non-vacuous here: the corpus'
@@ -1712,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_incremental": _span_dedup_incremental,
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
+        "cohort_retention": _cohort_retention,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2141,6 +2150,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM rates r LEFT JOIN kept k USING (lang)
+        """,
+        "cohort_retention": """
+            WITH signup AS (
+              SELECT user_id AS u, date_trunc('week', MIN(ts)) AS cw
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), sizes AS (
+              SELECT cw, COUNT(*) AS n_cohort FROM signup GROUP BY cw
+            ), act AS (
+              SELECT DISTINCT s.cw,
+                     date_diff('day', s.cw, date_trunc('week', e.ts)) // 7
+                         AS week_offset,
+                     e.user_id
+              FROM events e JOIN signup s ON e.user_id = s.u
+              WHERE date_trunc('week', e.ts) >= s.cw
+            ), agg AS (
+              SELECT cw, week_offset, COUNT(*) AS n_active
+              FROM act GROUP BY cw, week_offset
+            )
+            SELECT CAST(a.cw AS DATE) AS cohort_week,
+                   CAST(a.week_offset AS BIGINT) AS week_offset,
+                   CAST(a.n_active AS BIGINT) AS n_active,
+                   CAST(a.n_active AS DOUBLE) / z.n_cohort
+                       AS retention_frac
+            FROM agg a JOIN sizes z ON a.cw = z.cw
         """,
         "funnel_conversion": """
             WITH s1 AS (

@@ -222,3 +222,66 @@ def funnel_steps(
             "frac_of_first"
         ),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    signup_type: str = "signup",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weekly cohort retention — the other product-analytics staple next
+    to :func:`funnel_steps`: users cohorted by the ISO week of their
+    FIRST ``signup_type`` event, then for each later week-offset the
+    count and fraction of the cohort with ANY event that week.
+
+    Shape: one user-keyed aggregate builds the (user, cohort_week)
+    table; events join it on the user key (the natural partitioning),
+    collapse to distinct (cohort, offset, user) — map-side partial
+    distinct bounds the shuffle at one row per user-week — then a tiny
+    (cohorts × offsets) aggregate joins the broadcast cohort sizes.
+    Week truncation is ISO-Monday ``date_trunc('week', …)`` in both
+    Spark and DuckDB, and offsets are exact multiples of 7 days, so the
+    result is engine-exact. Returns (cohort_week, week_offset,
+    n_active, retention_frac) with offset 0 = the signup week."""
+    signup = (
+        events.filter(F.col(type_col) == signup_type)
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__s"))
+        .select(
+            "__u",
+            F.date_trunc("week", F.col("__s")).alias("__cw"),
+        )
+    )
+    sizes = signup.groupBy("__cw").agg(
+        F.count(F.lit(1)).alias("__n_cohort")
+    )
+    active = (
+        events.select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"))
+        .join(signup, "__u")
+        .select(
+            "__cw",
+            (
+                F.datediff(F.date_trunc("week", F.col("__ts")), F.col("__cw"))
+                / 7
+            ).cast("long").alias("week_offset"),
+            "__u",
+        )
+        .filter(F.col("week_offset") >= 0)
+        .distinct()
+        .groupBy("__cw", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "__cw")
+        .select(
+            F.col("__cw").cast("date").alias("cohort_week"),
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            (
+                F.col("n_active").cast("double") / F.col("__n_cohort")
+            ).alias("retention_frac"),
+        )
+    )

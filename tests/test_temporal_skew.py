@@ -238,3 +238,43 @@ def test_funnel_steps_strict_order(spark):
     assert out["click"]["frac_of_first"] == 0.5
     assert out["purchase"]["frac_of_first"] == 0.25
     assert [out[s]["step_idx"] for s in ("view", "click", "purchase")] == [1, 2, 3]
+
+
+def test_cohort_retention_weekly(spark):
+    """Cohort semantics: users cohort by the ISO week of their FIRST
+    signup; retention counts distinct active users per later week;
+    pre-signup-week activity is excluded; fractions are of cohort size."""
+    from datetime import datetime
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    # 2024-01-01 is a Monday (ISO week start)
+    D = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        # cohort W0 (Jan 1 week): users 1, 2
+        (1, D(2), "signup"), (1, D(3), "click"),    # active W0
+        (1, D(9), "view"),                           # active W1
+        (2, D(4), "signup"), (2, D(16), "click"),    # active W0 (signup) + W2
+        # user 3 signs up in W1; their W0 click precedes the cohort week
+        (3, D(5), "click"), (3, D(10), "signup"), (3, D(11), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in cohort_retention(ev).collect()
+    }
+    w0 = "2024-01-01"
+    w1 = "2024-01-08"
+    # signup events themselves make offset 0 complete
+    assert out[(w0, 0)]["n_active"] == 2
+    assert out[(w0, 0)]["retention_frac"] == 1.0
+    assert out[(w0, 1)]["n_active"] == 1           # user 1
+    assert out[(w0, 1)]["retention_frac"] == 0.5
+    assert out[(w0, 2)]["n_active"] == 1           # user 2
+    assert out[(w1, 0)]["n_active"] == 1           # user 3
+    # user 3's pre-signup-week click created no negative-offset row
+    assert all(off >= 0 for _, off in out)
