@@ -293,3 +293,56 @@ def test_batch_corpus_jaccard_pairs_partition_invariant(spark):
     one = run(1)
     assert one  # planted re-crawls guarantee matches
     assert one == run(7)
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(2, 3),
+)
+def test_span_dedup_invariants(spark, texts, n):
+    """drop_duplicate_spans invariants for arbitrary corpora:
+    (1) the lowest-id document never loses a token (keep-first);
+    (2) every clean_text is an order-preserving token subsequence of
+        the normalized original;
+    (3) 0 <= n_removed <= n_tokens and the arithmetic is consistent."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        drop_duplicate_spans,
+    )
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        normalized_text,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    norm = {
+        r["doc_id"]: r["nt"]
+        for r in df.select(
+            "doc_id", normalized_text("text").alias("nt")
+        ).collect()
+    }
+    out = {r["doc_id"]: r for r in drop_duplicate_spans(df, n=n).collect()}
+    assert set(out) == set(norm)
+    assert out[0]["n_removed"] == 0  # first doc keeps everything
+    assert out[0]["clean_text"] == norm[0]
+    for d, r in out.items():
+        orig = norm[d].split(" ")
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+        assert r["n_tokens"] == len(orig)
+        expected = r["n_tokens"] - r["n_removed"]
+        if r["clean_text"] == "":
+            # "" is concat_ws of either [] (fully scrubbed) or [""]
+            # (normalized-empty doc's single empty token)
+            assert expected <= 1
+            kept = [""] if expected == 1 else []
+        else:
+            kept = r["clean_text"].split(" ")
+            assert len(kept) == expected
+        # order-preserving subsequence check
+        it = iter(orig)
+        assert all(tok in it for tok in kept)
