@@ -1815,7 +1815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_pivot": _events_daily_pivot,
         "doc_fingerprint": _doc_fingerprints,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
-        # hash-derived feature vectors, approximate index probes
+        # hash-derived feature vectors, approximate index probes, and the
+        # zlib kernel (no DuckDB deflate)
+        "compression_stats": lambda spark, sf: tx.compression_stats(
+            _docs(spark, sf)
+        ),
         "embedding_neardup_incremental": _embedding_neardup_incremental,
         "dedup_incremental_neardup": _dedup_incremental_neardup,
         "dedup_minhash": _dedup_minhash,

@@ -115,3 +115,33 @@ def test_redact_pii_extended_typed_tags_and_ordering(spark):
     assert "<PHONE>" in row["clean"] and "<IP>" in row["clean"]
     assert "<EMAIL>" in row["clean"]
     assert "4111" not in row["clean"] and "192.168" not in row["clean"]
+
+
+def test_compression_stats_orders_by_redundancy(spark):
+    """zlib ratio invariants: spam << prose < random-ish; empty text has
+    a NULL ratio; byte counts are UTF-8 exact."""
+    import random
+
+    rng = random.Random(7)
+    rand_text = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(400))
+    rows = [
+        (1, "buy now " * 100),                     # extreme redundancy
+        (2, ("the quick brown fox jumps over the lazy dog and then "
+             "wanders slowly home across the quiet evening fields ") * 4),
+        (3, rand_text),
+        (4, ""),
+        (5, "héllo wörld"),                        # multibyte UTF-8
+    ]
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        compression_stats,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_stats(df).collect()}
+    assert out[1]["ratio"] < out[2]["ratio"] < out[3]["ratio"]
+    assert out[1]["ratio"] < 0.1
+    assert out[3]["ratio"] > 0.5
+    assert out[4]["ratio"] is None and out[4]["n_bytes"] == 0
+    assert out[5]["n_bytes"] == len("héllo wörld".encode("utf-8"))
+    for r in out.values():
+        assert r["n_compressed"] > 0
