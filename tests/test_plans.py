@@ -303,3 +303,42 @@ def test_exact_anchor_probes_never_shuffle_corpus_side(spark, sf_dir):
     # join is the broadcast anti-join dropping matched batch rows
     assert "SortMergeJoin" not in emb_plan, emb_plan
     assert re.search(r"BroadcastHashJoin .*LeftAnti", emb_plan), emb_plan
+
+
+def test_no_cartesian_products_across_query_surface(spark, sf_dir):
+    """Plan-regression guard: none of the representative queries may
+    plan a CartesianProduct (a non-broadcast cross join — the one join
+    shape that is always a scale-killer). Broadcast nested-loop joins
+    against one-row stat frames are fine and not flagged. Runs on plan
+    generation only (no noop execution), so the sweep stays cheap."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    # representative non-index-backed queries across every operator
+    # family (index probes have their own dedicated plan tests)
+    names = [
+        "enriched_orders", "pricing_summary", "orders_by_nation",
+        "nation_trade_flows", "nation_market_share", "skewed_join_totals",
+        "skewed_agg_totals", "events_sessionized", "events_in_sessions",
+        "asof_latest_click", "funnel_conversion", "cohort_retention",
+        "span_dedup", "span_decontaminate", "source_mirror_overlap",
+        "bm25_search", "hybrid_search", "dedup_jaccard_exact",
+        "dedup_incremental", "embedding_neardup_exact", "similarity_topk",
+        "multiquery_topk", "pack_documents", "tfidf_top_terms",
+        "decontaminate_ngrams", "cross_doc_repetition", "price_histogram",
+        "daily_gapfill", "user_activity_similarity", "compression_stats",
+    ]
+    queries = entry.queries()
+    offenders = {}
+    for name in names:
+        plan = physical_plan(queries[name](spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[name] = plan.splitlines()[0]
+    assert not offenders, offenders
