@@ -33,6 +33,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     sampling,
     search,
     similarity,
+    validate,
     skew,
     temporal,
     text as tx,
@@ -1072,6 +1073,26 @@ def _decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.ngram_overlap(train_df, eval_df, n=5)
 
 
+def _data_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative expectation suite over lineitem (r5): six invariants
+    evaluated in ONE scan via conditional aggregation (validate.py has
+    the one-pass contract). Mixed outcome by design — the synthetic
+    quantity range makes `quantity_le_40` report real violations while
+    the integrity rules pass."""
+    li = _lineitem(spark, sf)
+    rules = [
+        ("quantity_positive", F.col("l_quantity") > 0),
+        ("quantity_le_40", F.col("l_quantity") <= 40),
+        ("discount_range",
+         (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("keys_nonnull",
+         F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    return validate.check_rules(li, rules)
+
+
 def _funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """Strict-sequence view→click→purchase funnel (r5): per step, users
     who performed it strictly after their earliest qualifying previous
@@ -1721,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
         "cohort_retention": _cohort_retention,
+        "data_quality_checks": _data_quality_checks,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2154,6 +2176,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, CAST(r.n_orig AS BIGINT) AS n_orig, r.keep_rate,
                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
             FROM rates r LEFT JOIN kept k USING (lang)
+        """,
+        "data_quality_checks": """
+            WITH agg AS (
+              SELECT COUNT(*) AS n,
+                SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE)
+                    THEN 1 ELSE 0 END) AS v0,
+                SUM(CASE WHEN NOT COALESCE(l_quantity <= 40, FALSE)
+                    THEN 1 ELSE 0 END) AS v1,
+                SUM(CASE WHEN NOT COALESCE(
+                        l_discount >= 0 AND l_discount <= 1, FALSE)
+                    THEN 1 ELSE 0 END) AS v2,
+                SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+                    THEN 1 ELSE 0 END) AS v3,
+                SUM(CASE WHEN NOT COALESCE(
+                        l_orderkey IS NOT NULL AND l_partkey IS NOT NULL,
+                        FALSE)
+                    THEN 1 ELSE 0 END) AS v4,
+                SUM(CASE WHEN NOT COALESCE(
+                        l_returnflag IN ('A', 'N', 'R'), FALSE)
+                    THEN 1 ELSE 0 END) AS v5
+              FROM lineitem
+            )
+            SELECT r.rule, CAST(a.n AS BIGINT) AS n_rows,
+                   CAST(r.v AS BIGINT) AS n_violations,
+                   CAST(r.v AS DOUBLE) / a.n AS violation_frac,
+                   r.v = 0 AS passed
+            FROM agg a, LATERAL (
+              SELECT * FROM (VALUES
+                ('quantity_positive', a.v0),
+                ('quantity_le_40', a.v1),
+                ('discount_range', a.v2),
+                ('price_positive', a.v3),
+                ('keys_nonnull', a.v4),
+                ('returnflag_domain', a.v5)) AS t(rule, v)
+            ) r
         """,
         "cohort_retention": """
             WITH signup AS (

@@ -1,0 +1,69 @@
+"""Unit tests for declarative data-quality validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.operators import validate
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -3.0, "B"), (3, None, "A"), (4, 5.0, None)],
+        "id long, amount double, flag string",
+    )
+
+
+def test_check_rules_counts_and_null_semantics(spark):
+    """NULL predicate outcomes count as violations (conservative); counts
+    and fractions are per rule over one shared row count."""
+    rules = [
+        ("amount_positive", F.col("amount") > 0),          # rows 2 (neg), 3 (null)
+        ("flag_domain", F.col("flag").isin("A", "B")),     # row 4 (null)
+        ("id_nonnull", F.col("id").isNotNull()),           # passes
+    ]
+    out = {r["rule"]: r for r in validate.check_rules(_df(spark), rules).collect()}
+    assert out["amount_positive"]["n_violations"] == 2
+    assert out["amount_positive"]["violation_frac"] == 0.5
+    assert out["amount_positive"]["passed"] is False
+    assert out["flag_domain"]["n_violations"] == 1
+    assert out["id_nonnull"]["n_violations"] == 0
+    assert out["id_nonnull"]["passed"] is True
+    assert all(r["n_rows"] == 4 for r in out.values())
+    with pytest.raises(ValueError):
+        validate.check_rules(_df(spark), [])
+
+
+def test_check_rules_is_one_scan(spark, sf_dir):
+    """The whole suite must evaluate as ONE aggregation pass: a single
+    shuffle however many rules there are (conditional counts, not
+    per-rule jobs)."""
+    import re
+
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rules = [(f"r{i}", F.col("l_quantity") > i) for i in range(12)]
+    plan = physical_plan(validate.check_rules(li, rules))
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan
+
+
+def test_failing_rows_samples_offenders(spark):
+    rules = [
+        ("amount_positive", F.col("amount") > 0),
+        ("flag_domain", F.col("flag").isin("A", "B")),
+    ]
+    rows = validate.failing_rows(_df(spark), rules, limit=10).collect()
+    got = {(r["violated_rule"], r["id"]) for r in rows}
+    assert got == {
+        ("amount_positive", 2),
+        ("amount_positive", 3),
+        ("flag_domain", 4),
+    }
