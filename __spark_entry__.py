@@ -1842,6 +1842,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_stats": lambda spark, sf: tx.compression_stats(
             _docs(spark, sf)
         ),
+        # CMS heavy hitters over the exploded token column — the
+        # fixed-memory twin of the exact `top_terms` anchor
+        "heavy_hitters_tokens": lambda spark, sf: profile.heavy_hitters_cms(
+            _docs(spark, sf).select(
+                F.explode(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                ).alias("token")
+            ),
+            "token",
+            k=20,
+        ),
         "embedding_neardup_incremental": _embedding_neardup_incremental,
         "dedup_incremental_neardup": _dedup_incremental_neardup,
         "dedup_minhash": _dedup_minhash,

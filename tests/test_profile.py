@@ -79,3 +79,38 @@ def test_approx_quantile_buckets_covers_out_of_range(spark):
     got = {r["v"]: r["bucket"] for r in out.collect()}
     assert got[1] == 1 and got[1000000] == 4
     assert sorted(got.values()) == list(got[k] for k in sorted(got))
+
+
+def test_heavy_hitters_cms_matches_exact_on_skew(spark):
+    """CMS top-k on a Zipf-ish column: the estimated top set matches the
+    exact top set, estimates never undercount, and the heaviest key's
+    estimate is within the epsilon*N one-sided bound."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        heavy_hitters_cms,
+    )
+
+    rows = []
+    for i in range(40):
+        rows += [(f"key{i}",)] * (400 // (i + 1))
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    exact = {
+        r["v"]: r["c"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    exact_top5 = sorted(exact, key=lambda v: (-exact[v], v))[:5]
+    got = heavy_hitters_cms(df, "v", k=5, depth=4, width=1024).collect()
+    assert [r["value"] for r in got] == exact_top5
+    n = sum(exact.values())
+    for r in got:
+        true = exact[r["value"]]
+        assert r["est_count"] >= true          # CMS never undercounts
+        assert r["est_count"] <= true + (3 * n) // 1024 + 1
+
+
+def test_heavy_hitters_cms_empty_input(spark):
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        heavy_hitters_cms,
+    )
+
+    df = spark.createDataFrame([], "v string")
+    assert heavy_hitters_cms(df, "v", k=5).count() == 0
