@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_azure_spark.operators import (
+    cdc,
     corpus,
     dedup,
+    linkage,
     enrich,
     multimodal,
     packing,
@@ -1111,6 +1113,60 @@ def _cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     return temporal.cohort_retention(_events(spark, sf))
 
 
+def _scd2_order_status(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history build (r5): per customer, the order-status change
+    history derived from their order stream ordered by (date, key) —
+    consecutive same-status orders collapse into one validity interval
+    with valid_from/valid_to/is_current (operators/cdc.py has the
+    one-Exchange window plan shape)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return cdc.scd2_history(
+        orders.select(
+            "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+        ),
+        key_cols=["o_custkey"],
+        seq_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+def _cdc_apply_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC apply / latest-wins snapshot (r5): the order stream read as a
+    change feed (finished orders are deletes, everything else an
+    upsert), materialized to one live row per customer — the relational
+    formulation of the serving sink's keyed upsert-with-deletes
+    (reference README.md:107-129)."""
+    (orders,) = _tables(spark, sf, "orders")
+    feed = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_price"),
+        F.col("o_orderdate").alias("last_date"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc.apply_changes(
+        feed,
+        key_cols=["o_custkey"],
+        seq_cols=["last_date", "last_orderkey"],
+        op_col="op",
+    )
+
+
+def _fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Record linkage (r5): every customer-name pair within one
+    Levenshtein edit, found via deletion-neighborhood blocking (one
+    O(n·L) shuffle + equi-join + codegen levenshtein verify — never the
+    O(n²) cross join the DuckDB oracle is allowed to brute-force at
+    sf0.01; operators/linkage.py has the completeness proof)."""
+    (customer,) = _tables(spark, sf, "customer")
+    return linkage.fuzzy_match_pairs(
+        customer, "c_custkey", "c_name"
+    ).select("id_a", "id_b", "distance")
+
+
 def _source_mirror_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Mirror/boilerplate-network detection (r5): pairwise distinct
     5-gram overlap between sources. Non-vacuous here: the corpus'
@@ -1743,6 +1799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _funnel_conversion,
         "cohort_retention": _cohort_retention,
         "data_quality_checks": _data_quality_checks,
+        "scd2_order_status": _scd2_order_status,
+        "cdc_apply_snapshot": _cdc_apply_snapshot,
+        "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2246,6 +2305,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a.n_active AS DOUBLE) / z.n_cohort
                        AS retention_frac
             FROM agg a JOIN sizes z ON a.cw = z.cw
+        """,
+        "fuzzy_customer_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                     AS distance
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "scd2_order_status": """
+            WITH ordered AS (
+              SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                     LAG(o_orderstatus) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                     ) AS prev_status
+              FROM orders
+            ), changes AS (
+              SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+              FROM ordered
+              WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+            ), hist AS (
+              SELECT o_custkey, o_orderstatus,
+                     o_orderdate AS valid_from,
+                     LEAD(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                     ) AS valid_to
+              FROM changes
+            )
+            SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM hist
+        """,
+        "cdc_apply_snapshot": """
+            WITH feed AS (
+              SELECT o_custkey,
+                     o_orderkey AS last_orderkey,
+                     o_totalprice AS last_price,
+                     o_orderdate AS last_date,
+                     CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END
+                       AS op,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                     ) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, last_orderkey, last_price, last_date
+            FROM feed WHERE rn = 1 AND op <> 'D'
         """,
         "funnel_conversion": """
             WITH s1 AS (

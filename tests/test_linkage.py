@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import pytest
+
+from streaming_data_pipeline_azure_spark.operators import linkage
+
+
+def _lev(a: str, b: str) -> int:
+    # reference Levenshtein for the brute-force expectation
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+NAMES = [
+    (1, "kitten"),
+    (2, "kitte"),     # deletion of 1
+    (3, "kittex"),    # substitution of 1
+    (4, "mitten"),    # substitution of 1
+    (5, "zebra"),     # unrelated
+    (6, "kitten"),    # exact duplicate of 1
+    (7, "ab"),
+    (8, "ba"),        # distance 2 from 7 but shares deletion variants
+    (9, "a"),         # distance 1 from 7 and 8 (deletion side)
+]
+
+
+def _expected(max_d: int) -> set:
+    out = set()
+    for i, (ia, na) in enumerate(NAMES):
+        for ib, nb in NAMES[i + 1:]:
+            d = _lev(na, nb)
+            if d <= max_d:
+                lo, hi = sorted((ia, ib))
+                out.add((lo, hi, d))
+    return out
+
+
+def test_matches_bruteforce_distance_1(spark):
+    df = spark.createDataFrame(NAMES, "id int, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in linkage.fuzzy_match_pairs(df, "id", "name").collect()
+    }
+    exp = _expected(1)
+    assert got == exp
+    # the adversarial transposition pair must be verified away
+    assert (7, 8, 2) not in got and not any(
+        a == 7 and b == 8 for a, b, _ in got
+    )
+    # and the exact-duplicate pair present at distance 0
+    assert (1, 6, 0) in got
+
+
+def test_distance_zero_is_exact_match_only(spark):
+    df = spark.createDataFrame(NAMES, "id int, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in linkage.fuzzy_match_pairs(
+            df, "id", "name", max_distance=0
+        ).collect()
+    }
+    assert got == _expected(0) == {(1, 6, 0)}
+
+
+def test_unsupported_distance_raises(spark):
+    df = spark.createDataFrame(NAMES, "id int, name string")
+    with pytest.raises(ValueError, match="max_distance"):
+        linkage.fuzzy_match_pairs(df, "id", "name", max_distance=2)
+
+
+def test_partition_invariance(spark):
+    df = spark.createDataFrame(NAMES, "id int, name string")
+    a = linkage.fuzzy_match_pairs(df.repartition(5), "id", "name")
+    b = linkage.fuzzy_match_pairs(df.coalesce(1), "id", "name")
+    assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect()))
+
+
+def test_no_cartesian_in_plan(spark):
+    df = spark.createDataFrame(NAMES, "id int, name string")
+    plan = (
+        linkage.fuzzy_match_pairs(df, "id", "name")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
