@@ -24,10 +24,52 @@ through DECIMAL(28,10) so summation order cannot perturb the hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_azure_spark.operators.corpus import _norm_tokens
+
+
+def _score_topk(
+    tf: DataFrame,
+    docfreq: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scoring tail: ``tf`` is (id, __dl, __t, __tf) for the
+    MATCHING (doc, term) pairs only, ``docfreq`` is (__t, __df), ``stats``
+    is one row (__n_docs, __total_len). Both the direct corpus-scan path
+    (:func:`bm25_topk`) and the postings-index path
+    (:meth:`PostingsIndex.search`) end here, which is what makes them
+    bit-identical (the index query is oracle-backed by the same SQL)."""
+    avgdl = F.col("__total_len").cast("double") / F.col("__n_docs")
+    idf = (
+        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    term_score = idf * (
+        (F.col("__tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("__tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum(term_score.cast("decimal(28,10)"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
 def bm25_topk(
@@ -73,30 +115,7 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
     docfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-    avgdl = F.col("__total_len").cast("double") / F.col("__n_docs")
-    idf = (
-        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
-        / (F.col("__df") + F.lit(0.5))
-    )
-    term_score = idf * (
-        (F.col("__tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("__tf")
-            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / avgdl))
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(docfreq), "__t")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_matched"),
-            F.sum(term_score.cast("decimal(28,10)"))
-            .cast("double")
-            .alias("score"),
-        )
-    )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    return _score_topk(tf, docfreq, stats, id_col, k=k, k1=k1, b=b)
 
 
 def rrf_fuse(
@@ -144,3 +163,242 @@ def rrf_fuse(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(topk)
+
+
+class PostingsIndex:
+    """Persisted inverted index for BM25 retrieval — the LEXICAL member
+    of the incremental-index family (exact: ``dedup.incremental_dedup``;
+    doc near-dup: ``dedup.MinHashCorpusIndex``; embedding:
+    ``similarity.IvfIndex``; span: ``corpus.GramCorpusIndex``).
+    :func:`bm25_topk` re-scans and re-tokenizes the corpus per query;
+    this index pays that scan ONCE at :meth:`build` and serves every
+    query from partition-pruned postings reads.
+
+    Layout under ``path`` (crash-safe ``gen=G`` swap shared with the
+    other indexes — ``functions/generations.py``):
+
+    - ``gen=G/postings/__bkt=B/`` — (token, doc id, tf, dl) rows,
+      hash-partitioned by ``__bkt = pmod(xxhash64(token), n_buckets)``
+      so a |Q|-term query reads at most |Q| bucket directories
+      (PartitionFilters prune the rest — plan-tested). The document
+      length rides denormalized on every posting, the classic trick
+      that removes the doc-lengths join from the query path.
+    - ``gen=G/stats/`` — one (n_docs, total_len) row per build/append;
+      queries SUM this tiny table for N and avgdl instead of scanning
+      a doc-lengths table (O(#appends) rows, not O(#docs)).
+    - ``params/`` pins n_buckets + the id column; ``tombstones/`` is
+      the shared takedown set.
+
+    Query-time scale contract: the only corpus-proportional read is the
+    pruned postings buckets; df comes from those same rows, corpus
+    stats and docfreq broadcast, and the top-k plans as
+    TakeOrderedAndProject — identical scoring math to
+    :func:`bm25_topk` via the shared :func:`_score_topk` tail, so index
+    results match the direct scan bit-for-bit (the oracle runs the SAME
+    SQL for both).
+
+    Maintenance: :meth:`append` folds a novel-doc batch in (one
+    postings write + one stats row; re-appending an already-indexed doc
+    double-counts it — run the dedup probes first, same contract as the
+    other indexes). :meth:`delete` is logical-immediate (anti-join on
+    every search; df is computed post-anti-join so rankings stay
+    delete-consistent) with ONE documented staleness: N/avgdl come from
+    the stats rows and only return to exact at :meth:`compact`, which
+    drops tombstoned postings physically, recomputes stats from the
+    surviving postings, and swaps generations crash-safely.
+    """
+
+    def __init__(
+        self, path: str, id_col: str = "doc_id", *, n_buckets: int = 64
+    ) -> None:
+        from streaming_data_pipeline_azure_spark.functions.generations import (
+            GenerationalDir,
+            TombstoneSet,
+        )
+
+        self.path = path
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self._gens = GenerationalDir(path)
+        self._tombs = TombstoneSet(path, id_col)
+        self._params_verified = False
+
+    # ---- bookkeeping ----
+
+    def _postings_path(self, spark) -> str:
+        return f"{self._gens.gen_path(spark)}/postings"
+
+    def _stats_path(self, spark) -> str:
+        return f"{self._gens.gen_path(spark)}/stats"
+
+    def _check_params(self, spark) -> None:
+        if self._params_verified:
+            return
+        p = spark.read.json(f"{self.path}/params").collect()[0]
+        if int(p["n_buckets"]) != int(self.n_buckets) or p["id_col"] != self.id_col:
+            raise ValueError(
+                f"PostingsIndex params mismatch at {self.path}: index has "
+                f"n_buckets={int(p['n_buckets'])}, id_col={p['id_col']!r}; "
+                f"instance has n_buckets={self.n_buckets}, "
+                f"id_col={self.id_col!r}; reopen via PostingsIndex.load()"
+            )
+        self._params_verified = True
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PostingsIndex":
+        p = spark.read.json(f"{path}/params").collect()[0]
+        idx = cls(path, p["id_col"], n_buckets=int(p["n_buckets"]))
+        idx._params_verified = True
+        return idx
+
+    # ---- write paths ----
+
+    def _postings(self, df: DataFrame, text_col: str) -> DataFrame:
+        base = df.select(
+            F.col(self.id_col), _norm_tokens(text_col).alias("__toks")
+        )
+        return (
+            base.select(
+                self.id_col,
+                F.size("__toks").alias("__dl"),
+                F.explode("__toks").alias("__t"),
+            )
+            .groupBy(self.id_col, "__dl", "__t")
+            .agg(F.count(F.lit(1)).alias("__tf"))
+            .withColumn(
+                "__bkt", F.pmod(F.xxhash64("__t"), F.lit(self.n_buckets))
+            )
+        )
+
+    def _doc_stats(self, df: DataFrame, text_col: str) -> DataFrame:
+        return df.select(_norm_tokens(text_col).alias("__toks")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("__toks")).cast("long").alias("total_len"),
+        )
+
+    def build(self, corpus: DataFrame, text_col: str = "text") -> None:
+        """Index an existing corpus (its single full tokenize, ever)."""
+        spark = corpus.sparkSession
+        self._gens.reset(spark)
+        self._tombs.clear(spark)
+        self._postings(corpus, text_col).write.partitionBy("__bkt").mode(
+            "overwrite"
+        ).parquet(f"{self.path}/gen=0/postings")
+        self._doc_stats(corpus, text_col).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/gen=0/stats")
+        spark.createDataFrame(
+            [(int(self.n_buckets), self.id_col)], "n_buckets int, id_col string"
+        ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
+        self._params_verified = True
+
+    def append(self, batch: DataFrame, text_col: str = "text") -> None:
+        """Fold a batch of NOVEL documents in: one postings append into
+        the live generation + one stats row."""
+        spark = batch.sparkSession
+        self._check_params(spark)
+        self._postings(batch, text_col).write.partitionBy("__bkt").mode(
+            "append"
+        ).parquet(self._postings_path(spark))
+        self._doc_stats(batch, text_col).coalesce(1).write.mode(
+            "append"
+        ).parquet(self._stats_path(spark))
+
+    def delete(self, spark: SparkSession, ids) -> None:
+        """Takedown: ids stop matching every subsequent search
+        immediately; their postings are dropped physically (and corpus
+        stats re-exactified) at the next :meth:`compact`."""
+        self._check_params(spark)
+        self._tombs.add(spark, ids)
+
+    # ---- query path ----
+
+    def _term_buckets(self, spark: SparkSession, terms: list[str]) -> list[int]:
+        # one O(|Q|)-row job: the bucket ids must come from the SAME
+        # xxhash64 the writer used, so compute them in Spark, not Python
+        rows = (
+            spark.createDataFrame([(t,) for t in terms], "__t string")
+            .select(
+                F.pmod(F.xxhash64("__t"), F.lit(self.n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return [int(r["b"]) for r in rows]
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_terms: list[str],
+        *,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Top-``k`` (id, n_matched, score) by the same log-free BM25 as
+        :func:`bm25_topk`, served from the index: reads ONLY the query
+        terms' bucket partitions."""
+        self._check_params(spark)
+        terms = sorted(set(t.lower() for t in query_terms))
+        buckets = self._term_buckets(spark, terms)
+        post = (
+            spark.read.parquet(self._postings_path(spark))
+            .filter(F.col("__bkt").isin(buckets))
+            .filter(
+                F.col("__t").isin(*terms)
+                if len(terms) > 1
+                else (F.col("__t") == terms[0])
+            )
+        )
+        dead = self._tombs.frame(spark)
+        if dead is not None:
+            post = post.join(F.broadcast(dead), self.id_col, "anti")
+        tf = post.select(self.id_col, "__dl", "__t", "__tf")
+        docfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        stats = spark.read.parquet(self._stats_path(spark)).agg(
+            F.sum("n_docs").alias("__n_docs"),
+            F.sum("total_len").alias("__total_len"),
+        )
+        return _score_topk(tf, docfreq, stats, self.id_col, k=k, k1=k1, b=b)
+
+    # ---- maintenance ----
+
+    def stats(self, spark: SparkSession) -> dict:
+        post = spark.read.parquet(self._postings_path(spark))
+        st = spark.read.parquet(self._stats_path(spark)).agg(
+            F.sum("n_docs").alias("n"), F.sum("total_len").alias("t")
+        ).collect()[0]
+        return {
+            "generation": self._gens.current_gen(spark),
+            "n_postings": post.count(),
+            "n_terms": post.select("__t").distinct().count(),
+            "n_docs": int(st["n"]),
+            "total_len": int(st["t"]),
+            "n_tombstones": self._tombs.count(spark),
+            "n_files": len(post.inputFiles()),
+        }
+
+    def compact(self, spark: SparkSession, target_files: int | None = None) -> None:
+        """Drop tombstoned postings physically, recompute exact corpus
+        stats from the survivors, and re-layout into generation G+1 via
+        the shared stage -> marker-commit -> GC swap; tombstones clear
+        last (a crash in between is benign: they anti-join nothing)."""
+        self._check_params(spark)
+        live = spark.read.parquet(self._postings_path(spark))
+        dead = self._tombs.frame(spark)
+        if dead is not None:
+            live = live.join(F.broadcast(dead), self.id_col, "anti")
+        nxt = self._gens.current_gen(spark) + 1
+        n = target_files or max(1, spark.sparkContext.defaultParallelism // 4)
+        live.repartition(n, "__bkt", "__t").write.partitionBy("__bkt").mode(
+            "overwrite"
+        ).parquet(f"{self.path}/gen={nxt}/postings")
+        live.select(self.id_col, "__dl").distinct().agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__dl").cast("long").alias("total_len"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/gen={nxt}/stats"
+        )
+        self._gens.commit(spark, nxt)
+        self._gens.gc_below(spark, keep=nxt)
+        self._tombs.clear(spark)

@@ -68,3 +68,98 @@ def test_rrf_fuse_semantics(spark):
 
 def _docs_scores(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# ---- PostingsIndex: the persisted inverted-index serving path ----
+
+
+def _corpus_rows():
+    return [
+        (1, "hash join hash join spark"),
+        (2, "hash join spark " + "filler " * 20),
+        (3, "hash only mentioned once here in this text"),
+        (4, "completely unrelated words about gardening"),
+        (5, "spark spark spark shuffle"),
+    ]
+
+
+def _build_index(spark, tmp_path, rows=None):
+    idx = search.PostingsIndex(str(tmp_path / "postings_idx"))
+    idx.build(_docs(spark, rows or _corpus_rows()))
+    return idx
+
+
+def test_postings_search_matches_direct_scan(spark, tmp_path):
+    """Index-served BM25 must equal the corpus-scan bm25_topk
+    bit-for-bit (shared scoring tail; same tokenization; df/N/avgdl
+    reconstructed exactly from postings + stats rows)."""
+    docs = _docs(spark, _corpus_rows())
+    idx = _build_index(spark, tmp_path)
+    direct = search.bm25_topk(docs, ["hash", "join", "spark"], k=10).collect()
+    served = idx.search(spark, ["hash", "join", "spark"], k=10).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in direct]
+
+
+def test_postings_append_matches_full_rebuild(spark, tmp_path):
+    """build(A) + append(B) must serve the same results as build(A∪B)."""
+    rows = _corpus_rows()
+    idx = _build_index(spark, tmp_path, rows[:3])
+    idx.append(_docs(spark, rows[3:]))
+    full = search.bm25_topk(
+        _docs(spark, rows), ["hash", "join", "spark"], k=10
+    ).collect()
+    served = idx.search(spark, ["hash", "join", "spark"], k=10).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in full]
+
+
+def test_postings_partition_pruning(spark, tmp_path):
+    """A search must read ONLY the query terms' bucket partitions: the
+    postings scan carries a __bkt PartitionFilter (directory pruning)
+    and the df/stats sides broadcast — no sort-merge join."""
+    import re
+
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    idx = _build_index(spark, tmp_path)
+    plan = physical_plan(idx.search(spark, ["hash"], k=10))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__bkt" in m.group(1), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_postings_delete_hides_then_compact_reexactifies(spark, tmp_path):
+    """delete() hides a doc from search immediately (and df follows);
+    compact() drops its postings physically, re-exactifies N/avgdl, and
+    clears tombstones — after which results equal a fresh index built
+    without the doc."""
+    rows = _corpus_rows()
+    idx = _build_index(spark, tmp_path)
+    idx.delete(spark, [1])
+    ids = [r["doc_id"] for r in idx.search(spark, ["hash", "join"], k=10).collect()]
+    assert 1 not in ids and 2 in ids
+    st = idx.stats(spark)
+    assert st["n_tombstones"] == 1 and st["n_docs"] == 5  # stats stale pre-compact
+    idx.compact(spark)
+    st = idx.stats(spark)
+    assert st["n_tombstones"] == 0 and st["n_docs"] == 4
+    assert st["generation"] == 1
+    fresh = search.PostingsIndex(str(tmp_path / "fresh_idx"))
+    fresh.build(_docs(spark, [r for r in rows if r[0] != 1]))
+    a = idx.search(spark, ["hash", "join", "spark"], k=10).collect()
+    b = fresh.search(spark, ["hash", "join", "spark"], k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_postings_params_mismatch_guard(spark, tmp_path):
+    import pytest
+
+    idx = _build_index(spark, tmp_path)
+    other = search.PostingsIndex(idx.path, n_buckets=32)
+    with pytest.raises(ValueError, match="params mismatch"):
+        other.search(spark, ["hash"])
+    reloaded = search.PostingsIndex.load(spark, idx.path)
+    assert reloaded.n_buckets == idx.n_buckets
+    assert [tuple(r) for r in reloaded.search(spark, ["hash"], k=3).collect()]
