@@ -81,6 +81,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return _enriched(spark, SF0001)
 
 
+_BM25_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+                 lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                 ' ') AS toks
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+      FROM norm
+    ), tokrows AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM norm
+    ), tf AS (
+      SELECT doc_id, dl, t, COUNT(*) AS tf
+      FROM tokrows WHERE t IN ('hash', 'join', 'spark')
+      GROUP BY doc_id, dl, t
+    ), dfreq AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(
+               ((n_docs - df + CAST(0.5 AS DOUBLE))
+                / (df + CAST(0.5 AS DOUBLE)))
+               * ((tf * CAST(2.2 AS DOUBLE))
+                  / (tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE)
+                          * (dl / (CAST(total_len AS DOUBLE)
+                                   / n_docs)))))
+           AS DECIMAL(28,10))) AS DOUBLE) AS score
+    FROM tf f JOIN dfreq USING (t), stats
+    GROUP BY f.doc_id
+    ORDER BY score DESC, f.doc_id
+    LIMIT 15
+"""
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/documents.parquet")
 
@@ -852,6 +890,33 @@ def _corpus_gram_index(spark: SparkSession, sf: str):
         idx.build(corpus_df, "doc_id", "text")
         _GRAM_IDX_CACHE[key] = idx
     return _GRAM_IDX_CACHE[key]
+
+
+_POSTINGS_IDX_CACHE: dict = {}
+
+
+def _corpus_postings_index(spark: SparkSession, sf: str):
+    """Session-cached inverted index over the full documents corpus —
+    built once (the corpus' single tokenize, relocated to a labeled
+    bench preamble entry like the other indexes), serving every
+    lexical query from partition-pruned postings reads."""
+    key = (_session_key(spark), sf)
+    if key not in _POSTINGS_IDX_CACHE:
+        idx = search.PostingsIndex(_fresh_index_dir("postings_idx_"))
+        idx.build(_docs(spark, sf), "text")
+        _POSTINGS_IDX_CACHE[key] = idx
+    return _POSTINGS_IDX_CACHE[key]
+
+
+def _bm25_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-served BM25 (r5): the same 3-term query and scoring as
+    `bm25_search`, served from the persisted postings index — at most 3
+    bucket directories read instead of a full corpus re-tokenize, with
+    bit-identical results (shared scoring tail), so the oracle is the
+    SAME SQL as the direct-scan query."""
+    return _corpus_postings_index(spark, sf).search(
+        spark, ["hash", "join", "spark"], k=15
+    )
 
 
 def _span_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
@@ -1802,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_order_status": _scd2_order_status,
         "cdc_apply_snapshot": _cdc_apply_snapshot,
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
+        "bm25_search_indexed": _bm25_search_indexed,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2538,42 +2604,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rrf_score DESC, doc_id
             LIMIT 10
         """,
-        "bm25_search": r"""
-            WITH norm AS (
-              SELECT doc_id,
-                     regexp_split_to_array(
-                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
-                         ' ') AS toks
-              FROM documents
-            ), stats AS (
-              SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
-              FROM norm
-            ), tokrows AS (
-              SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM norm
-            ), tf AS (
-              SELECT doc_id, dl, t, COUNT(*) AS tf
-              FROM tokrows WHERE t IN ('hash', 'join', 'spark')
-              GROUP BY doc_id, dl, t
-            ), dfreq AS (
-              SELECT t, COUNT(*) AS df FROM tf GROUP BY t
-            )
-            SELECT f.doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_matched,
-                   CAST(SUM(CAST(
-                       ((n_docs - df + CAST(0.5 AS DOUBLE))
-                        / (df + CAST(0.5 AS DOUBLE)))
-                       * ((tf * CAST(2.2 AS DOUBLE))
-                          / (tf + CAST(1.2 AS DOUBLE)
-                             * (CAST(0.25 AS DOUBLE)
-                                + CAST(0.75 AS DOUBLE)
-                                  * (dl / (CAST(total_len AS DOUBLE)
-                                           / n_docs)))))
-                   AS DECIMAL(28,10))) AS DOUBLE) AS score
-            FROM tf f JOIN dfreq USING (t), stats
-            GROUP BY f.doc_id
-            ORDER BY score DESC, f.doc_id
-            LIMIT 15
-        """,
+        "bm25_search": _BM25_ORACLE,
+        # index-served BM25 is bit-identical to the direct scan by
+        # construction (shared scoring tail) — same oracle on purpose
+        "bm25_search_indexed": _BM25_ORACLE,
         "span_decontaminate": r"""
             WITH norm AS (
               SELECT doc_id,

@@ -119,6 +119,11 @@ def main() -> None:
     t0 = time.perf_counter()
     entrymod._corpus_gram_index(spark, sf_dir)
     timings["preamble_gram_index_build"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    entrymod._corpus_postings_index(spark, sf_dir)
+    timings["preamble_postings_index_build"] = round(
+        time.perf_counter() - t0, 4
+    )
 
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
