@@ -1760,6 +1760,52 @@ def _embedding_quantize_stats(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.quantize_int8_stats(_emb(spark, sf), "vec_id", "embedding")
 
 
+def _pq_init_books(spark: SparkSession, sf: str, m: int = 8, k: int = 16):
+    """Deterministic init-only PQ codebooks (subvectors of vec_id
+    0..K-1) — O(K) collect, query definition not dataflow, exactly
+    reproducible by the SQL oracle."""
+    rows = (
+        _emb(spark, sf)
+        .filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return similarity.init_codebooks_from_rows(
+        [[float(x) for x in r["embedding"]] for r in rows], m_subspaces=m
+    )
+
+
+def _pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization encode (r5): every embedding compressed to
+    8 sub-codes (64 dims -> 8 bytes, 32x) against the deterministic
+    init codebook — row-local codegen argmin, no shuffle; the oracle
+    replays the exact argmin from the raw table."""
+    return similarity.pq_encode(
+        _emb(spark, sf), "vec_id", "embedding", _pq_init_books(spark, sf)
+    )
+
+
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def _pq_search_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance search (r5, rows-only — Lloyd training is
+    not SQL-expressible): Lloyd-trained codebooks (driver numpy over a
+    bounded sample), corpus encoded distributively, ADC top-10 for the
+    vec_id=0 query via literal lookup tables + TakeOrderedAndProject.
+    Recall vs exact is pinned by tests/test_similarity.py."""
+    key = (_session_key(spark), sf)
+    if key not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[key] = similarity.train_pq_codebooks(
+            _emb(spark, sf), "embedding", m_subspaces=8, k_codes=16, iters=4
+        )
+    books = _PQ_BOOKS_CACHE[key]
+    codes = similarity.pq_encode(_emb(spark, sf), "vec_id", "embedding", books)
+    return similarity.pq_topk_adc(
+        codes, "vec_id", books, _query_vector(spark, sf), k=10
+    )
+
+
 def _nation_trade_flows(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: revenue between (supplier nation, customer nation)
     pairs, international only. Exercises the 5-way join: the two nation
@@ -1868,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_snapshot": _cdc_apply_snapshot,
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         "bm25_search_indexed": _bm25_search_indexed,
+        "pq_codes": _pq_codes,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -1978,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token",
             k=20,
         ),
+        "pq_search_adc": _pq_search_adc,
         "embedding_neardup_incremental": _embedding_neardup_incremental,
         "dedup_incremental_neardup": _dedup_incremental_neardup,
         "dedup_minhash": _dedup_minhash,
@@ -2371,6 +2419,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a.n_active AS DOUBLE) / z.n_cohort
                        AS retention_frac
             FROM agg a JOIN sizes z ON a.cw = z.cw
+        """,
+        "pq_codes": """
+            WITH cb AS (
+              SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 16
+            ), subs AS (
+              SELECT unnest(range(0, 8)) AS m
+            ), scored AS (
+              SELECT e.vec_id, s.m, c.code,
+                     list_aggregate(list_transform(
+                         list_zip(
+                           (e.embedding::DOUBLE[])[(s.m*8+1):(s.m*8+8)],
+                           (c.cv)[(s.m*8+1):(s.m*8+8)]),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum')
+                       AS dist
+              FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c
+            ), best AS (
+              SELECT vec_id, m, code, dist FROM scored
+              QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) = 1
+            )
+            SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+                   CAST(code AS BIGINT) AS code, dist
+            FROM best
         """,
         "fuzzy_customer_pairs": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -926,3 +926,181 @@ class IvfIndex:
         self._vgens.commit(spark, nxt)
         self._vgens.gc_below(spark, keep=nxt)
         self._tombs.clear(spark)
+
+
+# ---- Product quantization (PQ): the compressed embedding store ----
+#
+# IVF answers "scan less"; PQ answers "store less": a D-dim float vector
+# becomes M uint8 codes (one per subspace), a 32x compression at
+# D=64/M=8 that turns a 100 TB embedding store into ~3 TB, searched via
+# asymmetric distance (ADC) lookup tables (Jegou et al., TPAMI 2011).
+# Everything below is codegen-only on the executors: encoding is a
+# row-local argmin over literal codewords (scan speed, zero shuffle),
+# ADC search is a literal-LUT lookup + per-id sum + TakeOrderedAndProject.
+# Codebook TRAINING is driver-side numpy Lloyd over a bounded sample
+# (the standard PQ practice: train on a sample, encode the corpus
+# distributively); the oracle-checked query uses a deterministic
+# init-only codebook so DuckDB can replay the exact argmin.
+
+
+def _sq_l2(a, b) -> "F.Column":
+    # sequential left-to-right double fold — same order DuckDB's
+    # list_aggregate('sum') uses, so row-local distances match exactly
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+) -> DataFrame:
+    """Encode each vector against per-subspace codebooks:
+    ``codebooks[m]`` is a list of (code, subvector) whose subvectors all
+    have length D/M. Returns long form (id, subspace, code, dist) — one
+    row per subspace, ``code`` the argmin-squared-L2 codeword (ties to
+    the smallest code), ``dist`` that squared distance. Row-local
+    codegen: every subspace's |K| distances evaluate inline; nothing
+    shuffles."""
+    sub_len = len(codebooks[0][0][1])
+    vec = to_double_array(F.col(vec_col))
+    per_sub = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(vec, m * sub_len + 1, sub_len)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_l2(sub, literal_vector(cw)).alias("dist"),
+                        F.lit(int(code)).alias("code"),
+                    )
+                    for code, cw in book
+                ]
+            )
+        )
+        per_sub.append(
+            F.struct(
+                F.lit(m).cast("long").alias("subspace"),
+                best["code"].cast("long").alias("code"),
+                best["dist"].alias("dist"),
+            )
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*per_sub)).alias("__s")
+    ).select(
+        id_col,
+        F.col("__s.subspace").alias("subspace"),
+        F.col("__s.code").alias("code"),
+        F.col("__s.dist").alias("dist"),
+    )
+
+
+def init_codebooks_from_rows(
+    rows: list[list[float]], m_subspaces: int
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic init-only codebooks: codeword k of subspace m is
+    the m-th subvector of ``rows[k]`` — reproducible from the raw table
+    by any SQL engine (the oracle uses vec_id 0..K-1), and the Lloyd
+    starting point of :func:`train_pq_codebooks`."""
+    d = len(rows[0])
+    sub_len = d // m_subspaces
+    return [
+        [
+            (k, list(map(float, r[m * sub_len:(m + 1) * sub_len])))
+            for k, r in enumerate(rows)
+        ]
+        for m in range(m_subspaces)
+    ]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    iters: int = 5,
+    max_sample_rows: int = 65536,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train PQ codebooks with per-subspace Lloyd iterations over a
+    BOUNDED training sample (driver numpy, deterministic: init is the
+    sample's first K rows in input order, empty clusters keep their
+    codeword). The sample collect goes through the same
+    ``_collect_bounded`` contract as the other driver-side sets; corpus
+    encoding stays fully distributed via :func:`pq_encode`."""
+    import numpy as np
+
+    sample = _collect_bounded(
+        df.select(to_double_array(F.col(vec_col)).alias("__v")).limit(
+            max_sample_rows
+        ),
+        max_sample_rows,
+        "PQ training sample",
+        "lower max_sample_rows or pre-sample the input",
+    )
+    mat = np.asarray([r["__v"] for r in sample], dtype=np.float64)
+    n, d = mat.shape
+    if d % m_subspaces:
+        raise ValueError(f"dim {d} not divisible by m_subspaces {m_subspaces}")
+    sub_len = d // m_subspaces
+    books = []
+    for m in range(m_subspaces):
+        x = mat[:, m * sub_len:(m + 1) * sub_len]
+        cents = x[:k_codes].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(k_codes):
+                mask = assign == k
+                if mask.any():
+                    cents[k] = x[mask].mean(axis=0)
+        books.append([(k, [float(v) for v in cents[k]]) for k in range(k_codes)])
+    return books
+
+
+def pq_topk_adc(
+    codes: DataFrame,
+    id_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query: list[float],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    UNquantized; per subspace a literal lookup table holds the squared
+    L2 between the query subvector and every codeword, and a vector's
+    approximate distance is the sum of its M table entries. Input is
+    :func:`pq_encode`'s long form (id, subspace, code); the LUT lookup
+    is ``element_at`` on literal arrays (codegen), the per-id sum flows
+    through DECIMAL so ties resolve identically on any partitioning,
+    and the top-k plans as TakeOrderedAndProject. Approximate by
+    construction — recall is codebook-quality-dependent (tested)."""
+    sub_len = len(codebooks[0][0][1])
+    luts = []
+    for m, book in enumerate(codebooks):
+        qsub = query[m * sub_len:(m + 1) * sub_len]
+        table = [0.0] * len(book)
+        for code, cw in book:
+            table[code] = float(
+                sum((float(q) - float(c)) ** 2 for q, c in zip(qsub, cw))
+            )
+        luts.append(F.array(*[F.lit(v) for v in table]))
+    lut = F.array(*luts)
+    contrib = F.element_at(
+        F.element_at(lut, F.col("subspace").cast("int") + 1),
+        F.col("code").cast("int") + 1,
+    )
+    scored = (
+        codes.select(F.col(id_col), contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__c").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("approx_dist")
+        )
+    )
+    return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col)).limit(k)

@@ -533,3 +533,93 @@ def test_ivf_filter_novel_dedups_within_batch_exactly(spark, tmp_path):
         batch, threshold=0.95, n_probe=2, dedup_within=True
     ).collect()}
     assert got == {500001, 500003}  # twin 500002 collapsed onto 500001
+
+
+# ---- Product quantization ----
+
+
+def test_pq_encode_argmin_hand_checked(spark):
+    """dim-4 vector, 2 subspaces, 2 codewords each: the argmin code and
+    squared distance per subspace are hand-computable."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    books = [
+        [(0, [0.0, 1.0]), (1, [5.0, 5.0])],     # sub 0: code 0 wins (d2=1)
+        [(0, [0.0, 0.0]), (1, [3.0, 3.0])],     # sub 1: code 1 wins (d2=1)
+    ]
+    rows = {
+        r["subspace"]: r
+        for r in sim.pq_encode(df, "vec_id", "embedding", books).collect()
+    }
+    assert rows[0]["code"] == 0 and rows[0]["dist"] == 1.0
+    assert rows[1]["code"] == 1 and rows[1]["dist"] == 1.0
+
+
+def test_pq_init_rows_encode_to_themselves(spark):
+    """Vectors that ARE the codebook rows encode to their own code with
+    distance exactly 0 in every subspace."""
+    rows = _clustered_corpus(n_clusters=4, per_cluster=4, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    first8 = [r[1] for r in sorted(rows)[:8]]
+    books = sim.init_codebooks_from_rows(first8, m_subspaces=4)
+    enc = sim.pq_encode(
+        df.filter(F.col("vec_id") < 8), "vec_id", "embedding", books
+    ).collect()
+    for r in enc:
+        assert r["code"] == r["vec_id"] and r["dist"] == 0.0, r
+
+
+def test_pq_training_reduces_distortion(spark):
+    """Lloyd-refined codebooks must not increase (and on clustered data
+    strictly decrease) total encoding distortion vs the init-only books."""
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    first = [r[1] for r in sorted(rows)[:8]]
+    init_books = sim.init_codebooks_from_rows(first, m_subspaces=4)
+    trained = sim.train_pq_codebooks(
+        df, "embedding", m_subspaces=4, k_codes=8, iters=5
+    )
+
+    def distortion(books):
+        return (
+            sim.pq_encode(df, "vec_id", "embedding", books)
+            .agg(F.sum("dist"))
+            .collect()[0][0]
+        )
+
+    assert distortion(trained) < distortion(init_books)
+
+
+def test_pq_adc_topk_recall_and_plan(spark):
+    """ADC top-10 over trained codes must recover most of the exact
+    squared-L2 top-10 (clustered corpus, deterministic), the encode plan
+    must contain no Exchange (row-local), and the ADC top-k must plan as
+    TakeOrderedAndProject."""
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = sim.train_pq_codebooks(
+        df, "embedding", m_subspaces=4, k_codes=8, iters=5
+    )
+    query = rows[7][1]
+    mat = np.asarray([r[1] for r in rows])
+    ids = np.asarray([r[0] for r in rows])
+    exact = set(
+        ids[np.argsort(((mat - np.asarray(query)) ** 2).sum(axis=1))[:10]]
+    )
+    codes = sim.pq_encode(df, "vec_id", "embedding", books)
+    got = [
+        r["vec_id"]
+        for r in sim.pq_topk_adc(codes, "vec_id", books, query, k=10).collect()
+    ]
+    assert len(set(got) & exact) >= 7, (sorted(got), sorted(exact))
+    enc_plan = physical_plan(codes)
+    assert "Exchange" not in enc_plan, enc_plan
+    adc_plan = physical_plan(sim.pq_topk_adc(codes, "vec_id", books, query, k=10))
+    assert "TakeOrderedAndProject" in adc_plan, adc_plan
