@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_azure_spark.operators import (
+    association,
     cdc,
     corpus,
     dedup,
@@ -1232,6 +1233,38 @@ def _fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", "distance")
 
 
+def _event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix (r5): per user, consecutive
+    event-type pairs (ts then event_id order) counted with per-from-type
+    fractions — one user-keyed window, then an aggregation onto the
+    |types|² key domain (operators/temporal.py)."""
+    return temporal.transition_matrix(
+        _events(spark, sf), tiebreak_col="event_id"
+    )
+
+
+def _events_value_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust anomaly gate (r5): per event type, modified-z-score
+    outliers of `value` via exact median/MAD (mean-free, so the
+    outliers can't mask themselves — operators/profile.py)."""
+    return profile.robust_outliers(_events(spark, sf), "event_type", "value")
+
+
+def _copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association mining (r5): per-user purchase baskets
+    (item = props.k of purchase events), pairwise co-occurrence with
+    support and lift, min pair count 3 — distinct-collapse, entity-key
+    self equi-join, broadcast marginals (operators/association.py)."""
+    ev = _events(spark, sf).filter(F.col("event_type") == "purchase")
+    baskets = ev.select(
+        "user_id",
+        F.from_json("props", "map<string,int>")["k"].alias("item"),
+    )
+    return association.pair_associations(
+        baskets, "user_id", "item", min_pair_count=3
+    )
+
+
 def _source_mirror_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Mirror/boilerplate-network detection (r5): pairwise distinct
     5-gram overlap between sources. Non-vacuous here: the corpus'
@@ -1915,6 +1948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         "bm25_search_indexed": _bm25_search_indexed,
         "pq_codes": _pq_codes,
+        "event_transitions": _event_transitions,
+        "events_value_outliers": _events_value_outliers,
+        "copurchase_lift": _copurchase_lift,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2443,6 +2479,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(m AS BIGINT) AS subspace,
                    CAST(code AS BIGINT) AS code, dist
             FROM best
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_type
+              FROM events
+            ), pairs AS (
+              SELECT from_type, to_type, COUNT(*) AS n
+              FROM seq WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type
+            )
+            SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+                   CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                     AS frac_from
+            FROM pairs
+        """,
+        "events_value_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type
+            ), wm AS (
+              SELECT e.event_type, e.value, m.med
+              FROM events e JOIN med m USING (event_type)
+            ), mad AS (
+              SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+              FROM wm GROUP BY event_type
+            ), fl AS (
+              SELECT w.event_type, w.value, w.med, d.mad,
+                     CASE WHEN d.mad > 0 THEN
+                       (CAST(0.6745 AS DOUBLE) * abs(w.value - w.med) / d.mad)
+                         > CAST(3.5 AS DOUBLE)
+                     ELSE abs(w.value - w.med) > 0 END AS is_out
+              FROM wm w JOIN mad d USING (event_type)
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(med) AS median, MIN(mad) AS mad,
+                   CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_outliers,
+                   CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
+            FROM fl GROUP BY event_type
+        """,
+        "copurchase_lift": """
+            WITH basket AS (
+              SELECT DISTINCT user_id AS e,
+                     CAST(json_extract(props::JSON, '$.k') AS INTEGER) AS i
+              FROM events WHERE event_type = 'purchase'
+            ), ne AS (
+              SELECT COUNT(DISTINCT e) AS n_e FROM basket
+            ), m AS (
+              SELECT i, COUNT(*) AS n_i FROM basket GROUP BY i
+            ), p AS (
+              SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_ab
+              FROM basket a JOIN basket b ON a.e = b.e AND a.i < b.i
+              GROUP BY a.i, b.i
+              HAVING COUNT(*) >= 3
+            )
+            SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(n_ab AS DOUBLE) / CAST(n_e AS DOUBLE) AS support,
+                   CAST(n_ab * n_e AS DOUBLE)
+                     / CAST(ma.n_i * mb.n_i AS DOUBLE) AS lift
+            FROM p
+            JOIN m ma ON p.item_a = ma.i
+            JOIN m mb ON p.item_b = mb.i, ne
         """,
         "fuzzy_customer_pairs": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -1,0 +1,76 @@
+"""Market-basket / co-occurrence association mining: pairwise support,
+confidence-free support fractions, and lift over per-entity item sets.
+
+Scale design (the 100 TB contract):
+
+- Baskets collapse to DISTINCT (entity, item) pairs first, so repeat
+  purchases never multiply; the only data-proportional shuffle is the
+  self equi-join on the entity key (AQE-skew-splittable), whose output
+  is bounded by Σ per-entity-basket-size² — the inherent pair count,
+  not a cross join. Degenerate "whale" baskets are the classic skew
+  risk; ``max_basket_size`` drops them explicitly (logged in the
+  result contract, the standard FP-growth preprocessing step) instead
+  of letting one entity emit millions of pairs.
+- Item marginals are a tiny (|items|) aggregate that broadcasts onto
+  the pair counts; lift is computed from exact integer counts with one
+  final double division, so the result is bit-identical across engines
+  and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_associations(
+    df: DataFrame,
+    entity_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Unordered item-pair association stats over per-entity baskets:
+    for every pair (item_a < item_b) co-occurring in at least
+    ``min_pair_count`` baskets, (n_ab, support, lift) where support =
+    n_ab / n_entities and lift = n_ab·n_entities / (n_a·n_b) — lift > 1
+    means the pair co-occurs more than independent items would."""
+    basket = df.select(
+        F.col(entity_col).alias("__e"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = basket.groupBy("__e").agg(
+            F.count(F.lit(1)).alias("__sz")
+        ).filter(F.col("__sz") <= max_basket_size)
+        basket = basket.join(F.broadcast(sizes.select("__e")), "__e")
+    n_entities = basket.select("__e").distinct().agg(
+        F.count(F.lit(1)).alias("__n_e")
+    )
+    marginals = basket.groupBy("__i").agg(F.count(F.lit(1)).alias("__n_i"))
+    a = basket.toDF("__e", "item_a")
+    b = basket.toDF("__e", "item_b")
+    pairs = (
+        a.join(b, "__e")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    ma = marginals.toDF("item_a", "__n_a")
+    mb = marginals.toDF("item_b", "__n_b")
+    return (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(n_entities))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            (F.col("n_ab").cast("double") / F.col("__n_e")).alias("support"),
+            (
+                (F.col("n_ab") * F.col("__n_e")).cast("double")
+                / (F.col("__n_a") * F.col("__n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

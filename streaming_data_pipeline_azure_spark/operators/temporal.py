@@ -285,3 +285,48 @@ def cohort_retention(
             ).alias("retention_frac"),
         )
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: for every consecutive pair in a user's timeline (ordered
+    by ``ts_col`` then ``tiebreak_col``), count (from_type, to_type)
+    and the per-from-type fraction — the "what do users do next"
+    complement of :func:`funnel_steps`' fixed-sequence view.
+
+    One shuffle on the user key feeds a single ``lead`` window; the
+    transition aggregation then collapses map-side onto the tiny
+    (|types|²) key domain, so the second shuffle carries a handful of
+    rows per task no matter the corpus size. The fraction divides two
+    exact counts — deterministic on any partitioning (callers must make
+    the ordering total per user via ``tiebreak_col``)."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(totals).cast("double")
+        ).alias("frac_from"),
+    )

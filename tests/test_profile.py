@@ -114,3 +114,19 @@ def test_heavy_hitters_cms_empty_input(spark):
 
     df = spark.createDataFrame([], "v string")
     assert heavy_hitters_cms(df, "v", k=5).count() == 0
+
+
+def test_robust_outliers_mad_and_zero_mad_edge(spark):
+    from streaming_data_pipeline_azure_spark.operators import profile
+
+    rows = [("g1", float(v)) for v in range(1, 10)] + [("g1", 100.0)]
+    rows += [("g2", 5.0), ("g2", 5.0), ("g2", 5.0), ("g2", 7.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {
+        r["grp"]: r for r in profile.robust_outliers(df, "grp", "value").collect()
+    }
+    g1 = got["g1"]
+    assert g1["median"] == 5.5 and g1["mad"] == 2.5
+    assert g1["n_outliers"] == 1 and g1["outlier_frac"] == 0.1
+    g2 = got["g2"]  # MAD=0: exact-tie escapees flagged
+    assert g2["mad"] == 0.0 and g2["n_outliers"] == 1

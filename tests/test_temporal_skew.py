@@ -278,3 +278,29 @@ def test_cohort_retention_weekly(spark):
     assert out[(w1, 0)]["n_active"] == 1           # user 3
     # user 3's pre-signup-week click created no negative-offset row
     assert all(off >= 0 for _, off in out)
+
+
+def test_transition_matrix_counts_and_fracs(spark):
+    import datetime as dt
+
+    from streaming_data_pipeline_azure_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "A", 1), (1, t0.replace(hour=1), "B", 2),
+        (1, t0.replace(hour=2), "A", 3), (1, t0.replace(hour=3), "C", 4),
+        (2, t0, "A", 5), (2, t0.replace(hour=1), "B", 6),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["frac_from"])
+        for r in temporal.transition_matrix(
+            ev, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got[("A", "B")] == (2, 2 / 3)
+    assert got[("A", "C")] == (1, 1 / 3)
+    assert got[("B", "A")] == (1, 1.0)
+    assert len(got) == 3
