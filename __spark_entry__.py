@@ -1233,6 +1233,28 @@ def _fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", "distance")
 
 
+def _priority_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling (r5): 100 orders drawn by priority sampling
+    with weight o_totalprice — key-pure w/u priorities (IEEE division
+    only, no engine-specific pow), TakeOrderedAndProject plan
+    (operators/sampling.py:priority_sample)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return sampling.priority_sample(
+        orders, "o_orderkey", "o_totalprice", 100
+    ).select("o_orderkey", "o_totalprice", "priority")
+
+
+def _priority_sample_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """The priority sample's unbiased total-weight estimator (r5): with
+    tau the 101st priority, sum(max(w, tau)) over the top-100 estimates
+    the corpus' total order value from 100 rows (Duffield-Lund-Thorup;
+    accuracy pinned by tests)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return sampling.priority_sample_estimate(
+        orders, "o_orderkey", "o_totalprice", 100
+    )
+
+
 def _event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix (r5): per user, consecutive
     event-type pairs (ts then event_id order) counted with per-from-type
@@ -1907,11 +1929,17 @@ def _knuth_sql(key: str) -> str:
     reduce to 32 bits, then the same 16-bit-split overflow-safe
     ``(kr * 2654435761) mod 2^32`` — largest intermediate ~1.74e14, so no
     BIGINT overflow for any int64 key (sampling.py:knuth_uniform)."""
+    return f"({_knuth_int_sql(key)} / 4294967296.0)"
+
+
+def _knuth_int_sql(key: str) -> str:
+    """The BIGINT core of :func:`_knuth_sql` (value in [0, 2^32)) —
+    shared with the priority-sampling oracle, which needs the (0, 1]
+    variant ``(core + 1) / 2^32``."""
     kr = f"((({key}) % 4294967296 + 4294967296) % 4294967296)"
     return (
         f"(CAST(((({kr} // 65536) * 2654435761) % 65536) * 65536"
         f" + ({kr} % 65536) * 2654435761 AS BIGINT) % 4294967296)"
-        f" / 4294967296.0"
     )
 
 
@@ -1951,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "events_value_outliers": _events_value_outliers,
         "copurchase_lift": _copurchase_lift,
+        "priority_sample_orders": _priority_sample_orders,
+        "priority_sample_estimate": _priority_sample_estimate,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2479,6 +2509,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(m AS BIGINT) AS subspace,
                    CAST(code AS BIGINT) AS code, dist
             FROM best
+        """,
+        "priority_sample_orders": f"""
+            WITH pr AS (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(o_totalprice AS DOUBLE)
+                       / (({_knuth_int_sql('o_orderkey')} + 1)
+                          / 4294967296.0) AS priority
+              FROM orders
+            )
+            SELECT * FROM pr ORDER BY priority DESC, o_orderkey LIMIT 100
+        """,
+        "priority_sample_estimate": f"""
+            WITH pr AS (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(o_totalprice AS DOUBLE)
+                       / (({_knuth_int_sql('o_orderkey')} + 1)
+                          / 4294967296.0) AS priority
+              FROM orders
+            ), top1 AS (
+              SELECT o_totalprice, priority,
+                     ROW_NUMBER() OVER (
+                       ORDER BY priority DESC, o_orderkey) AS rn
+              FROM pr QUALIFY rn <= 101
+            ), tau AS (
+              SELECT COALESCE(MAX(CASE WHEN rn = 101 THEN priority END),
+                              CAST(0 AS DOUBLE)) AS t
+              FROM top1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                   MIN(t) AS threshold,
+                   CAST(SUM(CAST(GREATEST(CAST(o_totalprice AS DOUBLE), t)
+                       AS DECIMAL(28,8))) AS DOUBLE) AS est_total
+            FROM top1, tau WHERE rn <= 100
         """,
         "event_transitions": """
             WITH seq AS (

@@ -132,6 +132,13 @@ def knuth_uniform(key_col: Column | str) -> Column:
     ``65535 * A ≈ 1.74e14``, far inside int64, so neither ANSI mode nor
     DuckDB can overflow. For ``0 <= key < 2^32`` the value is bit-identical
     to the naive ``(key * A) mod 2^32``."""
+    return _knuth_u32(key_col).cast("double") / F.lit(float(_M32))
+
+
+def _knuth_u32(key_col: Column | str) -> Column:
+    """The integer core of :func:`knuth_uniform`: ``(pmod(key, 2^32) * A)
+    mod 2^32`` as a BIGINT column in [0, 2^32) — shared by the uniform
+    and by :func:`priority_sample`'s (0, 1] variant."""
     k = F.col(key_col) if isinstance(key_col, str) else key_col
     k = k.cast("long")
     kr = ((k % F.lit(_M32)) + F.lit(_M32)) % F.lit(_M32)
@@ -140,7 +147,7 @@ def knuth_uniform(key_col: Column | str) -> Column:
     prod = ((hi * F.lit(_KNUTH_A)) % F.lit(_M16)) * F.lit(_M16) + lo * F.lit(
         _KNUTH_A
     )
-    return (prod % F.lit(_M32)).cast("double") / F.lit(float(_M32))
+    return prod % F.lit(_M32)
 
 
 def sqrt_temperature_rates(
@@ -193,3 +200,71 @@ def sqrt_temperature_sample(
     return df.join(
         F.broadcast(rates.select(domain_col, "keep_rate")), domain_col
     ).filter(knuth_uniform(id_col) < F.col("keep_rate"))
+
+
+def priority_sample(
+    df: DataFrame, key_col: str, weight_col: Column | str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement via PRIORITY
+    SAMPLING (Duffield, Lund & Thorup, JACM 2007): each row gets
+    priority ``w / u`` with ``u`` a key-derived uniform in (0, 1], and
+    the sample is the top-``k`` priorities — heavy rows enter almost
+    surely, light rows proportionally to weight, and the scheme admits
+    the unbiased subset-sum estimator of
+    :func:`priority_sample_estimate`.
+
+    Chosen over the classic A-ES weighted reservoir (``u^(1/w)``)
+    deliberately: ``pow`` is libm-specific and breaks cross-engine
+    bit-equality, while priority needs only IEEE-exact division — so
+    the sample is reproducible on ANY engine from (key, weight) alone,
+    the same key-pure contract as the rest of this module (no sampler
+    state, re-runs and backfills pick identical rows). Plans as
+    TakeOrderedAndProject: per-partition heap + driver merge of
+    k·partitions rows, never a global sort."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u_pos = (_knuth_u32(key_col) + F.lit(1)).cast("double") / F.lit(
+        float(_M32)
+    )
+    out = df.withColumn("priority", w.cast("double") / u_pos)
+    return out.orderBy(F.col("priority").desc(), F.col(key_col)).limit(k)
+
+
+def priority_sample_estimate(
+    df: DataFrame, key_col: str, weight_col: Column | str, k: int
+) -> DataFrame:
+    """The unbiased total-weight estimator over a priority sample: with
+    ``tau`` the (k+1)-th largest priority, ``sum(max(w, tau))`` over the
+    top-``k`` rows estimates the population's total weight (ibid.).
+    Returns one row (n_sampled, threshold, est_total). All heavy
+    lifting is the same top-(k+1) heap; the estimator arithmetic runs
+    over k+1 rows and accumulates in DECIMAL for engine-exactness."""
+    from pyspark.sql import Window
+
+    topk1 = priority_sample(df, key_col, weight_col, k + 1).select(
+        F.col(key_col),
+        (
+            F.col(weight_col) if isinstance(weight_col, str) else weight_col
+        ).cast("double").alias("__w"),
+        "priority",
+    )
+    w_rank = Window.orderBy(F.col("priority").desc(), F.col(key_col))
+    ranked = topk1.withColumn("__rn", F.row_number().over(w_rank))
+    tau_df = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col("priority"))),
+            F.lit(0.0),
+        ).alias("__tau")
+    )
+    return (
+        ranked.filter(F.col("__rn") <= k)
+        .crossJoin(F.broadcast(tau_df))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.min("__tau").alias("threshold"),
+            F.sum(
+                F.greatest(F.col("__w"), F.col("__tau")).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("est_total"),
+        )
+    )

@@ -184,3 +184,49 @@ def test_knuth_uniform_matches_duckdb_oracle_fragment(spark):
             f"SELECT {se._knuth_sql(str(k))}"
         ).fetchone()
         assert spark_vals[k] == duck, (k, spark_vals[k], duck)
+
+
+def test_priority_sample_weighted_and_deterministic(spark):
+    from streaming_data_pipeline_azure_spark.operators import sampling
+
+    rows = [(i, 1.0) for i in range(1, 200)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sampling.priority_sample(df, "id", "w", 20)
+    ids = {r["id"] for r in got.collect()}
+    assert len(ids) == 20
+    assert 999 in ids  # the heavy row enters (priority >= w = 1e9)
+    again = {
+        r["id"]
+        for r in sampling.priority_sample(df.repartition(7), "id", "w", 20).collect()
+    }
+    assert again == ids  # key-pure: partitioning-independent
+
+
+def test_priority_sample_estimator_accuracy_and_plan(spark):
+    from streaming_data_pipeline_azure_spark.operators import sampling
+    from streaming_data_pipeline_azure_spark.plans.inspect import physical_plan
+
+    rows = [(i, float((i * 37) % 100 + 1)) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    true_total = sum(w for _, w in rows)
+    est = sampling.priority_sample_estimate(df, "id", "w", 200).collect()[0]
+    assert est["n_sampled"] == 200 and est["threshold"] > 0
+    assert abs(est["est_total"] - true_total) / true_total < 0.15, (
+        est["est_total"],
+        true_total,
+    )
+    plan = physical_plan(sampling.priority_sample(df, "id", "w", 10))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_priority_sample_small_population_no_threshold(spark):
+    """k >= n: everything is sampled, threshold 0, estimate exact."""
+    from streaming_data_pipeline_azure_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0), (3, 5.0)], "id long, w double"
+    )
+    est = sampling.priority_sample_estimate(df, "id", "w", 10).collect()[0]
+    assert est["n_sampled"] == 3
+    assert est["threshold"] == 0.0
+    assert est["est_total"] == 10.0
