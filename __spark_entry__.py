@@ -1023,6 +1023,31 @@ def _ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _IVF_CACHE[key].probe(spark, _query_vector(spark, sf), k=10)
 
 
+_IVFPQ_CACHE: dict = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf: str):
+    """Session-cached IVF-PQ index (build relocated to a labeled bench
+    preamble entry like the other indexes)."""
+    key = (_session_key(spark), sf)
+    if key not in _IVFPQ_CACHE:
+        idx = similarity.IvfPqIndex(_fresh_index_dir("ivfpq_"))
+        idx.build(_emb(spark, sf), "embedding")
+        _IVFPQ_CACHE[key] = idx
+    return _IVFPQ_CACHE[key]
+
+
+def _ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ probe (r5, rows-only — Lloyd codebooks + numpy centroid
+    ranking are not SQL-expressible): partition-pruned read of the
+    n_probe nearest centroids' PQ codes (8 bytes/vector, no raw
+    vectors on the probe path), ADC-scored via literal LUTs. Recall vs
+    exact L2 pinned by tests/test_similarity.py."""
+    return _ivfpq_index(spark, sf).probe(
+        spark, _query_vector(spark, sf), k=10, n_probe=8
+    )
+
+
 def _ann_ivf_multiquery(spark: SparkSession, sf: str) -> DataFrame:
     """Batched IVF serving probe: the same 5-query set multiquery_topk
     answers exactly, through one pruned scan of the IVF index's probed
@@ -2092,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=20,
         ),
         "pq_search_adc": _pq_search_adc,
+        "ann_ivfpq_topk": _ann_ivfpq_topk,
         "embedding_neardup_incremental": _embedding_neardup_incremental,
         "dedup_incremental_neardup": _dedup_incremental_neardup,
         "dedup_minhash": _dedup_minhash,

@@ -124,6 +124,9 @@ def main() -> None:
     timings["preamble_postings_index_build"] = round(
         time.perf_counter() - t0, 4
     )
+    t0 = time.perf_counter()
+    entrymod._ivfpq_index(spark, sf_dir)
+    timings["preamble_ivfpq_index_build"] = round(time.perf_counter() - t0, 4)
 
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

@@ -1104,3 +1104,333 @@ def pq_topk_adc(
         )
     )
     return scored.orderBy(F.col("approx_dist").asc(), F.col(id_col)).limit(k)
+
+
+def pq_code_array(
+    vec: "F.Column", codebooks: list[list[tuple[int, list[float]]]]
+) -> "F.Column":
+    """The wide form of :func:`pq_encode`: one ``array<long>`` of M
+    sub-codes per row (storage layout for :class:`IvfPqIndex`), same
+    row-local argmin codegen."""
+    sub_len = len(codebooks[0][0][1])
+    codes = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(vec, m * sub_len + 1, sub_len)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_l2(sub, literal_vector(cw)).alias("dist"),
+                        F.lit(int(code)).alias("code"),
+                    )
+                    for code, cw in book
+                ]
+            )
+        )
+        codes.append(best["code"].cast("long"))
+    return F.array(*codes)
+
+
+class IvfPqIndex:
+    """IVF-PQ composite index: PQ codes stored inside a partition-pruned
+    IVF layout — the FAISS-style shape for billion-vector serving.
+    :class:`IvfIndex` prunes the SCAN (read ~n_probe/C of the corpus)
+    but stores raw vectors; :class:`pq_encode` shrinks STORAGE 32× but
+    scans everything. This index does both: a probe reads only the
+    n_probe nearest centroids' partitions, and those partitions hold
+    M-byte PQ codes instead of D-float vectors, so the probe's IO is
+    ~(n_probe/C)·(M/4D) of a flat scan. Candidate scoring is
+    asymmetric-distance (query unquantized, literal LUT per subspace —
+    codegen, no Python).
+
+    Distance metric is squared L2 END-TO-END (build assignment, probe
+    centroid ranking, ADC scoring) — no cosine/L2 mix that would skew
+    recall. Vectors are PQ-encoded RAW (FAISS ``by_residual=False``);
+    residual encoding needs per-partition codebooks and is out of
+    scope. Quantizer (centroids) and codebooks are FROZEN after build —
+    :meth:`append` encodes against them (standard IVF practice;
+    rebuild when drift warrants), :meth:`delete`/:meth:`compact` follow
+    the shared tombstone + generation-swap contract. Recall against
+    exact L2 top-k is pinned by tests; approximation comes from both
+    the IVF pruning and the PQ distortion.
+
+    Layout: ``codes/gen=G/centroid_id=C/`` (id, codes array<long>),
+    ``centroids/`` (C×d, broadcast-tiny), ``codebooks/`` (M·K
+    subvectors), ``params/``, ``tombstones/``.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        dim: int = 64,
+        n_planes: int = 6,
+        seed: int = 42,
+        *,
+        m_subspaces: int = 8,
+        k_codes: int = 16,
+    ):
+        self.path = path
+        self.dim = dim
+        self.n_planes = n_planes
+        self.seed = seed
+        self.m_subspaces = m_subspaces
+        self.k_codes = k_codes
+        self.planes = random_hyperplanes(dim, n_planes, seed)
+        self._gens = GenerationalDir(f"{path}/codes")
+        self._tombs = TombstoneSet(path, "vec_id")
+        self._params_verified = False
+        self._cstate = None
+        self._books = None
+
+    # ---- bookkeeping ----
+
+    def _codes_path(self, spark) -> str:
+        return self._gens.gen_path(spark)
+
+    def _params_tuple(self):
+        return (
+            int(self.dim), int(self.n_planes), int(self.seed),
+            int(self.m_subspaces), int(self.k_codes),
+        )
+
+    def _check_params(self, spark) -> None:
+        if self._params_verified:
+            return
+        p = spark.read.json(f"{self.path}/params").collect()[0]
+        on_disk = (
+            int(p["dim"]), int(p["n_planes"]), int(p["seed"]),
+            int(p["m_subspaces"]), int(p["k_codes"]),
+        )
+        if on_disk != self._params_tuple():
+            raise ValueError(
+                f"IvfPqIndex parameter mismatch at {self.path}: built with "
+                f"(dim, n_planes, seed, M, K)={on_disk}, instance has "
+                f"{self._params_tuple()}; reopen via IvfPqIndex.load()"
+            )
+        self._params_verified = True
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        p = spark.read.json(f"{path}/params").collect()[0]
+        idx = cls(
+            path, dim=int(p["dim"]), n_planes=int(p["n_planes"]),
+            seed=int(p["seed"]), m_subspaces=int(p["m_subspaces"]),
+            k_codes=int(p["k_codes"]),
+        )
+        idx._params_verified = True
+        return idx
+
+    def _centroid_state(self, spark):
+        if self._cstate is None:
+            import numpy as np
+
+            cent = spark.read.parquet(f"{self.path}/centroids").collect()
+            c_ids = np.array([r["centroid_id"] for r in cent], dtype=np.int64)
+            c_mat = np.array(
+                [r["centroid"] for r in cent], dtype=np.float64
+            )
+            self._cstate = (c_ids, c_mat)
+        return self._cstate
+
+    def _codebooks(self, spark):
+        if self._books is None:
+            rows = spark.read.parquet(f"{self.path}/codebooks").collect()
+            books: list[list] = [
+                [None] * self.k_codes for _ in range(self.m_subspaces)
+            ]
+            for r in rows:
+                books[int(r["subspace"])][int(r["code"])] = (
+                    int(r["code"]), [float(x) for x in r["codeword"]]
+                )
+            self._books = books
+        return self._books
+
+    # ---- build / append ----
+
+    @staticmethod
+    def _assign_l2(vecs: DataFrame, id_col: str, c_ids, c_mat) -> DataFrame:
+        """Nearest-centroid by SQUARED L2 (numpy per Arrow batch):
+        argmin ||v-c||² = argmax (v·c − ||c||²/2), one matmul."""
+        import numpy as np
+
+        spark = vecs.sparkSession
+        b_ids = spark.sparkContext.broadcast(c_ids)
+        b_mat = spark.sparkContext.broadcast(c_mat)
+
+        def assign(batches):
+            import pandas as pd
+
+            ids, mat = b_ids.value, b_mat.value
+            half_norms = 0.5 * (mat * mat).sum(axis=1)
+            for pdf in batches:
+                bm = np.array(list(pdf["__v"]), dtype=np.float64)
+                best = ids[np.argmax(bm @ mat.T - half_norms, axis=1)]
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "centroid_id": best,
+                     "vec": pdf["__v"]}
+                )
+
+        return vecs.select(id_col, "__v").mapInPandas(
+            assign,
+            schema=f"{id_col} long, centroid_id long, vec array<double>",
+        )
+
+    def build(self, df: DataFrame, vec_col: str, id_col: str = "vec_id") -> None:
+        """One corpus scan each for: sign-LSH bucket-mean centroids
+        (deterministic, un-normalized — L2 space), PQ codebook training
+        (bounded driver sample), and the encode+partition write."""
+        import numpy as np
+
+        spark = df.sparkSession
+        vecs = persist_tracked(
+            df.select(
+                F.col(id_col).alias("vec_id"),
+                to_double_array(F.col(vec_col)).alias("__v"),
+                sign_bucket(F.col(vec_col), self.planes).alias("__b"),
+            )
+        )
+        init = IvfIndex._cluster_means(
+            vecs.select(
+                F.col("__b").alias("centroid_id"), F.col("__v").alias("vec")
+            ),
+            "centroid_id",
+        ).collect()
+        c_ids = np.array([r["centroid_id"] for r in init], dtype=np.int64)
+        c_mat = np.array([r["centroid"] for r in init], dtype=np.float64)
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in row]) for c, row in zip(c_ids, c_mat)],
+            "centroid_id long, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+
+        books = train_pq_codebooks(
+            vecs.select(F.col("__v").alias("embedding")), "embedding",
+            m_subspaces=self.m_subspaces, k_codes=self.k_codes, iters=4,
+        )
+        spark.createDataFrame(
+            [
+                (m, code, cw)
+                for m, book in enumerate(books)
+                for code, cw in book
+            ],
+            "subspace int, code int, codeword array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/codebooks")
+
+        assigned = self._assign_l2(vecs, "vec_id", c_ids, c_mat)
+        self._gens.reset(spark)
+        self._tombs.clear(spark)
+        assigned.select(
+            "vec_id", "centroid_id",
+            pq_code_array(F.col("vec"), books).alias("codes"),
+        ).repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(f"{self.path}/codes/gen=0")
+        spark.createDataFrame(
+            [self._params_tuple() + (id_col,)],
+            "dim int, n_planes int, seed int, m_subspaces int, "
+            "k_codes int, id_col string",
+        ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
+        self._params_verified = True
+        self._cstate = None
+        self._books = None
+
+    def append(self, batch: DataFrame, vec_col: str, id_col: str = "vec_id") -> None:
+        """Encode NOVEL vectors against the frozen quantizer + codebooks
+        and append into the live generation's partition layout."""
+        spark = batch.sparkSession
+        self._check_params(spark)
+        c_ids, c_mat = self._centroid_state(spark)
+        books = self._codebooks(spark)
+        vecs = batch.select(
+            F.col(id_col).alias("vec_id"),
+            to_double_array(F.col(vec_col)).alias("__v"),
+        )
+        assigned = self._assign_l2(vecs, "vec_id", c_ids, c_mat)
+        assigned.select(
+            "vec_id", "centroid_id",
+            pq_code_array(F.col("vec"), books).alias("codes"),
+        ).repartition("centroid_id").write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(self._codes_path(spark))
+
+    def delete(self, spark, vec_ids) -> None:
+        self._check_params(spark)
+        self._tombs.add(spark, vec_ids)
+
+    # ---- probe ----
+
+    def probe(
+        self, spark, query: list[float], *, k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        """Approximate L2 top-k: rank centroids by exact squared L2 to
+        the query (O(C×d) driver numpy), read ONLY the n_probe best
+        partitions, ADC-score their codes via literal LUTs, take-ordered
+        k. Returns (vec_id, centroid_id, approx_dist)."""
+        import numpy as np
+
+        self._check_params(spark)
+        c_ids, c_mat = self._centroid_state(spark)
+        q = np.asarray(query, dtype=np.float64)
+        order = np.argsort(((c_mat - q) ** 2).sum(axis=1), kind="stable")
+        probe_ids = [int(c_ids[i]) for i in order[:n_probe]]
+        books = self._codebooks(spark)
+        sub_len = self.dim // self.m_subspaces
+        luts = []
+        for m, book in enumerate(books):
+            qsub = query[m * sub_len:(m + 1) * sub_len]
+            table = [0.0] * len(book)
+            for code, cw in book:
+                table[code] = float(
+                    sum((float(a) - float(b)) ** 2 for a, b in zip(qsub, cw))
+                )
+            luts.append(F.array(*[F.lit(v) for v in table]))
+        lut = F.array(*luts)
+        codes = spark.read.parquet(self._codes_path(spark)).filter(
+            F.col("centroid_id").isin(probe_ids)
+        )
+        tombs = self._tombs.frame(spark)
+        if tombs is not None:
+            codes = codes.join(F.broadcast(tombs), "vec_id", "anti")
+        contribs = [
+            F.element_at(
+                F.element_at(lut, m + 1),
+                F.element_at(F.col("codes"), m + 1).cast("int") + 1,
+            )
+            for m in range(self.m_subspaces)
+        ]
+        total = contribs[0]
+        for c in contribs[1:]:
+            total = total + c
+        scored = codes.select(
+            "vec_id", "centroid_id", total.alias("approx_dist")
+        )
+        return scored.orderBy(
+            F.col("approx_dist").asc(), F.col("vec_id")
+        ).limit(k)
+
+    # ---- maintenance ----
+
+    def stats(self, spark) -> dict:
+        codes = spark.read.parquet(self._codes_path(spark))
+        return {
+            "generation": self._gens.current_gen(spark),
+            "n_vectors": codes.count(),
+            "n_partitions": codes.select("centroid_id").distinct().count(),
+            "n_tombstones": self._tombs.count(spark),
+            "n_files": len(codes.inputFiles()),
+        }
+
+    def compact(self, spark, target_files: int | None = None) -> None:
+        """Physically drop tombstoned codes and merge append fragments
+        into generation G+1 via the shared crash-safe swap."""
+        self._check_params(spark)
+        live = spark.read.parquet(self._codes_path(spark))
+        tombs = self._tombs.frame(spark)
+        if tombs is not None:
+            live = live.join(F.broadcast(tombs), "vec_id", "anti")
+        nxt = self._gens.current_gen(spark) + 1
+        live.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(f"{self.path}/codes/gen={nxt}")
+        self._gens.commit(spark, nxt)
+        self._gens.gc_below(spark, keep=nxt)
+        self._tombs.clear(spark)

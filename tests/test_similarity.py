@@ -623,3 +623,88 @@ def test_pq_adc_topk_recall_and_plan(spark):
     assert "Exchange" not in enc_plan, enc_plan
     adc_plan = physical_plan(sim.pq_topk_adc(codes, "vec_id", books, query, k=10))
     assert "TakeOrderedAndProject" in adc_plan, adc_plan
+
+
+# ---- IVF-PQ composite index ----
+
+
+def _ivfpq(spark, tmp_path, rows, name="ivfpq"):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = sim.IvfPqIndex(
+        str(tmp_path / name), dim=16, n_planes=3, m_subspaces=4, k_codes=8
+    )
+    idx.build(df, "embedding")
+    return idx, df
+
+
+def test_ivfpq_probe_recall_and_pruning(spark, tmp_path):
+    """Probe recall vs exact L2 top-10 on the clustered corpus, and the
+    codes scan must carry a centroid_id PartitionFilter with NO raw
+    vector column in the stored schema (the 32x-storage point)."""
+    import re
+
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    idx, df = _ivfpq(spark, tmp_path, rows)
+    query = rows[7][1]
+    mat = np.asarray([r[1] for r in rows])
+    ids = np.asarray([r[0] for r in rows])
+    exact = set(
+        ids[np.argsort(((mat - np.asarray(query)) ** 2).sum(axis=1))[:10]]
+    )
+    probe = idx.probe(spark, query, k=10, n_probe=3)
+    got = [r["vec_id"] for r in probe.collect()]
+    assert len(set(got) & exact) >= 6, (sorted(got), sorted(exact))
+    plan = physical_plan(probe)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), plan
+    stored = spark.read.parquet(idx._codes_path(spark))
+    assert set(stored.columns) == {"vec_id", "centroid_id", "codes"}
+
+
+def test_ivfpq_append_then_probe_finds_new_vector(spark, tmp_path):
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    idx, df = _ivfpq(spark, tmp_path, rows[:100], name="ivfpq_app")
+    extra = spark.createDataFrame(
+        rows[100:], "vec_id long, embedding array<double>"
+    )
+    idx.append(extra, "embedding")
+    target = rows[150]
+    got = [r["vec_id"] for r in idx.probe(spark, target[1], k=3, n_probe=4).collect()]
+    assert target[0] in got
+    assert idx.stats(spark)["n_vectors"] == len(rows)
+
+
+def test_ivfpq_delete_compact_lifecycle(spark, tmp_path):
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    idx, df = _ivfpq(spark, tmp_path, rows, name="ivfpq_del")
+    target = rows[7]
+    pre = [r["vec_id"] for r in idx.probe(spark, target[1], k=5, n_probe=4).collect()]
+    assert target[0] in pre
+    idx.delete(spark, [target[0]])
+    mid = [r["vec_id"] for r in idx.probe(spark, target[1], k=5, n_probe=4).collect()]
+    assert target[0] not in mid
+    idx.compact(spark)
+    st = idx.stats(spark)
+    assert st["n_tombstones"] == 0 and st["n_vectors"] == len(rows) - 1
+    assert st["generation"] == 1
+    post = [r["vec_id"] for r in idx.probe(spark, target[1], k=5, n_probe=4).collect()]
+    assert post == mid
+
+
+def test_ivfpq_params_guard_and_load(spark, tmp_path):
+    rows = _clustered_corpus(n_clusters=2, per_cluster=10, dim=16)
+    idx, df = _ivfpq(spark, tmp_path, rows, name="ivfpq_params")
+    other = sim.IvfPqIndex(
+        idx.path, dim=16, n_planes=3, m_subspaces=8, k_codes=8
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        other.probe(spark, rows[0][1], k=2)
+    reloaded = sim.IvfPqIndex.load(spark, idx.path)
+    assert reloaded.m_subspaces == 4
+    assert reloaded.probe(spark, rows[0][1], k=2, n_probe=2).count() == 2
