@@ -29,6 +29,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     dedup,
     linkage,
     enrich,
+    graph,
     multimodal,
     packing,
     profile,
@@ -1258,6 +1259,62 @@ def _fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", "distance")
 
 
+def _copurchase_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph analytics (r5): the co-purchase pairs as an undirected
+    item graph — node/edge counts, triangle count via degree-oriented
+    wedge enumeration (hub-proof: Σd_out² not Σd², operators/graph.py),
+    and the global clustering coefficient."""
+    pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
+    return graph.graph_summary(pairs, "item_a", "item_b")
+
+
+def _top_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Session path mining (r5): per (user, 30-min-gap session) the
+    ordered event-type path string, top-20 most common paths — the
+    navigation-pattern complement of `event_transitions`' one-step
+    view. One user-keyed window pass for gap-based session ids, then
+    path aggregation onto the small distinct-path domain."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    lagged = ev.withColumn("__prev", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "__ns",
+        (
+            F.col("__prev").isNull()
+            | (
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__prev")))
+                > F.lit(gap_us)
+            )
+        ).cast("int"),
+    )
+    sess = flagged.withColumn(
+        "__sid",
+        F.sum("__ns").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "__sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
 def _priority_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted sampling (r5): 100 orders drawn by priority sampling
     with weight o_totalprice — key-pure w/u priorities (IEEE division
@@ -2006,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_lift": _copurchase_lift,
         "priority_sample_orders": _priority_sample_orders,
         "priority_sample_estimate": _priority_sample_estimate,
+        "copurchase_graph_stats": _copurchase_graph_stats,
+        "top_session_paths": _top_session_paths,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2535,6 +2594,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(m AS BIGINT) AS subspace,
                    CAST(code AS BIGINT) AS code, dist
             FROM best
+        """,
+        "copurchase_graph_stats": """
+            WITH basket AS (
+              SELECT DISTINCT user_id AS e,
+                     CAST(json_extract(props::JSON, '$.k') AS INTEGER) AS i
+              FROM events WHERE event_type = 'purchase'
+            ), eset AS (
+              SELECT a.i AS a, b.i AS b
+              FROM basket a JOIN basket b ON a.e = b.e AND a.i < b.i
+              GROUP BY a.i, b.i
+              HAVING COUNT(*) >= 3
+            ), nodes AS (
+              SELECT a AS v FROM eset UNION ALL SELECT b FROM eset
+            ), deg AS (
+              SELECT v, COUNT(*) AS d FROM nodes GROUP BY v
+            ), tri AS (
+              SELECT COUNT(*) AS t
+              FROM eset e1
+              JOIN eset e2 ON e2.a = e1.b
+              JOIN eset e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), st AS (
+              SELECT COUNT(*) AS n, SUM(d) AS sumdeg,
+                     SUM(CAST((d * (d - 1)) // 2 AS BIGINT)) AS wedges
+              FROM deg
+            ), ne AS (
+              SELECT COUNT(*) AS m FROM eset
+            )
+            SELECT CAST(n AS BIGINT) AS n_nodes,
+                   CAST(m AS BIGINT) AS n_edges,
+                   CAST(t AS BIGINT) AS n_triangles,
+                   CAST(sumdeg AS DOUBLE) / CAST(n AS DOUBLE) AS avg_degree,
+                   CASE WHEN wedges > 0 THEN
+                     CAST(3.0 AS DOUBLE) * CAST(t AS DOUBLE)
+                       / CAST(wedges AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE) END AS global_clustering
+            FROM tri, st, ne
+        """,
+        "top_session_paths": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR (epoch_us(ts) - epoch_us(LAG(ts) OVER w))
+                             > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, event_id, event_type,
+                     SUM(ns) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            ), paths AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+            FROM paths GROUP BY path
+            ORDER BY n DESC, path LIMIT 20
         """,
         "priority_sample_orders": f"""
             WITH pr AS (

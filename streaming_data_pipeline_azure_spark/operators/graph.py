@@ -1,0 +1,110 @@
+"""Graph analytics over edge lists: degree statistics, triangle
+counting, and the global clustering coefficient.
+
+The naive triangle join — adjacency joined to itself twice — explodes
+on hub nodes: a degree-d node contributes d² wedge rows. The scalable
+formulation here is DEGREE ORIENTATION (the "compact-forward" /
+Chiba-Nishizeki shape used by every distributed triangle counter):
+rank nodes by (degree, id), orient every edge from the lower-ranked to
+the higher-ranked endpoint, and enumerate wedges only FROM each node's
+higher-ranked neighbors. Each triangle then has exactly one node that
+precedes both others, so it is counted once, and the wedge count drops
+from Σd² to Σd_out² with d_out bounded by O(√|E|) on any graph — the
+hub that would have produced d² rows now produces almost none.
+
+Scale design: three equi-joins on node keys (AQE-skew-splittable), the
+degree/rank table broadcasts when small and shuffles cleanly when not,
+and the outputs are one summary row + an O(distinct degrees) histogram
+— nothing driver-side."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as (a < b) pairs, self-loops dropped,
+    duplicates collapsed."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    return (
+        edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    )
+
+
+def degree_histogram(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(degree, n_nodes) over the undirected simple graph."""
+    e = _canonical_edges(edges, src, dst)
+    nodes = e.select(F.col("a").alias("v")).unionAll(
+        e.select(F.col("b").alias("v"))
+    )
+    deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_triangles, avg_degree,
+    global_clustering) — global clustering = 3·triangles / wedges with
+    wedges = Σ_v C(deg_v, 2).
+
+    Triangles via degree orientation: edges point from the
+    (degree, id)-smaller endpoint to the larger; wedges join a node's
+    outgoing pairs; a closing oriented edge completes the triangle.
+    """
+    e = _canonical_edges(edges, src, dst)
+    nodes = e.select(F.col("a").alias("v")).unionAll(
+        e.select(F.col("b").alias("v"))
+    )
+    deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    # rank = (deg, id); orient each edge toward the higher rank
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("__db"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    w1 = oriented.select(F.col("lo"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "lo").filter(F.col("x") < F.col("y"))
+    # the closing edge (x, y) may be oriented either way; canonical
+    # (x < y) matches exactly one of them, so join on both columns of
+    # the canonical edge set
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("__t")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("deg").alias("__sumdeg"),
+        F.sum(
+            (F.col("deg") * (F.col("deg") - 1) / F.lit(2)).cast("long")
+        ).alias("__wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("__e"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("__n").cast("long").alias("n_nodes"),
+            F.col("__e").cast("long").alias("n_edges"),
+            F.col("__t").cast("long").alias("n_triangles"),
+            (
+                F.col("__sumdeg").cast("double") / F.col("__n").cast("double")
+            ).alias("avg_degree"),
+            F.when(
+                F.col("__wedges") > 0,
+                F.lit(3.0)
+                * F.col("__t").cast("double")
+                / F.col("__wedges").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
