@@ -75,3 +75,50 @@ def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
     for p in parts:
         files = [f for f in os.listdir(p) if f.endswith(".parquet")]
         assert len(files) == 1, (p, files)
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files must cover compact ranges in BOTH columns; a
+    linear sort on x leaves y's per-file span at ~the global span. Also
+    a roundtrip row-equality check (layout must not lose rows)."""
+    import glob
+
+    from streaming_data_pipeline_azure_spark.sources.bucketing import (
+        write_zordered,
+    )
+
+    n = 10000
+    df = spark.range(n).selectExpr(
+        "id", "CAST(id % 1000 AS DOUBLE) AS x",
+        "CAST((id * 7) % 1000 AS DOUBLE) AS y",
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, zorder_cols=["x", "y"], n_files=8)
+    assert spark.read.parquet(zpath).count() == n
+
+    lpath = str(tmp_path / "linear")
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def avg_spans(path):
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        spans_x, spans_y = [], []
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .selectExpr(
+                    "max(x) - min(x) AS sx", "max(y) - min(y) AS sy"
+                )
+                .collect()[0]
+            )
+            spans_x.append(r["sx"])
+            spans_y.append(r["sy"])
+        return sum(spans_x) / len(spans_x), sum(spans_y) / len(spans_y)
+
+    zx, zy = avg_spans(zpath)
+    lx, ly = avg_spans(lpath)
+    # z-order: both dimensions compact (< 55% of the 999 global span)
+    assert zx < 550 and zy < 550, (zx, zy)
+    # linear: the non-leading dimension stays essentially global
+    assert ly > 900, ly
+    # and z-order's y-span must beat linear's by a wide margin
+    assert zy < ly / 2
