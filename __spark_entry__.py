@@ -1259,6 +1259,22 @@ def _fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", "distance")
 
 
+def _price_trend_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped OLS (r5): per order priority, the linear trend of order
+    value over time (x = days since epoch) with r² — five exact-decimal
+    sufficient sums in one aggregation pass, closed forms in IEEE
+    arithmetic (operators/profile.py:grouped_linreg)."""
+    (orders,) = _tables(spark, sf, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return profile.grouped_linreg(base, "o_orderpriority", "x", "y")
+
+
 def _copurchase_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Graph analytics (r5): the co-purchase pairs as an undirected
     item graph — node/edge counts, triangle count via degree-oriented
@@ -2065,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_estimate": _priority_sample_estimate,
         "copurchase_graph_stats": _copurchase_graph_stats,
         "top_session_paths": _top_session_paths,
+        "price_trend_regression": _price_trend_regression,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2594,6 +2611,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(m AS BIGINT) AS subspace,
                    CAST(code AS BIGINT) AS code, dist
             FROM best
+        """,
+        "price_trend_regression": """
+            WITH b AS (
+              SELECT o_orderpriority,
+                     CAST(CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                          o_orderdate) AS DOUBLE) AS DECIMAL(28,4)) AS x,
+                     CAST(o_totalprice AS DECIMAL(28,4)) AS y
+              FROM orders
+            ), a AS (
+              SELECT o_orderpriority, COUNT(*) AS n,
+                     SUM(x) AS dsx, SUM(y) AS dsy,
+                     SUM(x * y) AS dsxy, SUM(x * x) AS dsxx,
+                     SUM(y * y) AS dsyy
+              FROM b GROUP BY o_orderpriority
+            ), a2 AS (
+              -- decimal -> double via VARCHAR: DuckDB's direct wide-
+              -- decimal cast is not correctly rounded (int128/10^s in
+              -- two roundings); string parsing is, matching Spark's
+              -- BigDecimal.doubleValue exactly
+              SELECT o_orderpriority, CAST(n AS DOUBLE) AS n,
+                     CAST(CAST(dsx AS VARCHAR) AS DOUBLE) AS sx,
+                     CAST(CAST(dsy AS VARCHAR) AS DOUBLE) AS sy,
+                     CAST(CAST(dsxy AS VARCHAR) AS DOUBLE) AS sxy,
+                     CAST(CAST(dsxx AS VARCHAR) AS DOUBLE) AS sxx,
+                     CAST(CAST(dsyy AS VARCHAR) AS DOUBLE) AS syy
+              FROM a
+            )
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx > 0
+                   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx > 0
+                   THEN (sy - ((n * sxy - sx * sy)
+                               / (n * sxx - sx * sx)) * sx) / n
+                   END AS intercept,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0
+                   THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                   END AS r2
+            FROM a2
         """,
         "copurchase_graph_stats": """
             WITH basket AS (

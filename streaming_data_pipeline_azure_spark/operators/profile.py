@@ -262,3 +262,50 @@ def robust_outliers(
             / F.count(F.lit(1)).cast("double")
         ).alias("outlier_frac"),
     )
+
+
+def grouped_linreg(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit y = slope·x + intercept
+    with Pearson r² — computed from the five sufficient-statistic sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) in ONE aggregation pass.
+
+    Inputs round once to DECIMAL(18,4); their pairwise products are
+    then EXACT in decimal (37,8 fits Spark's 38-digit cap with no
+    precision-loss rescale) and the sums are order-independent, so the
+    fit is bit-identical across engines and partitionings, and it never
+    materializes per-group vectors (a 100 TB regression is one
+    map-side-combined aggregate). Supported domain: |x|,|y| < 1e14 with
+    4-decimal resolution. Degenerate groups (zero x-variance) return
+    NULL slope/intercept/r² rather than dividing by zero."""
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d(x_col)).alias("__sx"),
+        F.sum(d(y_col)).alias("__sy"),
+        F.sum(d(x_col) * d(y_col)).alias("__sxy"),
+        F.sum(d(x_col) * d(x_col)).alias("__sxx"),
+        F.sum(d(y_col) * d(y_col)).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x > 0, cov_n / var_x)
+    intercept = F.when(var_x > 0, (sy - (cov_n / var_x) * sx) / n)
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0), (cov_n * cov_n) / (var_x * var_y)
+    )
+    return agg.select(
+        group_col,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -130,3 +130,24 @@ def test_robust_outliers_mad_and_zero_mad_edge(spark):
     assert g1["n_outliers"] == 1 and g1["outlier_frac"] == 0.1
     g2 = got["g2"]  # MAD=0: exact-tie escapees flagged
     assert g2["mad"] == 0.0 and g2["n_outliers"] == 1
+
+
+def test_grouped_linreg_exact_fit_and_degenerate(spark):
+    from streaming_data_pipeline_azure_spark.operators import profile
+
+    # g1: exact line y = 2x + 1 -> slope 2, intercept 1, r2 = 1
+    rows = [("g1", float(x), 2.0 * x + 1.0) for x in range(1, 6)]
+    # g2: known non-trivial fit for (1,2),(2,1),(3,4),(4,3)
+    rows += [("g2", 1.0, 2.0), ("g2", 2.0, 1.0), ("g2", 3.0, 4.0), ("g2", 4.0, 3.0)]
+    # g3: zero x-variance -> NULLs
+    rows += [("g3", 5.0, 1.0), ("g3", 5.0, 2.0)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {
+        r["grp"]: r for r in profile.grouped_linreg(df, "grp", "x", "y").collect()
+    }
+    assert got["g1"]["slope"] == 2.0 and got["g1"]["intercept"] == 1.0
+    assert got["g1"]["r2"] == 1.0
+    # g2 closed form: n=4 sx=10 sy=10 sxy=28 sxx=30 -> slope=12/20=0.6
+    assert abs(got["g2"]["slope"] - 0.6) < 1e-12
+    assert abs(got["g2"]["intercept"] - 1.0) < 1e-12
+    assert got["g3"]["slope"] is None and got["g3"]["r2"] is None
