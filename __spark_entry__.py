@@ -83,6 +83,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return _enriched(spark, SF0001)
 
 
+_DECONTAM_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+                 lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                 ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+                array_to_string(toks[i:i+4], ' ')
+                FOR i IN range(1, greatest(len(toks)-4, 0) + 1)
+             ])) AS gram
+      FROM norm
+    ), ev AS (
+      SELECT DISTINCT gram FROM grams
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            < '0ccccccc'
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM grams g JOIN ev USING (gram)
+    WHERE substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
+          >= '0ccccccc'
+    GROUP BY g.doc_id
+"""
+
+
 _BM25_ORACLE = r"""
     WITH norm AS (
       SELECT doc_id,
@@ -1167,6 +1195,19 @@ def _decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.ngram_overlap(train_df, eval_df, n=5)
 
 
+def _decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (r5): exactly
+    `decontaminate_ngrams`' output (same oracle SQL) via the fixed-size
+    bit-position sketch — the scale shape for an eval gram set too big
+    to broadcast raw; exact verify removes every false positive
+    (operators/corpus.py:ngram_overlap_bloom)."""
+    docs = _docs(spark, sf)
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    eval_df = docs.filter(prefix < _EVAL_THRESHOLD)
+    train_df = docs.filter(prefix >= _EVAL_THRESHOLD)
+    return corpus.ngram_overlap_bloom(train_df, eval_df, n=5)
+
+
 def _data_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
     """Declarative expectation suite over lineitem (r5): six invariants
     evaluated in ONE scan via conditional aggregation (validate.py has
@@ -2082,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_graph_stats": _copurchase_graph_stats,
         "top_session_paths": _top_session_paths,
         "price_trend_regression": _price_trend_regression,
+        "decontaminate_bloom": _decontaminate_bloom,
         # ---- the 27 oracle entries outside the r4 driver window ----
         "token_stats": _token_stats,
         "quality_scores": _quality,
@@ -2465,32 +2507,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE fp NOT IN (SELECT fp FROM corpus)
             QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         """,
-        "decontaminate_ngrams": r"""
-            WITH norm AS (
-              SELECT doc_id,
-                     regexp_split_to_array(
-                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
-                         ' ') AS toks
-              FROM documents
-            ), grams AS (
-              SELECT doc_id,
-                     unnest(list_distinct([
-                        array_to_string(toks[i:i+4], ' ')
-                        FOR i IN range(1, greatest(len(toks)-4, 0) + 1)
-                     ])) AS gram
-              FROM norm
-            ), ev AS (
-              SELECT DISTINCT gram FROM grams
-              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                    < '0ccccccc'
-            )
-            SELECT g.doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
-            FROM grams g JOIN ev USING (gram)
-            WHERE substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
-                  >= '0ccccccc'
-            GROUP BY g.doc_id
-        """,
+        "decontaminate_ngrams": _DECONTAM_ORACLE,
+        # the Bloom prefilter changes the plan shape, not the result —
+        # exact verify removes every false positive, so same oracle
+        "decontaminate_bloom": _DECONTAM_ORACLE,
         "shard_balance_stats": rf"""
             WITH sharded AS (
                 SELECT doc_id,

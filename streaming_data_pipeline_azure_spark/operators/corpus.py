@@ -64,23 +64,78 @@ def ngram_overlap(
     side collapses to distinct grams once and broadcasts.
     """
 
-    def grams(df: DataFrame) -> DataFrame:
-        # Materialize the token array into a column BEFORE the n-gram
-        # transform: higher-order-function lambdas re-evaluate their
-        # operand expression per element, so slicing an inline
-        # normalize+split would redo the full-text regex once per gram
-        # (O(tokens²) work per document — measured 4× slower).
-        toksed = df.select(
-            F.col(id_col), _norm_tokens(text_col).alias("__toks")
-        )
-        g = word_ngrams(F.col("__toks"), n)
-        return toksed.select(
-            F.col(id_col), F.explode(F.array_distinct(g)).alias("gram")
-        )
-
-    eval_grams = grams(eval_df).select("gram").distinct()
-    shared = grams(train_df).join(F.broadcast(eval_grams), "gram")
+    eval_grams = _doc_distinct_grams(eval_df, id_col, text_col, n).select(
+        "gram"
+    ).distinct()
+    shared = _doc_distinct_grams(train_df, id_col, text_col, n).join(
+        F.broadcast(eval_grams), "gram"
+    )
     # grams are distinct within a doc, so a plain count is the distinct count
+    return shared.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_ngrams")
+    )
+
+
+def _doc_distinct_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, gram) with grams distinct per doc. The token array
+    materializes into a column BEFORE the n-gram transform:
+    higher-order-function lambdas re-evaluate their operand expression
+    per element, so slicing an inline normalize+split would redo the
+    full-text regex once per gram (O(tokens²) per document — measured
+    4× slower)."""
+    toksed = df.select(
+        F.col(id_col), _norm_tokens(text_col).alias("__toks")
+    )
+    g = word_ngrams(F.col("__toks"), n)
+    return toksed.select(
+        F.col(id_col), F.explode(F.array_distinct(g)).alias("gram")
+    )
+
+
+def ngram_overlap_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    *,
+    m_bits: int = 1 << 22,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """:func:`ngram_overlap` with a Bloom prefilter — EXACTLY the same
+    output (the oracle runs the same SQL), different scale shape for
+    the regime where the eval gram set is too big to broadcast raw:
+    the eval grams collapse to a fixed-size bit-position sketch
+    (``functions/bloom.py``) that always broadcasts; the train grams
+    pass through the broadcast membership check so only the candidate
+    superset (true matches + the textbook false-positive rate) reaches
+    the exact verify join, which now shuffles candidates instead of the
+    whole training corpus' grams. No false negatives by construction,
+    and the verify removes every false positive."""
+    from streaming_data_pipeline_azure_spark.functions.bloom import (
+        bloom_build,
+        bloom_filter_maybe,
+    )
+    from streaming_data_pipeline_azure_spark.functions.cache import (
+        persist_tracked,
+    )
+
+    eval_grams = persist_tracked(
+        _doc_distinct_grams(eval_df, id_col, text_col, n)
+        .select("gram")
+        .distinct()
+    )
+    bits = bloom_build(eval_grams, "gram", m_bits=m_bits, k_hashes=k_hashes)
+    candidates = bloom_filter_maybe(
+        _doc_distinct_grams(train_df, id_col, text_col, n),
+        "gram",
+        bits,
+        m_bits=m_bits,
+        k_hashes=k_hashes,
+    )
+    shared = candidates.join(eval_grams, "gram")
     return shared.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shared_ngrams")
     )

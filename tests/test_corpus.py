@@ -388,3 +388,58 @@ def test_source_mirror_overlap_detects_mirrors(spark):
     assert ab["jaccard"] > 0.3
     # siteC shares no 5-gram with anyone
     assert all("siteC" not in k for k in pairs)
+
+
+# ---- Bloom filter + bloom-prefiltered decontamination ----
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.functions import bloom
+
+    present = spark.range(0, 500).select(
+        F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    bits = bloom.bloom_build(present, "val", m_bits=1 << 14, k_hashes=4)
+    # every present value must pass (no false negatives)
+    kept = bloom.bloom_filter_maybe(
+        present, "val", bits, m_bits=1 << 14, k_hashes=4
+    )
+    assert kept.count() == 500
+    # absent values: false positives allowed but bounded well below 1
+    absent = spark.range(10_000, 12_000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    fp = bloom.bloom_filter_maybe(
+        absent, "val", bits, m_bits=1 << 14, k_hashes=4
+    ).count()
+    # theoretical fpr at n=500, m=2^14, k=4 is ~0.2%; allow 10x slack
+    assert fp <= 40, fp
+
+
+def test_ngram_overlap_bloom_matches_exact(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators import corpus
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, boiler + " unique tail one"),
+        (2, "completely different words with no overlap at all here now"),
+        (3, "prefix words then " + boiler),
+    ]
+    eval_rows = [(100, boiler + " in the eval suite")]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    exact = {
+        (r["doc_id"], r["n_shared_ngrams"])
+        for r in corpus.ngram_overlap(train, ev, n=5).collect()
+    }
+    via_bloom = {
+        (r["doc_id"], r["n_shared_ngrams"])
+        for r in corpus.ngram_overlap_bloom(
+            train, ev, n=5, m_bits=1 << 12, k_hashes=3
+        ).collect()
+    }
+    assert via_bloom == exact and (1, 8) in exact and 2 not in dict(exact)
