@@ -334,6 +334,12 @@ def test_no_cartesian_products_across_query_surface(spark, sf_dir):
         "multiquery_topk", "pack_documents", "tfidf_top_terms",
         "decontaminate_ngrams", "cross_doc_repetition", "price_histogram",
         "daily_gapfill", "user_activity_similarity", "compression_stats",
+        # r5 continuation
+        "scd2_order_status", "cdc_apply_snapshot", "fuzzy_customer_pairs",
+        "pq_codes", "event_transitions", "events_value_outliers",
+        "copurchase_lift", "priority_sample_orders",
+        "priority_sample_estimate", "copurchase_graph_stats",
+        "top_session_paths", "price_trend_regression", "decontaminate_bloom",
     ]
     queries = entry.queries()
     offenders = {}
