@@ -1,0 +1,155 @@
+"""Incrementally-maintained aggregates: a persisted materialized view
+that folds new data in WITHOUT rescanning history — the aggregation
+member of the incremental family (exact/MinHash/IVF/gram/postings
+indexes for dedup & retrieval; this for analytics serving).
+
+Mechanism: the view stores MERGEABLE PARTIALS — per group, one
+(count, sum, min, max) row per build/refresh — and the read path
+re-aggregates the partials (sum of counts, sum of sums, min of mins,
+max of maxs) and finalizes derived measures (avg = sum/count). Partial
+rows are the classic algebraic-aggregate decomposition, so
+
+- :meth:`refresh` touches ONLY the delta (one map-side-combined
+  groupBy of the new rows + a parquet append: O(delta + groups), zero
+  history re-read);
+- :meth:`read` scans O(groups × refreshes) partial rows, collapsed
+  back to O(groups) by :meth:`compact`'s crash-safe generation swap;
+- sums accumulate in DECIMAL (38,4 on disk), so the served numbers are
+  bit-identical to a full recompute on any engine — the oracle query
+  literally runs the full-data aggregation.
+
+Contract: a delta must be NOVEL rows (same as the index family —
+re-refreshing the same data double-counts; route replays through the
+sink's idempotent upsert first). AVG/derived measures are finalized at
+read and never stored, which is what makes the partials mergeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.functions.generations import (
+    GenerationalDir,
+)
+
+
+class IncrementalAgg:
+    """Materialized (group_cols → count/sum/avg/min/max of value_col)
+    view with O(delta) refresh."""
+
+    def __init__(self, path: str, group_cols: list[str], value_col: str):
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self._gens = GenerationalDir(f"{path}/partials")
+        self._params_verified = False
+
+    # ---- bookkeeping ----
+
+    def _partials_path(self, spark) -> str:
+        return self._gens.gen_path(spark)
+
+    def _check_params(self, spark) -> None:
+        if self._params_verified:
+            return
+        p = spark.read.json(f"{self.path}/params").collect()[0]
+        on_disk = (list(p["group_cols"]), p["value_col"])
+        if on_disk != (self.group_cols, self.value_col):
+            raise ValueError(
+                f"IncrementalAgg params mismatch at {self.path}: view is "
+                f"({on_disk[0]}, {on_disk[1]!r}), instance has "
+                f"({self.group_cols}, {self.value_col!r}); reopen via "
+                f"IncrementalAgg.load()"
+            )
+        self._params_verified = True
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IncrementalAgg":
+        p = spark.read.json(f"{path}/params").collect()[0]
+        view = cls(path, list(p["group_cols"]), p["value_col"])
+        view._params_verified = True
+        return view
+
+    # ---- write paths ----
+
+    def _partials(self, df: DataFrame) -> DataFrame:
+        v = F.col(self.value_col)
+        return df.groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum(v.cast("decimal(28,4)")).cast("decimal(38,4)").alias("__sum"),
+            F.min(v).alias("__min"),
+            F.max(v).alias("__max"),
+        )
+
+    def build(self, df: DataFrame) -> None:
+        """Initialize the view (the only full scan it ever takes)."""
+        spark = df.sparkSession
+        self._gens.reset(spark)
+        self._partials(df).write.mode("overwrite").parquet(
+            f"{self.path}/partials/gen=0"
+        )
+        spark.createDataFrame(
+            [(self.group_cols, self.value_col)],
+            "group_cols array<string>, value_col string",
+        ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
+        self._params_verified = True
+
+    def refresh(self, delta: DataFrame) -> None:
+        """Fold NOVEL rows in: one groupBy of the delta + one append."""
+        spark = delta.sparkSession
+        self._check_params(spark)
+        self._partials(delta).write.mode("append").parquet(
+            self._partials_path(spark)
+        )
+
+    # ---- read / maintenance ----
+
+    def _merged(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.read.parquet(self._partials_path(spark))
+            .groupBy(*self.group_cols)
+            .agg(
+                F.sum("__cnt").cast("long").alias("__cnt"),
+                F.sum("__sum").cast("decimal(38,4)").alias("__sum"),
+                F.min("__min").alias("__min"),
+                F.max("__max").alias("__max"),
+            )
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The served view: (group..., n, total, avg, min, max) —
+        bit-identical to a full recompute over everything ever folded
+        in (decimal partial sums; avg finalized here, never stored)."""
+        m = self._merged(spark)
+        return m.select(
+            *self.group_cols,
+            F.col("__cnt").alias("n"),
+            F.col("__sum").cast("double").alias("total"),
+            (
+                F.col("__sum").cast("double")
+                / F.col("__cnt").cast("double")
+            ).alias("avg_value"),
+            F.col("__min").alias("min_value"),
+            F.col("__max").alias("max_value"),
+        )
+
+    def stats(self, spark: SparkSession) -> dict:
+        part = spark.read.parquet(self._partials_path(spark))
+        return {
+            "generation": self._gens.current_gen(spark),
+            "n_partial_rows": part.count(),
+            "n_groups": part.select(*self.group_cols).distinct().count(),
+            "n_files": len(part.inputFiles()),
+        }
+
+    def compact(self, spark: SparkSession) -> None:
+        """Collapse the append history back to one partial row per group
+        via the shared crash-safe generation swap."""
+        self._check_params(spark)
+        nxt = self._gens.current_gen(spark) + 1
+        self._merged(spark).coalesce(
+            max(1, spark.sparkContext.defaultParallelism // 8)
+        ).write.mode("overwrite").parquet(f"{self.path}/partials/gen={nxt}")
+        self._gens.commit(spark, nxt)
+        self._gens.gc_below(spark, keep=nxt)

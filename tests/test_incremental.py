@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.operators.incremental import (
+    IncrementalAgg,
+)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+def _direct(df):
+    return df.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(28,4)")).cast("double").alias("total"),
+        (
+            F.sum(F.col("v").cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_value"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+    )
+
+
+def test_refresh_equals_full_recompute(spark, tmp_path):
+    """build(A) + refresh(B) + refresh(C) must serve exactly the full
+    recompute over A∪B∪C — bit-for-bit (decimal partials)."""
+    view = IncrementalAgg(str(tmp_path / "agg"), ["g"], "v")
+    view.build(_rows(spark, 0, 100))
+    view.refresh(_rows(spark, 100, 250))
+    view.refresh(_rows(spark, 250, 400))
+    served = sorted(map(tuple, view.read(spark).collect()))
+    direct = sorted(map(tuple, _direct(_rows(spark, 0, 400)).collect()))
+    assert served == direct
+
+
+def test_compact_preserves_and_collapses(spark, tmp_path):
+    view = IncrementalAgg(str(tmp_path / "agg2"), ["g"], "v")
+    view.build(_rows(spark, 0, 100))
+    view.refresh(_rows(spark, 100, 200))
+    before = sorted(map(tuple, view.read(spark).collect()))
+    assert view.stats(spark)["n_partial_rows"] == 6  # 3 groups x 2 folds
+    view.compact(spark)
+    st = view.stats(spark)
+    assert st["n_partial_rows"] == 3 and st["generation"] == 1
+    after = sorted(map(tuple, view.read(spark).collect()))
+    assert after == before
+    # refresh keeps working post-compact
+    view.refresh(_rows(spark, 200, 300))
+    served = sorted(map(tuple, view.read(spark).collect()))
+    direct = sorted(map(tuple, _direct(_rows(spark, 0, 300)).collect()))
+    assert served == direct
+
+
+def test_params_guard_and_load(spark, tmp_path):
+    view = IncrementalAgg(str(tmp_path / "agg3"), ["g"], "v")
+    view.build(_rows(spark, 0, 50))
+    other = IncrementalAgg(view.path, ["g"], "other_col")
+    with pytest.raises(ValueError, match="params mismatch"):
+        other.refresh(_rows(spark, 50, 60))
+    reloaded = IncrementalAgg.load(spark, view.path)
+    assert reloaded.value_col == "v"
+    assert reloaded.read(spark).count() == 3
