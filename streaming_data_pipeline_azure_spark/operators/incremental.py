@@ -75,12 +75,16 @@ class IncrementalAgg:
 
     def _partials(self, df: DataFrame) -> DataFrame:
         v = F.col(self.value_col)
-        return df.groupBy(*self.group_cols).agg(
+        out = df.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).cast("long").alias("__cnt"),
             F.sum(v.cast("decimal(28,4)")).cast("decimal(38,4)").alias("__sum"),
             F.min(v).alias("__min"),
             F.max(v).alias("__max"),
         )
+        # partials are O(groups) rows; without the coalesce every
+        # refresh would emit shuffle-partition-count near-empty files
+        n = max(1, df.sparkSession.sparkContext.defaultParallelism // 8)
+        return out.coalesce(n)
 
     def build(self, df: DataFrame) -> None:
         """Initialize the view (the only full scan it ever takes)."""
