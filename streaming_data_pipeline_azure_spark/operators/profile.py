@@ -216,6 +216,7 @@ def robust_outliers(
     value_col: str,
     *,
     z: float = 3.5,
+    approx: bool = False,
 ) -> DataFrame:
     """Per-group robust outlier stats via the modified z-score
     |0.6745·(x − median)| / MAD (Iglewicz & Hoaglin 1993) — the
@@ -226,16 +227,24 @@ def robust_outliers(
     Two exact-percentile aggregations over the SAME group partitioning
     (median, then MAD of residuals against the broadcast medians) and a
     final count — three group-keyed passes, no windows over raw rows,
-    no driver state. Exact ``percentile`` (not approx) keeps the result
-    engine-checkable; groups with MAD = 0 report only exact-tie
-    escapees as outliers (|x − median| > 0 collapses the z-score to
-    infinity — documented edge, matched by the oracle)."""
+    no driver state. The default exact ``percentile`` keeps the result
+    engine-checkable (it is the oracle-anchored path) but buffers each
+    group's values in the aggregation — at 100 TB pass
+    ``approx=True``, which swaps in the mergeable constant-memory
+    ``approx_percentile`` sketch (same plan shape; flags agree with the
+    exact path except for values whose z-score straddles the threshold
+    within the sketch's rank error — tested). Groups with MAD = 0
+    report only exact-tie escapees as outliers (|x − median| > 0
+    collapses the z-score to infinity — documented edge, matched by
+    the oracle)."""
+    pct = "approx_percentile" if approx else "percentile"
+    acc = ", 10000" if approx else ""
     med = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+        F.expr(f"{pct}({value_col}, 0.5{acc})").alias("__med")
     )
     with_med = df.join(F.broadcast(med), group_col)
     mad = with_med.groupBy(group_col).agg(
-        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+        F.expr(f"{pct}(abs({value_col} - __med), 0.5{acc})").alias("__mad")
     )
     flagged = (
         with_med.join(F.broadcast(mad), group_col)

@@ -151,3 +151,21 @@ def test_grouped_linreg_exact_fit_and_degenerate(spark):
     assert abs(got["g2"]["slope"] - 0.6) < 1e-12
     assert abs(got["g2"]["intercept"] - 1.0) < 1e-12
     assert got["g3"]["slope"] is None and got["g3"]["r2"] is None
+
+
+def test_robust_outliers_approx_path_agrees(spark):
+    """The approx_percentile scale path must flag the same outliers as
+    the exact path on well-separated data (the sketch's rank error only
+    matters for z-scores straddling the threshold)."""
+    from streaming_data_pipeline_azure_spark.operators import profile
+
+    rows = [("g", float(v % 50)) for v in range(1000)] + [
+        ("g", 1e6), ("g", -1e6)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    exact = profile.robust_outliers(df, "grp", "value").collect()[0]
+    approx = profile.robust_outliers(
+        df, "grp", "value", approx=True
+    ).collect()[0]
+    assert exact["n_outliers"] == approx["n_outliers"] == 2
+    assert approx["n"] == 1002
