@@ -72,3 +72,42 @@ def failing_rows(
     if out is None:
         raise ValueError("failing_rows needs at least one rule")
     return out
+
+
+def check_referential(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (name, child, fk_col,
+    parent, pk_col), one row (relation, n_child, n_orphans,
+    orphan_frac) where an orphan is a child row whose non-null foreign
+    key has no parent. NULL foreign keys are not orphans (SQL FK
+    semantics); count them separately upstream if required.
+
+    Each pair is a LEFT ANTI join on the key — the parent side's
+    distinct keys broadcast when small, and AQE shuffles cleanly when
+    not; no row data moves beyond the keys. Results union into one
+    tiny report frame."""
+    out = None
+    for name, child, fk, parent, pk in pairs:
+        keyed = child.select(F.col(fk).alias("__fk")).filter(
+            F.col("__fk").isNotNull()
+        )
+        orphans = keyed.join(
+            parent.select(F.col(pk).alias("__fk")).distinct(), "__fk", "anti"
+        )
+        row = (
+            keyed.agg(F.count(F.lit(1)).alias("__n"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("__o")))
+            .select(
+                F.lit(name).alias("relation"),
+                F.col("__n").cast("long").alias("n_child"),
+                F.col("__o").cast("long").alias("n_orphans"),
+                (
+                    F.col("__o").cast("double") / F.col("__n").cast("double")
+                ).alias("orphan_frac"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("check_referential needs at least one pair")
+    return out

@@ -67,3 +67,33 @@ def test_failing_rows_samples_offenders(spark):
         ("amount_positive", 3),
         ("flag_domain", 4),
     }
+
+
+def test_check_referential_orphans_and_null_fk(spark):
+    from streaming_data_pipeline_azure_spark.operators import validate
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 9), (4, None)], "id long, fk long"
+    )
+    [r] = validate.check_referential(
+        [("child->parent", child, "fk", parent, "pk")]
+    ).collect()
+    # 3 non-null FKs, one orphan (9); the NULL fk is not an orphan
+    assert (r["n_child"], r["n_orphans"]) == (3, 1)
+    assert abs(r["orphan_frac"] - 1 / 3) < 1e-15
+
+
+def test_check_referential_multiple_relations(spark):
+    from streaming_data_pipeline_azure_spark.operators import validate
+
+    p1 = spark.createDataFrame([(1,)], "pk long")
+    c1 = spark.createDataFrame([(1,), (2,)], "fk long")
+    c2 = spark.createDataFrame([(1,), (1,)], "fk long")
+    got = {
+        r["relation"]: r["n_orphans"]
+        for r in validate.check_referential(
+            [("a", c1, "fk", p1, "pk"), ("b", c2, "fk", p1, "pk")]
+        ).collect()
+    }
+    assert got == {"a": 1, "b": 0}
