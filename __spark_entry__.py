@@ -1300,6 +1300,17 @@ def _fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", "distance")
 
 
+def _user_value_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (r5): per user, the TWAP of the event
+    value signal — each sample weighted by its holding duration
+    (operators/temporal.py:time_weighted_avg; exact decimal weighted
+    sums; the oracle mirrors them with the VARCHAR-roundtrip
+    decimal->double conversion)."""
+    return temporal.time_weighted_avg(
+        _events(spark, sf), tiebreak_col="event_id"
+    )
+
+
 def _events_hopping(spark: SparkSession, sf: str) -> DataFrame:
     """Hopping (sliding) window aggregation (r5): 1-hour windows every
     30 minutes over the event stream — each event lands in exactly 2
@@ -2246,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_order_stats": _incremental_order_stats,
         "events_hopping": _events_hopping,
         "referential_checks": _referential_checks,
+        "user_value_twap": _user_value_twap,
         # ---- r5-riskiest previously-green (touched by this round's
         # changes: knuth_uniform rewrite, contract-collect guards,
         # dedup/similarity internals, flagship join, NTZ-sensitive) ----
@@ -2715,6 +2727,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(m AS BIGINT) AS subspace,
                    CAST(code AS BIGINT) AS code, dist
             FROM best
+        """,
+        "user_value_twap": """
+            WITH seq AS (
+              SELECT user_id,
+                     CAST(value AS DECIMAL(18,4)) AS v,
+                     LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) - epoch_us(ts) AS dur
+              FROM events
+            ), iv AS (
+              SELECT user_id, v, dur FROM seq WHERE dur IS NOT NULL
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   CAST(SUM(dur) AS BIGINT) AS total_us,
+                   CAST(CAST(SUM(v * CAST(dur AS DECIMAL(18,0)))
+                        AS VARCHAR) AS DOUBLE)
+                     / CAST(SUM(dur) AS DOUBLE) AS twap
+            FROM iv GROUP BY user_id
         """,
         "events_hopping": """
             WITH slots AS (

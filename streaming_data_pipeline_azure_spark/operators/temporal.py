@@ -330,3 +330,45 @@ def transition_matrix(
             / F.sum("n").over(totals).cast("double")
         ).alias("frac_from"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled piecewise-
+    constant signal (the TWAP every IoT/finance pipeline needs, which a
+    plain AVG gets wrong): per key, each sample's value holds over
+    [t_i, t_{i+1}) and is weighted by that duration; the final sample
+    has no successor and carries no weight. Keys with a single sample
+    report NULL (no interval exists).
+
+    One key-partitioned window (``lead`` over the sample order), then
+    an aggregation — the same single-shuffle shape as the other
+    per-key history operators. Weighted sums accumulate exactly:
+    value DECIMAL(18,4) × duration-micros DECIMAL(18,0) products are
+    (37,4) — inside Spark's 38-digit cap — so the result is identical
+    on any partitioning. Returns (key, n_intervals, total_us, twap)."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(F.col(key_col)).orderBy(*order)
+    t = F.unix_micros(F.col(ts_col))
+    seq = events.select(
+        F.col(key_col),
+        F.col(value_col).cast("decimal(18,4)").alias("__v"),
+        (F.lead(t).over(w) - t).alias("__dur"),
+    ).filter(F.col("__dur").isNotNull())
+    return seq.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("__dur").cast("long").alias("total_us"),
+        (
+            F.sum(F.col("__v") * F.col("__dur").cast("decimal(18,0)"))
+            .cast("double")
+            / F.sum("__dur").cast("double")
+        ).alias("twap"),
+    )

@@ -304,3 +304,33 @@ def test_transition_matrix_counts_and_fracs(spark):
     assert got[("A", "C")] == (1, 1 / 3)
     assert got[("B", "A")] == (1, 1.0)
     assert len(got) == 3
+
+
+def test_time_weighted_avg_hand_checked(spark):
+    import datetime as dt
+
+    from streaming_data_pipeline_azure_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: value 10 for 1h, then 20 for 3h, then 99 (no weight)
+        (1, t0, 10.0, 1),
+        (1, t0 + dt.timedelta(hours=1), 20.0, 2),
+        (1, t0 + dt.timedelta(hours=4), 99.0, 3),
+        # user 2: single sample -> no interval, excluded entirely
+        (2, t0, 5.0, 4),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, value double, event_id int"
+    )
+    got = {
+        r["user_id"]: r
+        for r in temporal.time_weighted_avg(
+            ev, tiebreak_col="event_id"
+        ).collect()
+    }
+    r1 = got[1]
+    assert r1["n_intervals"] == 2
+    assert r1["total_us"] == 4 * 3600 * 1_000_000
+    assert r1["twap"] == (10.0 * 1 + 20.0 * 3) / 4  # 17.5
+    assert 2 not in got
