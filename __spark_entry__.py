@@ -1077,6 +1077,20 @@ def _ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_ivfpq_multiquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched IVF-PQ serving probe (r5, rows-only): the same 5-query
+    set, answered from ONE union-pruned scan of the PQ-code partitions
+    with per-query ADC LUTs (numpy gather kernel, no per-row Python).
+    Per-query parity with probe() is pinned in tests."""
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _ivfpq_index(spark, sf).probe_batch(
+        spark, queries, k=5, n_probe=8
+    )
+
+
 def _ann_ivf_multiquery(spark: SparkSession, sf: str) -> DataFrame:
     """Batched IVF serving probe: the same 5-query set multiquery_topk
     answers exactly, through one pruned scan of the IVF index's probed
@@ -2332,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pq_search_adc": _pq_search_adc,
         "ann_ivfpq_topk": _ann_ivfpq_topk,
+        "ann_ivfpq_multiquery": _ann_ivfpq_multiquery,
         "embedding_neardup_incremental": _embedding_neardup_incremental,
         "dedup_incremental_neardup": _dedup_incremental_neardup,
         "dedup_minhash": _dedup_minhash,

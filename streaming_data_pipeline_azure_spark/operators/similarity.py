@@ -1407,6 +1407,109 @@ class IvfPqIndex:
             F.col("approx_dist").asc(), F.col("vec_id")
         ).limit(k)
 
+    def probe_batch(
+        self,
+        spark,
+        queries: DataFrame,
+        *,
+        k: int = 10,
+        n_probe: int = 4,
+        max_query_rows: int = 1024,
+    ) -> DataFrame:
+        """Batched ADC: all queries answered from ONE partition-pruned
+        scan of the union of their probed centroid partitions (the
+        :meth:`IvfIndex.probe_batch` shape, over codes instead of raw
+        vectors). ``queries`` is (query_id, embedding) and
+        small-by-contract (``max_query_rows``-capped collect — it
+        becomes broadcast LUT state of Q x M x K floats). The kernel is
+        one Arrow-batched numpy gather per (centroid, query) group —
+        no per-row Python. Returns (query_id, vec_id, approx_dist),
+        top-``k`` per query, ties broken by vec_id."""
+        import numpy as np
+
+        self._check_params(spark)
+        q_rows = _collect_bounded(
+            queries.select("query_id", "embedding"),
+            max_query_rows,
+            "IvfPqIndex.probe_batch query set",
+            "raise max_query_rows deliberately or chunk the queries",
+        )
+        if not q_rows:
+            return spark.createDataFrame(
+                [], "query_id long, vec_id long, approx_dist double"
+            )
+        c_ids, c_mat = self._centroid_state(spark)
+        books = self._codebooks(spark)
+        sub_len = self.dim // self.m_subspaces
+        qids, luts, probe_sets = [], [], []
+        for r in q_rows:
+            q = np.asarray([float(x) for x in r["embedding"]], dtype=np.float64)
+            order = np.argsort(((c_mat - q) ** 2).sum(axis=1), kind="stable")
+            probe_sets.append({int(c_ids[i]) for i in order[:n_probe]})
+            lut = np.empty((self.m_subspaces, self.k_codes), dtype=np.float64)
+            for m, book in enumerate(books):
+                qsub = q[m * sub_len:(m + 1) * sub_len]
+                for code, cw in book:
+                    lut[m, code] = float(
+                        ((qsub - np.asarray(cw, dtype=np.float64)) ** 2).sum()
+                    )
+            luts.append(lut)
+            qids.append(int(r["query_id"]))
+        union_probe = sorted(set().union(*probe_sets))
+        cent_to_q: dict[int, list[int]] = {}
+        for qi, s in enumerate(probe_sets):
+            for c in s:
+                cent_to_q.setdefault(c, []).append(qi)
+        b_state = spark.sparkContext.broadcast(
+            (qids, np.stack(luts), cent_to_q)
+        )
+
+        def kernel(batches):
+            import pandas as pd
+
+            b_qids, b_luts, b_map = b_state.value
+            for pdf in batches:
+                outs = []
+                for cid, grp in pdf.groupby("centroid_id"):
+                    qidx = b_map.get(int(cid))
+                    if not qidx:
+                        continue
+                    codes = np.array(list(grp["codes"]), dtype=np.int64)
+                    rows = np.arange(codes.shape[1])
+                    for qi in qidx:
+                        dists = b_luts[qi][rows, codes].sum(axis=1)
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": b_qids[qi],
+                                    "vec_id": grp["vec_id"].to_numpy(),
+                                    "approx_dist": dists,
+                                }
+                            )
+                        )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        codes = spark.read.parquet(self._codes_path(spark)).filter(
+            F.col("centroid_id").isin(union_probe)
+        )
+        tombs = self._tombs.frame(spark)
+        if tombs is not None:
+            codes = codes.join(F.broadcast(tombs), "vec_id", "anti")
+        scored = codes.select("vec_id", "centroid_id", "codes").mapInPandas(
+            kernel, schema="query_id long, vec_id long, approx_dist double"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("approx_dist").asc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     # ---- maintenance ----
 
     def stats(self, spark) -> dict:

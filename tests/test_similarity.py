@@ -708,3 +708,32 @@ def test_ivfpq_params_guard_and_load(spark, tmp_path):
     reloaded = sim.IvfPqIndex.load(spark, idx.path)
     assert reloaded.m_subspaces == 4
     assert reloaded.probe(spark, rows[0][1], k=2, n_probe=2).count() == 2
+
+
+def test_ivfpq_probe_batch_matches_per_query(spark, tmp_path):
+    """Batched ADC must return exactly the per-query probe() results at
+    the same n_probe, from one union-pruned scan; over-contract query
+    sets raise the bounded-collect error."""
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    idx, df = _ivfpq(spark, tmp_path, rows, name="ivfpq_batch")
+    picks = [rows[3], rows[77], rows[141]]
+    ids = [p[0] for p in picks]
+    queries = df.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert queries.count() == 3
+    batched = idx.probe_batch(spark, queries, k=5, n_probe=2)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["approx_dist"])
+        )
+    by_q = {q: sorted(v, key=lambda t: (t[1], t[0])) for q, v in got.items()}
+    for qid, vec in [(p[0], p[1]) for p in picks]:
+        single = [
+            (r["vec_id"], r["approx_dist"])
+            for r in idx.probe(spark, vec, k=5, n_probe=2).collect()
+        ]
+        assert by_q[qid] == single, qid
+    with pytest.raises(ValueError, match="small-by-contract"):
+        idx.probe_batch(spark, queries, k=5, n_probe=2, max_query_rows=2)
