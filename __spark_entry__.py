@@ -1025,6 +1025,23 @@ def _multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     ).select("media_id", "frame_idx", "frame_ms")
 
 
+def _multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash media near-dup (r5, rows-only): every 20th media
+    item is planted as an exact re-encode (identical payload, new id);
+    the pHash pipeline (stub pixel grid -> DCT hash -> 4x16-bit band
+    join -> bit_count verify) must pair each plant with its source at
+    hamming 0. Robustness to small pixel noise and the banding
+    completeness bound are pinned in tests/test_multimodal.py."""
+    media = multimodal.synthesize_media(_docs(spark, sf))
+    dups = media.filter(F.col("media_id") % 20 == 0).withColumn(
+        "media_id", F.col("media_id") + 3000000
+    )
+    hashes = multimodal.phash_from_pixels(
+        multimodal.stub_pixels(media.unionByName(dups))
+    )
+    return multimodal.phash_neardup_pairs(hashes, max_hamming=3)
+
+
 _IVF_CACHE: dict = {}
 _TMPDIRS: list = []  # TemporaryDirectory handles — auto-removed at exit
 
@@ -2356,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _embedding_neardup,
         "doc_length_deciles_approx": _doc_length_deciles_approx,
         "multimodal_features": _multimodal_features,
+        "multimodal_phash_pairs": _multimodal_phash_pairs,
         "multimodal_frames": _multimodal_frames,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_multiquery": _ann_ivf_multiquery,

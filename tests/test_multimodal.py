@@ -97,3 +97,91 @@ def test_resize_images(spark, sf_dir):
         ratio = (64 * 64) / max(m["width"] * m["height"], 1)
         expect = max(int(len(bytes(src[r["media_id"]]["payload"])) * min(ratio, 1.0)), 1)
         assert len(bytes(r["payload"])) == expect
+
+
+# ---- perceptual-hash near-dup ----
+
+
+def _pixels_df(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, pixels array<double>")
+
+
+def _image(seed=42, noise_seed=None, noise_amp=0.0, n=32):
+    """Deterministic broadband 'natural-ish' image: a fixed-seed smooth
+    random field (8x8 coarse values upsampled blockily), whose energy
+    spreads across the whole low-frequency DCT block — a pure gradient
+    or exact-bin sinusoid would leave most coefficients at the median
+    and make the hash degenerate."""
+    import numpy as np
+
+    coarse = np.random.RandomState(seed).uniform(0.0, 255.0, (8, 8))
+    img = np.kron(coarse, np.ones((n // 8, n // 8)))
+    if noise_seed is not None:
+        rng = np.random.RandomState(noise_seed)
+        img = img + rng.uniform(-noise_amp, noise_amp, size=(n, n))
+    return img.flatten().tolist()
+
+
+def test_phash_identical_and_perturbed_and_distinct(spark):
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.operators import multimodal as mm
+
+    rows = [
+        (1, _image()),
+        (2, _image()),                                 # identical
+        (3, _image(noise_seed=7, noise_amp=2.0)),      # small noise
+        (4, _image(seed=77)),                          # different image
+    ]
+    h = {
+        r["media_id"]: r["phash"]
+        for r in mm.phash_from_pixels(_pixels_df(spark, rows)).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert h[1] == h[2]
+    assert ham(h[1], h[3]) <= 3          # DCT low-freq robust to noise
+    assert ham(h[1], h[4]) > 10          # structural change moves many bits
+
+
+def test_phash_neardup_pairs_banding_and_verify(spark):
+    from streaming_data_pipeline_azure_spark.operators import multimodal as mm
+
+    import pytest
+
+    rows = [
+        (1, _image()),
+        (2, _image(noise_seed=3, noise_amp=2.0)),
+        (3, _image(seed=77)),
+    ]
+    hashes = mm.phash_from_pixels(_pixels_df(spark, rows))
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] <= 3
+    with pytest.raises(ValueError, match="max_hamming"):
+        mm.phash_neardup_pairs(hashes, max_hamming=8)
+
+
+def test_phash_media_pipeline_exact_dups(spark, sf_dir):
+    """End-to-end over the stub pixel extraction: exact duplicate
+    payloads hash identically and pair at hamming 0; the plumbing
+    (binary payloads -> Arrow batches -> banding join) is real."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = mm.synthesize_media(docs)
+    dup = media.filter(F.col("media_id") == 0).withColumn(
+        "media_id", F.col("media_id") + 1000000
+    )
+    hashes = mm.phash_from_pixels(mm.stub_pixels(media.unionByName(dup)))
+    pairs = mm.phash_neardup_pairs(hashes, max_hamming=0).collect()
+    assert any(
+        (r["id_a"], r["id_b"]) == (0, 1000000) and r["hamming"] == 0
+        for r in pairs
+    )
