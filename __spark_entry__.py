@@ -1395,6 +1395,83 @@ def _referential_checks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _top_return_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10-flavored returned-item revenue report (r5): customers
+    ranked by revenue lost to returns — three-table join (fact filtered
+    first, tiny nation side broadcast), decimal-exact revenue, top-20
+    via TakeOrderedAndProject."""
+    orders, customer, nation = _tables(
+        spark, sf, "orders", "customer", "nation"
+    )
+    li = _lineitem(spark, sf).filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dec_sum(disc_price, "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def _training_export_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship END-TO-END training-data export (r5): quality gate
+    (n_chars >= 200) → exact dedup on normalized text (keep-first by
+    doc_id over md5 fingerprints) → temperature α=0.5 source mixing
+    with rates derived from the POST-dedup counts → deterministic
+    8-way shard assignment → per-shard export stats. Every stage is
+    key-pure/engine-exact (md5 fingerprints, Knuth uniform, IEEE sqrt),
+    so the whole pipeline — not just its stages — is oracle-checked in
+    one query."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        knuth_uniform,
+    )
+
+    docs = _docs(spark, sf).filter(F.col("n_chars") >= 200)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy(F.md5(norm)).orderBy(F.col("doc_id"))
+    dd = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    counts = dd.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        F.sqrt(
+            F.col("__n_min").cast("double") / F.col("__n").cast("double")
+        ).alias("__rate"),
+    )
+    kept = dd.join(F.broadcast(rates), "source").filter(
+        knuth_uniform("doc_id") < F.col("__rate")
+    )
+    sharded = kept.select(
+        F.floor(knuth_uniform("doc_id") * F.lit(8.0)).cast("long").alias(
+            "shard"
+        ),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("__tok"),
+        "source",
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
 def _incremental_order_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Incrementally-maintained aggregate (r5): the order-stats view is
     built from ~half the orders then refreshed with two deltas —
@@ -2289,6 +2366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping": _events_hopping,
         "referential_checks": _referential_checks,
         "user_value_twap": _user_value_twap,
+        "top_return_customers": _top_return_customers,
+        "training_export_stats": _training_export_stats,
         # ---- r5-riskiest previously-green (touched by this round's
         # changes: knuth_uniform rewrite, contract-collect guards,
         # dedup/similarity internals, flagship join, NTZ-sensitive) ----
@@ -2760,6 +2839,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(m AS BIGINT) AS subspace,
                    CAST(code AS BIGINT) AS code, dist
             FROM best
+        """,
+        "top_return_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "training_export_stats": rf"""
+            WITH gated AS (
+              SELECT doc_id, text, source FROM documents
+              WHERE n_chars >= 200
+            ), dd AS (
+              SELECT doc_id, text, source FROM (
+                SELECT doc_id, text, source,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY md5(lower(regexp_replace(
+                           trim(text), '\s+', ' ', 'g')))
+                         ORDER BY doc_id) AS rn
+                FROM gated
+              ) WHERE rn = 1
+            ), counts AS (
+              SELECT source, COUNT(*) AS n FROM dd GROUP BY source
+            ), rates AS (
+              SELECT source,
+                     sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE)
+                          / CAST(n AS DOUBLE)) AS rate
+              FROM counts
+            ), kept AS (
+              SELECT d.doc_id, d.text FROM dd d
+              JOIN rates r USING (source)
+              WHERE {_knuth_sql('d.doc_id')} < r.rate
+            ), sharded AS (
+              SELECT CAST(floor({_knuth_sql('k.doc_id')} * 8.0) AS BIGINT)
+                       AS shard,
+                     len(regexp_split_to_array(trim(k.text), '\s+')) AS tok,
+                     d2.source
+              FROM kept k JOIN dd d2 ON k.doc_id = d2.doc_id
+            )
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+            FROM sharded GROUP BY shard
         """,
         "user_value_twap": """
             WITH seq AS (
