@@ -1042,6 +1042,15 @@ def _multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(hashes, max_hamming=3)
 
 
+def _multimodal_phash_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Media duplicate GROUPS (r5, rows-only): connected components over
+    the pHash near-dup pair edges — the same min-label propagation the
+    text CC dedup uses, composed onto the media pipeline. Each planted
+    re-encode forms a 2-vertex component with its source."""
+    pairs = _multimodal_phash_pairs(spark, sf)
+    return dedup.connected_components(pairs)
+
+
 _IVF_CACHE: dict = {}
 _TMPDIRS: list = []  # TemporaryDirectory handles — auto-removed at exit
 
@@ -2453,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_deciles_approx": _doc_length_deciles_approx,
         "multimodal_features": _multimodal_features,
         "multimodal_phash_pairs": _multimodal_phash_pairs,
+        "multimodal_phash_groups": _multimodal_phash_groups,
         "multimodal_frames": _multimodal_frames,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_multiquery": _ann_ivf_multiquery,
