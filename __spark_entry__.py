@@ -2199,7 +2199,11 @@ def _pq_search_adc(spark: SparkSession, sf: str) -> DataFrame:
             _emb(spark, sf), "embedding", m_subspaces=8, k_codes=16, iters=4
         )
     books = _PQ_BOOKS_CACHE[key]
-    codes = similarity.pq_encode(_emb(spark, sf), "vec_id", "embedding", books)
+    codes = similarity.pq_encode_np(
+        _emb(spark, sf), "vec_id", "embedding", books
+    ).select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    )
     return similarity.pq_topk_adc(
         codes, "vec_id", books, _query_vector(spark, sf), k=10
     )

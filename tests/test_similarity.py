@@ -737,3 +737,22 @@ def test_ivfpq_probe_batch_matches_per_query(spark, tmp_path):
         assert by_q[qid] == single, qid
     with pytest.raises(ValueError, match="small-by-contract"):
         idx.probe_batch(spark, queries, k=5, n_probe=2, max_query_rows=2)
+
+
+def test_pq_encode_np_bit_identical_to_expression(spark):
+    """The numpy wide-form encoder must produce the exact same codes as
+    the SQL-expression long form (same fold order, same argmin tie
+    rule) — the property that lets IvfPqIndex build with the fast path
+    while pq_codes stays oracle-exact."""
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = sim.train_pq_codebooks(
+        df, "embedding", m_subspaces=4, k_codes=8, iters=3
+    )
+    expr = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in sim.pq_encode(df, "vec_id", "embedding", books).collect()
+    }
+    for r in sim.pq_encode_np(df, "vec_id", "embedding", books).collect():
+        for m, code in enumerate(r["codes"]):
+            assert expr[(r["vec_id"], m)] == code, (r["vec_id"], m)
