@@ -67,3 +67,35 @@ def test_params_guard_and_load(spark, tmp_path):
     reloaded = IncrementalAgg.load(spark, view.path)
     assert reloaded.value_col == "v"
     assert reloaded.read(spark).count() == 3
+
+
+def test_streaming_refresh_parity(spark, tmp_path):
+    """Micro-batched foreachBatch refresh of the view must serve the
+    same result as one batch build over all the data — the partials are
+    mergeable, so batch boundaries cannot matter."""
+    view = IncrementalAgg(str(tmp_path / "agg_stream"), ["g"], "v")
+    view.build(_rows(spark, 0, 50))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _rows(spark, 50, 200).repartition(3).write.json(str(src / "files"))
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "files"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: view.refresh(batch)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    if q.exception() is not None:
+        raise q.exception()
+    assert view.stats(spark)["n_partial_rows"] > 6  # several micro-batches
+    served = sorted(map(tuple, view.read(spark).collect()))
+    direct = sorted(map(tuple, _direct(_rows(spark, 0, 200)).collect()))
+    assert served == direct
