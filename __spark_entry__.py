@@ -1404,6 +1404,31 @@ def _referential_checks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _price_position_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative-rank window coverage (r5): per order priority, the
+    top-decile-by-price segment sized and bounded via percent_rank
+    (exact relative position) with cume_dist's complement cross-checked
+    in the same pass — the rank-family windows (`row_number`/`ntile`
+    covered elsewhere) completed."""
+    from pyspark.sql import Window
+
+    (orders,) = _tables(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("__pr"),
+        F.cume_dist().over(w).alias("__cd"),
+    ).filter(F.col("__pr") <= 0.1)
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_top_decile"),
+        F.min("o_totalprice").alias("decile_floor_price"),
+        F.max("__cd").alias("max_cume_dist"),
+    )
+
+
 def _top_return_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10-flavored returned-item revenue report (r5): customers
     ranked by revenue lost to returns — three-table join (fact filtered
@@ -2381,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_twap": _user_value_twap,
         "top_return_customers": _top_return_customers,
         "training_export_stats": _training_export_stats,
+        "price_position_stats": _price_position_stats,
         # ---- r5-riskiest previously-green (touched by this round's
         # changes: knuth_uniform rewrite, contract-collect guards,
         # dedup/similarity internals, flagship join, NTZ-sensitive) ----
@@ -2853,6 +2879,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(m AS BIGINT) AS subspace,
                    CAST(code AS BIGINT) AS code, dist
             FROM best
+        """,
+        "price_position_stats": """
+            WITH ranked AS (
+              SELECT o_orderpriority, o_totalprice,
+                     PERCENT_RANK() OVER w AS pr,
+                     CUME_DIST() OVER w AS cd
+              FROM orders
+              WINDOW w AS (
+                PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey
+              )
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_top_decile,
+                   MIN(o_totalprice) AS decile_floor_price,
+                   MAX(cd) AS max_cume_dist
+            FROM ranked WHERE pr <= CAST(0.1 AS DOUBLE)
+            GROUP BY o_orderpriority
         """,
         "top_return_customers": """
             SELECT c_custkey, c_name, n_name,

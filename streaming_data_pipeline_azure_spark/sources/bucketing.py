@@ -144,3 +144,53 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_sized_files(
+    df: DataFrame,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    sample_rows: int = 10_000,
+    mode: str = "overwrite",
+) -> int:
+    """Export writer that solves the small-files problem from the other
+    direction: pick the partition count so output files land near
+    ``target_file_mb`` COMPRESSED. Catalyst's logical size estimate is
+    pre-compression (often 5-10× off for parquet), so this measures
+    reality instead: a bounded sample is written to a scratch dir, its
+    on-disk bytes/row scale up to the full row count, and the frame
+    repartitions to ceil(total / target) before the real write.
+
+    Costs one count + one sample write (both bounded) — worth it for a
+    one-time export whose file sizing is consumed by every downstream
+    reader forever. Returns the partition count used."""
+    import math
+    import shutil
+    import tempfile
+
+    n_rows = df.count()
+    if n_rows == 0:
+        df.coalesce(1).write.mode(mode).parquet(path)
+        return 1
+    scratch = tempfile.mkdtemp(prefix="sized_sample_")
+    try:
+        sample = df.limit(min(sample_rows, n_rows))
+        sample.coalesce(1).write.mode("overwrite").parquet(f"{scratch}/s")
+        import glob
+        import os
+
+        n_sampled = min(sample_rows, n_rows)
+        sample_bytes = sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{scratch}/s/part-*.parquet")
+        )
+        bytes_per_row = max(sample_bytes / n_sampled, 1e-6)
+        n_files = max(
+            1,
+            math.ceil(n_rows * bytes_per_row / (target_file_mb * 1024 * 1024)),
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

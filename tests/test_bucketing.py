@@ -122,3 +122,32 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     assert ly > 900, ly
     # and z-order's y-span must beat linear's by a wide margin
     assert zy < ly / 2
+
+
+def test_write_sized_files_targets_file_size(spark, tmp_path):
+    """Tiny target -> many files scaled to measured bytes/row; huge
+    target -> one file; empty frame -> one file; rows survive intact."""
+    import glob
+
+    from streaming_data_pipeline_azure_spark.sources.bucketing import (
+        write_sized_files,
+    )
+
+    df = spark.range(60_000).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "id * 1.5 AS v"
+    )
+    small = str(tmp_path / "small_target")
+    n = write_sized_files(df, small, target_file_mb=1, sample_rows=5000)
+    files = glob.glob(f"{small}/part-*.parquet")
+    assert len(files) == n
+    assert spark.read.parquet(small).count() == 60_000
+    total_mb = sum(__import__("os").path.getsize(f) for f in files) / 2**20
+    # average file size within [0.3x, 2x] of the 1 MB target
+    assert 0.3 <= total_mb / n <= 2.0, (total_mb, n)
+
+    big = str(tmp_path / "big_target")
+    assert write_sized_files(df, big, target_file_mb=1024) == 1
+    assert len(glob.glob(f"{big}/part-*.parquet")) == 1
+
+    empty = str(tmp_path / "empty_target")
+    assert write_sized_files(df.filter("id < 0"), empty) == 1
