@@ -230,3 +230,28 @@ def test_priority_sample_small_population_no_threshold(spark):
     assert est["n_sampled"] == 3
     assert est["threshold"] == 0.0
     assert est["est_total"] == 10.0
+
+
+def test_priority_sample_weight_monotonicity(spark):
+    """Raising one row's weight can never evict it from the sample
+    (its priority scales with w while every other priority is fixed) —
+    the defining monotonicity of weighted sampling schemes."""
+    from streaming_data_pipeline_azure_spark.operators import sampling
+
+    rows = [(i, float((i * 13) % 7 + 1)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    base_ids = {
+        r["id"] for r in sampling.priority_sample(df, "id", "w", 15).collect()
+    }
+    target = sorted(base_ids)[0]
+    from pyspark.sql import functions as F
+
+    boosted = df.withColumn(
+        "w",
+        F.when(F.col("id") == target, F.col("w") * 100).otherwise(F.col("w")),
+    )
+    boosted_ids = {
+        r["id"]
+        for r in sampling.priority_sample(boosted, "id", "w", 15).collect()
+    }
+    assert target in boosted_ids

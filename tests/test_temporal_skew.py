@@ -334,3 +334,26 @@ def test_time_weighted_avg_hand_checked(spark):
     assert r1["total_us"] == 4 * 3600 * 1_000_000
     assert r1["twap"] == (10.0 * 1 + 20.0 * 3) / 4  # 17.5
     assert 2 not in got
+
+
+def test_transition_matrix_fracs_sum_to_one(spark):
+    """Per from_type, frac_from must sum to exactly 1 (ratios of exact
+    integer counts over the shared total)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators import temporal
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=m), t, u * 100 + m)
+        for u in range(5)
+        for m, t in enumerate(["A", "B", "C", "A", "B"][: 3 + u % 3])
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, event_id int"
+    )
+    tm = temporal.transition_matrix(ev, tiebreak_col="event_id")
+    sums = tm.groupBy("from_type").agg(F.sum("frac_from").alias("s")).collect()
+    assert sums and all(abs(r["s"] - 1.0) < 1e-12 for r in sums)
