@@ -56,6 +56,11 @@ def apply_changes(
     it). Out-of-order delivery is handled by the sequence ordering, and
     replaying any prefix of the feed is idempotent (latest-wins).
 
+    A NULL ``op_col`` is treated as an UPSERT, not a delete: the
+    survivor filter is null-safe (``~eqNullSafe(delete_op)``), so a
+    malformed feed row with a missing op marker keeps its key visible
+    instead of silently reading as a takedown (ADVICE r5).
+
     Returns the surviving rows minus the ``op_col`` marker, one row per
     live key.
     """
@@ -65,7 +70,7 @@ def apply_changes(
     return (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .filter(F.col(op_col) != F.lit(delete_op))
+        .filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
         .drop("__rn", op_col)
     )
 

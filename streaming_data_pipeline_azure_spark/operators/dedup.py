@@ -602,6 +602,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """Distributed connected components over a pair list via iterative
     min-label propagation: every vertex repeatedly adopts the minimum
@@ -615,7 +616,20 @@ def connected_components(
     doubles every round would otherwise blow up the optimizer). The
     driver loop only reads the scalar change-count per round — control
     flow on the driver, data never leaves the cluster (the GraphX /
-    Pregel execution shape)."""
+    Pregel execution shape).
+
+    Convergence is VERIFIED, never assumed: if ``max_iter`` rounds
+    exhaust with labels still changing (a >``max_iter``-hop chain — not
+    a realistic LSH dup graph, but possible on arbitrary pair input),
+    the default ``on_unconverged="raise"`` errors loudly instead of
+    returning silently mislabeled components (VERDICT r5 #4);
+    ``on_unconverged="warn"`` logs and returns the partial labels for
+    callers that accept over-segmentation (a component may split into
+    several labels; no two distinct components ever merge)."""
+    if on_unconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_unconverged must be 'raise' or 'warn', got {on_unconverged!r}"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -659,6 +673,17 @@ def connected_components(
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components: labels still changing after "
+            f"{max_iter} min-label rounds — the pair graph has a "
+            f"component with diameter > {max_iter}; raise max_iter"
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg + " (returning partial, over-segmented labels)")
     return labels
 
 

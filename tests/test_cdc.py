@@ -142,3 +142,19 @@ def test_apply_changes_matches_sink_replay(spark, tmp_path):
         ).select("k", "v").collect()
     }
     assert served == batch_form == {(1, "c"), (3, "q")}
+
+
+def test_apply_changes_null_op_is_upsert_not_delete(spark):
+    """A NULL op marker must keep the key visible (malformed feed row
+    read as an upsert), never silently read as a delete (ADVICE r5)."""
+    feed = spark.createDataFrame(
+        [(1, 1, "U", "a"), (1, 2, None, "b"), (2, 1, "U", "x"), (2, 2, "D", None)],
+        "k int, seq int, op string, v string",
+    )
+    snap = cdc.apply_changes(
+        feed, key_cols=["k"], seq_cols=["seq"], op_col="op"
+    )
+    got = {(r["k"], r["v"]) for r in snap.collect()}
+    # key 1's latest row has op NULL -> survives with its payload;
+    # key 2's latest row is a real delete -> absent
+    assert got == {(1, "b")}

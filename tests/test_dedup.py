@@ -485,3 +485,47 @@ def test_minhash_corpus_index_compact_and_stats(spark, tmp_path):
         wrong.probe_pairs(probe, "text")
     with pytest.raises(ValueError, match="parameter mismatch"):
         wrong.append(probe, "text")
+
+
+def test_connected_components_long_chain_converges_or_raises(spark):
+    """A 25-hop chain must either converge (enough rounds) or error
+    loudly — never silently return mislabeled components (VERDICT r5
+    #4). Also: 'warn' mode returns partial labels with a warning, and
+    partial labels only over-segment (each label is a valid component
+    member), never merge distinct components."""
+    import warnings
+
+    import pytest
+
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 26)], ["id_a", "id_b"]
+    )
+    # enough rounds: the whole chain collapses to label 1
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(chain, max_iter=30).collect()
+    }
+    assert set(comp.values()) == {1} and len(comp) == 26
+
+    # too few rounds: default raises...
+    with pytest.raises(RuntimeError, match="still changing after 3"):
+        connected_components(chain, max_iter=3)
+
+    # ...and warn-mode returns partial labels that only over-segment
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                chain, max_iter=3, on_unconverged="warn"
+            ).collect()
+        }
+    assert any("still changing" in str(w.message) for w in caught)
+    # every label is an id from the same (single) chain component, and
+    # labels are monotone (component <= id): valid over-segmentation
+    assert all(1 <= lbl <= i for i, lbl in partial.items())
+    assert len(set(partial.values())) > 1  # genuinely unconverged input

@@ -163,3 +163,13 @@ def test_postings_params_mismatch_guard(spark, tmp_path):
     reloaded = search.PostingsIndex.load(spark, idx.path)
     assert reloaded.n_buckets == idx.n_buckets
     assert [tuple(r) for r in reloaded.search(spark, ["hash"], k=3).collect()]
+
+
+def test_postings_search_empty_query_guard(spark, tmp_path):
+    """An empty term list must raise a clear ValueError, not IndexError
+    deep in the bucket filter (ADVICE r5)."""
+    import pytest
+
+    idx = _build_index(spark, tmp_path)
+    with pytest.raises(ValueError, match="query_terms is empty"):
+        idx.search(spark, [])
