@@ -28,3 +28,46 @@ def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     assert "PushedFilters" in plan and fragment in plan, (
         f"expected pushed filter containing {fragment!r}:\n{plan}"
     )
+
+
+def shuffle_write_metrics(df: DataFrame) -> list[dict]:
+    """Execute ``df`` and return one dict per ShuffleExchange in the
+    FINAL (post-AQE) executed plan with its measured write metrics:
+    ``bytes`` (shuffleBytesWritten — on-the-wire, compressed),
+    ``records`` (shuffleRecordsWritten) and ``data_size`` (in-memory
+    row size before compression).
+
+    This is how the scale-critical shuffle-VOLUME claims get byte-level
+    evidence (VERDICT r5 #3): plan-shape tests prove what shuffles,
+    these prove how MUCH. Call on a freshly-built DataFrame — metrics
+    accumulate across repeated actions on the same plan instance."""
+    df.collect()
+    out: list[dict] = []
+
+    def visit(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            visit(node.executedPlan())
+            return
+        if "QueryStageExec" in name:
+            visit(node.plan())
+            return
+        if name == "ShuffleExchangeExec":
+            m = node.metrics()
+
+            def val(key: str) -> int:
+                return int(m.apply(key).value()) if m.contains(key) else 0
+
+            out.append(
+                {
+                    "bytes": val("shuffleBytesWritten"),
+                    "records": val("shuffleRecordsWritten"),
+                    "data_size": val("dataSize"),
+                }
+            )
+        ch = node.children()
+        for i in range(ch.size()):
+            visit(ch.apply(i))
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return out

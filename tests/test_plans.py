@@ -348,3 +348,161 @@ def test_no_cartesian_products_across_query_surface(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders[name] = plan.splitlines()[0]
     assert not offenders, offenders
+
+
+# ---- shuffle-VOLUME metrics (VERDICT r5 #3): plan-shape tests prove
+# what shuffles; these read the executed plan's ShuffleExchange write
+# metrics and prove how MUCH — the byte-level form of the 100 TB
+# scale claims.
+
+
+def _planted_span_corpus(spark, tmp_path, word_len, n_docs=60, n_tokens=120):
+    """Parquet corpus (>= cores files, so _ensure_parallelism is the
+    documented no-op) where half the docs share a 12-token boilerplate
+    block — real duplicated spans, text volume scaled by word length."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [
+        "".join(rng.choice("abcdefghij") for _ in range(word_len))
+        for _ in range(200)
+    ]
+    boiler = " ".join(vocab[i] for i in range(12))
+    rows = []
+    for d in range(n_docs):
+        txt = " ".join(vocab[rng.randrange(200)] for _ in range(n_tokens))
+        if d % 2 == 0:
+            txt = boiler + " " + txt
+        rows.append((d, txt))
+    path = str(tmp_path / f"span_corpus_{word_len}")
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        4
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_span_dedup_shuffle_volume_tracks_grams_not_text(spark, tmp_path):
+    """drop_duplicate_spans claims ONE corpus-wide shuffle of 8-byte
+    gram hashes plus a tiny per-doc starts aggregation — so its total
+    shuffle bytes must be (a) invariant when the TEXT grows ~8x at the
+    same gram count, and (b) well under the corpus text size. A change
+    that starts shuffling token arrays or text fails both."""
+    from streaming_data_pipeline_azure_spark.operators import corpus
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    totals = {}
+    for word_len in (4, 40):
+        docs = _planted_span_corpus(spark, tmp_path, word_len)
+        text_bytes = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+        metrics = shuffle_write_metrics(corpus.drop_duplicate_spans(docs))
+        totals[word_len] = (sum(m["bytes"] for m in metrics), text_bytes)
+    small, big = totals[4], totals[40]
+    assert big[1] > 6 * small[1]              # text really did grow ~8x
+    # gram-hash shuffling is word-length invariant (±25% for framing)
+    assert big[0] < 1.25 * small[0], totals
+    # and comfortably below the corpus text volume it refuses to carry
+    assert big[0] < 0.5 * big[1], totals
+
+
+def test_minhash_index_probe_shuffles_nothing(spark, tmp_path):
+    """The incremental MinHash probe is delta-sized by contract: the
+    delta's band/shingle tables broadcast against the index's pruned
+    band partitions, so the probe plan must contain ZERO shuffle
+    exchanges — O(delta) data movement, independent of corpus size
+    (verified against a 4x larger index)."""
+    import random
+
+    from streaming_data_pipeline_azure_spark.operators import dedup
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    def corpus_rows(n, seed=9):
+        rng = random.Random(seed)
+        vocab = ["w%03d" % i for i in range(500)]
+        return [
+            (i, " ".join(vocab[rng.randrange(500)] for _ in range(60)))
+            for i in range(n)
+        ]
+
+    delta_rows = corpus_rows(5, seed=77)
+    for n in (100, 400):
+        idx = dedup.MinHashCorpusIndex(str(tmp_path / f"mh_idx_{n}"))
+        idx.build(
+            spark.createDataFrame(
+                corpus_rows(n), "doc_id long, text string"
+            ).repartition(4)
+        )
+        delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+        metrics = shuffle_write_metrics(idx.probe_pairs(delta))
+        assert metrics == [], (n, metrics)
+
+
+def test_exact_dedup_shuffles_distinct_keys_not_rows(spark):
+    """exact_dedup's docstring promises map-side partial aggregation:
+    shuffle volume O(distinct keys x map partitions), not O(rows).
+    50k rows / 10 keys must shuffle at most a few hundred records."""
+    from streaming_data_pipeline_azure_spark.operators import dedup
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    rows = spark.range(50000).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").alias("tb"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("payload"),
+    )
+    metrics = shuffle_write_metrics(dedup.exact_dedup(rows, ["k"], "tb"))
+    assert len(metrics) == 1, metrics         # one hash shuffle, ever
+    assert metrics[0]["records"] <= 10 * 32, metrics   # keys x maps
+    assert metrics[0]["bytes"] < 50_000, metrics       # not the 50k rows
+
+
+def test_enrich_join_shuffles_nothing(spark, sf_dir):
+    """The flagship stream-static enrich join broadcasts the dimension:
+    the executed plan must move ZERO shuffle bytes."""
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    metrics = shuffle_write_metrics(_enriched(spark, sf_dir))
+    assert metrics == [], metrics
+
+
+def test_gram_index_scrub_shuffles_delta_not_corpus(spark, tmp_path):
+    """GramCorpusIndex.scrub claims zero corpus shuffle per delta (the
+    delta's distinct hashes broadcast-semi-join the persisted gram set,
+    matched hashes broadcast back, starts broadcast into the rewrite).
+    Verified: the scrub plan's total shuffle bytes are tiny and
+    invariant when the indexed corpus grows 4x."""
+    import random
+
+    from streaming_data_pipeline_azure_spark.operators import corpus
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    def rows(n, seed):
+        rng = random.Random(seed)
+        vocab = ["t%03d" % i for i in range(300)]
+        return [
+            (i, " ".join(vocab[rng.randrange(300)] for _ in range(80)))
+            for i in range(n)
+        ]
+
+    delta_rows = rows(5, seed=55)
+    totals = {}
+    for n in (100, 400):
+        idx = corpus.GramCorpusIndex(str(tmp_path / f"gram_idx_{n}"))
+        idx.build(
+            spark.createDataFrame(
+                rows(n, seed=1), "doc_id long, text string"
+            ).repartition(4)
+        )
+        delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+        metrics = shuffle_write_metrics(idx.scrub(delta))
+        totals[n] = sum(m["bytes"] for m in metrics)
+    assert totals[100] < 100_000, totals       # delta-sized, absolutely
+    assert totals[400] <= max(totals[100] * 1.5, 10_000), totals
