@@ -1420,6 +1420,10 @@ class IvfPqIndex:
         k: int = 10,
         n_probe: int = 4,
         where=None,
+        rerank: int = 0,
+        vectors: DataFrame | None = None,
+        vec_col: str = "embedding",
+        rerank_id_col: str = "vec_id",
     ) -> DataFrame:
         """Approximate L2 top-k: rank centroids by exact squared L2 to
         the query (O(C×d) driver numpy), read ONLY the n_probe best
@@ -1428,7 +1432,20 @@ class IvfPqIndex:
 
         ``where`` (SQL string or Column over ``meta_cols``/``vec_id``)
         filters candidates INSIDE the pruned scan, before scoring and
-        top-k — the filtered-ANN serving shape (class docstring)."""
+        top-k — the filtered-ANN serving shape (class docstring).
+
+        ``rerank`` > 0 adds the FAISS-style refine stage (r6, motivated
+        by the measured sf0.1 operating curve in SCALING.md §3: 8-byte
+        codes cannot resolve WITHIN-cluster ordering, so raw ADC
+        recall@10 plateaus at ~0.2 while the IVF cells themselves are
+        right): take the top-``rerank`` candidates by ADC, fetch ONLY
+        those rows' raw vectors from ``vectors`` (the original
+        embeddings table — the index itself stays vector-free) via a
+        broadcast semi-lookup of O(rerank) ids, score them with exact
+        squared L2, and return the exact top-``k`` of that pool.
+        Returns (vec_id, exact_dist) in that mode. IO stays
+        probe-pruned: the codes scan is unchanged and the vector fetch
+        touches ``rerank`` rows, not the corpus."""
         import numpy as np
 
         self._check_params(spark)
@@ -1469,8 +1486,31 @@ class IvfPqIndex:
         scored = codes.select(
             "vec_id", "centroid_id", total.alias("approx_dist")
         )
-        return scored.orderBy(
+        approx = scored.orderBy(
             F.col("approx_dist").asc(), F.col("vec_id")
+        ).limit(max(k, rerank) if rerank else k)
+        if not rerank:
+            return approx
+        if vectors is None:
+            raise ValueError(
+                "IvfPqIndex.probe: rerank > 0 needs the raw-vector table "
+                "via vectors= (the index stores codes only)"
+            )
+        qlit = F.array(*[F.lit(float(x)) for x in query])
+        fetched = vectors.select(
+            F.col(rerank_id_col).alias("vec_id"),
+            to_double_array(F.col(vec_col)).alias("__v"),
+        ).join(F.broadcast(approx.select("vec_id")), "vec_id", "semi")
+        exact = fetched.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("__v"), qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("exact_dist"),
+        )
+        return exact.orderBy(
+            F.col("exact_dist").asc(), F.col("vec_id")
         ).limit(k)
 
     def probe_batch(

@@ -857,3 +857,36 @@ def test_ivfpq_filtered_probe_recall_and_pushdown(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="meta_cols mismatch"):
         bare.probe(spark, query, k=2)
+
+
+def test_ivfpq_rerank_recovers_within_cluster_ordering(spark, tmp_path):
+    """The measured operating curve (SCALING.md §3) shows raw ADC
+    recall@10 plateauing ~0.2 on clustered data: the probed CELLS are
+    right but 8-byte codes cannot order within a cluster. The FAISS
+    refine stage — top-R by ADC, exact L2 on those R raw vectors only —
+    must recover recall >=8/10 while touching O(R) vector rows, and
+    must require the vectors table explicitly."""
+    import numpy as np
+
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    idx, df = _ivfpq(spark, tmp_path, rows, name="ivfpq_rerank")
+    query = rows[7][1]
+    mat = np.asarray([r[1] for r in rows])
+    ids = np.asarray([r[0] for r in rows])
+    exact = set(
+        ids[np.argsort(((mat - np.asarray(query)) ** 2).sum(axis=1))[:10]]
+    )
+    raw = {
+        r["vec_id"]
+        for r in idx.probe(spark, query, k=10, n_probe=4).collect()
+    }
+    reranked_df = idx.probe(
+        spark, query, k=10, n_probe=4, rerank=40, vectors=df
+    )
+    reranked = {r["vec_id"] for r in reranked_df.collect()}
+    assert "exact_dist" in reranked_df.columns
+    assert len(reranked & exact) >= 8, (sorted(reranked), sorted(exact))
+    assert len(reranked & exact) >= len(raw & exact)
+
+    with pytest.raises(ValueError, match="needs the raw-vector table"):
+        idx.probe(spark, query, k=10, rerank=40)
