@@ -1358,6 +1358,32 @@ def _fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", "distance")
 
 
+def _fuzzy_pairs_depth2_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Depth-2 record linkage (r6): per-distance pair counts + id sums
+    over distance <= 2 matches of a FIXED 1000-customer slice. The
+    slice is deliberate: TPC-H's templated names ("Customer#0000...")
+    are the documented worst case for depth-2 blocking — the full-table
+    answer is itself ~quadratic in sf (3.8M pairs at sf0.1), so an
+    unsliced entry would measure output materialization, not blocking.
+    The aggregate shape (count + both id sums per distance) verifies
+    the full pair SET against DuckDB's brute-force cross join without
+    collecting it."""
+    (customer,) = _tables(spark, sf, "customer")
+    pairs = linkage.fuzzy_match_pairs(
+        customer.filter(F.col("c_custkey") < 1000),
+        "c_custkey", "c_name", max_distance=2,
+    )
+    return (
+        pairs.groupBy("distance")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("id_a").alias("sum_id_a"),
+            F.sum("id_b").alias("sum_id_b"),
+        )
+        .orderBy("distance")
+    )
+
+
 def _user_value_twap(spark: SparkSession, sf: str) -> DataFrame:
     """Time-weighted average (r5): per user, the TWAP of the event
     value signal — each sample weighted by its holding duration
@@ -2366,6 +2392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Last-driver-verified ledger: sections below are ordered oldest
     # first and labeled with the round each group was last driver-green.
     return {
+        # ---- new in r6 (every new oracle entry is driver-verified the
+        # round it lands) ----
+        "fuzzy_pairs_depth2_stats": _fuzzy_pairs_depth2_stats,
         # ---- never driver-verified (r5 positions 51+; judge-run green
         # in r5) — VERDICT r5 #1: front of the r6 window ----
         "incremental_order_stats": _incremental_order_stats,
@@ -2421,10 +2450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_agg_totals": _skewed_agg_totals,
         "source_capped_stats": _source_capped_stats,
         "daily_gapfill": _daily_gapfill,
-        "pricing_grouping_sets": _pricing_grouping_sets,
-        # ==== 50-entry window boundary (r6) ====
-        # positions 51-57: the remaining r4-green entries — front of the
+        # ==== 50-entry window boundary (r6) ==== (the r6-new entry
+        # above displaced pricing_grouping_sets to position 51)
+        # positions 51-58: the remaining r4-green entries — front of the
         # r7 window per the rotation schedule above
+        "pricing_grouping_sets": _pricing_grouping_sets,
         "user_activity_similarity": _user_activity_similarity,
         "skewed_join_totals": _skewed_join_totals,
         "pii_redaction": _pii_redaction,
@@ -3260,6 +3290,20 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "fuzzy_pairs_depth2_stats": """
+            WITH pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                       AS distance
+              FROM customer a JOIN customer b
+                ON a.c_custkey < b.c_custkey
+              WHERE a.c_custkey < 1000 AND b.c_custkey < 1000
+                AND levenshtein(a.c_name, b.c_name) <= 2
+            )
+            SELECT distance, COUNT(*) AS n_pairs,
+                   SUM(id_a) AS sum_id_a, SUM(id_b) AS sum_id_b
+            FROM pairs GROUP BY distance ORDER BY distance
         """,
         "scd2_order_status": """
             WITH ordered AS (

@@ -70,9 +70,10 @@ def test_distance_zero_is_exact_match_only(spark):
 
 
 def test_unsupported_distance_raises(spark):
+    # depth 2 became supported in r6; depth 3 is the contract boundary
     df = spark.createDataFrame(NAMES, "id int, name string")
     with pytest.raises(ValueError, match="max_distance"):
-        linkage.fuzzy_match_pairs(df, "id", "name", max_distance=2)
+        linkage.fuzzy_match_pairs(df, "id", "name", max_distance=3)
 
 
 def test_partition_invariance(spark):
@@ -90,3 +91,49 @@ def test_no_cartesian_in_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_depth2_exact_pair_set_and_guard(spark):
+    """Depth-2 deletion blocking must find EXACTLY the brute-force
+    levenshtein<=2 pair set (completeness incl. transpositions,
+    adjacent deletions, double substitutions), and depth 3 stays a
+    clear contract error."""
+    import itertools
+
+    import pytest
+
+    rows = [
+        (1, "abcd"), (2, "abd"), (3, "ab"), (4, "xbcd"),
+        (5, "abce"), (6, "ba"), (7, "zzzz"), (8, "dcba"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    def lev(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            dp[i][0] = i
+        for j in range(len(b) + 1):
+            dp[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = min(
+                    dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                    dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return dp[-1][-1]
+
+    want = {
+        (a[0], b[0], lev(a[1], b[1]))
+        for a, b in itertools.combinations(rows, 2)
+        if lev(a[1], b[1]) <= 2
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in linkage.fuzzy_match_pairs(
+            df, "id", "name", max_distance=2
+        ).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="0, 1 or 2"):
+        linkage.fuzzy_match_pairs(df, "id", "name", max_distance=3)
