@@ -50,7 +50,8 @@ def main() -> None:
     for n in names:
         if n in ("bm25_search_indexed",):
             needed.add("preamble_postings_index_build")
-        if n in ("ann_ivfpq_topk", "ann_ivfpq_multiquery"):
+        if n in ("ann_ivfpq_topk", "ann_ivfpq_multiquery",
+                 "ann_ivfpq_filtered"):
             needed.add("preamble_ivfpq_index_build")
     for b in sorted(needed):
         t0 = time.perf_counter()
