@@ -1677,6 +1677,24 @@ def _copurchase_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
     return graph.graph_summary(pairs, "item_a", "item_b")
 
 
+def _item_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the co-purchase item graph (r6, rows-only —
+    iterated double arithmetic has no bit-exact cross-engine oracle;
+    anchored by the numpy power-iteration parity, star-graph
+    closed-form, mass-conservation and partition-invariance tests in
+    tests/test_graph.py). Undirected edges enter as both directions;
+    10 power iterations, damping 0.85, dangling mass redistributed.
+    Returns the top-20 items by rank (ties by id)."""
+    pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
+    both = pairs.union(
+        pairs.select(
+            F.col("item_b").alias("item_a"), F.col("item_a").alias("item_b")
+        )
+    )
+    ranks = graph.pagerank(both, src="item_a", dst="item_b")
+    return ranks.orderBy(F.col("rank").desc(), F.col("id")).limit(20)
+
+
 def _top_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     """Session path mining (r5): per (user, 30-min-gap session) the
     ordered event-type path string, top-20 most common paths — the
@@ -2641,6 +2659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_multiquery": _ann_ivf_multiquery,
         "events_value_sketches": _events_value_sketches,
+        # PageRank (r6): iterated double arithmetic — numpy-parity,
+        # closed-form, mass-conservation and invariance anchors in tests
+        "item_pagerank": _item_pagerank,
     }
 
 

@@ -44,3 +44,65 @@ def test_orientation_counts_each_triangle_once(spark):
     a = graph.graph_summary(df.repartition(5), "s", "d").collect()[0]
     b = graph.graph_summary(df.coalesce(1), "s", "d").collect()[0]
     assert a["n_triangles"] == b["n_triangles"] == 2
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Ranks must match a dense numpy power-iteration reference (same
+    damping/iterations/dangling handling) to 1e-9, on a graph with a
+    dangling vertex and asymmetric structure."""
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 -> 3; none leave 4? no: 4->3 exists, add dangling 5
+    edges.append((3, 5))  # 5 has no out-edges: dangling
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, damping=0.85, n_iter=12).collect()
+    }
+
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        contrib = np.zeros(n)
+        dangling = 0.0
+        for i in range(n):
+            if out[i] == 0:
+                dangling += r[i]
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / out[idx[s]]
+        r = (1 - 0.85) / n + 0.85 * (contrib + dangling / n)
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    # mass conservation with a dangling vertex present
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_and_partition_invariance(spark):
+    """Star graph: the center (all spokes point at it) must dominate;
+    spokes are symmetric and equal. Result must not depend on input
+    partitioning."""
+    from streaming_data_pipeline_azure_spark.operators.graph import pagerank
+
+    spokes = [(i, 100) for i in range(1, 9)]
+    df = spark.createDataFrame(spokes, ["src", "dst"])
+    got = {
+        r["id"]: r["rank"] for r in pagerank(df, n_iter=8).collect()
+    }
+    assert got[100] > max(got[i] for i in range(1, 9)) * 3
+    spoke_ranks = {round(got[i], 12) for i in range(1, 9)}
+    assert len(spoke_ranks) == 1  # symmetric spokes, identical ranks
+
+    re_part = {
+        r["id"]: r["rank"]
+        for r in pagerank(df.repartition(7), n_iter=8).collect()
+    }
+    assert set(re_part) == set(got)
+    for k in got:
+        assert abs(re_part[k] - got[k]) < 1e-12, k
