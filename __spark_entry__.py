@@ -1677,6 +1677,58 @@ def _copurchase_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
     return graph.graph_summary(pairs, "item_a", "item_b")
 
 
+def _shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (r6): top-10 undelivered orders by discounted
+    revenue for one customer segment — segment filter pushed to the
+    customer scan, broadcast of the filtered dim, one agg on the order
+    key, TakeOrderedAndProject."""
+    li = _lineitem(spark, sf)
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cutoff = "1998-06-01"
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(seg), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (r6): the would-be revenue gain from dropping
+    discounts in a (year, discount band, quantity cap) slice — a pure
+    scan-side conditional aggregate; every filter reaches the parquet
+    scan (no joins at all)."""
+    li = _lineitem(spark, sf)
+    gain = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(gain).cast("double").alias("revenue_gain"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def _item_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the co-purchase item graph (r6, rows-only —
     iterated double arithmetic has no bit-exact cross-engine oracle;
@@ -2494,6 +2546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_yearly_revenue": _brand_yearly_revenue,
         "promo_revenue_share": _promo_revenue_share,
         "top_suppliers": _top_suppliers,
+        "shipping_priority": _shipping_priority,
+        "forecast_revenue_change": _forecast_revenue_change,
         # ---- never driver-verified (r5 positions 51+; judge-run green
         # in r5) — VERDICT r5 #1: front of the r6 window ----
         "incremental_order_stats": _incremental_order_stats,
@@ -2528,7 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _pack_documents,
         "pii_redaction_extended": _pii_redaction_extended,
         # ---- also last driver-green r4 (past-window in r5); the first
-        # 17 of these fill the r6 window to 50 (4 r6-new entries took
+        # 15 of these fill the r6 window to 50 (6 r6-new entries took
         # the other slots), the rest rotate in r7 ----
         "cross_doc_repetition": _cross_doc_repetition,
         "decontaminate_ngrams": _decontaminate_ngrams,
@@ -2545,11 +2599,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_deciles": _doc_length_deciles,
         "embedding_centroids": _embedding_centroids,
         "embedding_quantize_stats": _embedding_quantize_stats,
-        "price_histogram": _price_histogram,
-        "nation_market_share": _nation_market_share,
         # ==== 50-entry window boundary (r6) ====
         # positions 51+ to segments_above_avg: the remaining r4-green
         # entries — front of the r7 window per the rotation schedule
+        "price_histogram": _price_histogram,
+        "nation_market_share": _nation_market_share,
         "skewed_agg_totals": _skewed_agg_totals,
         "source_capped_stats": _source_capped_stats,
         "daily_gapfill": _daily_gapfill,
@@ -3392,6 +3446,30 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "forecast_revenue_change": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue_gain,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "brand_yearly_revenue": """
             SELECT p_brand,
