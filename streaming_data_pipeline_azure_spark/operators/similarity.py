@@ -1522,6 +1522,10 @@ class IvfPqIndex:
         n_probe: int = 4,
         max_query_rows: int = 1024,
         where=None,
+        rerank: int = 0,
+        vectors: DataFrame | None = None,
+        vec_col: str = "embedding",
+        rerank_id_col: str = "vec_id",
     ) -> DataFrame:
         """Batched ADC: all queries answered from ONE partition-pruned
         scan of the union of their probed centroid partitions (the
@@ -1533,7 +1537,14 @@ class IvfPqIndex:
         no per-row Python. Returns (query_id, vec_id, approx_dist),
         top-``k`` per query, ties broken by vec_id. ``where`` filters
         candidates inside the pruned scan (shared across all queries
-        in the batch — see class docstring)."""
+        in the batch — see class docstring).
+
+        ``rerank`` > 0 is the batched refine stage (see :meth:`probe`):
+        per-query top-``rerank`` by ADC, then ONE broadcast semi-lookup
+        fetches the union of candidate raw vectors (O(Q·R) ids) from
+        ``vectors``, the query embeddings broadcast-join on, and exact
+        squared L2 (codegen zip_with fold, no Python) re-orders each
+        query's pool — returns (query_id, vec_id, exact_dist) top-k."""
         import numpy as np
 
         self._check_params(spark)
@@ -1615,8 +1626,51 @@ class IvfPqIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.col("approx_dist").asc(), F.col("vec_id")
         )
-        return (
+        pool_k = max(k, rerank) if rerank else k
+        approx = (
             scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= pool_k)
+            .drop("__rn")
+        )
+        if not rerank:
+            return approx
+        if vectors is None:
+            raise ValueError(
+                "IvfPqIndex.probe_batch: rerank > 0 needs the raw-vector "
+                "table via vectors= (the index stores codes only)"
+            )
+        cand = approx.select("query_id", "vec_id")
+        fetched = vectors.select(
+            F.col(rerank_id_col).alias("vec_id"),
+            to_double_array(F.col(vec_col)).alias("__v"),
+        ).join(
+            F.broadcast(cand.select("vec_id").distinct()), "vec_id", "semi"
+        )
+        qvecs = queries.select(
+            F.col("query_id"),
+            to_double_array(F.col("embedding")).alias("__q"),
+        )
+        exact = (
+            cand.join(fetched, "vec_id")
+            .join(F.broadcast(qvecs), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"), F.col("__q"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("exact_dist"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("exact_dist").asc(), F.col("vec_id")
+        )
+        return (
+            exact.withColumn("__rn", F.row_number().over(w2))
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )

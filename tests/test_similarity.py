@@ -890,3 +890,40 @@ def test_ivfpq_rerank_recovers_within_cluster_ordering(spark, tmp_path):
 
     with pytest.raises(ValueError, match="needs the raw-vector table"):
         idx.probe(spark, query, k=10, rerank=40)
+
+
+def test_ivfpq_probe_batch_rerank_matches_single_rerank(spark, tmp_path):
+    """Batched refine must return exactly the single-query rerank
+    results per query (same R, same n_probe), and each query's
+    reranked set must hit the exact L2 top-5 at least as well as raw
+    ADC."""
+    import numpy as np
+
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    idx, df = _ivfpq(spark, tmp_path, rows, name="ivfpq_brr")
+    picks = [rows[3], rows[77], rows[141]]
+    queries = df.filter(
+        F.col("vec_id").isin([p[0] for p in picks])
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    batched = {}
+    for r in idx.probe_batch(
+        spark, queries, k=5, n_probe=4, rerank=40, vectors=df
+    ).collect():
+        batched.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["exact_dist"], 9))
+        )
+    mat = np.asarray([r[1] for r in rows])
+    ids = np.asarray([r[0] for r in rows])
+    for qid, qvec in [(p[0], p[1]) for p in picks]:
+        single = [
+            (r["vec_id"], round(r["exact_dist"], 9))
+            for r in idx.probe(
+                spark, qvec, k=5, n_probe=4, rerank=40, vectors=df
+            ).collect()
+        ]
+        got = sorted(batched[qid], key=lambda t: (t[1], t[0]))
+        assert got == single, qid
+        exact = set(
+            ids[np.argsort(((mat - np.asarray(qvec)) ** 2).sum(axis=1))[:5]]
+        )
+        assert len({v for v, _ in got} & exact) >= 4, qid
