@@ -1805,6 +1805,19 @@ def _priority_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice", "priority")
 
 
+def _priority_sample_per_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group weighted sampling (r6): within every o_orderpriority
+    class, the top-20 orders by the same key-pure w/u priority — the
+    grouped form of priority_sample (per-domain exemplar selection
+    where a global top-k starves small groups). One group-key shuffle +
+    window rank, no global sort
+    (operators/sampling.py:priority_sample_per_group)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return sampling.priority_sample_per_group(
+        orders, "o_orderpriority", "o_orderkey", "o_totalprice", 20
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "priority")
+
+
 def _priority_sample_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """The priority sample's unbiased total-weight estimator (r5): with
     tau the 101st priority, sum(max(w, tau)) over the top-100 estimates
@@ -2548,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers": _top_suppliers,
         "shipping_priority": _shipping_priority,
         "forecast_revenue_change": _forecast_revenue_change,
+        "priority_sample_per_priority": _priority_sample_per_priority,
         # ---- never driver-verified (r5 positions 51+; judge-run green
         # in r5) — VERDICT r5 #1: front of the r6 window ----
         "incremental_order_stats": _incremental_order_stats,
@@ -2582,7 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _pack_documents,
         "pii_redaction_extended": _pii_redaction_extended,
         # ---- also last driver-green r4 (past-window in r5); the first
-        # 15 of these fill the r6 window to 50 (6 r6-new entries took
+        # 14 of these fill the r6 window to 50 (7 r6-new entries took
         # the other slots), the rest rotate in r7 ----
         "cross_doc_repetition": _cross_doc_repetition,
         "decontaminate_ngrams": _decontaminate_ngrams,
@@ -2598,10 +2612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_daily_revenue": _rolling_daily_revenue,
         "doc_length_deciles": _doc_length_deciles,
         "embedding_centroids": _embedding_centroids,
-        "embedding_quantize_stats": _embedding_quantize_stats,
         # ==== 50-entry window boundary (r6) ====
         # positions 51+ to segments_above_avg: the remaining r4-green
         # entries — front of the r7 window per the rotation schedule
+        "embedding_quantize_stats": _embedding_quantize_stats,
         "price_histogram": _price_histogram,
         "nation_market_share": _nation_market_share,
         "skewed_agg_totals": _skewed_agg_totals,
@@ -3348,6 +3362,23 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             SELECT * FROM pr ORDER BY priority DESC, o_orderkey LIMIT 100
+        """,
+        "priority_sample_per_priority": f"""
+            WITH pr AS (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     CAST(o_totalprice AS DOUBLE)
+                       / (({_knuth_int_sql('o_orderkey')} + 1)
+                          / 4294967296.0) AS priority,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(o_totalprice AS DOUBLE)
+                         / (({_knuth_int_sql('o_orderkey')} + 1)
+                            / 4294967296.0) DESC, o_orderkey
+                     ) AS rn
+              FROM orders
+            )
+            SELECT o_orderpriority, o_orderkey, o_totalprice, priority
+            FROM pr WHERE rn <= 20
         """,
         "priority_sample_estimate": f"""
             WITH pr AS (

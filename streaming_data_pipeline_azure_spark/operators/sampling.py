@@ -268,3 +268,42 @@ def priority_sample_estimate(
             .alias("est_total"),
         )
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    group_cols,
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+) -> DataFrame:
+    """Per-group weighted sampling without replacement (r6): the
+    grouped form of :func:`priority_sample` — within every
+    ``group_cols`` combination, keep the top-``k`` rows by the same
+    key-pure ``w / u`` priority. The training-data use case is
+    per-domain / per-language exemplar selection where a global top-k
+    would starve small groups.
+
+    Same engine-exact contract (IEEE division over the Knuth uniform,
+    no sampler state — identical rows on any engine and any re-run);
+    plans as ONE hash shuffle on the group keys + per-partition window
+    rank, no global sort. Ties (identical priorities) break by key for
+    cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u_pos = (_knuth_u32(key_col) + F.lit(1)).cast("double") / F.lit(
+        float(_M32)
+    )
+    win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("priority").desc(), F.col(key_col)
+    )
+    return (
+        df.withColumn("priority", w.cast("double") / u_pos)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -255,3 +255,48 @@ def test_priority_sample_weight_monotonicity(spark):
         for r in sampling.priority_sample(boosted, "id", "w", 15).collect()
     }
     assert target in boosted_ids
+
+
+def test_priority_sample_per_group_semantics(spark):
+    """Per-group sampling must (a) keep exactly min(k, group size) rows
+    per group, (b) select within each group the SAME rows a global
+    priority_sample restricted to that group would, and (c) be
+    partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators import sampling
+
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.col("id").alias("k"),
+        (F.col("id") % 17 + 1).cast("double").alias("w"),
+    )
+    out = sampling.priority_sample_per_group(df, "grp", "k", "w", 10)
+    rows = out.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], set()).add(r["k"])
+    assert set(by_grp) == {"0", "1", "2"}
+    assert all(len(v) == 10 for v in by_grp.values())
+
+    for g in ("0", "1", "2"):
+        solo = {
+            r["k"]
+            for r in sampling.priority_sample(
+                df.filter(F.col("grp") == g), "k", "w", 10
+            ).collect()
+        }
+        assert by_grp[g] == solo, g
+
+    re_part = {
+        (r["grp"], r["k"])
+        for r in sampling.priority_sample_per_group(
+            df.repartition(7), "grp", "k", "w", 10
+        ).collect()
+    }
+    assert re_part == {(r["grp"], r["k"]) for r in rows}
+
+    # small group: fewer rows than k -> keep all of them
+    small = df.filter((F.col("grp") == "0") & (F.col("k") < 9))
+    kept = sampling.priority_sample_per_group(small, "grp", "k", "w", 10)
+    assert kept.count() == small.count()
