@@ -3241,15 +3241,40 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY relation
         """,
         "incremental_order_stats": """
-            SELECT o_orderpriority,
-                   CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
-                       AS DOUBLE) AS total,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
-                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value,
-                   MIN(o_totalprice) AS min_value,
-                   MAX(o_totalprice) AS max_value
-            FROM orders GROUP BY o_orderpriority
+            WITH a AS (
+              SELECT o_orderpriority,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS dsum,
+                     -- operands widened to DECIMAL(28,4): DuckDB's
+                     -- (18,4)x(18,4) product overflows its int64
+                     -- decimal storage (Spark's (37,8) product is
+                     -- exact at (18,4) operands)
+                     SUM(CAST(o_totalprice AS DECIMAL(28,4))
+                         * CAST(o_totalprice AS DECIMAL(28,4))) AS dsumsq,
+                     MIN(o_totalprice) AS min_value,
+                     MAX(o_totalprice) AS max_value
+              FROM orders GROUP BY o_orderpriority
+            ), a2 AS (
+              -- sumsq exceeds 16 significant digits: VARCHAR roundtrip
+              -- is the correctly-rounded decimal->double (the
+              -- price_trend_regression precedent)
+              SELECT o_orderpriority, n,
+                     CAST(dsum AS DOUBLE) AS sum_d,
+                     CAST(CAST(dsumsq AS VARCHAR) AS DOUBLE) AS sumsq_d,
+                     min_value, max_value
+              FROM a
+            )
+            SELECT o_orderpriority, n,
+                   sum_d AS total,
+                   sum_d / CAST(n AS DOUBLE) AS avg_value,
+                   min_value, max_value,
+                   sumsq_d / CAST(n AS DOUBLE)
+                     - (sum_d / CAST(n AS DOUBLE))
+                       * (sum_d / CAST(n AS DOUBLE)) AS var_value,
+                   SQRT(GREATEST(sumsq_d / CAST(n AS DOUBLE)
+                     - (sum_d / CAST(n AS DOUBLE))
+                       * (sum_d / CAST(n AS DOUBLE)), 0.0)) AS stddev_value
+            FROM a2
         """,
         "price_trend_regression": """
             WITH b AS (

@@ -75,9 +75,16 @@ class IncrementalAgg:
 
     def _partials(self, df: DataFrame) -> DataFrame:
         v = F.col(self.value_col)
+        # __sumsq extends the partials to variance/stddev (r6): squares
+        # accumulate exactly in DECIMAL — (18,4)x(18,4) -> (37,8) exact
+        # products, (38,8) running sum. Contract: |value| < 1e14 keeps
+        # the square inside the 38-digit cap (same bound family as the
+        # other decimal paths; TPC-H money columns are far inside it).
+        sq = v.cast("decimal(18,4)") * v.cast("decimal(18,4)")
         out = df.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).cast("long").alias("__cnt"),
             F.sum(v.cast("decimal(28,4)")).cast("decimal(38,4)").alias("__sum"),
+            F.sum(sq).cast("decimal(38,8)").alias("__sumsq"),
             F.min(v).alias("__min"),
             F.max(v).alias("__max"),
         )
@@ -110,23 +117,30 @@ class IncrementalAgg:
     # ---- read / maintenance ----
 
     def _merged(self, spark: SparkSession) -> DataFrame:
-        return (
-            spark.read.parquet(self._partials_path(spark))
-            .groupBy(*self.group_cols)
-            .agg(
-                F.sum("__cnt").cast("long").alias("__cnt"),
-                F.sum("__sum").cast("decimal(38,4)").alias("__sum"),
-                F.min("__min").alias("__min"),
-                F.max("__max").alias("__max"),
+        part = spark.read.parquet(self._partials_path(spark))
+        aggs = [
+            F.sum("__cnt").cast("long").alias("__cnt"),
+            F.sum("__sum").cast("decimal(38,4)").alias("__sum"),
+            F.min("__min").alias("__min"),
+            F.max("__max").alias("__max"),
+        ]
+        if "__sumsq" in part.columns:  # pre-r6 layouts lack it
+            aggs.insert(
+                2, F.sum("__sumsq").cast("decimal(38,8)").alias("__sumsq")
             )
-        )
+        return part.groupBy(*self.group_cols).agg(*aggs)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """The served view: (group..., n, total, avg, min, max) —
-        bit-identical to a full recompute over everything ever folded
-        in (decimal partial sums; avg finalized here, never stored)."""
+        """The served view: (group..., n, total, avg, min, max[,
+        var, stddev]) — bit-identical to a full recompute over
+        everything ever folded in (decimal partial sums; derived
+        measures finalized here, never stored). Population variance
+        finalizes as sumsq/n − (sum/n)² in DOUBLE — both operands are
+        exact decimals, so the double arithmetic is the same on any
+        engine computing that expression. Views persisted before the
+        __sumsq partial existed serve without the variance columns."""
         m = self._merged(spark)
-        return m.select(
+        cols = [
             *self.group_cols,
             F.col("__cnt").alias("n"),
             F.col("__sum").cast("double").alias("total"),
@@ -136,7 +150,21 @@ class IncrementalAgg:
             ).alias("avg_value"),
             F.col("__min").alias("min_value"),
             F.col("__max").alias("max_value"),
-        )
+        ]
+        if "__sumsq" in m.columns:
+            mean = F.col("__sum").cast("double") / F.col("__cnt").cast(
+                "double"
+            )
+            var = (
+                F.col("__sumsq").cast("double")
+                / F.col("__cnt").cast("double")
+                - mean * mean
+            )
+            cols += [
+                var.alias("var_value"),
+                F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev_value"),
+            ]
+        return m.select(*cols)
 
     def stats(self, spark: SparkSession) -> dict:
         part = spark.read.parquet(self._partials_path(spark))

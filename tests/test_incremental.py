@@ -16,15 +16,20 @@ def _rows(spark, lo, hi):
 
 
 def _direct(df):
+    sum_d = F.sum(F.col("v").cast("decimal(28,4)")).cast("double")
+    n_d = F.count(F.lit(1)).cast("double")
+    sumsq_d = F.sum(
+        F.col("v").cast("decimal(18,4)") * F.col("v").cast("decimal(18,4)")
+    ).cast("decimal(38,8)").cast("double")
+    var = sumsq_d / n_d - (sum_d / n_d) * (sum_d / n_d)
     return df.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("v").cast("decimal(28,4)")).cast("double").alias("total"),
-        (
-            F.sum(F.col("v").cast("decimal(28,4)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avg_value"),
+        sum_d.alias("total"),
+        (sum_d / n_d).alias("avg_value"),
         F.min("v").alias("min_value"),
         F.max("v").alias("max_value"),
+        var.alias("var_value"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev_value"),
     )
 
 
@@ -99,3 +104,22 @@ def test_streaming_refresh_parity(spark, tmp_path):
     served = sorted(map(tuple, view.read(spark).collect()))
     direct = sorted(map(tuple, _direct(_rows(spark, 0, 200)).collect()))
     assert served == direct
+
+
+def test_pre_sumsq_layout_still_serves(spark, tmp_path):
+    """Views persisted before the __sumsq partial existed (r5 layouts)
+    must keep serving — without the variance columns — instead of
+    failing on the missing column."""
+    view = IncrementalAgg(str(tmp_path / "agg_legacy"), ["g"], "v")
+    view.build(_rows(spark, 0, 100))
+    # rewrite the live generation in the r5 schema (no __sumsq)
+    path = view._partials_path(spark)
+    legacy = spark.read.parquet(path).drop("__sumsq")
+    legacy.write.mode("overwrite").parquet(str(tmp_path / "legacy_tmp"))
+    spark.read.parquet(str(tmp_path / "legacy_tmp")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    served = view.read(spark)
+    assert "var_value" not in served.columns
+    got = {r["g"]: r["n"] for r in served.collect()}
+    assert sum(got.values()) == 100
