@@ -693,8 +693,17 @@ class IvfIndex:
 
     def probe(
         self, spark, query: list[float], k: int = 10, n_probe: int = 4,
-        id_col: str = "vec_id",
+        id_col: str = "vec_id", allowed: DataFrame | None = None,
     ) -> DataFrame:
+        """Approximate cosine top-k from the n_probe nearest centroids'
+        partitions. ``allowed`` (r6) restricts candidates to an id set
+        INSIDE the pruned scan via a broadcast semi-join — the
+        filtered-search shape for predicates over an EXTERNAL metadata
+        table (compute ids = meta.filter(pred).select(id) and pass it);
+        filtering before scoring keeps k filled, unlike post-filtering
+        the top-k. IvfPqIndex stores metadata inline (meta_cols) —
+        this index stores raw vectors, so the id-set form avoids
+        duplicating metadata into the vector layout."""
         cent = spark.read.parquet(f"{self.path}/centroids")
         best = (
             cent.withColumn(
@@ -709,6 +718,10 @@ class IvfIndex:
         vecs = spark.read.parquet(self._vectors_path(spark)).filter(
             F.col("centroid_id").isin(ids)  # partition pruning
         )
+        if allowed is not None:
+            vecs = vecs.join(
+                F.broadcast(allowed.select(id_col)), id_col, "semi"
+            )
         vecs = self._without_tombstoned(spark, vecs, id_col)
         scored = vecs.withColumn(
             "score", cosine_similarity(F.col("vec"), literal_vector(query))

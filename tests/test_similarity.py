@@ -927,3 +927,41 @@ def test_ivfpq_probe_batch_rerank_matches_single_rerank(spark, tmp_path):
             ids[np.argsort(((mat - np.asarray(qvec)) ** 2).sum(axis=1))[:5]]
         )
         assert len({v for v, _ in got} & exact) >= 4, qid
+
+
+def test_ivf_probe_allowed_id_set_filter(spark, tmp_path):
+    """IvfIndex filtered search (r6): an allowed-id set restricts
+    candidates inside the pruned scan — every hit is allowed, k stays
+    filled from the allowed pool, recall vs the exact FILTERED cosine
+    top-5 holds, and disallowed near-identical vectors are excluded."""
+    import numpy as np
+
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = sim.IvfIndex(str(tmp_path / "ivf_filt"), dim=16, n_planes=3)
+    idx.build(df, "embedding")
+
+    keep = {i for i, _ in rows if i % 2 == 0}
+    allowed = spark.createDataFrame(
+        [(i,) for i in sorted(keep)], "vec_id long"
+    )
+    query = rows[7][1]          # vec_id 7 itself is NOT allowed (odd)
+    got = [
+        r["vec_id"]
+        for r in idx.probe(
+            spark, query, k=5, n_probe=8, allowed=allowed
+        ).collect()
+    ]
+    assert len(got) == 5
+    assert all(i in keep for i in got), got
+    assert 7 not in got
+
+    def norm(v):
+        v = np.asarray(v)
+        n = np.linalg.norm(v)
+        return v / (n or 1.0)
+
+    mat = np.asarray([norm(v) for i, v in rows if i in keep])
+    ids = np.asarray([i for i, _ in rows if i in keep])
+    exact = set(ids[np.argsort(-(mat @ norm(query)), kind="stable")[:5]])
+    assert len(set(got) & exact) >= 4, (sorted(got), sorted(exact))
