@@ -152,6 +152,30 @@ def heavy_hitters_cms(
     per-partition totals collect in ``packing.py``, independent of
     row count. Returns (value, est_count) best-first; ``est_count``
     NEVER undercounts (CMS property, tested)."""
+    partials = cms_partials(
+        df, col, depth=depth, width=width,
+        candidates_per_partition=candidates_per_partition, seed=seed,
+    ).collect()  # O(partitions) fixed-size rows by construction
+    return score_cms_partials(
+        df.sparkSession, partials, k=k, depth=depth, width=width, seed=seed
+    )
+
+
+def cms_partials(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    candidates_per_partition: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """The MERGEABLE half of :func:`heavy_hitters_cms`: one
+    (cms counters, local candidates) row per input partition. Factored
+    out (r6) so the streaming ingest can persist per-micro-batch
+    partials and merge them later — CMS merge is an exact elementwise
+    add, so partials accumulated across any batch boundaries score
+    identically to one pass over the union."""
     import numpy as np
 
     def kernel(batches):
@@ -178,13 +202,27 @@ def heavy_hitters_cms(
             }
         )
 
-    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         kernel, schema="cms array<long>, cand array<string>"
-    ).collect()  # O(partitions) fixed-size rows by construction
+    )
+
+
+def score_cms_partials(
+    spark,
+    partials,
+    *,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Merge collected :func:`cms_partials` rows (elementwise counter
+    add + candidate union) and score the candidates against the merged
+    sketch — (value, est_count) best-first, never undercounting."""
+    import numpy as np
+
     if not partials:
-        return df.sparkSession.createDataFrame(
-            [], "value string, est_count long"
-        )
+        return spark.createDataFrame([], "value string, est_count long")
     merged = np.zeros(depth * width, dtype=np.int64)
     cand: set = set()
     for r in partials:
@@ -205,7 +243,7 @@ def heavy_hitters_cms(
     order = sorted(
         zip(cand_list, est.tolist()), key=lambda t: (-t[1], t[0])
     )[:k]
-    return df.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         [(v, int(c)) for v, c in order], "value string, est_count long"
     )
 

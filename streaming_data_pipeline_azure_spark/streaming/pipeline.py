@@ -233,3 +233,76 @@ def build_span_scrub_ingest_query(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def build_cms_ingest_query(
+    value_stream: DataFrame,
+    col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    candidates_per_partition: int = 64,
+    seed: int = 42,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming heavy-hitters state (r6): each micro-batch folds its
+    Count-Min partials into a persisted sketch store, so the stream's
+    approximate top-k is servable at any time without reprocessing —
+    the SKETCH member of the streaming-ingest family (dedup / span-
+    scrub / embedding ingests maintain indexes; this maintains a
+    fixed-memory frequency state).
+
+    Replay-idempotence, same contract as the other ingests: batch N's
+    partials land at ``state_path/batch_id=N`` with OVERWRITE, so a
+    replayed micro-batch (crash between the state write and the
+    checkpoint commit) rewrites identical partials instead of
+    double-counting — CMS adds are NOT idempotent, the per-batch
+    partition IS the idempotence boundary. State grows O(batches)
+    fixed-size rows; read with :func:`read_heavy_hitters`, which merges
+    exactly (CMS merge is an elementwise add, so any batch slicing
+    scores identically to one pass over the union — parity-tested).
+    """
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        cms_partials,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cms_partials(
+            batch_df, col, depth=depth, width=width,
+            candidates_per_partition=candidates_per_partition, seed=seed,
+        ).write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    writer = (
+        value_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_heavy_hitters(
+    spark,
+    state_path: str,
+    *,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Serve the streaming CMS state: merge every batch's partials
+    (O(batches x partitions) fixed-size rows) and score — (value,
+    est_count) best-first. Parameters must match the ingest's."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        score_cms_partials,
+    )
+
+    partials = spark.read.parquet(state_path).collect()
+    return score_cms_partials(
+        spark, partials, k=k, depth=depth, width=width, seed=seed
+    )

@@ -839,3 +839,67 @@ def test_socket_stream_end_to_end(spark, tmp_path, customers):
     assert set(rows) == {"s1", "s2"}
     assert rows["s1"]["customer_name"] == "Willis Collins"
     assert rows["s2"]["city"] == "Chicago"
+
+
+def test_streaming_cms_heavy_hitters_matches_batch(spark, tmp_path):
+    """The streaming CMS state, fed in micro-batches, must serve the
+    SAME top-k as batch heavy_hitters_cms over the union (CMS merge is
+    an exact elementwise add), and a replayed batch write must not
+    double-count (per-batch overwrite partitions)."""
+    import json as _json
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        heavy_hitters_cms,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_cms_ingest_query,
+        read_heavy_hitters,
+    )
+
+    # two micro-batches of tokens with planted heavy keys
+    b1 = [{"token": t} for t in
+          ["alpha"] * 30 + ["beta"] * 20 + [f"x{i}" for i in range(40)]]
+    b2 = [{"token": t} for t in
+          ["alpha"] * 25 + ["gamma"] * 15 + [f"y{i}" for i in range(40)]]
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    state = str(tmp_path / "cms_state")
+    q = build_cms_ingest_query(
+        stream, "token", state, str(tmp_path / "cms_ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+
+    served = [tuple(r) for r in read_heavy_hitters(spark, state, k=5).collect()]
+    batch_df = spark.createDataFrame(
+        [(r["token"],) for r in b1 + b2], "token string"
+    )
+    direct = [
+        tuple(r) for r in heavy_hitters_cms(batch_df, "token", k=5).collect()
+    ]
+    assert served == direct
+    assert served[0][0] == "alpha" and served[0][1] >= 55  # never undercounts
+    assert {v for v, _ in served[:3]} == {"alpha", "beta", "gamma"}
+
+    # replay batch 0 (fresh checkpoint, same state dir): overwrite
+    # partitions make it idempotent — totals unchanged
+    replay = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q2 = build_cms_ingest_query(
+        replay, "token", state, str(tmp_path / "cms_ckpt2"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    again = [tuple(r) for r in read_heavy_hitters(spark, state, k=5).collect()]
+    assert again == served
