@@ -624,6 +624,7 @@ class IvfIndex:
         query_id_col: str = "query_id",
         vec_col: str = "embedding",
         max_query_rows: int = 100_000,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Batched IVF probe — the real serving shape (VERDICT r2 #7):
         one query at a time pays a scan per query; a query SET probes in
@@ -674,6 +675,10 @@ class IvfIndex:
         vecs = spark.read.parquet(self._vectors_path(spark)).filter(
             F.col("centroid_id").isin(probed)  # partition pruning
         )
+        if allowed is not None:  # filtered search — see probe()
+            vecs = vecs.join(
+                F.broadcast(allowed.select(id_col)), id_col, "semi"
+            )
         vecs = self._without_tombstoned(spark, vecs, id_col)
         scored = vecs.join(F.broadcast(probe_plan), "centroid_id").select(
             query_id_col,

@@ -965,3 +965,21 @@ def test_ivf_probe_allowed_id_set_filter(spark, tmp_path):
     ids = np.asarray([i for i, _ in rows if i in keep])
     exact = set(ids[np.argsort(-(mat @ norm(query)), kind="stable")[:5]])
     assert len(set(got) & exact) >= 4, (sorted(got), sorted(exact))
+
+    # batched path honors the same filter and agrees with probe()
+    queries = spark.createDataFrame(
+        [(42, query)], "query_id long, embedding array<double>"
+    )
+    batched = sorted(
+        (r["vec_id"], round(r["score"], 9))
+        for r in idx.probe_batch(
+            spark, queries, k=5, n_probe=8, allowed=allowed
+        ).collect()
+    )
+    single = sorted(
+        (r["vec_id"], round(r["score"], 9))
+        for r in idx.probe(
+            spark, query, k=5, n_probe=8, allowed=allowed
+        ).collect()
+    )
+    assert batched == single
