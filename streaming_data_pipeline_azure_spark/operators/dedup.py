@@ -1264,6 +1264,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 1,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Verified pairs with cosine >= threshold, candidates from sign-LSH
     buckets with OR-amplification across ``n_tables`` independent hash
@@ -1272,7 +1273,19 @@ def embedding_near_dup_pairs(
     One table of 8 planes suits near-identical thresholds (~0.95);
     moderate thresholds (~0.5) need several short tables (e.g. k=4, L=8
     gives ~0.8 recall at cos 0.45). Candidate volume and the bucketed
-    table scale linearly in L — the standard LSH memory/recall trade."""
+    table scale linearly in L — the standard LSH memory/recall trade.
+
+    ``max_bucket`` (r6) is the quadratic-bomb valve: a DEGENERATE
+    bucket — all-zero vectors, a constant-embedding failure upstream, a
+    hub direction — contributes |bucket|² candidate pairs and can
+    single-handedly dominate the job at scale. With a cap, (table,
+    bucket) groups larger than ``max_bucket`` are EXCLUDED from
+    candidate generation in that table (the FAISS ``max_codes``-style
+    trade: a pair loses only the recall contributed by its over-cap
+    tables, and OR-amplification means it still surfaces through any
+    other shared table). Default ``None`` keeps exact legacy behavior;
+    sized so honest buckets (~n/2^k) pass and only degenerate mass is
+    skipped."""
     planes = random_hyperplanes(dim, n_planes * n_tables, seed)
     # Buckets here are COARSE (2^n_planes of them), so a bucket holds many
     # vectors and the candidate set is a large self-join — the in-bucket
@@ -1310,6 +1323,16 @@ def embedding_near_dup_pairs(
     bucketed = persist_tracked(bucketed)  # both self-join branches reuse the plane projections
     a = bucketed.select(F.col("__id").alias("id_a"), "__t", "__bucket")
     b = bucketed.select(F.col("__id").alias("id_b"), "__t", "__bucket")
+    if max_bucket is not None:
+        over = (
+            bucketed.groupBy("__t", "__bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("__t", "__bucket")
+        )
+        # over-cap groups are few by construction — broadcast anti-join
+        a = a.join(F.broadcast(over), ["__t", "__bucket"], "anti")
+        b = b.join(F.broadcast(over), ["__t", "__bucket"], "anti")
     cand = (
         a.join(b, ["__t", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -529,3 +529,48 @@ def test_connected_components_long_chain_converges_or_raises(spark):
     # labels are monotone (component <= id): valid over-segmentation
     assert all(1 <= lbl <= i for i, lbl in partial.items())
     assert len(set(partial.values())) > 1  # genuinely unconverged input
+
+
+def test_embedding_neardup_max_bucket_valve(spark):
+    """The quadratic-bomb valve: a planted degenerate direction (many
+    near-identical 'hub' vectors) is excluded from candidate generation
+    when its bucket exceeds max_bucket, while honest near-dup pairs in
+    normal-size buckets are still found; cap=None keeps legacy
+    behavior (superset check)."""
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    hub = rng.normal(0, 1, 16)
+    for i in range(60):           # degenerate mass: 60 near-copies
+        rows.append((i, [float(x) for x in hub + rng.normal(0, 0.01, 16)]))
+    a = rng.normal(0, 1, 16)
+    rows.append((100, [float(x) for x in a]))             # honest pair
+    rows.append((101, [float(x) for x in a + rng.normal(0, 0.01, 16)]))
+    for i in range(200, 240):     # background noise
+        rows.append((i, [float(x) for x in rng.normal(0, 1, 16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.98, n_planes=4, n_tables=4, dim=16)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", **kw
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", max_bucket=50, **kw
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert capped <= uncapped                       # cap only removes
+    hub_pairs_capped = {p for p in capped if p[0] < 100 and p[1] < 100}
+    hub_pairs_uncapped = {p for p in uncapped if p[0] < 100 and p[1] < 100}
+    assert len(hub_pairs_uncapped) > 1000           # the bomb is real
+    assert len(hub_pairs_capped) < len(hub_pairs_uncapped) / 2
