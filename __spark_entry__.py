@@ -1881,6 +1881,17 @@ def _bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bm25_search_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive (AND) BM25 retrieval (r6): same scoring as
+    `bm25_search` but only documents matching EVERY query term survive
+    — a HAVING on the shared aggregation, no extra shuffle
+    (operators/search.py:_score_topk require_all_of)."""
+    return search.bm25_topk(
+        _docs(spark, sf), ["hash", "join", "spark"], k=15,
+        require_all=True,
+    )
+
+
 def _hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval (r5): BM25 top-50 (lexical) and brute-force
     cosine top-50 for the vec_id=0 query vector (semantic; doc and
@@ -2562,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _shipping_priority,
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
+        "bm25_search_all": _bm25_search_all,
         # ---- never driver-verified (r5 positions 51+; judge-run green
         # in r5) — VERDICT r5 #1: front of the r6 window ----
         "incremental_order_stats": _incremental_order_stats,
@@ -2596,8 +2608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _pack_documents,
         "pii_redaction_extended": _pii_redaction_extended,
         # ---- also last driver-green r4 (past-window in r5); the first
-        # 14 of these fill the r6 window to 50 (7 r6-new entries took
-        # the other slots), the rest rotate in r7 ----
+        # 13 of these fill the r6 window to 50 (8 r6-new oracle entries
+        # took the other slots), the rest rotate in r7 ----
         "cross_doc_repetition": _cross_doc_repetition,
         "decontaminate_ngrams": _decontaminate_ngrams,
         "repetition_stats": _repetition_stats,
@@ -2611,10 +2623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign_stats": _kmeans_assign_stats,
         "rolling_daily_revenue": _rolling_daily_revenue,
         "doc_length_deciles": _doc_length_deciles,
-        "embedding_centroids": _embedding_centroids,
         # ==== 50-entry window boundary (r6) ====
         # positions 51+ to segments_above_avg: the remaining r4-green
         # entries — front of the r7 window per the rotation schedule
+        "embedding_centroids": _embedding_centroids,
         "embedding_quantize_stats": _embedding_quantize_stats,
         "price_histogram": _price_histogram,
         "nation_market_share": _nation_market_share,
@@ -3806,6 +3818,11 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "bm25_search": _BM25_ORACLE,
+        # conjunctive variant: same scoring, HAVING every term matched
+        "bm25_search_all": _BM25_ORACLE.replace(
+            "GROUP BY f.doc_id",
+            "GROUP BY f.doc_id\n    HAVING COUNT(*) = 3",
+        ),
         # index-served BM25 is bit-identical to the direct scan by
         # construction (shared scoring tail) — same oracle on purpose
         "bm25_search_indexed": _BM25_ORACLE,

@@ -39,13 +39,18 @@ def _score_topk(
     k: int,
     k1: float,
     b: float,
+    require_all_of: int | None = None,
 ) -> DataFrame:
     """Shared BM25 scoring tail: ``tf`` is (id, __dl, __t, __tf) for the
     MATCHING (doc, term) pairs only, ``docfreq`` is (__t, __df), ``stats``
     is one row (__n_docs, __total_len). Both the direct corpus-scan path
     (:func:`bm25_topk`) and the postings-index path
     (:meth:`PostingsIndex.search`) end here, which is what makes them
-    bit-identical (the index query is oracle-backed by the same SQL)."""
+    bit-identical (the index query is oracle-backed by the same SQL).
+    ``require_all_of`` = the query's term count turns OR retrieval into
+    AND (conjunctive) retrieval: only documents matching EVERY term
+    survive (HAVING n_matched = |Q| after the same aggregation — no
+    extra shuffle)."""
     avgdl = F.col("__total_len").cast("double") / F.col("__n_docs")
     idf = (
         (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
@@ -69,6 +74,8 @@ def _score_topk(
             .alias("score"),
         )
     )
+    if require_all_of is not None:
+        scored = scored.filter(F.col("n_matched") == require_all_of)
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
@@ -81,6 +88,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    require_all: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents by (log-free) BM25 relevance to
     ``query_terms``: per matching term,
@@ -115,7 +123,10 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
     docfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-    return _score_topk(tf, docfreq, stats, id_col, k=k, k1=k1, b=b)
+    return _score_topk(
+        tf, docfreq, stats, id_col, k=k, k1=k1, b=b,
+        require_all_of=len(terms) if require_all else None,
+    )
 
 
 def rrf_fuse(
@@ -334,10 +345,13 @@ class PostingsIndex:
         k: int = 10,
         k1: float = 1.2,
         b: float = 0.75,
+        require_all: bool = False,
     ) -> DataFrame:
         """Top-``k`` (id, n_matched, score) by the same log-free BM25 as
         :func:`bm25_topk`, served from the index: reads ONLY the query
-        terms' bucket partitions."""
+        terms' bucket partitions. ``require_all`` turns OR retrieval
+        into AND (every term must match — same shared-tail semantics as
+        the corpus-scan path, so the two stay bit-identical)."""
         self._check_params(spark)
         terms = sorted(set(t.lower() for t in query_terms))
         if not terms:
@@ -364,7 +378,10 @@ class PostingsIndex:
             F.sum("n_docs").alias("__n_docs"),
             F.sum("total_len").alias("__total_len"),
         )
-        return _score_topk(tf, docfreq, stats, self.id_col, k=k, k1=k1, b=b)
+        return _score_topk(
+            tf, docfreq, stats, self.id_col, k=k, k1=k1, b=b,
+            require_all_of=len(terms) if require_all else None,
+        )
 
     # ---- maintenance ----
 

@@ -173,3 +173,37 @@ def test_postings_search_empty_query_guard(spark, tmp_path):
     idx = _build_index(spark, tmp_path)
     with pytest.raises(ValueError, match="query_terms is empty"):
         idx.search(spark, [])
+
+
+def test_bm25_require_all_conjunctive_semantics(spark, tmp_path):
+    """AND retrieval: only docs matching EVERY term survive; scores of
+    the survivors are identical to OR retrieval (same aggregation, a
+    HAVING filter after); corpus-scan and index paths agree
+    bit-for-bit under require_all too."""
+    docs = _docs(spark, _corpus_rows())
+    both = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in search.bm25_topk(
+            docs, ["hash", "spark"], k=10, require_all=True
+        ).collect()
+    }
+    assert both, "conjunctive result should be non-empty on this corpus"
+    assert all(n == 2 for n, _ in both.values())
+    either = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in search.bm25_topk(
+            docs, ["hash", "spark"], k=10
+        ).collect()
+    }
+    assert set(both) < set(either)                   # strict subset here
+    for d, v in both.items():
+        assert either[d] == v, d                     # same scores
+
+    idx = _build_index(spark, tmp_path)
+    served = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in idx.search(
+            spark, ["hash", "spark"], k=10, require_all=True
+        ).collect()
+    }
+    assert served == both
