@@ -372,3 +372,53 @@ def time_weighted_avg(
             / F.sum("__dur").cast("double")
         ).alias("twap"),
     )
+
+
+def debounce_events(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    *,
+    gap_seconds: int,
+    tiebreak_cols=(),
+) -> DataFrame:
+    """Keep the FIRST event of every burst: within each ``key_cols``
+    group, an event is dropped when it arrives within ``gap_seconds``
+    of the PREVIOUS event (double-clicks, retry storms, at-least-once
+    re-deliveries jittered past exact dedup's reach). Gap chaining is
+    deliberate — a burst is any run of events with no ``gap_seconds``
+    silence inside it, exactly the gap-sessionization rule — so this is
+    "sessionize, keep each session's first row".
+
+    One key shuffle + one window pass (lag over (key, ts, tiebreak));
+    a second window over the SAME sort marks session firsts, so
+    Catalyst plans a single Exchange. Deterministic for a total order:
+    pass ``tiebreak_cols`` when timestamps can tie. Returns the kept
+    rows with their original columns."""
+    from pyspark.sql import Window
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    gap_new = (
+        F.col(ts_col).cast("long")
+        - F.lag(F.col(ts_col)).over(w).cast("long")
+        > F.lit(gap_seconds)
+    )
+    with_flag = df.withColumn(
+        "__new", F.coalesce(gap_new, F.lit(True)).cast("int")
+    )
+    sess = with_flag.withColumn(
+        "__sess", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    w_first = Window.partitionBy(
+        *[F.col(c) for c in key_cols], F.col("__sess")
+    ).orderBy(*order)
+    return (
+        sess.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__new", "__sess", "__rn")
+    )

@@ -357,3 +357,45 @@ def test_transition_matrix_fracs_sum_to_one(spark):
     tm = temporal.transition_matrix(ev, tiebreak_col="event_id")
     sums = tm.groupBy("from_type").agg(F.sum("frac_from").alias("s")).collect()
     assert sums and all(abs(r["s"] - 1.0) < 1e-12 for r in sums)
+
+
+def test_debounce_events_keeps_burst_heads(spark):
+    """Gap chaining: a burst is any run with no gap_seconds silence
+    inside it — only its FIRST event survives; a later isolated event
+    starts a new burst; keys are independent; order within ties is
+    deterministic via the tiebreak."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        debounce_events,
+    )
+
+    def ts(s):
+        return f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}"
+
+    rows = [
+        # user 1 click: burst at 0,30,59,89 (each within 60 of prev),
+        # then isolated at 300 -> keep 0 and 300
+        (1, 1, "click", ts(0)),
+        (2, 1, "click", ts(30)),
+        (3, 1, "click", ts(59)),
+        (4, 1, "click", ts(89)),
+        (5, 1, "click", ts(300)),
+        # user 1 view: independent key, single event -> kept
+        (6, 1, "view", ts(10)),
+        # user 2 click: two events exactly 61s apart -> both kept
+        (7, 2, "click", ts(0)),
+        (8, 2, "click", ts(61)),
+        # user 3: same-timestamp tie -> smallest event_id kept
+        (9, 3, "click", ts(0)),
+        (10, 3, "click", ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    kept = {
+        r["event_id"]
+        for r in debounce_events(
+            df, ["user_id", "event_type"], "ts",
+            gap_seconds=60, tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    assert kept == {1, 5, 6, 7, 8, 9}
