@@ -1906,6 +1906,15 @@ def _bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-phrase retrieval (r6): top-15 documents by overlapping
+    occurrences of the consecutive token pair "hash join" — the
+    positional counterpart of BM25's bag-of-words scoring. Pure
+    codegen n-gram count inside the scan projection; only (id, tf)
+    rows reach the top-k heap (operators/search.py:phrase_topk)."""
+    return search.phrase_topk(_docs(spark, sf), ["hash", "join"], k=15)
+
+
 def _bm25_search_all(spark: SparkSession, sf: str) -> DataFrame:
     """Conjunctive (AND) BM25 retrieval (r6): same scoring as
     `bm25_search` but only documents matching EVERY query term survive
@@ -2600,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_per_priority": _priority_sample_per_priority,
         "bm25_search_all": _bm25_search_all,
         "events_debounced": _events_debounced,
+        "phrase_search": _phrase_search,
         # ---- never driver-verified (r5 positions 51+; judge-run green
         # in r5) — VERDICT r5 #1: front of the r6 window ----
         "incremental_order_stats": _incremental_order_stats,
@@ -3425,6 +3435,24 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             SELECT * FROM pr ORDER BY priority DESC, o_orderkey LIMIT 100
+        """,
+        "phrase_search": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, unnest(range(len(toks) - 1)) AS i, toks
+              FROM norm WHERE len(toks) >= 2
+            )
+            SELECT doc_id, COUNT(*) AS phrase_tf
+            FROM pos
+            WHERE toks[i + 1] = 'hash' AND toks[i + 2] = 'join'
+            GROUP BY doc_id
+            ORDER BY phrase_tf DESC, doc_id
+            LIMIT 15
         """,
         "events_debounced": """
             WITH e AS (

@@ -424,3 +424,43 @@ class PostingsIndex:
         self._gens.commit(spark, nxt)
         self._gens.gc_below(spark, keep=nxt)
         self._tombs.clear(spark)
+
+
+def phrase_topk(
+    df: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase retrieval: top-``k`` documents by the number of
+    OVERLAPPING occurrences of the consecutive token sequence
+    ``phrase_terms`` — the positional counterpart of BM25's
+    bag-of-words scoring (a real stack runs "hash join" as a phrase,
+    not two independent terms).
+
+    Pure codegen: each document's word n-grams (n = |phrase|) are
+    counted against the space-joined phrase inside the scan projection
+    — no explode, no shuffle beyond the top-k heap — so the per-doc
+    cost is O(tokens) and the only cross-node data is (id, tf) for
+    matching docs. Returns (id, phrase_tf) ordered by tf desc, id."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+        word_ngrams,
+    )
+
+    if not phrase_terms:
+        raise ValueError("phrase_topk: phrase_terms is empty")
+    phrase = " ".join(t.lower() for t in phrase_terms)
+    n = len(phrase_terms)
+    toks = _norm_tokens(text_col)
+    tf = F.size(
+        F.filter(word_ngrams(toks, n), lambda g: g == F.lit(phrase))
+    ).cast("long")
+    return (
+        df.select(F.col(id_col), tf.alias("phrase_tf"))
+        .filter(F.col("phrase_tf") > 0)
+        .orderBy(F.col("phrase_tf").desc(), F.col(id_col))
+        .limit(k)
+    )

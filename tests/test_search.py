@@ -207,3 +207,30 @@ def test_bm25_require_all_conjunctive_semantics(spark, tmp_path):
         ).collect()
     }
     assert served == both
+
+
+def test_phrase_topk_counts_consecutive_occurrences(spark):
+    """Phrase retrieval counts OVERLAPPING consecutive occurrences;
+    docs with the terms in the wrong order or separated do not match;
+    empty phrase raises; top-k orders by tf then id."""
+    import pytest
+
+    docs = _docs(
+        spark,
+        [
+            (1, "hash join hash join spark"),        # 2x "hash join"
+            (2, "join hash somewhere else"),          # wrong order
+            (3, "hash word join"),                    # separated
+            (4, "a a a"),                             # overlapping probe
+            (5, "hash join"),                         # 1x
+        ],
+    )
+    got = [
+        (r["doc_id"], r["phrase_tf"])
+        for r in search.phrase_topk(docs, ["hash", "join"], k=10).collect()
+    ]
+    assert got == [(1, 2), (5, 1)]
+    overlap = search.phrase_topk(docs, ["a", "a"], k=10).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in overlap] == [(4, 2)]
+    with pytest.raises(ValueError, match="empty"):
+        search.phrase_topk(docs, [])
