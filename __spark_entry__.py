@@ -2644,8 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _pack_documents,
         "pii_redaction_extended": _pii_redaction_extended,
         # ---- also last driver-green r4 (past-window in r5); the first
-        # 13 of these fill the r6 window to 50 (8 r6-new oracle entries
-        # took the other slots), the rest rotate in r7 ----
+        # 11 of these fill the r6 window to 50 (10 r6-new oracle
+        # entries took the other slots), the rest rotate in r7 ----
         "cross_doc_repetition": _cross_doc_repetition,
         "decontaminate_ngrams": _decontaminate_ngrams,
         "repetition_stats": _repetition_stats,
@@ -2657,10 +2657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": _large_orders,
         "nation_trade_flows": _nation_trade_flows,
         "kmeans_assign_stats": _kmeans_assign_stats,
-        "rolling_daily_revenue": _rolling_daily_revenue,
         # ==== 50-entry window boundary (r6) ====
         # positions 51+ to segments_above_avg: the remaining r4-green
         # entries — front of the r7 window per the rotation schedule
+        "rolling_daily_revenue": _rolling_daily_revenue,
         "doc_length_deciles": _doc_length_deciles,
         "embedding_centroids": _embedding_centroids,
         "embedding_quantize_stats": _embedding_quantize_stats,
