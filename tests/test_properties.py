@@ -346,3 +346,52 @@ def test_span_dedup_invariants(spark, texts, n):
         # order-preserving subsequence check
         it = iter(orig)
         assert all(tok in it for tok in kept)
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=600), min_size=1, max_size=25
+    ),
+    gap=st.integers(min_value=1, max_value=120),
+)
+def test_debounce_idempotent_and_heads_spaced(spark, offsets, gap):
+    """Debounce properties over arbitrary event times: (1) kept rows
+    are a subset of the input with the earliest event always kept;
+    (2) consecutive KEPT events are strictly more than gap apart
+    (burst heads are separated by real silence); (3) debouncing is
+    IDEMPOTENT — running it on its own output changes nothing."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        debounce_events,
+    )
+
+    rows = [
+        (i, 1, "t", f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}")
+        for i, s in enumerate(sorted(set(offsets)))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    kept = debounce_events(
+        df, ["user_id", "event_type"], "ts",
+        gap_seconds=gap, tiebreak_cols=["event_id"],
+    )
+    krows = sorted(
+        (r["event_id"], int(r["ts"].timestamp())) for r in kept.collect()
+    )
+    all_ids = {r[0] for r in rows}
+    assert {i for i, _ in krows} <= all_ids
+    assert krows[0][0] == 0                       # earliest always kept
+    for (_, a), (_, b) in zip(krows, krows[1:]):
+        assert b - a > gap, (krows, gap)          # heads truly spaced
+    again = sorted(
+        (r["event_id"], int(r["ts"].timestamp()))
+        for r in debounce_events(
+            kept, ["user_id", "event_type"], "ts",
+            gap_seconds=gap, tiebreak_cols=["event_id"],
+        ).collect()
+    )
+    assert again == krows                         # idempotent
