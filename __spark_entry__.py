@@ -2140,6 +2140,217 @@ def _large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _late_shipment_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders with at least one
+    lineitem shipped more than 90 days after the order date — the
+    EXISTS-correlated-subquery pattern expressed as a LEFT SEMI join
+    (exactly the plan Catalyst rewrites EXISTS into; the semi join
+    stops probing an order after its first late line, so the build
+    side never fans out). Testdata has no l_commitdate/l_receiptdate
+    (TESTDATA.md schema), so the ship-lag predicate stands in for
+    TPC-H's receipt>commit. Scale: one l_orderkey shuffle co-partitions
+    both sides; the date predicate rides the join condition, not a
+    post-filter, so semi-join early-out applies."""
+    orders = _tables(spark, sf, "orders")[0]
+    late = _lineitem(spark, sf).select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == late.l_orderkey) & (
+        late.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    predicate spanning both join sides (brand x size x quantity
+    bands). The part side of every disjunct is extractable, so
+    Catalyst pushes the brand/size OR into the (broadcast) part scan
+    while the mixed residual evaluates post-join — the disjunctive
+    predicate-pushdown pattern (plan-tested in
+    tests/test_plans.py). Decimal accumulation of the double
+    disc-price product keeps the scalar bit-identical."""
+    li = _lineitem(spark, sf)
+    part = _tables(spark, sf, "part")[0]
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    d1 = (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(5, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 40)
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.filter(d1 | d2 | d3).agg(_dec_sum(disc_price, "revenue"))
+
+
+def _top_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: in every multi-supplier order, blame the
+    supplier(s) who shipped LAST — EXISTS (another supplier in the
+    order) as a LEFT SEMI self-join plus NOT EXISTS (another supplier
+    shipping later) as a LEFT ANTI self-join. Adapted to the testdata
+    schema (no receipt/commit dates): "kept the order waiting" =
+    strictly latest l_shipdate among >=2 suppliers. Scale: all three
+    lineitem legs hash on l_orderkey — one co-partitioning serves the
+    semi, the anti, and nothing re-shuffles until the tiny per-supplier
+    aggregate; the top-10 is TakeOrderedAndProject with a total
+    (numwait DESC, s_name) order so LIMIT membership is deterministic
+    across engines."""
+    li = _lineitem(spark, sf)
+    supplier = _tables(spark, sf, "supplier")[0]
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    has_other = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    blamed = has_other.join(
+        l3,
+        (has_other.l_orderkey == l3.o3)
+        & (has_other.l_suppkey != l3.s3)
+        & (l3.d3 > has_other.l_shipdate),
+        "left_anti",
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier), blamed.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+def _idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO large order (no order over 400k — the plain no-orders
+    anti-join is empty on this testdata: every customer has orders),
+    grouped by a custkey-derived country code. Composes the scalar
+    aggregate subquery (1-row broadcast cross join — Catalyst's
+    decorrelation of the textbook scalar subquery), a conditional
+    anti-join, and a final rollup. The avg threshold is decimal-exact
+    on both engines, so > membership is bit-identical."""
+    customer, orders = _tables(spark, sf, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 400000.0)
+    idle = rich.join(
+        big_orders, rich.c_custkey == big_orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy(
+        F.pmod(F.col("c_custkey"), F.lit(7)).cast("long").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _dec_sum(F.col("c_acctbal"), "totacctbal"),
+    )
+
+
+def _high_volume_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved more than 2000 total units
+    of 'large …' parts — a nested semi-join pipeline (filtered part
+    list -> lineitem volume per supplier -> HAVING -> join back to
+    supplier). The part filter broadcasts; the per-supplier aggregate
+    is the only shuffle; the qualifying-supplier set is tiny so the
+    final join broadcasts it. Decimal quantity accumulation keeps
+    HAVING membership deterministic."""
+    li = _lineitem(spark, sf)
+    part, supplier = _tables(spark, sf, "part", "supplier")
+    lparts = part.filter(F.col("p_name").startswith("large")).select(
+        "p_partkey"
+    )
+    qty = (
+        li.join(F.broadcast(lparts), li.l_partkey == lparts.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 2000.0)
+    )
+    return supplier.join(
+        F.broadcast(qty), supplier.s_suppkey == qty.l_suppkey
+    ).select("s_suppkey", "s_name", "total_qty")
+
+
+def _returnflag_priority_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: for returned/abandoned lineitems, how many
+    belong to high- vs low-priority orders — the CASE-pivoted
+    conditional count after a fact-to-fact join. Adapted: l_returnflag
+    stands in for l_shipmode (not in the testdata schema). The
+    returnflag filter reaches the lineitem scan (IN pushdown); the
+    2-group aggregate is map-side partial."""
+    li = _lineitem(spark, sf)
+    orders = _tables(spark, sf, "orders")[0]
+    j = li.filter(F.col("l_returnflag").isin("R", "A")).join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return j.groupBy("l_returnflag").agg(
+        F.sum(high).cast("long").alias("high_line_count"),
+        F.sum(F.lit(1) - high).cast("long").alias("low_line_count"),
+    )
+
+
+def _daily_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily active users — the exact anchor for the HLL sketch twin
+    (`daily_active_users_hll`): per-day COUNT(DISTINCT user_id) plus
+    event volume. Exact distinct is a two-phase shuffle (partial
+    distinct then merge); the sketch twin replaces it with mergeable
+    fixed-size state — same question, bounded memory."""
+    ev = _events(spark, sf)
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _daily_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only HLL twin of `daily_active_users`: per-day distinct
+    users estimated from Apache DataSketches HLL state
+    (`hll_sketch_agg`, lgConfigK=12 — JVM-side, mergeable). No DuckDB
+    oracle (sketch internals are engine-specific); anchored by the
+    exact twin plus profile-level tests: merge-of-partials ==
+    one-pass estimate (bit-identical sketch merge) and relative error
+    < 3% at 100k-distinct synthetic cardinality."""
+    ev = _events(spark, sf)
+    return (
+        profile.distinct_partials(ev, ["day"], "user_id",
+                                  pre=[F.to_date("ts").alias("day")])
+        .select(
+            "day",
+            F.hll_sketch_estimate("hll").cast("long").alias("approx_users"),
+        )
+        .orderBy("day")
+    )
+
+
 def _rolling_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Daily event value plus a 7-day trailing window (sum + avg) — the
     rolling-metric shape (ROWS BETWEEN 6 PRECEDING) on top of a daily
@@ -2542,6 +2753,57 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _event_pattern_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex CEP over per-user event sequences (r7): how many users
+    match each of three patterns funnels can't express — ordered
+    containment, strict adjacency (three clicks in a row), and
+    alternation. One user-keyed collect + codegen rlike; the oracle
+    rebuilds the same (ts, event_id)-ordered sequence string with
+    string_agg and RE2 regexes."""
+    ev = _events(spark, sf)
+    m = temporal.match_event_patterns(
+        ev,
+        {
+            "view_then_purchase": r"\bview\b.*\bpurchase\b",
+            "triple_click": r"\bclick click click\b",
+            "alt_then_purchase": r"\b(error|signup)\b.*\bpurchase\b",
+        },
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("view_then_purchase").cast("long")).alias(
+            "n_view_then_purchase"
+        ),
+        F.sum(F.col("triple_click").cast("long")).alias("n_triple_click"),
+        F.sum(F.col("alt_then_purchase").cast("long")).alias(
+            "n_alt_then_purchase"
+        ),
+    )
+
+
+def _semantic_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup over the embeddings table (r7): cluster-scoped semantic
+    dedup with the same deterministic 8-centroid set as
+    `kmeans_assign_stats`, reporting per-cluster survivor count plus
+    the exact survivor id-sum (pins membership, not just cardinality).
+    threshold=0.4 is the demo point for this near-uniform synthetic
+    corpus (its max within-cluster cosine is ~0.49); real embedding
+    corpora run 0.9+. Every step is SQL-expressible, so unlike the LSH
+    near-dup family this semantic path is fully oracle-checked."""
+    emb = _emb(spark, sf)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    kept = similarity.semantic_dedup(
+        emb, "vec_id", "embedding", cents, threshold=0.4
+    )
+    return kept.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("kept_id_sum"),
+    )
+
+
 # SQL fragments shared by quality/lang oracles (DuckDB dialect; 'g' flag =
 # replace-all to match Spark regexp_replace semantics).
 _D_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2597,9 +2859,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Last-driver-verified ledger: sections below are ordered oldest
     # first and labeled with the round each group was last driver-green.
+    # NOTE (r7): no CORRECTNESS_r06.json ever arrived from the driver,
+    # so the r6 window is labeled r6 on the assumption it ran; if r6
+    # artifacts never materialize, those entries are still covered by
+    # the full local scripts/check_correctness.py gate every round.
     return {
-        # ---- new in r6 (every new oracle entry is driver-verified the
-        # round it lands) ----
+        # ---- new in r7 (driver-verified the round they land) ----
+        "late_shipment_orders": _late_shipment_orders,
+        "disjunctive_revenue": _disjunctive_revenue,
+        "top_waiting_suppliers": _top_waiting_suppliers,
+        "idle_rich_customers": _idle_rich_customers,
+        "high_volume_suppliers": _high_volume_suppliers,
+        "returnflag_priority_counts": _returnflag_priority_counts,
+        "daily_active_users": _daily_active_users,
+        "semantic_dedup_stats": _semantic_dedup_stats,
+        "event_pattern_stats": _event_pattern_stats,
+        # ---- last driver-green r4 (the 17 entries past the r6 window
+        # boundary) — front of the r7 window per the rotation schedule --
+        "rolling_daily_revenue": _rolling_daily_revenue,
+        "doc_length_deciles": _doc_length_deciles,
+        "embedding_centroids": _embedding_centroids,
+        "embedding_quantize_stats": _embedding_quantize_stats,
+        "price_histogram": _price_histogram,
+        "nation_market_share": _nation_market_share,
+        "skewed_agg_totals": _skewed_agg_totals,
+        "source_capped_stats": _source_capped_stats,
+        "daily_gapfill": _daily_gapfill,
+        "pricing_grouping_sets": _pricing_grouping_sets,
+        "user_activity_similarity": _user_activity_similarity,
+        "skewed_join_totals": _skewed_join_totals,
+        "pii_redaction": _pii_redaction,
+        "top_terms": _top_terms,
+        "events_date_parts": _events_date_parts,
+        "events_daily_pivot": _events_daily_pivot,
+        "doc_fingerprint": _doc_fingerprints,
+        # ---- last driver-green r5; the 26 oldest fill the r7 window
+        # to 50 ----
+        "span_dedup": _span_dedup,
+        "span_decontaminate": _span_decontaminate,
+        "bm25_search": _bm25_search,
+        "hybrid_search": _hybrid_search,
+        "span_dedup_incremental": _span_dedup_incremental,
+        "source_mirror_overlap": _source_mirror_overlap,
+        "funnel_conversion": _funnel_conversion,
+        "cohort_retention": _cohort_retention,
+        "data_quality_checks": _data_quality_checks,
+        "scd2_order_status": _scd2_order_status,
+        "cdc_apply_snapshot": _cdc_apply_snapshot,
+        "fuzzy_customer_pairs": _fuzzy_customer_pairs,
+        "bm25_search_indexed": _bm25_search_indexed,
+        "pq_codes": _pq_codes,
+        "event_transitions": _event_transitions,
+        "events_value_outliers": _events_value_outliers,
+        "copurchase_lift": _copurchase_lift,
+        "priority_sample_orders": _priority_sample_orders,
+        "priority_sample_estimate": _priority_sample_estimate,
+        "copurchase_graph_stats": _copurchase_graph_stats,
+        "top_session_paths": _top_session_paths,
+        "price_trend_regression": _price_trend_regression,
+        "decontaminate_bloom": _decontaminate_bloom,
+        "token_stats": _token_stats,
+        # ==== 50-entry window boundary (r7) ====
+        # ---- last driver-green r5 (remainder — front of the r8
+        # window together with the oldest r6 entries) ----
+        "quality_scores": _quality,
+        "lang_id_counts": _lang_id_counts,
+        "corpus_stats": _corpus_stats,
+        "value_percentiles": _value_percentiles,
+        "events_by_type": _events_by_type,
+        "filter_city": lambda spark, sf: relational.filter_by_city(
+            _enriched(spark, sf), FILTER_CITY
+        ),
+        "avg_purchase_scalar": lambda spark, sf: relational.avg_purchase(
+            _enriched(spark, sf), FILTER_CITY
+        ),
+        "avg_purchase_by_city": lambda spark, sf: relational.avg_purchase_by_city(
+            _enriched(spark, sf)
+        ),
+        "sum_purchase_by_city": lambda spark, sf: relational.sum_purchase_by_city(
+            _enriched(spark, sf)
+        ),
+        "top_customers": lambda spark, sf: relational.top_n(
+            _tables(spark, sf, "customer")[0], 10, order_col="c_custkey"
+        ),
+        "corpus_clean_stats": _corpus_clean_stats,
+        "train_test_split_stats": _train_test_split_stats,
+        "events_json_extract": _events_json_extract,
+        "top_orders_per_city": _top_orders_per_city,
+        "documents_profile": _documents_profile,
+        "lineitem_numeric_summary": _lineitem_numeric_summary,
+        "pricing_rollup": _pricing_rollup,
+        "pricing_cube": _pricing_cube,
+        "clickers_not_buyers": _clickers_not_buyers,
+        "clickers_and_buyers": _clickers_and_buyers,
+        "embedding_array_stats": _embedding_array_stats,
+        "events_props_map": _events_props_map,
+        "customer_name_features": _customer_name_features,
+        "customers_without_orders": _customers_without_orders,
+        "customers_with_orders": _customers_with_orders,
+        "segments_above_avg": _segments_above_avg,
+        # ---- last driver-green r6 (the r6 window, in r6 order) ----
         "fuzzy_pairs_depth2_stats": _fuzzy_pairs_depth2_stats,
         "brand_yearly_revenue": _brand_yearly_revenue,
         "promo_revenue_share": _promo_revenue_share,
@@ -2657,88 +3016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": _large_orders,
         "nation_trade_flows": _nation_trade_flows,
         "kmeans_assign_stats": _kmeans_assign_stats,
-        # ==== 50-entry window boundary (r6) ====
-        # positions 51+ to segments_above_avg: the remaining r4-green
-        # entries — front of the r7 window per the rotation schedule
-        "rolling_daily_revenue": _rolling_daily_revenue,
-        "doc_length_deciles": _doc_length_deciles,
-        "embedding_centroids": _embedding_centroids,
-        "embedding_quantize_stats": _embedding_quantize_stats,
-        "price_histogram": _price_histogram,
-        "nation_market_share": _nation_market_share,
-        "skewed_agg_totals": _skewed_agg_totals,
-        "source_capped_stats": _source_capped_stats,
-        "daily_gapfill": _daily_gapfill,
-        "pricing_grouping_sets": _pricing_grouping_sets,
-        "user_activity_similarity": _user_activity_similarity,
-        "skewed_join_totals": _skewed_join_totals,
-        "pii_redaction": _pii_redaction,
-        "top_terms": _top_terms,
-        "events_date_parts": _events_date_parts,
-        "events_daily_pivot": _events_daily_pivot,
-        "doc_fingerprint": _doc_fingerprints,
-        # ---- driver-green r5 (the r5 window: 23 new-in-r5 + 27
-        # r4-unseen) — rotate back in over r7/r8 ----
-        "span_dedup": _span_dedup,
-        "span_decontaminate": _span_decontaminate,
-        "bm25_search": _bm25_search,
-        "hybrid_search": _hybrid_search,
-        "span_dedup_incremental": _span_dedup_incremental,
-        "source_mirror_overlap": _source_mirror_overlap,
-        "funnel_conversion": _funnel_conversion,
-        "cohort_retention": _cohort_retention,
-        "data_quality_checks": _data_quality_checks,
-        "scd2_order_status": _scd2_order_status,
-        "cdc_apply_snapshot": _cdc_apply_snapshot,
-        "fuzzy_customer_pairs": _fuzzy_customer_pairs,
-        "bm25_search_indexed": _bm25_search_indexed,
-        "pq_codes": _pq_codes,
-        "event_transitions": _event_transitions,
-        "events_value_outliers": _events_value_outliers,
-        "copurchase_lift": _copurchase_lift,
-        "priority_sample_orders": _priority_sample_orders,
-        "priority_sample_estimate": _priority_sample_estimate,
-        "copurchase_graph_stats": _copurchase_graph_stats,
-        "top_session_paths": _top_session_paths,
-        "price_trend_regression": _price_trend_regression,
-        "decontaminate_bloom": _decontaminate_bloom,
-        "token_stats": _token_stats,
-        "quality_scores": _quality,
-        "lang_id_counts": _lang_id_counts,
-        "corpus_stats": _corpus_stats,
-        "value_percentiles": _value_percentiles,
-        "events_by_type": _events_by_type,
-        "filter_city": lambda spark, sf: relational.filter_by_city(
-            _enriched(spark, sf), FILTER_CITY
-        ),
-        "avg_purchase_scalar": lambda spark, sf: relational.avg_purchase(
-            _enriched(spark, sf), FILTER_CITY
-        ),
-        "avg_purchase_by_city": lambda spark, sf: relational.avg_purchase_by_city(
-            _enriched(spark, sf)
-        ),
-        "sum_purchase_by_city": lambda spark, sf: relational.sum_purchase_by_city(
-            _enriched(spark, sf)
-        ),
-        "top_customers": lambda spark, sf: relational.top_n(
-            _tables(spark, sf, "customer")[0], 10, order_col="c_custkey"
-        ),
-        "corpus_clean_stats": _corpus_clean_stats,
-        "train_test_split_stats": _train_test_split_stats,
-        "events_json_extract": _events_json_extract,
-        "top_orders_per_city": _top_orders_per_city,
-        "documents_profile": _documents_profile,
-        "lineitem_numeric_summary": _lineitem_numeric_summary,
-        "pricing_rollup": _pricing_rollup,
-        "pricing_cube": _pricing_cube,
-        "clickers_not_buyers": _clickers_not_buyers,
-        "clickers_and_buyers": _clickers_and_buyers,
-        "embedding_array_stats": _embedding_array_stats,
-        "events_props_map": _events_props_map,
-        "customer_name_features": _customer_name_features,
-        "customers_without_orders": _customers_without_orders,
-        "customers_with_orders": _customers_with_orders,
-        "segments_above_avg": _segments_above_avg,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes, and the
         # zlib kernel (no DuckDB deflate)
@@ -2778,6 +3055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PageRank (r6): iterated double arithmetic — numpy-parity,
         # closed-form, mass-conservation and invariance anchors in tests
         "item_pagerank": _item_pagerank,
+        # HLL sketch estimates (r7): DataSketches binary state has no
+        # DuckDB twin — anchored by the exact `daily_active_users`
+        # oracle entry + merge/error tests in tests/test_profile.py
+        "daily_active_users_hll": _daily_active_users_hll,
     }
 
 
@@ -4190,6 +4471,113 @@ def oracle_sql() -> dict[str, str]:
             JOIN big b ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
         """,
+        "late_shipment_orders": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 5 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "top_waiting_suppliers": """
+            SELECT s.s_name,
+                   CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+            FROM lineitem l1
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
+        """,
+        "idle_rich_customers": """
+            WITH ab AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+              FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                       AS totacctbal
+            FROM customer c, ab
+            WHERE c.c_acctbal > ab.avg_bal
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000.0)
+            GROUP BY 1
+        """,
+        "high_volume_suppliers": """
+            WITH qty AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         AS total_qty
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'large%'
+              GROUP BY l_suppkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     > 2000.0
+            )
+            SELECT s.s_suppkey, s.s_name, q.total_qty
+            FROM supplier s JOIN qty q ON s.s_suppkey = q.l_suppkey
+        """,
+        "returnflag_priority_counts": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                         ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                         ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l_returnflag IN ('R', 'A')
+            GROUP BY l_returnflag
+        """,
+        "event_pattern_stats": r"""
+            WITH seq AS (
+              SELECT user_id,
+                     string_agg(event_type, ' ' ORDER BY ts, event_id) AS s
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN regexp_matches(s,
+                        '\bview\b.*\bpurchase\b') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view_then_purchase,
+                   CAST(SUM(CASE WHEN regexp_matches(s,
+                        '\bclick click click\b') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_triple_click,
+                   CAST(SUM(CASE WHEN regexp_matches(s,
+                        '\b(error|signup)\b.*\bpurchase\b') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alt_then_purchase
+            FROM seq
+        """,
+        "daily_active_users": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        """,
         # DuckDB EXTRACT(dow) is 0-based Sunday; Spark dayofweek is
         # 1-based Sunday — entries below are Spark d=1..7 as dow=0..6.
         "user_activity_similarity": """
@@ -4421,6 +4809,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS avg_cos
             FROM best GROUP BY cid
+        """,
+        "semantic_dedup_stats": """
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, c.cid,
+                       list_aggregate(list_transform(
+                           list_zip(e.embedding::DOUBLE[], c.cv),
+                           x -> x[1] * x[2]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(
+                              list_zip(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[]),
+                              x -> x[1] * x[2]), 'sum'))
+                          * sqrt(list_aggregate(list_transform(
+                              list_zip(c.cv, c.cv),
+                              x -> x[1] * x[2]), 'sum'))) AS score
+                FROM embeddings e CROSS JOIN cents c
+            ), best AS (
+                SELECT vec_id, cid, score FROM scored
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cid ASC) = 1
+            ), normed AS (
+                -- unit vectors, normalized ONCE like the Spark plan:
+                -- each element divides by the same left-fold norm, so
+                -- the pair dot below is bit-identical across engines
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           y -> y / sqrt(list_aggregate(list_transform(
+                               list_zip(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]),
+                               x -> x[1] * x[2]), 'sum'))) AS nv
+                FROM embeddings
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.score AS sa, b.score AS sb
+                FROM best a
+                JOIN best b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                JOIN normed na ON na.vec_id = a.vec_id
+                JOIN normed nb ON nb.vec_id = b.vec_id
+                WHERE list_aggregate(list_transform(
+                          list_zip(na.nv, nb.nv),
+                          x -> x[1] * x[2]), 'sum') >= 0.4
+            ), losers AS (
+                SELECT DISTINCT CASE WHEN sa >= sb THEN id_b ELSE id_a END
+                    AS vec_id
+                FROM pairs
+            )
+            SELECT CAST(cid AS BIGINT) AS cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+            FROM best
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+            GROUP BY cid
         """,
         "dedup_jaccard_exact": r"""
             WITH sets AS (

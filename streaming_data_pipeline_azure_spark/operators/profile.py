@@ -248,6 +248,59 @@ def score_cms_partials(
     )
 
 
+def distinct_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    *,
+    lgk: int = 12,
+    pre: list | None = None,
+) -> DataFrame:
+    """Per-group mergeable distinct-count state: one Apache DataSketches
+    HLL sketch (``hll_sketch_agg``, JVM-side, 2^lgk registers ≈ 4 KB at
+    the default lgk=12) per group, as a ``binary`` column ``hll``.
+
+    This is the HLL member of the mergeable-state family next to the CMS
+    partials above and ``IncrementalAgg``'s decimal partials: partials
+    taken over ANY partition of the input rows merge (``hll_union_agg``)
+    to the IDENTICAL sketch a single pass produces — the property that
+    lets a streaming ingest persist per-micro-batch rows and a reader
+    serve estimates without rescanning history (tested bit-level in
+    tests/test_profile.py). Estimates carry the standard HLL relative
+    standard error ~1.04/sqrt(2^lgk) (~1.6% at lgk=12).
+
+    ``pre`` optionally lists projection expressions evaluated before
+    grouping (e.g. ``F.to_date('ts').alias('day')``) so derived group
+    keys stay inside the one scan."""
+    src = df.select(*pre, col) if pre else df
+    return src.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias("hll")
+    )
+
+
+def merge_distinct_partials(
+    partials: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge :func:`distinct_partials` rows across batch boundaries —
+    ``hll_union_agg`` per group; commutative/associative, so any merge
+    tree yields the same sketch. Returns the same (group_cols…, hll)
+    shape, ready for further merges or ``estimate_distinct``."""
+    return partials.groupBy(*group_cols).agg(
+        F.hll_union_agg("hll").alias("hll")
+    )
+
+
+def estimate_distinct(
+    partials: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Finalize merged partials to per-group approx distinct counts
+    (``n_distinct_approx``, long)."""
+    return merge_distinct_partials(partials, group_cols).select(
+        *group_cols,
+        F.hll_sketch_estimate("hll").cast("long").alias("n_distinct_approx"),
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     group_col: str,

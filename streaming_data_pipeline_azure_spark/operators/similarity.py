@@ -298,6 +298,114 @@ def allpairs_cosine_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are clustered, and pairwise cosine
+    runs only WITHIN each cluster — the trick that turns quadratic
+    semantic dedup into a sum of bounded |cluster|² blocks. A document
+    is dropped when some same-cluster neighbor with cosine >=
+    ``threshold`` is a better cluster representative (higher
+    cosine-to-centroid; ties keep the smaller id) — so the member of
+    every duplicate set closest to its centroid always survives, and
+    the rule is deterministic and partition-invariant.
+
+    Entirely codegen: nearest-centroid assignment is the no-shuffle
+    expression from :func:`assign_fixed_centroids`; candidate pairs
+    come from equi-joins only (never a cross join — plan-tested); the
+    pair filter is a unit-vector dot-product fold, bit-identical to
+    the SQL oracle. Two plan choices keep the quadratic stage cheap:
+    vectors normalize ONCE before pairing (a pair costs one fold, not
+    a fold plus two norms), and the self-join key is
+    ``(cluster_id, block)`` — the probe side replicates across
+    ``n_blocks`` hash blocks of the build side, so a k-cluster corpus
+    runs k x n_blocks parallel tasks instead of k (each unordered pair
+    still meets exactly once: x joins the block that owns y).
+    Scale: pair volume is sum(|cluster|²)/2 — at 100 TB you size the
+    centroid count so clusters stay ~10-100k docs (SemDeDup itself
+    uses k=100k clusters on LAION); for degenerate clusters the BLAS
+    block kernel of :func:`allpairs_cosine_pairs` applied per cluster
+    is the escape hatch. Returns surviving (id_col, cluster_id, score)
+    rows; semi-join on id to recover full payloads.
+    """
+    from streaming_data_pipeline_azure_spark.functions.vector import norm
+
+    n_blocks = 16
+    raw = assign_fixed_centroids(df, vec_col, centroids).select(
+        F.col(id_col).cast("long").alias(id_col),
+        to_double_array(F.col(vec_col)).alias("__v"),
+        "cluster_id",
+        "score",
+    )
+    nrm = norm(F.col("__v"))
+    assigned = raw.select(
+        id_col,
+        "cluster_id",
+        "score",
+        F.when(nrm > 0, F.transform(F.col("__v"), lambda x: x / nrm))
+        .otherwise(F.col("__v"))
+        .alias("__u"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__u").alias("__ua"),
+        "cluster_id",
+        F.col("score").alias("score_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__blk"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__u").alias("__ub"),
+        F.col("cluster_id").alias("__cb"),
+        F.col("score").alias("score_b"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blkb"),
+    )
+    # explicit-N repartition on the join keys: the pair stage is
+    # COMPUTE-bound on tiny input bytes, so AQE's byte-targeted
+    # coalescing would happily fuse it to one task; a user-specified
+    # partition count is exempt from coalescing and co-partitions both
+    # sides (no extra exchange)
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    a = a.repartition(n_part, "cluster_id", "__blk")
+    b = b.repartition(n_part, "__cb", "__blkb")
+    pairs = a.join(
+        b,
+        (a.cluster_id == b.__cb)
+        & (F.col("__blk") == F.col("__blkb"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).filter(
+        F.aggregate(
+            F.zip_with(F.col("__ua"), F.col("__ub"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        >= F.lit(float(threshold))
+    )
+    # pair loser = the worse representative (id_a < id_b here, so an
+    # exact score tie keeps id_a); a doc is dropped iff it loses ANY
+    # pair, i.e. some better neighbor duplicates it
+    losers = pairs.select(
+        F.when(
+            (F.col("score_a") > F.col("score_b"))
+            | (F.col("score_a") == F.col("score_b")),
+            F.col("id_b"),
+        )
+        .otherwise(F.col("id_a"))
+        .alias(id_col)
+    ).distinct()
+    return assigned.join(losers, id_col, "left_anti").select(
+        id_col, "cluster_id", "score"
+    )
+
+
 def _collect_bounded(df: DataFrame, max_rows: int, what: str, hint: str):
     """Driver-collect a frame whose small size is a CONTRACT, enforcing
     the contract at runtime (VERDICT r4 #2): the collect itself is capped

@@ -160,6 +160,58 @@ def top_n_per_group(
     )
 
 
+def match_event_patterns(
+    events: DataFrame,
+    patterns: dict[str, str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Regex CEP over per-key event sequences — the MATCH_RECOGNIZE /
+    ClickHouse-``sequenceMatch`` capability :func:`funnel_steps` cannot
+    express: alternation ("error OR timeout, then signup"), adjacency
+    ("three clicks in a row"), and Kleene repetition, as ordinary
+    regular expressions over each key's time-ordered event-type string.
+
+    Each key's events sort by (ts, *tiebreak_cols) — a TOTAL order, so
+    the sequence string is a pure function of the data — and their
+    types join with single spaces; every ``patterns`` entry becomes a
+    boolean ``rlike`` column (write word-boundary regexes like
+    ``r"\\bview\\b.*\\bpurchase\\b"``; adjacency = explicit spaces:
+    ``r"\\bclick click click\\b"``).
+
+    Plan: ONE shuffle on the key for the ``collect_list`` aggregate
+    (map-side partial collect), then sort + join + regex are all
+    row-local codegen — no self-joins, no windows over the raw stream,
+    no Python. Per-key state is that key's event count (same skew
+    profile as sessionization; a 100 TB deploy bounds it upstream with
+    ``sampling.cap_per_group``). Returns one row per key:
+    (user_col, n_events, <name> boolean per pattern)."""
+    if not patterns:
+        raise ValueError("patterns must name at least one regex")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("__ts"),
+                *[F.col(c).alias(f"__tb{i}") for i, c in
+                  enumerate(tiebreak_cols)],
+                F.col(type_col).alias("__t"),
+            )
+        )
+    )
+    g = events.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"), arr.alias("__arr")
+    )
+    seq = F.array_join(F.transform(F.col("__arr"), lambda x: x["__t"]), " ")
+    return g.select(
+        user_col,
+        "n_events",
+        *[seq.rlike(p).alias(name) for name, p in patterns.items()],
+    )
+
+
 def funnel_steps(
     events: DataFrame,
     steps: list[str],

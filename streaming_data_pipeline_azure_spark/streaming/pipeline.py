@@ -286,6 +286,64 @@ def build_cms_ingest_query(
     return writer.start()
 
 
+def build_hll_ingest_query(
+    value_stream: DataFrame,
+    group_cols: list[str],
+    col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    lgk: int = 12,
+    pre: list | None = None,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming distinct-count state (r7): each micro-batch folds its
+    per-group HLL sketches into a persisted state store, so "distinct
+    users per day so far" is servable at any time without reprocessing
+    history — the DISTINCT member of the streaming sketch family next
+    to :func:`build_cms_ingest_query` (frequency).
+
+    Replay-idempotence, same contract as the other ingests: batch N's
+    partials land at ``state_path/batch_id=N`` with OVERWRITE. HLL
+    register updates are max-merges (idempotent per element), but a
+    replayed batch could otherwise APPEND duplicate partial rows —
+    the per-batch partition is the replay boundary. State grows
+    O(batches x groups) ~4 KB rows; read with
+    :func:`read_distinct_counts`, whose ``hll_union_agg`` merge is
+    bit-identical to a single pass over the union (tested)."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        distinct_partials,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        distinct_partials(
+            batch_df, group_cols, col, lgk=lgk, pre=pre
+        ).write.mode("overwrite").parquet(f"{state_path}/batch_id={batch_id}")
+
+    writer = (
+        value_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_distinct_counts(
+    spark, state_path: str, group_cols: list[str]
+) -> DataFrame:
+    """Serve the streaming HLL state: union every batch's per-group
+    sketches and estimate — (group_cols…, n_distinct_approx). The
+    merge runs distributed (one small shuffle over O(batches x groups)
+    sketch rows); nothing collects to the driver."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        estimate_distinct,
+    )
+
+    return estimate_distinct(spark.read.parquet(state_path), group_cols)
+
+
 def read_heavy_hitters(
     spark,
     state_path: str,

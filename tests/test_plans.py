@@ -506,3 +506,83 @@ def test_gram_index_scrub_shuffles_delta_not_corpus(spark, tmp_path):
         totals[n] = sum(m["bytes"] for m in metrics)
     assert totals[100] < 100_000, totals       # delta-sized, absolutely
     assert totals[400] <= max(totals[100] * 1.5, 10_000), totals
+
+
+def test_disjunctive_predicate_pushes_part_side_to_scan(spark, sf_dir):
+    """Q19-shape (r7): the OR-of-ANDs predicate spans both join sides,
+    but every disjunct constrains p_brand/p_size — Catalyst must
+    extract that part-side OR and push it into the part parquet scan
+    (at 100 TB this prunes the build side before the broadcast), while
+    the mixed brand x quantity residual evaluates post-join."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["disjunctive_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    m = re.search(r"PushedFilters: \[([^\]]*p_brand[^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "Or" in pushed and "p_size" in pushed, pushed
+    # the quantity side of each disjunct cannot push to part; it must
+    # still gate the aggregate (post-join filter references l_quantity)
+    assert "l_quantity" in plan
+
+
+def test_late_shipment_exists_plans_as_semi_join(spark, sf_dir):
+    """Q4-shape (r7): the EXISTS-correlated subquery must execute as a
+    LEFT SEMI join (first-match early-out; the lineitem side never
+    fans out order rows), not as an aggregate-then-inner-join."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["late_shipment_orders"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_top_waiting_suppliers_shares_orderkey_exchange(spark, sf_dir):
+    """Q21-shape (r7): the semi and anti self-joins both hash lineitem
+    on l_orderkey; the supplier lookup must broadcast (never shuffle
+    the tiny dimension), and the top-10 must be TakeOrderedAndProject,
+    not a global sort."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["top_waiting_suppliers"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semantic_dedup_shuffles_rows_not_pairs(spark):
+    """SemDeDup's pair volume is sum(|cluster|²)/2, but nothing
+    quadratic may ever cross the wire: the cluster-scoped self-join
+    shuffles each vector row O(1) times (both join legs + the loser
+    distinct + the anti-join), so total shuffled RECORDS stay linear
+    in n while candidate pairs grow ~n². Verified by metrics at two
+    sizes: 4x rows → ~4x shuffled records (not 16x)."""
+    from streaming_data_pipeline_azure_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+
+    def run(n):
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 2).cast("double"),
+                ((F.col("id") + 1) % 2).cast("double"),
+                (F.col("id") % 97).cast("double") / 1000.0,
+            ).alias("embedding"),
+        ).repartition(8)
+        kept = semantic_dedup(df, "vec_id", "embedding", cents,
+                              threshold=0.999)
+        return sum(m["records"] for m in shuffle_write_metrics(kept))
+
+    small, big = run(500), run(2000)
+    assert small > 0
+    # linear growth band: 4x input → between 2x and 7x shuffled records
+    # (never anywhere near the 16x a pair-shuffling plan would show)
+    assert 2 * small <= big <= 7 * small, (small, big)

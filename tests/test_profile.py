@@ -169,3 +169,67 @@ def test_robust_outliers_approx_path_agrees(spark):
     ).collect()[0]
     assert exact["n_outliers"] == approx["n_outliers"] == 2
     assert approx["n"] == 1002
+
+
+def test_distinct_partials_merge_bit_identical_to_one_pass(spark):
+    """HLL partials taken over any grouping of the rows must union to
+    the bit-identical sketch a single pass produces (the mergeability
+    contract the streaming ingest relies on), and the estimate must be
+    exact at low cardinality (sparse mode)."""
+    df = spark.range(100_000).select(
+        (F.col("id") % 57_123).cast("string").alias("v"),
+        (F.col("id") % 4).alias("slice"),
+    )
+    one = (
+        df.agg(F.hll_sketch_agg("v", F.lit(12)).alias("hll"))
+        .select(F.hll_sketch_estimate("hll").alias("est"), "hll")
+        .collect()[0]
+    )
+    merged = (
+        profile.merge_distinct_partials(
+            profile.distinct_partials(
+                df.withColumn("g", F.lit(1)), ["g", "slice"], "v"
+            ).drop("slice"),
+            ["g"],
+        )
+        .select(F.hll_sketch_estimate("hll").alias("est"), "hll")
+        .collect()[0]
+    )
+    assert bytes(one["hll"]) == bytes(merged["hll"])
+    assert one["est"] == merged["est"]
+    # lgk=12 => RSE ~1.6%; assert a loose 5% band on the estimate
+    assert abs(one["est"] - 57_123) / 57_123 < 0.05
+
+    low = spark.range(1_000).select(
+        (F.col("id") % 150).cast("string").alias("v"), F.lit(1).alias("g")
+    )
+    est = profile.estimate_distinct(
+        profile.distinct_partials(low, ["g"], "v"), ["g"]
+    ).collect()[0]["n_distinct_approx"]
+    assert est == 150  # sparse-mode exact at low cardinality
+
+
+def test_estimate_distinct_per_group_and_pre_projection(spark):
+    """Per-group estimates with a derived group key built via ``pre``
+    stay inside one scan and match exact distinct counts at
+    low cardinality."""
+    df = spark.range(3_000).select(
+        F.col("id").alias("n"),
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") % 97).cast("string").alias("u"),
+    )
+    parts = profile.distinct_partials(
+        df, ["day"], "u", pre=[(F.col("k") * 10).alias("day"), F.col("u")]
+    )
+    got = {
+        r["day"]: r["n_distinct_approx"]
+        for r in profile.estimate_distinct(parts, ["day"]).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in df.select((F.col("k") * 10).alias("day"), "u")
+        .groupBy("day")
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    }
+    assert got == exact

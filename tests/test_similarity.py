@@ -983,3 +983,65 @@ def test_ivf_probe_allowed_id_set_filter(spark, tmp_path):
         ).collect()
     )
     assert batched == single
+
+
+def test_semantic_dedup_keeps_best_representative_per_dup_set(spark):
+    """SemDeDup contract: within a cluster, every duplicate set keeps
+    exactly its best representative (closest to centroid, ties to the
+    smaller id); singletons always survive; similar docs in DIFFERENT
+    clusters are never compared (cluster-scoped by design)."""
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+
+    def tilt(base, eps, dim=2):
+        v = list(base)
+        v[dim] = eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        # cluster 0: dup set {10, 11, 12} — 10 is closest to centroid
+        (10, tilt(c0, 0.01)),
+        (11, tilt(c0, 0.02)),
+        (12, tilt(c0, 0.03)),
+        # cluster 0: singleton far from the dup set but same cluster
+        (13, tilt(c0, 0.9, dim=3)),
+        # cluster 1: dup set {20, 21} — exact same vector: tie, keep 20
+        (20, tilt(c1, 0.01)),
+        (21, tilt(c1, 0.01)),
+        # cluster 1: near-copy of doc 10's DIRECTION but assigned to
+        # cluster 1? no — it sits near c1; just another singleton
+        (22, tilt(c1, 0.8, dim=3)),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    cents = [(0, c0), (1, c1)]
+    kept = sim.semantic_dedup(
+        df, "vec_id", "embedding", cents, threshold=0.99
+    )
+    got = {r["vec_id"]: r["cluster_id"] for r in kept.collect()}
+    assert set(got) == {10, 13, 20, 22}
+    assert got[10] == 0 and got[20] == 1
+
+    # partition invariance: same survivors from a different partitioning
+    kept2 = sim.semantic_dedup(
+        df.repartition(7), "vec_id", "embedding", cents, threshold=0.99
+    )
+    assert {r["vec_id"] for r in kept2.collect()} == set(got)
+
+
+def test_semantic_dedup_is_cluster_scoped_equi_join(spark):
+    """The candidate pair generation must be an equi-join on cluster_id
+    — never a cartesian product (the plan property the |cluster|² cost
+    bound depends on)."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    kept = sim.semantic_dedup(
+        df, "vec_id", "embedding", cents, threshold=0.9
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan

@@ -903,3 +903,76 @@ def test_streaming_cms_heavy_hitters_matches_batch(spark, tmp_path):
     run_to_completion(q2)
     again = [tuple(r) for r in read_heavy_hitters(spark, state, k=5).collect()]
     assert again == served
+
+
+def test_streaming_hll_distinct_matches_batch(spark, tmp_path):
+    """The streaming HLL state, fed in micro-batches, must serve the
+    SAME per-group distinct estimates as one batch pass over the union
+    (hll_union_agg merge is bit-identical — profile tests), and a
+    replayed batch must not perturb totals (overwrite partitions)."""
+    import json as _json
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        distinct_partials,
+        estimate_distinct,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_hll_ingest_query,
+        read_distinct_counts,
+    )
+
+    b1 = [{"day": "d1", "user": f"u{i}"} for i in range(120)] + [
+        {"day": "d2", "user": f"u{i}"} for i in range(40)
+    ]
+    b2 = [{"day": "d1", "user": f"u{i}"} for i in range(60, 180)] + [
+        {"day": "d2", "user": f"v{i}"} for i in range(25)
+    ]
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema("day string, user string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    state = str(tmp_path / "hll_state")
+    q = build_hll_ingest_query(
+        stream, ["day"], "user", state, str(tmp_path / "hll_ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+
+    served = {
+        r["day"]: r["n_distinct_approx"]
+        for r in read_distinct_counts(spark, state, ["day"]).collect()
+    }
+    union = spark.createDataFrame(
+        [(r["day"], r["user"]) for r in b1 + b2], "day string, user string"
+    )
+    direct = {
+        r["day"]: r["n_distinct_approx"]
+        for r in estimate_distinct(
+            distinct_partials(union, ["day"], "user"), ["day"]
+        ).collect()
+    }
+    assert served == direct
+    assert served == {"d1": 180, "d2": 65}  # sparse-mode exact here
+
+    # replay batch 0 (fresh checkpoint, same state dir) — idempotent
+    replay = (
+        spark.readStream.schema("day string, user string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q2 = build_hll_ingest_query(
+        replay, ["day"], "user", state, str(tmp_path / "hll_ckpt2"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    again = {
+        r["day"]: r["n_distinct_approx"]
+        for r in read_distinct_counts(spark, state, ["day"]).collect()
+    }
+    assert again == served

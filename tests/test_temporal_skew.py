@@ -399,3 +399,67 @@ def test_debounce_events_keeps_burst_heads(spark):
         ).collect()
     }
     assert kept == {1, 5, 6, 7, 8, 9}
+
+
+def test_match_event_patterns_semantics(spark):
+    """Planted per-user sequences pin the CEP semantics: ordered
+    containment respects time order (not row order), adjacency needs
+    strictly consecutive events, alternation matches either branch,
+    and word boundaries stop 'click' matching 'clicker'."""
+    from streaming_data_pipeline_azure_spark.operators import temporal
+
+    rows = [
+        # u1: view ... purchase (with noise) — containment matches;
+        # inserted out of row order to prove the ts sort governs
+        (3, "u1", "purchase"), (1, "u1", "view"), (2, "u1", "click"),
+        # u2: purchase BEFORE view — must NOT match containment
+        (1, "u2", "purchase"), (2, "u2", "view"),
+        # u3: three consecutive clicks
+        (1, "u3", "click"), (2, "u3", "click"), (3, "u3", "click"),
+        # u4: clicks separated by a view — adjacency must fail
+        (1, "u4", "click"), (2, "u4", "click"), (3, "u4", "view"),
+        (4, "u4", "click"),
+        # u5: 'clicker' type must not satisfy \bclick\b adjacency
+        (1, "u5", "clicker"), (2, "u5", "clicker"), (3, "u5", "clicker"),
+        # u6: error then purchase — alternation branch 1
+        (1, "u6", "error"), (2, "u6", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(float(t), u, ty, i) for i, (t, u, ty) in enumerate(rows)],
+        "tsec double, user_id string, event_type string, event_id long",
+    ).select(
+        F.timestamp_seconds("tsec").alias("ts"), "user_id", "event_type",
+        "event_id",
+    )
+    out = {
+        r["user_id"]: r
+        for r in temporal.match_event_patterns(
+            ev,
+            {
+                "vp": r"\bview\b.*\bpurchase\b",
+                "ccc": r"\bclick click click\b",
+                "alt": r"\b(error|signup)\b.*\bpurchase\b",
+            },
+        ).collect()
+    }
+    assert out["u1"]["vp"] and not out["u2"]["vp"]
+    assert out["u3"]["ccc"] and not out["u4"]["ccc"] and not out["u5"]["ccc"]
+    assert out["u6"]["alt"] and not out["u1"]["alt"]
+    assert out["u1"]["n_events"] == 3
+
+    # equal-ts rows: the event_id tiebreak makes the sequence (and so
+    # the match) partition-invariant
+    tie = spark.createDataFrame(
+        [(1.0, "t", "view", 1), (1.0, "t", "purchase", 2)],
+        "tsec double, user_id string, event_type string, event_id long",
+    ).select(F.timestamp_seconds("tsec").alias("ts"), "user_id",
+             "event_type", "event_id")
+    for parts in (1, 5):
+        got = temporal.match_event_patterns(
+            tie.repartition(parts), {"vp": r"\bview\b.*\bpurchase\b"}
+        ).collect()[0]
+        assert got["vp"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temporal.match_event_patterns(ev, {})
