@@ -2753,6 +2753,37 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _snapshot_diff_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed snapshot diff (r7): two deterministic synthetic snapshots
+    of orders (old drops keys ≡0 mod 10; new drops ≡1 mod 10 and bumps
+    the price of keys ≡0 mod 7) audited with
+    ``validate.diff_snapshots`` — per-status counts, key-sums (pins
+    membership) and changed-column totals, against a DuckDB FULL OUTER
+    JOIN oracle."""
+    orders = _tables(spark, sf, "orders")[0]
+    k = F.col("o_orderkey")
+    old = orders.filter(F.pmod(k, F.lit(10)) != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.pmod(k, F.lit(10)) != 1).select(
+        "o_orderkey",
+        F.when(
+            F.pmod(k, F.lit(7)) == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    d = validate.diff_snapshots(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.size("changed_cols")).alias("n_col_changes"),
+    )
+
+
 def _event_pattern_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Regex CEP over per-user event sequences (r7): how many users
     match each of three patterns funnels can't express — ordered
@@ -2874,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active_users": _daily_active_users,
         "semantic_dedup_stats": _semantic_dedup_stats,
         "event_pattern_stats": _event_pattern_stats,
+        "snapshot_diff_stats": _snapshot_diff_stats,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -2918,10 +2950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_session_paths": _top_session_paths,
         "price_trend_regression": _price_trend_regression,
         "decontaminate_bloom": _decontaminate_bloom,
-        "token_stats": _token_stats,
         # ==== 50-entry window boundary (r7) ====
         # ---- last driver-green r5 (remainder — front of the r8
         # window together with the oldest r6 entries) ----
+        "token_stats": _token_stats,
         "quality_scores": _quality,
         "lang_id_counts": _lang_id_counts,
         "corpus_stats": _corpus_stats,
@@ -4553,6 +4585,40 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
+        """,
+        "snapshot_diff_stats": """
+            WITH oldsnap AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 10 <> 0
+            ), newsnap AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 10 <> 1
+            ), d AS (
+              SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS k,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                          WHEN n.o_orderkey IS NULL THEN 'removed'
+                          WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            OR o.o_orderstatus IS DISTINCT FROM
+                               n.o_orderstatus THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     CASE WHEN o.o_orderkey IS NOT NULL
+                           AND n.o_orderkey IS NOT NULL THEN
+                       (CASE WHEN o.o_totalprice IS DISTINCT FROM
+                                  n.o_totalprice THEN 1 ELSE 0 END
+                        + CASE WHEN o.o_orderstatus IS DISTINCT FROM
+                                    n.o_orderstatus THEN 1 ELSE 0 END)
+                     ELSE 0 END AS ncc
+              FROM oldsnap o FULL OUTER JOIN newsnap n
+                ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS key_sum,
+                   CAST(SUM(ncc) AS BIGINT) AS n_col_changes
+            FROM d GROUP BY status
         """,
         "event_pattern_stats": r"""
             WITH seq AS (

@@ -111,3 +111,75 @@ def check_referential(
     if out is None:
         raise ValueError("check_referential needs at least one pair")
     return out
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff between two snapshots of the same table — the audit
+    primitive behind CDC validation, replication checks, and "what did
+    last night's pipeline change" reports (the batch counterpart of
+    :mod:`cdc`'s feed application; reference anchor: validating the
+    upsert sink's state against a rebuilt source, README.md:107-129).
+
+    One FULL OUTER equi-join on the key classifies every key as
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both
+    sides, some compared column differs null-safely) or ``unchanged``,
+    and lists the differing column names (``changed_cols``, ordered as
+    given). Scale: both snapshots shuffle once on the key — the same
+    single co-partitioning any MERGE pays; comparison is codegen
+    (null-safe struct equality per column, no Python); skewed keys are
+    impossible by construction (keys are unique per side, so the join
+    is 1:1).
+
+    ``compare_cols`` defaults to every shared non-key column."""
+    if not key_cols:
+        raise ValueError("diff_snapshots needs at least one key column")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                    F.lit(c),
+                )
+                for c in compare_cols
+            ]
+        )
+    ) if compare_cols else F.array().cast("array<string>")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k)
+            for k in key_cols
+        ],
+        status.alias("status"),
+        F.when(status == "changed", diffs)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )

@@ -106,19 +106,59 @@ class ParquetUpsertSink:
             self._resolved(spark.read.parquet(self.log_path(spark))), spark
         ).drop("batch_id")
 
+    def read_as_of(self, spark, batch_id: int) -> DataFrame:
+        """Time travel (r7): the table exactly as it stood after micro-
+        batch ``batch_id`` committed — versions and delete markers
+        stamped LATER are ignored, so replays, audits, and "what did
+        the model see at export N" questions answer from the same log
+        the live read uses (the Delta ``versionAsOf`` capability,
+        reconstructed from the batch_id partition column; reference
+        anchor: the Cosmos sink's per-document _ts versioning,
+        README.md:107-129).
+
+        Scan cost equals :meth:`read` with a ``batch_id <= N``
+        partition-pruned scan (the filter lands on the partition
+        column, so later batches are never read). Travel horizon:
+        :meth:`compact` rewrites survivors keeping their original
+        batch_id partitions, so snapshots at-or-after the last
+        compaction replay exactly; EARLIER snapshots would need
+        versions compaction already dropped — detected via the delete
+        markers (retained forever) and answered conservatively: a key
+        whose delete stamp is > ``batch_id`` but whose pre-delete
+        versions were compacted away simply stays absent (it was
+        absent in the live view the compaction preserved)."""
+        log = spark.read.parquet(self.log_path(spark)).filter(
+            F.col("batch_id") <= int(batch_id)
+        )
+        resolved = self._resolved(log)
+        d = self._deletes_frame(spark, as_of=batch_id)
+        if d is not None:
+            resolved = (
+                resolved.join(F.broadcast(d), self.key, "left")
+                .filter(
+                    F.col("__del_bid").isNull()
+                    | (F.col("batch_id") > F.col("__del_bid"))
+                )
+                .drop("__del_bid")
+            )
+        return resolved.drop("batch_id")
+
     # -- deletes -----------------------------------------------------------
 
-    def _deletes_frame(self, spark):
-        """(key, __del_bid) delete horizons, or None when none exist."""
+    def _deletes_frame(self, spark, as_of: int | None = None):
+        """(key, __del_bid) delete horizons, or None when none exist.
+        ``as_of`` restricts to markers stamped at or before that batch
+        (time-travel reads must not see later deletes)."""
         jvm = spark.sparkContext._jvm
         p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/deletes")
         fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if not fs.exists(p):
             return None
-        return (
-            spark.read.parquet(f"{self.path}/deletes")
-            .groupBy(self.key)
-            .agg(F.max("batch_id").alias("__del_bid"))
+        d = spark.read.parquet(f"{self.path}/deletes")
+        if as_of is not None:
+            d = d.filter(F.col("batch_id") <= int(as_of))
+        return d.groupBy(self.key).agg(
+            F.max("batch_id").alias("__del_bid")
         )
 
     def _visible(self, resolved: DataFrame, spark) -> DataFrame:

@@ -976,3 +976,46 @@ def test_streaming_hll_distinct_matches_batch(spark, tmp_path):
         for r in read_distinct_counts(spark, state, ["day"]).collect()
     }
     assert again == served
+
+
+def test_sink_read_as_of_time_travel(spark, tmp_path):
+    """read_as_of(N) must reproduce the table exactly as of batch N:
+    later upserts AND later delete markers are invisible; as_of at the
+    newest batch equals the live read; the batch_id filter prunes
+    later partitions from the scan; snapshots at-or-after the last
+    compaction still replay exactly after compact()."""
+    from pyspark.sql import functions as F
+
+    sink = ParquetUpsertSink(str(tmp_path / "tt_sink"), key="k")
+
+    def batch(batch_id, rows):
+        sink.write_batch(
+            spark.createDataFrame(rows, "k string, v int"), batch_id
+        )
+
+    batch(0, [("a", 1), ("b", 1)])
+    batch(1, [("a", 2), ("c", 2)])          # shadows a@0
+    sink.delete_keys(spark, ["b"], batch_id=2)
+    batch(3, [("b", 4)])                    # resurrects b after delete
+
+    def snap(n):
+        return {(r["k"], r["v"]) for r in sink.read_as_of(spark, n).collect()}
+
+    assert snap(0) == {("a", 1), ("b", 1)}
+    assert snap(1) == {("a", 2), ("b", 1), ("c", 2)}
+    assert snap(2) == {("a", 2), ("c", 2)}          # delete visible
+    assert snap(3) == {("a", 2), ("b", 4), ("c", 2)}  # resurrection
+    live = {(r["k"], r["v"]) for r in sink.read(spark).collect()}
+    assert snap(3) == live
+
+    # partition pruning: the as_of filter must land on the batch_id
+    # partition column of the log scan
+    plan = sink.read_as_of(spark, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "batch_id" in plan and "PartitionFilters" in plan, plan
+
+    # compaction preserves every snapshot at-or-after its horizon
+    sink.compact(spark)
+    assert snap(3) == live
+    # a@0 and b@1 were shadowed/deleted pre-compaction; snapshot 0 now
+    # conservatively shows only what survived (documented horizon)
+    assert snap(0) <= {("a", 1), ("b", 1)}

@@ -97,3 +97,46 @@ def test_check_referential_multiple_relations(spark):
         ).collect()
     }
     assert got == {"a": 1, "b": 0}
+
+
+def test_diff_snapshots_classifies_and_lists_changed_cols(spark):
+    """Planted snapshots pin the diff semantics: added/removed/changed/
+    unchanged classification, per-row changed-column lists in
+    compare_cols order, null-safe comparison (null->value and
+    value->null are changes; null->null is not), and the compare_cols
+    default (all shared non-key columns)."""
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        diff_snapshots,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, None), (3, 30, "z"), (4, None, "w")],
+        "k int, a int, b string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "x"),        # unchanged
+         (2, 21, None),       # a changed, b null==null unchanged
+         (4, None, None),     # b w->null changed, a null==null
+         (5, 50, "v")],       # added; 3 removed
+        "k int, a int, b string",
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in diff_snapshots(old, new, ["k"]).collect()
+    }
+    assert got[1] == ("unchanged", [])
+    assert got[2] == ("changed", ["a"])
+    assert got[3] == ("removed", [])
+    assert got[4] == ("changed", ["b"])
+    assert got[5] == ("added", [])
+
+    # explicit compare_cols restricts the comparison
+    got_b = {
+        r["k"]: r["status"]
+        for r in diff_snapshots(old, new, ["k"], ["b"]).collect()
+    }
+    assert got_b[2] == "unchanged"  # only a differs, and a is ignored
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        diff_snapshots(old, new, [])
