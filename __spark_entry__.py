@@ -2753,6 +2753,43 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _incremental_join_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (r7): the orders×customer
+    enrichment materialized by IncrementalJoinView — built from half of
+    each side, then refreshed with left-only and mixed deltas (the
+    ΔL⋈ΔR same-refresh corner included). History is never re-joined
+    (each refresh joins deltas against bucket-pruned state), and the
+    served multiset must equal the one-shot full join bit-for-bit —
+    which is exactly what the oracle runs
+    (operators/incremental.py:IncrementalJoinView)."""
+    from streaming_data_pipeline_azure_spark.operators.incremental import (
+        IncrementalJoinView,
+    )
+
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    lft = orders.select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    rgt = customer.select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    view = IncrementalJoinView(_fresh_index_dir("ijv_"), "custkey")
+    view.build(
+        lft.filter(F.col("o_orderkey") % 4 < 2),
+        rgt.filter(F.col("custkey") % 2 == 0),
+    )
+    view.refresh(delta_left=lft.filter(F.col("o_orderkey") % 4 == 2))
+    view.refresh(
+        delta_left=lft.filter(F.col("o_orderkey") % 4 == 3),
+        delta_right=rgt.filter(F.col("custkey") % 2 == 1),
+    )
+    return view.read(spark).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
 def _snapshot_diff_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Keyed snapshot diff (r7): two deterministic synthetic snapshots
     of orders (old drops keys ≡0 mod 10; new drops ≡1 mod 10 and bumps
@@ -2906,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_stats": _semantic_dedup_stats,
         "event_pattern_stats": _event_pattern_stats,
         "snapshot_diff_stats": _snapshot_diff_stats,
+        "incremental_join_stats": _incremental_join_stats,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -2949,8 +2987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_graph_stats": _copurchase_graph_stats,
         "top_session_paths": _top_session_paths,
         "price_trend_regression": _price_trend_regression,
-        "decontaminate_bloom": _decontaminate_bloom,
         # ==== 50-entry window boundary (r7) ====
+        "decontaminate_bloom": _decontaminate_bloom,
         # ---- last driver-green r5 (remainder — front of the r8
         # window together with the oldest r6 entries) ----
         "token_stats": _token_stats,
@@ -4585,6 +4623,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
+        """,
+        "incremental_join_stats": """
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                        AS DOUBLE) AS total_price,
+                   CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "snapshot_diff_stats": """
             WITH oldsnap AS (

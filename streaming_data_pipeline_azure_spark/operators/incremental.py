@@ -185,3 +185,165 @@ class IncrementalAgg:
         ).write.mode("overwrite").parquet(f"{self.path}/partials/gen={nxt}")
         self._gens.commit(spark, nxt)
         self._gens.gc_below(spark, keep=nxt)
+
+
+class IncrementalJoinView:
+    """Incrementally-maintained equi-JOIN view (r7) — the classic IVM
+    delta-join identity next to :class:`IncrementalAgg`'s mergeable
+    partials: for append-only inserts,
+
+        Δview = ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR
+
+    so a refresh joins only the deltas against state, never re-joins
+    history, and the view itself is append-only (the full-history
+    re-join is what this class exists to avoid).
+
+    State layout: both sides persist partitioned by a key-hash bucket
+    column ``__kb = pmod(xxhash64(key), n_buckets)``. A refresh reads
+    ONLY the state buckets the delta's keys hash into (partition
+    pruning on the directory column — the same probe-pruning story as
+    the MinHash/postings indexes, plan-tested), so a small delta
+    touches a small fraction of state on disk. The view output is
+    bucketed the same way for downstream pruning.
+
+    Contracts (same family as IncrementalAgg): deltas must be NOVEL
+    rows; inner equi-join on one key column; the two sides' non-key
+    column names must be disjoint (validated); a refresh is one
+    logical transaction — on a crash between the view append and the
+    state appends, rebuild(). Batched refreshes serve the IDENTICAL
+    multiset a one-shot join of the full inputs produces
+    (parity-tested)."""
+
+    def __init__(self, path: str, key: str, *, n_buckets: int = 64):
+        self.path = path
+        self.key = key
+        self.n_buckets = int(n_buckets)
+        self._params_verified = False
+
+    # ---- bookkeeping ----
+
+    def _check_params(self, spark) -> None:
+        if self._params_verified:
+            return
+        p = spark.read.json(f"{self.path}/params").collect()[0]
+        on_disk = (p["key"], int(p["n_buckets"]))
+        if on_disk != (self.key, self.n_buckets):
+            raise ValueError(
+                f"IncrementalJoinView params mismatch at {self.path}: view "
+                f"is {on_disk}, instance has {(self.key, self.n_buckets)}; "
+                f"reopen via IncrementalJoinView.load()"
+            )
+        self._params_verified = True
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IncrementalJoinView":
+        p = spark.read.json(f"{path}/params").collect()[0]
+        view = cls(path, p["key"], n_buckets=int(p["n_buckets"]))
+        view._params_verified = True
+        return view
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__kb",
+            F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)),
+        )
+
+    @staticmethod
+    def _validate_disjoint(left: DataFrame, right: DataFrame, key: str):
+        overlap = (set(left.columns) & set(right.columns)) - {key}
+        if overlap:
+            raise ValueError(
+                f"IncrementalJoinView needs disjoint non-key columns; "
+                f"both sides define {sorted(overlap)}"
+            )
+
+    # ---- write paths ----
+
+    def build(self, left: DataFrame, right: DataFrame) -> None:
+        """Initialize: persist both sides bucketed and materialize the
+        initial join (the only full-input join the view ever runs)."""
+        self._validate_disjoint(left, right, self.key)
+        spark = left.sparkSession
+        self._bucketed(left).write.mode("overwrite").partitionBy(
+            "__kb"
+        ).parquet(f"{self.path}/left")
+        self._bucketed(right).write.mode("overwrite").partitionBy(
+            "__kb"
+        ).parquet(f"{self.path}/right")
+        joined = self._bucketed(left.join(right, self.key))
+        joined.write.mode("overwrite").partitionBy("__kb").parquet(
+            f"{self.path}/view"
+        )
+        spark.createDataFrame(
+            [(self.key, self.n_buckets)], "key string, n_buckets long"
+        ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
+        self._params_verified = True
+
+    def _pruned_state(self, spark, side: str, delta: DataFrame) -> DataFrame:
+        """State rows in the buckets the delta's keys hash into — the
+        bucket list is ≤ n_buckets values (bounded collect), and the
+        IN-filter lands on the partition column, so unrelated buckets
+        are never read (plan-tested)."""
+        buckets = [
+            r["__kb"]
+            for r in self._bucketed(delta.select(self.key))
+            .select("__kb")
+            .distinct()
+            .collect()  # O(n_buckets) by construction
+        ]
+        state = spark.read.parquet(f"{self.path}/{side}")
+        if not buckets:
+            return state.filter(F.lit(False))
+        return state.filter(F.col("__kb").isin(buckets))
+
+    def refresh(
+        self,
+        delta_left: DataFrame | None = None,
+        delta_right: DataFrame | None = None,
+    ) -> None:
+        """Fold novel rows into both sides: Δview = ΔL ⋈ (R ∪ ΔR) ∪
+        L ⋈ ΔR, computed against bucket-pruned state scans; then the
+        deltas append to their side's state."""
+        if delta_left is None and delta_right is None:
+            return
+        spark = (
+            delta_left if delta_left is not None else delta_right
+        ).sparkSession
+        self._check_params(spark)
+        new_rows = None
+        if delta_left is not None:
+            r_old = self._pruned_state(spark, "right", delta_left).drop(
+                "__kb"
+            )
+            r_tot = (
+                r_old.unionByName(delta_right)
+                if delta_right is not None
+                else r_old
+            )
+            new_rows = delta_left.join(r_tot, self.key)
+        if delta_right is not None:
+            l_old = self._pruned_state(spark, "left", delta_right).drop(
+                "__kb"
+            )
+            lr = l_old.join(delta_right, self.key)
+            new_rows = lr if new_rows is None else new_rows.unionByName(lr)
+        if new_rows is None:
+            return
+        self._bucketed(new_rows).write.mode("append").partitionBy(
+            "__kb"
+        ).parquet(f"{self.path}/view")
+        if delta_left is not None:
+            self._bucketed(delta_left).write.mode("append").partitionBy(
+                "__kb"
+            ).parquet(f"{self.path}/left")
+        if delta_right is not None:
+            self._bucketed(delta_right).write.mode("append").partitionBy(
+                "__kb"
+            ).parquet(f"{self.path}/right")
+
+    # ---- read ----
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The materialized join view (bucket column dropped)."""
+        self._check_params(spark)
+        return spark.read.parquet(f"{self.path}/view").drop("__kb")

@@ -123,3 +123,76 @@ def test_pre_sumsq_layout_still_serves(spark, tmp_path):
     assert "var_value" not in served.columns
     got = {r["g"]: r["n"] for r in served.collect()}
     assert sum(got.values()) == 100
+
+
+def test_incremental_join_view_matches_one_shot_join(spark, tmp_path):
+    """Batched delta refreshes (left-only, right-only, both-sides) must
+    serve the IDENTICAL multiset a one-shot join of the full inputs
+    produces — including the ΔL⋈ΔR corner (same-refresh arrivals on
+    both sides must pair up)."""
+    from streaming_data_pipeline_azure_spark.operators.incremental import (
+        IncrementalJoinView,
+    )
+
+    L = [(k, f"l{k}_{i}") for k in range(20) for i in range(2)]
+    R = [(k, k * 10) for k in range(15)] + [(3, 999), (40, 1)]
+    left = spark.createDataFrame(L, "k long, lv string")
+    right = spark.createDataFrame(R, "k long, rv long")
+
+    view = IncrementalJoinView(str(tmp_path / "ijv"), "k")
+    view.build(
+        left.filter("k % 4 = 0"), right.filter("k % 3 = 0")
+    )
+    view.refresh(delta_left=left.filter("k % 4 = 1"))
+    view.refresh(delta_right=right.filter("k % 3 = 1"))
+    view.refresh(
+        delta_left=left.filter("k % 4 > 1"),
+        delta_right=right.filter("k % 3 = 2"),
+    )
+
+    got = sorted(tuple(r) for r in view.read(spark).collect())
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want and len(got) > 0
+
+    # reopen via load(), empty-delta refresh is a no-op
+    reopened = IncrementalJoinView.load(spark, str(tmp_path / "ijv"))
+    reopened.refresh()
+    assert sorted(tuple(r) for r in reopened.read(spark).collect()) == want
+
+
+def test_incremental_join_view_prunes_state_buckets(spark, tmp_path):
+    """A refresh must read only the state buckets the delta's keys hash
+    into: the state scan's plan carries a PartitionFilters entry on the
+    __kb directory column, and a one-key delta reads exactly one
+    bucket's rows."""
+    from streaming_data_pipeline_azure_spark.operators.incremental import (
+        IncrementalJoinView,
+    )
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    left = spark.createDataFrame(
+        [(k, f"l{k}") for k in range(200)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(k, k) for k in range(200)], "k long, rv long"
+    )
+    view = IncrementalJoinView(str(tmp_path / "ijv2"), "k", n_buckets=32)
+    view.build(left, right)
+
+    delta = spark.createDataFrame([(7, "new7")], "k long, lv string")
+    pruned = view._pruned_state(spark, "right", delta)
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan and "__kb" in plan, plan
+    rows = pruned.collect()
+    assert 0 < len(rows) < 200  # one bucket of 32, never the full state
+    assert {r["__kb"] for r in rows} == {rows[0]["__kb"]}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):  # overlapping non-key columns
+        IncrementalJoinView(str(tmp_path / "bad"), "k").build(
+            left, right.withColumnRenamed("rv", "lv")
+        )
+    with _pytest.raises(ValueError):  # params mismatch
+        IncrementalJoinView(str(tmp_path / "ijv2"), "other").read(spark)
