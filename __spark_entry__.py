@@ -2753,6 +2753,15 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lm_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained bigram LM scoring (r7): per-document mean
+    transition probability under the corpus' own add-0.5-smoothed
+    bigram model (operators/text.py:bigram_lm_scores). Probability
+    space + decimal accumulation keeps it value-hashable; the oracle
+    rebuilds the identical model in DuckDB."""
+    return tx.bigram_lm_scores(_docs(spark, sf))
+
+
 def _incremental_join_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Incrementally-maintained JOIN view (r7): the orders×customer
     enrichment materialized by IncrementalJoinView — built from half of
@@ -2944,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pattern_stats": _event_pattern_stats,
         "snapshot_diff_stats": _snapshot_diff_stats,
         "incremental_join_stats": _incremental_join_stats,
+        "lm_quality_scores": _lm_quality_scores,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -2986,8 +2996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_estimate": _priority_sample_estimate,
         "copurchase_graph_stats": _copurchase_graph_stats,
         "top_session_paths": _top_session_paths,
-        "price_trend_regression": _price_trend_regression,
         # ==== 50-entry window boundary (r7) ====
+        "price_trend_regression": _price_trend_regression,
         "decontaminate_bloom": _decontaminate_bloom,
         # ---- last driver-green r5 (remainder — front of the r8
         # window together with the oldest r6 entries) ----
@@ -4623,6 +4633,39 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
+        """,
+        "lm_quality_scores": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), pairs AS (
+              SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+                               FOR i IN range(1, len(toks))]) AS u
+                FROM norm WHERE len(toks) >= 2)
+            ), bc AS (
+              SELECT w1, w2, COUNT(*) AS bc FROM pairs GROUP BY w1, w2
+            ), cc AS (
+              SELECT w1, COUNT(*) AS cc FROM pairs GROUP BY w1
+            ), v AS (
+              SELECT COUNT(DISTINCT w2) AS v FROM pairs
+            )
+            SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions,
+                   CAST(SUM(CAST(
+                        (CAST(bc.bc AS DOUBLE) + 0.5)
+                        / (CAST(cc.cc AS DOUBLE) + 0.5 * v.v)
+                        AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_p
+            FROM pairs p
+            JOIN bc USING (w1, w2)
+            JOIN cc USING (w1)
+            CROSS JOIN v
+            GROUP BY p.doc_id
         """,
         "incremental_join_stats": """
             SELECT c.c_mktsegment,

@@ -258,3 +258,74 @@ def compression_stats(
         kernel,
         schema=f"{id_col} long, n_bytes long, n_compressed long, ratio double",
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality signal (r7): score
+    every document by the MEAN transition probability of its own token
+    bigrams under the corpus' add-k-smoothed bigram MLE — the
+    self-scoring construction behind perplexity-style quality filters
+    (train on the corpus, flag documents whose transitions the corpus
+    finds improbable: boilerplate scores high, token salad scores low).
+
+    Scores stay in PROBABILITY space, not log space, deliberately:
+    p = (bigram_count + k) / (context_count + k·V) is an exact integer
+    ratio in IEEE doubles and the per-doc mean accumulates in DECIMAL,
+    so the output is bit-identical across engines and partitionings —
+    a log-space variant differs by libm ulps per term and could never
+    be value-hashed (take log(avg_p)/−avg_p offline if a
+    perplexity-shaped number is wanted).
+
+    Plan: one scan explodes each doc's adjacent token pairs (slice +
+    arrays_zip — no self-join); bigram and context counts are two
+    map-side-combined aggregates of that same exploded frame; scoring
+    re-joins the pairs to the two count tables on their natural keys
+    (broadcast when the model is small, shuffle otherwise) and one
+    final groupBy(id) serves (doc_id, n_transitions, avg_p). Model
+    state is O(unique bigrams) — it lives in the dataflow, never on
+    the driver. Documents with <2 tokens are absent from the output
+    (they have no transitions)."""
+    toks = F.split(normalized_text(text_col), " ")
+    pairs = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
+                )
+            ).alias("__p"),
+        )
+        .select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    bigram_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__bc")
+    )
+    context_counts = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("__cc")
+    )
+    vocab = pairs.select("w2").distinct().count()
+    k = float(k_smoothing)
+    p = (F.col("__bc").cast("double") + F.lit(k)) / (
+        F.col("__cc").cast("double") + F.lit(k * vocab)
+    )
+    return (
+        pairs.join(bigram_counts, ["w1", "w2"])
+        .join(context_counts, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            (
+                F.sum(p.cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_p"),
+        )
+    )

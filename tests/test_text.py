@@ -145,3 +145,29 @@ def test_compression_stats_orders_by_redundancy(spark):
     assert out[5]["n_bytes"] == len("héllo wörld".encode("utf-8"))
     for r in out.values():
         assert r["n_compressed"] > 0
+
+
+def test_bigram_lm_scores_hand_computed_model(spark):
+    """Tiny corpus with a hand-computed add-0.5 bigram model pins the
+    semantics: bc(a,b)=3, bc(b,a)=1, cc(a)=3, cc(b)=1, V=2 =>
+    p(b|a)=0.875, p(a|b)=0.75; docs with <2 tokens are absent; scores
+    are partition-invariant (decimal accumulation)."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "  A  b "), ("d3", "x"), ("d4", "")],
+        "doc_id string, text string",
+    )
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: (r["n_transitions"], r["avg_p"])
+            for r in bigram_lm_scores(docs.repartition(parts)).collect()
+        }
+        assert set(got) == {"d1", "d2"}
+        # d1: (a,b) (b,a) (a,b) -> (0.875 + 0.75 + 0.875) / 3
+        assert got["d1"][0] == 3
+        assert abs(got["d1"][1] - 2.5 / 3) < 1e-12
+        # d2 normalizes "  A  b " -> "a b": one transition at p=0.875
+        assert got["d2"] == (1, 0.875)
