@@ -2782,7 +2782,9 @@ def _incremental_join_stats(spark: SparkSession, sf: str) -> DataFrame:
     rgt = customer.select(
         F.col("c_custkey").alias("custkey"), "c_mktsegment"
     )
-    view = IncrementalJoinView(_fresh_index_dir("ijv_"), "custkey")
+    view = IncrementalJoinView(
+        _fresh_index_dir("ijv_"), "custkey", n_buckets=16
+    )
     view.build(
         lft.filter(F.col("o_orderkey") % 4 < 2),
         rgt.filter(F.col("custkey") % 2 == 0),
