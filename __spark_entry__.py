@@ -2753,6 +2753,77 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _local_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (r7): revenue from lineitems whose SUPPLIER and
+    CUSTOMER share a nation — the five-way star join whose defining
+    twist is the cross-dimension equality (c_nationkey = s_nationkey)
+    that no single dimension join can express. lineitem drives; orders
+    co-partitions on the order key; customer/supplier/nation broadcast
+    and the same-nation filter evaluates post-join (it references two
+    broadcast sides). Decimal accumulation as everywhere."""
+    li = _lineitem(spark, sf)
+    orders, customer, supplier, nation = _tables(
+        spark, sf, "orders", "customer", "supplier", "nation"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == supplier.s_suppkey,
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.groupBy("n_name").agg(
+        _dec_sum(disc_price, "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _pii_audit_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table PII audit (r7): one row per (table, string column)
+    with total email/phone/IPv4/card pattern hits
+    (operators/profile.py:pii_audit — one scan per table, all columns
+    in one aggregate). Documents get the same deterministic PII plant
+    as `pii_redaction` so the counters provably fire; customer and
+    part scan raw (their name columns are pattern-free — the audit
+    proving a NEGATIVE is the compliance answer)."""
+    docs = _docs(spark, sf)
+    planted = docs.select(
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                "text", F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat("text", F.lit(" call +1 555-010-0000")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    customer, part = _tables(spark, sf, "customer", "part")
+    return profile.pii_audit(
+        {
+            "documents": planted,
+            "customer": customer.select("c_name", "c_mktsegment"),
+            "part": part.select("p_name", "p_brand", "p_type"),
+        }
+    )
+
+
 def _lm_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-trained bigram LM scoring (r7): per-document mean
     transition probability under the corpus' own add-0.5-smoothed
@@ -2883,6 +2954,47 @@ def _semantic_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pii_audit_oracle() -> str:
+    """UNION ALL of per-(table, column) counter aggregates mirroring
+    profile.pii_audit over the same planted/raw inputs — patterns are
+    the shared ASCII-explicit regexes (identical in Java regex and
+    RE2/DuckDB)."""
+    pats = {
+        "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "n_phones": r"\+?[0-9][0-9\- ]{7,}[0-9]",
+        "n_ips": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "n_cards": r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b|\b[0-9]{16}\b",
+    }
+    planted = """
+        SELECT CASE WHEN doc_id % 10 = 0
+                    THEN text || ' contact user' || doc_id || '@example.com'
+                    WHEN doc_id % 7 = 0
+                    THEN text || ' call +1 555-010-0000'
+                    ELSE text END AS text,
+               lang, source
+        FROM documents
+    """
+    sources = [
+        ("documents", f"({planted})", ["text", "lang", "source"]),
+        ("customer", "customer", ["c_name", "c_mktsegment"]),
+        ("part", "part", ["p_name", "p_brand", "p_type"]),
+    ]
+    parts = []
+    for tname, expr, cols in sources:
+        for c in cols:
+            counters = ", ".join(
+                f"CAST(SUM(len(regexp_extract_all({c}, '{p}'))) AS BIGINT)"
+                f" AS {alias}"
+                for alias, p in pats.items()
+            )
+            parts.append(
+                f"SELECT '{tname}' AS table_name, '{c}' AS column_name, "
+                f"CAST(COUNT(*) AS BIGINT) AS n_rows, {counters} "
+                f"FROM {expr}"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
 # SQL fragments shared by quality/lang oracles (DuckDB dialect; 'g' flag =
 # replace-all to match Spark regexp_replace semantics).
 _D_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2956,6 +3068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_stats": _snapshot_diff_stats,
         "incremental_join_stats": _incremental_join_stats,
         "lm_quality_scores": _lm_quality_scores,
+        "pii_audit_counts": _pii_audit_counts,
+        "local_supplier_revenue": _local_supplier_revenue,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -2996,9 +3110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_lift": _copurchase_lift,
         "priority_sample_orders": _priority_sample_orders,
         "priority_sample_estimate": _priority_sample_estimate,
+        # ==== 50-entry window boundary (r7) ====
         "copurchase_graph_stats": _copurchase_graph_stats,
         "top_session_paths": _top_session_paths,
-        # ==== 50-entry window boundary (r7) ====
         "price_trend_regression": _price_trend_regression,
         "decontaminate_bloom": _decontaminate_bloom,
         # ---- last driver-green r5 (remainder — front of the r8
@@ -4636,6 +4750,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
         """,
+        "local_supplier_revenue": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+        """,
+        "pii_audit_counts": _pii_audit_oracle(),
         "lm_quality_scores": r"""
             WITH norm AS (
               SELECT doc_id,

@@ -249,11 +249,13 @@ class IncrementalJoinView:
         view._params_verified = True
         return view
 
-    def _bucketed(self, df: DataFrame) -> DataFrame:
+    def _bucketed(self, df: DataFrame, batch: int = -1) -> DataFrame:
+        # __batch = -1 marks build/plain-batch rows; streaming refreshes
+        # stamp their micro-batch id (the replay-idempotence boundary)
         return df.withColumn(
             "__kb",
             F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)),
-        )
+        ).withColumn("__batch", F.lit(int(batch)))
 
     @staticmethod
     def _validate_disjoint(left: DataFrame, right: DataFrame, key: str):
@@ -272,13 +274,13 @@ class IncrementalJoinView:
         self._validate_disjoint(left, right, self.key)
         spark = left.sparkSession
         self._bucketed(left).write.mode("overwrite").partitionBy(
-            "__kb"
+            "__batch", "__kb"
         ).parquet(f"{self.path}/left")
         self._bucketed(right).write.mode("overwrite").partitionBy(
-            "__kb"
+            "__batch", "__kb"
         ).parquet(f"{self.path}/right")
         joined = self._bucketed(left.join(right, self.key))
-        joined.write.mode("overwrite").partitionBy("__kb").parquet(
+        joined.write.mode("overwrite").partitionBy("__batch", "__kb").parquet(
             f"{self.path}/view"
         )
         spark.createDataFrame(
@@ -286,11 +288,20 @@ class IncrementalJoinView:
         ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
         self._params_verified = True
 
-    def _pruned_state(self, spark, side: str, delta: DataFrame) -> DataFrame:
+    def _pruned_state(
+        self,
+        spark,
+        side: str,
+        delta: DataFrame,
+        before_batch: int | None = None,
+    ) -> DataFrame:
         """State rows in the buckets the delta's keys hash into — the
         bucket list is ≤ n_buckets values (bounded collect), and the
         IN-filter lands on the partition column, so unrelated buckets
-        are never read (plan-tested)."""
+        are never read (plan-tested). ``before_batch`` additionally
+        excludes rows stamped at-or-after that micro-batch, so a
+        REPLAYED batch joins against exactly the state its first
+        attempt saw."""
         buckets = [
             r["__kb"]
             for r in self._bucketed(delta.select(self.key))
@@ -299,6 +310,8 @@ class IncrementalJoinView:
             .collect()  # O(n_buckets) by construction
         ]
         state = spark.read.parquet(f"{self.path}/{side}")
+        if before_batch is not None:
+            state = state.filter(F.col("__batch") < int(before_batch))
         if not buckets:
             return state.filter(F.lit(False))
         return state.filter(F.col("__kb").isin(buckets))
@@ -307,21 +320,33 @@ class IncrementalJoinView:
         self,
         delta_left: DataFrame | None = None,
         delta_right: DataFrame | None = None,
+        *,
+        batch_id: int | None = None,
     ) -> None:
         """Fold novel rows into both sides: Δview = ΔL ⋈ (R ∪ ΔR) ∪
         L ⋈ ΔR, computed against bucket-pruned state scans; then the
-        deltas append to their side's state."""
+        deltas append to their side's state.
+
+        ``batch_id`` makes the refresh REPLAY-IDEMPOTENT for streaming
+        (same contract as the sink/CMS/HLL ingests): writes land at
+        overwrite ``__batch=<id>`` partitions, and state reads exclude
+        rows stamped at-or-after the batch — so a replayed micro-batch
+        (crash between write and checkpoint commit) rewrites identical
+        rows against identical state instead of double-appending.
+        Without it, writes are plain appends stamped ``__batch=-1``
+        (batch usage — replays are the caller's contract)."""
         if delta_left is None and delta_right is None:
             return
         spark = (
             delta_left if delta_left is not None else delta_right
         ).sparkSession
         self._check_params(spark)
+        stamp = -1 if batch_id is None else int(batch_id)
         new_rows = None
         if delta_left is not None:
-            r_old = self._pruned_state(spark, "right", delta_left).drop(
-                "__kb"
-            )
+            r_old = self._pruned_state(
+                spark, "right", delta_left, before_batch=batch_id
+            ).drop("__kb", "__batch")
             r_tot = (
                 r_old.unionByName(delta_right)
                 if delta_right is not None
@@ -329,28 +354,37 @@ class IncrementalJoinView:
             )
             new_rows = delta_left.join(r_tot, self.key)
         if delta_right is not None:
-            l_old = self._pruned_state(spark, "left", delta_right).drop(
-                "__kb"
-            )
+            l_old = self._pruned_state(
+                spark, "left", delta_right, before_batch=batch_id
+            ).drop("__kb", "__batch")
             lr = l_old.join(delta_right, self.key)
             new_rows = lr if new_rows is None else new_rows.unionByName(lr)
         if new_rows is None:
             return
-        self._bucketed(new_rows).write.mode("append").partitionBy(
-            "__kb"
-        ).parquet(f"{self.path}/view")
+
+        def write(df: DataFrame, dest: str) -> None:
+            w = self._bucketed(df, stamp).write.partitionBy(
+                "__batch", "__kb"
+            )
+            if batch_id is None:
+                w.mode("append").parquet(f"{self.path}/{dest}")
+            else:
+                # per-write dynamic mode, same reasoning as the sink
+                w.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).parquet(f"{self.path}/{dest}")
+
+        write(new_rows, "view")
         if delta_left is not None:
-            self._bucketed(delta_left).write.mode("append").partitionBy(
-                "__kb"
-            ).parquet(f"{self.path}/left")
+            write(delta_left, "left")
         if delta_right is not None:
-            self._bucketed(delta_right).write.mode("append").partitionBy(
-                "__kb"
-            ).parquet(f"{self.path}/right")
+            write(delta_right, "right")
 
     # ---- read ----
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """The materialized join view (bucket column dropped)."""
+        """The materialized join view (bookkeeping columns dropped)."""
         self._check_params(spark)
-        return spark.read.parquet(f"{self.path}/view").drop("__kb")
+        return spark.read.parquet(f"{self.path}/view").drop(
+            "__kb", "__batch"
+        )

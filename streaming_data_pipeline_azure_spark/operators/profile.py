@@ -409,3 +409,60 @@ def grouped_linreg(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def pii_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Governance sweep (r7): total email / phone / IPv4 / card-number
+    pattern hits per (table, column) across every string column of the
+    given tables — the "where does PII live" audit a takedown or
+    compliance review starts from (the redaction counterpart lives in
+    ``text.redact_pii_extended``; this finds, that scrubs).
+
+    One full scan per table computes ALL of its columns' counters in a
+    single aggregate (the :func:`profile_columns` shape — never one
+    job per column), the wide row unpivots to one row per column, and
+    the per-table frames union. Regex counting is codegen
+    (``regexp_extract_all`` with the shared ASCII-explicit patterns
+    from ``operators/text.py`` — identical semantics in RE2, so the
+    whole audit is SQL-oracle-checkable). Returns (table_name,
+    column_name, n_rows, n_emails, n_phones, n_ips, n_cards) sorted
+    by nothing — order-insensitive."""
+    from streaming_data_pipeline_azure_spark.operators import text as tx
+
+    counters = {
+        "n_emails": tx.count_emails,
+        "n_phones": tx.count_phones,
+        "n_ips": tx.count_ips,
+        "n_cards": tx.count_cards,
+    }
+    out = None
+    for tname, df in tables.items():
+        scols = [c for c, t in df.dtypes if t == "string"]
+        if not scols:
+            continue
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in scols:
+            for alias, fn in counters.items():
+                aggs.append(
+                    F.sum(fn(F.col(c))).cast("long").alias(f"__{alias}_{c}")
+                )
+        wide = df.agg(*aggs)
+        per_col = F.array(
+            *[
+                F.struct(
+                    F.lit(tname).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col("__n").alias("n_rows"),
+                    *[
+                        F.col(f"__{alias}_{c}").alias(alias)
+                        for alias in counters
+                    ],
+                )
+                for c in scols
+            ]
+        )
+        row = wide.select(F.explode(per_col).alias("p")).select("p.*")
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("pii_audit needs at least one table with string columns")
+    return out

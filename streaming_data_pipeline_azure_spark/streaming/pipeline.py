@@ -344,6 +344,39 @@ def read_distinct_counts(
     return estimate_distinct(spark.read.parquet(state_path), group_cols)
 
 
+def build_join_view_ingest_query(
+    left_stream: DataFrame,
+    view,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Stream-maintained JOIN view (r7): each micro-batch of left-side
+    rows folds into an ``IncrementalJoinView`` — the enriched view
+    stays queryable (``view.read``) without ever re-joining history,
+    the IVM member of the streaming-ingest family.
+
+    Replay-idempotence, same contract as the other ingests: the
+    refresh runs with ``batch_id=<micro-batch id>``, so its writes
+    land at overwrite ``__batch=N`` partitions and its state reads
+    exclude batch-N rows — a replayed micro-batch rewrites identical
+    view rows against identical state. ``view`` must be built
+    (``view.build``) before the stream starts."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        # stream batches re-use id 0.. ; build rows are stamped -1
+        view.refresh(delta_left=batch_df, batch_id=int(batch_id))
+
+    writer = (
+        left_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_heavy_hitters(
     spark,
     state_path: str,

@@ -1019,3 +1019,61 @@ def test_sink_read_as_of_time_travel(spark, tmp_path):
     # a@0 and b@1 were shadowed/deleted pre-compaction; snapshot 0 now
     # conservatively shows only what survived (documented horizon)
     assert snap(0) <= {("a", 1), ("b", 1)}
+
+
+def test_streaming_join_view_matches_batch_and_replays_cleanly(spark, tmp_path):
+    """The stream-maintained join view must equal the one-shot join of
+    everything that arrived, and replaying the stream's batches (fresh
+    checkpoint, same state) must leave the view EXACTLY unchanged —
+    batch-stamped overwrite partitions plus before-batch state reads
+    are the idempotence mechanism."""
+    import json as _json
+
+    from streaming_data_pipeline_azure_spark.operators.incremental import (
+        IncrementalJoinView,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_join_view_ingest_query,
+    )
+
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(10)], "k long, rv string"
+    )
+    seed_left = spark.createDataFrame(
+        [(1, "seed1"), (2, "seed2")], "k long, lv string"
+    )
+    view = IncrementalJoinView(str(tmp_path / "sjv"), "k", n_buckets=8)
+    view.build(seed_left, right)
+
+    b1 = [{"k": 3, "lv": "a3"}, {"k": 4, "lv": "a4"}]
+    b2 = [{"k": 3, "lv": "b3"}, {"k": 9, "lv": "b9"}, {"k": 99, "lv": "x"}]
+    src = tmp_path / "sjv_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema("k long, lv string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        return build_join_view_ingest_query(
+            stream, view, str(tmp_path / ckpt), trigger_available_now=True
+        )
+
+    run_to_completion(start("sjv_ckpt"))
+
+    all_left = seed_left.unionByName(
+        spark.createDataFrame(
+            [(r["k"], r["lv"]) for r in b1 + b2], "k long, lv string"
+        )
+    )
+    want = sorted(tuple(r) for r in all_left.join(right, "k").collect())
+    got = sorted(tuple(r) for r in view.read(spark).collect())
+    assert got == want and len(got) == 6  # k=99 unmatched, dropped
+
+    # full replay with a fresh checkpoint: identical view, no dupes
+    run_to_completion(start("sjv_ckpt2"))
+    again = sorted(tuple(r) for r in view.read(spark).collect())
+    assert again == want
