@@ -2753,6 +2753,25 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic decontamination (r7): the deterministic md5 5% of
+    embeddings plays the eval set; every training vector reports its
+    max cosine to any eval vector and whether it crosses 0.35 (the
+    demo threshold for this near-uniform corpus — real eval leakage
+    screens at 0.9+). Eval side broadcast into an
+    Arrow-batched kernel whose dim-ordered accumulation is
+    bit-identical to the SQL fold — no join
+    (operators/similarity.py:embedding_decontaminate); the oracle runs
+    the brute-force cross max."""
+    emb = _emb(spark, sf)
+    prefix = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8)
+    eval_df = emb.filter(prefix < _EVAL_THRESHOLD)
+    train_df = emb.filter(prefix >= _EVAL_THRESHOLD)
+    return similarity.embedding_decontaminate(
+        train_df, eval_df, threshold=0.35
+    )
+
+
 def _local_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape (r7): revenue from lineitems whose SUPPLIER and
     CUSTOMER share a nation — the five-way star join whose defining
@@ -3070,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_scores": _lm_quality_scores,
         "pii_audit_counts": _pii_audit_counts,
         "local_supplier_revenue": _local_supplier_revenue,
+        "embedding_decontaminate": _embedding_decontaminate,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3109,8 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": _events_value_outliers,
         "copurchase_lift": _copurchase_lift,
         "priority_sample_orders": _priority_sample_orders,
-        "priority_sample_estimate": _priority_sample_estimate,
         # ==== 50-entry window boundary (r7) ====
+        "priority_sample_estimate": _priority_sample_estimate,
         "copurchase_graph_stats": _copurchase_graph_stats,
         "top_session_paths": _top_session_paths,
         "price_trend_regression": _price_trend_regression,
@@ -4749,6 +4769,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
+        """,
+        "embedding_decontaminate": """
+            WITH tagged AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                           < '0ccccccc' AS is_eval
+                FROM embeddings
+            ), normed AS (
+                -- unit vectors via the same left-fold norm as Spark
+                SELECT vec_id, is_eval,
+                       list_transform(v,
+                           y -> y / sqrt(list_aggregate(list_transform(
+                               list_zip(v, v), x -> x[1] * x[2]), 'sum')))
+                           AS nv
+                FROM tagged
+            ), scored AS (
+                SELECT t.vec_id,
+                       MAX(list_aggregate(list_transform(
+                           list_zip(t.nv, e.nv), x -> x[1] * x[2]), 'sum'))
+                           AS max_eval_cos
+                FROM normed t CROSS JOIN normed e
+                WHERE NOT t.is_eval AND e.is_eval
+                GROUP BY t.vec_id
+            )
+            SELECT vec_id, max_eval_cos,
+                   max_eval_cos >= 0.35 AS contaminated
+            FROM scored
         """,
         "local_supplier_revenue": """
             SELECT n.n_name,

@@ -406,6 +406,94 @@ def semantic_dedup(
     )
 
 
+def embedding_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_eval: int = 4096,
+) -> DataFrame:
+    """SEMANTIC decontamination (r7) — the embedding member of the
+    decontamination family (n-gram overlap, Bloom-prefiltered, span
+    surgery): flag every corpus row whose embedding is within cosine
+    ``threshold`` of ANY eval-set embedding, catching paraphrased or
+    reformatted eval leakage that lexical n-grams miss.
+
+    The eval side is a bounded collect (≤ ``max_eval``, contract error
+    beyond — an eval set is small by definition), unit-normalized with
+    a sequential per-element fold, and broadcast into an Arrow-batched
+    ``mapInPandas`` kernel: per batch, one (rows × evals) score matrix
+    accumulated DIMENSION-BY-DIMENSION — the ``pq_encode_np``
+    construction, every add in the same left-to-right IEEE order as
+    the SQL oracle's list fold, so the result is BIT-IDENTICAL to the
+    expression formulation and the oracle hash-checks it directly.
+    (Two rejected formulations, measured at sf0.1: |eval| unrolled
+    cosine expressions are Janino-compile-bound at ~12.5 s, and a
+    nested-HOF ``transform``/``aggregate`` lambda is interpreted
+    per eval element at ~90 s; the vectorized kernel runs the same
+    arithmetic in well under a second.) No join of any kind; one
+    pass, embarrassingly parallel. For eval sets beyond the cap,
+    route through :func:`dedup.embedding_near_dup_pairs` over the
+    union instead (sign-LSH — recall <1 but scales to any eval size).
+
+    Returns every corpus row as (id_col, max_eval_cos, contaminated);
+    filter ``~contaminated`` for the clean set."""
+    import numpy as np
+
+    rows = _collect_bounded(
+        eval_df.select(vec_col),
+        max_eval,
+        "eval embeddings",
+        "semantic decontamination broadcasts the eval set into the "
+        "kernel; for larger eval sets use "
+        "dedup.embedding_near_dup_pairs over the union (sign-LSH)",
+    )
+    if not rows:
+        raise ValueError("embedding_decontaminate needs a non-empty eval set")
+    E = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+    s = np.zeros(len(E))
+    for d in range(E.shape[1]):  # sequential fold — matches SQL exactly
+        s += E[:, d] * E[:, d]
+    n = np.sqrt(s)
+    n[n == 0] = 1.0  # zero-norm eval rows stay raw (dots become 0)
+    E = E / n[:, None]
+    thr = float(threshold)
+    id_type = dict(df.dtypes)[id_col]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sx = np.zeros(len(X))
+            for d in range(X.shape[1]):
+                sx += X[:, d] * X[:, d]
+            nx = np.sqrt(sx)
+            nx[nx == 0] = 1.0
+            U = X / nx[:, None]
+            S = np.zeros((len(X), len(E)))
+            for d in range(X.shape[1]):  # dim-by-dim: the SQL fold order
+                S += U[:, d : d + 1] * E[None, :, d]
+            best = S.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "max_eval_cos": best,
+                    "contaminated": best >= thr,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} {id_type}, max_eval_cos double, "
+        "contaminated boolean",
+    )
+
+
 def _collect_bounded(df: DataFrame, max_rows: int, what: str, hint: str):
     """Driver-collect a frame whose small size is a CONTRACT, enforcing
     the contract at runtime (VERDICT r4 #2): the collect itself is capped

@@ -1045,3 +1045,37 @@ def test_semantic_dedup_is_cluster_scoped_equi_join(spark):
     )
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_embedding_decontaminate_flags_near_eval_vectors(spark):
+    """Planted geometry pins semantic decontamination: a corpus vector
+    nearly parallel to an eval vector is contaminated, an orthogonal
+    one is clean; the single-eval expression path works; empty eval
+    and over-cap eval sets are contract errors."""
+    import pytest as _pytest
+
+    eval_df = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.1, 0.0]),   # near eval -> contaminated
+            (2, [0.0, 1.0, 0.0]),    # orthogonal -> clean
+            (3, [-1.0, 0.0, 0.0]),   # opposite -> clean (cos = -1)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["contaminated"], r["max_eval_cos"])
+        for r in sim.embedding_decontaminate(
+            corpus, eval_df, threshold=0.9
+        ).collect()
+    }
+    assert got[1][0] and got[1][1] > 0.99
+    assert not got[2][0] and abs(got[2][1]) < 1e-12
+    assert not got[3][0] and got[3][1] == -1.0
+
+    with _pytest.raises(ValueError):
+        sim.embedding_decontaminate(corpus, eval_df.filter("vec_id < 0"))
+    with _pytest.raises(ValueError):
+        sim.embedding_decontaminate(corpus, corpus, max_eval=2)
