@@ -2753,6 +2753,29 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _scene_change_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot-boundary detection over the synthetic video corpus (r7):
+    synthesize -> frame-sample -> scene_changes, then the distribution
+    of scenes-per-video (how fragmented the corpus is — the signal a
+    clip-selection stage keys on). Rows-only: the per-frame luma stub
+    has no SQL twin; anchored by the planted-payload unit test
+    (tests/test_multimodal.py::test_scene_changes_flags_payload_jumps)."""
+    media = multimodal.synthesize_media(_docs(spark, sf))
+    frames = multimodal.sample_frames(media)
+    per_media = (
+        multimodal.scene_changes(frames)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.col("is_scene_start").cast("long")).alias("n_scenes"),
+        )
+    )
+    return per_media.groupBy("n_scenes").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum("n_frames").alias("total_frames"),
+    )
+
+
 def _embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Semantic decontamination (r7): the deterministic md5 5% of
     embeddings plays the eval set; every training vector reports its
@@ -3271,6 +3294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PageRank (r6): iterated double arithmetic — numpy-parity,
         # closed-form, mass-conservation and invariance anchors in tests
         "item_pagerank": _item_pagerank,
+        # scene detection (r7): stub luma kernel — planted-payload test
+        # is the anchor
+        "scene_change_stats": _scene_change_stats,
         # HLL sketch estimates (r7): DataSketches binary state has no
         # DuckDB twin — anchored by the exact `daily_active_users`
         # oracle entry + merge/error tests in tests/test_profile.py

@@ -349,3 +349,70 @@ def phash_neardup_pairs(
             F.col("ph_a").bitwiseXOR(F.col("ph_b"))
         ).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def scene_changes(
+    frames: DataFrame,
+    *,
+    sig_dim: int = 16,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """Scene-change detection over sampled video frames (r7): flag the
+    frames where the per-frame luma signature jumps versus the previous
+    frame — the shot-boundary primitive behind keyframe selection and
+    per-scene captioning in a video training pipeline. Consumes the
+    :func:`sample_frames` output (so tests can plant frame payloads
+    directly).
+
+    Split of labor follows the module contract: the per-frame
+    signature is an Arrow-batched kernel over the frame payload (STUB
+    luma — payload bytes scaled to [0,1], same boundary as
+    ``stub_pixels``; a real build decodes and pools the frame), while
+    the TEMPORAL part is pure Catalyst — one ``lag`` window per media
+    ordered by ``frame_idx`` carries the previous signature and a
+    ``zip_with``/``aggregate`` fold computes the mean absolute delta.
+    One shuffle on media_id (the window sort); per-media state is its
+    frame count. A frame starts a scene if it is the first or its
+    delta exceeds ``threshold``."""
+    from pyspark.sql import Window
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            sigs = []
+            for b in pdf["frame_payload"]:
+                raw = np.frombuffer(b or b"\0", dtype=np.uint8)
+                reps = int(np.ceil(sig_dim / max(len(raw), 1)))
+                sig = np.tile(raw, reps)[:sig_dim].astype(np.float64) / 255.0
+                sigs.append(sig.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ms": pdf["frame_ms"],
+                    "sig": sigs,
+                }
+            )
+
+    sigged = frames.mapInPandas(
+        gen,
+        schema="media_id long, frame_idx int, frame_ms int, "
+        "sig array<double>",
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("sig").over(w)
+    delta = F.aggregate(
+        F.zip_with(F.col("sig"), prev, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(sig_dim))
+    return sigged.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.coalesce(delta, F.lit(None).cast("double")).alias("scene_delta"),
+        (prev.isNull() | (delta > F.lit(float(threshold)))).alias(
+            "is_scene_start"
+        ),
+    )

@@ -211,3 +211,35 @@ def write_sized_files(
         shutil.rmtree(scratch, ignore_errors=True)
     df.repartition(n_files).write.mode(mode).parquet(path)
     return n_files
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    *,
+    n_files: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Globally ordered export (r7): the layout for curriculum-ordered
+    training data and for downstream merge-readers — file k's key range
+    ends before file k+1's begins, and rows inside each file are
+    sorted. Complements :func:`write_zordered` (multi-column locality)
+    with TOTAL single-axis order.
+
+    Two-step, never a global single-node sort: ``repartitionByRange``
+    samples the sort key to build balanced range boundaries (one extra
+    sampling pass — the price of balance) and hash-free range-shuffles
+    the rows; ``sortWithinPartitions`` then sorts each range locally.
+    That is exactly Spark's distributed sort, made explicit so the
+    write inherits it file-by-file. Parquet min/max stats per file
+    give readers range pruning on the sort axis for free.
+
+    ``n_files=0`` keeps the session's shuffle parallelism (one file
+    per range partition)."""
+    out = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files > 0
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

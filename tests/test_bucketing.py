@@ -185,3 +185,49 @@ def test_zorder_key_four_columns_stays_in_sign_safe_range(spark):
     # 64+ dims cannot fit at all -> loud error, not silent wraparound
     with pytest.raises(ValueError, match="cannot fit"):
         zorder_key(["a"] * 64, [0] * 64, [99] * 64)
+
+
+def test_write_range_sorted_produces_disjoint_ordered_files(spark, tmp_path):
+    """Global order, file by file: every file is internally sorted and
+    the per-file [min, max] key ranges are pairwise disjoint and
+    ordered — so a merge-reader (or a curriculum loader) can stream
+    the dataset in key order without any further sort; and the plan
+    range-partitions (samples boundaries) rather than funneling
+    through one task."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.sources.bucketing import (
+        write_range_sorted,
+    )
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 10_000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "sorted")
+    write_range_sorted(df, path, ["k"], n_files=8)
+
+    back = spark.read.parquet(path).select(
+        "k", F.input_file_name().alias("f")
+    )
+    per_file = {
+        r["f"]: (r["mn"], r["mx"])
+        for r in back.groupBy("f")
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .collect()
+    }
+    assert len(per_file) == 8
+    spans = sorted(per_file.values())
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint and ordered ranges
+
+    # internal order: rows of one file are non-decreasing in k
+    one = sorted(per_file)[0]
+    ks = [r["k"] for r in back.filter(F.col("f") == one).collect()]
+    assert ks == sorted(ks)
+
+    plan = (
+        df.repartitionByRange(8, "k")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower(), plan

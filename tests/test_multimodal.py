@@ -185,3 +185,33 @@ def test_phash_media_pipeline_exact_dups(spark, sf_dir):
         (r["id_a"], r["id_b"]) == (0, 1000000) and r["hamming"] == 0
         for r in pairs
     )
+
+
+def test_scene_changes_flags_payload_jumps(spark):
+    """Planted frame payloads pin shot-boundary semantics: identical
+    consecutive payloads -> delta 0, a payload switch -> delta spike
+    above threshold; the first frame always starts a scene; signature
+    ordering follows frame_idx, not row order."""
+    from streaming_data_pipeline_azure_spark.operators.multimodal import (
+        scene_changes,
+    )
+
+    a, b = b"\x10" * 16, b"\xf0" * 16
+    rows = [
+        # media 1: A A B A  (boundaries at frames 0, 2, 3)
+        (1, 2, 2000, b), (1, 0, 0, a), (1, 1, 1000, a), (1, 3, 3000, a),
+        # media 2: single frame
+        (2, 0, 0, a),
+    ]
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, frame_ms int, frame_payload binary"
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["is_scene_start"], r["scene_delta"])
+        for r in scene_changes(frames, threshold=0.15).collect()
+    }
+    assert got[(1, 0)][0] and got[(1, 0)][1] is None
+    assert not got[(1, 1)][0] and got[(1, 1)][1] == 0.0
+    assert got[(1, 2)][0] and got[(1, 2)][1] > 0.8  # 0x10 -> 0xf0 jump
+    assert got[(1, 3)][0]
+    assert got[(2, 0)][0]
