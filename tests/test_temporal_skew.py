@@ -463,3 +463,50 @@ def test_match_event_patterns_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temporal.match_event_patterns(ev, {})
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """The engine's skew posture is twofold: explicit salting
+    (salted_join, tested above) and AQE's runtime skew-join split for
+    joins we did NOT pre-salt. Prove the second actually engages: a
+    90%-one-key fact joined to a non-broadcastable dim, with the skew
+    thresholds lowered to match test scale, must show skew=true on the
+    sort-merge join in the FINAL adaptive plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("dim_"), F.col("id")).alias("dv"),
+        )
+        # aggregate over pad so the wide payload column survives the
+        # join shuffle (column pruning would otherwise shrink the skewed
+        # partition below any realistic threshold), and group by the
+        # DIM column, not the join key — an agg that reuses the join's
+        # hash distribution forbids the skew split (splitting would
+        # break co-partitioning, and AQE refuses to add a shuffle)
+        joined = fact.join(dim, "k").groupBy("dv").agg(
+            F.sum(F.length("pad")).alias("pad_bytes")
+        )
+        joined.collect()  # execute THIS instance so its adaptive plan finalizes
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
