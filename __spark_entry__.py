@@ -2753,6 +2753,50 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _order_customer_overlap_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact key-set overlap between orders.o_custkey and
+    customer.c_custkey (r7) — the anchor for the HLL set-algebra
+    estimate twin (`order_customer_overlap_hll`). One union + one
+    group-by: per key, membership flags max-combined, then flag sums
+    give |A|, |B|, |A∪B|, |A∩B| in a single pass."""
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    keys = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    ).unionByName(
+        customer.select(
+            F.col("c_custkey").alias("k"),
+            F.lit(0).alias("in_a"),
+            F.lit(1).alias("in_b"),
+        )
+    )
+    flags = keys.groupBy("k").agg(
+        F.max("in_a").alias("a"), F.max("in_b").alias("b")
+    )
+    return flags.agg(
+        F.sum("a").cast("long").alias("n_left"),
+        F.sum("b").cast("long").alias("n_right"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_intersect"),
+        (
+            F.sum(F.col("a") * F.col("b")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def _order_customer_overlap_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only HLL twin: the same overlap scouted from three ~4 KB
+    sketches, no join (operators/profile.py:estimate_key_overlap);
+    anchored by the exact twin plus the sparse-exact/error-band
+    tests."""
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    return profile.estimate_key_overlap(
+        orders, "o_custkey", customer, "c_custkey"
+    )
+
+
 def _scene_change_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Shot-boundary detection over the synthetic video corpus (r7):
     synthesize -> frame-sample -> scene_changes, then the distribution
@@ -3113,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_audit_counts": _pii_audit_counts,
         "local_supplier_revenue": _local_supplier_revenue,
         "embedding_decontaminate": _embedding_decontaminate,
+        "order_customer_overlap_exact": _order_customer_overlap_exact,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3151,8 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "events_value_outliers": _events_value_outliers,
         "copurchase_lift": _copurchase_lift,
-        "priority_sample_orders": _priority_sample_orders,
         # ==== 50-entry window boundary (r7) ====
+        "priority_sample_orders": _priority_sample_orders,
         "priority_sample_estimate": _priority_sample_estimate,
         "copurchase_graph_stats": _copurchase_graph_stats,
         "top_session_paths": _top_session_paths,
@@ -3297,6 +3342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scene detection (r7): stub luma kernel — planted-payload test
         # is the anchor
         "scene_change_stats": _scene_change_stats,
+        # HLL set-algebra overlap (r7): sketch estimates — exact twin
+        # `order_customer_overlap_exact` is the oracle anchor
+        "order_customer_overlap_hll": _order_customer_overlap_hll,
         # HLL sketch estimates (r7): DataSketches binary state has no
         # DuckDB twin — anchored by the exact `daily_active_users`
         # oracle entry + merge/error tests in tests/test_profile.py
@@ -4795,6 +4843,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
+        """,
+        "order_customer_overlap_exact": """
+            WITH keys AS (
+              SELECT k, MAX(in_a) AS a, MAX(in_b) AS b FROM (
+                SELECT o_custkey AS k, 1 AS in_a, 0 AS in_b FROM orders
+                UNION ALL
+                SELECT c_custkey AS k, 0 AS in_a, 1 AS in_b FROM customer
+              ) GROUP BY k
+            )
+            SELECT CAST(SUM(a) AS BIGINT) AS n_left,
+                   CAST(SUM(b) AS BIGINT) AS n_right,
+                   CAST(COUNT(*) AS BIGINT) AS n_union,
+                   CAST(SUM(a * b) AS BIGINT) AS n_intersect,
+                   CAST(SUM(a * b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS jaccard
+            FROM keys
         """,
         "embedding_decontaminate": """
             WITH tagged AS (

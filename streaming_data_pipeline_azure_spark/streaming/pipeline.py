@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from streaming_data_pipeline_azure_spark.operators.enrich import (
@@ -43,13 +44,21 @@ def build_enrichment_query(
     refresh_every: int = 1,
     add_document_id: bool = True,
     trigger_available_now: bool = False,
+    observe_quality: bool = False,
     **enrich_kwargs,
 ) -> StreamingQuery:
     """Assemble and start the enrichment streaming query.
 
     ``customers`` is a DataFrame for ``refresh="static"``, or a zero-arg
     loader returning a fresh DataFrame for ``refresh="per_batch"``.
-    """
+
+    ``observe_quality`` (r7, static mode) attaches ``observe`` metrics
+    to the enriched stream — per-micro-batch row count, null-name
+    count, and amount total ride the job's own aggregation buffers (NO
+    extra pass, no second query) and surface in every progress event's
+    ``observedMetrics.enrich_quality``. This is the monitoring story a
+    100 TB stream needs: the counters a separate validation query would
+    re-scan the batch for come free with the write."""
     if refresh == "static":
         customers_df = customers() if callable(customers) else customers
         enriched = enrich_orders(orders_stream, customers_df, **enrich_kwargs)
@@ -58,8 +67,23 @@ def build_enrichment_query(
             out = with_document_id(batch_df) if add_document_id else batch_df
             sink.write_batch(out, batch_id)
 
+        if observe_quality:
+            enriched = enriched.observe(
+                "enrich_quality",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.col("customer_name").isNull().cast("long")
+                ).alias("n_null_name"),
+                F.sum(F.col("purchase_amount")).alias("total_amount"),
+            )
         stream_to_write = enriched
     elif refresh == "per_batch":
+        if observe_quality:
+            raise ValueError(
+                "observe_quality rides the enriched stream; per_batch "
+                "mode enriches inside foreachBatch — observe the sink "
+                "reads instead"
+            )
         if not callable(customers):
             raise TypeError("per_batch refresh needs a customers loader callable")
         state = {"dim": None}

@@ -233,3 +233,25 @@ def test_estimate_distinct_per_group_and_pre_projection(spark):
         .collect()
     }
     assert got == exact
+
+
+def test_estimate_key_overlap_sparse_exact_and_error_band(spark):
+    """At low cardinality the per-set HLL estimates are exact and the
+    set-algebra intersection lands within a few keys of truth; at
+    60k/50k keys with 30k shared the estimate lands within 5%."""
+    a = spark.range(0, 200).select(F.col("id").alias("k"))
+    b = spark.range(150, 400).select(F.col("id").alias("k"))
+    got = profile.estimate_key_overlap(a, "k", b, "k").collect()[0]
+    # per-set sparse estimates are exact; the UNION sketch may deviate
+    # by a hair even at this size (measured 401 on 400 true)
+    assert (got["n_left_approx"], got["n_right_approx"]) == (200, 250)
+    assert abs(got["n_union_approx"] - 400) <= 8
+    assert abs(got["n_intersect_approx"] - 50) <= 8
+    assert got["jaccard_approx"] == (
+        got["n_intersect_approx"] / got["n_union_approx"]
+    )
+
+    big_a = spark.range(0, 60_000).select(F.col("id").alias("k"))
+    big_b = spark.range(30_000, 80_000).select(F.col("id").alias("k"))
+    est = profile.estimate_key_overlap(big_a, "k", big_b, "k").collect()[0]
+    assert abs(est["n_intersect_approx"] - 30_000) / 30_000 < 0.05

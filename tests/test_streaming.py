@@ -1077,3 +1077,54 @@ def test_streaming_join_view_matches_batch_and_replays_cleanly(spark, tmp_path):
     run_to_completion(start("sjv_ckpt2"))
     again = sorted(tuple(r) for r in view.read(spark).collect())
     assert again == want
+
+
+def test_enrichment_observe_metrics_ride_progress_events(spark, tmp_path):
+    """observe() quality counters must surface in the streaming
+    progress events WITHOUT a second pass: summed across micro-batches
+    they equal the written row count and amount total, and per_batch
+    refresh mode rejects the flag (enrichment happens inside
+    foreachBatch there)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    customers = spark.createDataFrame(
+        [(1, "Willis Collins", "Chicago"), (2, "Ann Lee", "Austin")],
+        "cust_id int, cust_name string, city string",
+    )
+    src = tmp_path / "obs_in"
+    src.mkdir()
+    (src / "b0.json").write_text(_json.dumps(
+        {"orderID": "a", "customerID": 1, "amount": 100}))
+    (src / "b1.json").write_text("\n".join([
+        _json.dumps({"orderID": "b", "customerID": 2, "amount": 200}),
+        _json.dumps({"orderID": "c", "customerID": 9, "amount": 5}),
+    ]))
+    sink = ParquetUpsertSink(str(tmp_path / "obs_sink"))
+    stream = read_order_file_stream(spark, str(src))
+    q = build_enrichment_query(
+        stream, customers, sink, str(tmp_path / "obs_ckpt"),
+        trigger_available_now=True, observe_quality=True,
+    )
+    run_to_completion(q)
+
+    metrics = [
+        prog.observedMetrics["enrich_quality"]
+        for prog in q.recentProgress
+        if "enrich_quality" in (prog.observedMetrics or {})
+    ]
+    assert metrics, [prog.json for prog in q.recentProgress]
+    n = sum(m["n_rows"] for m in metrics)
+    amt = sum(m["total_amount"] for m in metrics)
+    nulls = sum(m["n_null_name"] for m in metrics)
+    assert n == 2 and nulls == 0  # customerID 9 dropped by the join
+    assert amt == 300.0
+    assert sink.read(spark).count() == 2
+
+    with _pytest.raises(ValueError):
+        build_enrichment_query(
+            stream, lambda: customers, sink, str(tmp_path / "obs_ckpt2"),
+            refresh="per_batch", trigger_available_now=True,
+            observe_quality=True,
+        )
