@@ -226,6 +226,13 @@ class IncrementalJoinView:
         self.key = key
         self.n_buckets = int(n_buckets)
         self._params_verified = False
+        self._sides = {
+            side: GenerationalDir(f"{path}/{side}")
+            for side in ("left", "right", "view")
+        }
+
+    def _side_path(self, spark, side: str) -> str:
+        return self._sides[side].gen_path(spark)
 
     # ---- bookkeeping ----
 
@@ -273,15 +280,17 @@ class IncrementalJoinView:
         initial join (the only full-input join the view ever runs)."""
         self._validate_disjoint(left, right, self.key)
         spark = left.sparkSession
+        for side in self._sides.values():
+            side.reset(spark)
         self._bucketed(left).write.mode("overwrite").partitionBy(
             "__batch", "__kb"
-        ).parquet(f"{self.path}/left")
+        ).parquet(f"{self.path}/left/gen=0")
         self._bucketed(right).write.mode("overwrite").partitionBy(
             "__batch", "__kb"
-        ).parquet(f"{self.path}/right")
+        ).parquet(f"{self.path}/right/gen=0")
         joined = self._bucketed(left.join(right, self.key))
         joined.write.mode("overwrite").partitionBy("__batch", "__kb").parquet(
-            f"{self.path}/view"
+            f"{self.path}/view/gen=0"
         )
         spark.createDataFrame(
             [(self.key, self.n_buckets)], "key string, n_buckets long"
@@ -309,7 +318,7 @@ class IncrementalJoinView:
             .distinct()
             .collect()  # O(n_buckets) by construction
         ]
-        state = spark.read.parquet(f"{self.path}/{side}")
+        state = spark.read.parquet(self._side_path(spark, side))
         if before_batch is not None:
             state = state.filter(F.col("__batch") < int(before_batch))
         if not buckets:
@@ -366,13 +375,14 @@ class IncrementalJoinView:
             w = self._bucketed(df, stamp).write.partitionBy(
                 "__batch", "__kb"
             )
+            path = self._side_path(spark, dest)
             if batch_id is None:
-                w.mode("append").parquet(f"{self.path}/{dest}")
+                w.mode("append").parquet(path)
             else:
                 # per-write dynamic mode, same reasoning as the sink
                 w.mode("overwrite").option(
                     "partitionOverwriteMode", "dynamic"
-                ).parquet(f"{self.path}/{dest}")
+                ).parquet(path)
 
         write(new_rows, "view")
         if delta_left is not None:
@@ -385,6 +395,33 @@ class IncrementalJoinView:
     def read(self, spark: SparkSession) -> DataFrame:
         """The materialized join view (bookkeeping columns dropped)."""
         self._check_params(spark)
-        return spark.read.parquet(f"{self.path}/view").drop(
+        return spark.read.parquet(self._side_path(spark, "view")).drop(
             "__kb", "__batch"
         )
+
+    # ---- maintenance ----
+
+    def compact(self, spark: SparkSession) -> None:
+        """Small-file compaction via the shared crash-safe generation
+        swap: every refresh appends a file set per touched bucket, so
+        the log accretes O(refreshes × buckets) small files; compact
+        rewrites each side with ONE file per (__batch, __kb) directory
+        (a repartition on the partition columns). Rows, batch stamps
+        and partition layout are preserved EXACTLY — unlike the upsert
+        sink there are no shadowed versions to drop, and keeping the
+        original __batch partitions is what keeps replayed streaming
+        micro-batches idempotent after compaction (their overwrite
+        target still exists; tested). Each side swaps independently —
+        a crash between sides leaves every side individually
+        consistent (generation markers)."""
+        self._check_params(spark)
+        for side, gens in self._sides.items():
+            cur = gens.current_gen(spark)
+            nxt = cur + 1
+            spark.read.parquet(f"{self.path}/{side}/gen={cur}").repartition(
+                "__batch", "__kb"
+            ).write.mode("overwrite").partitionBy("__batch", "__kb").parquet(
+                f"{self.path}/{side}/gen={nxt}"
+            )
+            gens.commit(spark, nxt)
+            gens.gc_below(spark, keep=nxt)

@@ -196,3 +196,56 @@ def test_incremental_join_view_prunes_state_buckets(spark, tmp_path):
         )
     with _pytest.raises(ValueError):  # params mismatch
         IncrementalJoinView(str(tmp_path / "ijv2"), "other").read(spark)
+
+
+def test_incremental_join_view_compaction_preserves_rows_and_replay(
+    spark, tmp_path
+):
+    """compact() must collapse the per-refresh file accretion (fewer
+    files per side), preserve the view EXACTLY (rows AND batch
+    stamps), and keep a replayed streaming micro-batch idempotent
+    afterwards — the original __batch partitions survive, so the
+    replay's overwrite target still exists."""
+    import glob
+
+    from streaming_data_pipeline_azure_spark.operators.incremental import (
+        IncrementalJoinView,
+    )
+
+    left = spark.createDataFrame(
+        [(k, f"l{k}") for k in range(40)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(40)], "k long, rv long"
+    )
+    view = IncrementalJoinView(str(tmp_path / "cjv"), "k", n_buckets=8)
+    view.build(left.filter("k < 10"), right)
+    for bid, lo in ((0, 10), (1, 20), (2, 30)):
+        # many input partitions per delta -> several files per bucket
+        # dir (each task writes one file per directory it holds)
+        view.refresh(
+            delta_left=(
+                left.filter(f"k >= {lo} - 10 and k < {lo}")
+                if lo > 10
+                else left.filter("k >= 10 and k < 20")
+            ).repartition(6),
+            batch_id=bid,
+        )
+
+    def nfiles():
+        return len(
+            glob.glob(str(tmp_path / "cjv" / "view" / "gen=*" / "**" / "*.parquet"),
+                      recursive=True)
+        )
+
+    before_rows = sorted(tuple(r) for r in view.read(spark).collect())
+    before_files = nfiles()
+    view.compact(spark)
+    assert nfiles() < before_files
+    assert sorted(tuple(r) for r in view.read(spark).collect()) == before_rows
+
+    # replay micro-batch 2 after compaction: view unchanged
+    view.refresh(
+        delta_left=left.filter("k >= 20 and k < 30"), batch_id=2
+    )
+    assert sorted(tuple(r) for r in view.read(spark).collect()) == before_rows

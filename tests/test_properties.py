@@ -395,3 +395,63 @@ def test_debounce_idempotent_and_heads_spaced(spark, offsets, gap):
         ).collect()
     )
     assert again == krows                         # idempotent
+
+
+snap = st.dictionaries(
+    st.integers(0, 12),
+    st.tuples(
+        st.one_of(st.none(), st.integers(-5, 5)),
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),
+    ),
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(old=snap, new=snap)
+def test_diff_then_cdc_apply_reconstructs_new_snapshot(spark, old, new):
+    """CDC <-> diff duality: a change feed DERIVED from
+    diff_snapshots(old, new) — upserts of the new payload for
+    added/changed keys, delete markers for removed keys, on top of the
+    old snapshot at a lower sequence — must apply_changes() back to
+    EXACTLY the new snapshot, for arbitrary snapshots including null
+    attribute transitions. This pins the two operators to one
+    consistent notion of change."""
+    from streaming_data_pipeline_azure_spark.operators.cdc import (
+        apply_changes,
+    )
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        diff_snapshots,
+    )
+
+    schema = "k int, a int, b string"
+    old_df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in old.items()], schema
+    )
+    new_df = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in new.items()], schema
+    )
+    d = diff_snapshots(old_df, new_df, ["k"])
+    upserts = (
+        d.filter(F.col("status").isin("added", "changed"))
+        .select("k")
+        .join(new_df, "k")
+        .select("k", "a", "b", F.lit("U").alias("op"), F.lit(1).alias("seq"))
+    )
+    deletes = d.filter(F.col("status") == "removed").select(
+        "k",
+        F.lit(None).cast("int").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.lit("D").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    base = old_df.select(
+        "k", "a", "b", F.lit("U").alias("op"), F.lit(0).alias("seq")
+    )
+    feed = base.unionByName(upserts).unionByName(deletes)
+    applied = apply_changes(
+        feed, key_cols=["k"], seq_cols=["seq"], op_col="op"
+    )
+    got = sorted(tuple(r) for r in applied.select("k", "a", "b").collect())
+    want = sorted((k, v[0], v[1]) for k, v in new.items())
+    assert got == want
