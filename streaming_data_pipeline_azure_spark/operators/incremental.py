@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from streaming_data_pipeline_azure_spark.functions.generations import (
     GenerationalDir,
+    TombstoneSet,
 )
 
 
@@ -230,6 +231,7 @@ class IncrementalJoinView:
             side: GenerationalDir(f"{path}/{side}")
             for side in ("left", "right", "view")
         }
+        self._tombs = TombstoneSet(path, key)
 
     def _side_path(self, spark, side: str) -> str:
         return self._sides[side].gen_path(spark)
@@ -393,11 +395,27 @@ class IncrementalJoinView:
     # ---- read ----
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """The materialized join view (bookkeeping columns dropped)."""
+        """The materialized join view (bookkeeping columns dropped);
+        tombstoned keys (:meth:`delete`) are hidden immediately."""
         self._check_params(spark)
-        return spark.read.parquet(self._side_path(spark, "view")).drop(
+        out = spark.read.parquet(self._side_path(spark, "view")).drop(
             "__kb", "__batch"
         )
+        d = self._tombs.frame(spark)
+        if d is not None:
+            out = out.join(F.broadcast(d), self.key, "left_anti")
+        return out
+
+    def delete(self, spark, keys) -> None:
+        """Takedown by join key — the shared tombstone contract
+        (``functions/generations.py:TombstoneSet``, same as the corpus
+        indexes): logical-immediate (reads anti-join the set), physical
+        at the next :meth:`compact` (rows leave ALL THREE persisted
+        sides — a derived view is exactly where forgotten data likes to
+        hide). Keys re-inserted before the compaction stay hidden
+        (takedown wins); after it, a key returns only when BOTH sides
+        re-supply it — its dimension row was forgotten too (tested)."""
+        self._tombs.add(spark, keys)
 
     # ---- maintenance ----
 
@@ -415,13 +433,20 @@ class IncrementalJoinView:
         a crash between sides leaves every side individually
         consistent (generation markers)."""
         self._check_params(spark)
+        tomb = self._tombs.frame(spark)
         for side, gens in self._sides.items():
             cur = gens.current_gen(spark)
             nxt = cur + 1
-            spark.read.parquet(f"{self.path}/{side}/gen={cur}").repartition(
-                "__batch", "__kb"
-            ).write.mode("overwrite").partitionBy("__batch", "__kb").parquet(
+            rows = spark.read.parquet(f"{self.path}/{side}/gen={cur}")
+            if tomb is not None:
+                rows = rows.join(F.broadcast(tomb), self.key, "left_anti")
+            rows.repartition("__batch", "__kb").write.mode(
+                "overwrite"
+            ).partitionBy("__batch", "__kb").parquet(
                 f"{self.path}/{side}/gen={nxt}"
             )
             gens.commit(spark, nxt)
             gens.gc_below(spark, keep=nxt)
+        # crash between the last commit and this clear is safe: the
+        # surviving tombstones anti-join rows that no longer exist
+        self._tombs.clear(spark)

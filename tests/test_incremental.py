@@ -249,3 +249,54 @@ def test_incremental_join_view_compaction_preserves_rows_and_replay(
         delta_left=left.filter("k >= 20 and k < 30"), batch_id=2
     )
     assert sorted(tuple(r) for r in view.read(spark).collect()) == before_rows
+
+
+def test_incremental_join_view_takedown_tombstones(spark, tmp_path):
+    """Derived views are where forgotten data hides: delete(key) must
+    hide every view row for that key immediately, compact() must drop
+    it from all three persisted sides physically and clear the set,
+    and a post-compaction re-insert is live again. Also duck-type
+    compatible with takedown.forget_documents (delete + compact)."""
+    import glob
+
+    from streaming_data_pipeline_azure_spark.operators.incremental import (
+        IncrementalJoinView,
+    )
+
+    left = spark.createDataFrame(
+        [(k, f"l{k}") for k in range(10)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(10)], "k long, rv long"
+    )
+    view = IncrementalJoinView(str(tmp_path / "tjv"), "k", n_buckets=4)
+    view.build(left, right)
+
+    view.delete(spark, [3, 7])
+    keys = {r["k"] for r in view.read(spark).collect()}
+    assert keys == set(range(10)) - {3, 7}
+
+    view.compact(spark)
+    assert {r["k"] for r in view.read(spark).collect()} == keys
+    # physically gone from every side, tombstones cleared
+    for side in ("left", "right", "view"):
+        files = glob.glob(
+            str(tmp_path / "tjv" / side / "gen=*" / "**" / "*.parquet"),
+            recursive=True,
+        )
+        vals = {r["k"] for r in spark.read.parquet(*files).collect()}
+        assert 3 not in vals and 7 not in vals, side
+    assert not glob.glob(str(tmp_path / "tjv" / "tombstones" / "*"))
+
+    # post-compaction re-insert: BOTH sides must re-supply the key —
+    # its dimension row was forgotten too (a left-only delta finds no
+    # match, by design)
+    view.refresh(delta_left=spark.createDataFrame(
+        [(3, "back")], "k long, lv string"))
+    assert 3 not in {r["k"] for r in view.read(spark).collect()}
+    view.refresh(
+        delta_left=spark.createDataFrame([(3, "back2")], "k long, lv string"),
+        delta_right=spark.createDataFrame([(3, 30)], "k long, rv long"),
+    )
+    live = {tuple(r) for r in view.read(spark).collect()}
+    assert (3, "back", 30) in live and (3, "back2", 30) in live
