@@ -2753,6 +2753,42 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sink_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """ORACLE-verified sink lifecycle incl. time travel (r7): orders
+    split into three deterministic micro-batches (key = o_orderkey/3,
+    batch = o_orderkey%3 — each key appears once per batch, so
+    within-batch upsert dedup is a no-op and the state is an exact
+    function of the data), written through ParquetUpsertSink with a
+    delete of keys ≡0 mod 7 stamped at batch 1, then read back AS OF
+    batch 1: batch-2 upserts and nothing-later-resurrects are
+    invisible, deletes at the horizon hide their keys. The oracle
+    reconstructs the same snapshot relationally (arg_max per key over
+    batches ≤ 1, deleted keys absent)."""
+    from streaming_data_pipeline_azure_spark.sources.sinks import (
+        ParquetUpsertSink,
+    )
+
+    (orders,) = _tables(spark, sf, "orders")
+    feed = orders.select(
+        (F.col("o_orderkey") / 3).cast("long").alias("k"),
+        F.pmod(F.col("o_orderkey"), F.lit(3)).alias("b"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    sink = ParquetUpsertSink(_fresh_index_dir("ttsink_"), key="k")
+    for b in (0, 1):
+        sink.write_batch(
+            feed.filter(F.col("b") == b).drop("b"), batch_id=b
+        )
+    sink.delete_keys(
+        spark,
+        feed.filter(F.pmod(F.col("k"), F.lit(7)) == 0).select("k").distinct(),
+        batch_id=1,
+    )
+    sink.write_batch(feed.filter(F.col("b") == 2).drop("b"), batch_id=2)
+    return sink.read_as_of(spark, 1)
+
+
 def _order_customer_overlap_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact key-set overlap between orders.o_custkey and
     customer.c_custkey (r7) — the anchor for the HLL set-algebra
@@ -3158,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_revenue": _local_supplier_revenue,
         "embedding_decontaminate": _embedding_decontaminate,
         "order_customer_overlap_exact": _order_customer_overlap_exact,
+        "sink_time_travel": _sink_time_travel,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3195,8 +3232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _pq_codes,
         "event_transitions": _event_transitions,
         "events_value_outliers": _events_value_outliers,
-        "copurchase_lift": _copurchase_lift,
         # ==== 50-entry window boundary (r7) ====
+        "copurchase_lift": _copurchase_lift,
         "priority_sample_orders": _priority_sample_orders,
         "priority_sample_estimate": _priority_sample_estimate,
         "copurchase_graph_stats": _copurchase_graph_stats,
@@ -4843,6 +4880,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
+        """,
+        "sink_time_travel": """
+            WITH feed AS (
+              SELECT CAST(o_orderkey // 3 AS BIGINT) AS k,
+                     o_orderkey % 3 AS b,
+                     o_orderkey, o_totalprice
+              FROM orders
+            ), upto AS (
+              SELECT * FROM feed WHERE b <= 1
+            ), latest AS (
+              SELECT k,
+                     arg_max(o_orderkey, b) AS o_orderkey,
+                     arg_max(o_totalprice, b) AS o_totalprice
+              FROM upto GROUP BY k
+            )
+            SELECT k, o_orderkey, o_totalprice FROM latest
+            WHERE k % 7 <> 0
         """,
         "order_customer_overlap_exact": """
             WITH keys AS (
