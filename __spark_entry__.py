@@ -2753,6 +2753,27 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bloom_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered join (r7): revenue of lineitems belonging to
+    the ~1% most expensive orders, joined through
+    skew.bloom_prefilter_join — probe rows that cannot match drop
+    before the exchange; no false negatives, so the result equals the
+    plain join the oracle runs. Decimal accumulation as everywhere."""
+    li = _lineitem(spark, sf)
+    (orders,) = _tables(spark, sf, "orders")
+    pricey = orders.filter(F.col("o_totalprice") > 490000.0).select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    j = skew.bloom_prefilter_join(
+        li.withColumnRenamed("l_orderkey", "k"), pricey, "k"
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.groupBy("o_orderpriority").agg(
+        _dec_sum(disc_price, "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def _sink_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """ORACLE-verified sink lifecycle incl. time travel (r7): orders
     split into three deterministic micro-batches (key = o_orderkey/3,
@@ -3195,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontaminate": _embedding_decontaminate,
         "order_customer_overlap_exact": _order_customer_overlap_exact,
         "sink_time_travel": _sink_time_travel,
+        "bloom_join_revenue": _bloom_join_revenue,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3231,8 +3253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_indexed": _bm25_search_indexed,
         "pq_codes": _pq_codes,
         "event_transitions": _event_transitions,
-        "events_value_outliers": _events_value_outliers,
         # ==== 50-entry window boundary (r7) ====
+        "events_value_outliers": _events_value_outliers,
         "copurchase_lift": _copurchase_lift,
         "priority_sample_orders": _priority_sample_orders,
         "priority_sample_estimate": _priority_sample_estimate,
@@ -4880,6 +4902,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
+        """,
+        "bloom_join_revenue": """
+            SELECT o.o_orderpriority,
+                   CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_totalprice > 490000.0
+            GROUP BY o.o_orderpriority
         """,
         "sink_time_travel": """
             WITH feed AS (

@@ -77,3 +77,52 @@ def bloom_filter_maybe(
         .select(col)
     )
     return df.join(hits, col, "semi")
+
+
+def bloom_filter_maybe_inline(
+    df: DataFrame, col: str, bits: DataFrame, *, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Row-local membership check — the ZERO-SHUFFLE form of
+    :func:`bloom_filter_maybe` (r7). That function routes the probe
+    side through ``distinct`` + semi-join, which shuffles the probe's
+    whole key column; fine for re-joining pipelines, but useless as a
+    PRE-shuffle filter. Here the bit table packs into ``m_bits/64``
+    longs on the driver (inherently bounded: the collect is ≤ m_bits
+    rows and the bitmap is m_bits/8 bytes — 128 KB at the default 2^20;
+    a guard rejects m_bits > 2^24), ships as a ONE-ROW broadcast, and
+    every row evaluates k shift-and-mask tests as pure codegen — probe
+    rows never move. Same guarantee: a superset of the truly-present
+    rows, never a subset."""
+    if m_bits > (1 << 24):
+        raise ValueError(
+            f"bloom_filter_maybe_inline packs m_bits/8 bytes on the "
+            f"driver; m_bits={m_bits} exceeds the 2^24 cap — use "
+            f"bloom_filter_maybe (bit-position table) instead"
+        )
+    n_words = (m_bits + 63) // 64
+    words = [0] * n_words
+    for r in bits.collect():  # <= m_bits rows by construction
+        p = int(r["bit_pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement fold back into int64 for the literal array
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    spark = df.sparkSession
+    wdf = spark.createDataFrame([(words,)], "__bloom_words array<bigint>")
+    pos = bloom_positions(col, m_bits=m_bits, k_hashes=k_hashes)
+    checks = [
+        F.getbit(
+            F.element_at(
+                F.col("__bloom_words"),
+                (F.element_at(pos, i + 1) / 64).cast("int") + 1,
+            ),
+            F.pmod(F.element_at(pos, i + 1), F.lit(64)),
+        )
+        == 1
+        for i in range(k_hashes)
+    ]
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return (
+        df.crossJoin(F.broadcast(wdf)).filter(cond).drop("__bloom_words")
+    )

@@ -97,3 +97,40 @@ def salted_groupby_agg(
             for name, (agg, _) in metrics.items()
         ]
     )
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle-reduction join (r7): when the build side is SELECTIVE
+    but too large to broadcast raw, both sides of a plain equi-join
+    pay a full shuffle — most of the probe side's bytes traveling only
+    to be dropped. This routes the build side's keys through the
+    fixed-size distributed Bloom filter (``functions/bloom.py``): the
+    bitmap broadcasts packed as one row of m_bits/64 longs
+    (``bloom_filter_maybe_inline`` — the membership test is row-local
+    codegen, so probe rows that cannot match drop BEFORE the exchange
+    without themselves shuffling), and the exact join then runs on
+    the survivors (false positives die there; false negatives don't
+    exist, so the result EQUALS the plain join — oracle-checked).
+    This is the runtime-filter / DPP-for-non-partition-keys pattern
+    Spark applies only in narrow cases; here it is explicit and
+    composable. Shuffle-record reduction is metrics-tested."""
+    from streaming_data_pipeline_azure_spark.functions.bloom import (
+        bloom_build,
+        bloom_filter_maybe_inline,
+    )
+
+    bits = bloom_build(
+        small.select(key), key, m_bits=m_bits, k_hashes=k_hashes
+    )
+    pre = bloom_filter_maybe_inline(
+        big, key, bits, m_bits=m_bits, k_hashes=k_hashes
+    )
+    return pre.join(small, key, how)
