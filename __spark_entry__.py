@@ -2753,6 +2753,25 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sampled_rank_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Bottom-k (KMV) sample quantiles (r7): the deterministic
+    1000-order bottom-k sample (key-pure Knuth priorities —
+    sampling.bottomk_sample), reporting the exact order values at
+    ranks 1/250/500/750/1000 of the sample sorted by (price, key).
+    Rank VALUES instead of interpolated percentiles keeps the output
+    hash-exact across engines; the single-partition rank window is
+    bounded by k=1000 rows by construction."""
+    from pyspark.sql import Window
+
+    (orders,) = _tables(spark, sf, "orders")
+    samp = sampling.bottomk_sample(orders, "o_orderkey", 1000)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = samp.select("o_orderkey", "o_totalprice").withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+    return ranked.filter(F.col("rank").isin(1, 250, 500, 750, 1000))
+
+
 def _bloom_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-prefiltered join (r7): revenue of lineitems belonging to
     the ~1% most expensive orders, joined through
@@ -3217,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_customer_overlap_exact": _order_customer_overlap_exact,
         "sink_time_travel": _sink_time_travel,
         "bloom_join_revenue": _bloom_join_revenue,
+        "sampled_rank_values": _sampled_rank_values,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3252,8 +3272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         "bm25_search_indexed": _bm25_search_indexed,
         "pq_codes": _pq_codes,
-        "event_transitions": _event_transitions,
         # ==== 50-entry window boundary (r7) ====
+        "event_transitions": _event_transitions,
         "events_value_outliers": _events_value_outliers,
         "copurchase_lift": _copurchase_lift,
         "priority_sample_orders": _priority_sample_orders,
@@ -4902,6 +4922,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
+        """,
+        "sampled_rank_values": f"""
+            WITH samp AS (
+              SELECT o_orderkey, o_totalprice
+              FROM orders
+              ORDER BY {_knuth_sql('o_orderkey')}, o_orderkey
+              LIMIT 1000
+            ), ranked AS (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(ROW_NUMBER() OVER (
+                         ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                         AS rank
+              FROM samp
+            )
+            SELECT o_orderkey, o_totalprice, rank FROM ranked
+            WHERE rank IN (1, 250, 500, 750, 1000)
         """,
         "bloom_join_revenue": """
             SELECT o.o_orderpriority,

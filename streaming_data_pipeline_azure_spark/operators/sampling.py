@@ -307,3 +307,35 @@ def priority_sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def bottomk_sample(
+    df: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Bottom-k (KMV) sampling (r7): the k rows with the smallest
+    key-pure priority ``knuth_uniform(id)`` — a uniform k-row sample
+    with the property that makes it MERGEABLE STATE: bottom-k of a
+    union equals bottom-k over the union of the parts' bottom-k
+    partials, EXACTLY (an element of the union's true bottom-k is in
+    its own part's bottom-k a fortiori). So per-slice/per-batch
+    partials of size k merge losslessly to the one-pass answer — the
+    SAMPLE member of the mergeable-state family next to the decimal
+    aggregates, CMS and HLL — and everything is deterministic
+    (key-pure priorities, id tie-break), hence partition-invariant
+    and SQL-oracle-checkable, unlike rand()-based sampling.
+
+    Plan: one ``TakeOrderedAndProject`` (per-partition k-heaps, no
+    global sort). Ties in the priority break by id, so the sample is
+    a pure function of the id set."""
+    pri = knuth_uniform(F.col(id_col))
+    return df.orderBy(pri.asc(), F.col(id_col).asc()).limit(int(k))
+
+
+def merge_bottomk(
+    partials: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Merge bottom-k partials (any number, any slicing): union rows
+    are re-ranked by the same key-pure priority and the global
+    bottom-k survives — bit-identical to one pass over the union
+    (parity-tested)."""
+    return bottomk_sample(partials, id_col, k)

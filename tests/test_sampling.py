@@ -300,3 +300,44 @@ def test_priority_sample_per_group_semantics(spark):
     small = df.filter((F.col("grp") == "0") & (F.col("k") < 9))
     kept = sampling.priority_sample_per_group(small, "grp", "k", "w", 10)
     assert kept.count() == small.count()
+
+
+def test_bottomk_merge_parity_and_uniformity(spark):
+    """Bottom-k is mergeable state: partials of ANY slicing merge to
+    the bit-identical one-pass sample; the sample is a pure function
+    of the id set (partition-invariant); and as a uniform sampler the
+    keep-rate of an id range tracks its share of the population."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        bottomk_sample,
+        merge_bottomk,
+    )
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    direct = sorted(
+        tuple(r) for r in bottomk_sample(df, "k", 500).collect()
+    )
+    parts = [
+        bottomk_sample(df.filter(f"k % 4 = {i}"), "k", 500) for i in range(4)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = sorted(
+        tuple(r) for r in merge_bottomk(u, "k", 500).collect()
+    )
+    assert merged == direct and len(direct) == 500
+
+    repart = sorted(
+        tuple(r)
+        for r in bottomk_sample(df.repartition(13), "k", 500).collect()
+    )
+    assert repart == direct
+
+    # uniformity: the first half of the id domain should hold ~half
+    # the sample (binomial(500, .5): +/-5 sigma ~ 56)
+    first_half = sum(1 for k, _ in direct if k < 10_000)
+    assert 194 <= first_half <= 306, first_half
