@@ -2753,6 +2753,32 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pseudonymized_join_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-preserving pseudonymization (r7): both sides' customer keys
+    are masked with the same salted token (text.pseudonymize) BEFORE
+    the join, and the per-segment aggregate must equal what the raw
+    join produces — the referential-integrity guarantee that makes
+    masked exports analyzable. Output keyed by a masked sample token
+    per segment (pins the token values themselves, not just counts)."""
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    tok = lambda c: tx.pseudonymize(c, salt="r7-demo-salt")  # noqa: E731
+    o = orders.select(
+        tok(F.col("o_custkey")).alias("pk"), "o_totalprice"
+    )
+    c = customer.select(
+        tok(F.col("c_custkey")).alias("pk"), "c_mktsegment"
+    )
+    return (
+        o.join(c, "pk")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "total_price"),
+            F.min("pk").alias("sample_token"),
+        )
+    )
+
+
 def _sampled_rank_values(spark: SparkSession, sf: str) -> DataFrame:
     """Bottom-k (KMV) sample quantiles (r7): the deterministic
     1000-order bottom-k sample (key-pure Knuth priorities —
@@ -3237,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_time_travel": _sink_time_travel,
         "bloom_join_revenue": _bloom_join_revenue,
         "sampled_rank_values": _sampled_rank_values,
+        "pseudonymized_join_stats": _pseudonymized_join_stats,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3271,8 +3298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_snapshot": _cdc_apply_snapshot,
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         "bm25_search_indexed": _bm25_search_indexed,
-        "pq_codes": _pq_codes,
         # ==== 50-entry window boundary (r7) ====
+        "pq_codes": _pq_codes,
         "event_transitions": _event_transitions,
         "events_value_outliers": _events_value_outliers,
         "copurchase_lift": _copurchase_lift,
@@ -4922,6 +4949,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l_returnflag IN ('R', 'A')
             GROUP BY l_returnflag
+        """,
+        "pseudonymized_join_stats": """
+            WITH o AS (
+              SELECT substring(sha256('r7-demo-salt'
+                         || CAST(o_custkey AS VARCHAR)), 1, 16) AS pk,
+                     o_totalprice
+              FROM orders
+            ), c AS (
+              SELECT substring(sha256('r7-demo-salt'
+                         || CAST(c_custkey AS VARCHAR)), 1, 16) AS pk,
+                     c_mktsegment
+              FROM customer
+            )
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                        AS DOUBLE) AS total_price,
+                   MIN(o.pk) AS sample_token
+            FROM o JOIN c ON o.pk = c.pk
+            GROUP BY c.c_mktsegment
         """,
         "sampled_rank_values": f"""
             WITH samp AS (

@@ -329,3 +329,23 @@ def bigram_lm_scores(
             ).alias("avg_p"),
         )
     )
+
+
+def pseudonymize(
+    col: Column | str, *, salt: str, length: int = 16
+) -> Column:
+    """Deterministic join-preserving pseudonymization (r7): replace an
+    identifier with ``sha2(salt || value)`` truncated to ``length``
+    hex chars — the governance middle ground between raw PII and
+    redaction (:func:`redact_pii_extended` destroys referential
+    integrity; this keeps it: equal inputs map to equal tokens, so
+    keyed joins, group-bys and dedup still work on the masked data,
+    while the salt keeps the mapping non-invertible without it).
+    Pure codegen, identical in any engine with sha2 (SQL-checkable).
+    Rotate the salt to break linkage between releases. Collision odds
+    at the default 16 hex chars (64 bits) are ~n²/2⁶⁵ — negligible
+    below billions of distinct ids; raise ``length`` for more."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(
+        F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, length
+    )

@@ -171,3 +171,41 @@ def test_bigram_lm_scores_hand_computed_model(spark):
         assert abs(got["d1"][1] - 2.5 / 3) < 1e-12
         # d2 normalizes "  A  b " -> "a b": one transition at p=0.875
         assert got["d2"] == (1, 0.875)
+
+
+def test_pseudonymize_preserves_joins_and_masks_values(spark):
+    """Pseudonymization contract: deterministic (same value -> same
+    token, across DataFrames and partitionings), join counts equal the
+    raw join's, tokens reveal neither the value nor its ordering, and
+    a different salt produces disjoint tokens (release unlinkability)."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        pseudonymize,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(50)], "k int")
+    b = spark.createDataFrame(
+        [(i, i * 2) for i in range(0, 100, 2)], "k int, v int"
+    )
+    ta = a.select(pseudonymize("k", salt="s1").alias("pk"))
+    tb = b.select(pseudonymize("k", salt="s1").alias("pk"), "v")
+    assert ta.join(tb, "pk").count() == a.join(b, "k").count() == 25
+
+    toks = {r["pk"] for r in ta.collect()}
+    assert len(toks) == 50  # injective here
+    assert all(len(t) == 16 for t in toks)
+    raw = {str(i) for i in range(50)}
+    assert toks.isdisjoint(raw)
+
+    other = {
+        r["pk"]
+        for r in a.select(pseudonymize("k", salt="s2").alias("pk")).collect()
+    }
+    assert toks.isdisjoint(other)
+    # partition invariance
+    again = {
+        r["pk"]
+        for r in a.repartition(7)
+        .select(pseudonymize("k", salt="s1").alias("pk"))
+        .collect()
+    }
+    assert again == toks
