@@ -2753,6 +2753,18 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (r7): directed pairs where ≥80% of
+    the contained doc's word-3-gram shingles appear in the container
+    (operators/dedup.py:containment_pairs — one-sided prefix filter,
+    recall 1.0). The oracle brute-forces the same directed measure
+    over shingle STRING sets (hashed-set intersections match modulo
+    2^-64 collisions, as for the symmetric twin)."""
+    return dedup.containment_pairs(
+        _docs(spark, sf), "doc_id", "text", threshold=0.8
+    )
+
+
 def _pseudonymized_join_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Join-preserving pseudonymization (r7): both sides' customer keys
     are masked with the same salted token (text.pseudonymize) BEFORE
@@ -3264,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_revenue": _bloom_join_revenue,
         "sampled_rank_values": _sampled_rank_values,
         "pseudonymized_join_stats": _pseudonymized_join_stats,
+        "containment_pairs": _containment_pairs,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3297,8 +3310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_order_status": _scd2_order_status,
         "cdc_apply_snapshot": _cdc_apply_snapshot,
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
-        "bm25_search_indexed": _bm25_search_indexed,
         # ==== 50-entry window boundary (r7) ====
+        "bm25_search_indexed": _bm25_search_indexed,
         "pq_codes": _pq_codes,
         "event_transitions": _event_transitions,
         "events_value_outliers": _events_value_outliers,
@@ -5455,6 +5468,28 @@ def oracle_sql() -> dict[str, str]:
             FROM best
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)
             GROUP BY cid
+        """,
+        "containment_pairs": r"""
+            WITH sets AS (
+              SELECT doc_id,
+                     list_distinct([
+                        array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-2, 1) + 1)
+                     ]) AS g
+              FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                           ' ') AS toks
+                FROM documents
+              )
+            )
+            SELECT a.doc_id AS contained_id,
+                   b.doc_id AS container_id,
+                   CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / CAST(len(a.g) AS DOUBLE) AS containment
+            FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.g, b.g)) >= 0.8 * len(a.g)
         """,
         "dedup_jaccard_exact": r"""
             WITH sets AS (

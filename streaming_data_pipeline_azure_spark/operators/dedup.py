@@ -1366,3 +1366,74 @@ def embedding_dedup(df: DataFrame, id_col: str, vec_col: str, **kw) -> DataFrame
     """Embedding-cosine near-dup dedup, keep smallest id."""
     pairs = embedding_near_dup_pairs(df, id_col, vec_col, **kw)
     return _drop_matched(df, id_col, pairs)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    shingle_kind: str = "word",
+) -> DataFrame:
+    """ASYMMETRIC near-dup (r7): directed (contained, container) pairs
+    where >= ``threshold`` of the contained doc's shingles appear in
+    the container — Jaccard CONTAINMENT |A∩B|/|A|, the measure that
+    catches quotation/subset duplication the symmetric family misses
+    (a short doc embedded verbatim in a long one has near-zero Jaccard
+    but containment ≈ 1; exactly the shape of boilerplate reuse and
+    quote-chains in a crawl).
+
+    Prefix filtering adapts one-sidedly: only the CONTAINED side
+    exposes a prefix (its ``floor((1-t)·|A|)+1`` smallest hashes — if
+    a container holds ≥ t·|A| of A's shingles, at most (1-t)·|A| are
+    missing, so at least one prefix element must be present: recall
+    1.0, deterministic), while the container side streams ALL its
+    shingle hashes into the candidate equi-join — the asymmetric
+    price, bounded by corpus shingle volume, not |pairs|. Exact verify
+    via ``array_intersect`` against t·|A|; emitted ``containment`` is
+    an exact integer ratio in doubles (engine-identical). Self-pairs
+    excluded; both directions can appear (A⊆B and B⊆A both real)."""
+    sets = persist_tracked(
+        shingle_sets(df, id_col, text_col, shingle_n, shingle_kind)
+    )
+    pre = sets.select(
+        F.col(id_col).alias("contained_id"),
+        F.explode(
+            F.expr(
+                "slice(array_sort(__sh), 1, "
+                f"CAST(floor({1.0 - threshold} * size(__sh)) AS INT) + 1)"
+            )
+        ).alias("__p"),
+    )
+    full = sets.select(
+        F.col(id_col).alias("container_id"),
+        F.explode("__sh").alias("__p"),
+    )
+    cand = (
+        pre.join(full, "__p")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    sh_a = sets.select(
+        F.col(id_col).alias("contained_id"), F.col("__sh").alias("__sh_a")
+    )
+    sh_b = sets.select(
+        F.col(id_col).alias("container_id"), F.col("__sh").alias("__sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    na = F.size(F.col("__sh_a"))
+    return (
+        cand.join(sh_a, "contained_id")
+        .join(sh_b, "container_id")
+        .filter(
+            inter.cast("double") >= F.lit(float(threshold)) * na.cast("double")
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            (inter.cast("double") / na.cast("double")).alias("containment"),
+        )
+    )

@@ -574,3 +574,37 @@ def test_embedding_neardup_max_bucket_valve(spark):
     hub_pairs_uncapped = {p for p in uncapped if p[0] < 100 and p[1] < 100}
     assert len(hub_pairs_uncapped) > 1000           # the bomb is real
     assert len(hub_pairs_capped) < len(hub_pairs_uncapped) / 2
+
+
+def test_containment_pairs_catches_subset_duplication(spark):
+    """Planted geometry for the asymmetric measure: a short doc
+    embedded verbatim in a long one has containment 1.0 in that
+    direction only (symmetric Jaccard would be tiny); unrelated text
+    produces no pair; near-identical twins appear in BOTH directions."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again today"
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, quote + " padded with a very long unrelated tail "
+                "that keeps going on and on about entirely other "
+                "matters for many more words than the quote itself"),
+            (3, "completely different content with no shared phrases "
+                "anywhere in it at all whatsoever to be found"),
+            (4, quote),  # exact twin of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(
+            docs, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0          # quote contained in article
+    assert (2, 1) not in got           # not vice versa
+    assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0  # twins: both ways
+    assert all(3 not in p for p in got)
