@@ -337,6 +337,11 @@ def test_bottomk_merge_parity_and_uniformity(spark):
     )
     assert repart == direct
 
+    # plans as per-partition heaps, never a global sort
+    plan = bottomk_sample(df, "k", 500)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
     # uniformity: the first half of the id domain should hold ~half
     # the sample (binomial(500, .5): +/-5 sigma ~ 56)
     first_half = sum(1 for k, _ in direct if k < 10_000)
