@@ -503,14 +503,15 @@ def estimate_key_overlap(
     nb = F.col("nb")
     nu = F.col("nu")
     inter = F.greatest(na + nb - nu, F.lit(0))
+    est = lambda frame, alias: frame.select(  # noqa: E731
+        F.coalesce(  # empty input -> null sketch -> report 0 distinct
+            F.hll_sketch_estimate("hll").cast("long"), F.lit(0)
+        ).alias(alias)
+    )
     return (
-        a.select(F.hll_sketch_estimate("hll").cast("long").alias("na"))
-        .crossJoin(
-            b.select(F.hll_sketch_estimate("hll").cast("long").alias("nb"))
-        )
-        .crossJoin(
-            u.select(F.hll_sketch_estimate("hll").cast("long").alias("nu"))
-        )
+        est(a, "na")
+        .crossJoin(est(b, "nb"))
+        .crossJoin(est(u, "nu"))
         .select(
             na.alias("n_left_approx"),
             nb.alias("n_right_approx"),

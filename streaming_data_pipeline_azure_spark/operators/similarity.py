@@ -336,6 +336,8 @@ def semantic_dedup(
     """
     from streaming_data_pipeline_azure_spark.functions.vector import norm
 
+    if not centroids:
+        raise ValueError("semantic_dedup needs a non-empty centroid set")
     n_blocks = 16
     raw = assign_fixed_centroids(df, vec_col, centroids).select(
         F.col(id_col).cast("long").alias(id_col),

@@ -127,6 +127,13 @@ def bloom_prefilter_join(
         bloom_filter_maybe_inline,
     )
 
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/semi joins only; "
+            f"how={how!r} would silently drop unmatched probe rows "
+            f"(the prefilter removes them before an outer join could "
+            f"preserve them) — use a plain join for outer semantics"
+        )
     bits = bloom_build(
         small.select(key), key, m_bits=m_bits, k_hashes=k_hashes
     )

@@ -345,6 +345,8 @@ def pseudonymize(
     Rotate the salt to break linkage between releases. Collision odds
     at the default 16 hex chars (64 bits) are ~n²/2⁶⁵ — negligible
     below billions of distinct ids; raise ``length`` for more."""
+    if not 1 <= length <= 64:
+        raise ValueError("pseudonymize length must be 1..64 hex chars")
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(
         F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, length

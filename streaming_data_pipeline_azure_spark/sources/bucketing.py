@@ -237,6 +237,8 @@ def write_range_sorted(
 
     ``n_files=0`` keeps the session's shuffle parallelism (one file
     per range partition)."""
+    if not sort_cols:
+        raise ValueError("write_range_sorted needs at least one sort column")
     out = (
         df.repartitionByRange(n_files, *sort_cols)
         if n_files > 0

@@ -637,3 +637,23 @@ def test_bloom_prefilter_join_cuts_shuffled_probe_records(spark, tmp_path):
     pre_rec = sum(m["records"] for m in shuffle_write_metrics(
         pre.hint("merge").join(small, "k")))
     assert pre_rec < plain_rec / 5, (pre_rec, plain_rec)
+
+
+def test_bloom_prefilter_join_rejects_outer_semantics(spark):
+    """how='left' would silently drop unmatched probe rows (the
+    prefilter removes them before an outer join could keep them) —
+    contract error, not silent corruption."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.skew import (
+        bloom_prefilter_join,
+    )
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, 2)], "k long, w long")
+    with _pytest.raises(ValueError):
+        bloom_prefilter_join(a, b, "k", how="left")
+    # semi works and keeps probe columns only
+    assert bloom_prefilter_join(a, b, "k", how="left_semi").columns == [
+        "k", "v",
+    ]
