@@ -2753,6 +2753,49 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lineitem_status_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal-dimension join (r7): every lineitem joins the SCD2
+    status version its customer held AT SHIP TIME — the event-time ⋈
+    slowly-changing-dimension pattern (Kimball type-2 lookup) that a
+    plain latest-version join gets WRONG for late events. The interval
+    predicate rides an equi-key join (custkey co-partitioning + range
+    residual — never a nested loop); intervals are half-open
+    [valid_from, valid_to), so same-day status flips yield empty
+    intervals that self-exclude and every ship instant matches exactly
+    one version. Oracle: the scd2 SQL reused as a CTE + BETWEEN join."""
+    li = _lineitem(spark, sf)
+    (orders,) = _tables(spark, sf, "orders")
+    hist = cdc.scd2_history(
+        orders.select(
+            "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+        ),
+        key_cols=["o_custkey"],
+        seq_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("hk"),
+        F.col("o_orderstatus").alias("status_at_ship"),
+        "valid_from",
+        "valid_to",
+    )
+    li2 = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select("o_custkey", "l_shipdate", "l_extendedprice", "l_discount")
+    j = li2.join(
+        hist,
+        (li2.o_custkey == hist.hk)
+        & (li2.l_shipdate >= hist.valid_from)
+        & (hist.valid_to.isNull() | (li2.l_shipdate < hist.valid_to)),
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.groupBy("status_at_ship").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum(disc_price, "revenue"),
+    )
+
+
 def _containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment dedup (r7): directed pairs where ≥80% of
     the contained doc's word-3-gram shingles appear in the container
@@ -3278,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_rank_values": _sampled_rank_values,
         "pseudonymized_join_stats": _pseudonymized_join_stats,
         "containment_pairs": _containment_pairs,
+        "lineitem_status_asof": _lineitem_status_asof,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3310,8 +3354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_checks": _data_quality_checks,
         "scd2_order_status": _scd2_order_status,
         "cdc_apply_snapshot": _cdc_apply_snapshot,
-        "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         # ==== 50-entry window boundary (r7) ====
+        "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         "bm25_search_indexed": _bm25_search_indexed,
         "pq_codes": _pq_codes,
         "event_transitions": _event_transitions,
@@ -5469,6 +5513,41 @@ def oracle_sql() -> dict[str, str]:
             FROM best
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)
             GROUP BY cid
+        """,
+        "lineitem_status_asof": """
+            WITH ordered AS (
+              SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                     LAG(o_orderstatus) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                     ) AS prev_status
+              FROM orders
+            ), changes AS (
+              SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+              FROM ordered
+              WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+            ), hist AS (
+              SELECT o_custkey, o_orderstatus,
+                     o_orderdate AS valid_from,
+                     LEAD(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                     ) AS valid_to
+              FROM changes
+            ), li2 AS (
+              SELECT o.o_custkey, l.l_shipdate,
+                     l.l_extendedprice, l.l_discount
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+            SELECT h.o_orderstatus AS status_at_ship,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM li2 l JOIN hist h
+              ON l.o_custkey = h.o_custkey
+             AND l.l_shipdate >= h.valid_from
+             AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+            GROUP BY h.o_orderstatus
         """,
         "containment_pairs": r"""
             WITH sets AS (
