@@ -2753,6 +2753,25 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pack_documents_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-pure sequence packing (r7): documents pack into
+    2048-token bins WITHIN each language (packing.py:
+    pack_sequences_grouped — per-group window prefix sum, no
+    cross-language bins by construction), reported per (lang, bin)."""
+    docs = _docs(spark, sf)
+    packed = packing.pack_sequences_grouped(
+        docs.select("doc_id", "lang", tx.token_count("text").alias("tok")),
+        ["lang"],
+        "doc_id",
+        "tok",
+        2048,
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
+    )
+
+
 def _lineitem_status_asof(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal-dimension join (r7): every lineitem joins the SCD2
     status version its customer held AT SHIP TIME — the event-time ⋈
@@ -3322,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymized_join_stats": _pseudonymized_join_stats,
         "containment_pairs": _containment_pairs,
         "lineitem_status_asof": _lineitem_status_asof,
+        "pack_documents_by_lang": _pack_documents_by_lang,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3353,8 +3373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _cohort_retention,
         "data_quality_checks": _data_quality_checks,
         "scd2_order_status": _scd2_order_status,
-        "cdc_apply_snapshot": _cdc_apply_snapshot,
         # ==== 50-entry window boundary (r7) ====
+        "cdc_apply_snapshot": _cdc_apply_snapshot,
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         "bm25_search_indexed": _bm25_search_indexed,
         "pq_codes": _pq_codes,
@@ -5513,6 +5533,24 @@ def oracle_sql() -> dict[str, str]:
             FROM best
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)
             GROUP BY cid
+        """,
+        "pack_documents_by_lang": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents
+            ), c AS (
+              SELECT lang, doc_id, tok,
+                     SUM(tok) OVER (
+                       PARTITION BY lang ORDER BY doc_id) AS cum
+              FROM t
+            )
+            SELECT lang,
+                   CAST(floor(CAST(cum - tok AS DOUBLE) / 2048.0)
+                        AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS bin_tokens
+            FROM c GROUP BY lang, bin
         """,
         "lineitem_status_asof": """
             WITH ordered AS (

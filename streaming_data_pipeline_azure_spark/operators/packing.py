@@ -102,3 +102,31 @@ def pack_stats(packed: DataFrame, token_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).cast("long").alias("total_tokens"),
     )
+
+
+def pack_sequences_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    token_col: str | Column,
+    capacity: int,
+) -> DataFrame:
+    """Pack WITHIN groups (r7): sequence packing that never mixes
+    groups in a bin — the language/source-purity constraint a
+    multilingual pretraining mix imposes (a bin is one training
+    sequence; cross-language bins poison it). Same greedy
+    consecutive-fill as :func:`pack_sequences`, but the prefix sum is
+    a per-group window (PARTITION BY group ORDER BY id): with many
+    groups this scales BETTER than the global two-pass prefix sum —
+    each group sorts only its own rows on the one group-key shuffle —
+    and needs no driver offsets at all. Bin identity is
+    (group_cols…, bin); deterministic given unique ids."""
+    w = Window.partitionBy(*group_cols).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tokens = F.col(token_col) if isinstance(token_col, str) else token_col
+    cum = F.sum(tokens).over(w)
+    return df.withColumn(
+        "bin",
+        F.floor((cum - tokens) / F.lit(capacity)).cast("long"),
+    )

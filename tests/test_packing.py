@@ -86,3 +86,36 @@ def test_persist_tracker_releases_blocks(spark, sf_dir):
     assert not c._LIVE
     for df in tracked:
         assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
+
+
+def test_pack_sequences_grouped_never_mixes_groups(spark):
+    """Group-pure packing contract (same start-offset semantics as the
+    global pack_sequences: a doc's bin is the bin of its START offset
+    in the group's concatenated token stream): every group restarts at
+    bin 0 — never mixes with another group — and a group's stream
+    crossing the capacity boundary opens its next bin; result is
+    partition-invariant."""
+    from streaming_data_pipeline_azure_spark.operators.packing import (
+        pack_sequences_grouped,
+    )
+
+    rows = [
+        # en offsets: 0, 60, 110 -> bins 0, 0, 1
+        ("en", 1, 60), ("en", 2, 50), ("en", 3, 10),
+        # fr offsets: 0, 90, 180 -> bins 0, 0, 1 (fresh stream!)
+        ("fr", 4, 90), ("fr", 5, 90), ("fr", 7, 10),
+        ("de", 6, 5),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, tok long")
+    for parts in (1, 5):
+        got = {
+            r["doc_id"]: (r["lang"], r["bin"])
+            for r in pack_sequences_grouped(
+                df.repartition(parts), ["lang"], "doc_id", "tok", 100
+            ).collect()
+        }
+        assert got[1] == ("en", 0) and got[2] == ("en", 0)
+        assert got[3] == ("en", 1)
+        assert got[4] == ("fr", 0) and got[5] == ("fr", 0)
+        assert got[7] == ("fr", 1)
+        assert got[6] == ("de", 0)
