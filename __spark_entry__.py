@@ -2753,6 +2753,25 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _mmr_diverse_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR-diversified retrieval (r7): brute-force top-64 by cosine to
+    the shared query vector, then Maximal Marginal Relevance rerank to
+    10 (similarity.mmr_rerank — bounded driver greedy, deterministic
+    tie-breaks). Rows-only: greedy selection has no SQL twin; anchored
+    by the planted duplicate-cluster test and lam=1 relevance-order
+    degeneration."""
+    emb = _emb(spark, sf)
+    q = _query_vector(spark, sf)
+    top = similarity.topk_bruteforce(emb, "embedding", q, k=64)
+    cands = top.join(emb.select("vec_id", "embedding"), "vec_id")
+    picked = similarity.mmr_rerank(
+        cands, "vec_id", "embedding", "score", k=10, lam=0.5
+    )
+    return spark.createDataFrame(
+        picked, "vec_id long, score double, mmr_score double"
+    )
+
+
 def _pack_documents_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Group-pure sequence packing (r7): documents pack into
     2048-token bins WITHIN each language (packing.py:
@@ -3529,6 +3548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HLL set-algebra overlap (r7): sketch estimates — exact twin
         # `order_customer_overlap_exact` is the oracle anchor
         "order_customer_overlap_hll": _order_customer_overlap_hll,
+        # MMR diversity rerank (r7): greedy selection has no SQL twin —
+        # planted-cluster + lam=1-degeneration tests are the anchors
+        "mmr_diverse_topk": _mmr_diverse_topk,
         # HLL sketch estimates (r7): DataSketches binary state has no
         # DuckDB twin — anchored by the exact `daily_active_users`
         # oracle entry + merge/error tests in tests/test_profile.py

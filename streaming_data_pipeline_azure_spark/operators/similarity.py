@@ -1973,3 +1973,64 @@ def pq_encode_np(
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         kernel, schema=f"{id_col} long, codes array<long>"
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    score_col: str,
+    *,
+    k: int = 10,
+    lam: float = 0.5,
+    max_candidates: int = 512,
+) -> "list":
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    greedily pick the candidate maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_selected`` — the
+    diversity stage every retrieval stack runs AFTER top-N (a near-dup
+    cluster in the candidates otherwise fills the whole result page;
+    with near-dup corpora that is the common case, which is why this
+    sits next to the dedup family).
+
+    By contract this consumes a top-N probe result (brute-force,
+    IVF/IVF-PQ, BM25+RRF), so the candidate set is small and BOUNDED:
+    the collect is `_collect_bounded` (≤ ``max_candidates``, contract
+    error beyond) and the greedy loop is O(k·N·d) numpy on the driver
+    — the same boundedness argument as the probe's own top-N collect.
+    Deterministic: ties break to the smaller id. Returns the selected
+    rows as a list of (id, score, mmr_score) tuples, best-first."""
+    import numpy as np
+
+    rows = _collect_bounded(
+        candidates.select(id_col, vec_col, score_col),
+        max_candidates,
+        "MMR candidates",
+        "MMR is a rerank stage — feed it a bounded top-N probe result, "
+        "not a corpus",
+    )
+    if not rows:
+        return []
+    rows = sorted(rows, key=lambda r: r[id_col])  # collect order is not
+    # deterministic across partitions; id order makes tie-breaks pure
+    ids = [r[id_col] for r in rows]
+    rel = np.array([float(r[score_col]) for r in rows])
+    X = np.array([[float(x) for x in r[vec_col]] for r in rows])
+    n = np.linalg.norm(X, axis=1)
+    n[n == 0] = 1.0
+    X = X / n[:, None]
+    sims = X @ X.T
+    selected: list[int] = []
+    remaining = set(range(len(ids)))
+    out = []
+    while remaining and len(out) < k:
+        best_i, best_val = None, None
+        for i in sorted(remaining):  # sorted -> deterministic tie-break
+            penalty = max(sims[i][j] for j in selected) if selected else 0.0
+            val = lam * rel[i] - (1.0 - lam) * penalty
+            if best_val is None or val > best_val:
+                best_i, best_val = i, val
+        selected.append(best_i)
+        remaining.remove(best_i)
+        out.append((ids[best_i], float(rel[best_i]), float(best_val)))
+    return out

@@ -1079,3 +1079,43 @@ def test_embedding_decontaminate_flags_near_eval_vectors(spark):
         sim.embedding_decontaminate(corpus, eval_df.filter("vec_id < 0"))
     with _pytest.raises(ValueError):
         sim.embedding_decontaminate(corpus, corpus, max_eval=2)
+
+
+def test_mmr_rerank_diversifies_duplicate_cluster(spark):
+    """Planted geometry pins MMR semantics: three near-identical
+    high-relevance vectors collapse to ONE representative in the
+    reranked top-3 (the other slots go to diverse lower-relevance
+    candidates); lam=1 degenerates to pure relevance order;
+    determinism across partitionings; over-cap candidates error."""
+    import pytest as _pytest
+
+    rows = [
+        # dup cluster, highest relevance
+        (1, [1.0, 0.0, 0.0], 0.99),
+        (2, [0.999, 0.01, 0.0], 0.98),
+        (3, [0.998, 0.02, 0.0], 0.97),
+        # diverse directions, lower relevance
+        (4, [0.0, 1.0, 0.0], 0.60),
+        (5, [0.0, 0.0, 1.0], 0.55),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, score double"
+    )
+    got = sim.mmr_rerank(
+        df, "vec_id", "embedding", "score", k=3, lam=0.5
+    )
+    ids = [t[0] for t in got]
+    assert ids[0] == 1                      # best relevance first
+    assert set(ids) == {1, 4, 5}            # dups 2,3 displaced
+    pure = sim.mmr_rerank(
+        df, "vec_id", "embedding", "score", k=3, lam=1.0
+    )
+    assert [t[0] for t in pure] == [1, 2, 3]
+    again = sim.mmr_rerank(
+        df.repartition(5), "vec_id", "embedding", "score", k=3, lam=0.5
+    )
+    assert [t[0] for t in again] == ids
+    with _pytest.raises(ValueError):
+        sim.mmr_rerank(
+            df, "vec_id", "embedding", "score", max_candidates=2
+        )
