@@ -2753,6 +2753,27 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _price_drift_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift (r7): even-keyed orders play the reference
+    snapshot, odd-keyed orders the current one with a planted +20000
+    shift on keys ≡0 mod 7 — validate.distribution_drift reports
+    per-decile shares and log-free chi-square terms over the
+    reference's exact decile boundaries; DuckDB replicates boundary
+    derivation, value-based bucketing and the arithmetic exactly."""
+    (orders,) = _tables(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    ref = orders.filter(F.pmod(k, F.lit(2)) == 0).select(
+        k.alias("k"), F.col("o_totalprice").alias("v")
+    )
+    cur = orders.filter(F.pmod(k, F.lit(2)) == 1).select(
+        k.alias("k"),
+        F.when(F.pmod(k, F.lit(7)) == 0, F.col("o_totalprice") + 20000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+    )
+    return validate.distribution_drift(ref, cur, "v", "k")
+
+
 def _mmr_diverse_topk(spark: SparkSession, sf: str) -> DataFrame:
     """MMR-diversified retrieval (r7): brute-force top-64 by cosine to
     the shared query vector, then Maximal Marginal Relevance rerank to
@@ -3361,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _containment_pairs,
         "lineitem_status_asof": _lineitem_status_asof,
         "pack_documents_by_lang": _pack_documents_by_lang,
+        "price_drift_stats": _price_drift_stats,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3391,8 +3413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _funnel_conversion,
         "cohort_retention": _cohort_retention,
         "data_quality_checks": _data_quality_checks,
-        "scd2_order_status": _scd2_order_status,
         # ==== 50-entry window boundary (r7) ====
+        "scd2_order_status": _scd2_order_status,
         "cdc_apply_snapshot": _cdc_apply_snapshot,
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         "bm25_search_indexed": _bm25_search_indexed,
@@ -5555,6 +5577,59 @@ def oracle_sql() -> dict[str, str]:
             FROM best
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)
             GROUP BY cid
+        """,
+        "price_drift_stats": """
+            WITH refsnap AS (
+              SELECT o_orderkey AS k, o_totalprice AS v
+              FROM orders WHERE o_orderkey % 2 = 0
+            ), cursnap AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 20000.0
+                          ELSE o_totalprice END AS v
+              FROM orders WHERE o_orderkey % 2 = 1
+            ), tiled AS (
+              SELECT v, NTILE(10) OVER (ORDER BY v, k) AS q FROM refsnap
+            ), bounds AS (
+              SELECT MAX(v) AS b FROM tiled WHERE q < 10 GROUP BY q
+            ), rb AS (
+              SELECT 1 + (SELECT COUNT(*) FROM bounds WHERE b < r.v)
+                  AS bucket
+              FROM refsnap r
+            ), cb AS (
+              SELECT 1 + (SELECT COUNT(*) FROM bounds WHERE b < c.v)
+                  AS bucket
+              FROM cursnap c
+            ), rc AS (
+              SELECT bucket, COUNT(*) AS n_ref FROM rb GROUP BY bucket
+            ), cc AS (
+              SELECT bucket, COUNT(*) AS n_cur FROM cb GROUP BY bucket
+            ), tot AS (
+              SELECT (SELECT COUNT(*) FROM refsnap) AS nr,
+                     (SELECT COUNT(*) FROM cursnap) AS nc
+            )
+            SELECT CAST(COALESCE(r.bucket, c.bucket) AS BIGINT) AS bucket,
+                   CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+                   CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur,
+                   CAST(COALESCE(n_ref, 0) AS DOUBLE)
+                       / CAST(nr AS DOUBLE) AS ref_share,
+                   CAST(COALESCE(n_cur, 0) AS DOUBLE)
+                       / CAST(nc AS DOUBLE) AS cur_share,
+                   CASE WHEN COALESCE(n_ref, 0) > 0 THEN
+                     ((CAST(COALESCE(n_cur, 0) AS DOUBLE)
+                           / CAST(nc AS DOUBLE)
+                       - CAST(COALESCE(n_ref, 0) AS DOUBLE)
+                           / CAST(nr AS DOUBLE))
+                      * (CAST(COALESCE(n_cur, 0) AS DOUBLE)
+                           / CAST(nc AS DOUBLE)
+                         - CAST(COALESCE(n_ref, 0) AS DOUBLE)
+                             / CAST(nr AS DOUBLE)))
+                     / (CAST(COALESCE(n_ref, 0) AS DOUBLE)
+                            / CAST(nr AS DOUBLE))
+                   END AS drift_term
+            FROM rc r
+            FULL OUTER JOIN cc c ON r.bucket = c.bucket
+            CROSS JOIN tot
         """,
         "pack_documents_by_lang": r"""
             WITH t AS (

@@ -183,3 +183,85 @@ def diff_snapshots(
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_cols"),
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution-drift monitor (r7): compare a current snapshot's
+    value distribution against a reference over the REFERENCE's
+    equi-height buckets — the PSI-shaped check an ML-ops pipeline runs
+    before trusting yesterday's model on today's data, kept LOG-FREE
+    (chi-square-style terms ``(cur_share − ref_share)²/ref_share``)
+    so every number is an exact function of integer counts and the
+    whole check is SQL-oracle-verifiable (PSI's log ratio differs by
+    libm ulps across engines and could never be value-hashed; the
+    ordering of bucket severities is the same).
+
+    Boundaries come from the reference's EXACT deciles (ntile over a
+    (value, id) total order — ties split deterministically), collected
+    O(n_buckets); both sides then bucket VALUE-BASED (count of
+    boundaries strictly below), so the two engines and the two
+    snapshots share one bucketing function. The global-sort ntile is
+    the exactness anchor — at 100 TB swap boundaries for
+    ``profile.approx_quantile_buckets`` (GK sketch, same downstream
+    shape). Returns one row per bucket: (bucket, n_ref, n_cur,
+    ref_share, cur_share, drift_term); sum drift_term for the
+    statistic, or read the max term for the worst bucket."""
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError("distribution_drift needs >= 2 buckets")
+    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    tiled = ref.select(
+        F.col(value_col).alias("__v"),
+        F.ntile(n_buckets).over(w).alias("__q"),
+    )
+    bounds = [
+        float(r["__b"])
+        for r in tiled.groupBy("__q")
+        .agg(F.max("__v").alias("__b"))
+        .orderBy("__q")
+        .collect()[: n_buckets - 1]  # last bucket is open-ended
+    ]
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        b = F.lit(1)
+        for x in bounds:
+            b = b + F.when(F.col(value_col) > x, 1).otherwise(0)
+        return df.select(b.cast("long").alias("bucket"))
+
+    nr = ref.count()
+    nc = cur.count()
+    if nr == 0 or nc == 0:
+        raise ValueError("distribution_drift needs non-empty snapshots")
+    rc = bucketed(ref).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    cc = bucketed(cur).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    j = rc.join(cc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    ref_share = F.col("n_ref").cast("double") / F.lit(float(nr))
+    cur_share = F.col("n_cur").cast("double") / F.lit(float(nc))
+    term = F.when(
+        F.col("n_ref") > 0,
+        (cur_share - ref_share) * (cur_share - ref_share) / ref_share,
+    ).otherwise(F.lit(None).cast("double"))
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        ref_share.alias("ref_share"),
+        cur_share.alias("cur_share"),
+        term.alias("drift_term"),
+    )

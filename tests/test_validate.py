@@ -140,3 +140,38 @@ def test_diff_snapshots_classifies_and_lists_changed_cols(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         diff_snapshots(old, new, [])
+
+
+def test_distribution_drift_flags_planted_shift(spark):
+    """Identical snapshots show ~zero drift terms; a planted upward
+    shift concentrates current mass in the top reference buckets and
+    their drift terms dominate; empty snapshots and <2 buckets are
+    contract errors."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        distribution_drift,
+    )
+
+    ref = spark.range(0, 2_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    same = distribution_drift(ref, ref, "v", "k").collect()
+    assert sum(r["drift_term"] for r in same) < 1e-12
+    assert sum(r["n_cur"] for r in same) == 2_000
+
+    shifted = ref.select("k", (F.col("v") + 60.0).alias("v"))
+    d = {r["bucket"]: r for r in
+         distribution_drift(ref, shifted, "v", "k").collect()}
+    # everything >= 60 lands in the top buckets; bucket 10 holds the
+    # overflow mass (cur_share far above ref_share)
+    assert d[10]["cur_share"] > 0.5 > d[10]["ref_share"]
+    assert d[1]["n_cur"] == 0  # bottom ref bucket drained
+    total = sum(r["drift_term"] for r in d.values()
+                if r["drift_term"] is not None)
+    assert total > 1.0
+
+    with _pytest.raises(ValueError):
+        distribution_drift(ref, ref.filter("k < 0"), "v", "k")
+    with _pytest.raises(ValueError):
+        distribution_drift(ref, ref, "v", "k", n_buckets=1)
