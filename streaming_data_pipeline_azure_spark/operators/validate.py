@@ -230,22 +230,37 @@ def distribution_drift(
         .collect()[: n_buckets - 1]  # last bucket is open-ended
     ]
 
-    def bucketed(df: DataFrame) -> DataFrame:
-        b = F.lit(1)
-        for x in bounds:
-            b = b + F.when(F.col(value_col) > x, 1).otherwise(0)
-        return df.select(b.cast("long").alias("bucket"))
-
     nr = ref.count()
     nc = cur.count()
     if nr == 0 or nc == 0:
         raise ValueError("distribution_drift needs non-empty snapshots")
-    rc = bucketed(ref).groupBy("bucket").agg(
+    rc = bucketize(ref, value_col, bounds).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_ref")
     )
-    cc = bucketed(cur).groupBy("bucket").agg(
+    cc = bucketize(cur, value_col, bounds).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_cur")
     )
+    return drift_report(rc, cc, nr, nc)
+
+
+def bucketize(df: DataFrame, value_col: str, bounds: list[float]) -> DataFrame:
+    """Value-based bucket assignment against fixed boundaries (bucket =
+    1 + number of boundaries strictly below) — the shared bucketing
+    function of :func:`distribution_drift` and the streaming drift
+    ingest (the boundaries being FIXED is what makes per-batch bucket
+    counts trivially mergeable state: counts are additive)."""
+    b = F.lit(1)
+    for x in bounds:
+        b = b + F.when(F.col(value_col) > x, 1).otherwise(0)
+    return df.select(b.cast("long").alias("bucket"))
+
+
+def drift_report(
+    rc: DataFrame, cc: DataFrame, nr: int, nc: int
+) -> DataFrame:
+    """Score (bucket, n_ref) vs (bucket, n_cur) count frames — the
+    shared tail of batch and streaming drift (shares + log-free
+    chi-square terms; engine-exact integer-ratio arithmetic)."""
     j = rc.join(cc, "bucket", "full_outer").select(
         "bucket",
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),

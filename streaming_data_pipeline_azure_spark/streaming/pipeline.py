@@ -401,6 +401,74 @@ def build_join_view_ingest_query(
     return writer.start()
 
 
+def build_drift_ingest_query(
+    value_stream: DataFrame,
+    value_col: str,
+    bounds: list,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming drift state (r7): each micro-batch's values bucket
+    against FIXED reference boundaries and the per-bucket counts
+    persist at replay-idempotent ``batch_id=N`` overwrite partitions —
+    the monitoring member of the streaming sketch family (fixed
+    boundaries make bucket counts trivially mergeable: plain addition).
+    Serve with :func:`read_drift`; micro-batched state scores
+    IDENTICALLY to one batch pass over the union (tested)."""
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        bucketize,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        bucketize(batch_df, value_col, bounds).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_cur")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    writer = (
+        value_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_drift(
+    spark,
+    state_path: str,
+    ref: DataFrame,
+    value_col: str,
+    bounds: list,
+) -> DataFrame:
+    """Serve the streaming drift state: merge every batch's bucket
+    counts (additive) and score against the reference snapshot's
+    bucket counts — the same (bucket, shares, drift_term) frame
+    :func:`...validate.distribution_drift` produces."""
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        bucketize,
+        drift_report,
+    )
+
+    cur = (
+        spark.read.parquet(state_path)
+        .groupBy("bucket")
+        .agg(F.sum("n_cur").alias("n_cur"))
+    )
+    nc = cur.agg(F.sum("n_cur")).collect()[0][0] or 0
+    nr = ref.count()
+    if nr == 0 or nc == 0:
+        raise ValueError("read_drift needs non-empty reference and state")
+    rc = bucketize(ref, value_col, bounds).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    return drift_report(rc, cur, nr, int(nc))
+
+
 def read_heavy_hitters(
     spark,
     state_path: str,

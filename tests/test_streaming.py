@@ -1128,3 +1128,73 @@ def test_enrichment_observe_metrics_ride_progress_events(spark, tmp_path):
             refresh="per_batch", trigger_available_now=True,
             observe_quality=True,
         )
+
+
+def test_streaming_drift_state_matches_batch(spark, tmp_path):
+    """Streaming drift state, fed in micro-batches, must score
+    IDENTICALLY to the batch distribution_drift over the union
+    (bucket counts are additive over fixed boundaries), and a replayed
+    batch must not perturb it (overwrite partitions)."""
+    import json as _json
+
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        distribution_drift,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_drift_ingest_query,
+        read_drift,
+    )
+    from pyspark.sql import Window, functions as FF
+
+    ref = spark.range(0, 1_000).select(
+        FF.col("id").alias("k"),
+        (FF.col("id") % 50).cast("double").alias("v"),
+    )
+    # derive the same boundaries distribution_drift would use
+    w = Window.orderBy(FF.col("v"), FF.col("k"))
+    tiled = ref.select("v", FF.ntile(10).over(w).alias("q"))
+    bounds = [
+        float(r["b"])
+        for r in tiled.groupBy("q").agg(FF.max("v").alias("b"))
+        .orderBy("q").collect()[:9]
+    ]
+
+    b1 = [{"v": float(i % 60)} for i in range(300)]
+    b2 = [{"v": float((i % 40) + 20)} for i in range(200)]
+    src = tmp_path / "drift_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        return build_drift_ingest_query(
+            stream, "v", bounds, str(tmp_path / "drift_state"),
+            str(tmp_path / ckpt), trigger_available_now=True,
+        )
+
+    run_to_completion(start("drift_ckpt"))
+    served = sorted(
+        tuple(r) for r in read_drift(
+            spark, str(tmp_path / "drift_state"), ref, "v", bounds
+        ).collect()
+    )
+    union = spark.createDataFrame(
+        [(float(r["v"]), i) for i, r in enumerate(b1 + b2)], "v double, k long"
+    )
+    direct = sorted(
+        tuple(r) for r in distribution_drift(ref, union, "v", "k").collect()
+    )
+    assert served == direct and len(served) == 10
+
+    run_to_completion(start("drift_ckpt2"))  # full replay
+    again = sorted(
+        tuple(r) for r in read_drift(
+            spark, str(tmp_path / "drift_state"), ref, "v", bounds
+        ).collect()
+    )
+    assert again == served
