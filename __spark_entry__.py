@@ -2753,6 +2753,51 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card report (r7): the per-source datasheet a corpus
+    release ships with — volume (docs, tokens, chars), language spread
+    (distinct langs + dominant language and its share), exact-dup
+    pressure (docs minus distinct normalized fingerprints), and PII
+    exposure (email-pattern hits) — composed entirely from the
+    engine's oracle-established primitives so the WHOLE report is one
+    hash-checked query. Two aggregations: (source, lang) counts roll
+    up via max_by for the dominant language; everything else is one
+    map-side-combined pass."""
+    docs = _docs(spark, sf)
+    per_lang = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top_lang = per_lang.groupBy("source").agg(
+        F.max_by("lang", F.struct(F.col("n"), F.col("lang"))).alias(
+            "top_lang"
+        ),
+        F.max(F.struct(F.col("n"), F.col("lang")))["n"].alias("top_n"),
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count("text").cast("long")).alias("total_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.count(F.lit(1)) - F.countDistinct(tx.fingerprint("text"))
+        ).alias("n_exact_dups"),
+        F.sum(tx.count_emails("text").cast("long")).alias("n_email_hits"),
+    )
+    return base.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "n_langs",
+        "top_lang",
+        (
+            F.col("top_n").cast("double") / F.col("n_docs").cast("double")
+        ).alias("top_lang_share"),
+        "n_exact_dups",
+        "n_email_hits",
+    )
+
+
 def _price_drift_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution drift (r7): even-keyed orders play the reference
     snapshot, odd-keyed orders the current one with a planted +20000
@@ -3383,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_status_asof": _lineitem_status_asof,
         "pack_documents_by_lang": _pack_documents_by_lang,
         "price_drift_stats": _price_drift_stats,
+        "corpus_datasheet": _corpus_datasheet,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3412,8 +3458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
         "cohort_retention": _cohort_retention,
-        "data_quality_checks": _data_quality_checks,
         # ==== 50-entry window boundary (r7) ====
+        "data_quality_checks": _data_quality_checks,
         "scd2_order_status": _scd2_order_status,
         "cdc_apply_snapshot": _cdc_apply_snapshot,
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
@@ -5577,6 +5623,40 @@ def oracle_sql() -> dict[str, str]:
             FROM best
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)
             GROUP BY cid
+        """,
+        "corpus_datasheet": r"""
+            WITH per_lang AS (
+              SELECT source, lang, COUNT(*) AS n
+              FROM documents GROUP BY source, lang
+            ), top AS (
+              SELECT source, lang AS top_lang, n AS top_n FROM (
+                SELECT source, lang, n,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY n DESC, lang DESC) AS rn
+                FROM per_lang)
+              WHERE rn = 1
+            ), base AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(regexp_split_to_array(trim(text),
+                          '\s+'))) AS BIGINT) AS total_tokens,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                     CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                     CAST(COUNT(*) - COUNT(DISTINCT md5(lower(
+                          regexp_replace(trim(text), '\s+', ' ', 'g'))))
+                          AS BIGINT) AS n_exact_dups,
+                     CAST(SUM(len(regexp_extract_all(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                          ))) AS BIGINT) AS n_email_hits
+              FROM documents GROUP BY source
+            )
+            SELECT b.source, b.n_docs, b.total_tokens, b.total_chars,
+                   b.n_langs, t.top_lang,
+                   CAST(t.top_n AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+                       AS top_lang_share,
+                   b.n_exact_dups, b.n_email_hits
+            FROM base b JOIN top t ON b.source = t.source
         """,
         "price_drift_stats": """
             WITH refsnap AS (
