@@ -2753,6 +2753,18 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lineitem_correlations(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs Pearson correlations over lineitem's numeric columns
+    (r7): one aggregation of exact decimal sufficient sums, doubles
+    only at finalization (profile.correlation_matrix — the
+    grouped_linreg decimal discipline). The oracle mirrors the sums
+    and the VARCHAR-roundtrip decimal→double conversion."""
+    li = _lineitem(spark, sf)
+    return profile.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def _corpus_datasheet(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset-card report (r7): the per-source datasheet a corpus
     release ships with — volume (docs, tokens, chars), language spread
@@ -3301,6 +3313,46 @@ def _semantic_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _corr_matrix_oracle(table: str, cols: list[str]) -> str:
+    """Generated DuckDB oracle for profile.correlation_matrix: the same
+    decimal sufficient sums, VARCHAR-roundtrip decimal→double (the
+    price_trend_regression precedent), and the identical finalization
+    expression, one UNION ALL branch per unordered pair."""
+    # DECIMAL(28,4) operands: DuckDB's (18,4)x(18,4) product overflows
+    # its int64 decimal storage (SKILL gotcha); same scale -> identical
+    # rounding to Spark's (18,4) inputs
+    d = lambda c: f"CAST({c} AS DECIMAL(28,4))"  # noqa: E731
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"SUM({d(c)}) AS ds_{c}")
+        sums.append(f"SUM({d(c)} * {d(c)}) AS dss_{c}")
+    conv = ["CAST(n AS DOUBLE) AS n", "n AS n_raw"]
+    for c in cols:
+        conv.append(f"CAST(CAST(ds_{c} AS VARCHAR) AS DOUBLE) AS s_{c}")
+        conv.append(f"CAST(CAST(dss_{c} AS VARCHAR) AS DOUBLE) AS ss_{c}")
+    branches = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(f"SUM({d(a)} * {d(b)}) AS dsp_{a}_{b}")
+            conv.append(
+                f"CAST(CAST(dsp_{a}_{b} AS VARCHAR) AS DOUBLE) AS sp_{a}_{b}"
+            )
+            va = f"(n * ss_{a} - s_{a} * s_{a})"
+            vb = f"(n * ss_{b} - s_{b} * s_{b})"
+            branches.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                f"CAST(n_raw AS BIGINT) AS n, "
+                f"CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+                f"(n * sp_{a}_{b} - s_{a} * s_{b}) "
+                f"/ (sqrt({va}) * sqrt({vb})) END AS corr FROM a2"
+            )
+    return (
+        f"WITH a AS (SELECT {', '.join(sums)} FROM {table}), "
+        f"a2 AS (SELECT {', '.join(conv)} FROM a) "
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
 def _pii_audit_oracle() -> str:
     """UNION ALL of per-(table, column) counter aggregates mirroring
     profile.pii_audit over the same planted/raw inputs — patterns are
@@ -3429,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents_by_lang": _pack_documents_by_lang,
         "price_drift_stats": _price_drift_stats,
         "corpus_datasheet": _corpus_datasheet,
+        "lineitem_correlations": _lineitem_correlations,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3457,8 +3510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_incremental": _span_dedup_incremental,
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
-        "cohort_retention": _cohort_retention,
         # ==== 50-entry window boundary (r7) ====
+        "cohort_retention": _cohort_retention,
         "data_quality_checks": _data_quality_checks,
         "scd2_order_status": _scd2_order_status,
         "cdc_apply_snapshot": _cdc_apply_snapshot,
@@ -5624,6 +5677,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)
             GROUP BY cid
         """,
+        "lineitem_correlations": _corr_matrix_oracle(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
         "corpus_datasheet": r"""
             WITH per_lang AS (
               SELECT source, lang, COUNT(*) AS n

@@ -522,3 +522,51 @@ def estimate_key_overlap(
             .alias("jaccard_approx"),
         )
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All-pairs Pearson correlation (r7) from exact decimal
+    sufficient sums in ONE aggregation pass — the numeric-audit
+    companion of :func:`grouped_linreg` (same decimal discipline:
+    inputs round once to DECIMAL(18,4), pairwise products are exact,
+    sums are order-independent, finalization is a fixed double
+    expression — so the matrix is bit-identical across engines and
+    partitionings and never materializes column vectors; at 100 TB a
+    p-column matrix is one map-side-combined aggregate of p·(p+3)/2
+    running sums). Returns (col_x, col_y, n, corr) for each unordered
+    pair col_x < col_y (input order); degenerate variance → NULL."""
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    d = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(d(c) * d(c)).alias(f"__ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(d(a) * d(b)).alias(f"__sp_{a}_{b}"))
+    wide = df.agg(*aggs)
+    n = F.col("n").cast("double")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa = F.col(f"__s_{a}").cast("double")
+            sb = F.col(f"__s_{b}").cast("double")
+            ssa = F.col(f"__ss_{a}").cast("double")
+            ssb = F.col(f"__ss_{b}").cast("double")
+            sab = F.col(f"__sp_{a}_{b}").cast("double")
+            var_a = n * ssa - sa * sa
+            var_b = n * ssb - sb * sb
+            corr = F.when(
+                (var_a > 0) & (var_b > 0),
+                (n * sab - sa * sb) / (F.sqrt(var_a) * F.sqrt(var_b)),
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col("n").alias("n"),
+                    corr.alias("corr"),
+                )
+            )
+    return wide.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

@@ -255,3 +255,28 @@ def test_estimate_key_overlap_sparse_exact_and_error_band(spark):
     big_b = spark.range(30_000, 80_000).select(F.col("id").alias("k"))
     est = profile.estimate_key_overlap(big_a, "k", big_b, "k").collect()[0]
     assert abs(est["n_intersect_approx"] - 30_000) / 30_000 < 0.05
+
+
+def test_correlation_matrix_known_values_and_invariance(spark):
+    """Hand-checkable correlations: y = 2x gives corr 1, z = -x gives
+    corr -1, a constant column gives NULL (degenerate variance); the
+    matrix is partition-invariant (decimal sums)."""
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i), 7.0) for i in range(50)],
+        "x double, y double, z double, c double",
+    )
+    for parts in (1, 7):
+        got = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in profile.correlation_matrix(
+                df.repartition(parts), ["x", "y", "z", "c"]
+            ).collect()
+        }
+        assert abs(got[("x", "y")] - 1.0) < 1e-12
+        assert abs(got[("x", "z")] + 1.0) < 1e-12
+        assert got[("x", "c")] is None and got[("y", "c")] is None
+        assert len(got) == 6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        profile.correlation_matrix(df, ["x"])
