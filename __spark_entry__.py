@@ -2753,6 +2753,17 @@ def _kmeans_assign_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _prf_expansion_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Pseudo-relevance feedback (r7): the top-8 expansion terms
+    characterizing BM25's top-10 documents for the shared 3-term query
+    (search.prf_expansion_terms — deterministic feedback set +
+    (df, term) tie-breaks, so the whole RM3-style expansion is
+    hash-checkable; the oracle rebuilds BM25 and the feedback count)."""
+    return search.prf_expansion_terms(
+        _docs(spark, sf), ["hash", "join", "spark"]
+    )
+
+
 def _lineitem_correlations(spark: SparkSession, sf: str) -> DataFrame:
     """All-pairs Pearson correlations over lineitem's numeric columns
     (r7): one aggregation of exact decimal sufficient sums, doubles
@@ -3482,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_drift_stats": _price_drift_stats,
         "corpus_datasheet": _corpus_datasheet,
         "lineitem_correlations": _lineitem_correlations,
+        "prf_expansion_terms": _prf_expansion_terms,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3509,8 +3521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _hybrid_search,
         "span_dedup_incremental": _span_dedup_incremental,
         "source_mirror_overlap": _source_mirror_overlap,
-        "funnel_conversion": _funnel_conversion,
         # ==== 50-entry window boundary (r7) ====
+        "funnel_conversion": _funnel_conversion,
         "cohort_retention": _cohort_retention,
         "data_quality_checks": _data_quality_checks,
         "scd2_order_status": _scd2_order_status,
@@ -5676,6 +5688,53 @@ def oracle_sql() -> dict[str, str]:
             FROM best
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)
             GROUP BY cid
+        """,
+        "prf_expansion_terms": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+              FROM norm
+            ), tokrows AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM norm
+            ), tf AS (
+              SELECT doc_id, dl, t, COUNT(*) AS tf
+              FROM tokrows WHERE t IN ('hash', 'join', 'spark')
+              GROUP BY doc_id, dl, t
+            ), dfreq AS (
+              SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+            ), topdocs AS (
+              SELECT f.doc_id,
+                     CAST(SUM(CAST(
+                         ((n_docs - df + CAST(0.5 AS DOUBLE))
+                          / (df + CAST(0.5 AS DOUBLE)))
+                         * ((tf * CAST(2.2 AS DOUBLE))
+                            / (tf + CAST(1.2 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE)
+                                    * (dl / (CAST(total_len AS DOUBLE)
+                                             / n_docs)))))
+                     AS DECIMAL(28,10))) AS DOUBLE) AS score
+              FROM tf f JOIN dfreq USING (t), stats
+              GROUP BY f.doc_id
+              ORDER BY score DESC, f.doc_id
+              LIMIT 10
+            ), fb AS (
+              SELECT n.doc_id, unnest(n.toks) AS term
+              FROM norm n
+              WHERE n.doc_id IN (SELECT doc_id FROM topdocs)
+            )
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM fb
+            WHERE term NOT IN ('hash', 'join', 'spark')
+              AND len(term) >= 3
+            GROUP BY term
+            ORDER BY df DESC, term
+            LIMIT 8
         """,
         "lineitem_correlations": _corr_matrix_oracle(
             "lineitem",

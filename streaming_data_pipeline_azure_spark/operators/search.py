@@ -464,3 +464,50 @@ def phrase_topk(
         .orderBy(F.col("phrase_tf").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def prf_expansion_terms(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_docs: int = 10,
+    k_terms: int = 8,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Pseudo-relevance feedback (r7): the query-expansion half of an
+    RM3-style retriever — run BM25, treat the top ``k_docs`` documents
+    as relevant, and surface the terms that best characterize them
+    (document frequency within the feedback set, excluding the query's
+    own terms and tokens shorter than ``min_term_len``). Feed the
+    returned terms back into :func:`bm25_topk` for the expanded
+    search.
+
+    Deterministic end-to-end: the feedback set comes from BM25's
+    (score DESC, id) total order, and the expansion ranking breaks
+    ties by (df DESC, term) — so unlike sampled-feedback variants this
+    is value-hashable and SQL-oracle-checkable. Plan: the feedback ids
+    broadcast back into the token scan (a k_docs-row semi-join), so
+    expansion costs one scan of k_docs documents' tokens, not the
+    corpus. Returns (term, df) best-first, ≤ k_terms rows."""
+    top_ids = bm25_topk(df, query_terms, k=k_docs).select(id_col)
+    toks = df.join(F.broadcast(top_ids), id_col, "semi").select(
+        id_col,
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    )
+    filtered = toks.filter(
+        (~F.col("term").isin([t.lower() for t in query_terms]))
+        & (F.length("term") >= int(min_term_len))
+    )
+    return (
+        filtered.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(int(k_terms))
+    )

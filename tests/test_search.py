@@ -234,3 +234,36 @@ def test_phrase_topk_counts_consecutive_occurrences(spark):
     assert [(r["doc_id"], r["phrase_tf"]) for r in overlap] == [(4, 2)]
     with pytest.raises(ValueError, match="empty"):
         search.phrase_topk(docs, [])
+
+
+def test_prf_expansion_characterizes_feedback_docs(spark):
+    """Planted corpus: the query matches docs rich in 'spark'; their
+    companion term 'shuffle' must top the expansion while query terms
+    themselves and short tokens are excluded, and terms only in
+    NON-matching docs never appear."""
+    from streaming_data_pipeline_azure_spark.operators.search import (
+        prf_expansion_terms,
+    )
+
+    match = [
+        (i, "spark shuffle tuning with spark shuffle partitions ok")
+        for i in range(6)
+    ]
+    noise = [
+        (100 + i, "gardening tulips watering schedule advice blooms")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(match + noise, "doc_id long, text string")
+    got = [
+        (r["term"], r["df"])
+        for r in prf_expansion_terms(
+            docs, ["spark"], k_docs=6, k_terms=3
+        ).collect()
+    ]
+    terms = [t for t, _ in got]
+    # all companion words tie at df=6 -> alphabetical tie-break
+    assert terms == ["partitions", "shuffle", "tuning"]
+    assert all(df == 6 for _, df in got)
+    assert "spark" not in terms          # query term excluded
+    assert "ok" not in terms             # min_term_len
+    assert not set(terms) & {"gardening", "tulips"}  # non-feedback docs
