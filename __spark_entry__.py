@@ -2764,6 +2764,22 @@ def _prf_expansion_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bm25_expanded_search(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPLETE RM3 loop (r7): BM25 → pseudo-relevance feedback →
+    expanded BM25. The collected expansion terms are part of the query
+    definition (≤ k_terms rows, the `_query_vector` pattern), and the
+    oracle expresses the same loop statically (the second search's
+    term filter is a subquery over the expansion CTE), so even the
+    two-stage retrieval composition is hash-checked end-to-end."""
+    docs = _docs(spark, sf)
+    base_terms = ["hash", "join", "spark"]
+    exp = [
+        r["term"]
+        for r in search.prf_expansion_terms(docs, base_terms).collect()
+    ]
+    return search.bm25_topk(docs, base_terms + exp, k=15)
+
+
 def _lineitem_correlations(spark: SparkSession, sf: str) -> DataFrame:
     """All-pairs Pearson correlations over lineitem's numeric columns
     (r7): one aggregation of exact decimal sufficient sums, doubles
@@ -3494,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": _corpus_datasheet,
         "lineitem_correlations": _lineitem_correlations,
         "prf_expansion_terms": _prf_expansion_terms,
+        "bm25_expanded_search": _bm25_expanded_search,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3520,8 +3537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,
         "hybrid_search": _hybrid_search,
         "span_dedup_incremental": _span_dedup_incremental,
-        "source_mirror_overlap": _source_mirror_overlap,
         # ==== 50-entry window boundary (r7) ====
+        "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
         "cohort_retention": _cohort_retention,
         "data_quality_checks": _data_quality_checks,
@@ -5735,6 +5752,80 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY df DESC, term
             LIMIT 8
+        """,
+        "bm25_expanded_search": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                         ' ') AS toks
+              FROM documents
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+              FROM norm
+            ), tokrows AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM norm
+            ), tf1 AS (
+              SELECT doc_id, dl, t, COUNT(*) AS tf
+              FROM tokrows WHERE t IN ('hash', 'join', 'spark')
+              GROUP BY doc_id, dl, t
+            ), dfreq1 AS (
+              SELECT t, COUNT(*) AS df FROM tf1 GROUP BY t
+            ), topdocs AS (
+              SELECT f.doc_id,
+                     CAST(SUM(CAST(
+                         ((n_docs - df + CAST(0.5 AS DOUBLE))
+                          / (df + CAST(0.5 AS DOUBLE)))
+                         * ((tf * CAST(2.2 AS DOUBLE))
+                            / (tf + CAST(1.2 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE)
+                                    * (dl / (CAST(total_len AS DOUBLE)
+                                             / n_docs)))))
+                     AS DECIMAL(28,10))) AS DOUBLE) AS score
+              FROM tf1 f JOIN dfreq1 USING (t), stats
+              GROUP BY f.doc_id
+              ORDER BY score DESC, f.doc_id
+              LIMIT 10
+            ), fb AS (
+              SELECT n.doc_id, unnest(n.toks) AS term
+              FROM norm n
+              WHERE n.doc_id IN (SELECT doc_id FROM topdocs)
+            ), expn AS (
+              SELECT term
+              FROM fb
+              WHERE term NOT IN ('hash', 'join', 'spark')
+                AND len(term) >= 3
+              GROUP BY term
+              ORDER BY COUNT(DISTINCT doc_id) DESC, term
+              LIMIT 8
+            ), qterms AS (
+              SELECT term FROM expn
+              UNION
+              SELECT unnest(['hash', 'join', 'spark']) AS term
+            ), tf2 AS (
+              SELECT doc_id, dl, t, COUNT(*) AS tf
+              FROM tokrows WHERE t IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, t
+            ), dfreq2 AS (
+              SELECT t, COUNT(*) AS df FROM tf2 GROUP BY t
+            )
+            SELECT f.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched,
+                   CAST(SUM(CAST(
+                       ((n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                       * ((tf * CAST(2.2 AS DOUBLE))
+                          / (tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE)
+                                  * (dl / (CAST(total_len AS DOUBLE)
+                                           / n_docs)))))
+                   AS DECIMAL(28,10))) AS DOUBLE) AS score
+            FROM tf2 f JOIN dfreq2 USING (t), stats
+            GROUP BY f.doc_id
+            ORDER BY score DESC, f.doc_id
+            LIMIT 15
         """,
         "lineitem_correlations": _corr_matrix_oracle(
             "lineitem",
