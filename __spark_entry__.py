@@ -3468,9 +3468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   every 3 rounds:
     #     r6 window: 7 never-driver-checked (r5 positions 51-57)
     #               + 43 oldest (last driver-green r4)  -> 50
-    #     r7 window (AS BUILT): 24 r7-new + the 17 remaining r4-green
-    #               + the 9 oldest r5-green              -> 50
-    #     r8 window: [r8-new] + remaining r5-green (scd2_order_status
+    #     r7 window (AS BUILT): 28 r7-new + the 17 remaining r4-green
+    #               + the 5 oldest r5-green              -> 50
+    #     r8 window: [r8-new] + remaining r5-green (source_mirror_overlap
     #               … segments_above_avg) + oldest r6-green
     #   scripts/check_correctness.py still verifies ALL oracle entries
     #   locally each round (run with no args) regardless of the window.
