@@ -608,3 +608,34 @@ def test_containment_pairs_catches_subset_duplication(spark):
     assert (2, 1) not in got           # not vice versa
     assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0  # twins: both ways
     assert all(3 not in p for p in got)
+
+
+def test_containment_implied_by_symmetric_jaccard(spark, sf_dir):
+    """Cross-operator consistency on real corpus data: J(A,B) >= t
+    implies C(A->B) >= t AND C(B->A) >= t (|A∩B|/|A| >= |A∩B|/|A∪B|),
+    so every prefix-filter Jaccard pair must appear in the containment
+    output in BOTH directions at the same threshold — ties the two
+    dedup formulations to one notion of overlap."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    cont = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert jac, "anchor premise: corpus has jaccard pairs at 0.8"
+    for a, b in jac:
+        assert (a, b) in cont and (b, a) in cont, (a, b)
+    # and containment is the strictly weaker predicate
+    assert len(cont) >= 2 * len(jac)

@@ -455,3 +455,35 @@ def test_diff_then_cdc_apply_reconstructs_new_snapshot(spark, old, new):
     got = sorted(tuple(r) for r in applied.select("k", "a", "b").collect())
     want = sorted((k, v[0], v[1]) for k, v in new.items())
     assert got == want
+
+
+@SETTINGS
+@given(
+    n=st.integers(20, 300),
+    k=st.integers(1, 40),
+    n_slices=st.integers(1, 6),
+)
+def test_bottomk_merge_parity_any_slicing(spark, n, k, n_slices):
+    """Property: for ANY population size, sample size and slicing
+    arity, merging per-slice bottom-k partials reproduces the one-pass
+    bottom-k exactly (the KMV mergeability law)."""
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        bottomk_sample,
+        merge_bottomk,
+    )
+
+    df = spark.range(0, n).select(F.col("id").alias("key"))
+    direct = sorted(
+        r["key"] for r in bottomk_sample(df, "key", k).collect()
+    )
+    parts = None
+    for i in range(n_slices):
+        p = bottomk_sample(
+            df.filter(f"key % {n_slices} = {i}"), "key", k
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    merged = sorted(
+        r["key"] for r in merge_bottomk(parts, "key", k).collect()
+    )
+    assert merged == direct
+    assert len(direct) == min(n, k)
