@@ -91,3 +91,22 @@ def test_text_incremental_probe_anchored_by_exact_twin(spark, sf_dir):
     assert len(probe_drops) / len(exact_drops) >= 0.9
     # planted re-crawls carry shifted ids; none may survive the exact twin
     assert all(d < 2000000 for d in exact)
+
+
+def test_hll_twin_exact_at_testdata_cardinality(spark, sf_dir):
+    """The rows-only HLL DAU twin must agree with its oracle-backed
+    exact anchor EXACTLY at testdata cardinality (HLL sparse mode) —
+    the strongest possible anchor for a rows-only entry."""
+    exact = {
+        (r["day"], r["n_users"])
+        for r in entrymod.queries()["daily_active_users"](
+            spark, sf_dir
+        ).select("day", "n_users").collect()
+    }
+    approx = {
+        (r["day"], r["approx_users"])
+        for r in entrymod.queries()["daily_active_users_hll"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert approx == exact and len(exact) > 0

@@ -510,3 +510,44 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cep_regex_agrees_with_funnel_on_tie_free_data(spark):
+    """Cross-operator consistency: on tie-free timestamps, the user set
+    matching the regex 'view.*purchase' equals the users funnel_steps
+    counts as reaching step 2 of [view, purchase] — a purchase after
+    ANY view is a purchase after the FIRST view and vice versa. Pins
+    the two sequence formulations to one semantics."""
+    import random
+
+    from streaming_data_pipeline_azure_spark.operators import temporal
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(40):
+        ts = sorted(rng.sample(range(1, 10_000), rng.randint(2, 12)))
+        for t in ts:
+            rows.append(
+                (float(t), f"u{u}",
+                 rng.choice(["view", "click", "purchase", "error"]), eid)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "tsec double, user_id string, event_type string, event_id long"
+    ).select(F.timestamp_seconds("tsec").alias("ts"), "user_id",
+             "event_type", "event_id")
+
+    regex_users = {
+        r["user_id"]
+        for r in temporal.match_event_patterns(
+            ev, {"vp": r"\bview\b.*\bpurchase\b"}
+        ).collect()
+        if r["vp"]
+    }
+    funnel = {
+        r["step_idx"]: r["n_users"]
+        for r in temporal.funnel_steps(ev, ["view", "purchase"]).collect()
+    }
+    # the LAST step's reached-count is the purchase-after-view users
+    assert funnel[max(funnel)] == len(regex_users)
