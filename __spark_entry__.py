@@ -26,6 +26,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     association,
     cdc,
     corpus,
+    experiment,
     dedup,
     linkage,
     enrich,
@@ -1321,6 +1322,43 @@ def _funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-bounded funnel (r7): view→click→purchase where each step must
+    land within 1 day of the previous step's earliest qualifying time —
+    the "convert within N days" form every conversion report actually
+    uses (temporal.funnel_steps within_seconds docstring has the
+    semantics; plan shape is unchanged — k-1 user-keyed equi-joins)."""
+    return temporal.funnel_steps(
+        _events(spark, sf),
+        ["view", "click", "purchase"],
+        within_seconds=86400,
+    )
+
+
+def _ab_variant_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Four-arm experiment readout (r7): orders cluster-randomized by
+    customer key (experiment.assign_variant salt=7), per-arm n / units
+    / mean / variance of o_totalprice from exact decimal sums — the
+    oracle hash-checks the full double finalization, not just counts
+    (operators/experiment.py docstring has the one-shuffle shape)."""
+    orders = _tables(spark, sf, "orders")[0]
+    return experiment.variant_stats(
+        orders, "o_custkey", "o_totalprice", n_variants=4, salt=7
+    )
+
+
+def _ab_welch_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-arm Welch t readout (r7): A/B over orders randomized by
+    customer (salt=11) — one row with sizes, means, Welch t, its
+    Satterthwaite degrees of freedom, and the 50/50 SRM chi-square
+    (experiment.welch_ttest; bit-reproducible doubles from decimal
+    sufficient sums)."""
+    orders = _tables(spark, sf, "orders")[0]
+    return experiment.welch_ttest(
+        orders, "o_custkey", "o_totalprice", salt=11
+    )
+
+
 def _cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort retention (r5): users cohorted by the ISO week of
     their first signup event; per later week-offset, the count/fraction
@@ -1700,6 +1738,23 @@ def _copurchase_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
     and the global clustering coefficient."""
     pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
     return graph.graph_summary(pairs, "item_a", "item_b")
+
+
+def _copurchase_distances(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS hop-distance tiers (r7): breadth-first distances from the
+    smallest item id over the co-purchase graph (the copurchase_lift
+    pair set), rolled up to (distance, n_items). Frontier expansion is
+    one frontier⋈adjacency equi-join + visited anti-join per round
+    (graph.bfs_distances — O(boundary) per round, never O(paths); the
+    oracle's recursive CTE enumerates (vertex, depth) pairs instead)."""
+    pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
+    seed = pairs.agg(F.min("item_a").alias("id"))
+    dist = graph.bfs_distances(
+        pairs, seed, src="item_a", dst="item_b", max_hops=6
+    )
+    return dist.groupBy("distance").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
 
 
 def _shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
@@ -3511,6 +3566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": _lineitem_correlations,
         "prf_expansion_terms": _prf_expansion_terms,
         "bm25_expanded_search": _bm25_expanded_search,
+        "funnel_windowed": _funnel_windowed,
+        "ab_variant_stats": _ab_variant_stats,
+        "ab_welch_test": _ab_welch_test,
+        "copurchase_distances": _copurchase_distances,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3533,11 +3592,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- last driver-green r5; the 26 oldest fill the r7 window
         # to 50 ----
         "span_dedup": _span_dedup,
+        # ==== 50-entry window boundary (r7) ====
         "span_decontaminate": _span_decontaminate,
         "bm25_search": _bm25_search,
         "hybrid_search": _hybrid_search,
         "span_dedup_incremental": _span_dedup_incremental,
-        # ==== 50-entry window boundary (r7) ====
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
         "cohort_retention": _cohort_retention,
@@ -4498,6 +4557,31 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
             FROM fl GROUP BY event_type
         """,
+        "copurchase_distances": """
+            WITH RECURSIVE basket AS (
+              SELECT DISTINCT user_id AS e,
+                     CAST(json_extract(props::JSON, '$.k') AS INTEGER) AS i
+              FROM events WHERE event_type = 'purchase'
+            ), p AS (
+              SELECT a.i AS ia, b.i AS ib
+              FROM basket a JOIN basket b ON a.e = b.e AND a.i < b.i
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            ), ed AS (
+              SELECT ia AS v, ib AS w FROM p
+              UNION SELECT ib, ia FROM p
+            ), s AS (
+              SELECT MIN(ia) AS sid FROM p
+            ), walk(v, d) AS (
+              SELECT sid, 0 FROM s
+              UNION
+              SELECT e.w, walk.d + 1
+              FROM walk JOIN ed e ON e.v = walk.v WHERE walk.d < 6
+            )
+            SELECT CAST(d AS INTEGER) AS distance,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM (SELECT v, MIN(d) AS d FROM walk GROUP BY v)
+            GROUP BY d
+        """,
         "copurchase_lift": """
             WITH basket AS (
               SELECT DISTINCT user_id AS e,
@@ -4674,6 +4758,115 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_users,
                    CAST(n AS DOUBLE) / n1 AS frac_of_first
             FROM c, f
+        """,
+        "funnel_windowed": """
+            WITH s1 AS (
+              SELECT user_id AS u, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.u
+                AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 86400 SECOND
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.u
+                AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 86400 SECOND
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            ), c AS (
+              SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n FROM s1
+              UNION ALL
+              SELECT 2, 'click', COUNT(*) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', COUNT(*) FROM s3
+            ), f AS (
+              SELECT n AS n1 FROM c WHERE step_idx = 1
+            )
+            SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+                   CAST(n AS BIGINT) AS n_users,
+                   CAST(n AS DOUBLE) / n1 AS frac_of_first
+            FROM c, f
+        """,
+        "ab_variant_stats": f"""
+            WITH a AS (
+              SELECT CAST(floor({_knuth_sql(
+                  "((o_custkey % 4294967296 + 4294967296)"
+                  " % 4294967296 + 7)")} * 4.0) AS INTEGER) AS variant,
+                     o_custkey AS k,
+                     CAST(o_totalprice AS DECIMAL(28,4)) AS m
+              FROM orders
+            ), g AS (
+              SELECT variant, COUNT(*) AS n, COUNT(DISTINCT k) AS nu,
+                     SUM(m) AS ds, SUM(m * m) AS dss
+              FROM a GROUP BY variant
+            ), f AS (
+              SELECT variant, n, nu, CAST(n AS DOUBLE) AS nd,
+                     CAST(CAST(ds AS VARCHAR) AS DOUBLE) AS s,
+                     CAST(CAST(dss AS VARCHAR) AS DOUBLE) AS ss
+              FROM g
+            )
+            SELECT variant, CAST(n AS BIGINT) AS n_rows,
+                   CAST(nu AS BIGINT) AS n_units,
+                   s / nd AS mean_metric,
+                   CASE WHEN n > 1
+                        THEN (nd * ss - s * s) / (nd * (nd - 1.0))
+                   END AS var_metric,
+                   CASE WHEN n > 1 THEN (
+                     CASE WHEN (nd * ss - s * s) / (nd * (nd - 1.0)) > 0
+                          THEN sqrt((nd * ss - s * s) / (nd * (nd - 1.0)))
+                          ELSE 0.0 END)
+                   END AS std_metric
+            FROM f
+        """,
+        "ab_welch_test": f"""
+            WITH a AS (
+              SELECT CAST(floor({_knuth_sql(
+                  "((o_custkey % 4294967296 + 4294967296)"
+                  " % 4294967296 + 11)")} * 2.0) AS INTEGER) AS variant,
+                     CAST(o_totalprice AS DECIMAL(28,4)) AS m
+              FROM orders
+            ), g AS (
+              SELECT variant, COUNT(*) AS n,
+                     SUM(m) AS ds, SUM(m * m) AS dss
+              FROM a GROUP BY variant
+            ), f AS (
+              SELECT variant, n, CAST(n AS DOUBLE) AS nd,
+                     CAST(CAST(ds AS VARCHAR) AS DOUBLE) AS s,
+                     CAST(CAST(dss AS VARCHAR) AS DOUBLE) AS ss
+              FROM g
+            ), st AS (
+              SELECT variant, n, nd, s / nd AS mean,
+                     (nd * ss - s * s) / (nd * (nd - 1.0)) AS var
+              FROM f
+            ), p AS (
+              SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+                     MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+                     MAX(CASE WHEN variant = 0 THEN mean END) AS mean_a,
+                     MAX(CASE WHEN variant = 1 THEN mean END) AS mean_b,
+                     MAX(CASE WHEN variant = 0 THEN var END) AS va,
+                     MAX(CASE WHEN variant = 1 THEN var END) AS vb
+              FROM st
+            ), q AS (
+              SELECT n_a, n_b, mean_a, mean_b,
+                     CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                     va / CAST(n_a AS DOUBLE) AS se2a,
+                     vb / CAST(n_b AS DOUBLE) AS se2b
+              FROM p
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   mean_a, mean_b, mean_a - mean_b AS mean_diff,
+                   CASE WHEN se2a + se2b > 0
+                        THEN (mean_a - mean_b) / sqrt(se2a + se2b)
+                   END AS t_stat,
+                   CASE WHEN se2a + se2b > 0 THEN
+                     ((se2a + se2b) * (se2a + se2b))
+                     / (se2a * se2a / (na - 1.0) + se2b * se2b / (nb - 1.0))
+                   END AS welch_df,
+                   (na - (na + nb) / 2.0) * (na - (na + nb) / 2.0)
+                       / ((na + nb) / 2.0)
+                   + (nb - (na + nb) / 2.0) * (nb - (na + nb) / 2.0)
+                       / ((na + nb) / 2.0) AS srm_chi2
+            FROM q
         """,
         "source_mirror_overlap": r"""
             WITH norm AS (

@@ -1,0 +1,165 @@
+"""Deterministic experiment (A/B test) analysis: key-pure variant
+assignment, engine-exact per-variant metric statistics, and a Welch
+two-sample t readout with a sample-ratio-mismatch (SRM) check.
+
+The missing analytics pillar next to funnels/cohorts (temporal.py):
+every experimentation stack needs (1) an assignment that is a PURE
+FUNCTION of the randomization unit — reproducible across runs and
+engines, stable under repartitioning, no stored assignment table to
+join — and (2) a readout whose numbers are exactly reproducible, not
+"close up to float sum order".
+
+Assignment reuses :func:`~.sampling.knuth_uniform` (the repo's key-pure
+uniform: overflow-safe over the full int64 domain, bit-identical in any
+SQL engine), salted so concurrent experiments randomize independently.
+
+The readout follows the `profile.correlation_matrix` /
+`grouped_linreg` decimal discipline: metrics round once to
+DECIMAL(18,4), the per-variant sufficient sums (n, Σm, Σm²) are exact
+decimals accumulated in ONE map-side-combined aggregation (the only
+shuffle — O(n_variants) rows), and doubles appear only in the fixed
+finalization expression — so mean/variance/t are bit-identical across
+engines and partitionings, and the DuckDB oracles hash-check the real
+code path. At 100 TB this is a single scan + a v-row shuffle: nothing
+about the plan changes with scale.
+
+Reference anchor: the reference's query surface is filtered/grouped
+averages over the purchase stream (reference customers.sql:1-12,
+README.md:131-166); an experiment readout is the same aggregate shape
+keyed by a derived assignment column instead of a stored one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import _M32, knuth_uniform
+
+
+def assign_variant(
+    key_col: Column | str, n_variants: int, *, salt: int = 0
+) -> Column:
+    """Variant id in ``[0, n_variants)`` as a pure function of
+    ``(key, salt)``: ``floor(knuth_uniform(pmod(key, 2^32) + salt) * n)``.
+
+    The salt shifts the 32-bit-reduced key BEFORE hashing, so each salt
+    value is an independent re-randomization (experiment #2 with a new
+    salt is uncorrelated with experiment #1's buckets) and the shifted
+    key stays < 2^32 + salt — no int64 overflow under ANSI mode for any
+    input key."""
+    if n_variants < 2:
+        raise ValueError(
+            f"assign_variant: n_variants={n_variants} — an experiment "
+            "needs at least 2 arms"
+        )
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    k = k.cast("long")
+    kr = ((k % F.lit(_M32)) + F.lit(_M32)) % F.lit(_M32)
+    u = knuth_uniform(kr + F.lit(int(salt)))
+    return F.floor(u * F.lit(float(n_variants))).cast("int")
+
+
+def variant_stats(
+    df: DataFrame,
+    key_col: str,
+    metric_col: str,
+    *,
+    n_variants: int = 2,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-variant metric statistics from exact decimal sufficient sums:
+    (variant, n_rows, n_units, mean_metric, var_metric, std_metric),
+    sample variance ``(n·Σm² − (Σm)²) / (n·(n−1))``.
+
+    ``n_units`` counts distinct randomization keys (rows may be events
+    under a cluster-randomized key such as customer) — the map-side
+    partial distinct bounds that shuffle at one row per (variant, key).
+    """
+    d = F.col(metric_col).cast("decimal(18,4)")
+    g = (
+        df.select(
+            assign_variant(key_col, n_variants, salt=salt).alias("variant"),
+            F.col(key_col).alias("__k"),
+            d.alias("__m"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("__k").alias("__nu"),
+            F.sum("__m").alias("__s"),
+            F.sum(F.col("__m") * F.col("__m")).alias("__ss"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+    return g.select(
+        "variant",
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("__nu").cast("long").alias("n_units"),
+        (s / n).alias("mean_metric"),
+        F.when(F.col("__n") > 1, var).alias("var_metric"),
+        F.when(F.col("__n") > 1, F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))).alias(
+            "std_metric"
+        ),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    key_col: str,
+    metric_col: str,
+    *,
+    salt: int = 0,
+) -> DataFrame:
+    """Two-arm experiment readout in ONE row: sizes, means, the Welch
+    unequal-variance t statistic, its Welch–Satterthwaite degrees of
+    freedom, and the SRM chi-square against the expected 50/50 split
+    (the standard validity guard: a large ``srm_chi2`` means broken
+    assignment, and the t statistic should not be trusted).
+
+    Arms are ``assign_variant(key, 2, salt)`` = 0 (control) / 1
+    (treatment). All doubles derive from the exact decimal sums of
+    :func:`variant_stats` through one fixed expression tree, so the
+    statistic is bit-reproducible (oracle-hash-checked, not just
+    approximately right). Returns (n_a, n_b, mean_a, mean_b, mean_diff,
+    t_stat, welch_df, srm_chi2)."""
+    stats = variant_stats(
+        df, key_col, metric_col, n_variants=2, salt=salt
+    )
+    side = lambda c, v: F.max(  # noqa: E731
+        F.when(F.col("variant") == v, F.col(c))
+    )
+    w = stats.agg(
+        side("n_rows", 0).alias("n_a"),
+        side("n_rows", 1).alias("n_b"),
+        side("mean_metric", 0).alias("mean_a"),
+        side("mean_metric", 1).alias("mean_b"),
+        side("var_metric", 0).alias("__va"),
+        side("var_metric", 1).alias("__vb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    se2a = F.col("__va") / na
+    se2b = F.col("__vb") / nb
+    se2 = se2a + se2b
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    wdf = (se2 * se2) / (
+        se2a * se2a / (na - F.lit(1.0)) + se2b * se2b / (nb - F.lit(1.0))
+    )
+    exp_n = (na + nb) / F.lit(2.0)
+    chi2 = (na - exp_n) * (na - exp_n) / exp_n + (nb - exp_n) * (
+        nb - exp_n
+    ) / exp_n
+    return w.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        (F.col("mean_a") - F.col("mean_b")).alias("mean_diff"),
+        F.when(se2 > 0, t).alias("t_stat"),
+        F.when(se2 > 0, wdf).alias("welch_df"),
+        chi2.alias("srm_chi2"),
+    )

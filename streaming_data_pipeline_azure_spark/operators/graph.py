@@ -110,6 +110,61 @@ def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source breadth-first hop distances over the UNDIRECTED
+    simple graph: (id, distance) for every vertex reachable from
+    ``sources`` (a one-column DataFrame of seed ids) within
+    ``max_hops`` — the "how far is everything from these nodes" query
+    (reachability tiers, blast-radius, recommendation hop-depth).
+
+    Pregel-style frontier expansion (the connected_components /
+    pagerank execution pattern): per round ONE equi-join of the current
+    frontier against the adjacency list plus one anti-join against the
+    visited set — a vertex enters the result at its FIRST (minimal)
+    hop, so no min-aggregation over paths is ever materialized and the
+    per-round work is O(frontier boundary), not O(paths) (the oracle's
+    recursive CTE enumerates (vertex, depth) pairs; this never does).
+    Lineage is truncated per round with ``localCheckpoint``; the loop
+    exits early when the frontier empties (one scalar count per round
+    driver-side, same as connected_components' change flag). At 100 TB
+    the adjacency list is repartitioned once on the join key and every
+    round reuses that exchange."""
+    e = _canonical_edges(edges, src, dst)
+    adj = e.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    adj = adj.repartition("v").localCheckpoint()
+    seed_col = sources.columns[0]
+    dist = (
+        sources.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .withColumn("distance", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("id")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["id"] == adj["v"])
+            .select(F.col("w").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+            .withColumn("distance", F.lit(hop).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return dist
+
+
 def pagerank(
     edges: DataFrame,
     *,

@@ -219,6 +219,7 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Strict-sequence funnel analysis: how many users performed the
     ``steps`` events IN ORDER (each step strictly after the previous
@@ -235,7 +236,14 @@ def funnel_steps(
     previous step's (user, time) frame — k-1 equi-joins on the user
     key, the natural partitioning for any per-user history operator
     (AQE handles hot users; no windows over the whole event stream, so
-    nothing sorts more than the per-step filtered events)."""
+    nothing sorts more than the per-step filtered events).
+
+    ``within_seconds`` (r7) bounds each step-to-step gap: step k only
+    counts if it happens within that many seconds AFTER the previous
+    step's earliest qualifying time — the "purchase within 3 days of
+    the view" form every conversion report actually uses. Earliest-
+    first semantics are unchanged (the earliest qualifying-and-in-
+    window step-k time becomes the next step's anchor)."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     reached: list[DataFrame] = []
@@ -247,9 +255,16 @@ def funnel_steps(
         if prev is None:
             cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
         else:
+            cond = F.col("__ts") > F.col("__t")
+            if within_seconds is not None:
+                cond = cond & (
+                    F.col("__ts")
+                    <= F.col("__t")
+                    + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+                )
             cur = (
                 ev.join(prev, "__u")
-                .filter(F.col("__ts") > F.col("__t"))
+                .filter(cond)
                 .groupBy("__u")
                 .agg(F.min("__ts").alias("__t"))
             )

@@ -1,0 +1,148 @@
+"""A/B experiment analysis: key-pure assignment and engine-exact
+readout (operators/experiment.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_azure_spark.operators.experiment import (
+    assign_variant,
+    variant_stats,
+    welch_ttest,
+)
+
+
+def _knuth_u(key: int, salt: int = 0) -> float:
+    kr = key % 2**32
+    return ((kr + salt) % 2**32) * 2654435761 % 2**32 / 2**32
+
+
+def test_assign_variant_is_key_pure_and_stable(spark):
+    """Same key -> same variant regardless of row order/partitioning;
+    values cover [0, n); python-reference parity on the hash."""
+    df = spark.range(0, 500).select(F.col("id"))
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", assign_variant("id", 3, salt=5).alias("v")
+        ).collect()
+    }
+    for k, v in got.items():
+        assert v == int(_knuth_u(k, 5) * 3)
+    re_got = {
+        r["id"]: r["v"]
+        for r in df.repartition(7)
+        .select("id", assign_variant("id", 3, salt=5).alias("v"))
+        .collect()
+    }
+    assert re_got == got
+
+
+def test_assign_variant_salts_are_independent(spark):
+    """Different salts re-randomize: the two assignments agree on only
+    ~half the keys (not all, not none) for a 2-arm split."""
+    df = spark.range(0, 2000)
+    both = df.select(
+        assign_variant("id", 2, salt=1).alias("a"),
+        assign_variant("id", 2, salt=999).alias("b"),
+    )
+    n_agree = both.filter(F.col("a") == F.col("b")).count()
+    assert 800 < n_agree < 1200  # ~1000 under independence
+    # and each split is roughly balanced
+    n1 = both.filter(F.col("a") == 1).count()
+    assert 800 < n1 < 1200
+
+
+def test_assign_variant_rejects_single_arm(spark):
+    with pytest.raises(ValueError, match="at least 2 arms"):
+        assign_variant("id", 1)
+
+
+def test_variant_stats_matches_hand_computation(spark):
+    """n/mean/sample-variance per arm against a direct computation on
+    the same deterministic assignment."""
+    rows = [(k, float(10 + (k * 7) % 13)) for k in range(200)]
+    df = spark.createDataFrame(rows, "k long, m double")
+    out = {
+        r["variant"]: r
+        for r in variant_stats(
+            df, "k", "m", n_variants=2, salt=3
+        ).collect()
+    }
+    by_arm = {0: [], 1: []}
+    for k, m in rows:
+        by_arm[int(_knuth_u(k, 3) * 2)].append(m)
+    for v, ms in by_arm.items():
+        n = len(ms)
+        mean = sum(ms) / n
+        var = (n * sum(x * x for x in ms) - sum(ms) ** 2) / (n * (n - 1))
+        assert out[v]["n_rows"] == n
+        assert out[v]["n_units"] == n  # unique keys here
+        assert out[v]["mean_metric"] == pytest.approx(mean, rel=1e-12)
+        assert out[v]["var_metric"] == pytest.approx(var, rel=1e-9)
+        assert out[v]["std_metric"] == pytest.approx(
+            math.sqrt(var), rel=1e-9
+        )
+
+
+def test_variant_stats_counts_units_not_rows(spark):
+    """Cluster randomization: rows share the unit key -> n_units counts
+    distinct keys and every row of a key lands in ONE arm."""
+    rows = [(k, float(m)) for k in range(50) for m in range(4)]
+    df = spark.createDataFrame(rows, "k long, m double")
+    out = variant_stats(df, "k", "m", n_variants=2, salt=0).collect()
+    assert sum(r["n_rows"] for r in out) == 200
+    assert sum(r["n_units"] for r in out) == 50
+    # per-key purity: assignment depends only on k
+    per_key = df.select(
+        "k", assign_variant("k", 2).alias("v")
+    ).groupBy("k").agg(F.countDistinct("v").alias("nv"))
+    assert per_key.filter(F.col("nv") > 1).count() == 0
+
+
+def test_welch_ttest_formula(spark):
+    """One-row readout equals the Welch formulas applied to the
+    per-arm stats; a planted treatment lift yields a large |t|."""
+    rows = []
+    for k in range(400):
+        arm = int(_knuth_u(k, 11) * 2)
+        base = float(100 + (k * 13) % 7)
+        rows.append((k, base + (50.0 if arm == 1 else 0.0)))
+    df = spark.createDataFrame(rows, "k long, m double")
+    r = welch_ttest(df, "k", "m", salt=11).collect()[0]
+    by_arm = {0: [], 1: []}
+    for k, m in rows:
+        by_arm[int(_knuth_u(k, 11) * 2)].append(m)
+    na, nb = len(by_arm[0]), len(by_arm[1])
+    ma = sum(by_arm[0]) / na
+    mb = sum(by_arm[1]) / nb
+    va = (na * sum(x * x for x in by_arm[0]) - sum(by_arm[0]) ** 2) / (
+        na * (na - 1)
+    )
+    vb = (nb * sum(x * x for x in by_arm[1]) - sum(by_arm[1]) ** 2) / (
+        nb * (nb - 1)
+    )
+    se2a, se2b = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(se2a + se2b)
+    wdf = (se2a + se2b) ** 2 / (
+        se2a**2 / (na - 1) + se2b**2 / (nb - 1)
+    )
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["mean_diff"] == pytest.approx(ma - mb, rel=1e-12)
+    assert r["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert r["welch_df"] == pytest.approx(wdf, rel=1e-9)
+    assert abs(r["t_stat"]) > 20  # the planted +50 lift dominates
+    e = (na + nb) / 2
+    chi2 = (na - e) ** 2 / e + (nb - e) ** 2 / e
+    assert r["srm_chi2"] == pytest.approx(chi2, rel=1e-12)
+
+
+def test_welch_null_effect_small_t(spark):
+    """No planted effect -> |t| stays small (sanity against sign or
+    scaling errors in the statistic)."""
+    rows = [(k, float(100 + (k * 13) % 7)) for k in range(2000)]
+    df = spark.createDataFrame(rows, "k long, m double")
+    r = welch_ttest(df, "k", "m", salt=4).collect()[0]
+    assert abs(r["t_stat"]) < 4
+    assert r["srm_chi2"] < 10

@@ -106,3 +106,48 @@ def test_pagerank_star_and_partition_invariance(spark):
     assert set(re_part) == set(got)
     for k in got:
         assert abs(re_part[k] - got[k]) < 1e-12, k
+
+
+def test_bfs_distances_chain_and_branches(spark):
+    """Hop distances on a known topology: a chain with a side branch
+    and a disconnected component — minimal hop wins when multiple
+    paths exist, unreachable vertices are absent, direction of the
+    input edge never matters."""
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    #   1-2-3-4-5   (chain)   2-6 (branch)   1-3 (shortcut)
+    #   8-9         (disconnected)
+    edges = [(1, 2), (3, 2), (3, 4), (5, 4), (2, 6), (1, 3), (8, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seed = spark.createDataFrame([(1,)], ["id"])
+    got = {
+        r["id"]: r["distance"]
+        for r in bfs_distances(df, seed, max_hops=10).collect()
+    }
+    # 3 is reachable in 1 via the shortcut even though the chain says 2
+    assert got == {1: 0, 2: 1, 3: 1, 6: 2, 4: 2, 5: 3}
+
+
+def test_bfs_distances_multi_source_and_hop_cap(spark):
+    """Multi-source: distance is to the NEAREST seed; max_hops
+    truncates the expansion."""
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    # path 1-2-3-4-5-6 with seeds {1, 6}
+    edges = [(i, i + 1) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (6,)], ["id"])
+    got = {
+        r["id"]: r["distance"]
+        for r in bfs_distances(df, seeds, max_hops=10).collect()
+    }
+    assert got == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+    capped = {
+        r["id"]: r["distance"]
+        for r in bfs_distances(df, seeds, max_hops=1).collect()
+    }
+    assert capped == {1: 0, 6: 0, 2: 1, 5: 1}

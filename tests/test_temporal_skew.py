@@ -240,6 +240,47 @@ def test_funnel_steps_strict_order(spark):
     assert [out[s]["step_idx"] for s in ("view", "click", "purchase")] == [1, 2, 3]
 
 
+def test_funnel_steps_within_seconds(spark):
+    """Gap-bounded funnel: with within_seconds each step must land in
+    (prev_t, prev_t + bound]; a qualifying-but-late event drops the
+    user at that step, the boundary second is inclusive, and the
+    earliest IN-WINDOW occurrence becomes the next step's anchor (a
+    later out-of-window click can't resurrect via an earlier one)."""
+    from datetime import datetime
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    T = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)
+    rows = [
+        # u1: click 2 min after view, purchase 1 min after click: all in
+        (1, T(0), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # u2: click 10 min after view -> outside the 5-min bound
+        (2, T(0), "view"), (2, T(10), "click"), (2, T(11), "purchase"),
+        # u3: click exactly AT the bound (300 s) -> inclusive, counts;
+        #     purchase 301 s after that click -> one past, drops
+        (3, T(0), "view"), (3, T(5), "click"), (3, T(10, 1), "purchase"),
+        # u4: two in-window clicks — the EARLIEST (T2) anchors, so the
+        #     purchase at T8 (360 s after T2) is out of window even
+        #     though a path through the T7 click would convert: the
+        #     earliest-first rule is a pure function, not a path search
+        (4, T(0), "view"), (4, T(2), "click"), (4, T(7), "click"),
+        (4, T(8), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r["step"]: r["n_users"] for r in
+           funnel_steps(ev, ["view", "click", "purchase"],
+                        within_seconds=300).collect()}
+    assert out == {"view": 4, "click": 3, "purchase": 1}
+    # unbounded control: everyone converts fully
+    out_unb = {r["step"]: r["n_users"] for r in
+               funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert out_unb == {"view": 4, "click": 4, "purchase": 4}
+
+
 def test_cohort_retention_weekly(spark):
     """Cohort semantics: users cohort by the ISO week of their FIRST
     signup; retention counts distinct active users per later week;
