@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from streaming_data_pipeline_azure_spark.operators import (
     association,
+    attribution,
+    bpe,
     cdc,
     corpus,
     experiment,
@@ -1356,6 +1358,34 @@ def _ab_welch_test(spark: SparkSession, sf: str) -> DataFrame:
     orders = _tables(spark, sf, "orders")[0]
     return experiment.welch_ttest(
         orders, "o_custkey", "o_totalprice", salt=11
+    )
+
+
+def _bpe_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE round-0 statistic (r7): top-20 adjacent character pairs
+    weighted by word frequency over documents — the argmax the first
+    BPE merge takes, computed on the distinct-word histogram (bpe.py:
+    corpus scanned once; pair stats shuffle the histogram only)."""
+    return bpe.bpe_top_pairs(_docs(spark, sf), k=20)
+
+
+def _bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer induction (r7, rows-only): 8 learned merges over
+    documents — iterative argmax + greedy HOF merge application has no
+    closed-form SQL twin; anchored by the oracle-green round-0
+    statistic (round 1's winner == bpe_top_pairs #1, tested) and
+    hand-computed fixtures (tests/test_bpe.py)."""
+    return bpe.bpe_train(_docs(spark, sf), n_merges=8)
+
+
+def _attribution_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion attribution report (r7): purchase revenue credited to
+    the user's latest / earliest view-or-click touch within a 3-day
+    lookback — per (model, channel) count and exact-decimal revenue
+    (attribution.channel_revenue; one user-keyed band join + a
+    per-conversion window, never a global sort)."""
+    return attribution.channel_revenue(
+        _events(spark, sf), lookback_seconds=259200
     )
 
 
@@ -3570,6 +3600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_variant_stats": _ab_variant_stats,
         "ab_welch_test": _ab_welch_test,
         "copurchase_distances": _copurchase_distances,
+        "attribution_revenue": _attribution_revenue,
+        "bpe_top_pairs": _bpe_top_pairs,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3588,11 +3620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _top_terms,
         "events_date_parts": _events_date_parts,
         "events_daily_pivot": _events_daily_pivot,
+        # ==== 50-entry window boundary (r7 AS BUILT: 34 r7-new oracle
+        # entries + the first 16 last-r4-green; the displaced tail —
+        # doc_fingerprint and the r5 group below — rotates to the
+        # front of the r8 window) ====
         "doc_fingerprint": _doc_fingerprints,
-        # ---- last driver-green r5; the 26 oldest fill the r7 window
-        # to 50 ----
+        # ---- last driver-green r5 ----
         "span_dedup": _span_dedup,
-        # ==== 50-entry window boundary (r7) ====
         "span_decontaminate": _span_decontaminate,
         "bm25_search": _bm25_search,
         "hybrid_search": _hybrid_search,
@@ -3764,6 +3798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB twin — anchored by the exact `daily_active_users`
         # oracle entry + merge/error tests in tests/test_profile.py
         "daily_active_users_hll": _daily_active_users_hll,
+        # BPE training (r7): iterative argmax+merge loop has no SQL
+        # twin — anchored by the oracle-green `bpe_top_pairs` round-0
+        # statistic + hand-computed fixtures (tests/test_bpe.py)
+        "bpe_merges": _bpe_merges,
     }
 
 
@@ -4556,6 +4594,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
             FROM fl GROUP BY event_type
+        """,
+        "bpe_top_pairs": r"""
+            WITH words AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                            '\s+')) AS w
+              FROM documents
+            ), wc AS (
+              SELECT w, COUNT(*) AS n FROM words
+              WHERE len(w) >= 2 GROUP BY w
+            ), pairs AS (
+              SELECT substr(w, i, 2) AS pair, n
+              FROM wc, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+            )
+            SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+            FROM pairs GROUP BY pair
+            ORDER BY n_occurrences DESC, pair ASC LIMIT 20
+        """,
+        "attribution_revenue": """
+            WITH conv AS (
+              SELECT user_id AS u, ts AS cts, event_id AS cid,
+                     CAST(value AS DECIMAL(18,4)) AS v
+              FROM events WHERE event_type = 'purchase'
+            ), t AS (
+              SELECT user_id AS u, ts AS tts, event_id AS tid,
+                     event_type AS ch
+              FROM events WHERE event_type IN ('view', 'click')
+            ), j AS (
+              SELECT c.cid, c.v, t.ch, t.tts, t.tid
+              FROM conv c JOIN t ON c.u = t.u
+               AND t.tts < c.cts
+               AND t.tts >= c.cts - INTERVAL 259200 SECOND
+            ), r AS (
+              SELECT *,
+                ROW_NUMBER() OVER (
+                  PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rl,
+                ROW_NUMBER() OVER (
+                  PARTITION BY cid ORDER BY tts ASC, tid ASC) AS rf
+              FROM j
+            )
+            SELECT 'last_touch' AS model, ch AS channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                   CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS revenue
+            FROM r WHERE rl = 1 GROUP BY ch
+            UNION ALL
+            SELECT 'first_touch', ch, CAST(COUNT(*) AS BIGINT),
+                   CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE)
+            FROM r WHERE rf = 1 GROUP BY ch
         """,
         "copurchase_distances": """
             WITH RECURSIVE basket AS (

@@ -1,0 +1,168 @@
+"""Marketing-style conversion attribution: split each conversion's
+revenue across the user's preceding touch events inside a lookback
+window — last-touch, first-touch, or linear credit.
+
+Completes the product-analytics family (funnels / cohorts / CEP in
+temporal.py): "which channel gets credit for this purchase" is the
+standard revenue question downstream of every funnel.
+
+Shape: ONE user-keyed equi-join of conversions against touches with a
+time-band filter (the as-of-join pattern — per-user history is the
+natural partitioning; AQE splits hot users), then a window ranked
+inside each conversion's touch set (groups are per-conversion, tiny by
+construction — bounded by touches-per-user-per-window, not by corpus
+size). Nothing global is sorted; at 100 TB both sides shuffle once on
+the user key.
+
+Exactness: last/first credit the FULL conversion value to one touch,
+so per-channel revenue is a sum of exact DECIMAL(18,4) values —
+order-independent and oracle-hash-checkable. Linear credit divides by
+the touch count (a per-row double), so its per-channel sums are
+float-order-dependent across engines; it is anchored by conservation
+and hand-computed tests instead (tests/test_attribution.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MODELS = ("last_touch", "first_touch", "linear")
+
+
+def attribution_credits(
+    events: DataFrame,
+    *,
+    model: str = "last_touch",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_seconds: int = 3 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per credited touch: (conversion_id, touch_id, channel, credit).
+
+    A touch qualifies when it is the same user's, STRICTLY before the
+    conversion, and at most ``lookback_seconds`` earlier. ``last_touch``
+    / ``first_touch`` credit the latest / earliest qualifying touch
+    with the full conversion value (ties broken by the touch id, so the
+    result is a pure function of the data); ``linear`` splits the value
+    equally across all qualifying touches. Conversions with no
+    qualifying touch produce no rows (unattributed — callers can
+    anti-join to report them)."""
+    if model not in _MODELS:
+        raise ValueError(
+            f"attribution model {model!r} not in {_MODELS}"
+        )
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(value_col).cast("decimal(18,4)").alias("__v"),
+    )
+    touch = events.filter(
+        F.col(type_col).isin(*touch_types)
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("channel"),
+    )
+    j = conv.join(touch, "__u").filter(
+        (F.col("__tts") < F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts")
+            - F.expr(f"INTERVAL {int(lookback_seconds)} SECONDS")
+        )
+    )
+    if model == "linear":
+        w = Window.partitionBy("conversion_id")
+        return j.select(
+            "conversion_id",
+            "touch_id",
+            "channel",
+            (
+                F.col("__v").cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+            ).alias("credit"),
+        )
+    desc = model == "last_touch"
+    order = (
+        [F.col("__tts").desc(), F.col("touch_id").desc()]
+        if desc
+        else [F.col("__tts").asc(), F.col("touch_id").asc()]
+    )
+    w = Window.partitionBy("conversion_id").orderBy(*order)
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "conversion_id",
+            "touch_id",
+            "channel",
+            F.col("__v").cast("double").alias("credit"),
+        )
+    )
+
+
+def channel_revenue(
+    events: DataFrame,
+    *,
+    models: tuple[str, ...] = ("last_touch", "first_touch"),
+    **kwargs,
+) -> DataFrame:
+    """Per (model, channel): credited conversion count and attributed
+    revenue — the report form of :func:`attribution_credits`.
+
+    Only single-touch models are accepted here: their per-channel
+    revenue is a sum of exact decimals (order-independent, engine-
+    exact); linear's divided credits are not, and belong in
+    :func:`attribution_credits` + a conservation test, not in an
+    oracle-checked report. Returns (model, channel, n_conversions,
+    revenue)."""
+    bad = [m for m in models if m == "linear"]
+    if bad:
+        raise ValueError(
+            "channel_revenue: 'linear' credits are float-divided and "
+            "not order-independent — aggregate attribution_credits "
+            "yourself if approximate sums are acceptable"
+        )
+    outs = []
+    for m in models:
+        conv = events.filter(
+            F.col(kwargs.get("type_col", "event_type"))
+            == kwargs.get("conversion_type", "purchase")
+        )
+        credits = attribution_credits(events, model=m, **kwargs)
+        # re-join the exact decimal value by conversion id to keep the
+        # channel sum decimal-exact (credits exposes only the double)
+        val = conv.select(
+            F.col(kwargs.get("id_col", "event_id")).alias(
+                "conversion_id"
+            ),
+            F.col(kwargs.get("value_col", "value"))
+            .cast("decimal(18,4)")
+            .alias("__v"),
+        )
+        outs.append(
+            credits.join(val, "conversion_id")
+            .groupBy("channel")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_conversions"),
+                F.sum("__v").alias("__r"),
+            )
+            .select(
+                F.lit(m).alias("model"),
+                "channel",
+                "n_conversions",
+                F.col("__r").cast("double").alias("revenue"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
