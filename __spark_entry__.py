@@ -1361,6 +1361,38 @@ def _ab_welch_test(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware dedup (r7): duplicate groups (normalized-text
+    fingerprint) keep their HIGHEST-SCORE member — n_chars desc,
+    doc_id tie — reported with the group size, dup groups only
+    (dedup.keep_best_dedup: one fingerprint shuffle, max_by partial
+    agg). The testdata has no normalized dups at sf<=0.01, so the
+    query plants a deterministic 'mirror' copy of every 13th doc
+    in-query (case/whitespace-mangled, higher score) and the oracle
+    mirrors the construction — the planted copy must win every
+    group."""
+    docs = _docs(spark, sf).select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "lang",
+        (F.col("n_chars") + F.lit(5)).alias("n_chars"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    out = dedup.keep_best_dedup(
+        docs.unionByName(copies),
+        "doc_id",
+        "text",
+        score_col="n_chars",
+        with_group_size=True,
+    )
+    return out.filter(F.col("n_dups") >= 2).select(
+        "doc_id", "source", "lang", "n_chars", "n_dups"
+    )
+
+
 def _bpe_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """BPE round-0 statistic (r7): top-20 adjacent character pairs
     weighted by word frequency over documents — the argmax the first
@@ -3602,6 +3634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_distances": _copurchase_distances,
         "attribution_revenue": _attribution_revenue,
         "bpe_top_pairs": _bpe_top_pairs,
+        "dedup_keep_best": _dedup_keep_best,
+        "orders_in_flight": _orders_in_flight,
+        "brand_affinity_triples": _brand_affinity_triples,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3619,11 +3654,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _pii_redaction,
         "top_terms": _top_terms,
         "events_date_parts": _events_date_parts,
+        # ==== 50-entry window boundary (r7 AS BUILT: 35 r7-new oracle
+        # entries + the first 15 last-r4-green; the displaced tail —
+        # events_daily_pivot, doc_fingerprint and the r5 group below —
+        # rotates to the front of the r8 window) ====
         "events_daily_pivot": _events_daily_pivot,
-        # ==== 50-entry window boundary (r7 AS BUILT: 34 r7-new oracle
-        # entries + the first 16 last-r4-green; the displaced tail —
-        # doc_fingerprint and the r5 group below — rotates to the
-        # front of the r8 window) ====
         "doc_fingerprint": _doc_fingerprints,
         # ---- last driver-green r5 ----
         "span_dedup": _span_dedup,
@@ -4594,6 +4629,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
             FROM fl GROUP BY event_type
+        """,
+        "dedup_keep_best": r"""
+            WITH inp AS (
+              SELECT doc_id, source, lang, n_chars, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, 'mirror', lang, n_chars + 5,
+                     upper(text) || '  '
+              FROM documents WHERE doc_id % 13 = 0
+            ), t AS (
+              SELECT doc_id, source, lang, n_chars,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ',
+                         'g'))) AS fp
+              FROM inp
+            ), g AS (
+              SELECT *,
+                     COUNT(*) OVER (PARTITION BY fp) AS n_dups,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY fp
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM t
+            )
+            SELECT doc_id, source, lang, n_chars,
+                   CAST(n_dups AS BIGINT) AS n_dups
+            FROM g WHERE rn = 1 AND n_dups >= 2
+        """,
+        "orders_in_flight": r"""
+            WITH iv AS (
+              SELECT CAST(LEAST(MIN(l.l_shipdate), ANY_VALUE(o.o_orderdate))
+                          AS DATE) AS s,
+                     CAST(GREATEST(MAX(l.l_shipdate), ANY_VALUE(o.o_orderdate))
+                          AS DATE) AS e
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_orderkey
+            ), open_days AS (
+              SELECT CAST(unnest(generate_series(s, e, INTERVAL 1 DAY))
+                          AS DATE) AS day
+              FROM iv
+            ), counts AS (
+              SELECT day, COUNT(*) AS n FROM open_days GROUP BY day
+            ), cal AS (
+              SELECT CAST(unnest(generate_series(
+                         (SELECT MIN(s) FROM iv),
+                         (SELECT MAX(e) FROM iv),
+                         INTERVAL 1 DAY)) AS DATE) AS day
+            )
+            SELECT c.day AS day, CAST(COALESCE(n, 0) AS BIGINT) AS n_open
+            FROM cal c LEFT JOIN counts USING (day)
+        """,
+        "brand_affinity_triples": r"""
+            WITH b AS (
+              SELECT DISTINCT l.l_orderkey AS e, p.p_brand AS i
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            ), ne AS (SELECT COUNT(DISTINCT e) AS n_e FROM b)
+            SELECT a.i AS item_a, b2.i AS item_b, c.i AS item_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_abc,
+                   CAST(COUNT(*) AS DOUBLE) / (SELECT n_e FROM ne)
+                       AS support
+            FROM b a
+            JOIN b b2 ON a.e = b2.e AND a.i < b2.i
+            JOIN b c  ON a.e = c.e  AND b2.i < c.i
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= 55
         """,
         "bpe_top_pairs": r"""
             WITH words AS (
@@ -6710,3 +6807,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
         """,
     }
+
+
+def _orders_in_flight(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep-line interval concurrency (r7): how many orders are OPEN
+    (has activity) on every calendar day — the order's interval spans
+    its order date and every line's ship date (the synthetic shipdates
+    are not ordered after o_orderdate, so least/greatest bound the
+    span). Spark side is the
+    delta/running-sum sweep line (temporal.interval_concurrency: one
+    O(intervals) delta shuffle + an O(days) cumulative window); the
+    oracle brute-forces the per-day expansion (generate_series per
+    interval), so the two formulations are independent."""
+    ords, li = _tables(spark, sf, "orders", "lineitem")
+    iv = (
+        ords.join(li, ords.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.least(F.min("l_shipdate"), F.first("o_orderdate")).alias(
+                "opened"
+            ),
+            F.greatest(
+                F.max("l_shipdate"), F.first("o_orderdate")
+            ).alias("closed"),
+        )
+    )
+    return temporal.interval_concurrency(iv, "opened", "closed")
+
+
+def _brand_affinity_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Apriori level-3 market baskets (r7): brand triples co-occurring
+    in >= 55 orders (basket = order, item = part brand via the part
+    dimension). Spark side is the level-wise pruned candidate join
+    (association.frequent_triples — frequent items -> frequent pairs
+    -> Apriori-pruned triple extension, all equi/broadcast-semi
+    joins); the oracle brute-forces the unpruned 3-way basket
+    self-join, so pruning correctness is exactly what the hash
+    checks."""
+    li, part = _tables(spark, sf, "lineitem", "part")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return association.frequent_triples(
+        baskets, "l_orderkey", "p_brand", min_support=55
+    )

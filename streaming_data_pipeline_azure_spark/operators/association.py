@@ -74,3 +74,99 @@ def pair_associations(
             ).alias("lift"),
         )
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    entity_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Frequent 3-itemsets (Apriori level 3): every unordered item
+    triple (a < b < c) present in at least ``min_support`` baskets,
+    with its basket count and support fraction.
+
+    Level-wise pruning is the scale story — the naive 3-way basket
+    self-join emits Σ basket³ rows; this emits only extensions of
+    FREQUENT pairs:
+
+    1. frequent items (support ≥ ``min_support``) prune the baskets
+       first (broadcast semi-join — the marginal table is |items|);
+    2. frequent (a, b) pairs come from the pruned pair join (bounded
+       by Σ basket², itself bounded by ``max_basket_size``);
+    3. candidate triples join each basket's frequent (a, b) pairs to
+       the basket's remaining items c > b, then Apriori-prune: (a, c)
+       and (b, c) must BOTH be frequent pairs too (two broadcast
+       semi-joins against the frequent-pair set — any triple with an
+       infrequent sub-pair cannot be frequent, so the final count
+       touches only genuine candidates);
+    4. count per (a, b, c), keep ≥ ``min_support``.
+
+    All joins are equi-joins on the entity key or broadcast
+    semi-joins on (small) frequent sets; nothing is quadratic in the
+    corpus. Returns (item_a, item_b, item_c, n_abc, support)."""
+    basket = df.select(
+        F.col(entity_col).alias("__e"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = basket.groupBy("__e").agg(
+            F.count(F.lit(1)).alias("__sz")
+        ).filter(F.col("__sz") <= max_basket_size)
+        basket = basket.join(F.broadcast(sizes.select("__e")), "__e")
+    n_entities = basket.select("__e").distinct().agg(
+        F.count(F.lit(1)).alias("__n_e")
+    )
+    freq_items = (
+        basket.groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__n_i"))
+        .filter(F.col("__n_i") >= min_support)
+        .select("__i")
+    )
+    pruned = basket.join(F.broadcast(freq_items), "__i").select(
+        "__e", "__i"
+    )
+    a = pruned.toDF("__e", "item_a")
+    b = pruned.toDF("__e", "item_b")
+    basket_pairs = a.join(b, "__e").filter(
+        F.col("item_a") < F.col("item_b")
+    )
+    freq_pairs = (
+        basket_pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("__n_ab"))
+        .filter(F.col("__n_ab") >= min_support)
+        .select("item_a", "item_b")
+    )
+    cand = (
+        basket_pairs.join(
+            F.broadcast(freq_pairs), ["item_a", "item_b"], "left_semi"
+        )
+        .join(pruned.toDF("__e", "item_c"), "__e")
+        .filter(F.col("item_c") > F.col("item_b"))
+        .join(
+            F.broadcast(freq_pairs.toDF("item_a", "item_c")),
+            ["item_a", "item_c"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(freq_pairs.toDF("item_b", "item_c")),
+            ["item_b", "item_c"],
+            "left_semi",
+        )
+    )
+    return (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("n_abc"))
+        .filter(F.col("n_abc") >= min_support)
+        .crossJoin(F.broadcast(n_entities))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            F.col("n_abc").cast("long").alias("n_abc"),
+            (F.col("n_abc").cast("double") / F.col("__n_e")).alias(
+                "support"
+            ),
+        )
+    )

@@ -71,6 +71,44 @@ def normalized_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return deduped.drop("__fp")
 
 
+def keep_best_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    score_col: str,
+    with_group_size: bool = False,
+) -> DataFrame:
+    """Quality-aware canonical selection: :func:`normalized_dedup`
+    where the survivor of each duplicate group is the HIGHEST-
+    ``score_col`` member (tie: smallest numeric ``id_col``) — the
+    "keep the best copy" policy real corpus pipelines use (longest
+    text, highest quality score, freshest crawl) instead of
+    keep-first.
+
+    Same scale shape as exact dedup: ONE hash shuffle on the 16-byte
+    normalized fingerprint with a ``max_by`` partial aggregation — the
+    map-side combine collapses duplicates before the exchange, so
+    shuffle volume is O(distinct fingerprints) rows of (fingerprint,
+    best-so-far struct), never the corpus. ``with_group_size`` adds an
+    ``n_dups`` column (the group's member count)."""
+    with_fp = df.withColumn("__fp", fingerprint(text_col))
+    others = [c for c in df.columns]
+    g = with_fp.groupBy("__fp").agg(
+        F.max_by(
+            F.struct(*others),
+            F.struct(
+                F.col(score_col), (-F.col(id_col)).cast("long")
+            ),
+        ).alias("__v"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    )
+    out = g.select(
+        *[F.col(f"__v.{c}").alias(c) for c in others], "n_dups"
+    )
+    return out if with_group_size else out.drop("n_dups")
+
+
 def incremental_dedup(
     new_batch: DataFrame, corpus: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -107,6 +107,72 @@ def variant_stats(
     )
 
 
+def variant_partials(
+    df: DataFrame,
+    key_col: str,
+    metric_col: str,
+    *,
+    n_variants: int = 2,
+    salt: int = 0,
+) -> DataFrame:
+    """Mergeable per-variant sufficient sums — (variant, n, s, ss)
+    with s/ss EXACT decimals: partials from arbitrary slicings of the
+    data merge (by plain addition) to bit-identical one-pass results,
+    so an experiment readout can be maintained per micro-batch and
+    served without reprocessing history (the mergeable-state family:
+    HLL distinct, CMS frequency, bottom-k samples — this is the
+    metric-moments member). ``n_units`` is deliberately absent: a
+    distinct count is not mergeable; pair the readout with the HLL
+    family if per-variant unit counts are needed at serve time."""
+    d = F.col(metric_col).cast("decimal(18,4)")
+    return (
+        df.select(
+            assign_variant(key_col, n_variants, salt=salt).alias(
+                "variant"
+            ),
+            d.alias("__m"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__m").alias("s"),
+            F.sum(F.col("__m") * F.col("__m")).alias("ss"),
+        )
+    )
+
+
+def merge_variant_partials(partials: DataFrame) -> DataFrame:
+    """Fold any number of (variant, n, s, ss) partial frames (already
+    unioned) back into one row per variant — decimal addition, so the
+    merge is exact and order-independent."""
+    return partials.groupBy("variant").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+    )
+
+
+def finalize_variant_stats(partials: DataFrame) -> DataFrame:
+    """(variant, n_rows, mean_metric, var_metric, std_metric) from
+    merged partials — the identical finalization expressions as
+    :func:`variant_stats`, so a streamed/merged readout is
+    bit-identical to the one-pass batch answer (tested)."""
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+    return partials.select(
+        "variant",
+        F.col("n").cast("long").alias("n_rows"),
+        (s / n).alias("mean_metric"),
+        F.when(F.col("n") > 1, var).alias("var_metric"),
+        F.when(
+            F.col("n") > 1,
+            F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0)),
+        ).alias("std_metric"),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     key_col: str,

@@ -489,3 +489,64 @@ def read_heavy_hitters(
     return score_cms_partials(
         spark, partials, k=k, depth=depth, width=width, seed=seed
     )
+
+
+def build_ab_ingest_query(
+    value_stream: DataFrame,
+    key_col: str,
+    metric_col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    n_variants: int = 2,
+    salt: int = 0,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming experiment state (r7): each micro-batch's per-variant
+    sufficient sums (n, Σm, Σm² as exact decimals — mergeable by plain
+    addition) persist at replay-idempotent ``batch_id=N`` overwrite
+    partitions, so the A/B readout is servable mid-experiment without
+    reprocessing history — the metric-moments member of the streaming
+    mergeable-state family (HLL distinct / CMS frequency / drift
+    buckets / this). Serve with :func:`read_ab_readout`; the merged
+    readout is BIT-IDENTICAL to the one-pass batch answer because
+    decimal sums are order-independent (tested)."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        variant_partials,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        variant_partials(
+            batch_df,
+            key_col,
+            metric_col,
+            n_variants=n_variants,
+            salt=salt,
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    writer = (
+        value_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_ab_readout(spark, state_path: str) -> DataFrame:
+    """Serve the streaming experiment state: merge every batch's
+    per-variant partials (decimal addition, O(batches x variants)
+    rows) and finalize to (variant, n_rows, mean_metric, var_metric,
+    std_metric) — identical expressions to the batch
+    ``variant_stats``, so streamed == batch bit-for-bit."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        finalize_variant_stats,
+        merge_variant_partials,
+    )
+
+    return finalize_variant_stats(
+        merge_variant_partials(spark.read.parquet(state_path))
+    )

@@ -639,3 +639,32 @@ def test_containment_implied_by_symmetric_jaccard(spark, sf_dir):
         assert (a, b) in cont and (b, a) in cont, (a, b)
     # and containment is the strictly weaker predicate
     assert len(cont) >= 2 * len(jac)
+
+
+def test_keep_best_dedup_highest_score_wins(spark):
+    """Survivor is the max-score member per normalized group; ties
+    break to the smallest id; group size is reported."""
+    rows = [
+        (1, BASE, 10),
+        (2, BASE, 30),  # exact dup, higher score -> survives
+        (5, "THE  QUICK " + BASE[10:], 30),  # normalized dup, tied
+        #   score with 2 -> id 2 wins the tie
+        (4, "unrelated text", 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.keep_best_dedup(
+            df, "doc_id", "text", score_col="score",
+            with_group_size=True,
+        ).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2]["n_dups"] == 3
+    assert out[2]["score"] == 30
+    assert out[4]["n_dups"] == 1
+    # without group size the column is absent and schema matches input
+    no_n = dedup.keep_best_dedup(
+        df, "doc_id", "text", score_col="score"
+    )
+    assert no_n.columns == ["doc_id", "text", "score"]

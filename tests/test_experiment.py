@@ -146,3 +146,101 @@ def test_welch_null_effect_small_t(spark):
     r = welch_ttest(df, "k", "m", salt=4).collect()[0]
     assert abs(r["t_stat"]) < 4
     assert r["srm_chi2"] < 10
+
+
+def test_partials_merge_bit_identical_any_slicing(spark):
+    """Sufficient sums from arbitrary slicings merge to the SAME
+    finalized stats as one pass — exact decimals make the merge
+    order-independent, bit-for-bit."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        finalize_variant_stats,
+        merge_variant_partials,
+        variant_partials,
+    )
+
+    rows = [(k, float(10 + (k * 7) % 13) + 0.1234) for k in range(300)]
+    df = spark.createDataFrame(rows, "k long, m double")
+    one_pass = finalize_variant_stats(
+        variant_partials(df, "k", "m", n_variants=3, salt=2)
+    ).collect()
+    for cuts in [(100, 200), (1, 299), (150,)]:
+        lo = 0
+        parts = []
+        for hi in list(cuts) + [300]:
+            sl = spark.createDataFrame(rows[lo:hi], "k long, m double")
+            parts.append(
+                variant_partials(sl, "k", "m", n_variants=3, salt=2)
+            )
+            lo = hi
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        merged = finalize_variant_stats(
+            merge_variant_partials(u)
+        ).collect()
+        assert sorted(map(tuple, merged)) == sorted(
+            map(tuple, one_pass)
+        )  # exact equality, including the float columns
+
+
+def test_streaming_ab_readout_matches_batch(spark, tmp_path):
+    """The streamed experiment state, fed in micro-batches, serves the
+    IDENTICAL readout as the one-pass batch stats, and a replayed
+    batch does not perturb it (overwrite partitions)."""
+    import json as _json
+
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        finalize_variant_stats,
+        variant_partials,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_ab_ingest_query,
+        read_ab_readout,
+        run_to_completion,
+    )
+
+    b1 = [{"k": i, "m": 10.5 + (i % 7)} for i in range(150)]
+    b2 = [{"k": i, "m": 20.25 + (i % 5)} for i in range(150, 260)]
+    src = tmp_path / "ab_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    def stream():
+        return (
+            spark.readStream.schema("k long, m double")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "ab_state")
+    q = build_ab_ingest_query(
+        stream(), "k", "m", state, str(tmp_path / "ab_ckpt"),
+        salt=9, trigger_available_now=True,
+    )
+    run_to_completion(q)
+    served = sorted(
+        map(tuple, read_ab_readout(spark, state).collect())
+    )
+    union = spark.createDataFrame(
+        [(r["k"], r["m"]) for r in b1 + b2], "k long, m double"
+    )
+    direct = sorted(
+        map(
+            tuple,
+            finalize_variant_stats(
+                variant_partials(union, "k", "m", salt=9)
+            ).collect(),
+        )
+    )
+    assert served == direct
+
+    q2 = build_ab_ingest_query(
+        stream(), "k", "m", state, str(tmp_path / "ab_ckpt2"),
+        salt=9, trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    again = sorted(
+        map(tuple, read_ab_readout(spark, state).collect())
+    )
+    assert again == served

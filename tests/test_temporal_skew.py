@@ -592,3 +592,64 @@ def test_cep_regex_agrees_with_funnel_on_tie_free_data(spark):
     }
     # the LAST step's reached-count is the purchase-after-view users
     assert funnel[max(funnel)] == len(regex_users)
+
+
+def test_interval_concurrency_sweep_line(spark):
+    """Open-count per day from the sweep line: overlaps add, gaps
+    read zero, every calendar day from first start to last end
+    appears exactly once."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    d = dt.datetime
+    rows = [
+        (d(2024, 1, 1), d(2024, 1, 3)),
+        (d(2024, 1, 2), d(2024, 1, 2)),
+        (d(2024, 1, 5), d(2024, 1, 6)),
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = {
+        str(r["day"]): r["n_open"]
+        for r in interval_concurrency(df, "s", "e").collect()
+    }
+    assert got == {
+        "2024-01-01": 1,
+        "2024-01-02": 2,
+        "2024-01-03": 1,
+        "2024-01-04": 0,
+        "2024-01-05": 1,
+        "2024-01-06": 1,
+    }
+    # change-points-only mode: one row per boundary day
+    sparse = {
+        str(r["day"]): r["n_open"]
+        for r in interval_concurrency(
+            df, "s", "e", gap_fill=False
+        ).collect()
+    }
+    assert sparse == {
+        "2024-01-01": 1,
+        "2024-01-02": 2,
+        "2024-01-03": 1,
+        "2024-01-04": 0,
+        "2024-01-05": 1,
+        "2024-01-07": 0,
+    }
+
+
+def test_interval_concurrency_rejects_inverted(spark):
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    df = spark.createDataFrame(
+        [(_dt.datetime(2024, 1, 5), _dt.datetime(2024, 1, 1))],
+        "s timestamp, e timestamp",
+    )
+    with _pytest.raises(ValueError, match="inverted"):
+        interval_concurrency(df, "s", "e")
