@@ -42,6 +42,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     similarity,
     validate,
     skew,
+    skyline,
     temporal,
     text as tx,
 )
@@ -3585,8 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   every 3 rounds:
     #     r6 window: 7 never-driver-checked (r5 positions 51-57)
     #               + 43 oldest (last driver-green r4)  -> 50
-    #     r7 window (AS BUILT): 28 r7-new + the 17 remaining r4-green
-    #               + the 5 oldest r5-green              -> 50
+    #     r7 window (AS BUILT): 41 r7-new + the 9 oldest r4-green -> 50
     #     r8 window: [r8-new] + remaining r5-green (source_mirror_overlap
     #               … segments_above_avg) + oldest r6-green
     #   scripts/check_correctness.py still verifies ALL oracle entries
@@ -3637,6 +3637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _dedup_keep_best,
         "orders_in_flight": _orders_in_flight,
         "brand_affinity_triples": _brand_affinity_triples,
+        "weighted_price_percentiles": _weighted_price_percentiles,
+        "part_value_frontier": _part_value_frontier,
+        "retrieval_eval": _retrieval_eval,
+        "customer_golden_record": _customer_golden_record,
+        "event_value_anomalies": _event_value_anomalies,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3649,15 +3654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_capped_stats": _source_capped_stats,
         "daily_gapfill": _daily_gapfill,
         "pricing_grouping_sets": _pricing_grouping_sets,
+        # ==== 50-entry window boundary (r7 AS BUILT: 41 r7-new oracle
+        # entries + the first 9 last-r4-green; the displaced tail —
+        # user_activity_similarity … events_daily_pivot, doc_fingerprint
+        # and the r5 group below — rotates to the front of the r8
+        # window) ====
         "user_activity_similarity": _user_activity_similarity,
         "skewed_join_totals": _skewed_join_totals,
         "pii_redaction": _pii_redaction,
         "top_terms": _top_terms,
         "events_date_parts": _events_date_parts,
-        # ==== 50-entry window boundary (r7 AS BUILT: 35 r7-new oracle
-        # entries + the first 15 last-r4-green; the displaced tail —
-        # events_daily_pivot, doc_fingerprint and the r5 group below —
-        # rotates to the front of the r8 window) ====
         "events_daily_pivot": _events_daily_pivot,
         "doc_fingerprint": _doc_fingerprints,
         # ---- last driver-green r5 ----
@@ -3837,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin — anchored by the oracle-green `bpe_top_pairs` round-0
         # statistic + hand-computed fixtures (tests/test_bpe.py)
         "bpe_merges": _bpe_merges,
+        "bpe_encoding_stats": _bpe_encoding_stats,
     }
 
 
@@ -4691,6 +4698,105 @@ def oracle_sql() -> dict[str, str]:
             JOIN b c  ON a.e = c.e  AND b2.i < c.i
             GROUP BY 1, 2, 3
             HAVING COUNT(*) >= 55
+        """,
+        "weighted_price_percentiles": r"""
+            WITH pv AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v,
+                     SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+              FROM lineitem GROUP BY 1, 2
+            ), cum AS (
+              SELECT g, v,
+                     CAST(SUM(w) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                          ROW) AS DECIMAL(24,6)) AS cw,
+                     CAST(SUM(w) OVER (PARTITION BY g)
+                          AS DECIMAL(24,6)) AS tot
+              FROM pv
+            )
+            SELECT g AS l_returnflag, CAST(q AS DOUBLE) AS q,
+                   MIN(v) AS value
+            FROM cum, (VALUES (CAST(0.25 AS DECIMAL(8,6))),
+                              (CAST(0.5  AS DECIMAL(8,6))),
+                              (CAST(0.75 AS DECIMAL(8,6))),
+                              (CAST(0.95 AS DECIMAL(8,6)))) AS qs(q)
+            WHERE cw >= q * tot
+            GROUP BY 1, 2
+        """,
+        "part_value_frontier": r"""
+            SELECT p_partkey, p_size, p_retailprice
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_size >= p.p_size
+                AND q.p_retailprice <= p.p_retailprice
+                AND (q.p_size > p.p_size
+                     OR q.p_retailprice < p.p_retailprice)
+            )
+        """,
+        "retrieval_eval": _retrieval_eval_oracle(),
+        "event_value_anomalies": r"""
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS v
+              FROM events GROUP BY 1, 2
+            ), win AS (
+              SELECT event_type, day, v,
+                     COUNT(*) OVER w AS n,
+                     SUM(v) OVER w AS s,
+                     SUM(v * v) OVER w AS ss
+              FROM daily
+              WINDOW w AS (
+                PARTITION BY event_type ORDER BY epoch(day)
+                RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+            ), m AS (
+              SELECT event_type, day,
+                     CAST(v AS DOUBLE) AS value,
+                     CAST(n AS BIGINT) AS n_window,
+                     CAST(n AS DOUBLE) AS nn,
+                     CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sd,
+                     CAST(CAST(ss AS VARCHAR) AS DOUBLE) AS ssd
+              FROM win
+            )
+            SELECT event_type, day, value, n_window,
+                   sd / nn AS mean_trailing,
+                   CASE WHEN n_window > 1 THEN
+                     CASE WHEN (nn * ssd - sd * sd)
+                               / (nn * (nn - 1.0)) > 0
+                          THEN sqrt((nn * ssd - sd * sd)
+                                    / (nn * (nn - 1.0)))
+                          ELSE CAST(0.0 AS DOUBLE) END
+                   END AS std_trailing,
+                   CASE WHEN n_window > 1
+                             AND CASE WHEN (nn * ssd - sd * sd)
+                                           / (nn * (nn - 1.0)) > 0
+                                      THEN sqrt((nn * ssd - sd * sd)
+                                                / (nn * (nn - 1.0)))
+                                      ELSE CAST(0.0 AS DOUBLE) END > 0
+                        THEN abs(value - sd / nn)
+                             > 2.5 * sqrt((nn * ssd - sd * sd)
+                                          / (nn * (nn - 1.0)))
+                        ELSE FALSE
+                   END AS is_anomaly
+            FROM m
+        """,
+        "customer_golden_record": r"""
+            WITH holey AS (
+              SELECT o_custkey, o_orderdate, o_orderkey,
+                     CASE WHEN o_orderkey % 7 != 0 THEN o_orderstatus
+                     END AS status,
+                     CASE WHEN o_orderkey % 5 != 0 THEN o_orderpriority
+                     END AS priority
+              FROM orders
+            )
+            SELECT o_custkey,
+                   last(status ORDER BY status IS NOT NULL,
+                        o_orderdate, o_orderkey) AS status,
+                   last(priority ORDER BY priority IS NOT NULL,
+                        o_orderdate, o_orderkey) AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_versions,
+                   MAX(o_orderdate) AS last_seen
+            FROM holey GROUP BY 1
         """,
         "bpe_top_pairs": r"""
             WITH words AS (
@@ -6850,4 +6956,237 @@ def _brand_affinity_triples(spark: SparkSession, sf: str) -> DataFrame:
     ).select("l_orderkey", "p_brand")
     return association.frequent_triples(
         baskets, "l_orderkey", "p_brand", min_support=55
+    )
+
+
+def _weighted_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact weighted percentiles (r7): per-returnflag quantiles of
+    l_extendedprice with l_quantity as the weight (quantity-weighted
+    price distribution — 'what price level covers half the shipped
+    units'). Decimal cumulative weights make the threshold compare
+    exact in both engines (profile.weighted_percentiles)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return profile.weighted_percentiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        [0.25, 0.5, 0.75, 0.95],
+    )
+
+
+def _part_value_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto frontier (r7): the 'best value' parts — no other part is
+    both at least as large (p_size) and at most as expensive
+    (p_retailprice) with one strict. Spark side is the two-phase
+    skyline (batch-local Arrow prefilter + distinct-x window finish,
+    skyline.pareto_frontier); the oracle is the O(n²) NOT EXISTS
+    dominance anti-join, so the prefilter's losslessness is exactly
+    what the hash checks."""
+    (part,) = _tables(spark, sf, "part")
+    return skyline.pareto_frontier(
+        part.select("p_partkey", "p_size", "p_retailprice"),
+        "p_size",
+        "p_retailprice",
+        maximize=(True, False),
+    )
+
+
+_EVAL_QUERIES = {
+    "q_hash_join_spark": ["hash", "join", "spark"],
+    "q_stream_window": ["stream", "window"],
+    "q_scan_filter_column": ["scan", "filter", "column"],
+}
+
+
+def _retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval evaluation (r7): recall@10 / reciprocal rank of the
+    BM25 engine against conjunctive-containment qrels (relevant = doc
+    contains EVERY query term), for three fixed queries. The runs are
+    the production bm25_topk path; the metrics are search.eval_rankings
+    (integer counts + one exact division per metric); the oracle
+    recomputes both the rankings (the _BM25_ORACLE scoring, per query)
+    and the metrics independently."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf)
+    runs = None
+    qrels = None
+    toks = corpus._norm_tokens("text")
+    for qid, terms in _EVAL_QUERIES.items():
+        top = search.bm25_topk(docs, terms, k=10).select(
+            F.lit(qid).alias("query_id"),
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rank"),
+        )
+        cond = None
+        for t in terms:
+            c = F.array_contains(toks, t)
+            cond = c if cond is None else (cond & c)
+        rel = docs.filter(cond).select(
+            F.lit(qid).alias("query_id"), "doc_id"
+        )
+        runs = top if runs is None else runs.unionByName(top)
+        qrels = rel if qrels is None else qrels.unionByName(rel)
+    return search.eval_rankings(runs, qrels, k=10)
+
+
+def _retrieval_eval_oracle() -> str:
+    """Generate the DuckDB oracle for _retrieval_eval: per query, the
+    parameterized _BM25_ORACLE top-10 ranking + conjunctive qrels,
+    then the same count/min/division metrics."""
+    run_blocks, rel_blocks = [], []
+    for qid, terms in _EVAL_QUERIES.items():
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        contains = " AND ".join(
+            f"list_contains(toks, '{t}')" for t in terms
+        )
+        run_blocks.append(f"""
+          SELECT '{qid}' AS query_id, doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM (
+            SELECT f.doc_id,
+                   CAST(SUM(CAST(
+                       ((n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                       * ((tf * CAST(2.2 AS DOUBLE))
+                          / (tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE)
+                                  * (dl / (CAST(total_len AS DOUBLE)
+                                           / n_docs)))))
+                   AS DECIMAL(28,10))) AS DOUBLE) AS score
+            FROM (
+              SELECT doc_id, dl, t, COUNT(*) AS tf
+              FROM tokrows WHERE t IN ({in_list})
+              GROUP BY doc_id, dl, t
+            ) f
+            JOIN (
+              SELECT t, COUNT(*) AS df
+              FROM (
+                SELECT doc_id, t FROM tokrows WHERE t IN ({in_list})
+                GROUP BY doc_id, t
+              ) GROUP BY t
+            ) USING (t), stats
+            GROUP BY f.doc_id
+            ORDER BY score DESC, f.doc_id
+            LIMIT 10
+          )""")
+        rel_blocks.append(
+            f"SELECT '{qid}' AS query_id, doc_id FROM norm "
+            f"WHERE {contains}"
+        )
+    runs = " UNION ALL ".join(run_blocks)
+    rels = " UNION ALL ".join(rel_blocks)
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                     ' ') AS toks
+          FROM documents
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+          FROM norm
+        ), tokrows AS (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM norm
+        ), runs AS ({runs}
+        ), qrels AS ({rels}
+        ), hits AS (
+          SELECT r.query_id,
+                 COUNT(*) AS n_ret,
+                 SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_rel_ret,
+                 MIN(CASE WHEN q.doc_id IS NOT NULL THEN r.rank END)
+                     AS first_rel_rank
+          FROM runs r LEFT JOIN qrels q
+            ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+          GROUP BY 1
+        ), nrel AS (
+          SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1
+        )
+        SELECT n.query_id,
+               CAST(n_rel AS BIGINT) AS n_rel,
+               CAST(COALESCE(n_ret, 0) AS BIGINT) AS n_ret,
+               CAST(COALESCE(n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
+               CAST(COALESCE(n_rel_ret, 0) AS DOUBLE)
+                   / CAST(n_rel AS DOUBLE) AS recall_at_k,
+               CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+               COALESCE(CAST(1.0 AS DOUBLE)
+                            / CAST(first_rel_rank AS DOUBLE),
+                        CAST(0.0 AS DOUBLE)) AS rr_at_k
+        FROM nrel n LEFT JOIN hits USING (query_id)
+    """
+
+
+def _bpe_encoding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE encoding report (r7, rows-only): train 8 merges on the
+    corpus, ENCODE the corpus with them (bpe.bpe_token_stats — the
+    distinct-word vocabulary carries the codegen merge folds; the
+    corpus only joins on the word key), and report per-lang token
+    economics. Rows-only: the iterated greedy merges have no SQL twin —
+    anchored by the encode fixtures, the corpus round-trip
+    (concat(tokens) == word for every vocab word), the zero-merge ==
+    per-char identity, and merge-count monotonicity
+    (tests/test_bpe.py)."""
+    docs = _docs(spark, sf)
+    merges = bpe.merges_from_df(bpe.bpe_train(docs, n_merges=8))
+    stats = bpe.bpe_token_stats(docs, merges)
+    return (
+        stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _customer_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship merge (r7): per-customer golden record from the
+    order history — each attribute independently takes its latest
+    NON-NULL value by (o_orderdate, o_orderkey). The testdata has no
+    nulls, so the query plants deterministic gaps (status nulled when
+    o_orderkey % 7 = 0, priority when % 5 = 0) that the merge must
+    skip over; the oracle mirrors the construction with ordered
+    ``last()`` aggregates ranking presence first."""
+    (ords,) = _tables(spark, sf, "orders")
+    holey = ords.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderstatus")).alias(
+            "status"
+        ),
+        F.when(
+            F.col("o_orderkey") % 5 != 0, F.col("o_orderpriority")
+        ).alias("priority"),
+    )
+    return dedup.golden_record(
+        holey,
+        "o_custkey",
+        "o_orderdate",
+        ["status", "priority"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+def _event_value_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling anomaly monitor (r7): per-event-type daily value totals
+    scored against their own trailing 7-day mean/std, |z| > 2.5 flags
+    (temporal.rolling_zscore_anomalies). Decimal windowed moments make
+    the mean/std bit-identical across engines; the oracle replays the
+    same RANGE window relationally (its wide-decimal Σv² converts to
+    double via VARCHAR — the correctly-rounded path, BASELINE.md
+    footnote 6)."""
+    return temporal.rolling_zscore_anomalies(
+        _events(spark, sf), "event_type", "ts", "value",
+        window_days=7, z=2.5,
     )

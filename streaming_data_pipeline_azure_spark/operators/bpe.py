@@ -172,3 +172,88 @@ def bpe_train(
         merges,
         "merge_rank int, left string, right string, pair_count long",
     )
+
+
+def merges_from_df(merges: DataFrame) -> list[tuple[str, str]]:
+    """Materialize a :func:`bpe_train` result as the rank-ordered merge
+    list :func:`bpe_encode_words` consumes. Bounded by construction —
+    the merge table has one row per trained merge (n_merges total)."""
+    return [
+        (r["left"], r["right"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], *, word_col: str = "w"
+) -> DataFrame:
+    """Tokenize each distinct word with a trained merge list: start
+    from characters, apply every merge in rank order with the SAME
+    left-to-right greedy fold the trainer used (:func:`_apply_merge`),
+    so encode(corpus words) reproduces the trainer's final symbol
+    stream exactly (parity-tested). Adds ``tokens array<string>`` and
+    ``n_tokens``.
+
+    Everything is codegen — the fold chain is n_merges HOF expressions
+    over the per-word symbol array, no Python, no shuffle (a pure
+    per-row projection). ``localCheckpoint`` every few merges truncates
+    the expression stack exactly as the trainer does, keeping Janino
+    compile time linear in the merge count."""
+    out = words.withColumn(
+        "symbols",
+        F.expr(f"filter(split({word_col}, ''), x -> x != '')"),
+    )
+    for i, (left, right) in enumerate(merges):
+        out = out.withColumn("symbols", _apply_merge(left, right))
+        if (i + 1) % 4 == 0:
+            out = out.localCheckpoint()
+    return out.select(
+        *words.columns,
+        F.col("symbols").alias("tokens"),
+        F.size("symbols").cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token accounting under a trained BPE vocabulary:
+    (id, n_words, n_chars, n_tokens, chars_per_token) — the
+    cost-estimation pass every training-data pipeline runs before
+    budgeting a tokenizer change.
+
+    Token counts are a pure function of the WORD, so the encoder runs
+    once per DISTINCT word (the Heaps-law histogram, exactly the
+    trainer's working set) and the corpus-sized side only carries
+    (doc, word) rows into one equi-join against the encoded vocabulary
+    — the corpus is never re-encoded per occurrence. Words under 2
+    chars are single tokens by construction (the trainer never merges
+    across them)."""
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.length("w") >= 1)
+    vocab = bpe_encode_words(
+        doc_words.select("w").distinct().filter(F.length("w") >= 2),
+        merges,
+    ).select("w", "n_tokens")
+    joined = doc_words.join(vocab, "w", "left").select(
+        id_col,
+        F.length("w").cast("long").alias("__chars"),
+        F.coalesce(F.col("n_tokens"), F.lit(1)).alias("__toks"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("__chars").cast("long").alias("n_chars"),
+        F.sum("__toks").cast("long").alias("n_tokens"),
+        (
+            F.sum("__chars").cast("double")
+            / F.sum("__toks").cast("double")
+        ).alias("chars_per_token"),
+    )

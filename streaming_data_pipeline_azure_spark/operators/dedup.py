@@ -1475,3 +1475,43 @@ def containment_pairs(
             (inter.cast("double") / na.cast("double")).alias("containment"),
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    attr_cols: list[str],
+    *,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship merge (the MDM "golden record"): one row per key
+    whose every attribute is that attribute's LATEST NON-NULL value by
+    ``order_col`` — unlike :func:`keep_best_dedup` (which keeps one
+    whole source row), each column is merged independently, so a
+    freshly-updated email and an older-but-present phone both survive.
+
+    One hash shuffle on the key with a ``max_by`` partial aggregation
+    PER ATTRIBUTE: max_by(attr, struct(attr IS NOT NULL, order,
+    tiebreaks)) ranks non-null presence first, then recency — null
+    rows never beat older non-null rows, and the map-side combine
+    collapses each partition to one candidate per (key, attr) before
+    the exchange, so shuffle volume is O(distinct keys), never the
+    history. ``tiebreak_cols`` (default: the key itself only) make
+    equal-timestamp merges deterministic; pass the source's unique id
+    when versions can tie. Also returns n_versions (group size) and
+    last_seen (max order value)."""
+    ties = [F.col(c) for c in (tiebreak_cols or [])]
+    aggs = []
+    for c in attr_cols:
+        rank = F.struct(
+            F.col(c).isNotNull().cast("int"),
+            F.col(order_col),
+            *ties,
+        )
+        aggs.append(F.max_by(F.col(c), rank).alias(c))
+    return df.groupBy(key_col).agg(
+        *aggs,
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.max(order_col).alias("last_seen"),
+    )

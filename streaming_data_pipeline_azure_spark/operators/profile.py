@@ -570,3 +570,67 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
                 )
             )
     return wide.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Exact per-group WEIGHTED percentiles: for each quantile q, the
+    smallest value whose cumulative weight reaches q x total weight
+    (the lower weighted quantile — a record weighted 3x counts as
+    three records, the standard survey/importance-sampling estimator;
+    Spark's ``percentile`` only takes integer frequencies, and no
+    engine built-in exposes fractional weights).
+
+    Shape: (1) per-(group, value) weight pre-aggregation — the ONE
+    data-proportional hash shuffle, with map-side combine, which also
+    makes the cumulative sum tie-free (one row per distinct value);
+    (2) a cumulative-weight window per group over DISTINCT values
+    (bounded by value cardinality, not rows); (3) per q, min(value)
+    with cum_weight >= q x total — a group-keyed agg over the same
+    compact series. Weights accumulate as DECIMAL(18,6), so the
+    threshold compare is exact arithmetic, bit-identical across
+    engines and partitionings. Negative or null weights are rejected
+    (a silent negative weight corrupts every percentile after it).
+
+    Returns (group, q, value) for every q in ``qs``."""
+    from pyspark.sql import Window
+
+    w_dec = F.col(weight_col).cast("decimal(18,6)")
+    bad = df.filter(
+        F.col(weight_col).isNull() | (F.col(weight_col) < 0)
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            "weighted_percentiles: null or negative weights present"
+        )
+    per_value = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).agg(F.sum(w_dec).alias("__w"))
+    win = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("__g")
+    cum = per_value.select(
+        "__g",
+        "__v",
+        F.sum("__w").over(win).alias("__cw"),
+        F.sum("__w").over(tot).alias("__tot"),
+    )
+    q_arr = F.array(
+        *[F.lit(q).cast("decimal(7,6)") for q in qs]
+    )
+    return (
+        cum.select(
+            "__g", "__v", "__cw", "__tot",
+            F.explode(q_arr).alias("q"),
+        )
+        .filter(F.col("__cw") >= F.col("q") * F.col("__tot"))
+        .groupBy(F.col("__g").alias(group_col), "q")
+        .agg(F.min("__v").alias("value"))
+        .select(group_col, F.col("q").cast("double").alias("q"), "value")
+    )

@@ -511,3 +511,77 @@ def prf_expansion_terms(
         .orderBy(F.desc("df"), "term")
         .limit(int(k_terms))
     )
+
+
+def eval_rankings(
+    runs: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality evaluation: per-query rank metrics of a run
+    (ranked results) against relevance judgments — the measurement leg
+    every retrieval stack needs next to its BM25/ANN serving legs.
+
+    ``runs`` holds (query, doc, rank) with rank 1-based and unique per
+    query; ``qrels`` holds (query, doc) binary judgments. Returns one
+    row per query in qrels: n_rel, n_ret (ranks <= k present), n_rel_ret
+    (relevant among top-k), recall_at_k, first_rel_rank (smallest rank
+    of any relevant retrieved doc, null if none), rr_at_k (reciprocal
+    rank, 0.0 when no relevant doc is retrieved in the top k —
+    standard MRR convention).
+
+    Every metric is a count, a min, or ONE division of two exact
+    integers — no float accumulation, so results are bit-identical
+    across engines and partitionings (macro averages are left to the
+    caller: a mean over queries is float-order-dependent). Shape: two
+    hash joins/aggs on the query key; the qrels side of the hit join
+    carries no payload. Duplicate (query, doc) qrels rows are an input
+    contract violation and rejected (they would double-count hits)."""
+    q = F.col(query_col)
+    dupes = qrels.groupBy(query_col, doc_col).count().filter(
+        F.col("count") > 1
+    )
+    if dupes.limit(1).count() > 0:
+        raise ValueError(
+            "eval_rankings: duplicate (query, doc) rows in qrels"
+        )
+    topk = runs.filter(F.col(rank_col) <= k).select(
+        q.alias("__q"), F.col(doc_col).alias("__d"),
+        F.col(rank_col).alias("__r"),
+    )
+    rel = qrels.select(q.alias("__q"), F.col(doc_col).alias("__d"))
+    hits = topk.join(rel.withColumn("__hit", F.lit(1)), ["__q", "__d"], "left")
+    per_q_run = hits.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ret"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_rel_ret"),
+        F.min(F.when(F.col("__hit") == 1, F.col("__r"))).cast("long").alias(
+            "first_rel_rank"
+        ),
+    )
+    per_q_rel = rel.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    out = per_q_rel.join(per_q_run, "__q", "left")
+    return out.select(
+        F.col("__q").alias(query_col),
+        "n_rel",
+        F.coalesce(F.col("n_ret"), F.lit(0)).cast("long").alias("n_ret"),
+        F.coalesce(F.col("n_rel_ret"), F.lit(0)).cast("long").alias(
+            "n_rel_ret"
+        ),
+        (
+            F.coalesce(F.col("n_rel_ret"), F.lit(0)).cast("double")
+            / F.col("n_rel").cast("double")
+        ).alias("recall_at_k"),
+        "first_rel_rank",
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+            F.lit(0.0),
+        ).alias("rr_at_k"),
+    )

@@ -581,3 +581,76 @@ def interval_concurrency(
             "n_open",
         )
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_days: int = 7,
+    z: float = 3.0,
+) -> DataFrame:
+    """Time-series anomaly flags: for each key's DAILY value series,
+    the trailing ``window_days``-day mean/std (current day included)
+    and a |value − mean| > z·std flag — the ops-monitoring pass run
+    over revenue, event volume, or error counts.
+
+    Determinism contract (the engine-wide rule): the windowed moments
+    accumulate as exact decimals (Σv, Σv² in DECIMAL), so mean and
+    variance are single double divisions at the end — bit-identical
+    across engines and partitionings. Days with fewer than 2 trailing
+    observations report a NULL std and never flag.
+
+    Shape: one hash shuffle for the per-(key, day) pre-aggregation,
+    then ONE window pass per key over the daily series — O(days per
+    key) rows, bounded by the calendar regardless of corpus size. The
+    window frame is day-RANGE based (rows are one-per-day after the
+    pre-agg, but range guards against missing days widening the
+    lookback).
+
+    Returns (keys…, day, value, n_window, mean_trailing, std_trailing,
+    is_anomaly)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    keys = [F.col(c) for c in key_cols]
+    daily = df.groupBy(
+        *keys, F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        # re-narrow the widened sum: daily totals fit (18,4) by
+        # contract, and (18,4)^2 -> (37,8) stays exact (a (28,4)
+        # square would overflow 38 digits and silently round)
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("__v")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-(window_days - 1) * 86400, 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    s = F.sum("__v").over(w)
+    ss = F.sum(F.col("__v") * F.col("__v")).over(w)
+    nn = n.cast("double")
+    sd = s.cast("double")
+    ssd = ss.cast("double")
+    var = (nn * ssd - sd * sd) / (nn * (nn - F.lit(1.0)))
+    std = F.when(n > 1, F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0)))
+    mean = sd / nn
+    val = F.col("__v").cast("double")
+    return daily.select(
+        *key_cols,
+        "day",
+        val.alias("value"),
+        n.alias("n_window"),
+        mean.alias("mean_trailing"),
+        std.alias("std_trailing"),
+        F.when(
+            std.isNotNull() & (std > 0),
+            F.abs(val - mean) > F.lit(z) * std,
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

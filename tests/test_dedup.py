@@ -668,3 +668,42 @@ def test_keep_best_dedup_highest_score_wins(spark):
         df, "doc_id", "text", score_col="score"
     )
     assert no_n.columns == ["doc_id", "text", "score"]
+
+
+def test_golden_record_survivorship(spark):
+    """Per-attribute latest non-null wins; nulls never beat older
+    non-nulls; ties break deterministically."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        golden_record,
+    )
+
+    rows = [
+        # key, ts, email, phone, src
+        (1, 1, "a@x", None, 10),
+        (1, 2, None, "111", 11),   # email null: older a@x survives
+        (1, 3, "b@x", None, 12),   # latest email
+        (2, 5, None, None, 13),
+        (2, 5, "c@x", "222", 14),  # same ts: higher src wins ties
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts long, email string, phone string, src long"
+    )
+    got = {
+        r["k"]: r
+        for r in golden_record(
+            df, "k", "ts", ["email", "phone"], tiebreak_cols=["src"]
+        ).collect()
+    }
+    assert got[1]["email"] == "b@x"
+    assert got[1]["phone"] == "111"
+    assert got[1]["n_versions"] == 3
+    assert got[1]["last_seen"] == 3
+    assert got[2]["email"] == "c@x"
+    assert got[2]["phone"] == "222"
+    # all-null attribute stays null
+    df2 = spark.createDataFrame(
+        [(9, 1, None, None, 1)],
+        "k long, ts long, email string, phone string, src long",
+    )
+    r = golden_record(df2, "k", "ts", ["email"]).collect()[0]
+    assert r["email"] is None

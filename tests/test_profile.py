@@ -280,3 +280,56 @@ def test_correlation_matrix_known_values_and_invariance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         profile.correlation_matrix(df, ["x"])
+
+
+def test_weighted_percentiles_exact(spark):
+    """Lower weighted quantile: smallest value whose cumulative weight
+    reaches q x total; weights act as fractional frequencies."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        weighted_percentiles,
+    )
+
+    rows = [
+        ("a", 1.0, 1.0),
+        ("a", 2.0, 1.0),
+        ("a", 3.0, 2.0),
+        # b: one dominant value
+        ("b", 10.0, 0.5),
+        ("b", 20.0, 9.5),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in weighted_percentiles(
+            df, "g", "v", "w", [0.25, 0.5, 0.75]
+        ).collect()
+    }
+    assert got == {
+        ("a", 0.25): 1.0,
+        ("a", 0.5): 2.0,
+        ("a", 0.75): 3.0,
+        ("b", 0.25): 20.0,
+        ("b", 0.5): 20.0,
+        ("b", 0.75): 20.0,
+    }
+    # unweighted degenerate case matches percentile_disc semantics
+    uni = spark.createDataFrame(
+        [("u", float(v), 1.0) for v in range(1, 11)],
+        "g string, v double, w double",
+    )
+    med = weighted_percentiles(uni, "g", "v", "w", [0.5]).collect()
+    assert med[0]["value"] == 5.0
+
+
+def test_weighted_percentiles_rejects_negative_weight(spark):
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        weighted_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, -2.0)], "g string, v double, w double"
+    )
+    with _pytest.raises(ValueError, match="negative"):
+        weighted_percentiles(df, "g", "v", "w", [0.5])

@@ -267,3 +267,50 @@ def test_prf_expansion_characterizes_feedback_docs(spark):
     assert "spark" not in terms          # query term excluded
     assert "ok" not in terms             # min_term_len
     assert not set(terms) & {"gardening", "tulips"}  # non-feedback docs
+
+
+def test_eval_rankings_metrics(spark):
+    """Recall@k, first relevant rank, and reciprocal rank per query,
+    including no-hit and unjudged-query edges."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.search import (
+        eval_rankings,
+    )
+
+    runs = spark.createDataFrame(
+        # q1: rel docs at ranks 2 and 4; q2: no rel in top-k;
+        # q3 judged but never retrieved
+        [("q1", d, r) for r, d in enumerate([10, 11, 12, 13, 14], 1)]
+        + [("q2", d, r) for r, d in enumerate([20, 21, 22], 1)],
+        "query_id string, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 11), ("q1", 13), ("q1", 99), ("q2", 77), ("q3", 30)],
+        "query_id string, doc_id long",
+    )
+    got = {
+        r["query_id"]: r
+        for r in eval_rankings(runs, qrels, k=5).collect()
+    }
+    assert got["q1"]["n_rel"] == 3
+    assert got["q1"]["n_rel_ret"] == 2
+    assert got["q1"]["first_rel_rank"] == 2
+    assert got["q1"]["rr_at_k"] == 0.5
+    assert abs(got["q1"]["recall_at_k"] - 2 / 3) < 1e-15
+    assert got["q2"]["n_rel_ret"] == 0
+    assert got["q2"]["rr_at_k"] == 0.0
+    assert got["q2"]["first_rel_rank"] is None
+    assert got["q3"]["n_ret"] == 0
+    assert got["q3"]["recall_at_k"] == 0.0
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        eval_rankings(
+            runs,
+            qrels.unionByName(
+                spark.createDataFrame(
+                    [("q1", 11)], "query_id string, doc_id long"
+                )
+            ),
+            k=5,
+        )

@@ -653,3 +653,34 @@ def test_interval_concurrency_rejects_inverted(spark):
     )
     with _pytest.raises(ValueError, match="inverted"):
         interval_concurrency(df, "s", "e")
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """A 10x spike against a flat trailing baseline flags; the flat
+    days and the warm-up day do not."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(10):
+        v = 1000.0 if i != 7 else 10_000.0
+        # two raw events per day prove the pre-aggregation sums
+        rows.append(("a", base + dt.timedelta(days=i), v / 2))
+        rows.append(("a", base + dt.timedelta(days=i), v / 2))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        str(r["day"]): r
+        for r in rolling_zscore_anomalies(
+            df, "k", "ts", "v", window_days=7, z=2.0
+        ).collect()
+    }
+    assert len(out) == 10
+    flagged = [d for d, r in out.items() if r["is_anomaly"]]
+    assert flagged == ["2024-03-08"]
+    # warm-up: first day has n_window 1 and never flags
+    assert out["2024-03-01"]["n_window"] == 1
+    assert out["2024-03-01"]["std_trailing"] is None
+    assert out["2024-03-05"]["n_window"] == 5
+    assert out["2024-03-05"]["value"] == 1000.0
