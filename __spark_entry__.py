@@ -3642,6 +3642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": _retrieval_eval,
         "customer_golden_record": _customer_golden_record,
         "event_value_anomalies": _event_value_anomalies,
+        "copurchase_link_predictions": _copurchase_link_predictions,
+        "part_supplier_fd_violations": _part_supplier_fd_violations,
+        "neyman_order_allocation": _neyman_order_allocation,
+        "neyman_order_sample_stats": _neyman_order_sample_stats,
+        "dedup_canonical_map": _dedup_canonical_map,
+        "price_quantile_bins": _price_quantile_bins,
+        "contrastive_negatives": _contrastive_negatives,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -4734,6 +4741,183 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "retrieval_eval": _retrieval_eval_oracle(),
+        "neyman_order_allocation": "WITH "
+        + _NEYMAN_ALLOC_SQL
+        + """
+            SELECT stratum,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   std_value, CAST(alloc_n AS BIGINT) AS alloc_n
+            FROM alloc
+        """,
+        "neyman_order_sample_stats": "WITH "
+        + _NEYMAN_ALLOC_SQL
+        + """
+            , ranked AS (
+              SELECT o.o_orderpriority, o.o_totalprice, a.alloc_n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o.o_orderpriority
+                       ORDER BY md5(CAST(o.o_orderkey AS VARCHAR)),
+                                o.o_orderkey) AS rn
+              FROM orders o
+              JOIN alloc a ON a.stratum = o.o_orderpriority
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_price
+            FROM ranked WHERE rn <= alloc_n
+            GROUP BY 1
+        """,
+        "contrastive_negatives": f"""
+            WITH ring AS (
+              SELECT p_partkey AS item_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY {_knuth_int_sql('p_partkey')},
+                                p_partkey) - 1 AS slot
+              FROM part
+            ), n AS (SELECT COUNT(*) AS n_items FROM ring),
+            pos AS (
+              SELECT DISTINCT o.o_custkey AS query_id,
+                     l.l_partkey AS item_id
+              FROM orders o JOIN lineitem l
+                ON l.l_orderkey = o.o_orderkey
+            ), probes AS (
+              SELECT c.c_custkey AS query_id,
+                     off.o AS off,
+                     ({_knuth_int_sql('c.c_custkey')}
+                      % (SELECT n_items FROM n) + off.o)
+                     % (SELECT n_items FROM n) AS slot
+              FROM customer c,
+                   (SELECT unnest(generate_series(0, 20)) AS o) off
+            ), cand AS (
+              SELECT p.query_id, r.item_id, p.off
+              FROM probes p JOIN ring r ON r.slot = p.slot
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pos x
+                WHERE x.query_id = p.query_id
+                  AND x.item_id = r.item_id)
+            )
+            SELECT query_id, item_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY off) AS BIGINT)
+                       AS neg_rank
+            FROM cand
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY off) <= 5
+        """,
+        "price_quantile_bins": r"""
+            WITH pv AS (
+              SELECT l_extendedprice AS v, COUNT(*) AS c
+              FROM lineitem GROUP BY 1
+            ), cum AS (
+              SELECT v,
+                     CAST(SUM(CAST(c AS DECIMAL(18,6)) * 1.0) OVER (
+                          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DECIMAL(24,6)) AS cw,
+                     CAST(SUM(CAST(c AS DECIMAL(18,6)) * 1.0) OVER ()
+                          AS DECIMAL(24,6)) AS tot
+              FROM pv
+            ), bounds AS (
+              SELECT MIN(v) AS b
+              FROM cum, (VALUES (CAST(0.125 AS DECIMAL(8,6))),
+                                (CAST(0.25  AS DECIMAL(8,6))),
+                                (CAST(0.375 AS DECIMAL(8,6))),
+                                (CAST(0.5   AS DECIMAL(8,6))),
+                                (CAST(0.625 AS DECIMAL(8,6))),
+                                (CAST(0.75  AS DECIMAL(8,6))),
+                                (CAST(0.875 AS DECIMAL(8,6)))) AS qs(q)
+              WHERE cw >= q * tot
+              GROUP BY q
+            ), arr AS (
+              SELECT list_sort(list(b)) AS bs FROM bounds
+            )
+            SELECT CAST(len(list_filter(bs,
+                       x -> x < l_extendedprice)) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(l_extendedprice) AS lo,
+                   MAX(l_extendedprice) AS hi,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_value
+            FROM lineitem, arr
+            GROUP BY 1
+        """,
+        "dedup_canonical_map": r"""
+            WITH inp AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000000, '  ' || upper(text)
+              FROM documents WHERE doc_id % 9 = 0
+            ), fp AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ',
+                         'g'))) AS f
+              FROM inp
+            )
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY f) AS canonical_id,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY f)
+                       AS is_canonical
+            FROM fp
+        """,
+        "part_supplier_fd_violations": r"""
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS n_rhs_values,
+                   (MAX(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                        = 1
+                    AND MAX(CASE WHEN l_suppkey IS NOT NULL THEN 1
+                            ELSE 0 END) = 1) AS has_null,
+                   MIN(l_suppkey) AS rhs_min,
+                   MAX(l_suppkey) AS rhs_max
+            FROM lineitem
+            GROUP BY 1
+            HAVING COUNT(DISTINCT l_suppkey) > 1
+                OR (COUNT(DISTINCT l_suppkey) = 1
+                    AND MAX(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0
+                            END) = 1
+                    AND MAX(CASE WHEN l_suppkey IS NOT NULL THEN 1
+                            ELSE 0 END) = 1)
+        """,
+        "copurchase_link_predictions": r"""
+            WITH basket AS (
+              SELECT DISTINCT user_id AS e,
+                     CAST(json_extract(props::JSON, '$.k') AS INTEGER) AS i
+              FROM events WHERE event_type = 'purchase'
+            ), eset AS (
+              SELECT a.i AS a, b.i AS b
+              FROM basket a JOIN basket b ON a.e = b.e AND a.i < b.i
+              GROUP BY a.i, b.i
+              HAVING COUNT(*) >= 3
+            ), adj AS (
+              SELECT a AS v, b AS w FROM eset
+              UNION ALL SELECT b, a FROM eset
+            ), deg AS (
+              SELECT v, COUNT(*) AS d FROM adj GROUP BY v
+            ), cand AS (
+              SELECT l.v AS node_a, r.v AS node_b,
+                     COUNT(*) AS common_neighbors
+              FROM adj l JOIN adj r ON l.w = r.w AND l.v < r.v
+              WHERE NOT EXISTS (
+                SELECT 1 FROM eset x
+                WHERE x.a = l.v AND x.b = r.v)
+              GROUP BY 1, 2
+            )
+            SELECT node_a, node_b,
+                   CAST(common_neighbors AS BIGINT) AS common_neighbors,
+                   CAST(da.d AS BIGINT) AS degree_a,
+                   CAST(db.d AS BIGINT) AS degree_b,
+                   CAST(common_neighbors AS DOUBLE)
+                     / CAST(da.d + db.d - common_neighbors AS DOUBLE)
+                       AS jaccard
+            FROM cand
+            JOIN deg da ON da.v = node_a
+            JOIN deg db ON db.v = node_b
+            ORDER BY jaccard DESC, node_a, node_b
+            LIMIT 20
+        """,
         "event_value_anomalies": r"""
             WITH daily AS (
               SELECT event_type, CAST(ts AS DATE) AS day,
@@ -7189,4 +7373,175 @@ def _event_value_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     return temporal.rolling_zscore_anomalies(
         _events(spark, sf), "event_type", "ts", "value",
         window_days=7, z=2.5,
+    )
+
+
+def _copurchase_link_predictions(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction (r7): top-20 not-yet-linked item pairs of the
+    co-purchase graph by neighborhood Jaccard
+    (graph.link_prediction_jaccard — shared-neighbor wedge join +
+    anti-join on existing edges + TakeOrderedAndProject). The oracle
+    rebuilds the same eset as copurchase_graph_stats and brute-forces
+    the pair scores."""
+    pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
+    return graph.link_prediction_jaccard(
+        pairs, "item_a", "item_b", k=20
+    )
+
+
+def _part_supplier_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency mining (r7): where does 'part determines
+    supplier' break — every l_partkey shipped by more than one
+    supplier, with row counts and min/max witnesses
+    (validate.functional_dependency_violations: one hash agg on the
+    LHS key, exact extremes as proof)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return validate.functional_dependency_violations(
+        li, ["l_partkey"], "l_suppkey"
+    )
+
+
+def _neyman_order_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance-optimal sampling design (r7): Neyman allocation of a
+    1000-row budget across order priorities, weighted by each
+    stratum's exact-decimal o_totalprice spread
+    (sampling.neyman_allocation — Hamilton rounding on O(strata)
+    windows)."""
+    (ords,) = _tables(spark, sf, "orders")
+    return sampling.neyman_allocation(
+        ords, "o_orderpriority", "o_totalprice", 1000
+    )
+
+
+def _neyman_order_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The drawn Neyman sample (r7): md5-ranked deterministic draw of
+    each stratum's allocation (sampling.allocated_sample), reported as
+    per-stratum achieved size and exact-decimal sampled totalprice
+    mean — the query proves the whole design→draw→estimate loop
+    end-to-end against the oracle."""
+    (ords,) = _tables(spark, sf, "orders")
+    alloc = sampling.neyman_allocation(
+        ords, "o_orderpriority", "o_totalprice", 1000
+    )
+    samp = sampling.allocated_sample(
+        ords, "o_orderpriority", "o_orderkey", alloc
+    )
+    return samp.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_price"),
+    )
+
+
+_NEYMAN_ALLOC_SQL = r"""
+            per AS (
+              SELECT o_orderpriority AS stratum,
+                     COUNT(*) AS n_rows,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s,
+                     SUM(CAST(o_totalprice AS DECIMAL(28,4))
+                         * CAST(o_totalprice AS DECIMAL(28,4))) AS ss
+              FROM orders GROUP BY 1
+            ), m AS (
+              SELECT stratum, n_rows,
+                     CAST(n_rows AS DOUBLE) AS nn,
+                     CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sd,
+                     CAST(CAST(ss AS VARCHAR) AS DOUBLE) AS ssd
+              FROM per
+            ), stdv AS (
+              SELECT stratum, n_rows, nn,
+                     CASE WHEN n_rows > 1 THEN
+                       CASE WHEN (nn * ssd - sd * sd)
+                                 / (nn * (nn - 1.0)) > 0
+                            THEN sqrt((nn * ssd - sd * sd)
+                                      / (nn * (nn - 1.0)))
+                            ELSE CAST(0.0 AS DOUBLE) END
+                     ELSE CAST(0.0 AS DOUBLE) END AS std_value
+              FROM m
+            ), wq AS (
+              SELECT stratum, n_rows, std_value,
+                     nn * std_value AS w
+              FROM stdv
+            ), q AS (
+              SELECT stratum, n_rows, std_value,
+                     CASE WHEN SUM(w) OVER () > 0
+                          THEN (CAST(1000.0 AS DOUBLE) * w)
+                               / SUM(w) OVER ()
+                          ELSE CAST(0.0 AS DOUBLE) END AS quota
+              FROM wq
+            ), h AS (
+              SELECT stratum, n_rows, std_value, quota,
+                     CAST(FLOOR(quota) AS BIGINT) AS base,
+                     ROW_NUMBER() OVER (
+                       ORDER BY quota - FLOOR(quota) DESC, stratum)
+                         AS rr,
+                     1000 - SUM(CAST(FLOOR(quota) AS BIGINT)) OVER ()
+                         AS leftover
+              FROM q
+            ), alloc AS (
+              SELECT stratum, n_rows, std_value,
+                     LEAST(base + CASE WHEN rr <= leftover THEN 1
+                                       ELSE 0 END,
+                           n_rows) AS alloc_n
+              FROM h
+            )
+"""
+
+
+def _dedup_canonical_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup redirect table (r7): the complete (doc_id, canonical_id,
+    is_canonical) mapping under normalized-text fingerprints
+    (dedup.canonical_map — one fingerprint shuffle, per-group min via
+    a window on the same partitioning). The testdata has no normalized
+    dups at small sf, so the query plants a case/whitespace-mangled
+    mirror of every 9th doc (doc_id + 20M) that must redirect to its
+    original."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
+    )
+    return dedup.canonical_map(
+        docs.unionByName(copies), "doc_id", "text"
+    )
+
+
+def _price_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile discretizer audit (r7): l_extendedprice binned into 8
+    exact lower-quantile buckets with per-bucket counts, ranges and
+    exact-decimal means (profile.quantile_binning_stats — the fit is
+    the weighted-percentile machinery with unit weights, the transform
+    a broadcast array filter)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return profile.quantile_binning_stats(
+        li, "l_extendedprice", n_buckets=8
+    )
+
+
+def _contrastive_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling (r7): 5 hash-ring negatives per
+    customer from the part catalog, excluding every part the customer
+    has actually ordered (sampling.ring_negative_samples — Knuth-hash
+    ring + offset explode + anti-join; O(|customers|·(k+buffer)) rows,
+    never |customers|×|parts|). The oracle replays the identical ring
+    arithmetic relationally."""
+    cust, ords, li, part = _tables(
+        spark, sf, "customer", "orders", "lineitem", "part"
+    )
+    purchased = (
+        ords.join(li, ords.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("query_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    return sampling.ring_negative_samples(
+        cust.select(F.col("c_custkey").alias("query_id")),
+        part.select(F.col("p_partkey").alias("item_id")),
+        purchased,
+        k=5,
+        buffer=16,
     )

@@ -1515,3 +1515,41 @@ def golden_record(
         F.count(F.lit(1)).cast("long").alias("n_versions"),
         F.max(order_col).alias("last_seen"),
     )
+
+
+def canonical_map(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    normalized: bool = True,
+) -> DataFrame:
+    """The dedup REDIRECT TABLE: every row mapped to its group's
+    canonical id (smallest id per fingerprint) — what downstream
+    systems actually consume when references must keep resolving after
+    dedup (URL → canonical URL, doc → kept doc). :func:`exact_dedup` /
+    :func:`normalized_dedup` return only the survivors; this returns
+    the complete (id, canonical_id, is_canonical) mapping.
+
+    Same scale contract as the dedup it mirrors: one fingerprint
+    shuffle; the per-group min is a broadcast-free window over the
+    grouped key (min as a partial-aggregated join would be two
+    exchanges; the window reuses the one hash partitioning).
+    ``normalized`` picks the whitespace/case-collapsed fingerprint
+    (the :func:`normalized_dedup` rule) or the raw-text hash."""
+    fp = (
+        fingerprint(text_col)
+        if normalized
+        else F.md5(F.col(text_col).cast("binary"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    out = df.select(F.col(id_col), fp.alias("__fp")).withColumn(
+        "canonical_id", F.min(id_col).over(w)
+    )
+    return out.select(
+        id_col,
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )

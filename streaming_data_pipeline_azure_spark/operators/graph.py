@@ -251,3 +251,84 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    k: int = 20,
+    max_middle_degree: int | None = None,
+) -> DataFrame:
+    """Top-k missing-link candidates by neighborhood Jaccard: for node
+    pairs NOT already adjacent, |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    classic common-neighbors recommender ("users who bought these also
+    bought…", entity-resolution hints).
+
+    Shape: candidate pairs come from one adjacency self-join keyed on
+    the SHARED NEIGHBOR (two directed copies of each undirected edge),
+    so each middle node w emits C(deg_w, 2) wedge rows — the inherent
+    wedge count, never |V|². That makes hub middles the quadratic
+    risk, same as triangle counting: ``max_middle_degree`` drops
+    hub MIDDLES before the join (standard practice; a hub shared by
+    everyone carries no signal — its Jaccard contribution is near
+    zero by construction, which is why recommender stacks cap it).
+    Degrees broadcast onto the counted pairs, existing edges leave by
+    an anti-join, and the top-k is TakeOrderedAndProject (score desc,
+    then ids — fully deterministic). The score is one integer-exact
+    double division.
+
+    Returns (node_a, node_b, common_neighbors, degree_a, degree_b,
+    jaccard)."""
+    e = _canonical_edges(edges, src, dst)
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    if max_middle_degree is not None:
+        ok_mid = deg.filter(F.col("d") <= max_middle_degree).select(
+            F.col("v").alias("w")
+        )
+        wedge_adj = adj.join(F.broadcast(ok_mid), "w", "left_semi")
+    else:
+        wedge_adj = adj
+    left = wedge_adj.select(F.col("v").alias("node_a"), "w")
+    right = wedge_adj.select(F.col("v").alias("node_b"), "w")
+    cand = (
+        left.join(right, "w")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+        .join(
+            e.select(
+                F.col("a").alias("node_a"), F.col("b").alias("node_b")
+            ),
+            ["node_a", "node_b"],
+            "left_anti",
+        )
+    )
+    da = deg.select(F.col("v").alias("node_a"), F.col("d").alias("degree_a"))
+    db = deg.select(F.col("v").alias("node_b"), F.col("d").alias("degree_b"))
+    scored = (
+        cand.join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            "degree_a",
+            "degree_b",
+            (
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("degree_a")
+                    + F.col("degree_b")
+                    - F.col("common_neighbors")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), "node_a", "node_b"
+    ).limit(k)

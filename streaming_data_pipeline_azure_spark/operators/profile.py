@@ -634,3 +634,56 @@ def weighted_percentiles(
         .agg(F.min("__v").alias("value"))
         .select(group_col, F.col("q").cast("double").alias("q"), "value")
     )
+
+
+def quantile_binning_stats(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Quantile discretizer, fit + transform + audit in one pass
+    contract: boundaries at q = i/n (the exact lower quantile —
+    :func:`weighted_percentiles` with unit weights, so the fit is
+    engine-exact, no interpolation), rows assigned bucket =
+    #boundaries strictly below the value, and the per-bucket audit
+    (n_rows, lo, hi, exact-decimal mean) that ML feature pipelines
+    ship next to the binned column.
+
+    The n−1 fitted boundaries collapse to ONE sorted array row that
+    cross-joins (broadcast) onto the scan; assignment is a codegen
+    array filter — no per-row join, no second shuffle beyond the
+    bucket aggregation. Buckets can be EMPTY when the distribution is
+    heavily tied (a boundary equal to the next boundary swallows its
+    bucket) — absent rows, not zero rows, matching the relational
+    answer."""
+    if n_buckets < 2:
+        raise ValueError("quantile_binning_stats: need n_buckets >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    prepped = df.select(F.col(value_col).alias("__v")).withColumn(
+        "__g", F.lit(1)
+    ).withColumn("__w", F.lit(1.0))
+    bounds = weighted_percentiles(prepped, "__g", "__v", "__w", qs)
+    arr = bounds.agg(
+        F.sort_array(F.collect_list("value")).alias("__bounds")
+    )
+    assigned = df.crossJoin(F.broadcast(arr)).select(
+        F.size(
+            F.filter(
+                "__bounds",
+                lambda b: b < F.col(value_col).cast("double"),
+            )
+        )
+        .cast("long")
+        .alias("bucket"),
+        F.col(value_col).alias("__v"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+        (
+            F.sum(F.col("__v").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_value"),
+    )

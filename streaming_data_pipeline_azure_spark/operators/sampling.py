@@ -339,3 +339,195 @@ def merge_bottomk(
     bottom-k survives — bit-identical to one pass over the union
     (parity-tested)."""
     return bottomk_sample(partials, id_col, k)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Variance-optimal stratified sample sizes (Neyman allocation):
+    n_h ∝ N_h·S_h — strata that are bigger OR more variable get more
+    of the budget, the estimator-variance-minimizing split every
+    survey/eval-sampling pipeline wants instead of proportional
+    allocation.
+
+    Per-stratum moments come from ONE hash aggregation with exact
+    decimal sums (the ``variant_stats`` discipline), so S_h is a pure
+    function of the data; the quota math (largest-remainder a.k.a.
+    Hamilton rounding, so allocations are integers summing exactly to
+    ``total_n``) runs on windows over the O(strata) aggregate — no
+    second data pass, nothing driver-side. Single-row or zero-variance
+    strata weigh 0 (their sample tells you nothing new); every
+    floating step is a single op on engine-identical inputs, so the
+    result is bit-stable across engines. Allocations are finally
+    clamped to the stratum's population (``alloc_n <= n_rows``;
+    the shortfall is NOT redistributed — the contract stays one-pass
+    deterministic, and the gap is visible in the output).
+
+    Returns (stratum, n_rows, std_value, alloc_n)."""
+    if total_n <= 0:
+        raise ValueError("neyman_allocation: total_n must be positive")
+    from pyspark.sql import Window
+
+    d = F.col(value_col).cast("decimal(18,4)")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(d).alias("__s"),
+        F.sum(d * d).alias("__ss"),
+    )
+    nn = F.col("n_rows").cast("double")
+    sd = F.col("__s").cast("double")
+    ssd = F.col("__ss").cast("double")
+    var = (nn * ssd - sd * sd) / (nn * (nn - F.lit(1.0)))
+    std = F.when(
+        F.col("n_rows") > 1,
+        F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    weighted = per.select(
+        "stratum",
+        "n_rows",
+        std.alias("std_value"),
+        (nn * std).alias("__w"),
+    )
+    all_w = Window.orderBy("stratum").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quota = (
+        F.lit(float(total_n))
+        * F.col("__w")
+        / F.sum("__w").over(all_w)
+    )
+    with_quota = weighted.select(
+        "stratum",
+        "n_rows",
+        "std_value",
+        F.when(F.sum("__w").over(all_w) > 0, quota)
+        .otherwise(F.lit(0.0))
+        .alias("__q"),
+    )
+    base = F.floor(F.col("__q")).cast("long")
+    rem_rank = F.row_number().over(
+        Window.orderBy(
+            (F.col("__q") - F.floor(F.col("__q"))).desc(), F.col("stratum")
+        )
+    )
+    leftover = F.lit(total_n) - F.sum(base).over(all_w)
+    alloc = base + F.when(rem_rank <= leftover, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return with_quota.select(
+        "stratum",
+        "n_rows",
+        "std_value",
+        F.least(alloc, F.col("n_rows")).cast("long").alias("alloc_n"),
+    )
+
+
+def allocated_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alloc: DataFrame,
+) -> DataFrame:
+    """Draw each stratum's allocated sample: md5-of-key ranking within
+    the stratum (the :func:`cap_per_group` shuffle — uniform,
+    deterministic, engine-agreed) keeps the first ``alloc_n`` rows.
+    ``alloc`` is (stratum, alloc_n) — e.g. a :func:`neyman_allocation`
+    result — and broadcasts (O(strata) rows)."""
+    from pyspark.sql import Window
+
+    c = F.col(key_col)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(c.cast("string")), c
+    )
+    return (
+        df.join(
+            F.broadcast(alloc.select(F.col("stratum").alias(stratum_col), "alloc_n")),
+            stratum_col,
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("alloc_n"))
+        .drop("__rn", "alloc_n")
+    )
+
+
+def ring_negative_samples(
+    queries: DataFrame,
+    items: DataFrame,
+    positives: DataFrame,
+    *,
+    k: int,
+    buffer: int = 16,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every query, ``k`` pseudo-uniform catalog items that are NOT that
+    query's positives — without the |queries| × |items| cross join the
+    naive "rank all items per query" formulation costs.
+
+    The hash-ring trick: items take ring positions once (Knuth-hash
+    order — a uniform shuffle of the catalog), each query hashes to a
+    ring START, and its candidates are the ``k + buffer`` consecutive
+    ring slots from there (an EXPLODE of offsets + one equi-join on
+    the slot, O(|queries|·(k+buffer)) rows). Positives inside the
+    probe window leave by an anti-join and the buffer absorbs the
+    holes; survivors keep ring order (neg_rank 1..k). Every step is a
+    pure function of the ids — reruns, engines and backfills agree
+    row-for-row, and a grown catalog only shifts rings by the new
+    items.
+
+    Ring construction is one O(|items|) global sort — the catalog is
+    a dimension table by contract (parts, labels, vocabulary), not the
+    corpus. Requires k + buffer <= |items| (the probe window must not
+    wrap past the ring) and positives deduplicated per (query, item).
+    Queries whose window is saturated by positives return fewer than
+    ``k`` rows — buffer sizing is the caller's recall knob."""
+    from pyspark.sql import Window
+
+    n_items = items.select(item_col).distinct().count()
+    if k + buffer > n_items:
+        raise ValueError(
+            f"ring_negative_samples: k+buffer={k + buffer} exceeds the "
+            f"catalog size {n_items} — the probe window would wrap"
+        )
+    ring = items.select(item_col).distinct().select(
+        item_col,
+        (
+            F.row_number().over(
+                Window.orderBy(_knuth_u32(item_col), F.col(item_col))
+            )
+            - 1
+        ).cast("long").alias("__slot"),
+    )
+    probes = queries.select(query_col).distinct().select(
+        query_col,
+        (_knuth_u32(query_col) % F.lit(n_items)).alias("__start"),
+    ).select(
+        query_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k + buffer - 1))).alias(
+            "__off"
+        ),
+        "__start",
+    ).select(
+        query_col,
+        "__off",
+        ((F.col("__start") + F.col("__off")) % F.lit(n_items)).alias(
+            "__slot"
+        ),
+    )
+    cand = probes.join(ring, "__slot").join(
+        positives.select(
+            F.col(query_col), F.col(item_col)
+        ),
+        [query_col, item_col],
+        "left_anti",
+    )
+    w = Window.partitionBy(query_col).orderBy("__off")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+        .select(query_col, item_col, "neg_rank")
+    )

@@ -280,3 +280,38 @@ def drift_report(
         cur_share.alias("cur_share"),
         term.alias("drift_term"),
     )
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+) -> DataFrame:
+    """Mine violations of the functional dependency ``lhs → rhs``: the
+    LHS key groups whose rhs is NOT single-valued — the data-quality
+    probe behind "order key determines customer", "zip determines
+    state", and every denormalization-drift audit.
+
+    One hash aggregation on the LHS key with distinct-count + min/max
+    witnesses (two exact extremes beat a collect_set: bounded output,
+    and the pair PROVES the violation). NULL rhs values count as a
+    distinct state when mixed with non-nulls (a null-vs-value split is
+    a real inconsistency), reported via ``has_null``. Returns one row
+    per violating key: (lhs…, n_rows, n_rhs_values, has_null,
+    rhs_min, rhs_max)."""
+    n_distinct = F.count_distinct(F.col(rhs_col))
+    has_null = F.max(
+        F.col(rhs_col).isNull().cast("int")
+    ) == 1
+    has_val = F.max(F.col(rhs_col).isNotNull().cast("int")) == 1
+    g = df.groupBy(*[F.col(c) for c in lhs_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        n_distinct.cast("long").alias("n_rhs_values"),
+        (has_null & has_val).alias("has_null"),
+        F.min(rhs_col).alias("rhs_min"),
+        F.max(rhs_col).alias("rhs_max"),
+    )
+    return g.filter(
+        (F.col("n_rhs_values") > 1)
+        | ((F.col("n_rhs_values") == 1) & F.col("has_null"))
+    )

@@ -707,3 +707,36 @@ def test_golden_record_survivorship(spark):
     )
     r = golden_record(df2, "k", "ts", ["email"]).collect()[0]
     assert r["email"] is None
+
+
+def test_canonical_map_redirects(spark):
+    """Every row maps to its group's min id; canonical rows self-map;
+    normalized=False distinguishes case variants."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        canonical_map,
+    )
+
+    rows = [
+        (1, "Hello  world"),
+        (2, "hello world"),
+        (3, "other"),
+        (7, "HELLO WORLD  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in canonical_map(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        7: (1, False),
+        3: (3, True),
+    }
+    raw = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_map(
+            df, "doc_id", "text", normalized=False
+        ).collect()
+    }
+    assert raw == {1: 1, 2: 2, 3: 3, 7: 7}

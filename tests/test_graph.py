@@ -151,3 +151,53 @@ def test_bfs_distances_multi_source_and_hop_cap(spark):
         for r in bfs_distances(df, seeds, max_hops=1).collect()
     }
     assert capped == {1: 0, 6: 0, 2: 1, 5: 1}
+
+
+def test_link_prediction_jaccard_brute_force(spark):
+    """Candidates, scores, and ranking match a per-pair brute force;
+    existing edges are excluded; hub-middle cap drops wedge middles."""
+    from itertools import combinations
+
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        link_prediction_jaccard,
+    )
+
+    edges = [
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 6),
+    ]
+    df = spark.createDataFrame(edges, "s long, d long")
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    eset = {tuple(sorted(e)) for e in edges}
+    brute = {}
+    for a, b in combinations(sorted(adj), 2):
+        if (a, b) in eset:
+            continue
+        cn = len(adj[a] & adj[b])
+        if cn:
+            brute[(a, b)] = (cn, cn / len(adj[a] | adj[b]))
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["common_neighbors"],
+            r["jaccard"],
+        )
+        for r in link_prediction_jaccard(df, "s", "d", k=100).collect()
+    }
+    assert set(got) == set(brute)
+    for pair, (cn, j) in brute.items():
+        assert got[pair][0] == cn
+        assert abs(got[pair][1] - j) < 1e-15
+
+    # hub cap: dropping degree>=4 middles removes wedges THROUGH hubs
+    capped = {
+        (r["node_a"], r["node_b"]): r["common_neighbors"]
+        for r in link_prediction_jaccard(
+            df, "s", "d", k=100, max_middle_degree=3
+        ).collect()
+    }
+    full_mid_degrees = {v: len(n) for v, n in adj.items()}
+    hubs = {v for v, d in full_mid_degrees.items() if d > 3}
+    for (a, b), cn in capped.items():
+        assert cn == len((adj[a] & adj[b]) - hubs)

@@ -333,3 +333,29 @@ def test_weighted_percentiles_rejects_negative_weight(spark):
     )
     with _pytest.raises(ValueError, match="negative"):
         weighted_percentiles(df, "g", "v", "w", [0.5])
+
+
+def test_quantile_binning_stats_exact(spark):
+    """1..100 into quartiles: boundaries at the exact lower quantiles
+    (25, 50, 75), buckets are 25-row blocks, means exact."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        quantile_binning_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "v double"
+    )
+    got = {
+        r["bucket"]: r
+        for r in quantile_binning_stats(df, "v", n_buckets=4).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    # boundary values (25, 50, 75) land in the LOWER bucket
+    assert (got[0]["lo"], got[0]["hi"], got[0]["n_rows"]) == (1.0, 25.0, 25)
+    assert (got[1]["lo"], got[1]["hi"]) == (26.0, 50.0)
+    assert got[3]["hi"] == 100.0
+    assert abs(got[0]["mean_value"] - 13.0) < 1e-12
+    with _pytest.raises(ValueError, match="n_buckets"):
+        quantile_binning_stats(df, "v", n_buckets=1)

@@ -346,3 +346,112 @@ def test_bottomk_merge_parity_and_uniformity(spark):
     # the sample (binomial(500, .5): +/-5 sigma ~ 56)
     first_half = sum(1 for k, _ in direct if k < 10_000)
     assert 194 <= first_half <= 306, first_half
+
+
+def test_neyman_allocation_hamilton_and_clamp(spark):
+    """Quotas follow N_h*S_h, integers sum to total_n via largest
+    remainder, zero-variance and singleton strata get 0, allocations
+    clamp to the population."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        allocated_sample,
+        neyman_allocation,
+    )
+
+    rows = []
+    # 'wide': 100 rows, high spread; 'tight': 200 rows, low spread;
+    # 'flat': constant (std 0); 'solo': one row
+    for i in range(100):
+        rows.append(("wide", float((i % 10) * 100)))
+    for i in range(200):
+        rows.append(("tight", float(i % 2)))
+    for _ in range(50):
+        rows.append(("flat", 7.0))
+    rows.append(("solo", 3.0))
+    df = spark.createDataFrame(rows, "stratum string, v double")
+    got = {
+        r["stratum"]: r
+        for r in neyman_allocation(df, "stratum", "v", 60).collect()
+    }
+    assert got["flat"]["alloc_n"] == 0
+    assert got["solo"]["alloc_n"] == 0
+    assert got["wide"]["alloc_n"] + got["tight"]["alloc_n"] == 60
+    # wide has ~300x the std on half the rows: dominates
+    assert got["wide"]["alloc_n"] > got["tight"]["alloc_n"]
+
+    # clamp: tiny stratum with huge variance cannot exceed its size
+    few = spark.createDataFrame(
+        [("big", float(i % 5)) for i in range(1000)]
+        + [("rare", 0.0), ("rare", 1e6)],
+        "stratum string, v double",
+    )
+    a = {
+        r["stratum"]: r["alloc_n"]
+        for r in neyman_allocation(few, "stratum", "v", 100).collect()
+    }
+    assert a["rare"] == 2  # clamped to population, not redistributed
+
+    # the draw honors the allocation exactly and is deterministic
+    alloc = neyman_allocation(df, "stratum", "v", 60)
+    keyed = df.withColumn(
+        "k", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    s1 = allocated_sample(keyed, "stratum", "k", alloc)
+    sizes = {
+        r["stratum"]: r["n"]
+        for r in s1.groupBy("stratum").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    expected = {
+        s: r["alloc_n"] for s, r in got.items() if r["alloc_n"] > 0
+    }
+    assert sizes == expected
+    assert sorted(map(tuple, s1.collect())) == sorted(
+        map(tuple, allocated_sample(keyed, "stratum", "k", alloc).collect())
+    )
+
+
+def test_ring_negative_samples_contract(spark):
+    """Exactly k negatives per query, never a positive, deterministic
+    across runs, buffer absorbs positive-saturated windows, wrap
+    guard raises."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        ring_negative_samples,
+    )
+
+    items = spark.createDataFrame(
+        [(i,) for i in range(40)], "item_id long"
+    )
+    queries = spark.createDataFrame(
+        [(q,) for q in range(12)], "query_id long"
+    )
+    # every query's positives: 6 spread items
+    pos = spark.createDataFrame(
+        [(q, (q * 7 + j * 5) % 40) for q in range(12) for j in range(6)],
+        "query_id long, item_id long",
+    ).distinct()
+    out = ring_negative_samples(
+        queries, items, pos, k=5, buffer=10
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neg_rank"], r["item_id"])
+        )
+    pos_set = {(r["query_id"], r["item_id"]) for r in pos.collect()}
+    assert set(by_q) == set(range(12))
+    for q, lst in by_q.items():
+        assert sorted(r for r, _ in lst) == [1, 2, 3, 4, 5]
+        for _, item in lst:
+            assert (q, item) not in pos_set
+    # deterministic
+    again = ring_negative_samples(
+        queries, items, pos, k=5, buffer=10
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with _pytest.raises(ValueError, match="wrap"):
+        ring_negative_samples(queries, items, pos, k=30, buffer=20)

@@ -175,3 +175,31 @@ def test_distribution_drift_flags_planted_shift(spark):
         distribution_drift(ref, ref.filter("k < 0"), "v", "k")
     with _pytest.raises(ValueError):
         distribution_drift(ref, ref, "v", "k", n_buckets=1)
+
+
+def test_fd_violations_witnesses_and_nulls(spark):
+    """Violating keys surface with distinct counts and min/max
+    witnesses; null-mixed groups flag; clean keys stay silent."""
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        functional_dependency_violations,
+    )
+
+    rows = [
+        ("z1", "CA"), ("z1", "CA"),           # clean
+        ("z2", "CA"), ("z2", "NV"),           # 2-value violation
+        ("z3", "WA"), ("z3", None),           # null-mixed violation
+        ("z4", None), ("z4", None),           # all-null: single state, ok
+    ]
+    df = spark.createDataFrame(rows, "zip string, state string")
+    got = {
+        r["zip"]: r
+        for r in functional_dependency_violations(
+            df, ["zip"], "state"
+        ).collect()
+    }
+    assert set(got) == {"z2", "z3"}
+    assert got["z2"]["n_rhs_values"] == 2
+    assert (got["z2"]["rhs_min"], got["z2"]["rhs_max"]) == ("CA", "NV")
+    assert got["z2"]["has_null"] is False
+    assert got["z3"]["n_rhs_values"] == 1
+    assert got["z3"]["has_null"] is True
