@@ -115,6 +115,13 @@ def frequent_triples(
             F.count(F.lit(1)).alias("__sz")
         ).filter(F.col("__sz") <= max_basket_size)
         basket = basket.join(F.broadcast(sizes.select("__e")), "__e")
+    # the basket feeds THREE consumers (marginals, pair join, triple
+    # extension) and the pruned/frequent-pair sets feed two more;
+    # localCheckpoint materializes each once instead of recomputing
+    # the distinct per consumer (measured 3.5 -> 2.9 s warm at sf0.1;
+    # at scale the recompute is 3x the corpus scan). Deliberately
+    # eager — the operator runs jobs on call, like bpe_train.
+    basket = basket.localCheckpoint()
     n_entities = basket.select("__e").distinct().agg(
         F.count(F.lit(1)).alias("__n_e")
     )
@@ -126,7 +133,7 @@ def frequent_triples(
     )
     pruned = basket.join(F.broadcast(freq_items), "__i").select(
         "__e", "__i"
-    )
+    ).localCheckpoint()
     a = pruned.toDF("__e", "item_a")
     b = pruned.toDF("__e", "item_b")
     basket_pairs = a.join(b, "__e").filter(
@@ -137,6 +144,7 @@ def frequent_triples(
         .agg(F.count(F.lit(1)).alias("__n_ab"))
         .filter(F.col("__n_ab") >= min_support)
         .select("item_a", "item_b")
+        .localCheckpoint()
     )
     cand = (
         basket_pairs.join(

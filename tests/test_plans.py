@@ -657,3 +657,56 @@ def test_bloom_prefilter_join_rejects_outer_semantics(spark):
     assert bloom_prefilter_join(a, b, "k", how="left_semi").columns == [
         "k", "v",
     ]
+
+
+def test_pareto_prefilter_shuffles_candidates_not_input(spark):
+    """pareto_frontier's batch-local prefilter is the scale claim: the
+    exchanges after mapInPandas must carry the (tiny) local frontiers,
+    never the input. 60k clustered points whose frontier is ~a dozen
+    rows must shuffle only hundreds of records total."""
+    from streaming_data_pipeline_azure_spark.operators import skyline
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    n = 60_000
+    pts = spark.range(n, numPartitions=8).select(
+        F.col("id"),
+        (F.col("id") % 200).cast("double").alias("x"),
+        # y falls as x rises -> frontier is the per-x max band only
+        (200 - (F.col("id") % 200) + (F.col("id") % 7)).cast(
+            "double"
+        ).alias("y"),
+    )
+    metrics = shuffle_write_metrics(
+        skyline.pareto_frontier(pts, "x", "y")
+    )
+    total_records = sum(m["records"] for m in metrics)
+    # candidates = per-partition frontiers (~200 x-values x 8), never
+    # the 60k input rows
+    assert total_records < 10_000, metrics
+    assert total_records > 0, metrics       # the finish stages do shuffle
+
+
+def test_keep_best_and_golden_record_shuffle_groups_not_rows(spark):
+    """Both max_by-based consolidations promise map-side combine:
+    shuffle records bounded by groups x map partitions."""
+    from streaming_data_pipeline_azure_spark.operators import dedup
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    rows = spark.range(40_000, numPartitions=8).select(
+        (F.col("id") % 20).alias("k"),
+        F.col("id").alias("ts"),
+        F.concat(F.lit("txt"), (F.col("id") % 20)).alias("text"),
+        (F.col("id") % 100).cast("double").alias("score"),
+    )
+    m1 = shuffle_write_metrics(
+        dedup.keep_best_dedup(rows, "ts", "text", score_col="score")
+    )
+    assert sum(x["records"] for x in m1) <= 20 * 8 + 64, m1
+    m2 = shuffle_write_metrics(
+        dedup.golden_record(rows, "k", "ts", ["text", "score"])
+    )
+    assert sum(x["records"] for x in m2) <= 20 * 8 + 64, m2
