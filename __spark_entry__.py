@@ -3586,7 +3586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   every 3 rounds:
     #     r6 window: 7 never-driver-checked (r5 positions 51-57)
     #               + 43 oldest (last driver-green r4)  -> 50
-    #     r7 window (AS BUILT): 41 r7-new + the 9 oldest r4-green -> 50
+    #     r7 window (AS BUILT): 50 r7-new oracle entries (the round
+    #               produced 52; the 2 newest overflow to r8's front)
     #     r8 window: [r8-new] + remaining r5-green (source_mirror_overlap
     #               … segments_above_avg) + oldest r6-green
     #   scripts/check_correctness.py still verifies ALL oracle entries
@@ -3649,6 +3650,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_map": _dedup_canonical_map,
         "price_quantile_bins": _price_quantile_bins,
         "contrastive_negatives": _contrastive_negatives,
+        "doc_collocations": _doc_collocations,
+        # ==== 50-entry window boundary (r7 AS BUILT: all 50 slots are
+        # r7-new oracle entries after the second-session additions; the
+        # overflow — embedding_covariance_matrix,
+        # order_fulfillment_survival, customer_rfm_segments,
+        # orders_checksum — plus the displaced r4-green tail
+        # (rolling_daily_revenue …) rotate to the front of the r8
+        # window) ====
+        "embedding_covariance_matrix": _embedding_covariance_matrix,
+        "order_fulfillment_survival": _order_fulfillment_survival,
+        "customer_rfm_segments": _customer_rfm_segments,
+        "orders_checksum": _orders_checksum,
+        "priority_status_chi2": _priority_status_chi2,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3661,11 +3675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_capped_stats": _source_capped_stats,
         "daily_gapfill": _daily_gapfill,
         "pricing_grouping_sets": _pricing_grouping_sets,
-        # ==== 50-entry window boundary (r7 AS BUILT: 41 r7-new oracle
-        # entries + the first 9 last-r4-green; the displaced tail —
-        # user_activity_similarity … events_daily_pivot, doc_fingerprint
-        # and the r5 group below — rotates to the front of the r8
-        # window) ====
         "user_activity_similarity": _user_activity_similarity,
         "skewed_join_totals": _skewed_join_totals,
         "pii_redaction": _pii_redaction,
@@ -3851,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistic + hand-computed fixtures (tests/test_bpe.py)
         "bpe_merges": _bpe_merges,
         "bpe_encoding_stats": _bpe_encoding_stats,
+        "embedding_whitening_stats": _embedding_whitening_stats,
     }
 
 
@@ -4805,6 +4815,185 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY off) <= 5
+        """,
+        "priority_status_chi2": r"""
+            WITH cells AS (
+              SELECT o_orderpriority AS x, o_orderstatus AS y,
+                     COUNT(*) AS observed
+              FROM orders GROUP BY 1, 2
+            ), mx AS (SELECT x, SUM(observed) AS nx FROM cells GROUP BY 1),
+            my AS (SELECT y, SUM(observed) AS ny FROM cells GROUP BY 1),
+            t AS (SELECT SUM(observed) AS n FROM cells)
+            SELECT c.x, c.y, CAST(c.observed AS BIGINT) AS observed,
+                   CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS expected,
+                   (CAST(c.observed AS DOUBLE)
+                    - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * (CAST(c.observed AS DOUBLE)
+                      - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                      / CAST(n AS DOUBLE)) AS chi2_contribution
+            FROM cells c JOIN mx USING (x) JOIN my USING (y), t
+        """,
+        "customer_rfm_segments": r"""
+            WITH s AS (
+              SELECT o_custkey AS customer,
+                     MAX(CAST(o_orderdate AS DATE)) AS last_d,
+                     COUNT(*) AS frequency,
+                     CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS DOUBLE) AS monetary
+              FROM orders GROUP BY 1
+            ), a AS (SELECT MAX(last_d) AS anchor FROM s),
+            sc AS (
+              SELECT customer,
+                     date_diff('day', last_d,
+                               (SELECT anchor FROM a)) AS recency_days,
+                     frequency, monetary
+              FROM s
+            )
+            SELECT customer,
+                   CAST(recency_days AS BIGINT) AS recency_days,
+                   CAST(frequency AS BIGINT) AS frequency,
+                   monetary,
+                   CAST(NTILE(5) OVER (ORDER BY recency_days DESC,
+                        customer) AS BIGINT) AS r_score,
+                   CAST(NTILE(5) OVER (ORDER BY frequency ASC,
+                        customer) AS BIGINT) AS f_score,
+                   CAST(NTILE(5) OVER (ORDER BY monetary ASC,
+                        customer) AS BIGINT) AS m_score,
+                   CONCAT(NTILE(5) OVER (ORDER BY recency_days DESC,
+                            customer), '-',
+                          NTILE(5) OVER (ORDER BY frequency ASC,
+                            customer), '-',
+                          NTILE(5) OVER (ORDER BY monetary ASC,
+                            customer)) AS segment
+            FROM sc
+        """,
+        "orders_checksum": r"""
+            WITH canon AS (
+              SELECT concat_ws(chr(31),
+                       COALESCE(CAST(o_orderkey AS VARCHAR), ''),
+                       COALESCE(CAST(o_custkey AS VARCHAR), ''),
+                       COALESCE(o_orderstatus, ''),
+                       COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                                     AS VARCHAR), ''),
+                       COALESCE(CAST(CAST(o_orderdate AS DATE)
+                                     AS VARCHAR), ''),
+                       COALESCE(o_orderpriority, '')) AS s
+              FROM orders
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(CONCAT('0x', substring(md5(s), 1, 15))
+                                 AS BIGINT)) AS DECIMAL(38,0))
+                       AS checksum
+            FROM canon
+        """,
+        "order_fulfillment_survival": r"""
+            WITH RECURSIVE iv AS (
+              SELECT date_diff('day',
+                       CAST(LEAST(MIN(l.l_shipdate),
+                                  ANY_VALUE(o.o_orderdate)) AS DATE),
+                       CAST(GREATEST(MAX(l.l_shipdate),
+                                     ANY_VALUE(o.o_orderdate)) AS DATE))
+                     AS dur
+              FROM orders o JOIN lineitem l
+                ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_orderkey
+            ), obs AS (
+              SELECT LEAST(dur, 60) AS t,
+                     CASE WHEN dur <= 60 THEN 1 ELSE 0 END AS e
+              FROM iv
+            ), per_t AS (
+              SELECT t, COUNT(*) AS n, SUM(e) AS d FROM obs GROUP BY 1
+            ), risked AS (
+              SELECT t, d,
+                     SUM(n) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS r
+              FROM per_t
+            ), f AS (
+              SELECT t, d, r,
+                     CAST(1.0 AS DOUBLE)
+                       - CAST(d AS DOUBLE) / CAST(r AS DOUBLE)
+                         AS factor,
+                     ROW_NUMBER() OVER (ORDER BY t) AS rn
+              FROM risked WHERE d > 0
+            ), km AS (
+              SELECT rn, t, d, r, factor,
+                     CAST(1.0 AS DOUBLE) * factor AS surv
+              FROM f WHERE rn = 1
+              UNION ALL
+              SELECT f.rn, f.t, f.d, f.r, f.factor,
+                     km.surv * f.factor
+              FROM km JOIN f ON f.rn = km.rn + 1
+            )
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(r AS BIGINT) AS n_at_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   factor,
+                   surv AS survival
+            FROM km
+        """,
+        "embedding_covariance_matrix": r"""
+            WITH pos AS (
+              -- floor(x * 2^20): power-of-two scaling is IEEE-exact
+              -- and floor unambiguous, so the integer grid is
+              -- engine-identical (double->decimal casts are NOT)
+              SELECT vec_id AS r, i - 1 AS i,
+                     CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0)
+                          AS DECIMAL(18,0)) AS x
+              FROM (SELECT vec_id, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+            ), upper_tri AS (
+              SELECT a.i AS i, b.i AS j,
+                     COUNT(*) AS n,
+                     SUM(a.x) AS sa,
+                     SUM(b.x) AS sb,
+                     SUM(a.x * b.x) AS sab
+              FROM pos a JOIN pos b ON a.r = b.r AND b.i >= a.i
+              GROUP BY 1, 2
+            ), tri AS (
+              SELECT i, j,
+                     ((CAST(CAST(sab AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sa AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sb AS VARCHAR) AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))
+                     / (1048576.0 * 1048576.0) AS cov
+              FROM upper_tri
+            )
+            SELECT i, j, cov FROM tri
+            UNION ALL
+            SELECT j AS i, i AS j, cov FROM tri WHERE i != j
+        """,
+        "doc_collocations": r"""
+            WITH norm AS (
+              SELECT regexp_split_to_array(
+                       lower(regexp_replace(trim(text), '\s+', ' ',
+                             'g')), ' ') AS toks
+              FROM documents
+            ), uni AS (
+              SELECT t AS w, COUNT(*) AS n_w
+              FROM (SELECT unnest(toks) AS t FROM norm) GROUP BY 1
+            ), tot AS (SELECT SUM(n_w) AS n FROM uni),
+            pairs AS (
+              SELECT toks[i] AS w_a, toks[i + 1] AS w_b, COUNT(*) AS n_ab
+              FROM norm,
+                   unnest(generate_series(1, len(toks) - 1)) AS g(i)
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 5
+            )
+            SELECT p.w_a, p.w_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+                   CAST(p.n_ab * (SELECT n FROM tot) AS DOUBLE)
+                     / CAST(a.n_w * b.n_w AS DOUBLE) AS strength
+            FROM pairs p
+            JOIN uni a ON a.w = p.w_a
+            JOIN uni b ON b.w = p.w_b
+            ORDER BY strength DESC, p.w_a, p.w_b
+            LIMIT 20
         """,
         "price_quantile_bins": r"""
             WITH pv AS (
@@ -7544,4 +7733,114 @@ def _contrastive_negatives(spark: SparkSession, sf: str) -> DataFrame:
         purchased,
         k=5,
         buffer=16,
+    )
+
+
+def _doc_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining (r7): top-20 adjacent-token pairs of the
+    corpus by log-free PMI ratio with min count 5 (text.collocations —
+    vocabulary-sized shuffles, broadcast marginals, exact-integer
+    score, TakeOrderedAndProject)."""
+    return tx.collocations(_docs(spark, sf), min_count=5, k=20)
+
+
+def _embedding_covariance_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-exact embedding covariance (r7): the full 64x64 sample
+    covariance of the embeddings table from decimal sufficient sums
+    (similarity.embedding_covariance). The whitening transform this
+    feeds is rows-only (numpy eigh has no SQL twin) and is anchored by
+    the identity-covariance test on its output
+    (tests/test_similarity.py)."""
+    return similarity.embedding_covariance(_emb(spark, sf))
+
+
+def _embedding_whitening_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ZCA whitening report (r7, rows-only): whiten the embeddings
+    against their exact covariance (similarity.whiten_embeddings —
+    driver-side d x d eigh by bounded contract, Arrow matmul kernel,
+    no shuffle) and report per-dimension mean/variance of the output —
+    ~0/~1 by construction. Rows-only: eigh has no SQL twin; anchored
+    by the identity-covariance test on the exact-covariance operator
+    (tests/test_similarity.py) whose oracle twin is
+    embedding_covariance_matrix."""
+    w = similarity.whiten_embeddings(_emb(spark, sf))
+    return (
+        w.select(
+            F.posexplode(F.col("whitened")).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("x").alias("mean_w"),
+            F.var_samp("x").alias("var_w"),
+        )
+    )
+
+
+def _order_fulfillment_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan–Meier curve (r7): time from an order's first to last
+    activity day (the orders_in_flight interval), censored at 60 days
+    (temporal.kaplan_meier). The oracle rebuilds the curve with a
+    recursive CTE whose left-to-right running product is the identical
+    IEEE operation sequence as the operator's sorted-array fold —
+    bit-identical survival values, no ln/exp tricks."""
+    ords, li = _tables(spark, sf, "orders", "lineitem")
+    iv = (
+        ords.join(li, ords.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.datediff(
+                F.to_date(
+                    F.greatest(F.max("l_shipdate"), F.first("o_orderdate"))
+                ),
+                F.to_date(
+                    F.least(F.min("l_shipdate"), F.first("o_orderdate"))
+                ),
+            ).alias("dur")
+        )
+    )
+    return temporal.kaplan_meier(iv, "dur", horizon=60)
+
+
+def _customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation (r7): per-customer recency/frequency/monetary
+    quintiles over orders (temporal.rfm_segments — one customer-keyed
+    agg, ntile windows over the O(customers) summary with full
+    tie-breaks, recency anchored at the data's own max date)."""
+    (ords,) = _tables(spark, sf, "orders")
+    return temporal.rfm_segments(
+        ords, "o_custkey", "o_orderdate", "o_totalprice", n_tiles=5
+    )
+
+
+def _orders_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable table fingerprint (r7): order-insensitive md5-sum
+    checksum of the orders table (validate.table_checksum). The
+    canonical row string pins doubles through DECIMAL(18,4) and
+    timestamps through DATE so every engine prints identical field
+    text — the documented canonicalization for cross-system equality
+    proofs."""
+    (ords,) = _tables(spark, sf, "orders")
+    canon = ords.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderpriority",
+    )
+    return validate.table_checksum(
+        canon, ["o_orderkey", "o_custkey", "o_orderstatus", "p", "d",
+                "o_orderpriority"]
+    )
+
+
+def _priority_status_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical dependence diagnostics (r7): per-cell chi-square
+    contributions for (o_orderpriority x o_orderstatus)
+    (experiment.chi2_contingency_cells — exact-count expressions per
+    cell; no engine-order-dependent float sum leaves the operator)."""
+    (ords,) = _tables(spark, sf, "orders")
+    return experiment.chi2_contingency_cells(
+        ords, "o_orderpriority", "o_orderstatus"
     )

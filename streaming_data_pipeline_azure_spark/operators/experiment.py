@@ -229,3 +229,48 @@ def welch_ttest(
         F.when(se2 > 0, wdf).alias("welch_df"),
         chi2.alias("srm_chi2"),
     )
+
+
+def chi2_contingency_cells(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Contingency-table independence diagnostics, PER CELL: observed
+    count, expected-under-independence count (row·col/total), and the
+    cell's chi-square contribution (O−E)²/E — the categorical
+    dependence probe (does priority depend on status? does language
+    depend on source?).
+
+    Deliberately returns cells, not the summed statistic: a float sum
+    over an unordered cell set is engine-order-dependent, while every
+    per-cell value here is a fixed expression over exact integer
+    counts (bit-reproducible, oracle-checkable) — and the cells are
+    what an analyst reads anyway (WHICH combinations deviate). Callers
+    wanting the scalar χ² sum the (sorted) contributions; the total
+    degrees of freedom is (|X|−1)(|Y|−1).
+
+    One (x, y) aggregation plus two broadcast marginal joins — cell
+    cardinality |X|·|Y| is the only window/driver-free output."""
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    mx = cells.groupBy("x").agg(F.sum("observed").cast("long").alias("__nx"))
+    my = cells.groupBy("y").agg(F.sum("observed").cast("long").alias("__ny"))
+    tot = cells.agg(F.sum("observed").cast("long").alias("__n"))
+    o = F.col("observed").cast("double")
+    e = (
+        F.col("__nx").cast("double")
+        * F.col("__ny").cast("double")
+        / F.col("__n").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "observed",
+            e.alias("expected"),
+            ((o - e) * (o - e) / e).alias("chi2_contribution"),
+        )
+    )

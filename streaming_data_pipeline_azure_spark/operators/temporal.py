@@ -654,3 +654,142 @@ def rolling_zscore_anomalies(
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    *,
+    horizon: int,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with administrative censoring at
+    ``horizon``: subjects whose ``duration_col`` (non-negative
+    integer time units) exceeds the horizon are censored there;
+    at every observed EVENT time t the curve multiplies in
+    (1 − d_t / r_t) — the standard churn / time-to-fulfilment /
+    incident-duration estimator.
+
+    Determinism contract: d_t and r_t are exact integers (one
+    time-keyed aggregation + a suffix-sum window over the O(distinct
+    times) series); each factor is one double division; and the
+    cumulative product folds LEFT-TO-RIGHT over the time-sorted factor
+    array (``aggregate`` over a sorted ``collect_list`` slice), the
+    same operation sequence a recursive SQL CTE produces — so the
+    whole curve is bit-identical across engines (the ln/exp running-
+    product trick is NOT, which is why it is not used). The fold is
+    O(T²) multiplies over T = distinct event times ≤ horizon — a
+    bounded calendar-scale series, independent of subject count.
+
+    Returns (t, n_at_risk, n_events, factor, survival) at event times,
+    time-ascending. Negative durations are rejected."""
+    if df.filter(F.col(duration_col) < 0).limit(1).count() > 0:
+        raise ValueError("kaplan_meier: negative durations present")
+    obs = df.select(
+        F.least(F.col(duration_col).cast("long"), F.lit(horizon)).alias(
+            "__t"
+        ),
+        (F.col(duration_col) <= horizon).cast("int").alias("__e"),
+    )
+    per_t = obs.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__e").cast("long").alias("__d"),
+    )
+    w_suffix = Window.orderBy(F.desc("__t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risked = per_t.select(
+        "__t",
+        "__d",
+        F.sum("__n").over(w_suffix).cast("long").alias("__r"),
+    ).filter(F.col("__d") > 0)
+    factor = F.lit(1.0) - (
+        F.col("__d").cast("double") / F.col("__r").cast("double")
+    )
+    series = risked.select(
+        "__t", "__d", "__r", factor.alias("__f")
+    )
+    one_row = series.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__t", "__d", "__r", "__f"))
+        ).alias("__s")
+    )
+    exploded = one_row.select(
+        F.posexplode("__s").alias("__i", "__row")
+    )
+    surv = F.aggregate(
+        F.expr("slice(__all, 1, __i + 1)"),
+        F.lit(1.0),
+        lambda acc, x: acc * x["__f"],
+    )
+    return (
+        exploded.crossJoin(
+            F.broadcast(one_row.select(F.col("__s").alias("__all")))
+        )
+        .select(
+            F.col("__row.__t").alias("t"),
+            F.col("__row.__r").alias("n_at_risk"),
+            F.col("__row.__d").alias("n_events"),
+            F.col("__row.__f").alias("factor"),
+            surv.alias("survival"),
+        )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str,
+    date_col: str,
+    amount_col: str,
+    *,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary): per customer,
+    days since last order, order count, and exact-decimal total spend,
+    each scored into ``n_tiles`` quantile tiles (1 = worst) — the
+    classic marketing / lifecycle segmentation.
+
+    Determinism: tiles come from ``ntile`` over FULLY tie-broken
+    orderings (metric, then customer id), so equal metrics split
+    deterministically; recency is measured against the data's own max
+    date (no wall clock). One customer-keyed aggregation, then three
+    ntile windows over the O(customers) summary — at 100 TB the
+    summary is customer-cardinality, shuffled once. Returns
+    (customer, recency_days, frequency, monetary, r_score, f_score,
+    m_score, segment) with segment = concat of the three scores."""
+    summary = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(F.to_date(F.col(date_col))).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("monetary"),
+    )
+    anchor = summary.agg(F.max("__last").alias("__anchor"))
+    scored = summary.crossJoin(F.broadcast(anchor)).select(
+        "customer",
+        F.datediff(F.col("__anchor"), F.col("__last"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), F.col("customer"))
+    w_f = Window.orderBy(F.asc("frequency"), F.col("customer"))
+    w_m = Window.orderBy(F.asc("monetary"), F.col("customer"))
+    out = scored.select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(w_r).cast("long").alias("r_score"),
+        F.ntile(n_tiles).over(w_f).cast("long").alias("f_score"),
+        F.ntile(n_tiles).over(w_m).cast("long").alias("m_score"),
+    )
+    return out.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

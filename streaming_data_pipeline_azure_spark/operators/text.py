@@ -351,3 +351,66 @@ def pseudonymize(
     return F.substring(
         F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, length
     )
+
+
+def collocations(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k two-word collocations by a LOG-FREE PMI score: for each
+    adjacent token pair, ``strength = n_ab · N / (n_a · n_b)`` (N =
+    total token count) — the pointwise-mutual-information ratio
+    without the ln (same determinism convention as BM25's idf:
+    monotone-identical ranking, engine-exact arithmetic). The
+    keyphrase-mining pass corpus pipelines run to find multiword
+    expressions worth keeping intact during tokenization.
+
+    One scan explodes tokens twice (unigrams, adjacent pairs — both
+    aggregations map-side combine to vocabulary-sized shuffles),
+    unigram marginals broadcast onto the pair counts, the score is
+    exact-integer products with ONE double division, and the top-k is
+    TakeOrderedAndProject (strength desc, pair asc). ``min_count``
+    prunes hapax pairs before scoring — raw PMI famously promotes
+    count-1 typos."""
+    toks = docs.select(
+        F.split(normalized_text(text_col), " ").alias("__t")
+    )
+    uni = toks.select(F.explode("__t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    total = uni.agg(F.sum("n_w").cast("long").alias("__N"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1), "
+                    "i -> struct(__t[i-1] as w_a, __t[i] as w_b))"
+                )
+            ).alias("p")
+        )
+        .select("p.w_a", "p.w_b")
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    ua = uni.toDF("w_a", "n_a")
+    ub = uni.toDF("w_b", "n_b")
+    return (
+        pairs.join(F.broadcast(ua), "w_a")
+        .join(F.broadcast(ub), "w_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w_a",
+            "w_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("__N")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("strength"),
+        )
+        .orderBy(F.desc("strength"), "w_a", "w_b")
+        .limit(k)
+    )

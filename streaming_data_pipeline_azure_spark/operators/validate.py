@@ -315,3 +315,34 @@ def functional_dependency_violations(
         (F.col("n_rhs_values") > 1)
         | ((F.col("n_rhs_values") == 1) & F.col("has_null"))
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive, engine-portable table fingerprint: one row of
+    (n_rows, checksum) where checksum = Σ over rows of the first 15
+    hex digits of md5(canonical row string), as an exact DECIMAL — the
+    cheap cross-system equality proof for replication, migration and
+    sink-replay audits (two tables are equal-with-overwhelming-
+    probability iff counts and checksums match; any engine with md5
+    can verify independently).
+
+    Canonical row string: values cast to strings joined with the unit
+    separator \\x1f, NULL spelled as an empty field (cast NULL→'' via
+    coalesce) — documented so external systems can reproduce it. The
+    sum is a plain aggregation with map-side combine (one scalar per
+    partition reaches the driver); DECIMAL(38,0) holds 2^60-sized
+    terms for ~10^19 rows without overflow."""
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(""))
+            for c in cols
+        ],
+    )
+    term = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(term).cast("decimal(38,0)").alias("checksum"),
+    )

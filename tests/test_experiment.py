@@ -244,3 +244,28 @@ def test_streaming_ab_readout_matches_batch(spark, tmp_path):
         map(tuple, read_ab_readout(spark, state).collect())
     )
     assert again == served
+
+
+def test_chi2_contingency_cells_matches_scipy_free_reference(spark):
+    """Cell expectations and contributions match the hand formula;
+    independent columns give ~zero contributions; the summed statistic
+    matches a Python reference."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        chi2_contingency_cells,
+    )
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = {
+        (r["x"], r["y"]): r
+        for r in chi2_contingency_cells(df, "u", "v").collect()
+    }
+    # marginals 40/40, total 80 -> every expected = 20
+    for cell, r in got.items():
+        assert r["expected"] == 20.0
+        assert abs(r["chi2_contribution"] - (r["observed"] - 20) ** 2 / 20) < 1e-12
+    total = sum(r["chi2_contribution"] for r in got.values())
+    assert abs(total - 20.0) < 1e-9  # 4 cells x (10^2/20)

@@ -1119,3 +1119,68 @@ def test_mmr_rerank_diversifies_duplicate_cluster(spark):
         sim.mmr_rerank(
             df, "vec_id", "embedding", "score", max_candidates=2
         )
+
+
+def test_embedding_covariance_exact_vs_numpy(spark):
+    """The decimal-sum covariance equals numpy's to float precision,
+    is symmetric, and covers all d^2 positions."""
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(60, 6)).round(6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df).collect()
+    }
+    # the operator quantizes to the 2^-20 grid; mirror it in the ref
+    xq = np.floor(x * 2**20) / 2**20
+    ref = np.cov(xq, rowvar=False, ddof=1)
+    assert len(got) == 36
+    for (i, j), c in got.items():
+        assert abs(c - ref[i, j]) < 1e-9, (i, j)
+        assert got[(j, i)] == c
+    # and the grid perturbs the true covariance only at ~1e-6
+    true = np.cov(x, rowvar=False, ddof=1)
+    for (i, j), c in got.items():
+        assert abs(c - true[i, j]) < 1e-5, (i, j)
+
+
+def test_whiten_embeddings_identity_covariance(spark):
+    """The exact covariance of the whitened output is the identity
+    (the anchor that makes the rows-only transform trustworthy)."""
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.operators.similarity import (
+        embedding_covariance,
+        whiten_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(80, 4))
+    mix = np.array(
+        [[2.0, 0.3, 0.0, 0.0],
+         [0.0, 1.5, 0.4, 0.0],
+         [0.0, 0.0, 0.7, 0.2],
+         [0.1, 0.0, 0.0, 1.1]]
+    )
+    x = (base @ mix + np.array([5.0, -3.0, 0.5, 2.0])).round(6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    w = whiten_embeddings(df).withColumnRenamed("whitened", "embedding")
+    cov = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(w).collect()
+    }
+    for (i, j), c in cov.items():
+        want = 1.0 if i == j else 0.0
+        assert abs(c - want) < 1e-6, (i, j, c)

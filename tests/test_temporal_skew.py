@@ -684,3 +684,65 @@ def test_rolling_zscore_flags_planted_spike(spark):
     assert out["2024-03-01"]["std_trailing"] is None
     assert out["2024-03-05"]["n_window"] == 5
     assert out["2024-03-05"]["value"] == 1000.0
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Classic textbook check: durations [1,2,2,3,5,6(censored at 5)]
+    with horizon 5 -> survival steps match the hand-computed KM
+    product; censored subjects leave the risk set without an event."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (5,), (6,)], "dur long"
+    )
+    got = {
+        r["t"]: r for r in kaplan_meier(df, "dur", horizon=5).collect()
+    }
+    # t=1: r=6, d=1 -> 5/6
+    # t=2: r=5, d=2 -> 5/6 * 3/5 = 1/2
+    # t=3: r=3, d=1 -> 1/2 * 2/3 = 1/3
+    # t=5: r=2, d=1 (the 6 is censored AT 5: at risk, no event)
+    #      -> 1/3 * 1/2 = 1/6
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["n_at_risk"] == 6 and got[1]["n_events"] == 1
+    assert abs(got[1]["survival"] - 5 / 6) < 1e-15
+    assert got[2]["n_at_risk"] == 5 and got[2]["n_events"] == 2
+    assert abs(got[2]["survival"] - 0.5) < 1e-15
+    assert abs(got[3]["survival"] - 1 / 3) < 1e-15
+    assert got[5]["n_at_risk"] == 2 and got[5]["n_events"] == 1
+    assert abs(got[5]["survival"] - 1 / 6) < 1e-15
+
+
+def test_rfm_segments_tiles_and_anchor(spark):
+    """Recency anchored at the data's max date; better customers score
+    higher tiles on every axis; ties split deterministically."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        rfm_segments,
+    )
+
+    d = dt.datetime
+    rows = []
+    # c1: recent, frequent, big spender; c4: stale singleton
+    for i in range(4):
+        rows.append((1, d(2024, 6, 20 + i), 500.0))
+    rows.append((2, d(2024, 6, 1), 200.0))
+    rows.append((2, d(2024, 6, 10), 200.0))
+    rows.append((3, d(2024, 5, 1), 100.0))
+    rows.append((4, d(2024, 1, 1), 10.0))
+    df = spark.createDataFrame(rows, "c long, ts timestamp, amt double")
+    got = {
+        r["customer"]: r
+        for r in rfm_segments(df, "c", "ts", "amt", n_tiles=4).collect()
+    }
+    assert got[1]["recency_days"] == 0
+    assert got[4]["recency_days"] == (d(2024, 6, 23) - d(2024, 1, 1)).days
+    assert got[1]["frequency"] == 4 and got[1]["monetary"] == 2000.0
+    assert (got[1]["r_score"], got[1]["f_score"], got[1]["m_score"]) == (
+        4, 4, 4,
+    )
+    # c3 and c4 tie on frequency 1; the customer-id tie-break puts c3
+    # in tile 1 and c4 in tile 2 (deterministic, documented)
+    assert got[4]["r_score"] == 1 and got[4]["segment"] == "1-2-1"
+    assert got[1]["segment"] == "4-4-4"

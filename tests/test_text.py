@@ -209,3 +209,28 @@ def test_pseudonymize_preserves_joins_and_masks_values(spark):
         .collect()
     }
     assert again == toks
+
+
+def test_collocations_pmi_ratio(spark):
+    """Adjacent-pair counts, exact strength ratio, min_count pruning,
+    deterministic ordering."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [("new york is big",), ("new york wins",), ("big wins",),
+         ("york new",)],
+        "text string",
+    )
+    got = collocations(docs, min_count=2, k=10).collect()
+    pairs = {(r["w_a"], r["w_b"]): r for r in got}
+    # 'new york' occurs twice adjacently ('york new' is the reversed
+    # order, a different pair)
+    assert ("new", "york") in pairs
+    r = pairs[("new", "york")]
+    assert r["n_ab"] == 2
+    # N = 11 tokens, n_new = 3, n_york = 3 -> 2*11/9
+    assert abs(r["strength"] - 2 * 11 / 9) < 1e-12
+    # hapax pairs pruned
+    assert ("is", "big") not in pairs

@@ -203,3 +203,30 @@ def test_fd_violations_witnesses_and_nulls(spark):
     assert got["z2"]["has_null"] is False
     assert got["z3"]["n_rhs_values"] == 1
     assert got["z3"]["has_null"] is True
+
+
+def test_table_checksum_order_insensitive_and_sensitive_to_change(spark):
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        table_checksum,
+    )
+
+    rows = [(1, "a", None), (2, "b", 1.5), (3, None, 2.5)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    base = table_checksum(df, ["id", "s", "v"]).collect()[0]
+    assert base["n_rows"] == 3
+    # partitioning/order invariance
+    shuf = spark.createDataFrame(
+        [rows[2], rows[0], rows[1]], "id long, s string, v double"
+    ).repartition(5)
+    again = table_checksum(shuf, ["id", "s", "v"]).collect()[0]
+    assert (again["n_rows"], again["checksum"]) == (
+        base["n_rows"],
+        base["checksum"],
+    )
+    # any single-value change moves the checksum
+    changed = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, None, 2.6)],
+        "id long, s string, v double",
+    )
+    c = table_checksum(changed, ["id", "s", "v"]).collect()[0]
+    assert c["checksum"] != base["checksum"]
