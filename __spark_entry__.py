@@ -3663,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": _customer_rfm_segments,
         "orders_checksum": _orders_checksum,
         "priority_status_chi2": _priority_status_chi2,
+        "customer_er_clusters": _customer_er_clusters,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -4815,6 +4816,35 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY off) <= 5
+        """,
+        "customer_er_clusters": r"""
+            WITH RECURSIVE pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a JOIN customer b
+                ON a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS v FROM edges
+            ), reach AS (
+              SELECT v, v AS r FROM nodes
+              UNION
+              SELECT reach.v, e.dst AS r
+              FROM reach JOIN edges e ON e.src = reach.r
+            ), labels AS (
+              SELECT v, MIN(r) AS component FROM reach GROUP BY v
+            )
+            SELECT component AS cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   MIN(c.c_name) AS name_min,
+                   MAX(c.c_name) AS name_max,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4)))
+                        AS DOUBLE) AS total_acctbal
+            FROM labels l JOIN customer c ON c.c_custkey = l.v
+            GROUP BY 1
+            HAVING COUNT(*) >= 2
         """,
         "priority_status_chi2": r"""
             WITH cells AS (
@@ -7843,4 +7873,34 @@ def _priority_status_chi2(spark: SparkSession, sf: str) -> DataFrame:
     (ords,) = _tables(spark, sf, "orders")
     return experiment.chi2_contingency_cells(
         ords, "o_orderpriority", "o_orderstatus"
+    )
+
+
+def _customer_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end entity resolution (r7): fuzzy name pairs (deletion-
+    neighborhood blocking, Levenshtein <= 1) -> connected components
+    (min-label propagation with verified convergence) -> per-cluster
+    report (size, name witnesses, exact-decimal balance total) for
+    multi-member clusters. Composes linkage + graph + aggregation
+    into the dedup-decision artifact an MDM pipeline ships; the oracle
+    brute-forces the pairs AND the transitive closure (recursive CTE),
+    so the distributed propagation's labels are exactly what the hash
+    checks."""
+    (customer,) = _tables(spark, sf, "customer")
+    pairs = linkage.fuzzy_match_pairs(customer, "c_custkey", "c_name")
+    comp = dedup.connected_components(pairs)
+    return (
+        customer.join(
+            comp, customer.c_custkey == comp.id, "inner"
+        )
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("c_name").alias("name_min"),
+            F.max("c_name").alias("name_max"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .filter(F.col("n_members") >= 2)
     )

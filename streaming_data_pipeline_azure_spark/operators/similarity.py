@@ -2059,36 +2059,38 @@ def embedding_covariance(
     covariance at ~1e-12 (quantization variance (2^-20)²/12) — far
     below estimation noise, and the tests pin the numpy agreement.
 
-    Shape: posexplode to (id, i, x_i), self-join on the ROW id with
-    j >= i (upper triangle — d(d+1)/2 rows per vector, the inherent
-    pair count), one (i, j)-keyed aggregation with map-side combine,
-    then covariance from the exact sums with double arithmetic only at
-    the very end. The exchange carries O(rows·d²/2) product terms —
-    this exactness-anchored path trades volume for auditability; at
-    100 TB the same sums come from the per-batch numpy Gram kernel in
-    :func:`whiten_embeddings` (whose float accumulation is NOT
-    order-exact, which is precisely why the oracle pins THIS path).
-    Mirrored into full-matrix output (cov(j,i) = cov(i,j)).
+    Shape: each row emits its d(d+1)/2 upper-triangle product terms
+    from a NESTED ARRAY TRANSFORM inside the scan task (codegen HOFs —
+    no posexplode self-join, so nothing row-keyed ever shuffles), and
+    the single exchange is the (i, j)-keyed aggregation whose map-side
+    combine caps it at d²/2 rows PER PARTITION regardless of row
+    count. Covariance leaves the exact sums with double arithmetic
+    only at the very end. At 100 TB the same sums can come from the
+    per-batch numpy Gram kernel in :func:`whiten_embeddings` (whose
+    float accumulation is NOT order-exact, which is precisely why the
+    oracle pins THIS path). Mirrored into full-matrix output
+    (cov(j,i) = cov(i,j)).
 
     Returns (i, j, cov) for all d² positions."""
     scale = float(2**quant_bits)
-    pos = emb.select(
-        F.col(id_col).alias("__r"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-            "__i", "__x"
-        ),
-    ).select(
-        "__r",
-        "__i",
-        F.floor(F.col("__x") * F.lit(scale))
-        .cast("decimal(18,0)")
-        .alias("__x"),
+    quant = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(scale)).cast("decimal(18,0)"),
     )
-    a = pos.toDF("__r", "i", "xa")
-    b = pos.toDF("__r", "j", "xb")
+    terms = emb.select(quant.alias("__q")).select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(__q, (xi, i) -> "
+                    "transform(slice(__q, i + 1, size(__q) - i), "
+                    "(xj, k) -> struct(i AS i, i + k AS j, "
+                    "xi AS xa, xj AS xb)))"
+                )
+            )
+        ).alias("t")
+    )
     upper = (
-        a.join(b, "__r")
-        .filter(F.col("j") >= F.col("i"))
+        terms.select("t.i", "t.j", "t.xa", "t.xb")
         .groupBy("i", "j")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

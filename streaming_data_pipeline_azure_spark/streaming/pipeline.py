@@ -550,3 +550,47 @@ def read_ab_readout(spark, state_path: str) -> DataFrame:
     return finalize_variant_stats(
         merge_variant_partials(spark.read.parquet(state_path))
     )
+
+
+def build_checksum_ingest_query(
+    value_stream: DataFrame,
+    cols: list[str],
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming integrity state: each micro-batch's
+    (n_rows, checksum) partial (validate.table_checksum — an
+    order-insensitive DECIMAL sum, so partials merge by plain
+    addition) persists at replay-idempotent ``batch_id=N`` overwrite
+    partitions. Serve with :func:`read_checksum`; the merged
+    fingerprint equals one batch pass over everything ever ingested —
+    the continuous "did every row arrive exactly once" audit a sink
+    replication pipeline runs against its source."""
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        table_checksum,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        table_checksum(batch_df, cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{state_path}/batch_id={batch_id}")
+
+    writer = (
+        value_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_checksum(spark, state_path: str) -> DataFrame:
+    """Merge every batch's checksum partial: one (n_rows, checksum)
+    row — exact decimal addition over O(batches) rows."""
+    return spark.read.parquet(state_path).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
+    )

@@ -1198,3 +1198,59 @@ def test_streaming_drift_state_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert again == served
+
+
+def test_streaming_checksum_matches_batch_and_replays(spark, tmp_path):
+    """The merged streaming checksum equals the one-pass batch
+    fingerprint over everything ingested; a replayed batch does not
+    move it (overwrite partitions)."""
+    import json as _json
+
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        table_checksum,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_checksum_ingest_query,
+        read_checksum,
+        run_to_completion,
+    )
+
+    b1 = [{"k": i, "s": f"v{i}"} for i in range(120)]
+    b2 = [{"k": i, "s": f"v{i}"} for i in range(120, 200)]
+    src = tmp_path / "ck_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    def stream():
+        return (
+            spark.readStream.schema("k long, s string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "ck_state")
+    q = build_checksum_ingest_query(
+        stream(), ["k", "s"], state, str(tmp_path / "ck_ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+    served = read_checksum(spark, state).collect()[0]
+    union = spark.createDataFrame(
+        [(r["k"], r["s"]) for r in b1 + b2], "k long, s string"
+    )
+    direct = table_checksum(union, ["k", "s"]).collect()[0]
+    assert (served["n_rows"], served["checksum"]) == (
+        direct["n_rows"],
+        direct["checksum"],
+    )
+    q2 = build_checksum_ingest_query(
+        stream(), ["k", "s"], state, str(tmp_path / "ck_ckpt2"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    again = read_checksum(spark, state).collect()[0]
+    assert (again["n_rows"], again["checksum"]) == (
+        served["n_rows"],
+        served["checksum"],
+    )
