@@ -3664,6 +3664,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_checksum": _orders_checksum,
         "priority_status_chi2": _priority_status_chi2,
         "customer_er_clusters": _customer_er_clusters,
+        "customer_k_anonymity": _customer_k_anonymity,
+        "order_price_bootstrap_ci": _order_price_bootstrap_ci,
+        "revenue_autocorrelation": _revenue_autocorrelation,
+        "event_predictability": _event_predictability,
+        "source_concentration": _source_concentration,
+        "funnel_latency_percentiles": _funnel_latency_percentiles,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -4816,6 +4822,187 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY off) <= 5
+        """,
+        "order_price_bootstrap_ci": f"""
+            WITH rep AS (
+              SELECT ((o_orderkey % 4294967296 + 4294967296)
+                      % 4294967296) * 40 + g.r AS key2,
+                     g.r AS r,
+                     CAST(o_totalprice AS DECIMAL(18,4)) AS v
+              FROM orders,
+                   (SELECT unnest(generate_series(0, 39)) AS r) g
+            ), wts AS (
+              SELECT r, v,
+                     {_knuth_sql('key2')} AS u
+              FROM rep
+            ), weighted AS (
+              SELECT r, v,
+                     CASE
+                       WHEN u < 0.36787944117144233 THEN 0
+                       WHEN u < 0.7357588823428847 THEN 1
+                       WHEN u < 0.9196986029286058 THEN 2
+                       WHEN u < 0.9810118431238462 THEN 3
+                       WHEN u < 0.9963401531726563 THEN 4
+                       WHEN u < 0.9994058151824183 THEN 5
+                       WHEN u < 0.9999167588507119 THEN 6
+                       ELSE 7 END AS w
+              FROM wts
+            ), means AS (
+              SELECT r,
+                     CAST(CAST(SUM(v * w) AS VARCHAR) AS DOUBLE)
+                       / CAST(SUM(w) AS DOUBLE) AS m
+              FROM weighted GROUP BY r
+            ), ranked AS (
+              SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk
+              FROM means
+            ), pt AS (
+              SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS VARCHAR) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_point
+              FROM orders
+            )
+            SELECT CAST(40 AS BIGINT) AS n_replicates,
+                   (SELECT mean_point FROM pt) AS mean_point,
+                   MAX(CASE WHEN rk = 1 THEN m END) AS mean_lo,
+                   MAX(CASE WHEN rk = 39 THEN m END) AS mean_hi
+            FROM ranked
+        """,
+        "revenue_autocorrelation": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS v
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), lags(lag) AS (VALUES (1), (7), (30)),
+            sums AS (
+              SELECT l.lag,
+                     COUNT(*) AS n_pairs,
+                     SUM(a.v) AS sx, SUM(b.v) AS sy,
+                     SUM(CAST(a.v AS DECIMAL(19,4))
+                         * CAST(b.v AS DECIMAL(19,4))) AS sxy,
+                     SUM(CAST(a.v AS DECIMAL(19,4))
+                         * CAST(a.v AS DECIMAL(19,4))) AS sxx,
+                     SUM(CAST(b.v AS DECIMAL(19,4))
+                         * CAST(b.v AS DECIMAL(19,4))) AS syy
+              FROM lags l
+              JOIN daily a ON TRUE
+              JOIN daily b ON a.day = b.day + l.lag * INTERVAL 1 DAY
+              GROUP BY 1
+            ), m AS (
+              SELECT lag, n_pairs,
+                     CAST(n_pairs AS DOUBLE) AS n,
+                     CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                     CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                     CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+                     CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+                     CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+              FROM sums
+            )
+            SELECT CAST(l.lag AS BIGINT) AS lag,
+                   CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CASE WHEN n * sxxd - sxd * sxd > 0
+                             AND n * syyd - syd * syd > 0
+                        THEN (n * sxyd - sxd * syd)
+                             / sqrt((n * sxxd - sxd * sxd)
+                                    * (n * syyd - syd * syd))
+                   END AS r
+            FROM lags l LEFT JOIN m ON m.lag = l.lag
+        """,
+        "event_predictability": r"""
+            WITH pairs AS (
+              SELECT event_type AS s,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS t
+              FROM events
+            ), counts AS (
+              SELECT s, t, COUNT(*) AS n
+              FROM pairs WHERE t IS NOT NULL GROUP BY 1, 2
+            ), tot AS (
+              SELECT s, SUM(n) AS n_transitions FROM counts GROUP BY 1
+            ), best AS (
+              SELECT s, t, n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY s ORDER BY n DESC, t) AS rn
+              FROM counts
+            )
+            SELECT b.s AS state,
+                   CAST(n_transitions AS BIGINT) AS n_transitions,
+                   b.t AS top_next,
+                   CAST(b.n AS BIGINT) AS top_n,
+                   CAST(b.n AS DOUBLE)
+                     / CAST(n_transitions AS DOUBLE) AS hit_rate
+            FROM best b JOIN tot USING (s)
+            WHERE rn = 1
+        """,
+        "source_concentration": r"""
+            WITH sizes AS (
+              SELECT source AS g, COUNT(*) AS c
+              FROM documents GROUP BY 1
+            ), ranked AS (
+              SELECT c,
+                     ROW_NUMBER() OVER (ORDER BY c ASC, g ASC) AS i,
+                     ROW_NUMBER() OVER (ORDER BY c DESC, g ASC) AS tr
+              FROM sizes
+            ), agg AS (
+              SELECT COUNT(*) AS n_groups, SUM(c) AS n_rows,
+                     SUM(c * c) AS c2,
+                     SUM(CAST(i AS DECIMAL(38,0)) * c) AS ic,
+                     SUM(CASE WHEN tr <= 3 THEN c ELSE 0 END) AS topc
+              FROM ranked
+            )
+            SELECT CAST(n_groups AS BIGINT) AS n_groups,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(c2 AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                       AS hhi,
+                   2.0 * CAST(ic AS DOUBLE)
+                     / (CAST(n_groups AS DOUBLE)
+                        * CAST(n_rows AS DOUBLE))
+                   - (CAST(n_groups AS DOUBLE) + 1.0)
+                     / CAST(n_groups AS DOUBLE) AS gini,
+                   CAST(topc AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                       AS top_share
+            FROM agg
+        """,
+        "funnel_latency_percentiles": r"""
+            WITH fv AS (
+              SELECT user_id, MIN(ts) AS v
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ), fp AS (
+              SELECT e.user_id, fv.v, MIN(e.ts) AS p
+              FROM events e JOIN fv ON fv.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= fv.v
+              GROUP BY 1, 2
+            ), lat AS (
+              SELECT CAST(epoch_us(p) - epoch_us(v) AS BIGINT)
+                     // 1000000 AS latency_s
+              FROM fp
+            ), pv AS (
+              SELECT latency_s AS v,
+                     SUM(CAST(1.0 AS DECIMAL(18,6))) AS w
+              FROM lat GROUP BY 1
+            ), cum AS (
+              SELECT v,
+                     CAST(SUM(w) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                          ROW) AS DECIMAL(24,6)) AS cw,
+                     CAST(SUM(w) OVER () AS DECIMAL(24,6)) AS tot
+              FROM pv
+            )
+            SELECT CAST(q AS DOUBLE) AS q, MIN(v) AS value
+            FROM cum, (VALUES (CAST(0.5  AS DECIMAL(8,6))),
+                              (CAST(0.9  AS DECIMAL(8,6))),
+                              (CAST(0.99 AS DECIMAL(8,6)))) AS qs(q)
+            WHERE cw >= q * tot
+            GROUP BY 1
+        """,
+        "customer_k_anonymity": r"""
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS group_size
+            FROM customer
+            GROUP BY 1, 2
+            HAVING COUNT(*) < 25
         """,
         "customer_er_clusters": r"""
             WITH RECURSIVE pairs AS (
@@ -7904,3 +8091,91 @@ def _customer_er_clusters(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+def _customer_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-identification audit (r7): customer quasi-identifier cells
+    (c_nationkey x c_mktsegment) with fewer than 25 members — the rows
+    a data release would need to generalize or suppress
+    (validate.k_anonymity_violations; one QI-tuple aggregation)."""
+    (customer,) = _tables(spark, sf, "customer")
+    return validate.k_anonymity_violations(
+        customer, ["c_nationkey", "c_mktsegment"], 25
+    )
+
+
+def _order_price_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (r7): 40 key-pure resampled
+    means of o_totalprice with order-statistic 95% bounds
+    (experiment.bootstrap_mean_ci). Every weight is a pure function of
+    (o_orderkey, replicate) through the shared Knuth hash, so the
+    whole bootstrap hash-checks — the auditable version of a
+    statistic that is normally unreproducible by construction."""
+    (ords,) = _tables(spark, sf, "orders")
+    return experiment.bootstrap_mean_ci(
+        ords, "o_orderkey", "o_totalprice", n_replicates=40
+    )
+
+
+def _revenue_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonality diagnostics (r7): Pearson autocorrelation of daily
+    purchase-event value at lags 1, 7 and 30
+    (temporal.lag_autocorrelation — exact decimal sufficient sums over
+    the date-shifted self-join of the O(days) daily series)."""
+    ev = _events(spark, sf).filter(F.col("event_type") == "purchase")
+    return temporal.lag_autocorrelation(
+        ev, "ts", "value", lags=[1, 7, 30]
+    )
+
+
+def _event_predictability(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov predictability report (r7): per prior event type, the
+    argmax next type (lexical tie-break) and its in-sample top-1 hit
+    rate — the baseline any sequence model must beat
+    (temporal.transition_predictability)."""
+    return temporal.transition_predictability(
+        _events(spark, sf), "user_id", "ts", "event_type",
+        tiebreak_cols=["event_id"],
+    )
+
+
+def _source_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus concentration audit (r7): HHI (exact), Gini and top-3
+    share of documents across sources
+    (profile.concentration_stats — one group-size aggregation, then
+    O(groups) windows)."""
+    return profile.concentration_stats(_docs(spark, sf), "source", top_k=3)
+
+
+def _funnel_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution (r7): per user, seconds from the
+    FIRST view to the FIRST purchase at-or-after it; exact discrete
+    percentiles of that latency (the conversion-SLA readout product
+    teams watch). Composes the funnel join with the exact
+    weighted-percentile machinery (unit weights)."""
+    ev = _events(spark, sf)
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__v"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("__v"))
+        .groupBy("user_id", "__v")
+        .agg(F.min("ts").alias("__p"))
+    )
+    lat = first_purchase.select(
+        (
+            (F.unix_micros("__p") - F.unix_micros("__v"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("latency_s"),
+        F.lit(1).alias("__g"),
+        F.lit(1.0).alias("__w"),
+    )
+    return profile.weighted_percentiles(
+        lat, "__g", "latency_s", "__w", [0.5, 0.9, 0.99]
+    ).select("q", "value")

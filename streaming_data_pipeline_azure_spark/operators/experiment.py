@@ -274,3 +274,112 @@ def chi2_contingency_cells(
             ((o - e) * (o - e) / e).alias("chi2_contribution"),
         )
     )
+
+
+#: Cumulative Poisson(1) probabilities for the inverse-CDF lookup used
+#: by the deterministic bootstrap (weights capped at 7 — the tail mass
+#: beyond is ~1e-5 and folds into the last bucket). Written as exact
+#: literals so the oracle SQL can repeat them digit-for-digit.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+]
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    n_replicates: int = 40,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    salt: int = 0,
+) -> DataFrame:
+    """DETERMINISTIC Poisson bootstrap confidence interval for the
+    mean: every (row, replicate) draws its resampling weight
+    ~ Poisson(1) through the key-pure Knuth hash (inverse-CDF over the
+    exact :data:`POISSON1_CDF` literals), so the whole bootstrap — all
+    ``n_replicates`` resampled means and the order-statistic CI — is a
+    pure function of the data. Reruns, engines and backfills agree
+    bit-for-bit (a rand()-based bootstrap can never be
+    oracle-checked), which turns the usual "seed it and hope"
+    resampling into an auditable statistic.
+
+    Shape: one explode to rows × replicates (the inherent bootstrap
+    cost — n_replicates scans' worth of weighted sums, batched into
+    ONE shuffle keyed by replicate with decimal map-side combine),
+    replicate means from exact decimal Σw·x / Σw, then order
+    statistics over the O(n_replicates) means. Returns one row:
+    (n_replicates, mean_point, mean_lo, mean_hi) where point is the
+    full-sample exact mean and lo/hi are the ceil(q·B)-th sorted
+    replicate means."""
+    from pyspark.sql import Window
+
+    if not 0 < lo_q < hi_q < 1:
+        raise ValueError("bootstrap_mean_ci: need 0 < lo_q < hi_q < 1")
+    b = n_replicates
+    k32 = ((F.col(key_col).cast("long") % F.lit(4294967296))
+           + F.lit(4294967296)) % F.lit(4294967296)
+    rep = df.select(
+        k32.alias("__k32"),
+        F.col(value_col).cast("decimal(18,4)").alias("__v"),
+    ).select(
+        "__k32",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r"),
+    )
+    u = knuth_uniform(
+        F.col("__k32") * F.lit(b) + F.col("__r") + F.lit(salt)
+    )
+    w = F.lit(len(POISSON1_CDF))
+    for i in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[i]), F.lit(i)).otherwise(w)
+    means = (
+        rep.select("__r", "__v", w.alias("__w"))
+        .groupBy("__r")
+        .agg(
+            F.sum(F.col("__v") * F.col("__w")).alias("__sw"),
+            F.sum("__w").cast("long").alias("__nw"),
+        )
+        .select(
+            "__r",
+            (
+                F.col("__sw").cast("double")
+                / F.col("__nw").cast("double")
+            ).alias("__m"),
+        )
+    )
+    rank_w = Window.orderBy("__m")
+    ranked = means.select(
+        "__m", F.row_number().over(rank_w).alias("__rank")
+    )
+    import math
+
+    lo_rank = math.ceil(lo_q * b)
+    hi_rank = math.ceil(hi_q * b)
+    point = df.agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_point")
+    )
+    bounds = ranked.agg(
+        F.max(
+            F.when(F.col("__rank") == lo_rank, F.col("__m"))
+        ).alias("mean_lo"),
+        F.max(
+            F.when(F.col("__rank") == hi_rank, F.col("__m"))
+        ).alias("mean_hi"),
+    )
+    return point.crossJoin(F.broadcast(bounds)).select(
+        F.lit(b).cast("long").alias("n_replicates"),
+        "mean_point",
+        "mean_lo",
+        "mean_hi",
+    )

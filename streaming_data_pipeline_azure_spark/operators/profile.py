@@ -687,3 +687,57 @@ def quantile_binning_stats(
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_value"),
     )
+
+
+def concentration_stats(
+    df: DataFrame, group_col: str, *, top_k: int = 3
+) -> DataFrame:
+    """Concentration / inequality of a categorical distribution in one
+    row: group count, HHI (Herfindahl Σshare² — EXACT: Σc²/(Σc)², two
+    integer sums and one division), Gini coefficient over group sizes
+    (sorted-rank formula G = 2Σi·c_(i)/(n·Σc) − (n+1)/n with
+    deterministic (count, group) rank order — exact decimal Σi·c),
+    and the combined share of the ``top_k`` largest groups — the
+    "is one source eating the corpus" audit for mixture design.
+
+    Group sizes are the only aggregation over data; everything after
+    runs on the O(groups) summary (rank window + one more aggregate).
+    NULL groups count as a group. At least one row required."""
+    sizes = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("__c"), F.asc("__g"))
+    ranked = sizes.select(
+        "__c", F.row_number().over(w).cast("long").alias("__i")
+    )
+    w_top = Window.orderBy(F.desc("__c"), F.asc("__g"))
+    with_top = sizes.select(
+        "__c", F.row_number().over(w_top).cast("long").alias("__tr")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.sum(F.col("__c") * F.col("__c")).cast("decimal(38,0)").alias(
+            "__c2"
+        ),
+        F.sum(
+            (F.col("__i") * F.col("__c")).cast("decimal(38,0)")
+        ).alias("__ic"),
+    )
+    topk = with_top.filter(F.col("__tr") <= top_k).agg(
+        F.sum("__c").cast("long").alias("__topc")
+    )
+    n = F.col("n_groups").cast("double")
+    tot = F.col("n_rows").cast("double")
+    return agg.crossJoin(F.broadcast(topk)).select(
+        "n_groups",
+        "n_rows",
+        (F.col("__c2").cast("double") / (tot * tot)).alias("hhi"),
+        (
+            F.lit(2.0) * F.col("__ic").cast("double") / (n * tot)
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+        (F.col("__topc").cast("double") / tot).alias("top_share"),
+    )

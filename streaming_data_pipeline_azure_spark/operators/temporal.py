@@ -793,3 +793,123 @@ def rfm_segments(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def lag_autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    lags: list[int],
+) -> DataFrame:
+    """Seasonality diagnostic: Pearson autocorrelation of the DAILY
+    value series at each requested lag (lag 7 high ⇒ weekly cycle,
+    lag 1 high ⇒ momentum). Days absent from the series are absent
+    from the pairs (no zero-imputation — document gaps, don't invent
+    them).
+
+    The daily pre-aggregation is the one data-proportional shuffle;
+    each lag is then an equi-join of the O(days) series against its
+    date-shifted self plus one sufficient-sums aggregation — all sums
+    exact decimals (the correlation_matrix discipline), doubles only
+    in the final r formula, so the result is engine-exact. Returns
+    (lag, n_pairs, r) with r NULL when either side is constant."""
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("v")
+    )
+    out = None
+    for lag in lags:
+        a = daily.select(F.col("day").alias("__d"), F.col("v").alias("x"))
+        b = daily.select(
+            F.date_add(F.col("day"), lag).alias("__d"),
+            F.col("v").alias("y"),
+        )
+        sums = (
+            a.join(b, "__d")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+            )
+            .withColumn("lag", F.lit(lag).cast("long"))
+        )
+        out = sums if out is None else out.unionByName(sums)
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    r = (n * sxy - sx * sy) / F.sqrt(varx * vary)
+    return out.select(
+        "lag",
+        "n_pairs",
+        F.when((varx > 0) & (vary > 0), r).alias("r"),
+    )
+
+
+def transition_predictability(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    state_col: str,
+    *,
+    tiebreak_cols=(),
+) -> DataFrame:
+    """How predictable is the event stream: for every prior state, the
+    best next-state guess (the transition argmax) and its hit rate —
+    the evaluation layer over :func:`transition_matrix` (a Markov
+    model's top-1 in-sample accuracy, and the baseline any sequence
+    model must beat).
+
+    One lag window per key (the same shuffle transition_matrix pays),
+    a (state, next) count, then a deterministic argmax per state via
+    ``max_by(next, (count, next DESC ranking))`` — ties break to the
+    LEXICALLY SMALLEST next state so the report is engine-exact.
+    Returns (state, n_transitions, top_next, top_n, hit_rate)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("__s"),
+            F.lead(F.col(state_col)).over(w).alias("__t"),
+        )
+        .filter(F.col("__t").isNotNull())
+        .groupBy("__s", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    # argmax with a lexical tie-break needs an ORDER, not a max_by
+    # struct (a string cannot be numerically inverted): one window
+    # over the O(states²) pair counts
+    w_pick = Window.partitionBy("__s").orderBy(
+        F.desc("__n"), F.asc("__t")
+    )
+    best = pairs.withColumn(
+        "__rn", F.row_number().over(w_pick)
+    )
+    totals = pairs.groupBy("__s").agg(
+        F.sum("__n").cast("long").alias("n_transitions")
+    )
+    return (
+        best.filter(F.col("__rn") == 1)
+        .join(totals, "__s")
+        .select(
+            F.col("__s").alias("state"),
+            "n_transitions",
+            F.col("__t").alias("top_next"),
+            F.col("__n").cast("long").alias("top_n"),
+            (
+                F.col("__n").cast("double")
+                / F.col("n_transitions").cast("double")
+            ).alias("hit_rate"),
+        )
+    )

@@ -346,3 +346,26 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(term).cast("decimal(38,0)").alias("checksum"),
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Re-identification risk audit: every quasi-identifier combination
+    shared by FEWER than ``k`` rows — the groups whose members a
+    release would expose (k-anonymity, Sweeney 2002). One hash
+    aggregation on the quasi-identifier tuple with map-side combine;
+    the violating-group list is the actionable artifact (generalize,
+    suppress, or drop those rows before release).
+
+    Returns (quasi_cols…, group_size) for groups with size < k,
+    plus nothing for compliant groups — an empty result IS the
+    compliance certificate. NULLs group as their own value (two rows
+    with a NULL zip are the same cell, matching SQL GROUP BY)."""
+    if k < 2:
+        raise ValueError("k_anonymity_violations: k must be >= 2")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

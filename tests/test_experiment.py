@@ -269,3 +269,34 @@ def test_chi2_contingency_cells_matches_scipy_free_reference(spark):
         assert abs(r["chi2_contribution"] - (r["observed"] - 20) ** 2 / 20) < 1e-12
     total = sum(r["chi2_contribution"] for r in got.values())
     assert abs(total - 20.0) < 1e-9  # 4 cells x (10^2/20)
+
+
+def test_bootstrap_mean_ci_deterministic_and_sane(spark):
+    """CI brackets the point estimate for well-behaved data, the whole
+    statistic is rerun/partitioning-invariant, and the interval
+    narrows with more data (the basic bootstrap sanity)."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [(k, 50.0 + (k * 13) % 21) for k in range(600)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    r1 = bootstrap_mean_ci(df, "k", "v", n_replicates=40).collect()[0]
+    assert r1["mean_lo"] < r1["mean_point"] < r1["mean_hi"]
+    # point estimate is the exact mean
+    exact = sum(v for _, v in rows) / len(rows)
+    assert abs(r1["mean_point"] - exact) < 1e-9
+    # deterministic across reruns and partitionings
+    r2 = bootstrap_mean_ci(
+        df.repartition(13), "k", "v", n_replicates=40
+    ).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    # 4x the data -> narrower interval
+    big = spark.createDataFrame(
+        [(k, 50.0 + (k * 13) % 21) for k in range(2400)],
+        "k long, v double",
+    )
+    rb = bootstrap_mean_ci(big, "k", "v", n_replicates=40).collect()[0]
+    assert (rb["mean_hi"] - rb["mean_lo"]) < (
+        r1["mean_hi"] - r1["mean_lo"]
+    )

@@ -710,3 +710,33 @@ def test_keep_best_and_golden_record_shuffle_groups_not_rows(spark):
         dedup.golden_record(rows, "k", "ts", ["text", "score"])
     )
     assert sum(x["records"] for x in m2) <= 20 * 8 + 64, m2
+
+
+def test_embedding_covariance_shuffles_cells_not_rows(spark):
+    """The HOF-expansion covariance claims its ONLY exchange is the
+    map-side-combined (i, j) aggregation: shuffle records must be
+    bounded by d(d+1)/2 x partitions and INVARIANT to row count."""
+    from streaming_data_pipeline_azure_spark.operators import similarity
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    d = 8
+    cells = d * (d + 1) // 2
+    recs = {}
+    for n in (500, 2000):
+        emb = spark.range(n, numPartitions=4).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("id") * (i + 3)) % 97 / 97.0).cast("double")
+                    for i in range(d)
+                ]
+            ).alias("embedding"),
+        )
+        m = shuffle_write_metrics(similarity.embedding_covariance(emb))
+        recs[n] = sum(x["records"] for x in m)
+        # the full-matrix mirror re-aggregates in its own branch, so
+        # up to TWO cell-bounded exchanges — never row-proportional
+        assert recs[n] <= 2 * cells * 4 + 64, (n, m)
+    assert recs[2000] == recs[500], recs  # row-count invariant

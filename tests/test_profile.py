@@ -359,3 +359,31 @@ def test_quantile_binning_stats_exact(spark):
     assert abs(got[0]["mean_value"] - 13.0) < 1e-12
     with _pytest.raises(ValueError, match="n_buckets"):
         quantile_binning_stats(df, "v", n_buckets=1)
+
+
+def test_concentration_stats_known_values(spark):
+    """Uniform 4-group distribution: HHI = 1/4, Gini = 0; a dominant
+    group raises all three measures."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        concentration_stats,
+    )
+
+    uniform = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(40)], "g string"
+    )
+    u = concentration_stats(uniform, "g", top_k=2).collect()[0]
+    assert u["n_groups"] == 4 and u["n_rows"] == 40
+    assert abs(u["hhi"] - 0.25) < 1e-12
+    assert abs(u["gini"]) < 1e-12
+    assert abs(u["top_share"] - 0.5) < 1e-12
+
+    skewed = spark.createDataFrame(
+        [("big",)] * 70 + [("a",)] * 10 + [("b",)] * 10 + [("c",)] * 10,
+        "g string",
+    )
+    s = concentration_stats(skewed, "g", top_k=1).collect()[0]
+    assert abs(s["hhi"] - (70**2 + 3 * 10**2) / 100**2) < 1e-12
+    assert s["top_share"] == 0.7
+    # hand Gini: sizes sorted [10,10,10,70], i·c = 10+20+30+280 = 340
+    # G = 2*340/(4*100) - 5/4 = 1.7 - 1.25 = 0.45
+    assert abs(s["gini"] - 0.45) < 1e-12

@@ -746,3 +746,66 @@ def test_rfm_segments_tiles_and_anchor(spark):
     # in tile 1 and c4 in tile 2 (deterministic, documented)
     assert got[4]["r_score"] == 1 and got[4]["segment"] == "1-2-1"
     assert got[1]["segment"] == "4-4-4"
+
+
+def test_lag_autocorrelation_detects_period(spark):
+    """A strict 2-day alternation: lag-2 correlation = +1, lag-1 = -1;
+    constant series -> NULL."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        lag_autocorrelation,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(days=i), 100.0 if i % 2 == 0 else 200.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["lag"]: r
+        for r in lag_autocorrelation(
+            df, "ts", "v", lags=[1, 2]
+        ).collect()
+    }
+    assert abs(got[2]["r"] - 1.0) < 1e-12
+    assert abs(got[1]["r"] + 1.0) < 1e-12
+    assert got[1]["n_pairs"] == 29
+    flat = spark.createDataFrame(
+        [("k", base + dt.timedelta(days=i), 5.0) for i in range(10)],
+        "k string, ts timestamp, v double",
+    )
+    fr = lag_autocorrelation(flat, "ts", "v", lags=[1]).collect()[0]
+    assert fr["r"] is None
+
+
+def test_transition_predictability(spark):
+    """Per-state argmax with lexical tie-break; hit rate = top count /
+    total transitions out of the state."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        transition_predictability,
+    )
+
+    seq = ["a", "b", "a", "b", "a", "c"]  # a->b x2, b->a x2, a->c x1
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, i), s) for i, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, s string")
+    got = {
+        r["state"]: r
+        for r in transition_predictability(df, "u", "ts", "s").collect()
+    }
+    assert got["a"]["n_transitions"] == 3
+    assert got["a"]["top_next"] == "b" and got["a"]["top_n"] == 2
+    assert abs(got["a"]["hit_rate"] - 2 / 3) < 1e-15
+    assert got["b"]["top_next"] == "a" and got["b"]["hit_rate"] == 1.0
+    # tie: equal counts -> lexically smallest next wins
+    tie = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, i), s)
+         for i, s in enumerate(["x", "z", "x", "y"])],
+        "u long, ts timestamp, s string",
+    )
+    t = {
+        r["state"]: r
+        for r in transition_predictability(tie, "u", "ts", "s").collect()
+    }
+    assert t["x"]["top_next"] == "y"  # y vs z tie at 1 -> smaller

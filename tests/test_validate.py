@@ -230,3 +230,33 @@ def test_table_checksum_order_insensitive_and_sensitive_to_change(spark):
     )
     c = table_checksum(changed, ["id", "s", "v"]).collect()[0]
     assert c["checksum"] != base["checksum"]
+
+
+def test_k_anonymity_violations(spark):
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        k_anonymity_violations,
+    )
+
+    rows = [
+        ("94105", "1980"), ("94105", "1980"), ("94105", "1980"),
+        ("94110", "1990"), ("94110", "1990"),
+        ("94110", "1991"),           # singleton cell
+        (None, "1980"), (None, "1980"),
+    ]
+    df = spark.createDataFrame(rows, "zip string, yob string")
+    got = {
+        (r["zip"], r["yob"]): r["group_size"]
+        for r in k_anonymity_violations(df, ["zip", "yob"], 3).collect()
+    }
+    assert got == {("94110", "1990"): 2, ("94110", "1991"): 1,
+                   (None, "1980"): 2}
+    # compliant at k=2 except the singleton
+    got2 = {
+        (r["zip"], r["yob"])
+        for r in k_anonymity_violations(df, ["zip", "yob"], 2).collect()
+    }
+    assert got2 == {("94110", "1991")}
+    with _pytest.raises(ValueError):
+        k_anonymity_violations(df, ["zip"], 1)
