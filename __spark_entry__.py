@@ -3670,6 +3670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_predictability": _event_predictability,
         "source_concentration": _source_concentration,
         "funnel_latency_percentiles": _funnel_latency_percentiles,
+        "url_canonical_dedup": _url_canonical_dedup,
+        "label_embedding_drift": _label_embedding_drift,
+        "event_value_ohlc": _event_value_ohlc,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -4996,6 +4999,122 @@ def oracle_sql() -> dict[str, str]:
                               (CAST(0.99 AS DECIMAL(8,6)))) AS qs(q)
             WHERE cw >= q * tot
             GROUP BY 1
+        """,
+        "url_canonical_dedup": r"""
+            WITH variants AS (
+              SELECT source, u AS url FROM (
+                SELECT source,
+                       unnest([
+                         'http://docs-' || source || '.example.com/item/'
+                           || CAST(doc_id AS VARCHAR),
+                         'http://docs-' || source || '.example.com:80/item/'
+                           || CAST(doc_id AS VARCHAR)
+                           || '?utm_source=mail&utm_campaign=x',
+                         'http://DOCS-' || upper(source) || '.EXAMPLE.COM/item/'
+                           || CAST(doc_id AS VARCHAR) || '/'
+                       ]) AS u
+                FROM documents)
+            ), s1 AS (
+              SELECT source, url,
+                     regexp_replace(url, '#.*$', '', 'g') AS c
+              FROM variants
+            ), s2 AS (
+              SELECT source, url,
+                     lower(regexp_extract(c,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                     || regexp_replace(c,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS c
+              FROM s1
+            ), s3 AS (
+              SELECT source, url,
+                     regexp_replace(regexp_replace(c,
+                       '^(http://[^/?#:]*):80($|[/?].*)', '\1\2'),
+                       '^(https://[^/?#:]*):443($|[/?].*)', '\1\2') AS c
+              FROM s2
+            ), s4 AS (
+              SELECT source, url,
+                     regexp_replace(c,
+                       '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*',
+                       '', 'g') AS c
+              FROM s3
+            ), s5 AS (
+              SELECT source, url,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(c, '^([^?]*)&', '\1?'),
+                       '[?&]+$', ''),
+                       '/+\?', '?', 'g'),
+                       '/+$', '') AS c
+              FROM s4
+            )
+            SELECT source,
+                   CAST(COUNT(DISTINCT url) AS BIGINT)
+                       AS n_raw_distinct,
+                   CAST(COUNT(DISTINCT c) AS BIGINT)
+                       AS n_canonical_distinct,
+                   MIN(c) AS sample_canonical
+            FROM s5 GROUP BY 1
+        """,
+        "label_embedding_drift": r"""
+            WITH pos AS (
+              SELECT label AS g, i - 1 AS i,
+                     CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0)
+                          AS DECIMAL(18,0)) AS q
+              FROM (SELECT label, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+            ), per AS (
+              SELECT g, i, COUNT(*) AS n, SUM(q) AS s FROM pos
+              GROUP BY 1, 2
+            ), mv AS (
+              SELECT g, MAX(n) AS n_vecs,
+                     list_transform(
+                       list(ROW(i, CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) ORDER BY i),
+                       r -> r[2]) AS vec
+              FROM per GROUP BY 1
+            ), gl AS (
+              SELECT list_transform(
+                       list(ROW(i, CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) ORDER BY i),
+                       r -> r[2]) AS gvec
+              FROM (SELECT i, COUNT(*) AS n, SUM(q) AS s FROM pos
+                    GROUP BY 1)
+            ), m AS (
+              SELECT g, n_vecs,
+                     list_aggregate(list_transform(
+                       list_zip(vec, gvec), x -> x[1] * x[2]), 'sum')
+                       AS dot,
+                     list_aggregate(list_transform(
+                       list_zip(vec, vec), x -> x[1] * x[2]), 'sum')
+                       AS na,
+                     list_aggregate(list_transform(
+                       list_zip(gvec, gvec), x -> x[1] * x[2]), 'sum')
+                       AS nb
+              FROM mv, gl
+            )
+            SELECT g AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN dot / (sqrt(na) * sqrt(nb))
+                   END AS cosine_to_global
+            FROM m
+        """,
+        "event_value_ohlc": r"""
+            WITH e AS (
+              SELECT CAST(ts AS DATE) AS day, ts, event_id, value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT DISTINCT day,
+                   first_value(value) OVER w AS open,
+                   MAX(value) OVER w AS high,
+                   MIN(value) OVER w AS low,
+                   last_value(value) OVER w AS close,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                        AS DOUBLE) AS total_value
+            FROM e
+            WINDOW w AS (PARTITION BY day ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
         """,
         "customer_k_anonymity": r"""
             SELECT c_nationkey, c_mktsegment,
@@ -8179,3 +8298,60 @@ def _funnel_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return profile.weighted_percentiles(
         lat, "__g", "latency_s", "__w", [0.5, 0.9, 0.99]
     ).select("q", "value")
+
+
+def _url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization audit (r7): three deterministic messy
+    variants per document (raw; utm/:80 decorated; uppercased host +
+    trailing slash) must collapse to ONE canonical form each
+    (text.canonicalize_url — an RE2-compatible regex chain both
+    engines run verbatim). Per source: distinct raw vs distinct
+    canonical counts."""
+    docs = _docs(spark, sf).select("doc_id", "source")
+    base = F.concat(
+        F.lit("http://docs-"), F.col("source"), F.lit(".example.com/item/"),
+        F.col("doc_id").cast("string"),
+    )
+    variants = docs.select(
+        "source",
+        F.explode(
+            F.array(
+                base,
+                F.concat(
+                    F.lit("http://docs-"), F.col("source"),
+                    F.lit(".example.com:80/item/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?utm_source=mail&utm_campaign=x"),
+                ),
+                F.concat(
+                    F.lit("http://DOCS-"), F.upper(F.col("source")),
+                    F.lit(".EXAMPLE.COM/item/"),
+                    F.col("doc_id").cast("string"), F.lit("/"),
+                ),
+            )
+        ).alias("url"),
+    )
+    canon = variants.select(
+        "source", "url", tx.canonicalize_url("url").alias("curl")
+    )
+    return canon.groupBy("source").agg(
+        F.count_distinct("url").cast("long").alias("n_raw_distinct"),
+        F.count_distinct("curl").cast("long").alias("n_canonical_distinct"),
+        F.min("curl").alias("sample_canonical"),
+    )
+
+
+def _label_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding drift audit (r7): cosine of each label-group's mean
+    vector to the global mean (similarity.group_centroid_drift —
+    quantized-integer per-dim sums, dimension-ordered cosine folds, so
+    the whole statistic hash-checks)."""
+    return similarity.group_centroid_drift(_emb(spark, sf), "label")
+
+
+def _event_value_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily OHLC bars (r7): open/high/low/close of the purchase-event
+    value series with (ts, event_id) tie-breaks (temporal.ohlc — one
+    min_by/max_by aggregation, no window)."""
+    ev = _events(spark, sf).filter(F.col("event_type") == "purchase")
+    return temporal.ohlc(ev, "ts", "value", tiebreak_cols=["event_id"])

@@ -2191,3 +2191,89 @@ def whiten_embeddings(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+def group_centroid_drift(
+    emb: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    *,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Per-group embedding drift: cosine similarity between each
+    group's mean vector and the GLOBAL mean vector — the "is this
+    source/label semantically off-center" diagnostic run before
+    mixture reweighting.
+
+    Engine-exactness reuses both established tricks: coordinates
+    quantize to the IEEE-exact floor(x·2^quant_bits) integer grid
+    (:func:`embedding_covariance`'s portability fix), so per-dim sums
+    are exact and the mean is one identical double division; and the
+    cross-dim cosine sums fold in DIMENSION ORDER via zip_with +
+    aggregate — the same left-to-right fold DuckDB's list_aggregate
+    runs, so the whole statistic hash-checks (the
+    `similarity_topk`/pq_encode_np precedent).
+
+    One posexplode aggregation keyed by (group, dim) — O(groups·d)
+    output — then array folds on the tiny summary. Returns
+    (group, n_vecs, cosine_to_global), NULL cosine for zero-norm
+    sides."""
+    scale = float(2**quant_bits)
+    pos = emb.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__i", "__x"
+        ),
+    ).select(
+        "__g",
+        "__i",
+        F.floor(F.col("__x") * F.lit(scale))
+        .cast("decimal(18,0)")
+        .alias("__q"),
+    )
+    per = pos.groupBy("__g", "__i").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__q").alias("__s"),
+    )
+    mean_arr = (
+        per.withColumn(
+            "__m",
+            F.col("__s").cast("double") / F.col("__n").cast("double"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.max("__n").alias("n_vecs"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__i", "__m"))),
+                lambda s: s["__m"],
+            ).alias("__vec"),
+        )
+    )
+    glob = pos.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__q").alias("__s"),
+    )
+    glob_arr = glob.withColumn(
+        "__m", F.col("__s").cast("double") / F.col("__n").cast("double")
+    ).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__i", "__m"))),
+            lambda s: s["__m"],
+        ).alias("__gvec")
+    )
+    joined = mean_arr.crossJoin(F.broadcast(glob_arr))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(
+        F.zip_with("__vec", "__gvec", lambda a, b: a * b)
+    )
+    na = fold(F.transform("__vec", lambda a: a * a))
+    nb = fold(F.transform("__gvec", lambda b: b * b))
+    return joined.select(
+        F.col("__g").alias(group_col),
+        "n_vecs",
+        F.when(
+            (na > 0) & (nb > 0), dot / (F.sqrt(na) * F.sqrt(nb))
+        ).alias("cosine_to_global"),
+    )

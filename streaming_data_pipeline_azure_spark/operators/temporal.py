@@ -913,3 +913,33 @@ def transition_predictability(
             ).alias("hit_rate"),
         )
     )
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    tiebreak_cols=(),
+) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars plus count and exact
+    total — the canonical downsampling for any numeric event series
+    (prices, latencies, sensor values). Open/close pick the first/last
+    value under the FULLY tie-broken (ts, tiebreaks) order via
+    min_by/max_by (one hash aggregation with map-side combine — no
+    window, no sort), so bars are engine-exact even with equal
+    timestamps. Returns (day, open, high, low, close, n_events,
+    total_value)."""
+    ties = [F.col(c) for c in tiebreak_cols]
+    order = F.struct(F.col(ts_col), *ties)
+    v = F.col(value_col)
+    return df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.min_by(v, order).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, order).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(v.cast("decimal(18,4)")).cast("double").alias(
+            "total_value"
+        ),
+    )

@@ -414,3 +414,40 @@ def collocations(
         .orderBy(F.desc("strength"), "w_a", "w_b")
         .limit(k)
     )
+
+
+def canonicalize_url(url_col: Column | str) -> Column:
+    """Crawl-dedup URL canonicalization as a codegen regex chain:
+    strip fragments, lowercase scheme://host, strip default ports
+    (:80 http / :443 443 https), drop utm_*/fbclid/gclid tracking
+    params (fixing the separator the removal orphans), trim trailing
+    '?'/'&' and trailing slashes — the normalizations that make
+    logically-identical crawl URLs compare equal BEFORE fingerprint
+    dedup. Every pattern is RE2-compatible (no lookaround), so DuckDB
+    runs the identical chain and canonical forms are engine-exact.
+
+    Deliberately conservative: parameter ORDER is preserved (sorting
+    params can merge semantically different endpoints) and
+    percent-encoding is untouched."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    c = F.regexp_replace(c, r"#.*$", "")
+    prefix = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    c = F.concat(
+        F.lower(F.regexp_extract(c, prefix, 1)),
+        F.regexp_replace(c, prefix, ""),
+    )
+    c = F.regexp_replace(
+        c, r"^(http://[^/?#:]*):80($|[/?].*)", "$1$2"
+    )
+    c = F.regexp_replace(
+        c, r"^(https://[^/?#:]*):443($|[/?].*)", "$1$2"
+    )
+    c = F.regexp_replace(
+        c, r"[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", ""
+    )
+    # a removed leading '?param' orphans the next '&' -> promote it
+    c = F.regexp_replace(c, r"^([^?]*)&", "$1?")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"/+\?", "?")   # path-final slash before ?
+    c = F.regexp_replace(c, r"/+$", "")
+    return c

@@ -1184,3 +1184,37 @@ def test_whiten_embeddings_identity_covariance(spark):
     for (i, j), c in cov.items():
         want = 1.0 if i == j else 0.0
         assert abs(c - want) < 1e-6, (i, j, c)
+
+
+def test_group_centroid_drift_geometry(spark):
+    """A group aligned with the global mean reads ~1; an opposed group
+    reads negative; values match a numpy reference on the quantized
+    grid."""
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.operators.similarity import (
+        group_centroid_drift,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0.2, 0.05, size=(40, 8))
+    flipped = -base[:10] * 0.5
+    rows = [("a", [float(v) for v in r]) for r in base]
+    rows += [("b", [float(v) for v in r]) for r in flipped]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {
+        r["label"]: r
+        for r in group_centroid_drift(df, "label").collect()
+    }
+    x = np.vstack([base, flipped])
+    xq = np.floor(x * 2**20) / 2**20
+    g = xq.mean(axis=0)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    ref_a = cos(np.floor(base * 2**20).mean(axis=0), np.floor(x * 2**20).mean(axis=0))
+    assert got["a"]["n_vecs"] == 40
+    assert abs(got["a"]["cosine_to_global"] - ref_a) < 1e-9
+    assert got["a"]["cosine_to_global"] > 0.9
+    assert got["b"]["cosine_to_global"] < 0

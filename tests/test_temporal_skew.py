@@ -809,3 +809,32 @@ def test_transition_predictability(spark):
         for r in transition_predictability(tie, "u", "ts", "s").collect()
     }
     assert t["x"]["top_next"] == "y"  # y vs z tie at 1 -> smaller
+
+
+def test_ohlc_bars(spark):
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        ohlc,
+    )
+
+    d0 = dt.datetime(2024, 2, 1, 9, 0)
+    rows = [
+        (1, d0, 10.0),
+        (2, d0 + dt.timedelta(hours=1), 14.0),
+        (3, d0 + dt.timedelta(hours=2), 8.0),
+        (4, d0 + dt.timedelta(hours=3), 12.0),
+        # tie on ts: higher event_id wins close, lower wins open
+        (5, d0 + dt.timedelta(days=1), 3.0),
+        (6, d0 + dt.timedelta(days=1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, v double")
+    got = {
+        str(r["day"]): r
+        for r in ohlc(df, "ts", "v", tiebreak_cols=["event_id"]).collect()
+    }
+    b = got["2024-02-01"]
+    assert (b["open"], b["high"], b["low"], b["close"]) == (
+        10.0, 14.0, 8.0, 12.0,
+    )
+    assert b["n_events"] == 4 and b["total_value"] == 44.0
+    t = got["2024-02-02"]
+    assert (t["open"], t["close"]) == (3.0, 7.0)

@@ -234,3 +234,30 @@ def test_collocations_pmi_ratio(spark):
     assert abs(r["strength"] - 2 * 11 / 9) < 1e-12
     # hapax pairs pruned
     assert ("is", "big") not in pairs
+
+
+def test_canonicalize_url_rules(spark):
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        canonicalize_url,
+    )
+
+    cases = [
+        ("HTTP://Example.COM:80/Path/?utm_source=x&a=1#frag",
+         "http://example.com/Path?a=1"),
+        ("https://Host:443/p?utm_a=1&utm_b=2&c=3",
+         "https://host/p?c=3"),
+        ("https://host/p?a=1&fbclid=zzz", "https://host/p?a=1"),
+        ("http://host/", "http://host"),
+        ("http://host:8080/p", "http://host:8080/p"),
+        ("https://host/p?utm_only=1", "https://host/p"),
+        ("https://host/p?b=2&a=1", "https://host/p?b=2&a=1"),  # order kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            canonicalize_url("url").alias("c")
+        ).collect()
+    ]
+    for (inp, want), g in zip(cases, got):
+        assert g == want, (inp, g, want)
