@@ -3673,6 +3673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _url_canonical_dedup,
         "label_embedding_drift": _label_embedding_drift,
         "event_value_ohlc": _event_value_ohlc,
+        "attribution_position_credits": _attribution_position_credits,
+        "dedup_bag_of_words": _dedup_bag_of_words,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5115,6 +5117,66 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY day ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND UNBOUNDED FOLLOWING)
+        """,
+        "attribution_position_credits": r"""
+            WITH conv AS (
+              SELECT user_id AS u, ts AS cts, event_id AS conversion_id,
+                     CAST(value AS DECIMAL(18,4)) AS v
+              FROM events WHERE event_type = 'purchase'
+            ), touch AS (
+              SELECT user_id AS u, ts AS tts, event_id AS touch_id,
+                     event_type AS channel
+              FROM events WHERE event_type IN ('view', 'click')
+            ), j AS (
+              SELECT conversion_id, touch_id, channel, v, tts
+              FROM conv JOIN touch USING (u)
+              WHERE tts < cts
+                AND tts >= cts - INTERVAL 259200 SECONDS
+            ), ranked AS (
+              SELECT conversion_id, touch_id, channel, v,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY conversion_id
+                       ORDER BY tts ASC, touch_id ASC) AS pos,
+                     COUNT(*) OVER (
+                       PARTITION BY conversion_id) AS n
+              FROM j
+            )
+            SELECT conversion_id, touch_id, channel,
+                   CAST(pos AS BIGINT) AS touch_position,
+                   CAST(n AS BIGINT) AS n_touches,
+                   CASE WHEN pos = 1 OR pos = n THEN
+                     CAST(v AS DOUBLE)
+                       * (CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                               WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                               ELSE CAST(0.4 AS DOUBLE) END)
+                   ELSE CAST(v AS DOUBLE) * CAST(0.2 AS DOUBLE)
+                        / CAST(n - 2 AS DOUBLE)
+                   END AS credit
+            FROM ranked
+        """,
+        "dedup_bag_of_words": r"""
+            WITH inp AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 30000000,
+                     upper(array_to_string(list_reverse(
+                       regexp_split_to_array(lower(trim(text)),
+                                             '\s+')), ' '))
+              FROM documents WHERE doc_id % 11 = 0
+            ), fp AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(
+                       regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ')), ' ')) AS f
+              FROM inp
+            ), g AS (
+              SELECT f, MIN(doc_id) AS doc_id,
+                       COUNT(*) AS n_dups
+              FROM fp GROUP BY 1
+            )
+            SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups
+            FROM g WHERE n_dups >= 2
         """,
         "customer_k_anonymity": r"""
             SELECT c_nationkey, c_mktsegment,
@@ -8355,3 +8417,39 @@ def _event_value_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     min_by/max_by aggregation, no window)."""
     ev = _events(spark, sf).filter(F.col("event_type") == "purchase")
     return temporal.ohlc(ev, "ts", "value", tiebreak_cols=["event_id"])
+
+
+def _attribution_position_credits(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch U-shaped attribution (r7): per credited touch, the
+    40/20/40 position-based credit inside a 3-day lookback
+    (attribution.attribution_credits model='position_based' — every
+    credit is a per-row expression, so the full credit ledger
+    hash-checks; channel float-sums stay out of the oracle by
+    design, the chi2-cells convention)."""
+    return attribution.attribution_credits(
+        _events(spark, sf), model="position_based"
+    )
+
+
+def _dedup_bag_of_words(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-order-insensitive dedup (r7): every 11th doc gets a
+    planted REVERSED-word-order, case-mangled copy (doc_id + 30M) that
+    bag_fingerprint must merge with its original while plain
+    normalized dedup cannot; survivors of the dup groups with group
+    sizes (dedup.bag_dedup — one fingerprint shuffle)."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+        F.upper(
+            F.concat_ws(
+                " ",
+                F.reverse(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                ),
+            )
+        ).alias("text"),
+    )
+    out = dedup.bag_dedup(
+        docs.unionByName(copies), "doc_id", "text"
+    )
+    return out.filter(F.col("n_dups") >= 2).select("doc_id", "n_dups")

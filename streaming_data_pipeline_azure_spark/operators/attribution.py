@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_MODELS = ("last_touch", "first_touch", "linear")
+_MODELS = ("last_touch", "first_touch", "linear", "position_based")
 
 
 def attribution_credits(
@@ -89,6 +89,41 @@ def attribution_credits(
                 F.col("__v").cast("double")
                 / F.count(F.lit(1)).over(w).cast("double")
             ).alias("credit"),
+        )
+    if model == "position_based":
+        # U-shaped 40/20/40: first and last touches take 0.4 each, the
+        # middles split the remaining 0.2 evenly; n=1 -> 1.0, n=2 ->
+        # 0.5/0.5. Every credit is ONE double multiply(/divide) on a
+        # per-row basis — deterministic per row, so per-touch output
+        # is oracle-hash-checkable (channel SUMS of these doubles are
+        # not; report per touch, like chi2_contingency_cells).
+        w_pos = Window.partitionBy("conversion_id").orderBy(
+            F.col("__tts").asc(), F.col("touch_id").asc()
+        )
+        w_all = Window.partitionBy("conversion_id")
+        pos = F.row_number().over(w_pos)
+        n = F.count(F.lit(1)).over(w_all)
+        vd = F.col("__v").cast("double")
+        weight_edge = F.when(n == 1, F.lit(1.0)).otherwise(
+            F.when(n == 2, F.lit(0.5)).otherwise(F.lit(0.4))
+        )
+        credit = (
+            F.when((pos == 1) | (pos == n), vd * weight_edge)
+            .otherwise(
+                vd * F.lit(0.2) / (n - F.lit(2)).cast("double")
+            )
+        )
+        return (
+            j.withColumn("__pos", pos)
+            .withColumn("__n", n)
+            .select(
+                "conversion_id",
+                "touch_id",
+                "channel",
+                F.col("__pos").cast("long").alias("touch_position"),
+                F.col("__n").cast("long").alias("n_touches"),
+                credit.alias("credit"),
+            )
         )
     desc = model == "last_touch"
     order = (

@@ -1553,3 +1553,40 @@ def canonical_map(
         "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+def bag_fingerprint(text_col: str) -> Column:
+    """Word-order-insensitive fingerprint: md5 over the SORTED
+    normalized token multiset (duplicates kept — 'big big dog' and
+    'big dog' differ). Catches title/name shuffles ('smith, john' vs
+    'john smith') that the order-preserving :func:`fingerprint`
+    treats as distinct. Pure codegen: split, sort_array, concat_ws,
+    md5."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        normalized_text,
+    )
+
+    toks = F.split(normalized_text(text_col), " ")
+    return F.md5(
+        F.concat_ws(" ", F.sort_array(toks)).cast("binary")
+    )
+
+
+def bag_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, with_group_size: bool = True
+) -> DataFrame:
+    """Exact dedup under the :func:`bag_fingerprint` equivalence
+    (word-order-insensitive): smallest-id survivor per token-multiset
+    group, optionally with the group size. Same scale shape as every
+    exact dedup here — ONE 16-byte-fingerprint shuffle with min_by
+    partial aggregation."""
+    with_fp = df.withColumn("__fp", bag_fingerprint(text_col))
+    cols = df.columns
+    g = with_fp.groupBy("__fp").agg(
+        F.min_by(F.struct(*cols), F.col(id_col)).alias("__v"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    )
+    out = g.select(
+        *[F.col(f"__v.{c}").alias(c) for c in cols], "n_dups"
+    )
+    return out if with_group_size else out.drop("n_dups")

@@ -594,3 +594,90 @@ def read_checksum(spark, state_path: str) -> DataFrame:
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
     )
+
+
+def _ohlc_partials(
+    batch_df: DataFrame, ts_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Per-day mergeable OHLC partial: open/close keep their (ts, id)
+    ordering keys alongside the value, so partials from different
+    micro-batches re-merge with the identical min_by/max_by ranking
+    the one-pass batch operator uses."""
+    v = F.col(value_col)
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    return batch_df.groupBy(
+        F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.min_by(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("tb"),
+                v.alias("v"),
+            ),
+            order,
+        ).alias("o"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("tb"),
+                v.alias("v"),
+            ),
+            order,
+        ).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(v.cast("decimal(18,4)")).alias("total"),
+    )
+
+
+def build_ohlc_ingest_query(
+    value_stream: DataFrame,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming OHLC bar state: per-day partials (open/close carry
+    their ordering keys, highs/lows/counts/decimal totals are plain
+    monoids) persist at replay-idempotent ``batch_id=N`` overwrite
+    partitions. Serve with :func:`read_ohlc`; the merged bars are
+    BIT-IDENTICAL to the one-pass batch :func:`…temporal.ohlc` over
+    everything ingested (tested) — the time-series member of the
+    streaming mergeable-state family."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        _ohlc_partials(
+            batch_df, ts_col, value_col, id_col
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    writer = (
+        value_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_ohlc(spark, state_path: str) -> DataFrame:
+    """Merge every batch's per-day OHLC partials into final bars —
+    min_by/max_by over the stored ordering keys, monoid merges for the
+    rest; O(batches × days) state rows."""
+    p = spark.read.parquet(state_path)
+    o_order = F.struct(F.col("o.ts"), F.col("o.tb"))
+    c_order = F.struct(F.col("c.ts"), F.col("c.tb"))
+    return p.groupBy("day").agg(
+        F.min_by(F.col("o.v"), o_order).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by(F.col("c.v"), c_order).alias("close"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("total").cast("double").alias("total_value"),
+    )

@@ -120,3 +120,37 @@ def test_attribution_no_global_sort(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "PartitionBy: []" not in plan
+
+
+def test_position_based_credits(spark):
+    """U-shaped 40/20/40: edges take 0.4, middles split 0.2; n=1 and
+    n=2 degenerate correctly; credits conserve the conversion value."""
+    import datetime as dt
+
+    from streaming_data_pipeline_azure_spark.operators.attribution import (
+        attribution_credits,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0)
+    rows = [
+        # user 1: 4 touches then purchase of 100
+        (1, t0 + dt.timedelta(minutes=m), 10 + m, "view", 0.0)
+        for m in range(4)
+    ]
+    rows.append((1, t0 + dt.timedelta(minutes=10), 99, "purchase", 100.0))
+    # user 2: single touch
+    rows.append((2, t0, 20, "click", 0.0))
+    rows.append((2, t0 + dt.timedelta(minutes=5), 98, "purchase", 40.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double"
+    )
+    got = attribution_credits(df, model="position_based").collect()
+    by_conv = {}
+    for r in got:
+        by_conv.setdefault(r["conversion_id"], []).append(r)
+    u1 = sorted(by_conv[99], key=lambda r: r["touch_position"])
+    assert [r["credit"] for r in u1] == [40.0, 10.0, 10.0, 40.0]
+    assert all(r["n_touches"] == 4 for r in u1)
+    assert abs(sum(r["credit"] for r in u1) - 100.0) < 1e-9
+    assert by_conv[98][0]["credit"] == 40.0  # single touch takes all

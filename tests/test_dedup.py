@@ -740,3 +740,22 @@ def test_canonical_map_redirects(spark):
         ).collect()
     }
     assert raw == {1: 1, 2: 2, 3: 3, 7: 7}
+
+
+def test_bag_dedup_order_insensitive(spark):
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        bag_dedup,
+    )
+
+    rows = [
+        (1, "john  smith"),
+        (2, "Smith John"),       # same multiset -> dup of 1
+        (3, "john john smith"),  # different multiset (counts matter)
+        (4, "other text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_dups"]
+        for r in bag_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == {1: 2, 3: 1, 4: 1}

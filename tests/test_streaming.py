@@ -1254,3 +1254,80 @@ def test_streaming_checksum_matches_batch_and_replays(spark, tmp_path):
         served["n_rows"],
         served["checksum"],
     )
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """Merged streaming OHLC bars == the one-pass batch operator over
+    everything ingested, including open/close whose day spans multiple
+    micro-batches; replay leaves the bars unchanged."""
+    import json as _json
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        ohlc,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_ohlc_ingest_query,
+        read_ohlc,
+        run_to_completion,
+    )
+
+    def ev(i, day, hour, v):
+        return {
+            "event_id": i,
+            "ts": f"2024-03-{day:02d}T{hour:02d}:00:00.000Z",
+            "v": v,
+        }
+
+    # day 1 spans both batches: true open (h1) in b1, close (h23) in b2
+    b1 = [ev(1, 1, 1, 10.0), ev(2, 1, 9, 50.0), ev(3, 2, 5, 7.0)]
+    b2 = [ev(4, 1, 23, 20.0), ev(5, 1, 12, 3.0), ev(6, 2, 8, 9.0)]
+    src = tmp_path / "ohlc_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    schema = "event_id long, ts timestamp, v double"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "ohlc_state")
+    run_to_completion(
+        build_ohlc_ingest_query(
+            stream(), "ts", "v", "event_id", state,
+            str(tmp_path / "ohlc_ck"), trigger_available_now=True,
+        )
+    )
+    served = {
+        str(r["day"]): tuple(r)[1:]
+        for r in read_ohlc(spark, state).collect()
+    }
+    union = spark.read.schema(schema).json(
+        spark.sparkContext.parallelize(
+            [_json.dumps(r) for r in b1 + b2]
+        )
+    )
+    direct = {
+        str(r["day"]): tuple(r)[1:]
+        for r in ohlc(
+            union, "ts", "v", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert served == direct
+    assert served["2024-03-01"][0] == 10.0   # open from batch 1
+    assert served["2024-03-01"][3] == 20.0   # close from batch 2
+    run_to_completion(
+        build_ohlc_ingest_query(
+            stream(), "ts", "v", "event_id", state,
+            str(tmp_path / "ohlc_ck2"), trigger_available_now=True,
+        )
+    )
+    again = {
+        str(r["day"]): tuple(r)[1:]
+        for r in read_ohlc(spark, state).collect()
+    }
+    assert again == served
