@@ -3653,11 +3653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocations": _doc_collocations,
         # ==== 50-entry window boundary (r7 AS BUILT: all 50 slots are
         # r7-new oracle entries after the second-session additions; the
-        # overflow — embedding_covariance_matrix,
-        # order_fulfillment_survival, customer_rfm_segments,
-        # orders_checksum — plus the displaced r4-green tail
-        # (rolling_daily_revenue …) rotate to the front of the r8
-        # window) ====
+        # 17-entry second-session overflow —
+        # embedding_covariance_matrix … dedup_bag_of_words below —
+        # plus the displaced r4-green tail (rolling_daily_revenue …)
+        # rotate to the front of the r8 window) ====
         "embedding_covariance_matrix": _embedding_covariance_matrix,
         "order_fulfillment_survival": _order_fulfillment_survival,
         "customer_rfm_segments": _customer_rfm_segments,
