@@ -29,6 +29,7 @@ from streaming_data_pipeline_azure_spark.operators import (
     cdc,
     corpus,
     experiment,
+    features,
     dedup,
     linkage,
     enrich,
@@ -3498,6 +3499,54 @@ def _corr_matrix_oracle(table: str, cols: list[str]) -> str:
     )
 
 
+def _lm_dirichlet_oracle(terms: list[str], mu: float, k: int) -> str:
+    """Generated DuckDB oracle for search.lm_dirichlet_topk: the same
+    fixed left-to-right probability product (no logs), conditional
+    per-term tf/cf, candidates = docs matching >= 1 term."""
+    ts = sorted(set(t.lower() for t in terms))
+    in_list = ", ".join(f"'{t}'" for t in ts)
+    cf_sums = ", ".join(
+        f"SUM(len(list_filter(toks, t -> t = '{t}'))) AS cf_{i}"
+        for i, t in enumerate(ts)
+    )
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(ts)
+    )
+    n_matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(ts))
+    )
+    score = " * ".join(
+        f"((CAST(tf_{i} AS DOUBLE) + {mu!r} * (CAST(cf_{i} AS DOUBLE)"
+        f" / CAST(total_len AS DOUBLE)))"
+        f" / (CAST(dl AS DOUBLE) + {mu!r}))"
+        for i in range(len(ts))
+    )
+    return rf"""
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks
+          FROM documents
+        ), stats AS (
+          SELECT SUM(len(toks)) AS total_len, {cf_sums} FROM norm
+        ), tf AS (
+          SELECT doc_id, len(toks) AS dl, {tf_cols}
+          FROM norm
+          WHERE len(list_filter(toks,
+                t -> list_contains([{in_list}], t))) > 0
+        )
+        SELECT doc_id,
+               CAST({n_matched} AS BIGINT) AS n_matched,
+               {score} AS score
+        FROM tf, stats
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def _pii_audit_oracle() -> str:
     """UNION ALL of per-(table, column) counter aggregates mirroring
     profile.pii_audit over the same planted/raw inputs — patterns are
@@ -3674,6 +3723,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_ohlc": _event_value_ohlc,
         "attribution_position_credits": _attribution_position_credits,
         "dedup_bag_of_words": _dedup_bag_of_words,
+        "price_benford": _price_benford,
+        "nation_revenue_gini": _nation_revenue_gini,
+        "segment_loo_encoding": _segment_loo_encoding,
+        "ptype_feature_hash": _ptype_feature_hash,
+        "part_price_band_pairs": _part_price_band_pairs,
+        "click_purchase_xcorr": _click_purchase_xcorr,
+        "lm_dirichlet_search": _lm_dirichlet_search,
+        "lang_balanced_sample": _lang_balanced_sample,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5176,6 +5233,166 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups
             FROM g WHERE n_dups >= 2
+        """,
+        "price_benford": r"""
+            WITH counted AS (
+              SELECT CAST(substring(CAST(CAST(floor(abs(o_totalprice))
+                         AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                         AS digit,
+                     COUNT(*) AS n
+              FROM orders WHERE abs(o_totalprice) >= 1
+              GROUP BY 1
+            ), expected AS (
+              SELECT digit, CAST(exp_share AS DOUBLE) AS exp_share
+              FROM (VALUES
+                (1, CAST(0.3010299956639812 AS DOUBLE)),
+                (2, CAST(0.17609125905568124 AS DOUBLE)),
+                (3, CAST(0.12493873660829992 AS DOUBLE)),
+                (4, CAST(0.09691001300805642 AS DOUBLE)),
+                (5, CAST(0.07918124604762482 AS DOUBLE)),
+                (6, CAST(0.06694678963061322 AS DOUBLE)),
+                (7, CAST(0.05799194697768673 AS DOUBLE)),
+                (8, CAST(0.05115252244738129 AS DOUBLE)),
+                (9, CAST(0.04575749056067514 AS DOUBLE)))
+                AS t(digit, exp_share)
+            ), filled AS (
+              SELECT e.digit, COALESCE(c.n, 0) AS n, e.exp_share
+              FROM expected e LEFT JOIN counted c USING (digit)
+            ), tot AS (SELECT SUM(n) AS t FROM filled)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS obs_share,
+                   exp_share,
+                   abs(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                       - exp_share) AS abs_dev
+            FROM filled, tot
+        """,
+        "nation_revenue_gini": r"""
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS spend
+              FROM orders GROUP BY o_custkey
+            ), s2 AS (
+              SELECT n_name, spend
+              FROM spend
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+            ), ranked AS (
+              SELECT n_name, spend,
+                     ROW_NUMBER() OVER (PARTITION BY n_name
+                                        ORDER BY spend) AS i
+              FROM s2
+            ), agg AS (
+              SELECT n_name, COUNT(*) AS n,
+                     CAST(SUM(CAST(spend AS DECIMAL(28,4)))
+                          AS DECIMAL(38,4)) AS sx,
+                     CAST(SUM(CAST(i AS DECIMAL(18,0))
+                              * CAST(spend AS DECIMAL(19,4)))
+                          AS DECIMAL(38,4)) AS six
+              FROM ranked GROUP BY n_name
+            )
+            SELECT n_name, CAST(n AS BIGINT) AS n,
+                   CASE WHEN sx <> 0 THEN
+                     2.0 * CAST(CAST(six AS VARCHAR) AS DOUBLE)
+                         / (CAST(n AS DOUBLE)
+                            * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+                   END AS gini
+            FROM agg
+        """,
+        "segment_loo_encoding": r"""
+            WITH stats AS (
+              SELECT c_mktsegment,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+                          AS DECIMAL(28,4)) AS s,
+                     COUNT(*) AS cnt
+              FROM customer GROUP BY c_mktsegment
+            )
+            SELECT c_custkey, c.c_mktsegment,
+                   CASE WHEN cnt > 1 THEN
+                     CAST(CAST(s - CAST(c_acctbal AS DECIMAL(18,4))
+                               AS VARCHAR) AS DOUBLE)
+                     / CAST(cnt - 1 AS DOUBLE)
+                   END AS loo_encoding
+            FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "part_price_band_pairs": r"""
+            SELECT a.p_type, a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   abs(a.p_retailprice - b.p_retailprice) AS price_gap
+            FROM part a JOIN part b
+              ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+            WHERE abs(a.p_retailprice - b.p_retailprice)
+                  <= CAST(1.0 AS DOUBLE)
+        """,
+        "click_purchase_xcorr": r"""
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                         AS d,
+                     SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                         END) AS clicks,
+                     SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END) AS purchases
+              FROM events GROUP BY 1
+            ), lags AS (
+              SELECT unnest(range(0, 8)) AS lag
+            ), pairs AS (
+              SELECT l.lag,
+                     CAST(a.clicks AS DECIMAL(28,4)) AS av,
+                     CAST(b.purchases AS DECIMAL(28,4)) AS bv
+              FROM daily a
+              JOIN lags l ON TRUE
+              JOIN daily b ON a.d + l.lag = b.d
+            ), agg AS (
+              SELECT lag, COUNT(*) AS n_raw,
+                     SUM(av) AS dsa, SUM(bv) AS dsb,
+                     SUM(av * av) AS dssa, SUM(bv * bv) AS dssb,
+                     SUM(av * bv) AS dsab
+              FROM pairs GROUP BY lag
+            ), conv AS (
+              SELECT lag, n_raw, CAST(n_raw AS DOUBLE) AS n,
+                     CAST(CAST(dsa AS VARCHAR) AS DOUBLE) AS sa,
+                     CAST(CAST(dsb AS VARCHAR) AS DOUBLE) AS sb,
+                     CAST(CAST(dssa AS VARCHAR) AS DOUBLE) AS ssa,
+                     CAST(CAST(dssb AS VARCHAR) AS DOUBLE) AS ssb,
+                     CAST(CAST(dsab AS VARCHAR) AS DOUBLE) AS sab
+              FROM agg
+            )
+            SELECT CAST(lag AS INTEGER) AS lag,
+                   CAST(n_raw AS BIGINT) AS n,
+                   CASE WHEN (n * ssa - sa * sa) > 0
+                         AND (n * ssb - sb * sb) > 0 THEN
+                     (n * sab - sa * sb)
+                     / (sqrt(n * ssa - sa * sa)
+                        * sqrt(n * ssb - sb * sb))
+                   END AS corr
+            FROM conv
+        """,
+        "lm_dirichlet_search": _lm_dirichlet_oracle(
+            ["hash", "join", "spark"], 250.0, 15
+        ),
+        "lang_balanced_sample": rf"""
+            WITH counts AS (
+              SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+            ), m AS (SELECT MIN(n) AS n_min FROM counts)
+            SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(d.doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents d JOIN counts c ON d.lang = c.lang, m
+            WHERE {_knuth_sql('d.doc_id')}
+                  < CAST(n_min AS DOUBLE) / CAST(c.n AS DOUBLE)
+            GROUP BY d.lang
+        """,
+        "ptype_feature_hash": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(p_type),
+                            '[a-z0-9]+')) AS token
+              FROM part
+            )
+            SELECT CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT
+                        % 64 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT token) AS BIGINT)
+                       AS n_distinct_terms
+            FROM toks GROUP BY 1
         """,
         "customer_k_anonymity": r"""
             SELECT c_nationkey, c_mktsegment,
@@ -8452,3 +8669,131 @@ def _dedup_bag_of_words(spark: SparkSession, sf: str) -> DataFrame:
         docs.unionByName(copies), "doc_id", "text"
     )
     return out.filter(F.col("n_dups") >= 2).select("doc_id", "n_dups")
+
+
+def _price_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit (r7): leading-digit distribution of
+    o_totalprice vs log10(1+1/d) literals (validate.benford_stats —
+    one conditional-aggregation scan, O(9) result; the expected shares
+    are shared literal doubles so the whole report hash-checks)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return validate.benford_stats(orders, "o_totalprice")
+
+
+def _nation_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation customer-spend inequality (r7): Gini over each
+    customer's total order value (profile.grouped_gini — exact decimal
+    Σi·x rank sums, one per-group window + one aggregate; the
+    per-customer spend totals are themselves exact DECIMAL(18,4))."""
+    orders, customer, nation = _tables(
+        spark, sf, "orders", "customer", "nation"
+    )
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("spend")
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "spend")
+    )
+    return profile.grouped_gini(spend, "n_name", "spend")
+
+
+def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding (r7): c_mktsegment encoded against
+    c_acctbal, leakage-free — (segment sum − own balance)/(n−1) from
+    exact decimal sums (features.loo_target_encode — one O(segments)
+    aggregate broadcast back; encoding is row-local codegen)."""
+    (customer,) = _tables(spark, sf, "customer")
+    out = features.loo_target_encode(
+        customer, "c_mktsegment", "c_acctbal"
+    )
+    return out.select("c_custkey", "c_mktsegment", "loo_encoding")
+
+
+def _part_price_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Band join (r7): same-type part pairs within ±1.0 retail price
+    via temporal.band_join — floor(value/delta) buckets turn the
+    inequality into an equi-join on (p_type, bucket) with a ±1 bucket
+    probe explode (3×|L|+|R| shuffle rows, never |L|×|R|); the oracle
+    is the honest O(n²) self-join the operator replaces."""
+    (part,) = _tables(spark, sf, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        "p_type",
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        "p_type",
+        F.col("p_retailprice").alias("price_b"),
+    )
+    pairs = temporal.band_join(
+        a, b, left_val="price_a", right_val="price_b",
+        delta=1.0, on=["p_type"],
+    ).filter(F.col("key_a") < F.col("key_b"))
+    return pairs.select(
+        "p_type", "key_a", "key_b",
+        F.abs(F.col("price_a") - F.col("price_b")).alias("price_gap"),
+    )
+
+
+def _click_purchase_xcorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lagged cross-correlation (r7): does daily click volume lead
+    daily purchase volume? One conditional-count aggregate builds the
+    aligned daily series; temporal.lagged_correlation explodes the 8
+    probe lags and computes per-lag Pearson from exact decimal
+    sufficient sums (the correlation_matrix discipline)."""
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchases"),
+    )
+    return temporal.lagged_correlation(
+        daily, "d", "clicks", "purchases", max_lag=7
+    )
+
+
+def _lm_dirichlet_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-likelihood retrieval (r7): Dirichlet-smoothed language-
+    model top-15 for the BM25 benchmark query (search.lm_dirichlet_topk
+    — fixed-order probability products, no logs, so the smoothed
+    likelihood itself hash-checks against the oracle)."""
+    return search.lm_dirichlet_topk(
+        _docs(spark, sf), ["hash", "join", "spark"], mu=250.0, k=15
+    )
+
+
+def _lang_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-matched resample (r7): documents rebalanced to a
+    uniform language mix (sampling.match_distribution — O(groups)
+    count aggregate broadcast back, key-pure Knuth accept test);
+    per-lang kept counts + doc_id checksum pin the exact kept set."""
+    docs = _docs(spark, sf)
+    kept = sampling.match_distribution(docs, "doc_id", "lang")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+def _ptype_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick feature histogram (r7): part p_type tokens hashed
+    into 64 buckets via the portable md5-prefix hash
+    (features.feature_hash_counts — vocabulary-free, row-local bucket
+    ids, one O(buckets) aggregate; DuckDB reproduces the exact bucket
+    assignment from the same md5 prefix)."""
+    (part,) = _tables(spark, sf, "part")
+    return features.feature_hash_counts(part, "p_type", 64)

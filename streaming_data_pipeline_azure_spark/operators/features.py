@@ -1,0 +1,117 @@
+"""ML feature-engineering operators — the tabular feature stage of a
+training-data pipeline (target encoding, the hashing trick).
+
+Reference parity: the reference's job builds the serving document by
+joining the stream to reference attributes (main.go:70-88); these
+operators cover what a training pipeline does next with those joined
+attributes — turn high-cardinality categoricals into model-ready
+numeric features WITHOUT a vocabulary build or a second pass.
+
+Scale notes (100 TB posture):
+- ``loo_target_encode`` is one map-side-combined aggregate over the
+  category column (O(categories) rows) broadcast back onto the fact
+  table — no shuffle of the fact side when the category stats frame
+  is broadcast-able (it always is: its size is the category
+  cardinality, not the data size).
+- ``feature_hash_counts`` never builds a vocabulary: the hashing trick
+  maps tokens to a fixed bucket space row-locally (pure codegen md5 →
+  conv), so the only shuffle is the final O(n_buckets) aggregate.
+  Collisions are the accepted trade of the method (Weinberger et al.,
+  "Feature Hashing for Large Scale Multitask Learning", ICML 2009).
+
+Cross-engine portability (oracle discipline): the token bucket hash is
+``conv(substr(md5(token),1,8),16,10) % n_buckets`` — DuckDB computes
+the identical value as ``('0x' || substr(md5(token),1,8))::UBIGINT %
+n_buckets`` (both are the first 8 hex digits of the same md5, < 2^32,
+so signedness never matters). Target-encoding sums are exact
+DECIMAL(18,4) (the grouped_linreg discipline), doubles only at the
+final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Portable token→bucket hash: first 32 bits of md5, mod buckets."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    out_col: str = "loo_encoding",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category is replaced
+    by the mean of the TARGET over all OTHER rows of the same category
+    — ``(sum(cat) - y) / (count(cat) - 1)`` — the standard
+    leakage-controlled encoding (a plain category mean leaks each
+    row's own label into its feature; LOO removes exactly that row's
+    contribution, no fold machinery needed).
+
+    One aggregate of exact DECIMAL(18,4) sums per category, broadcast
+    back (O(categories) rows — always broadcast-able), the encoding is
+    a row-local codegen expression. Singleton categories (count == 1)
+    get NULL (no other rows to borrow a mean from). Appends
+    ``out_col`` (double); all input columns pass through.
+    """
+    d_target = F.col(target_col).cast("decimal(18,4)")
+    stats = df.groupBy(cat_col).agg(
+        F.sum(d_target).alias("__cat_sum"),
+        F.count(F.lit(1)).alias("__cat_n"),
+    )
+    joined = df.join(F.broadcast(stats), cat_col, "left")
+    loo = F.when(
+        F.col("__cat_n") > 1,
+        (F.col("__cat_sum") - d_target).cast("double")
+        / (F.col("__cat_n") - 1).cast("double"),
+    )
+    return joined.select(*df.columns, loo.alias(out_col))
+
+
+def feature_hash_counts(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    *,
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """Hashing-trick feature histogram: lowercase-tokenize ``text_col``,
+    map every token to ``pmod(md5_32(token), n_buckets)`` row-locally,
+    and return per-bucket totals — (bucket, n_tokens,
+    n_distinct_terms). This is the vocabulary-free featurizer: the
+    bucket space is fixed up front, so there is no vocab build pass,
+    no dictionary broadcast, and adding data never changes feature
+    ids. The only shuffle is the O(n_buckets) final aggregate; the
+    tokenize + hash pipeline is whole-stage codegen.
+
+    Empty buckets are absent from the output (count them against
+    ``n_buckets`` to measure load factor).
+    """
+    if n_buckets < 1:
+        raise ValueError("feature_hash_counts needs n_buckets >= 1")
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(token_pattern), 0
+            )
+        ).alias("token")
+    )
+    return (
+        toks.select(
+            _md5_bucket(F.col("token"), n_buckets).alias("bucket"),
+            "token",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct_terms"),
+        )
+    )

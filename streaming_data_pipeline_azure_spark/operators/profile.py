@@ -689,6 +689,57 @@ def quantile_binning_stats(
     )
 
 
+def grouped_gini(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Gini coefficient over a CONTINUOUS nonnegative value
+    column — the inequality audit for magnitudes (who holds the spend /
+    tokens / storage inside each segment), complementing
+    :func:`concentration_stats`'s Gini over category sizes.
+
+    Sorted-rank formula G = 2·Σi·x_(i) / (n·Σx) − (n+1)/n with values
+    ascending. Exact-arithmetic discipline: x rounds once to
+    DECIMAL(18,4); i·x products and both sums are exact decimals, so
+    the result is independent of partitioning and identical across
+    engines; doubles appear only in the final fixed expression. Rank
+    ties (equal x) leave Σi·x unchanged under any tie order, so the
+    window needs no tiebreak column to be deterministic.
+
+    One window (rank within group) + one aggregation — the sort is
+    per-group. Values must be nonnegative (Gini is undefined below 0);
+    negative inputs make the coefficient meaningless rather than
+    erroring — filter upstream. Groups with Σx = 0 return NULL.
+
+    Returns (group_col, n, gini)."""
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("decimal(18,4)")
+    w = Window.partitionBy(group_col).orderBy(F.asc(value_col))
+    ranked = df.select(
+        F.col(group_col),
+        x.alias("__x"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("decimal(38,4)").alias("__sx"),
+        F.sum(
+            (F.col("__i") * F.col("__x")).cast("decimal(38,4)")
+        ).alias("__six"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    six = F.col("__six").cast("double")
+    return agg.select(
+        group_col,
+        "n",
+        F.when(
+            F.col("__sx") != 0,
+            F.lit(2.0) * six / (nd * sx) - (nd + F.lit(1.0)) / nd,
+        ).alias("gini"),
+    )
+
+
 def concentration_stats(
     df: DataFrame, group_col: str, *, top_k: int = 3
 ) -> DataFrame:

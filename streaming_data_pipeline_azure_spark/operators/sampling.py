@@ -111,6 +111,82 @@ def stratified_sample(
     return df.filter(prefix < threshold)
 
 
+def match_distribution(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Resample so the GROUP DISTRIBUTION matches a target — the corpus
+    rebalancing step of mixture design ("make the language mix uniform" /
+    "match the reference corpus shares") as a deterministic filter.
+
+    For target share ``t_g`` (default: uniform over the groups present),
+    the largest achievable matched sample keeps ``M = min_g(n_g / t_g)``
+    rows in expectation, i.e. per-group keep rate ``r_g = M * t_g /
+    n_g`` — the binding group (smallest ``n_g/t_g``) keeps everything,
+    every other group downsamples to match. Rates derive from ONE
+    O(groups) count aggregate broadcast back; the accept test is
+    ``knuth_uniform(key) < r_g`` (key-pure — reruns/engines/backfills
+    agree row-for-row, and adding data only moves the binding ratio).
+    Groups absent from ``target_shares`` are dropped (share 0).
+
+    Returns the kept rows with all input columns. The realized counts
+    are binomial around ``M * t_g``; exact-count matching would need a
+    per-group rank (a sort) — this is the scan-speed variant."""
+    if target_shares is None:
+        counts = df.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        m = counts.agg(F.min("__n").alias("__n_min"))
+        rates = counts.crossJoin(F.broadcast(m)).select(
+            group_col,
+            (
+                F.col("__n_min").cast("double")
+                / F.col("__n").cast("double")
+            ).alias("__rate"),
+        )
+    else:
+        total = sum(target_shares.values())
+        if total <= 0:
+            raise ValueError("target_shares must sum to > 0")
+        shares: Column | None = None
+        for g in sorted(target_shares):
+            cond = F.col(group_col) == g
+            lit = F.lit(target_shares[g] / total)
+            shares = (
+                F.when(cond, lit)
+                if shares is None
+                else shares.when(cond, lit)
+            )
+        share_col = shares.otherwise(F.lit(0.0))
+        counts = df.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        with_share = counts.select(
+            group_col, "__n", share_col.alias("__share")
+        ).filter(F.col("__share") > 0)
+        m = with_share.agg(
+            F.min(
+                F.col("__n").cast("double") / F.col("__share")
+            ).alias("__m")
+        )
+        rates = with_share.crossJoin(F.broadcast(m)).select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                F.col("__m")
+                * F.col("__share")
+                / F.col("__n").cast("double"),
+            ).alias("__rate"),
+        )
+    return (
+        df.join(F.broadcast(rates), group_col, "inner")
+        .filter(knuth_uniform(key_col) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 #: Knuth's multiplicative-hash constant (golden-ratio prime) and the
 #: 32-/16-bit moduli of the overflow-safe schoolbook multiply below.
 _KNUTH_A = 2654435761

@@ -129,6 +129,104 @@ def bm25_topk(
     )
 
 
+def lm_dirichlet_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    mu: float = 250.0,
+    k: int = 10,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the language-modeling alternative to BM25:
+
+        score(d|Q) = Π_t (tf_{t,d} + mu * cf_t/|C|) / (dl_d + mu)
+
+    over the (deduplicated, sorted) query terms, computed in
+    PROBABILITY SPACE with a FIXED left-to-right multiply order — the
+    log-sum form would drag engine-specific ``ln`` rounding into the
+    score (the lm_quality_scores/tfidf determinism precedent), while a
+    fixed-order product of |Q| doubles is bit-identical everywhere.
+    Candidates are documents matching >= 1 term (the standard
+    retrieval set); unmatched terms still contribute their background
+    ``mu*p(t|C)/(dl+mu)`` factor, which the tf-pivot handles by
+    coalescing tf to 0 — so scores are the true smoothed likelihoods,
+    not the matched-term fragment.
+
+    Scale shape (the bm25_topk contract): tokens filter to the query
+    terms before anything shuffles; corpus stats (|C|, per-term cf)
+    are one broadcast row; the tf pivot is one aggregation keyed by
+    doc; top-k is TakeOrderedAndProject. Returns (id, n_matched,
+    score), best first, id tie-break."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("lm_dirichlet_topk needs at least one term")
+    base = df.select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
+    match_tok = F.filter(
+        F.col("__toks"),
+        lambda t: t.isin(*terms) if len(terms) > 1 else t == terms[0],
+    )
+    # ONE corpus pass: total token count AND each term's collection
+    # frequency (conditional sums over the matching tokens only). The
+    # closure factory matters: a `lambda t, term=...` default would make
+    # F.filter treat the second parameter as the ARRAY INDEX argument.
+    def _eq(term: str):
+        return lambda t: t == term
+
+    stats = base.select(
+        F.size("__toks").alias("__dl"), match_tok.alias("__m")
+    ).agg(
+        F.sum(F.col("__dl").cast("long")).alias("__total_len"),
+        *[
+            F.sum(
+                F.size(F.filter(F.col("__m"), _eq(terms[i]))).cast("long")
+            ).alias(f"__cf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    tf = (
+        base.select(
+            F.col(id_col),
+            F.size("__toks").alias("__dl"),
+            F.explode(match_tok).alias("__t"),
+        )
+        .groupBy(id_col, "__dl")
+        .agg(
+            *[
+                F.sum(F.when(F.col("__t") == terms[i], 1).otherwise(0))
+                .cast("long")
+                .alias(f"__tf_{i}")
+                for i in range(len(terms))
+            ]
+        )
+    )
+    joined = tf.crossJoin(F.broadcast(stats))
+    dl_mu = F.col("__dl").cast("double") + F.lit(float(mu))
+    score = None
+    for i in range(len(terms)):
+        p_c = F.col(f"__cf_{i}").cast("double") / F.col(
+            "__total_len"
+        ).cast("double")
+        s_i = (
+            F.col(f"__tf_{i}").cast("double") + F.lit(float(mu)) * p_c
+        ) / dl_mu
+        score = s_i if score is None else score * s_i
+    n_matched = None
+    for i in range(len(terms)):
+        m_i = F.when(F.col(f"__tf_{i}") > 0, 1).otherwise(0)
+        n_matched = m_i if n_matched is None else n_matched + m_i
+    return (
+        joined.select(
+            F.col(id_col),
+            n_matched.cast("long").alias("n_matched"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

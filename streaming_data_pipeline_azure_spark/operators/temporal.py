@@ -139,6 +139,117 @@ def range_join(
     return joined.drop("__b")
 
 
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_val: str,
+    right_val: str,
+    delta: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Numeric band join: pair rows with ``|left_val - right_val| <=
+    delta`` (optionally also equal on ``on`` keys) — the value-space
+    sibling of :func:`range_join`'s time buckets.
+
+    Spark plans the raw inequality as a broadcast-nested-loop (or a
+    cartesian without the broadcast) — O(L×R). Here both sides get a
+    ``floor(value/delta)`` bucket; a qualifying pair's buckets differ
+    by at most 1, so the left side probes ``{b-1, b, b+1}`` via a
+    3-element explode and the join is a plain EQUI-join on (keys,
+    bucket) with the exact band predicate as a post-filter. Each right
+    row owns exactly one bucket, so no pair can match twice — no dedup
+    pass. Shuffle volume is 3×|L| + |R| rows, never |L|×|R|; output
+    cost is the true number of qualifying pairs (band joins are only
+    scale-safe when the band is selective — that is a property of the
+    question, not the algorithm).
+
+    Column names must be disjoint apart from ``on`` (standard Spark
+    join contract). Inner semantics. Completeness relies on the float
+    division ``value/delta`` being accurate to well under one bucket —
+    true while |value/delta| stays below ~2^50 (ulp ≪ 1); beyond that
+    a boundary pair could land 2 buckets apart and be missed."""
+    if delta <= 0:
+        raise ValueError("band_join needs delta > 0")
+    keys = list(on or [])
+    b_r = F.floor(F.col(right_val) / F.lit(delta))
+    b_l = F.floor(F.col(left_val) / F.lit(delta))
+    lhs = left.withColumn(
+        "__b",
+        F.explode(F.array(b_l - 1, b_l, b_l + 1)),
+    )
+    rhs = right.withColumn("__b", b_r)
+    joined = lhs.join(rhs, keys + ["__b"], "inner").filter(
+        F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(delta)
+    )
+    return joined.drop("__b")
+
+
+def lagged_correlation(
+    df: DataFrame,
+    t_col: str,
+    a_col: str,
+    b_col: str,
+    *,
+    max_lag: int,
+) -> DataFrame:
+    """Lagged cross-correlation of two aligned series: for each lag
+    ``0..max_lag``, the Pearson correlation of ``a(t)`` against
+    ``b(t + lag)`` — does series a lead series b ("do clicks predict
+    purchases two days out")? Input is ONE ROW PER integer time index
+    ``t_col`` (aggregate upstream; duplicate indexes would cross-join
+    within the self-pairing).
+
+    Shape: the (t, a) side explodes its ``max_lag+1`` probe offsets and
+    equi-joins (t + lag == t') to the (t', b) side — (max_lag+1)×|T|
+    shuffled rows over an already-aggregated series (tiny by
+    construction), then ONE aggregation of exact DECIMAL sufficient
+    sums per lag (the correlation_matrix discipline: inputs round once
+    to DECIMAL(18,4), products are exact, doubles only in the final
+    fixed expression — bit-identical across engines/partitionings).
+
+    Returns (lag, n, corr); lags with degenerate variance → NULL corr,
+    lags with no aligned pairs are absent."""
+    if max_lag < 0:
+        raise ValueError("lagged_correlation needs max_lag >= 0")
+    d = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    a_side = df.select(
+        F.col(t_col).cast("long").alias("__t"), d(a_col).alias("__a")
+    ).withColumn(
+        "__lag", F.explode(F.array(*[F.lit(i) for i in range(max_lag + 1)]))
+    )
+    b_side = df.select(
+        F.col(t_col).cast("long").alias("__tb"), d(b_col).alias("__v")
+    )
+    pairs = a_side.join(
+        b_side, a_side["__t"] + a_side["__lag"] == b_side["__tb"]
+    )
+    agg = pairs.groupBy("__lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__a").alias("__sa"),
+        F.sum("__v").alias("__sb"),
+        F.sum(F.col("__a") * F.col("__a")).alias("__ssa"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ssb"),
+        F.sum(F.col("__a") * F.col("__v")).alias("__sab"),
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    ssa = F.col("__ssa").cast("double")
+    ssb = F.col("__ssb").cast("double")
+    sab = F.col("__sab").cast("double")
+    var_a = n * ssa - sa * sa
+    var_b = n * ssb - sb * sb
+    return agg.select(
+        F.col("__lag").cast("int").alias("lag"),
+        "n",
+        F.when(
+            (var_a > 0) & (var_b > 0),
+            (n * sab - sa * sb) / (F.sqrt(var_a) * F.sqrt(var_b)),
+        ).alias("corr"),
+    )
+
+
 def top_n_per_group(
     df: DataFrame,
     group_cols: list[str],

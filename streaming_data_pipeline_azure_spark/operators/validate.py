@@ -348,6 +348,72 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+# log10(1 + 1/d) for d = 1..9, written as repr'd Python doubles so the
+# identical literal text parses to the identical IEEE double in any
+# engine (the oracle embeds the same strings — no cross-engine log()).
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_stats(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data /
+    broken-generator screen for financial-style magnitudes: naturally
+    occurring multi-scale amounts follow P(d) = log10(1 + 1/d), and a
+    feed whose leading digits drift from that curve was truncated,
+    capped, synthesized, or unit-mangled somewhere upstream.
+
+    Rows with |value| >= 1 contribute their first significant digit
+    (integer-part leading digit — values in (0, 1) are excluded
+    rather than scale-hunted, keeping the digit extraction pure
+    codegen: abs → floor → cast string → first char). One conditional
+    aggregation pass; O(9) result rows.
+
+    Returns (digit, n, obs_share, exp_share, abs_dev) where exp_share
+    is the Benford literal (BENFORD_EXPECTED) and abs_dev =
+    |obs_share - exp_share|. Digits with zero observations still
+    appear (n = 0) so the audit never hides a missing digit."""
+    v = F.abs(F.col(value_col))
+    digit = F.substring(
+        F.floor(v).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counted = (
+        df.filter(v >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    expected = F.array(
+        *[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]
+    )
+    filled = digits.join(F.broadcast(counted), "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    total = filled.agg(F.sum("n").alias("__total"))
+    return filled.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("__total").cast("double")).alias(
+            "obs_share"
+        ),
+        F.element_at(expected, F.col("digit")).alias("exp_share"),
+        F.abs(
+            F.col("n").cast("double") / F.col("__total").cast("double")
+            - F.element_at(expected, F.col("digit"))
+        ).alias("abs_dev"),
+    )
+
+
 def k_anonymity_violations(
     df: DataFrame, quasi_cols: list[str], k: int
 ) -> DataFrame:

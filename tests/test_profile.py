@@ -387,3 +387,19 @@ def test_concentration_stats_known_values(spark):
     # hand Gini: sizes sorted [10,10,10,70], i·c = 10+20+30+280 = 340
     # G = 2*340/(4*100) - 5/4 = 1.7 - 1.25 = 0.45
     assert abs(s["gini"] - 0.45) < 1e-12
+
+
+def test_grouped_gini_known_values(spark):
+    """Equal values -> 0; max-concentration [0,0,0,4] -> 0.75 by the
+    sorted-rank formula; zero-sum group -> NULL."""
+    df = spark.createDataFrame(
+        [("A", 5.0), ("A", 5.0), ("A", 5.0), ("A", 5.0),
+         ("B", 0.0), ("B", 0.0), ("B", 0.0), ("B", 4.0),
+         ("C", 0.0), ("C", 0.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in profile.grouped_gini(df, "g", "v").collect()}
+    assert out["A"]["gini"] == 0.0
+    assert out["B"]["gini"] == 0.75
+    assert out["C"]["gini"] is None
+    assert out["A"]["n"] == 4

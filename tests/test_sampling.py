@@ -455,3 +455,33 @@ def test_ring_negative_samples_contract(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     with _pytest.raises(ValueError, match="wrap"):
         ring_negative_samples(queries, items, pos, k=30, buffer=20)
+
+
+def test_match_distribution_uniform_and_targeted(spark):
+    """Uniform target: binding (smallest) group keeps everything, others
+    downsample toward its size; explicit shares: zero-share groups drop,
+    kept set is key-pure deterministic (two runs identical)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        match_distribution,
+    )
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(450)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    kept = match_distribution(df, "id", "g")
+    counts = {r["g"]: r["n"] for r in
+              kept.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["small"] == 50          # binding group keeps all
+    assert 20 <= counts["big"] <= 90      # ~50 in expectation
+    again = match_distribution(df, "id", "g")
+    assert sorted(r["id"] for r in kept.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+    only_small = match_distribution(df, "id", "g", {"small": 1.0})
+    got = {r["g"] for r in only_small.collect()}
+    assert got == {"small"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        match_distribution(df, "id", "g", {"small": 0.0})

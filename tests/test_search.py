@@ -314,3 +314,30 @@ def test_eval_rankings_metrics(spark):
             ),
             k=5,
         )
+
+
+def test_lm_dirichlet_ranks_matching_docs_and_smooths(spark):
+    """A doc rich in the query terms outranks a sparse one; a doc with
+    zero matches is absent; unmatched terms still contribute their
+    background factor (score differs from the matched-only product)."""
+    df = spark.createDataFrame(
+        [
+            (1, "spark join hash spark spark"),
+            (2, "spark only once here with padding words galore"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = search.lm_dirichlet_topk(
+        df, ["spark", "join", "hash"], mu=10.0, k=10
+    ).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1 and 3 not in ids
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["n_matched"] == 3
+    assert by_id[2]["n_matched"] == 1
+    assert 0.0 < by_id[2]["score"] < by_id[1]["score"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        search.lm_dirichlet_topk(df, [])

@@ -838,3 +838,60 @@ def test_ohlc_bars(spark):
     assert b["n_events"] == 4 and b["total_value"] == 44.0
     t = got["2024-02-02"]
     assert (t["open"], t["close"]) == (3.0, 7.0)
+
+
+def test_band_join_matches_bruteforce_and_plans_equijoin(spark):
+    """band_join == O(n²) inequality join on a seeded frame, including
+    negative values and exact-boundary gaps; the plan must contain no
+    CartesianProduct / BroadcastNestedLoopJoin (the whole point)."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import band_join
+
+    rows = [(i, "g" + str(i % 2), ((i * 37) % 100) - 50 + 0.25 * (i % 4))
+            for i in range(80)]
+    a = spark.createDataFrame(
+        [(i, g, v) for i, g, v in rows], "key_a long, g string, va double"
+    )
+    b = spark.createDataFrame(
+        [(i + 1000, g, v) for i, g, v in rows], "key_b long, g string, vb double"
+    )
+    out = band_join(a, b, left_val="va", right_val="vb", delta=1.5, on=["g"])
+    got = {(r["key_a"], r["key_b"]) for r in out.collect()}
+    want = {
+        (i, j + 1000)
+        for i, gi, vi in rows
+        for j, gj, vj in rows
+        if gi == gj and abs(vi - vj) <= 1.5
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        band_join(a, b, left_val="va", right_val="vb", delta=0.0)
+
+
+def test_lagged_correlation_known_series(spark):
+    """b = a shifted by 2 -> corr 1.0 exactly at lag 2 (decimal sums);
+    constant-series lags -> NULL; lag 0 on anticorrelated halves."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        lagged_correlation,
+    )
+
+    # a has a spike at t=3; b has the same spike at t=5 (a leads by 2)
+    data = [(t, 10.0 + (5.0 if t == 3 else 0.0),
+             10.0 + (5.0 if t == 5 else 0.0)) for t in range(10)]
+    df = spark.createDataFrame(data, "t long, a double, b double")
+    out = {r["lag"]: r for r in
+           lagged_correlation(df, "t", "a", "b", max_lag=3).collect()}
+    assert out[2]["corr"] == 1.0
+    assert out[2]["n"] == 8
+    # at lag 0 both spikes misalign -> correlation < 1
+    assert out[0]["corr"] is None or out[0]["corr"] < 1.0
+    df_const = spark.createDataFrame(
+        [(t, 1.0, float(t)) for t in range(5)], "t long, a double, b double"
+    )
+    outc = {r["lag"]: r for r in
+            lagged_correlation(df_const, "t", "a", "b", max_lag=1).collect()}
+    assert outc[0]["corr"] is None  # zero variance side

@@ -260,3 +260,23 @@ def test_k_anonymity_violations(spark):
     assert got2 == {("94110", "1991")}
     with _pytest.raises(ValueError):
         k_anonymity_violations(df, ["zip"], 1)
+
+
+def test_benford_stats_digit_extraction_and_fill(spark):
+    """First significant integer digits; sub-1 magnitudes excluded;
+    absent digits still emitted with n=0; shares sum to 1."""
+    df = spark.createDataFrame(
+        [(123.4,), (1.2,), (19.0,), (0.5,), (950.0,), (-2.3,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in validate.benford_stats(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert rows[1]["n"] == 3  # 123.4, 1.2, 19.0
+    assert rows[2]["n"] == 1  # |-2.3|
+    assert rows[9]["n"] == 1  # 950.0
+    assert rows[3]["n"] == 0  # zero-filled
+    assert abs(sum(r["obs_share"] for r in rows.values()) - 1.0) < 1e-12
+    assert abs(sum(r["exp_share"] for r in rows.values()) - 1.0) < 1e-12
+    assert rows[1]["abs_dev"] == abs(
+        rows[1]["obs_share"] - rows[1]["exp_share"]
+    )
