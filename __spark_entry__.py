@@ -3731,6 +3731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_purchase_xcorr": _click_purchase_xcorr,
         "lm_dirichlet_search": _lm_dirichlet_search,
         "lang_balanced_sample": _lang_balanced_sample,
+        "copurchase_assortativity": _copurchase_assortativity,
+        "event_value_cusum": _event_value_cusum,
+        "customer_jw_scores": _customer_jw_scores,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5315,6 +5318,95 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "copurchase_assortativity": r"""
+            WITH basket AS (
+              SELECT DISTINCT user_id AS e,
+                     CAST(json_extract(props::JSON, '$.k') AS INTEGER) AS i
+              FROM events WHERE event_type = 'purchase'
+            ), eset AS (
+              SELECT a.i AS a, b.i AS b
+              FROM basket a JOIN basket b ON a.e = b.e AND a.i < b.i
+              GROUP BY a.i, b.i
+              HAVING COUNT(*) >= 3
+            ), nodes AS (
+              SELECT a AS v FROM eset UNION ALL SELECT b FROM eset
+            ), deg AS (
+              SELECT v, COUNT(*) AS d FROM nodes GROUP BY v
+            ), directed AS (
+              SELECT a, b FROM eset UNION ALL SELECT b, a FROM eset
+            ), paired AS (
+              SELECT CAST(da.d AS DECIMAL(19,0)) AS dx,
+                     CAST(db.d AS DECIMAL(19,0)) AS dy
+              FROM directed j
+              JOIN deg da ON j.a = da.v
+              JOIN deg db ON j.b = db.v
+            ), agg AS (
+              SELECT COUNT(*) AS m_raw,
+                     SUM(dx) AS dsx, SUM(dy) AS dsy,
+                     SUM(dx * dx) AS dsxx, SUM(dy * dy) AS dsyy,
+                     SUM(dx * dy) AS dsxy
+              FROM paired
+            ), conv AS (
+              SELECT CAST(m_raw AS DOUBLE) AS m,
+                     CAST(CAST(dsx AS VARCHAR) AS DOUBLE) AS sx,
+                     CAST(CAST(dsy AS VARCHAR) AS DOUBLE) AS sy,
+                     CAST(CAST(dsxx AS VARCHAR) AS DOUBLE) AS sxx,
+                     CAST(CAST(dsyy AS VARCHAR) AS DOUBLE) AS syy,
+                     CAST(CAST(dsxy AS VARCHAR) AS DOUBLE) AS sxy
+              FROM agg
+            ), cnt AS (SELECT COUNT(*) AS m_e FROM eset),
+               nn AS (SELECT COUNT(*) AS n_n FROM deg)
+            SELECT CAST(n_n AS BIGINT) AS n_nodes,
+                   CAST(m_e AS BIGINT) AS n_edges,
+                   CASE WHEN (m * sxx - sx * sx) > 0
+                         AND (m * syy - sy * sy) > 0 THEN
+                     (m * sxy - sx * sy)
+                     / (sqrt(m * sxx - sx * sx)
+                        * sqrt(m * syy - sy * sy))
+                   END AS assortativity
+            FROM conv, cnt, nn
+        """,
+        "event_value_cusum": r"""
+            WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS v
+              FROM events GROUP BY 1, 2
+            ), seq AS (
+              SELECT event_type, day, v,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS i
+              FROM daily
+            ), rec AS (
+              SELECT event_type, day, v, i,
+                     CAST(greatest(CAST('0' AS DECIMAL(18,4)),
+                          v - 3300 - 100) AS DECIMAL(18,4)) AS hi,
+                     CAST(greatest(CAST('0' AS DECIMAL(18,4)),
+                          3300 - v - 100) AS DECIMAL(18,4)) AS lo
+              FROM seq WHERE i = 1
+              UNION ALL
+              SELECT s.event_type, s.day, s.v, s.i,
+                     CAST(greatest(CAST('0' AS DECIMAL(18,4)),
+                          r.hi + s.v - 3300 - 100) AS DECIMAL(18,4)),
+                     CAST(greatest(CAST('0' AS DECIMAL(18,4)),
+                          r.lo - s.v + 3300 - 100) AS DECIMAL(18,4))
+              FROM rec r JOIN seq s
+                ON s.event_type = r.event_type AND s.i = r.i + 1
+            )
+            SELECT event_type, day, v AS x, hi AS s_hi, lo AS s_lo,
+                   (hi > 1500 OR lo > 1500) AS alarm
+            FROM rec
+        """,
+        "customer_jw_scores": r"""
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_name AS name_a, b.c_name AS name_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                       AS distance,
+                   jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "part_price_band_pairs": r"""
             SELECT a.p_type, a.p_partkey AS key_a, b.p_partkey AS key_b,
@@ -8715,6 +8807,48 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
         customer, "c_mktsegment", "c_acctbal"
     )
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
+
+
+def _copurchase_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity (r7): are the co-purchase graph's hubs
+    wired to hubs or to leaves? (graph.degree_assortativity — exact
+    integer/decimal sufficient sums over the both-directions edge
+    list, Pearson finalized in one fixed double expression)."""
+    pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
+    return graph.degree_assortativity(pairs, "item_a", "item_b")
+
+
+def _event_value_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM drift monitor (r7): per-event-type daily value totals
+    folded through the tabular two-sided CUSUM (target 3300, slack
+    100, threshold 1500 — exact DECIMAL(18,4) recursion via one
+    sorted-array HOF fold per type; temporal.cusum_changepoints); the
+    oracle replays the identical recursion with a recursive CTE."""
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("v")
+    )
+    return temporal.cusum_changepoints(
+        daily, "event_type", "day", "v",
+        target="3300", slack="100", threshold="1500",
+    )
+
+
+def _customer_jw_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded linkage scoring (r7): the deletion-neighborhood candidate
+    pairs (lev <= 1) ranked by Jaro-Winkler similarity
+    (linkage.jaro_winkler_score — Arrow-batched comparator kernel,
+    bit-identical to DuckDB's jaro_winkler_similarity, parity pinned
+    in tests); O(candidates) scoring after O(n·L) blocking."""
+    (customer,) = _tables(spark, sf, "customer")
+    pairs = linkage.fuzzy_match_pairs(
+        customer, "c_custkey", "c_name", max_distance=1
+    )
+    return linkage.jaro_winkler_score(pairs, "name_a", "name_b")
 
 
 def _part_price_band_pairs(spark: SparkSession, sf: str) -> DataFrame:

@@ -110,6 +110,85 @@ def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def degree_assortativity(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph (Newman
+    2002): the Pearson correlation of endpoint degrees over every edge
+    counted IN BOTH DIRECTIONS (the standard symmetrization — each
+    undirected edge contributes (deg_u, deg_v) and (deg_v, deg_u)).
+    Positive → hubs attach to hubs (social-style), negative → hubs
+    attach to leaves (infrastructure-style); the one-number answer to
+    "is this similarity graph clique-y or star-y", which decides
+    whether connected-component dedup will produce giant clusters.
+
+    Exactness: degrees are integers, so ALL sufficient sums (Σx, Σx²,
+    Σxy over the directed edge list) are exact — computed as
+    DECIMAL(38,0) to stay overflow-safe under ANSI at any graph size
+    (Σdeg² over E edges can exceed int64 on hub-heavy graphs); doubles
+    only in the final fixed Pearson expression, so the statistic is
+    bit-identical across engines and partitionings.
+
+    Shape: degree table = one aggregation of the canonical edge list;
+    two broadcast-free equi-joins attach endpoint degrees (each keyed
+    by a node id — Σdeg = 2E rows flow, never node×node); one final
+    one-row aggregate. Degenerate variance (regular graphs) → NULL.
+
+    Returns one row (n_nodes, n_edges, assortativity)."""
+    e = _canonical_edges(edges, src, dst)
+    nodes = e.select(F.col("a").alias("v")).unionAll(
+        e.select(F.col("b").alias("v"))
+    )
+    deg = nodes.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    directed = e.select("a", "b").unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    paired = (
+        directed.join(deg.withColumnRenamed("v", "a"), "a")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            deg.withColumnRenamed("v", "b").withColumnRenamed(
+                "deg", "dy"
+            ),
+            "b",
+        )
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum(d38("dx")).alias("__sx"),
+        F.sum(d38("dy")).alias("__sy"),
+        F.sum(d38("dx") * d38("dx")).alias("__sxx"),
+        F.sum(d38("dy") * d38("dy")).alias("__syy"),
+        F.sum(d38("dx") * d38("dy")).alias("__sxy"),
+    )
+    counts = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        F.broadcast(
+            deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+    )
+    m = F.col("__m").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    var_x = m * sxx - sx * sx
+    var_y = m * syy - sy * sy
+    return counts.crossJoin(F.broadcast(agg)).select(
+        "n_nodes",
+        "n_edges",
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            (m * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
+        ).alias("assortativity"),
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,

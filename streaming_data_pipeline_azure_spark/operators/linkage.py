@@ -103,3 +103,105 @@ def fuzzy_match_pairs(
     return cands.withColumn(
         "distance", F.levenshtein("name_a", "name_b").cast("long")
     ).filter(F.col("distance") <= max_distance)
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity (Winkler 1990): Jaro with matches inside
+    a floor(max(l1,l2)/2)-1 window and half-transposition counting,
+    plus the <=4-char common-prefix bonus (scale 0.1) applied only when
+    jaro > 0.7 (the classic boost threshold). Either string empty ->
+    0.0 (INCLUDING both empty — the DuckDB/RapidFuzz convention, which
+    the classic definition maps to 1.0; adopted so the oracle's
+    jaro_winkler_similarity is bit-identical — parity pinned on 3.5k
+    randomized pairs in tests)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    f1 = [False] * l1
+    f2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo = 0 if i < md else i - md
+        hi = min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == c:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    if jaro > 0.7:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        jaro = jaro + p * 0.1 * (1 - jaro)
+    return jaro
+
+
+def jaro_winkler_score(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    out_col: str = "jw",
+) -> DataFrame:
+    """Score CANDIDATE pairs with Jaro-Winkler similarity — the graded
+    companion of :func:`fuzzy_match_pairs`' binary edit-distance verify
+    (real linkage pipelines block first, then rank candidates by a
+    continuous score and threshold/clerical-review the middle band;
+    Fellegi-Sunter weights start from exactly this kind of comparator).
+
+    Pair GENERATION stays with the blocking operators (deletion
+    neighborhoods, soundex, sorted-neighborhood) — this operator is the
+    scoring pass over their bounded candidate output, so its cost is
+    O(candidates), never O(n²). The comparator itself is quadratic in
+    string length per pair (the match-window scan), which built-in
+    expressions cannot express — hence an Arrow-batched ``mapInPandas``
+    kernel (row-local, no shuffle, composes with whatever partitioning
+    the candidates arrived in). NULL on either side scores NULL.
+
+    Appends ``out_col`` (double); all input columns pass through."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = pairs.columns
+    if out_col in cols:
+        raise ValueError(f"column {out_col!r} already exists")
+    # build a FRESH StructType: StructType.add mutates in place, and
+    # DataFrame.schema hands back its cached instance
+    schema = StructType(
+        list(pairs.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = pdf.copy()
+            a = pdf[a_col]
+            b = pdf[b_col]
+            out[out_col] = [
+                None
+                if x is None or y is None
+                else _jaro_winkler(x, y)
+                for x, y in zip(a, b)
+            ]
+            yield out
+
+    return pairs.mapInPandas(gen, schema=schema)

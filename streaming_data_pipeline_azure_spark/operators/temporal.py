@@ -846,6 +846,107 @@ def kaplan_meier(
     )
 
 
+def cusum_changepoints(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    *,
+    target: str,
+    slack: str = "0",
+    threshold: str,
+) -> DataFrame:
+    """Tabular CUSUM level-shift detection (Page 1954): per group, the
+    time-ordered series accumulates
+
+        S⁺_i = max(0, S⁺_{i-1} + (x_i − target − slack))
+        S⁻_i = max(0, S⁻_{i-1} + (target − x_i − slack))
+
+    and an alarm fires when either side exceeds ``threshold`` — the
+    small-persistent-drift monitor that outlier z-scores miss (ten
+    days of +2% never trips a 3σ rule; CUSUM integrates it).
+
+    ``target``/``slack``/``threshold`` are DECIMAL STRINGS (e.g.
+    "1500.25"), not floats: they parse exactly to DECIMAL(18,4) in any
+    engine, and the whole recursion then runs in exact decimal
+    arithmetic — associative, so partitioning cannot perturb it, and a
+    recursive SQL CTE reproduces it bit-for-bit (the kaplan_meier
+    precedent; a float fold would drift ulps per step).
+
+    Shape: one hash aggregation collects each group's series as a
+    sorted array (the series must be per-group BOUNDED — daily/hourly
+    rollups, the rolling_zscore contract; this is O(days), not
+    O(rows)); ONE ``aggregate`` HOF folds it left-to-right emitting
+    every step's state; explode returns the ledger. Duplicate t within
+    a group would make the fold order ill-defined — pre-aggregate.
+
+    Returns (group, t, x, s_hi, s_lo, alarm), time-ascending per
+    group."""
+    dec = lambda s: F.lit(s).cast("decimal(18,4)")  # noqa: E731
+    x = F.col(value_col).cast("decimal(18,4)")
+    one_row = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).alias("__t"),
+        x.alias("__x"),
+    ).groupBy("g").agg(
+        F.sort_array(F.collect_list(F.struct("__t", "__x"))).alias(
+            "__s"
+        )
+    )
+    t_type = df.select(F.col(t_col)).schema[0].dataType.simpleString()
+    zero = dec("0")
+    init = F.struct(
+        zero.alias("hi"),
+        zero.alias("lo"),
+        F.array()
+        .cast(
+            f"array<struct<__t:{t_type},__x:decimal(18,4),"
+            "hi:decimal(18,4),lo:decimal(18,4)>>"
+        )
+        .alias("out"),
+    )
+
+    def step(acc, e):
+        hi = F.greatest(
+            zero, (acc["hi"] + e["__x"]) - dec(target) - dec(slack)
+        ).cast("decimal(18,4)")
+        lo = F.greatest(
+            zero, (acc["lo"] - e["__x"]) + dec(target) - dec(slack)
+        ).cast("decimal(18,4)")
+        return F.struct(
+            hi.alias("hi"),
+            lo.alias("lo"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["__t"].alias("__t"),
+                        e["__x"].alias("__x"),
+                        hi.alias("hi"),
+                        lo.alias("lo"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = one_row.select(
+        "g", F.aggregate("__s", init, step)["out"].alias("__out")
+    )
+    thr = dec(threshold)
+    return folded.select(
+        "g", F.explode("__out").alias("__e")
+    ).select(
+        F.col("g").alias(group_col),
+        F.col("__e.__t").alias(t_col),
+        F.col("__e.__x").alias("x"),
+        F.col("__e.hi").alias("s_hi"),
+        F.col("__e.lo").alias("s_lo"),
+        ((F.col("__e.hi") > thr) | (F.col("__e.lo") > thr)).alias(
+            "alarm"
+        ),
+    )
+
+
 def rfm_segments(
     orders: DataFrame,
     customer_col: str,

@@ -201,3 +201,22 @@ def test_link_prediction_jaccard_brute_force(spark):
     hubs = {v for v, d in full_mid_degrees.items() if d > 3}
     for (a, b), cn in capped.items():
         assert cn == len((adj[a] & adj[b]) - hubs)
+
+
+def test_degree_assortativity_star_and_cycle(spark):
+    """A star is maximally disassortative (-1: every edge pairs the hub
+    degree with a leaf degree); a cycle is degree-regular (zero
+    variance -> NULL); counts come from the canonical simple graph."""
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 0)],  # dup direction collapses
+        "s long, d long",
+    )
+    (row,) = graph.degree_assortativity(star, "s", "d").collect()
+    assert row["n_nodes"] == 4 and row["n_edges"] == 3
+    assert abs(row["assortativity"] - (-1.0)) < 1e-12
+    cycle = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "s long, d long"
+    )
+    (row,) = graph.degree_assortativity(cycle, "s", "d").collect()
+    assert row["assortativity"] is None
+    assert row["n_edges"] == 3

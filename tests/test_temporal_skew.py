@@ -895,3 +895,28 @@ def test_lagged_correlation_known_series(spark):
     outc = {r["lag"]: r for r in
             lagged_correlation(df_const, "t", "a", "b", max_lag=1).collect()}
     assert outc[0]["corr"] is None  # zero variance side
+
+
+def test_cusum_changepoints_fold_and_alarms(spark):
+    """Hand-checked two-sided tabular CUSUM: a persistent +2 drift
+    integrates into an s_hi alarm that a single-step rule would miss;
+    the low side stays zero; exact decimal states."""
+    from decimal import Decimal
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    rows = [("g", t, 10.0) for t in range(1, 4)]
+    rows += [("g", t, 12.0) for t in range(4, 9)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {r["t"]: r for r in cusum_changepoints(
+        df, "g", "t", "v", target="10", slack="0.5", threshold="5",
+    ).collect()}
+    # steady phase: x - target - slack = -0.5 -> clamped at 0
+    assert out[3]["s_hi"] == Decimal("0.0000")
+    # drift phase accumulates 1.5/step: 1.5, 3.0, 4.5, 6.0, 7.5
+    assert out[5]["s_hi"] == Decimal("3.0000")
+    assert out[7]["s_hi"] == Decimal("6.0000")
+    assert not out[6]["alarm"] and out[7]["alarm"] and out[8]["alarm"]
+    assert all(r["s_lo"] == Decimal("0.0000") for r in out.values())
