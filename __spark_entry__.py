@@ -3734,6 +3734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_assortativity": _copurchase_assortativity,
         "event_value_cusum": _event_value_cusum,
         "customer_jw_scores": _customer_jw_scores,
+        "event_precedence_pairs": _event_precedence_pairs,
+        "retrieval_rank_agreement": _retrieval_rank_agreement,
+        "doc_sentence_dedup": _doc_sentence_dedup,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5318,6 +5321,79 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "event_precedence_pairs": r"""
+            WITH spans AS (
+              SELECT user_id, event_type, MIN(ts) AS f, MAX(ts) AS l
+              FROM events GROUP BY 1, 2
+            ), tot AS (
+              SELECT COUNT(DISTINCT user_id) AS t FROM spans
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(COUNT(*) AS DOUBLE) / CAST(t AS DOUBLE)
+                       AS support
+            FROM spans a
+            JOIN spans b
+              ON a.user_id = b.user_id
+             AND a.event_type <> b.event_type
+             AND a.f < b.l, tot
+            GROUP BY 1, 2, t
+        """,
+        "retrieval_rank_agreement": rf"""
+            WITH ra AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                         AS r
+              FROM ({_BM25_ORACLE})
+            ), rb AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                         AS r
+              FROM ({_lm_dirichlet_oracle(['hash', 'join', 'spark'],
+                                          250.0, 15)})
+            ), common AS (
+              SELECT ra.doc_id, ra.r AS xa, rb.r AS xb
+              FROM ra JOIN rb USING (doc_id)
+            ), pairs AS (
+              SELECT ((x.xa - y.xa) * (x.xb - y.xb) > 0) AS conc
+              FROM common x JOIN common y ON x.doc_id < y.doc_id
+            ), agg AS (
+              SELECT COUNT(*) AS np,
+                     COALESCE(SUM(CASE WHEN conc THEN 1 ELSE 0 END),
+                              0) AS c,
+                     COALESCE(SUM(CASE WHEN NOT conc THEN 1 ELSE 0
+                              END), 0) AS d
+              FROM pairs
+            ), nc AS (SELECT COUNT(*) AS n FROM common)
+            SELECT CAST(n AS BIGINT) AS n_common,
+                   CAST(c AS BIGINT) AS n_concordant,
+                   CAST(d AS BIGINT) AS n_discordant,
+                   CASE WHEN np > 0 THEN
+                     CAST(c - d AS DOUBLE) / CAST(np AS DOUBLE)
+                   END AS tau
+            FROM nc, agg
+        """,
+        "doc_sentence_dedup": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')),
+                         '[.!?]+\s*'), s -> s <> '') AS arr
+              FROM documents
+            ), kept AS (
+              SELECT doc_id, arr,
+                     [arr[i] FOR i IN range(1, len(arr) + 1)
+                      IF list_position(arr, arr[i]) = i] AS k
+              FROM base
+            )
+            SELECT doc_id,
+                   CAST(len(arr) AS BIGINT) AS n_sentences,
+                   CAST(len(k) AS BIGINT) AS n_unique,
+                   CAST(len(arr) - len(k) AS BIGINT) AS n_removed,
+                   md5(array_to_string(k, '. ')) AS cleaned_fp
+            FROM kept
         """,
         "copurchase_assortativity": r"""
             WITH basket AS (
@@ -8807,6 +8883,38 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
         customer, "c_mktsegment", "c_acctbal"
     )
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
+
+
+def _event_precedence_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential-pattern level-2 support (r7): for every ordered
+    event-type pair, the share of users with SOME a strictly before
+    SOME b (temporal.precedence_pairs — the ∃t_a<t_b ⟺ min_a<max_b
+    endpoint reduction: one (user,type) aggregation, then a per-user
+    join over O(types²) condensed rows)."""
+    return temporal.precedence_pairs(
+        _events(spark, sf), "user_id", "event_type", "ts"
+    )
+
+
+def _retrieval_rank_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranker-agreement readout (r7): Kendall tau between the BM25 and
+    Dirichlet-LM top-15 lists for the benchmark query
+    (search.rank_agreement over two oracle-green retrieval paths —
+    the whole two-model composition hash-checks end-to-end)."""
+    docs = _docs(spark, sf)
+    terms = ["hash", "join", "spark"]
+    return search.rank_agreement(
+        search.bm25_topk(docs, terms, k=15),
+        search.lm_dirichlet_topk(docs, terms, mu=250.0, k=15),
+    )
+
+
+def _doc_sentence_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-doc boilerplate scrub (r7): per-document repeated-sentence
+    removal with first-occurrence keeps (corpus.dedup_sentences — pure
+    codegen HOFs, no shuffle; cleaned-text md5 fingerprints pin the
+    exact rewrite against DuckDB's list_position semantics)."""
+    return corpus.dedup_sentences(_docs(spark, sf))
 
 
 def _copurchase_assortativity(spark: SparkSession, sf: str) -> DataFrame:

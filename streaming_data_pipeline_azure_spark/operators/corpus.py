@@ -721,3 +721,48 @@ def cross_doc_shared_ngrams(
             ).alias("shared_frac"),
         )
     )
+
+
+def dedup_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repeated-sentence scrub — the boilerplate pass
+    that removes a page's duplicated nav blurbs / disclaimers WITHIN
+    each document (cross-document span dedup lives in
+    :func:`drop_duplicate_spans`; this is its row-local sibling, the
+    C4-style "deduplicate repeated lines in the page" cleanup).
+
+    Sentences = the whitespace-normalized lowercased text split on
+    ``[.!?]+`` runs (empties dropped); a sentence survives iff it is
+    the FIRST occurrence of its normalized form in the document
+    (``array_position == own index`` — first-index semantics shared
+    verbatim by DuckDB's ``list_position``, which is what makes the
+    cleaned fingerprint oracle-checkable). Everything is whole-stage
+    codegen HOFs over per-row arrays: no shuffle, no Python, scales as
+    a pure map at any corpus size (cost quadratic only in a DOCUMENT's
+    sentence count — bounded by page length, not data size).
+
+    Returns (id, n_sentences, n_unique, n_removed, cleaned_fp) where
+    cleaned_fp = md5 of the kept sentences joined with '. ' — the
+    downstream-rewrite contract without shipping the text twice."""
+    norm = F.lower(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    )
+    arr = F.filter(
+        F.split(norm, r"[.!?]+\s*"), lambda s: s != F.lit("")
+    )
+    base = df.select(F.col(id_col), arr.alias("__sents"))
+    kept = F.expr(
+        "transform(filter(transform(__sents, (s, i) -> struct(s AS s, "
+        "i AS i)), p -> array_position(__sents, p.s) = p.i + 1), "
+        "p -> p.s)"
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__sents").cast("long").alias("n_sentences"),
+        F.size(kept).cast("long").alias("n_unique"),
+        (F.size("__sents") - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(F.concat_ws(". ", kept)).alias("cleaned_fp"),
+    )

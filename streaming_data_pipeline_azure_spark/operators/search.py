@@ -227,6 +227,83 @@ def lm_dirichlet_topk(
     )
 
 
+def rank_agreement(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """How much do two retrieval models agree? Kendall tau (tau-a) over
+    the documents BOTH top-k lists retrieved, plus the raw overlap —
+    the standard ranker-comparison readout (is the cheap model a safe
+    substitute; did the index change the ranking or just the scores).
+
+    Inputs are top-k frames with an ``id_col`` and a ``score`` column
+    (the :func:`rrf_fuse` contract) — driver-tiny by construction, so
+    the single-partition rank windows and the O(common²) concordance
+    self-join are free. Ranks tie-break by id, making the statistic
+    deterministic; within a list ranks are distinct, so tau-a's
+    denominator is exactly C(n_common, 2) (no tie correction needed —
+    integer counts, one double division, bit-portable).
+
+    Returns one row (n_common, n_concordant, n_discordant, tau); tau
+    is NULL when fewer than 2 documents are shared."""
+    from pyspark.sql import Window
+
+    def ranked(df: DataFrame, name: str) -> DataFrame:
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+        return df.select(id_col, "score").select(
+            F.col(id_col), F.row_number().over(w).alias(name)
+        )
+    common = ranked(ranked_a, "__ra").join(
+        ranked(ranked_b, "__rb"), id_col
+    )
+    x = common.select(
+        F.col(id_col).alias("__id"),
+        F.col("__ra").alias("__xa"),
+        F.col("__rb").alias("__xb"),
+    )
+    y = common.select(
+        F.col(id_col).alias("__jd"),
+        F.col("__ra").alias("__ya"),
+        F.col("__rb").alias("__yb"),
+    )
+    pairs = x.join(F.broadcast(y), F.col("__id") < F.col("__jd")).select(
+        (
+            (F.col("__xa") - F.col("__ya"))
+            * (F.col("__xb") - F.col("__yb"))
+            > 0
+        ).alias("__conc")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("__conc"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_concordant"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__conc"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_discordant"),
+    )
+    n_common = common.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return n_common.crossJoin(F.broadcast(agg)).select(
+        "n_common",
+        "n_concordant",
+        "n_discordant",
+        F.when(
+            F.col("__n_pairs") > 0,
+            (
+                F.col("n_concordant") - F.col("n_discordant")
+            ).cast("double")
+            / F.col("__n_pairs").cast("double"),
+        ).alias("tau"),
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

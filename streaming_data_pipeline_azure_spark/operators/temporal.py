@@ -846,6 +846,63 @@ def kaplan_meier(
     )
 
 
+def precedence_pairs(
+    df: DataFrame, key_col: str, type_col: str, ts_col: str
+) -> DataFrame:
+    """Sequential-pattern support for ordered type pairs: for every
+    (type_a, type_b), in how many keys' histories does SOME a-event
+    strictly precede SOME b-event — the non-adjacent generalization of
+    :func:`transition_matrix` (which only sees consecutive steps) and
+    the level-2 core of sequence mining (GSP/SPADE's first pass).
+
+    The whole existence test collapses to interval endpoints:
+    ∃ t_a < t_b  ⟺  min(ts_a) < max(ts_b) — so one (key, type)
+    aggregation reduces each history to first/last timestamps, and a
+    per-key self equi-join over the O(types²) condensed rows (bounded
+    by the TYPE alphabet, not the event count) evaluates every pair.
+    Nothing ever shuffles raw events twice; a 100 TB event log reduces
+    to |keys|·|types| rows before the join.
+
+    Returns (type_a, type_b, n_keys, support) with support = n_keys /
+    total keys observed; a != b pairs only; strict precedence (exact
+    ties don't count)."""
+    spans = df.groupBy(
+        F.col(key_col).alias("__k"), F.col(type_col).alias("__ty")
+    ).agg(
+        F.min(ts_col).alias("__first"),
+        F.max(ts_col).alias("__last"),
+    )
+    tot = spans.agg(F.countDistinct("__k").alias("__tot"))
+    a = spans.select(
+        "__k",
+        F.col("__ty").alias("type_a"),
+        F.col("__first").alias("__fa"),
+    )
+    b = spans.select(
+        "__k",
+        F.col("__ty").alias("type_b"),
+        F.col("__last").alias("__lb"),
+    )
+    pairs = a.join(b, "__k").filter(
+        (F.col("type_a") != F.col("type_b"))
+        & (F.col("__fa") < F.col("__lb"))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_keys",
+            (
+                F.col("n_keys").cast("double")
+                / F.col("__tot").cast("double")
+            ).alias("support"),
+        )
+    )
+
+
 def cusum_changepoints(
     df: DataFrame,
     group_col: str,

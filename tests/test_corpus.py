@@ -443,3 +443,23 @@ def test_ngram_overlap_bloom_matches_exact(spark):
         ).collect()
     }
     assert via_bloom == exact and (1, 8) in exact and 2 not in dict(exact)
+
+
+def test_dedup_sentences_first_occurrence_and_fp(spark):
+    """Case/whitespace-insensitive sentence keys, first-occurrence
+    keeps, and the cleaned-text fingerprint contract."""
+    import hashlib
+
+    from streaming_data_pipeline_azure_spark.operators import corpus as cp
+
+    df = spark.createDataFrame(
+        [(1, "Hello there. HELLO   there! Bye."), (2, "One two.")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cp.dedup_sentences(df).collect()}
+    assert out[1]["n_sentences"] == 3
+    assert out[1]["n_unique"] == 2
+    assert out[1]["n_removed"] == 1
+    want = hashlib.md5(b"hello there. bye").hexdigest()
+    assert out[1]["cleaned_fp"] == want
+    assert out[2]["n_removed"] == 0

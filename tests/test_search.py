@@ -341,3 +341,24 @@ def test_lm_dirichlet_ranks_matching_docs_and_smooths(spark):
 
     with pytest.raises(ValueError):
         search.lm_dirichlet_topk(df, [])
+
+
+def test_rank_agreement_known_tau(spark):
+    """Identical lists -> tau 1; reversed -> -1; disjoint -> NULL with
+    n_common 0."""
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double"
+    )
+    rev = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "doc_id long, score double"
+    )
+    (row,) = search.rank_agreement(a, a).collect()
+    assert row["tau"] == 1.0 and row["n_common"] == 3
+    (row,) = search.rank_agreement(a, rev).collect()
+    assert row["tau"] == -1.0 and row["n_discordant"] == 3
+    other = spark.createDataFrame(
+        [(9, 1.0)], "doc_id long, score double"
+    )
+    (row,) = search.rank_agreement(a, other).collect()
+    assert row["n_common"] == 0 and row["tau"] is None
+    assert row["n_concordant"] == 0 and row["n_discordant"] == 0

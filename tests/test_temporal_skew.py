@@ -920,3 +920,26 @@ def test_cusum_changepoints_fold_and_alarms(spark):
     assert out[7]["s_hi"] == Decimal("6.0000")
     assert not out[6]["alarm"] and out[7]["alarm"] and out[8]["alarm"]
     assert all(r["s_lo"] == Decimal("0.0000") for r in out.values())
+
+
+def test_precedence_pairs_endpoint_reduction(spark):
+    """∃ a-before-b via min/max endpoints: non-adjacent precedence
+    counts (transition_matrix would miss A..X..B), strict ordering,
+    per-key existence not event counts."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        precedence_pairs,
+    )
+
+    rows = [
+        ("u1", "A", 1), ("u1", "X", 2), ("u1", "B", 3),
+        ("u2", "B", 1), ("u2", "A", 2), ("u2", "B", 3),
+        ("u3", "A", 5),  # single-type user: contributes to total only
+    ]
+    df = spark.createDataFrame(rows, "u string, ty string, t long")
+    out = {(r["type_a"], r["type_b"]): r for r in
+           precedence_pairs(df, "u", "ty", "t").collect()}
+    assert out[("A", "B")]["n_keys"] == 2          # u1 and u2
+    assert out[("B", "A")]["n_keys"] == 1          # u2 only
+    assert out[("A", "X")]["n_keys"] == 1          # u1
+    assert ("B", "B") not in out                   # a != b only
+    assert out[("A", "B")]["support"] == 2 / 3     # 3 users total
