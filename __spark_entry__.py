@@ -3737,6 +3737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_precedence_pairs": _event_precedence_pairs,
         "retrieval_rank_agreement": _retrieval_rank_agreement,
         "doc_sentence_dedup": _doc_sentence_dedup,
+        "nation_theilsen_trend": _nation_theilsen_trend,
+        "user_recency_weighted_value": _user_recency_weighted_value,
+        "term_proximity_search": _term_proximity_search,
+        "lang_confusion_matrix": _lang_confusion_matrix,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5321,6 +5325,119 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "nation_theilsen_trend": r"""
+            WITH monthly AS (
+              SELECT n_name,
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                          AS BIGINT) AS t,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS v
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2
+            ), slopes AS (
+              SELECT a.n_name,
+                     CAST(CAST(b.v - a.v AS VARCHAR) AS DOUBLE)
+                     / CAST(b.t - a.t AS DOUBLE) AS s
+              FROM monthly a JOIN monthly b
+                ON a.n_name = b.n_name AND a.t < b.t
+            ), arrs AS (
+              SELECT n_name, list_sort(list(s)) AS l
+              FROM slopes GROUP BY n_name
+            ), pts AS (
+              SELECT n_name, COUNT(*) AS n_points
+              FROM monthly GROUP BY n_name
+            )
+            SELECT a.n_name, CAST(p.n_points AS BIGINT) AS n_points,
+                   CAST(len(l) AS BIGINT) AS n_pairs,
+                   CASE WHEN len(l) % 2 = 1
+                        THEN l[(len(l) + 1) // 2]
+                        ELSE (l[len(l) // 2] + l[len(l) // 2 + 1])
+                             / 2.0
+                   END AS slope
+            FROM arrs a JOIN pts p ON a.n_name = p.n_name
+        """,
+        "user_recency_weighted_value": r"""
+            WITH aged AS (
+              SELECT user_id, value,
+                     least(CAST(greatest(0,
+                         floor(date_diff('day', CAST(ts AS DATE),
+                               DATE '2024-02-01') / 7.0))
+                         AS INTEGER), 62) AS k
+              FROM events
+            ), c AS (
+              SELECT user_id,
+                     CAST(floor((value
+                          / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE))
+                          * 1048576.0) AS BIGINT) AS q
+              FROM aged
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(q) AS BIGINT) AS decayed_q,
+                   CAST(SUM(q) AS DOUBLE) / 1048576.0 AS decayed
+            FROM c GROUP BY user_id
+        """,
+        "term_proximity_search": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), pa AS (
+              SELECT doc_id,
+                     unnest([i FOR i IN range(1, len(toks) + 1)
+                             IF toks[i] = 'spark']) AS p
+              FROM norm
+            ), pb AS (
+              SELECT doc_id,
+                     unnest([i FOR i IN range(1, len(toks) + 1)
+                             IF toks[i] = 'join']) AS p
+              FROM norm
+            )
+            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pa a JOIN pb b
+              ON a.doc_id = b.doc_id AND abs(a.p - b.p) <= 5
+            GROUP BY a.doc_id
+            ORDER BY n_pairs DESC, a.doc_id
+            LIMIT 15
+        """,
+        "lang_confusion_matrix": rf"""
+            WITH scored AS (
+                SELECT lang, {_d_hits('de')} AS s_de,
+                       {_d_hits('en')} AS s_en, {_d_hits('es')} AS s_es,
+                       {_d_hits('fr')} AS s_fr,
+                       length(regexp_replace(text,
+                           '[^\x{{4e00}}-\x{{9fff}}]', '', 'g')) AS s_zh
+                FROM documents
+            ), pred AS (
+                SELECT lang, CASE
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                       AND s_de >= s_zh THEN 'de'
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                       AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr
+                       AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es
+                       AND s_fr >= s_zh THEN 'fr'
+                  WHEN s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es
+                       AND s_zh >= s_fr THEN 'zh'
+                  ELSE 'de' END AS lang_pred
+                FROM scored
+            ), cm AS (
+              SELECT lang AS lang_true, lang_pred, COUNT(*) AS n
+              FROM pred GROUP BY 1, 2
+            ), tot AS (
+              SELECT lang AS lang_true, COUNT(*) AS t
+              FROM documents GROUP BY 1
+            )
+            SELECT cm.lang_true, cm.lang_pred,
+                   CAST(cm.n AS BIGINT) AS n_docs,
+                   CAST(cm.n AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                       AS recall_share
+            FROM cm JOIN tot ON cm.lang_true = tot.lang_true
         """,
         "event_precedence_pairs": r"""
             WITH spans AS (
@@ -8883,6 +9000,82 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
         customer, "c_mktsegment", "c_acctbal"
     )
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
+
+
+def _nation_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust trend (r7): per-nation Theil-Sen slope of monthly
+    revenue (profile.grouped_theil_sen — median of pairwise slopes
+    over the calendar-bounded monthly series; slopes are single
+    double divisions of exact decimal/integer inputs, medians are
+    sorted-array element picks — bit-portable throughout)."""
+    orders, customer, nation = _tables(
+        spark, sf, "orders", "customer", "nation"
+    )
+    monthly = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("v")
+        )
+    )
+    return profile.grouped_theil_sen(monthly, "n_name", "t", "v")
+
+
+def _user_recency_weighted_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponential-decay engagement score (r7): per-user Σ value·2^-k,
+    k = age half-lives vs a fixed reference date
+    (temporal.decayed_sum — dyadic shift-divisions instead of pow(),
+    quantized-integer sums so partial-aggregation order cannot perturb
+    the score; the whole ledger hash-checks)."""
+    return temporal.decayed_sum(
+        _events(spark, sf), "user_id", "ts", "value",
+        ref_date="2024-02-01", half_life_days=7,
+    )
+
+
+def _term_proximity_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Proximity retrieval (r7): documents ranked by 'spark' and
+    'join' co-occurrences within 5 token positions
+    (search.term_proximity_topk — per-term postings filter before any
+    shuffle, position pairing via the band_join bucket equi-join, so
+    cost is O(postings), never positions²)."""
+    return search.term_proximity_topk(
+        _docs(spark, sf), "spark", "join", window=5, k=15
+    )
+
+
+def _lang_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID evaluation (r7): confusion matrix of the labeled
+    lang column vs the engine's n-gram detector (text.language_id),
+    with per-true-lang recall shares — the detector-quality readout a
+    corpus datasheet cites; one scan + one O(langs²) rollup."""
+    docs = _docs(spark, sf)
+    cm = docs.groupBy(
+        F.col("lang").alias("lang_true"),
+        tx.language_id("text").alias("lang_pred"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = docs.groupBy(F.col("lang").alias("lang_true")).agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    return cm.join(F.broadcast(tot), "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.col("__t").cast("double")
+        ).alias("recall_share"),
+    )
 
 
 def _event_precedence_pairs(spark: SparkSession, sf: str) -> DataFrame:

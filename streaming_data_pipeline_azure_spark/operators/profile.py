@@ -689,6 +689,76 @@ def quantile_binning_stats(
     )
 
 
+def grouped_theil_sen(
+    df: DataFrame, group_col: str, t_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(t_j − t_i) — the outlier-proof alternative to
+    :func:`grouped_linreg`'s OLS slope (one wild month cannot drag it;
+    breakdown point ~29%).
+
+    Input contract: ONE ROW PER (group, t) — pre-aggregate upstream
+    (daily/monthly rollups), which is what keeps the O(T²) pairwise
+    slope set bounded by the CALENDAR, not the data (T months → T²/2
+    pairs per group, thousands at worst; the self-join is per-group
+    equi-keyed, never a global cross product). Duplicate t within a
+    group would divide by zero — the strict t_i < t_j join skips equal
+    timestamps entirely, so duplicates instead silently bias; honor
+    the contract.
+
+    Determinism: slopes are single double divisions of exact inputs
+    (value rounds once to DECIMAL(18,4), t is integer), the median
+    picks sorted-array elements (sort of doubles is total here — no
+    NaNs by construction) and even-count medians average two elements
+    with one add + one divide — all bit-portable.
+
+    Returns (group, n_points, n_pairs, slope); groups with < 2 points
+    are absent (no pairs)."""
+    d = F.col(value_col).cast("decimal(18,4)")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(t_col).cast("long").alias("__t"),
+        d.alias("__v"),
+    )
+    a = base.select(
+        "__g", F.col("__t").alias("__ta"), F.col("__v").alias("__va")
+    )
+    b = base.select(
+        "__g", F.col("__t").alias("__tb"), F.col("__v").alias("__vb")
+    )
+    slopes = (
+        a.join(b, "__g")
+        .filter(F.col("__ta") < F.col("__tb"))
+        .select(
+            "__g",
+            (
+                (F.col("__vb") - F.col("__va")).cast("double")
+                / (F.col("__tb") - F.col("__ta")).cast("double")
+            ).alias("__s"),
+        )
+    )
+    counts = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    agg = slopes.groupBy("__g").agg(
+        F.sort_array(F.collect_list("__s")).alias("__arr")
+    )
+    n = F.size("__arr")
+    # indexes via double division of small ints (exact), truncated by
+    # the int cast — (n+1)/2 for odd n and n/2 are integer-valued
+    odd = F.element_at("__arr", ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at("__arr", (n / 2).cast("int"))
+        + F.element_at("__arr", (n / 2).cast("int") + 1)
+    ) / F.lit(2.0)
+    return agg.join(counts, "__g").select(
+        F.col("__g").alias(group_col),
+        "n_points",
+        n.cast("long").alias("n_pairs"),
+        F.when(n % 2 == 1, odd).otherwise(even).alias("slope"),
+    )
+
+
 def grouped_gini(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

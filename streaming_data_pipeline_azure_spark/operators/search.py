@@ -227,6 +227,64 @@ def lm_dirichlet_topk(
     )
 
 
+def term_proximity_topk(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    *,
+    window: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity retrieval: rank documents by how often ``term_a`` and
+    ``term_b`` occur within ``window`` token positions of each other —
+    the slop generalization of :func:`phrase_topk`'s exact adjacency
+    ("spark" near "join", not necessarily touching).
+
+    Scale shape: per-term position lists filter BEFORE anything
+    shuffles (only the two terms' postings flow, the bm25_topk
+    contract), and the position pairing is
+    :func:`~streaming_data_pipeline_azure_spark.operators.temporal.band_join`
+    on (doc, ⌊pos/window⌋) — an equi-join with a ±1 bucket probe, so
+    cost is O(matching positions), never positions². Counting pairs
+    (not minimal spans) keeps the score a pure integer, bit-portable
+    by construction.
+
+    Returns (id, n_pairs) for the top-``k`` documents, most pairs
+    first, id tie-break."""
+    if window < 1:
+        raise ValueError("term_proximity_topk needs window >= 1")
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        band_join,
+    )
+
+    ta, tb = term_a.lower(), term_b.lower()
+    if ta == tb:
+        raise ValueError("term_proximity_topk needs two distinct terms")
+    base = df.select(
+        F.col(id_col), F.posexplode(_norm_tokens(text_col)).alias(
+            "__p", "__t"
+        )
+    )
+    pa = base.filter(F.col("__t") == ta).select(
+        F.col(id_col), F.col("__p").cast("double").alias("__pa")
+    )
+    pb = base.filter(F.col("__t") == tb).select(
+        F.col(id_col), F.col("__p").cast("double").alias("__pb")
+    )
+    pairs = band_join(
+        pa, pb, left_val="__pa", right_val="__pb",
+        delta=float(window), on=[id_col],
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def rank_agreement(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

@@ -846,6 +846,69 @@ def kaplan_meier(
     )
 
 
+def decayed_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    ref_date: str,
+    half_life_days: int,
+    quantize_bits: int = 20,
+) -> DataFrame:
+    """Recency-weighted value per key: Σ value · 2^(−age_halflives)
+    with age_halflives = ⌊days(ref_date − ts) / half_life_days⌋ — the
+    exponential-decay LTV / engagement score, computed WITHOUT pow():
+
+    - the decay weight is a DYADIC division ``value / (1 << k)`` —
+      one exact power-of-two shift and one IEEE division, bit-portable
+      (libm ``pow`` is engine-specific; division is not);
+    - per-row contributions quantize to ``⌊x · 2^quantize_bits⌋``
+      integers, so the SUM is exact integer arithmetic — partial-
+      aggregation order cannot perturb it (the embedding_covariance
+      precedent; a raw double Σ would differ run-to-run at scale).
+
+    ``ref_date`` must be on/after the data's max timestamp (negative
+    ages clamp to 0 rather than amplifying the future); k caps at 62
+    (beyond that the weight underflows the quantization anyway).
+
+    One map-side-combined aggregation. Returns (key, n_events,
+    decayed_q, decayed) — decayed = decayed_q / 2^quantize_bits, the
+    float view of the exact integer score."""
+    if half_life_days < 1:
+        raise ValueError("decayed_sum needs half_life_days >= 1")
+    age = F.greatest(
+        F.lit(0),
+        F.floor(
+            F.datediff(F.lit(ref_date), F.to_date(F.col(ts_col)))
+            / F.lit(float(half_life_days))
+        ),
+    )
+    k = F.least(age.cast("int"), F.lit(62))
+    staged = df.select(
+        F.col(key_col), F.col(value_col), k.alias("__k")
+    )
+    # shiftleft() the builtin only takes a literal bit count — the SQL
+    # form accepts a column
+    den = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), __k) AS DOUBLE)")
+    contrib = F.floor(
+        (F.col(value_col).cast("double") / den)
+        * F.lit(float(1 << quantize_bits))
+    ).cast("long")
+    scale = float(1 << quantize_bits)
+    return staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(contrib).cast("long").alias("decayed_q"),
+    ).select(
+        key_col,
+        "n_events",
+        "decayed_q",
+        (F.col("decayed_q").cast("double") / F.lit(scale)).alias(
+            "decayed"
+        ),
+    )
+
+
 def precedence_pairs(
     df: DataFrame, key_col: str, type_col: str, ts_col: str
 ) -> DataFrame:

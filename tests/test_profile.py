@@ -403,3 +403,21 @@ def test_grouped_gini_known_values(spark):
     assert out["B"]["gini"] == 0.75
     assert out["C"]["gini"] is None
     assert out["A"]["n"] == 4
+
+
+def test_grouped_theil_sen_outlier_resistance(spark):
+    """Median-of-slopes ignores the wild endpoint an OLS fit would
+    chase; even/odd medians, pair counts, <2-point groups absent."""
+    rows = [("A", 0, 0.0), ("A", 1, 10.0), ("A", 2, 20.0),
+            ("A", 3, 1000.0),
+            ("B", 0, 5.0), ("B", 1, 7.0), ("B", 2, 9.0),
+            ("C", 9, 1.0)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {r["g"]: r for r in
+           profile.grouped_theil_sen(df, "g", "t", "v").collect()}
+    # A slopes sorted: [10, 10, 10, 333.33.., 495, 980] -> (10+333..)/2
+    assert out["A"]["n_pairs"] == 6
+    assert abs(out["A"]["slope"] - (10.0 + 1000.0 / 3.0) / 2.0) < 1e-9
+    # B is clean linear: all slopes exactly 2
+    assert out["B"]["slope"] == 2.0 and out["B"]["n_points"] == 3
+    assert "C" not in out  # singleton: no pairs

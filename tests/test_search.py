@@ -362,3 +362,29 @@ def test_rank_agreement_known_tau(spark):
     (row,) = search.rank_agreement(a, other).collect()
     assert row["n_common"] == 0 and row["tau"] is None
     assert row["n_concordant"] == 0 and row["n_discordant"] == 0
+
+
+def test_term_proximity_counts_pairs_within_window(spark):
+    """Pair counting within the slop window: adjacent and near pairs
+    count, far ones don't; ranking by pair count with id tie-break."""
+    df = spark.createDataFrame(
+        [
+            (1, "spark join spark databases join"),  # pairs within 2:
+            #    positions spark:[0,2] join:[1,4]; |0-1|,|2-1|,|2-4|<=2
+            (2, "spark x x x x x x join"),           # distance 7: none
+            (3, "spark join"),                       # one pair
+        ],
+        "doc_id long, text string",
+    )
+    rows = search.term_proximity_topk(
+        df, "spark", "join", window=2, k=10
+    ).collect()
+    got = {r["doc_id"]: r["n_pairs"] for r in rows}
+    assert got == {1: 3, 3: 1}
+    assert rows[0]["doc_id"] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        search.term_proximity_topk(df, "spark", "spark", window=2)
+    with pytest.raises(ValueError):
+        search.term_proximity_topk(df, "a", "b", window=0)

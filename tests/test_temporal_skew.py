@@ -943,3 +943,34 @@ def test_precedence_pairs_endpoint_reduction(spark):
     assert out[("A", "X")]["n_keys"] == 1          # u1
     assert ("B", "B") not in out                   # a != b only
     assert out[("A", "B")]["support"] == 2 / 3     # 3 users total
+
+
+def test_decayed_sum_dyadic_weights_and_quantization(spark):
+    """Half-life steps give exact 1, 1/2, 1/4 weights (shift division,
+    no pow); contributions quantize to exact 2^20 integers; future
+    timestamps clamp to age 0."""
+    import datetime as dtm
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        decayed_sum,
+    )
+
+    d = lambda s: dtm.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        ("u", d("2024-01-31T12:00:00"), 4.0),   # age 0 half-lives
+        ("u", d("2024-01-24T00:00:00"), 4.0),   # 7 days  -> w 1/2
+        ("u", d("2024-01-17T00:00:00"), 4.0),   # 14 days -> w 1/4
+        ("v", d("2024-02-05T00:00:00"), 8.0),   # future -> clamp w 1
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, v double")
+    out = {r["u"]: r for r in decayed_sum(
+        df, "u", "ts", "v", ref_date="2024-01-31", half_life_days=7
+    ).collect()}
+    assert out["u"]["decayed"] == 4.0 + 2.0 + 1.0
+    assert out["u"]["decayed_q"] == 7 * (1 << 20)
+    assert out["v"]["decayed"] == 8.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        decayed_sum(df, "u", "ts", "v", ref_date="2024-01-31",
+                    half_life_days=0)
