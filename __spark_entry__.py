@@ -3547,6 +3547,46 @@ def _lm_dirichlet_oracle(terms: list[str], mu: float, k: int) -> str:
     """
 
 
+def _holt_oracle(series_sql: str, group: str, horizon: int) -> str:
+    """Generated DuckDB oracle for temporal.holt_forecast: the same
+    integer-quantized α=β=1/4 recursion as a recursive CTE.
+    ``series_sql`` must yield (g, t, v DECIMAL(18,4)); floor division
+    is the engine-independent ``(a - pmod(a,4))/4`` spelling."""
+
+    def fd(a: str) -> str:
+        return (
+            f"CAST((({a}) - ((({a}) % 4 + 4) % 4)) / 4 AS BIGINT)"
+        )
+
+    l_new = fd("s.x_q + 3 * (r.l + r.b)")
+    b_new = fd(f"({l_new} - r.l) + 3 * r.b")
+    return rf"""
+        WITH RECURSIVE series AS ({series_sql}), seq AS (
+          SELECT g, t, CAST(v * 10000 AS BIGINT) AS x_q,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS i
+          FROM series
+        ), rec AS (
+          SELECT g, t, i, x_q, x_q AS l, CAST(0 AS BIGINT) AS b,
+                 CAST(NULL AS BIGINT) AS pred
+          FROM seq WHERE i = 1
+          UNION ALL
+          SELECT s.g, s.t, s.i, s.x_q,
+                 {l_new} AS l,
+                 {b_new} AS b,
+                 r.l + r.b AS pred
+          FROM rec r JOIN seq s ON s.g = r.g AND s.i = r.i + 1
+        )
+        SELECT g AS {group}, t,
+               CAST(x_q AS DOUBLE) / 10000.0 AS x,
+               CAST(l AS DOUBLE) / 10000.0 AS level,
+               CAST(b AS DOUBLE) / 10000.0 AS trend,
+               CAST(pred AS DOUBLE) / 10000.0 AS one_step_pred,
+               CAST(l + {horizon} * b AS DOUBLE) / 10000.0
+                   AS forecast_h
+        FROM rec
+    """
+
+
 def _pii_audit_oracle() -> str:
     """UNION ALL of per-(table, column) counter aggregates mirroring
     profile.pii_audit over the same planted/raw inputs — patterns are
@@ -3741,6 +3781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_recency_weighted_value": _user_recency_weighted_value,
         "term_proximity_search": _term_proximity_search,
         "lang_confusion_matrix": _lang_confusion_matrix,
+        "revenue_holt_forecast": _revenue_holt_forecast,
+        "acctbal_quantile_normalized": _acctbal_quantile_normalized,
+        "customer_snm_pairs": _customer_snm_pairs,
+        "price_log2_histogram": _price_log2_histogram,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5325,6 +5369,78 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "revenue_holt_forecast": _holt_oracle(
+            r"""
+            SELECT n_name AS g,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                        AS BIGINT) AS t,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS v
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+            """,
+            "n_name",
+            3,
+        ),
+        "acctbal_quantile_normalized": rf"""
+            WITH ref AS (
+              SELECT c_acctbal AS value
+              FROM customer
+              ORDER BY {_knuth_sql('c_custkey')}, c_custkey
+              LIMIT 200
+            ), arr AS (
+              SELECT list_sort(list(CAST(value AS DOUBLE))) AS l
+              FROM ref
+            ), ranked AS (
+              SELECT c_custkey, c_mktsegment, c_acctbal,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS r,
+                     COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+              FROM customer
+            ), scored AS (
+              SELECT c_custkey, c_mktsegment, c_acctbal,
+                     CASE WHEN n > 1 THEN
+                       CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                     ELSE 0.0 END AS p
+              FROM ranked
+            )
+            SELECT c_custkey, c_mktsegment, c_acctbal, p,
+                   l[CAST(1 + floor(p * CAST(len(l) - 1 AS DOUBLE))
+                          AS INTEGER)] AS normalized
+            FROM scored, arr
+        """,
+        "customer_snm_pairs": r"""
+            WITH ranked AS (
+              SELECT c_custkey AS id, c_name AS name,
+                     substring(c_name, 1, 12) AS blk,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY substring(c_name, 1, 12)
+                         ORDER BY c_name, c_custkey) AS rn
+              FROM customer WHERE c_name IS NOT NULL
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.name AS name_a, b.name AS name_b,
+                   CAST(b.rn - a.rn AS INTEGER) AS rank_gap
+            FROM ranked a JOIN ranked b
+              ON a.blk = b.blk
+             AND b.rn - a.rn BETWEEN 1 AND 3
+        """,
+        "price_log2_histogram": r"""
+            WITH b AS (
+              SELECT length(printf('%b',
+                         CAST(floor(o_totalprice) AS BIGINT))) - 1
+                         AS bucket
+              FROM orders WHERE o_totalprice >= 1
+            )
+            SELECT CAST(bucket AS INTEGER) AS bucket,
+                   CAST((CAST(1 AS BIGINT) << bucket) AS BIGINT) AS lo,
+                   CAST((CAST(1 AS BIGINT) << bucket) * 2 - 1
+                        AS BIGINT) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY bucket
         """,
         "nation_theilsen_trend": r"""
             WITH monthly AS (
@@ -9002,16 +9118,13 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
 
 
-def _nation_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
-    """Robust trend (r7): per-nation Theil-Sen slope of monthly
-    revenue (profile.grouped_theil_sen — median of pairwise slopes
-    over the calendar-bounded monthly series; slopes are single
-    double divisions of exact decimal/integer inputs, medians are
-    sorted-array element picks — bit-portable throughout)."""
+def _monthly_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared (nation, month-index, exact decimal revenue) series for
+    the trend/forecast family."""
     orders, customer, nation = _tables(
         spark, sf, "orders", "customer", "nation"
     )
-    monthly = (
+    return (
         orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(nation),
@@ -9029,6 +9142,65 @@ def _nation_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
             .alias("v")
         )
     )
+
+
+def _revenue_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt level+trend forecast (r7): per-nation monthly revenue
+    smoothed with α=β=1/4 in exact integer arithmetic
+    (temporal.holt_forecast — dyadic floor-division updates, so the
+    recursion is bit-identical to the oracle's recursive CTE; the
+    one_step_pred column is the honest backtest series)."""
+    monthly = _monthly_nation_revenue(spark, sf)
+    return temporal.holt_forecast(
+        monthly, "n_name", "t", "v", horizon=3
+    )
+
+
+def _acctbal_quantile_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization (r7): per-segment account balances
+    remapped onto a deterministic bottom-k reference sample of the
+    global distribution (features.quantile_normalize — sorted
+    broadcast reference array + per-group rank windows; the key-pure
+    KMV sample makes the whole harmonization hash-checkable)."""
+    (customer,) = _tables(spark, sf, "customer")
+    ref = sampling.bottomk_sample(customer, "c_custkey", 200).select(
+        F.col("c_acctbal").alias("value")
+    )
+    out = features.quantile_normalize(
+        customer, "c_mktsegment", "c_acctbal", "c_custkey", ref
+    )
+    return out.select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "p", "normalized"
+    )
+
+
+def _customer_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (r7): within-block sort-order
+    neighbor pairs at window 3 (linkage.sorted_neighborhood_pairs —
+    per-block rank windows + an O(n·window) offset equi-join; the
+    second blocking strategy next to deletion neighborhoods)."""
+    (customer,) = _tables(spark, sf, "customer")
+    return linkage.sorted_neighborhood_pairs(
+        customer, "c_custkey", "c_name", window=3, block_chars=12
+    )
+
+
+def _price_log2_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-of-two magnitude histogram (r7): order totals bucketed by
+    ⌊log2⌋ via binary-string length — no libm log anywhere
+    (profile.log2_histogram), constant relative error, mergeable by
+    addition."""
+    (orders,) = _tables(spark, sf, "orders")
+    return profile.log2_histogram(orders, "o_totalprice")
+
+
+def _nation_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust trend (r7): per-nation Theil-Sen slope of monthly
+    revenue (profile.grouped_theil_sen — median of pairwise slopes
+    over the calendar-bounded monthly series; slopes are single
+    double divisions of exact decimal/integer inputs, medians are
+    sorted-array element picks — bit-portable throughout)."""
+    monthly = _monthly_nation_revenue(spark, sf)
     return profile.grouped_theil_sen(monthly, "n_name", "t", "v")
 
 

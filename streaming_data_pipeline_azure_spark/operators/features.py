@@ -115,3 +115,61 @@ def feature_hash_counts(
             F.countDistinct("token").alias("n_distinct_terms"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    ref: DataFrame,
+    ref_value_col: str = "value",
+    *,
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Quantile normalization against a REFERENCE SAMPLE: each row's
+    value is replaced by the reference-distribution value at the same
+    within-group percentile — the cross-batch / cross-instrument
+    harmonization step (make every group's score distribution look
+    like the reference's, so thresholds transfer).
+
+    Scale design: the textbook method ranks against the FULL global
+    distribution (a total sort — untenable at 100 TB). Here the
+    reference is a caller-supplied BOUNDED frame — typically a
+    deterministic :func:`~...sampling.bottomk_sample` of the target
+    distribution — collected lazily into ONE sorted broadcast array;
+    per-group ranks are ordinary windows; the lookup is
+    ``ref[1 + floor(p·(k−1))]`` with p = (rank−1)/(n−1) — row-local
+    codegen. Ranks tie-break on ``id_col`` for determinism; singleton
+    groups map to p = 0 (the reference minimum).
+
+    Appends ``p`` and ``out_col``; input columns pass through."""
+    from pyspark.sql import Window
+
+    arr = ref.agg(
+        F.sort_array(
+            F.collect_list(F.col(ref_value_col).cast("double"))
+        ).alias("__ref")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        *df.columns,
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    p = F.when(F.col("__n") > 1,
+               (F.col("__r") - 1).cast("double")
+               / (F.col("__n") - 1).cast("double")).otherwise(F.lit(0.0))
+    k = F.size("__ref")
+    idx = (F.lit(1) + F.floor(p * (k - 1).cast("double"))).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(arr))
+        .select(
+            *df.columns,
+            p.alias("p"),
+            F.element_at("__ref", idx).alias(out_col),
+        )
+    )

@@ -205,3 +205,66 @@ def jaro_winkler_score(
             yield out
 
     return pairs.mapInPandas(gen, schema=schema)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    *,
+    window: int,
+    block_chars: int,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort
+    records by the name key and pair each with its next ``window``
+    neighbors — the classic complement to deletion-neighborhood
+    blocking (:func:`fuzzy_match_pairs` catches CHARACTER edits; sorted
+    neighbors catch shared prefixes with divergent tails that no
+    single-deletion key joins).
+
+    Scale shape: a GLOBAL sort rank would serialize through one
+    partition, so the sort is scoped inside ``block_chars``-prefix
+    blocks (the standard blocked-SNM hybrid): per-block window ranks,
+    then an equi-join of (block, rank) against (block, rank+offset)
+    for offsets 1..window — shuffle O(n·window), never n². Pairs at a
+    block boundary are the method's documented blind spot; size
+    ``block_chars`` so blocks are large relative to ``window``.
+
+    Returns (id_a, id_b, name_a, name_b, rank_gap) where id_a is the
+    sort-order predecessor and rank_gap ∈ [1, window]."""
+    if window < 1:
+        raise ValueError("sorted_neighborhood_pairs needs window >= 1")
+    if block_chars < 1:
+        raise ValueError("sorted_neighborhood_pairs needs block_chars >= 1")
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        F.substring(F.col(name_col), 1, block_chars).alias("__blk"),
+    ).filter(F.col("__name").isNotNull())
+    w = Window.partitionBy("__blk").orderBy("__name", "__id")
+    ranked = base.select(
+        "__id", "__name", "__blk", F.row_number().over(w).alias("__rn")
+    )
+    probes = ranked.select(
+        F.col("__id").alias("id_a"),
+        F.col("__name").alias("name_a"),
+        "__blk",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, window + 1)])
+        ).alias("rank_gap"),
+        F.col("__rn").alias("__ra"),
+    ).withColumn("__rt", F.col("__ra") + F.col("rank_gap"))
+    rhs = ranked.select(
+        F.col("__id").alias("id_b"),
+        F.col("__name").alias("name_b"),
+        "__blk",
+        F.col("__rn").alias("__rt"),
+    )
+    # plain two-column equi-join (probe rank precomputed) — a column-
+    # expression self-join here would hit Spark's ambiguous-attribute
+    # "trivially true predicate" trap
+    return probes.join(rhs, ["__blk", "__rt"]).select(
+        "id_a", "id_b", "name_a", "name_b", "rank_gap"
+    )

@@ -862,3 +862,36 @@ def concentration_stats(
         ).alias("gini"),
         (F.col("__topc").cast("double") / tot).alias("top_share"),
     )
+
+
+def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """Power-of-two (HDR-style) magnitude histogram: values >= 1 bucket
+    by ⌊log2⌋ — the constant-relative-error latency/size histogram ops
+    dashboards use (exponential buckets, so a 6-order-of-magnitude
+    range needs ~20 rows, and per-bucket counts are mergeable across
+    shards by plain addition).
+
+    No floating log anywhere (libm rounding is engine-specific): the
+    exponent is ``length(binary(⌊v⌋)) − 1`` — exact integer arithmetic
+    any engine reproduces (DuckDB: ``length(printf('%b', x))``). One
+    conditional-aggregation scan; values < 1 or NULL are excluded
+    (report them upstream; sub-unit magnitudes have no nonnegative
+    exponent).
+
+    Returns (bucket, lo, hi, n) with [lo, hi] = [2^b, 2^(b+1)−1],
+    bucket-ascending rows only where n > 0."""
+    v = F.floor(F.col(value_col)).cast("long")
+    b = (F.length(F.bin(v)) - 1).cast("int")
+    counted = (
+        df.filter(F.col(value_col) >= 1)
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lo = F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+    return counted.select(
+        "bucket",
+        lo.alias("lo"),
+        (lo * 2 - 1).cast("long").alias("hi"),
+        "n",
+    )

@@ -1067,6 +1067,107 @@ def cusum_changepoints(
     )
 
 
+def holt_forecast(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    *,
+    horizon: int = 1,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) with α = β =
+    1/4, in EXACT INTEGER arithmetic — the classic short-range
+    forecaster, made bit-portable by construction:
+
+    - inputs quantize losslessly: DECIMAL(18,4) × 10000 → int64
+      ten-thousandths;
+    - the dyadic smoothing constants turn each update into one
+      add-multiply and one FLOOR DIVISION by 4 —
+      ``fd(a) = (a − pmod(a,4)) / 4`` — computed identically by every
+      engine (a float recursion would drift ulps per step, and
+      decimal-cast rounding is NOT cross-engine portable: DuckDB
+      truncates where Spark rounds half-up);
+    - updates: l_t = fd(x_t + 3·(l+b)),  b_t = fd((l_t − l) + 3·b),
+      seeded l_1 = x_1, b_1 = 0.
+
+    Same shape contract as :func:`cusum_changepoints`: one per-group
+    sorted-array collect (series bounded by the calendar) + one HOF
+    fold emitting every step. Returns (group, t, x, level, trend,
+    one_step_pred, forecast_h) — one_step_pred is l+b BEFORE seeing
+    x_t (the honest backtest column; NULL at the seed step),
+    forecast_h = level + horizon·trend FROM each step, all as doubles
+    de-quantized by /10⁴."""
+    if horizon < 0:
+        raise ValueError("holt_forecast needs horizon >= 0")
+    x_q = (
+        F.col(value_col).cast("decimal(18,4)") * F.lit(10000)
+    ).cast("long")
+    t_type = df.select(F.col(t_col)).schema[0].dataType.simpleString()
+    one_row = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).alias("__t"),
+        x_q.alias("__x"),
+    ).groupBy("g").agg(
+        F.sort_array(F.collect_list(F.struct("__t", "__x"))).alias(
+            "__s"
+        )
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("l"),
+        F.lit(None).cast("long").alias("b"),
+        F.array()
+        .cast(
+            f"array<struct<__t:{t_type},__x:long,l:long,b:long,"
+            "pred:long>>"
+        )
+        .alias("out"),
+    )
+
+    def fd4(a):
+        return ((a - F.pmod(a, F.lit(4))) / F.lit(4)).cast("long")
+
+    def step(acc, e):
+        seeded = acc["l"].isNotNull()
+        l_new = F.when(
+            seeded, fd4(e["__x"] + F.lit(3) * (acc["l"] + acc["b"]))
+        ).otherwise(e["__x"])
+        b_new = F.when(
+            seeded, fd4((l_new - acc["l"]) + F.lit(3) * acc["b"])
+        ).otherwise(F.lit(0).cast("long"))
+        pred = F.when(seeded, acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["__t"].alias("__t"),
+                        e["__x"].alias("__x"),
+                        l_new.alias("l"),
+                        b_new.alias("b"),
+                        pred.cast("long").alias("pred"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = one_row.select(
+        "g", F.aggregate("__s", init, step)["out"].alias("__out")
+    )
+    dq = lambda c: c.cast("double") / F.lit(10000.0)  # noqa: E731
+    e = F.col("__e")
+    return folded.select("g", F.explode("__out").alias("__e")).select(
+        F.col("g").alias(group_col),
+        e["__t"].alias(t_col),
+        dq(e["__x"]).alias("x"),
+        dq(e["l"]).alias("level"),
+        dq(e["b"]).alias("trend"),
+        dq(e["pred"]).alias("one_step_pred"),
+        dq(e["l"] + F.lit(horizon) * e["b"]).alias("forecast_h"),
+    )
+
+
 def rfm_segments(
     orders: DataFrame,
     customer_col: str,

@@ -58,3 +58,26 @@ def test_feature_hash_bucket_matches_md5_reference(spark):
     expected = int(hashlib.md5(b"spark").hexdigest()[:8], 16) % 64
     assert row["bucket"] == expected
     assert row["n_tokens"] == 1
+
+
+def test_quantile_normalize_maps_group_ranks_to_reference(spark):
+    """Each group's min/max map to the reference min/max; mid ranks hit
+    interior reference quantiles; singleton groups map to p=0."""
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "A", 50.0), (3, "A", 500.0),
+         (4, "B", -1.0), (5, "B", 99.0),
+         (6, "C", 7.0)],
+        "id long, g string, v double",
+    )
+    ref = spark.createDataFrame(
+        [(10.0,), (20.0,), (30.0,), (40.0,), (50.0,)], "value double"
+    )
+    out = {r["id"]: r for r in features.quantile_normalize(
+        df, "g", "v", "id", ref
+    ).collect()}
+    assert out[1]["normalized"] == 10.0 and out[1]["p"] == 0.0
+    assert out[2]["normalized"] == 30.0 and out[2]["p"] == 0.5
+    assert out[3]["normalized"] == 50.0 and out[3]["p"] == 1.0
+    assert out[4]["normalized"] == 10.0
+    assert out[5]["normalized"] == 50.0
+    assert out[6]["normalized"] == 10.0 and out[6]["p"] == 0.0

@@ -204,3 +204,24 @@ def test_jaro_winkler_bit_parity_with_duckdb(spark):
             "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
         ).fetchone()[0]
         assert struct.pack("<d", got[i]) == struct.pack("<d", want), (a, b)
+
+
+def test_sorted_neighborhood_pairs_window_and_blocks(spark):
+    """Neighbors within the window pair up inside a block; cross-block
+    pairs never form (the documented boundary blind spot); rank_gap is
+    the sort distance."""
+    df = spark.createDataFrame(
+        [(1, "aa1"), (2, "aa2"), (3, "aa3"), (4, "aa4"), (5, "bb1")],
+        "id long, name string",
+    )
+    pairs = linkage.sorted_neighborhood_pairs(
+        df, "id", "name", window=2, block_chars=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["rank_gap"] for r in pairs}
+    assert got == {
+        (1, 2): 1, (1, 3): 2, (2, 3): 1, (2, 4): 2, (3, 4): 1,
+    }
+    with pytest.raises(ValueError):
+        linkage.sorted_neighborhood_pairs(
+            df, "id", "name", window=0, block_chars=2
+        )

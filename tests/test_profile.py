@@ -421,3 +421,21 @@ def test_grouped_theil_sen_outlier_resistance(spark):
     # B is clean linear: all slopes exactly 2
     assert out["B"]["slope"] == 2.0 and out["B"]["n_points"] == 3
     assert "C" not in out  # singleton: no pairs
+
+
+def test_log2_histogram_buckets_and_bounds(spark):
+    """Exact power-of-two buckets from binary length; sub-unit values
+    excluded; bounds are [2^b, 2^(b+1)-1]."""
+    df = spark.createDataFrame(
+        [(1.0,), (1.9,), (2.0,), (3.99,), (4.0,), (255.0,), (256.0,),
+         (0.5,), (0.0,)],
+        "v double",
+    )
+    out = {r["bucket"]: r for r in
+           profile.log2_histogram(df, "v").collect()}
+    assert out[0]["n"] == 2 and out[0]["lo"] == 1 and out[0]["hi"] == 1
+    assert out[1]["n"] == 2 and out[1]["lo"] == 2 and out[1]["hi"] == 3
+    assert out[2]["n"] == 1
+    assert out[7]["n"] == 1 and out[7]["lo"] == 128
+    assert out[8]["n"] == 1 and out[8]["lo"] == 256
+    assert sum(r["n"] for r in out.values()) == 7  # 0.5 and 0.0 excluded

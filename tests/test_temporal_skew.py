@@ -974,3 +974,32 @@ def test_decayed_sum_dyadic_weights_and_quantization(spark):
     with pytest.raises(ValueError):
         decayed_sum(df, "u", "ts", "v", ref_date="2024-01-31",
                     half_life_days=0)
+
+
+def test_holt_forecast_integer_recursion(spark):
+    """Hand-checked alpha=beta=1/4 updates on a tiny series; seed step
+    (l=x1, b=0, pred NULL); forecast_h = level + h*trend."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        holt_forecast,
+    )
+
+    rows = [("g", 1, 10.0), ("g", 2, 14.0), ("g", 3, 18.0)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {r["t"]: r for r in holt_forecast(
+        df, "g", "t", "v", horizon=2
+    ).collect()}
+    # quantized: x1=100000 -> l=100000, b=0, pred NULL
+    assert out[1]["level"] == 10.0 and out[1]["trend"] == 0.0
+    assert out[1]["one_step_pred"] is None
+    # step2: l = fd(140000 + 3*100000) = 110000; b = fd(10000) = 2500
+    assert out[2]["level"] == 11.0 and out[2]["trend"] == 0.25
+    assert out[2]["one_step_pred"] == 10.0
+    # step3: l = fd(180000 + 3*112500) = 129375
+    #        b = fd((129375-110000) + 7500) = 6718 (floor)
+    assert out[3]["level"] == 12.9375
+    assert out[3]["trend"] == 0.6718
+    assert out[3]["forecast_h"] == 12.9375 + 2 * 0.6718
+    import pytest
+
+    with pytest.raises(ValueError):
+        holt_forecast(df, "g", "t", "v", horizon=-1)
