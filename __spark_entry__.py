@@ -3785,6 +3785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quantile_normalized": _acctbal_quantile_normalized,
         "customer_snm_pairs": _customer_snm_pairs,
         "price_log2_histogram": _price_log2_histogram,
+        "priority_winsorized_price": _priority_winsorized_price,
+        "user_interevent_stats": _user_interevent_stats,
+        "doc_vocab_growth": _doc_vocab_growth,
+        "contamination_matrix": _contamination_matrix,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5369,6 +5373,139 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "priority_winsorized_price": r"""
+            WITH base AS (
+              SELECT o_orderpriority AS g,
+                     CAST(o_totalprice AS DECIMAL(18,4)) AS v
+              FROM orders
+            ), ranked AS (
+              SELECT g, v,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS r,
+                     COUNT(*) OVER (PARTITION BY g) AS n
+              FROM base
+            ), bounds AS (
+              SELECT g, MIN(v) AS lo, MAX(v) AS hi
+              FROM ranked
+              WHERE r = greatest(CAST(ceil(0.05
+                        * CAST(n AS DOUBLE)) AS BIGINT), 1)
+                 OR r = CAST(ceil(0.95 * CAST(n AS DOUBLE)) AS BIGINT)
+              GROUP BY g
+            ), clip AS (
+              -- CASE, not least/greatest: DuckDB's least/greatest
+              -- promote DECIMAL to DOUBLE (exactness lost)
+              SELECT b.g, v,
+                     CASE WHEN v < lo THEN lo
+                          WHEN v > hi THEN hi
+                          ELSE v END AS w, lo, hi
+              FROM base b JOIN bounds USING (g)
+            )
+            SELECT g AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(lo) AS lo, MIN(hi) AS hi,
+                   CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+                   CAST(CAST(SUM(w) AS VARCHAR) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
+            FROM clip GROUP BY g
+        """,
+        "user_interevent_stats": r"""
+            WITH gaps AS (
+              SELECT user_id,
+                     epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts)) AS gap
+              FROM events
+            ), g AS (
+              SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL
+            ), agg AS (
+              SELECT user_id, COUNT(*) AS n_raw, SUM(gap) AS s_raw,
+                     SUM(CAST(gap AS DECIMAL(38,0))
+                         * CAST(gap AS DECIMAL(38,0))) AS ss_raw
+              FROM g GROUP BY user_id
+            ), conv AS (
+              SELECT user_id, n_raw,
+                     CAST(n_raw AS DOUBLE) AS n,
+                     CAST(s_raw AS DOUBLE) AS s,
+                     CAST(CAST(ss_raw AS VARCHAR) AS DOUBLE) AS ss
+              FROM agg
+            ), fin AS (
+              SELECT user_id, n_raw,
+                     s / n AS mu,
+                     sqrt(n * ss - s * s) / n AS sigma
+              FROM conv
+            )
+            SELECT user_id, CAST(n_raw AS BIGINT) AS n_gaps,
+                   mu / 1000000.0 AS mean_gap_s,
+                   sigma / 1000000.0 AS std_gap_s,
+                   CASE WHEN (sigma + mu) > 0 THEN
+                     (sigma - mu) / (sigma + mu)
+                   END AS burstiness
+            FROM fin
+        """,
+        "doc_vocab_growth": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), tokrows AS (
+              SELECT doc_id,
+                     unnest([array_to_string(toks[i:i+2], ' ')
+                             FOR i IN range(1,
+                                 greatest(len(toks)-2, 0) + 1)]) AS t
+              FROM norm
+            ), firsts AS (
+              SELECT t, MIN(doc_id) AS f FROM tokrows GROUP BY t
+            ), rng AS (
+              SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+              FROM documents
+            ), per AS (
+              SELECT CAST(floor(10 * CAST(f - lo AS DOUBLE)
+                         / CAST(hi - lo + 1 AS DOUBLE)) AS INTEGER)
+                         AS slice_idx,
+                     COUNT(*) AS new_terms
+              FROM firsts, rng GROUP BY 1
+            )
+            SELECT slice_idx, CAST(new_terms AS BIGINT) AS new_terms,
+                   CAST(SUM(new_terms) OVER (ORDER BY slice_idx
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS vocab_size
+            FROM per
+        """,
+        "contamination_matrix": r"""
+            WITH norm AS (
+              SELECT doc_id, source,
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS h,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, source, h,
+                     unnest(list_distinct([
+                        array_to_string(toks[i:i+3], ' ')
+                        FOR i IN range(1, greatest(len(toks)-3, 0) + 1)
+                     ])) AS gram
+              FROM norm
+            ), ev AS (
+              SELECT DISTINCT
+                     CASE WHEN h < '0ccccccc' THEN 'eval_a'
+                          ELSE 'eval_b' END AS eval_set,
+                     gram
+              FROM grams WHERE h < '19999998'
+            ), train AS (
+              SELECT doc_id, source, gram FROM grams
+              WHERE h >= '19999998'
+            )
+            SELECT source, eval_set,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                       AS n_docs_hit,
+                   CAST(COUNT(DISTINCT gram) AS BIGINT)
+                       AS n_shared_grams
+            FROM train JOIN ev USING (gram)
+            GROUP BY source, eval_set
         """,
         "revenue_holt_forecast": _holt_oracle(
             r"""
@@ -9116,6 +9253,76 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
         customer, "c_mktsegment", "c_acctbal"
     )
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
+
+
+def _priority_winsorized_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization audit (r7): per-priority order totals clipped at
+    the exact within-group [p5, p95] values, mean before vs after
+    (profile.winsorized_stats — rank window picks the two bound rows,
+    clip is codegen least/greatest inside the decimal domain)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return profile.winsorized_stats(
+        orders, "o_orderpriority", "o_totalprice"
+    )
+
+
+def _user_interevent_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral tempo features (r7): per-user inter-event gap mean /
+    std / Goh-Barabási burstiness from exact integer-microsecond gaps
+    (temporal.interevent_stats — one lag window + one aggregation;
+    Σgap² rides DECIMAL(38,0) past int64)."""
+    return temporal.interevent_stats(_events(spark, sf), "user_id", "ts")
+
+
+def _doc_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law curve (r7): cumulative 3-GRAM vocabulary across ten
+    corpus slices (corpus.vocab_growth_curve — cumulative-distinct
+    collapsed to one term→min(doc) aggregation + an O(slices) running
+    sum; 3-gram space because this corpus' unigram vocab saturates in
+    slice 0, which is exactly the saturation signal the curve
+    reports)."""
+    return corpus.vocab_growth_curve(_docs(spark, sf), ngram=3)
+
+
+def _contamination_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-eval decontamination report (r7): which SOURCE leaks into
+    which EVAL SET — distinct 4-gram overlap between two hash-sliced
+    eval sets and the remaining corpus, per (source, eval_set); the
+    matrix form of decontaminate_ngrams (same broadcast-eval-grams
+    shape, one corpus-side aggregation)."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+        word_ngrams,
+    )
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
+            "__h"
+        ),
+        F.array_distinct(word_ngrams(_norm_tokens("text"), 4)).alias(
+            "__grams"
+        ),
+    )
+    t1, t2 = "0ccccccc", "19999998"
+    ev = docs.filter(F.col("__h") < t2).select(
+        F.when(F.col("__h") < t1, F.lit("eval_a"))
+        .otherwise(F.lit("eval_b"))
+        .alias("eval_set"),
+        F.explode("__grams").alias("gram"),
+    ).distinct()
+    train = docs.filter(F.col("__h") >= t2).select(
+        "doc_id", "source", F.explode("__grams").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("source", "eval_set")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs_hit"),
+            F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+        )
+    )
 
 
 def _monthly_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:

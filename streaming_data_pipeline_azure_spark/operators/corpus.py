@@ -766,3 +766,73 @@ def dedup_sentences(
         .alias("n_removed"),
         F.md5(F.concat_ws(". ", kept)).alias("cleaned_fp"),
     )
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_slices: int = 10,
+    ngram: int = 1,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct-token count
+    after each successive slice of the corpus (by ``id_col`` order) —
+    the dataset-card curve that says whether a corpus is still
+    contributing new vocabulary or re-treading itself (a flattening
+    curve is the classic saturated-crawl signal).
+
+    The cumulative-distinct problem collapses to FIRST OCCURRENCES:
+    a term enters the vocabulary in the slice of its minimum doc id —
+    so ONE (term → min(id)) aggregation (map-side combined) plus an
+    O(n_slices) running sum replaces any notion of scanning prefixes
+    repeatedly. Slices are equal id-RANGE buckets
+    ``floor(n_slices·(id − min)/(max − min + 1))`` — pure arithmetic
+    from one min/max row, no global rank window (dense ids make them
+    equal-count; sparse ids make them equal-id-range, documented).
+
+    Returns (slice_idx, new_terms, vocab_size) for non-empty slices,
+    slice-ascending; vocab_size is the running total."""
+    if n_slices < 1:
+        raise ValueError("vocab_growth_curve needs n_slices >= 1")
+    if ngram < 1:
+        raise ValueError("vocab_growth_curve needs ngram >= 1")
+    from pyspark.sql import Window
+
+    # ``ngram`` > 1 tracks n-gram vocabulary instead of unigrams — the
+    # right lens when the unigram vocab saturates immediately (tiny or
+    # templated corpora): phrase-space keeps growing long after
+    # word-space flattens, which is what the curve is for.
+    terms = (
+        _norm_tokens(text_col)
+        if ngram == 1
+        else word_ngrams(_norm_tokens(text_col), ngram)
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(terms).alias("__t"),
+    )
+    firsts = toks.groupBy("__t").agg(F.min("__id").alias("__first"))
+    rng = df.agg(
+        F.min(F.col(id_col)).cast("long").alias("__lo"),
+        F.max(F.col(id_col)).cast("long").alias("__hi"),
+    )
+    sl = F.floor(
+        F.lit(n_slices)
+        * (F.col("__first") - F.col("__lo")).cast("double")
+        / (F.col("__hi") - F.col("__lo") + 1).cast("double")
+    ).cast("int")
+    per_slice = (
+        firsts.crossJoin(F.broadcast(rng))
+        .select(sl.alias("slice_idx"))
+        .groupBy("slice_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("slice_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_slice.select(
+        "slice_idx",
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+    )

@@ -895,3 +895,74 @@ def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
         (lo * 2 - 1).cast("long").alias("hi"),
         "n",
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization report: exact percentile clip bounds
+    (the LOWER percentile — value at 1-based rank ⌈p·n⌉) and the
+    group mean BEFORE vs AFTER clipping to [lo, hi] — the standard
+    tail-taming transform for heavy-tailed metrics, with the
+    before/after delta as the audit artifact (how much did the tails
+    move the mean).
+
+    Two passes over the per-group data (rank window to pick the two
+    bound rows, then one clipped aggregation with the O(groups) bounds
+    broadcast back); all means flow through exact DECIMAL(18,4) sums
+    (clip bounds are existing data values, so clipping stays inside
+    the decimal domain — no rounding anywhere before the final
+    division). Returns (group, n, lo, hi, mean_raw, mean_winsorized).
+    """
+    if not (0 <= p_lo < p_hi <= 1):
+        raise ValueError("winsorized_stats needs 0 <= p_lo < p_hi <= 1")
+    from pyspark.sql import Window
+
+    d = F.col(value_col).cast("decimal(18,4)")
+    base = df.select(
+        F.col(group_col).alias("__g"), d.alias("__v")
+    )
+    w = Window.partitionBy("__g").orderBy("__v")
+    wn = Window.partitionBy("__g")
+    ranked = base.select(
+        "__g",
+        "__v",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    r_lo = F.ceil(F.lit(p_lo) * F.col("__n").cast("double")).cast("long")
+    r_hi = F.ceil(F.lit(p_hi) * F.col("__n").cast("double")).cast("long")
+    bounds = (
+        ranked.filter(
+            (F.col("__r") == F.greatest(r_lo, F.lit(1)))
+            | (F.col("__r") == r_hi)
+        )
+        .groupBy("__g")
+        .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    )
+    clipped = base.join(F.broadcast(bounds), "__g").select(
+        "__g",
+        "__v",
+        F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi"))
+        .alias("__w"),
+        "__lo",
+        "__hi",
+    )
+    return clipped.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("__lo").alias("lo"),
+        F.min("__hi").alias("hi"),
+        (
+            F.sum("__v").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_raw"),
+        (
+            F.sum("__w").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_winsorized"),
+    ).withColumnRenamed("__g", group_col)

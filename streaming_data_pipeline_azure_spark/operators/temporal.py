@@ -1376,3 +1376,49 @@ def ohlc(
             "total_value"
         ),
     )
+
+
+def interevent_stats(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Per-key inter-event time statistics + burstiness: gaps between
+    consecutive events (one lag window per key), their mean and
+    population std in seconds, and the Goh-Barabási burstiness
+    B = (σ − μ)/(σ + μ) — the one-number tempo signature (-1 periodic
+    metronome, 0 Poisson, →1 bursty), the behavioral feature churn and
+    bot models start from.
+
+    Exactness: gaps are integer MICROSECONDS (no float time math);
+    Σgap stays int64, Σgap² accumulates as DECIMAL(38,0) (a 30-day gap
+    squares past int64); mean/std/burstiness are fixed double
+    expressions of those exact sums. Keys with < 2 events are absent
+    (no gaps). One window pass + one aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = df.select(
+        F.col(key_col), (us - F.lag(us).over(w)).alias("__gap")
+    ).filter(F.col("__gap").isNotNull())
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("__gap").cast("long").alias("__s"),
+        F.sum(
+            F.col("__gap").cast("decimal(38,0)")
+            * F.col("__gap").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__ss"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    sigma = F.sqrt(n * ss - s * s) / n
+    mu = s / n
+    return agg.select(
+        key_col,
+        "n_gaps",
+        (mu / F.lit(1_000_000.0)).alias("mean_gap_s"),
+        (sigma / F.lit(1_000_000.0)).alias("std_gap_s"),
+        F.when(
+            (sigma + mu) > 0, (sigma - mu) / (sigma + mu)
+        ).alias("burstiness"),
+    )

@@ -463,3 +463,29 @@ def test_dedup_sentences_first_occurrence_and_fp(spark):
     want = hashlib.md5(b"hello there. bye").hexdigest()
     assert out[1]["cleaned_fp"] == want
     assert out[2]["n_removed"] == 0
+
+
+def test_vocab_growth_curve_first_occurrence_slices(spark):
+    """Terms count once, in the slice of their first appearance; the
+    running total is the cumulative distinct vocabulary; dense ids
+    split into equal slices."""
+    from streaming_data_pipeline_azure_spark.operators import corpus as cp
+
+    rows = [
+        (0, "aa bb"), (1, "aa cc"),          # slice 0: aa bb cc
+        (2, "bb cc"), (3, "dd"),             # slice 1: dd
+        (4, "aa"), (5, "ee ff"),             # slice 2: ee ff
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["slice_idx"]: r for r in
+           cp.vocab_growth_curve(df, n_slices=3).collect()}
+    assert out[0]["new_terms"] == 3
+    assert out[1]["new_terms"] == 1
+    assert out[2]["new_terms"] == 2
+    assert out[2]["vocab_size"] == 6
+    import pytest
+
+    with pytest.raises(ValueError):
+        cp.vocab_growth_curve(df, n_slices=0)
+    with pytest.raises(ValueError):
+        cp.vocab_growth_curve(df, ngram=0)

@@ -439,3 +439,23 @@ def test_log2_histogram_buckets_and_bounds(spark):
     assert out[7]["n"] == 1 and out[7]["lo"] == 128
     assert out[8]["n"] == 1 and out[8]["lo"] == 256
     assert sum(r["n"] for r in out.values()) == 7  # 0.5 and 0.0 excluded
+
+
+def test_winsorized_stats_clips_tails_exactly(spark):
+    """Known 20-value group: p5/p95 bounds are the rank-1/rank-19
+    values; the clipped mean moves toward the center; bounds are real
+    data values."""
+    vals = list(range(1, 20)) + [1000]  # one wild tail value
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "g string, v double")
+    (row,) = profile.winsorized_stats(df, "g", "v").collect()
+    # n=20: r_lo = ceil(0.05*20) = 1 -> lo = 1; r_hi = ceil(19) = 19
+    assert float(row["lo"]) == 1.0
+    assert float(row["hi"]) == 19.0
+    assert row["mean_raw"] == sum(vals) / 20
+    want = (sum(range(1, 20)) + 19) / 20  # 1000 clips to 19
+    assert row["mean_winsorized"] == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        profile.winsorized_stats(df, "g", "v", p_lo=0.9, p_hi=0.1)

@@ -1003,3 +1003,27 @@ def test_holt_forecast_integer_recursion(spark):
 
     with pytest.raises(ValueError):
         holt_forecast(df, "g", "t", "v", horizon=-1)
+
+
+def test_interevent_stats_burstiness_signatures(spark):
+    """A perfectly periodic key -> std 0, burstiness -1; a bursty key
+    (many tiny gaps + one huge) -> burstiness > 0; exact micros."""
+    import datetime as dtm
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        interevent_stats,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [("p", t0 + dtm.timedelta(seconds=10 * i)) for i in range(5)]
+    burst = [("b", t0 + dtm.timedelta(seconds=s))
+             for s in [0, 1, 2, 3, 4, 10000]]
+    df = spark.createDataFrame(rows + burst, "u string, ts timestamp")
+    out = {r["u"]: r for r in interevent_stats(df, "u", "ts").collect()}
+    assert out["p"]["mean_gap_s"] == 10.0
+    assert out["p"]["std_gap_s"] == 0.0
+    assert out["p"]["burstiness"] == -1.0
+    assert out["b"]["n_gaps"] == 5
+    # max attainable B at n gaps is (sqrt(n-1)-1)/(sqrt(n-1)+1) = 1/3
+    # for n=5 — one giant gap hits it (to float rounding)
+    assert out["b"]["burstiness"] > 0.33
