@@ -3789,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_interevent_stats": _user_interevent_stats,
         "doc_vocab_growth": _doc_vocab_growth,
         "contamination_matrix": _contamination_matrix,
+        "search_snippets": _search_snippets,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5374,6 +5375,42 @@ def oracle_sql() -> dict[str, str]:
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
         """,
+        "search_snippets": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, u.p, u.t
+              FROM norm,
+                   LATERAL (SELECT unnest([{'p': i - 1, 't': toks[i]}
+                       FOR i IN range(1, len(toks) + 1)
+                       IF list_contains(['hash', 'join', 'spark'],
+                                        toks[i])], recursive := true)
+                   ) AS u(p, t)
+            ), scored AS (
+              SELECT a.doc_id, a.p AS anchor,
+                     COUNT(DISTINCT q.t) AS n
+              FROM hits a JOIN hits q
+                ON a.doc_id = q.doc_id
+               AND q.p >= a.p AND q.p < a.p + 12
+              GROUP BY a.doc_id, a.p
+            ), best AS (
+              SELECT doc_id, anchor, n,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY n DESC, anchor) AS rk
+              FROM scored
+            )
+            SELECT b.doc_id,
+                   CAST(anchor AS BIGINT) AS start_pos,
+                   CAST(n AS BIGINT) AS n_query_terms,
+                   array_to_string(toks[anchor + 1 : anchor + 12],
+                                   ' ') AS snippet
+            FROM best b JOIN norm USING (doc_id)
+            WHERE rk = 1
+        """,
         "priority_winsorized_price": r"""
             WITH base AS (
               SELECT o_orderpriority AS g,
@@ -5489,22 +5526,27 @@ def oracle_sql() -> dict[str, str]:
                         FOR i IN range(1, greatest(len(toks)-3, 0) + 1)
                      ])) AS gram
               FROM norm
+            ), hashed AS (
+              SELECT doc_id, source, h,
+                     CAST(('0x' || substr(md5(gram), 1, 15))::UBIGINT
+                          AS BIGINT) AS g
+              FROM grams
             ), ev AS (
               SELECT DISTINCT
                      CASE WHEN h < '0ccccccc' THEN 'eval_a'
                           ELSE 'eval_b' END AS eval_set,
-                     gram
-              FROM grams WHERE h < '19999998'
+                     g
+              FROM hashed WHERE h < '19999998'
             ), train AS (
-              SELECT doc_id, source, gram FROM grams
+              SELECT doc_id, source, g FROM hashed
               WHERE h >= '19999998'
             )
             SELECT source, eval_set,
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT)
                        AS n_docs_hit,
-                   CAST(COUNT(DISTINCT gram) AS BIGINT)
+                   CAST(COUNT(DISTINCT g) AS BIGINT)
                        AS n_shared_grams
-            FROM train JOIN ev USING (gram)
+            FROM train JOIN ev USING (g)
             GROUP BY source, eval_set
         """,
         "revenue_holt_forecast": _holt_oracle(
@@ -9255,6 +9297,17 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
 
 
+def _search_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    """KWIC snippet extraction (r7): per matching doc, the 12-token
+    window holding the most distinct query terms, earliest-tie
+    (search.best_snippets — anchors only at term positions, window
+    pairing via the band-join bucket trick, one max_by; snippet text
+    is a row-local slice)."""
+    return search.best_snippets(
+        _docs(spark, sf), ["hash", "join", "spark"], window=12
+    )
+
+
 def _priority_winsorized_price(spark: SparkSession, sf: str) -> DataFrame:
     """Winsorization audit (r7): per-priority order totals clipped at
     the exact within-group [p5, p95] values, mean before vs after
@@ -9295,32 +9348,54 @@ def _contamination_matrix(spark: SparkSession, sf: str) -> DataFrame:
         word_ngrams,
     )
 
-    docs = _docs(spark, sf).select(
-        "doc_id",
-        "source",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
-            "__h"
-        ),
-        F.array_distinct(word_ngrams(_norm_tokens("text"), 4)).alias(
-            "__grams"
-        ),
+    # grams reduce to PORTABLE 60-bit md5-prefix hashes before anything
+    # shuffles (the span-dedup discipline: 8-byte keys, not strings);
+    # the oracle applies the IDENTICAL hash, so even a collision would
+    # collapse the same two grams in both engines — counts stay
+    # hash-equal by construction
+    gram_h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    # gram construction (normalize + 4-gram concat per doc) is the
+    # expensive scan and BOTH branches need it — checkpoint the hashed
+    # gram rows once so eval and train filter a materialized 8-byte-key
+    # frame instead of re-running the string pipeline (the
+    # frequent_triples multi-consumer precedent)
+    hashed = (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            "source",
+            F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 8
+            ).alias("__h"),
+            F.explode(
+                F.array_distinct(word_ngrams(_norm_tokens("text"), 4))
+            ).alias("gram"),
+        )
+        .select("doc_id", "source", "__h", gram_h.alias("__g"))
+        .localCheckpoint(eager=False)
     )
     t1, t2 = "0ccccccc", "19999998"
-    ev = docs.filter(F.col("__h") < t2).select(
-        F.when(F.col("__h") < t1, F.lit("eval_a"))
-        .otherwise(F.lit("eval_b"))
-        .alias("eval_set"),
-        F.explode("__grams").alias("gram"),
-    ).distinct()
-    train = docs.filter(F.col("__h") >= t2).select(
-        "doc_id", "source", F.explode("__grams").alias("gram")
+    ev = (
+        hashed.filter(F.col("__h") < t2)
+        .select(
+            F.when(F.col("__h") < t1, F.lit("eval_a"))
+            .otherwise(F.lit("eval_b"))
+            .alias("eval_set"),
+            "__g",
+        )
+        .distinct()
+    )
+    train = hashed.filter(F.col("__h") >= t2).select(
+        "doc_id", "source", "__g"
     )
     return (
-        train.join(F.broadcast(ev), "gram")
+        train.join(F.broadcast(ev), "__g")
         .groupBy("source", "eval_set")
         .agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs_hit"),
-            F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+            F.countDistinct("__g").cast("long").alias("n_shared_grams"),
         )
     )
 

@@ -285,6 +285,96 @@ def term_proximity_topk(
     )
 
 
+def best_snippets(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    window: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """KWIC snippet selection: for every document matching >= 1 query
+    term, the ``window``-token span with the MOST DISTINCT query terms
+    (ties → earliest span) — the highlighted-excerpt stage a search UI
+    runs over the top-k, as a deterministic batch operator.
+
+    Candidate spans anchor at term positions (the classical reduction:
+    an optimal window can always be shifted left until it starts on a
+    hit, so only O(postings) anchors exist — never every position).
+    Anchor×hit pairing uses the :func:`~...temporal.band_join` bucket
+    trick on ⌊pos/window⌋ (equi-join + post-filter 0 <= q−p < window),
+    so the whole operator is O(postings in window) — no positions².
+    The winning span per doc is one ``max_by`` aggregation; the
+    snippet text is a row-local array slice. Integer positions and
+    counts throughout — bit-portable.
+
+    Returns (id, start_pos, n_query_terms, snippet) — start_pos
+    0-based, snippet = the window's tokens space-joined."""
+    if window < 1:
+        raise ValueError("best_snippets needs window >= 1")
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("best_snippets needs at least one term")
+    base = df.select(
+        F.col(id_col), _norm_tokens(text_col).alias("__toks")
+    )
+    hits = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col("__toks"),
+                lambda t: F.when(
+                    t.isin(*terms) if len(terms) > 1 else t == terms[0],
+                    t,
+                ),
+            )
+        ).alias("__p", "__t"),
+    ).filter(F.col("__t").isNotNull())
+    anchors = hits.select(
+        F.col(id_col),
+        F.col("__p").alias("__a"),
+        F.floor(F.col("__p") / F.lit(window)).alias("__b"),
+    )
+    probes = anchors.select(
+        id_col,
+        "__a",
+        F.explode(
+            F.array(F.col("__b"), F.col("__b") + 1)
+        ).alias("__b"),
+    )
+    in_window = probes.join(
+        hits.withColumn(
+            "__b", F.floor(F.col("__p") / F.lit(window))
+        ),
+        [id_col, "__b"],
+    ).filter(
+        (F.col("__p") >= F.col("__a"))
+        & (F.col("__p") < F.col("__a") + window)
+    )
+    scored = in_window.groupBy(id_col, "__a").agg(
+        F.countDistinct("__t").cast("long").alias("__n")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(
+                F.col("__a").alias("a"), F.col("__n").alias("n")
+            ),
+            F.struct(F.col("__n").alias("n"), (-F.col("__a")).alias("na")),
+        ).alias("__best")
+    )
+    return best.join(base, id_col).select(
+        F.col(id_col),
+        F.col("__best.a").cast("long").alias("start_pos"),
+        F.col("__best.n").alias("n_query_terms"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__toks"), F.col("__best.a") + 1, window
+            ),
+        ).alias("snippet"),
+    )
+
+
 def rank_agreement(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

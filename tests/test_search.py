@@ -388,3 +388,34 @@ def test_term_proximity_counts_pairs_within_window(spark):
         search.term_proximity_topk(df, "spark", "spark", window=2)
     with pytest.raises(ValueError):
         search.term_proximity_topk(df, "a", "b", window=0)
+
+
+def test_best_snippets_picks_densest_earliest_window(spark):
+    """The window with the most DISTINCT terms wins; ties go to the
+    earliest anchor; anchors sit on hits; snippet slices the real
+    tokens."""
+    df = spark.createDataFrame(
+        [
+            # terms at 0 ('spark') and far 'join spark hash' cluster
+            (1, "spark x x x x x x x x x join spark hash y y"),
+            (2, "x x join x x"),
+            (3, "none here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in search.best_snippets(
+        df, ["spark", "join", "hash"], window=4
+    ).collect()}
+    # doc 1: window [10,14) covers join spark hash -> 3 distinct
+    assert out[1]["start_pos"] == 10
+    assert out[1]["n_query_terms"] == 3
+    assert out[1]["snippet"] == "join spark hash y"
+    assert out[2]["start_pos"] == 2
+    assert out[2]["snippet"] == "join x x"  # clamped at doc end
+    assert 3 not in out
+    import pytest
+
+    with pytest.raises(ValueError):
+        search.best_snippets(df, [], window=4)
+    with pytest.raises(ValueError):
+        search.best_snippets(df, ["a"], window=0)
