@@ -3790,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_growth": _doc_vocab_growth,
         "contamination_matrix": _contamination_matrix,
         "search_snippets": _search_snippets,
+        "cluster_quality_report": _cluster_quality_report,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5374,6 +5375,86 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "cluster_quality_report": r"""
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, c.cid,
+                       list_aggregate(list_transform(
+                           list_zip(e.embedding::DOUBLE[], c.cv),
+                           x -> x[1] * x[2]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(
+                              list_zip(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[]),
+                              x -> x[1] * x[2]), 'sum'))
+                          * sqrt(list_aggregate(list_transform(
+                              list_zip(c.cv, c.cv),
+                              x -> x[1] * x[2]), 'sum'))) AS score
+                FROM embeddings e CROSS JOIN cents c
+            ), best AS (
+                SELECT vec_id, cid FROM scored
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cid ASC) = 1
+            ), members AS (
+                SELECT b.cid, e.vec_id,
+                       e.embedding::DOUBLE[] AS v
+                FROM best b JOIN embeddings e USING (vec_id)
+            ), pos AS (
+                SELECT cid, i - 1 AS i,
+                       CAST(FLOOR(x * 1048576.0) AS DECIMAL(18,0)) AS q
+                FROM (SELECT cid, unnest(v) AS x,
+                             generate_subscripts(v, 1) AS i
+                      FROM members)
+            ), per AS (
+                SELECT cid, i, COUNT(*) AS n, SUM(q) AS s
+                FROM pos GROUP BY 1, 2
+            ), means AS (
+                SELECT cid, MAX(n) AS n_vectors,
+                       list_transform(
+                         list(ROW(i,
+                              CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                              / CAST(n AS DOUBLE) / 1048576.0)
+                              ORDER BY i),
+                         r -> r[2]) AS mean_v
+                FROM per GROUP BY cid
+            ), dists AS (
+                SELECT m.cid,
+                       CAST(FLOOR(sqrt(list_aggregate(list_transform(
+                           list_zip(m.v, mm.mean_v),
+                           x -> (x[1] - x[2]) * (x[1] - x[2])),
+                           'sum')) * 1048576.0) AS DECIMAL(18,0)) AS dq
+                FROM members m JOIN means mm USING (cid)
+            ), scat AS (
+                SELECT cid,
+                       CAST(CAST(SUM(dq) AS VARCHAR) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) / 1048576.0 AS scat
+                FROM dists GROUP BY cid
+            ), summary AS (
+                SELECT m.cid, m.n_vectors, m.mean_v, s.scat
+                FROM means m JOIN scat s USING (cid)
+            ), pairs AS (
+                SELECT a.cid AS ci, a.n_vectors AS na, a.scat AS sa,
+                       b.scat AS sb,
+                       sqrt(list_aggregate(list_transform(
+                           list_zip(a.mean_v, b.mean_v),
+                           x -> (x[1] - x[2]) * (x[1] - x[2])),
+                           'sum')) AS mij
+                FROM summary a JOIN summary b ON a.cid <> b.cid
+            ), terms AS (
+                SELECT ci, na, sa,
+                       MAX(CASE WHEN mij > 0 THEN (sa + sb) / mij
+                           END) AS term,
+                       MAX(CASE WHEN mij > 0 THEN 0 ELSE 1 END)
+                           AS degenerate
+                FROM pairs GROUP BY ci, na, sa
+            )
+            SELECT CAST(ci AS BIGINT) AS cluster_id,
+                   CAST(na AS BIGINT) AS n_vectors,
+                   sa AS scatter,
+                   CASE WHEN degenerate = 0 THEN term END AS db_term
+            FROM terms
         """,
         "search_snippets": r"""
             WITH norm AS (
@@ -9295,6 +9376,20 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
         customer, "c_mktsegment", "c_acctbal"
     )
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
+
+
+def _cluster_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Davies-Bouldin clustering validity (r7): per-cluster scatter and
+    DB term over the fixed 8-seed assignment
+    (similarity.cluster_quality_db — quantized-integer cluster means,
+    dimension-ordered distance folds, re-quantized member distances;
+    the full validity report hash-checks)."""
+    emb = _emb(spark, sf)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    return similarity.cluster_quality_db(emb, "embedding", cents)
 
 
 def _search_snippets(spark: SparkSession, sf: str) -> DataFrame:

@@ -2277,3 +2277,138 @@ def group_centroid_drift(
             (na > 0) & (nb > 0), dot / (F.sqrt(na) * F.sqrt(nb))
         ).alias("cosine_to_global"),
     )
+
+
+def cluster_quality_db(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    quant_bits: int = 20,
+) -> DataFrame:
+    """Davies-Bouldin cluster-quality report over a fixed-centroid
+    assignment (Davies & Bouldin 1979): per cluster i, the scatter S_i
+    (mean member→cluster-mean Euclidean distance) and the DB term
+    max_{j≠i} (S_i + S_j)/M_ij with M_ij the cluster-mean distance —
+    low terms = tight, well-separated clusters; the mean of the terms
+    is the classic single-number index. This is the clustering
+    validity audit run after IVF/k-means partitioning (is k right, is
+    a cluster absorbing everything).
+
+    Engine-exactness composes the three established tricks:
+    assignment is :func:`assign_fixed_centroids` (exact argmax
+    expression); cluster means come from floor(x·2^quant_bits)
+    quantized-integer per-dim sums (embedding_covariance); every
+    cross-dim distance folds in DIMENSION ORDER (zip_with +
+    aggregate, the list_aggregate-parity precedent); and per-member
+    distances re-quantize before the scatter mean so the member sum is
+    partition-order-proof. The whole report hash-checks.
+
+    Shape: one assignment scan, one (cluster, dim) aggregation
+    (O(k·d) rows), one broadcast join back for member distances, one
+    O(k²) centroid-pair rollup. Returns (cluster_id, n_vectors,
+    scatter, db_term), cluster-ascending semantics-free order.
+    Clusters with a zero inter-mean distance to some other cluster
+    (identical means) get a NULL db_term."""
+    scale = float(2**quant_bits)
+    assigned = assign_fixed_centroids(df, vec_col, centroids)
+    vec = to_double_array(F.col(vec_col))
+    pos = assigned.select(
+        "cluster_id",
+        F.posexplode(vec).alias("__i", "__x"),
+    ).select(
+        "cluster_id",
+        "__i",
+        F.floor(F.col("__x") * F.lit(scale))
+        .cast("decimal(18,0)")
+        .alias("__q"),
+    )
+    per = pos.groupBy("cluster_id", "__i").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__q").alias("__s"),
+    )
+    means = (
+        per.withColumn(
+            "__m",
+            F.col("__s").cast("double")
+            / F.col("__n").cast("double")
+            / F.lit(scale),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.max("__n").alias("n_vectors"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__i", "__m"))),
+                lambda s: s["__m"],
+            ).alias("__mean"),
+        )
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    with_mean = assigned.join(F.broadcast(means), "cluster_id")
+    d2 = fold(
+        F.zip_with(vec, F.col("__mean"), lambda x, m: (x - m) * (x - m))
+    )
+    dist_q = F.floor(F.sqrt(d2) * F.lit(scale)).cast("decimal(18,0)")
+    scatter = (
+        with_mean.select("cluster_id", dist_q.alias("__dq"))
+        .groupBy("cluster_id")
+        .agg(F.sum("__dq").alias("__sd"), F.count(F.lit(1)).alias("__c"))
+        .select(
+            "cluster_id",
+            (
+                F.col("__sd").cast("double")
+                / F.col("__c").cast("double")
+                / F.lit(scale)
+            ).alias("__scat"),
+        )
+    )
+    summary = means.join(scatter, "cluster_id").select(
+        "cluster_id", "n_vectors", "__mean", "__scat"
+    )
+    a = summary.select(
+        F.col("cluster_id").alias("__ci"),
+        F.col("n_vectors").alias("__na"),
+        F.col("__mean").alias("__ma"),
+        F.col("__scat").alias("__sa"),
+    )
+    b = summary.select(
+        F.col("cluster_id").alias("__cj"),
+        F.col("__mean").alias("__mb"),
+        F.col("__scat").alias("__sb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("__ci") != F.col("__cj")
+    ).select(
+        "__ci",
+        "__na",
+        "__sa",
+        "__sb",
+        F.sqrt(
+            fold(
+                F.zip_with(
+                    "__ma", "__mb", lambda x, y: (x - y) * (x - y)
+                )
+            )
+        ).alias("__mij"),
+    )
+    ratio = F.when(
+        F.col("__mij") > 0,
+        (F.col("__sa") + F.col("__sb")) / F.col("__mij"),
+    )
+    return (
+        pairs.groupBy("__ci", "__na", "__sa")
+        .agg(
+            F.max(ratio).alias("__term"),
+            F.max(ratio.isNull().cast("int")).alias("__degenerate"),
+        )
+        .select(
+            F.col("__ci").alias("cluster_id"),
+            F.col("__na").cast("long").alias("n_vectors"),
+            F.col("__sa").alias("scatter"),
+            F.when(
+                F.col("__degenerate") == 0, F.col("__term")
+            ).alias("db_term"),
+        )
+    )

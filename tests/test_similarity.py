@@ -1218,3 +1218,35 @@ def test_group_centroid_drift_geometry(spark):
     assert abs(got["a"]["cosine_to_global"] - ref_a) < 1e-9
     assert got["a"]["cosine_to_global"] > 0.9
     assert got["b"]["cosine_to_global"] < 0
+
+
+def test_cluster_quality_db_known_geometry(spark):
+    """Two tight, well-separated 2-D clusters: scatter equals the
+    hand-computed mean member->mean distance and the DB term is
+    (S_i+S_j)/M_ij (to quantization tolerance 2^-20)."""
+    import math
+
+    from streaming_data_pipeline_azure_spark.operators.similarity import (
+        cluster_quality_db,
+    )
+
+    rows = [
+        (0, [2.0, 0.1]), (1, [3.0, -0.1]),    # cosine-near (1,0)
+        (2, [0.1, 5.0]), (3, [-0.1, 4.0]),    # cosine-near (0,1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r["cluster_id"]: r for r in
+           cluster_quality_db(df, "embedding", cents).collect()}
+    assert out[0]["n_vectors"] == 2 and out[1]["n_vectors"] == 2
+    s0 = math.dist((2.0, 0.1), (2.5, 0.0))       # == both members
+    s1 = math.dist((0.1, 5.0), (0.0, 4.5))
+    m01 = math.dist((2.5, 0.0), (0.0, 4.5))
+    tol = 2**-19
+    assert abs(out[0]["scatter"] - s0) < tol
+    assert abs(out[1]["scatter"] - s1) < tol
+    want = (out[0]["scatter"] + out[1]["scatter"]) / m01
+    # M_ij uses the QUANTIZED cluster means (off the true mean by up
+    # to 2^-21 per dim), so compare at 1e-6
+    assert abs(out[0]["db_term"] - want) < 1e-6
+    assert abs(out[1]["db_term"] - want) < 1e-6
