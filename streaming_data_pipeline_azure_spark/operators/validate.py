@@ -435,3 +435,62 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Functional-dependency DISCOVERY over a column set: for every
+    ordered pair (a, b), does a → b hold — decided purely from
+    cardinalities (a → b ⟺ |distinct(a)| = |distinct(a, b)|), the
+    profiling pass that finds undeclared keys and derivable columns
+    before schema design (:func:`functional_dependency_violations`
+    then lists the offending rows for any pair this flags).
+
+    ONE aggregation evaluates all k + C(k,2) distinct counts (each
+    unordered pair's count serves both directions); Catalyst expands
+    the scan per distinct aggregate — O(k²) passes worth of expansion,
+    the documented cost of exact profiling (sketch variants trade
+    exactness; this is the oracle-checkable form). NULLs count as a
+    value (SQL DISTINCT semantics).
+
+    Returns (determinant, dependent, n_det, n_pair, holds,
+    n_extra_values) — n_extra_values = n_pair − n_det, the number of
+    dependent-value splits violating the FD (0 ⟺ holds)."""
+    if len(cols) < 2:
+        raise ValueError("fd_discovery needs >= 2 columns")
+    aggs = []
+    for c in cols:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.countDistinct(F.struct(F.col(a), F.col(b))).alias(
+                    f"__p_{a}_{b}"
+                )
+            )
+    wide = df.agg(*aggs)
+    entries = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            for det, dep in ((a, b), (b, a)):
+                entries.append(
+                    F.struct(
+                        F.lit(det).alias("determinant"),
+                        F.lit(dep).alias("dependent"),
+                        F.col(f"__d_{det}").cast("long").alias("n_det"),
+                        F.col(f"__p_{a}_{b}").cast("long").alias(
+                            "n_pair"
+                        ),
+                    )
+                )
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+        .select(
+            "determinant",
+            "dependent",
+            "n_det",
+            "n_pair",
+            (F.col("n_pair") == F.col("n_det")).alias("holds"),
+            (F.col("n_pair") - F.col("n_det")).alias("n_extra_values"),
+        )
+    )

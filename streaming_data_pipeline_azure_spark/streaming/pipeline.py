@@ -681,3 +681,72 @@ def read_ohlc(spark, state_path: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("total").cast("double").alias("total_value"),
     )
+
+
+def build_decayed_ingest_query(
+    event_stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    ref_date: str,
+    half_life_days: int,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming recency-weighted engagement state: each micro-batch's
+    per-key (n_events, decayed_q) partials
+    (temporal.decayed_sum — quantized-INTEGER decay contributions
+    against a FIXED reference date, so partials merge by plain
+    addition and batch boundaries cannot perturb a single bit)
+    persist at replay-idempotent ``batch_id=N`` overwrite partitions.
+    Serve with :func:`read_decayed`. The fixed ref_date is the
+    mergeability contract: scores are "as of ref_date" and a serving
+    layer re-ages them by multiplying 2^-(elapsed half-lives) — it
+    does NOT silently re-anchor per batch."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        decayed_sum,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        decayed_sum(
+            batch_df, key_col, ts_col, value_col,
+            ref_date=ref_date, half_life_days=half_life_days,
+        ).drop("decayed").write.mode("overwrite").parquet(
+            f"{state_path}/batch_id={batch_id}"
+        )
+
+    writer = (
+        event_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_decayed(
+    spark, state_path: str, key_col: str, *, quantize_bits: int = 20
+) -> DataFrame:
+    """Merge every batch's decayed partials: per-key exact integer
+    addition over O(batches × keys) rows, de-quantized at the end —
+    identical to one batch pass over everything ingested."""
+    scale = float(1 << quantize_bits)
+    return (
+        spark.read.parquet(state_path)
+        .groupBy(key_col)
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("decayed_q").cast("long").alias("decayed_q"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            "decayed_q",
+            (F.col("decayed_q").cast("double") / F.lit(scale)).alias(
+                "decayed"
+            ),
+        )
+    )

@@ -1331,3 +1331,77 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
         for r in read_ohlc(spark, state).collect()
     }
     assert again == served
+
+
+def test_streaming_decayed_state_matches_batch_and_replays(spark, tmp_path):
+    """Merged streaming decayed-sum state == the one-pass batch
+    operator bit-for-bit (quantized-integer partials, fixed ref date);
+    replay does not move it."""
+    import json as _json
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        decayed_sum,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_decayed_ingest_query,
+        read_decayed,
+        run_to_completion,
+    )
+
+    rows = [
+        {"u": i % 7, "ts": f"2024-01-{1 + i % 28:02d}T08:00:00",
+         "v": 1.5 + (i % 11) * 0.37}
+        for i in range(200)
+    ]
+    src = tmp_path / "dk_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:120])
+    )
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[120:])
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema("u long, ts timestamp, v double")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+
+    state = str(tmp_path / "dk_state")
+    q = build_decayed_ingest_query(
+        stream(), "u", "ts", "v", state, str(tmp_path / "dk_ckpt"),
+        ref_date="2024-02-01", half_life_days=7,
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+    served = {
+        r["u"]: (r["n_events"], r["decayed_q"], r["decayed"])
+        for r in read_decayed(spark, state, "u").collect()
+    }
+    from pyspark.sql import functions as _F
+
+    batch_in = spark.createDataFrame(
+        [(r["u"], r["ts"], r["v"]) for r in rows],
+        "u long, ts string, v double",
+    ).withColumn("ts", _F.col("ts").cast("timestamp"))
+    direct = {
+        r["u"]: (r["n_events"], r["decayed_q"], r["decayed"])
+        for r in decayed_sum(
+            batch_in, "u", "ts", "v",
+            ref_date="2024-02-01", half_life_days=7,
+        ).collect()
+    }
+    assert served == direct
+    q2 = build_decayed_ingest_query(
+        stream(), "u", "ts", "v", state, str(tmp_path / "dk_ckpt2"),
+        ref_date="2024-02-01", half_life_days=7,
+        trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    again = {
+        r["u"]: (r["n_events"], r["decayed_q"], r["decayed"])
+        for r in read_decayed(spark, state, "u").collect()
+    }
+    assert again == served
