@@ -3547,6 +3547,35 @@ def _lm_dirichlet_oracle(terms: list[str], mu: float, k: int) -> str:
     """
 
 
+def _fd_oracle(table: str, cols: list[str]) -> str:
+    """Generated DuckDB oracle for validate.fd_discovery: the same one
+    wide aggregate of k + C(k,2) distinct counts, unpivoted with a
+    UNION ALL branch per ordered pair."""
+    sums = [f"COUNT(DISTINCT {c}) AS d_{c}" for c in cols]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(
+                f"COUNT(DISTINCT ROW({a}, {b})) AS p_{a}_{b}"
+            )
+    branches = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            for det, dep in ((a, b), (b, a)):
+                branches.append(
+                    f"SELECT '{det}' AS determinant,"
+                    f" '{dep}' AS dependent,"
+                    f" CAST(d_{det} AS BIGINT) AS n_det,"
+                    f" CAST(p_{a}_{b} AS BIGINT) AS n_pair,"
+                    f" p_{a}_{b} = d_{det} AS holds,"
+                    f" CAST(p_{a}_{b} - d_{det} AS BIGINT)"
+                    f" AS n_extra_values FROM agg"
+                )
+    return (
+        f"WITH agg AS (SELECT {', '.join(sums)} FROM {table}) "
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
 def _holt_oracle(series_sql: str, group: str, horizon: int) -> str:
     """Generated DuckDB oracle for temporal.holt_forecast: the same
     integer-quantized α=β=1/4 recursion as a recursive CTE.
@@ -3791,6 +3820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_matrix": _contamination_matrix,
         "search_snippets": _search_snippets,
         "cluster_quality_report": _cluster_quality_report,
+        "part_fd_discovery": _part_fd_discovery,
+        "triplet_mining": _triplet_mining,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5375,6 +5406,46 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "part_fd_discovery": _fd_oracle(
+            "part", ["p_name", "p_brand", "p_type", "p_size"]
+        ),
+        "triplet_mining": r"""
+            WITH anchors AS (
+              SELECT vec_id AS aid, label AS alabel,
+                     embedding::DOUBLE[] AS av
+              FROM embeddings WHERE vec_id < 32
+            ), pairs AS (
+              SELECT a.aid, a.alabel, e.vec_id AS cid,
+                     e.label AS clabel,
+                     list_aggregate(list_transform(
+                         list_zip(a.av, e.embedding::DOUBLE[]),
+                         x -> x[1] * x[2]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(
+                            list_zip(a.av, a.av),
+                            x -> x[1] * x[2]), 'sum'))
+                        * sqrt(list_aggregate(list_transform(
+                            list_zip(e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]),
+                            x -> x[1] * x[2]), 'sum'))) AS cos
+              FROM embeddings e CROSS JOIN anchors a
+              WHERE e.vec_id <> a.aid
+            ), pos AS (
+              SELECT aid, alabel, cid AS hard_pos_id, cos AS pos_cos
+              FROM pairs WHERE clabel = alabel
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY aid
+                  ORDER BY cos ASC, cid ASC) = 1
+            ), neg AS (
+              SELECT aid, cid AS hard_neg_id, cos AS neg_cos
+              FROM pairs WHERE clabel <> alabel
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY aid
+                  ORDER BY cos DESC, cid ASC) = 1
+            )
+            SELECT p.aid AS anchor_id, p.alabel AS anchor_label,
+                   p.hard_pos_id, p.pos_cos,
+                   n.hard_neg_id, n.neg_cos,
+                   p.pos_cos - n.neg_cos AS margin
+            FROM pos p JOIN neg n ON p.aid = n.aid
         """,
         "cluster_quality_report": r"""
             WITH cents AS (
@@ -9376,6 +9447,88 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
         customer, "c_mktsegment", "c_acctbal"
     )
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
+
+
+def _part_fd_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """FD discovery (r7): every pairwise functional dependency over
+    part's descriptive columns from ONE multi-distinct aggregation
+    (validate.fd_discovery — a → b ⟺ |distinct a| = |distinct (a,b)|;
+    the schema-design profiling pass)."""
+    (part,) = _tables(spark, sf, "part")
+    return validate.fd_discovery(
+        part, ["p_name", "p_brand", "p_type", "p_size"]
+    )
+
+
+def _triplet_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Metric-learning triplet mining (r7): for each of 32 anchor
+    embeddings, the HARDEST positive (same label, minimum cosine) and
+    HARDEST negative (different label, maximum cosine) over the full
+    corpus, plus the triplet margin — the batch-hard mining step of
+    triplet-loss training (Schroff et al. 2015), exact form (the IVF
+    probes are the documented 100 TB path; this broadcast-anchors scan
+    is the oracle-checkable anchor). min_by/max_by tie-break on
+    candidate id; cosines are the dimension-ordered fold shared with
+    similarity_topk."""
+    from streaming_data_pipeline_azure_spark.functions.vector import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    emb = _emb(spark, sf)
+    anchors = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        to_double_array("embedding").alias("__av"),
+    )
+    pairs = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        to_double_array("embedding").alias("__cv"),
+    ).crossJoin(F.broadcast(anchors)).filter(
+        F.col("cand_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "cand_id",
+        "cand_label",
+        cosine_similarity(F.col("__av"), F.col("__cv")).alias("__cos"),
+    )
+    pos = (
+        pairs.filter(F.col("cand_label") == F.col("anchor_label"))
+        .groupBy("anchor_id", "anchor_label")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("cand_id").alias("id"),
+                    F.col("__cos").alias("cos"),
+                ),
+                F.struct(F.col("__cos"), F.col("cand_id")),
+            ).alias("__p")
+        )
+    )
+    neg = (
+        pairs.filter(F.col("cand_label") != F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("cand_id").alias("id"),
+                    F.col("__cos").alias("cos"),
+                ),
+                F.struct(F.col("__cos"), -F.col("cand_id")),
+            ).alias("__n")
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        F.col("__p.id").alias("hard_pos_id"),
+        F.col("__p.cos").alias("pos_cos"),
+        F.col("__n.id").alias("hard_neg_id"),
+        F.col("__n.cos").alias("neg_cos"),
+        (F.col("__p.cos") - F.col("__n.cos")).alias("margin"),
+    )
 
 
 def _cluster_quality_report(spark: SparkSession, sf: str) -> DataFrame:

@@ -280,3 +280,23 @@ def test_benford_stats_digit_extraction_and_fill(spark):
     assert rows[1]["abs_dev"] == abs(
         rows[1]["obs_share"] - rows[1]["exp_share"]
     )
+
+
+def test_fd_discovery_cardinality_logic(spark):
+    """id -> cat holds (unique determinant); cat -> id fails with the
+    exact split count; both directions of every pair appear."""
+    df = spark.createDataFrame(
+        [(1, "A", "x"), (2, "A", "x"), (3, "B", "y"), (4, "B", "z")],
+        "id long, cat string, sub string",
+    )
+    out = {(r["determinant"], r["dependent"]): r for r in
+           validate.fd_discovery(df, ["id", "cat", "sub"]).collect()}
+    assert len(out) == 6
+    assert out[("id", "cat")]["holds"] is True
+    assert out[("cat", "id")]["holds"] is False
+    assert out[("cat", "id")]["n_extra_values"] == 2  # 4 pairs - 2 cats
+    assert out[("sub", "cat")]["holds"] is True       # x->A, y->B, z->B
+    assert out[("cat", "sub")]["holds"] is False      # B splits {y,z}
+    assert out[("cat", "sub")]["n_extra_values"] == 1
+    with pytest.raises(ValueError):
+        validate.fd_discovery(df, ["id"])
