@@ -3822,6 +3822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_quality_report": _cluster_quality_report,
         "part_fd_discovery": _part_fd_discovery,
         "triplet_mining": _triplet_mining,
+        "attribution_time_decay": _attribution_time_decay,
+        "encoding_anomaly_report": _encoding_anomaly_report,
+        "passage_bm25_search": _passage_bm25_search,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5406,6 +5409,109 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "attribution_time_decay": r"""
+            WITH conv AS (
+              SELECT user_id AS u, ts AS cts, event_id AS conversion_id,
+                     CAST(value AS DECIMAL(18,4)) AS v
+              FROM events WHERE event_type = 'purchase'
+            ), touch AS (
+              SELECT user_id AS u, ts AS tts, event_id AS touch_id,
+                     event_type AS channel
+              FROM events WHERE event_type IN ('view', 'click')
+            ), j AS (
+              SELECT conversion_id, touch_id, channel, v,
+                     least(CAST(floor(
+                         ((epoch_us(cts) - epoch_us(tts)) / 1000000.0)
+                         / 86400.0) AS INTEGER), 31) AS k
+              FROM conv JOIN touch USING (u)
+              WHERE tts < cts
+                AND tts >= cts - INTERVAL 259200 SECONDS
+            ), weighted AS (
+              SELECT conversion_id, touch_id, channel, v, k,
+                     (CAST(1 AS BIGINT) << (31 - k)) AS w
+              FROM j
+            )
+            SELECT conversion_id, touch_id, channel,
+                   CAST(k AS BIGINT) AS half_lives_old,
+                   CAST(v AS DOUBLE) * CAST(w AS DOUBLE)
+                   / CAST(SUM(w) OVER (PARTITION BY conversion_id)
+                          AS DOUBLE) AS credit
+            FROM weighted
+        """,
+        "encoding_anomaly_report": r"""
+            WITH inp AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 40000000, 'relay_bad',
+                     chr(65533) || text || chr(7) || 'tail'
+              FROM documents WHERE doc_id % 13 = 0
+            ), scored AS (
+              SELECT source, length(text) AS n_chars,
+                     len(regexp_extract_all(text,
+                         chr(65533))) AS repl,
+                     len(regexp_extract_all(text,
+                         '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS ctrl
+              FROM inp
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(repl) AS BIGINT) AS n_replacement,
+                   CAST(SUM(ctrl) AS BIGINT) AS n_control,
+                   CAST(SUM(CASE WHEN repl > 0 OR ctrl > 0 THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_docs_affected,
+                   CAST(SUM(CASE WHEN repl > 0 OR ctrl > 0 THEN 1
+                        ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS affected_frac
+            FROM scored GROUP BY source
+        """,
+        "passage_bm25_search": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks,
+                     unnest(range(0,
+                         ((greatest(len(toks)-32, 0) + 23) // 24) * 24
+                             + 1,
+                         24)) AS start
+              FROM t
+            ), p AS (
+              SELECT doc_id * 1000 + (start // 24) AS pid,
+                     list_transform(toks[start+1 : start+32],
+                                    x -> lower(x)) AS toks
+              FROM s
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+              FROM p
+            ), tokrows AS (
+              SELECT pid, len(toks) AS dl, unnest(toks) AS t FROM p
+            ), tf AS (
+              SELECT pid, dl, t, COUNT(*) AS tf
+              FROM tokrows WHERE t IN ('hash', 'join', 'spark')
+              GROUP BY pid, dl, t
+            ), dfreq AS (
+              SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+            )
+            SELECT f.pid,
+                   CAST(f.pid // 1000 AS BIGINT) AS doc_id,
+                   CAST(f.pid % 1000 AS BIGINT) AS chunk_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched,
+                   CAST(SUM(CAST(
+                       ((n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                       * ((tf * CAST(2.2 AS DOUBLE))
+                          / (tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE)
+                                  * (dl / (CAST(total_len AS DOUBLE)
+                                           / n_docs)))))
+                   AS DECIMAL(28,10))) AS DOUBLE) AS score
+            FROM tf f JOIN dfreq USING (t), stats
+            GROUP BY f.pid
+            ORDER BY score DESC, f.pid
+            LIMIT 15
         """,
         "part_fd_discovery": _fd_oracle(
             "part", ["p_name", "p_brand", "p_type", "p_size"]
@@ -9447,6 +9553,70 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
         customer, "c_mktsegment", "c_acctbal"
     )
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
+
+
+def _attribution_time_decay(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-decay multi-touch attribution (r7): per credited touch,
+    v · w/Σw with stepped power-of-two weights per whole half-life of
+    touch age (attribution.attribution_credits model='time_decay' —
+    exact integer weights, exact long normalizer sum, one double
+    multiply+divide per row; the dyadic decayed_sum discipline)."""
+    return attribution.attribution_credits(
+        _events(spark, sf), model="time_decay"
+    )
+
+
+def _encoding_anomaly_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Mojibake audit (r7): replacement-char / control-char incidence
+    per source over the corpus plus a planted-damage slice (every 13th
+    doc re-ingested as source 'relay_bad' with U+FFFD and a C0 byte
+    injected — the wrong-charset relay scenario), so the report has a
+    non-zero row to prove the detector fires
+    (text.encoding_anomaly_stats — one conditional-aggregation
+    scan)."""
+    docs = _docs(spark, sf).select("doc_id", "source", "text")
+    damaged = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(40_000_000)).alias("doc_id"),
+        F.lit("relay_bad").alias("source"),
+        F.concat(
+            F.lit("�"), F.col("text"), F.lit("\x07tail")
+        ).alias("text"),
+    )
+    return tx.encoding_anomaly_stats(
+        docs.unionByName(damaged), "source"
+    )
+
+
+def _passage_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage-level retrieval (r7): documents chunk into 32-token
+    windows (overlap 8), BM25 ranks the PASSAGES — the RAG-granularity
+    retrieval composition (corpus.chunk_documents → search.bm25_topk
+    over chunk_text with a composite passage id; both stages
+    individually oracle-green, and the composition hash-checks
+    end-to-end)."""
+    passages = corpus.chunk_documents(
+        _docs(spark, sf), chunk_size=32, overlap=8
+    )
+    with_pid = passages.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("pid"),
+        "chunk_text",
+    )
+    top = search.bm25_topk(
+        with_pid,
+        ["hash", "join", "spark"],
+        id_col="pid",
+        text_col="chunk_text",
+        k=15,
+    )
+    return top.select(
+        "pid",
+        F.floor(F.col("pid") / 1000).cast("long").alias("doc_id"),
+        F.pmod(F.col("pid"), F.lit(1000)).cast("long").alias(
+            "chunk_idx"
+        ),
+        "n_matched",
+        "score",
+    )
 
 
 def _part_fd_discovery(spark: SparkSession, sf: str) -> DataFrame:

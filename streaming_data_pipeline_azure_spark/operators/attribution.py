@@ -27,7 +27,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_MODELS = ("last_touch", "first_touch", "linear", "position_based")
+_MODELS = (
+    "last_touch",
+    "first_touch",
+    "linear",
+    "position_based",
+    "time_decay",
+)
+
+#: time_decay half-life (seconds) — touches a half-life older than the
+#: conversion carry half the weight of fresh ones, stepped per whole
+#: half-life so every weight is an exact power of two (see below).
+TIME_DECAY_HALF_LIFE_S = 86_400
 
 
 def attribution_credits(
@@ -124,6 +135,39 @@ def attribution_credits(
                 F.col("__n").cast("long").alias("n_touches"),
                 credit.alias("credit"),
             )
+        )
+    if model == "time_decay":
+        # STEPPED exponential decay: k = whole half-lives of touch age,
+        # weight = 2^(31-min(k,31)) as an exact INTEGER — the window
+        # normalizer is then an exact long sum (order-free, unlike a
+        # float weight sum), and each credit is one double
+        # multiply+divide: v * w / Σw. No pow(), no float recursion —
+        # the decayed_sum dyadic discipline applied to attribution.
+        age_s = (
+            F.unix_micros(F.col("__cts")) - F.unix_micros(F.col("__tts"))
+        ) / F.lit(1_000_000.0)
+        k = F.least(
+            F.floor(age_s / F.lit(float(TIME_DECAY_HALF_LIFE_S))).cast(
+                "int"
+            ),
+            F.lit(31),
+        )
+        staged = j.withColumn("__k", k).withColumn(
+            "__w",
+            F.expr("shiftleft(CAST(1 AS BIGINT), 31 - __k)"),
+        )
+        w_all = Window.partitionBy("conversion_id")
+        vd = F.col("__v").cast("double")
+        return staged.select(
+            "conversion_id",
+            "touch_id",
+            "channel",
+            F.col("__k").cast("long").alias("half_lives_old"),
+            (
+                vd
+                * F.col("__w").cast("double")
+                / F.sum("__w").over(w_all).cast("double")
+            ).alias("credit"),
         )
     desc = model == "last_touch"
     order = (

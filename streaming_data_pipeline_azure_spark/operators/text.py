@@ -451,3 +451,38 @@ def canonicalize_url(url_col: Column | str) -> Column:
     c = F.regexp_replace(c, r"/+\?", "?")   # path-final slash before ?
     c = F.regexp_replace(c, r"/+$", "")
     return c
+
+
+def encoding_anomaly_stats(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Mojibake / encoding-damage audit per group: counts of Unicode
+    replacement characters (U+FFFD — the smoking gun of a wrong-charset
+    decode) and C0 control characters (binary bleed-through), plus the
+    affected-document rate — the corpus-janitor scan that catches a
+    broken upstream extractor before its output trains.
+
+    One conditional-aggregation scan; all counts are exact integers
+    from codegen ``regexp_extract_all`` (character-class regexes only —
+    RE2-safe, so any engine reproduces them), ratios are single double
+    divisions. Returns (group, n_docs, total_chars, n_replacement,
+    n_control, n_docs_affected, affected_frac)."""
+    t = F.col(text_col)
+    repl = F.size(F.regexp_extract_all(t, F.lit("�"), 0))
+    ctrl = F.size(
+        F.regexp_extract_all(
+            t, F.lit("[\x00-\x08\x0b\x0c\x0e-\x1f]"), 0
+        )
+    )
+    affected = ((repl > 0) | (ctrl > 0)).cast("int")
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(t).cast("long")).alias("total_chars"),
+        F.sum(repl.cast("long")).alias("n_replacement"),
+        F.sum(ctrl.cast("long")).alias("n_control"),
+        F.sum(affected).cast("long").alias("n_docs_affected"),
+        (
+            F.sum(affected).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("affected_frac"),
+    )

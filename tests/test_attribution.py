@@ -154,3 +154,32 @@ def test_position_based_credits(spark):
     assert all(r["n_touches"] == 4 for r in u1)
     assert abs(sum(r["credit"] for r in u1) - 100.0) < 1e-9
     assert by_conv[98][0]["credit"] == 40.0  # single touch takes all
+
+
+def test_time_decay_stepped_dyadic_weights(spark):
+    """Touches 0/1/2 whole half-lives old weigh 4:2:1; with v=7 the
+    credits are exactly 4, 2, 1 (exact integer weights, exact long
+    normalizer); ages inside the same half-life share a weight."""
+    import datetime as dtm
+
+    from streaming_data_pipeline_azure_spark.operators.attribution import (
+        attribution_credits,
+    )
+
+    c = dtm.datetime(2024, 1, 10, 0, 0, 0)
+    rows = [
+        (1, c, 7, "purchase", 7.0),
+        (2, c - dtm.timedelta(hours=12), 7, "view", 0.0),   # k=0
+        (3, c - dtm.timedelta(hours=36), 7, "click", 0.0),  # k=1
+        (4, c - dtm.timedelta(hours=60), 7, "view", 0.0),   # k=2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    out = {r["touch_id"]: r for r in attribution_credits(
+        df, model="time_decay"
+    ).collect()}
+    assert out[2]["credit"] == 4.0 and out[2]["half_lives_old"] == 0
+    assert out[3]["credit"] == 2.0 and out[3]["half_lives_old"] == 1
+    assert out[4]["credit"] == 1.0 and out[4]["half_lives_old"] == 2

@@ -261,3 +261,29 @@ def test_canonicalize_url_rules(spark):
     ]
     for (inp, want), g in zip(cases, got):
         assert g == want, (inp, g, want)
+
+
+def test_encoding_anomaly_stats_detects_mojibake(spark):
+    """Replacement and control characters count exactly; clean groups
+    report zero; the affected fraction is per-document."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        encoding_anomaly_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("bad", "caf� latte �"),
+            ("bad", "bell\x07 and\x01 whistles"),
+            ("bad", "totally fine"),
+            ("good", "clean text"),
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in
+           encoding_anomaly_stats(df, "source").collect()}
+    assert out["bad"]["n_replacement"] == 2
+    assert out["bad"]["n_control"] == 2
+    assert out["bad"]["n_docs_affected"] == 2
+    assert abs(out["bad"]["affected_frac"] - 2 / 3) < 1e-15
+    assert out["good"]["n_replacement"] == 0
+    assert out["good"]["n_docs_affected"] == 0
