@@ -3825,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_time_decay": _attribution_time_decay,
         "encoding_anomaly_report": _encoding_anomaly_report,
         "passage_bm25_search": _passage_bm25_search,
+        "retrieval_ndcg": _retrieval_ndcg,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -4913,6 +4914,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "retrieval_eval": _retrieval_eval_oracle(),
+        "retrieval_ndcg": _ndcg_oracle(),
         "neyman_order_allocation": "WITH "
         + _NEYMAN_ALLOC_SQL
         + """
@@ -9555,6 +9557,42 @@ def _segment_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", "c_mktsegment", "loo_encoding")
 
 
+def _retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded retrieval eval (r7): nDCG@10 of the BM25 runs against
+    term-coverage grades (rel = how many of the query's terms the doc
+    contains, 1..3) for the three fixed eval queries
+    (search.ndcg_eval — literal discount table, rank-ordered DCG folds
+    and grade-descending IDCG folds, everything hash-checks; the
+    oracle rebuilds runs, grades and both folds independently)."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf)
+    toks = corpus._norm_tokens("text")
+    runs = None
+    qrels = None
+    for qid, terms in _EVAL_QUERIES.items():
+        top = search.bm25_topk(docs, terms, k=10).select(
+            F.lit(qid).alias("query_id"),
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rank"),
+        )
+        grade = None
+        for t in terms:
+            g = F.array_contains(toks, t).cast("int")
+            grade = g if grade is None else grade + g
+        rel = docs.select(
+            F.lit(qid).alias("query_id"),
+            "doc_id",
+            grade.cast("long").alias("rel"),
+        ).filter(F.col("rel") > 0)
+        runs = top if runs is None else runs.unionByName(top)
+        qrels = rel if qrels is None else qrels.unionByName(rel)
+    return search.ndcg_eval(runs, qrels, k=10)
+
+
 def _attribution_time_decay(spark: SparkSession, sf: str) -> DataFrame:
     """Time-decay multi-touch attribution (r7): per credited touch,
     v · w/Σw with stepped power-of-two weights per whole half-life of
@@ -10104,3 +10142,102 @@ def _ptype_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
     assignment from the same md5 prefix)."""
     (part,) = _tables(spark, sf, "part")
     return features.feature_hash_counts(part, "p_type", 64)
+
+
+def _ndcg_oracle() -> str:
+    """Generate the DuckDB oracle for _retrieval_ndcg: the per-query
+    _BM25_ORACLE top-10 runs, term-coverage grades, and the identical
+    rank-ordered DCG / grade-descending IDCG folds over the SAME
+    literal discount table (search.ndcg_discounts — no in-engine
+    log anywhere)."""
+    from streaming_data_pipeline_azure_spark.operators.search import (
+        ndcg_discounts,
+    )
+
+    d_list = "[" + ", ".join(repr(v) for v in ndcg_discounts(10)) + "]"
+    run_blocks, rel_blocks = [], []
+    for qid, terms in _EVAL_QUERIES.items():
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        grade = " + ".join(
+            f"(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+            for t in terms
+        )
+        run_blocks.append(f"""
+          SELECT '{qid}' AS query_id, doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM (
+            SELECT f.doc_id,
+                   CAST(SUM(CAST(
+                       ((n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                       * ((tf * CAST(2.2 AS DOUBLE))
+                          / (tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE)
+                                  * (dl / (CAST(total_len AS DOUBLE)
+                                           / n_docs)))))
+                   AS DECIMAL(28,10))) AS DOUBLE) AS score
+            FROM (
+              SELECT doc_id, dl, t, COUNT(*) AS tf
+              FROM tokrows WHERE t IN ({in_list})
+              GROUP BY doc_id, dl, t
+            ) f
+            JOIN (
+              SELECT t, COUNT(*) AS df
+              FROM (
+                SELECT doc_id, t FROM tokrows WHERE t IN ({in_list})
+                GROUP BY doc_id, t
+              ) GROUP BY t
+            ) USING (t), stats
+            GROUP BY f.doc_id
+            ORDER BY score DESC, f.doc_id
+            LIMIT 10
+          )""")
+        rel_blocks.append(
+            f"SELECT '{qid}' AS query_id, doc_id, "
+            f"CAST({grade} AS BIGINT) AS rel FROM norm "
+            f"WHERE {grade} > 0"
+        )
+    runs = " UNION ALL ".join(run_blocks)
+    rels = " UNION ALL ".join(rel_blocks)
+    return rf"""
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks
+          FROM documents
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len
+          FROM norm
+        ), tokrows AS (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM norm
+        ), runs AS ({runs}
+        ), grels AS ({rels}
+        ), hits AS (
+          SELECT r.query_id, r.rank, CAST(g.rel AS DOUBLE) AS g
+          FROM runs r JOIN grels g USING (query_id, doc_id)
+          WHERE r.rank <= 10
+        ), dcg AS (
+          SELECT query_id,
+                 list_aggregate(list_transform(
+                     list(ROW(rank, g) ORDER BY rank),
+                     x -> x[2] * ({d_list})[x[1]]), 'sum') AS dcg
+          FROM hits GROUP BY query_id
+        ), ideal AS (
+          SELECT query_id, COUNT(*) AS n_judged,
+                 list_aggregate(list_transform(
+                     list_zip(
+                        (list(CAST(rel AS DOUBLE)
+                              ORDER BY rel DESC))[1:10],
+                        ({d_list})[1:least(COUNT(*), 10)]),
+                     x -> x[1] * x[2]), 'sum') AS idcg
+          FROM grels GROUP BY query_id
+        )
+        SELECT i.query_id, CAST(i.n_judged AS BIGINT) AS n_judged,
+               COALESCE(d.dcg, 0.0) AS dcg,
+               i.idcg,
+               COALESCE(d.dcg, 0.0) / i.idcg AS ndcg
+        FROM ideal i LEFT JOIN dcg d USING (query_id)
+    """

@@ -836,6 +836,121 @@ def prf_expansion_terms(
     )
 
 
+def ndcg_discounts(k: int) -> list[float]:
+    """The 1/log2(rank+1) discount table for ranks 1..k, computed ONCE
+    driver-side — both the Spark plan and the SQL oracle embed these
+    exact literal doubles, so no engine ever evaluates a logarithm
+    (libm log rounding is engine-specific; identical literals are
+    not)."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def ndcg_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Graded retrieval evaluation: per-query DCG@k, ideal DCG@k and
+    nDCG@k (Järvelin & Kekäläinen 2002) — the graded companion of
+    :func:`eval_rankings`' binary metrics (a run that finds the
+    3-of-3-term documents should outrank one that pads with
+    1-of-3-term hits; binary recall can't see that).
+
+    Determinism: discounts come from :func:`ndcg_discounts` literals
+    (no in-engine log); DCG folds rank-ascending over a sorted
+    collected array and IDCG folds over the grade-descending prefix —
+    both LEFT-TO-RIGHT array folds, the engine-wide float-sum
+    discipline, so every value hash-checks. Shape: one run⋈qrels hit
+    join plus two per-query aggregations over O(k + judged) rows.
+
+    Returns one row per judged query: (query, n_judged, dcg, idcg,
+    ndcg); queries with nothing retrieved get dcg 0.0; idcg > 0 by
+    construction (judged queries have >= 1 positive grade — rows with
+    rel <= 0 are rejected as an input-contract violation)."""
+    if k < 1:
+        raise ValueError("ndcg_eval needs k >= 1")
+    if qrels.filter(F.col(rel_col) <= 0).limit(1).count() > 0:
+        raise ValueError(
+            "ndcg_eval: qrels must carry positive grades only "
+            "(unjudged docs are absent rows, not rel <= 0 rows)"
+        )
+    d_lits = F.array(*[F.lit(v) for v in ndcg_discounts(k)])
+    q = F.col(query_col)
+    hits = runs.filter(F.col(rank_col) <= k).join(
+        qrels, [query_col, doc_col]
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dcg = (
+        hits.groupBy(query_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(rank_col).alias("r"),
+                        F.col(rel_col).cast("double").alias("g"),
+                    )
+                )
+            ).alias("__h")
+        )
+        .select(
+            q,
+            fold(
+                F.transform(
+                    "__h",
+                    lambda s: s["g"] * F.element_at(d_lits, s["r"].cast("int")),
+                )
+            ).alias("dcg"),
+        )
+    )
+    ideal = (
+        qrels.groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_judged"),
+            F.slice(
+                F.reverse(
+                    F.sort_array(
+                        F.collect_list(F.col(rel_col).cast("double"))
+                    )
+                ),
+                1,
+                k,
+            ).alias("__top"),
+        )
+        .select(
+            q,
+            "n_judged",
+            fold(
+                # slice the discounts to the judged prefix — a full-k
+                # zip would pad the short side with NULLs and poison
+                # the fold
+                F.zip_with(
+                    "__top",
+                    F.slice(d_lits, 1, F.size("__top")),
+                    lambda g, d: g * d,
+                )
+            ).alias("idcg"),
+        )
+    )
+    return ideal.join(dcg, query_col, "left").select(
+        q,
+        "n_judged",
+        F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+        "idcg",
+        (
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")
+        ).alias("ndcg"),
+    )
+
+
 def eval_rankings(
     runs: DataFrame,
     qrels: DataFrame,

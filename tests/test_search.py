@@ -419,3 +419,37 @@ def test_best_snippets_picks_densest_earliest_window(spark):
         search.best_snippets(df, [], window=4)
     with pytest.raises(ValueError):
         search.best_snippets(df, ["a"], window=0)
+
+
+def test_ndcg_eval_hand_computed(spark):
+    """DCG/IDCG against hand-computed values with the literal discount
+    table; unretrieved-but-judged docs only raise IDCG; a query with
+    no hits scores 0; non-positive grades rejected."""
+    import math
+
+    runs = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 5, 1)],
+        "query_id string, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1, 3), ("q1", 3, 1), ("q1", 9, 2),
+         ("q3", 7, 2)],
+        "query_id string, doc_id long, rel long",
+    )
+    out = {r["query_id"]: r for r in
+           search.ndcg_eval(runs, qrels, k=10).collect()}
+    dcg = 3 * 1.0 + 1 * (1.0 / math.log2(4))
+    idcg = 3 * 1.0 + 2 * (1.0 / math.log2(3)) + 1 * (1.0 / math.log2(4))
+    assert abs(out["q1"]["dcg"] - dcg) < 1e-12
+    assert abs(out["q1"]["idcg"] - idcg) < 1e-12
+    assert abs(out["q1"]["ndcg"] - dcg / idcg) < 1e-12
+    assert out["q3"]["dcg"] == 0.0 and out["q3"]["ndcg"] == 0.0
+    assert "q2" not in out  # runs without judgments produce no row
+    bad = spark.createDataFrame(
+        [("q1", 1, 0)], "query_id string, doc_id long, rel long"
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        search.ndcg_eval(runs, bad, k=10)
