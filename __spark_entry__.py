@@ -3974,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # CMS heavy hitters over the exploded token column — the
         # fixed-memory twin of the exact `top_terms` anchor
+        "copurchase_kcore": _copurchase_kcore,
         "heavy_hitters_tokens": lambda spark, sf: profile.heavy_hitters_cms(
             _docs(spark, sf).select(
                 F.explode(
@@ -9751,6 +9752,18 @@ def _cluster_quality_report(spark: SparkSession, sf: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 8).collect()
     ]
     return similarity.cluster_quality_db(emb, "embedding", cents)
+
+
+def _copurchase_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core community filter (r7, rows-only): the 2-core of the
+    co-purchase graph — members with their in-core degree
+    (graph.k_core — iterative peeling to the unique fixpoint,
+    localCheckpoint per round, RAISES if max_iter exhausts; iterative
+    semantics are not ANSI-SQL-expressible, so verification is the
+    defining-invariant property test + planted-clique test in
+    tests/test_graph.py)."""
+    pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
+    return graph.k_core(pairs, "item_a", "item_b", k=2)
 
 
 def _search_snippets(spark: SparkSession, sf: str) -> DataFrame:

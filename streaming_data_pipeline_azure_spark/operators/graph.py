@@ -411,3 +411,62 @@ def link_prediction_jaccard(
     return scored.orderBy(
         F.desc("jaccard"), "node_a", "node_b"
     ).limit(k)
+
+
+def k_core(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    k: int,
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-CORE of the undirected simple graph: the maximal subgraph
+    in which every vertex keeps degree >= k — the standard
+    "dense-enough neighborhood" filter (spam rings, co-purchase
+    communities, dedup-cluster triage) computed by iterative peeling:
+    drop every vertex whose degree fell below k, recompute degrees on
+    the survivors, repeat to the fixpoint. Peeling provably reaches
+    THE k-core (it is unique and the removal order cannot matter), so
+    the loop is deterministic.
+
+    Shape per round: one degree aggregation over the surviving edge
+    list + two semi-joins trimming edges — O(E) per round, plan
+    truncated with ``localCheckpoint`` each iteration (the
+    connected_components discipline); the driver reads only a scalar
+    per round. Rounds are bounded by the peeling depth (a hub-and-
+    spoke graph peels in 1; a path peels in O(n) — degenerate chains
+    are the documented worst case). Exhausting ``max_iter`` before the
+    fixpoint RAISES (the r5 connected_components directive: never
+    silently return an unconverged answer).
+
+    Returns (v, degree) for the members, with their in-core degree.
+    Verification contract (tests): every returned vertex has >= k
+    returned neighbors, and no dropped vertex could rejoin."""
+    if k < 1:
+        raise ValueError("k_core needs k >= 1")
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        low = deg.filter(F.col("degree") < k)
+        if low.limit(1).count() == 0:
+            return deg
+        keep = deg.filter(F.col("degree") >= k).select("v")
+        e = (
+            e.join(
+                keep.withColumnRenamed("v", "a"), "a", "left_semi"
+            )
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"k_core did not reach the fixpoint within max_iter={max_iter} "
+        "peeling rounds — raise max_iter (deep chain-like graphs peel "
+        "one layer per round)"
+    )

@@ -220,3 +220,44 @@ def test_degree_assortativity_star_and_cycle(spark):
     (row,) = graph.degree_assortativity(cycle, "s", "d").collect()
     assert row["assortativity"] is None
     assert row["n_edges"] == 3
+
+
+def test_k_core_peels_to_unique_core(spark):
+    """A 4-clique with a pendant chain: the 3-core is exactly the
+    clique (chain peels away layer by layer); every member keeps >= k
+    in-core neighbors; k too high -> empty; guards fire."""
+    import pytest
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, "s long, d long")
+    out = {r["v"]: r["degree"] for r in
+           graph.k_core(df, "s", "d", k=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(d == 3 for d in out.values())
+    assert graph.k_core(df, "s", "d", k=4).count() == 0
+    with pytest.raises(ValueError):
+        graph.k_core(df, "s", "d", k=0)
+    with pytest.raises(RuntimeError):
+        graph.k_core(df, "s", "d", k=2, max_iter=1)
+
+
+def test_k_core_members_satisfy_degree_invariant(spark):
+    """Property on a hashed pseudo-random graph: every k-core member
+    has >= k neighbors INSIDE the returned member set (the defining
+    invariant, checked independently of the peeling loop)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(400).select(
+        (F.col("id") % 60).alias("s"),
+        ((F.col("id") * 37 + 11) % 60).alias("d"),
+    )
+    core = graph.k_core(edges, "s", "d", k=4)
+    members = {r["v"] for r in core.select("v").collect()}
+    raw = {(r["s"], r["d"]) for r in edges.collect() if r["s"] != r["d"]}
+    und = {tuple(sorted(p)) for p in raw}
+    for v in members:
+        nbrs = {b for a, b in und if a == v} | {
+            a for a, b in und if b == v
+        }
+        assert len(nbrs & members) >= 4, v
