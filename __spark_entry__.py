@@ -3826,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_anomaly_report": _encoding_anomaly_report,
         "passage_bm25_search": _passage_bm25_search,
         "retrieval_ndcg": _retrieval_ndcg,
+        "rolling_active_users": _rolling_active_users,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -3975,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CMS heavy hitters over the exploded token column — the
         # fixed-memory twin of the exact `top_terms` anchor
         "copurchase_kcore": _copurchase_kcore,
+        "rolling_active_users_hll": _rolling_active_users_hll,
         "heavy_hitters_tokens": lambda spark, sf: profile.heavy_hitters_cms(
             _docs(spark, sf).select(
                 F.explode(
@@ -5412,6 +5414,20 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "rolling_active_users": r"""
+            WITH daily AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS k
+              FROM events
+            ), observed AS (
+              SELECT DISTINCT d AS day FROM daily
+            )
+            SELECT o.day,
+                   CAST(COUNT(DISTINCT a.k) AS BIGINT) AS n_active
+            FROM observed o
+            JOIN daily a
+              ON a.d BETWEEN o.day - INTERVAL 6 DAY AND o.day
+            GROUP BY o.day
         """,
         "attribution_time_decay": r"""
             WITH conv AS (
@@ -9764,6 +9780,28 @@ def _copurchase_kcore(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_graph.py)."""
     pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
     return graph.k_core(pairs, "item_a", "item_b", k=2)
+
+
+def _rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day active users, EXACT (r7): per observed day, the
+    trailing-week distinct user count (temporal.rolling_distinct_exact
+    — bounded sequence-explode of daily distinct pairs + one distinct
+    aggregation; the oracle replays the window with a day-range
+    join)."""
+    return temporal.rolling_distinct_exact(
+        _events(spark, sf), "ts", "user_id", window_days=7
+    )
+
+
+def _rolling_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day actives via mergeable HLL sketches (r7,
+    rows-only): per-day 4 KB sketches unioned across each trailing
+    window (temporal.rolling_distinct_hll); the exact twin
+    `rolling_active_users` is the verification anchor and the suite
+    pins the estimate within HLL tolerance at testdata cardinality."""
+    return temporal.rolling_distinct_hll(
+        _events(spark, sf), "ts", "user_id", window_days=7
+    )
 
 
 def _search_snippets(spark: SparkSession, sf: str) -> DataFrame:

@@ -1378,6 +1378,96 @@ def ohlc(
     )
 
 
+def rolling_distinct_exact(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    window_days: int,
+) -> DataFrame:
+    """Trailing-window distinct actives, EXACT: for every day with
+    events, |distinct keys in [day − window+1, day]| — the rolling
+    7-day-active-users shape. Distinct counts do NOT merge across
+    window positions, so the honest exact form replicates each (day,
+    key) pair into the ≤``window_days`` windows it serves via one
+    bounded sequence-explode, then runs one distinct aggregation —
+    shuffle ≤ window_days × |daily distinct pairs|, the standard
+    exact-rolling-distinct cost (the mergeable-sketch twin
+    :func:`rolling_distinct_hll` replaces the replication with
+    O(days) 4 KB sketch unions; this operator is its oracle-checkable
+    anchor). Returns (day, n_active), day-ascending semantics."""
+    if window_days < 1:
+        raise ValueError("rolling_distinct_exact needs window_days >= 1")
+    daily = df.select(
+        F.to_date(F.col(ts_col)).alias("__d"), F.col(key_col).alias("__k")
+    ).distinct()
+    served = daily.select(
+        F.col("__k"),
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d"), window_days - 1),
+            )
+        ).alias("day"),
+    )
+    # only days that actually have events report (join back to the
+    # observed-day set — a trailing window of a silent day is not a row)
+    observed = daily.select(F.col("__d").alias("day")).distinct()
+    return (
+        served.join(observed, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("__k").cast("long").alias("n_active"))
+    )
+
+
+def rolling_distinct_hll(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    window_days: int,
+    lgk: int = 12,
+) -> DataFrame:
+    """The MERGEABLE-sketch twin of :func:`rolling_distinct_exact`:
+    one HLL sketch per day (4 KB each), then each day UNIONS its
+    trailing ``window_days`` sketches — O(days × window) sketch merges
+    instead of re-shuffling (day, key) pairs per window position; at
+    100 TB the daily sketches are the only thing that ever leaves the
+    executors, and the same per-day partials serve any window length
+    after the fact. Estimates are engine-specific (rows-only; the
+    exact twin is the verification anchor, tolerance-tested).
+    Returns (day, n_active_est)."""
+    if window_days < 1:
+        raise ValueError("rolling_distinct_hll needs window_days >= 1")
+    per_day = df.groupBy(
+        F.to_date(F.col(ts_col)).alias("__d")
+    ).agg(
+        F.hll_sketch_agg(
+            F.col(key_col).cast("string"), F.lit(lgk)
+        ).alias("__hll")
+    )
+    probe = per_day.select(
+        F.col("__d").alias("day")
+    )
+    served = per_day.select(
+        "__hll",
+        F.explode(
+            F.sequence(
+                F.col("__d"), F.date_add(F.col("__d"), window_days - 1)
+            )
+        ).alias("day"),
+    )
+    return (
+        served.join(probe, "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__hll"))
+            .cast("long")
+            .alias("n_active_est")
+        )
+    )
+
+
 def interevent_stats(
     df: DataFrame, key_col: str, ts_col: str
 ) -> DataFrame:

@@ -1027,3 +1027,34 @@ def test_interevent_stats_burstiness_signatures(spark):
     # max attainable B at n gaps is (sqrt(n-1)-1)/(sqrt(n-1)+1) = 1/3
     # for n=5 — one giant gap hits it (to float rounding)
     assert out["b"]["burstiness"] > 0.33
+
+
+def test_rolling_distinct_exact_and_hll_twin(spark):
+    """Exact trailing-window distincts on a hand fixture (re-seen keys
+    count once per window; silent days produce no row); the HLL twin
+    agrees exactly at tiny cardinality."""
+    import datetime as dtm
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        rolling_distinct_exact,
+        rolling_distinct_hll,
+    )
+
+    d = lambda day, u: (dtm.datetime(2024, 1, day, 9), u)  # noqa: E731
+    rows = [d(1, "a"), d(1, "b"), d(2, "a"), d(5, "c"), d(9, "a")]
+    df = spark.createDataFrame(rows, "ts timestamp, u string")
+    out = {r["day"].isoformat(): r["n_active"] for r in
+           rolling_distinct_exact(df, "ts", "u", window_days=3).collect()}
+    assert out == {
+        "2024-01-01": 2,          # a, b
+        "2024-01-02": 2,          # a (once), b
+        "2024-01-05": 1,          # c
+        "2024-01-09": 1,          # a
+    }
+    hll = {r["day"].isoformat(): r["n_active_est"] for r in
+           rolling_distinct_hll(df, "ts", "u", window_days=3).collect()}
+    assert hll == out  # tiny cardinality: HLL is exact here
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_distinct_exact(df, "ts", "u", window_days=0)
