@@ -3977,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-memory twin of the exact `top_terms` anchor
         "copurchase_kcore": _copurchase_kcore,
         "rolling_active_users_hll": _rolling_active_users_hll,
+        "customer_mondrian_boxes": _customer_mondrian_boxes,
         "heavy_hitters_tokens": lambda spark, sf: profile.heavy_hitters_cms(
             _docs(spark, sf).select(
                 F.explode(
@@ -9801,6 +9802,20 @@ def _rolling_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
     pins the estimate within HLL tolerance at testdata cardinality."""
     return temporal.rolling_distinct_hll(
         _events(spark, sf), "ts", "user_id", window_days=7
+    )
+
+
+def _customer_mondrian_boxes(spark: SparkSession, sf: str) -> DataFrame:
+    """Mondrian k-anonymization (r7, rows-only): customers generalized
+    into (acctbal, nationkey) boxes of >= 50 members by greedy
+    widest-dimension median splits (validate.mondrian_generalize —
+    iterative partition-tree, O(boxes) driver state per round, loud on
+    non-convergence; iterative semantics are not ANSI-expressible, so
+    verification is the >= k / partition / determinism invariant test
+    in tests/test_validate.py)."""
+    (customer,) = _tables(spark, sf, "customer")
+    return validate.mondrian_generalize(
+        customer, ["c_acctbal", "c_nationkey"], k=50
     )
 
 

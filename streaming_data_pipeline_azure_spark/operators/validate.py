@@ -494,3 +494,174 @@ def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
             (F.col("n_pair") - F.col("n_det")).alias("n_extra_values"),
         )
     )
+
+
+def mondrian_generalize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    *,
+    max_iter: int = 40,
+) -> DataFrame:
+    """Mondrian multidimensional k-anonymization (LeFevre et al.
+    2006): greedily median-split the NUMERIC quasi-identifier space on
+    the widest-range dimension until no box can split without dropping
+    below ``k`` rows — the GENERALIZATION step that fixes what
+    :func:`k_anonymity_violations` only audits (publish boxes, not
+    values).
+
+    Distributed shape per round: one per-box stats aggregation (size +
+    min/max per dim — O(boxes) rows to the driver, the bounded-collect
+    contract), then ONE join of the row set against the O(boxes) split
+    spec (broadcast) assigning each row to a child box; the row frame
+    localCheckpoints per round (the k_core/connected_components
+    discipline). Split medians are the exact lower median of the split
+    dimension (rank-picked per box — deterministic); a candidate split
+    leaving either side < k marks the box final instead. Rounds are
+    bounded by the partition-tree depth ≤ log2(n/k); exhausting
+    ``max_iter`` RAISES rather than returning an over-general result.
+
+    Returns one row per FINAL box: (box_id, n_rows, then per dim
+    ``<col>_min`` / ``<col>_max``) — every n_rows >= k by
+    construction (callers join rows back onto the box ranges to
+    publish). Iterative semantics → rows-only verification (invariant
+    + determinism tests)."""
+    if k < 2:
+        raise ValueError("mondrian_generalize needs k >= 2")
+    if not quasi_cols:
+        raise ValueError("mondrian_generalize needs quasi columns")
+    from pyspark.sql import Window
+
+    rows = df.select(
+        *[F.col(c).cast("double").alias(c) for c in quasi_cols]
+    ).withColumn("__box", F.lit(0).cast("long")).localCheckpoint()
+    n_total = rows.count()
+    if n_total < k:
+        raise ValueError(
+            f"mondrian_generalize: {n_total} rows cannot form a "
+            f"k={k} box"
+        )
+    final: set[int] = set()
+    next_id = 1
+    for _ in range(max_iter):
+        stats = (
+            rows.groupBy("__box")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    x
+                    for c in quasi_cols
+                    for x in (
+                        F.min(c).alias(f"__lo_{c}"),
+                        F.max(c).alias(f"__hi_{c}"),
+                    )
+                ],
+            )
+            .collect()  # O(boxes) rows — bounded by n/k
+        )
+        specs = []
+        for r in stats:
+            box = r["__box"]
+            if box in final:
+                continue
+            if r["__n"] < 2 * k:
+                final.add(box)
+                continue
+            dim = max(
+                quasi_cols,
+                key=lambda c: (r[f"__hi_{c}"] - r[f"__lo_{c}"], c),
+            )
+            if r[f"__hi_{dim}"] == r[f"__lo_{dim}"]:
+                final.add(box)  # zero-volume box: nothing to split
+                continue
+            specs.append((box, dim))
+        if not specs:
+            break
+        spec_map = {box: dim for box, dim in specs}
+        # exact lower median of the split dim per splitting box
+        dim_val = None
+        for box, dim in specs:
+            v = F.when(F.col("__box") == box, F.col(dim))
+            dim_val = v if dim_val is None else dim_val.when(
+                F.col("__box") == box, F.col(dim)
+            )
+        med_rows = (
+            rows.filter(F.col("__box").isin(*spec_map))
+            .select(
+                "__box",
+                dim_val.alias("__dv"),
+            )
+        )
+        w_med = Window.partitionBy("__box").orderBy("__dv")
+        wn_med = Window.partitionBy("__box")
+        med = (
+            med_rows.select(
+                "__box",
+                "__dv",
+                F.row_number().over(w_med).alias("__r"),
+                F.count(F.lit(1)).over(wn_med).alias("__cnt"),
+            )
+            .filter(F.col("__r") == ((F.col("__cnt") + 1) / 2).cast("int"))
+            .select("__box", F.col("__dv").alias("__med"))
+            .collect()
+        )
+        med_map = {r["__box"]: r["__med"] for r in med}
+        # validate child sizes via one conditional count
+        assigns = []
+        for box, dim in specs:
+            m = med_map[box]
+            left_id, right_id = next_id, next_id + 1
+            next_id += 2
+            assigns.append((box, dim, m, left_id, right_id))
+        expr = F.col("__box")
+        for box, dim, m, lid, rid in assigns:
+            expr = F.when(
+                F.col("__box") == box,
+                F.when(F.col(dim) <= F.lit(m), F.lit(lid)).otherwise(
+                    F.lit(rid)
+                ),
+            ).otherwise(expr)
+        candidate = rows.withColumn("__nb", expr.cast("long"))
+        sizes = {
+            r["__nb"]: r["n"]
+            for r in candidate.groupBy("__nb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        keep_split = {
+            box: (dim, m, lid, rid)
+            for box, dim, m, lid, rid in assigns
+            if sizes.get(lid, 0) >= k and sizes.get(rid, 0) >= k
+        }
+        for box, dim, m, lid, rid in assigns:
+            if box not in keep_split:
+                final.add(box)
+        if not keep_split:
+            continue
+        expr2 = F.col("__box")
+        for box, (dim, m, lid, rid) in keep_split.items():
+            expr2 = F.when(
+                F.col("__box") == box,
+                F.when(F.col(dim) <= F.lit(m), F.lit(lid)).otherwise(
+                    F.lit(rid)
+                ),
+            ).otherwise(expr2)
+        rows = rows.withColumn(
+            "__box", expr2.cast("long")
+        ).localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"mondrian_generalize did not finish within "
+            f"max_iter={max_iter} rounds"
+        )
+    return rows.groupBy("__box").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            x
+            for c in quasi_cols
+            for x in (
+                F.min(c).alias(f"{c}_min"),
+                F.max(c).alias(f"{c}_max"),
+            )
+        ],
+    ).withColumnRenamed("__box", "box_id")

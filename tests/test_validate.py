@@ -300,3 +300,24 @@ def test_fd_discovery_cardinality_logic(spark):
     assert out[("cat", "sub")]["n_extra_values"] == 1
     with pytest.raises(ValueError):
         validate.fd_discovery(df, ["id"])
+
+
+def test_mondrian_generalize_invariants(spark):
+    """Every final box holds >= k rows; box row counts partition the
+    input; a clearly splittable 1-D layout splits; the result is
+    deterministic across runs; guards fire."""
+    rows = [(float(i), float(i % 10)) for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = validate.mondrian_generalize(df, ["x", "y"], k=5)
+    got = out.collect()
+    assert all(r["n_rows"] >= 5 for r in got)
+    assert sum(r["n_rows"] for r in got) == 40
+    assert len(got) > 1  # 40 uniform rows at k=5 must split
+    again = validate.mondrian_generalize(df, ["x", "y"], k=5).collect()
+    key = lambda r: (r["n_rows"], r["x_min"], r["x_max"],
+                     r["y_min"], r["y_max"])
+    assert sorted(map(key, got)) == sorted(map(key, again))
+    with pytest.raises(ValueError):
+        validate.mondrian_generalize(df, ["x"], k=1)
+    with pytest.raises(ValueError):
+        validate.mondrian_generalize(df.limit(3), ["x"], k=5)
