@@ -3827,6 +3827,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_bm25_search": _passage_bm25_search,
         "retrieval_ndcg": _retrieval_ndcg,
         "rolling_active_users": _rolling_active_users,
+        "weekly_growth_accounting": _weekly_growth_accounting,
+        "user_stickiness": _user_stickiness,
+        "cohort_ltv": _cohort_ltv,
+        "monthly_fulfillment_p50": _monthly_fulfillment_p50,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5415,6 +5419,117 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "weekly_growth_accounting": r"""
+            WITH active AS (
+              SELECT DISTINCT user_id AS k,
+                     CAST(date_trunc('week', ts) AS DATE) AS b
+              FROM events
+            ), cl AS (
+              SELECT k, b,
+                     MIN(b) OVER (PARTITION BY k ORDER BY b
+                         ROWS UNBOUNDED PRECEDING) AS first_b,
+                     LAG(b) OVER (PARTITION BY k ORDER BY b) AS prev,
+                     LEAD(b) OVER (PARTITION BY k ORDER BY b) AS nxt
+              FROM active
+            ), lastb AS (SELECT MAX(b) AS lb FROM active),
+            scored AS (
+              SELECT b,
+                     CASE WHEN b = first_b THEN 'new'
+                          WHEN prev = b - INTERVAL 7 DAY
+                              THEN 'retained'
+                          ELSE 'resurrected' END AS s,
+                     CASE WHEN nxt IS NULL
+                            OR nxt > b + INTERVAL 7 DAY
+                          THEN 1 ELSE 0 END AS c
+              FROM cl
+            )
+            SELECT b AS bucket_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN s = 'new' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN s = 'retained' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_retained,
+                   CAST(SUM(CASE WHEN s = 'resurrected' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_resurrected,
+                   CASE WHEN b < lb THEN
+                     CAST(SUM(c) AS BIGINT) END AS n_churned_next
+            FROM scored, lastb
+            GROUP BY b, lb
+        """,
+        "user_stickiness": r"""
+            WITH daily AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS k
+              FROM events
+            ), observed AS (
+              SELECT DISTINCT d AS day FROM daily
+            ), dau AS (
+              SELECT d AS day, COUNT(DISTINCT k) AS dau
+              FROM daily GROUP BY d
+            ), wau AS (
+              SELECT o.day, COUNT(DISTINCT a.k) AS wau
+              FROM observed o
+              JOIN daily a
+                ON a.d BETWEEN o.day - INTERVAL 6 DAY AND o.day
+              GROUP BY o.day
+            )
+            SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+                   CAST(w.wau AS BIGINT) AS wau,
+                   CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)
+                       AS stickiness
+            FROM dau d JOIN wau w USING (day)
+        """,
+        "cohort_ltv": r"""
+            WITH base AS (
+              SELECT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS w,
+                     CAST(value AS DECIMAL(18,4)) AS v
+              FROM events WHERE event_type = 'purchase'
+            ), cohort AS (
+              SELECT user_id, MIN(w) AS cw FROM base GROUP BY user_id
+            ), sized AS (
+              SELECT cw, COUNT(DISTINCT user_id) AS cohort_n
+              FROM cohort GROUP BY cw
+            ), cells AS (
+              SELECT c.cw,
+                     CAST(date_diff('day', c.cw, b.w) / 7 AS BIGINT)
+                         AS weeks_since,
+                     CAST(SUM(b.v) AS DECIMAL(28,4)) AS rev
+              FROM base b JOIN cohort c USING (user_id)
+              GROUP BY 1, 2
+            ), running AS (
+              SELECT cw, weeks_since,
+                     CAST(SUM(rev) OVER (PARTITION BY cw
+                          ORDER BY weeks_since
+                          ROWS UNBOUNDED PRECEDING)
+                          AS DECIMAL(28,4)) AS cum
+              FROM cells
+            )
+            SELECT r.cw AS cohort_week, r.weeks_since,
+                   CAST(s.cohort_n AS BIGINT) AS cohort_n,
+                   CAST(CAST(r.cum AS VARCHAR) AS DOUBLE)
+                   / CAST(s.cohort_n AS DOUBLE) AS ltv_per_user
+            FROM running r JOIN sized s USING (cw)
+        """,
+        "monthly_fulfillment_p50": r"""
+            WITH days AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                         AS month,
+                     date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) AS d
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), ranked AS (
+              SELECT month, d,
+                     ROW_NUMBER() OVER (PARTITION BY month
+                         ORDER BY d) AS r,
+                     COUNT(*) OVER (PARTITION BY month) AS n
+              FROM days
+            )
+            SELECT month, CAST(MAX(n) AS BIGINT) AS n_lineitems,
+                   CAST(MIN(d) AS BIGINT) AS p50_ship_days
+            FROM ranked
+            WHERE r = CAST(floor((n + 1) / 2) AS BIGINT)
+            GROUP BY month
         """,
         "rolling_active_users": r"""
             WITH daily AS (
@@ -9802,6 +9917,126 @@ def _rolling_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
     pins the estimate within HLL tolerance at testdata cardinality."""
     return temporal.rolling_distinct_hll(
         _events(spark, sf), "ts", "user_id", window_days=7
+    )
+
+
+def _weekly_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Growth accounting (r7): weekly new/retained/resurrected actives
+    plus forward-looking churn (temporal.growth_accounting — one
+    distinct, one per-user window pass, one counts aggregation; the
+    final week's churn is honestly NULL)."""
+    return temporal.growth_accounting(
+        _events(spark, sf), "ts", "user_id", bucket="week"
+    )
+
+
+def _user_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/WAU stickiness (r7): per day, the 1-day and trailing-7-day
+    distinct active counts and their ratio — two
+    temporal.rolling_distinct_exact passes joined on the day (the
+    composition is itself hash-checked)."""
+    ev = _events(spark, sf)
+    dau = temporal.rolling_distinct_exact(
+        ev, "ts", "user_id", window_days=1
+    ).withColumnRenamed("n_active", "dau")
+    wau = temporal.rolling_distinct_exact(
+        ev, "ts", "user_id", window_days=7
+    ).withColumnRenamed("n_active", "wau")
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+def _cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curves (r7): per signup-week cohort (first purchase
+    week) and weeks-since, the CUMULATIVE purchase value per cohort
+    member — exact decimal revenue sums, one window for the running
+    total, one division per cell; the classic payback-period table."""
+    ev = _events(spark, sf).filter(F.col("event_type") == "purchase")
+    base = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    from pyspark.sql import Window as W
+
+    cohort = base.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sized = cohort.groupBy("cw").agg(
+        F.countDistinct("user_id").cast("long").alias("cohort_n")
+    )
+    cells = (
+        base.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(F.col("w"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.sum("v").cast("decimal(28,4)").alias("__rev"))
+    )
+    w_run = (
+        W.partitionBy("cw")
+        .orderBy("weeks_since")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    running = cells.select(
+        "cw",
+        "weeks_since",
+        F.sum("__rev").over(w_run).cast("decimal(28,4)").alias("__cum"),
+    )
+    return running.join(F.broadcast(sized), "cw").select(
+        F.col("cw").alias("cohort_week"),
+        "weeks_since",
+        "cohort_n",
+        (
+            F.col("__cum").cast("double")
+            / F.col("cohort_n").cast("double")
+        ).alias("ltv_per_user"),
+    )
+
+
+def _monthly_fulfillment_p50(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly fulfillment medians (r7): per order month, the exact
+    lower median of lineitem ship delays in days — rank-picked (the
+    winsorized_stats percentile discipline), integer day arithmetic
+    throughout."""
+    from pyspark.sql import Window as W
+
+    li = _lineitem(spark, sf)
+    (orders,) = _tables(spark, sf, "orders")
+    days = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+                "d"
+            ),
+        )
+    )
+    w = W.partitionBy("month").orderBy("d")
+    wn = W.partitionBy("month")
+    ranked = days.select(
+        "month",
+        "d",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return (
+        ranked.filter(
+            F.col("__r") == ((F.col("__n") + 1) / 2).cast("long")
+        )
+        .groupBy("month")
+        .agg(
+            F.max("__n").cast("long").alias("n_lineitems"),
+            F.min("d").cast("long").alias("p50_ship_days"),
+        )
     )
 
 

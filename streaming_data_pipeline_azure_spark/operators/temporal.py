@@ -1378,6 +1378,105 @@ def ohlc(
     )
 
 
+def growth_accounting(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    bucket: str = "week",
+) -> DataFrame:
+    """Growth accounting (the social-network-era standard): per time
+    bucket, users classified as NEW (first-ever bucket), RETAINED
+    (also active the previous bucket), RESURRECTED (active before but
+    not the previous bucket) — plus CHURNED, the previous bucket's
+    actives who went silent. new + retained + resurrected = the
+    bucket's actives; actives_t − churned_t + new_{t+1} +
+    resurrected_{t+1} = actives_{t+1} — the accounting identity
+    dashboards reconcile against.
+
+    Shape: one (key, bucket) distinct, one per-key window (lag + min),
+    one counts aggregation; churn joins the NEXT bucket's silence in
+    the same window pass (lead). All counts are exact integers.
+    Buckets with no actives (gaps) simply don't appear — churned is
+    attributed to the bucket AFTER the user's last active one.
+
+    Returns (bucket_start, n_active, n_new, n_retained,
+    n_resurrected, n_churned_next) — n_churned_next = how many of
+    THIS bucket's actives are absent from the next bucket they could
+    have appeared in (the forward-looking churn column; the final
+    bucket reports NULL, its churn being unknowable yet)."""
+    if bucket not in ("week", "month", "day"):
+        raise ValueError("growth_accounting bucket must be day|week|month")
+    b = F.date_trunc(bucket, F.col(ts_col)).cast("date")
+    active = df.select(
+        F.col(key_col).alias("__k"), b.alias("__b")
+    ).distinct()
+    w = Window.partitionBy("__k").orderBy("__b")
+    step = {"day": 1, "week": 7}.get(bucket)
+    prev_expected = (
+        F.add_months(F.col("__b"), -1)
+        if bucket == "month"
+        else F.date_sub(F.col("__b"), step)
+    )
+    next_expected = (
+        F.add_months(F.col("__b"), 1)
+        if bucket == "month"
+        else F.date_add(F.col("__b"), step)
+    )
+    classified = active.select(
+        "__k",
+        "__b",
+        F.min("__b").over(
+            Window.partitionBy("__k").orderBy("__b").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).alias("__first"),
+        F.lag("__b").over(w).alias("__prev"),
+        F.lead("__b").over(w).alias("__next"),
+        prev_expected.alias("__pe"),
+        next_expected.alias("__ne"),
+    )
+    status = (
+        F.when(F.col("__b") == F.col("__first"), F.lit("new"))
+        .when(F.col("__prev") == F.col("__pe"), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    churn_next = F.when(
+        F.col("__next").isNull() | (F.col("__next") > F.col("__ne")), 1
+    ).otherwise(0)
+    # the globally-last bucket cannot judge churn yet
+    last_bucket = active.agg(F.max("__b").alias("__last"))
+    out = (
+        classified.select("__b", status.alias("__s"), churn_next.alias("__c"))
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("__s") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("__s") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(
+                F.when(F.col("__s") == "resurrected", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_resurrected"),
+            F.sum("__c").cast("long").alias("__churn"),
+        )
+    )
+    return out.crossJoin(F.broadcast(last_bucket)).select(
+        F.col("__b").alias("bucket_start"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.when(
+            F.col("__b") < F.col("__last"), F.col("__churn")
+        ).alias("n_churned_next"),
+    )
+
+
 def rolling_distinct_exact(
     df: DataFrame,
     ts_col: str,

@@ -1058,3 +1058,41 @@ def test_rolling_distinct_exact_and_hll_twin(spark):
 
     with pytest.raises(ValueError):
         rolling_distinct_exact(df, "ts", "u", window_days=0)
+
+
+def test_growth_accounting_classes_and_identity(spark):
+    """Hand fixture: new/retained/resurrected classification, the
+    accounting identity, and NULL churn on the final bucket."""
+    import datetime as dtm
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        growth_accounting,
+    )
+
+    # weeks: W1=2024-01-01, W2=01-08, W3=01-15 (Mondays)
+    d = lambda day, u: (dtm.datetime(2024, 1, day, 12), u)  # noqa: E731
+    rows = [
+        d(1, "a"), d(8, "a"), d(15, "a"),   # a: new W1, retained W2, W3
+        d(1, "b"), d(15, "b"),              # b: new W1, gap, resurrected W3
+        d(8, "c"),                          # c: new W2, churned after
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, u string")
+    out = {r["bucket_start"].isoformat(): r for r in growth_accounting(
+        df, "ts", "u", bucket="week"
+    ).collect()}
+    w1, w2, w3 = "2024-01-01", "2024-01-08", "2024-01-15"
+    assert (out[w1]["n_new"], out[w1]["n_active"]) == (2, 2)
+    assert out[w1]["n_churned_next"] == 1            # b skips W2
+    assert (out[w2]["n_retained"], out[w2]["n_new"]) == (1, 1)
+    assert out[w2]["n_churned_next"] == 1            # c vanishes
+    assert out[w3]["n_resurrected"] == 1             # b returns
+    assert out[w3]["n_churned_next"] is None         # final bucket
+    # identity: active_t = new + retained + resurrected
+    for r in out.values():
+        assert r["n_active"] == (
+            r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        )
+    import pytest
+
+    with pytest.raises(ValueError):
+        growth_accounting(df, "ts", "u", bucket="quarter")
