@@ -3831,6 +3831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_stickiness": _user_stickiness,
         "cohort_ltv": _cohort_ltv,
         "monthly_fulfillment_p50": _monthly_fulfillment_p50,
+        "doc_readability": _doc_readability,
+        "rolling_weekly_p95": _rolling_weekly_p95,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -5419,6 +5421,55 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(cnt - 1 AS DOUBLE)
                    END AS loo_encoding
             FROM customer c JOIN stats s USING (c_mktsegment)
+        """,
+        "doc_readability": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                        AS BIGINT) AS n_words,
+                   CAST(greatest(len(regexp_extract_all(text,
+                        '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[aeiouy]+')) AS BIGINT) AS n_syllables,
+                   CASE WHEN len(regexp_extract_all(lower(text),
+                             '[a-z]+')) > 0 THEN
+                     CAST(0.39 AS DOUBLE)
+                     * (CAST(len(regexp_extract_all(lower(text),
+                           '[a-z]+')) AS DOUBLE)
+                        / CAST(greatest(len(regexp_extract_all(text,
+                           '[.!?]+')), 1) AS DOUBLE))
+                     + CAST(11.8 AS DOUBLE)
+                       * (CAST(len(regexp_extract_all(lower(text),
+                             '[aeiouy]+')) AS DOUBLE)
+                          / CAST(len(regexp_extract_all(lower(text),
+                             '[a-z]+')) AS DOUBLE))
+                     - CAST(15.59 AS DOUBLE)
+                   END AS fk_grade
+            FROM documents
+        """,
+        "rolling_weekly_p95": r"""
+            WITH ev AS (
+              SELECT CAST(ts AS DATE) AS d,
+                     CAST(value AS DECIMAL(18,4)) AS v
+              FROM events
+            ), observed AS (
+              SELECT DISTINCT d AS day FROM ev
+            ), served AS (
+              SELECT o.day, e.v
+              FROM observed o
+              JOIN ev e
+                ON e.d BETWEEN o.day - INTERVAL 6 DAY AND o.day
+            ), ranked AS (
+              SELECT day, v,
+                     ROW_NUMBER() OVER (PARTITION BY day ORDER BY v)
+                         AS r,
+                     COUNT(*) OVER (PARTITION BY day) AS n
+              FROM served
+            )
+            SELECT day, CAST(MAX(n) AS BIGINT) AS n_values,
+                   MIN(v) AS p95_value
+            FROM ranked
+            WHERE r = CAST(ceil(0.95 * CAST(n AS DOUBLE)) AS BIGINT)
+            GROUP BY day
         """,
         "weekly_growth_accounting": r"""
             WITH active AS (
@@ -10036,6 +10087,56 @@ def _monthly_fulfillment_p50(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.max("__n").cast("long").alias("n_lineitems"),
             F.min("d").cast("long").alias("p50_ship_days"),
+        )
+    )
+
+
+def _doc_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Readability scoring (r7): per-doc Flesch-Kincaid-style grade
+    from regex word/sentence/vowel-group counts
+    (text.readability_scores — three codegen counts + one fixed double
+    polynomial, fully hash-checked)."""
+    return tx.readability_scores(_docs(spark, sf))
+
+
+def _rolling_weekly_p95(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling window percentiles (r7): per day, the exact p95 of
+    event values over the trailing 7 days — the
+    rolling_distinct_exact replication shape (each day's values serve
+    <= 7 windows) plus the rank-picked exact percentile discipline
+    (value at ceil(0.95 n), integer ranks, decimal values)."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf).select(
+        F.to_date("ts").alias("d"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    served = ev.select(
+        "v",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
+    observed = ev.select(F.col("d").alias("day")).distinct()
+    w = W.partitionBy("day").orderBy("v")
+    wn = W.partitionBy("day")
+    ranked = served.join(observed, "day", "left_semi").select(
+        "day",
+        "v",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return (
+        ranked.filter(
+            F.col("__r")
+            == F.ceil(F.lit(0.95) * F.col("__n").cast("double")).cast(
+                "long"
+            )
+        )
+        .groupBy("day")
+        .agg(
+            F.max("__n").cast("long").alias("n_values"),
+            F.min("v").alias("p95_value"),
         )
     )
 

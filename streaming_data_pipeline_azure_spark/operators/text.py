@@ -486,3 +486,47 @@ def encoding_anomaly_stats(
             / F.count(F.lit(1)).cast("double")
         ).alias("affected_frac"),
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-Kincaid-style readability per document from three regex
+    counts — words (letter runs), sentences ([.!?]+ runs, min 1), and
+    HEURISTIC syllables (vowel-group runs per word, the standard cheap
+    proxy) — then the fixed FK grade-level polynomial
+
+        0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    — the corpus-difficulty feature curriculum ordering and
+    age-appropriateness filters key on. All counts are codegen
+    ``regexp_extract_all`` sizes (character classes only, RE2-safe);
+    the grade is one fixed double expression of exact integers —
+    bit-portable. English-calibrated (the vowel heuristic and the FK
+    constants); scores on other languages are monotone difficulty
+    proxies, not grade levels. Zero-word docs report NULL scores.
+
+    Returns (id, n_words, n_sentences, n_syllables, fk_grade)."""
+    t = F.col(text_col)
+    words = F.size(F.regexp_extract_all(F.lower(t), F.lit("[a-z]+"), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    syll = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0)
+    )
+    wd = words.cast("double")
+    sd = sents.cast("double")
+    yd = syll.cast("double")
+    grade = (
+        F.lit(0.39) * (wd / sd)
+        + F.lit(11.8) * (yd / wd)
+        - F.lit(15.59)
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+        F.when(words > 0, grade).alias("fk_grade"),
+    )

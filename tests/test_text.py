@@ -287,3 +287,26 @@ def test_encoding_anomaly_stats_detects_mojibake(spark):
     assert abs(out["bad"]["affected_frac"] - 2 / 3) < 1e-15
     assert out["good"]["n_replacement"] == 0
     assert out["good"]["n_docs_affected"] == 0
+
+
+def test_readability_scores_hand_counts(spark):
+    """Word/sentence/vowel-group counts and the FK polynomial on a
+    hand-counted sentence; zero-word docs report NULL grade."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It purred!"), (2, "12345 --- !!!")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    # words: the, cat, sat, it, purred = 5; sentences: 2
+    # vowel groups: e, a, a, i, u+e = 6  ("purred" -> 'u', 'e')
+    assert out[1]["n_words"] == 5
+    assert out[1]["n_sentences"] == 2
+    assert out[1]["n_syllables"] == 6
+    want = 0.39 * (5 / 2) + 11.8 * (6 / 5) - 15.59
+    assert out[1]["fk_grade"] == want
+    assert out[2]["n_words"] == 0 and out[2]["fk_grade"] is None
+    assert out[2]["n_sentences"] == 1  # clamped minimum
