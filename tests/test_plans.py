@@ -340,6 +340,14 @@ def test_no_cartesian_products_across_query_surface(spark, sf_dir):
         "copurchase_lift", "priority_sample_orders",
         "priority_sample_estimate", "copurchase_graph_stats",
         "top_session_paths", "price_trend_regression", "decontaminate_bloom",
+        # r7 third session
+        "part_price_band_pairs", "customer_jw_scores",
+        "event_precedence_pairs", "contamination_matrix",
+        "passage_bm25_search", "weekly_growth_accounting",
+        "revenue_holt_forecast", "lm_dirichlet_search",
+        "term_proximity_search", "search_snippets",
+        "user_recency_weighted_value", "rolling_active_users",
+        "priority_winsorized_price", "acctbal_quantile_normalized",
     ]
     queries = entry.queries()
     offenders = {}
