@@ -3832,6 +3832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": _cohort_ltv,
         "monthly_fulfillment_p50": _monthly_fulfillment_p50,
         "doc_readability": _doc_readability,
+        "forecast_conformal_width": _forecast_conformal_width,
+        "revenue_dow_seasonality": _revenue_dow_seasonality,
         "rolling_weekly_p95": _rolling_weekly_p95,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
@@ -5992,6 +5994,63 @@ def oracle_sql() -> dict[str, str]:
                        AS n_shared_grams
             FROM train JOIN ev USING (g)
             GROUP BY source, eval_set
+        """,
+        "forecast_conformal_width": (
+            lambda _l: rf"""
+            WITH resid AS (
+              SELECT n_name, abs(x - one_step_pred) AS r
+              FROM ({_l})
+              WHERE one_step_pred IS NOT NULL
+            ), ranked AS (
+              SELECT n_name, r,
+                     ROW_NUMBER() OVER (PARTITION BY n_name
+                         ORDER BY r) AS rk,
+                     COUNT(*) OVER (PARTITION BY n_name) AS n
+              FROM resid
+            )
+            SELECT n_name, CAST(MAX(n) AS BIGINT) AS n_backtest,
+                   MIN(r) AS p90_abs_residual
+            FROM ranked
+            WHERE rk = CAST(ceil(0.9 * CAST(n AS DOUBLE)) AS BIGINT)
+            GROUP BY n_name
+        """
+        )(_holt_oracle(r"""
+            SELECT n_name AS g,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                        AS BIGINT) AS t,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS v
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+            """, "n_name", 3)),
+        "revenue_dow_seasonality": r"""
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS v
+              FROM orders GROUP BY 1
+            ), per_dow AS (
+              SELECT dayofweek(d) + 1 AS dow, COUNT(*) AS n_days,
+                     CAST(SUM(CAST(v AS DECIMAL(28,4)))
+                          AS DECIMAL(38,4)) AS s
+              FROM daily GROUP BY 1
+            ), overall AS (
+              SELECT COUNT(*) AS nt,
+                     CAST(SUM(CAST(v AS DECIMAL(28,4)))
+                          AS DECIMAL(38,4)) AS st
+              FROM daily
+            )
+            SELECT CAST(dow AS INTEGER) AS dow,
+                   CAST(n_days AS BIGINT) AS n_days,
+                   CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                   / CAST(n_days AS DOUBLE) AS mean_revenue,
+                   (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                    / CAST(n_days AS DOUBLE))
+                   / (CAST(CAST(st AS VARCHAR) AS DOUBLE)
+                      / CAST(nt AS DOUBLE)) AS seasonality_index
+            FROM per_dow, overall
         """,
         "revenue_holt_forecast": _holt_oracle(
             r"""
@@ -10138,6 +10197,81 @@ def _rolling_weekly_p95(spark: SparkSession, sf: str) -> DataFrame:
             F.max("__n").cast("long").alias("n_values"),
             F.min("v").alias("p95_value"),
         )
+    )
+
+
+def _forecast_conformal_width(spark: SparkSession, sf: str) -> DataFrame:
+    """Conformal forecast intervals (r7): per nation, the exact p90 of
+    |actual − one_step_pred| over the Holt backtest column — the
+    distribution-free interval half-width a serving layer adds to each
+    forecast (split-conformal, Vovk et al.). Composes the oracle-green
+    holt ledger with the rank-picked exact percentile discipline, so
+    the whole calibration hash-checks."""
+    from pyspark.sql import Window as W
+
+    monthly = _monthly_nation_revenue(spark, sf)
+    ledger = temporal.holt_forecast(monthly, "n_name", "t", "v", horizon=3)
+    resid = ledger.filter(F.col("one_step_pred").isNotNull()).select(
+        "n_name",
+        F.abs(F.col("x") - F.col("one_step_pred")).alias("r"),
+    )
+    w = W.partitionBy("n_name").orderBy("r")
+    wn = W.partitionBy("n_name")
+    ranked = resid.select(
+        "n_name",
+        "r",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return (
+        ranked.filter(
+            F.col("__rk")
+            == F.ceil(F.lit(0.9) * F.col("__n").cast("double")).cast(
+                "long"
+            )
+        )
+        .groupBy("n_name")
+        .agg(
+            F.max("__n").cast("long").alias("n_backtest"),
+            F.min("r").alias("p90_abs_residual"),
+        )
+    )
+
+
+def _revenue_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonality indexes (r7): per weekday, mean daily
+    revenue over the overall mean daily revenue — exact decimal daily
+    sums, one double division per index (the classic multiplicative
+    seasonality table a naive forecaster divides through by)."""
+    (orders,) = _tables(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("v")
+    )
+    per_dow = daily.groupBy(
+        F.dayofweek("d").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("v").cast("decimal(28,4)"))
+        .cast("decimal(38,4)")
+        .alias("__s"),
+    )
+    overall = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("__nt"),
+        F.sum(F.col("v").cast("decimal(28,4)"))
+        .cast("decimal(38,4)")
+        .alias("__st"),
+    )
+    mean_dow = F.col("__s").cast("double") / F.col("n_days").cast("double")
+    mean_all = F.col("__st").cast("double") / F.col("__nt").cast("double")
+    return per_dow.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        mean_dow.alias("mean_revenue"),
+        (mean_dow / mean_all).alias("seasonality_index"),
     )
 
 
