@@ -803,3 +803,4 @@ def test_precedence_pairs_shuffles_condensed_spans_not_events(spark):
     condensed = 200 * 4
     for m in metrics:
         assert m["records"] <= 4 * condensed, metrics
+
