@@ -3834,6 +3834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": _doc_readability,
         "forecast_conformal_width": _forecast_conformal_width,
         "revenue_dow_seasonality": _revenue_dow_seasonality,
+        "dedup_savings_report": _dedup_savings_report,
+        "source_blocklist_screen": _source_blocklist_screen,
         "rolling_weekly_p95": _rolling_weekly_p95,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
@@ -5994,6 +5996,41 @@ def oracle_sql() -> dict[str, str]:
                        AS n_shared_grams
             FROM train JOIN ev USING (g)
             GROUP BY source, eval_set
+        """,
+        "dedup_savings_report": r"""
+            WITH marked AS (
+              SELECT source, n_chars,
+                     CASE WHEN ROW_NUMBER() OVER (
+                         PARTITION BY md5(lower(regexp_replace(
+                             trim(text), '\s+', ' ', 'g')))
+                         ORDER BY doc_id) > 1
+                     THEN 1 ELSE 0 END AS dup
+              FROM documents
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+                   CAST(SUM(CASE WHEN dup = 1 THEN n_chars ELSE 0
+                        END) AS BIGINT) AS chars_saved,
+                   CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS dup_frac
+            FROM marked GROUP BY source
+        """,
+        "source_blocklist_screen": r"""
+            WITH scored AS (
+              SELECT source,
+                     len(regexp_extract_all(text,
+                         '(?i)\b(password|secret|spark)\b'))
+                         AS hits
+              FROM documents
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(hits) AS BIGINT) AS n_hits,
+                   CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_flagged,
+                   CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS flagged_frac
+            FROM scored GROUP BY source
         """,
         "forecast_conformal_width": (
             lambda _l: rf"""
@@ -10272,6 +10309,50 @@ def _revenue_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
         "n_days",
         mean_dow.alias("mean_revenue"),
         (mean_dow / mean_all).alias("seasonality_index"),
+    )
+
+
+def _dedup_savings_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup ROI report (r7): per source, how many documents exact
+    (normalized) dedup would drop and how many characters that saves —
+    the datasheet line that justifies running the dedup stage at all.
+    One fingerprint window keeps the min-doc_id survivor (the
+    dedup_normalized contract); the rest is a counts aggregation."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf)
+    fp = F.md5(
+        F.lower(
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+        )
+    )
+    w = W.partitionBy(fp).orderBy("doc_id")
+    marked = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("__c"),
+        (F.row_number().over(w) > 1).cast("int").alias("__dup"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__dup").cast("long").alias("n_dup_docs"),
+        F.sum(
+            F.when(F.col("__dup") == 1, F.col("__c")).otherwise(0)
+        ).cast("long").alias("chars_saved"),
+        (
+            F.sum("__dup").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+def _source_blocklist_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocklist screening (r7): per source, hits of a fixed policy
+    term list (text.blocklist_stats — one word-bounded alternation
+    regex, one codegen scan)."""
+    return tx.blocklist_stats(
+        _docs(spark, sf),
+        ["spark", "secret", "password"],
+        "source",
     )
 
 

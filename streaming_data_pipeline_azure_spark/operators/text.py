@@ -530,3 +530,46 @@ def readability_scores(
         syll.cast("long").alias("n_syllables"),
         F.when(words > 0, grade).alias("fk_grade"),
     )
+
+
+def blocklist_stats(
+    df: DataFrame,
+    terms: list[str],
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklist screening per group: total hits of any listed term
+    (word-boundary, case-insensitive) and the flagged-document rate —
+    the safety/compliance pre-filter a corpus release runs (policy
+    terms, competitor names, embargoed strings).
+
+    The alternation compiles to ONE regex evaluated in a single
+    codegen scan (O(terms) pattern size, not O(terms) passes); terms
+    are regex-escaped so the list is data, not syntax, and matching is
+    word-bounded (``\\b``) so 'ass' never flags 'class'. Counts exact;
+    rate one double division. Returns (group, n_docs, n_hits,
+    n_docs_flagged, flagged_frac)."""
+    if not terms:
+        raise ValueError("blocklist_stats needs at least one term")
+    import re as _re
+
+    def bounded(t: str) -> str:
+        # \b only binds against a WORD character — a term starting or
+        # ending with punctuation ('$9.99') would never match with a
+        # blanket boundary, so each edge gets one only when word-y
+        lead = "\\b" if _re.match(r"\w", t) else ""
+        tail = "\\b" if _re.search(r"\w$", t) else ""
+        return lead + _re.escape(t) + tail
+
+    pat = "(?i)(" + "|".join(bounded(t) for t in sorted(terms)) + ")"
+    hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+    flagged = (hits > 0).cast("int")
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(hits.cast("long")).alias("n_hits"),
+        F.sum(flagged).cast("long").alias("n_docs_flagged"),
+        (
+            F.sum(flagged).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("flagged_frac"),
+    )

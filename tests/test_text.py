@@ -310,3 +310,31 @@ def test_readability_scores_hand_counts(spark):
     assert out[1]["fk_grade"] == want
     assert out[2]["n_words"] == 0 and out[2]["fk_grade"] is None
     assert out[2]["n_sentences"] == 1  # clamped minimum
+
+
+def test_blocklist_stats_word_bounded_and_escaped(spark):
+    """Word boundaries ('class' never flags 'ass'), case-insensitive
+    hits, regex metacharacters in terms are data not syntax."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        blocklist_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the class is classy"),          # no bare 'ass'
+            ("a", "ASS and ass again"),            # 2 hits
+            ("b", "price is $9.99 today"),         # literal $9.99
+            ("b", "harmless"),
+        ],
+        "g string, text string",
+    )
+    out = {r["g"]: r for r in
+           blocklist_stats(df, ["ass", "$9.99"], "g").collect()}
+    assert out["a"]["n_hits"] == 2
+    assert out["a"]["n_docs_flagged"] == 1
+    assert out["b"]["n_hits"] == 1
+    assert out["b"]["flagged_frac"] == 0.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        blocklist_stats(df, [], "g")
