@@ -836,3 +836,63 @@ def vocab_growth_curve(
         "new_terms",
         F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    k: int = 1000,
+    group_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: what fraction of each group's
+    token OCCURRENCES a top-``k`` frequency vocabulary captures — the
+    OOV-rate audit run before freezing a tokenizer or a fixed-vocab
+    embedding table. Returns one row per group: (group, total_tokens,
+    oov_tokens, oov_rate_scaled).
+
+    Determinism: vocabulary ties at the cut-off resolve by
+    (count DESC, token ASC) — a total order, so both engines select
+    the identical k tokens. The OOV rate is a FLOOR-SCALED bigint
+    ratio (exact integer DIV — cross-engine float division is not
+    reproducible).
+
+    Scale: one token-count shuffle (partial-aggregated 8-byte-ish
+    tokens, never documents), a TakeOrderedAndProject top-k (no global
+    sort materialization), then a BROADCAST vocab hash-join onto the
+    token stream — the corpus is scanned twice but shuffled once."""
+    toks = docs.select(
+        F.col(group_col).alias("group"),
+        F.explode(_norm_tokens(text_col)).alias("__tok"),
+    ).filter(F.length("__tok") > 0)
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__tok").asc())
+        .limit(k)
+        .select("__tok", F.lit(1).alias("__in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "__tok", "left")
+    return (
+        joined.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "group",
+            "total_tokens",
+            "oov_tokens",
+            F.expr(
+                f"CAST((oov_tokens * CAST({scale} AS BIGINT)) DIV total_tokens"
+                " AS BIGINT)"
+            ).alias("oov_rate_scaled"),
+        )
+    )

@@ -173,3 +173,39 @@ def quantile_normalize(
             F.element_at("__ref", idx).alias(out_col),
         )
     )
+
+
+def class_weights(
+    df: DataFrame, label_col: str, *, scale: int = 1_000_000
+) -> DataFrame:
+    """Inverse-frequency class weights for imbalanced training —
+    sklearn's "balanced" heuristic w_c = n_total / (k · n_c), the
+    standard per-class loss weight. Returns one row per label:
+    (label, n, share_scaled, weight_scaled) where the ratios are
+    FLOOR-SCALED INTEGERS (value · ``scale`` rounded down via exact
+    bigint DIV), the portable fixed-point form (decimal and double
+    division round differently across engines; integer division does
+    not).
+
+    Scale: one partial-aggregated count shuffle on the label, then an
+    O(k)-row broadcast of the total — nothing else touches the data."""
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "label",
+            "n",
+            F.expr(f"CAST((n * CAST({scale} AS BIGINT)) DIV __total AS BIGINT)").alias(
+                "share_scaled"
+            ),
+            F.expr(
+                f"CAST((__total * CAST({scale} AS BIGINT)) DIV (__k * n) AS BIGINT)"
+            ).alias("weight_scaled"),
+        )
+    )

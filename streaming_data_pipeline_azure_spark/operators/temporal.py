@@ -1611,3 +1611,178 @@ def interevent_stats(
             (sigma + mu) > 0, (sigma - mu) / (sigma + mu)
         ).alias("burstiness"),
     )
+
+
+def activity_streaks(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Gaps-and-islands: per-key CONSECUTIVE-DAY activity streaks —
+    the retention feature ("longest daily streak") product analytics
+    builds on event logs. Returns one row per key: (key, active_days,
+    n_streaks, longest_streak, longest_streak_end).
+
+    Formulation: distinct (key, day) → per-key ``row_number`` ordered
+    by day → the classic island anchor ``day − row_number`` (constant
+    within a run of consecutive days) → streak lengths by
+    (key, anchor). Ties for the longest streak resolve to the LATEST
+    end date via a lexicographic struct max — a total order, hence
+    engine-independent.
+
+    Scale: one distinct shuffle on (key, day), one window whose
+    partitions hold each key's distinct DAYS (bounded by the calendar,
+    not by event volume), two key-local aggregations. No self-join,
+    no range join."""
+    days = df.select(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("__day")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("__day")
+    runs = days.withColumn(
+        "__anchor", F.date_sub(F.col("__day"), F.row_number().over(w))
+    )
+    streaks = runs.groupBy(key_col, "__anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("__len"),
+        F.max("__day").alias("__end"),
+    )
+    best = F.max(F.struct(F.col("__len"), F.col("__end")))
+    return streaks.groupBy(key_col).agg(
+        F.sum("__len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        best.getField("__len").cast("long").alias("longest_streak"),
+        best.getField("__end").alias("longest_streak_end"),
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    scale: int = 4,
+) -> DataFrame:
+    """Peak-to-trough MAX DRAWDOWN of a time series: the largest drop
+    from a running maximum to a later value — the risk/monitoring
+    metric for any daily-revenue or engagement series. Returns ONE row:
+    (peak_day, trough_day, peak_value, trough_value, max_drawdown).
+
+    Exactness: the series is pre-cast to DECIMAL(18, ``scale``) so the
+    running max and the subtraction are exact (no float accumulation
+    anywhere); doubles appear only in the final display casts. Tie
+    policy (engine-independent total order): the trough is the
+    EARLIEST time achieving the maximal drawdown; the peak is the
+    EARLIEST time at-or-before the trough holding the running max.
+
+    Scale: callers pass a PRE-AGGREGATED series (one row per period),
+    so the ordered window runs over periods — bounded by the calendar,
+    not by raw event volume. The final argmin join is against a
+    one-row broadcast."""
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    w = Window.orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = df.select(
+        F.col(time_col).alias("__t"),
+        dec.alias("__v"),
+        F.max(dec).over(w).alias("__peak"),
+    ).withColumn("__dd", F.col("__peak") - F.col("__v"))
+    worst = dd.agg(F.max("__dd").alias("__maxdd"))
+    trough = (
+        dd.join(F.broadcast(worst), dd["__dd"] == worst["__maxdd"])
+        .groupBy()
+        .agg(
+            F.min(F.struct("__t", "__v", "__peak")).alias("__s"),
+            F.first("__maxdd").alias("__maxdd"),
+        )
+        .select(
+            F.col("__s.__t").alias("trough_day"),
+            F.col("__s.__v").alias("__tv"),
+            F.col("__s.__peak").alias("__pv"),
+            F.col("__maxdd").alias("__maxdd"),
+        )
+    )
+    peak = (
+        dd.join(F.broadcast(trough), (dd["__v"] == trough["__pv"]) & (dd["__t"] <= trough["trough_day"]))
+        .groupBy()
+        .agg(
+            F.min("__t").alias("peak_day"),
+            F.first("trough_day").alias("trough_day"),
+            F.first("__pv").alias("__pv"),
+            F.first("__tv").alias("__tv"),
+            F.first("__maxdd").alias("__maxdd"),
+        )
+    )
+    return peak.select(
+        "peak_day",
+        "trough_day",
+        F.col("__pv").cast("double").alias("peak_value"),
+        F.col("__tv").cast("double").alias("trough_value"),
+        F.col("__maxdd").cast("double").alias("max_drawdown"),
+    )
+
+
+def conversion_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    max_gap_minutes: int = 60,
+) -> DataFrame:
+    """Interval-join PAIRS: every right-side row landing within
+    [left_ts, left_ts + max_gap_minutes) of a left-side row with the
+    same key — the click→purchase conversion join, kept at pair grain
+    so the SAME operator backs both the batch aggregate and the
+    stream-stream join (streaming.pipeline.build_conversion_join_query
+    runs this exact expression with watermarks; parity-tested).
+
+    Plan shape: an EQUI-join on the key with the time band as a
+    post-join filter — sort-merge/shuffle-hash on the key, never a
+    broadcast-nested-loop range join. Per-key work is (left activity ×
+    right activity within the window), bounded by per-user event rates,
+    not corpus size; a hot key salts like any skewed equi-join.
+    Columns are prefixed l_/r_ to keep both timestamps addressable."""
+    lt = F.col("l_" + left_ts)
+    rt = F.col("r_" + right_ts)
+    lp = left.select(
+        F.col(key_col), *[F.col(c).alias("l_" + c) for c in left.columns if c != key_col]
+    )
+    rp = right.select(
+        F.col(key_col), *[F.col(c).alias("r_" + c) for c in right.columns if c != key_col]
+    )
+    return lp.join(rp, key_col).filter(
+        (rt >= lt)
+        & (rt < lt + F.expr(f"INTERVAL {int(max_gap_minutes)} MINUTES"))
+    )
+
+
+def first_conversion_stats(
+    pairs: DataFrame,
+    left_id: str,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-left-row conversion aggregate over ``conversion_pairs``
+    output: (left id, key, left ts, n_conversions, first_conversion_ts
+    [, first_conversion_value]). The first conversion resolves ties by
+    (right ts, right id-ish columns) via a lexicographic struct min —
+    engine-independent. One aggregation on the left id."""
+    lid, lts = "l_" + left_id, "l_" + left_ts
+    rts = "r_" + right_ts
+    first_keys = [F.col(rts)]
+    if value_col is not None:
+        first_keys.append(F.col("r_" + value_col))
+    first = F.min(F.struct(*first_keys))
+    agg = [
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        first.getField(rts).alias("first_conversion_ts"),
+    ]
+    if value_col is not None:
+        agg.append(
+            first.getField("r_" + value_col).alias("first_conversion_value")
+        )
+    return (
+        pairs.groupBy(F.col(lid).alias(left_id), F.col(key_col), F.col(lts).alias(left_ts))
+        .agg(*agg)
+    )

@@ -489,3 +489,30 @@ def test_vocab_growth_curve_first_occurrence_slices(spark):
         cp.vocab_growth_curve(df, n_slices=0)
     with pytest.raises(ValueError):
         cp.vocab_growth_curve(df, ngram=0)
+
+
+def test_vocab_coverage_topk_tiebreak_and_rates(spark):
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "aa" x3, "bb" x2, "cc" x2 (tie with bb -> bb wins k=2 cut
+            # on token ASC), "dd" x1
+            (1, "aa aa bb cc", "s1"),
+            (2, "aa bb cc dd", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["group"]: r
+        for r in vocab_coverage(docs, k=2, group_col="source").collect()
+    }
+    # vocab = {aa, bb}; s1 tokens: aa aa bb cc -> 1 OOV of 4
+    assert out["s1"]["total_tokens"] == 4
+    assert out["s1"]["oov_tokens"] == 1
+    assert out["s1"]["oov_rate_scaled"] == 250_000
+    # s2 tokens: aa bb cc dd -> 2 OOV of 4
+    assert out["s2"]["oov_tokens"] == 2
+    assert out["s2"]["oov_rate_scaled"] == 500_000

@@ -81,3 +81,22 @@ def test_quantile_normalize_maps_group_ranks_to_reference(spark):
     assert out[4]["normalized"] == 10.0
     assert out[5]["normalized"] == 50.0
     assert out[6]["normalized"] == 10.0 and out[6]["p"] == 0.0
+
+
+def test_class_weights_balanced_heuristic(spark):
+    from streaming_data_pipeline_azure_spark.operators.features import (
+        class_weights,
+    )
+
+    # 6 a, 3 b, 1 c -> total 10, k 3
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)], ["y"]
+    )
+    out = {r["label"]: r for r in class_weights(df, "y").collect()}
+    assert out["a"]["n"] == 6
+    assert out["a"]["share_scaled"] == 600_000
+    # w_a = 10/(3*6) = 0.5555.. -> floor-scaled 555555
+    assert out["a"]["weight_scaled"] == 555_555
+    # w_c = 10/(3*1) = 3.333.. -> 3333333
+    assert out["c"]["weight_scaled"] == 3_333_333
+    assert out["b"]["weight_scaled"] == 1_111_111

@@ -1096,3 +1096,112 @@ def test_growth_accounting_classes_and_identity(spark):
 
     with pytest.raises(ValueError):
         growth_accounting(df, "ts", "u", bucket="quarter")
+
+
+def test_activity_streaks_islands_and_ties(spark):
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        activity_streaks,
+    )
+
+    d = dt.datetime
+    rows = [
+        # user 1: 3-day streak Jan 1-3, gap, 2-day streak Jan 5-6;
+        # duplicate events within a day must collapse
+        (1, d(2024, 1, 1, 9)), (1, d(2024, 1, 1, 18)),
+        (1, d(2024, 1, 2, 9)), (1, d(2024, 1, 3, 9)),
+        (1, d(2024, 1, 5, 9)), (1, d(2024, 1, 6, 9)),
+        # user 2: two 2-day streaks (tie) -> longest end = the LATER one
+        (2, d(2024, 1, 1, 9)), (2, d(2024, 1, 2, 9)),
+        (2, d(2024, 1, 10, 9)), (2, d(2024, 1, 11, 9)),
+        # user 3: single day
+        (3, d(2024, 1, 7, 9)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        r["user_id"]: r
+        for r in activity_streaks(df, "user_id", "ts").collect()
+    }
+    assert out[1]["active_days"] == 5
+    assert out[1]["n_streaks"] == 2
+    assert out[1]["longest_streak"] == 3
+    assert out[1]["longest_streak_end"] == dt.date(2024, 1, 3)
+    assert out[2]["longest_streak"] == 2
+    assert out[2]["longest_streak_end"] == dt.date(2024, 1, 11)
+    assert out[3]["active_days"] == 1
+    assert out[3]["n_streaks"] == 1
+
+
+def test_max_drawdown_peak_trough_and_ties(spark):
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        max_drawdown,
+    )
+
+    # series: 10, 30, 20, 5, 25, 5 -> peak 30 (day2), trough 5 (day4,
+    # EARLIEST of the two dd=25 days), drawdown 25
+    rows = [
+        (dt.date(2024, 1, 1), 10.0),
+        (dt.date(2024, 1, 2), 30.0),
+        (dt.date(2024, 1, 3), 20.0),
+        (dt.date(2024, 1, 4), 5.0),
+        (dt.date(2024, 1, 5), 25.0),
+        (dt.date(2024, 1, 6), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["day", "v"])
+    (r,) = max_drawdown(df, "day", "v").collect()
+    assert r["peak_day"] == dt.date(2024, 1, 2)
+    assert r["trough_day"] == dt.date(2024, 1, 4)
+    assert r["peak_value"] == 30.0
+    assert r["trough_value"] == 5.0
+    assert r["max_drawdown"] == 25.0
+
+
+def test_max_drawdown_monotone_series_is_zero(spark):
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        max_drawdown,
+    )
+
+    rows = [(dt.date(2024, 1, i), float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["day", "v"])
+    (r,) = max_drawdown(df, "day", "v").collect()
+    assert r["max_drawdown"] == 0.0
+    # dd=0 everywhere -> earliest day wins both roles
+    assert r["trough_day"] == dt.date(2024, 1, 1)
+    assert r["peak_day"] == dt.date(2024, 1, 1)
+
+
+def test_conversion_pairs_and_first_conversion(spark):
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        conversion_pairs,
+        first_conversion_stats,
+    )
+
+    d = dt.datetime
+    clicks = spark.createDataFrame(
+        [(1, 7, d(2024, 1, 1, 10, 0)), (2, 7, d(2024, 1, 1, 12, 0))],
+        ["event_id", "user_id", "ts"],
+    )
+    purchases = spark.createDataFrame(
+        [
+            (7, d(2024, 1, 1, 10, 20), 5.0),
+            (7, d(2024, 1, 1, 10, 40), 3.0),
+            (7, d(2024, 1, 1, 11, 0), 9.0),   # exactly at +60min: excluded
+            (7, d(2024, 1, 1, 12, 30), 7.0),
+            (8, d(2024, 1, 1, 10, 30), 1.0),  # other user
+        ],
+        ["user_id", "ts", "value"],
+    )
+    pairs = conversion_pairs(
+        clicks, purchases, "user_id", "ts", "ts", max_gap_minutes=60
+    )
+    assert pairs.count() == 3  # click1 -> 10:20, 10:40; click2 -> 12:30
+    out = {
+        r["event_id"]: r
+        for r in first_conversion_stats(
+            pairs, "event_id", "user_id", "ts", "ts", value_col="value"
+        ).collect()
+    }
+    assert out[1]["n_conversions"] == 2
+    assert out[1]["first_conversion_ts"] == d(2024, 1, 1, 10, 20)
+    assert out[1]["first_conversion_value"] == 5.0
+    assert out[2]["n_conversions"] == 1
+    assert out[2]["first_conversion_value"] == 7.0
