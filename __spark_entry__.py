@@ -3837,6 +3837,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings_report": _dedup_savings_report,
         "source_blocklist_screen": _source_blocklist_screen,
         "rolling_weekly_p95": _rolling_weekly_p95,
+        # ---- new in r7, fourth session (overflow past the AS-BUILT
+        # window — rotate to the front of the r8 window) ----
+        "user_activity_streaks": _user_activity_streaks,
+        "revenue_max_drawdown": _revenue_max_drawdown,
+        "priority_class_weights": _priority_class_weights,
+        "vocab_coverage_stats": _vocab_coverage_stats,
+        "click_purchase_conversions": _click_purchase_conversions,
+        "stemmed_top_terms": _stemmed_top_terms,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -4038,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "bpe_encoding_stats": _bpe_encoding_stats,
         "embedding_whitening_stats": _embedding_whitening_stats,
+        "copurchase_communities": _copurchase_communities,
     }
 
 
@@ -9019,6 +9028,153 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
         """,
+        # ---- new in r7, fourth session ----
+        "user_activity_streaks": r"""
+            WITH days AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), runs AS (
+              SELECT user_id, day,
+                     day - CAST(ROW_NUMBER() OVER (
+                         PARTITION BY user_id ORDER BY day) AS INTEGER)
+                         AS anchor
+              FROM days
+            ), streaks AS (
+              SELECT user_id, anchor, COUNT(*) AS len, MAX(day) AS end_day
+              FROM runs GROUP BY user_id, anchor
+            ), per_user AS (
+              SELECT user_id, SUM(len) AS active_days,
+                     COUNT(*) AS n_streaks, MAX(len) AS longest
+              FROM streaks GROUP BY user_id
+            )
+            SELECT p.user_id,
+                   CAST(p.active_days AS BIGINT) AS active_days,
+                   CAST(p.n_streaks AS BIGINT) AS n_streaks,
+                   CAST(p.longest AS BIGINT) AS longest_streak,
+                   MAX(s.end_day) AS longest_streak_end
+            FROM per_user p
+            JOIN streaks s ON s.user_id = p.user_id AND s.len = p.longest
+            GROUP BY p.user_id, p.active_days, p.n_streaks, p.longest
+        """,
+        "revenue_max_drawdown": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     SUM(CAST(value AS DECIMAL(18,4))) AS v
+              FROM events GROUP BY 1
+            ), d2 AS (
+              SELECT day, v,
+                     MAX(v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS peak
+              FROM daily
+            ), d3 AS (
+              SELECT day, v, peak, peak - v AS dd FROM d2
+            ), trough AS (
+              SELECT day AS trough_day, v AS tv, peak AS pv, dd AS maxdd
+              FROM d3 WHERE dd = (SELECT MAX(dd) FROM d3)
+              ORDER BY day LIMIT 1
+            )
+            SELECT (SELECT MIN(d3.day) FROM d3, trough
+                    WHERE d3.v = trough.pv
+                      AND d3.day <= trough.trough_day) AS peak_day,
+                   trough_day,
+                   CAST(pv AS DOUBLE) AS peak_value,
+                   CAST(tv AS DOUBLE) AS trough_value,
+                   CAST(maxdd AS DOUBLE) AS max_drawdown
+            FROM trough
+        """,
+        "priority_class_weights": r"""
+            WITH counts AS (
+              SELECT o_orderpriority AS label, COUNT(*) AS n
+              FROM orders GROUP BY 1
+            ), t AS (
+              SELECT SUM(n) AS total, COUNT(*) AS k FROM counts
+            )
+            SELECT label, CAST(n AS BIGINT) AS n,
+                   CAST((n * 1000000) // total AS BIGINT) AS share_scaled,
+                   CAST((total * 1000000) // (k * n) AS BIGINT)
+                       AS weight_scaled
+            FROM counts, t
+        """,
+        "click_purchase_conversions": r"""
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ), purchases AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ), pairs AS (
+              SELECT c.event_id, c.user_id, c.ts,
+                     p.ts AS pts, p.value AS pval
+              FROM clicks c JOIN purchases p
+                ON p.user_id = c.user_id
+               AND p.ts >= c.ts
+               AND p.ts < c.ts + INTERVAL 60 MINUTES
+            ), firsts AS (
+              SELECT event_id, user_id, ts, pts, pval,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY event_id, user_id, ts
+                         ORDER BY pts, pval) AS rn,
+                     COUNT(*) OVER (
+                         PARTITION BY event_id, user_id, ts)
+                         AS n_conversions
+              FROM pairs
+            )
+            SELECT event_id, user_id, ts,
+                   CAST(n_conversions AS BIGINT) AS n_conversions,
+                   pts AS first_conversion_ts,
+                   pval AS first_conversion_value
+            FROM firsts WHERE rn = 1
+        """,
+        "stemmed_top_terms": r"""
+            WITH tk AS (
+              SELECT tok FROM (
+                SELECT unnest(regexp_split_to_array(
+                    lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                    ' ')) AS tok
+                FROM documents)
+              WHERE length(tok) > 0
+            ), stems AS (
+              SELECT CASE
+                WHEN length(tok) < 4 THEN tok
+                WHEN tok LIKE '%ies' THEN
+                  CASE WHEN tok LIKE '%eies' OR tok LIKE '%aies' THEN tok
+                       ELSE substr(tok, 1, length(tok) - 3) || 'y' END
+                WHEN tok LIKE '%es' THEN
+                  CASE WHEN tok LIKE '%aes' OR tok LIKE '%ees'
+                            OR tok LIKE '%oes' THEN tok
+                       ELSE substr(tok, 1, length(tok) - 1) END
+                WHEN tok LIKE '%s' THEN
+                  CASE WHEN tok LIKE '%us' OR tok LIKE '%ss' THEN tok
+                       ELSE substr(tok, 1, length(tok) - 1) END
+                ELSE tok END AS stem
+              FROM tk
+            )
+            SELECT stem, CAST(COUNT(*) AS BIGINT) AS n
+            FROM stems GROUP BY stem
+            ORDER BY n DESC, stem ASC LIMIT 30
+        """,
+        "vocab_coverage_stats": r"""
+            WITH tk AS (
+              SELECT "group", tok FROM (
+                SELECT source AS "group",
+                       unnest(regexp_split_to_array(
+                           lower(regexp_replace(trim(text), '\s+', ' ',
+                                 'g')), ' ')) AS tok
+                FROM documents)
+              WHERE length(tok) > 0
+            ), vocab AS (
+              SELECT tok FROM (
+                SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok)
+              ORDER BY cnt DESC, tok ASC LIMIT 1000
+            )
+            SELECT "group", CAST(COUNT(*) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS oov_tokens,
+                   CAST((SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                         * 1000000) // COUNT(*) AS BIGINT)
+                       AS oov_rate_scaled
+            FROM tk LEFT JOIN vocab v USING (tok)
+            GROUP BY "group"
+        """,
     }
 
 
@@ -10858,3 +11014,118 @@ def _ndcg_oracle() -> str:
                COALESCE(d.dcg, 0.0) / i.idcg AS ndcg
         FROM ideal i LEFT JOIN dcg d USING (query_id)
     """
+
+
+def _user_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands (r7 s4): per-user consecutive-day activity
+    streaks from the events log — distinct (user, day), the
+    day − row_number island anchor, then two key-local aggregations
+    (temporal.activity_streaks). Longest-streak ties resolve to the
+    LATEST end date via a lexicographic struct max (total order, so
+    the oracle's join-on-max formulation picks the same row)."""
+    return temporal.activity_streaks(_events(spark, sf), "user_id", "ts")
+
+
+def _revenue_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Max drawdown (r7 s4): largest peak-to-trough drop of the DAILY
+    event-value series (temporal.max_drawdown over a per-day decimal
+    pre-aggregate — the window runs over calendar days, not events;
+    running max / subtraction stay DECIMAL end-to-end, doubles appear
+    only in the display casts). Trough = earliest day achieving the
+    maximal drawdown; peak = earliest day ≤ trough holding the
+    running max — both engine-independent total orders."""
+    daily = (
+        _events(spark, sf)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("daily_value"))
+    )
+    return temporal.max_drawdown(daily, "day", "daily_value")
+
+
+def _priority_class_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse-frequency class weights (r7 s4): sklearn's "balanced"
+    w_c = n_total/(k·n_c) over o_orderpriority, emitted as FLOOR-SCALED
+    bigints (exact integer DIV — features.class_weights; cross-engine
+    float/decimal division rounding is the documented portability
+    trap, integer division sidesteps it)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return features.class_weights(orders, "o_orderpriority")
+
+
+def _vocab_coverage_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocab coverage (r7 s4): per-source OOV token rate
+    against a top-1000 frequency vocabulary (corpus.vocab_coverage —
+    one token-count shuffle, TakeOrderedAndProject top-k with a
+    (count DESC, token ASC) total-order tie-break, broadcast vocab
+    join; the OOV rate is a floor-scaled integer ratio)."""
+    return corpus.vocab_coverage(_docs(spark, sf), k=1000)
+
+
+def _click_purchase_conversions(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval conversion join (r7 s4): every click joined to the
+    purchases the same user makes within the next 60 minutes —
+    temporal.conversion_pairs (EQUI-join on user_id with the time band
+    as a post-join filter; never a nested-loop range join) aggregated
+    per click by temporal.first_conversion_stats (first conversion =
+    lexicographic (ts, value) struct min). The SAME pair expression
+    runs as a watermarked stream-stream join in
+    streaming.pipeline.build_conversion_join_query (parity-tested)."""
+    ev = _events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pairs = temporal.conversion_pairs(
+        clicks, purchases, "user_id", "ts", "ts", max_gap_minutes=60
+    )
+    return temporal.first_conversion_stats(
+        pairs, "event_id", "user_id", "ts", "ts", value_col="value"
+    )
+
+
+def _copurchase_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic label-propagation communities (r7 s4, rows-only —
+    iterative vote rounds are not SQL-expressible): parts co-purchased
+    in >= 3 shared orders form the edge list (the copurchase_graph
+    family's threshold); graph.label_propagation assigns each part a
+    community by synchronous most-votes/smallest-label rounds (raises
+    on non-convergence rather than returning half-propagated labels).
+    Output: per-community size histogram — anchored by the planted
+    two-clique unit test and the disjoint-cliques == connected
+    components anchor test."""
+    (li,) = _tables(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+    labels = graph.label_propagation(edges, "pa", "pb", max_iter=30)
+    return (
+        labels.groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+    )
+
+
+def _stemmed_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """S-stemmer term conflation (r7 s4): top 30 STEMMED terms across
+    the corpus — tx.s_stem (Harman's three suffix rules as pure CASE
+    logic, replicated verbatim in the oracle) over the normalized
+    token stream, count per stem, (count DESC, stem ASC) total-order
+    top-k via TakeOrderedAndProject."""
+    toks = _docs(spark, sf).select(
+        F.explode(corpus._norm_tokens("text")).alias("__tok")
+    ).filter(F.length("__tok") > 0)
+    return (
+        toks.select(tx.s_stem("__tok").alias("stem"))
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("stem").asc())
+        .limit(30)
+    )

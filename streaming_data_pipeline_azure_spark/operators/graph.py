@@ -470,3 +470,82 @@ def k_core(
         "peeling rounds — raise max_iter (deep chain-like graphs peel "
         "one layer per round)"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Community detection by DETERMINISTIC synchronous label
+    propagation: every vertex starts as its own label and each round
+    adopts the label with the highest vote among its neighbors' labels
+    plus its OWN current label (the self-vote damps the classic
+    two-coloring oscillation), ties broken by the SMALLEST label — a
+    total order, so the run is reproducible (classic LPA breaks ties
+    randomly; random tie-breaks cannot be oracle- or replay-checked).
+    Unlike connected components, a weakly-attached appendage keeps its
+    own community: votes, not reachability.
+
+    Shape per round: one join carrying neighbor labels over the edge
+    list + one (vertex, label) count aggregation + a lexicographic
+    struct max — O(E) per round, plan truncated with
+    ``localCheckpoint`` (the connected_components discipline), driver
+    reads ONE scalar (changed count) per round. Converges on clique-ish
+    community graphs in O(diameter) rounds; exhausting ``max_iter``
+    before the fixpoint RAISES rather than returning half-propagated
+    labels (the r5 connected_components directive).
+
+    Returns (v, community) — community = the agreed label (a member's
+    vertex id)."""
+    e = _canonical_edges(edges, src, dst)
+    both = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    both = both.localCheckpoint()
+    labels = (
+        both.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("community", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            both.join(
+                labels.withColumnRenamed("v", "b"), "b"
+            ).select(F.col("a").alias("v"), "community")
+        )
+        votes = (
+            neigh.unionAll(labels.select("v", "community"))
+            .groupBy("v", "community")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # max by (votes, -label): most votes, then SMALLEST label
+        pick = (
+            votes.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__n"), (-F.col("community")).alias("__neg")
+                    )
+                ).alias("__best")
+            )
+            .select(
+                "v", (-F.col("__best.__neg")).alias("community")
+            )
+        )
+        new_labels = pick.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"label_propagation did not converge within max_iter={max_iter} "
+        "rounds — raise max_iter or pre-partition the graph"
+    )

@@ -573,3 +573,44 @@ def blocklist_stats(
             / F.count(F.lit(1)).cast("double")
         ).alias("flagged_frac"),
     )
+
+
+def s_stem(tok: Column | str) -> Column:
+    """Harman's "S stemmer" (1991) — the three-rule plural stripper
+    retrieval systems use when a full Porter stack over-stems:
+
+    1. ``-ies`` -> ``-y``  unless the token ends ``eies``/``aies``
+    2. ``-es``  -> ``-e``  unless the token ends ``aes``/``ees``/``oes``
+    3. ``-s``   -> drop    unless the token ends ``us``/``ss``
+
+    First matching rule wins; rules are pure suffix CASE logic, so the
+    oracle replicates them verbatim in SQL (no regex-dialect risk).
+    Tokens shorter than 4 chars pass through untouched (stemming "is"
+    or "ies" conflates more than it helps)."""
+    c = F.col(tok) if isinstance(tok, str) else tok
+    drop_last = c.substr(F.lit(1), F.length(c) - 1)
+    ies_to_y = F.concat(c.substr(F.lit(1), F.length(c) - 3), F.lit("y"))
+    # each suffix class is TERMINAL: an exception token passes through
+    # unchanged rather than cascading into the next (shorter) rule
+    return (
+        F.when(F.length(c) < 4, c)
+        .when(
+            c.endswith("ies"),
+            F.when(c.endswith("eies") | c.endswith("aies"), c).otherwise(
+                ies_to_y
+            ),
+        )
+        .when(
+            c.endswith("es"),
+            F.when(
+                c.endswith("aes") | c.endswith("ees") | c.endswith("oes"), c
+            ).otherwise(drop_last),
+        )
+        .when(
+            c.endswith("s"),
+            F.when(c.endswith("us") | c.endswith("ss"), c).otherwise(
+                drop_last
+            ),
+        )
+        .otherwise(c)
+    )

@@ -750,3 +750,50 @@ def read_decayed(
             ),
         )
     )
+
+
+def build_conversion_join_query(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_gap_minutes: int = 60,
+    watermark_minutes: int = 120,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """STREAM-STREAM interval join: left events joined to right events
+    of the same key arriving within ``max_gap_minutes`` — the
+    click→purchase conversion pairing as one continuous query.
+
+    Both sides carry an event-time WATERMARK of ``watermark_minutes``;
+    together with the time-band join condition this bounds the join
+    state Spark keeps per side (a left row can stop waiting once the
+    right watermark passes its ts + gap, and vice versa) — the
+    difference between O(window) and O(stream-so-far) state at 100 TB.
+    The join expression is operators.temporal.conversion_pairs
+    verbatim (parity-tested streamed == batch), inlined here because
+    stream-stream joins need the watermarked columns in the join
+    condition itself. Append-mode parquet output: a pair is emitted
+    exactly once, when it becomes final."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        conversion_pairs,
+    )
+
+    lw = left_stream.withWatermark(left_ts, f"{int(watermark_minutes)} minutes")
+    rw = right_stream.withWatermark(right_ts, f"{int(watermark_minutes)} minutes")
+    pairs = conversion_pairs(
+        lw, rw, key_col, left_ts, right_ts, max_gap_minutes=max_gap_minutes
+    )
+    writer = (
+        pairs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

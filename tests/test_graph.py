@@ -261,3 +261,50 @@ def test_k_core_members_satisfy_degree_invariant(spark):
             a for a, b in und if b == v
         }
         assert len(nbrs & members) >= 4, v
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # clique A {1,2,3}, clique B {10,11,12}, one bridge 3-10: LPA must
+    # keep TWO communities (connected components would merge them)
+    ca = [(1, 2), (1, 3), (2, 3)]
+    cb = [(10, 11), (10, 12), (11, 12)]
+    edges = spark.createDataFrame(ca + cb + [(3, 10)], ["s", "d"])
+    out = {r["v"]: r["community"] for r in label_propagation(edges, "s", "d").collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+
+
+def test_label_propagation_disjoint_cliques_match_components(spark):
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # on disjoint cliques, communities == connected components ==
+    # min member id (labels converge to each clique's smallest vertex)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (20, 21)],
+        ["s", "d"],
+    )
+    out = {r["v"]: r["community"] for r in label_propagation(edges, "s", "d").collect()}
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[7], out[8], out[9]} == {7}
+    assert {out[20], out[21]} == {20}
+
+
+def test_label_propagation_raises_on_exhausted_iterations(spark):
+    import pytest
+
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["s", "d"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(edges, "s", "d", max_iter=1)

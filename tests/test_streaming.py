@@ -1405,3 +1405,79 @@ def test_streaming_decayed_state_matches_batch_and_replays(spark, tmp_path):
         for r in read_decayed(spark, state, "u").collect()
     }
     assert again == served
+
+
+def _write_event_files(tmp_path, name, batches):
+    src = tmp_path / name
+    src.mkdir()
+    for i, batch in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(e) for e in batch)
+        )
+    return str(src)
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join emits exactly the
+    pairs the batch conversion_pairs operator produces on the same
+    data (parity), across multiple micro-batch files."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        conversion_pairs,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_conversion_join_query,
+        run_to_completion,
+    )
+
+    clicks = [
+        {"event_id": 1, "user_id": 7, "ts": "2024-01-01T10:00:00"},
+        {"event_id": 2, "user_id": 7, "ts": "2024-01-01T12:00:00"},
+        {"event_id": 3, "user_id": 8, "ts": "2024-01-01T10:30:00"},
+    ]
+    purchases = [
+        # in-window for click 1 (10:20), out-of-window for click 1 but
+        # in-window for click 2 (12:30), user-8 conversion (10:45),
+        # and one purchase with NO matching click window (09:00)
+        {"user_id": 7, "ts": "2024-01-01T10:20:00", "value": 5.0},
+        {"user_id": 7, "ts": "2024-01-01T12:30:00", "value": 7.0},
+        {"user_id": 8, "ts": "2024-01-01T10:45:00", "value": 9.0},
+        {"user_id": 8, "ts": "2024-01-01T09:00:00", "value": 1.0},
+    ]
+    cs = _write_event_files(tmp_path, "clicks", [clicks[:2], clicks[2:]])
+    ps = _write_event_files(tmp_path, "purch", [purchases[:2], purchases[2:]])
+    click_schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    purch_schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    cstream = (
+        spark.readStream.schema(click_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(cs)
+    )
+    pstream = (
+        spark.readStream.schema(purch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(ps)
+    )
+    out = str(tmp_path / "pairs_out")
+    q = build_conversion_join_query(
+        cstream,
+        pstream,
+        out,
+        str(tmp_path / "ckpt"),
+        max_gap_minutes=60,
+    )
+    run_to_completion(q)
+
+    streamed = sorted(
+        (r["l_event_id"], r["user_id"], str(r["r_ts"]))
+        for r in spark.read.parquet(out).collect()
+    )
+    cb = spark.read.schema(click_schema).json(cs)
+    pb = spark.read.schema(purch_schema).json(ps)
+    batch = sorted(
+        (r["l_event_id"], r["user_id"], str(r["r_ts"]))
+        for r in conversion_pairs(
+            cb, pb, "user_id", "ts", "ts", max_gap_minutes=60
+        ).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == 3  # clicks 1,2,3 each convert exactly once

@@ -338,3 +338,24 @@ def test_blocklist_stats_word_bounded_and_escaped(spark):
 
     with pytest.raises(ValueError):
         blocklist_stats(df, [], "g")
+
+
+def test_s_stem_rules_and_exceptions(spark):
+    from streaming_data_pipeline_azure_spark.operators.text import s_stem
+
+    cases = {
+        "ponies": "pony",      # ies -> y
+        "eies": "eies",        # <4? no, len 4; eies exception holds
+        "movies": "movy",      # ies -> y (S-stemmer is intentionally crude)
+        "boxes": "boxe",       # es -> drop s
+        "shoes": "shoes",      # oes exception
+        "trees": "trees",      # ees exception
+        "cats": "cat",         # s -> drop
+        "bus": "bus",          # us exception
+        "class": "class",      # ss exception
+        "is": "is",            # too short
+        "its": "its",          # too short (len 3)
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["tok"])
+    out = {r["tok"]: r["stem"] for r in df.select("tok", s_stem("tok").alias("stem")).collect()}
+    assert out == cases
