@@ -3845,6 +3845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_stats": _vocab_coverage_stats,
         "click_purchase_conversions": _click_purchase_conversions,
         "stemmed_top_terms": _stemmed_top_terms,
+        "part_abc_classes": _part_abc_classes,
+        "revenue_naive_backtest": _revenue_naive_backtest,
+        "order_sample_sweep": _order_sample_sweep,
+        "spell_suggestions": _spell_suggestions,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9029,6 +9033,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
         """,
         # ---- new in r7, fourth session ----
+        "part_abc_classes": r"""
+            WITH per_key AS (
+              SELECT l_partkey AS key,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
+              FROM lineitem GROUP BY 1
+            ), t AS (
+              SELECT SUM(v) AS total FROM per_key
+            ), cum AS (
+              SELECT key, v,
+                     SUM(v) OVER (ORDER BY v DESC, key ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c
+              FROM per_key
+            ), classed AS (
+              SELECT CASE WHEN c * 100 <= total * 80 THEN 'A'
+                          WHEN c * 100 <= total * 95 THEN 'B'
+                          ELSE 'C' END AS abc_class,
+                     v, total
+              FROM cum, t
+            )
+            SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS class_value,
+                   CAST(CAST(SUM(v) * 10000 AS HUGEINT) * 1000000
+                        // CAST(MAX(total) * 10000 AS HUGEINT)
+                        AS BIGINT) AS value_share_scaled
+            FROM classed GROUP BY abc_class
+        """,
+        "revenue_naive_backtest": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     SUM(CAST(value AS DECIMAL(18,4))) AS v
+              FROM events GROUP BY 1
+            ), lagged AS (
+              SELECT abs(v - LAG(v, 1) OVER (ORDER BY day)) AS e1,
+                     abs(v - LAG(v, 7) OVER (ORDER BY day)) AS e7
+              FROM daily
+            ), agg AS (
+              SELECT COUNT(e1) AS n1, SUM(e1) AS s1,
+                     COUNT(e7) AS n7, SUM(e7) AS s7
+              FROM lagged
+            )
+            SELECT CAST(1 AS BIGINT) AS lag, CAST(n1 AS BIGINT) AS n_days,
+                   CAST(s1 AS DOUBLE) AS sum_abs_err,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mae
+            FROM agg
+            UNION ALL
+            SELECT 7, CAST(n7 AS BIGINT), CAST(s7 AS DOUBLE),
+                   CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE)
+            FROM agg
+        """,
+        "order_sample_sweep": _sample_sweep_oracle(),
+        "spell_suggestions": _spell_oracle(),
         "user_activity_streaks": r"""
             WITH days AS (
               SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -11129,3 +11185,108 @@ def _stemmed_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("stem").asc())
         .limit(30)
     )
+
+
+def _part_abc_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC inventory classification (r7 s4): parts ranked by extended-
+    price revenue, classed A/B/C at 80/95% INCLUSIVE cumulative share
+    (profile.abc_classes — pure-decimal boundary compares, never a
+    float share; the window sorts the PART DIMENSION, not lineitem;
+    the reported share is a floor-scaled integer ratio of the decimal
+    sums' fixed-point forms, HUGEINT-mirrored in the oracle)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return profile.abc_classes(li, "l_partkey", "l_extendedprice")
+
+
+def _revenue_naive_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (r7 s4): MAE of y(t−1) and
+    y(t−7) forecasts over the daily event-value series
+    (temporal.seasonal_naive_backtest — decimal residuals end-to-end,
+    the MASE denominator / sanity floor for revenue_holt_forecast and
+    forecast_conformal_width)."""
+    daily = (
+        _events(spark, sf)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("daily_value"))
+    )
+    return temporal.seasonal_naive_backtest(daily, "day", "daily_value")
+
+
+def _order_sample_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-sample learning curve (r7 s4): order count / total /
+    mean revenue at 1-100% deterministic Knuth-hash samples in ONE
+    scan (sampling.sample_size_sweep — exact integer thresholds on the
+    shared knuth_u32 core, so the p% sample is a SUBSET of every
+    larger one; conditional aggregates, no explode)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return sampling.sample_size_sweep(orders, "o_orderkey", "o_totalprice")
+
+
+_SPELL_TERMS = ["colum", "streem", "qurey", "merge", "windoww"]
+
+
+def _spell_suggestions(spark: SparkSession, sf: str) -> DataFrame:
+    """Query spell correction (r7 s4): top-3 corpus-vocabulary
+    suggestions within Levenshtein 1 per query term
+    (search.spell_suggest — FastSS depth-1 deletion variants of the
+    VOCABULARY broadcast-joined to the query's variant set + codegen
+    levenshtein verify; the oracle brute-forces levenshtein over the
+    whole vocabulary, proving the variant blocking complete)."""
+    return search.spell_suggest(_docs(spark, sf), _SPELL_TERMS)
+
+
+def _sample_sweep_oracle(
+    percents: tuple[int, ...] = (1, 2, 5, 10, 25, 50, 100),
+) -> str:
+    """Generate the order_sample_sweep oracle: the same exact integer
+    thresholds pct·2³²∕100 over the shared Knuth core
+    (sampling.sample_size_sweep mirror)."""
+    rows = []
+    for p in percents:
+        thr = (p * 4294967296) // 100
+        rows.append(
+            f"SELECT CAST({p} AS BIGINT) AS pct,"
+            f" CAST(SUM(CASE WHEN u < {thr} THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_rows,"
+            f" CAST(SUM(CASE WHEN u < {thr} THEN v END) AS DOUBLE)"
+            " AS total_value,"
+            f" CAST(SUM(CASE WHEN u < {thr} THEN v END) AS DOUBLE)"
+            f" / CAST(SUM(CASE WHEN u < {thr} THEN 1 ELSE 0 END) AS DOUBLE)"
+            " AS mean_value FROM k"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return (
+        "WITH k AS (SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v, "
+        + _knuth_int_sql("o_orderkey")
+        + " AS u FROM orders)\n"
+        + body
+    )
+
+
+def _spell_oracle() -> str:
+    """Generate the spell_suggestions oracle: brute-force levenshtein
+    over the WHOLE vocabulary (no variant blocking — proving
+    search.spell_suggest's FastSS candidate set complete)."""
+    in_list = ", ".join(f"'{t}'" for t in _SPELL_TERMS)
+    return rf"""
+        WITH tk AS (
+          SELECT tok FROM (
+            SELECT unnest(regexp_split_to_array(
+                lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                ' ')) AS tok
+            FROM documents)
+          WHERE length(tok) > 0
+        ), vocab AS (
+          SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+        ), terms AS (
+          SELECT unnest([{in_list}]) AS term
+        ), cand AS (
+          SELECT term, tok AS suggestion, n,
+                 ROW_NUMBER() OVER (PARTITION BY term
+                                    ORDER BY n DESC, tok ASC) AS rnk
+          FROM terms, vocab WHERE levenshtein(term, tok) <= 1
+        )
+        SELECT term, suggestion, CAST(n AS BIGINT) AS n_occurrences,
+               CAST(rnk AS BIGINT) AS rank
+        FROM cand WHERE rnk <= 3
+    """

@@ -966,3 +966,75 @@ def winsorized_stats(
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_winsorized"),
     ).withColumnRenamed("__g", group_col)
+
+
+def abc_classes(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    a_pct: int = 80,
+    b_pct: int = 95,
+    scale: int = 4,
+) -> DataFrame:
+    """ABC / Pareto classification: rank keys by total value, walk the
+    cumulative share, label the keys covering the first ``a_pct``
+    percent 'A', the next slice to ``b_pct`` percent 'B', the tail 'C'
+    — the inventory/catalog triage (which parts deserve per-item
+    attention vs bulk policies). Returns one row per class:
+    (abc_class, n_keys, class_value, value_share_scaled).
+
+    Exactness: values pre-cast to DECIMAL(18, ``scale``); the class
+    boundary compares ``cum · 100 <= pct · total`` in pure decimal
+    arithmetic (never a float share), and the reported share is a
+    floor-scaled bigint ratio on the decimal sums' fixed-point integer
+    forms. A key lands in 'A' iff its INCLUSIVE cumulative share stays
+    within ``a_pct``%. Ties order by (value DESC, key ASC) — total
+    order, engine-independent.
+
+    Scale: one aggregation shuffle to key grain, then an ordered
+    window over the KEY DIMENSION (parts/SKUs — millions of rows, not
+    the 100 TB fact table) — the same dimension-sized global sort the
+    exact-decile anchors document."""
+    from pyspark.sql import Window
+
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    per_key = df.groupBy(key_col).agg(F.sum(dec).alias("__v"))
+    w = Window.orderBy(
+        F.col("__v").desc(), F.col(key_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = per_key.agg(F.sum("__v").alias("__total"))
+    cum = per_key.withColumn("__cum", F.sum("__v").over(w)).join(
+        F.broadcast(total)
+    )
+    classed = cum.withColumn(
+        "abc_class",
+        F.when(
+            F.col("__cum") * F.lit(100) <= F.col("__total") * F.lit(a_pct),
+            F.lit("A"),
+        )
+        .when(
+            F.col("__cum") * F.lit(100) <= F.col("__total") * F.lit(b_pct),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C")),
+    )
+    unscaled = 10**scale
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("__v").alias("__cv"),
+            F.first("__total").alias("__t"),
+        )
+        .select(
+            "abc_class",
+            "n_keys",
+            F.col("__cv").cast("double").alias("class_value"),
+            F.expr(
+                f"CAST((CAST(__cv * {unscaled} AS DECIMAL(38,0))"
+                f" * 1000000) DIV CAST(__t * {unscaled} AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ).alias("value_share_scaled"),
+        )
+    )

@@ -607,3 +607,49 @@ def ring_negative_samples(
         .filter(F.col("neg_rank") <= k)
         .select(query_col, item_col, "neg_rank")
     )
+
+
+def sample_size_sweep(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    percents: tuple[int, ...] = (1, 2, 5, 10, 25, 50, 100),
+    scale: int = 4,
+) -> DataFrame:
+    """Learning-curve / estimator-convergence sweep: the SAME pass
+    evaluates a NESTED family of deterministic uniform samples — key
+    included at percent p iff ``knuth_u32(key) < p·2³²∕100`` (exact
+    integer threshold, so a key in the 5% sample is in every larger
+    one by construction; no RNG state, replays bit-identically).
+    Returns one row per percent: (pct, n_rows, total_value, mean_value).
+
+    Shape: ONE scan with conditional aggregates per percent (never an
+    explode — the 100 TB fact table is read once, the sweep rides the
+    aggregation buffers), partial-aggregated like any sum."""
+    u = _knuth_u32(key_col)
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    aggs = []
+    for p in percents:
+        if not 0 < p <= 100:
+            raise ValueError("percents must be in (0, 100]")
+        thr = (p * 4294967296) // 100
+        cond = u < F.lit(thr)
+        aggs += [
+            F.sum(cond.cast("long")).alias(f"__n{p}"),
+            F.sum(F.when(cond, dec)).alias(f"__s{p}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"{p}L, __n{p}, CAST(__s{p} AS DOUBLE)" for p in percents
+    )
+    return one.selectExpr(
+        f"stack({len(percents)}, {stack}) AS (pct, n_rows, total_value)"
+    ).select(
+        "pct",
+        "n_rows",
+        "total_value",
+        (F.col("total_value") / F.col("n_rows").cast("double")).alias(
+            "mean_value"
+        ),
+    )

@@ -1023,3 +1023,72 @@ def eval_rankings(
             F.lit(0.0),
         ).alias("rr_at_k"),
     )
+
+
+def spell_suggest(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Query spell correction ("did you mean"): for each query term,
+    the top-``k`` corpus-vocabulary tokens within Levenshtein distance
+    1, ranked by corpus frequency — the retrieval-side twin of the
+    linkage module's FastSS blocking. Returns (term, suggestion,
+    n_occurrences, rank); exact-vocabulary terms suggest themselves at
+    rank 1 (distance 0 wins on frequency like any candidate).
+
+    Shape: the vocabulary (one token-count shuffle) expands to its
+    depth-1 deletion variants — O(V·L) keys, variants of TOKENS, never
+    of documents — and BROADCAST-joins against the tiny query-term
+    variant set (distance ≤ 1 strings always share a depth-1 variant:
+    Schulz & Mihov completeness, linkage.fuzzy_match_pairs), then a
+    codegen ``levenshtein`` verify discards false candidates and a
+    per-term top-k window ranks by (n DESC, token ASC) — a total
+    order, so the oracle's brute-force scan agrees exactly."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+    )
+
+    if not terms:
+        raise ValueError("spell_suggest needs at least one query term")
+    spark = docs.sparkSession
+    tv_rows = []
+    for t in terms:
+        variants = {t} | {t[:i] + t[i + 1 :] for i in range(len(t))}
+        tv_rows += [(t, v) for v in sorted(variants)]
+    tv = spark.createDataFrame(tv_rows, ["term", "__blk"])
+    vocab = (
+        docs.select(F.explode(_norm_tokens(text_col)).alias("__tok"))
+        .filter(F.length("__tok") > 0)
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    keyed = vocab.select(
+        "__tok",
+        "n_occurrences",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(__tok)), i -> "
+                "CASE WHEN i = 0 THEN __tok "
+                "ELSE concat(substring(__tok, 1, i-1), substring(__tok, i+1)) END)"
+            )
+        ).alias("__blk"),
+    )
+    cands = (
+        keyed.join(F.broadcast(tv), "__blk")
+        .select("term", F.col("__tok").alias("suggestion"), "n_occurrences")
+        .distinct()
+        .filter(F.levenshtein("term", "suggestion") <= 1)
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("n_occurrences").desc(), F.col("suggestion").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("term", "suggestion", "n_occurrences", "rank")
+    )

@@ -1786,3 +1786,52 @@ def first_conversion_stats(
         pairs.groupBy(F.col(lid).alias(left_id), F.col(key_col), F.col(lts).alias(left_ts))
         .agg(*agg)
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    lags: tuple[int, ...] = (1, 7),
+    scale: int = 4,
+) -> DataFrame:
+    """Forecast BASELINE backtest: the mean absolute error of the
+    (seasonal-)naive forecast ŷ(t) = y(t − lag) over the series, one
+    row per lag — the sanity floor every fancier forecaster (Holt,
+    conformal) must beat, and the denominator of the MASE metric.
+    Returns (lag, n_days, sum_abs_err, mae).
+
+    Exactness: the series pre-casts to DECIMAL(18, ``scale``); lag
+    residuals and their sum stay decimal (|a − b| of decimals is
+    exact), so the only doubles are the display casts and the final
+    exact-sum ÷ exact-count division. One ordered window pass over the
+    PRE-AGGREGATED series (calendar-bounded), one aggregation."""
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    w = Window.orderBy(time_col)
+    lagged = df.select(
+        *[
+            F.abs(dec - F.lag(dec, lag).over(w)).alias(f"__e{lag}")
+            for lag in lags
+        ]
+    )
+    aggs = []
+    for lag in lags:
+        aggs += [
+            F.count(F.col(f"__e{lag}")).cast("long").alias(f"__n{lag}"),
+            F.sum(F.col(f"__e{lag}")).alias(f"__s{lag}"),
+        ]
+    one = lagged.agg(*aggs)
+    stack = ", ".join(
+        f"{lag}L, __n{lag}, CAST(__s{lag} AS DOUBLE)" for lag in lags
+    )
+    return one.selectExpr(
+        f"stack({len(lags)}, {stack}) AS (lag, n_days, sum_abs_err)"
+    ).select(
+        "lag",
+        "n_days",
+        "sum_abs_err",
+        (
+            F.col("sum_abs_err") / F.col("n_days").cast("double")
+        ).alias("mae"),
+    )

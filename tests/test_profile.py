@@ -459,3 +459,21 @@ def test_winsorized_stats_clips_tails_exactly(spark):
 
     with pytest.raises(ValueError):
         profile.winsorized_stats(df, "g", "v", p_lo=0.9, p_hi=0.1)
+
+
+def test_abc_classes_boundaries_and_shares(spark):
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        abc_classes,
+    )
+
+    # values 50, 30, 15, 5 (total 100): cum shares 50, 80, 95, 100
+    # -> A = {k1, k2} (80% INCLUSIVE), B = {k3} (95% inclusive), C = {k4}
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 30.0), (3, 15.0), (4, 5.0)], ["k", "v"]
+    )
+    out = {r["abc_class"]: r for r in abc_classes(df, "k", "v").collect()}
+    assert out["A"]["n_keys"] == 2 and out["A"]["class_value"] == 80.0
+    assert out["B"]["n_keys"] == 1 and out["B"]["class_value"] == 15.0
+    assert out["C"]["n_keys"] == 1 and out["C"]["class_value"] == 5.0
+    assert out["A"]["value_share_scaled"] == 800_000
+    assert out["C"]["value_share_scaled"] == 50_000

@@ -485,3 +485,25 @@ def test_match_distribution_uniform_and_targeted(spark):
 
     with pytest.raises(ValueError):
         match_distribution(df, "id", "g", {"small": 0.0})
+
+
+def test_sample_size_sweep_nested_and_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        sample_size_sweep,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    out = {
+        r["pct"]: r
+        for r in sample_size_sweep(df, "k", "v").collect()
+    }
+    assert out[100]["n_rows"] == 5000
+    # nested thresholds -> counts monotone in pct
+    ns = [out[p]["n_rows"] for p in (1, 2, 5, 10, 25, 50, 100)]
+    assert ns == sorted(ns)
+    # uniformity sanity: 10% sample within 3x of expectation
+    assert 150 <= out[10]["n_rows"] <= 1500

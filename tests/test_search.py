@@ -453,3 +453,29 @@ def test_ndcg_eval_hand_computed(spark):
 
     with pytest.raises(ValueError):
         search.ndcg_eval(runs, bad, k=10)
+
+
+def test_spell_suggest_blocking_complete_and_ranked(spark):
+    from streaming_data_pipeline_azure_spark.operators.search import (
+        spell_suggest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "stream stream stream streams table"),
+            (2, "stream table tables tablet"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = spell_suggest(docs, ["streem", "table", "zzz"], k=2).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r["term"], []).append(
+            (r["rank"], r["suggestion"], r["n_occurrences"])
+        )
+    # substitution candidate found via shared deletion variant
+    assert (1, "stream", 4) in by_term["streem"]
+    # exact term self-suggests at rank 1 (freq beats neighbors)
+    assert sorted(by_term["table"])[0] == (1, "table", 2)
+    # distance-2+ garbage yields nothing
+    assert "zzz" not in by_term

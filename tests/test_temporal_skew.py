@@ -1205,3 +1205,18 @@ def test_conversion_pairs_and_first_conversion(spark):
     assert out[1]["first_conversion_value"] == 5.0
     assert out[2]["n_conversions"] == 1
     assert out[2]["first_conversion_value"] == 7.0
+
+
+def test_seasonal_naive_backtest_known_series(spark):
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        seasonal_naive_backtest,
+    )
+
+    # 10 days of values 0..9: lag-1 errors are nine 1s (MAE 1);
+    # lag-7 errors are three 7s (MAE 7)
+    rows = [(dt.date(2024, 1, 1 + i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["day", "v"])
+    out = {r["lag"]: r for r in seasonal_naive_backtest(df, "day", "v").collect()}
+    assert out[1]["n_days"] == 9 and out[1]["mae"] == 1.0
+    assert out[7]["n_days"] == 3 and out[7]["mae"] == 7.0
+    assert out[7]["sum_abs_err"] == 21.0
