@@ -348,6 +348,12 @@ def test_no_cartesian_products_across_query_surface(spark, sf_dir):
         "term_proximity_search", "search_snippets",
         "user_recency_weighted_value", "rolling_active_users",
         "priority_winsorized_price", "acctbal_quantile_normalized",
+        # r7 fourth session
+        "user_activity_streaks", "revenue_max_drawdown",
+        "priority_class_weights", "vocab_coverage_stats",
+        "click_purchase_conversions", "stemmed_top_terms",
+        "part_abc_classes", "revenue_naive_backtest",
+        "order_sample_sweep", "spell_suggestions",
     ]
     queries = entry.queries()
     offenders = {}
