@@ -3849,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_naive_backtest": _revenue_naive_backtest,
         "order_sample_sweep": _order_sample_sweep,
         "spell_suggestions": _spell_suggestions,
+        "rake_keywords": _rake_keywords,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9085,6 +9086,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "order_sample_sweep": _sample_sweep_oracle(),
         "spell_suggestions": _spell_oracle(),
+        "rake_keywords": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), pos AS (
+              SELECT doc_id,
+                     unnest([i FOR i IN range(1, len(toks) + 1)]) AS pos,
+                     unnest([toks[i] FOR i IN range(1, len(toks) + 1)])
+                         AS tok
+              FROM norm
+            ), cand AS (
+              SELECT doc_id, pos, tok FROM pos
+              WHERE length(tok) > 0
+                AND regexp_full_match(tok, '[a-z0-9]+')
+                AND tok NOT IN ('the', 'a', 'of', 'and', 'is', 'to',
+                                'in', 'that', 'it', 'for')
+            ), isl AS (
+              SELECT doc_id, pos, tok,
+                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS anchor
+              FROM cand
+            ), occ AS (
+              SELECT doc_id, anchor,
+                     string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                     COUNT(*) AS plen
+              FROM isl GROUP BY doc_id, anchor
+              HAVING COUNT(*) <= 4
+            ), wstats AS (
+              SELECT w, COUNT(*) AS freq, SUM(plen) AS deg FROM (
+                SELECT plen,
+                       unnest(regexp_split_to_array(phrase, ' ')) AS w
+                FROM occ)
+              GROUP BY w
+            ), wscore AS (
+              SELECT w, CAST(CAST(deg AS HUGEINT) * 1000000
+                             // CAST(freq AS HUGEINT) AS BIGINT) AS ws
+              FROM wstats
+            ), pstats AS (
+              SELECT phrase, COUNT(*) AS n_occ, MIN(plen) AS n_words
+              FROM occ GROUP BY phrase
+            ), pscore AS (
+              SELECT phrase, SUM(ws) AS score FROM (
+                SELECT p.phrase,
+                       unnest(regexp_split_to_array(p.phrase, ' ')) AS w
+                FROM pstats p) x
+              JOIN wscore USING (w) GROUP BY phrase
+            )
+            SELECT p.phrase, CAST(p.n_words AS BIGINT) AS n_words,
+                   CAST(p.n_occ AS BIGINT) AS n_occurrences,
+                   CAST(s.score AS BIGINT) AS score_scaled
+            FROM pstats p JOIN pscore s USING (phrase)
+            ORDER BY score_scaled DESC, phrase ASC LIMIT 30
+        """,
         "user_activity_streaks": r"""
             WITH days AS (
               SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -11290,3 +11347,13 @@ def _spell_oracle() -> str:
                CAST(rnk AS BIGINT) AS rank
         FROM cand WHERE rnk <= 3
     """
+
+
+def _rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (r7 s4): top 30 stopword-delimited
+    phrases by summed degree/frequency word scores
+    (corpus.rake_keywords — gaps-and-islands phrase runs, fixed-point
+    integer word scores so the ranking is engine-exact; the oracle
+    rebuilds phrases with zipped list-comprehension unnests and the
+    identical HUGEINT floor division)."""
+    return corpus.rake_keywords(_docs(spark, sf))

@@ -896,3 +896,99 @@ def vocab_coverage(
             ).alias("oov_rate_scaled"),
         )
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    *,
+    lang: str = "en",
+    top_k: int = 30,
+    max_phrase_len: int = 4,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of content tokens between stopword/punctuation
+    delimiters; each word scores degree/frequency (degree = summed
+    length of phrases containing it, self included), a phrase scores
+    the sum of its words' scores — the classic unsupervised keyword
+    ranker. Returns the ``top_k`` phrases:
+    (phrase, n_words, n_occurrences, score_scaled).
+
+    Exactness: word scores are FLOOR-SCALED integers
+    ``(degree · scale) DIV freq`` in DECIMAL(38,0) arithmetic (float
+    ratio sums are not portable; integer fixed-point is), so the
+    phrase sum and the (score DESC, phrase ASC) order are
+    engine-exact. Delimiters = the language's stopword list plus any
+    token with a non-[a-z0-9] character.
+
+    Shape: phrase runs come from the GAPS-AND-ISLANDS anchor
+    (pos − row_number per doc — one window over each doc's tokens,
+    the activity_streaks trick applied inside documents); then two
+    token-grain aggregations (word stats, phrase stats) and one
+    word→score equi-join. Nothing is quadratic; everything partial-
+    aggregates. Phrases longer than ``max_phrase_len`` are dropped
+    (degenerate stopword-free documents would otherwise form one
+    giant phrase — documented RAKE practice)."""
+    from streaming_data_pipeline_azure_spark.operators.text import STOPWORDS
+
+    stop = STOPWORDS[lang]
+    toksed = docs.select(
+        F.col(id_col),
+        F.posexplode(_norm_tokens(text_col)).alias("__pos", "__tok"),
+    )
+    cand = toksed.filter(
+        (F.length("__tok") > 0)
+        & F.col("__tok").rlike("^[a-z0-9]+$")
+        & ~F.col("__tok").isin(stop)
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    isl = cand.withColumn(
+        "__anchor", F.col("__pos") - F.row_number().over(w)
+    )
+    occ = (
+        isl.groupBy(id_col, "__anchor")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("__plen"),
+        )
+        .filter(F.col("__plen") <= max_phrase_len)
+    )
+    wstats = (
+        occ.select("__plen", F.explode(F.split("phrase", " ")).alias("__w"))
+        .groupBy("__w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__freq"),
+            F.sum("__plen").cast("long").alias("__deg"),
+        )
+    )
+    wscore = wstats.select(
+        "__w",
+        F.expr(
+            f"CAST((CAST(__deg AS DECIMAL(38,0)) * {scale})"
+            " DIV CAST(__freq AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("__ws"),
+    )
+    pstats = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("__plen").alias("n_words"),
+    )
+    pscore = (
+        pstats.select("phrase", F.explode(F.split("phrase", " ")).alias("__w"))
+        .join(wscore, "__w")
+        .groupBy("phrase")
+        .agg(F.sum("__ws").cast("long").alias("score_scaled"))
+    )
+    return (
+        pstats.join(pscore, "phrase")
+        .select("phrase", "n_words", "n_occurrences", "score_scaled")
+        .orderBy(F.col("score_scaled").desc(), F.col("phrase").asc())
+        .limit(top_k)
+    )

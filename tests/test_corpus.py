@@ -516,3 +516,31 @@ def test_vocab_coverage_topk_tiebreak_and_rates(spark):
     # s2 tokens: aa bb cc dd -> 2 OOV of 4
     assert out["s2"]["oov_tokens"] == 2
     assert out["s2"]["oov_rate_scaled"] == 500_000
+
+
+def test_rake_keywords_phrases_and_scores(spark):
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        rake_keywords,
+    )
+
+    # doc1 runs: [machine learning] and [machine learning corpus]
+    # (is/the are stopword delimiters); doc2: "learning;stack" has a
+    # non-alphanumeric char -> delimiter, leaving the run [deep].
+    # Word scores (deg*1e6 DIV freq): machine (2+3)/2 -> 2_500_000,
+    # learning (2+3)/2 -> 2_500_000, corpus 3/1 -> 3_000_000,
+    # deep 1/1 -> 1_000_000. Phrase scores = member-word sums.
+    docs = spark.createDataFrame(
+        [
+            (1, "machine learning is the machine learning corpus"),
+            (2, "a deep learning;stack"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = rake_keywords(docs, top_k=10).collect()
+    by_phrase = {r["phrase"]: r for r in rows}
+    assert by_phrase["machine learning"]["score_scaled"] == 5_000_000
+    assert by_phrase["machine learning corpus"]["score_scaled"] == 8_000_000
+    assert by_phrase["deep"]["score_scaled"] == 1_000_000
+    assert by_phrase["machine learning"]["n_occurrences"] == 1
+    assert rows[0]["phrase"] == "machine learning corpus"
+    assert rows[0]["n_words"] == 3
