@@ -3850,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_sample_sweep": _order_sample_sweep,
         "spell_suggestions": _spell_suggestions,
         "rake_keywords": _rake_keywords,
+        "event_value_percentile_bins": _event_value_percentile_bins,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9086,6 +9087,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "order_sample_sweep": _sample_sweep_oracle(),
         "spell_suggestions": _spell_oracle(),
+        "event_value_percentile_bins": r"""
+            WITH src AS (
+              SELECT event_type, value AS v FROM events
+              WHERE value IS NOT NULL AND value >= 0
+            ), binned AS (
+              SELECT event_type,
+                     CASE WHEN v < 1 THEN -1
+                          ELSE CAST(length(printf('%b',
+                               CAST(floor(v) AS BIGINT))) - 1 AS INTEGER)
+                     END AS bucket,
+                     COUNT(*) AS n
+              FROM src GROUP BY 1, 2
+            ), cum AS (
+              SELECT event_type, bucket, n,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS total,
+                     CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << bucket) END AS lo,
+                     CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1
+                     END AS hi
+              FROM binned
+            ), est AS (
+              SELECT event_type, MAX(total) AS n_total,
+                     MIN(CASE WHEN cum > ((total - 1) * 50) // 100
+                              THEN (lo + hi) // 2 END) AS e50,
+                     MIN(CASE WHEN cum > ((total - 1) * 95) // 100
+                              THEN (lo + hi) // 2 END) AS e95,
+                     MIN(CASE WHEN cum > ((total - 1) * 99) // 100
+                              THEN (lo + hi) // 2 END) AS e99
+              FROM cum GROUP BY event_type
+            )
+            SELECT event_type, CAST(50 AS BIGINT) AS pct,
+                   CAST(n_total AS BIGINT) AS n_total,
+                   CAST(e50 AS BIGINT) AS estimate FROM est
+            UNION ALL
+            SELECT event_type, 95, CAST(n_total AS BIGINT),
+                   CAST(e95 AS BIGINT) FROM est
+            UNION ALL
+            SELECT event_type, 99, CAST(n_total AS BIGINT),
+                   CAST(e99 AS BIGINT) FROM est
+        """,
         "rake_keywords": r"""
             WITH norm AS (
               SELECT doc_id,
@@ -11357,3 +11402,17 @@ def _rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
     rebuilds phrases with zipped list-comprehension unnests and the
     identical HUGEINT floor division)."""
     return corpus.rake_keywords(_docs(spark, sf))
+
+
+def _event_value_percentile_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-quantile serving twin (r7 s4): per-event-type
+    p50/p95/p99 ESTIMATES from log2-histogram state
+    (profile.histogram_partials → histogram_percentiles — all-integer
+    rank pick and bucket midpoints, so the HDR-style sketch is fully
+    oracle-checkable; the streaming build_histogram_ingest_query
+    folds the identical partials and is parity-tested streamed ==
+    batch)."""
+    parts = profile.histogram_partials(
+        _events(spark, sf), ["event_type"], "value"
+    )
+    return profile.histogram_percentiles(parts, ["event_type"])

@@ -1038,3 +1038,101 @@ def abc_classes(
             ).alias("value_share_scaled"),
         )
     )
+
+
+def histogram_partials(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """MERGEABLE log2-histogram state: per-group power-of-two bucket
+    counts — the quantile-sketch member of the mergeable-state family
+    (HLL = distinct, CMS = frequency, moments = mean/var; this one
+    serves PERCENTILES). Buckets merge across shards/batches by plain
+    addition, so the state is replayable and distributive.
+
+    Binning is :func:`log2_histogram`'s exact integer exponent
+    (``length(bin(⌊v⌋)) − 1`` — no libm), extended with bucket −1 for
+    0 ≤ v < 1 so totals reconcile; negative/NULL values are excluded
+    (report upstream). Returns (group…, bucket, n)."""
+    v = F.col(value_col)
+    b = F.when(
+        v < 1, F.lit(-1)
+    ).otherwise((F.length(F.bin(F.floor(v).cast("long"))) - 1)).cast("int")
+    return (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def merge_histogram_partials(
+    partials: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Fold histogram partials from any number of shards/batches into
+    one per-(group, bucket) count — plain addition, the distributive
+    merge that makes the state order- and replay-insensitive."""
+    return partials.groupBy(*group_cols, "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def histogram_percentiles(
+    partials: DataFrame,
+    group_cols: list[str],
+    *,
+    percents: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Serve percentile ESTIMATES from merged log2-histogram state:
+    for each group and percent p, the midpoint of the bucket holding
+    the 0-indexed rank ``((total−1)·p) DIV 100`` — constant relative
+    error (a value lands within its power-of-two bucket, so the
+    estimate is within 2× of the true percentile), which is the HDR-
+    histogram trade every latency dashboard makes. Returns
+    (group…, pct, n_total, estimate).
+
+    ALL integer arithmetic (rank pick, bucket walk, midpoint
+    ``(lo+hi) DIV 2``) — engine-exact, so the batch twin is fully
+    ORACLE-checkable and streamed state == one-pass batch
+    bit-for-bit. One bucket-ordered window per group (≤ ~64 bucket
+    rows per group, never raw values) + one conditional aggregation."""
+    from pyspark.sql import Window
+
+    merged = merge_histogram_partials(partials, group_cols)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = merged.withColumn("__cum", F.sum("n").over(w)).withColumn(
+        "__total", F.sum("n").over(wt)
+    )
+    lo = F.when(F.col("bucket") < 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+    )
+    hi = F.when(F.col("bucket") < 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1")
+    )
+    mid = F.expr(
+        "CAST((__lo + __hi) DIV 2 AS BIGINT)"
+    )
+    cum = cum.withColumn("__lo", lo).withColumn("__hi", hi)
+    aggs = []
+    for p in percents:
+        if not 0 <= p <= 100:
+            raise ValueError("percents must be in [0, 100]")
+        target = F.expr(f"CAST(((__total - 1) * {p}) DIV 100 AS BIGINT)")
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") > target, mid)
+            ).alias(f"__est{p}")
+        )
+    one = cum.groupBy(*group_cols).agg(
+        F.max("__total").cast("long").alias("n_total"), *aggs
+    )
+    stack = ", ".join(f"{p}L, __est{p}" for p in percents)
+    return one.selectExpr(
+        *group_cols,
+        "n_total",
+        f"stack({len(percents)}, {stack}) AS (pct, estimate)",
+    ).select(*group_cols, "pct", "n_total", "estimate")

@@ -797,3 +797,65 @@ def build_conversion_join_query(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def build_histogram_ingest_query(
+    value_stream: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming QUANTILE state (r7 s4): each micro-batch folds its
+    per-group log2-histogram bucket counts into a persisted state
+    store, so "p95 event value so far" is servable at any time without
+    reprocessing history — the percentile member of the mergeable
+    streaming-state family (HLL distinct, CMS frequency, moment A/B,
+    OHLC, decayed sums, checksums).
+
+    Replay-idempotence, same contract as the other ingests: batch N's
+    partials land at ``state_path/batch_id=N`` with OVERWRITE — a
+    replayed batch rewrites identical bucket counts instead of
+    double-counting. State grows O(batches × groups × ~64 buckets)
+    tiny integer rows; serve with :func:`read_histogram_percentiles`,
+    whose addition-merge is bit-identical to a one-pass batch build
+    (tested)."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        histogram_partials,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_partials(batch_df, group_cols, value_col).write.mode(
+            "overwrite"
+        ).parquet(f"{state_path}/batch_id={batch_id}")
+
+    writer = (
+        value_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_histogram_percentiles(
+    spark,
+    state_path: str,
+    group_cols: list[str],
+    *,
+    percents: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Serve the streaming histogram state: merge every batch's bucket
+    counts (plain addition — order/replay-insensitive) and report
+    per-group percentile estimates. Distributed end-to-end; the driver
+    never sees raw values, only ≤ ~64-bucket rows per group."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        histogram_percentiles,
+    )
+
+    return histogram_percentiles(
+        spark.read.parquet(state_path), group_cols, percents=percents
+    )

@@ -477,3 +477,44 @@ def test_abc_classes_boundaries_and_shares(spark):
     assert out["C"]["n_keys"] == 1 and out["C"]["class_value"] == 5.0
     assert out["A"]["value_share_scaled"] == 800_000
     assert out["C"]["value_share_scaled"] == 50_000
+
+
+def test_histogram_percentiles_known_buckets(spark):
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        histogram_partials,
+        histogram_percentiles,
+    )
+
+    # values: 0.2 (bucket -1), 1..3 (buckets 0,1,1), 100 (bucket 6)
+    df = spark.createDataFrame(
+        [("g", 0.2), ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 100.0)],
+        ["k", "v"],
+    )
+    parts = histogram_partials(df, ["k"], "v")
+    got = {(r["bucket"]): r["n"] for r in parts.collect()}
+    assert got == {-1: 1, 0: 1, 1: 2, 6: 1}
+    est = {
+        r["pct"]: r["estimate"]
+        for r in histogram_percentiles(parts, ["k"], percents=(0, 50, 100)).collect()
+    }
+    # rank 0 -> bucket -1 midpoint 0; rank 2 -> bucket 1 mid (2+3)/2=2;
+    # rank 4 -> bucket 6 mid (64+127)/2=95
+    assert est == {0: 0, 50: 2, 100: 95}
+
+
+def test_histogram_partials_merge_is_addition(spark):
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        histogram_partials,
+        merge_histogram_partials,
+    )
+
+    a = spark.createDataFrame([("g", 5.0)], ["k", "v"])
+    b = spark.createDataFrame([("g", 6.0), ("g", 0.1)], ["k", "v"])
+    merged = merge_histogram_partials(
+        histogram_partials(a, ["k"], "v").unionAll(
+            histogram_partials(b, ["k"], "v")
+        ),
+        ["k"],
+    )
+    got = {r["bucket"]: r["n"] for r in merged.collect()}
+    assert got == {2: 2, -1: 1}

@@ -1481,3 +1481,78 @@ def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) == 3  # clicks 1,2,3 each convert exactly once
+
+
+def test_streaming_histogram_percentiles_match_batch(spark, tmp_path):
+    """The streaming log2-histogram state, fed in micro-batches, must
+    serve BIT-IDENTICAL percentile estimates to a one-pass batch build
+    (addition-merge of integer buckets), and a replayed batch must not
+    double-count (overwrite partitions)."""
+    import json as _json
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        histogram_partials,
+        histogram_percentiles,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_histogram_ingest_query,
+        read_histogram_percentiles,
+    )
+
+    b1 = [{"g": "x", "v": float(i)} for i in range(100)]
+    b2 = [{"g": "x", "v": float(i * 10)} for i in range(50)] + [
+        {"g": "y", "v": 0.5},
+        {"g": "y", "v": 1000.0},
+    ]
+    src = tmp_path / "hist_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    state = str(tmp_path / "hist_state")
+    q = build_histogram_ingest_query(
+        stream, ["g"], "v", state, str(tmp_path / "hist_ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+
+    served = sorted(
+        tuple(r)
+        for r in read_histogram_percentiles(spark, state, ["g"]).collect()
+    )
+    union = spark.createDataFrame(
+        [(r["g"], r["v"]) for r in b1 + b2], "g string, v double"
+    )
+    direct = sorted(
+        tuple(r)
+        for r in histogram_percentiles(
+            histogram_partials(union, ["g"], "v"), ["g"]
+        ).collect()
+    )
+    assert served == direct
+    # estimate is within the bucket of the true percentile -> within
+    # 2x of the exact value (HDR contract): exact p50 of group x is 54
+    x50 = [r for r in served if r[0] == "x" and r[1] == 50][0]
+    assert 32 <= x50[3] <= 95
+
+    # replay batch 0 (fresh checkpoint, same state dir) — idempotent
+    replay = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q2 = build_histogram_ingest_query(
+        replay, ["g"], "v", state, str(tmp_path / "hist_ckpt2"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    again = sorted(
+        tuple(r)
+        for r in read_histogram_percentiles(spark, state, ["g"]).collect()
+    )
+    assert again == served
