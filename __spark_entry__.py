@@ -3851,6 +3851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggestions": _spell_suggestions,
         "rake_keywords": _rake_keywords,
         "event_value_percentile_bins": _event_value_percentile_bins,
+        "price_ks_test": _price_ks_test,
+        "priority_mannwhitney": _priority_mannwhitney,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9087,6 +9089,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         "order_sample_sweep": _sample_sweep_oracle(),
         "spell_suggestions": _spell_oracle(),
+        "price_ks_test": r"""
+            WITH tagged AS (
+              SELECT l_extendedprice AS v,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+                     CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS b
+              FROM lineitem WHERE l_returnflag IN ('R', 'A')
+            ), pts AS (
+              SELECT v, SUM(a) AS na_v, SUM(b) AS nb_v
+              FROM tagged GROUP BY v
+            ), cum AS (
+              SELECT SUM(na_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS ca,
+                     SUM(nb_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS cb
+              FROM pts
+            ), tot AS (
+              SELECT MAX(ca) AS n_a, MAX(cb) AS n_b FROM cum
+            ), gap AS (
+              SELECT MAX(abs(CAST(ca AS HUGEINT) * n_b
+                             - CAST(cb AS HUGEINT) * n_a)) AS dnum
+              FROM cum, tot
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(dnum * 1000000
+                        // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT))
+                        AS BIGINT) AS ks_scaled
+            FROM gap, tot
+        """,
+        "priority_mannwhitney": r"""
+            WITH tagged AS (
+              SELECT o_totalprice AS v,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS a,
+                     CASE WHEN o_orderpriority = '5-LOW'
+                          THEN 1 ELSE 0 END AS b
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ), pts AS (
+              SELECT v, SUM(a) AS na_v, SUM(b) AS nb_v
+              FROM tagged GROUP BY v
+            ), cum AS (
+              SELECT na_v, nb_v,
+                     SUM(na_v + nb_v) OVER (ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+              FROM pts
+            ), sums AS (
+              SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
+                     SUM(CAST(na_v AS HUGEINT)
+                         * (2 * CAST(cumall AS HUGEINT)
+                            - CAST(na_v + nb_v AS HUGEINT) + 1)) AS r2a
+              FROM cum
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1)
+                        AS DECIMAL(38,0)) AS u2_a,
+                   CAST(2 * CAST(n_a AS HUGEINT) * n_b
+                        - (r2a - CAST(n_a AS HUGEINT) * (n_a + 1))
+                        AS DECIMAL(38,0)) AS u2_b,
+                   CAST((r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) * 1000000
+                        // (2 * CAST(n_a AS HUGEINT) * n_b)
+                        AS BIGINT) AS auc_scaled
+            FROM sums
+        """,
         "event_value_percentile_bins": r"""
             WITH src AS (
               SELECT event_type, value AS v FROM events
@@ -11416,3 +11481,25 @@ def _event_value_percentile_bins(spark: SparkSession, sf: str) -> DataFrame:
         _events(spark, sf), ["event_type"], "value"
     )
     return profile.histogram_percentiles(parts, ["event_type"])
+
+
+def _price_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample KS (r7 s4): maximum ECDF gap between returned
+    (R) and accepted (A) lineitems' extended prices
+    (experiment.ks_statistic — integer cross-product gap compares in
+    DECIMAL(38,0), the one float-free KS formulation; distinct-value
+    grain shuffle, never raw rows)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return experiment.ks_statistic(li, "l_returnflag", "l_extendedprice", "R", "A")
+
+
+def _priority_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Mann-Whitney U (r7 s4): do URGENT orders stochastically
+    dominate LOW orders on total price (experiment.mann_whitney_u —
+    DOUBLED tie-averaged ranks stay integer, rank sums in
+    DECIMAL(38,0), AUC effect size floor-scaled; identity
+    2U_a + 2U_b = 2·n_a·n_b pinned by tests)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return experiment.mann_whitney_u(
+        orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )

@@ -383,3 +383,146 @@ def bootstrap_mean_ci(
         "mean_lo",
         "mean_hi",
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, EXACT: the maximum
+    ECDF gap between two groups' value distributions — the standard
+    nonparametric "did the distribution shift" test (A/B guardrails,
+    drift detection between cohorts). Returns ONE row:
+    (n_a, n_b, ks_scaled) with ks_scaled = floor(D * scale).
+
+    Exactness: D = max_v |F_a(v) - F_b(v)| is evaluated WITHOUT any
+    float division — the gap at value v compares the integer
+    cross-products |cum_a(v)*n_b - cum_b(v)*n_a| (DECIMAL(38,0)
+    products, overflow-safe past int64 at any realistic n), and only
+    the maximal numerator is floor-scaled by (n_a*n_b) via exact
+    integral DIV. Every engine computes the identical bigint.
+
+    Shape: one aggregation to DISTINCT-VALUE grain (the shuffle
+    carries value points, not rows), one ordered window over those
+    points for cumulative counts, a one-row broadcast of the totals,
+    one max — the dimension-bounded window discipline of the other
+    exact statistics."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    tagged = df.filter(g.isin([group_a, group_b])).select(
+        F.col(value_col).alias("__v"),
+        (g == F.lit(group_a)).cast("long").alias("__a"),
+        (g == F.lit(group_b)).cast("long").alias("__b"),
+    )
+    pts = tagged.groupBy("__v").agg(
+        F.sum("__a").alias("__na_v"), F.sum("__b").alias("__nb_v")
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pts.select(
+        F.sum("__na_v").over(w).alias("__ca"),
+        F.sum("__nb_v").over(w).alias("__cb"),
+    )
+    tot = cum.agg(
+        F.max("__ca").cast("long").alias("n_a"),
+        F.max("__cb").cast("long").alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    gap = F.abs(
+        F.col("__ca").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("__cb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(gap).alias("__dnum"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST((__dnum * {scale}) DIV (CAST(n_a AS DECIMAL(38,0))"
+                " * CAST(n_b AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("ks_scaled"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum), EXACT with tie-averaged
+    ranks: the nonparametric two-sample location test — "do group A's
+    values stochastically dominate group B's". Returns ONE row:
+    (n_a, n_b, u2_a, u2_b, auc_scaled) where u2_* = 2*U_* (kept DOUBLED
+    so tie-averaged half-ranks stay INTEGER: for a tie run occupying
+    ranks f..l, each member's doubled average rank is f+l =
+    2*cum_before + run + 1) and auc_scaled = floor(U_a/(n_a*n_b) *
+    scale) — the common-language effect size / ROC-AUC equivalence,
+    floor-scaled by exact integral DIV.
+
+    Shape: one aggregation to DISTINCT-VALUE grain, one ordered window
+    for cumulative counts (tie runs collapse to one row each), one
+    final sum — rank sums ride DECIMAL(38,0), no float anywhere.
+    Identity 2*U_a + 2*U_b = 2*n_a*n_b is asserted by the tests."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    tagged = df.filter(g.isin([group_a, group_b])).select(
+        F.col(value_col).alias("__v"),
+        (g == F.lit(group_a)).cast("long").alias("__a"),
+        (g == F.lit(group_b)).cast("long").alias("__b"),
+    )
+    pts = tagged.groupBy("__v").agg(
+        F.sum("__a").alias("__na_v"), F.sum("__b").alias("__nb_v")
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = "decimal(38,0)"
+    run = (F.col("__na_v") + F.col("__nb_v")).cast(dec)
+    cumall = (F.sum("__na_v").over(w) + F.sum("__nb_v").over(w)).cast(dec)
+    # doubled average rank of every member of this value's tie run
+    avg2 = F.lit(2).cast(dec) * cumall - run + 1
+    sums = pts.select(
+        F.col("__na_v"),
+        F.col("__nb_v"),
+        (F.col("__na_v").cast(dec) * avg2).alias("__r2a_v"),
+    ).agg(
+        F.sum("__na_v").cast("long").alias("n_a"),
+        F.sum("__nb_v").cast("long").alias("n_b"),
+        F.sum("__r2a_v").alias("__r2a"),
+    )
+    dnab = "(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))"
+    return sums.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(__r2a - CAST(n_a AS DECIMAL(38,0))"
+            " * (CAST(n_a AS DECIMAL(38,0)) + 1) AS DECIMAL(38,0))"
+        ).alias("u2_a"),
+        F.expr(
+            f"CAST(2 * {dnab} - (__r2a - CAST(n_a AS DECIMAL(38,0))"
+            " * (CAST(n_a AS DECIMAL(38,0)) + 1)) AS DECIMAL(38,0))"
+        ).alias("u2_b"),
+        F.expr(
+            f"CAST(((__r2a - CAST(n_a AS DECIMAL(38,0))"
+            f" * (CAST(n_a AS DECIMAL(38,0)) + 1)) * {scale})"
+            f" DIV (2 * {dnab}) AS BIGINT)"
+        ).alias("auc_scaled"),
+    )

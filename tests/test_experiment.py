@@ -300,3 +300,65 @@ def test_bootstrap_mean_ci_deterministic_and_sane(spark):
     assert (rb["mean_hi"] - rb["mean_lo"]) < (
         r1["mean_hi"] - r1["mean_lo"]
     )
+
+
+def test_ks_statistic_known_gap(spark):
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        ks_statistic,
+    )
+
+    # a = {1,2,2}, b = {2,3,4}: ECDF gaps 1/3, 2/3, 1/3, 0 -> D = 2/3
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)],
+        ["g", "v"],
+    )
+    (r,) = ks_statistic(df, "g", "v", "a", "b").collect()
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["ks_scaled"] == 666_666
+
+
+def test_ks_identical_distributions_zero(spark):
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        ks_statistic,
+    )
+
+    rows = [("a", float(i % 5)) for i in range(50)] + [
+        ("b", float(i % 5)) for i in range(50)
+    ]
+    (r,) = ks_statistic(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()
+    assert r["ks_scaled"] == 0
+
+
+def test_mann_whitney_u_ties_and_identity(spark):
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+
+    # hand-computed: ranks 1,(2,3,4 avg 3),5,6 -> R_a = 7, U_a = 1
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)],
+        ["g", "v"],
+    )
+    (r,) = mann_whitney_u(df, "g", "v", "a", "b").collect()
+    assert int(r["u2_a"]) == 2 and int(r["u2_b"]) == 16
+    # identity 2U_a + 2U_b = 2 n_a n_b
+    assert int(r["u2_a"]) + int(r["u2_b"]) == 2 * r["n_a"] * r["n_b"]
+    assert r["auc_scaled"] == 111_111
+
+
+def test_mann_whitney_total_dominance(spark):
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        mann_whitney_u,
+    )
+
+    # every a above every b -> U_a = n_a*n_b, AUC = 1
+    rows = [("a", 100.0 + i) for i in range(4)] + [
+        ("b", float(i)) for i in range(6)
+    ]
+    (r,) = mann_whitney_u(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()
+    assert int(r["u2_a"]) == 2 * 4 * 6
+    assert r["auc_scaled"] == 1_000_000
