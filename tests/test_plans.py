@@ -810,3 +810,54 @@ def test_precedence_pairs_shuffles_condensed_spans_not_events(spark):
     for m in metrics:
         assert m["records"] <= 4 * condensed, metrics
 
+
+
+def test_ks_statistic_shuffles_value_points_not_rows(spark):
+    """ks_statistic's claim: the shuffle carries DISTINCT-VALUE points,
+    not raw rows — with 40k rows over 50 distinct values, no exchange
+    past the first partial aggregation may carry more than ~|points|
+    records (the partial agg collapses row volume map-side)."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        ks_statistic,
+    )
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (F.col("id") % 50).cast("double").alias("v"),
+    )
+    metrics = shuffle_write_metrics(ks_statistic(df, "g", "v", "a", "b"))
+    # every exchange is at point grain (or the final 1-row aggs):
+    # 50 points x 32 map partitions is the partial-agg upper bound
+    for m in metrics:
+        assert m["records"] <= 50 * 32, metrics
+
+
+def test_conversion_pairs_plans_equi_join_not_nested_loop(spark):
+    """conversion_pairs' claim: the time band is a post-join filter on
+    a key EQUI-join — the plan must contain a hash/sort-merge join on
+    the key and no BroadcastNestedLoopJoin/CartesianProduct (the
+    range-join shapes that are O(L x R) per key)."""
+    import datetime as dt
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        conversion_pairs,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, i % 50, base + dt.timedelta(minutes=i)) for i in range(500)],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(i % 50, base + dt.timedelta(minutes=i + 3), float(i)) for i in range(500)],
+        ["user_id", "ts", "value"],
+    )
+    plan = physical_plan(
+        conversion_pairs(left, right, "user_id", "ts", "ts", max_gap_minutes=60)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
