@@ -3853,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_percentile_bins": _event_value_percentile_bins,
         "price_ks_test": _price_ks_test,
         "priority_mannwhitney": _priority_mannwhitney,
+        "code_switch_stats": _code_switch_stats,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9089,6 +9090,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "order_sample_sweep": _sample_sweep_oracle(),
         "spell_suggestions": _spell_oracle(),
+        "code_switch_stats": _code_switch_oracle(),
         "price_ks_test": r"""
             WITH tagged AS (
               SELECT l_extendedprice AS v,
@@ -11503,3 +11505,69 @@ def _priority_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
     return experiment.mann_whitney_u(
         orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
     )
+
+
+def _code_switch_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-switching audit (r7 s4): per-document sentence-level
+    language consistency (tx.code_switch_stats — sentences by [.!?]+
+    runs, each language-ID'd with the SAME codegen CASE as
+    lang_id_counts, majority by (count DESC, lang ASC), switch share
+    as an exact integer ratio; the oracle regenerates the per-sentence
+    scoring CASE verbatim)."""
+    return tx.code_switch_stats(_docs(spark, sf))
+
+
+def _code_switch_oracle() -> str:
+    """Generate the code_switch_stats oracle: per-sentence language
+    scores (stopword hits + CJK chars) and the identical
+    alphabetical-first-argmax CASE, then majority/switch shares."""
+    langs = sorted(tx.STOPWORDS)
+
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+        return (
+            "len(list_filter(regexp_split_to_array(trim(sent), '\\s+'),"
+            f" t -> list_contains([{words}], lower(t))))"
+        )
+
+    score_cols = ", ".join(
+        f"{hits(lg)} AS s_{lg}" for lg in langs if lg != "zh"
+    )
+    zh = (
+        r"length(regexp_replace(sent, '[^\x{4e00}-\x{9fff}]', '', 'g'))"
+        " AS s_zh"
+    )
+    case = "CASE\n"
+    for lg in langs:
+        conds = " AND ".join(
+            f"s_{lg} >= s_{o}" for o in langs if o != lg
+        )
+        case += f"              WHEN {conds} THEN '{lg}'\n"
+    case += f"              ELSE '{langs[0]}' END"
+    return rf"""
+        WITH sents AS (
+          SELECT doc_id, trim(s) AS sent FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+            FROM documents)
+          WHERE length(trim(s)) > 0
+        ), scored AS (
+          SELECT doc_id, {score_cols}, {zh}
+          FROM sents
+        ), pred AS (
+          SELECT doc_id, {case} AS lang FROM scored
+        ), counts AS (
+          SELECT doc_id, lang, COUNT(*) AS n FROM pred GROUP BY 1, 2
+        ), ranked AS (
+          SELECT doc_id, lang, n,
+                 SUM(n) OVER (PARTITION BY doc_id) AS n_sentences,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, lang ASC) AS rn
+          FROM counts
+        )
+        SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+               lang AS majority_lang, CAST(n AS BIGINT) AS n_majority,
+               CAST(((n_sentences - n) * 1000000) // n_sentences
+                    AS BIGINT) AS switch_scaled
+        FROM ranked WHERE rn = 1
+    """

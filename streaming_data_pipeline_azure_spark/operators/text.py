@@ -614,3 +614,59 @@ def s_stem(tok: Column | str) -> Column:
         )
         .otherwise(c)
     )
+
+
+def code_switch_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Code-switching / language-consistency audit: split each document
+    into sentences ([.!?]+ runs), language-ID every sentence with the
+    SAME heuristic as :func:`language_id`, and report how much of the
+    document disagrees with its majority language — the multilingual-
+    corpus screen that catches mixed-language crawl pages and bad
+    boilerplate splices before they poison per-language training
+    shards. Returns one row per doc with ≥1 sentence:
+    (id, n_sentences, majority_lang, n_majority, switch_scaled)
+    where switch_scaled = ⌊(1 − majority share) · 10⁶⌋ (exact integer
+    DIV — 0 means monolingual).
+
+    Ties: the majority language resolves by (count DESC, lang ASC);
+    sentence-level ID inherits language_id's alphabetical-first-argmax
+    — both total orders, both mirrored in the oracle. Shape: one
+    sentence explode + per-sentence codegen CASE scoring (no Python),
+    one (doc, lang) count aggregation, one per-doc window over ≤5
+    language rows."""
+    from pyspark.sql import Window
+
+    sents = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"[.!?]+")).alias("__s"),
+    )
+    sents = sents.select(
+        F.col(id_col), F.trim(F.col("__s")).alias("__sent")
+    ).filter(F.length("__sent") > 0)
+    langd = sents.select(
+        F.col(id_col), language_id("__sent").alias("__lang")
+    )
+    counts = langd.groupBy(id_col, "__lang").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__n").desc(), F.col("__lang").asc()
+    )
+    wt = Window.partitionBy(id_col)
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_sentences", F.sum("__n").over(wt).cast("long"))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            "n_sentences",
+            F.col("__lang").alias("majority_lang"),
+            F.col("__n").alias("n_majority"),
+            F.expr(
+                "CAST(((n_sentences - __n) * 1000000) DIV n_sentences"
+                " AS BIGINT)"
+            ).alias("switch_scaled"),
+        )
+    )

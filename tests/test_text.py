@@ -359,3 +359,26 @@ def test_s_stem_rules_and_exceptions(spark):
     df = spark.createDataFrame([(k,) for k in cases], ["tok"])
     out = {r["tok"]: r["stem"] for r in df.select("tok", s_stem("tok").alias("stem")).collect()}
     assert out == cases
+
+
+def test_code_switch_stats_planted_mix(spark):
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        code_switch_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 2 en sentences + 1 es sentence -> majority en, switch 1/3
+            (1, "the cat is in the hat. the dog is for it. el que no es un."),
+            # monolingual
+            (2, "the a of and is! the it for that."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in code_switch_stats(docs).collect()}
+    assert out[1]["n_sentences"] == 3
+    assert out[1]["majority_lang"] == "en"
+    assert out[1]["n_majority"] == 2
+    assert out[1]["switch_scaled"] == 333_333
+    assert out[2]["switch_scaled"] == 0
+    assert out[2]["majority_lang"] == "en"
