@@ -3854,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_ks_test": _price_ks_test,
         "priority_mannwhitney": _priority_mannwhitney,
         "code_switch_stats": _code_switch_stats,
+        "interleaved_ranking": _interleaved_ranking,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9091,6 +9092,7 @@ def oracle_sql() -> dict[str, str]:
         "order_sample_sweep": _sample_sweep_oracle(),
         "spell_suggestions": _spell_oracle(),
         "code_switch_stats": _code_switch_oracle(),
+        "interleaved_ranking": _interleave_oracle(),
         "price_ks_test": r"""
             WITH tagged AS (
               SELECT l_extendedprice AS v,
@@ -11570,4 +11572,81 @@ def _code_switch_oracle() -> str:
                CAST(((n_sentences - n) * 1000000) // n_sentences
                     AS BIGINT) AS switch_scaled
         FROM ranked WHERE rn = 1
+    """
+
+
+_INTERLEAVE_TERMS = ["hash", "join", "spark"]
+
+
+def _interleaved_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    """Team-draft interleaving (r7 s4): the BM25 and LM-Dirichlet
+    top-10 lists for one query merged the way online ranker comparison
+    serves them (search.team_draft_interleave — deterministic
+    Knuth-coin tie-breaks, single bounded fold; the oracle replays the
+    EXACT draft with a recursive CTE over both rankers' oracle
+    rankings). Completes the retrieval-eval family: offline nDCG/
+    recall/tau + the online serving-side merge."""
+    docs = _docs(spark, sf)
+    ra = search.bm25_topk(docs, _INTERLEAVE_TERMS, k=10)
+    rb = search.lm_dirichlet_topk(docs, _INTERLEAVE_TERMS, mu=250.0, k=10)
+    return search.team_draft_interleave(ra, rb, k=10)
+
+
+def _interleave_oracle() -> str:
+    """Generate the interleaved_ranking oracle: both rankers' oracle
+    rankings → ordered top-10 lists → a recursive CTE replaying the
+    team draft round by round with the same Knuth coin."""
+    coin = _knuth_int_sql("i")
+    lm = _lm_dirichlet_oracle(_INTERLEAVE_TERMS, 250.0, 10)
+    return rf"""
+        WITH RECURSIVE la AS (
+          SELECT list(doc_id ORDER BY r) AS a FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM ({_BM25_ORACLE})) WHERE r <= 10
+        ), lb AS (
+          SELECT list(doc_id ORDER BY r) AS b FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM ({lm})) WHERE r <= 10
+        ), arrs AS (
+          SELECT a, b FROM la, lb
+        ), steps(i, picked, teams, ta, tb) AS (
+          SELECT 0, CAST([] AS BIGINT[]), CAST([] AS VARCHAR[]), 0, 0
+          UNION ALL
+          SELECT i + 1,
+                 CASE WHEN take_a THEN list_append(picked, ca[1])
+                      WHEN take_b THEN list_append(picked, cb[1])
+                      ELSE picked END,
+                 CASE WHEN take_a THEN list_append(teams, 'A')
+                      WHEN take_b THEN list_append(teams, 'B')
+                      ELSE teams END,
+                 ta + CASE WHEN take_a THEN 1 ELSE 0 END,
+                 tb + CASE WHEN take_b THEN 1 ELSE 0 END
+          FROM (
+            SELECT i, picked, teams, ta, tb, ca, cb,
+                   (pf AND len(ca) > 0)
+                   OR ((NOT pf) AND len(cb) = 0 AND len(ca) > 0)
+                       AS take_a,
+                   NOT ((pf AND len(ca) > 0)
+                        OR ((NOT pf) AND len(cb) = 0 AND len(ca) > 0))
+                   AND len(cb) > 0 AS take_b
+            FROM (
+              SELECT s.i, s.picked, s.teams, s.ta, s.tb,
+                     ((s.ta < s.tb) OR (s.ta = s.tb
+                          AND ({coin}) % 2 = 0)) AS pf,
+                     list_filter(arrs.a,
+                         x -> NOT list_contains(s.picked, x)) AS ca,
+                     list_filter(arrs.b,
+                         x -> NOT list_contains(s.picked, x)) AS cb
+              FROM steps s, arrs)
+          ) WHERE i < 20
+        ), fin AS (
+          SELECT picked, teams FROM steps WHERE i = 20
+        )
+        SELECT CAST(unnest([j FOR j IN range(1, len(picked) + 1)])
+                    AS BIGINT) AS rank,
+               CAST(unnest(picked) AS BIGINT) AS doc_id,
+               unnest(teams) AS team
+        FROM fin
     """

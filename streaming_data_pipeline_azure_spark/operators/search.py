@@ -1092,3 +1092,101 @@ def spell_suggest(
         .filter(F.col("rank") <= k)
         .select("term", "suggestion", "n_occurrences", "rank")
     )
+
+
+def team_draft_interleave(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """TEAM-DRAFT INTERLEAVING (Radlinski & Joachims 2008): merge two
+    rankers' top-``k`` lists into one list the way online ranker A/B
+    comparison serves it — teams alternate picks (the team with fewer
+    picks goes first; ties broken by a DETERMINISTIC Knuth-hash coin on
+    the round index, where classic TDI flips a random coin — random
+    tie-breaks cannot be oracle- or replay-checked), each team picking
+    its highest-ranked not-yet-chosen document. Click credit on the
+    served list then compares rankers without an offline judgment set.
+    Returns (rank, id, team) — team ∈ {'A','B'} is who contributed the
+    document.
+
+    Shape: each ranking collapses to ONE ordered array (top-k —
+    bounded, this is a serving-layer merge, not a corpus scan), then a
+    single ``aggregate`` fold over 2k rounds builds the interleaved
+    list — the sorted-array-fold discipline (CUSUM/Kaplan–Meier
+    precedent); exhausted sides fall through to the other team."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        _knuth_u32,
+    )
+
+    def arr(df: DataFrame, name: str):
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__r", id_col))),
+                    lambda s: s[id_col],
+                ).alias(name)
+            )
+        )
+
+    one = arr(ranked_a, "__a").crossJoin(arr(ranked_b, "__b"))
+    acc0 = F.struct(
+        F.array().cast("array<long>").alias("picked"),
+        F.array().cast("array<string>").alias("teams"),
+        F.lit(0).alias("ta"),
+        F.lit(0).alias("tb"),
+    )
+
+    def step(acc, i):
+        coin_a = (_knuth_u32(i) % 2) == 0
+        pf = (acc["ta"] < acc["tb"]) | (
+            (acc["ta"] == acc["tb"]) & coin_a
+        )
+        ca = F.filter(
+            F.col("__a"), lambda x: ~F.array_contains(acc["picked"], x)
+        )
+        cb = F.filter(
+            F.col("__b"), lambda x: ~F.array_contains(acc["picked"], x)
+        )
+        take_a = (pf & (F.size(ca) > 0)) | (
+            ~pf & (F.size(cb) == 0) & (F.size(ca) > 0)
+        )
+        take_b = ~take_a & (F.size(cb) > 0)
+        pick = F.when(take_a, F.element_at(ca, 1)).when(
+            take_b, F.element_at(cb, 1)
+        )
+        return F.struct(
+            F.when(
+                pick.isNotNull(), F.concat(acc["picked"], F.array(pick))
+            )
+            .otherwise(acc["picked"])
+            .alias("picked"),
+            F.when(take_a, F.concat(acc["teams"], F.array(F.lit("A"))))
+            .when(take_b, F.concat(acc["teams"], F.array(F.lit("B"))))
+            .otherwise(acc["teams"])
+            .alias("teams"),
+            (acc["ta"] + take_a.cast("int")).alias("ta"),
+            (acc["tb"] + take_b.cast("int")).alias("tb"),
+        )
+
+    folded = one.select(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(2 * k - 1)), acc0, step
+        ).alias("__res")
+    )
+    z = F.arrays_zip(F.col("__res.picked"), F.col("__res.teams"))
+    return (
+        folded.select(F.posexplode(z).alias("__i", "__z"))
+        .select(
+            (F.col("__i") + 1).cast("long").alias("rank"),
+            F.col("__z.picked").cast("long").alias(id_col),
+            F.col("__z.teams").alias("team"),
+        )
+    )

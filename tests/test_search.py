@@ -479,3 +479,42 @@ def test_spell_suggest_blocking_complete_and_ranked(spark):
     assert sorted(by_term["table"])[0] == (1, "table", 2)
     # distance-2+ garbage yields nothing
     assert "zzz" not in by_term
+
+
+def test_team_draft_interleave_hand_traced(spark):
+    from streaming_data_pipeline_azure_spark.operators.search import (
+        team_draft_interleave,
+    )
+
+    # A = [1,2,3], B = [2,4,5]; knuth coin is even (team A) at rounds
+    # 0, 2 and 4 -> picks: A:1, B:2 (ta>tb), A:3 (tie, coin A),
+    # B:4, then A exhausted -> B:5
+    a = spark.createDataFrame([(1, 3.0), (2, 2.0), (3, 1.0)], ["doc_id", "score"])
+    b = spark.createDataFrame([(2, 9.0), (4, 8.0), (5, 7.0)], ["doc_id", "score"])
+    got = [tuple(r) for r in team_draft_interleave(a, b, k=3).collect()]
+    assert got == [
+        (1, 1, "A"), (2, 2, "B"), (3, 3, "A"), (4, 4, "B"), (5, 5, "B"),
+    ]
+
+
+def test_team_draft_interleave_balance_and_dedup(spark):
+    from streaming_data_pipeline_azure_spark.operators.search import (
+        team_draft_interleave,
+    )
+
+    # disjoint 10-vs-10: every doc appears once, teams stay balanced
+    # (|A picks - B picks| <= 1 at every prefix while both live)
+    a = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], ["doc_id", "score"]
+    )
+    b = spark.createDataFrame(
+        [(100 + i, float(100 - i)) for i in range(10)], ["doc_id", "score"]
+    )
+    rows = team_draft_interleave(a, b, k=10).collect()
+    assert len(rows) == 20
+    assert len({r["doc_id"] for r in rows}) == 20
+    ta = tb = 0
+    for r in sorted(rows, key=lambda r: r["rank"]):
+        ta += r["team"] == "A"
+        tb += r["team"] == "B"
+        assert abs(ta - tb) <= 1
