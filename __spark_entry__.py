@@ -3855,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_mannwhitney": _priority_mannwhitney,
         "code_switch_stats": _code_switch_stats,
         "interleaved_ranking": _interleaved_ranking,
+        "bm25_hard_negatives": _bm25_hard_negatives,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9093,6 +9094,12 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggestions": _spell_oracle(),
         "code_switch_stats": _code_switch_oracle(),
         "interleaved_ranking": _interleave_oracle(),
+        "bm25_hard_negatives": f"""
+            SELECT doc_id, n_matched, score
+            FROM ({_BM25_ORACLE.replace("LIMIT 15", "")})
+            WHERE n_matched < 3
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
         "price_ks_test": r"""
             WITH tagged AS (
               SELECT l_extendedprice AS v,
@@ -11650,3 +11657,20 @@ def _interleave_oracle() -> str:
                unnest(teams) AS team
         FROM fin
     """
+
+
+def _bm25_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical hard-negative mining (r7 s4): documents that score HIGH
+    on BM25 for the query yet do NOT contain every term — the
+    near-miss negatives contrastive retrieval training wants (random
+    negatives are too easy; these share vocabulary with the positives).
+    The partial-match gate applies BEFORE the top-k heap
+    (bm25_topk(hard_negatives=True) → _score_topk exclude_full_of), so
+    near-misses surface no matter how many full matches outscore them;
+    the plan stays a TakeOrderedAndProject over the filtered scores. Completes the
+    mining family: embedding batch-hard triplets (triplet_mining),
+    hash-ring random negatives (contrastive_negatives), and now the
+    lexical near-miss tier."""
+    return search.bm25_topk(
+        _docs(spark, sf), _INTERLEAVE_TERMS, k=10, hard_negatives=True
+    )

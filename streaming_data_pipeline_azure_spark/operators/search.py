@@ -40,6 +40,7 @@ def _score_topk(
     k1: float,
     b: float,
     require_all_of: int | None = None,
+    exclude_full_of: int | None = None,
 ) -> DataFrame:
     """Shared BM25 scoring tail: ``tf`` is (id, __dl, __t, __tf) for the
     MATCHING (doc, term) pairs only, ``docfreq`` is (__t, __df), ``stats``
@@ -50,7 +51,10 @@ def _score_topk(
     ``require_all_of`` = the query's term count turns OR retrieval into
     AND (conjunctive) retrieval: only documents matching EVERY term
     survive (HAVING n_matched = |Q| after the same aggregation — no
-    extra shuffle)."""
+    extra shuffle). ``exclude_full_of`` is the inverse gate (keep only
+    PARTIAL matches, n_matched < |Q|) — the lexical hard-negative
+    filter, applied BEFORE the top-k heap so near-misses surface no
+    matter how many full matches outscore them."""
     avgdl = F.col("__total_len").cast("double") / F.col("__n_docs")
     idf = (
         (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
@@ -76,6 +80,8 @@ def _score_topk(
     )
     if require_all_of is not None:
         scored = scored.filter(F.col("n_matched") == require_all_of)
+    if exclude_full_of is not None:
+        scored = scored.filter(F.col("n_matched") < exclude_full_of)
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
@@ -89,6 +95,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     require_all: bool = False,
+    hard_negatives: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents by (log-free) BM25 relevance to
     ``query_terms``: per matching term,
@@ -126,6 +133,7 @@ def bm25_topk(
     return _score_topk(
         tf, docfreq, stats, id_col, k=k, k1=k1, b=b,
         require_all_of=len(terms) if require_all else None,
+        exclude_full_of=len(terms) if hard_negatives else None,
     )
 
 

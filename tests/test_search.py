@@ -518,3 +518,27 @@ def test_team_draft_interleave_balance_and_dedup(spark):
         ta += r["team"] == "A"
         tb += r["team"] == "B"
         assert abs(ta - tb) <= 1
+
+
+def test_bm25_hard_negatives_partial_matches_only(spark):
+    from streaming_data_pipeline_azure_spark.operators.search import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join hash spark join hash"),   # full match
+            (2, "spark spark spark spark spark"),     # partial, high tf
+            (3, "join elsewhere entirely"),           # partial
+            (4, "nothing relevant here"),             # no match
+        ],
+        ["doc_id", "text"],
+    )
+    terms = ["hash", "join", "spark"]
+    hard = bm25_topk(docs, terms, k=10, hard_negatives=True).collect()
+    ids = {r["doc_id"] for r in hard}
+    assert ids == {2, 3}  # full match and no-match both excluded
+    assert all(r["n_matched"] < 3 for r in hard)
+    # the pre-heap gate surfaces partials even though doc 1 outscores:
+    full = bm25_topk(docs, terms, k=1).collect()[0]["doc_id"]
+    assert full == 1
