@@ -3856,6 +3856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_switch_stats": _code_switch_stats,
         "interleaved_ranking": _interleaved_ranking,
         "bm25_hard_negatives": _bm25_hard_negatives,
+        "sink_change_feed": _sink_change_feed,
+        "dow_adjusted_anomalies": _dow_adjusted_anomalies,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9094,6 +9096,73 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggestions": _spell_oracle(),
         "code_switch_stats": _code_switch_oracle(),
         "interleaved_ranking": _interleave_oracle(),
+        "dow_adjusted_anomalies": r"""
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                          AS DECIMAL(28,4)) AS v,
+                     dayofweek(CAST(ts AS DATE)) + 1 AS dow
+              FROM events GROUP BY 1, 3
+            ), dmed AS (
+              SELECT dow,
+                     (list(v ORDER BY v))[(COUNT(*) + 1) // 2] AS dowmed
+              FROM daily GROUP BY dow
+            ), resid AS (
+              SELECT d.day, d.dow, d.v, m.dowmed,
+                     d.v - m.dowmed AS r
+              FROM daily d JOIN dmed m USING (dow)
+            ), rmed AS (
+              SELECT (list(r ORDER BY r))[(COUNT(*) + 1) // 2] AS rm
+              FROM resid
+            ), ad AS (
+              SELECT resid.*, abs(r - rm) AS adev FROM resid, rmed
+            ), madt AS (
+              SELECT (list(adev ORDER BY adev))[(COUNT(*) + 1) // 2]
+                         AS mad
+              FROM ad
+            )
+            SELECT day, CAST(dow AS BIGINT) AS dow,
+                   CAST(v AS DOUBLE) AS value,
+                   CAST(dowmed AS DOUBLE) AS dow_median,
+                   CAST(r AS DOUBLE) AS residual
+            FROM ad, madt
+            WHERE adev > 3 * mad
+        """,
+        "sink_change_feed": r"""
+            WITH feed AS (
+              SELECT CAST(o_orderkey // 3 AS BIGINT) AS k,
+                     o_orderkey % 3 AS b, o_orderkey, o_totalprice
+              FROM orders
+            ), old_s AS (
+              SELECT k, max_by(o_orderkey, b) AS o_orderkey,
+                     max_by(o_totalprice, b) AS o_totalprice
+              FROM feed WHERE b <= 1 GROUP BY k
+              HAVING k % 7 <> 0
+            ), new_s AS (
+              SELECT k, max_by(o_orderkey, b) AS o_orderkey,
+                     max_by(o_totalprice, b) AS o_totalprice
+              FROM feed GROUP BY k
+              HAVING (k % 7 <> 0) OR MAX(b) > 1
+            ), d AS (
+              SELECT COALESCE(n.k, o.k) AS k,
+                     CASE WHEN o.k IS NULL THEN 'added'
+                          WHEN n.k IS NULL THEN 'removed'
+                          WHEN (o.o_orderkey IS DISTINCT FROM n.o_orderkey)
+                            OR (o.o_totalprice IS DISTINCT FROM
+                                n.o_totalprice) THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     CASE WHEN o.k IS NULL OR n.k IS NULL THEN ''
+                          ELSE concat_ws(',',
+                            CASE WHEN o.o_orderkey IS DISTINCT FROM
+                                 n.o_orderkey THEN 'o_orderkey' END,
+                            CASE WHEN o.o_totalprice IS DISTINCT FROM
+                                 n.o_totalprice THEN 'o_totalprice' END)
+                     END AS changed_cols
+              FROM old_s o FULL OUTER JOIN new_s n ON o.k = n.k
+            )
+            SELECT k, status, changed_cols FROM d
+            WHERE status <> 'unchanged'
+        """,
         "bm25_hard_negatives": f"""
             SELECT doc_id, n_matched, score
             FROM ({_BM25_ORACLE.replace("LIMIT 15", "")})
@@ -11674,3 +11743,62 @@ def _bm25_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return search.bm25_topk(
         _docs(spark, sf), _INTERLEAVE_TERMS, k=10, hard_negatives=True
     )
+
+
+def _sink_change_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC OUT of the sink (r7 s4): the row-level change feed between
+    two sink snapshots — diff_snapshots(read_as_of(1), read_as_of(2))
+    over the SAME deterministic 3-batch + delete lifecycle as
+    sink_time_travel, keeping added/removed/changed rows (a key deleted
+    at batch 1 and re-upserted at batch 2 surfaces as ADDED — the
+    resurrect nuance). Closes the CDC loop: cdc.apply_changes feeds
+    changes IN, this derives the feed OUT; the oracle reconstructs
+    both snapshots relationally and diffs them with null-safe
+    comparisons."""
+    from streaming_data_pipeline_azure_spark.sources.sinks import (
+        ParquetUpsertSink,
+    )
+
+    (orders,) = _tables(spark, sf, "orders")
+    feed = orders.select(
+        (F.col("o_orderkey") / 3).cast("long").alias("k"),
+        F.pmod(F.col("o_orderkey"), F.lit(3)).alias("b"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    sink = ParquetUpsertSink(_fresh_index_dir("cfsink_"), key="k")
+    for b in (0, 1):
+        sink.write_batch(feed.filter(F.col("b") == b).drop("b"), batch_id=b)
+    sink.delete_keys(
+        spark,
+        feed.filter(F.pmod(F.col("k"), F.lit(7)) == 0).select("k").distinct(),
+        batch_id=1,
+    )
+    sink.write_batch(feed.filter(F.col("b") == 2).drop("b"), batch_id=2)
+    old = sink.read_as_of(spark, 1)
+    new = sink.read_as_of(spark, 2)
+    return (
+        validate.diff_snapshots(old, new, ["k"])
+        .filter(F.col("status") != "unchanged")
+        .select(
+            "k",
+            "status",
+            F.concat_ws(",", F.col("changed_cols")).alias("changed_cols"),
+        )
+    )
+
+
+def _dow_adjusted_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonality-adjusted anomalies (r7 s4): daily event value minus
+    the day-of-week median, flagged at 3 MADs of the residuals
+    (temporal.dow_adjusted_anomalies — lower medians picked from
+    sorted decimal arrays, pure-decimal flag compares; the weekday
+    rhythm itself never pages). Complements event_value_anomalies
+    (rolling z) and event_value_cusum (drift) with the
+    calendar-aware member."""
+    daily = (
+        _events(spark, sf)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("daily_value"))
+    )
+    return temporal.dow_adjusted_anomalies(daily, "day", "daily_value")

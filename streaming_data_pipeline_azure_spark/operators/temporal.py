@@ -1835,3 +1835,64 @@ def seasonal_naive_backtest(
             F.col("sum_abs_err") / F.col("n_days").cast("double")
         ).alias("mae"),
     )
+
+
+def dow_adjusted_anomalies(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    z_mad: int = 3,
+    scale: int = 4,
+) -> DataFrame:
+    """Seasonality-adjusted robust anomaly detection: subtract each
+    day-of-week's MEDIAN from the daily series, then flag days whose
+    residual sits more than ``z_mad`` MADs from the residual median —
+    the monitoring gate that doesn't page every Sunday because Sundays
+    are always low (a plain z-score flags the weekly rhythm itself).
+    Returns the flagged days: (day, dow, value, dow_median, residual).
+
+    Exactness: values pre-cast to DECIMAL(18, ``scale``); every
+    median is the LOWER median — an actual element picked from a
+    sorted array at index ⌈n/2⌉ (exact decimal, engine-mirrorable) —
+    and the flag compares |r − med_r| > z·MAD in pure decimal
+    arithmetic. MAD = 0 degrades to flagging any nonzero deviation
+    (the robust_outliers contract).
+
+    Shape: the series is a per-day pre-aggregate, so the sorted-array
+    medians buffer CALENDAR-bounded groups (≤ n_days/7 and n_days
+    elements), the dow medians broadcast, and the final filter is
+    codegen."""
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    daily = df.select(
+        F.col(time_col).alias("__day"),
+        dec.alias("__v"),
+        F.dayofweek(F.col(time_col)).cast("int").alias("__dow"),
+    )
+    def lower_median(col):
+        arr = F.array_sort(F.collect_list(col))
+        return F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+
+    dow_med = daily.groupBy("__dow").agg(
+        lower_median(F.col("__v")).alias("__dmed")
+    )
+    resid = daily.join(F.broadcast(dow_med), "__dow").withColumn(
+        "__r", F.col("__v") - F.col("__dmed")
+    )
+    gstats = resid.agg(lower_median(F.col("__r")).alias("__rmed"))
+    resid2 = resid.join(F.broadcast(gstats)).withColumn(
+        "__ad", F.abs(F.col("__r") - F.col("__rmed"))
+    )
+    mad = resid2.agg(lower_median(F.col("__ad")).alias("__mad"))
+    return (
+        resid2.join(F.broadcast(mad))
+        .filter(F.col("__ad") > F.lit(z_mad) * F.col("__mad"))
+        .select(
+            F.col("__day").alias("day"),
+            F.col("__dow").cast("long").alias("dow"),
+            F.col("__v").cast("double").alias("value"),
+            F.col("__dmed").cast("double").alias("dow_median"),
+            F.col("__r").cast("double").alias("residual"),
+        )
+        .orderBy("day")
+    )

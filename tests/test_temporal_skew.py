@@ -1220,3 +1220,26 @@ def test_seasonal_naive_backtest_known_series(spark):
     assert out[1]["n_days"] == 9 and out[1]["mae"] == 1.0
     assert out[7]["n_days"] == 3 and out[7]["mae"] == 7.0
     assert out[7]["sum_abs_err"] == 21.0
+
+
+def test_dow_adjusted_anomalies_ignores_weekly_rhythm(spark):
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        dow_adjusted_anomalies,
+    )
+
+    # 8 weeks: Sundays always 10, other days always 100 — a plain
+    # z-score would flag every Sunday; dow-adjusted must flag ONLY the
+    # planted spike day
+    rows = []
+    for i in range(56):
+        day = dt.date(2024, 1, 7) + dt.timedelta(days=i)
+        v = 10.0 if day.weekday() == 6 else 100.0
+        rows.append((day, v))
+    # plant one anomalous Wednesday
+    rows[3] = (rows[3][0], 5000.0)
+    df = spark.createDataFrame(rows, ["day", "v"])
+    out = dow_adjusted_anomalies(df, "day", "v").collect()
+    assert len(out) == 1
+    assert out[0]["day"] == rows[3][0]
+    assert out[0]["value"] == 5000.0
+    assert out[0]["dow_median"] == 100.0
