@@ -3858,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_hard_negatives": _bm25_hard_negatives,
         "sink_change_feed": _sink_change_feed,
         "dow_adjusted_anomalies": _dow_adjusted_anomalies,
+        "ab_cuped_stats": _ab_cuped_stats,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9096,6 +9097,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggestions": _spell_oracle(),
         "code_switch_stats": _code_switch_oracle(),
         "interleaved_ranking": _interleave_oracle(),
+        "ab_cuped_stats": _cuped_oracle(),
         "dow_adjusted_anomalies": r"""
             WITH daily AS (
               SELECT CAST(ts AS DATE) AS day,
@@ -11802,3 +11804,125 @@ def _dow_adjusted_anomalies(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("daily_value"))
     )
     return temporal.dow_adjusted_anomalies(daily, "day", "daily_value")
+
+
+def _ab_cuped_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED A/B readout (r7 s4): users cluster-randomized by user_id
+    (salt=13); per-user click-value sum is the covariate, purchase-
+    value sum the metric (experiment.cuped_adjusted_stats — pooled θ
+    from exact decimal sufficient sums, fixed-double finalization
+    hash-checked end-to-end). Completes the experimentation family:
+    moments/Welch/SRM/bootstrap/chi2 + the variance-reduction standard
+    every mature platform runs."""
+    ev = _events(spark, sf)
+    dec = "decimal(18,4)"
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast(dec),
+                )
+            ),
+            F.lit(0).cast(dec),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast(dec),
+                )
+            ),
+            F.lit(0).cast(dec),
+        ).alias("y"),
+    )
+    return experiment.cuped_adjusted_stats(
+        per_user, "user_id", "x", "y", salt=13
+    )
+
+
+def _cuped_oracle() -> str:
+    """Generate the ab_cuped_stats oracle: per-user covariate/metric
+    sums, the salt-13 variant assignment, per-arm decimal sufficient
+    sums ((28,4) operands — DuckDB's (18,4)x(18,4) product would
+    overflow int64 decimal storage), string-cast double conversion,
+    and the IDENTICAL fixed-double finalization (pooled sums added as
+    doubles, matching the Spark expression tree)."""
+    knuth = _knuth_sql(
+        "((user_id % 4294967296 + 4294967296) % 4294967296 + 13)"
+    )
+    sides = []
+    for a in (0, 1):
+        for c in ("n", "sx", "sy", "sxx", "sxy", "syy"):
+            sides.append(
+                f"MAX(CASE WHEN variant = {a} THEN {c} END) AS {c}{a}"
+            )
+    side_sql = ",\n                     ".join(sides)
+    arm_exprs = []
+    for a in (0, 1):
+        lab = "a" if a == 0 else "b"
+        arm_exprs.append(f"""
+                   sy{a}d / n{a}d AS mean_{lab},
+                   sy{a}d / n{a}d - theta * (sx{a}d / n{a}d - mean_x)
+                       AS mean_adj_{lab},
+                   (n{a}d * syy{a}d - sy{a}d * sy{a}d)
+                       / (n{a}d * (n{a}d - 1.0)) AS var_{lab},
+                   (n{a}d * syy{a}d - sy{a}d * sy{a}d)
+                       / (n{a}d * (n{a}d - 1.0))
+                   - 2.0 * theta * ((n{a}d * sxy{a}d - sx{a}d * sy{a}d)
+                       / (n{a}d * (n{a}d - 1.0)))
+                   + theta * theta * ((n{a}d * sxx{a}d - sx{a}d * sx{a}d)
+                       / (n{a}d * (n{a}d - 1.0))) AS var_adj_{lab}""")
+    dbls = ",\n                     ".join(
+        f"CAST(n{a} AS DOUBLE) AS n{a}d,"
+        f" CAST(CAST(sx{a} AS VARCHAR) AS DOUBLE) AS sx{a}d,"
+        f" CAST(CAST(sy{a} AS VARCHAR) AS DOUBLE) AS sy{a}d,"
+        f" CAST(CAST(sxx{a} AS VARCHAR) AS DOUBLE) AS sxx{a}d,"
+        f" CAST(CAST(sxy{a} AS VARCHAR) AS DOUBLE) AS sxy{a}d,"
+        f" CAST(CAST(syy{a} AS VARCHAR) AS DOUBLE) AS syy{a}d"
+        for a in (0, 1)
+    )
+    return f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 COALESCE(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value AS DECIMAL(18,4)) END),
+                     CAST(0 AS DECIMAL(18,4))) AS x,
+                 COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(18,4)) END),
+                     CAST(0 AS DECIMAL(18,4))) AS y
+          FROM events GROUP BY user_id
+        ), assigned AS (
+          SELECT CAST(floor({knuth} * 2.0) AS INTEGER) AS variant,
+                 CAST(x AS DECIMAL(28,4)) AS x,
+                 CAST(y AS DECIMAL(28,4)) AS y
+          FROM per_user
+        ), g AS (
+          SELECT variant, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+          FROM assigned GROUP BY variant
+        ), p AS (
+          SELECT {side_sql}
+          FROM g
+        ), f AS (
+          SELECT n0, n1,
+                     {dbls}
+          FROM p
+        ), t AS (
+          SELECT f.*,
+                 (n0d + n1d) AS n,
+                 (sx0d + sx1d) AS sx, (sy0d + sy1d) AS sy,
+                 (sxx0d + sxx1d) AS sxx, (sxy0d + sxy1d) AS sxy
+          FROM f
+        ), th AS (
+          SELECT t.*,
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+                 sx / n AS mean_x
+          FROM t
+        )
+        SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+               theta,{",".join(arm_exprs)},
+               (sy1d / n1d - theta * (sx1d / n1d - mean_x))
+               - (sy0d / n0d - theta * (sx0d / n0d - mean_x)) AS lift_adj
+        FROM th
+    """

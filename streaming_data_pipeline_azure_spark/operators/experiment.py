@@ -526,3 +526,93 @@ def mann_whitney_u(
             f" DIV (2 * {dnab}) AS BIGINT)"
         ).alias("auc_scaled"),
     )
+
+
+def cuped_adjusted_stats(
+    units: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    salt: int = 0,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the
+    industry-standard A/B sensitivity boost: adjust each unit's metric
+    by its pre-experiment covariate, ŷ = y − θ·(x − x̄), with
+    θ = cov(x,y)/var(x) estimated POOLED (the covariate predates
+    assignment, so pooling is unbiased). Returns ONE row: sizes, θ,
+    raw and adjusted means/variances per arm, and the adjusted lift —
+    the variance columns show how much standard error the covariate
+    bought.
+
+    Determinism: one aggregation collects per-arm EXACT decimal
+    sufficient sums (n, Σx, Σy, Σx², Σxy, Σy² — products in
+    DECIMAL(37,8)); θ and every adjusted statistic are fixed double
+    expression trees over those sums — θ = (nΣxy − ΣxΣy)/(nΣx² − Σx²)
+    (the (n−1) normalizations cancel in the ratio), so the oracle
+    hash-checks the full finalization. Arms are
+    ``assign_variant(key, 2, salt)``. One shuffle (the per-arm
+    aggregation); the two arm rows merge in a one-row agg."""
+    v = assign_variant(key_col, 2, salt=salt)
+    dec = "decimal(18,4)"
+    per = units.select(
+        v.alias("variant"),
+        F.col(x_col).cast(dec).alias("__x"),
+        F.col(y_col).cast(dec).alias("__y"),
+    )
+    arm = per.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    side = lambda c, a: F.max(F.when(F.col("variant") == a, F.col(c)))  # noqa: E731
+    one = arm.agg(
+        *[
+            side(c, a).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ]
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n0, n1 = d("n0"), d("n1")
+    n = n0 + n1
+    sx = d("sx0") + d("sx1")
+    sy = d("sy0") + d("sy1")
+    sxx = d("sxx0") + d("sxx1")
+    sxy = d("sxy0") + d("sxy1")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mean_x = sx / n
+    out_cols = [
+        F.col("n0").alias("n_a"),
+        F.col("n1").alias("n_b"),
+        theta.alias("theta"),
+    ]
+    adj_means = {}
+    for a in (0, 1):
+        na = d(f"n{a}")
+        mx = d(f"sx{a}") / na
+        my = d(f"sy{a}") / na
+        var_y = (na * d(f"syy{a}") - d(f"sy{a}") * d(f"sy{a}")) / (
+            na * (na - F.lit(1.0))
+        )
+        cov = (na * d(f"sxy{a}") - d(f"sx{a}") * d(f"sy{a}")) / (
+            na * (na - F.lit(1.0))
+        )
+        var_x = (na * d(f"sxx{a}") - d(f"sx{a}") * d(f"sx{a}")) / (
+            na * (na - F.lit(1.0))
+        )
+        m_adj = my - theta * (mx - mean_x)
+        v_adj = var_y - F.lit(2.0) * theta * cov + theta * theta * var_x
+        lab = "a" if a == 0 else "b"
+        adj_means[a] = m_adj
+        out_cols += [
+            my.alias(f"mean_{lab}"),
+            m_adj.alias(f"mean_adj_{lab}"),
+            var_y.alias(f"var_{lab}"),
+            v_adj.alias(f"var_adj_{lab}"),
+        ]
+    out_cols.append((adj_means[1] - adj_means[0]).alias("lift_adj"))
+    return one.select(*out_cols)

@@ -362,3 +362,35 @@ def test_mann_whitney_total_dominance(spark):
     ).collect()
     assert int(r["u2_a"]) == 2 * 4 * 6
     assert r["auc_scaled"] == 1_000_000
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        cuped_adjusted_stats,
+    )
+
+    # y = 2x exactly -> theta = 2, adjusted variance collapses to ~0
+    # while raw variance is large
+    rows = [(i, float(i % 50), float(2 * (i % 50))) for i in range(400)]
+    df = spark.createDataFrame(rows, ["uid", "x", "y"])
+    (r,) = cuped_adjusted_stats(df, "uid", "x", "y", salt=3).collect()
+    assert abs(r["theta"] - 2.0) < 1e-9
+    assert r["var_a"] > 100.0
+    assert abs(r["var_adj_a"]) < 1e-6
+    assert abs(r["var_adj_b"]) < 1e-6
+
+
+def test_cuped_uncorrelated_covariate_is_noop(spark):
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        cuped_adjusted_stats,
+    )
+
+    # covariate constant -> var(x) = 0 would blow up; use a covariate
+    # exactly orthogonal to y instead: x alternates 0/1, y alternates
+    # independently in a pattern with zero sample covariance per pool
+    rows = [(i, float(i % 2), float((i // 2) % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["uid", "x", "y"])
+    (r,) = cuped_adjusted_stats(df, "uid", "x", "y", salt=3).collect()
+    # theta small -> adjusted means stay close to raw means
+    assert abs(r["mean_adj_a"] - r["mean_a"]) < 0.05
+    assert abs(r["mean_adj_b"] - r["mean_b"]) < 0.05
