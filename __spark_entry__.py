@@ -3859,6 +3859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_change_feed": _sink_change_feed,
         "dow_adjusted_anomalies": _dow_adjusted_anomalies,
         "ab_cuped_stats": _ab_cuped_stats,
+        "temporal_split_check": _temporal_split_check,
+        "brand_smoothed_encoding": _brand_smoothed_encoding,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9098,6 +9100,49 @@ def oracle_sql() -> dict[str, str]:
         "code_switch_stats": _code_switch_oracle(),
         "interleaved_ranking": _interleave_oracle(),
         "ab_cuped_stats": _cuped_oracle(),
+        "brand_smoothed_encoding": r"""
+            WITH per AS (
+              SELECT p_brand AS category, COUNT(*) AS n,
+                     SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS s
+              FROM part GROUP BY 1
+            ), tot AS (
+              SELECT SUM(n) AS nt, SUM(s) AS st FROM per
+            )
+            SELECT category, CAST(n AS BIGINT) AS n,
+                   CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS mean_raw,
+                   (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                    + 20.0 * (CAST(CAST(st AS VARCHAR) AS DOUBLE)
+                              / CAST(nt AS DOUBLE)))
+                   / (CAST(n AS DOUBLE) + 20.0) AS mean_smoothed
+            FROM per, tot
+        """,
+        "temporal_split_check": r"""
+            WITH ent AS (
+              SELECT o_custkey,
+                     SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                              THEN 1 ELSE 0 END) AS tr,
+                     SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                              THEN 1 ELSE 0 END) AS te
+              FROM orders GROUP BY o_custkey
+            ), agg AS (
+              SELECT CAST(SUM(tr) AS BIGINT) AS n_train,
+                     CAST(SUM(te) AS BIGINT) AS n_test,
+                     CAST(SUM(CASE WHEN tr > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS entities_train,
+                     CAST(SUM(CASE WHEN te > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS entities_test,
+                     CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1
+                              ELSE 0 END) AS BIGINT) AS entities_both,
+                     CAST(SUM(CASE WHEN tr > 0 THEN te ELSE 0 END)
+                          AS BIGINT) AS seen_entity_test_rows
+              FROM ent
+            )
+            SELECT agg.*,
+                   CAST((seen_entity_test_rows * 1000000) // n_test
+                        AS BIGINT) AS seen_test_share_scaled
+            FROM agg
+        """,
         "dow_adjusted_anomalies": r"""
             WITH daily AS (
               SELECT CAST(ts AS DATE) AS day,
@@ -11926,3 +11971,26 @@ def _cuped_oracle() -> str:
                - (sy0d / n0d - theta * (sx0d / n0d - mean_x)) AS lift_adj
         FROM th
     """
+
+
+def _temporal_split_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal-split leakage audit (r7 s4): orders split at
+    1999-01-01; how much of the test period belongs to customers seen
+    in training (validate.temporal_split_report — entity-grain
+    conditional aggregates, exact counts, floor-scaled share). The
+    number every time-split evaluation must disclose."""
+    (orders,) = _tables(spark, sf, "orders")
+    return validate.temporal_split_report(
+        orders, "o_orderdate", "o_custkey", "1999-01-01"
+    )
+
+
+def _brand_smoothed_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """m-estimate target encoding (r7 s4): per-brand retail-price
+    means shrunk toward the global mean with m=20 pseudo-counts
+    (features.smoothed_target_encode — exact decimal sums, fixed
+    double finalization; completes the encoding family next to LOO,
+    which guards same-row leakage where this guards rare-category
+    variance)."""
+    (part,) = _tables(spark, sf, "part")
+    return features.smoothed_target_encode(part, "p_brand", "p_retailprice")

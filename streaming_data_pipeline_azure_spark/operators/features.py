@@ -209,3 +209,44 @@ def class_weights(
             ).alias("weight_scaled"),
         )
     )
+
+
+def smoothed_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    m: int = 20,
+    scale: int = 4,
+) -> DataFrame:
+    """m-estimate (smoothed) target encoding — the leakage-light
+    sibling of :func:`loo_target_encode`: each category's encoding is
+    its target mean SHRUNK toward the global mean by a pseudo-count of
+    ``m`` prior observations, enc_c = (Σ_c + m·ȳ)/(n_c + m) — rare
+    categories inherit the prior, frequent ones keep their own signal
+    (Micci-Barreca 2001, the standard CatBoost/Kaggle form). Returns
+    one row per category: (category, n, mean_raw, mean_smoothed).
+
+    Determinism: one aggregation collects exact DECIMAL sums per
+    category; the global sums ride a one-row broadcast; the two means
+    are fixed double expression trees over those sums (oracle
+    hash-checked). One shuffle at category grain."""
+    dec = F.col(target_col).cast(f"decimal(18,{scale})")
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).alias("__s"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("__nt"), F.sum("__s").alias("__st")
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("__s").cast("double")
+    gmean = F.col("__st").cast("double") / F.col("__nt").cast("double")
+    return per.join(F.broadcast(tot)).select(
+        "category",
+        "n",
+        (sd / nd).alias("mean_raw"),
+        ((sd + F.lit(float(m)) * gmean) / (nd + F.lit(float(m)))).alias(
+            "mean_smoothed"
+        ),
+    )

@@ -665,3 +665,54 @@ def mondrian_generalize(
             )
         ],
     ).withColumnRenamed("__box", "box_id")
+
+
+def temporal_split_report(
+    df: DataFrame,
+    time_col: str,
+    entity_col: str,
+    cutoff: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Train/test TEMPORAL-split leakage audit: split rows at a cutoff
+    timestamp (train < cutoff ≤ test) and report how much of the test
+    period belongs to entities already seen in training — the check
+    run before trusting any time-split evaluation (a model that
+    memorizes per-entity behavior scores inflated exactly by the
+    ``seen`` share). Returns ONE row: (n_train, n_test,
+    entities_train, entities_test, entities_both,
+    seen_entity_test_rows, seen_test_share_scaled).
+
+    All counts are exact; the share is a floor-scaled integer ratio.
+    Shape: one pass with conditional aggregates to entity grain (the
+    shuffle carries entities, not rows), then a one-row merge —
+    nothing joins, nothing sorts."""
+    t = F.col(time_col)
+    is_train = (t < F.lit(cutoff).cast("timestamp")).cast("long")
+    is_test = (t >= F.lit(cutoff).cast("timestamp")).cast("long")
+    ent = df.groupBy(entity_col).agg(
+        F.sum(is_train).alias("__tr"), F.sum(is_test).alias("__te")
+    )
+    return ent.agg(
+        F.sum("__tr").cast("long").alias("n_train"),
+        F.sum("__te").cast("long").alias("n_test"),
+        F.sum((F.col("__tr") > 0).cast("long")).cast("long").alias(
+            "entities_train"
+        ),
+        F.sum((F.col("__te") > 0).cast("long")).cast("long").alias(
+            "entities_test"
+        ),
+        F.sum(((F.col("__tr") > 0) & (F.col("__te") > 0)).cast("long"))
+        .cast("long")
+        .alias("entities_both"),
+        F.sum(F.when(F.col("__tr") > 0, F.col("__te")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("seen_entity_test_rows"),
+    ).select(
+        "*",
+        F.expr(
+            f"CAST((seen_entity_test_rows * CAST({scale} AS BIGINT))"
+            " DIV n_test AS BIGINT)"
+        ).alias("seen_test_share_scaled"),
+    )

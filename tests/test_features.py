@@ -100,3 +100,30 @@ def test_class_weights_balanced_heuristic(spark):
     # w_c = 10/(3*1) = 3.333.. -> 3333333
     assert out["c"]["weight_scaled"] == 3_333_333
     assert out["b"]["weight_scaled"] == 1_111_111
+
+
+def test_smoothed_target_encode_shrinkage(spark):
+    from streaming_data_pipeline_azure_spark.operators.features import (
+        smoothed_target_encode,
+    )
+
+    # global mean = 10; category "rare" (n=1, mean 100) shrinks hard,
+    # "big" (n=99, mean ~9.09) barely moves
+    rows = [("big", 9.090909090909092)] * 99 + [("rare", 100.0)]
+    # make exact: big value chosen so global mean is exactly 10
+    rows = [("big", 900.0 / 99)] * 99 + [("rare", 100.0)]
+    df = spark.createDataFrame(rows, ["c", "y"])
+    out = {r["category"]: r for r in smoothed_target_encode(df, "c", "y", m=20).collect()}
+    g = 10.0  # (900 + 100) / 100
+    rare = out["rare"]
+    # enc_rare = (100 + 20*10) / 21 = 300/21
+    # values pass through DECIMAL(18,4), so 900/99 rounds at 1e-4
+    assert abs(rare["mean_smoothed"] - 300.0 / 21.0) < 1e-3
+    big = out["big"]
+    assert abs(big["mean_smoothed"] - big["mean_raw"]) < abs(
+        rare["mean_smoothed"] - rare["mean_raw"]
+    )
+    assert abs(
+        (out["rare"]["n"] * out["rare"]["mean_raw"] + out["big"]["n"] * out["big"]["mean_raw"]) / 100
+        - g
+    ) < 0.01

@@ -321,3 +321,25 @@ def test_mondrian_generalize_invariants(spark):
         validate.mondrian_generalize(df, ["x"], k=1)
     with pytest.raises(ValueError):
         validate.mondrian_generalize(df.limit(3), ["x"], k=5)
+
+
+def test_temporal_split_report_counts_and_leakage(spark):
+    import datetime as dt
+
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        temporal_split_report,
+    )
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1)), (1, d(2024, 6, 1)),   # seen in both
+        (2, d(2024, 1, 15)),                       # train only
+        (3, d(2024, 7, 1)), (3, d(2024, 8, 1)),    # test only (unseen)
+    ]
+    df = spark.createDataFrame(rows, ["ent", "ts"])
+    (r,) = temporal_split_report(df, "ts", "ent", "2024-03-01").collect()
+    assert (r["n_train"], r["n_test"]) == (2, 3)
+    assert (r["entities_train"], r["entities_test"]) == (2, 2)
+    assert r["entities_both"] == 1
+    assert r["seen_entity_test_rows"] == 1
+    assert r["seen_test_share_scaled"] == 333_333
