@@ -3861,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_cuped_stats": _ab_cuped_stats,
         "temporal_split_check": _temporal_split_check,
         "brand_smoothed_encoding": _brand_smoothed_encoding,
+        "retrieval_rbo": _retrieval_rbo,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9100,6 +9101,7 @@ def oracle_sql() -> dict[str, str]:
         "code_switch_stats": _code_switch_oracle(),
         "interleaved_ranking": _interleave_oracle(),
         "ab_cuped_stats": _cuped_oracle(),
+        "retrieval_rbo": _rbo_oracle(),
         "brand_smoothed_encoding": r"""
             WITH per AS (
               SELECT p_brand AS category, COUNT(*) AS n,
@@ -11994,3 +11996,44 @@ def _brand_smoothed_encoding(spark: SparkSession, sf: str) -> DataFrame:
     variance)."""
     (part,) = _tables(spark, sf, "part")
     return features.smoothed_target_encode(part, "p_brand", "p_retailprice")
+
+
+def _retrieval_rbo(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (r7 s4): BM25 vs LM-Dirichlet top-10
+    agreement with p=0.9 top-weighting (search.rank_biased_overlap —
+    literal p-power discount table, fixed fold; handles the
+    non-conjoint tails Kendall tau must drop). Third member of the
+    ranker-agreement family: tau (conjoint), team-draft (serving),
+    RBO (top-weighted)."""
+    docs = _docs(spark, sf)
+    ra = search.bm25_topk(docs, _INTERLEAVE_TERMS, k=10)
+    rb = search.lm_dirichlet_topk(docs, _INTERLEAVE_TERMS, mu=250.0, k=10)
+    return search.rank_biased_overlap(ra, rb, k=10)
+
+
+def _rbo_oracle() -> str:
+    """Generate the retrieval_rbo oracle: both rankers' oracle
+    rankings → top-10 lists → per-depth slice intersections folded
+    with the same literal p powers."""
+    lm = _lm_dirichlet_oracle(_INTERLEAVE_TERMS, 250.0, 10)
+    terms = " + ".join(
+        f"({0.9 ** (d - 1)!r} * CAST(len(list_intersect(a[1:{d}],"
+        f" b[1:{d}])) AS DOUBLE) / {float(d)!r})"
+        for d in range(1, 11)
+    )
+    return rf"""
+        WITH la AS (
+          SELECT list(doc_id ORDER BY r) AS a FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM ({_BM25_ORACLE})) WHERE r <= 10
+        ), lb AS (
+          SELECT list(doc_id ORDER BY r) AS b FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM ({lm})) WHERE r <= 10
+        )
+        SELECT CAST(len(list_intersect(a, b)) AS BIGINT) AS overlap_at_k,
+               {(1.0 - 0.9)!r} * ({terms}) AS rbo
+        FROM la, lb
+    """

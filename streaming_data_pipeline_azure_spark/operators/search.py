@@ -1198,3 +1198,59 @@ def team_draft_interleave(
             F.col("__z.teams").alias("team"),
         )
     )
+
+
+def rank_biased_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between two
+    rankings, prefix form: RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_d ∩
+    B_d| ∕ d — the top-weighted agreement measure that, unlike Kendall
+    tau (retrieval_rank_agreement), handles NON-CONJOINT lists (each
+    ranker may return documents the other never saw) and discounts
+    disagreement deep in the tail. Returns ONE row:
+    (overlap_at_k, rbo) plus the per-depth agreement profile summed in
+    a FIXED left-to-right fold over LITERAL p powers (the nDCG
+    discount-table discipline — no pow() at eval time, so the double
+    is engine-exact).
+
+    Shape: each ranking collapses to one ordered top-k array, one
+    crossJoin of two 1-row frames, codegen slice/intersect per depth —
+    a serving-layer diagnostic, not a corpus scan."""
+    from pyspark.sql import Window
+
+    def arr(df: DataFrame, name: str):
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__r", id_col))),
+                    lambda s: s[id_col],
+                ).alias(name)
+            )
+        )
+
+    one = arr(ranked_a, "__a").crossJoin(arr(ranked_b, "__b"))
+    terms = None
+    for d in range(1, k + 1):
+        inter = F.size(
+            F.array_intersect(
+                F.slice(F.col("__a"), 1, d), F.slice(F.col("__b"), 1, d)
+            )
+        ).cast("double")
+        t = F.lit(p ** (d - 1)) * inter / F.lit(float(d))
+        terms = t if terms is None else terms + t
+    inter_k = F.size(
+        F.array_intersect(F.col("__a"), F.col("__b"))
+    ).cast("long")
+    return one.select(
+        inter_k.alias("overlap_at_k"),
+        (F.lit(1.0 - p) * terms).alias("rbo"),
+    )

@@ -542,3 +542,24 @@ def test_bm25_hard_negatives_partial_matches_only(spark):
     # the pre-heap gate surfaces partials even though doc 1 outscores:
     full = bm25_topk(docs, terms, k=1).collect()[0]["doc_id"]
     assert full == 1
+
+
+def test_rank_biased_overlap_bounds_and_identity(spark):
+    from streaming_data_pipeline_azure_spark.operators.search import (
+        rank_biased_overlap,
+    )
+
+    a = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], ["doc_id", "score"]
+    )
+    # identical rankings -> per-depth overlap = d, RBO = (1-p)*sum(p^(d-1))
+    (r,) = rank_biased_overlap(a, a, k=10).collect()
+    assert r["overlap_at_k"] == 10
+    expected = (1.0 - 0.9) * sum(0.9 ** (d - 1) for d in range(1, 11))
+    assert abs(r["rbo"] - expected) < 1e-12
+    # fully disjoint rankings -> 0
+    b = spark.createDataFrame(
+        [(100 + i, float(100 - i)) for i in range(10)], ["doc_id", "score"]
+    )
+    (r2,) = rank_biased_overlap(a, b, k=10).collect()
+    assert r2["overlap_at_k"] == 0 and r2["rbo"] == 0.0
