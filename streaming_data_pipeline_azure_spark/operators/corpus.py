@@ -960,6 +960,11 @@ def rake_keywords(
             F.count(F.lit(1)).cast("long").alias("__plen"),
         )
         .filter(F.col("__plen") <= max_phrase_len)
+        # three consumers read the phrase runs (word stats, phrase
+        # stats, phrase scores) — materialize the explode+window
+        # pipeline ONCE instead of re-running the corpus scan per
+        # consumer (the frequent_triples multi-consumer precedent)
+        .localCheckpoint()
     )
     wstats = (
         occ.select("__plen", F.explode(F.split("phrase", " ")).alias("__w"))
