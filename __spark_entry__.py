@@ -3862,6 +3862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split_check": _temporal_split_check,
         "brand_smoothed_encoding": _brand_smoothed_encoding,
         "retrieval_rbo": _retrieval_rbo,
+        "weekly_audience_overlap": _weekly_audience_overlap,
+        "shard_rebalance_report": _shard_rebalance_report,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9102,6 +9104,36 @@ def oracle_sql() -> dict[str, str]:
         "interleaved_ranking": _interleave_oracle(),
         "ab_cuped_stats": _cuped_oracle(),
         "retrieval_rbo": _rbo_oracle(),
+        "shard_rebalance_report": _rebalance_oracle(),
+        "weekly_audience_overlap": r"""
+            WITH per AS (
+              SELECT DISTINCT user_id AS k,
+                     CAST(date_trunc('week', ts) AS DATE) AS p
+              FROM events
+            ), sizes AS (
+              SELECT p AS period_start, COUNT(*) AS n_prev
+              FROM per GROUP BY 1
+            ), nsizes AS (
+              SELECT p - 7 AS period_start, COUNT(*) AS n_next
+              FROM per GROUP BY 1
+            ), common AS (
+              SELECT a.p AS period_start, COUNT(*) AS n_common
+              FROM per a JOIN per b
+                ON a.k = b.k AND b.p = a.p + 7
+              GROUP BY 1
+            )
+            SELECT s.period_start,
+                   s.period_start + 7 AS next_start,
+                   CAST(s.n_prev AS BIGINT) AS n_prev,
+                   CAST(n.n_next AS BIGINT) AS n_next,
+                   CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+                   CAST((COALESCE(c.n_common, 0) * 1000000)
+                        // (s.n_prev + n.n_next - COALESCE(c.n_common, 0))
+                        AS BIGINT) AS jaccard_scaled
+            FROM sizes s
+            JOIN nsizes n USING (period_start)
+            LEFT JOIN common c USING (period_start)
+        """,
         "brand_smoothed_encoding": r"""
             WITH per AS (
               SELECT p_brand AS category, COUNT(*) AS n,
@@ -12036,4 +12068,73 @@ def _rbo_oracle() -> str:
         SELECT CAST(len(list_intersect(a, b)) AS BIGINT) AS overlap_at_k,
                {(1.0 - 0.9)!r} * ({terms}) AS rbo
         FROM la, lb
+    """
+
+
+def _weekly_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week audience overlap (r7 s4): distinct active users
+    shared between consecutive weeks with exact Jaccard
+    (temporal.adjacent_period_overlap — one distinct (user, week)
+    aggregation + a shifted self-equi-join on the key; shuffles carry
+    distinct memberships, never events)."""
+    return temporal.adjacent_period_overlap(
+        _events(spark, sf), "user_id", "ts", period="week"
+    )
+
+
+def _shard_rebalance_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous-vs-modulo rebalance audit (r7 s4): growing 8 → 9
+    shards over order keys, rendezvous hashing moves ≈1/9 of keys
+    while modulo reshuffles ≈8/9 (sampling.rendezvous_rebalance_report
+    — key-pure Knuth weight races, first-match tie-break mirrored in
+    the oracle's CASE). The measured case for consistent placement of
+    a 100 TB keyspace."""
+    (orders,) = _tables(spark, sf, "orders")
+    return sampling.rendezvous_rebalance_report(orders, "o_orderkey")
+
+
+def _rebalance_oracle() -> str:
+    """Generate the shard_rebalance_report oracle: the same Knuth
+    weight per (key, shard) salt shift, greatest + first-match CASE
+    argmax, and modulo comparison."""
+    kr = "((o_orderkey % 4294967296 + 4294967296) % 4294967296)"
+
+    def weights(n: int, tag: str) -> tuple[str, str]:
+        cols = ", ".join(
+            f"{_knuth_int_sql(f'({kr} + {s * 1_000_003})')} AS w{tag}{s}"
+            for s in range(n)
+        )
+        g = ", ".join(f"w{tag}{s}" for s in range(n))
+        case = "CASE " + " ".join(
+            f"WHEN w{tag}{s} = greatest({g}) THEN {s}" for s in range(n)
+        ) + " END"
+        return cols, case
+
+    cb, case_b = weights(8, "b")
+    ca, case_a = weights(9, "a")
+    return f"""
+        WITH w AS (
+          SELECT o_orderkey, {cb}, {ca}
+          FROM orders
+        ), assigned AS (
+          SELECT o_orderkey,
+                 {case_b} AS before_s,
+                 {case_a} AS after_s,
+                 ({kr} % 8) AS mb, ({kr} % 9) AS ma
+          FROM w
+        ), agg AS (
+          SELECT COUNT(*) AS n_keys,
+                 SUM(CASE WHEN before_s <> after_s THEN 1 ELSE 0 END)
+                     AS moved_rendezvous,
+                 SUM(CASE WHEN mb <> ma THEN 1 ELSE 0 END) AS moved_mod
+          FROM assigned
+        )
+        SELECT CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(moved_rendezvous AS BIGINT) AS moved_rendezvous,
+               CAST((moved_rendezvous * 1000000) // n_keys AS BIGINT)
+                   AS moved_share_scaled,
+               CAST(moved_mod AS BIGINT) AS moved_mod,
+               CAST((moved_mod * 1000000) // n_keys AS BIGINT)
+                   AS mod_share_scaled
+        FROM agg
     """

@@ -653,3 +653,73 @@ def sample_size_sweep(
             "mean_value"
         ),
     )
+
+
+def _rendezvous_assign(key_col, n_shards: int):
+    """Rendezvous (highest-random-weight) shard id for a key: argmax
+    over shards of the Knuth weight of the salt-shifted key, ties to
+    the smallest shard id (first-match CASE — total order, mirrored
+    verbatim in SQL oracles). The salt shift (s · 1_000_003) keeps
+    every intermediate < 2^32 + n·10^6 — overflow-safe under ANSI."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    kr = ((k.cast("long") % F.lit(_M32)) + F.lit(_M32)) % F.lit(_M32)
+    weights = [
+        _knuth_u32(kr + F.lit(s * 1_000_003)) for s in range(n_shards)
+    ]
+    g = F.greatest(*weights) if n_shards > 1 else weights[0]
+    expr = None
+    for s, w in enumerate(weights):
+        cond = w == g
+        expr = (
+            F.when(cond, F.lit(s))
+            if expr is None
+            else expr.when(cond, F.lit(s))
+        )
+    return expr.cast("int")
+
+
+def rendezvous_rebalance_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_before: int = 8,
+    n_after: int = 9,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Shard-rebalance cost audit: when a cluster grows from
+    ``n_before`` to ``n_after`` shards, what fraction of keys MOVE —
+    under rendezvous (highest-random-weight) hashing vs naive modulo.
+    Rendezvous moves ≈ 1∕n_after of the keys (only those whose new
+    shard wins the weight race); modulo reshuffles ≈ (n_after−1)∕
+    n_after of everything — THE reason consistent-hashing schemes
+    exist, measured on real keys. Returns ONE row: (n_keys,
+    moved_rendezvous, moved_share_scaled, moved_mod,
+    mod_share_scaled).
+
+    Key-pure integer hashing (no RNG state, replays exactly); one
+    scan with codegen weight races; floor-scaled integer shares."""
+    before = _rendezvous_assign(key_col, n_before)
+    after = _rendezvous_assign(key_col, n_after)
+    k = F.col(key_col).cast("long")
+    kr = ((k % F.lit(_M32)) + F.lit(_M32)) % F.lit(_M32)
+    mod_moved = (kr % n_before) != (kr % n_after)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum((before != after).cast("long"))
+        .cast("long")
+        .alias("moved_rendezvous"),
+        F.sum(mod_moved.cast("long")).cast("long").alias("moved_mod"),
+    )
+    return agg.select(
+        "n_keys",
+        "moved_rendezvous",
+        F.expr(
+            f"CAST((moved_rendezvous * CAST({scale} AS BIGINT))"
+            " DIV n_keys AS BIGINT)"
+        ).alias("moved_share_scaled"),
+        "moved_mod",
+        F.expr(
+            f"CAST((moved_mod * CAST({scale} AS BIGINT))"
+            " DIV n_keys AS BIGINT)"
+        ).alias("mod_share_scaled"),
+    )

@@ -1896,3 +1896,63 @@ def dow_adjusted_anomalies(
         )
         .orderBy("day")
     )
+
+
+def adjacent_period_overlap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    period: str = "week",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Audience overlap between CONSECUTIVE periods: per adjacent
+    (period, period+1) pair, the distinct-key intersection, union, and
+    Jaccard — the week-over-week "same users came back?" retention
+    companion (stickiness gives the ratio of actives; this names how
+    much of the audience is literally the same set). Returns one row
+    per adjacent pair: (period_start, next_start, n_prev, n_next,
+    n_common, jaccard_scaled).
+
+    Exactness: all set sizes are exact integer counts from ONE
+    distinct (key, period) aggregation; membership in consecutive
+    periods is a self-equi-join on the key with the period shifted —
+    shuffle carries distinct (key, period) rows, never raw events;
+    Jaccard is a floor-scaled integer ratio.
+    """
+    per = df.select(
+        F.col(key_col).alias("__k"),
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("__p"),
+    ).distinct()
+    step = {"day": 1, "week": 7}.get(period)
+    if step is None:
+        raise ValueError("adjacent_period_overlap supports day/week periods")
+    a = per.select("__k", F.col("__p").alias("period_start"))
+    b = per.select(
+        "__k", F.date_sub(F.col("__p"), step).alias("period_start")
+    )
+    common = a.join(b, ["__k", "period_start"]).groupBy("period_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    sizes = per.groupBy(F.col("__p").alias("period_start")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_prev")
+    )
+    nsizes = per.groupBy(
+        F.date_sub(F.col("__p"), step).alias("period_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_next"))
+    out = (
+        sizes.join(nsizes, "period_start")
+        .join(common, "period_start", "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+    )
+    return out.select(
+        "period_start",
+        F.date_add("period_start", step).alias("next_start"),
+        "n_prev",
+        "n_next",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.expr(
+            f"CAST((n_common * CAST({scale} AS BIGINT))"
+            " DIV (n_prev + n_next - n_common) AS BIGINT)"
+        ).alias("jaccard_scaled"),
+    ).orderBy("period_start")

@@ -507,3 +507,39 @@ def test_sample_size_sweep_nested_and_monotone(spark):
     assert ns == sorted(ns)
     # uniformity sanity: 10% sample within 3x of expectation
     assert 150 <= out[10]["n_rows"] <= 1500
+
+
+def test_rendezvous_rebalance_moves_about_one_over_n(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        rendezvous_rebalance_report,
+    )
+
+    df = spark.range(0, 9000).select(F.col("id").alias("k"))
+    (r,) = rendezvous_rebalance_report(df, "k").collect()
+    assert r["n_keys"] == 9000
+    # rendezvous: ~1/9 ≈ 11.1% moved (loose band), modulo: ~8/9 ≈ 89%
+    assert 0.07 * 9000 <= r["moved_rendezvous"] <= 0.16 * 9000
+    assert r["moved_mod"] >= 0.8 * 9000
+    assert r["moved_rendezvous"] < r["moved_mod"] / 5
+
+
+def test_rendezvous_assignment_is_stable_for_unmoved_keys(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        _rendezvous_assign,
+    )
+
+    # growing the ring must NEVER reassign a key between two OLD
+    # shards — a moved key can only move TO the new shard (the
+    # monotone property that makes rendezvous "consistent")
+    df = spark.range(0, 3000).select(F.col("id").alias("k"))
+    out = df.select(
+        _rendezvous_assign("k", 8).alias("b"),
+        _rendezvous_assign("k", 9).alias("a"),
+    ).collect()
+    for r in out:
+        if r["b"] != r["a"]:
+            assert r["a"] == 8, (r["b"], r["a"])
