@@ -3864,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rbo": _retrieval_rbo,
         "weekly_audience_overlap": _weekly_audience_overlap,
         "shard_rebalance_report": _shard_rebalance_report,
+        "brand_price_ks": _brand_price_ks,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9105,6 +9106,44 @@ def oracle_sql() -> dict[str, str]:
         "ab_cuped_stats": _cuped_oracle(),
         "retrieval_rbo": _rbo_oracle(),
         "shard_rebalance_report": _rebalance_oracle(),
+        "brand_price_ks": r"""
+            WITH tagged AS (
+              SELECT p.p_brand AS stratum, l.l_extendedprice AS v,
+                     CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS a,
+                     CASE WHEN l.l_returnflag = 'A' THEN 1 ELSE 0 END
+                         AS b
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_returnflag IN ('R', 'A')
+            ), pts AS (
+              SELECT stratum, v, SUM(a) AS na_v, SUM(b) AS nb_v
+              FROM tagged GROUP BY stratum, v
+            ), cum AS (
+              SELECT stratum,
+                     SUM(na_v) OVER (PARTITION BY stratum ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ca,
+                     SUM(nb_v) OVER (PARTITION BY stratum ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cb
+              FROM pts
+            ), tot AS (
+              SELECT stratum, MAX(ca) AS n_a, MAX(cb) AS n_b
+              FROM cum GROUP BY stratum
+            ), gaps AS (
+              SELECT c.stratum, t.n_a, t.n_b,
+                     MAX(abs(CAST(c.ca AS HUGEINT) * t.n_b
+                             - CAST(c.cb AS HUGEINT) * t.n_a)) AS dnum
+              FROM cum c JOIN tot t USING (stratum)
+              GROUP BY c.stratum, t.n_a, t.n_b
+            )
+            SELECT stratum, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(dnum * 1000000
+                        // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT))
+                        AS BIGINT) AS ks_scaled
+            FROM gaps WHERE n_a > 0 AND n_b > 0
+        """,
         "weekly_audience_overlap": r"""
             WITH per AS (
               SELECT DISTINCT user_id AS k,
@@ -12138,3 +12177,20 @@ def _rebalance_oracle() -> str:
                    AS mod_share_scaled
         FROM agg
     """
+
+
+def _brand_price_ks(spark: SparkSession, sf: str) -> DataFrame:
+    """Segmented KS drift screen (r7 s4): per-brand returned-vs-
+    accepted extended-price KS (experiment.ks_statistic_grouped —
+    every brand's ECDF race runs in its own window partition at
+    (brand, distinct value) grain; the pooled price_ks_test averages
+    exactly the per-brand shifts this surfaces)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    part = _tables(spark, sf, "part")[0]
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    )
+    return experiment.ks_statistic_grouped(
+        joined, "p_brand", "l_returnflag", "l_extendedprice", "R", "A"
+    )

@@ -616,3 +616,75 @@ def cuped_adjusted_stats(
         ]
     out_cols.append((adj_means[1] - adj_means[0]).alias("lift_adj"))
     return one.select(*out_cols)
+
+
+def ks_statistic_grouped(
+    df: DataFrame,
+    strat_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum two-sample KS: :func:`ks_statistic` evaluated
+    independently inside every value of ``strat_col`` — the segmented
+    drift screen ("which brands' return-price distributions actually
+    shifted") that one pooled statistic averages away. Returns one row
+    per stratum: (stratum, n_a, n_b, ks_scaled).
+
+    Same exactness contract as the pooled form (DECIMAL cross-product
+    ECDF gaps, floor-scaled result); the cumulative window partitions
+    by stratum, so every group's point set sorts independently —
+    shuffle stays at (stratum, distinct value) grain."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    tagged = df.filter(g.isin([group_a, group_b])).select(
+        F.col(strat_col).alias("stratum"),
+        F.col(value_col).alias("__v"),
+        (g == F.lit(group_a)).cast("long").alias("__a"),
+        (g == F.lit(group_b)).cast("long").alias("__b"),
+    )
+    pts = tagged.groupBy("stratum", "__v").agg(
+        F.sum("__a").alias("__na_v"), F.sum("__b").alias("__nb_v")
+    )
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.select(
+        "stratum",
+        F.sum("__na_v").over(w).alias("__ca"),
+        F.sum("__nb_v").over(w).alias("__cb"),
+    )
+    tot = cum.groupBy("stratum").agg(
+        F.max("__ca").cast("long").alias("n_a"),
+        F.max("__cb").cast("long").alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    gap = F.abs(
+        F.col("__ca").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("__cb").cast(dec) * F.col("n_a").cast(dec)
+    )
+    return (
+        cum.join(F.broadcast(tot), "stratum")
+        .groupBy("stratum")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(gap).alias("__dnum"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "stratum",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST((__dnum * {scale}) DIV (CAST(n_a AS DECIMAL(38,0))"
+                " * CAST(n_b AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("ks_scaled"),
+        )
+    )

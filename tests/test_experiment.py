@@ -394,3 +394,25 @@ def test_cuped_uncorrelated_covariate_is_noop(spark):
     # theta small -> adjusted means stay close to raw means
     assert abs(r["mean_adj_a"] - r["mean_a"]) < 0.05
     assert abs(r["mean_adj_b"] - r["mean_b"]) < 0.05
+
+
+def test_ks_grouped_isolates_shifted_stratum(spark):
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        ks_statistic_grouped,
+    )
+
+    # stratum s1: identical distributions -> KS 0; stratum s2: fully
+    # separated -> KS 1
+    rows = (
+        [("s1", "a", float(i % 5)) for i in range(40)]
+        + [("s1", "b", float(i % 5)) for i in range(40)]
+        + [("s2", "a", float(i % 5)) for i in range(40)]
+        + [("s2", "b", 100.0 + i % 5) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, ["s", "g", "v"])
+    out = {
+        r["stratum"]: r
+        for r in ks_statistic_grouped(df, "s", "g", "v", "a", "b").collect()
+    }
+    assert out["s1"]["ks_scaled"] == 0
+    assert out["s2"]["ks_scaled"] == 1_000_000
