@@ -3865,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_audience_overlap": _weekly_audience_overlap,
         "shard_rebalance_report": _shard_rebalance_report,
         "brand_price_ks": _brand_price_ks,
+        "discount_price_isotonic": _discount_price_isotonic,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9106,6 +9107,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_cuped_stats": _cuped_oracle(),
         "retrieval_rbo": _rbo_oracle(),
         "shard_rebalance_report": _rebalance_oracle(),
+        "discount_price_isotonic": _isotonic_oracle(),
         "brand_price_ks": r"""
             WITH tagged AS (
               SELECT p.p_brand AS stratum, l.l_extendedprice AS v,
@@ -12194,3 +12196,75 @@ def _brand_price_ks(spark: SparkSession, sf: str) -> DataFrame:
     return experiment.ks_statistic_grouped(
         joined, "p_brand", "l_returnflag", "l_extendedprice", "R", "A"
     )
+
+
+def _discount_price_isotonic(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (PAVA) fit (r7 s4): monotone regression of mean
+    extended price on the 11 discrete discount levels
+    (features.isotonic_fit — the merge-or-append state machine folded
+    over exactly 2N transitions with an exact fixed-point violator
+    test; the oracle replays the IDENTICAL transition system as a
+    recursive CTE). The calibration primitive for monotone score →
+    probability mappings."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return features.isotonic_fit(li, "l_discount", "l_extendedprice")
+
+
+def _isotonic_oracle() -> str:
+    """Generate the discount_price_isotonic oracle: distinct-x decimal
+    sums, then the same bounded merge-or-append PAVA transition system
+    as a recursive CTE (one transition per recursion, 2N steps)."""
+    return r"""
+        WITH RECURSIVE pts AS (
+          SELECT l_discount AS x,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DECIMAL(28,4)) AS s,
+                 COUNT(*) AS n
+          FROM lineitem GROUP BY 1
+        ), arr AS (
+          SELECT list(struct_pack(x := x, s := s, n := n) ORDER BY x)
+                     AS pa,
+                 COUNT(*) AS np
+          FROM pts
+        ), steps(step, i, pools) AS (
+          SELECT 0, 1,
+                 CAST([] AS STRUCT(xmin DOUBLE, xmax DOUBLE,
+                                   s DECIMAL(28,4), n BIGINT)[])
+          FROM arr
+          UNION ALL
+          SELECT step + 1,
+                 CASE WHEN ooo THEN i
+                      WHEN i <= np THEN i + 1 ELSE i END,
+                 CASE WHEN ooo THEN
+                        list_append(pools[1:len(pools) - 2],
+                          struct_pack(
+                            xmin := pools[-2].xmin,
+                            xmax := pools[-1].xmax,
+                            s := CAST(pools[-2].s + pools[-1].s
+                                      AS DECIMAL(28,4)),
+                            n := pools[-2].n + pools[-1].n))
+                      WHEN i <= np THEN
+                        list_append(pools,
+                          struct_pack(
+                            xmin := CAST(pa[i].x AS DOUBLE),
+                            xmax := CAST(pa[i].x AS DOUBLE),
+                            s := pa[i].s, n := pa[i].n))
+                      ELSE pools END
+          FROM (
+            SELECT step, i, pools, pa, np,
+                   len(pools) >= 2 AND
+                   CAST(pools[-2].s * 10000 AS HUGEINT) * pools[-1].n
+                   > CAST(pools[-1].s * 10000 AS HUGEINT) * pools[-2].n
+                       AS ooo
+            FROM steps, arr) t
+          WHERE step < 2 * np
+        ), fin AS (
+          SELECT pools FROM steps, arr WHERE step = 2 * np
+        )
+        SELECT CAST(unnest(pools).xmin AS DOUBLE) AS x_min,
+               CAST(unnest(pools).xmax AS DOUBLE) AS x_max,
+               CAST(unnest(pools).n AS BIGINT) AS n,
+               CAST(CAST(unnest(pools).s AS VARCHAR) AS DOUBLE)
+                   / CAST(unnest(pools).n AS DOUBLE) AS fitted_mean
+        FROM fin
+    """

@@ -250,3 +250,122 @@ def smoothed_target_encode(
             "mean_smoothed"
         ),
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    max_points: int = 1000,
+    scale: int = 4,
+) -> DataFrame:
+    """ISOTONIC REGRESSION (pool-adjacent-violators) of mean(y) on x —
+    the monotone-calibration fit (score → probability calibration,
+    price-vs-discount monotonicity audits). Returns one row per final
+    pool: (x_min, x_max, n, fitted_mean), pools ordered by x, means
+    non-decreasing by construction.
+
+    Formulation: y pre-aggregates to DISTINCT-X grain (exact decimal
+    sums — the shuffle carries x points, never rows), the points
+    collapse to ONE sorted array, and PAVA runs as a bounded
+    MERGE-OR-APPEND state machine folded over exactly 2·|points|
+    transitions: each step either merges the last two pools when
+    their means are out of order — the violator test is the exact
+    decimal CROSS-PRODUCT s_prev·n_curr > s_curr·n_prev, no division
+    — or appends the next point; appends = N and merges ≤ N−1, so
+    2N transitions always reach the fixpoint (trailing steps no-op).
+    The oracle replays the IDENTICAL transition system as a recursive
+    CTE, one transition per recursion. ``max_points`` bounds the
+    per-row array (distinct x must be dimension-like: buckets,
+    discrete prices — raise it consciously, never for raw
+    continuous x; violations raise loudly)."""
+    dec = F.col(y_col).cast(f"decimal(18,{scale})")
+    pts = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.sum(dec).alias("__s"), F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    n_pts = pts.count()
+    if n_pts == 0:
+        raise ValueError("isotonic_fit: no points")
+    if n_pts > max_points:
+        raise ValueError(
+            f"isotonic_fit: {n_pts} distinct x values exceed "
+            f"max_points={max_points} — bucket x first (the fold "
+            "buffers one array of all points)"
+        )
+    one = pts.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__x", "__s", "__n"))
+        ).alias("__pts")
+    )
+    pool = lambda xmin, xmax, s, n: F.struct(  # noqa: E731
+        xmin.alias("xmin"), xmax.alias("xmax"), s.alias("s"), n.alias("n")
+    )
+    acc0 = F.struct(
+        F.lit(1).alias("i"),
+        F.array().cast(
+            "array<struct<xmin:double,xmax:double,s:decimal(28,4),n:bigint>>"
+        ).alias("pools"),
+    )
+
+    def step(acc, _):
+        pools, i = acc["pools"], acc["i"]
+        np = F.size(pools)
+        last = F.element_at(pools, -1)
+        prev = F.element_at(pools, -2)
+        # violator test in (19,0)x(18,0) fixed-point: the product fits
+        # DECIMAL(38,0) EXACTLY on any engine (a raw (28,4)xBIGINT
+        # multiply would exceed precision 38 and round) — valid while
+        # pool sums stay < 1e15 and counts < 1e18 (documented bound)
+        s_int = lambda q: (q["s"] * 10000).cast("decimal(19,0)")  # noqa: E731
+        n_dec = lambda q: q["n"].cast("decimal(18,0)")  # noqa: E731
+        out_of_order = (np >= 2) & (
+            s_int(prev) * n_dec(last) > s_int(last) * n_dec(prev)
+        )
+        merged = pool(
+            prev["xmin"], last["xmax"],
+            (prev["s"] + last["s"]).cast("decimal(28,4)"),
+            prev["n"] + last["n"],
+        )
+        merged_pools = F.concat(
+            F.slice(pools, 1, np - 2), F.array(merged)
+        )
+        nxt = F.element_at(F.col("__pts"), i)
+        appended = F.concat(
+            pools,
+            F.array(
+                pool(
+                    nxt["__x"].cast("double"),
+                    nxt["__x"].cast("double"),
+                    nxt["__s"].cast("decimal(28,4)"),
+                    nxt["__n"],
+                )
+            ),
+        )
+        can_append = i <= F.size(F.col("__pts"))
+        return F.struct(
+            F.when(out_of_order, i)
+            .when(can_append, i + 1)
+            .otherwise(i)
+            .alias("i"),
+            F.when(out_of_order, merged_pools)
+            .when(can_append, appended)
+            .otherwise(pools)
+            .alias("pools"),
+        )
+
+    folded = one.select(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(2 * n_pts)), acc0, step
+        )["pools"].alias("__pools")
+    )
+    return folded.select(
+        F.posexplode("__pools").alias("__i", "__p")
+    ).select(
+        F.col("__p.xmin").alias("x_min"),
+        F.col("__p.xmax").alias("x_max"),
+        F.col("__p.n").alias("n"),
+        (F.col("__p.s").cast("double") / F.col("__p.n").cast("double")).alias(
+            "fitted_mean"
+        ),
+    )

@@ -127,3 +127,43 @@ def test_smoothed_target_encode_shrinkage(spark):
         (out["rare"]["n"] * out["rare"]["mean_raw"] + out["big"]["n"] * out["big"]["mean_raw"]) / 100
         - g
     ) < 0.01
+
+
+def test_isotonic_fit_pools_and_properties(spark):
+    import pytest
+
+    from streaming_data_pipeline_azure_spark.operators.features import (
+        isotonic_fit,
+    )
+
+    rows = [(1.0, 10.0), (2.0, 30.0), (3.0, 20.0), (4.0, 40.0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = sorted(
+        (tuple(r) for r in isotonic_fit(df, "x", "y").collect())
+    )
+    assert out == [
+        (1.0, 1.0, 1, 10.0), (2.0, 3.0, 2, 25.0), (4.0, 4.0, 1, 40.0)
+    ]
+    # fully decreasing input collapses to ONE pool at the global mean
+    dec = [(float(i), float(100 - 10 * i)) for i in range(1, 6)]
+    (p,) = isotonic_fit(
+        spark.createDataFrame(dec, ["x", "y"]), "x", "y"
+    ).collect()
+    assert (p["x_min"], p["x_max"], p["n"]) == (1.0, 5.0, 5)
+    assert p["fitted_mean"] == 70.0
+    # fitted means are non-decreasing and mass is conserved
+    mix = [(float(i % 7), float((i * 37) % 100)) for i in range(200)]
+    fit = sorted(
+        isotonic_fit(spark.createDataFrame(mix, ["x", "y"]), "x", "y")
+        .collect(),
+        key=lambda r: r["x_min"],
+    )
+    means = [r["fitted_mean"] for r in fit]
+    assert means == sorted(means)
+    assert sum(r["n"] for r in fit) == 200
+    # guard: too many distinct x values raises loudly
+    big = spark.range(0, 2000).selectExpr(
+        "CAST(id AS DOUBLE) AS x", "CAST(id AS DOUBLE) AS y"
+    )
+    with pytest.raises(ValueError, match="max_points"):
+        isotonic_fit(big, "x", "y")
