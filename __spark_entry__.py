@@ -3866,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_rebalance_report": _shard_rebalance_report,
         "brand_price_ks": _brand_price_ks,
         "discount_price_isotonic": _discount_price_isotonic,
+        "lang_id_kappa": _lang_id_kappa,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9108,6 +9109,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_rbo": _rbo_oracle(),
         "shard_rebalance_report": _rebalance_oracle(),
         "discount_price_isotonic": _isotonic_oracle(),
+        "lang_id_kappa": _kappa_oracle(),
         "brand_price_ks": r"""
             WITH tagged AS (
               SELECT p.p_brand AS stratum, l.l_extendedprice AS v,
@@ -12267,4 +12269,66 @@ def _isotonic_oracle() -> str:
                CAST(CAST(unnest(pools).s AS VARCHAR) AS DOUBLE)
                    / CAST(unnest(pools).n AS DOUBLE) AS fitted_mean
         FROM fin
+    """
+
+
+def _lang_id_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa (r7 s4): chance-corrected agreement between the
+    heuristic language_id and the gold lang column
+    (tx.classifier_kappa — κ as ONE exact integer ratio, floor-scaled;
+    the honest companion to lang_confusion_matrix's raw recalls)."""
+    docs = _docs(spark, sf)
+    return tx.classifier_kappa(
+        docs.select(tx.language_id("text").alias("pred"), "lang"),
+        "pred",
+        "lang",
+    )
+
+
+def _kappa_oracle() -> str:
+    """Generate the lang_id_kappa oracle: the lang_confusion_matrix
+    scoring CASE (whole-document _d_hits + CJK chars, alphabetical-
+    first argmax) feeding the single-ratio kappa with HUGEINT
+    products."""
+    return rf"""
+        WITH scored AS (
+            SELECT lang, {_d_hits('de')} AS s_de,
+                   {_d_hits('en')} AS s_en, {_d_hits('es')} AS s_es,
+                   {_d_hits('fr')} AS s_fr,
+                   length(regexp_replace(text,
+                       '[^\x{{4e00}}-\x{{9fff}}]', '', 'g')) AS s_zh
+            FROM documents
+        ), pred AS (
+            SELECT lang AS t, CASE
+              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                   AND s_de >= s_zh THEN 'de'
+              WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                   AND s_en >= s_zh THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr
+                   AND s_es >= s_zh THEN 'es'
+              WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es
+                   AND s_fr >= s_zh THEN 'fr'
+              WHEN s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es
+                   AND s_zh >= s_fr THEN 'zh'
+              ELSE 'de' END AS p
+            FROM scored
+        ), cells AS (
+            SELECT p, t, COUNT(*) AS n FROM pred GROUP BY 1, 2
+        ), r AS (SELECT p, SUM(n) AS rn FROM cells GROUP BY 1
+        ), c AS (SELECT t, SUM(n) AS cn FROM cells GROUP BY 1
+        ), rc AS (
+            SELECT SUM(CAST(r.rn AS HUGEINT) * c.cn) AS src
+            FROM r JOIN c ON r.p = c.t
+        ), base AS (
+            SELECT SUM(n) AS n,
+                   COALESCE(SUM(CASE WHEN p = t THEN n END), 0)
+                       AS n_agree
+            FROM cells
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n_agree AS BIGINT) AS n_agree,
+               CAST(((CAST(n AS HUGEINT) * n_agree - src) * 1000000)
+                    // (CAST(n AS HUGEINT) * n - src) AS BIGINT)
+                   AS kappa_scaled
+        FROM base, rc
     """

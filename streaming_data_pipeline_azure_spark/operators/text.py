@@ -670,3 +670,51 @@ def code_switch_stats(
             ).alias("switch_scaled"),
         )
     )
+
+
+def classifier_kappa(
+    df: DataFrame,
+    pred_col: Column | str,
+    true_col: Column | str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cohen's kappa between a predicted and a gold label column —
+    chance-corrected agreement, the honest score for any heuristic
+    classifier audit (raw accuracy flatters on skewed label
+    distributions). Returns ONE row: (n, n_agree, kappa_scaled).
+
+    Exactness: with integer marginals r_i (predicted) and c_i (gold),
+    κ = (n·agree − Σᵢ rᵢcᵢ) ∕ (n² − Σᵢ rᵢcᵢ) — a SINGLE integer
+    ratio (both the observed and expected agreement share the n²
+    denominator, which cancels), floor-scaled by exact DECIMAL DIV.
+    Shape: one count aggregation to (pred, true) cell grain (the
+    confusion matrix), marginals derived from the cells — nothing
+    rescans the data."""
+    p = F.col(pred_col) if isinstance(pred_col, str) else pred_col
+    t = F.col(true_col) if isinstance(true_col, str) else true_col
+    cells = df.groupBy(
+        p.alias("__p"), t.alias("__t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    r = cells.groupBy("__p").agg(F.sum("__n").alias("__r"))
+    c = cells.groupBy("__t").agg(F.sum("__n").alias("__c"))
+    rc = (
+        r.join(c, r["__p"] == c["__t"])
+        .select((F.col("__r").cast("decimal(38,0)") * F.col("__c")).alias("__rc"))
+        .agg(F.sum("__rc").alias("__src"))
+    )
+    base = cells.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum(F.when(F.col("__p") == F.col("__t"), F.col("__n"))).cast(
+            "long"
+        ).alias("n_agree"),
+    )
+    return base.join(F.broadcast(rc)).select(
+        "n",
+        F.coalesce(F.col("n_agree"), F.lit(0)).alias("n_agree"),
+        F.expr(
+            f"CAST(((CAST(n AS DECIMAL(38,0)) * n_agree - __src)"
+            f" * {scale}) DIV (CAST(n AS DECIMAL(38,0)) * n - __src)"
+            " AS BIGINT)"
+        ).alias("kappa_scaled"),
+    )

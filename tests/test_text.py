@@ -382,3 +382,26 @@ def test_code_switch_stats_planted_mix(spark):
     assert out[1]["switch_scaled"] == 333_333
     assert out[2]["switch_scaled"] == 0
     assert out[2]["majority_lang"] == "en"
+
+
+def test_classifier_kappa_known_values(spark):
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        classifier_kappa,
+    )
+
+    # classic 2x2: 20 a/a, 5 a/b, 10 b/a, 15 b/b
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5
+        + [("b", "a")] * 10 + [("b", "b")] * 15
+    )
+    df = spark.createDataFrame(rows, ["pred", "gold"])
+    (r,) = classifier_kappa(df, "pred", "gold").collect()
+    assert r["n"] == 50 and r["n_agree"] == 35
+    # po = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    assert r["kappa_scaled"] == 400_000
+    # perfect agreement -> kappa 1
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, ["pred", "gold"]
+    )
+    (p,) = classifier_kappa(perfect, "pred", "gold").collect()
+    assert p["kappa_scaled"] == 1_000_000
