@@ -3867,6 +3867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_price_ks": _brand_price_ks,
         "discount_price_isotonic": _discount_price_isotonic,
         "lang_id_kappa": _lang_id_kappa,
+        "channel_shapley": _channel_shapley,
+        "join_cardinality_audit": _join_cardinality_audit,
+        "user_event_overdispersion": _user_event_overdispersion,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9110,6 +9113,54 @@ def oracle_sql() -> dict[str, str]:
         "shard_rebalance_report": _rebalance_oracle(),
         "discount_price_isotonic": _isotonic_oracle(),
         "lang_id_kappa": _kappa_oracle(),
+        "channel_shapley": _shapley_oracle(),
+        "user_event_overdispersion": r"""
+            WITH per AS (
+              SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+            ), agg AS (
+              SELECT COUNT(*) AS n_keys, SUM(c) AS total_events,
+                     SUM(CAST(c AS HUGEINT) * c) AS ss
+              FROM per
+            )
+            SELECT CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(total_events AS BIGINT) AS total_events,
+                   CAST((total_events * 1000000) // n_keys AS BIGINT)
+                       AS mean_scaled,
+                   CAST(((CAST(n_keys AS HUGEINT) * ss
+                          - CAST(total_events AS HUGEINT) * total_events)
+                         * 1000000)
+                        // (CAST(total_events AS HUGEINT) * (n_keys - 1))
+                        AS BIGINT) AS dispersion_scaled
+            FROM agg
+        """,
+        "join_cardinality_audit": r"""
+            WITH ls AS (
+              SELECT COUNT(*) AS n_left,
+                     COUNT(DISTINCT l_orderkey) AS ndv_left
+              FROM lineitem
+            ), rs AS (
+              SELECT COUNT(*) AS n_right,
+                     COUNT(DISTINCT o_orderkey) AS ndv_right
+              FROM orders
+            ), act AS (
+              SELECT COUNT(*) AS actual_rows
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+            )
+            SELECT CAST(n_left AS BIGINT) AS n_left,
+                   CAST(n_right AS BIGINT) AS n_right,
+                   CAST(ndv_left AS BIGINT) AS ndv_left,
+                   CAST(ndv_right AS BIGINT) AS ndv_right,
+                   CAST(CAST(n_left AS HUGEINT) * n_right
+                        // greatest(ndv_left, ndv_right) AS BIGINT)
+                       AS est_rows,
+                   CAST(actual_rows AS BIGINT) AS actual_rows,
+                   CAST((CAST(n_left AS HUGEINT) * n_right
+                         // greatest(ndv_left, ndv_right)) * 1000000
+                        // actual_rows AS BIGINT)
+                       AS est_over_actual_scaled
+            FROM ls, rs, act
+        """,
         "brand_price_ks": r"""
             WITH tagged AS (
               SELECT p.p_brand AS stratum, l.l_extendedprice AS v,
@@ -12332,3 +12383,92 @@ def _kappa_oracle() -> str:
                    AS kappa_scaled
         FROM base, rc
     """
+
+
+def _channel_shapley(spark: SparkSession, sf: str) -> DataFrame:
+    """Shapley channel attribution (r7 s4): game-theoretic credit for
+    click/view/signup toward purchase conversions under the
+    subset-reach model (attribution.shapley_channel_values — integer
+    coalition weights ×3!, bitwise subset reaches in one constant-size
+    fold; the principled endpoint after first/last/position/time-decay).
+    Efficiency axiom Σφ = v(N) − v(∅) pinned by tests."""
+    return attribution.shapley_channel_values(
+        _events(spark, sf),
+        "user_id",
+        "event_type",
+        ["click", "view", "signup"],
+        "purchase",
+    )
+
+
+def _shapley_oracle() -> str:
+    """Generate the channel_shapley oracle: per-user bitmasks, the
+    eight subset reaches via bitwise containment, and the same
+    integer-weighted marginal sums."""
+    chans = ["click", "view", "signup"]
+    import math
+
+    n = 3
+    full = (1 << n) - 1
+    touch = ", ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS c{i}"
+        for i, c in enumerate(chans)
+    )
+    mask = " + ".join(f"c{i} * {1 << i}" for i in range(n))
+    v_cols = ", ".join(
+        f"SUM(CASE WHEN (m & {full ^ S}) = 0 THEN nc ELSE 0 END) AS v{S}"
+        for S in range(1 << n)
+    )
+    rows = []
+    for i in range(n):
+        terms = []
+        for S in range(1 << n):
+            if S & (1 << i):
+                continue
+            w = math.factorial(bin(S).count("1")) * math.factorial(
+                n - bin(S).count("1") - 1
+            )
+            terms.append(f"{w} * (v{S | (1 << i)} - v{S})")
+        rows.append((chans[i], " + ".join(terms)))
+    tot = " + ".join(f"({expr})" for _, expr in rows)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS channel, CAST({expr} AS BIGINT) AS phi_xnfact,"
+        f" CAST((({expr}) * 1000000) // ({tot}) AS BIGINT)"
+        " AS phi_share_scaled FROM v"
+        for name, expr in rows
+    )
+    return f"""
+        WITH per_user AS (
+          SELECT user_id, {touch},
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS conv
+          FROM events GROUP BY user_id
+        ), masks AS (
+          SELECT ({mask}) AS m, SUM(conv) AS nc
+          FROM per_user GROUP BY 1
+        ), v AS (
+          SELECT {v_cols} FROM masks
+        )
+        {selects}
+    """
+
+
+def _join_cardinality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size estimator audit (r7 s4): the textbook containment
+    estimate for orders ⋈ lineitem on the order key vs the actual join
+    count (profile.join_cardinality_audit — exact NDVs, integer-DIV
+    estimate and ratio). The trust check for statistics-based planning
+    on this keyspace; the HLL twin for the planning path is
+    estimate_key_overlap."""
+    orders, = _tables(spark, sf, "orders")
+    li, = _tables(spark, sf, "lineitem")
+    return profile.join_cardinality_audit(li, orders, "l_orderkey", "o_orderkey")
+
+
+def _user_event_overdispersion(spark: SparkSession, sf: str) -> DataFrame:
+    """Overdispersion audit (r7 s4): variance-to-mean ratio of
+    per-user event counts (profile.overdispersion_stats — exact
+    integral sufficient sums, floor-scaled dispersion index). The
+    Poisson-assumption check behind count-based anomaly thresholds
+    and negative-binomial model selection."""
+    return profile.overdispersion_stats(_events(spark, sf), "user_id")

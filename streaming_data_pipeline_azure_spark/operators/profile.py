@@ -1136,3 +1136,105 @@ def histogram_percentiles(
         "n_total",
         f"stack({len(percents)}, {stack}) AS (pct, estimate)",
     ).select(*group_cols, "pct", "n_total", "estimate")
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Optimizer-style JOIN CARDINALITY estimate vs ground truth: the
+    textbook containment formula |R ⋈ S| ≈ |R|·|S| ∕ max(ndv_R, ndv_S)
+    against the join's actual row count — the audit that tells you
+    whether statistics-based planning (broadcast thresholds, join
+    reordering) can be trusted on this key, and by how much skew
+    breaks the uniform-frequency assumption behind the formula.
+    Returns ONE row: (n_left, n_right, ndv_left, ndv_right, est_rows,
+    actual_rows, est_over_actual_scaled).
+
+    All counts exact (COUNT DISTINCT, not sketches — this is the
+    audit, the planning path would use HLL via estimate_key_overlap);
+    the estimate and the ratio are exact integer DIVs in
+    DECIMAL(38,0). Shape: two single-pass aggregations + one equi-join
+    count."""
+    ls = left.agg(
+        F.count(F.lit(1)).cast("long").alias("n_left"),
+        F.countDistinct(left_key).cast("long").alias("ndv_left"),
+    )
+    rs = right.agg(
+        F.count(F.lit(1)).cast("long").alias("n_right"),
+        F.countDistinct(right_key).cast("long").alias("ndv_right"),
+    )
+    actual = (
+        left.select(F.col(left_key).alias("__k"))
+        .join(right.select(F.col(right_key).alias("__k")), "__k")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return (
+        ls.crossJoin(rs)
+        .crossJoin(actual)
+        .select(
+            "n_left",
+            "n_right",
+            "ndv_left",
+            "ndv_right",
+            F.expr(
+                "CAST((CAST(n_left AS DECIMAL(38,0)) * n_right)"
+                " DIV greatest(ndv_left, ndv_right) AS BIGINT)"
+            ).alias("est_rows"),
+            "actual_rows",
+            F.expr(
+                "CAST(((CAST(n_left AS DECIMAL(38,0)) * n_right)"
+                " DIV greatest(ndv_left, ndv_right))"
+                f" * {scale} DIV actual_rows AS BIGINT)"
+            ).alias("est_over_actual_scaled"),
+        )
+    )
+
+
+def overdispersion_stats(
+    df: DataFrame,
+    key_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Count OVERDISPERSION check: the variance-to-mean ratio (index
+    of dispersion) of per-key event counts — the one-number test of
+    the Poisson assumption every count model / anomaly threshold
+    quietly makes (ratio ≈ 1 Poisson, ≫ 1 bursty/clumped → negative
+    binomial territory, ≪ 1 regular). Returns ONE row: (n_keys,
+    total_events, mean_scaled, dispersion_scaled).
+
+    Exactness: per-key counts are integers; Σc and Σc² stay integral
+    (Σc² in DECIMAL(38,0) past int64); mean = Σc∕k and the dispersion
+    ratio D = var∕mean = (k·Σc² − (Σc)²) ∕ (Σc·(k−1)) are floor-scaled
+    integer DIVs of those exact sums. Shape: one count aggregation to
+    key grain, one one-row fold."""
+    per = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__c").cast("long").alias("total_events"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)") * F.col("__c")
+        ).cast("decimal(38,0)").alias("__ss"),
+    )
+    return agg.select(
+        "n_keys",
+        "total_events",
+        F.expr(
+            f"CAST((total_events * CAST({scale} AS BIGINT)) DIV n_keys"
+            " AS BIGINT)"
+        ).alias("mean_scaled"),
+        F.expr(
+            f"CAST(((CAST(n_keys AS DECIMAL(38,0)) * __ss"
+            f" - CAST(total_events AS DECIMAL(38,0)) * total_events)"
+            f" * {scale})"
+            " DIV (CAST(total_events AS DECIMAL(38,0)) * (n_keys - 1))"
+            " AS BIGINT)"
+        ).alias("dispersion_scaled"),
+    )

@@ -183,3 +183,56 @@ def test_time_decay_stepped_dyadic_weights(spark):
     assert out[2]["credit"] == 4.0 and out[2]["half_lives_old"] == 0
     assert out[3]["credit"] == 2.0 and out[3]["half_lives_old"] == 1
     assert out[4]["credit"] == 1.0 and out[4]["half_lives_old"] == 2
+
+
+def test_shapley_efficiency_and_symmetry(spark):
+    from streaming_data_pipeline_azure_spark.operators.attribution import (
+        shapley_channel_values,
+    )
+
+    # 10 users touch only A and convert; 10 touch only B and convert;
+    # 5 touch nothing and convert (baseline); symmetric A/B must get
+    # equal credit, and shares must sum to ~1e6 (efficiency)
+    rows = []
+    for u in range(10):
+        rows += [(u, "a"), (u, "buy")]
+    for u in range(10, 20):
+        rows += [(u, "b"), (u, "buy")]
+    for u in range(20, 25):
+        rows += [(u, "noise")]
+        rows += [(u, "buy")]
+    df = spark.createDataFrame(rows, ["uid", "et"])
+    out = {
+        r["channel"]: r
+        for r in shapley_channel_values(
+            df, "uid", "et", ["a", "b"], "buy"
+        ).collect()
+    }
+    assert out["a"]["phi_xnfact"] == out["b"]["phi_xnfact"]
+    # v(N) - v(empty) = 25 - 5 = 20 conversions attributable; x2! = 40
+    assert out["a"]["phi_xnfact"] + out["b"]["phi_xnfact"] == 40
+    assert out["a"]["phi_share_scaled"] == 500_000
+
+
+def test_shapley_null_player_gets_zero(spark):
+    from streaming_data_pipeline_azure_spark.operators.attribution import (
+        shapley_channel_values,
+    )
+
+    # channel c is touched only by users who NEVER convert -> its
+    # marginal contribution is zero in every coalition
+    rows = []
+    for u in range(10):
+        rows += [(u, "a"), (u, "buy")]
+    for u in range(10, 14):
+        rows += [(u, "c")]
+    df = spark.createDataFrame(rows, ["uid", "et"])
+    out = {
+        r["channel"]: r["phi_xnfact"]
+        for r in shapley_channel_values(
+            df, "uid", "et", ["a", "b", "c"], "buy"
+        ).collect()
+    }
+    assert out["c"] == 0
+    assert out["b"] == 0
+    assert out["a"] > 0

@@ -518,3 +518,42 @@ def test_histogram_partials_merge_is_addition(spark):
     )
     got = {r["bucket"]: r["n"] for r in merged.collect()}
     assert got == {2: 2, -1: 1}
+
+
+def test_overdispersion_poisson_vs_clumped(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        overdispersion_stats,
+    )
+
+    # constant counts (every key exactly 4 events) -> variance 0,
+    # dispersion 0
+    flat = spark.range(0, 400).select((F.col("id") % 100).alias("k"))
+    (r,) = overdispersion_stats(flat, "k").collect()
+    assert r["n_keys"] == 100 and r["total_events"] == 400
+    assert r["mean_scaled"] == 4_000_000
+    assert r["dispersion_scaled"] == 0
+    # one key hogs everything -> dispersion far above 1
+    clump = spark.range(0, 400).select(
+        F.when(F.col("id") < 301, 0).otherwise(F.col("id")).alias("k")
+    )
+    (c,) = overdispersion_stats(clump, "k").collect()
+    assert c["dispersion_scaled"] > 10_000_000
+
+
+def test_join_cardinality_estimate_exact_on_uniform_keys(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        join_cardinality_audit,
+    )
+
+    # uniform fanout: 1000 left rows over 100 keys joined to 100
+    # unique right keys -> containment estimate is EXACT
+    left = spark.range(0, 1000).select((F.col("id") % 100).alias("lk"))
+    right = spark.range(0, 100).select(F.col("id").alias("rk"))
+    (r,) = join_cardinality_audit(left, right, "lk", "rk").collect()
+    assert r["est_rows"] == 1000
+    assert r["actual_rows"] == 1000
+    assert r["est_over_actual_scaled"] == 1_000_000
