@@ -3870,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "channel_shapley": _channel_shapley,
         "join_cardinality_audit": _join_cardinality_audit,
         "user_event_overdispersion": _user_event_overdispersion,
+        "price_quantity_spearman": _price_quantity_spearman,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9114,6 +9115,49 @@ def oracle_sql() -> dict[str, str]:
         "discount_price_isotonic": _isotonic_oracle(),
         "lang_id_kappa": _kappa_oracle(),
         "channel_shapley": _shapley_oracle(),
+        "price_quantity_spearman": r"""
+            WITH px AS (
+              SELECT l_extendedprice AS v, COUNT(*) AS c
+              FROM lineitem GROUP BY 1
+            ), rx AS (
+              SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - c + 1 AS r
+              FROM px
+            ), py AS (
+              SELECT l_quantity AS v, COUNT(*) AS c
+              FROM lineitem GROUP BY 1
+            ), ry AS (
+              SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - c + 1 AS r
+              FROM py
+            ), joined AS (
+              SELECT CAST(rx.r AS HUGEINT) AS ra,
+                     CAST(ry.r AS HUGEINT) AS rb
+              FROM lineitem l
+              JOIN rx ON l.l_extendedprice = rx.v
+              JOIN ry ON l.l_quantity = ry.v
+            ), agg AS (
+              SELECT COUNT(*) AS n, SUM(ra) AS sx, SUM(rb) AS sy,
+                     SUM(ra * rb) AS sxy, SUM(ra * ra) AS sxx,
+                     SUM(rb * rb) AS syy
+              FROM joined
+            ), f AS (
+              SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+                     CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+                     CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+                     CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy,
+                     CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                     CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy
+              FROM agg
+            )
+            SELECT n,
+                   (nd * sxy - sx * sy)
+                   / (sqrt(nd * sxx - sx * sx)
+                      * sqrt(nd * syy - sy * sy)) AS rho
+            FROM f
+        """,
         "user_event_overdispersion": r"""
             WITH per AS (
               SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
@@ -12472,3 +12516,14 @@ def _user_event_overdispersion(spark: SparkSession, sf: str) -> DataFrame:
     Poisson-assumption check behind count-based anomaly thresholds
     and negative-binomial model selection."""
     return profile.overdispersion_stats(_events(spark, sf), "user_id")
+
+
+def _price_quantity_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Spearman rho (r7 s4): monotone association between
+    lineitem price and quantity (profile.spearman_correlation —
+    tie-averaged DOUBLED integer ranks at distinct-value grain, the
+    mann_whitney device; all sufficient sums exact decimals, rho one
+    fixed double expression). The rank-based companion to
+    lineitem_correlations' Pearson matrix."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return profile.spearman_correlation(li, "l_extendedprice", "l_quantity")

@@ -1238,3 +1238,69 @@ def overdispersion_stats(
             " AS BIGINT)"
         ).alias("dispersion_scaled"),
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """SPEARMAN rank correlation, exact under ties: Pearson of the
+    tie-averaged rank vectors — the monotone-association measure that
+    ignores the marginal distributions (Pearson on raw values answers
+    a different question; lineitem_correlations has that). Returns ONE
+    row: (n, rho).
+
+    Exactness: tie-averaged ranks are computed at DISTINCT-VALUE grain
+    as DOUBLED integers (rank run f..l → f+l = 2·cum_before + run + 1,
+    the mann_whitney_u device), joined back to rows by value, so every
+    sufficient sum (Σr, Σr², Σr_x·r_y) is an exact DECIMAL(38,0)
+    integer; ρ is one fixed double expression over those sums —
+    engine-hash-checkable. Shape: two distinct-value rank tables
+    (windows over value points, not rows), two equi-joins back onto
+    the fact, one aggregation."""
+    from pyspark.sql import Window
+
+    def ranks(col: str, alias: str) -> DataFrame:
+        pts = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return pts.select(
+            "__v",
+            (
+                F.lit(2) * F.sum("__c").over(w) - F.col("__c") + 1
+            ).cast("long").alias(alias),
+        )
+    rx = ranks(x_col, "__rx")
+    ry = ranks(y_col, "__ry")
+    joined = (
+        df.select(F.col(x_col).alias("__xv"), F.col(y_col).alias("__yv"))
+        .join(rx.withColumnRenamed("__v", "__xv"), "__xv")
+        .join(ry.withColumnRenamed("__v", "__yv"), "__yv")
+    )
+    # per-row products in (18,0)x(18,0) -> DECIMAL(37,0): exact and
+    # inside Spark's 38-precision cap (a (38,0)x long multiply would
+    # overflow the type and round); doubled ranks fit 18 digits for
+    # any n < 5e17 rows
+    dec = "decimal(18,0)"
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__rx").cast(dec)).alias("__sx"),
+        F.sum(F.col("__ry").cast(dec)).alias("__sy"),
+        F.sum(F.col("__rx").cast(dec) * F.col("__ry").cast(dec)).alias("__sxy"),
+        F.sum(F.col("__rx").cast(dec) * F.col("__rx").cast(dec)).alias("__sxx"),
+        F.sum(F.col("__ry").cast(dec) * F.col("__ry").cast(dec)).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    rho = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return agg.select("n", rho.alias("rho"))

@@ -557,3 +557,40 @@ def test_join_cardinality_estimate_exact_on_uniform_keys(spark):
     assert r["est_rows"] == 1000
     assert r["actual_rows"] == 1000
     assert r["est_over_actual_scaled"] == 1_000_000
+
+
+def test_spearman_monotone_and_anti(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        spearman_correlation,
+    )
+
+    # any strictly monotone transform -> rho = 1 exactly
+    df = spark.range(1, 101).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * F.col("id")).cast("double").alias("y"),
+    )
+    (r,) = spearman_correlation(df, "x", "y").collect()
+    assert r["n"] == 100 and abs(r["rho"] - 1.0) < 1e-12
+    # strictly decreasing -> -1
+    df2 = spark.range(1, 101).select(
+        F.col("id").cast("double").alias("x"),
+        (-F.col("id")).cast("double").alias("y"),
+    )
+    (r2,) = spearman_correlation(df2, "x", "y").collect()
+    assert abs(r2["rho"] + 1.0) < 1e-12
+
+
+def test_spearman_handles_ties_exactly(spark):
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        spearman_correlation,
+    )
+
+    # x = (1,1,2,2), y = (1,2,1,2): rank vectors are (1.5,1.5,3.5,3.5)
+    # and (1.5,3.5,1.5,3.5) -> rho = 0 exactly
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0)], ["x", "y"]
+    )
+    (r,) = spearman_correlation(df, "x", "y").collect()
+    assert r["rho"] == 0.0
