@@ -3871,6 +3871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality_audit": _join_cardinality_audit,
         "user_event_overdispersion": _user_event_overdispersion,
         "price_quantity_spearman": _price_quantity_spearman,
+        "ab_did_estimate": _ab_did_estimate,
+        "customer_key_skew": _customer_key_skew,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9115,6 +9117,27 @@ def oracle_sql() -> dict[str, str]:
         "discount_price_isotonic": _isotonic_oracle(),
         "lang_id_kappa": _kappa_oracle(),
         "channel_shapley": _shapley_oracle(),
+        "ab_did_estimate": _did_oracle(),
+        "customer_key_skew": r"""
+            WITH per AS (
+              SELECT CAST(o_custkey AS VARCHAR) AS key,
+                     COUNT(*) AS n_rows
+              FROM orders GROUP BY 1
+            ), tot AS (
+              SELECT SUM(n_rows) AS total, COUNT(*) AS nk,
+                     MAX(n_rows) AS mx
+              FROM per
+            ), top AS (
+              SELECT key, n_rows FROM per
+              ORDER BY n_rows DESC, key ASC LIMIT 10
+            )
+            SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST((n_rows * 1000000) // total AS BIGINT)
+                       AS share_scaled,
+                   CAST((CAST(mx AS HUGEINT) * nk * 1000000) // total
+                        AS BIGINT) AS max_over_mean_scaled
+            FROM top, tot
+        """,
         "price_quantity_spearman": r"""
             WITH px AS (
               SELECT l_extendedprice AS v, COUNT(*) AS c
@@ -12527,3 +12550,75 @@ def _price_quantity_spearman(spark: SparkSession, sf: str) -> DataFrame:
     lineitem_correlations' Pearson matrix."""
     (li,) = _tables(spark, sf, "lineitem")
     return profile.spearman_correlation(li, "l_extendedprice", "l_quantity")
+
+
+def _ab_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences (r7 s4): event value pre/post
+    1998-01-01 across hash-assigned arms (experiment.did_estimate —
+    eight conditional decimal sums in ONE pass, fixed double
+    finalization; on a truly randomized split the DiD should hover
+    near zero, which is exactly the A/B validity reading)."""
+    return experiment.did_estimate(
+        _events(spark, sf), "user_id", "value", "ts", "1998-01-01", salt=17
+    )
+
+
+def _customer_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew report (r7 s4): the 10 heaviest o_custkey values with
+    shares and the max/mean concentration ratio
+    (skew.key_skew_report — the pre-shuffle diagnostic that decides
+    between plain, AQE-skew and salted joins; the salted paths
+    themselves are skewed_join_totals / skewed_agg_totals)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return skew.key_skew_report(orders, "o_custkey")
+
+
+def _did_oracle() -> str:
+    """Generate the ab_did_estimate oracle: salt-17 assignment, the
+    eight conditional decimal cell sums in one pass, and the identical
+    fixed-double 2x2 finalization."""
+    knuth = _knuth_sql(
+        "((user_id % 4294967296 + 4294967296) % 4294967296 + 17)"
+    )
+    cells = []
+    for arm in (0, 1):
+        for per in (0, 1):
+            tcond = (
+                "ts >= TIMESTAMP '1998-01-01'"
+                if per
+                else "ts < TIMESTAMP '1998-01-01'"
+            )
+            cells.append(
+                f"SUM(CASE WHEN variant = {arm} AND {tcond}"
+                f" THEN m END) AS s{arm}{per},"
+                f" SUM(CASE WHEN variant = {arm} AND {tcond}"
+                f" THEN 1 ELSE 0 END) AS n{arm}{per}"
+            )
+    cell_sql = ",\n                 ".join(cells)
+    mean = lambda a, p: (  # noqa: E731
+        f"(CAST(CAST(s{a}{p} AS VARCHAR) AS DOUBLE)"
+        f" / CAST(n{a}{p} AS DOUBLE))"
+    )
+    return f"""
+        WITH a AS (
+          SELECT CAST(floor({knuth} * 2.0) AS INTEGER) AS variant,
+                 CAST(value AS DECIMAL(18,4)) AS m, ts
+          FROM events
+        ), g AS (
+          SELECT {cell_sql}
+          FROM a
+        )
+        SELECT CAST(n00 AS BIGINT) AS n_control_pre,
+               CAST(n01 AS BIGINT) AS n_control_post,
+               CAST(n10 AS BIGINT) AS n_treat_pre,
+               CAST(n11 AS BIGINT) AS n_treat_post,
+               {mean(0, 0)} AS mean_control_pre,
+               {mean(0, 1)} AS mean_control_post,
+               {mean(1, 0)} AS mean_treat_pre,
+               {mean(1, 1)} AS mean_treat_post,
+               {mean(0, 1)} - {mean(0, 0)} AS delta_control,
+               {mean(1, 1)} - {mean(1, 0)} AS delta_treat,
+               ({mean(1, 1)} - {mean(1, 0)})
+               - ({mean(0, 1)} - {mean(0, 0)}) AS did
+        FROM g
+    """

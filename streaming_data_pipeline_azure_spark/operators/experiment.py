@@ -688,3 +688,61 @@ def ks_statistic_grouped(
             ).alias("ks_scaled"),
         )
     )
+
+
+def did_estimate(
+    df: DataFrame,
+    key_col: str,
+    metric_col: str,
+    time_col: str,
+    cutoff: str,
+    *,
+    salt: int = 0,
+) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: the 2×2 (pre/post × control/treat)
+    mean table and the DiD estimate (Δtreat − Δcontrol) — the causal
+    workhorse when a launch can't be user-randomized cleanly and
+    parallel pre-trends stand in for exchangeability. Arms come from
+    ``assign_variant`` (so this doubles as the A/B sanity check: a
+    randomized experiment's DiD should match its plain lift within
+    noise). Returns ONE row: the four cell means, both deltas, and
+    ``did``.
+
+    Determinism: one pass of EIGHT conditional decimal sums (cell
+    sums/counts); every mean and difference is a fixed double
+    expression over those exact sums — oracle hash-checked. Shape: one
+    aggregation, no joins."""
+    v = assign_variant(key_col, 2, salt=salt)
+    post = F.col(time_col) >= F.lit(cutoff).cast("timestamp")
+    dec = F.col(metric_col).cast("decimal(18,4)")
+    cells = {}
+    aggs = []
+    for arm in (0, 1):
+        for per in (0, 1):
+            cond = (v == arm) & (post if per else ~post)
+            aggs += [
+                F.sum(F.when(cond, dec)).alias(f"__s{arm}{per}"),
+                F.sum(cond.cast("long")).alias(f"__n{arm}{per}"),
+            ]
+    one = df.agg(*aggs)
+    m = {
+        (arm, per): F.col(f"__s{arm}{per}").cast("double")
+        / F.col(f"__n{arm}{per}").cast("double")
+        for arm in (0, 1)
+        for per in (0, 1)
+    }
+    d_c = m[(0, 1)] - m[(0, 0)]
+    d_t = m[(1, 1)] - m[(1, 0)]
+    return one.select(
+        F.col("__n00").alias("n_control_pre"),
+        F.col("__n01").alias("n_control_post"),
+        F.col("__n10").alias("n_treat_pre"),
+        F.col("__n11").alias("n_treat_post"),
+        m[(0, 0)].alias("mean_control_pre"),
+        m[(0, 1)].alias("mean_control_post"),
+        m[(1, 0)].alias("mean_treat_pre"),
+        m[(1, 1)].alias("mean_treat_post"),
+        d_c.alias("delta_control"),
+        d_t.alias("delta_treat"),
+        (d_t - d_c).alias("did"),
+    )

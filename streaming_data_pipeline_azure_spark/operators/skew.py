@@ -141,3 +141,49 @@ def bloom_prefilter_join(
         big, key, bits, m_bits=m_bits, k_hashes=k_hashes
     )
     return pre.join(small, key, how)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Join/agg KEY SKEW report: the ``top_k`` heaviest keys with
+    their row shares plus the overall max∕mean concentration ratio —
+    the numbers that decide whether a key needs salting
+    (salted_join/salted_groupby_agg) or AQE skew handling before the
+    shuffle melts one task. Returns top_k rows: (key rendered as
+    string, n_rows, share_scaled, max_over_mean_scaled — the last
+    repeated on every row for one-scan convenience).
+
+    Exact counts; shares and the concentration ratio are floor-scaled
+    integer DIVs (max∕mean = max·n_keys ∕ total). One count
+    aggregation at key grain + a TakeOrderedAndProject top-k + a
+    one-row broadcast of the totals."""
+    per = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = per.agg(
+        F.sum("n_rows").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__nk"),
+        F.max("n_rows").cast("long").alias("__mx"),
+    )
+    return (
+        per.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+        .join(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            F.expr(
+                f"CAST((n_rows * CAST({scale} AS BIGINT)) DIV __total"
+                " AS BIGINT)"
+            ).alias("share_scaled"),
+            F.expr(
+                f"CAST((CAST(__mx AS DECIMAL(38,0)) * __nk * {scale})"
+                " DIV __total AS BIGINT)"
+            ).alias("max_over_mean_scaled"),
+        )
+    )

@@ -416,3 +416,38 @@ def test_ks_grouped_isolates_shifted_stratum(spark):
     }
     assert out["s1"]["ks_scaled"] == 0
     assert out["s2"]["ks_scaled"] == 1_000_000
+
+
+def test_did_recovers_planted_treatment_effect(spark):
+    import datetime as dt
+
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        assign_variant,
+        did_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    # build a panel where treatment adds exactly +5.0 post-cutoff on
+    # top of a shared +2.0 time trend: DiD must read exactly 5.0
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("uid"),
+        (F.col("id") % 7).cast("double").alias("noise"),
+    )
+    pre = base.select(
+        "uid",
+        F.lit(dt.datetime(2024, 1, 1)).alias("ts"),
+        (F.col("noise") + 10.0).alias("v"),
+    )
+    arm = assign_variant("uid", 2, salt=5)
+    post = base.select(
+        "uid",
+        F.lit(dt.datetime(2024, 6, 1)).alias("ts"),
+        (
+            F.col("noise") + 10.0 + 2.0
+            + F.when(arm == 1, 5.0).otherwise(0.0)
+        ).alias("v"),
+    )
+    df = pre.unionAll(post)
+    (r,) = did_estimate(df, "uid", "v", "ts", "2024-03-01", salt=5).collect()
+    assert abs(r["did"] - 5.0) < 1e-9
+    assert abs(r["delta_control"] - 2.0) < 1e-9

@@ -1243,3 +1243,18 @@ def test_dow_adjusted_anomalies_ignores_weekly_rhythm(spark):
     assert out[0]["day"] == rows[3][0]
     assert out[0]["value"] == 5000.0
     assert out[0]["dow_median"] == 100.0
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from streaming_data_pipeline_azure_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    # key 0 holds half the rows over 101 keys -> max/mean ~ 50x
+    rows = [(0,)] * 500 + [(k,) for k in range(1, 101) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_report(df, "k", top_k=3).collect()
+    assert out[0]["key"] == "0" and out[0]["n_rows"] == 500
+    assert out[0]["share_scaled"] == 500_000
+    # max/mean = 500 * 101 / 1000 = 50.5
+    assert out[0]["max_over_mean_scaled"] == 50_500_000
