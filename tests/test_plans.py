@@ -354,6 +354,15 @@ def test_no_cartesian_products_across_query_surface(spark, sf_dir):
         "click_purchase_conversions", "stemmed_top_terms",
         "part_abc_classes", "revenue_naive_backtest",
         "order_sample_sweep", "spell_suggestions",
+        "rake_keywords", "event_value_percentile_bins",
+        "price_ks_test", "priority_mannwhitney", "code_switch_stats",
+        "dow_adjusted_anomalies", "ab_cuped_stats",
+        "temporal_split_check", "brand_smoothed_encoding",
+        "weekly_audience_overlap", "shard_rebalance_report",
+        "brand_price_ks", "discount_price_isotonic", "lang_id_kappa",
+        "channel_shapley", "user_event_overdispersion",
+        "price_quantity_spearman", "ab_did_estimate",
+        "customer_key_skew",
     ]
     queries = entry.queries()
     offenders = {}
