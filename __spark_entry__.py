@@ -3873,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantity_spearman": _price_quantity_spearman,
         "ab_did_estimate": _ab_did_estimate,
         "customer_key_skew": _customer_key_skew,
+        "brand_trimmed_price": _brand_trimmed_price,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9118,6 +9119,31 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_kappa": _kappa_oracle(),
         "channel_shapley": _shapley_oracle(),
         "ab_did_estimate": _did_oracle(),
+        "brand_trimmed_price": r"""
+            WITH ranked AS (
+              SELECT l_returnflag AS "group",
+                     CAST(l_extendedprice AS DECIMAL(18,4)) AS v,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY l_returnflag
+                         ORDER BY CAST(l_extendedprice AS DECIMAL(18,4))
+                             ASC) AS r,
+                     COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem
+            )
+            SELECT "group", CAST(MAX(n) AS BIGINT) AS n,
+                   CAST((MAX(n) * 5) // 100 AS BIGINT)
+                       AS n_trimmed_each_side,
+                   CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE)
+                       / CAST(MAX(n) AS DOUBLE) AS mean_raw,
+                   CAST(CAST(SUM(CASE WHEN r > (n * 5) // 100
+                                  AND r <= n - (n * 5) // 100
+                                  THEN v END) AS VARCHAR) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN r > (n * 5) // 100
+                              AND r <= n - (n * 5) // 100
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS mean_trimmed
+            FROM ranked GROUP BY "group"
+        """,
         "customer_key_skew": r"""
             WITH per AS (
               SELECT CAST(o_custkey AS VARCHAR) AS key,
@@ -12622,3 +12648,13 @@ def _did_oracle() -> str:
                - ({mean(0, 1)} - {mean(0, 0)}) AS did
         FROM g
     """
+
+
+def _brand_trimmed_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Trimmed mean (r7 s4): per-returnflag 5%-trimmed mean extended
+    price (profile.trimmed_mean — exact integer trim counts, decimal
+    sums; ties are rank-permutation-invariant for a mean, so the trim
+    set is engine-independent without a tiebreak column). The
+    discard-the-tails robust center beside winsorized_stats' clamp."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return profile.trimmed_mean(li, "l_returnflag", "l_extendedprice")

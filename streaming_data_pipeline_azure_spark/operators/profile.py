@@ -1304,3 +1304,63 @@ def spearman_correlation(
         F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     )
     return agg.select("n", rho.alias("rho"))
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    trim_pct: int = 5,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group TRIMMED MEAN: drop the lowest and highest
+    ``trim_pct`` percent of rows (k = ⌊n·pct∕100⌋ each side, exact
+    integer k) and average the decimal remainder — the robust center
+    that, unlike winsorization (winsorized_stats), discards rather
+    than clamps the tails. Returns (group, n, n_trimmed_each_side,
+    mean_raw, mean_trimmed).
+
+    Determinism: the trim set is defined by a TOTAL ORDER — rank by
+    (value, then every remaining column as tiebreak is unnecessary:
+    ranks only select HOW MANY extreme rows drop, and equal values are
+    interchangeable for a mean, so any rank permutation of ties yields
+    the same sum). All sums decimal; means fixed double divisions.
+    Shape: one rank window per group (row grain — the one sort this
+    statistic inherently needs) + one aggregation."""
+    from pyspark.sql import Window
+
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        dec.alias("__v"),
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(dec.asc())
+        ).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    k = F.expr(f"CAST((__n * {int(trim_pct)}) DIV 100 AS BIGINT)")
+    kept = (F.col("__r") > k) & (F.col("__r") <= F.col("__n") - k)
+    return (
+        ranked.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first(k).cast("long").alias("n_trimmed_each_side"),
+            F.sum("__v").alias("__s_all"),
+            F.sum(F.when(kept, F.col("__v"))).alias("__s_kept"),
+            F.sum(kept.cast("long")).alias("__n_kept"),
+        )
+        .select(
+            "group",
+            "n",
+            "n_trimmed_each_side",
+            (
+                F.col("__s_all").cast("double") / F.col("n").cast("double")
+            ).alias("mean_raw"),
+            (
+                F.col("__s_kept").cast("double")
+                / F.col("__n_kept").cast("double")
+            ).alias("mean_trimmed"),
+        )
+    )

@@ -594,3 +594,20 @@ def test_spearman_handles_ties_exactly(spark):
     )
     (r,) = spearman_correlation(df, "x", "y").collect()
     assert r["rho"] == 0.0
+
+
+def test_trimmed_mean_drops_exact_tails(spark):
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        trimmed_mean,
+    )
+
+    # 20 values: 18 ones + outliers 1000 and -1000; 5% trim -> k=1
+    # each side -> trimmed mean = exactly 1.0 while raw mean = 1.0 too
+    # (symmetric); make asymmetric: outliers 1000 and 2000
+    rows = [("g", 1.0)] * 18 + [("g", 1000.0), ("g", 2000.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    (r,) = trimmed_mean(df, "k", "v").collect()
+    assert r["n"] == 20 and r["n_trimmed_each_side"] == 1
+    # kept: 17 ones + 1000 -> (17 + 1000)/18
+    assert abs(r["mean_trimmed"] - (17 + 1000.0) / 18) < 1e-9
+    assert r["mean_raw"] == (18 + 3000.0) / 20
