@@ -1727,6 +1727,7 @@ def conversion_pairs(
     right_ts: str,
     *,
     max_gap_minutes: int = 60,
+    join_type: str = "inner",
 ) -> DataFrame:
     """Interval-join PAIRS: every right-side row landing within
     [left_ts, left_ts + max_gap_minutes) of a left-side row with the
@@ -1749,9 +1750,19 @@ def conversion_pairs(
     rp = right.select(
         F.col(key_col), *[F.col(c).alias("r_" + c) for c in right.columns if c != key_col]
     )
-    return lp.join(rp, key_col).filter(
-        (rt >= lt)
-        & (rt < lt + F.expr(f"INTERVAL {int(max_gap_minutes)} MINUTES"))
+    band = (rt >= lt) & (
+        rt < lt + F.expr(f"INTERVAL {int(max_gap_minutes)} MINUTES")
+    )
+    if join_type == "inner":
+        return lp.join(rp, key_col).filter(band)
+    # outer variants need the band INSIDE the join condition (a
+    # post-filter would turn matched-but-out-of-band rows into false
+    # positives instead of unmatched lefts)
+    cond = (lp[key_col] == rp[key_col]) & band
+    joined = lp.join(rp, cond, join_type)
+    return joined.select(
+        lp[key_col].alias(key_col),
+        *[c for c in joined.columns if c != key_col],
     )
 
 

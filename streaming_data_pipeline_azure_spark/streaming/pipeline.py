@@ -764,10 +764,19 @@ def build_conversion_join_query(
     max_gap_minutes: int = 60,
     watermark_minutes: int = 120,
     trigger_available_now: bool = True,
+    join_type: str = "inner",
 ) -> StreamingQuery:
     """STREAM-STREAM interval join: left events joined to right events
     of the same key arriving within ``max_gap_minutes`` — the
     click→purchase conversion pairing as one continuous query.
+
+    ``join_type="left_outer"`` adds the NO-CONVERSION signal: a left
+    row that finds no partner is emitted with NULL right columns once
+    the right watermark passes its window (state eviction is the
+    emission trigger — the row can only be declared unmatched when no
+    future right event could still pair with it). Tested: matched
+    pairs identical to the inner join, unmatched rows emitted exactly
+    once after a watermark-advancing batch.
 
     Both sides carry an event-time WATERMARK of ``watermark_minutes``;
     together with the time-band join condition this bounds the join
@@ -783,10 +792,13 @@ def build_conversion_join_query(
         conversion_pairs,
     )
 
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError("join_type must be inner or left_outer")
     lw = left_stream.withWatermark(left_ts, f"{int(watermark_minutes)} minutes")
     rw = right_stream.withWatermark(right_ts, f"{int(watermark_minutes)} minutes")
     pairs = conversion_pairs(
-        lw, rw, key_col, left_ts, right_ts, max_gap_minutes=max_gap_minutes
+        lw, rw, key_col, left_ts, right_ts,
+        max_gap_minutes=max_gap_minutes, join_type=join_type,
     )
     writer = (
         pairs.writeStream.outputMode("append")

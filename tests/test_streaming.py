@@ -1408,12 +1408,19 @@ def test_streaming_decayed_state_matches_batch_and_replays(spark, tmp_path):
 
 
 def _write_event_files(tmp_path, name, batches):
+    import os
+    import time
+
     src = tmp_path / name
     src.mkdir()
+    base = time.time() - len(batches) * 10
     for i, batch in enumerate(batches):
-        (src / f"b{i}.json").write_text(
-            "\n".join(json.dumps(e) for e in batch)
-        )
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(e) for e in batch))
+        # the file source orders by MODIFICATION TIME — equal mtimes
+        # make batch order nondeterministic, which turns early-batch
+        # events into droppable late data once watermarks advance
+        os.utime(p, (base + i * 10, base + i * 10))
     return str(src)
 
 
@@ -1556,3 +1563,74 @@ def test_streaming_histogram_percentiles_match_batch(spark, tmp_path):
         for r in read_histogram_percentiles(spark, state, ["g"]).collect()
     )
     assert again == served
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """left_outer stream-stream join: matched pairs equal the inner
+    join's; an unmatched click is emitted with NULL right columns
+    exactly once — after a watermark-advancing batch proves no future
+    purchase can still pair with it."""
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_conversion_join_query,
+        run_to_completion,
+    )
+
+    clicks = [
+        {"event_id": 1, "user_id": 7, "ts": "2024-01-01T10:00:00"},
+        {"event_id": 2, "user_id": 8, "ts": "2024-01-01T10:00:00"},
+    ]
+    # the GLOBAL watermark is the MIN across both inputs — the click
+    # side must advance too, or the stalled source pins eviction
+    # forever (the multipleWatermarkPolicy=min default)
+    clicks_b1 = [
+        {"event_id": 9, "user_id": 999, "ts": "2024-01-03T12:00:00"},
+    ]
+    purchases_b0 = [
+        {"user_id": 7, "ts": "2024-01-01T10:20:00", "value": 5.0},
+    ]
+    # far-future event pushes the right watermark past click 2's
+    # window + watermark delay, forcing the unmatched-left emission
+    purchases_b1 = [
+        {"user_id": 99, "ts": "2024-01-02T12:00:00", "value": 1.0},
+    ]
+    # a watermark set by batch N only EVICTS (and emits outer rows)
+    # in a LATER trigger — feed one more advancing batch so the
+    # eviction fires inside the availableNow run
+    purchases_b2 = [
+        {"user_id": 99, "ts": "2024-01-03T12:00:00", "value": 1.0},
+    ]
+    cs = _write_event_files(
+        tmp_path, "lo_clicks", [clicks, clicks_b1, clicks_b1]
+    )
+    ps = _write_event_files(
+        tmp_path, "lo_purch", [purchases_b0, purchases_b1, purchases_b2]
+    )
+    cstream = (
+        spark.readStream.schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .json(cs)
+    )
+    pstream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(ps)
+    )
+    out = str(tmp_path / "lo_out")
+    q = build_conversion_join_query(
+        cstream,
+        pstream,
+        out,
+        str(tmp_path / "lo_ckpt"),
+        max_gap_minutes=60,
+        watermark_minutes=30,
+        join_type="left_outer",
+    )
+    run_to_completion(q)
+    rows = sorted(
+        (r["l_event_id"], r["r_value"])
+        for r in spark.read.parquet(out).collect()
+        if r["l_event_id"] != 9  # the advancing click itself may stay pending
+    )
+    assert rows == [(1, 5.0), (2, None)]
