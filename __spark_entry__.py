@@ -3874,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_did_estimate": _ab_did_estimate,
         "customer_key_skew": _customer_key_skew,
         "brand_trimmed_price": _brand_trimmed_price,
+        "copurchase_degree_zipf": _copurchase_degree_zipf,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9119,6 +9120,45 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_kappa": _kappa_oracle(),
         "channel_shapley": _shapley_oracle(),
         "ab_did_estimate": _did_oracle(),
+        "copurchase_degree_zipf": r"""
+            WITH pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 2
+            ), canon AS (
+              SELECT LEAST(pa, pb) AS a, GREATEST(pa, pb) AS b FROM pairs
+            ), deg AS (
+              SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM canon
+                UNION ALL SELECT b FROM canon)
+              GROUP BY v
+            ), buckets AS (
+              SELECT CAST(length(printf('%b', d)) - 1 AS INTEGER)
+                         AS bucket,
+                     COUNT(*) AS n_vertices
+              FROM deg GROUP BY 1
+            ), wl AS (
+              SELECT bucket, n_vertices,
+                     CAST(length(printf('%b', n_vertices)) - 1 AS BIGINT)
+                         AS log2_n
+              FROM buckets
+            ), slopes AS (
+              SELECT CAST(floor(
+                         (b.log2_n - a.log2_n) * 1000000.0
+                         / (b.bucket - a.bucket)) AS BIGINT) AS s
+              FROM wl a JOIN wl b ON a.bucket < b.bucket
+            ), med AS (
+              SELECT (list(s ORDER BY s))[(COUNT(*) + 1) // 2]
+                         AS slope_scaled
+              FROM slopes
+            )
+            SELECT bucket, CAST(n_vertices AS BIGINT) AS n_vertices,
+                   log2_n, slope_scaled
+            FROM wl, med
+        """,
         "brand_trimmed_price": r"""
             WITH ranked AS (
               SELECT l_returnflag AS "group",
@@ -12658,3 +12698,22 @@ def _brand_trimmed_price(spark: SparkSession, sf: str) -> DataFrame:
     discard-the-tails robust center beside winsorized_stats' clamp."""
     (li,) = _tables(spark, sf, "lineitem")
     return profile.trimmed_mean(li, "l_returnflag", "l_extendedprice")
+
+
+def _copurchase_degree_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree-distribution Zipf audit (r7 s4): is the co-purchase
+    graph scale-free-ish (graph.degree_zipf_audit — binary-length
+    log2s on both axes, Theil-Sen median slope over the ≤64-row bucket
+    table, floored ratio scaling; zero libm calls so the oracle is
+    bit-exact). The hub-salting / frontier-pruning decision input."""
+    (li,) = _tables(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return graph.degree_zipf_audit(edges, "pa", "pb")

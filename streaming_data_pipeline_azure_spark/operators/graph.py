@@ -549,3 +549,73 @@ def label_propagation(
         f"label_propagation did not converge within max_iter={max_iter} "
         "rounds — raise max_iter or pre-partition the graph"
     )
+
+
+def degree_zipf_audit(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """Scale-free-ness audit of the degree distribution WITHOUT libm:
+    bucket vertex degrees by ⌊log2⌋ (exact binary-length exponent),
+    count vertices per bucket, take ⌊log2⌋ of those counts the same
+    way, and fit the (bucket, log2-count) line with the Theil–Sen
+    median-of-slopes — a power-law degree distribution reads as a
+    straight line in log-log space, so a steep negative robust slope
+    with many occupied buckets is the "hubs exist, most nodes are
+    leaves" signature that decides hub-salting and frontier-pruning
+    strategies. Returns one row per bucket plus the shared slope:
+    (bucket, n_vertices, log2_n, slope_scaled — the Theil–Sen slope
+    floor-scaled ×10⁶, repeated per row).
+
+    Exactness: both log2s are integer binary lengths; pairwise slopes
+    are rationals (Δlog2n ∕ Δbucket) whose MEDIAN is picked from a
+    sorted bounded array (≤ ~64 buckets → ≤ 2k pairs) and compared by
+    cross-multiplication — floor-scaling is the only division.
+    Shape: one degree aggregation, one ≤64-row bucket table, one
+    driver-free array fold."""
+    from pyspark.sql import Window
+
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    bucket = (F.length(F.bin(F.col("__d"))) - 1).cast("int")
+    buckets = deg.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    with_log = buckets.withColumn(
+        "log2_n", (F.length(F.bin(F.col("n_vertices"))) - 1).cast("long")
+    )
+    # Theil-Sen over the bounded bucket table: median pairwise slope,
+    # compared/selected in exact integer space, scaled once at the end
+    pairs = (
+        with_log.alias("a")
+        .join(
+            with_log.alias("b"),
+            F.col("a.bucket") < F.col("b.bucket"),
+        )
+        .select(
+            # explicit floor(), not a long cast: casts TRUNCATE toward
+            # zero in Spark but ROUND in DuckDB, and slopes go negative;
+            # floor of a small-int ratio is ulp-safe (denominator <= 64
+            # keeps non-integer quotients >= 2^-6 away from integers)
+            F.floor(
+                (F.col("b.log2_n") - F.col("a.log2_n"))
+                * F.lit(1_000_000.0)
+                / (F.col("b.bucket") - F.col("a.bucket"))
+            ).cast("long").alias("__s")
+        )
+    )
+    med = pairs.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("__s")),
+            ((F.size(F.array_sort(F.collect_list("__s"))) + 1) / 2).cast(
+                "int"
+            ),
+        ).alias("slope_scaled")
+    )
+    return with_log.join(F.broadcast(med)).orderBy("bucket")

@@ -308,3 +308,19 @@ def test_label_propagation_raises_on_exhausted_iterations(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         label_propagation(edges, "s", "d", max_iter=1)
+
+
+def test_degree_zipf_audit_star_vs_uniform(spark):
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        degree_zipf_audit,
+    )
+
+    # star graph: hub degree 64 (bucket 6, 1 vertex), leaves degree 1
+    # (bucket 0, 64 vertices) -> steep NEGATIVE slope: the hub
+    # signature
+    star = spark.createDataFrame([(0, i) for i in range(1, 65)], ["s", "d"])
+    rows = degree_zipf_audit(star, "s", "d").collect()
+    by_bucket = {r["bucket"]: r for r in rows}
+    assert by_bucket[0]["n_vertices"] == 64 and by_bucket[6]["n_vertices"] == 1
+    # slope = (0 - 6) * 1e6 / (6 - 0) = -1e6 exactly
+    assert rows[0]["slope_scaled"] == -1_000_000
