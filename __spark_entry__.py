@@ -3875,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_key_skew": _customer_key_skew,
         "brand_trimmed_price": _brand_trimmed_price,
         "copurchase_degree_zipf": _copurchase_degree_zipf,
+        "standardized_segment_lift": _standardized_segment_lift,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9120,6 +9121,50 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_kappa": _kappa_oracle(),
         "channel_shapley": _shapley_oracle(),
         "ab_did_estimate": _did_oracle(),
+        "standardized_segment_lift": r"""
+            WITH cells AS (
+              SELECT c_nationkey AS s,
+                     SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS sa,
+                     SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN 1 ELSE 0 END) AS na,
+                     SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                         THEN CAST(c_acctbal AS DECIMAL(18,4)) END) AS sb,
+                     SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                         THEN 1 ELSE 0 END) AS nb
+              FROM customer GROUP BY 1
+              HAVING SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN 1 ELSE 0 END) > 0
+                 AND SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                         THEN 1 ELSE 0 END) > 0
+            ), l AS (
+              SELECT SUM(na) AS n_a, SUM(nb) AS n_b,
+                     SUM(na + nb) AS nt,
+                     CAST(CAST(SUM(sa) AS VARCHAR) AS DOUBLE) AS sad,
+                     CAST(CAST(SUM(sb) AS VARCHAR) AS DOUBLE) AS sbd,
+                     list_reduce(
+                       list(CAST(na + nb AS DOUBLE)
+                            * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                            ORDER BY s),
+                       (acc, x) -> acc + x) AS suma,
+                     list_reduce(
+                       list(CAST(na + nb AS DOUBLE)
+                            * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                            ORDER BY s),
+                       (acc, x) -> acc + x) AS sumb
+              FROM cells
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   sad / CAST(n_a AS DOUBLE) AS mean_a_raw,
+                   sbd / CAST(n_b AS DOUBLE) AS mean_b_raw,
+                   suma / CAST(nt AS DOUBLE) AS mean_a_std,
+                   sumb / CAST(nt AS DOUBLE) AS mean_b_std,
+                   sad / CAST(n_a AS DOUBLE) - sbd / CAST(n_b AS DOUBLE)
+                       AS lift_raw,
+                   suma / CAST(nt AS DOUBLE) - sumb / CAST(nt AS DOUBLE)
+                       AS lift_std
+            FROM l
+        """,
         "copurchase_degree_zipf": r"""
             WITH pairs AS (
               SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -12717,3 +12762,16 @@ def _copurchase_degree_zipf(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n") >= 2)
     )
     return graph.degree_zipf_audit(edges, "pa", "pb")
+
+
+def _standardized_segment_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Direct standardization (r7 s4): BUILDING-vs-AUTOMOBILE account
+    balance comparison reweighted to the pooled NATION distribution
+    (experiment.standardized_comparison — per-stratum decimal sums,
+    stratum-ordered array folds, common-support restriction; the
+    Simpson's-paradox-proof lift beside the raw one)."""
+    (cust,) = _tables(spark, sf, "customer")
+    return experiment.standardized_comparison(
+        cust, "c_nationkey", "c_mktsegment", "c_acctbal",
+        "BUILDING", "AUTOMOBILE",
+    )

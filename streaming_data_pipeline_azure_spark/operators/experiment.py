@@ -746,3 +746,101 @@ def did_estimate(
         d_t.alias("delta_treat"),
         (d_t - d_c).alias("did"),
     )
+
+
+def standardized_comparison(
+    df: DataFrame,
+    strat_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    scale: int = 4,
+) -> DataFrame:
+    """DIRECT STANDARDIZATION (stratified comparison): compare two
+    groups' mean outcome after reweighting every stratum to the POOLED
+    stratum distribution — the observational-data counterpart of
+    randomization that removes confounding by the stratifier (Simpson's
+    -paradox insurance: raw means can order one way while every
+    stratum orders the other). Returns ONE row: (n_a, n_b, mean_a_raw,
+    mean_b_raw, mean_a_std, mean_b_std, lift_raw, lift_std).
+
+    Exactness: per-(stratum, group) decimal sums in one aggregation;
+    standardized means are Σ_s w_s·mean_{s,g} with w_s = pooled
+    stratum share, evaluated as ONE fixed double expression via a
+    stratum-ORDERED array fold (sorted by stratum key, the
+    deterministic-fold discipline) — oracle hash-checkable. Strata
+    missing a group contribute that group's pooled... they are
+    EXCLUDED from both sides (the standard common-support
+    restriction), so both standardized means weight the same strata."""
+    g = F.col(group_col)
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    cells = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(strat_col).alias("__s"))
+        .agg(
+            F.sum(F.when(g == group_a, dec)).alias("__sa"),
+            F.sum(F.when(g == group_a, F.lit(1)).otherwise(0)).cast(
+                "long"
+            ).alias("__na"),
+            F.sum(F.when(g == group_b, dec)).alias("__sb"),
+            F.sum(F.when(g == group_b, F.lit(1)).otherwise(0)).cast(
+                "long"
+            ).alias("__nb"),
+        )
+        .filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+    )
+    one = cells.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("__s", "__sa", "__na", "__sb", "__nb")
+            )
+        ).alias("__c")
+    )
+    arr = F.col("__c")
+    tot = F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["__na"] + x["__nb"],
+    ).cast("double")
+    def std_mean(sfld, nfld):
+        return F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, x: acc
+            + (
+                (x["__na"] + x["__nb"]).cast("double")
+                * (x[sfld].cast("double") / x[nfld].cast("double"))
+            ),
+        ) / tot
+    na = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x["__na"]
+    )
+    nb = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x["__nb"]
+    )
+    sa = F.aggregate(
+        arr,
+        F.lit(0).cast("decimal(28,4)"),
+        lambda acc, x: (acc + x["__sa"]).cast("decimal(28,4)"),
+    )
+    sb = F.aggregate(
+        arr,
+        F.lit(0).cast("decimal(28,4)"),
+        lambda acc, x: (acc + x["__sb"]).cast("decimal(28,4)"),
+    )
+    mean_a_raw = sa.cast("double") / na.cast("double")
+    mean_b_raw = sb.cast("double") / nb.cast("double")
+    ma = std_mean("__sa", "__na")
+    mb = std_mean("__sb", "__nb")
+    return one.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        mean_a_raw.alias("mean_a_raw"),
+        mean_b_raw.alias("mean_b_raw"),
+        ma.alias("mean_a_std"),
+        mb.alias("mean_b_std"),
+        (mean_a_raw - mean_b_raw).alias("lift_raw"),
+        (ma - mb).alias("lift_std"),
+    )

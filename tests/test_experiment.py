@@ -451,3 +451,22 @@ def test_did_recovers_planted_treatment_effect(spark):
     (r,) = did_estimate(df, "uid", "v", "ts", "2024-03-01", salt=5).collect()
     assert abs(r["did"] - 5.0) < 1e-9
     assert abs(r["delta_control"] - 2.0) < 1e-9
+
+
+def test_standardization_undoes_simpsons_paradox(spark):
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        standardized_comparison,
+    )
+
+    # classic Simpson construction: within EVERY stratum, group a
+    # beats b by +10; but a concentrates in the low stratum, so the
+    # RAW means order the other way. Standardization must restore the
+    # within-stratum truth (+10 exactly, same weights both sides).
+    rows = []
+    rows += [("s_low", "a", 10.0)] * 90 + [("s_low", "b", 0.0)] * 10
+    rows += [("s_high", "a", 110.0)] * 10 + [("s_high", "b", 100.0)] * 90
+    df = spark.createDataFrame(rows, ["s", "g", "v"])
+    (r,) = standardized_comparison(df, "s", "g", "v", "a", "b").collect()
+    assert r["lift_raw"] < 0  # raw means mislead
+    assert abs(r["lift_std"] - 10.0) < 1e-9  # standardized truth
+    assert r["n_a"] == 100 and r["n_b"] == 100
