@@ -362,7 +362,9 @@ def test_no_cartesian_products_across_query_surface(spark, sf_dir):
         "brand_price_ks", "discount_price_isotonic", "lang_id_kappa",
         "channel_shapley", "user_event_overdispersion",
         "price_quantity_spearman", "ab_did_estimate",
-        "customer_key_skew",
+        "customer_key_skew", "brand_trimmed_price",
+        "copurchase_degree_zipf", "standardized_segment_lift",
+        "join_cardinality_audit",
     ]
     queries = entry.queries()
     offenders = {}
