@@ -595,7 +595,10 @@ def degree_zipf_audit(
     pairs = (
         with_log.alias("a")
         .join(
-            with_log.alias("b"),
+            # BROADCAST the <=64-row bucket table: the inequality pair
+            # join plans as a bounded BroadcastNestedLoopJoin, never a
+            # CartesianProduct over an unbounded side
+            F.broadcast(with_log.alias("b")),
             F.col("a.bucket") < F.col("b.bucket"),
         )
         .select(
