@@ -3876,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_trimmed_price": _brand_trimmed_price,
         "copurchase_degree_zipf": _copurchase_degree_zipf,
         "standardized_segment_lift": _standardized_segment_lift,
+        "order_fulfillment_hazard": _order_fulfillment_hazard,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9121,6 +9122,49 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_kappa": _kappa_oracle(),
         "channel_shapley": _shapley_oracle(),
         "ab_did_estimate": _did_oracle(),
+        "order_fulfillment_hazard": r"""
+            WITH RECURSIVE iv AS (
+              SELECT date_diff('day',
+                       CAST(LEAST(MIN(l.l_shipdate),
+                                  ANY_VALUE(o.o_orderdate)) AS DATE),
+                       CAST(GREATEST(MAX(l.l_shipdate),
+                                     ANY_VALUE(o.o_orderdate)) AS DATE))
+                     AS dur
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              GROUP BY l.l_orderkey
+            ), obs AS (
+              SELECT LEAST(dur, 90) AS t,
+                     CASE WHEN dur <= 90 THEN 1 ELSE 0 END AS e
+              FROM iv
+            ), per_t AS (
+              SELECT t, COUNT(*) AS n, SUM(e) AS d FROM obs GROUP BY 1
+            ), risked AS (
+              SELECT t, d,
+                     SUM(n) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS r
+              FROM per_t
+            ), f AS (
+              SELECT t, d, r,
+                     CAST(d AS DOUBLE) / CAST(r AS DOUBLE) AS h,
+                     ROW_NUMBER() OVER (ORDER BY t) AS rn
+              FROM risked WHERE d > 0
+            ), na AS (
+              SELECT rn, t, d, r, h,
+                     CAST(0.0 AS DOUBLE) + h AS ch
+              FROM f WHERE rn = 1
+              UNION ALL
+              SELECT f.rn, f.t, f.d, f.r, f.h, na.ch + f.h
+              FROM na JOIN f ON f.rn = na.rn + 1
+            )
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(r AS BIGINT) AS n_at_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   h AS hazard_increment,
+                   ch AS cum_hazard
+            FROM na
+        """,
         "standardized_segment_lift": r"""
             WITH cells AS (
               SELECT c_nationkey AS s,
@@ -12775,3 +12819,31 @@ def _standardized_segment_lift(spark: SparkSession, sf: str) -> DataFrame:
         cust, "c_nationkey", "c_mktsegment", "c_acctbal",
         "BUILDING", "AUTOMOBILE",
     )
+
+
+def _order_fulfillment_hazard(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (r7 s4): order fulfillment
+    latency (days from order to last ship) with 90-day administrative
+    censoring (temporal.nelson_aalen — KM's additive sibling; exact
+    integer d/r, L2R increment fold mirrored by DuckDB list_reduce).
+    Same duration construction as order_fulfillment_survival, so the
+    two curves cross-check: exp(−H) ≈ S."""
+    orders, li = _tables(spark, sf, "orders", "lineitem")
+    # same interval construction as order_fulfillment_survival
+    # (synthetic shipdates are not ordered against o_orderdate, so the
+    # duration is the full min..max span of the order's dates)
+    dur = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("__first"),
+            F.max("l_shipdate").alias("__last"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.datediff(
+                F.greatest(F.col("__last"), F.col("o_orderdate")),
+                F.least(F.col("__first"), F.col("o_orderdate")),
+            ).alias("duration_days")
+        )
+    )
+    return temporal.nelson_aalen(dur, "duration_days", horizon=90)

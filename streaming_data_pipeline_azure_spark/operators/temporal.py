@@ -1967,3 +1967,71 @@ def adjacent_period_overlap(
             " DIV (n_prev + n_next - n_common) AS BIGINT)"
         ).alias("jaccard_scaled"),
     ).orderBy("period_start")
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    *,
+    horizon: int,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve — :func:`kaplan_meier`'s
+    additive sibling: at every event time, H(t) accumulates d_t ∕ r_t
+    (the instantaneous hazard) instead of multiplying survival
+    factors, which is the better-behaved estimator for small risk
+    sets and the input to proportional-hazards eyeballing
+    (parallel-ish H curves between cohorts ⇒ PH is plausible).
+    Administrative censoring at ``horizon``, same as KM.
+
+    Determinism contract: identical to KM's — exact integer d_t/r_t
+    from one time-keyed aggregation + one suffix-sum window, each
+    increment one double division, and the cumulative sum folds
+    LEFT-TO-RIGHT over the time-sorted increment array, the operation
+    sequence a recursive CTE (or DuckDB list_reduce) reproduces
+    bit-for-bit. Returns (t, n_at_risk, n_events, hazard_increment,
+    cum_hazard) at event times, time-ascending."""
+    if df.filter(F.col(duration_col) < 0).limit(1).count() > 0:
+        raise ValueError("nelson_aalen: negative durations present")
+    obs = df.select(
+        F.least(F.col(duration_col).cast("long"), F.lit(horizon)).alias(
+            "__t"
+        ),
+        (F.col(duration_col) <= horizon).cast("int").alias("__e"),
+    )
+    per_t = obs.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__e").cast("long").alias("__d"),
+    )
+    w_suffix = Window.orderBy(F.desc("__t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risked = per_t.select(
+        "__t",
+        "__d",
+        F.sum("__n").over(w_suffix).cast("long").alias("__r"),
+    ).filter(F.col("__d") > 0)
+    inc = F.col("__d").cast("double") / F.col("__r").cast("double")
+    series = risked.select("__t", "__d", "__r", inc.alias("__h"))
+    one_row = series.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__t", "__d", "__r", "__h"))
+        ).alias("__s")
+    )
+    exploded = one_row.select(F.posexplode("__s").alias("__i", "__row"))
+    cum = F.aggregate(
+        F.expr("slice(__all, 1, __i + 1)"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__h"],
+    )
+    return (
+        exploded.crossJoin(
+            F.broadcast(one_row.select(F.col("__s").alias("__all")))
+        )
+        .select(
+            F.col("__row.__t").alias("t"),
+            F.col("__row.__r").alias("n_at_risk"),
+            F.col("__row.__d").alias("n_events"),
+            F.col("__row.__h").alias("hazard_increment"),
+            cum.alias("cum_hazard"),
+        )
+    )

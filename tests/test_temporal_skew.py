@@ -1258,3 +1258,27 @@ def test_key_skew_report_flags_hot_key(spark):
     assert out[0]["share_scaled"] == 500_000
     # max/mean = 500 * 101 / 1000 = 50.5
     assert out[0]["max_over_mean_scaled"] == 50_500_000
+
+
+def test_nelson_aalen_known_curve_and_km_consistency(spark):
+    import math
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        kaplan_meier,
+        nelson_aalen,
+    )
+
+    # durations 1,2,2,3 (horizon 10): at t=1 r=4 d=1 -> H=0.25;
+    # t=2 r=3 d=2 -> H=0.25+2/3; t=3 r=1 d=1 -> H += 1
+    df = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["d"])
+    na = {r["t"]: r for r in nelson_aalen(df, "d", horizon=10).collect()}
+    assert na[1]["cum_hazard"] == 0.25
+    assert abs(na[2]["cum_hazard"] - (0.25 + 2.0 / 3.0)) < 1e-12
+    assert abs(na[3]["cum_hazard"] - (0.25 + 2.0 / 3.0 + 1.0)) < 1e-12
+    assert na[2]["n_at_risk"] == 3 and na[2]["n_events"] == 2
+    # exp(-H) tracks the KM survival from above (standard inequality
+    # S_KM <= exp(-H_NA) at every event time)
+    km = {r["t"]: r["survival"] for r in kaplan_meier(df, "d", horizon=10).collect()}
+    for t, r in na.items():
+        if km.get(t, 0) > 0:
+            assert km[t] <= math.exp(-r["cum_hazard"]) + 1e-12
