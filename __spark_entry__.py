@@ -3877,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_degree_zipf": _copurchase_degree_zipf,
         "standardized_segment_lift": _standardized_segment_lift,
         "order_fulfillment_hazard": _order_fulfillment_hazard,
+        "lang_id_mcnemar": _lang_id_mcnemar,
         # ---- last driver-green r4 (the 17 entries past the r6 window
         # boundary) — front of the r7 window per the rotation schedule --
         "rolling_daily_revenue": _rolling_daily_revenue,
@@ -9122,6 +9123,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_kappa": _kappa_oracle(),
         "channel_shapley": _shapley_oracle(),
         "ab_did_estimate": _did_oracle(),
+        "lang_id_mcnemar": _mcnemar_oracle(),
         "order_fulfillment_hazard": r"""
             WITH RECURSIVE iv AS (
               SELECT date_diff('day',
@@ -12847,3 +12849,69 @@ def _order_fulfillment_hazard(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return temporal.nelson_aalen(dur, "duration_days", horizon=90)
+
+
+def _lang_id_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar paired-classifier test (r7 s4): the full language_id
+    heuristic vs its CJK-ablated baseline on the gold lang column
+    (tx.mcnemar_paired_test — discordant-pair counts, floor-scaled
+    (b−c)²/(b+c); the ablation study's significance arm next to
+    lang_id_kappa's agreement arm)."""
+    docs = _docs(spark, sf)
+    preds = docs.select(
+        tx.language_id("text").alias("pred_full"),
+        tx.stopword_only_language_id("text").alias("pred_ablated"),
+        "lang",
+    )
+    return tx.mcnemar_paired_test(preds, "pred_full", "pred_ablated", "lang")
+
+
+def _mcnemar_oracle() -> str:
+    """Generate the lang_id_mcnemar oracle: both prediction CASEs
+    (full incl. CJK channel, ablated stopword-only) and the
+    discordant-pair statistic."""
+    langs = sorted(tx.STOPWORDS)
+    seg = [lg for lg in langs if lg != "zh"]
+    full_case = "CASE\n"
+    for lg in langs:
+        conds = " AND ".join(f"s_{lg} >= s_{o}" for o in langs if o != lg)
+        full_case += f"              WHEN {conds} THEN '{lg}'\n"
+    full_case += f"              ELSE '{langs[0]}' END"
+    abl_case = "CASE\n"
+    for lg in seg:
+        conds = " AND ".join(f"s_{lg} >= s_{o}" for o in seg if o != lg)
+        abl_case += f"              WHEN {conds} THEN '{lg}'\n"
+    abl_case += f"              ELSE '{seg[0]}' END"
+    return rf"""
+        WITH scored AS (
+            SELECT lang, {_d_hits('de')} AS s_de,
+                   {_d_hits('en')} AS s_en, {_d_hits('es')} AS s_es,
+                   {_d_hits('fr')} AS s_fr,
+                   length(regexp_replace(text,
+                       '[^\x{{4e00}}-\x{{9fff}}]', '', 'g')) AS s_zh
+            FROM documents
+        ), pred AS (
+            SELECT lang,
+                   {full_case} AS pa,
+                   {abl_case} AS pb
+            FROM scored
+        ), agg AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CASE WHEN pa = lang AND pb = lang
+                       THEN 1 ELSE 0 END) AS n_both_right,
+                   SUM(CASE WHEN pa = lang AND pb <> lang
+                       THEN 1 ELSE 0 END) AS n_only_a,
+                   SUM(CASE WHEN pa <> lang AND pb = lang
+                       THEN 1 ELSE 0 END) AS n_only_b
+            FROM pred
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n_both_right AS BIGINT) AS n_both_right,
+               CAST(n_only_a AS BIGINT) AS n_only_a,
+               CAST(n_only_b AS BIGINT) AS n_only_b,
+               CASE WHEN n_only_a + n_only_b > 0 THEN
+                 CAST(((n_only_a - n_only_b) * (n_only_a - n_only_b)
+                       * 1000000) // (n_only_a + n_only_b) AS BIGINT)
+               ELSE 0 END AS mcnemar_scaled
+        FROM agg
+    """

@@ -718,3 +718,74 @@ def classifier_kappa(
             " AS BIGINT)"
         ).alias("kappa_scaled"),
     )
+
+
+def stopword_only_language_id(text_col: Column | str) -> Column:
+    """The DEGRADED language-ID baseline: the same alphabetical-first
+    argmax as :func:`language_id` but over stopword hits only — no CJK
+    character channel, so zh text (unsegmented, zero stopword-token
+    hits) collapses into whichever space-segmented language wins the
+    all-zero tie (alphabetically 'de'). Exists as the PAIRED baseline
+    for McNemar comparisons: same documents, same decision procedure,
+    one ablated feature."""
+    langs = [lg for lg in sorted(STOPWORDS) if lg != "zh"]
+    scores = {lg: stopword_hits(text_col, lg) for lg in langs}
+    expr: Column | None = None
+    for lg in langs:
+        cond = None
+        for other in langs:
+            if other == lg:
+                continue
+            c = scores[lg] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, F.lit(lg))
+            if expr is None
+            else expr.when(cond, F.lit(lg))
+        )
+    return expr.otherwise(F.lit(langs[0]))
+
+
+def mcnemar_paired_test(
+    df: DataFrame,
+    pred_a_col: str,
+    pred_b_col: str,
+    true_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """McNEMAR's test for PAIRED classifiers: on the same examples,
+    count the discordant pairs — b = A right & B wrong, c = A wrong &
+    B right — and report the statistic (b−c)²∕(b+c); concordant pairs
+    carry no information about which classifier is better, which is
+    why the paired test beats comparing two accuracies (the shared
+    hard examples cancel). Returns ONE row: (n, n_both_right,
+    n_only_a, n_only_b, mcnemar_scaled).
+
+    Exactness: four conditional integer counts in one pass; the
+    statistic is a floor-scaled integer ratio ((b−c)² and (b+c) are
+    exact bigints). b + c = 0 reports 0 (no evidence either way)."""
+    a_ok = F.col(pred_a_col) == F.col(true_col)
+    b_ok = F.col(pred_b_col) == F.col(true_col)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a_ok & b_ok).cast("long")).cast("long").alias(
+            "n_both_right"
+        ),
+        F.sum((a_ok & ~b_ok).cast("long")).cast("long").alias("n_only_a"),
+        F.sum((~a_ok & b_ok).cast("long")).cast("long").alias("n_only_b"),
+    )
+    b, c = F.col("n_only_a"), F.col("n_only_b")
+    return agg.select(
+        "n",
+        "n_both_right",
+        "n_only_a",
+        "n_only_b",
+        F.when(b + c > 0,
+            F.expr(
+                f"CAST(((n_only_a - n_only_b) * (n_only_a - n_only_b)"
+                f" * CAST({scale} AS BIGINT))"
+                " DIV (n_only_a + n_only_b) AS BIGINT)"
+            ),
+        ).otherwise(F.lit(0)).alias("mcnemar_scaled"),
+    )

@@ -405,3 +405,25 @@ def test_classifier_kappa_known_values(spark):
     )
     (p,) = classifier_kappa(perfect, "pred", "gold").collect()
     assert p["kappa_scaled"] == 1_000_000
+
+
+def test_mcnemar_counts_and_ablation_direction(spark):
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        mcnemar_paired_test,
+    )
+
+    rows = (
+        [("x", "x", "x")] * 10   # both right
+        + [("x", "y", "x")] * 6  # only A right
+        + [("y", "x", "x")] * 2  # only B right
+        + [("y", "z", "x")] * 3  # both wrong
+    )
+    df = spark.createDataFrame(rows, ["pa", "pb", "gold"])
+    (r,) = mcnemar_paired_test(df, "pa", "pb", "gold").collect()
+    assert (r["n_both_right"], r["n_only_a"], r["n_only_b"]) == (10, 6, 2)
+    # (6-2)^2 / 8 = 2 -> 2_000_000
+    assert r["mcnemar_scaled"] == 2_000_000
+    # ties -> 0 by contract
+    tie = spark.createDataFrame([("x", "x", "x")] * 4, ["pa", "pb", "gold"])
+    (t,) = mcnemar_paired_test(tie, "pa", "pb", "gold").collect()
+    assert t["mcnemar_scaled"] == 0
