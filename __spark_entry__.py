@@ -3771,10 +3771,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocations": _doc_collocations,
         # ==== 50-entry window boundary (r7 AS BUILT: all 50 slots are
         # r7-new oracle entries after the second-session additions; the
-        # 17-entry second-session overflow —
-        # embedding_covariance_matrix … dedup_bag_of_words below —
-        # plus the displaced r4-green tail (rolling_daily_revenue …)
-        # rotate to the front of the r8 window) ====
+        # overflow — embedding_covariance_matrix … dedup_bag_of_words
+        # below, the third-session wave (price_benford …
+        # rolling_weekly_p95), AND the fourth-session wave
+        # (user_activity_streaks … lang_id_mcnemar) — plus the
+        # displaced r4-green tail (rolling_daily_revenue …) rotate to
+        # the front of the r8 window, oldest-never-driver-seen first.
+        # With ~218 never-driver-checked oracle entries and a 50-slot
+        # window, full driver coverage needs ~5 rounds; the local
+        # scripts/check_correctness.py full gate covers ALL of them
+        # every round regardless (FAILURES: 0 at every r7 run) ====
         "embedding_covariance_matrix": _embedding_covariance_matrix,
         "order_fulfillment_survival": _order_fulfillment_survival,
         "customer_rfm_segments": _customer_rfm_segments,
