@@ -3718,69 +3718,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # artifacts never materialize, those entries are still covered by
     # the full local scripts/check_correctness.py gate every round.
     return {
-        # ---- new in r7 (driver-verified the round they land) ----
-        "late_shipment_orders": _late_shipment_orders,
-        "disjunctive_revenue": _disjunctive_revenue,
-        "top_waiting_suppliers": _top_waiting_suppliers,
-        "idle_rich_customers": _idle_rich_customers,
-        "high_volume_suppliers": _high_volume_suppliers,
-        "returnflag_priority_counts": _returnflag_priority_counts,
-        "daily_active_users": _daily_active_users,
-        "semantic_dedup_stats": _semantic_dedup_stats,
-        "event_pattern_stats": _event_pattern_stats,
-        "snapshot_diff_stats": _snapshot_diff_stats,
-        "incremental_join_stats": _incremental_join_stats,
-        "lm_quality_scores": _lm_quality_scores,
-        "pii_audit_counts": _pii_audit_counts,
-        "local_supplier_revenue": _local_supplier_revenue,
-        "embedding_decontaminate": _embedding_decontaminate,
-        "order_customer_overlap_exact": _order_customer_overlap_exact,
-        "sink_time_travel": _sink_time_travel,
-        "bloom_join_revenue": _bloom_join_revenue,
-        "sampled_rank_values": _sampled_rank_values,
-        "pseudonymized_join_stats": _pseudonymized_join_stats,
-        "containment_pairs": _containment_pairs,
-        "lineitem_status_asof": _lineitem_status_asof,
-        "pack_documents_by_lang": _pack_documents_by_lang,
-        "price_drift_stats": _price_drift_stats,
-        "corpus_datasheet": _corpus_datasheet,
-        "lineitem_correlations": _lineitem_correlations,
-        "prf_expansion_terms": _prf_expansion_terms,
-        "bm25_expanded_search": _bm25_expanded_search,
-        "funnel_windowed": _funnel_windowed,
-        "ab_variant_stats": _ab_variant_stats,
-        "ab_welch_test": _ab_welch_test,
-        "copurchase_distances": _copurchase_distances,
-        "attribution_revenue": _attribution_revenue,
-        "bpe_top_pairs": _bpe_top_pairs,
-        "dedup_keep_best": _dedup_keep_best,
-        "orders_in_flight": _orders_in_flight,
-        "brand_affinity_triples": _brand_affinity_triples,
-        "weighted_price_percentiles": _weighted_price_percentiles,
-        "part_value_frontier": _part_value_frontier,
-        "retrieval_eval": _retrieval_eval,
-        "customer_golden_record": _customer_golden_record,
-        "event_value_anomalies": _event_value_anomalies,
-        "copurchase_link_predictions": _copurchase_link_predictions,
-        "part_supplier_fd_violations": _part_supplier_fd_violations,
-        "neyman_order_allocation": _neyman_order_allocation,
-        "neyman_order_sample_stats": _neyman_order_sample_stats,
-        "dedup_canonical_map": _dedup_canonical_map,
-        "price_quantile_bins": _price_quantile_bins,
-        "contrastive_negatives": _contrastive_negatives,
-        "doc_collocations": _doc_collocations,
-        # ==== 50-entry window boundary (r7 AS BUILT: all 50 slots are
-        # r7-new oracle entries after the second-session additions; the
-        # overflow — embedding_covariance_matrix … dedup_bag_of_words
-        # below, the third-session wave (price_benford …
-        # rolling_weekly_p95), AND the fourth-session wave
-        # (user_activity_streaks … lang_id_mcnemar) — plus the
-        # displaced r4-green tail (rolling_daily_revenue …) rotate to
-        # the front of the r8 window, oldest-never-driver-seen first.
-        # With ~218 never-driver-checked oracle entries and a 50-slot
-        # window, full driver coverage needs ~5 rounds; the local
-        # scripts/check_correctness.py full gate covers ALL of them
-        # every round regardless (FAILURES: 0 at every r7 run) ====
+        # ---- r8 WINDOW (VERDICT r7 #1): [r8-new oracle entries, inserted
+        # here as added] + the remaining r5-green block (source_mirror_overlap
+        # ... segments_above_avg, 45 entries) + oldest r6-green backfill to 50.
+        # Each r8-new insertion pushes one r6-green entry past the boundary
+        # (still next-in-line for r9). ----
+        # ---- last driver-green r5 (the VERDICT-named block) ----
+        "source_mirror_overlap": _source_mirror_overlap,
+        "funnel_conversion": _funnel_conversion,
+        "cohort_retention": _cohort_retention,
+        "data_quality_checks": _data_quality_checks,
+        "scd2_order_status": _scd2_order_status,
+        "cdc_apply_snapshot": _cdc_apply_snapshot,
+        "fuzzy_customer_pairs": _fuzzy_customer_pairs,
+        "bm25_search_indexed": _bm25_search_indexed,
+        "pq_codes": _pq_codes,
+        "event_transitions": _event_transitions,
+        "events_value_outliers": _events_value_outliers,
+        "copurchase_lift": _copurchase_lift,
+        "priority_sample_orders": _priority_sample_orders,
+        "priority_sample_estimate": _priority_sample_estimate,
+        "copurchase_graph_stats": _copurchase_graph_stats,
+        "top_session_paths": _top_session_paths,
+        "price_trend_regression": _price_trend_regression,
+        "decontaminate_bloom": _decontaminate_bloom,
+        # ---- last driver-green r5 (remainder of the named block) ----
+        "token_stats": _token_stats,
+        "quality_scores": _quality,
+        "lang_id_counts": _lang_id_counts,
+        "corpus_stats": _corpus_stats,
+        "value_percentiles": _value_percentiles,
+        "events_by_type": _events_by_type,
+        "filter_city": lambda spark, sf: relational.filter_by_city(
+            _enriched(spark, sf), FILTER_CITY
+        ),
+        "avg_purchase_scalar": lambda spark, sf: relational.avg_purchase(
+            _enriched(spark, sf), FILTER_CITY
+        ),
+        "avg_purchase_by_city": lambda spark, sf: relational.avg_purchase_by_city(
+            _enriched(spark, sf)
+        ),
+        "sum_purchase_by_city": lambda spark, sf: relational.sum_purchase_by_city(
+            _enriched(spark, sf)
+        ),
+        "top_customers": lambda spark, sf: relational.top_n(
+            _tables(spark, sf, "customer")[0], 10, order_col="c_custkey"
+        ),
+        "corpus_clean_stats": _corpus_clean_stats,
+        "train_test_split_stats": _train_test_split_stats,
+        "events_json_extract": _events_json_extract,
+        "top_orders_per_city": _top_orders_per_city,
+        "documents_profile": _documents_profile,
+        "lineitem_numeric_summary": _lineitem_numeric_summary,
+        "pricing_rollup": _pricing_rollup,
+        "pricing_cube": _pricing_cube,
+        "clickers_not_buyers": _clickers_not_buyers,
+        "clickers_and_buyers": _clickers_and_buyers,
+        "embedding_array_stats": _embedding_array_stats,
+        "events_props_map": _events_props_map,
+        "customer_name_features": _customer_name_features,
+        "customers_without_orders": _customers_without_orders,
+        "customers_with_orders": _customers_with_orders,
+        "segments_above_avg": _segments_above_avg,
+        # ---- oldest r6-green (window backfill) ----
+        "fuzzy_pairs_depth2_stats": _fuzzy_pairs_depth2_stats,
+        "brand_yearly_revenue": _brand_yearly_revenue,
+        "promo_revenue_share": _promo_revenue_share,
+        "top_suppliers": _top_suppliers,
+        "shipping_priority": _shipping_priority,
+        # ==== 50-entry window boundary (r8). Below: rotation priority for
+        # r9+, oldest-/never-driver-verified first. The full local
+        # scripts/check_correctness.py gate covers ALL oracle entries every
+        # round regardless of the window. ====
+        # ---- last driver-green r6 (remainder) ----
+        "forecast_revenue_change": _forecast_revenue_change,
+        "priority_sample_per_priority": _priority_sample_per_priority,
+        "bm25_search_all": _bm25_search_all,
+        "events_debounced": _events_debounced,
+        "phrase_search": _phrase_search,
+        # ---- last driver-green r5 (pre-named-block head) ----
+        "span_dedup": _span_dedup,
+        "span_decontaminate": _span_decontaminate,
+        "bm25_search": _bm25_search,
+        "hybrid_search": _hybrid_search,
+        "span_dedup_incremental": _span_dedup_incremental,
+        # ---- never driver-verified (r5 positions 51+; judge-run green
+        # in r5) — VERDICT r5 #1: front of the r6 window ----
+        "incremental_order_stats": _incremental_order_stats,
+        "events_hopping": _events_hopping,
+        "referential_checks": _referential_checks,
+        "user_value_twap": _user_value_twap,
+        "top_return_customers": _top_return_customers,
+        "training_export_stats": _training_export_stats,
+        "price_position_stats": _price_position_stats,
+        # ---- never driver-verified: r7 overflow waves (judge-run green in
+        # the r7 verdict's 218-entry check) ----
         "embedding_covariance_matrix": _embedding_covariance_matrix,
         "order_fulfillment_survival": _order_fulfillment_survival,
         "customer_rfm_segments": _customer_rfm_segments,
@@ -3903,89 +3935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_date_parts": _events_date_parts,
         "events_daily_pivot": _events_daily_pivot,
         "doc_fingerprint": _doc_fingerprints,
-        # ---- last driver-green r5 ----
-        "span_dedup": _span_dedup,
-        "span_decontaminate": _span_decontaminate,
-        "bm25_search": _bm25_search,
-        "hybrid_search": _hybrid_search,
-        "span_dedup_incremental": _span_dedup_incremental,
-        "source_mirror_overlap": _source_mirror_overlap,
-        "funnel_conversion": _funnel_conversion,
-        "cohort_retention": _cohort_retention,
-        "data_quality_checks": _data_quality_checks,
-        "scd2_order_status": _scd2_order_status,
-        "cdc_apply_snapshot": _cdc_apply_snapshot,
-        "fuzzy_customer_pairs": _fuzzy_customer_pairs,
-        "bm25_search_indexed": _bm25_search_indexed,
-        "pq_codes": _pq_codes,
-        "event_transitions": _event_transitions,
-        "events_value_outliers": _events_value_outliers,
-        "copurchase_lift": _copurchase_lift,
-        "priority_sample_orders": _priority_sample_orders,
-        "priority_sample_estimate": _priority_sample_estimate,
-        "copurchase_graph_stats": _copurchase_graph_stats,
-        "top_session_paths": _top_session_paths,
-        "price_trend_regression": _price_trend_regression,
-        "decontaminate_bloom": _decontaminate_bloom,
-        # ---- last driver-green r5 (remainder — front of the r8
-        # window together with the oldest r6 entries) ----
-        "token_stats": _token_stats,
-        "quality_scores": _quality,
-        "lang_id_counts": _lang_id_counts,
-        "corpus_stats": _corpus_stats,
-        "value_percentiles": _value_percentiles,
-        "events_by_type": _events_by_type,
-        "filter_city": lambda spark, sf: relational.filter_by_city(
-            _enriched(spark, sf), FILTER_CITY
-        ),
-        "avg_purchase_scalar": lambda spark, sf: relational.avg_purchase(
-            _enriched(spark, sf), FILTER_CITY
-        ),
-        "avg_purchase_by_city": lambda spark, sf: relational.avg_purchase_by_city(
-            _enriched(spark, sf)
-        ),
-        "sum_purchase_by_city": lambda spark, sf: relational.sum_purchase_by_city(
-            _enriched(spark, sf)
-        ),
-        "top_customers": lambda spark, sf: relational.top_n(
-            _tables(spark, sf, "customer")[0], 10, order_col="c_custkey"
-        ),
-        "corpus_clean_stats": _corpus_clean_stats,
-        "train_test_split_stats": _train_test_split_stats,
-        "events_json_extract": _events_json_extract,
-        "top_orders_per_city": _top_orders_per_city,
-        "documents_profile": _documents_profile,
-        "lineitem_numeric_summary": _lineitem_numeric_summary,
-        "pricing_rollup": _pricing_rollup,
-        "pricing_cube": _pricing_cube,
-        "clickers_not_buyers": _clickers_not_buyers,
-        "clickers_and_buyers": _clickers_and_buyers,
-        "embedding_array_stats": _embedding_array_stats,
-        "events_props_map": _events_props_map,
-        "customer_name_features": _customer_name_features,
-        "customers_without_orders": _customers_without_orders,
-        "customers_with_orders": _customers_with_orders,
-        "segments_above_avg": _segments_above_avg,
-        # ---- last driver-green r6 (the r6 window, in r6 order) ----
-        "fuzzy_pairs_depth2_stats": _fuzzy_pairs_depth2_stats,
-        "brand_yearly_revenue": _brand_yearly_revenue,
-        "promo_revenue_share": _promo_revenue_share,
-        "top_suppliers": _top_suppliers,
-        "shipping_priority": _shipping_priority,
-        "forecast_revenue_change": _forecast_revenue_change,
-        "priority_sample_per_priority": _priority_sample_per_priority,
-        "bm25_search_all": _bm25_search_all,
-        "events_debounced": _events_debounced,
-        "phrase_search": _phrase_search,
-        # ---- never driver-verified (r5 positions 51+; judge-run green
-        # in r5) — VERDICT r5 #1: front of the r6 window ----
-        "incremental_order_stats": _incremental_order_stats,
-        "events_hopping": _events_hopping,
-        "referential_checks": _referential_checks,
-        "user_value_twap": _user_value_twap,
-        "top_return_customers": _top_return_customers,
-        "training_export_stats": _training_export_stats,
-        "price_position_stats": _price_position_stats,
         # ---- last driver-green r4 (the r5 "riskiest" group, out of
         # window in r5) ----
         "alpha_mixture_stats": _alpha_mixture_stats,
@@ -4024,6 +3973,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": _large_orders,
         "nation_trade_flows": _nation_trade_flows,
         "kmeans_assign_stats": _kmeans_assign_stats,
+        # ---- driver-green r7 (CORRECTNESS_r07.json, 50/50) ----
+        # ---- new in r7 (driver-verified the round they land) ----
+        "late_shipment_orders": _late_shipment_orders,
+        "disjunctive_revenue": _disjunctive_revenue,
+        "top_waiting_suppliers": _top_waiting_suppliers,
+        "idle_rich_customers": _idle_rich_customers,
+        "high_volume_suppliers": _high_volume_suppliers,
+        "returnflag_priority_counts": _returnflag_priority_counts,
+        "daily_active_users": _daily_active_users,
+        "semantic_dedup_stats": _semantic_dedup_stats,
+        "event_pattern_stats": _event_pattern_stats,
+        "snapshot_diff_stats": _snapshot_diff_stats,
+        "incremental_join_stats": _incremental_join_stats,
+        "lm_quality_scores": _lm_quality_scores,
+        "pii_audit_counts": _pii_audit_counts,
+        "local_supplier_revenue": _local_supplier_revenue,
+        "embedding_decontaminate": _embedding_decontaminate,
+        "order_customer_overlap_exact": _order_customer_overlap_exact,
+        "sink_time_travel": _sink_time_travel,
+        "bloom_join_revenue": _bloom_join_revenue,
+        "sampled_rank_values": _sampled_rank_values,
+        "pseudonymized_join_stats": _pseudonymized_join_stats,
+        "containment_pairs": _containment_pairs,
+        "lineitem_status_asof": _lineitem_status_asof,
+        "pack_documents_by_lang": _pack_documents_by_lang,
+        "price_drift_stats": _price_drift_stats,
+        "corpus_datasheet": _corpus_datasheet,
+        "lineitem_correlations": _lineitem_correlations,
+        "prf_expansion_terms": _prf_expansion_terms,
+        "bm25_expanded_search": _bm25_expanded_search,
+        "funnel_windowed": _funnel_windowed,
+        "ab_variant_stats": _ab_variant_stats,
+        "ab_welch_test": _ab_welch_test,
+        "copurchase_distances": _copurchase_distances,
+        "attribution_revenue": _attribution_revenue,
+        "bpe_top_pairs": _bpe_top_pairs,
+        "dedup_keep_best": _dedup_keep_best,
+        "orders_in_flight": _orders_in_flight,
+        "brand_affinity_triples": _brand_affinity_triples,
+        "weighted_price_percentiles": _weighted_price_percentiles,
+        "part_value_frontier": _part_value_frontier,
+        "retrieval_eval": _retrieval_eval,
+        "customer_golden_record": _customer_golden_record,
+        "event_value_anomalies": _event_value_anomalies,
+        "copurchase_link_predictions": _copurchase_link_predictions,
+        "part_supplier_fd_violations": _part_supplier_fd_violations,
+        "neyman_order_allocation": _neyman_order_allocation,
+        "neyman_order_sample_stats": _neyman_order_sample_stats,
+        "dedup_canonical_map": _dedup_canonical_map,
+        "price_quantile_bins": _price_quantile_bins,
+        "contrastive_negatives": _contrastive_negatives,
+        "doc_collocations": _doc_collocations,
         # rows-only (no closed-form ANSI SQL equivalent): LSH-based ops,
         # hash-derived feature vectors, approximate index probes, and the
         # zlib kernel (no DuckDB deflate)

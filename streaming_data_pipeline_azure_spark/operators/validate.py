@@ -510,16 +510,27 @@ def mondrian_generalize(
     :func:`k_anonymity_violations` only audits (publish boxes, not
     values).
 
-    Distributed shape per round: one per-box stats aggregation (size +
-    min/max per dim — O(boxes) rows to the driver, the bounded-collect
-    contract), then ONE join of the row set against the O(boxes) split
-    spec (broadcast) assigning each row to a child box; the row frame
-    localCheckpoints per round (the k_core/connected_components
-    discipline). Split medians are the exact lower median of the split
-    dimension (rank-picked per box — deterministic); a candidate split
-    leaving either side < k marks the box final instead. Rounds are
-    bounded by the partition-tree depth ≤ log2(n/k); exhausting
-    ``max_iter`` RAISES rather than returning an over-general result.
+    Distributed shape per round (VERDICT r7 #2 rewrite): exactly TWO
+    jobs — (1) one combined stats pass computing, per box and per dim,
+    count/min/max PLUS the exact lower median and the <=-median row
+    count (per-dim rank windows chained over one box-hash exchange,
+    then one groupBy(box) aggregate; O(boxes x dims) rows to the
+    driver — the bounded-collect contract), and (2) one assignment
+    pass that broadcast-joins the O(boxes) split-spec DataFrame
+    (box_id, dim index, median, child ids) onto the rows — the
+    split-dim value is picked per row via ``element_at`` over the
+    quasi-column array and the child assignment is a single O(1) CASE
+    over the joined columns. No expression grows with box count (the
+    former per-box literal ``F.when`` chains were a Janino-codegen
+    bottleneck at boxes ~ n/(2k)); the row frame localCheckpoints per
+    round (the k_core/connected_components discipline). Split medians
+    are the exact lower median of the split dimension (rank-picked per
+    box — deterministic); a candidate split leaving either side < k
+    (ties can starve the right child) marks the box final instead,
+    validated driver-side from the <=-median counts BEFORE any row
+    moves. Rounds are bounded by the partition-tree depth <=
+    log2(n/k); exhausting ``max_iter`` RAISES rather than returning an
+    over-general result.
 
     Returns one row per FINAL box: (box_id, n_rows, then per dim
     ``<col>_min`` / ``<col>_max``) — every n_rows >= k by
@@ -541,11 +552,29 @@ def mondrian_generalize(
             f"mondrian_generalize: {n_total} rows cannot form a "
             f"k={k} box"
         )
+    spark = df.sparkSession
+    dim_idx = {c: i for i, c in enumerate(quasi_cols)}
     final: set[int] = set()
     next_id = 1
+    wn = Window.partitionBy("__box")
     for _ in range(max_iter):
+        # ONE combined stats job: count/min/max AND (lower median,
+        # <=-median count) for EVERY dim — per-dim rank windows share
+        # the single __box-hash exchange (matching partitioning), then
+        # one groupBy(__box) collapse. O(boxes x dims) driver rows.
+        ranked = rows
+        for c in quasi_cols:
+            w_c = Window.partitionBy("__box").orderBy(c)
+            ranked = ranked.withColumn(f"__r_{c}", F.row_number().over(w_c))
+        ranked = ranked.withColumn("__cnt", F.count(F.lit(1)).over(wn))
+        pick = ((F.col("__cnt") + 1) / 2).cast("int")
+        for c in quasi_cols:
+            ranked = ranked.withColumn(
+                f"__med_{c}",
+                F.max(F.when(F.col(f"__r_{c}") == pick, F.col(c))).over(wn),
+            )
         stats = (
-            rows.groupBy("__box")
+            ranked.groupBy("__box")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
                 *[
@@ -554,13 +583,17 @@ def mondrian_generalize(
                     for x in (
                         F.min(c).alias(f"__lo_{c}"),
                         F.max(c).alias(f"__hi_{c}"),
+                        F.max(f"__med_{c}").alias(f"__med_{c}"),
+                        F.sum(
+                            (F.col(c) <= F.col(f"__med_{c}")).cast("long")
+                        ).alias(f"__nle_{c}"),
                     )
                 ],
             )
-            .collect()  # O(boxes) rows — bounded by n/k
+            .collect()  # O(boxes x dims) rows — bounded by n/k
         )
         specs = []
-        for r in stats:
+        for r in sorted(stats, key=lambda r: r["__box"]):
             box = r["__box"]
             if box in final:
                 continue
@@ -574,81 +607,43 @@ def mondrian_generalize(
             if r[f"__hi_{dim}"] == r[f"__lo_{dim}"]:
                 final.add(box)  # zero-volume box: nothing to split
                 continue
-            specs.append((box, dim))
-        if not specs:
-            break
-        spec_map = {box: dim for box, dim in specs}
-        # exact lower median of the split dim per splitting box
-        dim_val = None
-        for box, dim in specs:
-            v = F.when(F.col("__box") == box, F.col(dim))
-            dim_val = v if dim_val is None else dim_val.when(
-                F.col("__box") == box, F.col(dim)
-            )
-        med_rows = (
-            rows.filter(F.col("__box").isin(*spec_map))
-            .select(
-                "__box",
-                dim_val.alias("__dv"),
-            )
-        )
-        w_med = Window.partitionBy("__box").orderBy("__dv")
-        wn_med = Window.partitionBy("__box")
-        med = (
-            med_rows.select(
-                "__box",
-                "__dv",
-                F.row_number().over(w_med).alias("__r"),
-                F.count(F.lit(1)).over(wn_med).alias("__cnt"),
-            )
-            .filter(F.col("__r") == ((F.col("__cnt") + 1) / 2).cast("int"))
-            .select("__box", F.col("__dv").alias("__med"))
-            .collect()
-        )
-        med_map = {r["__box"]: r["__med"] for r in med}
-        # validate child sizes via one conditional count
-        assigns = []
-        for box, dim in specs:
-            m = med_map[box]
+            n_left = r[f"__nle_{dim}"]
+            if n_left < k or r["__n"] - n_left < k:
+                # ties starve one child: box is final (validated
+                # driver-side BEFORE any row moves)
+                final.add(box)
+                continue
             left_id, right_id = next_id, next_id + 1
             next_id += 2
-            assigns.append((box, dim, m, left_id, right_id))
-        expr = F.col("__box")
-        for box, dim, m, lid, rid in assigns:
-            expr = F.when(
-                F.col("__box") == box,
-                F.when(F.col(dim) <= F.lit(m), F.lit(lid)).otherwise(
-                    F.lit(rid)
+            specs.append((box, dim, r[f"__med_{dim}"], left_id, right_id))
+        if not specs:
+            break
+        # O(boxes) spec table, broadcast-joined: each row picks its
+        # split-dim VALUE via element_at over the quasi array — the
+        # assignment expression is O(|dims|), constant in box count.
+        spec_df = spark.createDataFrame(
+            [(b, dim_idx[d], m, lid, rid) for b, d, m, lid, rid in specs],
+            "__box long, __di int, __med double, __lid long, __rid long",
+        )
+        rows = (
+            rows.join(F.broadcast(spec_df), "__box", "left")
+            .withColumn(
+                "__dv",
+                F.element_at(
+                    F.array(*[F.col(c) for c in quasi_cols]),
+                    F.col("__di") + F.lit(1),
                 ),
-            ).otherwise(expr)
-        candidate = rows.withColumn("__nb", expr.cast("long"))
-        sizes = {
-            r["__nb"]: r["n"]
-            for r in candidate.groupBy("__nb")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        keep_split = {
-            box: (dim, m, lid, rid)
-            for box, dim, m, lid, rid in assigns
-            if sizes.get(lid, 0) >= k and sizes.get(rid, 0) >= k
-        }
-        for box, dim, m, lid, rid in assigns:
-            if box not in keep_split:
-                final.add(box)
-        if not keep_split:
-            continue
-        expr2 = F.col("__box")
-        for box, (dim, m, lid, rid) in keep_split.items():
-            expr2 = F.when(
-                F.col("__box") == box,
-                F.when(F.col(dim) <= F.lit(m), F.lit(lid)).otherwise(
-                    F.lit(rid)
-                ),
-            ).otherwise(expr2)
-        rows = rows.withColumn(
-            "__box", expr2.cast("long")
-        ).localCheckpoint()
+            )
+            .withColumn(
+                "__box",
+                F.when(F.col("__di").isNull(), F.col("__box"))
+                .when(F.col("__dv") <= F.col("__med"), F.col("__lid"))
+                .otherwise(F.col("__rid"))
+                .cast("long"),
+            )
+            .select(*quasi_cols, "__box")
+            .localCheckpoint()
+        )
     else:
         raise RuntimeError(
             f"mondrian_generalize did not finish within "
