@@ -4035,6 +4035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-memory twin of the exact `top_terms` anchor
         "copurchase_kcore": _copurchase_kcore,
         "rolling_active_users_hll": _rolling_active_users_hll,
+        # bounded-grain HDR sketch (r8): exact twin
+        # `weighted_price_percentiles` is the oracle anchor
+        "weighted_price_percentiles_sketch": _weighted_price_percentiles_sketch,
         "customer_mondrian_boxes": _customer_mondrian_boxes,
         "heavy_hitters_tokens": lambda spark, sf: profile.heavy_hitters_cms(
             _docs(spark, sf).select(
@@ -9941,6 +9944,24 @@ def _weighted_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return profile.weighted_percentiles(
         li, "l_returnflag", "l_extendedprice", "l_quantity",
         [0.25, 0.5, 0.75, 0.95],
+    )
+
+
+def _weighted_price_percentiles_sketch(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Sketch twin of `weighted_price_percentiles` (r8, VERDICT r7 #3,
+    rows-only): the same quantity-weighted price quantiles served from
+    the bounded HDR grid (profile.weighted_percentiles_sketch, m=32 →
+    ≤3.125% relative error). l_extendedprice is near-continuous, so
+    the exact path's per-group cumulative window runs on ~row-count
+    distinct values; the sketch's grain saturates at ≤64·m buckets per
+    group at any scale. Anchored by the oracle-green exact twin +
+    divergence/monotonicity tests (tests/test_profile.py)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return profile.weighted_percentiles_sketch(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        [0.25, 0.5, 0.75, 0.95], m=32,
     )
 
 

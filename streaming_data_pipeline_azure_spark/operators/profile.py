@@ -636,6 +636,111 @@ def weighted_percentiles(
     )
 
 
+def weighted_percentiles_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    *,
+    m: int = 16,
+) -> DataFrame:
+    """Bounded-state SKETCH twin of :func:`weighted_percentiles`
+    (VERDICT r7 #3): quantize the value axis onto an HDR grid —
+    power-of-two octaves split into ``m`` equal sub-steps — then run
+    the identical cumulative-weight walk over the O(64·m)-bucket
+    series instead of the distinct-value series. The exact path's
+    per-group window runs on DISTINCT VALUE cardinality, which for a
+    near-continuous column (prices, latencies) ≈ row count and grows
+    linearly with data; the sketch's grain SATURATES at ≤ 64·m rows
+    per group at any scale, mirroring ``doc_length_deciles_approx``'s
+    exact/approx pairing.
+
+    Error contract: the walk picks the first bucket whose cumulative
+    weight reaches q×total — that bucket CONTAINS the exact weighted
+    percentile, and the reported value is its lower bound, so for
+    values ≥ 1 the estimate is ≤ the exact answer with relative error
+    ≤ 1/m (bucket width 2^e/m over a lower bound ≥ 2^e). Values in
+    [0, 1) share one underflow bucket (estimate 0, absolute error
+    < 1). Weights accumulate as DECIMAL(18,6) exactly as in the exact
+    path; null/negative weights are rejected for the same reason.
+    Negative values are rejected (the log grid is non-negative; shift
+    upstream). Rows-only verification: the exact entry is the oracle
+    anchor, divergence/monotonicity tests bound the sketch against it.
+
+    Returns (group, q, value) with value = bucket lower bound
+    (double)."""
+    from pyspark.sql import Window
+
+    if m < 1:
+        raise ValueError("weighted_percentiles_sketch: need m >= 1")
+    w_dec = F.col(weight_col).cast("decimal(18,6)")
+    v = F.col(value_col).cast("double")
+    bad = df.filter(
+        F.col(weight_col).isNull()
+        | (F.col(weight_col) < 0)
+        | (v < 0)
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            "weighted_percentiles_sketch: null/negative weights or "
+            "negative values present"
+        )
+    # HDR bucket id: e = bit-length exponent (no libm), s = sub-step
+    # in [0, m) -> id = e*m + s; one underflow bucket (-1) for v < 1
+    e = (F.length(F.bin(F.floor(v).cast("long"))) - 1).cast("int")
+    pow2e = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(length(bin(CAST(floor("
+        f"CAST({value_col} AS DOUBLE)) AS BIGINT))) - 1 AS INT))"
+    )
+    s = F.floor(v * m / pow2e).cast("long") - m
+    bucket = F.when(v < 1, F.lit(-1).cast("long")).otherwise(
+        e.cast("long") * m + s
+    )
+    per_bucket = (
+        df.filter(v.isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            bucket.alias("__b"),
+            w_dec.alias("__wd"),
+        )
+        .groupBy("__g", "__b")
+        .agg(F.sum("__wd").alias("__w"))
+    )
+    win = Window.partitionBy("__g").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("__g")
+    cum = per_bucket.select(
+        "__g",
+        "__b",
+        F.sum("__w").over(win).alias("__cw"),
+        F.sum("__w").over(tot).alias("__tot"),
+    )
+    # bucket lower bound: 2^e * (1 + s/m), e = b div m, s = b mod m
+    lo = F.when(F.col("__b") < 0, F.lit(0.0)).otherwise(
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__b DIV {m} AS INT))"
+            f" * (1.0D + CAST(__b % {m} AS DOUBLE) / {m}.0D)"
+        )
+    )
+    q_arr = F.array(*[F.lit(q).cast("decimal(7,6)") for q in qs])
+    return (
+        cum.select(
+            "__g", "__b", "__cw", "__tot",
+            F.explode(q_arr).alias("q"),
+        )
+        .filter(F.col("__cw") >= F.col("q") * F.col("__tot"))
+        .groupBy(F.col("__g").alias(group_col), "q")
+        .agg(F.min("__b").alias("__b"))
+        .select(
+            group_col,
+            F.col("q").cast("double").alias("q"),
+            lo.alias("value"),
+        )
+    )
+
+
 def quantile_binning_stats(
     df: DataFrame,
     value_col: str,

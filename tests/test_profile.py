@@ -335,6 +335,74 @@ def test_weighted_percentiles_rejects_negative_weight(spark):
         weighted_percentiles(df, "g", "v", "w", [0.5])
 
 
+def test_weighted_percentiles_sketch_divergence_bound(spark):
+    """The HDR sketch estimate is <= the exact answer with relative
+    error <= 1/m for values >= 1 (the picked bucket contains the exact
+    percentile; the reported value is its lower bound)."""
+    import random
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        weighted_percentiles,
+        weighted_percentiles_sketch,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        ("g%d" % (i % 3), rng.uniform(1.0, 5000.0), rng.uniform(0.1, 4.0))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    qs = [0.25, 0.5, 0.9]
+    m = 16
+    exact = {
+        (r["g"], r["q"]): r["value"]
+        for r in weighted_percentiles(df, "g", "v", "w", qs).collect()
+    }
+    sk = {
+        (r["g"], r["q"]): r["value"]
+        for r in weighted_percentiles_sketch(
+            df, "g", "v", "w", qs, m=m
+        ).collect()
+    }
+    assert set(sk) == set(exact)
+    for key, est in sk.items():
+        true = exact[key]
+        assert est <= true + 1e-9, (key, est, true)
+        assert (true - est) / true <= 1.0 / m + 1e-9, (key, est, true)
+
+
+def test_weighted_percentiles_sketch_monotone_and_guards(spark):
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        weighted_percentiles_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v), 1.0) for v in range(1, 201)],
+        "g string, v double, w double",
+    )
+    out = sorted(
+        weighted_percentiles_sketch(
+            df, "g", "v", "w", [0.1, 0.5, 0.9], m=8
+        ).collect(),
+        key=lambda r: r["q"],
+    )
+    vals = [r["value"] for r in out]
+    assert vals == sorted(vals)  # monotone in q
+    # underflow bucket: all values < 1 -> estimate 0
+    small = spark.createDataFrame(
+        [("a", 0.25, 1.0), ("a", 0.75, 1.0)], "g string, v double, w double"
+    )
+    est = weighted_percentiles_sketch(small, "g", "v", "w", [0.5]).collect()
+    assert est[0]["value"] == 0.0
+    neg = spark.createDataFrame(
+        [("a", -1.0, 1.0)], "g string, v double, w double"
+    )
+    with _pytest.raises(ValueError, match="negative"):
+        weighted_percentiles_sketch(neg, "g", "v", "w", [0.5])
+
+
 def test_quantile_binning_stats_exact(spark):
     """1..100 into quartiles: boundaries at the exact lower quantiles
     (25, 50, 75), buckets are 25-row blocks, means exact."""
