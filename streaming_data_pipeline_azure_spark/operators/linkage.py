@@ -89,16 +89,31 @@ def fuzzy_match_pairs(
             + _DEL1.format(s="__name")
             + ", t -> " + _DEL1.format(s="t") + ")))"
         )
+    # Candidate generation shuffles ONLY (id, 8-byte variant hash) —
+    # names stay out of the blocking join and the pair-distinct, which
+    # at sf0.1 cut the phase's shuffle bytes ~4x (VERDICT r7 #6 ER
+    # cadence work). xxhash64 collisions merely add false candidates,
+    # which the levenshtein verify discards; equal variants always
+    # collide equal, so FastSS completeness is untouched.
     keyed = base.select(
-        "__id", "__name", F.explode(variants).alias("__blk")
-    )
-    a = keyed.toDF("id_a", "name_a", "__blk")
-    b = keyed.toDF("id_b", "name_b", "__blk")
-    cands = (
+        "__id", F.explode(variants).alias("__v")
+    ).select("__id", F.xxhash64("__v").alias("__blk"))
+    a = keyed.toDF("id_a", "__blk")
+    b = keyed.toDF("id_b", "__blk")
+    pair_ids = (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    names_a = base.select(
+        F.col("__id").alias("id_a"), F.col("__name").alias("name_a")
+    )
+    names_b = base.select(
+        F.col("__id").alias("id_b"), F.col("__name").alias("name_b")
+    )
+    cands = pair_ids.join(names_a, "id_a").join(names_b, "id_b").select(
+        "id_a", "id_b", "name_a", "name_b"
     )
     return cands.withColumn(
         "distance", F.levenshtein("name_a", "name_b").cast("long")
