@@ -3724,6 +3724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Each r8-new insertion pushes one r6-green entry past the boundary
         # (still next-in-line for r9). ----
         "price_quantity_spearman_quantized": _price_quantity_spearman_quantized,
+        "bpe_encoding_stats": _bpe_encoding_stats,
+        "multimodal_phash_groups": _multimodal_phash_groups,
+        "multimodal_phash_pairs": _multimodal_phash_pairs,
         # ---- last driver-green r5 (the VERDICT-named block) ----
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
@@ -4062,8 +4065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _embedding_neardup,
         "doc_length_deciles_approx": _doc_length_deciles_approx,
         "multimodal_features": _multimodal_features,
-        "multimodal_phash_pairs": _multimodal_phash_pairs,
-        "multimodal_phash_groups": _multimodal_phash_groups,
         "multimodal_frames": _multimodal_frames,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_multiquery": _ann_ivf_multiquery,
@@ -4088,7 +4089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin — anchored by the oracle-green `bpe_top_pairs` round-0
         # statistic + hand-computed fixtures (tests/test_bpe.py)
         "bpe_merges": _bpe_merges,
-        "bpe_encoding_stats": _bpe_encoding_stats,
         "embedding_whitening_stats": _embedding_whitening_stats,
         "copurchase_communities": _copurchase_communities,
     }
@@ -9349,6 +9349,9 @@ def oracle_sql() -> dict[str, str]:
                       * sqrt(nd * syy - sy * sy)) AS rho
             FROM f
         """,
+        "bpe_encoding_stats": _bpe_encoding_oracle(),
+        "multimodal_phash_groups": _phash_groups_oracle(),
+        "multimodal_phash_pairs": _phash_pairs_oracle(),
         "price_quantity_spearman_quantized": r"""
             WITH q AS (
               SELECT CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS pb,
@@ -10159,16 +10162,220 @@ def _retrieval_eval_oracle() -> str:
     """
 
 
+def _bpe_encoding_oracle() -> str:
+    """Generate the bpe_encoding_stats ORACLE (r8, VERDICT r7 #8 —
+    rows-only → oracle conversion): DuckDB replays the ENTIRE trainer
+    deterministically — 8 chained CTE rounds, each counting adjacent
+    symbol pairs over the delimited-string word histogram, picking the
+    (total DESC, left ASC, right ASC) argmax, and applying it with the
+    SAME left-to-right greedy fold via ``list_reduce`` over a
+    chr(31)-delimited string accumulator (merge = ``acc || right`` —
+    the last symbol becomes left||right; append = ``acc || sep || x``;
+    the sep never occurs in whitespace-split words, so the
+    ``ends_with(acc, sep || left)`` boundary test is exact). A plain
+    ``replace()`` replay would diverge on adjacent merge chains
+    ('aaaa' → [aa,a,a] instead of the fold's [aa,aa]) — hence the
+    fold. Each round's best-pair count guards ``>= 2`` replicating
+    min_pair_count early-stop. The final round state IS the encoded
+    vocabulary (Spark parity-tests train-apply == encode), so token
+    counts come straight from round 8."""
+    sep = "chr(31)"
+    rounds = []
+    for k in range(1, 9):
+        prev = f"s{k-1}"
+        rounds.append(f"""
+            , p{k} AS (
+              SELECT l[i] AS lft, l[i+1] AS rgt, SUM(n) AS total
+              FROM (SELECT n, string_split(s, {sep}) AS l FROM {prev}),
+                   LATERAL (SELECT unnest(range(1, len(l))) AS i)
+              GROUP BY 1, 2
+            ), b{k} AS (
+              SELECT lft, rgt, total FROM p{k}
+              ORDER BY total DESC, lft ASC, rgt ASC LIMIT 1
+            ), s{k} AS (
+              SELECT w, n,
+                CASE WHEN b.total >= 2 THEN
+                  list_reduce(string_split(s, {sep}), (acc, x) ->
+                    CASE WHEN (acc = b.lft
+                               OR ends_with(acc, {sep} || b.lft))
+                              AND x = b.rgt
+                         THEN acc || b.rgt
+                         ELSE acc || {sep} || x END)
+                ELSE s END AS s
+              FROM {prev}, b{k} b
+            )""")
+    return (
+        r"""
+        WITH words AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                        '\s+')) AS w
+          FROM documents
+        ), whist AS (
+          SELECT w, COUNT(*) AS n FROM words
+          WHERE len(w) >= 2 GROUP BY w
+        ), s0 AS (
+          SELECT w, n,
+                 array_to_string(
+                   list_filter(string_split(w, ''), x -> x != ''),
+                   """ + sep + r""") AS s
+          FROM whist
+        )"""
+        + "".join(rounds)
+        + r"""
+        , vocab AS (
+          SELECT w, len(string_split(s, """ + sep + r""")) AS nt
+          FROM s8
+        ), dw AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)),
+                          '\s+')) AS w
+            FROM documents
+          ) WHERE len(w) >= 1
+        ), per_doc AS (
+          SELECT doc_id, COUNT(*) AS nw, SUM(len(w)) AS nc,
+                 SUM(COALESCE(v.nt, 1)) AS ntk
+          FROM dw LEFT JOIN vocab v USING (w)
+          GROUP BY doc_id
+        )
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS n_words,
+               CAST(SUM(nc) AS BIGINT) AS n_chars,
+               CAST(SUM(ntk) AS BIGINT) AS n_tokens,
+               CAST(SUM(nc) AS DOUBLE) / CAST(SUM(ntk) AS DOUBLE)
+                   AS chars_per_token
+        FROM per_doc p JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+        """
+    )
+
+
+def _phash_groups_oracle() -> str:
+    """Generate the multimodal_phash_groups ORACLE (r8, VERDICT r7 #8 —
+    rows-only → oracle conversion): DuckDB replays the ENTIRE media
+    near-dup pipeline — payload bytes (hex-extracted from the utf-8
+    encode, the synthesize_media contract), the stub tiling into the
+    32×32 luma grid (byte[i mod len]), the FIXED-POINT integer DCT
+    (the same round(c·2^20) constants the Spark kernel uses, minted
+    once driver-side — embedded below as a 256-row VALUES table, so no
+    per-engine libm), the 63-coefficient lower-middle median
+    threshold, the 63-bit pack, brute-force hamming≤3 pairs (the
+    oracle may be brute where the engine bands — recall-1.0 twin
+    semantics), and the recursive-CTE transitive closure with
+    min-label components."""
+    from streaming_data_pipeline_azure_spark.operators.multimodal import (
+        PHASH_GRID,
+        _dct_matrix_int,
+    )
+
+    return _phash_common_sql() + """
+        , edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), nodes AS (
+          SELECT DISTINCT src AS v FROM edges
+        ), reach AS (
+          SELECT v, v AS r FROM nodes
+          UNION
+          SELECT reach.v, e.dst AS r
+          FROM reach JOIN edges e ON e.src = reach.r
+        )
+        SELECT v AS id, MIN(r) AS component FROM reach GROUP BY v
+    """
+
+
+def _phash_pairs_oracle() -> str:
+    """multimodal_phash_pairs ORACLE (r8): the shared pipeline replay
+    up to brute-force hamming≤3 pairs — the banded Spark path must
+    equal the brute path exactly (recall-1.0, the banding-completeness
+    pigeonhole made checkable)."""
+    return _phash_common_sql() + """
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM pairs
+    """
+
+
+def _phash_common_sql() -> str:
+    """Shared CTE chain for the phash oracles: payload bytes → stub
+     32×32 luma tiling → fixed-point integer DCT (the Spark kernel's
+    own round(c·2^20) constants embedded as a VALUES table) → 63-bit
+    hash → brute-force hamming pairs."""
+    from streaming_data_pipeline_azure_spark.operators.multimodal import (
+        PHASH_GRID,
+        _dct_matrix_int,
+    )
+
+    c = _dct_matrix_int(PHASH_GRID)
+    cm_rows = ",".join(
+        f"({u},{i},{int(c[u, i])})"
+        for u in range(8)
+        for i in range(PHASH_GRID)
+    )
+    return f"""
+        WITH RECURSIVE m0 AS (
+          SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nb
+          FROM documents
+        ), media AS (
+          SELECT media_id, hx, nb FROM m0
+          UNION ALL
+          SELECT media_id + 3000000, hx, nb FROM m0
+          WHERE media_id % 20 = 0
+        ), px AS (
+          SELECT media_id, i,
+                 CASE WHEN nb = 0 THEN 0
+                      ELSE ('0x' || substr(hx, 2 * (i % nb) + 1, 2))::INT
+                 END AS p
+          FROM media, LATERAL (SELECT unnest(range(0, {PHASH_GRID * PHASH_GRID})) AS i)
+        ), cm(u, i, c) AS (
+          SELECT * FROM (VALUES {cm_rows})
+        ), t AS (
+          SELECT px.media_id, cm.u, (px.i % {PHASH_GRID}) AS j,
+                 SUM(CAST(cm.c AS BIGINT) * px.p) AS tv
+          FROM px JOIN cm ON cm.i = (px.i // {PHASH_GRID})
+          GROUP BY 1, 2, 3
+        ), d AS (
+          SELECT t.media_id, t.u, c2.u AS v,
+                 CAST(SUM(CAST(t.tv AS HUGEINT) * c2.c) AS BIGINT) AS dv
+          FROM t JOIN cm c2 ON c2.i = t.j
+          GROUP BY 1, 2, 3
+        ), blk AS (
+          SELECT media_id, u * 8 + v AS m, dv FROM d
+          WHERE NOT (u = 0 AND v = 0)
+        ), med AS (
+          SELECT media_id, dv AS med FROM (
+            SELECT media_id, dv,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY media_id ORDER BY dv) AS rn
+            FROM blk
+          ) WHERE rn = 32
+        ), hashes AS (
+          SELECT b.media_id,
+                 CAST(SUM(CASE WHEN b.dv > med.med
+                          THEN (CAST(1 AS BIGINT) << CAST(63 - b.m AS INT))
+                          ELSE 0 END) AS BIGINT) AS h
+          FROM blk b JOIN med USING (media_id)
+          GROUP BY 1
+        ), pairs AS (
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+                 bit_count(xor(a.h, b.h)) AS hamming
+          FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.h, b.h)) <= 3
+        )
+    """
+
+
 def _bpe_encoding_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """BPE encoding report (r7, rows-only): train 8 merges on the
-    corpus, ENCODE the corpus with them (bpe.bpe_token_stats — the
-    distinct-word vocabulary carries the codegen merge folds; the
-    corpus only joins on the word key), and report per-lang token
-    economics. Rows-only: the iterated greedy merges have no SQL twin —
-    anchored by the encode fixtures, the corpus round-trip
-    (concat(tokens) == word for every vocab word), the zero-merge ==
-    per-char identity, and merge-count monotonicity
-    (tests/test_bpe.py)."""
+    """BPE encoding report (r7; ORACLE-converted r8 per VERDICT r7
+    #8): train 8 merges on the corpus, ENCODE the corpus with them
+    (bpe.bpe_token_stats — the distinct-word vocabulary carries the
+    codegen merge folds; the corpus only joins on the word key), and
+    report per-lang token economics. The oracle replays the FULL
+    greedy trainer in DuckDB (8 chained argmax+fold CTE rounds over
+    the word histogram — see _bpe_encoding_oracle) and the encode
+    fixtures / round-trip / monotonicity tests in tests/test_bpe.py
+    remain as anchors."""
     docs = _docs(spark, sf)
     merges = bpe.merges_from_df(bpe.bpe_train(docs, n_merges=8))
     stats = bpe.bpe_token_stats(docs, merges)

@@ -245,32 +245,62 @@ def _dct_matrix(n: int) -> "np.ndarray":
     return c
 
 
+DCT_SHIFT = 20
+
+
+def _dct_matrix_int(n: int, *, shift: int = DCT_SHIFT) -> "np.ndarray":
+    """The orthonormal DCT-II matrix quantized to round(c · 2^shift)
+    int64 — the FIXED-POINT form (VERDICT r7 #8): once the matrix is
+    integer literals, the whole transform is exact int64 arithmetic,
+    bit-identical in any engine, so the hash is SQL-replayable (the
+    libm ``cos`` runs ONCE here, driver-side, to mint the constants —
+    never per-engine)."""
+    import numpy as np
+
+    return np.rint(_dct_matrix(n) * (1 << shift)).astype(np.int64)
+
+
 def phash_from_pixels(
     df: DataFrame, id_col: str = "media_id", pixels_col: str = "pixels"
 ) -> DataFrame:
     """64-bit perceptual hash per row from a ``PHASH_GRID²``-length luma
     array (pre-downsampled grayscale): 2D DCT, keep the 8×8
     low-frequency block, drop the DC term, threshold at the block
-    median. Arrow-batched numpy (two 32×32 matmuls per item); returns
-    (media_id, phash) with the hash in a signed BIGINT."""
+    median (exact lower-middle element — 63 values, odd count).
+    Arrow-batched numpy (two 32×32 integer matmuls per item); returns
+    (media_id, phash) with the hash in a signed BIGINT.
+
+    FIXED-POINT contract (r8, VERDICT r7 #8): pixels are rounded to
+    integer luma (real pHash operates on uint8 images anyway) and the
+    DCT runs with the round(c·2^20) integer matrix — every
+    intermediate is exact int64 (|pixel| < 2^16 guaranteed overflow-
+    free: |T| ≤ 32·2^18·2^16 = 2^39, |D| ≤ 32·2^39·2^18 = 2^62 <
+    2^63; uint8 luma grids sit far inside the bound), so
+    the hash is engine-exact and the multimodal_phash_groups oracle
+    replays the ENTIRE pipeline (bytes → grid → DCT → threshold →
+    pairs → components) in DuckDB."""
     import numpy as np
 
     n = PHASH_GRID
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = _dct_matrix(n)
+        c = _dct_matrix_int(n)
         for pdf in batches:
             out_ids, out_hashes = [], []
             for mid, px in zip(pdf[id_col], pdf[pixels_col]):
-                p = np.asarray(px, dtype=np.float64).reshape(n, n)
+                p = (
+                    np.rint(np.asarray(px, dtype=np.float64))
+                    .astype(np.int64)
+                    .reshape(n, n)
+                )
                 d = c @ p @ c.T
                 block = d[:8, :8].flatten()[1:]  # drop DC
-                bits = block > np.median(block)
-                h = np.uint64(0)
-                for b in bits:
-                    h = (h << np.uint64(1)) | np.uint64(bool(b))
+                med = int(np.sort(block)[31])  # exact lower middle of 63
+                h = 0
+                for b in block > med:
+                    h = (h << 1) | int(bool(b))
                 out_ids.append(int(mid))
-                out_hashes.append(int(h.astype(np.int64)))
+                out_hashes.append(h)
             yield pd.DataFrame({"media_id": out_ids, "phash": out_hashes})
 
     return df.select(
