@@ -3727,6 +3727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encoding_stats": _bpe_encoding_stats,
         "multimodal_phash_groups": _multimodal_phash_groups,
         "multimodal_phash_pairs": _multimodal_phash_pairs,
+        "revenue_pettitt_changepoint": _revenue_pettitt_changepoint,
+        "priority_price_stump": _priority_price_stump,
+        "lang_lexical_diversity": _lang_lexical_diversity,
         # ---- last driver-green r5 (the VERDICT-named block) ----
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
@@ -9352,6 +9355,99 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "lang_lexical_diversity": r"""
+            WITH arr AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)),
+                                           '\s+') AS a
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, (i - 1) // 50 AS seg, a[i] AS w
+              FROM arr,
+                   LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i)
+            ), segd AS (
+              SELECT doc_id, seg, COUNT(*) AS n,
+                     COUNT(DISTINCT w) AS d
+              FROM tok GROUP BY 1, 2
+            ), per_doc AS (
+              SELECT doc_id, COUNT(*) AS ns, SUM(d) AS sd
+              FROM segd WHERE n = 50 GROUP BY 1
+            )
+            SELECT d.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ns) AS BIGINT) AS n_segments,
+                   CAST(SUM(sd) AS BIGINT) AS sum_distinct,
+                   CAST(SUM(sd) * 1000000 // (50 * SUM(ns))
+                        AS BIGINT) AS msttr_scaled
+            FROM per_doc p JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+        """,
+        "priority_price_stump": r"""
+            WITH pts AS (
+              SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS v,
+                     COUNT(*) AS c,
+                     SUM(CASE WHEN o_orderpriority IN
+                         ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS p
+              FROM orders GROUP BY 1
+            ), cum AS (
+              SELECT v,
+                     SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS nl,
+                     SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS pl,
+                     SUM(c) OVER () AS n,
+                     SUM(p) OVER () AS pt
+              FROM pts
+            ), scored AS (
+              SELECT v, nl, pl, n, pt,
+                     ((CAST(pl AS HUGEINT) * pl
+                       + CAST(nl - pl AS HUGEINT) * (nl - pl))
+                      * (n - nl)
+                      + (CAST(pt - pl AS HUGEINT) * (pt - pl)
+                         + CAST((n - nl) - (pt - pl) AS HUGEINT)
+                           * ((n - nl) - (pt - pl)))
+                        * nl) * 1000000000
+                     // (CAST(nl AS HUGEINT) * (n - nl)) AS s
+              FROM cum WHERE nl < n
+            )
+            SELECT v AS split_value,
+                   CAST(nl AS BIGINT) AS n_left,
+                   CAST(pl AS BIGINT) AS pos_left,
+                   CAST(n - nl AS BIGINT) AS n_right,
+                   CAST(pt - pl AS BIGINT) AS pos_right,
+                   CAST(s AS DECIMAL(38,0)) AS score_scaled
+            FROM scored ORDER BY s DESC, v ASC LIMIT 1
+        """,
+        "revenue_pettitt_changepoint": r"""
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS v
+              FROM orders GROUP BY 1
+            ), vals AS (
+              SELECT v, COUNT(*) AS c FROM daily GROUP BY v
+            ), r2 AS (
+              SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - c + 1 AS r2
+              FROM vals
+            ), ranked AS (
+              SELECT d,
+                     ROW_NUMBER() OVER (ORDER BY d) AS t,
+                     SUM(r2) OVER (ORDER BY d ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS s2,
+                     COUNT(*) OVER () AS n
+              FROM daily JOIN r2 USING (v)
+            ), u AS (
+              SELECT d, t, n, abs(s2 - t * (n + 1)) AS u
+              FROM ranked WHERE t < n
+            )
+            SELECT CAST(n AS BIGINT) AS n_points,
+                   CAST(t AS BIGINT) AS t_star,
+                   d AS change_at,
+                   CAST(u AS BIGINT) AS u_abs
+            FROM u ORDER BY u DESC, t ASC LIMIT 1
+        """,
         "price_quantity_spearman_quantized": r"""
             WITH q AS (
               SELECT CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS pb,
@@ -13018,6 +13114,69 @@ def _price_quantity_spearman_quantized(
         "l_quantity",
     )
     return profile.spearman_correlation(q, "price_bucket", "l_quantity")
+
+
+def _lang_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """MSTTR lexical diversity per language (r8): mean segmental
+    type-token ratio over full 50-token segments (tx.msttr — exact
+    integer distinct counts, floor-scaled DIV ratio; partial trailing
+    segments excluded, sub-window docs emit nothing). The
+    length-robust diversity reading next to the Gopher repetition
+    family: raw TTR only measures document length."""
+    docs = _docs(spark, sf)
+    per_doc = tx.msttr(docs)
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_segments").cast("long").alias("n_segments"),
+            F.sum("sum_distinct").cast("long").alias("sum_distinct"),
+            F.expr(
+                "CAST(CAST(SUM(sum_distinct) AS DECIMAL(38,0)) "
+                "* 1000000 AS DECIMAL(38,0)) "
+                "DIV (50 * CAST(SUM(n_segments) AS DECIMAL(38,0)))"
+            ).cast("long").alias("msttr_scaled"),
+        )
+    )
+
+
+def _priority_price_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """Best Gini decision-stump split (r8): does order VALUE separate
+    urgent orders? Label = o_orderpriority in (1-URGENT, 2-HIGH),
+    feature = o_totalprice quantized to 1000-unit buckets (the
+    quantized-grain discipline), split = features.gini_stump_split's
+    exact integral-arithmetic argmax — the univariate split-quality
+    diagnostic run before trusting any tree feature. On TPC-H's
+    uniform priorities the winning split's score barely beats the
+    base rate — exactly the reading the diagnostic exists to give."""
+    (orders,) = _tables(spark, sf, "orders")
+    feats = orders.select(
+        F.floor(F.col("o_totalprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("price_bucket"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("is_urgent"),
+    )
+    return features.gini_stump_split(feats, "price_bucket", "is_urgent")
+
+
+def _revenue_pettitt_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Pettitt changepoint (r8): the single most likely distribution-
+    shift day in the daily-revenue series (temporal.pettitt_changepoint
+    — a Mann-Whitney sweep over every prefix/suffix split, exact
+    integer doubled-rank arithmetic; earliest-position tie-break).
+    Complements the CUSUM family: CUSUM pages when a KNOWN target
+    drifts, Pettitt locates an UNKNOWN shift after the fact."""
+    (orders,) = _tables(spark, sf, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("v")
+    )
+    return temporal.pettitt_changepoint(daily, "d", "v")
 
 
 def _ab_did_estimate(spark: SparkSession, sf: str) -> DataFrame:

@@ -369,3 +369,86 @@ def isotonic_fit(
             "fitted_mean"
         ),
     )
+
+
+def gini_stump_split(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    *,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Best decision-stump split (CART-style) for a numeric feature
+    against a binary label: the threshold t minimizing the weighted
+    Gini impurity of {feature <= t} / {feature > t} — the univariate
+    split-quality diagnostic run before trusting any tree/GBM feature,
+    and the exact computation scikit-learn approximates per node.
+
+    Exactness (no floats until the published score): minimizing
+    weighted Gini is maximizing S(t) = (posL²+negL²)/nL +
+    (posR²+negR²)/nR; the rational S is ranked by the floor-scaled
+    integer ``score_scaled = (num·scale) DIV den`` with num =
+    (posL²+negL²)·nR + (posR²+negR²)·nL and den = nL·nR — DECIMAL(38,0)
+    products (≤ n³·scale, 22 digits at 15k rows), exact integral DIV
+    in both engines (the HUGEINT ``//`` mirror), threshold-asc
+    tie-break. Candidate thresholds are the distinct feature values
+    (callers pre-quantize near-continuous features — the
+    price_quantity_spearman_quantized grain discipline).
+
+    Shape: one (value)-grain aggregation (the only data-proportional
+    shuffle), one cumulative window over distinct values, one
+    TakeOrdered. Returns ONE row: (split_value, n_left, pos_left,
+    n_right, pos_right, score_scaled)."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("long")
+    pts = (
+        df.select(F.col(feature_col).alias("__v"), lab.alias("__y"))
+        .filter(F.col("__v").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__y").alias("__p"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = pts.select(
+        "__v",
+        F.sum("__c").over(w).alias("nl"),
+        F.sum("__p").over(w).alias("pl"),
+        F.sum("__c").over(wt).alias("n"),
+        F.sum("__p").over(wt).alias("p"),
+    ).filter(F.col("nl") < F.col("n"))
+    d = "decimal(38,0)"
+    nl, pl = F.col("nl").cast(d), F.col("pl").cast(d)
+    n, p = F.col("n").cast(d), F.col("p").cast(d)
+    nr = n - nl
+    pr = p - pl
+    negl = nl - pl
+    negr = nr - pr
+    num = (pl * pl + negl * negl) * nr + (pr * pr + negr * negr) * nl
+    den = nl * nr
+    scored = cum.select(
+        "__v", "nl", "pl", "n", "p",
+        num.alias("__num"),
+        den.alias("__den"),
+    ).selectExpr(
+        "__v", "nl", "pl", "n", "p",
+        f"CAST(__num * {scale} AS DECIMAL(38,0)) DIV __den"
+        " AS score_scaled",
+    )
+    return (
+        scored.orderBy(F.desc("score_scaled"), F.asc("__v"))
+        .limit(1)
+        .select(
+            F.col("__v").alias("split_value"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("pl").cast("long").alias("pos_left"),
+            (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
+            (F.col("p") - F.col("pl")).cast("long").alias("pos_right"),
+            F.col("score_scaled").cast("decimal(38,0)").alias("score_scaled"),
+        )
+    )

@@ -2035,3 +2035,78 @@ def nelson_aalen(
             cum.alias("cum_hazard"),
         )
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pettitt's nonparametric single-changepoint test (Pettitt 1979)
+    over an ordered series: the split position t maximizing |U_t|,
+    U_t = 2·Σ_{i≤t} r_i − t·(n+1) with tie-AVERAGED ranks — the
+    rank-sum form of Σ_{i≤t}Σ_{j>t} sign(x_j − x_i), i.e. a
+    Mann-Whitney sweep over every prefix/suffix split at once. The
+    CUSUM family (:func:`cusum_changepoints`) watches a known target;
+    Pettitt finds WHERE the distribution shifted with no parameters.
+
+    Exactness: tie-averaged ranks ride the DOUBLED-rank device
+    (:func:`~..experiment.mann_whitney_u` — a tie run spanning ranks
+    f..l contributes f+l per member, an integer), so
+    U_t = S2_t − t·(n+1) with S2_t the doubled-rank prefix sum is
+    EXACT integer arithmetic end to end — hash-checkable. The argmax
+    tie-breaks on the earliest position (a total order).
+
+    Shape: one (value)-grain rank table (distinct values + the f+l
+    window), one join back, one prefix window in ``order_col`` order.
+    The series is expected to be PRE-AGGREGATED to a bounded grain
+    (daily/hourly rollups — the calendar-bounded global-window
+    contract); rows, not raw events. Returns ONE row:
+    (n_points, t_star, change_at, u_abs) — the changepoint is AFTER
+    position t_star (1-based), ``change_at`` is that row's
+    ``order_col`` value."""
+    pts = df.select(
+        F.col(order_col).alias("__o"), F.col(value_col).alias("__v")
+    )
+    vals = pts.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    w_val = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # doubled tie-averaged rank: f+l = 2*cum_before + run + 1
+    r2 = vals.select(
+        "__v",
+        (F.lit(2) * F.sum("__c").over(w_val) - F.col("__c") + 1)
+        .cast("long")
+        .alias("__r2"),
+    )
+    w_ord = Window.orderBy("__o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = (
+        pts.join(r2, "__v")
+        .select(
+            "__o",
+            F.row_number().over(Window.orderBy("__o")).alias("__t"),
+            F.sum("__r2").over(w_ord).alias("__s2"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+        )
+    )
+    u = ranked.select(
+        "__o",
+        "__t",
+        "__n",
+        F.abs(
+            F.col("__s2") - F.col("__t") * (F.col("__n") + 1)
+        ).alias("__u"),
+    ).filter(F.col("__t") < F.col("__n"))
+    return (
+        u.orderBy(F.desc("__u"), F.asc("__t"))
+        .limit(1)
+        .select(
+            F.col("__n").cast("long").alias("n_points"),
+            F.col("__t").cast("long").alias("t_star"),
+            F.col("__o").alias("change_at"),
+            F.col("__u").cast("long").alias("u_abs"),
+        )
+    )

@@ -789,3 +789,55 @@ def mcnemar_paired_test(
             ),
         ).otherwise(F.lit(0)).alias("mcnemar_scaled"),
     )
+
+
+def msttr(
+    docs: DataFrame,
+    *,
+    window: int = 50,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean Segmental Type-Token Ratio (MSTTR, Johnson 1944): lexical
+    diversity as the mean TYPE/TOKEN ratio over consecutive FULL
+    ``window``-token segments — the length-robust diversity measure
+    (plain TTR collapses as documents grow, so corpus comparisons on
+    raw TTR just measure length; segmenting fixes the denominator).
+    Low MSTTR flags templated/repetitive text next to the Gopher
+    repetition ratios.
+
+    Exactness: per-segment distinct counts are integers; the doc score
+    is the floor-scaled integer ratio Σdistinct·scale DIV
+    (window·n_segments) — no float division until nothing is left to
+    diverge. Partial trailing segments are EXCLUDED (that's the
+    'segmental' in the name). Docs shorter than one full window emit
+    no row.
+
+    Shape: one posexplode over tokens (segment id = pos DIV window —
+    row-local), one (doc, segment)-grain distinct aggregation, one
+    doc-grain rollup. Returns (doc_id, n_segments, sum_distinct,
+    msttr_scaled)."""
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__pos", "__w"),
+    ).select(
+        id_col,
+        (F.col("__pos") / window).cast("long").alias("__seg"),
+        "__w",
+    )
+    seg = tok.groupBy(id_col, "__seg").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("__w").alias("__d"),
+    ).filter(F.col("__n") == window)
+    return seg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("__d").cast("long").alias("sum_distinct"),
+        F.expr(
+            f"CAST(CAST(SUM(__d) AS DECIMAL(38,0)) * {scale} "
+            f"AS DECIMAL(38,0)) DIV (CAST({window} AS DECIMAL(38,0)) "
+            f"* COUNT(1))"
+        ).cast("long").alias("msttr_scaled"),
+    )

@@ -167,3 +167,31 @@ def test_isotonic_fit_pools_and_properties(spark):
     )
     with pytest.raises(ValueError, match="max_points"):
         isotonic_fit(big, "x", "y")
+
+
+def test_gini_stump_split_exact_separation_and_ties(spark):
+    """A perfectly separating threshold must win with the maximum
+    score (pure children: S = nL + nR = n); equal-quality candidates
+    tie-break on the smallest threshold; the score is the floor-scaled
+    exact rational."""
+    from streaming_data_pipeline_azure_spark.operators.features import (
+        gini_stump_split,
+    )
+
+    # feature <= 4 -> label 0, feature >= 5 -> label 1 (perfect split)
+    rows = [(float(v), 0) for v in range(1, 5)] + [
+        (float(v), 1) for v in range(5, 9)
+    ]
+    df = spark.createDataFrame(rows, "x double, y int")
+    out = gini_stump_split(df, "x", "y").collect()[0]
+    assert out["split_value"] == 4.0
+    assert (out["n_left"], out["pos_left"]) == (4, 0)
+    assert (out["n_right"], out["pos_right"]) == (4, 4)
+    # pure children: S = (0+16)/4 + (16+0)/4 = 8 = n -> scaled 8e9
+    assert int(out["score_scaled"]) == 8 * 1_000_000_000
+    # constant label: every split scores the same -> smallest threshold
+    flat = spark.createDataFrame(
+        [(float(v), 1) for v in range(1, 7)], "x double, y int"
+    )
+    o2 = gini_stump_split(flat, "x", "y").collect()[0]
+    assert o2["split_value"] == 1.0

@@ -1282,3 +1282,28 @@ def test_nelson_aalen_known_curve_and_km_consistency(spark):
     for t, r in na.items():
         if km.get(t, 0) > 0:
             assert km[t] <= math.exp(-r["cum_hazard"]) + 1e-12
+
+
+def test_pettitt_changepoint_locates_planted_shift(spark):
+    """A clean level shift must be located exactly: 30 low values then
+    30 high values -> t_star = 30 (the last pre-shift position), and
+    |U| there equals t*(n-t) with all pre < all post (the maximum the
+    statistic can reach). A constant series scores u_abs ~ 0 splits
+    everywhere -> earliest-t tie-break."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        pettitt_changepoint,
+    )
+
+    rows = [(i, 10.0 if i <= 30 else 50.0) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "pos int, v double")
+    out = pettitt_changepoint(df, "pos", "v").collect()[0]
+    assert out["n_points"] == 60
+    assert out["t_star"] == 30
+    assert out["change_at"] == 30
+    assert out["u_abs"] == 30 * 30  # t*(n-t): every cross-pair signs -1
+    # constant series: U_t = 0 for every t -> earliest split wins
+    flat = spark.createDataFrame(
+        [(i, 7.0) for i in range(1, 11)], "pos int, v double"
+    )
+    o2 = pettitt_changepoint(flat, "pos", "v").collect()[0]
+    assert o2["u_abs"] == 0 and o2["t_star"] == 1

@@ -427,3 +427,26 @@ def test_mcnemar_counts_and_ablation_direction(spark):
     tie = spark.createDataFrame([("x", "x", "x")] * 4, ["pa", "pb", "gold"])
     (t,) = mcnemar_paired_test(tie, "pa", "pb", "gold").collect()
     assert t["mcnemar_scaled"] == 0
+
+
+def test_msttr_segments_and_exclusions(spark):
+    """Hand-built docs pin MSTTR semantics: full segments only, exact
+    distinct counts, floor-scaled ratio, sub-window docs absent."""
+    from streaming_data_pipeline_azure_spark.operators.text import msttr
+
+    # doc 1: 8 tokens, window 4 -> 2 segments: [a b a b] d=2, [c c c d] d=2
+    # doc 2: 5 tokens, window 4 -> 1 full segment [x y z x] d=3 (tail 'q' dropped)
+    # doc 3: 3 tokens -> no full segment -> no row
+    rows = [
+        (1, "a b a b c c c d"),
+        (2, "x y z x q"),
+        (3, "too short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in msttr(df, window=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_segments"] == 2 and out[1]["sum_distinct"] == 4
+    # 4 / (4*2) = 0.5 -> 500000
+    assert out[1]["msttr_scaled"] == 500_000
+    assert out[2]["n_segments"] == 1 and out[2]["sum_distinct"] == 3
+    assert out[2]["msttr_scaled"] == 750_000
