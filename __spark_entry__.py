@@ -3730,6 +3730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_pettitt_changepoint": _revenue_pettitt_changepoint,
         "priority_price_stump": _priority_price_stump,
         "lang_lexical_diversity": _lang_lexical_diversity,
+        "token_zipf_fit": _token_zipf_fit,
+        "source_lang_tvd": _source_lang_tvd,
         # ---- last driver-green r5 (the VERDICT-named block) ----
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
@@ -9355,6 +9357,63 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "source_lang_tvd": r"""
+            WITH sl AS (
+              SELECT source, lang, COUNT(*) AS n
+              FROM documents GROUP BY 1, 2
+            ), ps AS (
+              SELECT source, SUM(n) AS ns FROM sl GROUP BY 1
+            ), pl AS (
+              SELECT lang, SUM(n) AS ml FROM sl GROUP BY 1
+            ), tot AS (
+              SELECT COUNT(*) AS t FROM documents
+            ), grid AS (
+              SELECT ps.source, ps.ns, pl.ml, pl.lang,
+                     COALESCE(sl.n, 0) AS n, tot.t
+              FROM ps CROSS JOIN pl CROSS JOIN tot
+              LEFT JOIN sl ON sl.source = ps.source
+                          AND sl.lang = pl.lang
+            )
+            SELECT source,
+                   CAST(MAX(ns) AS BIGINT) AS n_docs,
+                   CAST(SUM(ABS(CAST(n AS HUGEINT) * t
+                                - CAST(ml AS HUGEINT) * ns)) * 1000000
+                        // (2 * CAST(MAX(ns) AS HUGEINT) * MAX(t))
+                        AS BIGINT) AS tvd_scaled
+            FROM grid GROUP BY source
+        """,
+        "token_zipf_fit": r"""
+            WITH words AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                            '\s+')) AS w
+              FROM documents
+            ), counts AS (
+              SELECT w, COUNT(*) AS n FROM words
+              WHERE len(w) >= 1 GROUP BY w
+            ), buckets AS (
+              SELECT CAST(length(printf('%b', n)) - 1 AS INTEGER)
+                         AS bucket,
+                     COUNT(*) AS n_items
+              FROM counts GROUP BY 1
+            ), wl AS (
+              SELECT bucket, n_items,
+                     CAST(length(printf('%b', n_items)) - 1 AS BIGINT)
+                         AS log2_n
+              FROM buckets
+            ), slopes AS (
+              SELECT CAST(floor(
+                         (b.log2_n - a.log2_n) * 1000000.0
+                         / (b.bucket - a.bucket)) AS BIGINT) AS s
+              FROM wl a JOIN wl b ON a.bucket < b.bucket
+            ), med AS (
+              SELECT (list(s ORDER BY s))[(COUNT(*) + 1) // 2]
+                         AS slope_scaled
+              FROM slopes
+            )
+            SELECT bucket, CAST(n_items AS BIGINT) AS n_items,
+                   log2_n, slope_scaled
+            FROM wl, med
+        """,
         "lang_lexical_diversity": r"""
             WITH arr AS (
               SELECT doc_id,
@@ -13114,6 +13173,76 @@ def _price_quantity_spearman_quantized(
         "l_quantity",
     )
     return profile.spearman_correlation(q, "price_bucket", "l_quantity")
+
+
+def _source_lang_tvd(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source language-mix drift as TOTAL VARIATION DISTANCE (r8):
+    TVD(source, corpus) = ½·Σ_lang |p_lang − q_lang|, computed in
+    EXACT integer cross-multiplication — Σ|n_l·M − m_l·N| over the
+    common denominator N·M, floor-scaled once — so a source whose
+    language mix diverges from the corpus mix reads as a large
+    tvd_scaled (0 = identical mix, 10^6 = disjoint). The bounded-[0,1]
+    companion to the chi-square drift monitor: TVD is the metric
+    mixture-rebalancing actually moves. One (source, lang) aggregation
+    + one broadcast of the O(langs) corpus row."""
+    docs = _docs(spark, sf)
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_source = sl.groupBy("source").agg(F.sum("n").alias("ns"))
+    per_lang = sl.groupBy("lang").agg(F.sum("n").alias("ml"))
+    total = docs.count()
+    # every (source, lang) cell INCLUDING langs absent from a source:
+    # cross the source list with the lang list, left-join cell counts
+    grid = per_source.crossJoin(F.broadcast(per_lang)).join(
+        sl, ["source", "lang"], "left"
+    ).select(
+        "source",
+        "ns",
+        F.col("ml"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    d = "decimal(38,0)"
+    term = F.abs(
+        F.col("n").cast(d) * F.lit(total).cast(d)
+        - F.col("ml").cast(d) * F.col("ns").cast(d)
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_docs"),
+            F.sum(term).alias("__num"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            f"CAST(CAST(__num * 1000000 AS DECIMAL(38,0)) "
+            f"DIV (2 * CAST(n_docs AS DECIMAL(38,0)) * {total}) "
+            f"AS BIGINT) AS tvd_scaled",
+        )
+    )
+
+
+def _token_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-frequency Zipf audit (r8): how power-law is the corpus
+    vocabulary (profile.freq_zipf_audit — the degree_zipf devices over
+    token counts: binary-length log2 on both axes, Theil-Sen median
+    slope in exact integer space). A natural-language corpus reads
+    close to slope −1·log2(2) per octave; a templated/synthetic one
+    flattens — the corpus-health check next to doc_vocab_growth's
+    Heaps curve."""
+    docs = _docs(spark, sf)
+    counts = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return profile.freq_zipf_audit(counts, "n")
 
 
 def _lang_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:

@@ -1469,3 +1469,61 @@ def trimmed_mean(
             ).alias("mean_trimmed"),
         )
     )
+
+
+def freq_zipf_audit(
+    counts: DataFrame,
+    count_col: str,
+) -> DataFrame:
+    """Zipf/power-law audit of ANY frequency distribution (r8): bucket
+    the counts by ⌊log2⌋ (exact binary-length exponent — no libm),
+    count items per bucket, ⌊log2⌋ those too, and fit the log-log line
+    with the Theil–Sen median-of-slopes — a power law reads straight
+    in log-log space, so a steep negative robust slope is the
+    "Zipfian" signature (token frequencies, URL popularity, customer
+    activity). The generalized sibling of the co-purchase
+    ``degree_zipf_audit`` (same exact-integer devices: binary-length
+    log2 on both axes, ≤64-row bucket table, pairwise slopes floored
+    once at scale 10^6, lower-median pick from the sorted bounded
+    array).
+
+    Input: a pre-aggregated (item, count) frame — the caller owns the
+    one data-proportional aggregation. Returns one row per occupied
+    bucket: (bucket, n_items, log2_n, slope_scaled) with the shared
+    fitted slope on every row."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    c = F.col(count_col).cast("long")
+    bucket = (F.length(F.bin(c)) - 1).cast("int")
+    buckets = (
+        counts.filter(c >= 1)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+    with_log = buckets.withColumn(
+        "log2_n", (F.length(F.bin(F.col("n_items"))) - 1).cast("long")
+    )
+    pairs = (
+        with_log.alias("a")
+        .join(
+            F.broadcast(with_log.alias("b")),
+            F.col("a.bucket") < F.col("b.bucket"),
+        )
+        .select(
+            F.floor(
+                (F.col("b.log2_n") - F.col("a.log2_n"))
+                * F.lit(1_000_000.0)
+                / (F.col("b.bucket") - F.col("a.bucket"))
+            ).cast("long").alias("__s")
+        )
+    )
+    med = pairs.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("__s")),
+            ((F.size(F.array_sort(F.collect_list("__s"))) + 1) / 2).cast(
+                "int"
+            ),
+        ).alias("slope_scaled")
+    )
+    return with_log.join(F.broadcast(med)).orderBy("bucket")

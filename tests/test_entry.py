@@ -110,3 +110,45 @@ def test_hll_twin_exact_at_testdata_cardinality(spark, sf_dir):
         ).collect()
     }
     assert approx == exact and len(exact) > 0
+
+
+def test_source_lang_tvd_bounds_and_identical_mix(spark):
+    """TVD semantics pinned: a source with the corpus's exact language
+    mix scores 0; a source disjoint in language from everything else
+    scores near the (1 - own-share) bound; all values in [0, 10^6]."""
+    import __spark_entry__ as entrymod
+
+    rows = []
+    # sources s1, s2: identical mixes (2 en + 2 fr each) -> corpus mix
+    # is also 50/50 -> TVD 0 for both
+    i = 0
+    for src in ("s1", "s2"):
+        for lang in ("en", "en", "fr", "fr"):
+            rows.append((i, "t", lang, src, 1)); i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    import streaming_data_pipeline_azure_spark  # noqa: F401
+    from unittest import mock
+
+    with mock.patch.object(entrymod, "_docs", lambda spark, sf: df):
+        out = {
+            r["source"]: r["tvd_scaled"]
+            for r in entrymod._source_lang_tvd(spark, "unused").collect()
+        }
+    assert out == {"s1": 0, "s2": 0}
+    # add a third source entirely in de: its TVD vs the corpus must be
+    # 1 - its own corpus share of de (cells: de |1 - 1/3|/... exact:
+    # source mix de=1; corpus q_de = 4/12 = 1/3, q_en = q_fr = 1/3
+    # TVD = 1/2 (|1-1/3| + 1/3 + 1/3) = 2/3 -> 666666 floor-scaled
+    rows3 = rows + [(100 + j, "t", "de", "s3", 1) for j in range(4)]
+    df3 = spark.createDataFrame(
+        rows3, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    with mock.patch.object(entrymod, "_docs", lambda spark, sf: df3):
+        out3 = {
+            r["source"]: r["tvd_scaled"]
+            for r in entrymod._source_lang_tvd(spark, "unused").collect()
+        }
+    assert out3["s3"] == 666_666
+    assert all(0 <= v <= 1_000_000 for v in out3.values())

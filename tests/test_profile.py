@@ -679,3 +679,27 @@ def test_trimmed_mean_drops_exact_tails(spark):
     # kept: 17 ones + 1000 -> (17 + 1000)/18
     assert abs(r["mean_trimmed"] - (17 + 1000.0) / 18) < 1e-9
     assert r["mean_raw"] == (18 + 3000.0) / 20
+
+
+def test_freq_zipf_audit_planted_power_law(spark):
+    """A planted 2^-k frequency table reads slope -1000000 per octave
+    (one log2-count step down per bucket up); a flat table (every item
+    the same count) yields a single bucket and no slope pairs."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        freq_zipf_audit,
+    )
+
+    # 64 items with count 1, 32 with 2, 16 with 4, 8 with 8: bucket k
+    # holds 2^(6-k) items -> log2_n = 6-k, slope exactly -1 per bucket
+    rows = []
+    i = 0
+    for k, (cnt, n_items) in enumerate([(1, 64), (2, 32), (4, 16), (8, 8)]):
+        for _ in range(n_items):
+            rows.append((i, cnt)); i += 1
+    df = spark.createDataFrame(rows, "item long, n long")
+    out = freq_zipf_audit(df, "n").collect()
+    assert len(out) == 4
+    assert all(r["slope_scaled"] == -1_000_000 for r in out)
+    got = {r["bucket"]: r for r in out}
+    assert got[0]["n_items"] == 64 and got[0]["log2_n"] == 6
+    assert got[3]["n_items"] == 8 and got[3]["log2_n"] == 3
