@@ -3732,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_lexical_diversity": _lang_lexical_diversity,
         "token_zipf_fit": _token_zipf_fit,
         "source_lang_tvd": _source_lang_tvd,
+        "ltr_features": _ltr_features,
         # ---- last driver-green r5 (the VERDICT-named block) ----
         "source_mirror_overlap": _source_mirror_overlap,
         "funnel_conversion": _funnel_conversion,
@@ -3789,7 +3790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _customers_without_orders,
         "customers_with_orders": _customers_with_orders,
         "segments_above_avg": _segments_above_avg,
-        # ---- oldest r6-green (window backfill) ----
+        # ---- oldest r6-green (was window backfill; the 10 r8-new
+        # entries above displaced these plus the r5-block tail past
+        # the boundary — they are FIRST in line for the r9 window) ----
         "fuzzy_pairs_depth2_stats": _fuzzy_pairs_depth2_stats,
         "brand_yearly_revenue": _brand_yearly_revenue,
         "promo_revenue_share": _promo_revenue_share,
@@ -9357,6 +9360,18 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "ltr_features": f"""
+            WITH bm AS ({_BM25_ORACLE}),
+            lm AS ({_lm_dirichlet_oracle(["hash", "join", "spark"], 250.0, 15)})
+            SELECT COALESCE(bm.doc_id, lm.doc_id) AS doc_id,
+                   bm.n_matched AS bm25_matched,
+                   bm.score AS bm25_score,
+                   lm.score AS lm_score,
+                   d.n_chars, d.lang
+            FROM bm FULL OUTER JOIN lm ON bm.doc_id = lm.doc_id
+            JOIN documents d
+              ON d.doc_id = COALESCE(bm.doc_id, lm.doc_id)
+        """,
         "source_lang_tvd": r"""
             WITH sl AS (
               SELECT source, lang, COUNT(*) AS n
@@ -13173,6 +13188,36 @@ def _price_quantity_spearman_quantized(
         "l_quantity",
     )
     return profile.spearman_correlation(q, "price_bucket", "l_quantity")
+
+
+def _ltr_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Learning-to-rank feature export (r8): the assembled per-(query,
+    candidate) feature row a ranker trains on — candidate pool = union
+    of the BM25 top-15 and the LM-Dirichlet top-15 for the benchmark
+    query, features = both scores, the BM25 match count, and document
+    length/lang metadata (NULL score = 'not in that ranker's pool', a
+    real feature, not an error). Composes the two oracle-green scorers
+    through one FULL OUTER join + one metadata join, so the export is
+    hash-checked end-to-end exactly like the prf→bm25 two-stage
+    composition."""
+    docs = _docs(spark, sf)
+    q = ["hash", "join", "spark"]
+    bm = search.bm25_topk(docs, q, k=15).select(
+        "doc_id",
+        F.col("n_matched").alias("bm25_matched"),
+        F.col("score").alias("bm25_score"),
+    )
+    lm = search.lm_dirichlet_topk(docs, q, mu=250.0, k=15).select(
+        "doc_id", F.col("score").alias("lm_score")
+    )
+    return (
+        bm.join(lm, "doc_id", "full")
+        .join(docs.select("doc_id", "n_chars", "lang"), "doc_id")
+        .select(
+            "doc_id", "bm25_matched", "bm25_score", "lm_score",
+            "n_chars", "lang",
+        )
+    )
 
 
 def _source_lang_tvd(spark: SparkSession, sf: str) -> DataFrame:
