@@ -3802,6 +3802,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9+, oldest-/never-driver-verified first. The full local
         # scripts/check_correctness.py gate covers ALL oracle entries every
         # round regardless of the window. ====
+        # ---- new in r8 (overflow past the 50-entry window — each
+        # individually sf0.01-oracle-checked at add time; rotate into
+        # the r9 window behind the displaced r5/r6 blocks above) ----
+        "order_hbos_outliers": _order_hbos_outliers,
+        "doc_tfidf_neardups": _doc_tfidf_neardups,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9360,6 +9365,67 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "doc_tfidf_neardups": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                                              'g')), ' ') AS toks
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, t, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS t FROM norm)
+              GROUP BY 1, 2
+            ), stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), dfq AS (
+              SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+            ), kept AS (
+              SELECT tf.doc_id, tf.t,
+                     CAST(tf.tf * (length(printf('%b',
+                          CAST(stats.n // dfq.df AS BIGINT))) - 1)
+                          AS HUGEINT) AS w
+              FROM tf JOIN dfq USING (t) CROSS JOIN stats
+              WHERE dfq.df * 10 <= stats.n
+            ), norms AS (
+              SELECT doc_id, SUM(w * w) AS n2 FROM kept GROUP BY 1
+            ), cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS n_shared_terms,
+                     SUM(a.w * b.w) AS num
+              FROM kept a JOIN kept b
+                ON a.t = b.t AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+                   CAST(num * num * 1000000 // (na.n2 * nb.n2)
+                        AS BIGINT) AS cos2_scaled
+            FROM cand
+            JOIN norms na ON na.doc_id = cand.id_a
+            JOIN norms nb ON nb.doc_id = cand.id_b
+            WHERE 10000 * num * num >= 2500 * na.n2 * nb.n2
+        """,
+        "order_hbos_outliers": r"""
+            WITH feat AS (
+              SELECT o_orderkey,
+                     CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS pb,
+                     dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+                     o_orderpriority AS pr
+              FROM orders
+            ), f1 AS (SELECT pb, COUNT(*) AS f1 FROM feat GROUP BY 1),
+            f2 AS (SELECT dow, COUNT(*) AS f2 FROM feat GROUP BY 1),
+            f3 AS (SELECT pr, COUNT(*) AS f3 FROM feat GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM feat)
+            SELECT o_orderkey, pb, dow, pr,
+                   CAST(n * n * n * 1000000
+                        // (CAST(f1 AS HUGEINT) * f2 * f3)
+                        AS DECIMAL(38,0)) AS hbos_scaled
+            FROM feat
+            JOIN f1 USING (pb) JOIN f2 USING (dow) JOIN f3 USING (pr)
+            CROSS JOIN tot
+            ORDER BY hbos_scaled DESC, o_orderkey ASC LIMIT 20
+        """,
         "ltr_features": f"""
             WITH bm AS ({_BM25_ORACLE}),
             lm AS ({_lm_dirichlet_oracle(["hash", "join", "spark"], 250.0, 15)})
@@ -13188,6 +13254,61 @@ def _price_quantity_spearman_quantized(
         "l_quantity",
     )
     return profile.spearman_correlation(q, "price_bucket", "l_quantity")
+
+
+def _doc_tfidf_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs (r8): weighted-lexical similarity
+    ≥ 0.5 over log2-idf vectors (dedup.tfidf_cosine_pairs — exact
+    integer weights, DECIMAL(38,0) dot products, cross-multiplied
+    squared-cosine threshold, df ≤ N/10 stopword valve). Sits between
+    dedup_jaccard_exact (unweighted sets) and embedding_neardup_exact
+    (dense vectors) in the near-dup ladder; fully oracle-checked
+    including the reported exact squared cosine."""
+    return dedup.tfidf_cosine_pairs(
+        _docs(spark, sf), threshold_pct=50, max_df_ratio=10
+    )
+
+
+def _order_hbos_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """HBOS-style multivariate outlier scoring (r8, Goldstein &
+    Dengel 2012 histogram-based outlier score, log-free): per order,
+    the product of INVERSE bin frequencies over three independent
+    feature histograms — price bucket (1000-unit), order day-of-week,
+    order priority. Rows whose feature combination is rare on EVERY
+    axis score highest; the classic O(n) unsupervised anomaly scorer
+    that needs no distance metric and no iterations.
+
+    Exactness: score ∝ Π N/f_i computed as the floor-scaled integer
+    N³·10^6 DIV (f1·f2·f3) in DECIMAL(38,0) (N³·10^6 ≈ 10^22 at sf1 —
+    22 digits, exact; the HUGEINT mirror in the oracle). Top-20 by
+    (score DESC, orderkey ASC) — total order. Shape: three O(bins)
+    count aggregates broadcast back onto one scan, one TakeOrdered."""
+    (orders,) = _tables(spark, sf, "orders")
+    feat = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("pb"),
+        F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    f1 = feat.groupBy("pb").agg(F.count(F.lit(1)).alias("f1"))
+    f2 = feat.groupBy("dow").agg(F.count(F.lit(1)).alias("f2"))
+    f3 = feat.groupBy("pr").agg(F.count(F.lit(1)).alias("f3"))
+    n = feat.count()
+    return (
+        feat.join(F.broadcast(f1), "pb")
+        .join(F.broadcast(f2), "dow")
+        .join(F.broadcast(f3), "pr")
+        .selectExpr(
+            "o_orderkey", "pb", "dow", "pr",
+            f"CAST(CAST({n} AS DECIMAL(38,0)) * {n} * {n} * 1000000 "
+            f"DIV (CAST(f1 AS DECIMAL(38,0)) * f2 * f3) AS DECIMAL(38,0)) "
+            "AS hbos_scaled",
+        )
+        .orderBy(F.desc("hbos_scaled"), F.asc("o_orderkey"))
+        .limit(20)
+    )
 
 
 def _ltr_features(spark: SparkSession, sf: str) -> DataFrame:

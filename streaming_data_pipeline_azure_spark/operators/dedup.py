@@ -42,6 +42,7 @@ from streaming_data_pipeline_azure_spark.functions.vector import (
     cosine_similarity,
     to_double_array,
 )
+from streaming_data_pipeline_azure_spark.operators.corpus import _norm_tokens
 from streaming_data_pipeline_azure_spark.operators.text import (
     fingerprint,
     normalized_text,
@@ -1590,3 +1591,100 @@ def bag_dedup(
         *[F.col(f"__v.{c}").alias(c) for c in cols], "n_dups"
     )
     return out if with_group_size else out.drop("n_dups")
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    *,
+    threshold_pct: int = 50,
+    max_df_ratio: int = 10,
+    cos_scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All (id_a < id_b) document pairs whose TF-IDF cosine similarity
+    reaches ``threshold_pct``/100 — the weighted-lexical near-dup
+    measure between Jaccard (set overlap, no weighting) and embedding
+    cosine (dense, learned): rare shared vocabulary counts for much
+    more than common shared vocabulary.
+
+    Exactness (fully ORACLE-checkable — no floats anywhere): the idf
+    is the INTEGER log2 ``⌊log2(N DIV df)⌋`` via the binary-length
+    device, weights w = tf·idf are small integers, norms and dot
+    products are exact DECIMAL(38,0) sums, and the threshold test is
+    the cross-multiplied square compare ``10^4·num² ≥ pct²·na²·nb²``
+    (num ≥ 0, so squaring preserves the inequality). Reported
+    ``cos2_scaled = num²·cos_scale DIV (na²·nb²)`` is the exact
+    floor-scaled SQUARED cosine. Magnitude envelope: w ≤ tf·63, so
+    every product stays ≤ ~10^28 for docs up to 10^4 tokens — deep
+    inside 38 digits at any corpus size (the earlier ratio-idf design
+    overflowed at 10^5 docs; log2-idf is also simply the standard
+    tf-idf shape).
+
+    Scale valve: terms with df·``max_df_ratio`` > N are DROPPED FROM
+    THE VECTORS (not just from candidate generation) — stopword-ish
+    terms carry near-zero idf yet quadratic pair volume, so excluding
+    them is both the classic prefix-filter trade and part of the
+    measure's definition here (the oracle applies the identical cap).
+    Per-term pair volume is then ≤ (N/ratio)², and the shared-term
+    equi-join shuffles (doc, term-hash) keys, never document text.
+
+    Returns (id_a, id_b, n_shared_terms, cos2_scaled)."""
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError("threshold_pct must be in [1, 100]")
+    if max_df_ratio < 2:
+        raise ValueError("max_df_ratio must be >= 2 (df cap below N)")
+    base = docs.select(
+        F.col(id_col).alias("__id"), _norm_tokens(text_col).alias("__toks")
+    )
+    tf = (
+        base.select("__id", F.explode("__toks").alias("__t"))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    n_docs = base.count()
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    kept = (
+        tf.join(
+            dfreq.filter(F.col("__df") * max_df_ratio <= n_docs), "__t"
+        )
+        .selectExpr(
+            "__id",
+            "__t",
+            f"CAST(__tf * (length(bin({n_docs} DIV __df)) - 1) "
+            "AS DECIMAL(38,0)) AS __w",
+        )
+    )
+    norms = kept.groupBy("__id").agg(
+        F.sum(F.col("__w") * F.col("__w")).alias("__n2")
+    )
+    a = kept.toDF("id_a", "__t", "__wa")
+    b = kept.toDF("id_b", "__t", "__wb")
+    num = (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(F.col("__wa") * F.col("__wb")).alias("__num"),
+        )
+    )
+    na = norms.toDF("id_a", "__na2")
+    nb = norms.toDF("id_b", "__nb2")
+    return (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.expr(
+                f"10000 * __num * __num >= "
+                f"{threshold_pct * threshold_pct} * __na2 * __nb2"
+            )
+        )
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "n_shared_terms",
+            f"CAST(__num * __num * {cos_scale} DIV (__na2 * __nb2) "
+            "AS BIGINT) AS cos2_scaled",
+        )
+    )

@@ -759,3 +759,35 @@ def test_bag_dedup_order_insensitive(spark):
         for r in bag_dedup(df, "doc_id", "text").collect()
     }
     assert got == {1: 2, 3: 1, 4: 1}
+
+
+def test_tfidf_cosine_pairs_weighting_and_exact_dup(spark):
+    """Weighted semantics pinned: an identical pair scores the exact
+    scaled squared cosine 10^6; rare-term overlap outscores common-term
+    overlap (the whole point of idf weighting); the df valve drops
+    stopword-ish terms from the vectors entirely."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    # 20 filler docs make 'common' common (df 22 > N/10) and 'rare'
+    # rare; docs 1/2 identical; doc 3 shares only the capped term
+    rows = [(1, "rare signal common"), (2, "rare signal common"),
+            (3, "common other words")]
+    rows += [(10 + i, f"filler{i} common pad{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in tfidf_cosine_pairs(
+            df, threshold_pct=50, max_df_ratio=10
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)]["cos2_scaled"] == 1_000_000  # identical vectors
+    # 'common' (df=23 of 23 docs) is dropped from vectors: doc 3
+    # shares NOTHING with 1/2 above threshold
+    assert all(3 not in k for k in got)
+    with _pytest.raises(ValueError, match="threshold_pct"):
+        tfidf_cosine_pairs(df, threshold_pct=0)
