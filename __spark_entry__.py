@@ -3807,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r9 window behind the displaced r5/r6 blocks above) ----
         "order_hbos_outliers": _order_hbos_outliers,
         "doc_tfidf_neardups": _doc_tfidf_neardups,
+        "event_transition_backtest": _event_transition_backtest,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9365,6 +9366,41 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "event_transition_backtest": r"""
+            WITH seq AS (
+              SELECT event_type AS f,
+                     LEAD(event_type) OVER w AS nxt,
+                     LEAD(ts) OVER w AS nts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id)
+            ), trans AS (
+              SELECT * FROM seq WHERE nxt IS NOT NULL
+            ), train AS (
+              SELECT f, nxt, COUNT(*) AS c FROM trans
+              WHERE nts < TIMESTAMP '2024-01-22' GROUP BY 1, 2
+            ), model AS (
+              SELECT f, nxt AS predicted FROM (
+                SELECT f, nxt,
+                       ROW_NUMBER() OVER (PARTITION BY f
+                           ORDER BY c DESC, nxt ASC) AS r
+                FROM train
+              ) WHERE r = 1
+            ), test AS (
+              SELECT t.f, t.nxt, m.predicted
+              FROM trans t LEFT JOIN model m USING (f)
+              WHERE t.nts >= TIMESTAMP '2024-01-22'
+            )
+            SELECT f AS from_type,
+                   MAX(predicted) AS predicted,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(COALESCE(SUM(CASE WHEN predicted = nxt
+                        THEN 1 END), 0) AS BIGINT) AS n_correct,
+                   CAST(COALESCE(SUM(CASE WHEN predicted = nxt
+                        THEN 1 END), 0) * 1000000 // COUNT(*)
+                        AS BIGINT) AS acc_scaled
+            FROM test GROUP BY f
+        """,
         "doc_tfidf_neardups": r"""
             WITH norm AS (
               SELECT doc_id,
@@ -13254,6 +13290,22 @@ def _price_quantity_spearman_quantized(
         "l_quantity",
     )
     return profile.spearman_correlation(q, "price_bucket", "l_quantity")
+
+
+def _event_transition_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov next-event backtest (r8): fit the per-type argmax
+    next-event predictor on transitions before 2024-01-22 and score it
+    on the final ~9 days (temporal.transition_backtest — deterministic
+    (count DESC, type ASC) argmax, unseen source types score as
+    incorrect with a NULL prediction, floor-scaled integer accuracy).
+    The model-LIFECYCLE arm next to event_transitions (describe) and
+    event_predictability (entropy bound): train yesterday, measure
+    today."""
+    return temporal.transition_backtest(
+        _events(spark, sf),
+        "user_id", "event_type", "ts", "2024-01-22",
+        tiebreak_col="event_id",
+    )
 
 
 def _doc_tfidf_neardups(spark: SparkSession, sf: str) -> DataFrame:

@@ -2110,3 +2110,82 @@ def pettitt_changepoint(
             F.col("__u").cast("long").alias("u_abs"),
         )
     )
+
+
+def transition_backtest(
+    events: DataFrame,
+    key_col: str,
+    type_col: str,
+    time_col: str,
+    cutoff: str,
+    *,
+    tiebreak_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Markov next-event model TRAIN + TEMPORAL BACKTEST in one pass:
+    fit the first-order argmax predictor (per source type, the most
+    frequent next type) on transitions completed BEFORE ``cutoff``,
+    then score it on transitions completed on/after — the accuracy
+    readout that tells you whether yesterday's transition matrix still
+    predicts today (the model-lifecycle sibling of
+    :func:`transition_matrix`, which only describes).
+
+    Determinism: the argmax tie-breaks on (count DESC, next-type ASC)
+    — a total order; per-key event order is (time, tiebreak). A test
+    transition whose source type never appeared in training gets a
+    NULL prediction and counts as incorrect (that is exactly the
+    coverage gap the backtest should surface). Accuracy is the
+    floor-scaled integer ratio n_correct·scale DIV n_test.
+
+    Shape: one per-key lead window over events, one O(types²) training
+    aggregation + an O(types) argmax window, one broadcast join onto
+    the test slice, one O(types) rollup. Returns (from_type,
+    predicted, n_test, n_correct, acc_scaled)."""
+    order_cols = [F.col(time_col)]
+    if tiebreak_col is not None:
+        order_cols.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    seq = events.select(
+        F.col(type_col).alias("__from"),
+        F.lead(type_col).over(w).alias("__next"),
+        F.lead(time_col).over(w).alias("__nts"),
+    ).filter(F.col("__next").isNotNull())
+    cut = F.lit(cutoff).cast("timestamp")
+    train = seq.filter(F.col("__nts") < cut)
+    test = seq.filter(F.col("__nts") >= cut)
+    counts = train.groupBy("__from", "__next").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_rank = Window.partitionBy("__from").orderBy(
+        F.desc("__c"), F.asc("__next")
+    )
+    model = (
+        counts.select(
+            "__from",
+            F.col("__next").alias("predicted"),
+            F.row_number().over(w_rank).alias("__r"),
+        )
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    scored = test.join(F.broadcast(model), "__from", "left")
+    return (
+        scored.groupBy(F.col("__from").alias("from_type"))
+        .agg(
+            F.max("predicted").alias("predicted"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (F.col("predicted") == F.col("__next")).cast("long")
+            ).cast("long").alias("n_correct"),
+        )
+        .selectExpr(
+            "from_type", "predicted", "n_test",
+            "COALESCE(n_correct, 0) AS n_correct",
+            f"CAST(COALESCE(n_correct, 0) * {scale} AS DECIMAL(38,0)) "
+            "DIV n_test AS acc_scaled",
+        )
+        .selectExpr(
+            "from_type", "predicted", "n_test", "n_correct",
+            "CAST(acc_scaled AS BIGINT) AS acc_scaled",
+        )
+    )

@@ -1307,3 +1307,41 @@ def test_pettitt_changepoint_locates_planted_shift(spark):
     )
     o2 = pettitt_changepoint(flat, "pos", "v").collect()[0]
     assert o2["u_abs"] == 0 and o2["t_star"] == 1
+
+
+def test_transition_backtest_argmax_and_unseen_types(spark):
+    """Planted sequences pin the backtest: the argmax model predicts
+    the majority next type from TRAIN transitions only; a test-only
+    source type gets a NULL prediction counted incorrect; accuracy is
+    the exact floor-scaled ratio."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        transition_backtest,
+    )
+
+    # user 1 (train, all before cutoff): a->b, a->b, a->c  => model a->b
+    # user 2 (test): a->b (correct), a->c (wrong)
+    # user 3 (test): z->a (source 'z' unseen in train -> incorrect)
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"), (1, "2024-01-01 00:01:00", "b"),
+        (1, "2024-01-01 00:02:00", "a"), (1, "2024-01-01 00:03:00", "b"),
+        (1, "2024-01-01 00:04:00", "a"), (1, "2024-01-01 00:05:00", "c"),
+        (2, "2024-02-01 00:00:00", "a"), (2, "2024-02-01 00:01:00", "b"),
+        (2, "2024-02-01 00:02:00", "a"), (2, "2024-02-01 00:03:00", "c"),
+        (3, "2024-02-01 00:00:00", "z"), (3, "2024-02-01 00:01:00", "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).col("ts").cast("timestamp"))
+    out = {
+        r["from_type"]: r
+        for r in transition_backtest(
+            df, "user_id", "event_type", "ts", "2024-01-15"
+        ).collect()
+    }
+    # test transitions from 'a': user2 a->b, a->c; also user2 b->a and
+    # user3 a-> nothing... from 'a' in test: 2 rows, 1 correct
+    assert out["a"]["predicted"] == "b"
+    assert out["a"]["n_test"] == 2 and out["a"]["n_correct"] == 1
+    assert out["a"]["acc_scaled"] == 500_000
+    assert out["z"]["predicted"] is None
+    assert out["z"]["n_correct"] == 0 and out["z"]["acc_scaled"] == 0
