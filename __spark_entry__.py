@@ -9422,7 +9422,7 @@ def oracle_sql() -> dict[str, str]:
                           CAST(stats.n // dfq.df AS BIGINT))) - 1)
                           AS HUGEINT) AS w
               FROM tf JOIN dfq USING (t) CROSS JOIN stats
-              WHERE dfq.df * 10 <= stats.n
+              WHERE dfq.df * 10 <= stats.n AND dfq.df <= 1000
             ), norms AS (
               SELECT doc_id, SUM(w * w) AS n2 FROM kept GROUP BY 1
             ), cand AS (

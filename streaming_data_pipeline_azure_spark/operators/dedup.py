@@ -1598,6 +1598,7 @@ def tfidf_cosine_pairs(
     *,
     threshold_pct: int = 50,
     max_df_ratio: int = 10,
+    max_df_abs: int = 1000,
     cos_scale: int = 1_000_000,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1621,19 +1622,28 @@ def tfidf_cosine_pairs(
     overflowed at 10^5 docs; log2-idf is also simply the standard
     tf-idf shape).
 
-    Scale valve: terms with df·``max_df_ratio`` > N are DROPPED FROM
-    THE VECTORS (not just from candidate generation) — stopword-ish
-    terms carry near-zero idf yet quadratic pair volume, so excluding
-    them is both the classic prefix-filter trade and part of the
-    measure's definition here (the oracle applies the identical cap).
-    Per-term pair volume is then ≤ (N/ratio)², and the shared-term
-    equi-join shuffles (doc, term-hash) keys, never document text.
+    Scale valve: terms with df > min(N/``max_df_ratio``,
+    ``max_df_abs``) are DROPPED FROM THE VECTORS (not just from
+    candidate generation) — stopword-ish terms carry near-zero idf
+    yet quadratic pair volume, so excluding them is both the classic
+    prefix-filter trade and part of the measure's definition here
+    (the oracle applies the identical cap). The ABSOLUTE cap is the
+    one that matters at scale: on a sharded/multi-source corpus with
+    per-shard vocabularies, a shard's stopwords are "rare"
+    corpus-wide and sail through any N-relative cap while still
+    carrying df² pair volume — measured as a 10× capture that never
+    finished before max_df_abs existed (the LSH family's
+    ``max_bucket`` lesson, re-learned on term buckets). Per-term pair
+    volume is ≤ max_df_abs², and the shared-term equi-join shuffles
+    (doc, term-hash) keys, never document text.
 
     Returns (id_a, id_b, n_shared_terms, cos2_scaled)."""
     if not 1 <= threshold_pct <= 100:
         raise ValueError("threshold_pct must be in [1, 100]")
     if max_df_ratio < 2:
         raise ValueError("max_df_ratio must be >= 2 (df cap below N)")
+    if max_df_abs < 2:
+        raise ValueError("max_df_abs must be >= 2")
     base = docs.select(
         F.col(id_col).alias("__id"), _norm_tokens(text_col).alias("__toks")
     )
@@ -1646,7 +1656,11 @@ def tfidf_cosine_pairs(
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     kept = (
         tf.join(
-            dfreq.filter(F.col("__df") * max_df_ratio <= n_docs), "__t"
+            dfreq.filter(
+                (F.col("__df") * max_df_ratio <= n_docs)
+                & (F.col("__df") <= max_df_abs)
+            ),
+            "__t",
         )
         .selectExpr(
             "__id",
