@@ -3808,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_hbos_outliers": _order_hbos_outliers,
         "doc_tfidf_neardups": _doc_tfidf_neardups,
         "event_transition_backtest": _event_transition_backtest,
+        "part_fifo_allocation": _part_fifo_allocation,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9366,6 +9367,48 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "part_fifo_allocation": r"""
+            WITH s AS (
+              SELECT l_partkey AS k, l_shipdate,
+                     CAST(l_quantity AS DECIMAL(18,4)) AS q,
+                     SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS hi
+              FROM lineitem WHERE l_returnflag = 'R'
+            ), d AS (
+              SELECT l_partkey AS k, l_shipdate,
+                     CAST(l_quantity AS DECIMAL(18,4)) AS q,
+                     SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS hi
+              FROM lineitem WHERE l_returnflag = 'N'
+            ), si AS (
+              SELECT k, hi - q AS lo, hi FROM s
+            ), di AS (
+              SELECT k, hi - q AS lo, hi FROM d
+            ), alloc AS (
+              SELECT si.k,
+                     LEAST(si.hi, di.hi) - GREATEST(si.lo, di.lo) AS qa
+              FROM si JOIN di ON si.k = di.k
+              WHERE si.lo < di.hi AND di.lo < si.hi
+            ), dt AS (
+              SELECT l_partkey AS k,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS dtot
+              FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
+            )
+            SELECT a.k AS l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_allocations,
+                   CAST(SUM(qa) AS DECIMAL(18,4)) AS qty_allocated,
+                   CAST(dt.dtot - SUM(qa) AS DECIMAL(18,4))
+                       AS unfilled_qty
+            FROM alloc a JOIN dt ON dt.k = a.k
+            GROUP BY a.k, dt.dtot
+        """,
         "event_transition_backtest": r"""
             WITH seq AS (
               SELECT event_type AS f,
@@ -13290,6 +13333,49 @@ def _price_quantity_spearman_quantized(
         "l_quantity",
     )
     return profile.spearman_correlation(q, "price_bucket", "l_quantity")
+
+
+def _part_fifo_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative FIFO allocation (r8): per part, shipped-out stock
+    (l_returnflag = 'N') consumes returned-to-stock lots ('R')
+    strictly oldest-shipdate-first (temporal.fifo_allocate — the
+    sequential inventory walk as two cumulative sums + one interval-
+    intersection join, ≤ n_s + n_d − 1 allocations per part by
+    construction). Rolled up per part: allocation count, allocated
+    quantity, and the demand shortfall (demand beyond total supply)
+    for parts with at least one allocation."""
+    (li,) = _tables(spark, sf, "lineitem")
+    tb = ["l_orderkey", "l_linenumber"]
+    base = li.select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_returnflag",
+        "l_orderkey", "l_linenumber",
+    )
+    supply = base.filter(F.col("l_returnflag") == "R")
+    dem = base.filter(F.col("l_returnflag") == "N")
+    alloc = temporal.fifo_allocate(
+        supply, dem, "l_partkey", "l_shipdate", "l_quantity",
+        tiebreak_cols=tb,
+    )
+    demand_tot = dem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__d")
+    )
+    return (
+        alloc.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_allocations"),
+            F.sum("qty_allocated").cast("decimal(18,4)")
+            .alias("qty_allocated"),
+        )
+        .join(demand_tot, "l_partkey")
+        .select(
+            "l_partkey",
+            "n_allocations",
+            "qty_allocated",
+            (F.col("__d") - F.col("qty_allocated"))
+            .cast("decimal(18,4)")
+            .alias("unfilled_qty"),
+        )
+    )
 
 
 def _event_transition_backtest(spark: SparkSession, sf: str) -> DataFrame:

@@ -2189,3 +2189,74 @@ def transition_backtest(
             "CAST(acc_scaled AS BIGINT) AS acc_scaled",
         )
     )
+
+
+def fifo_allocate(
+    supply: DataFrame,
+    demand: DataFrame,
+    key_col: str,
+    time_col: str,
+    qty_col: str,
+    *,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantity-weighted FIFO matching made DECLARATIVE (the inventory
+    costing / lot-tracking primitive): per key, demand consumes supply
+    strictly oldest-first. The sequential walk every imperative
+    implementation does becomes two cumulative sums + one interval-
+    intersection join — supply row i owns the quantity interval
+    [cum_{i−1}, cum_i) on the key's FIFO axis, demand row j owns its
+    own interval, and every overlapping (supply, demand) interval pair
+    IS an allocation of exactly the overlap length. No recursion, no
+    per-key UDF loop; at 100 TB this is one key-hash shuffle per side
+    plus a per-key join whose output is provably ≤ n_supply +
+    n_demand − 1 rows per key (consecutive intervals — each
+    allocation closes at least one side's interval).
+
+    Exactness: quantities accumulate as DECIMAL(18,4); the overlap
+    ``least(hi,hi) − greatest(lo,lo)`` is exact decimal arithmetic.
+    Ordering is (time, *tiebreak_cols) — pass tiebreaks that make the
+    per-key order total or allocations are not reproducible. Unmatched
+    tails (excess demand or leftover supply) simply have no pair —
+    callers aggregate the shortfall as total − allocated.
+
+    Returns (key, supply_ts, demand_ts, qty_allocated) with one row
+    per overlapping pair."""
+    from pyspark.sql import Window
+
+    tb = tiebreak_cols or []
+
+    def cum(df: DataFrame, side: str) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(time_col), *[F.col(c) for c in tb]
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        q = F.col(qty_col).cast("decimal(18,4)")
+        return df.select(
+            F.col(key_col).alias("__k"),
+            F.col(time_col).alias(f"{side}_ts"),
+            q.alias("__q"),
+            F.sum(q).over(w).alias("__hi"),
+        ).select(
+            "__k",
+            f"{side}_ts",
+            (F.col("__hi") - F.col("__q")).alias(f"__{side}_lo"),
+            F.col("__hi").alias(f"__{side}_hi"),
+        )
+    s = cum(supply, "supply")
+    d = cum(demand, "demand")
+    return (
+        s.join(d, "__k")
+        .filter(
+            (F.col("__supply_lo") < F.col("__demand_hi"))
+            & (F.col("__demand_lo") < F.col("__supply_hi"))
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "supply_ts",
+            "demand_ts",
+            (
+                F.least("__supply_hi", "__demand_hi")
+                - F.greatest("__supply_lo", "__demand_lo")
+            ).alias("qty_allocated"),
+        )
+    )

@@ -1345,3 +1345,36 @@ def test_transition_backtest_argmax_and_unseen_types(spark):
     assert out["a"]["acc_scaled"] == 500_000
     assert out["z"]["predicted"] is None
     assert out["z"]["n_correct"] == 0 and out["z"]["acc_scaled"] == 0
+
+
+def test_fifo_allocate_interval_semantics(spark):
+    """Hand-built lots pin FIFO semantics: demand consumes supply
+    oldest-first across lot boundaries; the pair count per key is
+    <= n_s + n_d - 1; leftover supply and excess demand have no pair."""
+    from decimal import Decimal
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        fifo_allocate,
+    )
+
+    # key A: supply lots 10@t1, 5@t2; demand 8@t3, 6@t4 (total 14 of 15)
+    sup = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 5.0), ("B", 1, 3.0)],
+        "k string, t int, q double",
+    )
+    dem = spark.createDataFrame(
+        [("A", 3, 8.0), ("A", 4, 6.0), ("B", 9, 7.0)],
+        "k string, t int, q double",
+    )
+    out = fifo_allocate(sup, dem, "k", "t", "q").collect()
+    a = sorted(
+        [(r["supply_ts"], r["demand_ts"], float(r["qty_allocated"]))
+         for r in out if r["k"] == "A"]
+    )
+    # d1(8) takes 8 from lot1; d2(6) takes lot1's last 2 then 4 of lot2
+    assert a == [(1, 3, 8.0), (1, 4, 2.0), (2, 4, 4.0)]
+    assert len(a) <= 2 + 2 - 1
+    # key B: demand 7 > supply 3 -> one allocation of 3, shortfall 4
+    b = [(r["supply_ts"], r["demand_ts"], float(r["qty_allocated"]))
+         for r in out if r["k"] == "B"]
+    assert b == [(1, 9, 3.0)]
