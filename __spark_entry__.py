@@ -3616,6 +3616,75 @@ def _holt_oracle(series_sql: str, group: str, horizon: int) -> str:
     """
 
 
+def _hw_oracle(
+    series_sql: str, group: str, season: int, horizon: int,
+    t_name: str = "t",
+) -> str:
+    """Generated DuckDB oracle for temporal.holt_winters_forecast: the
+    identical integer-quantized α=β=γ=1/4 recursion as a recursive CTE
+    carrying the ``season`` seasonal slots as columns (s0..s{m-1});
+    slot selection/update are CASE expressions over the step index.
+    ``series_sql`` must yield (g, t, v DECIMAL(18,4))."""
+
+    def fd(a: str) -> str:
+        return f"CAST((({a}) - ((({a}) % 4 + 4) % 4)) / 4 AS BIGINT)"
+
+    m = season
+    slot = f"((s.i - 1) % {m})"
+    s_old = (
+        f"CASE {slot} "
+        + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(m))
+        + " END"
+    )
+    l_new = fd(f"(s.x_q - ({s_old})) + 3 * (r.l + r.b)")
+    b_new = fd(f"({l_new}) - r.l + 3 * r.b")
+    s_upd = fd(f"(s.x_q - ({l_new})) + 3 * ({s_old})")
+    seed_s = ", ".join(f"CAST(0 AS BIGINT) AS s{j}" for j in range(m))
+    step_s = ", ".join(
+        f"CASE WHEN {slot} = {j} THEN {s_upd} ELSE r.s{j} END AS s{j}"
+        for j in range(m)
+    )
+    out_slot = f"((i - 1) % {m})"
+    out_seasonal = (
+        f"CASE {out_slot} "
+        + " ".join(f"WHEN {j} THEN s{j}" for j in range(m))
+        + " END"
+    )
+    fh_slot = f"((i - 1 + {horizon}) % {m})"
+    out_fh_s = (
+        f"CASE {fh_slot} "
+        + " ".join(f"WHEN {j} THEN s{j}" for j in range(m))
+        + " END"
+    )
+    return rf"""
+        WITH RECURSIVE series AS ({series_sql}), seq AS (
+          SELECT g, t, CAST(v * 10000 AS BIGINT) AS x_q,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS i
+          FROM series
+        ), rec AS (
+          SELECT g, t, i, x_q, x_q AS l, CAST(0 AS BIGINT) AS b,
+                 {seed_s}, CAST(NULL AS BIGINT) AS pred
+          FROM seq WHERE i = 1
+          UNION ALL
+          SELECT s.g, s.t, s.i, s.x_q,
+                 {l_new} AS l,
+                 {b_new} AS b,
+                 {step_s},
+                 r.l + r.b + ({s_old}) AS pred
+          FROM rec r JOIN seq s ON s.g = r.g AND s.i = r.i + 1
+        )
+        SELECT g AS {group}, t AS {t_name},
+               CAST(x_q AS DOUBLE) / 10000.0 AS x,
+               CAST(l AS DOUBLE) / 10000.0 AS level,
+               CAST(b AS DOUBLE) / 10000.0 AS trend,
+               CAST(({out_seasonal}) AS DOUBLE) / 10000.0 AS seasonal,
+               CAST(pred AS DOUBLE) / 10000.0 AS one_step_pred,
+               CAST(l + {horizon} * b + ({out_fh_s}) AS DOUBLE)
+                   / 10000.0 AS forecast_h
+        FROM rec
+    """
+
+
 def _pii_audit_oracle() -> str:
     """UNION ALL of per-(table, column) counter aggregates mirroring
     profile.pii_audit over the same planted/raw inputs — patterns are
@@ -3809,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_neardups": _doc_tfidf_neardups,
         "event_transition_backtest": _event_transition_backtest,
         "part_fifo_allocation": _part_fifo_allocation,
+        "revenue_hw_forecast": _revenue_hw_forecast,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9367,6 +9437,18 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "revenue_hw_forecast": _hw_oracle(
+            r"""
+            SELECT 'all' AS g, CAST(o_orderdate AS DATE) AS t,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS v
+            FROM orders GROUP BY 1, 2
+            """,
+            "series",
+            7,
+            7,
+            t_name="d",
+        ),
         "part_fifo_allocation": r"""
             WITH s AS (
               SELECT l_partkey AS k, l_shipdate,
@@ -13333,6 +13415,28 @@ def _price_quantity_spearman_quantized(
         "l_quantity",
     )
     return profile.spearman_correlation(q, "price_bucket", "l_quantity")
+
+
+def _revenue_hw_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt-Winters additive forecast (r8): daily revenue with weekly
+    (season=7) seasonality, horizon 7 (temporal.holt_winters_forecast
+    — the dyadic α=β=γ=1/4 integer recursion; the seasonal completion
+    of revenue_holt_forecast). The whole trajectory — level, trend,
+    per-slot seasonal, one-step backtest column, 7-day-ahead forecast
+    — hash-checks against the recursive-CTE replay."""
+    (orders,) = _tables(spark, sf, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("v")
+        )
+        .withColumn("series", F.lit("all"))
+    )
+    return temporal.holt_winters_forecast(
+        daily, "series", "d", "v", season=7, horizon=7
+    )
 
 
 def _part_fifo_allocation(spark: SparkSession, sf: str) -> DataFrame:

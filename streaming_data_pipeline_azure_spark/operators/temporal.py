@@ -2260,3 +2260,129 @@ def fifo_allocate(
             ).alias("qty_allocated"),
         )
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    *,
+    season: int = 7,
+    horizon: int = 1,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (level +
+    trend + ``season``-slot seasonality) with α = β = γ = 1/4, in the
+    same EXACT INTEGER arithmetic as :func:`holt_forecast` — the
+    seasonal completion of the forecasting family (Holt tracks level
+    and slope; this also learns the weekly/whatever rhythm so the
+    one-step backtest stops paying the seasonal error every period).
+
+    Determinism devices (all shared with holt_forecast): DECIMAL(18,4)
+    ×10⁴ lossless quantization, dyadic smoothing via the portable
+    floor division fd(a) = (a − pmod(a,4))/4, sorted-array fold per
+    group (series bounded by the calendar), seed l₁ = x₁, b = 0,
+    s[·] = 0 — every engine computes the identical bit pattern, so
+    the whole trajectory is ORACLE-hash-checkable (the DuckDB twin is
+    a recursive CTE carrying the seasonal slots as columns).
+
+    Updates per step (slot = step index mod season, s = slot's value):
+        pred = l + b + s            (before seeing x_t)
+        l'   = fd((x_t − s) + 3·(l + b))
+        b'   = fd((l' − l) + 3·b)
+        s'   = fd((x_t − l') + 3·s)
+    Returns (group, t, x, level, trend, seasonal, one_step_pred,
+    forecast_h) with forecast_h = l' + horizon·b' + s_new[(slot +
+    horizon) mod season]."""
+    if season < 2:
+        raise ValueError("holt_winters_forecast needs season >= 2")
+    if horizon < 0:
+        raise ValueError("holt_winters_forecast needs horizon >= 0")
+    x_q = (
+        F.col(value_col).cast("decimal(18,4)") * F.lit(10000)
+    ).cast("long")
+    t_type = df.select(F.col(t_col)).schema[0].dataType.simpleString()
+    one_row = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).alias("__t"),
+        x_q.alias("__x"),
+    ).groupBy("g").agg(
+        F.sort_array(F.collect_list(F.struct("__t", "__x"))).alias("__s")
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("l"),
+        F.lit(None).cast("long").alias("b"),
+        F.array_repeat(F.lit(0).cast("long"), season).alias("s"),
+        F.array()
+        .cast(
+            f"array<struct<__t:{t_type},__x:long,l:long,b:long,"
+            "sv:long,pred:long,fh:long>>"
+        )
+        .alias("out"),
+    )
+
+    def fd4(a):
+        return ((a - F.pmod(a, F.lit(4))) / F.lit(4)).cast("long")
+
+    def step(acc, e):
+        seeded = acc["l"].isNotNull()
+        slot = F.pmod(F.size(acc["out"]), F.lit(season))
+        s_old = F.element_at(acc["s"], slot + F.lit(1))
+        l_new = F.when(
+            seeded,
+            fd4((e["__x"] - s_old) + F.lit(3) * (acc["l"] + acc["b"])),
+        ).otherwise(e["__x"])
+        b_new = F.when(
+            seeded, fd4((l_new - acc["l"]) + F.lit(3) * acc["b"])
+        ).otherwise(F.lit(0).cast("long"))
+        s_upd = F.when(
+            seeded, fd4((e["__x"] - l_new) + F.lit(3) * s_old)
+        ).otherwise(F.lit(0).cast("long"))
+        s_new = F.transform(
+            acc["s"],
+            lambda v, idx: F.when(idx == slot, s_upd).otherwise(v),
+        )
+        pred = F.when(seeded, acc["l"] + acc["b"] + s_old)
+        fh = (
+            l_new
+            + F.lit(horizon) * b_new
+            + F.element_at(
+                s_new,
+                F.pmod(slot + F.lit(horizon), F.lit(season)) + F.lit(1),
+            )
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_new.alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["__t"].alias("__t"),
+                        e["__x"].alias("__x"),
+                        l_new.alias("l"),
+                        b_new.alias("b"),
+                        s_upd.alias("sv"),
+                        pred.cast("long").alias("pred"),
+                        fh.cast("long").alias("fh"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = one_row.select(
+        "g", F.aggregate("__s", init, step)["out"].alias("__out")
+    )
+    dq = lambda c: c.cast("double") / F.lit(10000.0)  # noqa: E731
+    e = F.col("__e")
+    return folded.select("g", F.explode("__out").alias("__e")).select(
+        F.col("g").alias(group_col),
+        e["__t"].alias(t_col),
+        dq(e["__x"]).alias("x"),
+        dq(e["l"]).alias("level"),
+        dq(e["b"]).alias("trend"),
+        dq(e["sv"]).alias("seasonal"),
+        dq(e["pred"]).alias("one_step_pred"),
+        dq(e["fh"]).alias("forecast_h"),
+    )

@@ -1378,3 +1378,54 @@ def test_fifo_allocate_interval_semantics(spark):
     b = [(r["supply_ts"], r["demand_ts"], float(r["qty_allocated"]))
          for r in out if r["k"] == "B"]
     assert b == [(1, 9, 3.0)]
+
+
+def test_holt_winters_matches_reference_fold_and_learns_season(spark):
+    """The Spark fold must equal a plain-Python replay of the dyadic
+    recursion exactly (bit parity), and on a pure period-3 pattern the
+    one-step error must shrink once the seasonal slots have trained."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        holt_winters_forecast,
+    )
+
+    vals = [10.0, 20.0, 60.0] * 8  # strict period-3 signal
+    rows = [("g", i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = sorted(
+        holt_winters_forecast(
+            df, "g", "t", "v", season=3, horizon=3
+        ).collect(),
+        key=lambda r: r["t"],
+    )
+
+    def fd(a):
+        return (a - ((a % 4) + 4) % 4) // 4
+
+    l = b = None
+    s = [0, 0, 0]
+    ref = []
+    for i, v in enumerate(vals):
+        x = int(round(v * 10000))
+        slot = i % 3
+        if l is None:
+            l, b = x, 0
+            pred = None
+            s[slot] = 0
+        else:
+            pred = l + b + s[slot]
+            l_new = fd((x - s[slot]) + 3 * (l + b))
+            b = fd((l_new - l) + 3 * b)
+            s[slot] = fd((x - l_new) + 3 * s[slot])
+            l = l_new
+        ref.append((l, b, s[slot], pred))
+    for r, (rl, rb, rs, rp) in zip(out, ref):
+        assert round(r["level"] * 10000) == rl
+        assert round(r["trend"] * 10000) == rb
+        assert round(r["seasonal"] * 10000) == rs
+        if rp is None:
+            assert r["one_step_pred"] is None
+        else:
+            assert round(r["one_step_pred"] * 10000) == rp
+    # seasonality learned: late one-step abs errors < early ones
+    errs = [abs(r["one_step_pred"] - r["x"]) for r in out[1:]]
+    assert sum(errs[-6:]) < sum(errs[:6]) / 2
