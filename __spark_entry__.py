@@ -3879,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_backtest": _event_transition_backtest,
         "part_fifo_allocation": _part_fifo_allocation,
         "revenue_hw_forecast": _revenue_hw_forecast,
+        "revenue_forecast_anomalies": _revenue_forecast_anomalies,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9437,6 +9438,36 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "revenue_forecast_anomalies": f"""
+            WITH hw AS ({_hw_oracle(
+                '''
+            SELECT 'all' AS g, CAST(o_orderdate AS DATE) AS t,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS v
+            FROM orders GROUP BY 1, 2
+            ''',
+                "series", 7, 7, t_name="d",
+            )}),
+            base AS (
+              SELECT d, x, one_step_pred,
+                     x - one_step_pred AS r
+              FROM hw WHERE one_step_pred IS NOT NULL
+            ), rm AS (
+              SELECT (list(r ORDER BY r))[(COUNT(*) + 1) // 2]
+                         AS rmed
+              FROM base
+            ), wd AS (
+              SELECT base.*, abs(r - rm.rmed) AS ad
+              FROM base CROSS JOIN rm
+            ), md AS (
+              SELECT (list(ad ORDER BY ad))[(COUNT(*) + 1) // 2]
+                         AS mad
+              FROM wd
+            )
+            SELECT d, x, one_step_pred, r AS residual
+            FROM wd CROSS JOIN md
+            WHERE ad > 3.0 * md.mad
+        """,
         "revenue_hw_forecast": _hw_oracle(
             r"""
             SELECT 'all' AS g, CAST(o_orderdate AS DATE) AS t,
@@ -13436,6 +13467,18 @@ def _revenue_hw_forecast(spark: SparkSession, sf: str) -> DataFrame:
     )
     return temporal.holt_winters_forecast(
         daily, "series", "d", "v", season=7, horizon=7
+    )
+
+
+def _revenue_forecast_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast-residual anomalies (r8): days where daily revenue
+    breaks from the Holt-Winters one-step forecast by > 3 MADs of the
+    residual distribution (temporal.forecast_residual_anomalies over
+    _revenue_hw_forecast's trajectory — the model-residual member of
+    the anomaly ladder; level/trend/weekly rhythm never page). The
+    oracle replays the full HW recursion AND the residual-MAD flags."""
+    return temporal.forecast_residual_anomalies(
+        _revenue_hw_forecast(spark, sf), "d"
     )
 
 

@@ -2386,3 +2386,60 @@ def holt_winters_forecast(
         dq(e["pred"]).alias("one_step_pred"),
         dq(e["fh"]).alias("forecast_h"),
     )
+
+
+def forecast_residual_anomalies(
+    forecast: DataFrame,
+    t_col: str,
+    *,
+    x_col: str = "x",
+    pred_col: str = "one_step_pred",
+    z_mad: float = 3.0,
+) -> DataFrame:
+    """Forecast-based anomaly detection: flag the points whose
+    one-step-ahead forecast error is extreme — |residual − median| >
+    ``z_mad``·MAD — completing the anomaly family's ladder (rolling
+    z-score → calendar-median adjustment → CUSUM drift → Pettitt
+    changepoint → MODEL-RESIDUAL, the strongest member: whatever
+    structure the forecaster learned, level, trend or seasonality,
+    stops paging).
+
+    Takes any frame shaped like the forecasters' output ((t, x,
+    one_step_pred); seed rows with NULL predictions are skipped).
+    Determinism: the inputs are exact dyadic-recursion values rendered
+    as doubles, and every operation here — subtraction, sorted-array
+    lower-median pick, one multiply, one compare — is a single IEEE
+    op computed identically by any engine, so the flag set is
+    hash-checkable WITHOUT re-quantizing (a double→DECIMAL cast here
+    would be the non-portable step: Spark rounds, DuckDB truncates).
+    Medians buffer the calendar-bounded series (the sorted-array
+    contract). Returns flagged rows (t, x, one_step_pred, residual)
+    ordered by t."""
+    base = forecast.filter(F.col(pred_col).isNotNull()).select(
+        F.col(t_col).alias("__t"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(pred_col).cast("double").alias("__p"),
+        (F.col(x_col).cast("double") - F.col(pred_col).cast("double"))
+        .alias("__r"),
+    )
+
+    def lower_median(col):
+        arr = F.array_sort(F.collect_list(col))
+        return F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+
+    rmed = base.agg(lower_median(F.col("__r")).alias("__rmed"))
+    wd = base.join(F.broadcast(rmed)).withColumn(
+        "__ad", F.abs(F.col("__r") - F.col("__rmed"))
+    )
+    mad = wd.agg(lower_median(F.col("__ad")).alias("__mad"))
+    return (
+        wd.join(F.broadcast(mad))
+        .filter(F.col("__ad") > F.lit(z_mad) * F.col("__mad"))
+        .select(
+            F.col("__t").alias(t_col),
+            F.col("__x").alias("x"),
+            F.col("__p").alias("one_step_pred"),
+            F.col("__r").alias("residual"),
+        )
+        .orderBy(t_col)
+    )

@@ -1429,3 +1429,25 @@ def test_holt_winters_matches_reference_fold_and_learns_season(spark):
     # seasonality learned: late one-step abs errors < early ones
     errs = [abs(r["one_step_pred"] - r["x"]) for r in out[1:]]
     assert sum(errs[-6:]) < sum(errs[:6]) / 2
+
+
+def test_forecast_residual_anomalies_flags_planted_spike(spark):
+    """A spike the forecaster could not have predicted is flagged; the
+    seasonal pattern itself never pages; seed rows (NULL pred) are
+    skipped."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        forecast_residual_anomalies,
+        holt_winters_forecast,
+    )
+
+    vals = [10.0, 20.0, 60.0] * 10
+    vals[20] = 500.0  # planted spike
+    rows = [("g", i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    fc = holt_winters_forecast(df, "g", "t", "v", season=3)
+    out = forecast_residual_anomalies(fc, "t").collect()
+    flagged = {r["t"] for r in out}
+    assert 21 in flagged  # the spike (t is 1-based)
+    # the pure pattern's steady-state rows don't page (late rows after
+    # the model recovers)
+    assert not any(t >= 27 for t in flagged)
