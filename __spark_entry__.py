@@ -3880,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_fifo_allocation": _part_fifo_allocation,
         "revenue_hw_forecast": _revenue_hw_forecast,
         "revenue_forecast_anomalies": _revenue_forecast_anomalies,
+        "revenue_forecast_skill": _revenue_forecast_skill,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9438,6 +9439,35 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "revenue_forecast_skill": f"""
+            WITH hw AS ({_hw_oracle(
+                '''
+            SELECT 'all' AS g, CAST(o_orderdate AS DATE) AS t,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS v
+            FROM orders GROUP BY 1, 2
+            ''',
+                "series", 7, 7, t_name="d",
+            )}),
+            seq AS (
+              SELECT d, x, one_step_pred,
+                     ROW_NUMBER() OVER (ORDER BY d) AS i,
+                     LAG(x, 7) OVER (ORDER BY d) AS lag7
+              FROM hw
+            ), scored AS (
+              SELECT * FROM seq WHERE i >= 8
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   CAST(SUM(CAST(round(abs(x - one_step_pred) * 10000.0)
+                        AS HUGEINT)) AS BIGINT) AS hw_abs_err_q,
+                   CAST(SUM(CAST(round(abs(x - lag7) * 10000.0)
+                        AS HUGEINT)) AS BIGINT) AS naive_abs_err_q,
+                   CAST(SUM(CAST(round(abs(x - one_step_pred) * 10000.0)
+                        AS HUGEINT)) * 1000000
+                        // SUM(CAST(round(abs(x - lag7) * 10000.0)
+                           AS HUGEINT)) AS BIGINT) AS skill_scaled
+            FROM scored
+        """,
         "revenue_forecast_anomalies": f"""
             WITH hw AS ({_hw_oracle(
                 '''
@@ -13479,6 +13509,44 @@ def _revenue_forecast_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     oracle replays the full HW recursion AND the residual-MAD flags."""
     return temporal.forecast_residual_anomalies(
         _revenue_hw_forecast(spark, sf), "d"
+    )
+
+
+def _revenue_forecast_skill(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast skill score (r8): Holt-Winters one-step MAE over the
+    seasonal-naive (lag-7) MAE on the same daily-revenue series — the
+    MASE-style "is the model beating the free baseline" readout
+    (skill < 10^6 means yes). Scored only where BOTH forecasts exist
+    (t ≥ 8). Exactness: residuals are exact multiples of 10^-4
+    rendered as doubles; |r|·10^4 is within ulps of an integer, so
+    round() recovers the exact integer identically in both engines
+    (a cast would truncate the below-integer ulp cases) and the MAEs
+    accumulate as exact DECIMAL sums — skill is one floor-scaled
+    integer DIV."""
+    fc = _revenue_hw_forecast(spark, sf).select(
+        "d", "x", "one_step_pred"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d")
+    both = (
+        fc.withColumn("__i", F.row_number().over(w))
+        .withColumn("__lag7", F.lag("x", 7).over(w))
+        .filter(F.col("__i") >= 8)
+    )
+    q = lambda c: F.round(F.abs(c) * F.lit(10000.0)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(q(F.col("x") - F.col("one_step_pred"))).alias("__hw"),
+        F.sum(q(F.col("x") - F.col("__lag7"))).alias("__nv"),
+    ).selectExpr(
+        "n_scored",
+        "CAST(__hw AS BIGINT) AS hw_abs_err_q",
+        "CAST(__nv AS BIGINT) AS naive_abs_err_q",
+        "CAST(CAST(__hw * 1000000 AS DECIMAL(38,0)) DIV __nv "
+        "AS BIGINT) AS skill_scaled",
     )
 
 
