@@ -4176,6 +4176,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin — anchored by the oracle-green `bpe_top_pairs` round-0
         # statistic + hand-computed fixtures (tests/test_bpe.py)
         "bpe_merges": _bpe_merges,
+        # TextRank (r8): iterated-double pagerank over word
+        # co-occurrence — anchored by pagerank's numpy-parity/mass
+        # tests + the planted-centrality test (tests/test_corpus.py)
+        "textrank_keywords": lambda spark, sf: corpus.textrank_keywords(
+            _docs(spark, sf)
+        ),
         "embedding_whitening_stats": _embedding_whitening_stats,
         "copurchase_communities": _copurchase_communities,
     }

@@ -997,3 +997,75 @@ def rake_keywords(
         .orderBy(F.col("score_scaled").desc(), F.col("phrase").asc())
         .limit(top_k)
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    *,
+    window: int = 2,
+    k: int = 25,
+    n_iter: int = 10,
+    max_df_ratio: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph (words within ``window`` tokens
+    of each other share an edge) — the graph-centrality member of the
+    keyword family next to RAKE (degree/frequency phrase scores) and
+    tf-idf (corpus-contrastive term weights): a word matters if it
+    keeps company with words that matter.
+
+    Composition, not new machinery: tokens → within-window pair
+    edges via the band-join offset trick (one equi-join per offset,
+    never a per-doc cross join) → :func:`~..graph.pagerank` (the
+    anchored power iteration: numpy-parity, mass-conservation,
+    closed-form star tests) over xxhash64 word ids → top-``k`` by
+    (rank DESC, word ASC). Stopword-ish words (df·``max_df_ratio`` >
+    N) are dropped before pairing — the same quadratic-hub valve as
+    tf-idf near-dup, since a corpus-wide word co-occurs with
+    everything and carries no keyword signal. Short words (< 3 chars)
+    are dropped as classic TextRank does.
+
+    Rows-only verification (iterated double arithmetic — the pagerank
+    anchor note applies); a planted-graph test pins the centrality
+    ordering. Returns (word, rank)."""
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        pagerank,
+    )
+
+    tok = docs.select(
+        F.col("doc_id").alias("__doc"),
+        F.posexplode(_norm_tokens(text_col)).alias("__pos", "__w"),
+    ).filter(F.length("__w") >= 3)
+    n_docs = docs.count()
+    dfreq = tok.select("__doc", "__w").distinct().groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    kept = tok.join(
+        F.broadcast(
+            dfreq.filter(F.col("__df") * max_df_ratio <= n_docs)
+        ),
+        "__w",
+    ).select("__doc", "__pos", "__w", F.xxhash64("__w").alias("__id"))
+    edges = None
+    for off in range(1, window + 1):
+        a = kept.select(
+            "__doc", (F.col("__pos") + off).alias("__pos"),
+            F.col("__id").alias("src"),
+        )
+        b = kept.select("__doc", "__pos", F.col("__id").alias("dst"))
+        e = a.join(b, ["__doc", "__pos"]).select("src", "dst").filter(
+            F.col("src") != F.col("dst")
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=n_iter)
+    words = kept.select(F.col("__id").alias("id"), F.col("__w").alias("word")).distinct()
+    return (
+        ranks.join(words, "id")
+        .select("word", "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(k)
+    )

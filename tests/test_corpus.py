@@ -544,3 +544,26 @@ def test_rake_keywords_phrases_and_scores(spark):
     assert by_phrase["machine learning"]["n_occurrences"] == 1
     assert rows[0]["phrase"] == "machine learning corpus"
     assert rows[0]["n_words"] == 3
+
+
+def test_textrank_keywords_planted_centrality(spark):
+    """A planted hub word (co-occurring with many distinct content
+    words) must outrank peripheral words that only repeat inside one
+    pair; stopword-ish words (high df) are excluded entirely."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        textrank_keywords,
+    )
+
+    # 'nexus' co-occurs with 8 distinct partners across docs;
+    # 'loner'/'buddy' repeat only with each other; 'filler' words make
+    # N large enough that the df valve keeps content words (df*10<=N)
+    docs = [(i, f"nexus partner{i} padding{i}") for i in range(8)]
+    docs += [(100 + i, "loner buddy") for i in range(3)]
+    docs += [(200 + i, f"uniq{i}a uniq{i}b uniq{i}c") for i in range(70)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textrank_keywords(df, k=50, n_iter=10)
+    ranks = {r["word"]: r["rank"] for r in out.collect()}
+    assert "nexus" in ranks and "loner" in ranks
+    assert ranks["nexus"] > ranks["loner"]
+    # hub beats every single-pair word
+    assert ranks["nexus"] == max(ranks.values())
