@@ -4178,9 +4178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         # TextRank (r8): iterated-double pagerank over word
         # co-occurrence — anchored by pagerank's numpy-parity/mass
-        # tests + the planted-centrality test (tests/test_corpus.py)
+        # tests + the planted-centrality test (tests/test_corpus.py).
+        # max_df_ratio=1 disables the hub valve: the synthetic corpus
+        # draws from a ~30-word vocabulary where every content word is
+        # corpus-wide (a real corpus keeps the default valve)
         "textrank_keywords": lambda spark, sf: corpus.textrank_keywords(
-            _docs(spark, sf)
+            _docs(spark, sf), max_df_ratio=1
         ),
         "embedding_whitening_stats": _embedding_whitening_stats,
         "copurchase_communities": _copurchase_communities,
