@@ -3881,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_hw_forecast": _revenue_hw_forecast,
         "revenue_forecast_anomalies": _revenue_forecast_anomalies,
         "revenue_forecast_skill": _revenue_forecast_skill,
+        "customer_blocking_audit": _customer_blocking_audit,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9448,6 +9449,53 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "customer_blocking_audit": r"""
+            WITH base AS (
+              SELECT c_custkey AS id, c_name AS name FROM customer
+              WHERE c_custkey % 5 = 0 AND c_name IS NOT NULL
+            ), n AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+            ), keyed AS (
+              SELECT id,
+                     unnest(list_transform(range(0, len(name) + 1),
+                       i -> CASE WHEN i = 0 THEN name
+                            ELSE substr(name, 1, CAST(i - 1 AS INT))
+                                 || substr(name, CAST(i + 1 AS INT))
+                            END)) AS v
+              FROM base
+            ), cand AS (
+              SELECT DISTINCT a.id AS ia, b.id AS ib
+              FROM keyed a JOIN keyed b
+                ON a.v = b.v AND a.id < b.id
+            ), truth AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM base a JOIN base b ON a.id < b.id
+              WHERE levenshtein(a.name, b.name) <= 1
+            ), found AS (
+              SELECT c.ia, c.ib FROM cand c
+              JOIN base a ON a.id = c.ia
+              JOIN base b ON b.id = c.ib
+              WHERE levenshtein(a.name, b.name) <= 1
+            ), agg AS (
+              SELECT n.n AS n_records,
+                     n.n * (n.n - 1) // 2 AS n_all_pairs,
+                     (SELECT COUNT(*) FROM cand) AS n_candidates,
+                     (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+                     (SELECT COUNT(*) FROM found) AS n_found_pairs
+              FROM n
+            )
+            SELECT CAST(n_records AS BIGINT) AS n_records,
+                   CAST(n_all_pairs AS BIGINT) AS n_all_pairs,
+                   CAST(n_candidates AS BIGINT) AS n_candidates,
+                   CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+                   CAST(n_found_pairs AS BIGINT) AS n_found_pairs,
+                   CAST((n_all_pairs - n_candidates) * 1000000
+                        // n_all_pairs AS BIGINT) AS reduction_scaled,
+                   CAST(CASE WHEN n_true_pairs = 0 THEN 1000000
+                        ELSE n_found_pairs * 1000000 // n_true_pairs
+                        END AS BIGINT) AS completeness_scaled
+            FROM agg
+        """,
         "revenue_forecast_skill": f"""
             WITH hw AS ({_hw_oracle(
                 '''
@@ -13519,6 +13567,19 @@ def _revenue_forecast_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     return temporal.forecast_residual_anomalies(
         _revenue_hw_forecast(spark, sf), "d"
     )
+
+
+def _customer_blocking_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-quality audit (r8): reduction ratio + MEASURED pairs
+    completeness of the deletion-neighborhood blocker on a
+    deterministic customer audit sample (c_custkey % 5 == 0 — the
+    brute-force ground truth is O(n²) by design and belongs on a
+    bounded sample; linkage.blocking_audit). Expected reading:
+    completeness exactly 10^6 (FastSS completeness, now a monitored
+    number) with a large reduction ratio."""
+    (customer,) = _tables(spark, sf, "customer")
+    sample = customer.filter(F.col("c_custkey") % 5 == 0)
+    return linkage.blocking_audit(sample, "c_custkey", "c_name")
 
 
 def _revenue_forecast_skill(spark: SparkSession, sf: str) -> DataFrame:
