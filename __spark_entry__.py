@@ -3882,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast_anomalies": _revenue_forecast_anomalies,
         "revenue_forecast_skill": _revenue_forecast_skill,
         "customer_blocking_audit": _customer_blocking_audit,
+        "acctbal_lift_table": _acctbal_lift_table,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9449,6 +9450,39 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "acctbal_lift_table": r"""
+            WITH buyers AS (
+              SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            ), scored AS (
+              SELECT c.c_custkey, c.c_acctbal,
+                     CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END
+                         AS is_buyer
+              FROM customer c LEFT JOIN buyers b USING (c_custkey)
+            ), dec AS (
+              SELECT is_buyer,
+                     NTILE(10) OVER (ORDER BY c_acctbal DESC,
+                                     c_custkey ASC) AS decile
+              FROM scored
+            ), per AS (
+              SELECT decile, COUNT(*) AS n, SUM(is_buyer) AS n_buyers
+              FROM dec GROUP BY decile
+            ), cum AS (
+              SELECT decile, n, n_buyers,
+                     SUM(n) OVER (ORDER BY decile ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                     SUM(n_buyers) OVER (ORDER BY decile ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+                     SUM(n) OVER () AS tn,
+                     SUM(n_buyers) OVER () AS tb
+              FROM per
+            )
+            SELECT decile, CAST(n AS BIGINT) AS n,
+                   CAST(n_buyers AS BIGINT) AS n_buyers,
+                   CAST(CAST(cb AS HUGEINT) * tn * 1000000
+                        // (CAST(cn AS HUGEINT) * tb) AS BIGINT)
+                       AS cum_lift_scaled
+            FROM cum
+        """,
         "customer_blocking_audit": r"""
             WITH base AS (
               SELECT c_custkey AS id, c_name AS name FROM customer
@@ -13566,6 +13600,51 @@ def _revenue_forecast_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     oracle replays the full HW recursion AND the residual-MAD flags."""
     return temporal.forecast_residual_anomalies(
         _revenue_hw_forecast(spark, sf), "d"
+    )
+
+
+def _acctbal_lift_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift/gains table (r8): customers ranked by account
+    balance (the stand-in model score), outcome = placed ≥ 1 order —
+    per decile, the cumulative buyer rate over the base rate, the
+    exact table every targeting model ships with. NTILE over the
+    total order (balance DESC, custkey ASC — deterministic under
+    ties); lift is the exact integer ratio (cum_buyers·N·10^6) DIV
+    (cum_n·total_buyers). A lift ≈ 10^6 everywhere reads 'score
+    carries no signal' — the honest expectation on TPC-H's uniform
+    data, which is exactly what the diagnostic is for."""
+    customer, orders = _tables(spark, sf, "customer", "orders")
+    from pyspark.sql import Window
+
+    buyers = orders.select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct().withColumn("__b", F.lit(1))
+    scored = customer.join(buyers, "c_custkey", "left").select(
+        "c_custkey",
+        F.col("c_acctbal"),
+        F.coalesce(F.col("__b"), F.lit(0)).alias("is_buyer"),
+    )
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    dec = scored.withColumn("decile", F.ntile(10).over(w))
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_buyer").cast("long").alias("n_buyers"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    return per.select(
+        "decile", "n", "n_buyers",
+        F.sum("n").over(wc).alias("__cn"),
+        F.sum("n_buyers").over(wc).alias("__cb"),
+        F.sum("n").over(wt).alias("__tn"),
+        F.sum("n_buyers").over(wt).alias("__tb"),
+    ).selectExpr(
+        "decile", "n", "n_buyers",
+        "CAST(CAST(__cb AS DECIMAL(38,0)) * __tn * 1000000 "
+        "DIV (CAST(__cn AS DECIMAL(38,0)) * __tb) AS BIGINT) "
+        "AS cum_lift_scaled",
     )
 
 
