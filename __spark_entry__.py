@@ -3883,6 +3883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast_skill": _revenue_forecast_skill,
         "customer_blocking_audit": _customer_blocking_audit,
         "acctbal_lift_table": _acctbal_lift_table,
+        "nation_batch_effect": _clerk_batch_effect,
+        "price_median_ci": _price_median_ci,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9450,6 +9452,50 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoding_stats": _bpe_encoding_oracle(),
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
+        "nation_batch_effect": r"""
+            WITH per AS (
+              SELECT c_nationkey, COUNT(*) AS n,
+                     SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS s,
+                     SUM(CAST(o_totalprice AS DECIMAL(28,4))
+                         * CAST(o_totalprice AS DECIMAL(28,4))) AS ss
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1
+            ), q AS (
+              SELECT CAST(n AS HUGEINT) AS n,
+                     CAST(s * 10000 AS HUGEINT) AS sq,
+                     CAST(ss * 100000000 AS HUGEINT) AS ssq
+              FROM per
+            ), agg AS (
+              SELECT COUNT(*) AS n_clerks, SUM(n) AS N,
+                     SUM(sq) AS S, SUM(ssq) AS SS,
+                     SUM(sq * sq // n) AS B
+              FROM q
+            )
+            SELECT CAST(n_clerks AS BIGINT) AS n_groups,
+                   CAST(N AS BIGINT) AS n_orders,
+                   CAST((B - S * S // N) * 1000000
+                        // (SS - S * S // N) AS BIGINT) AS eta2_scaled
+            FROM agg
+        """,
+        "price_median_ci": r"""
+            WITH ranked AS (
+              SELECT l_extendedprice AS v,
+                     ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS r,
+                     COUNT(*) OVER () AS n
+              FROM lineitem
+            ), keyed AS (
+              SELECT v, r, n,
+                     CAST(FLOOR((n - 1.96 * sqrt(CAST(n AS DOUBLE)))
+                                / 2.0) AS BIGINT) AS k,
+                     CAST((n + 1) / 2 AS BIGINT) AS m
+              FROM ranked
+            )
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   MAX(CASE WHEN r = m THEN v END) AS median,
+                   MAX(CASE WHEN r = k THEN v END) AS ci_lo,
+                   MAX(CASE WHEN r = n + 1 - k THEN v END) AS ci_hi
+            FROM keyed
+        """,
         "acctbal_lift_table": r"""
             WITH buyers AS (
               SELECT DISTINCT o_custkey AS c_custkey FROM orders
@@ -13600,6 +13646,96 @@ def _revenue_forecast_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     oracle replays the full HW recursion AND the residual-MAD flags."""
     return temporal.forecast_residual_anomalies(
         _revenue_hw_forecast(spark, sf), "d"
+    )
+
+
+def _clerk_batch_effect(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-effect variance decomposition (r8): how much of order-
+    price variance sits BETWEEN customer nations vs within them — the one-way
+    ANOVA sum-of-squares split (SSB/SST), the data-quality diagnostic
+    that catches operator/batch/instrument effects before they leak
+    into models. Exact decimal sufficient sums per clerk (n, Σx, Σx²),
+    the squares expanded so no mean is materialized:
+    SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N and SST = Σx² − (Σx)²/N, compared
+    as one floor-scaled integer ratio of DECIMAL(38,x) products (the
+    η² effect size, scaled 10^6). On TPC-H's uniform nation assignment
+    the share reads ≈ group-count/N — pure noise, the null reading."""
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    # quantize each price to integer 10^-4 units FIRST (round, not
+    # cast — the exact-integer-valued double device), so every sum
+    # and product below is exact DECIMAL(38,0) integer arithmetic; a
+    # (38,8)-scaled Σx² multiplied back up would overflow Spark's
+    # 38-digit cap and silently lose precision (measured: η² read -47
+    # vs the true 1586 before this rewrite)
+    xq = F.round(F.col("o_totalprice") * F.lit(10000.0)).cast(
+        "decimal(38,0)"
+    )
+    per = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xq).alias("sq"),
+        F.sum(xq * xq).alias("ssq"),
+    )
+    # O(groups) bounded collect: Spark's DIV returns LONG, which the
+    # ~10^21 per-group sq^2/n quotients overflow (measured: B wrapped
+    # negative) — Python big-int arithmetic over the <=25 group rows
+    # is the exact and portable finalization
+    rows = per.collect()
+    n_groups = len(rows)
+    N = sum(int(r["n"]) for r in rows)
+    S = sum(int(r["sq"]) for r in rows)
+    SS = sum(int(r["ssq"]) for r in rows)
+    B = sum(int(r["sq"]) * int(r["sq"]) // int(r["n"]) for r in rows)
+    eta2 = (B - S * S // N) * 1_000_000 // (SS - S * S // N)
+    return spark.createDataFrame(
+        [(n_groups, N, eta2)],
+        "n_groups long, n_orders long, eta2_scaled long",
+    )
+
+
+def _price_median_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact order-statistic median CI (r8): the distribution-free
+    ~95% confidence interval for the median — bounds are the k-th and
+    (n+1−k)-th ORDER STATISTICS with k = floor((n − 1.96·√n)/2), the
+    binomial-based interval every nonparametric text ships (no
+    bootstrap resampling, no normality assumption; the bootstrap
+    entry covers the mean). Rank picks are exact; the only float is
+    1.96·√n computed once, identically IEEE in both engines, floored
+    into the integer rank. One value-grain rank window — the sorted
+    walk never leaves the engine."""
+    (li,) = _tables(spark, sf, "lineitem")
+    from pyspark.sql import Window
+
+    vals = li.select(F.col("l_extendedprice").alias("v"))
+    w = Window.orderBy("v")
+    ranked = vals.select(
+        "v",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    k = F.floor(
+        (F.col("n") - F.lit(1.96) * F.sqrt(F.col("n").cast("double")))
+        / F.lit(2.0)
+    ).cast("long")
+    med_r = ((F.col("n") + 1) / 2).cast("long")
+    return ranked.select(
+        "v", "r", "n",
+        k.alias("__k"),
+        med_r.alias("__m"),
+    ).agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("r") == F.col("__m"), F.col("v"))).alias(
+            "median"
+        ),
+        F.max(F.when(F.col("r") == F.col("__k"), F.col("v"))).alias(
+            "ci_lo"
+        ),
+        F.max(
+            F.when(F.col("r") == F.col("n") + 1 - F.col("__k"), F.col("v"))
+        ).alias("ci_hi"),
     )
 
 
