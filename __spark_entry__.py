@@ -13918,7 +13918,11 @@ def _order_hbos_outliers(spark: SparkSession, sf: str) -> DataFrame:
 
     Exactness: score ∝ Π N/f_i computed as the floor-scaled integer
     N³·10^6 DIV (f1·f2·f3) in DECIMAL(38,0) (N³·10^6 ≈ 10^22 at sf1 —
-    22 digits, exact; the HUGEINT mirror in the oracle). Top-20 by
+    22 digits, exact; the HUGEINT mirror in the oracle). Envelope
+    note: Spark's DIV returns LONG, so the QUOTIENT must stay under
+    2^63 — here it is ≤ N²·7·10^6-ish because the day-of-week bin
+    holds ≥ N/7 rows (at 10^9+ rows drop the scale factor or
+    finalize driver-side as nation_batch_effect does). Top-20 by
     (score DESC, orderkey ASC) — total order. Shape: three O(bins)
     count aggregates broadcast back onto one scan, one TakeOrdered."""
     (orders,) = _tables(spark, sf, "orders")
