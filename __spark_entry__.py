@@ -9532,7 +9532,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_blocking_audit": r"""
             WITH base AS (
               SELECT c_custkey AS id, c_name AS name FROM customer
-              WHERE c_custkey % 5 = 0 AND c_name IS NOT NULL
+              WHERE c_custkey % 20 = 0 AND c_name IS NOT NULL
             ), n AS (
               SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
             ), keyed AS (
@@ -13787,13 +13787,13 @@ def _acctbal_lift_table(spark: SparkSession, sf: str) -> DataFrame:
 def _customer_blocking_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Blocking-quality audit (r8): reduction ratio + MEASURED pairs
     completeness of the deletion-neighborhood blocker on a
-    deterministic customer audit sample (c_custkey % 5 == 0 — the
+    deterministic customer audit sample (c_custkey % 20 == 0 — the
     brute-force ground truth is O(n²) by design and belongs on a
     bounded sample; linkage.blocking_audit). Expected reading:
     completeness exactly 10^6 (FastSS completeness, now a monitored
     number) with a large reduction ratio."""
     (customer,) = _tables(spark, sf, "customer")
-    sample = customer.filter(F.col("c_custkey") % 5 == 0)
+    sample = customer.filter(F.col("c_custkey") % 20 == 0)
     return linkage.blocking_audit(sample, "c_custkey", "c_name")
 
 
