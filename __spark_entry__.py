@@ -3885,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_lift_table": _acctbal_lift_table,
         "nation_batch_effect": _clerk_batch_effect,
         "price_median_ci": _price_median_ci,
+        "revenue_runs_test": _revenue_runs_test,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9917,6 +9918,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s AS DECIMAL(38,0)) AS score_scaled
             FROM scored ORDER BY s DESC, v ASC LIMIT 1
         """,
+        "revenue_runs_test": r"""
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4)) AS v
+              FROM orders GROUP BY 1
+            ), med AS (
+              SELECT (list(v ORDER BY v))[(COUNT(*) + 1) // 2] AS m
+              FROM daily
+            ), signed AS (
+              SELECT d, CASE WHEN v > med.m THEN 1 ELSE 0 END AS s
+              FROM daily CROSS JOIN med
+            ), runs AS (
+              SELECT s,
+                     CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                               OR s != LAG(s) OVER (ORDER BY d)
+                          THEN 1 ELSE 0 END AS nr
+              FROM signed
+            )
+            SELECT CAST(SUM(s) AS BIGINT) AS n_above,
+                   CAST(SUM(1 - s) AS BIGINT) AS n_below,
+                   CAST(SUM(nr) AS BIGINT) AS n_runs,
+                   CAST(1000000 + CAST(2 AS HUGEINT) * SUM(s)
+                        * SUM(1 - s) * 1000000
+                        // (SUM(s) + SUM(1 - s)) AS BIGINT)
+                       AS expected_runs_scaled
+            FROM runs
+        """,
         "revenue_pettitt_changepoint": r"""
             WITH daily AS (
               SELECT CAST(o_orderdate AS DATE) AS d,
@@ -14098,6 +14127,57 @@ def _priority_price_stump(spark: SparkSession, sf: str) -> DataFrame:
         .alias("is_urgent"),
     )
     return features.gini_stump_split(feats, "price_bucket", "is_urgent")
+
+
+def _revenue_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (r8): is the daily-revenue series
+    random around its median, or does it cluster (trend/regime) or
+    alternate (overcorrection)? Days above the exact lower median form
+    the binary sequence; the statistic is the RUN count vs its exact
+    expectation 1 + 2·n1·n0/(n1+n0). Fewer runs than expected reads
+    'sticky regimes', more reads 'mean-reverting whipsaw' — the
+    randomness sanity check run before fitting any forecaster. All
+    integers; the expectation is a floor-scaled integer ratio. Days
+    EQUAL to the median count as below (a convention both engines
+    apply identically)."""
+    (orders,) = _tables(spark, sf, "orders")
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("v")
+    )
+    med = daily.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("v")),
+            ((F.size(F.array_sort(F.collect_list("v"))) + 1) / 2).cast(
+                "int"
+            ),
+        ).alias("__med")
+    )
+    signed = daily.join(F.broadcast(med)).select(
+        "d", (F.col("v") > F.col("__med")).cast("int").alias("s")
+    )
+    w = Window.orderBy("d")
+    runs = signed.select(
+        "s", F.lag("s").over(w).alias("__prev")
+    ).select(
+        F.col("s"),
+        (F.col("__prev").isNull() | (F.col("s") != F.col("__prev")))
+        .cast("long")
+        .alias("__new_run"),
+    )
+    return runs.agg(
+        F.sum(F.col("s").cast("long")).cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("s").cast("long"))
+        .cast("long")
+        .alias("n_below"),
+        F.sum("__new_run").cast("long").alias("n_runs"),
+    ).selectExpr(
+        "n_above", "n_below", "n_runs",
+        "CAST(1000000 + CAST(2 AS DECIMAL(38,0)) * n_above * n_below "
+        "* 1000000 DIV (n_above + n_below) AS BIGINT) "
+        "AS expected_runs_scaled",
+    )
 
 
 def _revenue_pettitt_changepoint(spark: SparkSession, sf: str) -> DataFrame:
