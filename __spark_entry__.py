@@ -3886,6 +3886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_batch_effect": _clerk_batch_effect,
         "price_median_ci": _price_median_ci,
         "revenue_runs_test": _revenue_runs_test,
+        "customer_l_diversity": _customer_l_diversity,
+        "customer_t_closeness": _customer_t_closeness,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9530,6 +9532,62 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_lift_scaled
             FROM cum
         """,
+        "customer_l_diversity": r"""
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT
+                        CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT))
+                        AS BIGINT) AS n_sensitive_values
+            FROM customer
+            GROUP BY 1, 2
+            HAVING COUNT(DISTINCT
+                   CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT)) < 6
+        """,
+        "customer_t_closeness": r"""
+            WITH prepped AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS v
+              FROM customer
+            ), cell AS (
+              SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c
+              FROM prepped GROUP BY 1, 2, 3
+            ), gdist AS (
+              SELECT v, COUNT(*) AS gc FROM prepped GROUP BY 1
+            ), groups AS (
+              SELECT c_nationkey, c_mktsegment, SUM(c) AS ng
+              FROM cell GROUP BY 1, 2
+            ), grid AS (
+              SELECT g.c_nationkey, g.c_mktsegment, gd.v, g.ng, gd.gc,
+                     COALESCE(cell.c, 0) AS c
+              FROM groups g CROSS JOIN gdist gd
+              LEFT JOIN cell ON cell.c_nationkey = g.c_nationkey
+                            AND cell.c_mktsegment = g.c_mktsegment
+                            AND cell.v = gd.v
+            ), cum AS (
+              SELECT c_nationkey, c_mktsegment, ng,
+                     SUM(c) OVER (PARTITION BY c_nationkey,
+                         c_mktsegment ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg,
+                     SUM(gc) OVER (PARTITION BY c_nationkey,
+                         c_mktsegment ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cumall,
+                     SUM(gc) OVER (PARTITION BY c_nationkey,
+                         c_mktsegment) AS N,
+                     COUNT(*) OVER (PARTITION BY c_nationkey,
+                         c_mktsegment) AS nvals
+              FROM grid
+            )
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(MAX(ng) AS BIGINT) AS n_rows,
+                   CAST(SUM(ABS(CAST(cumg AS HUGEINT) * N
+                                - CAST(cumall AS HUGEINT) * ng))
+                        * 1000000
+                        // (CAST(MAX(ng) AS HUGEINT) * MAX(N)
+                            * (MAX(nvals) - 1)) AS BIGINT)
+                       AS emd_scaled
+            FROM cum GROUP BY 1, 2
+        """,
         "customer_blocking_audit": r"""
             WITH base AS (
               SELECT c_custkey AS id, c_name AS name FROM customer
@@ -13810,6 +13868,43 @@ def _acctbal_lift_table(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(CAST(__cb AS DECIMAL(38,0)) * __tn * 1000000 "
         "DIV (CAST(__cn AS DECIMAL(38,0)) * __tb) AS BIGINT) "
         "AS cum_lift_scaled",
+    )
+
+
+def _customer_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (r8): QI groups (nation × segment) whose
+    account-balance BUCKET (2000-unit bins — the ordered sensitive
+    attribute) takes fewer than 6 distinct values
+    (validate.l_diversity_violations). The attack k-anonymity misses:
+    a large group is no protection if everyone in it shares the
+    sensitive value. Completes the release-audit trio with
+    customer_k_anonymity and customer_t_closeness."""
+    (customer,) = _tables(spark, sf, "customer")
+    prepped = customer.withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long"),
+    )
+    return validate.l_diversity_violations(
+        prepped, ["c_nationkey", "c_mktsegment"], "bal_bucket", 6
+    )
+
+
+def _customer_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit (r8): per QI group (nation × segment), the
+    exact 1-D Earth Mover's Distance between the group's
+    balance-bucket distribution and the global one
+    (validate.t_closeness_report — EMD on an ordered domain is the
+    sum of absolute cumulative differences, integer
+    cross-multiplication throughout). The strongest member of the
+    release-audit trio: it bounds what a group label LEAKS about the
+    sensitive distribution even when k and l pass."""
+    (customer,) = _tables(spark, sf, "customer")
+    prepped = customer.withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long"),
+    )
+    return validate.t_closeness_report(
+        prepped, ["c_nationkey", "c_mktsegment"], "bal_bucket"
     )
 
 

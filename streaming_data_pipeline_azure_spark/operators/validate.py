@@ -711,3 +711,122 @@ def temporal_split_report(
             " DIV n_test AS BIGINT)"
         ).alias("seen_test_share_scaled"),
     )
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): every
+    quasi-identifier group whose SENSITIVE attribute takes fewer than
+    ``l`` distinct values — the attack k-anonymity misses entirely (a
+    100-member group is useless anonymity if all 100 share one
+    diagnosis; the attacker learns the sensitive value without
+    re-identifying anyone). The companion audit to
+    :func:`k_anonymity_violations`; run both before a release.
+
+    One QI-grain aggregation (count + countDistinct — two shuffles
+    fused by the planner into one grouping). Returns the violating
+    groups: (quasi…, n_rows, n_sensitive_values)."""
+    if l < 2:
+        raise ValueError("l_diversity_violations needs l >= 2")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(sensitive_col)
+            .cast("long")
+            .alias("n_sensitive_values"),
+        )
+        .filter(F.col("n_sensitive_values") < l)
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) for an ORDERED sensitive
+    attribute: per quasi-identifier group, the Earth Mover's Distance
+    between the group's sensitive-value distribution and the global
+    one — the strongest of the release-audit trio (k-anonymity counts
+    members, l-diversity counts distinct values, t-closeness bounds
+    how much the group's sensitive DISTRIBUTION leaks). Groups with
+    large emd_scaled need generalizing even when k and l pass.
+
+    Exactness: on a 1-D ordered domain EMD is the sum of absolute
+    CUMULATIVE differences — and with integer counts that is
+    Σ_v |cum_g(v)·N − Cum(v)·n_g| over the common denominator n_g·N,
+    all integer cross-multiplication, floor-scaled once (the TVD
+    device, upgraded with ordering; normalized by the value-domain
+    span so emd_scaled ∈ [0, scale]). Shape: one (QI, value) grain
+    aggregation, one value-ordered cumulative window per group over
+    the DISTINCT-VALUE grain, one O(values) global frame broadcast.
+    Sensitive values should be pre-bucketed to a bounded ordered
+    domain (the caller owns quantization — the histogram-grain
+    contract). Returns (quasi…, n_rows, emd_scaled)."""
+    from pyspark.sql import Window
+
+    qi = [F.col(c) for c in quasi_cols]
+    cell = df.groupBy(*quasi_cols, F.col(sensitive_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    glob = (
+        df.groupBy(F.col(sensitive_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__gc"))
+    )
+    # every (group, value) cell INCLUDING values absent from a group
+    groups = cell.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("long").alias("__ng")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(glob))
+        .join(cell, [*quasi_cols, "__v"], "left")
+        .select(
+            *qi,
+            "__v",
+            "__ng",
+            F.col("__gc"),
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+        )
+    )
+    w = Window.partitionBy(*quasi_cols).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy(*quasi_cols)
+    d = "decimal(38,0)"
+    cum = grid.select(
+        *qi,
+        "__ng",
+        F.sum("__c").over(w).cast(d).alias("__cumg"),
+        F.sum("__gc").over(w).cast(d).alias("__cumall"),
+        F.sum("__gc").over(wt).cast(d).alias("__N"),
+        F.count(F.lit(1)).over(wt).cast(d).alias("__nvals"),
+    )
+    term = F.abs(
+        F.col("__cumg") * F.col("__N")
+        - F.col("__cumall") * F.col("__ng").cast(d)
+    )
+    return (
+        cum.groupBy(*quasi_cols)
+        .agg(
+            F.max("__ng").cast("long").alias("n_rows"),
+            F.sum(term).alias("__num"),
+            F.max("__N").alias("__NN"),
+            F.max("__nvals").alias("__nv"),
+        )
+        .selectExpr(
+            *quasi_cols,
+            "n_rows",
+            # normalize by (n_values - 1) ordered steps so a group
+            # concentrated at one extreme vs the other reads `scale`
+            f"CAST(CAST(__num * {scale} AS DECIMAL(38,0)) "
+            "DIV (CAST(n_rows AS DECIMAL(38,0)) * __NN "
+            "* (__nv - 1)) AS BIGINT) AS emd_scaled",
+        )
+    )

@@ -343,3 +343,43 @@ def test_temporal_split_report_counts_and_leakage(spark):
     assert r["entities_both"] == 1
     assert r["seen_entity_test_rows"] == 1
     assert r["seen_test_share_scaled"] == 333_333
+
+
+def test_l_diversity_and_t_closeness_semantics(spark):
+    """Planted groups pin the trio's division of labor: a LARGE group
+    with one sensitive value passes k-anonymity but fails l-diversity;
+    a group matching the global mix scores EMD 0; a group concentrated
+    at one extreme scores the maximum scale."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators import validate
+
+    rows = []
+    # group A: 10 members, all sensitive value 0 (l-violation)
+    rows += [("A", 0) for _ in range(10)]
+    # group B: 10 members, uniform over {0, 1} (diverse)
+    rows += [("B", v % 2) for v in range(10)]
+    df = spark.createDataFrame(rows, "qi string, s int")
+    viol = validate.l_diversity_violations(df, ["qi"], "s", 2).collect()
+    assert [(r["qi"], r["n_sensitive_values"]) for r in viol] == [("A", 1)]
+    with _pytest.raises(ValueError, match="l >= 2"):
+        validate.l_diversity_violations(df, ["qi"], "s", 1)
+    # t-closeness: global is A(all 0) + B(half/half) = 15 zeros, 5 ones
+    out = {
+        r["qi"]: r["emd_scaled"]
+        for r in validate.t_closeness_report(df, ["qi"], "s").collect()
+    }
+    # exact: EMD(A) = |10*20 - 15*10| / (10*20*(2-1)) = 50/200 = 0.25
+    assert out["A"] == 250_000
+    # EMD(B) = |5*20 - 15*10|/200 = 50/200 = 0.25 (B is the mirror)
+    assert out["B"] == 250_000
+    # a group that IS the global mix scores 0
+    df2 = spark.createDataFrame(
+        [("C", v % 2) for v in range(10)] + [("D", v % 2) for v in range(10)],
+        "qi string, s int",
+    )
+    out2 = {
+        r["qi"]: r["emd_scaled"]
+        for r in validate.t_closeness_report(df2, ["qi"], "s").collect()
+    }
+    assert out2 == {"C": 0, "D": 0}
