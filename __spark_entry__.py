@@ -3888,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_runs_test": _revenue_runs_test,
         "customer_l_diversity": _customer_l_diversity,
         "customer_t_closeness": _customer_t_closeness,
+        "embedding_truncation_recall": _embedding_truncation_recall,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9532,6 +9533,57 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_lift_scaled
             FROM cum
         """,
+        "embedding_truncation_recall": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       embedding::DOUBLE[] AS qv,
+                       (embedding::DOUBLE[])[1:16] AS qt
+                FROM embeddings WHERE vec_id < 20
+            ), fscored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_aggregate(list_transform(
+                           list_zip(e.embedding::DOUBLE[], qv),
+                           x -> x[1] * x[2]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(
+                              list_zip(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[]),
+                              x -> x[1] * x[2]), 'sum'))
+                          * sqrt(list_aggregate(list_transform(
+                              list_zip(qv, qv), x -> x[1] * x[2]),
+                              'sum'))) AS score
+                FROM embeddings e, q
+            ), full_top AS (
+                SELECT query_id, vec_id FROM fscored
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) <= 10
+            ), tscored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_aggregate(list_transform(
+                           list_zip((e.embedding::DOUBLE[])[1:16], qt),
+                           x -> x[1] * x[2]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(
+                              list_zip((e.embedding::DOUBLE[])[1:16],
+                                       (e.embedding::DOUBLE[])[1:16]),
+                              x -> x[1] * x[2]), 'sum'))
+                          * sqrt(list_aggregate(list_transform(
+                              list_zip(qt, qt), x -> x[1] * x[2]),
+                              'sum'))) AS score
+                FROM embeddings e, q
+            ), trunc_top AS (
+                SELECT query_id, vec_id FROM tscored
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) <= 10
+            )
+            SELECT f.query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_overlap,
+                   CAST(COUNT(*) * 100000 AS BIGINT) AS recall_scaled
+            FROM full_top f
+            JOIN trunc_top t
+              ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+            GROUP BY f.query_id
+        """,
         "customer_l_diversity": r"""
             SELECT c_nationkey, c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -13868,6 +13920,44 @@ def _acctbal_lift_table(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(CAST(__cb AS DECIMAL(38,0)) * __tn * 1000000 "
         "DIV (CAST(__cn AS DECIMAL(38,0)) * __tb) AS BIGINT) "
         "AS cum_lift_scaled",
+    )
+
+
+def _embedding_truncation_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style dimension-ablation eval (r8): for 20 query
+    vectors, the exact top-10 cosine neighbors computed on the FULL
+    embedding vs on the first 16 dimensions only, and the per-query
+    overlap — the measurement behind 'can we serve at quarter width?'
+    decisions (truncation halves memory twice; this quantifies the
+    recall it costs on THIS corpus). Pure composition of the
+    oracle-green multiquery machinery on sliced vectors; the overlap
+    counts are integers, so the readout is float-free even though the
+    rankings are cosine-based. Returns (query_id, n_overlap,
+    recall_scaled)."""
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = similarity.multiquery_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    trunc_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc_q = queries.select(
+        "query_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc = similarity.multiquery_topk(trunc_emb, trunc_q, k=10).select(
+        "query_id", "vec_id"
+    )
+    return (
+        full.join(trunc, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .selectExpr(
+            "query_id", "n_overlap",
+            "CAST(n_overlap * 100000 AS BIGINT) AS recall_scaled",
+        )
     )
 
 
