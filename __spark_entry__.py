@@ -3889,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_l_diversity": _customer_l_diversity,
         "customer_t_closeness": _customer_t_closeness,
         "embedding_truncation_recall": _embedding_truncation_recall,
+        "brand_mix_stability": _brand_mix_stability,
         # ---- last driver-green r6 (remainder) ----
         "forecast_revenue_change": _forecast_revenue_change,
         "priority_sample_per_priority": _priority_sample_per_priority,
@@ -9533,6 +9534,41 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_lift_scaled
             FROM cum
         """,
+        "brand_mix_stability": r"""
+            WITH cells AS (
+              SELECT CAST(date_trunc('week', l_shipdate) AS DATE)
+                         AS week,
+                     p_brand AS brand, COUNT(*) AS n
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2
+            ), weeks AS (
+              SELECT week, SUM(n) AS nw FROM cells GROUP BY 1
+            ), pairs AS (
+              SELECT week, nw,
+                     LAG(week) OVER (ORDER BY week) AS prev_week,
+                     LAG(nw) OVER (ORDER BY week) AS nprev
+              FROM weeks
+              QUALIFY prev_week IS NOT NULL
+            ), brands AS (
+              SELECT DISTINCT brand FROM cells
+            ), grid AS (
+              SELECT p.week, p.prev_week, p.nw, p.nprev, b.brand,
+                     COALESCE(c1.n, 0) AS nc, COALESCE(c0.n, 0) AS np
+              FROM pairs p CROSS JOIN brands b
+              LEFT JOIN cells c1
+                ON c1.week = p.week AND c1.brand = b.brand
+              LEFT JOIN cells c0
+                ON c0.week = p.prev_week AND c0.brand = b.brand
+            )
+            SELECT prev_week, week,
+                   CAST(MAX(nprev) AS BIGINT) AS n_prev,
+                   CAST(MAX(nw) AS BIGINT) AS n_cur,
+                   CAST(SUM(ABS(CAST(nc AS HUGEINT) * nprev
+                                - CAST(np AS HUGEINT) * nw)) * 1000000
+                        // (2 * CAST(MAX(nprev) AS HUGEINT) * MAX(nw))
+                        AS BIGINT) AS tvd_scaled
+            FROM grid GROUP BY 1, 2
+        """,
         "embedding_truncation_recall": """
             WITH q AS (
                 SELECT vec_id AS query_id,
@@ -13920,6 +13956,78 @@ def _acctbal_lift_table(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(CAST(__cb AS DECIMAL(38,0)) * __tn * 1000000 "
         "DIV (CAST(__cn AS DECIMAL(38,0)) * __tb) AS BIGINT) "
         "AS cum_lift_scaled",
+    )
+
+
+def _brand_mix_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week brand-mix drift (r8): for each adjacent pair of
+    order weeks, the exact total-variation distance between the two
+    weeks' brand revenue-count mixes — the TIME-SERIES arm of the TVD
+    device (source_lang_tvd compares slices to the corpus; this
+    monitors the mix's trajectory, the alert a merchandising pipeline
+    wants). Integer cross-multiplication over the (week, brand) count
+    grid with both weeks' brand sets unioned (absent brands count 0);
+    floor-scaled once. Weeks keyed by ISO year-week start date."""
+    li, part = _tables(spark, sf, "lineitem", "part")
+    wk = F.date_trunc("week", F.col("l_shipdate")).cast("date")
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(wk.alias("week"), F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    weeks = cells.groupBy("week").agg(F.sum("n").alias("nw"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("week")
+    pairs = weeks.select(
+        "week",
+        "nw",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lag("nw").over(w).alias("nprev"),
+    ).filter(F.col("prev_week").isNotNull())
+    brands = cells.select("brand").distinct()
+    grid = (
+        pairs.crossJoin(F.broadcast(brands))
+        .join(
+            cells.select(
+                F.col("week"), F.col("brand"), F.col("n").alias("nc")
+            ),
+            ["week", "brand"],
+            "left",
+        )
+        .join(
+            cells.select(
+                F.col("week").alias("prev_week"),
+                F.col("brand"),
+                F.col("n").alias("np"),
+            ),
+            ["prev_week", "brand"],
+            "left",
+        )
+        .select(
+            "week", "prev_week", "nw", "nprev",
+            F.coalesce(F.col("nc"), F.lit(0)).alias("nc"),
+            F.coalesce(F.col("np"), F.lit(0)).alias("np"),
+        )
+    )
+    d = "decimal(38,0)"
+    term = F.abs(
+        F.col("nc").cast(d) * F.col("nprev").cast(d)
+        - F.col("np").cast(d) * F.col("nw").cast(d)
+    )
+    return (
+        grid.groupBy("prev_week", "week")
+        .agg(
+            F.max("nprev").cast("long").alias("n_prev"),
+            F.max("nw").cast("long").alias("n_cur"),
+            F.sum(term).alias("__num"),
+        )
+        .selectExpr(
+            "prev_week", "week", "n_prev", "n_cur",
+            "CAST(CAST(__num * 1000000 AS DECIMAL(38,0)) "
+            "DIV (2 * CAST(n_prev AS DECIMAL(38,0)) * n_cur) "
+            "AS BIGINT) AS tvd_scaled",
+        )
     )
 
 
