@@ -3775,8 +3775,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #               + 43 oldest (last driver-green r4)  -> 50
     #     r7 window (AS BUILT): 50 r7-new oracle entries (the round
     #               produced 52; the 2 newest overflow to r8's front)
-    #     r8 window: [r8-new] + remaining r5-green (source_mirror_overlap
-    #               … segments_above_avg) + oldest r6-green
+    #     r8 window (AS BUILT): 10 r8-new oracle entries + the first
+    #               40 of the VERDICT-named r5-green block; the block
+    #               tail (embedding_array_stats … segments_above_avg),
+    #               the r6-green backfill, and ~14 further r8-new
+    #               overflow entries sit just past the boundary
+    #     r9 window: [r9-new] + the displaced r5 tail + r6-green
+    #               + the r8 overflow section + the never-driver-seen
+    #               r7 overflow (embedding_covariance_matrix …), in
+    #               the dict order below
     #   scripts/check_correctness.py still verifies ALL oracle entries
     #   locally each round (run with no args) regardless of the window.
     #
