@@ -3793,7 +3793,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the r6 window is labeled r6 on the assumption it ran; if r6
     # artifacts never materialize, those entries are still covered by
     # the full local scripts/check_correctness.py gate every round.
-    return {
+    #
+    # r9 MECHANISM CHANGE: the window is now the explicit _R9_WINDOW
+    # list below (reordered at return time) instead of hand-shuffled
+    # literal positions — the base dict keeps its historical section
+    # comments; _R9_WINDOW overrides presentation order only.
+    base = {
         # ---- r8 WINDOW (VERDICT r7 #1): [r8-new oracle entries, inserted
         # here as added] + the remaining r5-green block (source_mirror_overlap
         # ... segments_above_avg, 45 entries) + oldest r6-green backfill to 50.
@@ -4204,6 +4209,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_whitening_stats": _embedding_whitening_stats,
         "copurchase_communities": _copurchase_communities,
     }
+    out = {k: base[k] for k in _R9_WINDOW}
+    out.update({k: v for k, v in base.items() if k not in out})
+    return out
+
+
+# r9 driver window (VERDICT r8 #1/#2): position 1 is the mandatory
+# priority_price_stump re-check (the r8 driver-red the judge could not
+# reproduce — 12 consecutive local session runs green this round, see
+# NOTES_r9); positions 2-50 are the 49 OLDEST never-driver-checked
+# oracle entries (judge ledger: 134 such entries across r1-r8), in
+# their stable base-dict order. r9-new entries go at the dict TAIL per
+# the directive; the remaining 85 never-checked entries rotate in r10+.
+_R9_WINDOW = [
+    "priority_price_stump",
+    "fuzzy_pairs_depth2_stats",
+    "brand_yearly_revenue",
+    "promo_revenue_share",
+    "top_suppliers",
+    "shipping_priority",
+    "order_hbos_outliers",
+    "doc_tfidf_neardups",
+    "event_transition_backtest",
+    "part_fifo_allocation",
+    "revenue_hw_forecast",
+    "revenue_forecast_anomalies",
+    "revenue_forecast_skill",
+    "customer_blocking_audit",
+    "acctbal_lift_table",
+    "nation_batch_effect",
+    "price_median_ci",
+    "revenue_runs_test",
+    "customer_l_diversity",
+    "customer_t_closeness",
+    "embedding_truncation_recall",
+    "brand_mix_stability",
+    "forecast_revenue_change",
+    "priority_sample_per_priority",
+    "bm25_search_all",
+    "events_debounced",
+    "phrase_search",
+    "incremental_order_stats",
+    "events_hopping",
+    "referential_checks",
+    "user_value_twap",
+    "top_return_customers",
+    "training_export_stats",
+    "price_position_stats",
+    "embedding_covariance_matrix",
+    "order_fulfillment_survival",
+    "customer_rfm_segments",
+    "orders_checksum",
+    "priority_status_chi2",
+    "customer_er_clusters",
+    "customer_k_anonymity",
+    "order_price_bootstrap_ci",
+    "revenue_autocorrelation",
+    "event_predictability",
+    "source_concentration",
+    "funnel_latency_percentiles",
+    "url_canonical_dedup",
+    "label_embedding_drift",
+    "event_value_ohlc",
+    "attribution_position_credits",
+]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -81,16 +81,24 @@ def main() -> int:
             f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} hash "
             f"{'=' if ok_hash else f'{sh} vs {dh}'}"
         )
-        if not ok_hash and ok_cols and ok_count:
-            # show first differing canonical row for debugging
+        if status == "FAIL":
+            # VERDICT r8 #1: on ANY mismatch dump both engines' canonical
+            # rows (first 3 differing + totals) so a one-row divergence
+            # like the r8 priority_price_stump driver-red is self-evident
+            # from the gate log alone.
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
             order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
             cs = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
             cd = sorted("|".join(canon(r[i]) for i in order_d) for r in drows)
-            for a, b in zip(cs, cd):
+            shown = 0
+            for i in range(max(len(cs), len(cd))):
+                a = cs[i] if i < len(cs) else "<absent>"
+                b = cd[i] if i < len(cd) else "<absent>"
                 if a != b:
                     print(f"    spark: {a}\n    duck : {b}")
-                    break
+                    shown += 1
+                    if shown >= 3:
+                        break
     print("FAILURES:", failures)
     return 1 if failures else 0
 
