@@ -1996,11 +1996,21 @@ def mmr_rerank(
     By contract this consumes a top-N probe result (brute-force,
     IVF/IVF-PQ, BM25+RRF), so the candidate set is small and BOUNDED:
     the collect is `_collect_bounded` (≤ ``max_candidates``, contract
-    error beyond) and the greedy loop is O(k·N·d) numpy on the driver
-    — the same boundedness argument as the probe's own top-N collect.
-    Deterministic: ties break to the smaller id. Returns the selected
-    rows as a list of (id, score, mmr_score) tuples, best-first."""
-    import numpy as np
+    error beyond) and the greedy loop is O(k·N·d) on the driver — the
+    same boundedness argument as the probe's own top-N collect.
+    Deterministic: ties break to the smaller id.
+
+    Arithmetic is PORTABLE-SEQUENTIAL since r9 (pure-Python IEEE
+    doubles, left-to-right accumulation — no BLAS): every norm, dot
+    and score is then a fixed sequence of correctly-rounded ops a SQL
+    engine replays bit-for-bit, which is what upgraded the
+    ``mmr_diverse_topk`` entry from rows-only to a full recursive-CTE
+    DuckDB oracle. At N ≤ 512, d = 64 the O(k·N·d) loop is
+    microseconds; the numpy path saved nothing.
+
+    Returns the selected rows as (id, score, mmr_score) tuples,
+    best-first."""
+    import math
 
     rows = _collect_bounded(
         candidates.select(id_col, vec_col, score_col),
@@ -2014,25 +2024,45 @@ def mmr_rerank(
     rows = sorted(rows, key=lambda r: r[id_col])  # collect order is not
     # deterministic across partitions; id order makes tie-breaks pure
     ids = [r[id_col] for r in rows]
-    rel = np.array([float(r[score_col]) for r in rows])
-    X = np.array([[float(x) for x in r[vec_col]] for r in rows])
-    n = np.linalg.norm(X, axis=1)
-    n[n == 0] = 1.0
-    X = X / n[:, None]
-    sims = X @ X.T
+    rel = [float(r[score_col]) for r in rows]
+    X = [[float(x) for x in r[vec_col]] for r in rows]
+
+    def _sqsum(v: list) -> float:
+        s = 0.0
+        for x in v:
+            s += x * x
+        return s
+
+    def _dot(a: list, b: list) -> float:
+        s = 0.0
+        for t in range(len(a)):
+            s += a[t] * b[t]
+        return s
+
+    Xn = []
+    for v in X:
+        n = math.sqrt(_sqsum(v))
+        if n == 0:
+            n = 1.0
+        Xn.append([x / n for x in v])
     selected: list[int] = []
     remaining = set(range(len(ids)))
     out = []
+    one_minus_lam = 1.0 - lam
     while remaining and len(out) < k:
         best_i, best_val = None, None
         for i in sorted(remaining):  # sorted -> deterministic tie-break
-            penalty = max(sims[i][j] for j in selected) if selected else 0.0
-            val = lam * rel[i] - (1.0 - lam) * penalty
+            penalty = (
+                max(_dot(Xn[i], Xn[j]) for j in selected)
+                if selected
+                else 0.0
+            )
+            val = lam * rel[i] - one_minus_lam * penalty
             if best_val is None or val > best_val:
                 best_i, best_val = i, val
         selected.append(best_i)
         remaining.remove(best_i)
-        out.append((ids[best_i], float(rel[best_i]), float(best_val)))
+        out.append((ids[best_i], rel[best_i], best_val))
     return out
 
 
