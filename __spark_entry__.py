@@ -4209,6 +4209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "embedding_whitening_stats": _embedding_whitening_stats,
         "copurchase_communities": _copurchase_communities,
+        # ---- new in r9 (VERDICT r8 #2: r9 additions go at the TAIL;
+        # the window belongs to never-driver-checked entries) ----
+        "price_quantile_bins_sketch": _price_quantile_bins_sketch,
     }
     out = {k: base[k] for k in _R9_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5198,6 +5201,65 @@ def oracle_sql() -> dict[str, str]:
                                   / CAST(32 AS DOUBLE))
                    END AS value
             FROM picked
+        """,
+        # r9 (VERDICT r8 #3): the sketch-boundary discretizer — HDR fit
+        # (same bucket-id arithmetic as weighted_price_percentiles_sketch,
+        # unit weights) feeding the exact twin's array-filter assignment
+        # and audit, replayed end-to-end.
+        "price_quantile_bins_sketch": r"""
+            WITH pb AS (
+              SELECT CASE WHEN l_extendedprice < 1 THEN CAST(-1 AS BIGINT)
+                          ELSE CAST(length(bin(CAST(FLOOR(
+                                 CAST(l_extendedprice AS DOUBLE)) AS BIGINT)))
+                               - 1 AS BIGINT) * 32
+                             + CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 32
+                                 / (CAST(1 AS BIGINT) << CAST(length(bin(CAST(
+                                     FLOOR(CAST(l_extendedprice AS DOUBLE))
+                                     AS BIGINT))) - 1 AS INT)))
+                               AS BIGINT) - 32
+                     END AS b,
+                     SUM(CAST(1.0 AS DECIMAL(18,6))) AS w
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1
+            ), cum AS (
+              SELECT b,
+                     CAST(SUM(w) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                          ROW) AS DECIMAL(24,6)) AS cw,
+                     CAST(SUM(w) OVER () AS DECIMAL(24,6)) AS tot
+              FROM pb
+            ), picked AS (
+              SELECT q, MIN(b) AS b
+              FROM cum, (VALUES (CAST(0.125 AS DECIMAL(8,6))),
+                                (CAST(0.25  AS DECIMAL(8,6))),
+                                (CAST(0.375 AS DECIMAL(8,6))),
+                                (CAST(0.5   AS DECIMAL(8,6))),
+                                (CAST(0.625 AS DECIMAL(8,6))),
+                                (CAST(0.75  AS DECIMAL(8,6))),
+                                (CAST(0.875 AS DECIMAL(8,6)))) AS qs(q)
+              WHERE cw >= q * tot
+              GROUP BY q
+            ), bvals AS (
+              SELECT CASE WHEN b < 0 THEN CAST(0 AS DOUBLE)
+                          ELSE (CAST(1 AS BIGINT) << CAST(b // 32 AS INT))
+                               * (CAST(1 AS DOUBLE)
+                                  + CAST(b % 32 AS DOUBLE)
+                                    / CAST(32 AS DOUBLE))
+                     END AS bound
+              FROM picked
+            ), arr AS (
+              SELECT list_sort(list(bound)) AS bs FROM bvals
+            )
+            SELECT CAST(len(list_filter(bs,
+                       x -> x < l_extendedprice)) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(l_extendedprice) AS lo,
+                   MAX(l_extendedprice) AS hi,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_value
+            FROM lineitem, arr
+            GROUP BY 1
         """,
         "part_value_frontier": r"""
             SELECT p_partkey, p_size, p_retailprice
@@ -14618,6 +14680,21 @@ def _priority_price_stump(spark: SparkSession, sf: str) -> DataFrame:
         .alias("is_urgent"),
     )
     return features.gini_stump_split(feats, "price_bucket", "is_urgent")
+
+
+def _price_quantile_bins_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-boundary quantile discretizer (r9, VERDICT r8 #3): the
+    same 8-bucket l_extendedprice audit as `price_quantile_bins`, with
+    boundaries fitted on the bounded HDR grid
+    (profile.quantile_binning_stats_sketch, m=32) instead of the exact
+    distinct-value walk — the scale path for near-continuous columns,
+    where the exact fit's window input ≈ row count but the sketch's
+    saturates at ≤64·m rows. Full oracle: the HDR fit is integer
+    arithmetic, so DuckDB replays fit + assignment + audit exactly."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return profile.quantile_binning_stats_sketch(
+        li, "l_extendedprice", n_buckets=8, m=32
+    )
 
 
 def _revenue_runs_test(spark: SparkSession, sf: str) -> DataFrame:

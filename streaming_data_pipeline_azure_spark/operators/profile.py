@@ -794,6 +794,64 @@ def quantile_binning_stats(
     )
 
 
+def quantile_binning_stats_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 8,
+    m: int = 32,
+) -> DataFrame:
+    """Sketch-boundary twin of :func:`quantile_binning_stats`
+    (VERDICT r8 #3): fit the n−1 boundaries from the bounded HDR grid
+    (:func:`weighted_percentiles_sketch` with unit weights) instead of
+    the exact distinct-value walk, then run the IDENTICAL broadcast
+    array-filter assignment and per-bucket audit.
+
+    Why this is the 100 TB path: the exact fit's cumulative window
+    runs on DISTINCT-VALUE cardinality — for a near-continuous column
+    (prices, latencies) that approaches row count and the single-group
+    window becomes the bottleneck (the one ≥2× bench reading of r8).
+    The sketch fit aggregates onto ≤ 64·m HDR buckets per group, so
+    the window input SATURATES at a few thousand rows at any scale;
+    the transform and audit are unchanged codegen scans. Boundary
+    error: each fitted boundary is the lower bound of the HDR bucket
+    containing the exact quantile (rel err ≤ 1/m for values ≥ 1), so
+    bucket POPULATIONS shift only for rows between the exact boundary
+    and its bucket floor; counts/lo/hi/mean stay exact FOR the fitted
+    boundaries — the same determinism contract as the exact twin, and
+    the whole pipeline replays in SQL (full oracle)."""
+    if n_buckets < 2:
+        raise ValueError("quantile_binning_stats_sketch: need n_buckets >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    prepped = df.select(F.col(value_col).alias("__v")).withColumn(
+        "__g", F.lit(1)
+    ).withColumn("__w", F.lit(1.0))
+    bounds = weighted_percentiles_sketch(prepped, "__g", "__v", "__w", qs, m=m)
+    arr = bounds.agg(
+        F.sort_array(F.collect_list("value")).alias("__bounds")
+    )
+    assigned = df.crossJoin(F.broadcast(arr)).select(
+        F.size(
+            F.filter(
+                "__bounds",
+                lambda b: b < F.col(value_col).cast("double"),
+            )
+        )
+        .cast("long")
+        .alias("bucket"),
+        F.col(value_col).alias("__v"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+        (
+            F.sum(F.col("__v").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_value"),
+    )
+
+
 def grouped_theil_sen(
     df: DataFrame, group_col: str, t_col: str, value_col: str
 ) -> DataFrame:

