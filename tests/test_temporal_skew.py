@@ -1380,6 +1380,48 @@ def test_fifo_allocate_interval_semantics(spark):
     assert b == [(1, 9, 3.0)]
 
 
+def test_fifo_allocate_merge_edge_cases(spark):
+    """r9 merge-formulation edges: zero-quantity rows are inert (they
+    neither receive allocations nor shadow the covering interval in
+    the fill-forward), and exact boundary ties across sides — a demand
+    starting exactly where a supply lot starts — pair correctly with
+    no duplicate or zero-width allocations."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        fifo_allocate,
+    )
+
+    # supply 10@t1 then a ZERO lot @t2 then 5@t3; demand 8@t4, 0@t5,
+    # 7@t6 — the zero rows sit exactly on interval boundaries (cum=10)
+    sup = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 0.0), ("A", 3, 5.0)],
+        "k string, t int, q double",
+    )
+    dem = spark.createDataFrame(
+        [("A", 4, 8.0), ("A", 5, 0.0), ("A", 6, 7.0)],
+        "k string, t int, q double",
+    )
+    out = sorted(
+        (r["supply_ts"], r["demand_ts"], float(r["qty_allocated"]))
+        for r in fifo_allocate(sup, dem, "k", "t", "q").collect()
+    )
+    # d1(8) from lot1; d3(7) takes lot1's last 2 then ALL 5 of lot3
+    assert out == [(1, 4, 8.0), (1, 6, 2.0), (3, 6, 5.0)]
+
+    # boundary tie: supply lots 5@t1, 5@t2; demand 5@t3, 5@t4 — the
+    # second demand's interval starts exactly at lot2's start (cum=5)
+    sup2 = spark.createDataFrame(
+        [("B", 1, 5.0), ("B", 2, 5.0)], "k string, t int, q double"
+    )
+    dem2 = spark.createDataFrame(
+        [("B", 3, 5.0), ("B", 4, 5.0)], "k string, t int, q double"
+    )
+    out2 = sorted(
+        (r["supply_ts"], r["demand_ts"], float(r["qty_allocated"]))
+        for r in fifo_allocate(sup2, dem2, "k", "t", "q").collect()
+    )
+    assert out2 == [(1, 3, 5.0), (2, 4, 5.0)]
+
+
 def test_holt_winters_matches_reference_fold_and_learns_season(spark):
     """The Spark fold must equal a plain-Python replay of the dyadic
     recursion exactly (bit parity), and on a pure period-3 pattern the
