@@ -4212,6 +4212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in r9 (VERDICT r8 #2: r9 additions go at the TAIL;
         # the window belongs to never-driver-checked entries) ----
         "price_quantile_bins_sketch": _price_quantile_bins_sketch,
+        "order_mahalanobis_outliers": _order_mahalanobis_outliers,
+        "price_quantity_kendall_quantized": _price_quantity_kendall_quantized,
+        "returnflag_status_cramers_v": _returnflag_status_cramers_v,
+        "brand_price_mad_outliers": _brand_price_mad_outliers,
+        "brand_supplier_diversity": _brand_supplier_diversity,
+        "promo_heavy_suppliers": _promo_heavy_suppliers,
+        "priority_mix_hellinger": _priority_mix_hellinger,
     }
     out = {k: base[k] for k in _R9_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5260,6 +5267,240 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_value
             FROM lineitem, arr
             GROUP BY 1
+        """,
+        # ---- new in r9 ----
+        # exact-integer Mahalanobis: HUGEINT replay of the n-scaled
+        # deviation quadratic form and the floor-scaled DIV ranking
+        "order_mahalanobis_outliers": r"""
+            WITH width AS (
+              SELECT l_orderkey, CAST(COUNT(*) AS INT) AS n_items
+              FROM lineitem GROUP BY 1
+            ), feats AS (
+              SELECT o_orderkey,
+                     CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT)
+                         AS price_bucket,
+                     n_items
+              FROM orders JOIN width ON o_orderkey = l_orderkey
+            ), st AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(price_bucket) AS HUGEINT) AS sx,
+                     CAST(SUM(n_items) AS HUGEINT) AS sy,
+                     CAST(SUM(price_bucket * price_bucket) AS HUGEINT) AS sxx,
+                     CAST(SUM(CAST(n_items AS BIGINT) * n_items)
+                          AS HUGEINT) AS syy,
+                     CAST(SUM(price_bucket * n_items) AS HUGEINT) AS sxy
+              FROM feats
+            ), v AS (
+              SELECT n, sx, sy,
+                     n * sxx - sx * sx AS vxx,
+                     n * syy - sy * sy AS vyy,
+                     n * sxy - sx * sy AS vxy
+              FROM st
+            ), scored AS (
+              SELECT o_orderkey, price_bucket, n_items,
+                     (v.vyy * (v.n * price_bucket - v.sx)
+                            * (v.n * price_bucket - v.sx)
+                      - 2 * v.vxy * (v.n * price_bucket - v.sx)
+                                  * (v.n * n_items - v.sy)
+                      + v.vxx * (v.n * n_items - v.sy)
+                              * (v.n * n_items - v.sy)) * 1000000
+                     // (v.vxx * v.vyy - v.vxy * v.vxy) AS s
+              FROM feats, v
+            )
+            SELECT o_orderkey, price_bucket, n_items,
+                   CAST(s AS BIGINT) AS score_scaled
+            FROM scored ORDER BY s DESC, o_orderkey LIMIT 20
+        """,
+        # Kendall tau-b on the contingency grid: exact HUGEINT pair
+        # counts; the one double expression mirrors Spark's op order
+        # (2·num first, then the sqrt-product divide); VARCHAR
+        # round-trips guard the wide-decimal→double casts
+        "price_quantity_kendall_quantized": r"""
+            WITH cells AS (
+              SELECT CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS x,
+                     CAST(l_quantity AS BIGINT) AS y,
+                     CAST(COUNT(*) AS HUGEINT) AS c
+              FROM lineitem GROUP BY 1, 2
+            ), cd AS (
+              SELECT COALESCE(SUM(CASE WHEN b.y > a.y
+                                       THEN a.c * b.c END), 0) AS con,
+                     COALESCE(SUM(CASE WHEN b.y < a.y
+                                       THEN a.c * b.c END), 0) AS dis
+              FROM cells a JOIN cells b ON b.x > a.x
+            ), marg AS (
+              SELECT SUM(c) AS n FROM cells
+            ), tx AS (
+              SELECT SUM(t * t) AS sx2
+              FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)
+            ), ty AS (
+              SELECT SUM(t * t) AS sy2
+              FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(con AS DECIMAL(38,0)) AS concordant,
+                   CAST(dis AS DECIMAL(38,0)) AS discordant,
+                   CAST((sx2 - n) // 2 AS BIGINT) AS ties_x,
+                   CAST((sy2 - n) // 2 AS BIGINT) AS ties_y,
+                   CAST(2 AS DOUBLE)
+                   * CAST(CAST(con - dis AS VARCHAR) AS DOUBLE)
+                   / (sqrt(CAST(CAST(n * n - sx2 AS VARCHAR) AS DOUBLE))
+                      * sqrt(CAST(CAST(n * n - sy2 AS VARCHAR) AS DOUBLE)))
+                       AS tau_b
+            FROM cd, marg, tx, ty
+        """,
+        # Cramér's V: the FULL marginal grid (zero cells contribute E)
+        # + the (x, y)-sorted left fold — list_aggregate over the
+        # ordered list replays Spark's F.aggregate from 0.0
+        "returnflag_status_cramers_v": r"""
+            WITH obs AS (
+              SELECT l_returnflag AS x, l_linestatus AS y,
+                     COUNT(*) AS o
+              FROM lineitem GROUP BY 1, 2
+            ), mx AS (
+              SELECT x, SUM(o) AS nx FROM obs GROUP BY 1
+            ), my AS (
+              SELECT y, SUM(o) AS ny FROM obs GROUP BY 1
+            ), tot AS (
+              SELECT SUM(o) AS n FROM obs
+            ), cells AS (
+              SELECT mx.x, my.y, COALESCE(obs.o, 0) AS o, nx, ny
+              FROM mx CROSS JOIN my
+              LEFT JOIN obs ON obs.x = mx.x AND obs.y = my.y
+            ), contrib AS (
+              SELECT c.x, c.y, c.o,
+                     (CAST(c.o AS DOUBLE)
+                      - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(c.o AS DOUBLE)
+                        - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS t
+              FROM cells c, tot
+            ), folded AS (
+              SELECT list_aggregate(list(t ORDER BY x, y), 'sum') AS chi2,
+                     COUNT(*) AS n_cells
+              FROM contrib
+            ), lv AS (
+              SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS x_levels,
+                     CAST(COUNT(DISTINCT y) AS BIGINT) AS y_levels
+              FROM cells
+            )
+            SELECT CAST(n AS BIGINT) AS n, x_levels, y_levels,
+                   CAST((x_levels - 1) * (y_levels - 1) AS BIGINT) AS dof,
+                   chi2,
+                   sqrt(chi2 / (CAST(n AS DOUBLE)
+                        * CAST(least(x_levels - 1, y_levels - 1)
+                               AS DOUBLE))) AS cramers_v
+            FROM folded, lv, tot
+        """,
+        # per-brand robust outliers: the events_value_outliers oracle
+        # pattern (quantile_cont twins Spark's interpolated percentile)
+        # on the brand join
+        "brand_price_mad_outliers": r"""
+            WITH j AS (
+              SELECT p_brand, l_extendedprice AS v
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), med AS (
+              SELECT p_brand, quantile_cont(v, 0.5) AS med
+              FROM j GROUP BY p_brand
+            ), wm AS (
+              SELECT j.p_brand, j.v, m.med
+              FROM j JOIN med m USING (p_brand)
+            ), mad AS (
+              SELECT p_brand, quantile_cont(abs(v - med), 0.5) AS mad
+              FROM wm GROUP BY p_brand
+            ), fl AS (
+              SELECT w.p_brand, w.v, w.med, d.mad,
+                     CASE WHEN d.mad > 0 THEN
+                       (CAST(0.6745 AS DOUBLE) * abs(w.v - w.med)
+                        / d.mad) > CAST(3.5 AS DOUBLE)
+                     ELSE abs(w.v - w.med) > 0 END AS is_out
+              FROM wm w JOIN mad d USING (p_brand)
+            )
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(med) AS median, MIN(mad) AS mad,
+                   CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers,
+                   CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS outlier_frac
+            FROM fl GROUP BY p_brand
+        """,
+        # Q16 shape: NOT IN exclusion + distinct supplier count
+        "brand_supplier_diversity": r"""
+            SELECT p_brand, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+            LIMIT 20
+        """,
+        # Q20 shape: conditional decimal sums + floor-scaled exact
+        # concentration ranking (×10⁴ unit quantization, then HUGEINT
+        # integral division)
+        "promo_heavy_suppliers": r"""
+            WITH per AS (
+              SELECT l_suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_total,
+                     SUM(CASE WHEN year(l_shipdate) = 1996
+                              THEN CAST(l_quantity AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END)
+                         AS qty_1996
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type LIKE 'PROMO%'
+              GROUP BY 1
+            ), ranked AS (
+              SELECT l_suppkey, qty_1996, qty_total,
+                     CAST(qty_1996 * 10000 AS HUGEINT) * 1000000
+                     // CAST(qty_total * 10000 AS HUGEINT)
+                         AS concentration_scaled
+              FROM per
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(qty_1996 AS DOUBLE) AS qty_1996,
+                   CAST(qty_total AS DOUBLE) AS qty_total,
+                   CAST(concentration_scaled AS BIGINT)
+                       AS concentration_scaled
+            FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY concentration_scaled DESC, s_suppkey
+            LIMIT 15
+        """,
+        # Hellinger drift: per-cell sqrt/divide terms (correctly
+        # rounded everywhere — no logs by design) folded in priority
+        # order
+        "priority_mix_hellinger": r"""
+            WITH cells AS (
+              SELECT o_orderpriority AS p,
+                     SUM(CASE WHEN year(o_orderdate) = 1996
+                              THEN 1 ELSE 0 END) AS c1,
+                     SUM(CASE WHEN year(o_orderdate) = 2000
+                              THEN 1 ELSE 0 END) AS c2
+              FROM orders
+              WHERE year(o_orderdate) IN (1996, 2000)
+              GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                     CAST(SUM(c2) AS BIGINT) AS n2
+              FROM cells
+            ), terms AS (
+              SELECT p,
+                     (sqrt(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                      - sqrt(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                     * (sqrt(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        - sqrt(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                         AS t
+              FROM cells, tot
+            ), folded AS (
+              SELECT list_aggregate(list(t ORDER BY p), 'sum') AS h2
+              FROM terms
+            )
+            SELECT n1, n2, h2,
+                   sqrt(h2 / CAST(2 AS DOUBLE)) AS hellinger
+            FROM folded, tot
         """,
         "part_value_frontier": r"""
             SELECT p_partkey, p_size, p_retailprice
@@ -14694,6 +14935,215 @@ def _price_quantile_bins_sketch(spark: SparkSession, sf: str) -> DataFrame:
     (li,) = _tables(spark, sf, "lineitem")
     return profile.quantile_binning_stats_sketch(
         li, "l_extendedprice", n_buckets=8, m=32
+    )
+
+
+def _order_mahalanobis_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Joint-distribution outliers (r9): orders whose (value, width)
+    pair is anomalous — x = o_totalprice in 1000-unit buckets, y =
+    lineitem count — ranked by exact-integer Mahalanobis distance
+    (features.mahalanobis2_outliers: one sufficient-stats agg, one
+    codegen scoring scan, TakeOrdered top-20). Catches the cheap-but-
+    wide / expensive-but-narrow orders the per-feature HBOS screen
+    (order_hbos_outliers) structurally misses. Digit bound at the
+    pre-quantized grain: x ≤ ~600, y ≤ 7 → num ≤ ~1e28, ×10⁶ ≤ 1e34 —
+    inside DECIMAL(38,0)."""
+    orders, li = _tables(spark, sf, "orders", "lineitem")
+    width = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("int").alias("n_items")
+    )
+    feats = orders.join(
+        width, orders.o_orderkey == width.l_orderkey
+    ).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("price_bucket"),
+        "n_items",
+    )
+    return features.mahalanobis2_outliers(
+        feats, "o_orderkey", "price_bucket", "n_items", k=20
+    )
+
+
+def _price_quantity_kendall_quantized(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Kendall tau-b (r9): price↔quantity monotone association as pair
+    concordance, on the same floor(price/1000) grain discipline as the
+    quantized Spearman twin (profile.kendall_tau — contingency-cell
+    self-join, O(grid²) never O(rows²), exact DECIMAL pair counts,
+    one double expression at the end)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    feats = li.select(
+        F.floor(F.col("l_extendedprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("pb"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    return profile.kendall_tau(feats, "pb", "q")
+
+
+def _returnflag_status_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V (r9): effect-size of the returnflag↔linestatus
+    association (experiment.cramers_v — the chi2_contingency_cells
+    exactness scheme closed into a scalar via the sorted-cell fold).
+    The categorical leakage/feature screen; on TPC-H the two flags are
+    strongly dependent (returns only happen on shipped lines), so V
+    reads high — the diagnostic working as intended."""
+    (li,) = _tables(spark, sf, "lineitem")
+    return experiment.cramers_v(li, "l_returnflag", "l_linestatus")
+
+
+def _brand_price_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand robust price outliers (r9): the modified-z median/MAD
+    screen (profile.robust_outliers — the events_value_outliers
+    operator pointed at a new grouping: l_extendedprice within each
+    p_brand via the broadcast part join). The per-segment data-quality
+    audit a price column gets before model training: mean±kσ hides the
+    very outliers that inflate σ; the median/MAD pair does not."""
+    li, part = _tables(spark, sf, "lineitem", "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("p_brand", "l_extendedprice")
+    return profile.robust_outliers(joined, "p_brand", "l_extendedprice")
+
+
+def _brand_supplier_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier-diversity report (r9, TPC-H Q16 shape adapted to this
+    schema — no partsupp/s_comment): per (p_brand, p_size), how many
+    DISTINCT suppliers have actually shipped the part, excluding
+    distressed suppliers (s_acctbal < 0 — the complaint-supplier
+    NOT-IN of Q16). Plan: lineitem⋈broadcast(part) for the grouping
+    attributes, broadcast LEFT ANTI against the tiny exclusion list,
+    then a distinct-count aggregate; only the (brand, size, suppkey)
+    distinct shuffles. Top-20 by (supplier_cnt DESC, brand, size) —
+    a total order, so LIMIT membership is deterministic."""
+    li, part, supplier = _tables(spark, sf, "lineitem", "part", "supplier")
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    base = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_size", "l_suppkey")
+    )
+    return (
+        base.groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size")
+        )
+        .limit(20)
+    )
+
+
+def _promo_heavy_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Promotion-concentrated suppliers (r9, TPC-H Q20 shape adapted):
+    the 15 suppliers whose shipped PROMO-part quantity concentrates
+    most heavily in the 1996 window — 'who leaned into the promo
+    year'. One conditional aggregate per supplier over the
+    lineitem⋈broadcast(part-type) scan; concentration ranks by the
+    exact floor-scaled integer ratio (qty_1996·10⁶ DIV qty_total in
+    ×10⁴ quantity units — no float division anywhere near the order),
+    tie-broken by suppkey; then a broadcast join to supplier names.
+    (A fixed >50% HAVING is degenerate on this corpus — shipments are
+    uniform across its 7 years — so the screen reports the ranked
+    concentration instead, which is non-degenerate at every SF.)"""
+    li, part, supplier = _tables(spark, sf, "lineitem", "part", "supplier")
+    promo = part.filter(F.col("p_type").startswith("PROMO")).select(
+        "p_partkey"
+    )
+    q = F.col("l_quantity").cast("decimal(18,4)")
+    per_supp = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(q).alias("qty_total"),
+            F.sum(
+                F.when(F.year("l_shipdate") == 1996, q).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("qty_1996"),
+        )
+        .selectExpr(
+            "l_suppkey",
+            "qty_1996",
+            "qty_total",
+            "CAST(CAST(qty_1996 * 10000 AS DECIMAL(38,0)) * 1000000 "
+            "AS DECIMAL(38,0)) DIV CAST(qty_total * 10000 AS "
+            "DECIMAL(38,0)) AS concentration_scaled",
+        )
+    )
+    return (
+        per_supp.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            per_supp.l_suppkey == F.col("s_suppkey"),
+        )
+        .orderBy(F.desc("concentration_scaled"), F.asc("s_suppkey"))
+        .limit(15)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("qty_1996").cast("double").alias("qty_1996"),
+            F.col("qty_total").cast("double").alias("qty_total"),
+            "concentration_scaled",
+        )
+    )
+
+
+def _priority_mix_hellinger(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift as HELLINGER distance (r9): the order-
+    priority mix of 1996 vs 2000 — the bounded [0,1] drift measure
+    whose per-cell terms need only correctly-rounded sqrt/divide (no
+    logs — ln is NOT correctly rounded across engines, which is why
+    the drift family here is TVD (source_lang_tvd), chi2, KS and now
+    Hellinger, never KL/PSI). Exactness: per-priority counts are exact
+    ints; p = c/N is one correctly-rounded division; the five
+    (√p − √q)² terms fold LEFT-TO-RIGHT over the priority-sorted array
+    (the cramers_v device), then H = sqrt(h2)·(1/√2) as
+    sqrt(h2/2) — every step bit-portable."""
+    (orders,) = _tables(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    cells = (
+        orders.filter(yr.isin(1996, 2000))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(yr == 1996, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(yr == 2000, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sort_array(
+            F.collect_list(F.struct("o_orderpriority", "c1", "c2"))
+        ).alias("__cells"),
+    )
+    h2 = F.aggregate(
+        F.transform(
+            F.col("__cells"),
+            lambda s: (
+                (F.sqrt(s["c1"].cast("double") / F.col("n1").cast("double"))
+                 - F.sqrt(s["c2"].cast("double") / F.col("n2").cast("double")))
+                * (F.sqrt(s["c1"].cast("double") / F.col("n1").cast("double"))
+                   - F.sqrt(s["c2"].cast("double") / F.col("n2").cast("double")))
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        h2.alias("h2"),
+        F.sqrt(h2 / F.lit(2.0)).alias("hellinger"),
     )
 
 

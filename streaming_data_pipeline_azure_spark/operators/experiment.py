@@ -276,6 +276,87 @@ def chi2_contingency_cells(
     )
 
 
+def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized effect size of categorical
+    association (χ² alone grows with N; V answers "HOW dependent"),
+    the feature-selection / leakage screen run over candidate
+    categorical features before training. Returns ONE row:
+    (n, x_levels, y_levels, dof, chi2, cramers_v).
+
+    Shares :func:`chi2_contingency_cells`' exactness scheme (every
+    per-cell contribution is a fixed double expression over exact
+    integer counts) but builds the FULL |X|×|Y| grid from the two
+    marginals — a zero cell contributes its whole expected count E to
+    χ² (a strong dependence signal: perfect association is literally
+    "the off-cells are empty"), which the observed-cells-only
+    diagnostic cannot see and a scalar χ² must not miss. The second
+    device closes the float gap: an unordered SUM over cells is
+    engine-order-dependent, so the cells collapse to ONE sorted array
+    (lexicographic (x, y) struct order) and fold left-to-right — the
+    same device as the vector dot products, bit-identical in any
+    engine that replays the ordered fold. Grid size |X|·|Y| is tiny by
+    contract (categorical × categorical), so the cross join is two
+    broadcast marginal frames and the sorted-array finish one task.
+
+        V = sqrt(χ² / (N · min(|X|−1, |Y|−1)))"""
+    obs = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    mx = obs.groupBy("x").agg(F.sum("observed").cast("long").alias("__nx"))
+    my = obs.groupBy("y").agg(F.sum("observed").cast("long").alias("__ny"))
+    tot = obs.agg(F.sum("observed").cast("long").alias("__n"))
+    grid = (
+        mx.crossJoin(F.broadcast(my))
+        .join(obs, ["x", "y"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias(
+                "observed"
+            ),
+            "__nx",
+            "__ny",
+            "__n",
+        )
+    )
+    o = F.col("observed").cast("double")
+    e = (
+        F.col("__nx").cast("double")
+        * F.col("__ny").cast("double")
+        / F.col("__n").cast("double")
+    )
+    cells = grid.select(
+        "x", "y", "observed",
+        ((o - e) * (o - e) / e).alias("chi2_contribution"),
+    )
+    arr = cells.agg(
+        F.sort_array(
+            F.collect_list(F.struct("x", "y", "chi2_contribution"))
+        ).alias("__cells"),
+        F.sum("observed").cast("long").alias("n"),
+        F.count_distinct(F.col("x")).cast("long").alias("x_levels"),
+        F.count_distinct(F.col("y")).cast("long").alias("y_levels"),
+    )
+    chi2 = F.aggregate(
+        F.transform(F.col("__cells"), lambda s: s["chi2_contribution"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dof = (F.col("x_levels") - 1) * (F.col("y_levels") - 1)
+    kmin = F.least(F.col("x_levels") - 1, F.col("y_levels") - 1)
+    return arr.select(
+        "n",
+        "x_levels",
+        "y_levels",
+        dof.cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2 / (F.col("n").cast("double") * kmin.cast("double"))
+        ).alias("cramers_v"),
+    )
+
+
 #: Cumulative Poisson(1) probabilities for the inverse-CDF lookup used
 #: by the deterministic bootstrap (weights capped at 7 — the tail mass
 #: beyond is ~1e-5 and folds into the last bucket). Written as exact

@@ -452,3 +452,98 @@ def gini_stump_split(
             F.col("score_scaled").cast("decimal(38,0)").alias("score_scaled"),
         )
     )
+
+
+def mahalanobis2_outliers(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier ranking in EXACT integer
+    arithmetic — the correlation-aware alternative to per-feature
+    z-scores (a point can be unremarkable on each marginal yet far
+    from the joint distribution; HBOS misses exactly those, which is
+    why the two sit side by side in a monitoring stack).
+
+    Input contract: INTEGER-valued features (callers pre-quantize —
+    the gini_stump_split grain discipline). With integer features the
+    whole statistic is rational: using n-scaled deviations
+    dx = n·x − Σx and the scatter terms Vxx = n·Σx² − (Σx)²,
+    Vyy, Vxy (all exact), the squared Mahalanobis distance is
+    proportional to
+
+        q(row) = (Vyy·dx² − 2·Vxy·dx·dy + Vxx·dy²) / (Vxx·Vyy − Vxy²)
+
+    and ranking by the floor-scaled ``score_scaled = q·scale DIV den``
+    is exact (the priority_price_stump device; DECIMAL(38,0)
+    products stay within 38 digits while features are pre-quantized
+    small — document the bound at the call site). Degenerate inputs
+    (constant feature or perfectly collinear pair → den = 0) raise —
+    the caller must drop the feature, not read garbage ranks.
+
+    Shape: ONE aggregation for the six sufficient sums (a 1-row frame,
+    broadcast back), one scoring scan (pure codegen), one TakeOrdered
+    for the top-k — no shuffle beyond the scalar agg at any data size.
+    Returns (id, x, y, score_scaled) — the k most anomalous rows,
+    ties broken by id ascending."""
+    d = "decimal(38,0)"
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    xd, yd = F.col("__x").cast(d), F.col("__y").cast(d)
+    stats = base.agg(
+        F.count(F.lit(1)).cast(d).alias("__n"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(yd * yd).alias("__syy"),
+        F.sum(xd * yd).alias("__sxy"),
+    )
+    [st] = stats.collect()  # bounded contract: one row of six scalars
+    import decimal as _dec
+
+    n, sx, sy = (_dec.Decimal(st["__n"]), st["__sx"], st["__sy"])
+    vxx = int(n * st["__sxx"] - sx * sx)
+    vyy = int(n * st["__syy"] - sy * sy)
+    vxy = int(n * st["__sxy"] - sx * sy)
+    den = vxx * vyy - vxy * vxy
+    if den <= 0:
+        raise ValueError(
+            "mahalanobis2_outliers: degenerate covariance (constant or "
+            "collinear features) — drop or re-quantize the feature pair"
+        )
+    # per-row quadratic form over n-scaled deviations; literals are the
+    # exact driver-side integers (decimal-typed so products stay exact)
+    dx = (F.lit(str(int(n))).cast(d) * F.col("__x").cast(d)
+          - F.lit(str(int(sx))).cast(d))
+    dy = (F.lit(str(int(n))).cast(d) * F.col("__y").cast(d)
+          - F.lit(str(int(sy))).cast(d))
+    num = (
+        F.lit(str(vyy)).cast(d) * dx * dx
+        - F.lit(str(2 * vxy)).cast(d) * dx * dy
+        + F.lit(str(vxx)).cast(d) * dy * dy
+    )
+    scored = base.select(
+        "__id", "__x", "__y",
+        num.alias("__num"),
+    ).selectExpr(
+        "__id", "__x", "__y",
+        f"CAST(__num * {scale} AS DECIMAL(38,0)) DIV CAST('{den}' AS "
+        "DECIMAL(38,0)) AS score_scaled",
+    )
+    return (
+        scored.orderBy(F.desc("score_scaled"), F.asc("__id"))
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__x").alias(x_col),
+            F.col("__y").alias(y_col),
+            "score_scaled",
+        )
+    )

@@ -1403,6 +1403,98 @@ def overdispersion_stats(
     )
 
 
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """KENDALL tau-b rank correlation, exact under ties — the
+    pair-concordance alternative to :func:`spearman_correlation`
+    (tau reads as a probability: P(concordant) − P(discordant); it is
+    also the measure behind Kendall distance on rankings). Returns ONE
+    row: (n, concordant, discordant, ties_x, ties_y, tau_b).
+
+    Scale shape: raw pair enumeration is O(n²) in ROWS — dead at any
+    scale. Here pairs are counted at CELL grain: aggregate to the
+    (x, y) contingency cells first (one data-proportional shuffle with
+    map-side combine), then a cell self-join — O(B²) where B is the
+    CELL-GRID size, which is bounded by value cardinality, not rows
+    (callers pre-quantize near-continuous columns, the
+    price_quantity_spearman_quantized grain discipline). Concordant/
+    discordant sums are Σ c_i·c_j over strictly-ordered cell pairs;
+    tie-pair counts come from the marginal run lengths, all exact
+    DECIMAL(38,0) integers:
+
+        n0 = n(n−1)/2,  n1 = Σ_x t_x(t_x−1)/2,  n2 = Σ_y t_y(t_y−1)/2
+        tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2))
+
+    The final expression converts the exact decimals to double once
+    (Spark's decimal→double is correctly rounded; the oracle mirrors
+    via the VARCHAR round-trip) — bit-identical across engines."""
+    cells = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    d = "decimal(38,0)"
+    a = cells.select(
+        F.col("__x").alias("xa"), F.col("__y").alias("ya"),
+        F.col("__c").cast(d).alias("ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("xb"), F.col("__y").alias("yb"),
+        F.col("__c").cast(d).alias("cb"),
+    )
+    pairs = a.join(b, (F.col("xb") > F.col("xa")))
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), F.col("ca") * F.col("cb"))
+            ),
+            F.lit(0).cast(d),
+        ).alias("concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("yb") < F.col("ya"), F.col("ca") * F.col("cb"))
+            ),
+            F.lit(0).cast(d),
+        ).alias("discordant"),
+    )
+    c_dec = F.col("__c").cast(d)
+    marg = cells.agg(
+        F.sum(c_dec).alias("__n"),
+        # pairs tied in x: per distinct x the t(t−1)/2 run pairs; the
+        # Σc² − Σ(per-cell c²) decomposition avoids a second window
+        F.sum(c_dec * c_dec).alias("__scc"),
+    )
+    tx = (
+        cells.groupBy("__x").agg(F.sum(c_dec).alias("__t"))
+        .agg(F.sum(F.col("__t") * F.col("__t")).alias("__sx2"))
+    )
+    ty = (
+        cells.groupBy("__y").agg(F.sum(c_dec).alias("__t"))
+        .agg(F.sum(F.col("__t") * F.col("__t")).alias("__sy2"))
+    )
+    one = cd.crossJoin(marg).crossJoin(tx).crossJoin(ty)
+    n = F.col("__n")
+    # tau_b = (C−D)/sqrt(((n²−Σt_x²)/2)·((n²−Σt_y²)/2))
+    #       = 2(C−D)/(sqrt(n²−Σt_x²)·sqrt(n²−Σt_y²))
+    # — the halvings fold into one exact ×2, avoiding decimal division
+    # (whose Spark result type grows a fractional scale). Tie counts
+    # are reported via integral DIV (LONG-bounded — fine while pair
+    # counts fit 2^63; the decimals above stay exact regardless).
+    num = (F.col("concordant") - F.col("discordant")).cast("double")
+    den = F.sqrt((n * n - F.col("__sx2")).cast("double")) * F.sqrt(
+        (n * n - F.col("__sy2")).cast("double")
+    )
+    return one.select(
+        n.cast("long").alias("n"),
+        F.col("concordant"),
+        F.col("discordant"),
+        F.expr("CAST((__sx2 - __n) DIV 2 AS LONG)").alias("ties_x"),
+        F.expr("CAST((__sy2 - __n) DIV 2 AS LONG)").alias("ties_y"),
+        (F.lit(2.0) * num / den).alias("tau_b"),
+    )
+
+
 def spearman_correlation(
     df: DataFrame,
     x_col: str,

@@ -470,3 +470,25 @@ def test_standardization_undoes_simpsons_paradox(spark):
     assert r["lift_raw"] < 0  # raw means mislead
     assert abs(r["lift_std"] - 10.0) < 1e-9  # standardized truth
     assert r["n_a"] == 100 and r["n_b"] == 100
+
+
+def test_cramers_v_bounds(spark):
+    """Perfect association reads V=1 exactly (x determines y);
+    an exactly independent 2x2 table reads chi2=0, V=0."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        cramers_v,
+    )
+
+    perfect = spark.createDataFrame(
+        [("a", "p")] * 5 + [("b", "q")] * 7, "x string, y string"
+    )
+    [p] = cramers_v(perfect, "x", "y").collect()
+    assert abs(p["cramers_v"] - 1.0) < 1e-12 and p["dof"] == 1
+
+    indep = spark.createDataFrame(
+        [("a", "p")] * 6 + [("a", "q")] * 2
+        + [("b", "p")] * 3 + [("b", "q")] * 1,
+        "x string, y string",
+    )
+    [i] = cramers_v(indep, "x", "y").collect()
+    assert abs(i["chi2"]) < 1e-12 and abs(i["cramers_v"]) < 1e-6

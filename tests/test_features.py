@@ -195,3 +195,28 @@ def test_gini_stump_split_exact_separation_and_ties(spark):
     )
     o2 = gini_stump_split(flat, "x", "y").collect()[0]
     assert o2["split_value"] == 1.0
+
+
+def test_mahalanobis2_outliers_joint_vs_marginal(spark):
+    """A point that is unremarkable on both marginals but violates the
+    x~y correlation must rank first; degenerate (constant) features
+    raise instead of returning garbage ranks."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.features import (
+        mahalanobis2_outliers,
+    )
+
+    rows = [(i, i % 10, (i % 10) + (1 if i % 3 == 0 else 0))
+            for i in range(100)]
+    rows.append((1000, 2, 9))  # joint outlier, marginally normal
+    df = spark.createDataFrame(rows, "id long, x int, y int")
+    out = mahalanobis2_outliers(df, "id", "x", "y", k=3).collect()
+    assert out[0]["id"] == 1000
+    assert out[0]["score_scaled"] > 10 * out[1]["score_scaled"]
+
+    const = spark.createDataFrame(
+        [(i, 1, i) for i in range(10)], "id long, x int, y int"
+    )
+    with _pytest.raises(ValueError, match="degenerate"):
+        mahalanobis2_outliers(const, "id", "x", "y")

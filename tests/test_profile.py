@@ -736,3 +736,35 @@ def test_freq_zipf_audit_planted_power_law(spark):
     got = {r["bucket"]: r for r in out}
     assert got[0]["n_items"] == 64 and got[0]["log2_n"] == 6
     assert got[3]["n_items"] == 8 and got[3]["log2_n"] == 3
+
+
+def test_kendall_tau_known_values(spark):
+    """Hand-checkable tau-b: a single swap in a 4-permutation gives
+    C=5, D=1, tau=2/3; a fully tied 2x2 grid gives tau=0 with the tie
+    counts split across both marginals (matches scipy.kendalltau)."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        kendall_tau,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2), (4, 4)], "x int, y int"
+    )
+    [r] = kendall_tau(df, "x", "y").collect()
+    assert (int(r["concordant"]), int(r["discordant"])) == (5, 1)
+    assert (r["ties_x"], r["ties_y"]) == (0, 0)
+    assert abs(r["tau_b"] - 2.0 / 3.0) < 1e-15
+
+    grid = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2)], "x int, y int"
+    )
+    [g] = kendall_tau(grid, "x", "y").collect()
+    assert (int(g["concordant"]), int(g["discordant"])) == (1, 1)
+    assert (g["ties_x"], g["ties_y"]) == (2, 2)
+    assert g["tau_b"] == 0.0
+
+    # perfect monotone agreement -> tau exactly 1
+    mono = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "x int, y int"
+    )
+    [m] = kendall_tau(mono, "x", "y").collect()
+    assert m["tau_b"] == 1.0
