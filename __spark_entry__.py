@@ -1404,11 +1404,12 @@ def _bpe_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
-    """BPE tokenizer induction (r7, rows-only): 8 learned merges over
-    documents — iterative argmax + greedy HOF merge application has no
-    closed-form SQL twin; anchored by the oracle-green round-0
-    statistic (round 1's winner == bpe_top_pairs #1, tested) and
-    hand-computed fixtures (tests/test_bpe.py)."""
+    """BPE tokenizer induction (r7): 8 learned merges over documents.
+    FULL ORACLE since r9: the r8 bpe_encoding_stats trainer replay
+    (argmax + greedy list_reduce fold per round) already computes each
+    round's winner — the merge table IS those eight b_k rows,
+    rank-stamped (_bpe_merges_oracle). Still anchored by hand-computed
+    fixtures (tests/test_bpe.py)."""
     return bpe.bpe_train(_docs(spark, sf), n_merges=8)
 
 
@@ -9953,6 +9954,62 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "bpe_encoding_stats": _bpe_encoding_oracle(),
+        # r9 (rows-only -> oracle): the trainer's merge table from the
+        # same replay CTEs
+        "bpe_merges": _bpe_merges_oracle(),
+        # r9 (rows-only -> oracle): iterative peeling replayed as a
+        # recursive CTE carrying the alive-vertex list; stops at the
+        # fixpoint (changed flag), final degrees over the settled set.
+        # O(E·|V|) list_contains work per round is fine at oracle scale;
+        # the Spark side stays the O(E)-per-round semi-join peel.
+        "copurchase_kcore": r"""
+            WITH RECURSIVE basket AS (
+              SELECT DISTINCT user_id AS e,
+                     CAST(json_extract(props::JSON, '$.k') AS INTEGER) AS i
+              FROM events WHERE event_type = 'purchase'
+            ), eset AS (
+              SELECT a.i AS a, b.i AS b
+              FROM basket a JOIN basket b ON a.e = b.e AND a.i < b.i
+              GROUP BY a.i, b.i
+              HAVING COUNT(*) >= 3
+            ), peel(i, alive, changed) AS (
+              SELECT 0,
+                     (SELECT COALESCE(list(DISTINCT v ORDER BY v),
+                                      CAST([] AS INTEGER[]))
+                      FROM (SELECT a AS v FROM eset
+                            UNION ALL SELECT b FROM eset)),
+                     true
+              UNION ALL
+              SELECT i + 1, nxt, nxt != alive
+              FROM (
+                SELECT p.i, p.alive,
+                       (SELECT COALESCE(list(v ORDER BY v),
+                                        CAST([] AS INTEGER[]))
+                        FROM (
+                          SELECT v FROM (
+                            SELECT a AS v FROM eset
+                            WHERE list_contains(p.alive, a)
+                              AND list_contains(p.alive, b)
+                            UNION ALL
+                            SELECT b FROM eset
+                            WHERE list_contains(p.alive, a)
+                              AND list_contains(p.alive, b)
+                          ) GROUP BY v HAVING COUNT(*) >= 2
+                        )) AS nxt
+                FROM peel p WHERE p.changed AND p.i < 50
+              )
+            ), fin AS (
+              SELECT alive FROM peel ORDER BY i DESC LIMIT 1
+            )
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (
+              SELECT a AS v FROM eset, fin
+              WHERE list_contains(alive, a) AND list_contains(alive, b)
+              UNION ALL
+              SELECT b FROM eset, fin
+              WHERE list_contains(alive, a) AND list_contains(alive, b)
+            ) GROUP BY v
+        """,
         "multimodal_phash_groups": _phash_groups_oracle(),
         "multimodal_phash_pairs": _phash_pairs_oracle(),
         "nation_batch_effect": r"""
@@ -11433,23 +11490,13 @@ def _retrieval_eval_oracle() -> str:
     """
 
 
-def _bpe_encoding_oracle() -> str:
-    """Generate the bpe_encoding_stats ORACLE (r8, VERDICT r7 #8 —
-    rows-only → oracle conversion): DuckDB replays the ENTIRE trainer
-    deterministically — 8 chained CTE rounds, each counting adjacent
-    symbol pairs over the delimited-string word histogram, picking the
-    (total DESC, left ASC, right ASC) argmax, and applying it with the
-    SAME left-to-right greedy fold via ``list_reduce`` over a
-    chr(31)-delimited string accumulator (merge = ``acc || right`` —
-    the last symbol becomes left||right; append = ``acc || sep || x``;
-    the sep never occurs in whitespace-split words, so the
-    ``ends_with(acc, sep || left)`` boundary test is exact). A plain
-    ``replace()`` replay would diverge on adjacent merge chains
-    ('aaaa' → [aa,a,a] instead of the fold's [aa,aa]) — hence the
-    fold. Each round's best-pair count guards ``>= 2`` replicating
-    min_pair_count early-stop. The final round state IS the encoded
-    vocabulary (Spark parity-tests train-apply == encode), so token
-    counts come straight from round 8."""
+def _bpe_trainer_rounds_sql() -> str:
+    """The shared trainer-replay CTE chain (words -> word histogram ->
+    8 argmax+greedy-fold rounds) used by BOTH bpe oracles — see
+    _bpe_encoding_oracle's docstring for the replay-fidelity notes
+    (the list_reduce fold, the chr(31) delimiter, the >= 2 early-stop
+    guard). Returns the CTE body from `words` through `s8`; callers
+    prepend WITH and append their final SELECT."""
     sep = "chr(31)"
     rounds = []
     for k in range(1, 9):
@@ -11476,8 +11523,7 @@ def _bpe_encoding_oracle() -> str:
               FROM {prev}, b{k} b
             )""")
     return (
-        r"""
-        WITH words AS (
+        r"""words AS (
           SELECT unnest(regexp_split_to_array(lower(trim(text)),
                         '\s+')) AS w
           FROM documents
@@ -11492,6 +11538,46 @@ def _bpe_encoding_oracle() -> str:
           FROM whist
         )"""
         + "".join(rounds)
+    )
+
+
+def _bpe_merges_oracle() -> str:
+    """r9 (rows-only -> oracle): the merge TABLE itself — each round's
+    argmax winner from the same trainer replay, rank-stamped, rounds
+    whose best pair fell under the min count excluded (the trainer's
+    early-stop; once a round stops the state freezes, so every later
+    round re-finds the same sub-threshold pair and is excluded too)."""
+    selects = [
+        f"SELECT {k} AS merge_rank, lft AS left, rgt AS right, "
+        f"CAST(total AS BIGINT) AS pair_count FROM b{k} WHERE total >= 2"
+        for k in range(1, 9)
+    ]
+    return (
+        "WITH " + _bpe_trainer_rounds_sql() + "\n"
+        + " UNION ALL ".join(selects)
+    )
+
+
+def _bpe_encoding_oracle() -> str:
+    """Generate the bpe_encoding_stats ORACLE (r8, VERDICT r7 #8 —
+    rows-only → oracle conversion): DuckDB replays the ENTIRE trainer
+    deterministically — 8 chained CTE rounds, each counting adjacent
+    symbol pairs over the delimited-string word histogram, picking the
+    (total DESC, left ASC, right ASC) argmax, and applying it with the
+    SAME left-to-right greedy fold via ``list_reduce`` over a
+    chr(31)-delimited string accumulator (merge = ``acc || right`` —
+    the last symbol becomes left||right; append = ``acc || sep || x``;
+    the sep never occurs in whitespace-split words, so the
+    ``ends_with(acc, sep || left)`` boundary test is exact). A plain
+    ``replace()`` replay would diverge on adjacent merge chains
+    ('aaaa' → [aa,a,a] instead of the fold's [aa,aa]) — hence the
+    fold. Each round's best-pair count guards ``>= 2`` replicating
+    min_pair_count early-stop. The final round state IS the encoded
+    vocabulary (Spark parity-tests train-apply == encode), so token
+    counts come straight from round 8."""
+    sep = "chr(31)"
+    return (
+        "WITH " + _bpe_trainer_rounds_sql()
         + r"""
         , vocab AS (
           SELECT w, len(string_split(s, """ + sep + r""")) AS nt
@@ -12444,13 +12530,15 @@ def _cluster_quality_report(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _copurchase_kcore(spark: SparkSession, sf: str) -> DataFrame:
-    """k-core community filter (r7, rows-only): the 2-core of the
-    co-purchase graph — members with their in-core degree
-    (graph.k_core — iterative peeling to the unique fixpoint,
-    localCheckpoint per round, RAISES if max_iter exhausts; iterative
-    semantics are not ANSI-SQL-expressible, so verification is the
-    defining-invariant property test + planted-clique test in
-    tests/test_graph.py)."""
+    """k-core community filter (r7): the 2-core of the co-purchase
+    graph — members with their in-core degree (graph.k_core —
+    iterative peeling to the unique fixpoint, localCheckpoint per
+    round, RAISES if max_iter exhausts). FULL ORACLE since r9: the
+    peel replays as a DuckDB recursive CTE carrying the alive-vertex
+    list to ITS fixpoint (peeling order provably cannot matter, so the
+    two engines' different schedules land on the same unique core);
+    the defining-invariant property test + planted-clique test remain
+    (tests/test_graph.py)."""
     pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
     return graph.k_core(pairs, "item_a", "item_b", k=2)
 
