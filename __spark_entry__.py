@@ -3222,8 +3222,11 @@ def _scene_change_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Shot-boundary detection over the synthetic video corpus (r7):
     synthesize -> frame-sample -> scene_changes, then the distribution
     of scenes-per-video (how fragmented the corpus is — the signal a
-    clip-selection stage keys on). Rows-only: the per-frame luma stub
-    has no SQL twin; anchored by the planted-payload unit test
+    clip-selection stage keys on). FULL ORACLE since r9: the stub luma
+    signature is byte arithmetic (the phash hex-extraction device) and
+    the delta fold is sequential, so DuckDB replays frame plan →
+    signature → lag/threshold → rollup end-to-end; the planted-payload
+    unit test remains
     (tests/test_multimodal.py::test_scene_changes_flags_payload_jumps)."""
     media = multimodal.synthesize_media(_docs(spark, sf))
     frames = multimodal.sample_frames(media)
@@ -9957,6 +9960,94 @@ def oracle_sql() -> dict[str, str]:
         # r9 (rows-only -> oracle): the trainer's merge table from the
         # same replay CTEs
         "bpe_merges": _bpe_merges_oracle(),
+        # r9 (rows-only -> oracle): the feature stub is sha256 over
+        # payload + NUL-free dimension salt — VARCHAR sha256 replays it
+        # (each coordinate = first 4 BE hash bytes / 2^32, exact IEEE)
+        "multimodal_features": r"""
+            SELECT doc_id AS media_id,
+                   list_transform(range(0, 16), i ->
+                     CAST(CAST(('0x' || substr(sha256(text ||
+                              chr(CAST(i + 1 AS INT))), 1, 8))
+                          AS UBIGINT)
+                     / CAST(4294967296 AS DOUBLE) AS REAL)) AS feature
+            FROM documents
+        """,
+        # r9 (rows-only -> oracle): the frame plan is pure metadata
+        # arithmetic (duration = 10*chars; inclusive-stop series capped
+        # at 8), JVM-side in Spark and a list expression here
+        "multimodal_frames": r"""
+            WITH video AS (
+              SELECT doc_id AS media_id,
+                     length(text) * 10 AS duration_ms
+              FROM documents WHERE doc_id % 3 = 2
+            ), fr AS (
+              SELECT media_id,
+                     list_slice(generate_series(0,
+                         greatest(duration_ms - 1, 0), 1000), 1, 8) AS l
+              FROM video
+            )
+            SELECT media_id,
+                   CAST(unnest(range(0, len(l))) AS INT) AS frame_idx,
+                   CAST(unnest(l) AS INT) AS frame_ms
+            FROM fr
+        """,
+        # r9 (rows-only -> oracle): the whole shot-boundary pipeline
+        # replayed — frame plan (metadata arithmetic), per-frame stub
+        # luma signature (byte extraction via the phash hex device,
+        # tiled to 16 dims), lag + abs-delta fold, threshold, rollup
+        "scene_change_stats": r"""
+            WITH video AS (
+              SELECT doc_id AS media_id, encode(text) AS p,
+                     length(text) * 10 AS duration_ms
+              FROM documents WHERE doc_id % 3 = 2
+            ), fr AS (
+              SELECT media_id, p,
+                     CAST(unnest(range(0, len(l))) AS INT) AS frame_idx,
+                     CAST(unnest(l) AS INT) AS frame_ms
+              FROM (SELECT media_id, p,
+                      list_slice(generate_series(0,
+                          greatest(duration_ms - 1, 0), 1000), 1, 8) AS l
+                    FROM video)
+            ), sl AS (
+              SELECT media_id, frame_idx,
+                     substr(hex(p),
+                            2 * (frame_ms % greatest(octet_length(p), 1))
+                            + 1, 32) AS hx
+              FROM fr
+            ), sig AS (
+              SELECT media_id, frame_idx,
+                     CASE WHEN len(hx) = 0 THEN
+                       list_transform(range(0, 16),
+                                      i -> CAST(0 AS DOUBLE))
+                     ELSE list_transform(range(0, 16), i ->
+                       CAST(('0x' || substr(hx,
+                                2 * (i % (len(hx) // 2)) + 1, 2))
+                            AS INT) / CAST(255 AS DOUBLE)) END AS s
+              FROM sl
+            ), lagd AS (
+              SELECT media_id, s,
+                     LAG(s) OVER (PARTITION BY media_id
+                                  ORDER BY frame_idx) AS prev
+              FROM sig
+            ), flag AS (
+              SELECT media_id,
+                     CASE WHEN prev IS NULL THEN true
+                          ELSE list_aggregate(list_transform(
+                                 list_zip(s, prev),
+                                 x -> abs(x[1] - x[2])), 'sum')
+                               / CAST(16 AS DOUBLE)
+                               > CAST(0.15 AS DOUBLE) END AS st
+              FROM lagd
+            ), per AS (
+              SELECT media_id, COUNT(*) AS n_frames,
+                     SUM(CASE WHEN st THEN 1 ELSE 0 END) AS n_scenes
+              FROM flag GROUP BY 1
+            )
+            SELECT CAST(n_scenes AS BIGINT) AS n_scenes,
+                   CAST(COUNT(*) AS BIGINT) AS n_videos,
+                   CAST(SUM(n_frames) AS BIGINT) AS total_frames
+            FROM per GROUP BY 1
+        """,
         # r9 (rows-only -> oracle): iterative peeling replayed as a
         # recursive CTE carrying the alive-vertex list; stops at the
         # fixpoint (changed flag), final degrees over the settled set.

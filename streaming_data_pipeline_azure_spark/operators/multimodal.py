@@ -120,13 +120,23 @@ def decode_media(media: DataFrame, partitions: int | None = None) -> DataFrame:
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Feature-extract stage: payload → dim-float vector. STUB kernel
     derives the vector from the payload's sha256 (deterministic); a real
-    kernel would run an image/audio encoder over the batch."""
+    kernel would run an image/audio encoder over the batch.
+
+    Dimension-salt bytes are 1..dim (r9, was 0..dim−1): NUL-free salts
+    keep every hashed message valid UTF-8, which is what lets the SQL
+    oracle replay the kernel with a VARCHAR-only sha256 — same
+    determinism, one fewer engine restriction. Each coordinate is the
+    first 4 big-endian sha256 bytes / 2³² (exact IEEE: an integer
+    < 2³² divided by a power of two)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
                 [
                     int.from_bytes(
-                        hashlib.sha256((b or b"") + bytes([i])).digest()[:4], "big"
+                        hashlib.sha256(
+                            (b or b"") + bytes([i + 1])
+                        ).digest()[:4],
+                        "big",
                     )
                     / 2**32
                     for i in range(dim)
