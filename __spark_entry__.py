@@ -4223,6 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_supplier_diversity": _brand_supplier_diversity,
         "promo_heavy_suppliers": _promo_heavy_suppliers,
         "priority_mix_hellinger": _priority_mix_hellinger,
+        "price_emd_yearly": _price_emd_yearly,
     }
     out = {k: base[k] for k in _R9_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5472,6 +5473,40 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked JOIN supplier ON l_suppkey = s_suppkey
             ORDER BY concentration_scaled DESC, s_suppkey
             LIMIT 15
+        """,
+        # Wasserstein-1 drift on the bucket grid: pure integer CDF
+        # cross-multiplication with run-length gap weighting — the one
+        # drift measure with zero float ops
+        "price_emd_yearly": r"""
+            WITH cells AS (
+              SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS b,
+                     CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+                              THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+                     CAST(SUM(CASE WHEN year(o_orderdate) = 2000
+                              THEN 1 ELSE 0 END) AS HUGEINT) AS c2
+              FROM orders
+              WHERE year(o_orderdate) IN (1996, 2000)
+              GROUP BY 1
+            ), cum AS (
+              SELECT b,
+                     CAST(COALESCE(LEAD(b) OVER (ORDER BY b) - b, 1)
+                          AS HUGEINT) AS gap,
+                     SUM(c1) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS f1,
+                     SUM(c2) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS f2,
+                     SUM(c1) OVER () AS n1,
+                     SUM(c2) OVER () AS n2
+              FROM cells
+            )
+            SELECT CAST(MIN(n1) AS BIGINT) AS n1,
+                   CAST(MIN(n2) AS BIGINT) AS n2,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST((SUM(abs(f1 * n2 - f2 * n1) * gap * 1000)
+                         * 1000000)
+                        // (MIN(n1) * MIN(n2)) AS BIGINT)
+                       AS emd_micro_dollars
+            FROM cum
         """,
         # Hellinger drift: per-cell sqrt/divide terms (correctly
         # rounded everywhere — no logs by design) folded in priority
@@ -15323,6 +15358,83 @@ def _priority_mix_hellinger(spark: SparkSession, sf: str) -> DataFrame:
         "n2",
         h2.alias("h2"),
         F.sqrt(h2 / F.lit(2.0)).alias("hellinger"),
+    )
+
+
+def _price_emd_yearly(spark: SparkSession, sf: str) -> DataFrame:
+    """Earth-mover (Wasserstein-1) price drift (r9): how far, in
+    dollars, would probability mass have to MOVE to turn the 1996
+    order-value distribution into the 2000 one — the transport
+    completion of the drift family (TVD counts mismatched mass,
+    KS takes the worst pointwise gap, Hellinger/χ² are pointwise
+    ratios; EMD alone weighs HOW FAR mass moved, so a $1 shift and a
+    $100k shift stop looking alike). On the floor(price/1000) grid,
+    W1 = Σ_buckets |F1(b) − F2(b)| · width with F the CDFs — and with
+    counts cross-multiplied onto the common n1·n2 denominator the
+    whole statistic is ONE exact integer:
+
+        emd_micro_dollars
+          = Σ_b |cum1(b)·n2 − cum2(b)·n1| · gap(b) · 1000 · 10⁶
+            DIV (n1·n2)
+
+    where gap(b) = next observed bucket − b (the CDF difference is
+    CONSTANT across empty grid positions, so each observed bucket
+    carries its run length — dropping the gaps silently under-counts
+    exactly when the two years' supports interleave). Fully
+    engine-exact, no sqrt/log anywhere; magnitudes ≤
+    n²·buckets·10⁹ ≈ 10²⁴ at sf0.1 — DECIMAL(38,0) headroom through
+    10⁶× more data.
+
+    Plan: one filtered scan → (bucket, year) counts, one
+    cumulative window over the bounded bucket grid, one fold."""
+    (orders,) = _tables(spark, sf, "orders")
+    from pyspark.sql import Window
+
+    yr = F.year("o_orderdate")
+    cells = (
+        orders.filter(yr.isin(1996, 2000))
+        .groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(1000.0))
+            .cast("long")
+            .alias("b")
+        )
+        .agg(
+            F.sum(F.when(yr == 1996, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("c1"),
+            F.sum(F.when(yr == 2000, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("c2"),
+        )
+    )
+    wo = Window.orderBy("b")
+    w = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = cells.select(
+        "b",
+        F.coalesce(F.lead("b").over(wo) - F.col("b"), F.lit(1))
+        .cast("decimal(38,0)")
+        .alias("gap"),
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c2").over(wt).alias("n2"),
+    )
+    return cum.agg(
+        F.min("n1").cast("long").alias("n1"),
+        F.min("n2").cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            * F.col("gap")
+            * F.lit(1000)
+        ).alias("__num"),
+    ).selectExpr(
+        "n1",
+        "n2",
+        "n_buckets",
+        "CAST((__num * 1000000) DIV (CAST(n1 AS DECIMAL(38,0)) * n2) "
+        "AS LONG) AS emd_micro_dollars",
     )
 
 
