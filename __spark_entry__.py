@@ -9995,6 +9995,106 @@ def oracle_sql() -> dict[str, str]:
         # r9 (rows-only -> oracle): the trainer's merge table from the
         # same replay CTEs
         "bpe_merges": _bpe_merges_oracle(),
+        # r9 (rows-only -> oracle): the Mondrian partition tree
+        # replayed as a recursive CTE — state = the per-row box
+        # assignment list; each round re-derives per-box per-dim
+        # order statistics from staged list comprehensions, applies
+        # the same (widest-range, lexically-larger-on-tie) dim pick,
+        # lower-median split and both-children >= k guard, and
+        # allocates child ids in box-id order exactly as the driver
+        # loop does. NOTE list_position returns 0 (not NULL) for
+        # absent elements — the COALESCE(...)=0 guard.
+        "customer_mondrian_boxes": r"""
+WITH RECURSIVE pts AS (
+  SELECT CAST(c_acctbal AS DOUBLE) AS a,
+         CAST(c_nationkey AS DOUBLE) AS nk
+  FROM customer
+), peel(it, st, fin, nxt, changed) AS (
+  SELECT 0,
+         (SELECT list(struct_pack(a := a, nk := nk, b := CAST(0 AS BIGINT)))
+          FROM pts),
+         CAST([] AS BIGINT[]), CAST(1 AS BIGINT), true
+  UNION ALL
+  SELECT it + 1,
+         list_transform(st, x -> struct_pack(
+            a := x.a, nk := x.nk,
+            b := CASE WHEN COALESCE(list_position(
+                        list_transform(splits, d -> d.box), x.b), 0) = 0
+                      THEN x.b
+                 ELSE CASE WHEN
+                        (CASE WHEN splits[list_position(
+                            list_transform(splits, d -> d.box), x.b)].dim = 0
+                              THEN x.a ELSE x.nk END)
+                        <= splits[list_position(
+                            list_transform(splits, d -> d.box), x.b)].med
+                      THEN nxt + 2 * (list_position(
+                            list_transform(splits, d -> d.box), x.b) - 1)
+                      ELSE nxt + 2 * (list_position(
+                            list_transform(splits, d -> d.box), x.b) - 1) + 1
+                      END
+                 END)),
+         list_concat(fin, list_transform(
+            list_filter(dec, d -> NOT d.split), d -> d.box)),
+         nxt + 2 * len(splits),
+         len(splits) > 0
+  FROM (
+    SELECT it, st, fin, nxt, dec,
+           list_filter(dec, d -> d.split) AS splits
+    FROM (
+      SELECT it, st, fin, nxt,
+             list_transform(s2, s -> struct_pack(
+                box := s.box,
+                dim := CASE WHEN s.hia - s.loa > s.hin - s.lon
+                            THEN 0 ELSE 1 END,
+                med := CASE WHEN s.hia - s.loa > s.hin - s.lon
+                            THEN s.meda ELSE s.medn END,
+                split := CASE
+                  WHEN s.n < 100 THEN false
+                  WHEN s.hia - s.loa > s.hin - s.lon THEN
+                    s.hia != s.loa
+                    AND len(list_filter(s.va, y -> y <= s.meda)) >= 50
+                    AND s.n - len(list_filter(s.va, y -> y <= s.meda)) >= 50
+                  ELSE
+                    s.hin != s.lon
+                    AND len(list_filter(s.vn, y -> y <= s.medn)) >= 50
+                    AND s.n - len(list_filter(s.vn, y -> y <= s.medn)) >= 50
+                  END)) AS dec
+      FROM (
+        SELECT it, st, fin, nxt,
+               list_transform(s1, s -> struct_pack(
+                  box := s.box, va := s.va, vn := s.vn,
+                  n := len(s.va),
+                  loa := s.va[1], hia := s.va[len(s.va)],
+                  lon := s.vn[1], hin := s.vn[len(s.vn)],
+                  meda := s.va[(len(s.va) + 1) // 2],
+                  medn := s.vn[(len(s.vn) + 1) // 2])) AS s2
+        FROM (
+          SELECT it, st, fin, nxt,
+                 list_transform(
+                   list_sort(list_filter(
+                     list_distinct(list_transform(st, x -> x.b)),
+                     bb -> NOT list_contains(fin, bb))),
+                   box -> struct_pack(
+                     box := box,
+                     va := list_sort(list_transform(
+                        list_filter(st, x -> x.b = box), x -> x.a)),
+                     vn := list_sort(list_transform(
+                        list_filter(st, x -> x.b = box), x -> x.nk)))) AS s1
+          FROM peel WHERE changed AND it < 40
+        )
+      )
+    )
+  )
+), fin_state AS (
+  SELECT st FROM peel ORDER BY it DESC LIMIT 1
+)
+SELECT x.b AS box_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x.a) AS c_acctbal_min, MAX(x.a) AS c_acctbal_max,
+       MIN(x.nk) AS c_nationkey_min, MAX(x.nk) AS c_nationkey_max
+FROM (SELECT unnest(st) AS x FROM fin_state)
+GROUP BY 1 ORDER BY 1
+""",
         # r9 (rows-only -> oracle): the feature stub is sha256 over
         # payload + NUL-free dimension salt — VARCHAR sha256 replays it
         # (each coordinate = first 4 BE hash bytes / 2^32, exact IEEE)
@@ -12981,13 +13081,16 @@ def _source_blocklist_screen(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _customer_mondrian_boxes(spark: SparkSession, sf: str) -> DataFrame:
-    """Mondrian k-anonymization (r7, rows-only): customers generalized
-    into (acctbal, nationkey) boxes of >= 50 members by greedy
+    """Mondrian k-anonymization (r7): customers generalized into
+    (acctbal, nationkey) boxes of >= 50 members by greedy
     widest-dimension median splits (validate.mondrian_generalize —
     iterative partition-tree, O(boxes) driver state per round, loud on
-    non-convergence; iterative semantics are not ANSI-expressible, so
-    verification is the >= k / partition / determinism invariant test
-    in tests/test_validate.py)."""
+    non-convergence). FULL ORACLE since r9: the partition tree replays
+    as a recursive CTE over the per-row assignment list — same dim
+    pick, lower-median split, child-starvation guard, and child-id
+    allocation order, so box IDS match, not just box contents; the
+    >= k / partition / determinism invariant tests remain
+    (tests/test_validate.py)."""
     (customer,) = _tables(spark, sf, "customer")
     return validate.mondrian_generalize(
         customer, ["c_acctbal", "c_nationkey"], k=50
