@@ -10095,6 +10095,72 @@ SELECT x.b AS box_id,
 FROM (SELECT unnest(st) AS x FROM fin_state)
 GROUP BY 1 ORDER BY 1
 """,
+        # r9 (rows-only -> oracle): deterministic synchronous label
+        # propagation replayed as a recursive CTE — labels ride a
+        # list aligned to the sorted vertex list; each round every
+        # vertex re-votes (neighbor labels + self), argmax by
+        # (votes, smallest label) via the (-count, label) struct
+        # sort; the hub cap and both-direction edge list replicate
+        # the Spark build. O(V*E) list work per round — fine at
+        # oracle scale; Spark keeps the O(E)-per-round join path.
+        "copurchase_communities": r"""
+WITH RECURSIVE eset AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), verts AS (
+  SELECT list(DISTINCT v ORDER BY v) AS vs
+  FROM (SELECT a AS v FROM eset UNION ALL SELECT b FROM eset)
+), deg AS (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT a AS v FROM eset UNION ALL SELECT b FROM eset) GROUP BY v
+), hubs AS (
+  SELECT COALESCE(list(v), CAST([] AS BIGINT[])) AS hs
+  FROM deg WHERE d > 64
+), ed AS (
+  SELECT COALESCE(list(struct_pack(a := a, b := b)),
+                  CAST([] AS STRUCT(a BIGINT, b BIGINT)[])) AS es
+  FROM (
+    SELECT a, b FROM eset, hubs
+    WHERE NOT list_contains(hs, a) AND NOT list_contains(hs, b)
+    UNION ALL
+    SELECT b AS a, a AS b FROM eset, hubs
+    WHERE NOT list_contains(hs, a) AND NOT list_contains(hs, b))
+), lp(it, labs, changed) AS (
+  SELECT 0, (SELECT vs FROM verts), true
+  UNION ALL
+  SELECT it + 1, nl, nl != labs
+  FROM (
+    SELECT l.it, l.labs,
+      list_transform(verts.vs, v ->
+        (list_sort(list_transform(
+           list_distinct(
+             list_append(
+               list_transform(
+                 list_filter(ed.es, p -> p.a = v),
+                 p -> l.labs[list_position(verts.vs, p.b)]),
+               l.labs[list_position(verts.vs, v)])),
+           cand -> struct_pack(
+             negn := -len(list_filter(
+               list_append(
+                 list_transform(
+                   list_filter(ed.es, p -> p.a = v),
+                   p -> l.labs[list_position(verts.vs, p.b)]),
+                 l.labs[list_position(verts.vs, v)]),
+               y -> y = cand)),
+             l := cand))))[1].l) AS nl
+    FROM lp l, verts, ed
+    WHERE l.changed AND l.it < 30
+  )
+), fin AS (
+  SELECT labs FROM lp ORDER BY it DESC LIMIT 1
+)
+SELECT community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM (SELECT unnest(labs) AS community FROM fin)
+GROUP BY 1
+ORDER BY n_members DESC, community ASC
+""",
         # r9 (rows-only -> oracle): the feature stub is sha256 over
         # payload + NUL-free dimension salt — VARCHAR sha256 replays it
         # (each coordinate = first 4 BE hash bytes / 2^32, exact IEEE)
@@ -13657,13 +13723,16 @@ def _click_purchase_conversions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _copurchase_communities(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic label-propagation communities (r7 s4, rows-only —
-    iterative vote rounds are not SQL-expressible): parts co-purchased
+    """Deterministic label-propagation communities (r7 s4): parts
+    co-purchased
     in >= 3 shared orders form the edge list (the copurchase_graph
     family's threshold); graph.label_propagation assigns each part a
     community by synchronous most-votes/smallest-label rounds (raises
     on non-convergence rather than returning half-propagated labels).
-    Output: per-community size histogram — anchored by the planted
+    FULL ORACLE since r9: the vote rounds replay as a recursive CTE
+    (integer votes, total-order tie-breaks — nothing engine-specific
+    survives into the fixpoint). Output: per-community size histogram
+    — still anchored by the planted
     two-clique unit test and the disjoint-cliques == connected
     components anchor test. max_degree=64 is the hub-cap (VERDICT r7
     #4): a part co-purchased with >64 other parts is a bestseller that
