@@ -4224,6 +4224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_heavy_suppliers": _promo_heavy_suppliers,
         "priority_mix_hellinger": _priority_mix_hellinger,
         "price_emd_yearly": _price_emd_yearly,
+        "neardup_graph_stats": _neardup_graph_stats,
+        "priority_price_jonckheere": _priority_price_jonckheere,
+        "ptype_price_kruskal": _ptype_price_kruskal,
     }
     out = {k: base[k] for k in _R9_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5473,6 +5476,163 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked JOIN supplier ON l_suppkey = s_suppkey
             ORDER BY concentration_scaled DESC, s_suppkey
             LIMIT 15
+        """,
+        # near-dup similarity graph: the dedup_jaccard_exact shingle/
+        # pair SQL at threshold 0.5 + the copurchase_graph_stats
+        # triangle/wedge block
+        "neardup_graph_stats": r"""
+            WITH sets AS (
+              SELECT doc_id,
+                     list_distinct([
+                        array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-2, 1) + 1)
+                     ]) AS g
+              FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(trim(text), '\s+', ' ',
+                                 'g')), ' ') AS toks
+                FROM documents
+              )
+            ), eset AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.g, b.g))
+                    >= 0.6 * len(list_distinct(a.g || b.g))
+            ), nodes AS (
+              SELECT a AS v FROM eset UNION ALL SELECT b FROM eset
+            ), deg AS (
+              SELECT v, COUNT(*) AS d FROM nodes GROUP BY v
+            ), tri AS (
+              SELECT COUNT(*) AS t
+              FROM eset e1
+              JOIN eset e2 ON e2.a = e1.b
+              JOIN eset e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), st AS (
+              SELECT COUNT(*) AS n, SUM(d) AS sumdeg,
+                     SUM(CAST((d * (d - 1)) // 2 AS BIGINT)) AS wedges
+              FROM deg
+            ), ne AS (
+              SELECT COUNT(*) AS m FROM eset
+            )
+            SELECT CAST(n AS BIGINT) AS n_nodes,
+                   CAST(m AS BIGINT) AS n_edges,
+                   CAST(t AS BIGINT) AS n_triangles,
+                   CAST(sumdeg AS DOUBLE) / CAST(n AS DOUBLE) AS avg_degree,
+                   CASE WHEN wedges > 0 THEN
+                     CAST(3.0 AS DOUBLE) * CAST(t AS DOUBLE)
+                       / CAST(wedges AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE) END AS global_clustering
+            FROM tri, st, ne
+        """,
+        # Jonckheere–Terpstra: per distinct value the 10 unrolled
+        # ordered-pair contributions 2·c_j·cumlt_i + c_i·c_j, all
+        # HUGEINT-exact
+        "priority_price_jonckheere": r"""
+            WITH pts AS (
+              SELECT o_totalprice AS v,
+                     SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS c0,
+                     SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                         THEN 1 ELSE 0 END) AS c1,
+                     SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                         THEN 1 ELSE 0 END) AS c2,
+                     SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                         THEN 1 ELSE 0 END) AS c3,
+                     SUM(CASE WHEN o_orderpriority = '5-LOW'
+                         THEN 1 ELSE 0 END) AS c4
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                        '4-NOT SPECIFIED', '5-LOW')
+              GROUP BY 1
+            ), cum AS (
+              SELECT CAST(c0 AS HUGEINT) AS c0, CAST(c1 AS HUGEINT) AS c1,
+                     CAST(c2 AS HUGEINT) AS c2, CAST(c3 AS HUGEINT) AS c3,
+                     CAST(c4 AS HUGEINT) AS c4,
+                     CAST(SUM(c0) OVER w - c0 AS HUGEINT) AS lt0,
+                     CAST(SUM(c1) OVER w - c1 AS HUGEINT) AS lt1,
+                     CAST(SUM(c2) OVER w - c2 AS HUGEINT) AS lt2,
+                     CAST(SUM(c3) OVER w - c3 AS HUGEINT) AS lt3
+              FROM pts
+              WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ), sums AS (
+              SELECT SUM(c0 + c1 + c2 + c3 + c4) AS n,
+                     SUM(c0) AS n0, SUM(c1) AS n1, SUM(c2) AS n2,
+                     SUM(c3) AS n3, SUM(c4) AS n4,
+                     SUM( 2*c1*lt0 + c0*c1 + 2*c2*lt0 + c0*c2
+                        + 2*c3*lt0 + c0*c3 + 2*c4*lt0 + c0*c4
+                        + 2*c2*lt1 + c1*c2 + 2*c3*lt1 + c1*c3
+                        + 2*c4*lt1 + c1*c4 + 2*c3*lt2 + c2*c3
+                        + 2*c4*lt2 + c2*c4 + 2*c4*lt3 + c3*c4) AS j2
+              FROM cum
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(j2 AS DECIMAL(38,0)) AS j2,
+                   CAST(2 * (n0*n1 + n0*n2 + n0*n3 + n0*n4 + n1*n2
+                        + n1*n3 + n1*n4 + n2*n3 + n2*n4 + n3*n4)
+                        AS DECIMAL(38,0)) AS pairs2,
+                   CAST((j2 * 1000000) // (2 * (n0*n1 + n0*n2 + n0*n3
+                        + n0*n4 + n1*n2 + n1*n3 + n1*n4 + n2*n3 + n2*n4
+                        + n3*n4)) AS BIGINT) AS jt_scaled
+            FROM sums
+        """,
+        # Kruskal–Wallis: doubled tie-averaged rank sums + exact tie
+        # term; the K per-group double terms fold in group-sorted order
+        # (VARCHAR round-trips on the wide decimal→double casts)
+        "ptype_price_kruskal": r"""
+            WITH j AS (
+              SELECT split_part(p_type, ' ', 1) AS g,
+                     l_extendedprice AS v
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), cells AS (
+              SELECT v, g, CAST(COUNT(*) AS HUGEINT) AS c
+              FROM j GROUP BY 1, 2
+            ), runs AS (
+              SELECT v, SUM(c) AS run FROM cells GROUP BY v
+            ), ranked AS (
+              SELECT v, run,
+                     2 * SUM(run) OVER (ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - run + 1 AS avg2
+              FROM runs
+            ), per_group AS (
+              SELECT g, SUM(c) AS ng, SUM(c * avg2) AS r2
+              FROM cells JOIN ranked USING (v)
+              GROUP BY g
+            ), ties AS (
+              SELECT SUM(run * run * run - run) AS t3 FROM runs
+            ), folded AS (
+              SELECT list_aggregate(
+                       list(CAST(CAST(r2 * r2 AS VARCHAR) AS DOUBLE)
+                            / CAST(ng AS DOUBLE) ORDER BY g),
+                       'sum') AS s,
+                     SUM(ng) AS N,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups
+              FROM per_group
+            )
+            SELECT CAST(N AS BIGINT) AS n, n_groups,
+                   CAST(t3 AS DECIMAL(38,0)) AS ties_cubed,
+                   CAST(3 AS DOUBLE) * s
+                     / CAST(CAST(N * (N + 1) AS VARCHAR) AS DOUBLE)
+                   - CAST(3 AS DOUBLE)
+                     * (CAST(N AS DOUBLE) + CAST(1 AS DOUBLE)) AS h,
+                   CASE WHEN CAST(1 AS DOUBLE)
+                             - CAST(CAST(t3 AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(N*N*N - N AS VARCHAR)
+                                      AS DOUBLE) > 0
+                        THEN (CAST(3 AS DOUBLE) * s
+                              / CAST(CAST(N * (N + 1) AS VARCHAR)
+                                     AS DOUBLE)
+                              - CAST(3 AS DOUBLE)
+                                * (CAST(N AS DOUBLE)
+                                   + CAST(1 AS DOUBLE)))
+                             / (CAST(1 AS DOUBLE)
+                                - CAST(CAST(t3 AS VARCHAR) AS DOUBLE)
+                                  / CAST(CAST(N*N*N - N AS VARCHAR)
+                                         AS DOUBLE))
+                   END AS h_corrected
+            FROM folded, ties
         """,
         # Wasserstein-1 drift on the bucket grid: pure integer CDF
         # cross-multiplication with run-length gap weighting — the one
@@ -15608,6 +15768,60 @@ def _price_emd_yearly(spark: SparkSession, sf: str) -> DataFrame:
         "CAST((__num * 1000000) DIV (CAST(n1 AS DECIMAL(38,0)) * n2) "
         "AS LONG) AS emd_micro_dollars",
     )
+
+
+def _neardup_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup similarity-graph topology (r9): the exact Jaccard≥0.6
+    pair graph (dedup.prefix_filter_jaccard_pairs — AllPairs prefix
+    filtering, recall 1.0) summarized by graph.graph_summary
+    (degree-oriented triangle count + global clustering). The
+    dedup-QA readout: a near-dup CLUSTER (high clustering) is a
+    mirror/boilerplate family, while chains (zero clustering) are
+    drift — they deserve different keep policies. Composes two
+    oracle-proven pieces, so the whole pipeline is hash-checkable."""
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        _docs(spark, sf), "doc_id", "text", threshold=0.6
+    )
+    return graph.graph_summary(pairs, "id_a", "id_b")
+
+
+def _priority_price_jonckheere(spark: SparkSession, sf: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered trend (r9): does order value
+    stochastically INCREASE as priority drops from 1-URGENT to 5-LOW
+    (experiment.jonckheere_trend — exact doubled pair-concordance
+    counts over the distinct-value grain, K(K−1)/2 unrolled pair
+    terms, floor-scaled effect size). On TPC-H's uniform priorities
+    jt_scaled reads ~½·scale — no trend, which is the correct
+    reading and exactly what the ordered test exists to distinguish
+    from the omnibus Kruskal–Wallis."""
+    (orders,) = _tables(spark, sf, "orders")
+    return experiment.jonckheere_trend(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )
+
+
+def _ptype_price_kruskal(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal–Wallis omnibus rank test (r9): does lineitem price
+    differ across part-type CLASSES (first word of p_type: ECONOMY /
+    PROMO / STANDARD / LARGE / MEDIUM / SMALL)?
+    experiment.kruskal_wallis — exact doubled tie-averaged rank sums,
+    exact tie term, group-sorted fold for the double finish. The
+    nonparametric family's omnibus member next to mann_whitney (2
+    groups) and jonckheere (ordered)."""
+    li, part = _tables(spark, sf, "lineitem", "part")
+    joined = li.join(
+        F.broadcast(
+            part.select(
+                "p_partkey",
+                F.split(F.col("p_type"), " ").getItem(0).alias("tclass"),
+            )
+        ),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    return experiment.kruskal_wallis(joined, "tclass", "l_extendedprice")
 
 
 def _revenue_runs_test(spark: SparkSession, sf: str) -> DataFrame:

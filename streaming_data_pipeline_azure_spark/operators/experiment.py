@@ -538,6 +538,192 @@ def ks_statistic(
     )
 
 
+def jonckheere_trend(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ordered_groups: list,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative, exact with
+    ties: "do values stochastically INCREASE along this group order" —
+    the K-group extension of :func:`mann_whitney_u` that uses the
+    ordering (Kruskal-Wallis asks "any difference"; J-T asks "this
+    monotone trend", and gains power exactly when the order is real).
+
+    J = Σ_{i<j} U(g_i, g_j) over the given order, U counting
+    (x from g_i) < (y from g_j) pairs with ties at ½. Kept DOUBLED so
+    everything is integer: per distinct value v,
+
+        2·U contribution = Σ_{i<j} [ 2·c_j(v)·cumlt_i(v) + c_i(v)·c_j(v) ]
+
+    with cumlt the strictly-below cumulative count — one distinct-value
+    window pass, the K(K−1)/2 pair terms unrolled into a single
+    expression (K is small by contract: priority classes, severity
+    bands). All sums ride DECIMAL(38,0); `jt_scaled` =
+    floor(2U / (2·Σ_{i<j} n_i·n_j) · scale) is the trend effect size
+    in [0, scale] (scale/2 = no trend) by exact integral DIV.
+
+    Returns ONE row: (n, j2, pairs2, jt_scaled)."""
+    from pyspark.sql import Window
+
+    if len(ordered_groups) < 3:
+        raise ValueError(
+            "jonckheere_trend needs >= 3 ordered groups (use "
+            "mann_whitney_u for two)"
+        )
+    g = F.col(group_col)
+    ks = list(range(len(ordered_groups)))
+    tagged = df.filter(g.isin(list(ordered_groups))).select(
+        F.col(value_col).alias("__v"),
+        *[
+            (g == F.lit(ordered_groups[i])).cast("long").alias(f"__c{i}")
+            for i in ks
+        ],
+    )
+    pts = tagged.groupBy("__v").agg(
+        *[F.sum(f"__c{i}").alias(f"__c{i}") for i in ks]
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = "decimal(38,0)"
+    cum = pts.select(
+        "__v",
+        *[F.col(f"__c{i}").cast(dec).alias(f"c{i}") for i in ks],
+        *[
+            (F.sum(f"__c{i}").over(w) - F.col(f"__c{i}"))
+            .cast(dec)
+            .alias(f"lt{i}")
+            for i in ks
+        ],
+    )
+    contrib = None
+    for i in ks:
+        for j in ks:
+            if i < j:
+                term = (
+                    F.lit(2).cast(dec) * F.col(f"c{j}") * F.col(f"lt{i}")
+                    + F.col(f"c{i}") * F.col(f"c{j}")
+                )
+                contrib = term if contrib is None else contrib + term
+    sums = cum.agg(
+        F.sum(contrib).alias("__j2"),
+        *[F.sum(f"c{i}").alias(f"__n{i}") for i in ks],
+    )
+    npairs = None
+    for i in ks:
+        for j in ks:
+            if i < j:
+                t = F.col(f"__n{i}") * F.col(f"__n{j}")
+                npairs = t if npairs is None else npairs + t
+    tot = None
+    for i in ks:
+        tot = F.col(f"__n{i}") if tot is None else tot + F.col(f"__n{i}")
+    return sums.select(
+        tot.cast("long").alias("n"),
+        F.col("__j2").cast(dec).alias("j2"),
+        (F.lit(2).cast(dec) * npairs).cast(dec).alias("pairs2"),
+        (F.col("__j2") * F.lit(scale)).alias("__num"),
+    ).selectExpr(
+        "n",
+        "j2",
+        "pairs2",
+        "CAST(__num DIV pairs2 AS BIGINT) AS jt_scaled",
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H, exact-ingredient: the K-group rank ANOVA —
+    "does ANY group's value distribution sit elsewhere" — completing
+    the nonparametric family (:func:`mann_whitney_u` = 2 groups,
+    :func:`jonckheere_trend` = ordered alternative, this = omnibus).
+
+    Exactness scheme: tie-averaged DOUBLED ranks at distinct-value
+    grain (the mann_whitney device), so every per-group rank sum R2_g
+    and the tie term Σ(t³−t) are exact DECIMAL(38,0); the statistic
+
+        H = 3·Σ_g R2_g²/n_g / (N(N+1)) − 3(N+1)
+        H_corrected = H / (1 − Σ(t³−t)/(N³−N))
+
+    leaves exact arithmetic only through correctly-rounded double
+    casts, with the K per-group terms folded LEFT-TO-RIGHT in
+    group-sorted order (the cramers_v device) — bit-identical in any
+    engine that mirrors the fold (wide decimal→double casts go through
+    the VARCHAR round-trip on the oracle side).
+
+    Returns ONE row: (n, n_groups, ties_cubed, h, h_corrected);
+    h_corrected is NULL when every value is tied (zero variance)."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    cells = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).groupBy("__v", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    runs = cells.groupBy("__v").agg(F.sum("__c").alias("__run"))
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = runs.select(
+        "__v",
+        F.col("__run").cast(dec).alias("__run"),
+        (
+            F.lit(2).cast(dec) * F.sum("__run").over(w).cast(dec)
+            - F.col("__run").cast(dec)
+            + 1
+        ).alias("__avg2"),
+    )
+    per_group = (
+        cells.join(ranked, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__c").cast(dec)).alias("__n"),
+            F.sum(F.col("__c").cast(dec) * F.col("__avg2")).alias("__r2"),
+        )
+    )
+    ties = runs.agg(
+        F.sum(
+            F.col("__run").cast(dec) * F.col("__run") * F.col("__run")
+            - F.col("__run")
+        ).alias("__t3")
+    )
+    arr = per_group.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__g", "__n", "__r2"))
+        ).alias("__gs"),
+        F.sum("__n").alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    ).crossJoin(ties)
+    s = F.aggregate(
+        F.transform(
+            F.col("__gs"),
+            lambda g: (g["__r2"] * g["__r2"]).cast("double")
+            / g["__n"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nd = F.col("__N").cast("double")
+    nn1 = (F.col("__N") * (F.col("__N") + 1)).cast("double")
+    h = F.lit(3.0) * s / nn1 - F.lit(3.0) * (nd + F.lit(1.0))
+    n3n = (
+        F.col("__N") * F.col("__N") * F.col("__N") - F.col("__N")
+    ).cast("double")
+    corr = F.lit(1.0) - F.col("__t3").cast("double") / n3n
+    return arr.select(
+        F.col("__N").cast("long").alias("n"),
+        "n_groups",
+        F.col("__t3").cast(dec).alias("ties_cubed"),
+        h.alias("h"),
+        F.when(corr > 0, h / corr).alias("h_corrected"),
+    )
+
+
 def mann_whitney_u(
     df: DataFrame,
     group_col: str,
