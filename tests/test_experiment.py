@@ -492,3 +492,77 @@ def test_cramers_v_bounds(spark):
     )
     [i] = cramers_v(indep, "x", "y").collect()
     assert abs(i["chi2"]) < 1e-12 and abs(i["cramers_v"]) < 1e-6
+
+
+def test_jonckheere_trend_endpoints(spark):
+    """Perfect increasing trend reads scale (1.0), all-tied reads
+    scale/2 (no trend), perfect decreasing reads 0; fewer than 3
+    groups is rejected (that's mann_whitney's job)."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        jonckheere_trend,
+    )
+
+    inc = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0),
+         ("C", 5.0), ("C", 6.0)],
+        "g string, v double",
+    )
+    [r] = jonckheere_trend(inc, "g", "v", ["A", "B", "C"]).collect()
+    assert (int(r["j2"]), int(r["pairs2"]), r["jt_scaled"]) == (
+        24, 24, 1_000_000,
+    )
+
+    tied = spark.createDataFrame(
+        [("A", 7.0)] * 2 + [("B", 7.0)] * 2 + [("C", 7.0)] * 2,
+        "g string, v double",
+    )
+    [t] = jonckheere_trend(tied, "g", "v", ["A", "B", "C"]).collect()
+    assert t["jt_scaled"] == 500_000
+
+    dec = spark.createDataFrame(
+        [("A", 9.0), ("B", 5.0), ("C", 1.0)], "g string, v double"
+    )
+    [d] = jonckheere_trend(dec, "g", "v", ["A", "B", "C"]).collect()
+    assert d["jt_scaled"] == 0
+
+    with _pytest.raises(ValueError, match="ordered groups"):
+        jonckheere_trend(inc, "g", "v", ["A", "B"])
+
+
+def test_kruskal_wallis_matches_hand_values(spark):
+    """No ties: separated groups give the textbook H = 7.2; with ties
+    the doubled-rank H and the tie-corrected H match the hand
+    derivation (and scipy: 3.0714 / 3.5833)."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        kruskal_wallis,
+    )
+
+    sep = spark.createDataFrame(
+        [("A", float(v)) for v in (1, 2, 3)]
+        + [("B", float(v)) for v in (4, 5, 6)]
+        + [("C", float(v)) for v in (7, 8, 9)],
+        "g string, v double",
+    )
+    [r] = kruskal_wallis(sep, "g", "v").collect()
+    assert r["n"] == 9 and r["n_groups"] == 3
+    assert int(r["ties_cubed"]) == 0
+    assert abs(r["h"] - 7.2) < 1e-12
+    assert abs(r["h_corrected"] - 7.2) < 1e-12
+
+    tied = spark.createDataFrame(
+        [("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0),
+         ("C", 2.0), ("C", 3.0)],
+        "g string, v double",
+    )
+    [t] = kruskal_wallis(tied, "g", "v").collect()
+    assert int(t["ties_cubed"]) == 30
+    assert abs(t["h"] - 43.0 / 14.0) < 1e-12          # 3.0714...
+    assert abs(t["h_corrected"] - 43.0 / 12.0) < 1e-12  # 3.5833...
+
+    allsame = spark.createDataFrame(
+        [("A", 5.0), ("B", 5.0), ("C", 5.0)], "g string, v double"
+    )
+    [s] = kruskal_wallis(allsame, "g", "v").collect()
+    assert s["h_corrected"] is None  # zero variance -> correction 0
