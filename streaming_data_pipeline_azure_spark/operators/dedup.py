@@ -535,12 +535,18 @@ def prefix_filter_jaccard_pairs(
     sets = persist_tracked(
         shingle_sets(df, id_col, text_col, shingle_n, shingle_kind)
     )
+    # candidate keys shuffle as 8-byte hashes, not shingle strings
+    # (r9, the ER-pairs rework's lesson re-applied): a hash collision
+    # only ADDS a candidate the exact set-intersect verify below
+    # discards, so recall stays 1.0 while the equi-join exchanges
+    # shrink ~10× in bytes on word-shingle keys
     pre = sets.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                "slice(array_sort(__sh), 1, "
-                f"CAST(floor({1.0 - threshold} * size(__sh)) AS INT) + 1)"
+                "transform(slice(array_sort(__sh), 1, "
+                f"CAST(floor({1.0 - threshold} * size(__sh)) AS INT)"
+                " + 1), s -> xxhash64(s))"
             )
         ).alias("__p"),
     )
