@@ -1780,6 +1780,34 @@ def _incremental_order_stats(spark: SparkSession, sf: str) -> DataFrame:
     return view.read(spark)
 
 
+def _incremental_priority_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained LEADERBOARD (r9): the top-5 orders per
+    priority view is built from ~half the orders, refreshed with two
+    O(delta) candidate folds (top-k(A∪B) ⊆ top-k(A) ∪ top-k(B) under
+    inserts — history never re-ranked), compacted mid-lifecycle, and
+    the served result must equal the full-recompute window top-5
+    bit-for-bit — which is exactly what the oracle runs
+    (operators/incremental.py:IncrementalTopK)."""
+    from streaming_data_pipeline_azure_spark.operators.incremental import (
+        IncrementalTopK,
+    )
+
+    (orders,) = _tables(spark, sf, "orders")
+    base = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    view = IncrementalTopK(
+        _fresh_index_dir("inctopk_"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+        k=5,
+    )
+    view.build(base.filter(F.col("o_orderkey") % 4 < 2))
+    view.refresh(base.filter(F.col("o_orderkey") % 4 == 2))
+    view.compact(spark)  # exercise the generation swap mid-lifecycle
+    view.refresh(base.filter(F.col("o_orderkey") % 4 == 3))
+    return view.read(spark)
+
+
 def _price_trend_regression(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped OLS (r5): per order priority, the linear trend of order
     value over time (x = days since epoch) with r² — five exact-decimal
@@ -4227,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_graph_stats": _neardup_graph_stats,
         "priority_price_jonckheere": _priority_price_jonckheere,
         "ptype_price_kruskal": _ptype_price_kruskal,
+        "incremental_priority_topk": _incremental_priority_topk,
     }
     out = {k: base[k] for k in _R9_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -5633,6 +5662,19 @@ def oracle_sql() -> dict[str, str]:
                                          AS DOUBLE))
                    END AS h_corrected
             FROM folded, ties
+        """,
+        # incremental top-k view: the served leaderboard must equal the
+        # full-recompute window top-5 bit-for-bit
+        "incremental_priority_topk": r"""
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders
+            ) WHERE rnk <= 5
         """,
         # Wasserstein-1 drift on the bucket grid: pure integer CDF
         # cross-multiplication with run-length gap weighting — the one

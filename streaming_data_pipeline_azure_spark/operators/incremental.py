@@ -188,6 +188,152 @@ class IncrementalAgg:
         self._gens.gc_below(spark, keep=nxt)
 
 
+class IncrementalTopK:
+    """Materialized per-group TOP-K view with O(delta) insert-only
+    refresh — the leaderboard/'largest orders per segment' serving
+    table that would otherwise re-rank all history every refresh.
+
+    The merge property that makes top-k incrementally maintainable
+    under INSERTS: top-k(A ∪ B) ⊆ top-k(A) ∪ top-k(B), so each batch
+    folds in only its own per-group top-k rows (the candidate set) and
+    reads re-rank the O(batches·k) candidates per group, never the
+    history. Deletes are NOT supported (a delete can promote a row the
+    candidate set discarded — that is a rebuild), which the class
+    states loudly rather than serving silently-wrong views.
+
+    Determinism: ordering is (order_col DESC, id_col ASC) — a total
+    order, so the view equals the full recompute BIT-FOR-BIT (exactly
+    what the oracle entry checks). Partials are O(groups·k) rows per
+    refresh; ``compact()`` collapses the append history back to one
+    exact top-k per group via the shared crash-safe generation swap."""
+
+    def __init__(
+        self,
+        path: str,
+        group_cols: list[str],
+        order_col: str,
+        id_col: str,
+        *,
+        k: int,
+    ):
+        if k < 1:
+            raise ValueError("IncrementalTopK needs k >= 1")
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.order_col = order_col
+        self.id_col = id_col
+        self.k = int(k)
+        self._gens = GenerationalDir(f"{path}/partials")
+        self._params_verified = False
+
+    def _partials_path(self, spark) -> str:
+        return self._gens.gen_path(spark)
+
+    def _check_params(self, spark) -> None:
+        if self._params_verified:
+            return
+        p = spark.read.json(f"{self.path}/params").collect()[0]
+        on_disk = (
+            list(p["group_cols"]), p["order_col"], p["id_col"], int(p["k"])
+        )
+        if on_disk != (
+            self.group_cols, self.order_col, self.id_col, self.k
+        ):
+            raise ValueError(
+                f"IncrementalTopK params mismatch at {self.path}: view is "
+                f"{on_disk}, instance has ({self.group_cols}, "
+                f"{self.order_col!r}, {self.id_col!r}, {self.k})"
+            )
+        self._params_verified = True
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IncrementalTopK":
+        p = spark.read.json(f"{path}/params").collect()[0]
+        view = cls(
+            path, list(p["group_cols"]), p["order_col"], p["id_col"],
+            k=int(p["k"]),
+        )
+        view._params_verified = True
+        return view
+
+    def _topk(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col(self.order_col).desc(), F.col(self.id_col).asc()
+        )
+        out = (
+            df.select(*self.group_cols, self.id_col, self.order_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.k)
+            .drop("__rn")
+        )
+        n = max(1, df.sparkSession.sparkContext.defaultParallelism // 8)
+        return out.coalesce(n)
+
+    def build(self, df: DataFrame) -> None:
+        """Initialize the view (the only full scan it ever takes)."""
+        spark = df.sparkSession
+        self._gens.reset(spark)
+        self._topk(df).write.mode("overwrite").parquet(
+            f"{self.path}/partials/gen=0"
+        )
+        spark.createDataFrame(
+            [(self.group_cols, self.order_col, self.id_col, self.k)],
+            "group_cols array<string>, order_col string, id_col string, "
+            "k int",
+        ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
+        self._params_verified = True
+
+    def refresh(self, delta: DataFrame) -> None:
+        """Fold a batch of NEW rows in: one per-group top-k of the
+        delta + one append. Insert-only by contract (see class doc)."""
+        spark = delta.sparkSession
+        self._check_params(spark)
+        self._topk(delta).write.mode("append").parquet(
+            self._partials_path(spark)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The served leaderboard: (group..., id, value, rank) — the
+        exact top-k over everything ever folded in."""
+        from pyspark.sql import Window
+
+        self._check_params(spark)
+        part = spark.read.parquet(self._partials_path(spark))
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col(self.order_col).desc(), F.col(self.id_col).asc()
+        )
+        return (
+            part.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select(
+                *self.group_cols, self.id_col, self.order_col,
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+
+    def stats(self, spark: SparkSession) -> dict:
+        part = spark.read.parquet(self._partials_path(spark))
+        return {
+            "generation": self._gens.current_gen(spark),
+            "n_partial_rows": part.count(),
+            "n_groups": part.select(*self.group_cols).distinct().count(),
+            "n_files": len(part.inputFiles()),
+        }
+
+    def compact(self, spark: SparkSession) -> None:
+        """Collapse the candidate history back to the exact top-k per
+        group via the shared crash-safe generation swap."""
+        self._check_params(spark)
+        nxt = self._gens.current_gen(spark) + 1
+        self.read(spark).drop("rank").coalesce(
+            max(1, spark.sparkContext.defaultParallelism // 8)
+        ).write.mode("overwrite").parquet(f"{self.path}/partials/gen={nxt}")
+        self._gens.commit(spark, nxt)
+        self._gens.gc_below(spark, keep=nxt)
+
+
 class IncrementalJoinView:
     """Incrementally-maintained equi-JOIN view (r7) — the classic IVM
     delta-join identity next to :class:`IncrementalAgg`'s mergeable

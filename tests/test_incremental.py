@@ -300,3 +300,54 @@ def test_incremental_join_view_takedown_tombstones(spark, tmp_path):
     )
     live = {tuple(r) for r in view.read(spark).collect()}
     assert (3, "back", 30) in live and (3, "back2", 30) in live
+
+
+def test_incremental_topk_matches_full_recompute(spark, tmp_path):
+    """Candidate folds + compaction serve the exact top-k at every
+    lifecycle point; reload from params round-trips; k>=1 enforced."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.incremental import (
+        IncrementalTopK,
+    )
+
+    rows = [(i, f"g{i % 3}", float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+
+    def exact(upto):
+        sub = df.filter(F.col("id") < upto)
+        w = Window.partitionBy("g").orderBy(
+            F.col("v").desc(), F.col("id").asc()
+        )
+        return sorted(
+            map(
+                tuple,
+                sub.withColumn("rank", F.row_number().over(w))
+                .filter("rank <= 4")
+                .select("g", "id", "v", F.col("rank").cast("long"))
+                .collect(),
+            )
+        )
+
+    view = IncrementalTopK(
+        str(tmp_path / "tk"), ["g"], "v", "id", k=4
+    )
+    view.build(df.filter(F.col("id") < 100))
+    assert sorted(map(tuple, view.read(spark).collect())) == exact(100)
+    view.refresh(df.filter((F.col("id") >= 100) & (F.col("id") < 200)))
+    assert sorted(map(tuple, view.read(spark).collect())) == exact(200)
+    view.compact(spark)
+    assert view.stats(spark)["n_partial_rows"] == 12  # 3 groups x k
+    view.refresh(df.filter(F.col("id") >= 200))
+    assert sorted(map(tuple, view.read(spark).collect())) == exact(300)
+
+    # reload-by-params serves identically; param mismatch is loud
+    reloaded = IncrementalTopK.load(spark, str(tmp_path / "tk"))
+    assert sorted(map(tuple, reloaded.read(spark).collect())) == exact(300)
+    other = IncrementalTopK(str(tmp_path / "tk"), ["g"], "v", "id", k=9)
+    with _pytest.raises(ValueError, match="params mismatch"):
+        other.read(spark)
+    with _pytest.raises(ValueError, match="k >= 1"):
+        IncrementalTopK(str(tmp_path / "x"), ["g"], "v", "id", k=0)
