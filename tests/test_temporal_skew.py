@@ -1496,3 +1496,28 @@ def test_forecast_residual_anomalies_flags_planted_spike(spark):
     assert not any(10 <= t <= 20 for t in flagged)
     # flags are a minority of the series
     assert len(flagged) < len(vals) // 3
+
+
+def test_fifo_allocate_plan_has_no_join(spark):
+    """The r9 merge formulation must stay a union + fill-forward
+    window: a Join node in the optimized plan means the per-key
+    quadratic candidate generation crept back (SCALING.md §10 measured
+    it at 6.3× wall per 3× data)."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        fifo_allocate,
+    )
+
+    sup = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 5.0)], "k string, t int, q double"
+    )
+    dem = spark.createDataFrame(
+        [("A", 3, 8.0), ("A", 4, 6.0)], "k string, t int, q double"
+    )
+    plan = (
+        fifo_allocate(sup, dem, "k", "t", "q")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 3  # two cum sums + the fill-forward
