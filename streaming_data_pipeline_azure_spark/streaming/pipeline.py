@@ -552,6 +552,80 @@ def read_ab_readout(spark, state_path: str) -> DataFrame:
     )
 
 
+def build_topk_ingest_query(
+    value_stream: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming LEADERBOARD state: each micro-batch persists its
+    per-group top-k candidate rows (top-k(A∪B) ⊆ top-k(A) ∪ top-k(B)
+    under inserts — the :class:`~streaming_data_pipeline_azure_spark.
+    operators.incremental.IncrementalTopK` merge property) at
+    replay-idempotent ``batch_id=N`` overwrite partitions; a replayed
+    batch rewrites ITS OWN candidates rather than double-folding them,
+    which a plain append would (duplicate candidate rows double-count
+    in the rank and corrupt the served top-k — why the batch
+    IncrementalTopK class is insert-once by contract and the streaming
+    layout is partition-per-batch). Serve with :func:`read_topk`."""
+    from pyspark.sql import Window
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col(order_col).desc(), F.col(id_col).asc()
+        )
+        (
+            batch_df.select(*group_cols, id_col, order_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{state_path}/batch_id={batch_id}")
+        )
+
+    writer = (
+        value_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_topk(
+    spark,
+    state_path: str,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """The served leaderboard: re-rank the O(batches·groups·k)
+    candidate union — identical to one batch window over everything
+    ever ingested (parity-tested)."""
+    from pyspark.sql import Window
+
+    part = spark.read.parquet(state_path)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            *group_cols, id_col, order_col,
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def build_checksum_ingest_query(
     value_stream: DataFrame,
     cols: list[str],

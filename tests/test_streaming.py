@@ -1634,3 +1634,74 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
         if r["l_event_id"] != 9  # the advancing click itself may stay pending
     )
     assert rows == [(1, 5.0), (2, None)]
+
+
+def test_streaming_topk_matches_batch_and_replays(spark, tmp_path):
+    """The streamed leaderboard equals the one-pass batch window top-k
+    over everything ingested; a replayed batch rewrites its own
+    candidate partition and the served view is unchanged (a plain
+    append would double-count duplicate candidates in the rank)."""
+    import json as _json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_topk_ingest_query,
+        read_topk,
+        run_to_completion,
+    )
+
+    b1 = [{"id": i, "g": f"g{i % 2}", "v": float((i * 37) % 97)}
+          for i in range(100)]
+    b2 = [{"id": i, "g": f"g{i % 2}", "v": float((i * 37) % 97)}
+          for i in range(100, 180)]
+    src = tmp_path / "tk_in"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    state = str(tmp_path / "tk_state")
+    q = build_topk_ingest_query(
+        spark.readStream.schema("id long, g string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src)),
+        ["g"], "v", "id", 5, state, str(tmp_path / "tk_ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+    served = sorted(
+        map(tuple, read_topk(spark, state, ["g"], "v", "id", 5).collect())
+    )
+    union = spark.createDataFrame(
+        [(r["id"], r["g"], r["v"]) for r in b1 + b2],
+        "id long, g string, v double",
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    direct = sorted(
+        map(
+            tuple,
+            union.withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 5")
+            .select("g", "id", "v", F.col("rank").cast("long"))
+            .collect(),
+        )
+    )
+    assert served == direct
+
+    # replay batch 0: overwrite its own partition -> view unchanged
+    b0 = spark.createDataFrame(
+        [(r["id"], r["g"], r["v"]) for r in b1], "id long, g string, v double"
+    )
+    wtop = (
+        b0.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn <= 5")
+        .drop("__rn")
+    )
+    wtop.coalesce(1).write.mode("overwrite").parquet(
+        f"{state}/batch_id=0"
+    )
+    replayed = sorted(
+        map(tuple, read_topk(spark, state, ["g"], "v", "id", 5).collect())
+    )
+    assert replayed == served
