@@ -4268,7 +4268,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # NOTES_r9); positions 2-50 are the 49 OLDEST never-driver-checked
 # oracle entries (judge ledger: 134 such entries across r1-r8), in
 # their stable base-dict order. r9-new entries go at the dict TAIL per
-# the directive; the remaining 85 never-checked entries rotate in r10+.
+# the directive; the remaining never-checked entries rotate in r10+.
+#
+# r10 ROTATION QUEUE (precomputed, oldest-first, assuming this window
+# goes driver-green): 107 oracle entries remain never-driver-checked
+# (85 pre-r9 + the r9 additions/conversions). The r10 window is the
+# first 50 of: dedup_bag_of_words, price_benford, nation_revenue_gini,
+# segment_loo_encoding, ptype_feature_hash, part_price_band_pairs,
+# click_purchase_xcorr, lm_dirichlet_search, lang_balanced_sample,
+# copurchase_assortativity, event_value_cusum, customer_jw_scores,
+# event_precedence_pairs, retrieval_rank_agreement, doc_sentence_dedup,
+# nation_theilsen_trend, user_recency_weighted_value,
+# term_proximity_search, lang_confusion_matrix, revenue_holt_forecast,
+# acctbal_quantile_normalized, customer_snm_pairs, price_log2_histogram,
+# priority_winsorized_price, user_interevent_stats, doc_vocab_growth,
+# contamination_matrix, search_snippets, cluster_quality_report,
+# part_fd_discovery, triplet_mining, attribution_time_decay,
+# encoding_anomaly_report, passage_bm25_search, retrieval_ndcg,
+# rolling_active_users, weekly_growth_accounting, user_stickiness,
+# cohort_ltv, monthly_fulfillment_p50, doc_readability,
+# forecast_conformal_width, revenue_dow_seasonality,
+# dedup_savings_report, source_blocklist_screen, rolling_weekly_p95,
+# user_activity_streaks, revenue_max_drawdown, priority_class_weights,
+# vocab_coverage_stats — then the r7 tail and the r9 additions.
 _R9_WINDOW = [
     "priority_price_stump",
     "fuzzy_pairs_depth2_stats",
