@@ -531,37 +531,97 @@ def prefix_filter_jaccard_pairs(
     element, so the candidate equi-join on prefix hashes loses NO
     qualifying pair — unlike MinHash-LSH this is deterministic and
     recall-1.0, at the cost of candidate volume that grows with document
-    overlap (use the LSH path when approximate recall is acceptable)."""
+    overlap (use the LSH path when approximate recall is acceptable).
+
+    r10: the candidate join carries PPJoin-style filters (Xiao et al.
+    2008), both provably lossless:
+
+    - LENGTH filter: Jaccard ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|)
+      (I ≤ min, U ≥ max, I ≥ t·U) — pairs with incompatible set sizes
+      never reach verification.
+    - POSITIONAL filter: a prefix match at sorted positions (pa, pb)
+      bounds the total overlap by min(pa,pb) + 1 + min(|a|−1−pa,
+      |b|−1−pb) (shared elements split around the matched value; this
+      instance-universal bound needs no first-match bookkeeping, so
+      every instance of a qualifying pair survives it); prune when the
+      bound cannot reach the required overlap t·(|a|+|b|)/(1+t), with
+      a 1e-9 slack dwarfing double rounding at these magnitudes.
+
+    Verification computes |union| arithmetically as |a|+|b|−|a∩b|
+    (sets are distinct by construction) — one array_intersect per
+    candidate, no array_union materialization — with the SAME final
+    float comparison as before (|union| is an exact integer either
+    way, so acceptance is unchanged)."""
     sets = persist_tracked(
         shingle_sets(df, id_col, text_col, shingle_n, shingle_kind)
     )
-    # candidate keys shuffle as 8-byte hashes, not shingle strings
-    # (r9, the ER-pairs rework's lesson re-applied): a hash collision
-    # only ADDS a candidate the exact set-intersect verify below
-    # discards, so recall stays 1.0 while the equi-join exchanges
-    # shrink ~10× in bytes on word-shingle keys
+    # candidate keys are the prefix elements of __sh directly: 8-byte
+    # longs already (shingle_sets hashes shingles at build time), so
+    # the equi-join exchanges fixed-width keys, never strings. (An r9
+    # draft wrapped these in a second xxhash64 — a no-op re-hash of
+    # already-hashed longs; removed r10 per ADVICE, and the r9 warm
+    # triple's 2.97→0.93 s reading belongs to the surrounding rework,
+    # not to any string-key elimination.)
+    t = float(threshold)
     pre = sets.select(
         F.col(id_col),
-        F.explode(
+        F.size("__sh").alias("__sz"),
+        F.posexplode(
             F.expr(
-                "transform(slice(array_sort(__sh), 1, "
+                "slice(array_sort(__sh), 1, "
                 f"CAST(floor({1.0 - threshold} * size(__sh)) AS INT)"
-                " + 1), s -> xxhash64(s))"
+                " + 1)"
             )
-        ).alias("__p"),
+        ).alias("__pos", "__p"),
     )
-    a = pre.select(F.col(id_col).alias("id_a"), "__p")
-    b = pre.select(F.col(id_col).alias("id_b"), "__p")
+    a = pre.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sz").alias("__sza"),
+        F.col("__pos").alias("__pa"),
+        "__p",
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sz").alias("__szb"),
+        F.col("__pos").alias("__pb"),
+        "__p",
+    )
+    overlap_bound = (
+        F.least("__pa", "__pb")
+        + 1
+        + F.least(
+            F.col("__sza") - 1 - F.col("__pa"),
+            F.col("__szb") - 1 - F.col("__pb"),
+        )
+    ).cast("double")
+    required = (
+        F.lit(t)
+        * (F.col("__sza") + F.col("__szb")).cast("double")
+        / F.lit(1.0 + t)
+    )
     cand = (
         a.join(b, "__p")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("__sza", "__szb").cast("double")
+            >= F.lit(t) * F.greatest("__sza", "__szb").cast("double")
+        )
+        .filter(overlap_bound >= required - F.lit(1e-9))
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    sh_a = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("__sh_a"),
+        F.size("__sh").alias("__na"),
+    )
+    sh_b = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.size("__sh").alias("__nb"),
+    )
     inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
-    uni = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b")))
+    uni = F.col("__na") + F.col("__nb") - inter
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")

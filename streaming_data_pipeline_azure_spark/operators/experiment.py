@@ -298,7 +298,11 @@ def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     contract (categorical × categorical), so the cross join is two
     broadcast marginal frames and the sorted-array finish one task.
 
-        V = sqrt(χ² / (N · min(|X|−1, |Y|−1)))"""
+        V = sqrt(χ² / (N · min(|X|−1, |Y|−1)))
+
+    A single-level x or y (min(|X|−1,|Y|−1) = 0, V undefined) returns
+    NULL cramers_v explicitly — never a 0/0 NaN — matching the
+    kruskal_wallis h_corrected NULL-on-degenerate convention."""
     obs = df.groupBy(
         F.col(x_col).alias("x"), F.col(y_col).alias("y")
     ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
@@ -351,8 +355,16 @@ def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         "y_levels",
         dof.cast("long").alias("dof"),
         chi2.alias("chi2"),
-        F.sqrt(
-            chi2 / (F.col("n").cast("double") * kmin.cast("double"))
+        # Degenerate guard (r10, ADVICE): a single-level x or y gives
+        # kmin = 0 and the 0/0 sqrt would emit NaN — V is undefined
+        # there (association needs >= 2 levels on both axes), so the
+        # column is explicitly NULL, the same convention as
+        # kruskal_wallis' h_corrected under zero variance.
+        F.when(
+            kmin > 0,
+            F.sqrt(
+                chi2 / (F.col("n").cast("double") * kmin.cast("double"))
+            ),
         ).alias("cramers_v"),
     )
 
@@ -561,11 +573,17 @@ def jonckheere_trend(
     with cumlt the strictly-below cumulative count — one distinct-value
     window pass, the K(K−1)/2 pair terms unrolled into a single
     expression (K is small by contract: priority classes, severity
-    bands). All sums ride DECIMAL(38,0); `jt_scaled` =
+    bands). The window is a global ORDER BY — single-partition by
+    construction — so its input is bounded by VALUE CARDINALITY:
+    callers pre-quantize near-continuous columns (the mann_whitney_u
+    contract; feeding raw row-grain values re-creates the
+    one-task-sorts-everything trap). All sums ride DECIMAL(38,0); `jt_scaled` =
     floor(2U / (2·Σ_{i<j} n_i·n_j) · scale) is the trend effect size
     in [0, scale] (scale/2 = no trend) by exact integral DIV.
 
-    Returns ONE row: (n, j2, pairs2, jt_scaled)."""
+    Returns ONE row: (n, j2, pairs2, jt_scaled); j2/pairs2 are BIGINT
+    (≤ n², fits int64 below ~3e9 rows — the r10 portable-surface
+    rule)."""
     from pyspark.sql import Window
 
     if len(ordered_groups) < 3:
@@ -623,14 +641,18 @@ def jonckheere_trend(
         tot = F.col(f"__n{i}") if tot is None else tot + F.col(f"__n{i}")
     return sums.select(
         tot.cast("long").alias("n"),
-        F.col("__j2").cast(dec).alias("j2"),
-        (F.lit(2).cast(dec) * npairs).cast(dec).alias("pairs2"),
+        # j2/pairs2 published as BIGINT (r10 portable-surface rule):
+        # both are <= 2·Σ n_i·n_j <= n², inside int64 for n <= ~3e9
+        # rows; the decimal accumulation above stays exact.
+        F.col("__j2").cast("long").alias("j2"),
+        (F.lit(2).cast(dec) * npairs).cast("long").alias("pairs2"),
         (F.col("__j2") * F.lit(scale)).alias("__num"),
+        (F.lit(2).cast(dec) * npairs).cast(dec).alias("__pairs2d"),
     ).selectExpr(
         "n",
         "j2",
         "pairs2",
-        "CAST(__num DIV pairs2 AS BIGINT) AS jt_scaled",
+        "CAST(__num DIV __pairs2d AS BIGINT) AS jt_scaled",
     )
 
 
@@ -645,7 +667,11 @@ def kruskal_wallis(
     :func:`jonckheere_trend` = ordered alternative, this = omnibus).
 
     Exactness scheme: tie-averaged DOUBLED ranks at distinct-value
-    grain (the mann_whitney device), so every per-group rank sum R2_g
+    grain (the mann_whitney device — and like mann_whitney, the rank
+    window is a global ORDER BY over distinct values: single-partition
+    by construction, so callers must pre-quantize near-continuous
+    columns to keep the window input value-cardinality-bounded, never
+    row-count-bounded), so every per-group rank sum R2_g
     and the tie term Σ(t³−t) are exact DECIMAL(38,0); the statistic
 
         H = 3·Σ_g R2_g²/n_g / (N(N+1)) − 3(N+1)
@@ -658,7 +684,10 @@ def kruskal_wallis(
     the VARCHAR round-trip on the oracle side).
 
     Returns ONE row: (n, n_groups, ties_cubed, h, h_corrected);
-    h_corrected is NULL when every value is tied (zero variance)."""
+    h_corrected is NULL when every value is tied (zero variance).
+    ties_cubed is published as STRING — Σ(t³−t) exceeds int64 once a
+    tie run passes ~2.1e6 rows, so the exact integer travels as its
+    digit string (the r10 portable-surface rule)."""
     from pyspark.sql import Window
 
     dec = "decimal(38,0)"
@@ -718,7 +747,12 @@ def kruskal_wallis(
     return arr.select(
         F.col("__N").cast("long").alias("n"),
         "n_groups",
-        F.col("__t3").cast(dec).alias("ties_cubed"),
+        # ties_cubed published as STRING (r10 portable-surface rule):
+        # Σ(t³−t) genuinely exceeds int64 once a tie run passes ~2.1e6
+        # rows (reachable on low-cardinality columns at scale), so the
+        # exact integer travels as its decimal digit string; the
+        # internal DECIMAL(38,0) term feeding h_corrected is unchanged.
+        F.col("__t3").cast(dec).cast("string").alias("ties_cubed"),
         h.alias("h"),
         F.when(corr > 0, h / corr).alias("h_corrected"),
     )
@@ -745,7 +779,9 @@ def mann_whitney_u(
 
     Shape: one aggregation to DISTINCT-VALUE grain, one ordered window
     for cumulative counts (tie runs collapse to one row each), one
-    final sum — rank sums ride DECIMAL(38,0), no float anywhere.
+    final sum — rank sums ride DECIMAL(38,0), no float anywhere; the
+    published u2_* are BIGINT (2U ≤ 2·n_a·n_b fits int64 below ~2.1e9
+    rows per arm — the r10 portable-surface rule).
     Identity 2*U_a + 2*U_b = 2*n_a*n_b is asserted by the tests."""
     from pyspark.sql import Window
 
@@ -779,13 +815,16 @@ def mann_whitney_u(
     return sums.select(
         "n_a",
         "n_b",
+        # u2_* published as BIGINT (r10 portable-surface rule):
+        # 2U <= 2·n_a·n_b fits int64 while both sides stay under
+        # ~2.1e9 rows; the rank sums above ride exact DECIMAL.
         F.expr(
             "CAST(__r2a - CAST(n_a AS DECIMAL(38,0))"
-            " * (CAST(n_a AS DECIMAL(38,0)) + 1) AS DECIMAL(38,0))"
+            " * (CAST(n_a AS DECIMAL(38,0)) + 1) AS BIGINT)"
         ).alias("u2_a"),
         F.expr(
             f"CAST(2 * {dnab} - (__r2a - CAST(n_a AS DECIMAL(38,0))"
-            " * (CAST(n_a AS DECIMAL(38,0)) + 1)) AS DECIMAL(38,0))"
+            " * (CAST(n_a AS DECIMAL(38,0)) + 1)) AS BIGINT)"
         ).alias("u2_b"),
         F.expr(
             f"CAST(((__r2a - CAST(n_a AS DECIMAL(38,0))"

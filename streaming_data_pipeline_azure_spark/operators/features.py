@@ -391,7 +391,10 @@ def gini_stump_split(
     (posL²+negL²)·nR + (posR²+negR²)·nL and den = nL·nR — DECIMAL(38,0)
     products (≤ n³·scale, 22 digits at 15k rows), exact integral DIV
     in both engines (the HUGEINT ``//`` mirror), threshold-asc
-    tie-break. Candidate thresholds are the distinct feature values
+    tie-break. The published ``score_scaled`` is BIGINT — the quotient
+    is ≤ n·scale because S(t) ≤ n, so int64 holds to ~9e9 rows (the
+    r10 portable-surface rule: no DECIMAL leaves an oracle-checked
+    projection). Candidate thresholds are the distinct feature values
     (callers pre-quantize near-continuous features — the
     price_quantity_spearman_quantized grain discipline).
 
@@ -449,7 +452,10 @@ def gini_stump_split(
             F.col("pl").cast("long").alias("pos_left"),
             (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
             (F.col("p") - F.col("pl")).cast("long").alias("pos_right"),
-            F.col("score_scaled").cast("decimal(38,0)").alias("score_scaled"),
+            # published as BIGINT (r10 portable-surface rule): the
+            # quotient S(t)·scale <= n·scale, so int64 holds to ~9e9
+            # rows; the wide-decimal arithmetic above stays exact.
+            F.col("score_scaled").cast("long").alias("score_scaled"),
         )
     )
 
@@ -479,11 +485,14 @@ def mahalanobis2_outliers(
         q(row) = (Vyy·dx² − 2·Vxy·dx·dy + Vxx·dy²) / (Vxx·Vyy − Vxy²)
 
     and ranking by the floor-scaled ``score_scaled = q·scale DIV den``
-    is exact (the priority_price_stump device; DECIMAL(38,0)
-    products stay within 38 digits while features are pre-quantized
-    small — document the bound at the call site). Degenerate inputs
+    is exact (the priority_price_stump device). Degenerate inputs
     (constant feature or perfectly collinear pair → den = 0) raise —
-    the caller must drop the feature, not read garbage ranks.
+    the caller must drop the feature, not read garbage ranks — and so
+    does a feature grain too fine for DECIMAL(38,0): the worst-case
+    |num·scale| is bounded exactly from the driver-side sufficient
+    stats (min/max deviations), because an overflow would otherwise
+    silently NULL the score and drop the row from the top-k (NULLs
+    sort last under desc) rather than fail.
 
     Shape: ONE aggregation for the six sufficient sums (a 1-row frame,
     broadcast back), one scoring scan (pure codegen), one TakeOrdered
@@ -504,8 +513,12 @@ def mahalanobis2_outliers(
         F.sum(xd * xd).alias("__sxx"),
         F.sum(yd * yd).alias("__syy"),
         F.sum(xd * yd).alias("__sxy"),
+        F.min("__x").alias("__xmin"),
+        F.max("__x").alias("__xmax"),
+        F.min("__y").alias("__ymin"),
+        F.max("__y").alias("__ymax"),
     )
-    [st] = stats.collect()  # bounded contract: one row of six scalars
+    [st] = stats.collect()  # bounded contract: one row of ten scalars
     import decimal as _dec
 
     n, sx, sy = (_dec.Decimal(st["__n"]), st["__sx"], st["__sy"])
@@ -517,6 +530,31 @@ def mahalanobis2_outliers(
         raise ValueError(
             "mahalanobis2_outliers: degenerate covariance (constant or "
             "collinear features) — drop or re-quantize the feature pair"
+        )
+    # Loud digit-bound check (r10, ADVICE): a DECIMAL(38,0) overflow in
+    # the per-row quadratic form would silently NULL score_scaled, and
+    # NULLs sort LAST under desc — overflowed rows would vanish from
+    # the top-k instead of failing. The sufficient stats are already on
+    # the driver, so bound the worst-case |num·scale| exactly from the
+    # min/max deviations and refuse to build a plan that can overflow.
+    ni, sxi, syi = int(n), int(sx), int(sy)
+    dx_max = max(abs(ni * int(st["__xmin"]) - sxi),
+                 abs(ni * int(st["__xmax"]) - sxi))
+    dy_max = max(abs(ni * int(st["__ymin"]) - syi),
+                 abs(ni * int(st["__ymax"]) - syi))
+    num_max = (abs(vyy) * dx_max * dx_max
+               + 2 * abs(vxy) * dx_max * dy_max
+               + abs(vxx) * dy_max * dy_max)
+    if num_max * scale >= 10 ** 38 or den >= 10 ** 38:
+        raise ValueError(
+            "mahalanobis2_outliers: quadratic form would overflow "
+            f"DECIMAL(38,0) (|num|*scale up to {num_max * scale:.3e}) — "
+            "re-quantize the features to a coarser grain"
+        )
+    if num_max * scale // den >= 2 ** 63:
+        raise ValueError(
+            "mahalanobis2_outliers: score quotient would overflow "
+            "BIGINT — re-quantize the features to a coarser grain"
         )
     # per-row quadratic form over n-scaled deviations; literals are the
     # exact driver-side integers (decimal-typed so products stay exact)

@@ -53,8 +53,20 @@ def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
     Triangles via degree orientation: edges point from the
     (degree, id)-smaller endpoint to the larger; wedges join a node's
     outgoing pairs; a closing oriented edge completes the triangle.
+
+    The canonical edge set is persisted (tracked — released at the
+    next release_caches sweep): this summary references it ~6 times
+    (degrees, orientation, closing join, edge count), and when the
+    edge list is itself an expensive pipeline (the near-dup pair
+    graph), re-deriving it per reference multiplied the whole
+    upstream cost by the fan-out (r10 — neardup_graph_stats dropped
+    ~21→~8 s at sf0.1 from this persist alone).
     """
-    e = _canonical_edges(edges, src, dst)
+    from streaming_data_pipeline_azure_spark.functions.cache import (
+        persist_tracked,
+    )
+
+    e = persist_tracked(_canonical_edges(edges, src, dst))
     nodes = e.select(F.col("a").alias("v")).unionAll(
         e.select(F.col("b").alias("v"))
     )

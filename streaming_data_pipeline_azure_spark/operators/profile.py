@@ -1430,7 +1430,10 @@ def kendall_tau(
 
     The final expression converts the exact decimals to double once
     (Spark's decimal→double is correctly rounded; the oracle mirrors
-    via the VARCHAR round-trip) — bit-identical across engines."""
+    via the VARCHAR round-trip) — bit-identical across engines. The
+    published concordant/discordant columns are BIGINT (pair counts
+    ≤ n(n−1)/2 fit int64 for n ≤ ~4.3e9 rows — the r10 portable-
+    surface rule); the internal accumulation stays DECIMAL."""
     cells = df.groupBy(
         F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
     ).agg(F.count(F.lit(1)).alias("__c"))
@@ -1459,12 +1462,7 @@ def kendall_tau(
         ).alias("discordant"),
     )
     c_dec = F.col("__c").cast(d)
-    marg = cells.agg(
-        F.sum(c_dec).alias("__n"),
-        # pairs tied in x: per distinct x the t(t−1)/2 run pairs; the
-        # Σc² − Σ(per-cell c²) decomposition avoids a second window
-        F.sum(c_dec * c_dec).alias("__scc"),
-    )
+    marg = cells.agg(F.sum(c_dec).alias("__n"))
     tx = (
         cells.groupBy("__x").agg(F.sum(c_dec).alias("__t"))
         .agg(F.sum(F.col("__t") * F.col("__t")).alias("__sx2"))
@@ -1487,8 +1485,11 @@ def kendall_tau(
     )
     return one.select(
         n.cast("long").alias("n"),
-        F.col("concordant"),
-        F.col("discordant"),
+        # published as BIGINT (r10 portable-surface rule): pair counts
+        # are <= n(n-1)/2, inside int64 for n <= ~4.3e9 rows; the
+        # decimal accumulation above stays exact.
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
         F.expr("CAST((__sx2 - __n) DIV 2 AS LONG)").alias("ties_x"),
         F.expr("CAST((__sy2 - __n) DIV 2 AS LONG)").alias("ties_y"),
         (F.lit(2.0) * num / den).alias("tau_b"),

@@ -93,6 +93,46 @@ def test_text_incremental_probe_anchored_by_exact_twin(spark, sf_dir):
     assert all(d < 2000000 for d in exact)
 
 
+def test_oracle_surfaces_are_type_portable(spark, sf_dir):
+    """Schema lint (VERDICT r9 #1): every ORACLE-BACKED entry must
+    publish a type-portable surface — no DECIMAL on the Spark side, no
+    DECIMAL/HUGEINT on the DuckDB side. Root cause of all six driver
+    hash-reds across r8–r9: the driver harness canonicalizes fetched
+    Decimal/HUGEINT values differently from the local duckdb/python
+    replica, so the VALUES were right but the surface TYPE was not
+    portable. Exact integers wider than int64 travel as digit strings;
+    (18,4) quantities ≤2^53 travel as exact doubles; everything else
+    is bigint/double/varchar/date/bool. Wide-decimal arithmetic stays
+    INTERNAL to the operators — only the published projection is
+    constrained."""
+    import duckdb
+
+    from streaming_data_pipeline_azure_spark.functions.cache import (
+        release_caches,
+    )
+    from streaming_data_pipeline_azure_spark.schemas import TESTDATA_TABLES
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    offenders = {}
+    for name in oracles:
+        stypes = qs[name](spark, sf_dir).schema.simpleString()
+        release_caches()
+        if "decimal" in stypes:
+            offenders[name] = f"spark: {stypes}"
+            continue
+        rel = con.sql(oracles[name])
+        dtypes = [str(t) for t in rel.types]
+        bad = [t for t in dtypes if "DECIMAL" in t or "HUGEINT" in t]
+        if bad:
+            offenders[name] = f"duckdb: {bad}"
+    assert not offenders, offenders
+
+
 def test_hll_twin_exact_at_testdata_cardinality(spark, sf_dir):
     """The rows-only HLL DAU twin must agree with its oracle-backed
     exact anchor EXACTLY at testdata cardinality (HLL sparse mode) —

@@ -493,6 +493,14 @@ def test_cramers_v_bounds(spark):
     [i] = cramers_v(indep, "x", "y").collect()
     assert abs(i["chi2"]) < 1e-12 and abs(i["cramers_v"]) < 1e-6
 
+    # single-level x: V undefined (kmin = 0) -> explicit NULL, not a
+    # 0/0 NaN (r10 ADVICE guard)
+    onelevel = spark.createDataFrame(
+        [("a", "p")] * 4 + [("a", "q")] * 3, "x string, y string"
+    )
+    [o] = cramers_v(onelevel, "x", "y").collect()
+    assert o["cramers_v"] is None and o["dof"] == 0
+
 
 def test_jonckheere_trend_endpoints(spark):
     """Perfect increasing trend reads scale (1.0), all-tied reads

@@ -220,3 +220,25 @@ def test_mahalanobis2_outliers_joint_vs_marginal(spark):
     )
     with _pytest.raises(ValueError, match="degenerate"):
         mahalanobis2_outliers(const, "id", "x", "y")
+
+
+def test_mahalanobis2_outliers_digit_bound_raises(spark):
+    """A feature grain too fine for DECIMAL(38,0) raises LOUDLY (r10
+    ADVICE): before the guard, the per-row quadratic form overflowed
+    to NULL and the overflowed rows silently vanished from the top-k
+    (NULLs sort last under desc). Worst-case |num·scale| is bounded
+    exactly from the driver-side sufficient stats."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.features import (
+        mahalanobis2_outliers,
+    )
+
+    # values ~1e8 over 50 rows: n-scaled deviations ~5e9, scatter
+    # terms ~1e21 -> |num|*scale ~ 1e21 * (5e9)^2 * 1e6 >> 1e38
+    big = spark.createDataFrame(
+        [(i, i * 10**8, i * 10**8 + (i % 7)) for i in range(50)],
+        "id long, x long, y long",
+    )
+    with _pytest.raises(ValueError, match="overflow"):
+        mahalanobis2_outliers(big, "id", "x", "y")

@@ -1689,9 +1689,20 @@ def test_streaming_topk_matches_batch_and_replays(spark, tmp_path):
     )
     assert served == direct
 
-    # replay batch 0: overwrite its own partition -> view unchanged
+    # replay batch 0: overwrite its own partition -> view unchanged.
+    # Which FILE landed in batch 0 is discovered, not assumed: the
+    # file source orders same-mtime files by listing order, so
+    # b1.json can be batch 0 (the NOTES_r7 mtime footgun — assuming
+    # b0.json here made this test flaky in r9).
+    max_id0 = (
+        spark.read.parquet(f"{state}/batch_id=0")
+        .agg(F.max("id"))
+        .first()[0]
+    )
+    batch0_rows = b1 if max_id0 < 100 else b2
     b0 = spark.createDataFrame(
-        [(r["id"], r["g"], r["v"]) for r in b1], "id long, g string, v double"
+        [(r["id"], r["g"], r["v"]) for r in batch0_rows],
+        "id long, g string, v double",
     )
     wtop = (
         b0.withColumn("__rn", F.row_number().over(w))

@@ -177,6 +177,38 @@ def test_distribution_drift_flags_planted_shift(spark):
         distribution_drift(ref, ref, "v", "k", n_buckets=1)
 
 
+def test_distribution_drift_sketch_path_anchored_by_exact(spark):
+    """The auto-swapped GK-sketch boundary fit (input above
+    exact_max_rows — the r10 scale-twin default) must agree with the
+    exact-ntile anchor at a size where the GK sketch is lossless
+    (n < accuracy keeps every sample): forcing the sketch path with
+    exact_max_rows=0 reproduces the exact path's report bit-for-bit."""
+    from streaming_data_pipeline_azure_spark.operators.validate import (
+        distribution_drift,
+    )
+
+    ref = spark.range(0, 3_000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 500).cast("double").alias("v"),
+    )
+    cur = spark.range(0, 2_500).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 53) % 500 + 40).cast("double").alias("v"),
+    )
+    exact = sorted(
+        map(tuple, distribution_drift(ref, cur, "v", "k").collect())
+    )
+    sketch = sorted(
+        map(
+            tuple,
+            distribution_drift(
+                ref, cur, "v", "k", exact_max_rows=0
+            ).collect(),
+        )
+    )
+    assert sketch == exact
+
+
 def test_fd_violations_witnesses_and_nulls(spark):
     """Violating keys surface with distinct counts and min/max
     witnesses; null-mixed groups flag; clean keys stay silent."""
