@@ -562,7 +562,7 @@ def test_textrank_keywords_planted_centrality(spark):
     docs += [(200 + i, f"uniq{i}a uniq{i}b uniq{i}c") for i in range(70)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = textrank_keywords(df, k=50, n_iter=10)
-    ranks = {r["word"]: r["rank"] for r in out.collect()}
+    ranks = {r["word"]: r["rank_scaled"] for r in out.collect()}
     assert "nexus" in ranks and "loner" in ranks
     assert ranks["nexus"] > ranks["loner"]
     # hub beats every single-pair word

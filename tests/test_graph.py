@@ -108,6 +108,63 @@ def test_pagerank_star_and_partition_invariance(spark):
         assert abs(re_part[k] - got[k]) < 1e-12, k
 
 
+def test_pagerank_fixedpoint_matches_float_twin_and_python(spark):
+    """The fixed-point integer twin must (a) reproduce a pure-Python
+    integer replay EXACTLY (the engine-exactness claim the oracle
+    depends on), (b) agree with the float pagerank on RANK ORDER
+    where gaps dwarf the 1/scale floor leak, and (c) be partition
+    invariant. Star graph + a small asymmetric graph with a dangling
+    vertex."""
+    from streaming_data_pipeline_azure_spark.operators.graph import (
+        pagerank,
+        pagerank_fixedpoint,
+    )
+
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (4, 2), (5, 4)]
+    # vertex 6 dangles: receives from 3... make 3->6 so 6 has no out
+    edges.append((3, 6))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    got = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank_fixedpoint(df, n_iter=10).collect()
+    }
+
+    # pure-python integer replay
+    es = sorted(set(edges))
+    verts = sorted({s for s, _ in es} | {d for _, d in es})
+    n = len(verts)
+    out = {}
+    for s, _ in es:
+        out[s] = out.get(s, 0) + 1
+    scale = 10**12
+    base = (3 * scale) // (20 * n)
+    r = {v: scale // n for v in verts}
+    for _ in range(10):
+        dm = sum(r[v] for v in verts if v not in out)
+        inflow = {v: 0 for v in verts}
+        for s, d in es:
+            inflow[d] += r[s] // out[s]
+        r = {
+            v: base + (17 * (inflow[v] + dm // n)) // 20 for v in verts
+        }
+    assert got == r
+
+    # order parity with the float twin (gaps here are ~1e-2 of rank)
+    f = {
+        row["id"]: row["rank"] for row in pagerank(df, n_iter=10).collect()
+    }
+    order_fixed = sorted(got, key=lambda v: (-got[v], v))
+    order_float = sorted(f, key=lambda v: (-f[v], v))
+    assert order_fixed == order_float
+
+    re_part = {
+        row["id"]: row["rank_scaled"]
+        for row in pagerank_fixedpoint(df.repartition(7), n_iter=10).collect()
+    }
+    assert re_part == got
+
+
 def test_bfs_distances_chain_and_branches(spark):
     """Hop distances on a known topology: a chain with a side branch
     and a disconnected component — minimal hop wins when multiple
