@@ -4274,6 +4274,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_price_jonckheere": _priority_price_jonckheere,
         "ptype_price_kruskal": _ptype_price_kruskal,
         "incremental_priority_topk": _incremental_priority_topk,
+        # ---- new in r10 (dict tail: the window belongs to
+        # never-driver-checked entries) ----
+        "ptype_price_anova": _ptype_price_anova,
+        "priority_price_levene": _priority_price_levene,
+        "year_priority_friedman": _year_priority_friedman,
+        "order_uplift_qini": _order_uplift_qini,
+        "priority_fulfillment_logrank": _priority_fulfillment_logrank,
+        "kn_bigram_model": _kn_bigram_model,
+        "price_two_factor_ols": _price_two_factor_ols,
+        "lineitem_unpivot_metrics": _lineitem_unpivot_metrics,
+        "preference_pairs": _preference_pairs,
+        "priority_return_trend": _priority_return_trend,
+        "segment_return_mh_odds": _segment_return_mh_odds,
+        "lang_token_fertility": _lang_token_fertility,
+        "price_qty_partial_corr": _price_qty_partial_corr,
+        "revenue_stl_lite": _revenue_stl_lite,
+        "priority_price_rerandomization": _priority_price_rerandomization,
     }
     out = {k: base[k] for k in _R10_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -11972,6 +11989,705 @@ ORDER BY n_members DESC, community ASC
             FROM tk LEFT JOIN vocab v USING (tok)
             GROUP BY "group"
         """,
+        # ---- new in r10 ----
+        # One-way ANOVA: exact HUGEINT sufficient sums; the K
+        # per-group S_g²/n_g terms fold in group-sorted order as
+        # single-division doubles (the kruskal device); wide-int →
+        # double casts go through the VARCHAR round-trip.
+        "ptype_price_anova": r"""
+            WITH j AS (
+              SELECT split_part(p_type, ' ', 1) AS g,
+                     CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT)
+                         AS v
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), pg AS (
+              SELECT g, CAST(COUNT(*) AS HUGEINT) AS gn,
+                     SUM(CAST(v AS HUGEINT)) AS s,
+                     SUM(CAST(v AS HUGEINT) * v) AS s2
+              FROM j GROUP BY g
+            ), folded AS (
+              SELECT list_aggregate(
+                       list(CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+                            / CAST(CAST(gn AS VARCHAR) AS DOUBLE)
+                            ORDER BY g), 'sum') AS b,
+                     SUM(gn) AS N, SUM(s) AS S, SUM(s2) AS S2,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups
+              FROM pg
+            ), fin AS (
+              SELECT N, n_groups,
+                     b - CAST(CAST(S * S AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(N AS VARCHAR) AS DOUBLE) AS ssb,
+                     CAST(CAST(S2 AS VARCHAR) AS DOUBLE) - b AS ssw
+              FROM folded
+            )
+            SELECT CAST(N AS BIGINT) AS n, n_groups, ssb, ssw,
+                   CASE WHEN n_groups > 1 AND N > n_groups
+                             AND ssw > 0
+                        THEN (ssb / (CAST(n_groups AS DOUBLE) - 1.0))
+                             / (ssw / (CAST(N AS DOUBLE)
+                                       - CAST(n_groups AS DOUBLE)))
+                   END AS f_stat,
+                   CASE WHEN ssb + ssw > 0
+                        THEN ssb / (ssb + ssw)
+                   END AS eta2
+            FROM fin
+        """,
+        # Brown–Forsythe: per-group lower medians at value grain
+        # (position (n+1) DIV 2), integer |v − med| recentering, then
+        # the identical ANOVA finisher.
+        "priority_price_levene": r"""
+            WITH f AS (
+              SELECT o_orderpriority AS g,
+                     CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS v
+              FROM orders
+            ), cells AS (
+              SELECT g, v, COUNT(*) AS c FROM f GROUP BY 1, 2
+            ), cum AS (
+              SELECT g, v, c,
+                     SUM(c) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cw,
+                     SUM(c) OVER (PARTITION BY g) AS ng
+              FROM cells
+            ), med AS (
+              SELECT g, MIN(v) AS medv
+              FROM cum WHERE cw >= (ng + 1) // 2 GROUP BY g
+            ), z AS (
+              SELECT cells.g AS g, ABS(v - medv) AS v,
+                     SUM(c) AS c
+              FROM cells JOIN med ON cells.g = med.g
+              GROUP BY 1, 2
+            ), pg AS (
+              SELECT g, SUM(CAST(c AS HUGEINT)) AS gn,
+                     SUM(CAST(c AS HUGEINT) * v) AS s,
+                     SUM(CAST(c AS HUGEINT) * v * v) AS s2
+              FROM z GROUP BY g
+            ), folded AS (
+              SELECT list_aggregate(
+                       list(CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+                            / CAST(CAST(gn AS VARCHAR) AS DOUBLE)
+                            ORDER BY g), 'sum') AS b,
+                     SUM(gn) AS N, SUM(s) AS S, SUM(s2) AS S2,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups
+              FROM pg
+            ), fin AS (
+              SELECT N, n_groups,
+                     b - CAST(CAST(S * S AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(N AS VARCHAR) AS DOUBLE) AS ssb,
+                     CAST(CAST(S2 AS VARCHAR) AS DOUBLE) - b AS ssw
+              FROM folded
+            )
+            SELECT CAST(N AS BIGINT) AS n, n_groups, ssb, ssw,
+                   CASE WHEN n_groups > 1 AND N > n_groups
+                             AND ssw > 0
+                        THEN (ssb / (CAST(n_groups AS DOUBLE) - 1.0))
+                             / (ssw / (CAST(N AS DOUBLE)
+                                       - CAST(n_groups AS DOUBLE)))
+                   END AS f_stat,
+                   CASE WHEN ssb + ssw > 0
+                        THEN ssb / (ssb + ssw)
+                   END AS eta2
+            FROM fin
+        """,
+        # Friedman: doubled tie-averaged ranks per block, exact
+        # integer quadratic forms, single-division double.
+        "year_priority_friedman": r"""
+            WITH cells AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                         AS b,
+                     o_orderpriority AS t,
+                     SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                         AS v
+              FROM orders GROUP BY 1, 2
+            ), runs AS (
+              SELECT b, v, COUNT(*) AS run FROM cells GROUP BY 1, 2
+            ), ranked AS (
+              SELECT b, v,
+                     2 * SUM(run) OVER (PARTITION BY b ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) - run + 1 AS avg2
+              FROM runs
+            ), r2 AS (
+              SELECT cells.b AS b, t, avg2
+              FROM cells JOIN ranked
+                ON cells.b = ranked.b AND cells.v = ranked.v
+            ), kk AS (
+              SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM r2
+            ), pt AS (
+              SELECT t, CAST(SUM(avg2) AS BIGINT) AS r2j,
+                     CAST(COUNT(*) AS BIGINT) AS nb
+              FROM r2 GROUP BY t
+            ), agg AS (
+              SELECT MAX(nb) AS n_blocks,
+                     CAST(SUM((r2j - nb * (k + 1))
+                              * (r2j - nb * (k + 1))) AS BIGINT) AS a
+              FROM pt, kk GROUP BY k
+            ), sq AS (
+              SELECT CAST(SUM(CAST(avg2 AS BIGINT) * avg2) AS BIGINT)
+                         AS sqs
+              FROM r2
+            )
+            SELECT CAST(n_blocks AS BIGINT) AS n_blocks, k,
+                   CAST((k - 1) * a AS BIGINT) AS q_num,
+                   CAST(sqs - n_blocks * k * (k + 1) * (k + 1)
+                        AS BIGINT) AS q_den,
+                   CASE WHEN sqs - n_blocks * k * (k + 1) * (k + 1)
+                             > 0
+                        THEN CAST((k - 1) * a AS DOUBLE)
+                             / CAST(sqs - n_blocks * k * (k + 1)
+                                    * (k + 1) AS DOUBLE)
+                   END AS q
+            FROM agg, kk, sq
+        """,
+        # Qini curve: value-grain prefix cuts (whole tie-runs), exact
+        # cumulative counts, single-division doubles.
+        "order_uplift_qini": r"""
+            WITH u AS (
+              SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT)
+                         AS s,
+                     CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+                         AS t,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS y
+              FROM orders
+            ), pts AS (
+              SELECT s, COUNT(*) AS n, SUM(t) AS nt,
+                     SUM(t * y) AS yt, SUM((1 - t) * y) AS yc
+              FROM u GROUP BY s
+            ), cum AS (
+              SELECT SUM(n) OVER w AS c_n, SUM(nt) OVER w AS c_nt,
+                     SUM(yt) OVER w AS c_yt, SUM(yc) OVER w AS c_yc
+              FROM pts
+              WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+            ), tot AS (
+              SELECT SUM(n) AS N, SUM(nt) AS NT, SUM(yt) AS YT,
+                     SUM(yc) AS YC
+              FROM pts
+            ), stepped AS (
+              SELECT b, N, NT, YT, YC, MAX(c_n) AS n_prefix
+              FROM cum, (SELECT unnest(generate_series(1, 10)) AS b),
+                   tot
+              WHERE c_n <= (b * N) / 10
+              GROUP BY b, N, NT, YT, YC
+            ), at_cut AS (
+              SELECT st.*, c.c_nt, c.c_yt, c.c_yc
+              FROM stepped st JOIN cum c ON c.c_n = st.n_prefix
+            )
+            SELECT CAST(b AS BIGINT) AS bin,
+                   CAST(n_prefix AS BIGINT) AS n_prefix,
+                   CAST(c_nt AS BIGINT) AS nt,
+                   CAST(n_prefix - c_nt AS BIGINT) AS nc,
+                   CAST(c_yt AS BIGINT) AS yt,
+                   CAST(c_yc AS BIGINT) AS yc,
+                   CASE WHEN n_prefix - c_nt > 0
+                        THEN CAST(c_yt AS DOUBLE)
+                             - CAST(CAST(CAST(c_yc AS HUGEINT) * c_nt
+                                         AS VARCHAR) AS DOUBLE)
+                               / CAST(n_prefix - c_nt AS DOUBLE)
+                   END AS qini,
+                   (CASE WHEN N - NT > 0
+                         THEN CAST(YT AS DOUBLE)
+                              - CAST(CAST(CAST(YC AS HUGEINT) * NT
+                                          AS VARCHAR) AS DOUBLE)
+                                / CAST(N - NT AS DOUBLE)
+                    END)
+                   * (CAST(n_prefix AS DOUBLE) / CAST(N AS DOUBLE))
+                       AS qini_random
+            FROM at_cut
+        """,
+        # Log-rank: exact risk sets at distinct-day grain; E and V
+        # terms as single divisions of exact products, folded in
+        # time order.
+        "priority_fulfillment_logrank": r"""
+            WITH iv AS (
+              SELECT CASE WHEN ANY_VALUE(o.o_orderpriority)
+                               = '1-URGENT' THEN 1 ELSE 0 END AS a,
+                     date_diff('day',
+                       CAST(MIN(l.l_shipdate) AS DATE),
+                       CAST(MAX(l.l_shipdate) AS DATE)) AS dur
+              FROM orders o JOIN lineitem l
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+              GROUP BY o.o_orderkey
+            ), obs AS (
+              SELECT a, LEAST(dur, 60) AS ot,
+                     CASE WHEN dur <= 60 THEN 1 ELSE 0 END AS e
+              FROM iv
+            ), pts AS (
+              SELECT ot, COUNT(*) AS r, SUM(a) AS ra, SUM(e) AS d,
+                     SUM(e * a) AS da
+              FROM obs GROUP BY ot
+            ), risk AS (
+              SELECT ot, d, da,
+                     SUM(r) OVER w AS rn_all, SUM(ra) OVER w AS rn_a
+              FROM pts
+              WINDOW w AS (ORDER BY ot DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+            ), terms AS (
+              SELECT ot, da,
+                     CAST(CAST(CAST(d AS HUGEINT) * rn_a AS VARCHAR)
+                          AS DOUBLE)
+                     / CAST(rn_all AS DOUBLE) AS et,
+                     CASE WHEN rn_all > 1
+                          THEN CAST(CAST(CAST(d AS HUGEINT) * rn_a
+                                         * (rn_all - rn_a)
+                                         * (rn_all - d) AS VARCHAR)
+                                    AS DOUBLE)
+                               / CAST(CAST(CAST(rn_all AS HUGEINT)
+                                           * rn_all * (rn_all - 1)
+                                           AS VARCHAR) AS DOUBLE)
+                          ELSE 0.0
+                     END AS vt
+              FROM risk WHERE d > 0
+            ), folded AS (
+              -- COALESCE: zero event times (fully censored) reads
+              -- as 0/0.0/0.0, matching Spark's empty-list fold
+              SELECT CAST(COALESCE(SUM(da), 0) AS BIGINT)
+                         AS events_a,
+                     COALESCE(list_aggregate(list(et ORDER BY ot),
+                                             'sum'), 0.0) AS e1,
+                     COALESCE(list_aggregate(list(vt ORDER BY ot),
+                                             'sum'), 0.0) AS v1
+              FROM terms
+            ), sizes AS (
+              SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+                     CAST(SUM(1 - a) AS BIGINT) AS n_b,
+                     CAST(SUM(e * (1 - a)) AS BIGINT) AS events_b
+              FROM obs
+            )
+            SELECT n_a, n_b, events_a, events_b,
+                   CAST(events_a AS DOUBLE) - e1 AS o_minus_e,
+                   v1 AS var_lr,
+                   CASE WHEN v1 > 0
+                        THEN (CAST(events_a AS DOUBLE) - e1)
+                             * (CAST(events_a AS DOUBLE) - e1) / v1
+                   END AS chi2
+            FROM folded, sizes
+        """,
+        # Kneser–Ney: every smoothed probability is ONE exact
+        # rational; numerator/denominator ride HUGEINT and meet
+        # doubles only in the single final division.
+        "kn_bigram_model": r"""
+            WITH norm AS (
+              SELECT regexp_split_to_array(
+                       lower(regexp_replace(trim(text), '\s+', ' ',
+                             'g')), ' ') AS toks
+              FROM documents
+            ), pairs AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM norm,
+                   unnest(generate_series(1, len(toks) - 1)) AS g(i)
+            ), big AS (
+              SELECT w1, w2, CAST(COUNT(*) AS HUGEINT) AS c12
+              FROM pairs GROUP BY 1, 2
+            ), ctx AS (
+              SELECT w1, SUM(c12) AS c1,
+                     CAST(COUNT(*) AS HUGEINT) AS fanout
+              FROM big GROUP BY 1
+            ), fin AS (
+              SELECT w2, CAST(COUNT(*) AS HUGEINT) AS fanin
+              FROM big GROUP BY 1
+            ), nt AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS ntypes FROM big
+            )
+            SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+                   CAST(c1 AS BIGINT) AS c1,
+                   CAST(fanout AS BIGINT) AS fanout,
+                   CAST(fanin AS BIGINT) AS fanin,
+                   CAST(CAST((4 * c12 - 3) * ntypes
+                             + 3 * fanout * fanin AS VARCHAR)
+                        AS DOUBLE)
+                   / CAST(CAST(4 * c1 * ntypes AS VARCHAR)
+                          AS DOUBLE) AS p_kn
+            FROM big JOIN ctx USING (w1) JOIN fin USING (w2), nt
+            WHERE c1 >= 20
+            ORDER BY p_kn DESC, w1, w2
+            LIMIT 50
+        """,
+        # Closed-form 2-feature OLS: nine exact sufficient sums,
+        # Cramer's rule through single-division doubles.
+        "price_two_factor_ols": r"""
+            WITH f AS (
+              SELECT CAST(FLOOR(l_extendedprice) AS HUGEINT) AS y,
+                     CAST(l_quantity AS HUGEINT) AS x1,
+                     CAST(FLOOR(l_discount * 100 + 0.5) AS HUGEINT)
+                         AS x2
+              FROM lineitem
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS sy,
+                     SUM(x1) AS s1, SUM(x2) AS s2,
+                     SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+                     SUM(x1 * x2) AS s12, SUM(x1 * y) AS s1y,
+                     SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+              FROM f
+            ), c AS (
+              SELECT n, sy, s1, s2,
+                     n * s11 - s1 * s1 AS c11,
+                     n * s22 - s2 * s2 AS c22,
+                     n * s12 - s1 * s2 AS c12,
+                     n * s1y - s1 * sy AS c1y,
+                     n * s2y - s2 * sy AS c2y,
+                     n * syy - sy * sy AS cyy
+              FROM s
+            ), d AS (
+              SELECT *, c11 * c22 - c12 * c12 AS det FROM c
+            ), fin2 AS (
+              SELECT n, sy, s1, s2, c1y, c2y, cyy, det,
+                     CASE WHEN det <> 0
+                          THEN CAST(CAST(c1y * c22 - c2y * c12
+                                         AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(det AS VARCHAR) AS DOUBLE)
+                     END AS b1,
+                     CASE WHEN det <> 0
+                          THEN CAST(CAST(c2y * c11 - c1y * c12
+                                         AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(det AS VARCHAR) AS DOUBLE)
+                     END AS b2
+              FROM d
+            )
+            SELECT CAST(n AS BIGINT) AS n, b1, b2,
+                   (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                    - b1 * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                    - b2 * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
+                   / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS intercept,
+                   CASE WHEN det <> 0 AND cyy > 0
+                        THEN (b1 * CAST(CAST(c1y AS VARCHAR)
+                                        AS DOUBLE)
+                              + b2 * CAST(CAST(c2y AS VARCHAR)
+                                          AS DOUBLE))
+                             / CAST(CAST(cyy AS VARCHAR) AS DOUBLE)
+                   END AS r2
+            FROM fin2
+        """,
+        # Wide→long unpivot: exact decimal sums cast to double, then
+        # a 4-way UNION ALL replays the stack projection.
+        "lineitem_unpivot_metrics": r"""
+            WITH w AS (
+              SELECT l_returnflag,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                          AS DOUBLE) AS quantity,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                          AS DOUBLE) AS extendedprice,
+                     CAST(SUM(CAST(l_discount AS DECIMAL(18,4)))
+                          AS DOUBLE) AS discount,
+                     CAST(SUM(CAST(l_tax AS DECIMAL(18,4)))
+                          AS DOUBLE) AS tax
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l_returnflag, 'quantity' AS metric,
+                   quantity AS total FROM w
+            UNION ALL
+            SELECT l_returnflag, 'extendedprice', extendedprice
+            FROM w
+            UNION ALL
+            SELECT l_returnflag, 'discount', discount FROM w
+            UNION ALL
+            SELECT l_returnflag, 'tax', tax FROM w
+        """,
+        # Preference pairs: integer type-token-ratio scores,
+        # rank-window replay with identical tie-breaks.
+        "preference_pairs": r"""
+            WITH sc AS (
+              SELECT lang AS bucket, doc_id,
+                     CAST(len(list_distinct(toks)) * 1000000
+                          AS BIGINT) // len(toks) AS s
+              FROM (SELECT doc_id, lang,
+                           regexp_split_to_array(
+                             lower(regexp_replace(trim(text), '\s+',
+                                   ' ', 'g')), ' ') AS toks
+                    FROM documents)
+            ), rk AS (
+              SELECT bucket, doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY bucket
+                       ORDER BY s DESC, doc_id ASC) AS rb,
+                     COUNT(*) OVER (PARTITION BY bucket) AS n_items
+              FROM sc
+            ), ch AS (
+              SELECT bucket, doc_id AS chosen_id,
+                     s AS chosen_score, n_items
+              FROM rk WHERE rb = 1 AND n_items >= 2
+            ), rj AS (
+              SELECT bucket, doc_id AS rejected_id,
+                     s AS rejected_score
+              FROM (SELECT bucket, doc_id, s,
+                           ROW_NUMBER() OVER (PARTITION BY bucket
+                             ORDER BY s ASC, doc_id ASC) AS rw
+                    FROM rk WHERE rb > 1)
+              WHERE rw = 1
+            )
+            SELECT bucket, chosen_id, rejected_id, chosen_score,
+                   rejected_score,
+                   chosen_score - rejected_score AS margin,
+                   CAST(n_items AS BIGINT) AS n_items
+            FROM ch JOIN rj USING (bucket)
+        """,
+        # Cochran–Armitage: exact integer per-group counts; z² is a
+        # fixed-order product of exactly-cast doubles (never a wide
+        # integer product).
+        "priority_return_trend": r"""
+            WITH j AS (
+              SELECT CASE o_orderpriority
+                       WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+                       WHEN '3-MEDIUM' THEN 2
+                       WHEN '4-NOT SPECIFIED' THEN 3 ELSE 4
+                     END AS w,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS y
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), per AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS gn,
+                     CAST(SUM(y) AS BIGINT) AS gr
+              FROM j GROUP BY w
+            ), agg AS (
+              SELECT CAST(SUM(gn) AS BIGINT) AS n,
+                     CAST(SUM(gr) AS BIGINT) AS positives,
+                     CAST(SUM(w * gr) AS BIGINT) AS wr,
+                     CAST(SUM(w * gn) AS BIGINT) AS wn,
+                     CAST(SUM(w * w * gn) AS BIGINT) AS wwn
+              FROM per
+            ), fin AS (
+              SELECT n, positives,
+                     n * wr - positives * wn AS t_num,
+                     n * wwn - wn * wn AS var_core
+              FROM agg
+            )
+            SELECT n, positives, t_num, var_core,
+                   CASE WHEN positives > 0 AND positives < n
+                             AND var_core > 0
+                        THEN (CAST(t_num AS DOUBLE)
+                              * CAST(t_num AS DOUBLE)
+                              * CAST(n AS DOUBLE))
+                             / (CAST(positives AS DOUBLE)
+                                * CAST(n - positives AS DOUBLE)
+                                * CAST(var_core AS DOUBLE))
+                   END AS z2
+            FROM fin
+        """,
+        # Mantel–Haenszel: exact per-stratum 2×2 cells; a·d/n and
+        # b·c/n fold in stratum-sorted order as single divisions.
+        "segment_return_mh_odds": r"""
+            WITH j AS (
+              SELECT c_mktsegment AS s,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS x,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS y
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+            ), cells AS (
+              SELECT s, COUNT(*) AS sn,
+                     SUM(x * y) AS a, SUM(x * (1 - y)) AS b,
+                     SUM((1 - x) * y) AS c
+              FROM j GROUP BY s
+            ), terms AS (
+              SELECT s, sn,
+                     CAST(CAST(CAST(a AS HUGEINT)
+                               * (sn - a - b - c) AS VARCHAR)
+                          AS DOUBLE)
+                     / CAST(sn AS DOUBLE) AS adn,
+                     CAST(CAST(CAST(b AS HUGEINT) * c AS VARCHAR)
+                          AS DOUBLE)
+                     / CAST(sn AS DOUBLE) AS bcn
+              FROM cells
+            ), folded AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                     CAST(SUM(sn) AS BIGINT) AS n,
+                     list_aggregate(list(adn ORDER BY s), 'sum')
+                         AS num,
+                     list_aggregate(list(bcn ORDER BY s), 'sum')
+                         AS den
+              FROM terms
+            )
+            SELECT n_strata, n, num AS sum_ad_over_n,
+                   den AS sum_bc_over_n,
+                   CASE WHEN den > 0 THEN num / den END AS or_mh
+            FROM folded
+        """,
+        # Tokenizer fertility: exact integer token totals, integral
+        # DIV ratios.
+        "lang_token_fertility": rf"""
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({_D_TOKENS})) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+                        AS BIGINT) AS bpe_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   CAST((SUM(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+                         * CAST(1000000 AS BIGINT))
+                        // SUM(len({_D_TOKENS})) AS BIGINT)
+                       AS fertility_scaled,
+                   CAST((SUM(length(text))
+                         * CAST(1000000 AS BIGINT))
+                        // SUM(len({_D_TOKENS})) AS BIGINT)
+                       AS chars_per_token_scaled
+            FROM documents GROUP BY lang
+        """,
+        # Partial correlation: exact HUGEINT centered cross-products;
+        # each r is one division by a sqrt of a fixed-order double
+        # product; the partial is a fixed IEEE expression.
+        "price_qty_partial_corr": r"""
+            WITH f AS (
+              SELECT CAST(l_quantity AS HUGEINT) AS x,
+                     CAST(FLOOR(l_extendedprice) AS HUGEINT) AS y,
+                     CAST(FLOOR(l_discount * 100 + 0.5) AS HUGEINT)
+                         AS z
+              FROM lineitem
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                     SUM(z * z) AS szz, SUM(x * y) AS sxy,
+                     SUM(x * z) AS sxz, SUM(y * z) AS syz
+              FROM f
+            ), c AS (
+              SELECT n,
+                     n * sxx - sx * sx AS cxx,
+                     n * syy - sy * sy AS cyy,
+                     n * szz - sz * sz AS czz,
+                     n * sxy - sx * sy AS cxy,
+                     n * sxz - sx * sz AS cxz,
+                     n * syz - sy * sz AS cyz
+              FROM s
+            ), r AS (
+              SELECT n,
+                     CASE WHEN cxx > 0 AND cyy > 0
+                          THEN CAST(CAST(cxy AS VARCHAR) AS DOUBLE)
+                               / SQRT(CAST(CAST(cxx AS VARCHAR)
+                                           AS DOUBLE)
+                                      * CAST(CAST(cyy AS VARCHAR)
+                                             AS DOUBLE))
+                     END AS r_xy,
+                     CASE WHEN cxx > 0 AND czz > 0
+                          THEN CAST(CAST(cxz AS VARCHAR) AS DOUBLE)
+                               / SQRT(CAST(CAST(cxx AS VARCHAR)
+                                           AS DOUBLE)
+                                      * CAST(CAST(czz AS VARCHAR)
+                                             AS DOUBLE))
+                     END AS r_xz,
+                     CASE WHEN cyy > 0 AND czz > 0
+                          THEN CAST(CAST(cyz AS VARCHAR) AS DOUBLE)
+                               / SQRT(CAST(CAST(cyy AS VARCHAR)
+                                           AS DOUBLE)
+                                      * CAST(CAST(czz AS VARCHAR)
+                                             AS DOUBLE))
+                     END AS r_yz
+              FROM c
+            )
+            SELECT CAST(n AS BIGINT) AS n, r_xy, r_xz, r_yz,
+                   CASE WHEN SQRT((1.0 - r_xz * r_xz)
+                                  * (1.0 - r_yz * r_yz)) > 0
+                        THEN (r_xy - r_xz * r_yz)
+                             / SQRT((1.0 - r_xz * r_xz)
+                                    * (1.0 - r_yz * r_yz))
+                   END AS r_xy_given_z
+            FROM r
+        """,
+        # STL-lite: exact cents, 7-observation window, integer 7-fold
+        # detrending, single-division seasonal means, fixed-order
+        # remainder.
+        "revenue_stl_lite": r"""
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS value
+              FROM orders GROUP BY 1
+            ), win AS (
+              SELECT day, value,
+                     CASE WHEN COUNT(*) OVER w = 7
+                          THEN SUM(value) OVER w END AS sum7
+              FROM daily
+              WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                           AND 3 FOLLOWING)
+            ), det AS (
+              SELECT day, value, sum7,
+                     7 * value - sum7 AS det7,
+                     CAST(dayofweek(day) AS BIGINT) + 1 AS dow
+              FROM win
+            ), seas AS (
+              SELECT dow,
+                     CAST(SUM(det7) AS DOUBLE)
+                     / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+              FROM det WHERE det7 IS NOT NULL GROUP BY dow
+            )
+            SELECT day, value,
+                   CAST(sum7 AS DOUBLE) / 7.0 AS trend,
+                   CASE WHEN sum7 IS NOT NULL THEN seasonal END
+                       AS seasonal,
+                   CASE WHEN sum7 IS NOT NULL
+                        THEN CAST(value AS DOUBLE)
+                             - CAST(sum7 AS DOUBLE) / 7.0
+                             - seasonal
+                   END AS remainder
+            FROM det LEFT JOIN seas USING (dow)
+        """,
+        # Re-randomization test: knuth draws on kr·B + b (the
+        # bootstrap-CI device), exact per-replicate decimal sums,
+        # add-one-smoothed exact integer p-value.
+        "priority_price_rerandomization": f"""
+            WITH base AS (
+              SELECT ((o_orderkey % 4294967296 + 4294967296)
+                      % 4294967296) AS kr,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS a,
+                     CAST(o_totalprice AS DECIMAL(18,4)) AS m
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ), tot AS (
+              SELECT COUNT(*) AS n, SUM(a) AS n_a,
+                     SUM(CASE WHEN a = 1 THEN m END) AS sa,
+                     SUM(CASE WHEN a = 0 THEN m END) AS sb
+              FROM base
+            ), obs AS (
+              SELECT n, n_a, n - n_a AS n_b,
+                     CAST(CAST(sa AS VARCHAR) AS DOUBLE)
+                       / CAST(n_a AS DOUBLE)
+                     - CAST(CAST(sb AS VARCHAR) AS DOUBLE)
+                       / CAST(n - n_a AS DOUBLE) AS observed_diff,
+                     CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)
+                         AS frac
+              FROM tot
+            ), rep AS (
+              SELECT g.r AS r, m,
+                     CASE WHEN {_knuth_sql('kr * 50 + g.r')}
+                               < (SELECT frac FROM obs)
+                          THEN 1 ELSE 0 END AS pa
+              FROM base,
+                   (SELECT unnest(generate_series(0, 49)) AS r) g
+            ), per_r AS (
+              SELECT r, SUM(pa) AS na, COUNT(*) AS rn,
+                     SUM(CASE WHEN pa = 1 THEN m END) AS rsa,
+                     SUM(CASE WHEN pa = 0 THEN m END) AS rsb
+              FROM rep GROUP BY r
+            ), diffs AS (
+              SELECT na, rn,
+                     CAST(CAST(rsa AS VARCHAR) AS DOUBLE)
+                       / CAST(na AS DOUBLE)
+                     - CAST(CAST(rsb AS VARCHAR) AS DOUBLE)
+                       / CAST(rn - na AS DOUBLE) AS d
+              FROM per_r
+            ), agg AS (
+              SELECT CAST(SUM(CASE WHEN na > 0 AND na < rn
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_valid,
+                     CAST(SUM(CASE WHEN na > 0 AND na < rn
+                                   AND ABS(d) >= ABS((SELECT
+                                       observed_diff FROM obs))
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_ge
+              FROM diffs
+            )
+            SELECT CAST(o.n AS BIGINT) AS n,
+                   CAST(o.n_a AS BIGINT) AS n_a,
+                   CAST(o.n_b AS BIGINT) AS n_b,
+                   o.observed_diff,
+                   a.n_valid, a.n_ge,
+                   CAST(1 + a.n_ge AS DOUBLE)
+                     / CAST(1 + a.n_valid AS DOUBLE) AS p_value
+            FROM obs o, agg a
+        """,
     }
 
 
@@ -16452,3 +17168,382 @@ def _mcnemar_oracle() -> str:
                ELSE 0 END AS mcnemar_scaled
         FROM agg
     """
+
+
+def _ptype_price_anova(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F (r10): does MEAN lineitem price differ across
+    part-type classes (experiment.anova_oneway — exact decimal
+    sufficient sums, group-sorted single-division-double fold)? The
+    parametric twin of `ptype_price_kruskal` on the identical
+    grouping and grain: reporting F next to H is the standard
+    robustness cross-check (F fires on mean shifts, H on any
+    stochastic-order shift). Price pre-quantized to the 1000-unit
+    grain — not required for the window-free ANOVA, but keeping the
+    grain identical to the kruskal entry is what makes the two
+    statistics comparable."""
+    li, part = _tables(spark, sf, "lineitem", "part")
+    joined = li.join(
+        F.broadcast(
+            part.select(
+                "p_partkey",
+                F.split(F.col("p_type"), " ").getItem(0).alias("tclass"),
+            )
+        ),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "tclass",
+        F.floor(F.col("l_extendedprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("pb"),
+    )
+    return experiment.anova_oneway(joined, "tclass", "pb")
+
+
+def _priority_price_levene(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown–Forsythe spread-homogeneity test (r10): do the five
+    order priorities differ in price SPREAD, not location
+    (experiment.brown_forsythe — exact per-group lower medians at
+    value grain, integer |v−med| recentering, then the exact-sum
+    ANOVA)? The gatekeeper before trusting any pooled-variance
+    readout over this grouping. Quantized to the 1000-unit grain (the
+    group-partitioned median window must be value-cardinality-
+    bounded)."""
+    (orders,) = _tables(spark, sf, "orders")
+    feats = orders.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("pb"),
+    )
+    return experiment.brown_forsythe(feats, "o_orderpriority", "pb")
+
+
+def _year_priority_friedman(spark: SparkSession, sf: str) -> DataFrame:
+    """Friedman within-block rank test (r10): treating each order
+    YEAR as a block, does any priority class consistently out-rank
+    the others in annual revenue (experiment.friedman_test — doubled
+    tie-averaged ranks per block, exact integer quadratic forms,
+    single-division double)? The repeated-measures member of the
+    nonparametric family: year-level shifts (growth) cancel entirely,
+    isolating the priority mix. Cell values are exact cent sums, so
+    the within-year ranking is engine-exact."""
+    (orders,) = _tables(spark, sf, "orders")
+    cells = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority"
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("rev_cents")
+    )
+    return experiment.friedman_test(
+        cells, "yr", "o_orderpriority", "rev_cents"
+    )
+
+
+def _order_uplift_qini(spark: SparkSession, sf: str) -> DataFrame:
+    """Qini uplift curve (r10): ranking orders by value, how many
+    EXTRA urgent-priority orders does the 'treated' arm show at each
+    targeting decile (experiment.qini_curve — value-grain prefix
+    cuts, exact counts, single-division doubles)? Treatment is the
+    order-key parity — a deterministic stand-in assignment both
+    engines replay exactly; outcome is the 1-URGENT flag (~20% base
+    rate). On TPC-H's uniform data the curve must hug the random
+    diagonal — exactly the null readout an uplift evaluation has to
+    reproduce before it can be trusted on a real assignment. Value
+    quantized to the 1000-unit grain (the ordering window is
+    value-cardinality-bounded, ~600 buckets)."""
+    (orders,) = _tables(spark, sf, "orders")
+    units = orders.select(
+        F.floor(F.col("o_totalprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("score"),
+        (F.col("o_orderkey") % 2 == 0).cast("long").alias("treat"),
+        (F.col("o_orderpriority") == "1-URGENT")
+        .cast("long")
+        .alias("converted"),
+    )
+    return experiment.qini_curve(
+        units, "score", "treat", "converted", n_bins=10
+    )
+
+
+def _priority_fulfillment_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-rank survival test (r10): do URGENT and LOW priority
+    orders share a fulfillment-time curve (temporal.logrank_test —
+    exact risk sets at distinct-day grain, per-time single-division
+    doubles folded in time order)? The inferential companion to the
+    `order_fulfillment_survival` Kaplan–Meier entry. Duration = the
+    order's SHIP SPAN (first→last line shipment day), right-censored
+    at 60 days: "was the whole order out the door within two months
+    of its first shipment" — on this synthetic data ~7% are (the
+    shipdates are corpus-wide uniform), so the risk sets stay large
+    and the test operates in its censoring-heavy regime."""
+    ords, li = _tables(spark, sf, "orders", "lineitem")
+    iv = (
+        ords.filter(
+            F.col("o_orderpriority").isin(["1-URGENT", "5-LOW"])
+        )
+        .join(li, ords.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.datediff(
+                F.max("l_shipdate"), F.min("l_shipdate")
+            ).alias("dur")
+        )
+        .select(
+            "o_orderpriority",
+            F.least(F.col("dur"), F.lit(60)).alias("t"),
+            (F.col("dur") <= 60).cast("long").alias("e"),
+        )
+    )
+    return temporal.logrank_test(
+        iv, "o_orderpriority", "t", "e", "1-URGENT", "5-LOW"
+    )
+
+
+def _kn_bigram_model(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model (r10): the top-50 table
+    of the corpus' KN-smoothed bigram probabilities
+    (text.kneser_ney_bigrams — D = 3/4 absolute discounting plus
+    continuation-count backoff as ONE exact rational per bigram,
+    single-division double). The smoothing KenLM made the default for
+    LLM-corpus quality filtering, next to the add-k MLE twin
+    `lm_quality_scores` scores with."""
+    return tx.kneser_ney_bigrams(
+        _docs(spark, sf), min_context=20, k=50
+    )
+
+
+def _price_two_factor_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form multiple regression (r10): lineitem price on
+    quantity and discount percent via exact normal equations
+    (features.two_factor_ols — nine decimal sufficient sums in ONE
+    map-side-combined aggregation, Cramer's rule through
+    single-division doubles). Model fitting with the cost profile of
+    a SUM: no iteration, no solver, bit-identical at any scale or
+    partitioning. On THIS synthetic lineitem both regressors are
+    drawn independently of price (corr ≈ −0.01/+0.015 measured), so
+    the correct readout is r² ≈ 0 — the null a regression must
+    reproduce before its coefficients mean anything; the operator is
+    validated against numpy lstsq in tests/test_features.py."""
+    (li,) = _tables(spark, sf, "lineitem")
+    feats = li.select(
+        F.floor("l_extendedprice").cast("long").alias("y"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x2"),
+    )
+    return features.two_factor_ols(feats, "y", "x1", "x2")
+
+
+def _lineitem_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape (r10): per-returnflag exact totals of the
+    four lineitem measures, unpivoted to (flag, metric, total) long
+    format (relational.unpivot — a stack projection, no shuffle
+    beyond the 3-key aggregate). The melt that feeds metric-generic
+    consumers: one long table instead of four hard-coded columns."""
+    (li,) = _tables(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("quantity"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("extendedprice"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("discount"),
+        F.sum(F.col("l_tax").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("tax"),
+    )
+    return relational.unpivot(
+        wide,
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        var_name="metric",
+        value_name="total",
+    )
+
+
+def _preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Preference-pair mining (r10): per-language max-margin
+    (chosen, rejected) document pairs by lexical-diversity score
+    (sampling.preference_pairs — two bucket-partitioned rank windows,
+    deterministic id tie-breaks). The RLHF/DPO pair construction
+    applied to a scored corpus; score = floor-scaled type-token ratio
+    (distinct tokens per token, ×10⁶ integral DIV) — exact integers,
+    so the pair choice is engine-exact."""
+    docs = _docs(spark, sf)
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(split(lower(regexp_replace("
+            "trim(text), '\\\\s+', ' ')), ' '))) * 1000000 AS BIGINT)"
+            " DIV size(split(lower(regexp_replace(trim(text),"
+            " '\\\\s+', ' ')), ' '))"
+        ).alias("ttr_scaled"),
+    )
+    return sampling.preference_pairs(
+        scored, "lang", "doc_id", "ttr_scaled"
+    )
+
+
+def _priority_return_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran–Armitage trend test (r10): does the line-return RATE
+    trend monotonically as order priority drops from 1-URGENT to
+    5-LOW (experiment.cochran_armitage — exact per-group integer
+    counts, fixed-order double finish)? The binary-outcome member of
+    the ordered family next to `priority_price_jonckheere`
+    (continuous outcome, same ordering). On TPC-H's independent
+    uniform draws the correct readout is z² ≈ 0."""
+    ords, li = _tables(spark, sf, "orders", "lineitem")
+    joined = li.join(
+        ords.select("o_orderkey", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    return experiment.cochran_armitage(
+        joined,
+        "o_orderpriority",
+        "ret",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )
+
+
+def _segment_return_mh_odds(spark: SparkSession, sf: str) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio (r10): the urgent-priority →
+    line-returned odds ratio pooled across market-segment strata
+    (experiment.mantel_haenszel_or — exact per-stratum 2×2 cells,
+    stratum-sorted single-division fold). The odds-scale answer to
+    the Simpson's-paradox trap `standardized_segment_lift` addresses
+    for means; on this uniform data OR_MH ≈ 1 — the null an
+    adjusted estimator must reproduce."""
+    ords, li, cust = _tables(
+        spark, sf, "orders", "lineitem", "customer"
+    )
+    joined = (
+        li.join(
+            ords.select("o_orderkey", "o_custkey", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            cust.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("long")
+            .alias("urgent"),
+            (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+        )
+    )
+    return experiment.mantel_haenszel_or(
+        joined, "c_mktsegment", "urgent", "ret"
+    )
+
+
+def _lang_token_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility by language (r10): per-language whitespace
+    vs BPE-ish token totals and their ratio — the budgeting table
+    behind multilingual sampling decisions (a language whose BPE
+    fertility is high costs more context per word; mixture weights
+    must correct for it). Exact integer counts; the ratios are
+    floor-scaled integral DIVs — scan-grain conditional aggregation,
+    one language-grain shuffle."""
+    docs = _docs(spark, sf)
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tx.token_count("text").cast("long"))
+        .cast("long")
+        .alias("ws_tokens"),
+        F.sum(tx.bpe_ish_token_count("text").cast("long"))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.sum(F.length("text").cast("long"))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        F.expr(
+            "CAST((bpe_tokens * CAST(1000000 AS BIGINT))"
+            " DIV ws_tokens AS BIGINT)"
+        ).alias("fertility_scaled"),
+        F.expr(
+            "CAST((n_chars * CAST(1000000 AS BIGINT))"
+            " DIV ws_tokens AS BIGINT)"
+        ).alias("chars_per_token_scaled"),
+    )
+
+
+def _price_qty_partial_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order partial correlation (r10): price↔quantity with the
+    discount percent partialled out (profile.partial_correlation —
+    exact decimal centered cross-products, sqrt-of-product doubles).
+    Completes the dependence family: `lineitem_correlations` reports
+    the marginal r's; this asks whether the price↔quantity residual
+    association survives controlling for discount (on independent
+    synthetic draws: all three r's ≈ 0 and the partial ≈ the
+    marginal — the null the adjustment must not manufacture
+    structure from)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("z"),
+    )
+    return profile.partial_correlation(feats, "x", "y", "z")
+
+
+def _revenue_stl_lite(spark: SparkSession, sf: str) -> DataFrame:
+    """Trend/seasonal/remainder decomposition (r10): daily order
+    revenue (exact cents) through temporal.stl_lite — centered
+    7-observation moving-average trend, day-of-week seasonal means of
+    the EXACT 7-fold detrended integers, fixed-order IEEE remainder.
+    The pre-model inspection the holt/holt-winters entries assume;
+    the dow seasonal should read ≈ 0 on TPC-H's uniform order dates
+    (no weekly cycle is planted — the decomposition must not invent
+    one)."""
+    (orders,) = _tables(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    return temporal.stl_lite(daily, "d", "cents")
+
+
+def _priority_price_rerandomization(spark: SparkSession, sf: str) -> DataFrame:
+    """Monte-Carlo re-randomization test (r10): is the URGENT-vs-LOW
+    mean order-value gap larger than random relabeling produces
+    (experiment.rerandomization_test — key-pure knuth draws, exact
+    per-replicate decimal sums, add-one-smoothed exact p)? The
+    assumption-free companion to `ab_welch_test`; on TPC-H's
+    independent uniform draws the observed gap is noise and p must
+    land WELL inside (0,1) — a small p here would mean the test
+    manufactures significance. 50 replicates (the bootstrap-CI
+    budget)."""
+    (orders,) = _tables(spark, sf, "orders")
+    return experiment.rerandomization_test(
+        orders,
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        "1-URGENT",
+        "5-LOW",
+        n_perm=50,
+    )

@@ -1150,3 +1150,666 @@ def standardized_comparison(
         (mean_a_raw - mean_b_raw).alias("lift_raw"),
         (ma - mb).alias("lift_std"),
     )
+
+
+def _anova_from_cells(cells: DataFrame) -> DataFrame:
+    """Shared ANOVA finisher over pre-aggregated (group, value, count)
+    cells (columns ``__g``, ``__v``, ``__c``; ``__v`` integer-valued).
+
+    Exactness scheme (the :func:`kruskal_wallis` device): the
+    sufficient sums n_g, S_g = Σv, S2_g = Σv² ride exact
+    DECIMAL(38,0); the between/within sums of squares
+
+        SSB = Σ_g S_g²/n_g − S²/N        SSW = ΣΣv² − Σ_g S_g²/n_g
+
+    leave exact arithmetic only through correctly-rounded double
+    casts, with the K per-group S_g²/n_g terms folded LEFT-TO-RIGHT
+    in group-sorted order — bit-identical in any engine that mirrors
+    the fold (wide decimal→double casts go through the VARCHAR
+    round-trip on the oracle side)."""
+    dec = "decimal(38,0)"
+    per_group = cells.groupBy("__g").agg(
+        F.sum(F.col("__c").cast(dec)).alias("__n"),
+        F.sum(F.col("__c").cast(dec) * F.col("__v").cast(dec)).alias("__s"),
+        F.sum(
+            F.col("__c").cast(dec)
+            * F.col("__v").cast(dec)
+            * F.col("__v").cast(dec)
+        ).alias("__s2"),
+    )
+    arr = per_group.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__g", "__n", "__s", "__s2"))
+        ).alias("__gs"),
+        F.sum("__n").alias("__N"),
+        F.sum("__s").alias("__S"),
+        F.sum("__s2").alias("__S2"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    # Σ_g S_g²/n_g — one exact single-division double per group,
+    # summed in group-sorted order (identical fold on the oracle side)
+    b = F.aggregate(
+        F.transform(
+            F.col("__gs"),
+            lambda g: (g["__s"] * g["__s"]).cast("double")
+            / g["__n"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ssb = b - (F.col("__S") * F.col("__S")).cast("double") / F.col(
+        "__N"
+    ).cast("double")
+    ssw = F.col("__S2").cast("double") - b
+    kd = F.col("n_groups").cast("double")
+    nd = F.col("__N").cast("double")
+    f_stat = F.when(
+        (F.col("n_groups") > 1) & (F.col("__N") > F.col("n_groups")) & (ssw > 0),
+        (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd)),
+    )
+    eta2 = F.when(ssb + ssw > 0, ssb / (ssb + ssw))
+    return arr.select(
+        F.col("__N").cast("long").alias("n"),
+        "n_groups",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        f_stat.alias("f_stat"),
+        eta2.alias("eta2"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F, exact-ingredient: the parametric omnibus
+    location test — "does ANY group's MEAN sit elsewhere" — the
+    classical twin of :func:`kruskal_wallis` (which asks the same of
+    rank distributions). Reporting both on the same grouping is the
+    standard robustness cross-check: F fires on mean shifts, H on any
+    stochastic-order shift; F >> H hints at outlier-driven means.
+
+    Returns ONE row: (n, n_groups, ssb, ssw, f_stat, eta2);
+    f_stat/eta2 are NULL on degenerate inputs (one group, zero
+    within-variance) — the loud-NULL convention of :func:`cramers_v`.
+
+    Contract: ``value_col`` must be integer-valued (pre-quantize
+    near-continuous columns — the spearman-quantized discipline) so
+    the sufficient sums are exact; Σv² must stay under DECIMAL(38,0)
+    (~1e38 — safe through ~1e26 rows at the 1000-unit price grain).
+    Shape: ONE map-side-combined aggregation to (group,value) cells,
+    one K-row fold — a single scan at any scale, no window, no sort
+    beyond the K-element array."""
+    cells = (
+        df.select(
+            F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+        )
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return _anova_from_cells(cells)
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test: one-way ANOVA on
+    |v − median_g| — "do the groups SPREAD differently", the
+    median-centered Levene variant that is robust to non-normality
+    (Brown & Forsythe 1974). The gatekeeper run before trusting a
+    pooled-variance readout (:func:`welch_ttest` exists because this
+    test often fails).
+
+    Exactness: per-group LOWER medians (element at ⌈n_g/2⌉ of the
+    sorted group — an integer, no midpoint averaging) computed at
+    (group, value) grain with a group-partitioned cumulative window;
+    |v − med| stays integer, so the downstream ANOVA inherits
+    :func:`anova_oneway`'s exact sufficient sums. Same portable
+    surface: (n, n_groups, ssb, ssw, f_stat, eta2).
+
+    Contract: integer-valued ``value_col`` (pre-quantize). Shape: one
+    (group,value)-grain aggregation, one window PARTITIONED BY group
+    (input bounded by per-group value cardinality, never row count),
+    a K-row broadcast join of medians, then the single-scan ANOVA."""
+    from pyspark.sql import Window
+
+    cells = (
+        df.select(
+            F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+        )
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "__g",
+        "__v",
+        "__c",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(
+            Window.partitionBy("__g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__ng"),
+    )
+    # lower median = value at 1-indexed position ⌈n_g/2⌉ = (n_g+1) DIV 2
+    med = (
+        cum.filter(F.col("__cum") >= F.expr("(__ng + 1) DIV 2"))
+        .groupBy("__g")
+        .agg(F.min("__v").alias("__med"))
+    )
+    z = (
+        cells.join(F.broadcast(med), "__g")
+        .select(
+            "__g",
+            F.abs(F.col("__v") - F.col("__med")).alias("__v"),
+            "__c",
+        )
+        .groupBy("__g", "__v")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    return _anova_from_cells(z)
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test, exact-ingredient: the within-block rank test for
+    K treatments observed once per block — "does any treatment
+    consistently rank higher across blocks", the repeated-measures
+    member of the nonparametric family (:func:`kruskal_wallis` pools
+    all rows into one ranking; this ranks WITHIN each block, removing
+    block-level shifts entirely).
+
+    Exactness scheme: tie-averaged DOUBLED ranks per block (the
+    :func:`mann_whitney_u` device at (block,value) grain), so the
+    per-treatment rank sums R2_j = Σ_b 2·r_bj and both quadratic
+    forms are exact integers. With doubled ranks the tie-corrected
+    statistic (Conover) becomes
+
+        Q = (k−1) · Σ_j (R2_j − n(k+1))² / (Σ_bj r2_bj² − n·k·(k+1)²)
+
+    published as (n_blocks, k, q_num, q_den, q): q_num/q_den are the
+    exact BIGINT numerator (including the k−1 factor) and denominator
+    (bounds: |R2_j − n(k+1)| ≤ n·k → q_num ≤ k·(nk)²·(k−1), int64-safe
+    below ~3e8 blocks at k=5); q is their single-division double.
+    Q is NULL when every block is fully tied (zero denominator).
+
+    Contract: COMPLETE design — exactly one row per (block,
+    treatment); raises ValueError otherwise (loud failure, the
+    mahalanobis convention). Shape: one (block,value)-grain
+    aggregation, one window PARTITIONED BY block (input bounded by k,
+    never row count), one k-row finish."""
+    from pyspark.sql import Window
+
+    rows = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+    )
+    shape = rows.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nrows"),
+        F.countDistinct("__t").alias("__nt"),
+    ).agg(
+        F.countDistinct("__nt").alias("__kvals"),
+        F.max("__nt").alias("__k"),
+        F.sum((F.col("__nrows") != F.col("__nt")).cast("long")).alias(
+            "__dups"
+        ),
+    ).collect()[0]
+    if shape["__kvals"] != 1 or shape["__dups"] != 0:
+        raise ValueError(
+            "friedman_test requires a complete design: exactly one row"
+            " per (block, treatment) and every block covering the same"
+            f" {shape['__k']} treatments"
+        )
+    k = int(shape["__k"])
+    runs = rows.groupBy("__b", "__v").agg(F.count(F.lit(1)).alias("__run"))
+    w = Window.partitionBy("__b").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = runs.select(
+        "__b",
+        "__v",
+        (
+            F.lit(2) * F.sum("__run").over(w) - F.col("__run") + 1
+        ).alias("__avg2"),
+    )
+    r2 = rows.join(ranked, ["__b", "__v"]).select("__b", "__t", "__avg2")
+    per_t = r2.groupBy("__t").agg(
+        F.sum("__avg2").cast("long").alias("__r2j"),
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+    )
+    kl = F.lit(k).cast("long")
+    agg = per_t.agg(
+        F.max("__nb").cast("long").alias("n_blocks"),
+        F.sum(
+            (F.col("__r2j") - F.col("__nb") * (kl + 1))
+            * (F.col("__r2j") - F.col("__nb") * (kl + 1))
+        ).cast("long").alias("__a"),
+    )
+    den = r2.agg(
+        F.sum(
+            F.col("__avg2").cast("long") * F.col("__avg2")
+        ).cast("long").alias("__sq")
+    )
+    return (
+        agg.crossJoin(den)
+        .select(
+            "n_blocks",
+            kl.alias("k"),
+            ((kl - 1) * F.col("__a")).alias("q_num"),
+            (
+                F.col("__sq")
+                - F.col("n_blocks") * kl * (kl + 1) * (kl + 1)
+            ).alias("q_den"),
+        )
+        .select(
+            "n_blocks",
+            "k",
+            "q_num",
+            "q_den",
+            F.when(
+                F.col("q_den") > 0,
+                F.col("q_num").cast("double")
+                / F.col("q_den").cast("double"),
+            ).alias("q"),
+        )
+    )
+
+
+def qini_curve(
+    units: DataFrame,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini (uplift) curve at a fixed bin grid: rank units by a
+    targeting score, then at each prefix ask "how many EXTRA
+    conversions did treatment buy among the targeted top-share vs
+    scaling the control rate to the treated count" —
+    Qini(p) = Y_t(p) − Y_c(p)·N_t(p)/N_c(p) (Radcliffe 2007). The
+    uplift-model evaluation: a score that targets persuadables bows
+    the curve above the random-targeting diagonal.
+
+    Determinism/exactness: prefixes cut at SCORE-VALUE boundaries
+    (whole tie-runs stay together — no arbitrary within-tie order),
+    each bin reporting the largest value-grain prefix with
+    cum ≤ ⌊b·N/n_bins⌋; counts are exact integers; qini and the
+    random-diagonal baseline leave integers through single-division
+    doubles. Returns n_bins rows: (bin, n_prefix, nt, nc, yt, yc,
+    qini, qini_random); qini is NULL while the prefix holds no
+    control units.
+
+    Contract: integer-valued ``score_col`` (pre-quantize — the
+    ordering window runs at distinct-score grain and must be
+    value-cardinality-bounded); ``treat_col``/``outcome_col`` 0/1.
+    Shape: one aggregation to score grain, one ordered cumulative
+    window over distinct scores, an n_bins-literal broadcast join —
+    a single scan at any scale."""
+    from pyspark.sql import Window
+
+    pts = (
+        units.select(
+            F.col(score_col).alias("__s"),
+            F.col(treat_col).cast("long").alias("__t"),
+            F.col(outcome_col).cast("long").alias("__y"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__t").alias("__nt"),
+            F.sum(F.col("__t") * F.col("__y")).alias("__yt"),
+            F.sum((1 - F.col("__t")) * F.col("__y")).alias("__yc"),
+        )
+    )
+    w = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pts.select(
+        F.sum("__n").over(w).alias("__cum"),
+        F.sum("__nt").over(w).alias("__cnt"),
+        F.sum("__yt").over(w).alias("__cyt"),
+        F.sum("__yc").over(w).alias("__cyc"),
+    )
+    tot = pts.agg(
+        F.sum("__n").alias("__N"),
+        F.sum("__nt").alias("__NT"),
+        F.sum("__yt").alias("__YT"),
+        F.sum("__yc").alias("__YC"),
+    )
+    bins = F.explode(
+        F.sequence(F.lit(1), F.lit(n_bins))
+    ).alias("bin")
+    grid = tot.select(bins, "__N", "__NT", "__YT", "__YC")
+    stepped = (
+        cum.crossJoin(F.broadcast(grid))
+        .filter(
+            F.col("__cum")
+            <= (F.col("bin") * F.col("__N")) / F.lit(n_bins)
+        )
+        .groupBy("bin", "__N", "__NT", "__YT", "__YC")
+        .agg(F.max("__cum").alias("n_prefix"))
+    )
+    at_cut = stepped.join(
+        cum.withColumnRenamed("__cum", "n_prefix"), "n_prefix"
+    )
+    # overall uplift scaled by prefix share: the random diagonal
+    overall = F.when(
+        (F.col("__N") - F.col("__NT")) > 0,
+        F.col("__YT").cast("double")
+        - (
+            F.col("__YC").cast("decimal(38,0)")
+            * F.col("__NT").cast("decimal(38,0)")
+        ).cast("double")
+        / (F.col("__N") - F.col("__NT")).cast("double"),
+    )
+    out = at_cut.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_prefix").cast("long").alias("n_prefix"),
+        F.col("__cnt").cast("long").alias("nt"),
+        (F.col("n_prefix") - F.col("__cnt")).cast("long").alias("nc"),
+        F.col("__cyt").cast("long").alias("yt"),
+        F.col("__cyc").cast("long").alias("yc"),
+        F.when(
+            (F.col("n_prefix") - F.col("__cnt")) > 0,
+            F.col("__cyt").cast("double")
+            - (
+                F.col("__cyc").cast("decimal(38,0)")
+                * F.col("__cnt").cast("decimal(38,0)")
+            ).cast("double")
+            / (F.col("n_prefix") - F.col("__cnt")).cast("double"),
+        ).alias("qini"),
+        (
+            overall
+            * (
+                F.col("n_prefix").cast("double")
+                / F.col("__N").cast("double")
+            )
+        ).alias("qini_random"),
+    )
+    return out.orderBy("bin")
+
+
+def cochran_armitage(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    ordered_groups: list,
+) -> DataFrame:
+    """Cochran–Armitage trend test, exact-ingredient: does a BINARY
+    outcome's rate trend monotonically across K ORDERED groups — the
+    binary-outcome member of the ordered family
+    (:func:`jonckheere_trend` handles ordinal/continuous outcomes).
+    Group scores are the ranks 0..K−1 of ``ordered_groups``.
+
+    Exactness scheme: per-group (n_i, r_i) are exact integers from ONE
+    map-side-combined aggregation; with T̃ = N·Σw_i r_i − R·Σw_i n_i
+    and V' = N·Σw_i²n_i − (Σw_i n_i)² (both exact BIGINT — T̃ is
+    int64-safe below ~K·N² ≈ 2¹⁶ rows short of 2⁶³ at K=5, i.e. ~4e8
+    rows; wider inputs should pre-aggregate), the statistic
+
+        z² = T̃² · N / ( R·(N−R)·V' )
+
+    is built as FIXED-ORDER double products of exactly-cast integers
+    (never a wide integer product), so it is bit-identical in any
+    engine that mirrors the expression. Returns ONE row: (n,
+    positives, t_num, var_core, z2); z2 NULL when the outcome or the
+    scores are constant (R∈{0,N} or V'=0). Raises on rows whose group
+    is not in ``ordered_groups`` (silent drop would bias the trend)."""
+    order_map = {g: i for i, g in enumerate(ordered_groups)}
+    g = F.col(group_col)
+    w = None
+    for name, i in order_map.items():
+        w = (
+            F.when(g == F.lit(name), F.lit(i))
+            if w is None
+            else w.when(g == F.lit(name), F.lit(i))
+        )
+    w = w.otherwise(F.lit(-1))
+    tagged = df.select(
+        w.cast("long").alias("__w"),
+        F.col(outcome_col).cast("long").alias("__y"),
+    )
+    per = tagged.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__r")
+    )
+    bad = per.filter(F.col("__w") < 0).count()
+    if bad:
+        raise ValueError(
+            "cochran_armitage: input contains groups outside"
+            " ordered_groups — drop or map them explicitly"
+        )
+    agg = per.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__r").cast("long").alias("positives"),
+        F.sum(F.col("__w") * F.col("__r")).cast("long").alias("__wr"),
+        F.sum(F.col("__w") * F.col("__n")).cast("long").alias("__wn"),
+        F.sum(F.col("__w") * F.col("__w") * F.col("__n"))
+        .cast("long")
+        .alias("__wwn"),
+    )
+    t_num = F.col("n") * F.col("__wr") - F.col("positives") * F.col(
+        "__wn"
+    )
+    var_core = F.col("n") * F.col("__wwn") - F.col("__wn") * F.col(
+        "__wn"
+    )
+    out = agg.select(
+        "n",
+        "positives",
+        t_num.alias("t_num"),
+        var_core.alias("var_core"),
+    )
+    z2 = (
+        F.col("t_num").cast("double")
+        * F.col("t_num").cast("double")
+        * F.col("n").cast("double")
+    ) / (
+        F.col("positives").cast("double")
+        * (F.col("n") - F.col("positives")).cast("double")
+        * F.col("var_core").cast("double")
+    )
+    return out.select(
+        "n",
+        "positives",
+        "t_num",
+        "var_core",
+        F.when(
+            (F.col("positives") > 0)
+            & (F.col("positives") < F.col("n"))
+            & (F.col("var_core") > 0),
+            z2,
+        ).alias("z2"),
+    )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio, exact-ingredient: the
+    stratified 2×2 estimator — "what is the exposure→outcome odds
+    ratio AFTER removing stratum-level confounding" — the classical
+    answer to the Simpson's-paradox trap that
+    :func:`standardized_comparison` addresses for means, here for
+    odds. OR_MH = Σ_s(a_s·d_s/n_s) / Σ_s(b_s·c_s/n_s).
+
+    Exactness: per-stratum 2×2 cells are exact integers from ONE
+    aggregation; each stratum's a·d/n and b·c/n terms are SINGLE
+    divisions of exactly-cast doubles, folded LEFT-TO-RIGHT in
+    stratum-sorted order (the kruskal device) — bit-identical in any
+    engine mirroring the fold. Returns ONE row: (n_strata, n,
+    sum_ad_over_n, sum_bc_over_n, or_mh); or_mh NULL when the
+    denominator fold is 0 (no discordant pairs anywhere)."""
+    cells = df.select(
+        F.col(stratum_col).alias("__s"),
+        F.col(exposure_col).cast("long").alias("__x"),
+        F.col(outcome_col).cast("long").alias("__y"),
+    ).groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__a"),
+        F.sum(F.col("__x") * (1 - F.col("__y"))).alias("__b"),
+        F.sum((1 - F.col("__x")) * F.col("__y")).alias("__c"),
+        F.sum((1 - F.col("__x")) * (1 - F.col("__y"))).alias("__d"),
+    )
+    dec = "decimal(38,0)"
+    terms = cells.select(
+        "__s",
+        "__n",
+        (
+            (F.col("__a").cast(dec) * F.col("__d").cast(dec)).cast(
+                "double"
+            )
+            / F.col("__n").cast("double")
+        ).alias("__adn"),
+        (
+            (F.col("__b").cast(dec) * F.col("__c").cast(dec)).cast(
+                "double"
+            )
+            / F.col("__n").cast("double")
+        ).alias("__bcn"),
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("__s", "__adn", "__bcn"))
+        ).alias("__ts"),
+    )
+    num = F.aggregate(
+        F.transform(F.col("__ts"), lambda s: s["__adn"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(F.col("__ts"), lambda s: s["__bcn"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return folded.select(
+        "n_strata",
+        "n",
+        num.alias("sum_ad_over_n"),
+        den.alias("sum_bc_over_n"),
+        F.when(den > 0, num / den).alias("or_mh"),
+    )
+
+
+def rerandomization_test(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    n_perm: int = 50,
+) -> DataFrame:
+    """Monte-Carlo re-randomization (permutation-style) test: how
+    often does a RANDOM re-assignment of units to the two arms
+    produce a mean gap at least as large as the observed one —
+    the assumption-free companion to :func:`welch_ttest` (no
+    normality, no variance model; Fisher 1935 by simulation). The
+    re-draws keep the observed arm SHARE (each unit joins arm A with
+    p = n_a/N), the standard Monte-Carlo relaxation of fixed-margin
+    permutation.
+
+    Determinism: draw b for unit k is :func:`~.sampling.knuth_uniform`
+    (pmod(k,2³²)·n_perm + b) — key-pure, engine-replayable, no RNG
+    state (the bootstrap-CI device), so the whole test value-hashes.
+    Metric sums ride exact DECIMAL(18,4) per replicate; each arm mean
+    is ONE division; the p-value is the exact integer ratio
+    (1 + #{|diff_b| ≥ |observed|}) / (1 + n_valid) (the add-one
+    smoothing that keeps p > 0, Phipson & Smyth 2010). Replicates
+    that draw an empty arm are dropped (counted out of n_valid).
+
+    Shape: one bounded 1-row collect for the arm share, then ONE scan
+    exploded ×n_perm with map-side-combined per-replicate decimal
+    sums — an O(n_perm)-row shuffle regardless of input size.
+
+    Returns ONE row: (n, n_a, n_b, observed_diff, n_valid, n_ge,
+    p_value)."""
+    g = F.col(group_col)
+    base = df.filter(g.isin([group_a, group_b])).select(
+        F.col(key_col).cast("long").alias("__k"),
+        (g == F.lit(group_a)).cast("long").alias("__a"),
+        F.col(value_col).cast("decimal(18,4)").alias("__m"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__a").alias("n_a"),
+        F.sum(F.when(F.col("__a") == 1, F.col("__m"))).alias("__sa"),
+        F.sum(F.when(F.col("__a") == 0, F.col("__m"))).alias("__sb"),
+    ).collect()[0]
+    n, n_a = int(tot["n"]), int(tot["n_a"])
+    n_b = n - n_a
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            "rerandomization_test: both groups must be non-empty"
+        )
+    # float(Decimal) and int→double are correctly rounded: identical
+    # to the oracle's VARCHAR-round-trip / CAST division
+    obs = float(tot["__sa"]) / float(n_a) - float(tot["__sb"]) / float(
+        n_b
+    )
+    frac = n_a / n
+    kr = ((F.col("__k") % F.lit(_M32)) + F.lit(_M32)) % F.lit(_M32)
+    rep = base.select(
+        "__m",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias(
+            "__r"
+        ),
+        kr.alias("__kr"),
+    ).select(
+        "__r",
+        "__m",
+        (
+            knuth_uniform(F.col("__kr") * n_perm + F.col("__r"))
+            < F.lit(frac)
+        ).cast("long").alias("__pa"),
+    )
+    per_r = rep.groupBy("__r").agg(
+        F.sum("__pa").alias("__na"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__pa") == 1, F.col("__m"))).alias("__sa"),
+        F.sum(F.when(F.col("__pa") == 0, F.col("__m"))).alias("__sb"),
+    )
+    diff = F.col("__sa").cast("double") / F.col("__na").cast(
+        "double"
+    ) - F.col("__sb").cast("double") / (
+        F.col("__n") - F.col("__na")
+    ).cast("double")
+    valid = (F.col("__na") > 0) & (F.col("__na") < F.col("__n"))
+    out = per_r.agg(
+        F.sum(valid.cast("long")).cast("long").alias("n_valid"),
+        F.sum(
+            (valid & (F.abs(diff) >= F.lit(abs(obs)))).cast("long")
+        )
+        .cast("long")
+        .alias("n_ge"),
+    )
+    return out.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.lit(obs).alias("observed_diff"),
+        "n_valid",
+        "n_ge",
+        (
+            (F.lit(1) + F.col("n_ge")).cast("double")
+            / (F.lit(1) + F.col("n_valid")).cast("double")
+        ).alias("p_value"),
+    )

@@ -585,3 +585,86 @@ def mahalanobis2_outliers(
             "score_scaled",
         )
     )
+
+
+def two_factor_ols(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Two-feature OLS by closed-form normal equations — distributed
+    multiple regression with ZERO iteration: one scan collects the
+    nine exact sufficient sums, the centered cross-products
+
+        S11 = n·Σx1² − (Σx1)²   S12 = n·Σx1x2 − Σx1·Σx2   ...
+
+    stay exact DECIMAL(38,0), and Cramer's rule finishes on the
+    driver-free 1-row frame:
+
+        b1 = (S1y·S22 − S2y·S12) / (S11·S22 − S12²)
+
+    Next to :func:`~.profile.grouped_linreg` (one feature, many
+    groups) this is the many-features-one-model corner; at 100 TB it
+    is the same single map-side-combined aggregation — model fitting
+    with the cost profile of a SUM.
+
+    Exactness: integer-valued inputs (pre-quantize — the contract all
+    exact-sufficient-sum operators share); numerators/denominator
+    leave exact decimals through SINGLE-division doubles, so b1/b2
+    are bit-identical across engines; intercept/r² are fixed IEEE
+    expressions over those doubles. Digit bound: |num| ≤
+    ~n²·max|x|·max|x|·max|y|² — under DECIMAL(38,0) through ~1e9 rows
+    at the entry grains; the operator NULLs (does not garbage) on a
+    singular design (det ≤ 0 cannot occur; det = 0 means collinear).
+
+    Returns ONE row: (n, b1, b2, intercept, r2)."""
+    dec = "decimal(38,0)"
+    y = F.col(y_col).cast(dec)
+    x1 = F.col(x1_col).cast(dec)
+    x2 = F.col(x2_col).cast(dec)
+    sums = df.agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(y).alias("__sy"),
+        F.sum(x1).alias("__s1"),
+        F.sum(x2).alias("__s2"),
+        F.sum(x1 * x1).alias("__s11"),
+        F.sum(x2 * x2).alias("__s22"),
+        F.sum(x1 * x2).alias("__s12"),
+        F.sum(x1 * y).alias("__s1y"),
+        F.sum(x2 * y).alias("__s2y"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("__n")
+    c11 = n * F.col("__s11") - F.col("__s1") * F.col("__s1")
+    c22 = n * F.col("__s22") - F.col("__s2") * F.col("__s2")
+    c12 = n * F.col("__s12") - F.col("__s1") * F.col("__s2")
+    c1y = n * F.col("__s1y") - F.col("__s1") * F.col("__sy")
+    c2y = n * F.col("__s2y") - F.col("__s2") * F.col("__sy")
+    cyy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    det = c11 * c22 - c12 * c12
+    b1 = F.when(
+        det != 0,
+        (c1y * c22 - c2y * c12).cast("double") / det.cast("double"),
+    )
+    b2 = F.when(
+        det != 0,
+        (c2y * c11 - c1y * c12).cast("double") / det.cast("double"),
+    )
+    intercept = (
+        F.col("__sy").cast("double")
+        - b1 * F.col("__s1").cast("double")
+        - b2 * F.col("__s2").cast("double")
+    ) / n.cast("double")
+    r2 = F.when(
+        (det != 0) & (cyy > 0),
+        (b1 * c1y.cast("double") + b2 * c2y.cast("double"))
+        / cyy.cast("double"),
+    )
+    return sums.select(
+        n.cast("long").alias("n"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -1678,3 +1678,78 @@ def freq_zipf_audit(
         ).alias("slope_scaled")
     )
     return with_log.join(F.broadcast(med)).orderBy("bucket")
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation, exact-ingredient: the x↔y
+    association AFTER controlling for a confounder z —
+    r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — the
+    one-line answer to "is this correlation just both variables
+    riding z". Completes the correlation family next to
+    `correlation_matrix` (marginal) and :func:`grouped_linreg`
+    (conditional mean).
+
+    Exactness: integer-valued inputs (pre-quantize); the six centered
+    cross-products N·Σab − Σa·Σb ride exact DECIMAL(38,0); each
+    pairwise r is ONE division of an exactly-cast double by a √ of a
+    fixed-order double product (IEEE sqrt is correctly rounded, the
+    hellinger precedent), and the partial is a fixed IEEE expression
+    over the three r's — bit-identical across engines. Returns ONE
+    row: (n, r_xy, r_xz, r_yz, r_xy_given_z); r's are NULL on
+    zero-variance inputs, the partial also when either conditioning
+    correlation is ±1 (the formula's 0/0)."""
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    z = F.col(z_col).cast(dec)
+    s = df.agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(z).alias("__sz"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(z * z).alias("__szz"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * z).alias("__sxz"),
+        F.sum(y * z).alias("__syz"),
+    )
+    n = F.col("__n")
+
+    def centered(ab, a, b):
+        return n * F.col(ab) - F.col(a) * F.col(b)
+
+    cxx = centered("__sxx", "__sx", "__sx")
+    cyy = centered("__syy", "__sy", "__sy")
+    czz = centered("__szz", "__sz", "__sz")
+    cxy = centered("__sxy", "__sx", "__sy")
+    cxz = centered("__sxz", "__sx", "__sz")
+    cyz = centered("__syz", "__sy", "__sz")
+
+    def r_of(cab, caa, cbb):
+        return F.when(
+            (caa > 0) & (cbb > 0),
+            cab.cast("double")
+            / F.sqrt(caa.cast("double") * cbb.cast("double")),
+        )
+
+    r_xy = r_of(cxy, cxx, cyy)
+    r_xz = r_of(cxz, cxx, czz)
+    r_yz = r_of(cyz, cyy, czz)
+    denom = F.sqrt(
+        (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    )
+    return s.select(
+        n.cast("long").alias("n"),
+        r_xy.alias("r_xy"),
+        r_xz.alias("r_xz"),
+        r_yz.alias("r_yz"),
+        F.when(denom > 0, (r_xy - r_xz * r_yz) / denom).alias(
+            "r_xy_given_z"
+        ),
+    )

@@ -74,3 +74,21 @@ def top_n(df: DataFrame, n: int, order_col: str | None = None) -> DataFrame:
     if order_col is not None:
         df = df.orderBy(order_col)
     return df.limit(n)
+
+
+def unpivot(df: DataFrame, id_cols: list[str], value_cols: list[str],
+            var_name: str = "metric", value_name: str = "value") -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt) via ``stack``: each input row
+    yields len(value_cols) output rows (id_cols…, metric, value).
+    A pure projection+generate — narrow, no shuffle, survives any
+    scale; the declarative twin of pandas' melt for feeding
+    metric-generic downstream operators (per-metric aggregation,
+    long-format exports). Values are cast to double (stack requires a
+    common type across the stacked columns)."""
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS DOUBLE)" for c in value_cols
+    )
+    stack = F.expr(
+        f"stack({len(value_cols)}, {pairs}) AS ({var_name}, {value_name})"
+    )
+    return df.select(*[F.col(c) for c in id_cols], stack)

@@ -723,3 +723,91 @@ def rendezvous_rebalance_report(
             " DIV n_keys AS BIGINT)"
         ).alias("mod_share_scaled"),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Preference-pair mining: within every bucket pick the single
+    best-scoring and worst-scoring item and emit them as a
+    (chosen, rejected) pair with its score margin — the RLHF/DPO
+    training-pair construction applied to a scored corpus (bucket =
+    prompt/topic/language group, score = any quality signal; the
+    max-margin pair per bucket is the highest-signal comparison the
+    bucket supports). Buckets with fewer than two items cannot form a
+    pair and are absent; a zero margin (all-tied bucket) is kept and
+    reported — filtering it is a policy choice that belongs to the
+    caller.
+
+    Determinism: ties break on ascending id at BOTH ends (chosen =
+    max score then MIN id; rejected = min score then MIN id, with the
+    chosen item excluded so a 2-item tied bucket still yields a
+    well-formed pair). Shape: two bucket-partitioned rank windows
+    (streaming rank, no per-bucket materialization) and a bucket-grain
+    join — scales with bucket cardinality, never bucket size.
+
+    Returns (bucket, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, n_items)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+    )
+    w_best = Window.partitionBy("bucket").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    ranked = base.select(
+        "bucket",
+        "__id",
+        "__s",
+        F.row_number().over(w_best).alias("__rb"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_items"),
+    )
+    chosen = ranked.filter(
+        (F.col("__rb") == 1) & (F.col("n_items") >= 2)
+    ).select(
+        "bucket",
+        F.col("__id").alias("chosen_id"),
+        F.col("__s").alias("chosen_score"),
+        "n_items",
+    )
+    # worst among the remaining items (chosen excluded): min score,
+    # then min id — rank 1 of the ascending window over __rb > 1
+    w_worst = Window.partitionBy("bucket").orderBy(
+        F.col("__s").asc(), F.col("__id").asc()
+    )
+    rejected = (
+        ranked.filter(F.col("__rb") > 1)
+        .select(
+            "bucket",
+            "__id",
+            "__s",
+            F.row_number().over(w_worst).alias("__rw"),
+        )
+        .filter(F.col("__rw") == 1)
+        .select(
+            "bucket",
+            F.col("__id").alias("rejected_id"),
+            F.col("__s").alias("rejected_score"),
+        )
+    )
+    return chosen.join(rejected, "bucket").select(
+        "bucket",
+        "chosen_id",
+        "rejected_id",
+        "chosen_score",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )

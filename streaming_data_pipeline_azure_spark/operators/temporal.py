@@ -2489,3 +2489,211 @@ def forecast_residual_anomalies(
         )
         .orderBy(t_col)
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Log-rank test, exact-ingredient: do two groups share a survival
+    curve? At every distinct event time t the 2×2 table (deaths vs
+    survivors × group) contributes O−E = d_a − d·n_a/n and
+    hypergeometric variance d·n_a·(n−n_a)·(n−d) / (n²·(n−1)) — the
+    inferential companion to :func:`kaplan_meier` (which only DRAWS
+    the curves; this says whether their gap is noise). Censored units
+    leave the risk set without contributing a term.
+
+    Exactness scheme: risk sets and death counts are exact integers
+    at distinct-time grain (one ordered cumulative window — input
+    bounded by TIME CARDINALITY, so callers pre-quantize to
+    day/week grain); each time's E and V terms leave integers through
+    a SINGLE division of exact-cast doubles, folded LEFT-TO-RIGHT in
+    time order (the kruskal device) — bit-identical in any engine
+    that mirrors the fold. chi2 = (O−E)²/V on the folded doubles.
+
+    Returns ONE row: (n_a, n_b, events_a, events_b, o_minus_e,
+    var_lr, chi2); chi2 NULL when V = 0 (no comparable event times).
+
+    ``event_col``: 1 = event observed at ``time_col``, 0 = censored
+    (leaves the risk set after ``time_col``)."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    rows = df.filter(g.isin([group_a, group_b])).select(
+        F.col(time_col).cast("long").alias("__t"),
+        F.col(event_col).cast("long").alias("__e"),
+        (g == F.lit(group_a)).cast("long").alias("__a"),
+    )
+    pts = rows.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__r"),
+        F.sum("__a").alias("__ra"),
+        F.sum("__e").alias("__d"),
+        F.sum(F.col("__e") * F.col("__a")).alias("__da"),
+    )
+    # at-risk just before t = everyone whose time >= t
+    w = Window.orderBy(F.col("__t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = pts.select(
+        "__t",
+        "__d",
+        "__da",
+        F.sum("__r").over(w).alias("__n"),
+        F.sum("__ra").over(w).alias("__na"),
+    ).filter(F.col("__d") > 0)
+    dec = "decimal(38,0)"
+    terms = risk.select(
+        "__t",
+        "__da",
+        # E term: d·n_a/n — one exact-integer product, one division
+        (
+            (F.col("__d").cast(dec) * F.col("__na").cast(dec)).cast(
+                "double"
+            )
+            / F.col("__n").cast("double")
+        ).alias("__et"),
+        # V term: d·n_a·(n−n_a)·(n−d) / (n²·(n−1)), 0 when n=1
+        F.when(
+            F.col("__n") > 1,
+            (
+                F.col("__d").cast(dec)
+                * F.col("__na").cast(dec)
+                * (F.col("__n") - F.col("__na")).cast(dec)
+                * (F.col("__n") - F.col("__d")).cast(dec)
+            ).cast("double")
+            / (
+                F.col("__n").cast(dec)
+                * F.col("__n").cast(dec)
+                * (F.col("__n") - 1).cast(dec)
+            ).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__vt"),
+    )
+    # coalesce: zero event times (fully censored data) must read as
+    # events_a=0 / e1=0 / v1=0, not NULL — both engines mirror this
+    folded = terms.agg(
+        F.coalesce(F.sum("__da"), F.lit(0)).cast("long").alias(
+            "events_a"
+        ),
+        F.sort_array(
+            F.collect_list(F.struct("__t", "__et", "__vt"))
+        ).alias("__ts"),
+    )
+    e1 = F.aggregate(
+        F.transform(F.col("__ts"), lambda s: s["__et"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    v1 = F.aggregate(
+        F.transform(F.col("__ts"), lambda s: s["__vt"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sizes = rows.agg(
+        F.sum("__a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("n_b"),
+        F.sum(F.col("__e") * (1 - F.col("__a")))
+        .cast("long")
+        .alias("events_b"),
+    )
+    ome = F.col("events_a").cast("double") - F.col("__e1")
+    return (
+        folded.select("events_a", e1.alias("__e1"), v1.alias("__v1"))
+        .crossJoin(sizes)
+        .select(
+            "n_a",
+            "n_b",
+            "events_a",
+            "events_b",
+            ome.alias("o_minus_e"),
+            F.col("__v1").alias("var_lr"),
+            F.when(
+                F.col("__v1") > 0, (ome * ome) / F.col("__v1")
+            ).alias("chi2"),
+        )
+    )
+
+
+def stl_lite(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Additive trend/seasonal/remainder decomposition (STL-lite):
+    trend = centered 7-OBSERVATION moving average of the day-ordered
+    series, seasonal = day-of-week mean of the detrended series,
+    remainder = value − trend − seasonal — the classical
+    decomposition a forecaster inspects before choosing a model
+    (:func:`holt_winters_forecast` ASSUMES this structure; this
+    SHOWS it). Days are observation-indexed, not calendar-indexed:
+    on sparse series the window spans the 7 nearest observed days
+    (gap-fill first — `daily_gapfill` — for calendar semantics).
+
+    Exactness scheme: ``value_col`` must be integer (cents). The
+    7-fold detrended value 7·v − Σ₇v is an exact BIGINT, so the
+    per-dow seasonal means are single divisions of exact integers
+    (Σ detrended7 / (7·count)); trend is Σ₇v/7 (one division);
+    remainder is a fixed-order IEEE expression over those — all
+    bit-identical across engines. Edge observations (no full ±3
+    window) carry NULL trend/seasonal/remainder and are EXCLUDED
+    from the seasonal fit.
+
+    Shape: one day-grain aggregation upstream of this operator, one
+    ordered ±3 rows window at DAY GRAIN (input bounded by calendar
+    cardinality, never row count), one 7-row broadcast join of dow
+    means. Returns (day, value, trend, seasonal, remainder)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    base = df.select(
+        F.col(day_col).alias("day"),
+        F.col(value_col).cast("long").alias("value"),
+    ).select(
+        "day",
+        "value",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("value").over(w),
+        ).alias("__sum7"),
+    )
+    det = base.select(
+        "day",
+        "value",
+        "__sum7",
+        (F.lit(7) * F.col("value") - F.col("__sum7")).alias("__det7"),
+        F.dayofweek("day").alias("__dow"),
+    )
+    seas = (
+        det.filter(F.col("__det7").isNotNull())
+        .groupBy("__dow")
+        .agg(
+            (
+                F.sum("__det7").cast("double")
+                / (F.lit(7) * F.count(F.lit(1))).cast("double")
+            ).alias("__seasonal")
+        )
+    )
+    trend = F.col("__sum7").cast("double") / F.lit(7.0)
+    return (
+        det.join(F.broadcast(seas), "__dow", "left")
+        .select(
+            "day",
+            "value",
+            trend.alias("trend"),
+            F.when(
+                F.col("__sum7").isNotNull(), F.col("__seasonal")
+            ).alias("seasonal"),
+            F.when(
+                F.col("__sum7").isNotNull(),
+                F.col("value").cast("double")
+                - trend
+                - F.col("__seasonal"),
+            ).alias("remainder"),
+        )
+        .orderBy("day")
+    )

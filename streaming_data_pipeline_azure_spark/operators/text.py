@@ -841,3 +841,96 @@ def msttr(
             f"* COUNT(1))"
         ).cast("long").alias("msttr_scaled"),
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_context: int = 20,
+    k: int = 50,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model (top-k table): the
+    smoothing KenLM made the default for LLM-corpus quality filtering
+    — absolute discounting D plus a CONTINUATION-count backoff
+    ("how many contexts does w2 complete", not "how often does w2
+    occur"), the fix for the add-k model's famous 'san francisco'
+    failure where raw-frequency backoff overrates words that only ever
+    appear in one collocation. Complements :func:`bigram_lm_scores`
+    (add-k MLE): same pair grain, different estimator.
+
+    Exactness scheme: with the textbook D = 3/4 every smoothed
+    probability is the exact rational
+
+        p = [ (4·c12 − 3)·N_t + 3·fanout(w1)·fanin(w2) ]
+            / ( 4·c1 · N_t )
+
+    (c12 = bigram count, c1 = context total, fanout/fanin = distinct
+    continuation counts N1+(w1·) / N1+(·w2), N_t = distinct bigram
+    types). Numerator/denominator ride exact DECIMAL(38,0) —
+    int64-safe through ~4·T² for corpus token count T, decimal-safe
+    essentially always — and p_kn is their SINGLE-division double:
+    bit-identical in any engine (wide casts go through the VARCHAR
+    round-trip oracle-side). Ordering (p_kn DESC, w1, w2) is total.
+
+    Returns k rows: (w1, w2, c12, c1, fanout, fanin, p_kn) over
+    bigrams whose context total c1 ≥ ``min_context`` (rare-context
+    rows are estimator noise and would dominate the top-k).
+
+    Shape: one scan explodes adjacent pairs (slice + arrays_zip, no
+    self-join); counts are vocabulary-grain map-side-combined
+    aggregates; fanin/N_t attach by shuffle join on their natural
+    keys; the top-k is TakeOrderedAndProject. Model state lives in
+    the dataflow — nothing driver-side."""
+    toks = F.split(normalized_text(text_col), " ")
+    pairs = (
+        df.select(toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    fin = big.groupBy("w2").agg(F.count(F.lit(1)).alias("fanin"))
+    nt = big.agg(F.count(F.lit(1)).alias("__nt"))
+    dec = "decimal(38,0)"
+    scored = (
+        big.join(ctx, "w1")
+        .join(fin, "w2")
+        .crossJoin(F.broadcast(nt))
+        .filter(F.col("c1") >= min_context)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("fanout").cast("long").alias("fanout"),
+            F.col("fanin").cast("long").alias("fanin"),
+            (
+                (
+                    (F.lit(4).cast(dec) * F.col("c12") - 3)
+                    * F.col("__nt").cast(dec)
+                    + F.lit(3).cast(dec)
+                    * F.col("fanout").cast(dec)
+                    * F.col("fanin").cast(dec)
+                ).cast("double")
+                / (
+                    F.lit(4).cast(dec)
+                    * F.col("c1").cast(dec)
+                    * F.col("__nt").cast(dec)
+                ).cast("double")
+            ).alias("p_kn"),
+        )
+    )
+    return scored.orderBy(
+        F.col("p_kn").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)

@@ -574,3 +574,284 @@ def test_kruskal_wallis_matches_hand_values(spark):
     )
     [s] = kruskal_wallis(allsame, "g", "v").collect()
     assert s["h_corrected"] is None  # zero variance -> correction 0
+
+
+def test_anova_oneway_hand_values(spark):
+    """Separated groups A(1,2,3) B(4,5,6) C(7,8,9): SSB=54, SSW=6,
+    F=(54/2)/(6/6)=27, eta2=0.9 — the textbook decomposition."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        anova_oneway,
+    )
+
+    sep = spark.createDataFrame(
+        [("A", v) for v in (1, 2, 3)]
+        + [("B", v) for v in (4, 5, 6)]
+        + [("C", v) for v in (7, 8, 9)],
+        "g string, v long",
+    )
+    [r] = anova_oneway(sep, "g", "v").collect()
+    assert r["n"] == 9 and r["n_groups"] == 3
+    assert abs(r["ssb"] - 54.0) < 1e-9
+    assert abs(r["ssw"] - 6.0) < 1e-9
+    assert abs(r["f_stat"] - 27.0) < 1e-9
+    assert abs(r["eta2"] - 0.9) < 1e-12
+
+
+def test_anova_oneway_degenerate_nulls(spark):
+    """One group → F NULL; all-constant values → SSW=0 → F NULL and
+    eta2 NULL (0/0) — loud NULLs, never garbage."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        anova_oneway,
+    )
+
+    one = spark.createDataFrame(
+        [("A", 1), ("A", 2)], "g string, v long"
+    )
+    [r] = anova_oneway(one, "g", "v").collect()
+    assert r["f_stat"] is None
+
+    flat = spark.createDataFrame(
+        [("A", 5), ("A", 5), ("B", 5), ("B", 5)], "g string, v long"
+    )
+    [s] = anova_oneway(flat, "g", "v").collect()
+    assert s["f_stat"] is None and s["eta2"] is None
+
+
+def test_brown_forsythe_detects_spread_not_location(spark):
+    """A(0,10,20) and B(9,10,11) share median 10 but differ in
+    spread: |v−med| is (10,0,10) vs (1,0,1) → SSB=54, SSW=606/9.
+    A location-shifted pair with equal spreads reads F≈0."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        brown_forsythe,
+    )
+
+    spread = spark.createDataFrame(
+        [("A", 0), ("A", 10), ("A", 20), ("B", 9), ("B", 10), ("B", 11)],
+        "g string, v long",
+    )
+    [r] = brown_forsythe(spread, "g", "v").collect()
+    assert abs(r["ssb"] - 54.0) < 1e-9
+    assert abs(r["ssw"] - 606.0 / 9.0) < 1e-9
+
+    shifted = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("A", 3), ("B", 101), ("B", 102), ("B", 103)],
+        "g string, v long",
+    )
+    [s] = brown_forsythe(shifted, "g", "v").collect()
+    assert abs(s["ssb"]) < 1e-9  # identical |v−med| profiles
+
+
+def test_brown_forsythe_uses_lower_median(spark):
+    """Even-sized group (1,2,4,8): the LOWER median (2) recenters to
+    z=(1,0,2,6) → SSW = 20.75; the upper median (4) would give
+    z=(3,2,0,4) → SSW = 8.75, and the midpoint (3) → 10.75 — the
+    exact SSW pins which convention ran."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        brown_forsythe,
+    )
+
+    g = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("A", 4), ("A", 8)], "g string, v long"
+    )
+    [r] = brown_forsythe(g, "g", "v").collect()
+    assert abs(r["ssw"] - 20.75) < 1e-9
+    assert abs(r["ssb"]) < 1e-12
+
+
+def test_friedman_perfect_agreement_and_completeness(spark):
+    """3 blocks all ranking T1<T2<T3 → Q = n(k−1) = 6 exactly
+    (q_num/q_den = 144/24); an incomplete design raises."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        friedman_test,
+    )
+
+    rows = []
+    for b in (1, 2, 3):
+        rows += [(b, "T1", 10 * b + 1), (b, "T2", 10 * b + 2),
+                 (b, "T3", 10 * b + 3)]
+    df = spark.createDataFrame(rows, "b long, t string, v long")
+    [r] = friedman_test(df, "b", "t", "v").collect()
+    assert r["n_blocks"] == 3 and r["k"] == 3
+    assert r["q_num"] == 2 * 72 and r["q_den"] == 24
+    assert abs(r["q"] - 6.0) < 1e-12
+
+    incomplete = spark.createDataFrame(
+        rows[:-1], "b long, t string, v long"
+    )
+    with _pytest.raises(ValueError, match="complete design"):
+        friedman_test(incomplete, "b", "t", "v")
+
+
+def test_friedman_all_tied_is_null(spark):
+    """Every block fully tied → zero denominator → Q is NULL."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        friedman_test,
+    )
+
+    rows = [(b, t, 7) for b in (1, 2) for t in ("T1", "T2", "T3")]
+    df = spark.createDataFrame(rows, "b long, t string, v long")
+    [r] = friedman_test(df, "b", "t", "v").collect()
+    assert r["q_den"] == 0 and r["q"] is None
+
+
+def test_qini_curve_hand_values(spark):
+    """10 units, 2 bins, distinct scores: bin1 (top-5) qini =
+    2 − 1·3/2 = 0.5; bin2 qini = 3 − 2·5/5 = 1.0; random diagonal
+    scales the overall uplift (1.0) by prefix share."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        qini_curve,
+    )
+
+    units = spark.createDataFrame(
+        [(10, 1, 1), (9, 0, 0), (8, 1, 0), (7, 0, 1), (6, 1, 1),
+         (5, 0, 0), (4, 1, 0), (3, 0, 1), (2, 1, 1), (1, 0, 0)],
+        "score long, treat long, y long",
+    )
+    rows = {r["bin"]: r for r in
+            qini_curve(units, "score", "treat", "y", n_bins=2).collect()}
+    b1, b2 = rows[1], rows[2]
+    assert (b1["n_prefix"], b1["nt"], b1["nc"], b1["yt"], b1["yc"]) == (
+        5, 3, 2, 2, 1)
+    assert abs(b1["qini"] - 0.5) < 1e-12
+    assert abs(b1["qini_random"] - 0.5) < 1e-12
+    assert (b2["n_prefix"], b2["nt"], b2["nc"], b2["yt"], b2["yc"]) == (
+        10, 5, 5, 3, 2)
+    assert abs(b2["qini"] - 1.0) < 1e-12
+    assert abs(b2["qini_random"] - 1.0) < 1e-12
+
+
+def test_qini_curve_tie_runs_stay_together(spark):
+    """All scores equal → the only value-grain prefix is the full
+    population, too large for every bin but the last: bins with no
+    qualifying boundary are ABSENT (never a partial tie split)."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        qini_curve,
+    )
+
+    units = spark.createDataFrame(
+        [(5, i % 2, 1 if i < 3 else 0) for i in range(8)],
+        "score long, treat long, y long",
+    )
+    rows = qini_curve(units, "score", "treat", "y", n_bins=4).collect()
+    assert [r["bin"] for r in rows] == [4]
+    assert rows[0]["n_prefix"] == 8
+
+
+def test_cochran_armitage_hand_values(spark):
+    """Rates 1/4, 2/4, 3/4 across three ordered groups (w=0,1,2):
+    N=12, R=6, T̃ = 12·8 − 6·12 = 24, V' = 12·20 − 144 = 96 →
+    z² = 24²·12/(6·6·96) = 2.0; a perfectly flat table reads z²=0;
+    unknown groups raise."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        cochran_armitage,
+    )
+
+    rows = (
+        [("g0", 1)] * 1 + [("g0", 0)] * 3
+        + [("g1", 1)] * 2 + [("g1", 0)] * 2
+        + [("g2", 1)] * 3 + [("g2", 0)] * 1
+    )
+    df = spark.createDataFrame(rows, "g string, y long")
+    [r] = cochran_armitage(df, "g", "y", ["g0", "g1", "g2"]).collect()
+    assert (r["n"], r["positives"]) == (12, 6)
+    assert r["t_num"] == 24 and r["var_core"] == 96
+    assert abs(r["z2"] - 2.0) < 1e-12
+
+    flat = spark.createDataFrame(
+        [(g, y) for g in ("g0", "g1", "g2") for y in (1, 0)],
+        "g string, y long",
+    )
+    [f] = cochran_armitage(flat, "g", "y", ["g0", "g1", "g2"]).collect()
+    assert f["t_num"] == 0 and abs(f["z2"]) < 1e-12
+
+    with _pytest.raises(ValueError, match="outside ordered_groups"):
+        cochran_armitage(df, "g", "y", ["g0", "g1"]).collect()
+
+
+def test_cochran_armitage_degenerate_nulls(spark):
+    """All-positive outcome (R=N) → z² NULL, never 0/0 garbage."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        cochran_armitage,
+    )
+
+    df = spark.createDataFrame(
+        [("g0", 1), ("g1", 1)], "g string, y long"
+    )
+    [r] = cochran_armitage(df, "g", "y", ["g0", "g1"]).collect()
+    assert r["z2"] is None
+
+
+def test_mantel_haenszel_hand_values(spark):
+    """Two strata with per-stratum OR = 6 (a,b,c,d = 2,1,1,3 over
+    n=7 and 4,2,2,6 over n=14): OR_MH = (6/7+12/7)/(1/7+2/7) = 6 —
+    the pooled estimate preserves a homogeneous stratum OR."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        mantel_haenszel_or,
+    )
+
+    def stratum(s, a, b, c, d):
+        return ([(s, 1, 1)] * a + [(s, 1, 0)] * b
+                + [(s, 0, 1)] * c + [(s, 0, 0)] * d)
+
+    rows = stratum("s1", 2, 1, 1, 3) + stratum("s2", 4, 2, 2, 6)
+    df = spark.createDataFrame(rows, "s string, x long, y long")
+    [r] = mantel_haenszel_or(df, "s", "x", "y").collect()
+    assert (r["n_strata"], r["n"]) == (2, 21)
+    assert abs(r["sum_ad_over_n"] - (6.0 / 7.0 + 12.0 / 7.0)) < 1e-12
+    assert abs(r["sum_bc_over_n"] - (1.0 / 7.0 + 2.0 / 7.0)) < 1e-12
+    assert abs(r["or_mh"] - 6.0) < 1e-12
+
+
+def test_mantel_haenszel_no_discordant_is_null(spark):
+    """b·c = 0 in every stratum → denominator 0 → OR NULL."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        mantel_haenszel_or,
+    )
+
+    rows = [("s1", 1, 1), ("s1", 0, 0), ("s2", 1, 1), ("s2", 0, 0)]
+    df = spark.createDataFrame(rows, "s string, x long, y long")
+    [r] = mantel_haenszel_or(df, "s", "x", "y").collect()
+    assert r["or_mh"] is None
+
+
+def test_rerandomization_planted_effect_and_null(spark):
+    """A +100 planted lift on arm A is beyond every random relabeling
+    (p = 1/(B+1), the add-one floor); identical groups give the
+    no-information readout p = 1; and the readout is partition-
+    invariant (key-pure draws)."""
+    rows_eff = (
+        [(k, "A", 200.0) for k in range(60)]
+        + [(k + 100, "B", 100.0) for k in range(60)]
+    )
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        rerandomization_test,
+    )
+
+    df = spark.createDataFrame(rows_eff, "k long, g string, m double")
+    [r] = rerandomization_test(
+        df, "k", "g", "m", "A", "B", n_perm=40
+    ).collect()
+    assert (r["n"], r["n_a"], r["n_b"]) == (120, 60, 60)
+    assert abs(r["observed_diff"] - 100.0) < 1e-9
+    assert r["n_ge"] == 0
+    assert abs(r["p_value"] - 1.0 / (r["n_valid"] + 1)) < 1e-15
+
+    rows_null = (
+        [(k, "A", 100.0) for k in range(60)]
+        + [(k + 100, "B", 100.0) for k in range(60)]
+    )
+    dnull = spark.createDataFrame(rows_null, "k long, g string, m double")
+    [s] = rerandomization_test(
+        dnull, "k", "g", "m", "A", "B", n_perm=40
+    ).collect()
+    assert abs(s["observed_diff"]) < 1e-12
+    assert abs(s["p_value"] - 1.0) < 1e-12  # every |diff_b| >= 0
+
+    [r2] = rerandomization_test(
+        df.repartition(13), "k", "g", "m", "A", "B", n_perm=40
+    ).collect()
+    assert r2 == r

@@ -242,3 +242,55 @@ def test_mahalanobis2_outliers_digit_bound_raises(spark):
     )
     with _pytest.raises(ValueError, match="overflow"):
         mahalanobis2_outliers(big, "id", "x", "y")
+
+
+def test_two_factor_ols_exact_plane_and_numpy_parity(spark):
+    """y = 3 + 2·x1 − x2 exactly → coefficients recovered to double
+    precision with r²=1; on seeded noisy integers the closed form
+    matches numpy lstsq to 1e-9 relative."""
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.operators.features import (
+        two_factor_ols,
+    )
+
+    pts = [(x1, x2) for x1 in range(1, 7) for x2 in range(1, 5)]
+    exact = spark.createDataFrame(
+        [(3 + 2 * x1 - x2, x1, x2) for x1, x2 in pts],
+        "y long, x1 long, x2 long",
+    )
+    [r] = two_factor_ols(exact, "y", "x1", "x2").collect()
+    assert abs(r["b1"] - 2.0) < 1e-12
+    assert abs(r["b2"] + 1.0) < 1e-12
+    assert abs(r["intercept"] - 3.0) < 1e-9
+    assert abs(r["r2"] - 1.0) < 1e-12
+
+    rng = np.random.default_rng(7)
+    x1 = rng.integers(0, 50, 400)
+    x2 = rng.integers(0, 10, 400)
+    y = 5 * x1 - 3 * x2 + rng.integers(-20, 21, 400)
+    noisy = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(y, x1, x2)],
+        "y long, x1 long, x2 long",
+    )
+    [s] = two_factor_ols(noisy, "y", "x1", "x2").collect()
+    X = np.column_stack([np.ones(len(y)), x1, x2]).astype(float)
+    coef, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+    assert abs(s["intercept"] - coef[0]) < 1e-6
+    assert abs(s["b1"] - coef[1]) < 1e-9
+    assert abs(s["b2"] - coef[2]) < 1e-9
+
+
+def test_two_factor_ols_collinear_is_null(spark):
+    """x2 = 2·x1 → singular normal equations → NULL coefficients,
+    never a garbage solve."""
+    from streaming_data_pipeline_azure_spark.operators.features import (
+        two_factor_ols,
+    )
+
+    df = spark.createDataFrame(
+        [(i + 1, i, 2 * i) for i in range(10)],
+        "y long, x1 long, x2 long",
+    )
+    [r] = two_factor_ols(df, "y", "x1", "x2").collect()
+    assert r["b1"] is None and r["b2"] is None and r["r2"] is None

@@ -768,3 +768,57 @@ def test_kendall_tau_known_values(spark):
     )
     [m] = kendall_tau(mono, "x", "y").collect()
     assert m["tau_b"] == 1.0
+
+
+def test_partial_correlation_removes_confounder(spark):
+    """x = z + noise_x, y = z + noise_y with independent noises: the
+    marginal r_xy is strongly positive (both ride z) but the partial
+    r_xy·z collapses toward 0 — and a direct x→y link survives the
+    adjustment."""
+    import numpy as np
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        partial_correlation,
+    )
+
+    rng = np.random.default_rng(11)
+    z = rng.integers(0, 100, 500)
+    x = z + rng.integers(-5, 6, 500)
+    y = z + rng.integers(-5, 6, 500)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x, y, z)],
+        "x long, y long, z long",
+    )
+    [r] = partial_correlation(df, "x", "y", "z").collect()
+    assert r["r_xy"] > 0.9
+    assert abs(r["r_xy_given_z"]) < 0.2
+
+    y2 = x * 2 + rng.integers(-3, 4, 500)
+    df2 = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x, y2, z)],
+        "x long, y long, z long",
+    )
+    [s] = partial_correlation(df2, "x", "y", "z").collect()
+    assert s["r_xy_given_z"] > 0.9
+
+
+def test_partial_correlation_degenerate_nulls(spark):
+    """Constant x → r_xy/r_xz NULL; z perfectly collinear with x →
+    r_xz = ±1 → partial NULL (0/0), never garbage."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        partial_correlation,
+    )
+
+    const = spark.createDataFrame(
+        [(5, i, i * 2) for i in range(10)], "x long, y long, z long"
+    )
+    [r] = partial_correlation(const, "x", "y", "z").collect()
+    assert r["r_xy"] is None and r["r_xy_given_z"] is None
+
+    collinear = spark.createDataFrame(
+        [(i, i + (i % 3), 2 * i) for i in range(10)],
+        "x long, y long, z long",
+    )
+    [s] = partial_correlation(collinear, "x", "y", "z").collect()
+    assert abs(s["r_xz"] - 1.0) < 1e-12
+    assert s["r_xy_given_z"] is None

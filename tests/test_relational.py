@@ -56,3 +56,20 @@ def test_top_n(enriched):
     assert relational.top_n(enriched, 3).count() == 3
     rows = relational.top_n(enriched, 2, order_col="purchase_amount").collect()
     assert [r["order_id"] for r in rows] == ["o3", "o1"]
+
+
+def test_unpivot_shape_and_values(spark):
+    """melt: n_rows × n_metrics long rows, ids preserved, values cast
+    double; column order (ids…, metric, value)."""
+    from streaming_data_pipeline_azure_spark.operators.relational import (
+        unpivot,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", 1, 10.5), ("k2", 2, 20.5)], "id string, a long, b double"
+    )
+    out = unpivot(df, ["id"], ["a", "b"], var_name="m", value_name="v")
+    assert out.columns == ["id", "m", "v"]
+    rows = {(r["id"], r["m"]): r["v"] for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[("k1", "a")] == 1.0 and rows[("k2", "b")] == 20.5

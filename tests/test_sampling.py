@@ -543,3 +543,30 @@ def test_rendezvous_assignment_is_stable_for_unmoved_keys(spark):
     for r in out:
         if r["b"] != r["a"]:
             assert r["a"] == 8, (r["b"], r["a"])
+
+
+def test_preference_pairs_hand_case(spark):
+    """Max-margin pair per bucket with id tie-breaks: chosen = max
+    score then MIN id; rejected = min score among the rest; singleton
+    buckets absent; an all-tied 2-item bucket still forms a (0-margin)
+    pair."""
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        preference_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("b1", 1, 5), ("b1", 2, 9), ("b1", 3, 9),
+         ("b2", 7, 4),
+         ("b3", 1, 7), ("b3", 2, 7)],
+        "bucket string, id long, s long",
+    )
+    rows = {r["bucket"]: r for r in
+            preference_pairs(df, "bucket", "id", "s").collect()}
+    assert set(rows) == {"b1", "b3"}  # singleton b2 absent
+    b1 = rows["b1"]
+    assert (b1["chosen_id"], b1["rejected_id"]) == (2, 1)
+    assert (b1["chosen_score"], b1["rejected_score"]) == (9, 5)
+    assert b1["margin"] == 4 and b1["n_items"] == 3
+    b3 = rows["b3"]
+    assert (b3["chosen_id"], b3["rejected_id"]) == (1, 2)
+    assert b3["margin"] == 0

@@ -1521,3 +1521,100 @@ def test_fifo_allocate_plan_has_no_join(spark):
     )
     assert "Join" not in plan, plan
     assert plan.count("Window") >= 3  # two cum sums + the fill-forward
+
+
+def test_logrank_hand_values(spark):
+    """A=(1 event, 3 event), B=(2 event, 4 censored): O₁=2,
+    E₁ = 1/2 + 1/3 + 1/2 = 4/3, V = 1/4 + 2/9 + 1/4 = 13/18,
+    chi2 = (2/3)²/(13/18) = 8/13 — the worked 2×2-per-time table."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        logrank_test,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1, 1), ("A", 3, 1), ("B", 2, 1), ("B", 4, 0)],
+        "g string, t long, e long",
+    )
+    [r] = logrank_test(df, "g", "t", "e", "A", "B").collect()
+    assert (r["n_a"], r["n_b"], r["events_a"], r["events_b"]) == (
+        2, 2, 2, 1)
+    assert abs(r["o_minus_e"] - 2.0 / 3.0) < 1e-12
+    assert abs(r["var_lr"] - 13.0 / 18.0) < 1e-12
+    assert abs(r["chi2"] - 8.0 / 13.0) < 1e-12
+
+
+def test_logrank_identical_groups_and_censored(spark):
+    """Mirror-image groups → O−E = 0 exactly; fully censored data →
+    zero events, zero variance, NULL chi2 (never garbage)."""
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        logrank_test,
+    )
+
+    same = spark.createDataFrame(
+        [(g, t, 1) for g in ("A", "B") for t in (1, 2, 5)],
+        "g string, t long, e long",
+    )
+    [r] = logrank_test(same, "g", "t", "e", "A", "B").collect()
+    assert abs(r["o_minus_e"]) < 1e-12
+
+    cens = spark.createDataFrame(
+        [("A", 9, 0), ("B", 9, 0)], "g string, t long, e long"
+    )
+    [c] = logrank_test(cens, "g", "t", "e", "A", "B").collect()
+    assert c["events_a"] == 0 and c["var_lr"] == 0.0
+    assert c["chi2"] is None
+
+
+def test_stl_lite_recovers_planted_structure(spark):
+    """Planted series value = 1000 + 10·t (trend) on consecutive
+    days: a linear series' centered MA equals the value exactly, so
+    seasonal ≈ 0 and remainder ≈ 0; edges (first/last 3) are NULL."""
+    import datetime as _dt
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        stl_lite,
+    )
+
+    d0 = _dt.date(2024, 1, 1)
+    rows = [(d0 + _dt.timedelta(days=t), 1000 + 10 * t)
+            for t in range(28)]
+    df = spark.createDataFrame(rows, "d date, v long")
+    out = stl_lite(df, "d", "v").collect()
+    assert len(out) == 28
+    interior = [r for r in out if r["trend"] is not None]
+    assert len(interior) == 22
+    for r in interior:
+        assert abs(r["trend"] - r["value"]) < 1e-9
+        assert abs(r["seasonal"]) < 1e-9
+        assert abs(r["remainder"]) < 1e-9
+    edges = [r for r in out if r["trend"] is None]
+    assert all(r["seasonal"] is None and r["remainder"] is None
+               for r in edges)
+
+
+def test_stl_lite_finds_weekly_cycle(spark):
+    """Planted dow bump: value = 1000 + 700·[dow==Monday] over 70
+    consecutive days — the Monday seasonal reads ≈ 600 (the MA
+    absorbs 100 of the bump: 700/7) and every other dow ≈ −100;
+    remainder stays bounded."""
+    import datetime as _dt
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        stl_lite,
+    )
+
+    d0 = _dt.date(2024, 1, 1)  # a Monday
+    rows = [(d0 + _dt.timedelta(days=t),
+             1000 + (700 if (d0 + _dt.timedelta(days=t)).weekday() == 0
+                     else 0))
+            for t in range(70)]
+    df = spark.createDataFrame(rows, "d date, v long")
+    out = [r for r in stl_lite(df, "d", "v").collect()
+           if r["seasonal"] is not None]
+    mond = {r["seasonal"] for r in out
+            if r["day"].weekday() == 0}
+    rest = {r["seasonal"] for r in out
+            if r["day"].weekday() != 0}
+    assert all(abs(s - 600.0) < 1e-9 for s in mond)
+    assert all(abs(s + 100.0) < 1e-9 for s in rest)
+    assert all(abs(r["remainder"]) < 1e-9 for r in out)

@@ -450,3 +450,48 @@ def test_msttr_segments_and_exclusions(spark):
     assert out[1]["msttr_scaled"] == 500_000
     assert out[2]["n_segments"] == 1 and out[2]["sum_distinct"] == 3
     assert out[2]["msttr_scaled"] == 750_000
+
+
+def test_kneser_ney_hand_values(spark):
+    """Corpus 'a b','a b','a c': P(b|a) = 1.25/3 + 0.75·(2/3)·(1/2)
+    = 2/3 and P(c|a) = 1/3 — and the two observed continuations of a
+    fully-covered context sum to exactly 1 (the interpolated-KN mass
+    identity)."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        kneser_ney_bigrams,
+    )
+
+    docs = spark.createDataFrame(
+        [("a b",), ("a b",), ("a c",)], "text string"
+    )
+    rows = {(r["w1"], r["w2"]): r for r in
+            kneser_ney_bigrams(docs, min_context=1, k=10).collect()}
+    b = rows[("a", "b")]
+    assert (b["c12"], b["c1"], b["fanout"], b["fanin"]) == (2, 3, 2, 1)
+    assert abs(b["p_kn"] - 2.0 / 3.0) < 1e-15
+    c = rows[("a", "c")]
+    assert abs(c["p_kn"] - 1.0 / 3.0) < 1e-15
+    assert abs(b["p_kn"] + c["p_kn"] - 1.0) < 1e-15
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    """The 'san francisco' property: a word frequent ONLY inside one
+    collocation gets a LOW continuation probability as a backoff
+    continuation even though its raw unigram count is high — KN ranks
+    a many-context continuation above it after the same context."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        kneser_ney_bigrams,
+    )
+
+    # 'z' occurs 6 times but only ever after 'q'; 'y' occurs 4 times
+    # after 4 DIFFERENT contexts. After the fresh context 'u' (seen
+    # once with each), the backoff must prefer y over z.
+    docs = spark.createDataFrame(
+        [("q z q z q z q z q z q z",),
+         ("a y b y c y d y",),
+         ("u z u y",)],
+        "text string",
+    )
+    rows = {(r["w1"], r["w2"]): r["p_kn"] for r in
+            kneser_ney_bigrams(docs, min_context=1, k=100).collect()}
+    assert rows[("u", "y")] > rows[("u", "z")]
