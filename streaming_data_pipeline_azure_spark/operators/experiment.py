@@ -1276,7 +1276,12 @@ def brown_forsythe(
     a K-row broadcast join of medians, then the single-scan ANOVA."""
     from pyspark.sql import Window
 
-    cells = (
+    from ..functions.cache import persist_tracked
+
+    # persist the (group,value) grain: the median pass and the
+    # recentering join both consume it — without this the input
+    # scans twice (ADVICE-r2 persist discipline)
+    cells = persist_tracked(
         df.select(
             F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
         )
@@ -1581,8 +1586,15 @@ def cochran_armitage(
         w.cast("long").alias("__w"),
         F.col(outcome_col).cast("long").alias("__y"),
     )
-    per = tagged.groupBy("__w").agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__r")
+    from ..functions.cache import persist_tracked
+
+    # persist the K-row group grain: the unknown-group check and the
+    # final fold both consume it — without this the fact table scans
+    # twice (ADVICE-r2 persist discipline)
+    per = persist_tracked(
+        tagged.groupBy("__w").agg(
+            F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__r")
+        )
     )
     bad = per.filter(F.col("__w") < 0).count()
     if bad:
