@@ -4291,6 +4291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_qty_partial_corr": _price_qty_partial_corr,
         "revenue_stl_lite": _revenue_stl_lite,
         "priority_price_rerandomization": _priority_price_rerandomization,
+        "kn_doc_scores": _kn_doc_scores,
+        "doc_marginal_novelty": _doc_marginal_novelty,
     }
     out = {k: base[k] for k in _R10_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -12688,6 +12690,86 @@ ORDER BY n_members DESC, community ASC
                      / CAST(1 + a.n_valid AS DOUBLE) AS p_value
             FROM obs o, agg a
         """,
+        # Per-doc Kneser–Ney: each transition's exact-rational KN
+        # probability as one double division, doc means through
+        # DECIMAL(28,12) (the lm_quality_scores device).
+        "kn_doc_scores": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), pairs AS (
+              SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(w1 := toks[i],
+                                           w2 := toks[i+1])
+                               FOR i IN range(1, len(toks))]) AS u
+                FROM norm WHERE len(toks) >= 2)
+            ), big AS (
+              SELECT w1, w2, CAST(COUNT(*) AS HUGEINT) AS c12
+              FROM pairs GROUP BY 1, 2
+            ), ctx AS (
+              SELECT w1, SUM(c12) AS c1,
+                     CAST(COUNT(*) AS HUGEINT) AS fo
+              FROM big GROUP BY 1
+            ), fin AS (
+              SELECT w2, CAST(COUNT(*) AS HUGEINT) AS fi
+              FROM big GROUP BY 1
+            ), nt AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS ntypes FROM big
+            )
+            SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions,
+                   CAST(SUM(CAST(
+                        CAST(CAST((4 * c12 - 3) * ntypes
+                                  + 3 * fo * fi AS VARCHAR)
+                             AS DOUBLE)
+                        / CAST(CAST(4 * c1 * ntypes AS VARCHAR)
+                               AS DOUBLE)
+                        AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_p_kn
+            FROM pairs p
+            JOIN big USING (w1, w2)
+            JOIN ctx USING (w1)
+            JOIN fin USING (w2)
+            CROSS JOIN nt
+            GROUP BY p.doc_id
+        """,
+        # Marginal novelty: first-owner (MIN doc_id) attribution at
+        # gram grain; Σ n_first = corpus distinct grams (conserved).
+        "doc_marginal_novelty": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct([
+                        array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-2, 0)
+                                          + 1)
+                     ])) AS gram
+              FROM norm
+            ), firsts AS (
+              SELECT gram, MIN(doc_id) AS first_id
+              FROM grams GROUP BY gram
+            )
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN g.doc_id = first_id
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_first,
+                   CAST((SUM(CASE WHEN g.doc_id = first_id
+                                  THEN 1 ELSE 0 END)
+                         * CAST(1000000 AS BIGINT))
+                        // COUNT(*) AS BIGINT) AS novelty_scaled
+            FROM grams g JOIN firsts USING (gram)
+            GROUP BY g.doc_id
+        """,
     }
 
 
@@ -17547,3 +17629,25 @@ def _priority_price_rerandomization(spark: SparkSession, sf: str) -> DataFrame:
         "5-LOW",
         n_perm=50,
     )
+
+
+def _kn_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Kneser–Ney quality scores (r10):
+    text.kneser_ney_doc_scores — every transition's probability is
+    the exact KN rational as ONE double division, accumulated per doc
+    through DECIMAL(28,12) (the lm_quality_scores device). The
+    continuation-count twin of `lm_quality_scores`; diffing the two
+    rankings is the smoothing-sensitivity check run before trusting
+    either as a corpus filter."""
+    return tx.kneser_ney_doc_scores(_docs(spark, sf))
+
+
+def _doc_marginal_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Marginal trigram novelty under ingestion order (r10):
+    corpus.marginal_gram_novelty — each shared gram attributed to its
+    FIRST (min doc_id) owner, so per-doc novel counts conserve to the
+    corpus' distinct-gram total. The keep-first curation ranking next
+    to the symmetric `cross_doc_repetition` readout: a late mirror
+    scores ~0 here even when symmetric sharing calls it
+    'shared-by-two'."""
+    return corpus.marginal_gram_novelty(_docs(spark, sf), n=3)

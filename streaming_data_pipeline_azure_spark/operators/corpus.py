@@ -1073,3 +1073,54 @@ def textrank_keywords(
         .orderBy(F.desc("rank_scaled"), F.asc("word"))
         .limit(k)
     )
+
+
+def marginal_gram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document MARGINAL n-gram novelty under ingestion order:
+    the share of a document's distinct word ``n``-grams whose FIRST
+    corpus occurrence (minimum ``id_col``) is this document — "what
+    does this document add that everything ingested before it did not
+    already contribute". The data-curation dual of
+    :func:`cross_doc_repetition`: that reports symmetric sharing;
+    this attributes every shared gram to exactly ONE owner, so the
+    novel counts CONSERVE — Σ n_first over documents equals the
+    corpus' distinct gram count (tested) — and late mirror/boilerplate
+    copies score ~0 even though their content is 'shared by only two
+    docs'. The ranking a keep-first near-dup policy implies.
+
+    Exactness: all counts are exact integers at gram grain (grams
+    distinct per doc via :func:`_doc_distinct_grams`, first owner =
+    MIN(id)); novelty is a floor-scaled integral DIV. Documents with
+    fewer than ``n`` tokens have no grams and are absent.
+
+    Plan: one scan to (doc, gram), one gram-grain MIN aggregation,
+    one join back + doc-grain aggregation — two gram-grain shuffles,
+    the decontamination-family shape; gram state shards across the
+    cluster, nothing driver-side. Returns (doc_id, n_grams, n_first,
+    novelty_scaled)."""
+    grams = _doc_distinct_grams(df, id_col, text_col, n)
+    first = grams.groupBy("gram").agg(
+        F.min(F.col(id_col)).alias("__first")
+    )
+    return (
+        grams.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col(id_col) == F.col("__first")).cast("long"))
+            .cast("long")
+            .alias("n_first"),
+        )
+        .selectExpr(
+            id_col,
+            "n_grams",
+            "n_first",
+            "CAST((n_first * CAST(1000000 AS BIGINT)) DIV n_grams"
+            " AS BIGINT) AS novelty_scaled",
+        )
+    )

@@ -934,3 +934,87 @@ def kneser_ney_bigrams(
     return scored.orderBy(
         F.col("p_kn").desc(), F.col("w1"), F.col("w2")
     ).limit(k)
+
+
+def kneser_ney_doc_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Kneser–Ney quality signal: score every document
+    by the MEAN interpolated-KN probability of its own bigrams under
+    the corpus-trained model of :func:`kneser_ney_bigrams` — the
+    continuation-count twin of :func:`bigram_lm_scores` (add-k MLE).
+    Where add-k overrates tokens that are frequent inside ONE
+    collocation, KN discounts them — running both and diffing the
+    rankings is the standard smoothing-sensitivity check before
+    trusting either as a corpus filter.
+
+    Exactness: each bigram's probability is the exact rational of
+    :func:`kneser_ney_bigrams` evaluated as ONE double division; the
+    per-doc mean accumulates those doubles through DECIMAL(28,12)
+    (the :func:`bigram_lm_scores` device), so the output is
+    bit-identical across engines and partitionings. Documents with
+    <2 tokens are absent (no transitions).
+
+    Plan: one scan explodes adjacent pairs; model counts are
+    vocabulary-grain map-side-combined aggregates of the SAME
+    exploded frame; scoring re-joins pairs to the three count tables
+    on natural keys and one final groupBy(id) serves
+    (doc_id, n_transitions, avg_p_kn). Model state lives in the
+    dataflow — nothing driver-side."""
+    toks = F.split(normalized_text(text_col), " ")
+    pairs = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
+                )
+            ).alias("__p"),
+        )
+        .select(
+            id_col,
+            F.col("__p.w1").alias("w1"),
+            F.col("__p.w2").alias("w2"),
+        )
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("__c12").alias("__c1"), F.count(F.lit(1)).alias("__fo")
+    )
+    fin = big.groupBy("w2").agg(F.count(F.lit(1)).alias("__fi"))
+    nt = big.agg(F.count(F.lit(1)).alias("__nt"))
+    dec = "decimal(38,0)"
+    p = (
+        (
+            (F.lit(4).cast(dec) * F.col("__c12") - 3)
+            * F.col("__nt").cast(dec)
+            + F.lit(3).cast(dec)
+            * F.col("__fo").cast(dec)
+            * F.col("__fi").cast(dec)
+        ).cast("double")
+        / (
+            F.lit(4).cast(dec)
+            * F.col("__c1").cast(dec)
+            * F.col("__nt").cast(dec)
+        ).cast("double")
+    )
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .join(fin, ["w2"])
+        .crossJoin(F.broadcast(nt))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            (
+                F.sum(p.cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_p_kn"),
+        )
+    )

@@ -567,3 +567,28 @@ def test_textrank_keywords_planted_centrality(spark):
     assert ranks["nexus"] > ranks["loner"]
     # hub beats every single-pair word
     assert ranks["nexus"] == max(ranks.values())
+
+
+def test_marginal_gram_novelty_conservation_and_ordering(spark):
+    """First-owner attribution: the earliest doc of a duplicate pair
+    keeps ALL the novelty, the later copy scores 0; Σ n_first equals
+    the corpus' distinct gram count (conservation); a fresh-content
+    doc scores 1.0."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        marginal_gram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the mat"),          # exact late mirror
+         (3, "completely novel words here now")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            marginal_gram_novelty(docs, n=3).collect()}
+    assert rows[1]["novelty_scaled"] == 1_000_000
+    assert rows[2]["n_first"] == 0 and rows[2]["novelty_scaled"] == 0
+    assert rows[3]["novelty_scaled"] == 1_000_000
+    # conservation: every distinct gram is owned exactly once
+    total_first = sum(r["n_first"] for r in rows.values())
+    assert total_first == rows[1]["n_grams"] + rows[3]["n_grams"]

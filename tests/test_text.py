@@ -495,3 +495,21 @@ def test_kneser_ney_continuation_beats_frequency(spark):
     rows = {(r["w1"], r["w2"]): r["p_kn"] for r in
             kneser_ney_bigrams(docs, min_context=1, k=100).collect()}
     assert rows[("u", "y")] > rows[("u", "z")]
+
+
+def test_kneser_ney_doc_scores_hand_values(spark):
+    """Corpus 'a b','a b','a c': the 'a b' docs score avg_p = 2/3
+    (their single transition's KN probability), the 'a c' doc 1/3 —
+    the per-doc mean of the model's exact rationals."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        kneser_ney_doc_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in kneser_ney_doc_scores(docs).collect()}
+    assert rows[1]["n_transitions"] == 1
+    assert abs(rows[1]["avg_p_kn"] - 2.0 / 3.0) < 1e-12
+    assert abs(rows[2]["avg_p_kn"] - 2.0 / 3.0) < 1e-12
+    assert abs(rows[3]["avg_p_kn"] - 1.0 / 3.0) < 1e-12
