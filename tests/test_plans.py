@@ -872,3 +872,55 @@ def test_conversion_pairs_plans_equi_join_not_nested_loop(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kn_topk_avoids_global_sort(spark, sf_dir):
+    """The KN model's top-k must plan as TakeOrderedAndProject
+    (per-partition heaps over the vocabulary-grain model), never a
+    full Sort + single-partition Exchange of the bigram table."""
+    from streaming_data_pipeline_azure_spark.operators import text as _tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _tx.kneser_ney_bigrams(docs, min_context=5, k=20)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_anova_is_windowless_single_pass(spark, sf_dir):
+    """anova_oneway must plan with ZERO Window nodes (the whole
+    statistic folds from one map-side-combined aggregation) — the
+    property that lets it run at any scale where kruskal's rank
+    window needs the value-grain bound."""
+    from streaming_data_pipeline_azure_spark.operators import (
+        experiment as _ex,
+    )
+    from pyspark.sql import functions as _F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    feats = orders.select(
+        "o_orderpriority",
+        _F.floor(_F.col("o_totalprice") / 1000.0).cast("long").alias("pb"),
+    )
+    df = _ex.anova_oneway(feats, "o_orderpriority", "pb")
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_preference_pairs_windows_stay_bucket_partitioned(spark, sf_dir):
+    """Both rank windows must be PARTITIONED BY bucket — no
+    'No Partition Defined' single-task window over the corpus."""
+    from streaming_data_pipeline_azure_spark.operators import (
+        sampling as _sam,
+    )
+    from pyspark.sql import functions as _F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "lang", "doc_id", _F.length("text").alias("s")
+    )
+    df = _sam.preference_pairs(scored, "lang", "doc_id", "s")
+    plan = physical_plan(df)
+    assert "Window" in plan, plan
+    assert re.search(r"Window .*partitionBy", plan.replace("\n", " ")) or \
+        "hashpartitioning(bucket" in plan, plan
