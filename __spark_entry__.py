@@ -4293,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_price_rerandomization": _priority_price_rerandomization,
         "kn_doc_scores": _kn_doc_scores,
         "doc_marginal_novelty": _doc_marginal_novelty,
+        "doc_novelty_incremental": _doc_novelty_incremental,
     }
     out = {k: base[k] for k in _R10_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -12770,6 +12771,56 @@ ORDER BY n_members DESC, community ASC
             FROM grams g JOIN firsts USING (gram)
             GROUP BY g.doc_id
         """,
+        # Incremental novelty: ownership re-derived TWO-PHASE (corpus
+        # grams first — ingestion order, not global id order — then
+        # batch grams by min id), batch rows only.
+        "doc_novelty_incremental": r"""
+            WITH srcd AS (
+              SELECT doc_id, text,
+                     CAST(regexp_extract(source, '(\d+)', 1)
+                          AS INTEGER) AS sn
+              FROM documents
+            ), corp AS (
+              SELECT doc_id, text, 1 AS is_c FROM srcd WHERE sn < 10
+            ), batch AS (
+              SELECT doc_id, text, 0 AS is_c FROM srcd WHERE sn >= 10
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     text || ' revised crawl copy', 0
+              FROM corp WHERE doc_id % 25 = 0
+            ), alld AS (
+              SELECT * FROM corp UNION ALL SELECT * FROM batch
+            ), grams AS (
+              SELECT doc_id, is_c,
+                     unnest(list_distinct([
+                        array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-2, 0)
+                                          + 1)
+                     ])) AS gram
+              FROM (SELECT doc_id, is_c,
+                           regexp_split_to_array(
+                             lower(regexp_replace(trim(text), '\s+',
+                                   ' ', 'g')), ' ') AS toks
+                    FROM alld)
+            ), own AS (
+              SELECT gram,
+                     COALESCE(MIN(doc_id) FILTER (WHERE is_c = 1),
+                              MIN(doc_id)) AS first_id
+              FROM grams GROUP BY gram
+            )
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN g.doc_id = first_id
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_first,
+                   CAST((SUM(CASE WHEN g.doc_id = first_id
+                                  THEN 1 ELSE 0 END)
+                         * CAST(1000000 AS BIGINT))
+                        // COUNT(*) AS BIGINT) AS novelty_scaled
+            FROM grams g JOIN own USING (gram)
+            WHERE g.is_c = 0
+            GROUP BY g.doc_id
+        """,
     }
 
 
@@ -17651,3 +17702,39 @@ def _doc_marginal_novelty(spark: SparkSession, sf: str) -> DataFrame:
     scores ~0 here even when symmetric sharing calls it
     'shared-by-two'."""
     return corpus.marginal_gram_novelty(_docs(spark, sf), n=3)
+
+
+_NOVELTY_IDX_CACHE: dict = {}
+
+
+def _corpus_novelty_index(spark: SparkSession, sf: str):
+    """Session-cached first-owner gram index of the src0-src9 corpus
+    half — built once, probed by the incremental novelty entry (the
+    marginal-contribution member of the incremental index family)."""
+    key = (_session_key(spark), sf)
+    if key not in _NOVELTY_IDX_CACHE:
+        corpus_df, _ = _doc_delta_split(spark, sf)
+        idx = corpus.NoveltyGramIndex(
+            _fresh_index_dir("novelty_idx_"), n=3
+        )
+        idx.build(corpus_df, "doc_id", "text")
+        _NOVELTY_IDX_CACHE[key] = idx
+    return _NOVELTY_IDX_CACHE[key]
+
+
+def _doc_novelty_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental marginal novelty (r10): the crawl delta probes the
+    persisted first-owner gram index (corpus.NoveltyGramIndex) — "what
+    does this batch add that the ingested corpus does not already
+    contain" — without the corpus text being re-read (one broadcast
+    semi-join per probe; first-writer-wins fold, so a re-run derives
+    bit-identical stats from the ownership its first run created).
+    Gram membership is EXACT (modulo 64-bit hash collisions), so like
+    `span_dedup_incremental` the incremental query is oracle-backed
+    directly: the oracle re-derives ownership two-phase (corpus grams
+    first — ingestion order, not global id order — then batch grams by
+    min id). Planted re-crawls (_doc_delta_split) score near-zero
+    novelty: only the appended suffix's grams are new."""
+    _, batch = _doc_delta_split(spark, sf)
+    idx = _corpus_novelty_index(spark, sf)
+    return idx.probe_and_fold(batch, "doc_id", "text")

@@ -127,6 +127,11 @@ def main() -> None:
     t0 = time.perf_counter()
     entrymod._ivfpq_index(spark, sf_dir)
     timings["preamble_ivfpq_index_build"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    entrymod._corpus_novelty_index(spark, sf_dir)
+    timings["preamble_novelty_index_build"] = round(
+        time.perf_counter() - t0, 4
+    )
 
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

@@ -45,6 +45,7 @@ def main() -> None:
     builds = {
         "preamble_postings_index_build": entrymod._corpus_postings_index,
         "preamble_ivfpq_index_build": entrymod._ivfpq_index,
+        "preamble_novelty_index_build": entrymod._corpus_novelty_index,
     }
     needed = set()
     for n in names:
@@ -53,6 +54,8 @@ def main() -> None:
         if n in ("ann_ivfpq_topk", "ann_ivfpq_multiquery",
                  "ann_ivfpq_filtered"):
             needed.add("preamble_ivfpq_index_build")
+        if n in ("doc_novelty_incremental",):
+            needed.add("preamble_novelty_index_build")
     for b in sorted(needed):
         t0 = time.perf_counter()
         builds[b](spark, sf_dir)

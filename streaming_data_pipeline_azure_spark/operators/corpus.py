@@ -1124,3 +1124,179 @@ def marginal_gram_novelty(
             " AS BIGINT) AS novelty_scaled",
         )
     )
+
+
+class NoveltyGramIndex:
+    """Persisted gram-hash → FIRST-OWNER index — the incremental form
+    of :func:`marginal_gram_novelty`, where "first" means first across
+    everything ever ingested, in ingestion order. Each batch probe
+    answers "what does this delta add that the corpus does not already
+    contain" without the corpus text being re-read — the per-document
+    marginal-contribution score a keep-first curation pipeline serves
+    online. Joins the incremental index family (exact doc:
+    ``dedup.incremental_dedup``; span: :class:`GramCorpusIndex`;
+    near-dup: ``dedup.MinHashCorpusIndex``).
+
+    Ownership is FIRST-WRITER-WINS: a gram's (hash, first_id) row is
+    inserted once and never updated, so a REPLAYED batch inserts
+    nothing and re-derives bit-identical stats from the ownership it
+    already holds — the replay-idempotence contract of the streaming
+    ingest family, here carried by the state itself rather than by
+    partition overwrite alone. Like :class:`GramCorpusIndex`, keys are
+    8-byte ``xxhash64`` gram hashes (membership exact modulo 64-bit
+    collisions; never gram strings on the shuffle).
+
+    Layout under ``path``: ``gen=G/owners/`` (__h BIGINT, first_id),
+    ``params/`` pinning the gram width ``n``. Scale contract: a delta
+    probe touches the index through ONE broadcast-semi join (delta
+    hashes, small, broadcast INTO the owners scan) and the matched
+    owner rows (≤ delta grams) broadcast back — no index shuffle;
+    accepting a batch appends only the delta's truly-new hashes;
+    :meth:`compact` re-lays-out via the crash-safe generation swap
+    (dedup within a gram key keeps the MIN first_id, though duplicates
+    cannot arise from the insert-if-absent protocol)."""
+
+    def __init__(self, path: str, *, n: int = 3) -> None:
+        from streaming_data_pipeline_azure_spark.functions.generations import (
+            GenerationalDir,
+        )
+
+        self.path = path
+        self.n = n
+        self._gens = GenerationalDir(path)
+        self._params_verified = False
+
+    def _owners_path(self, spark) -> str:
+        return f"{self._gens.gen_path(spark)}/owners"
+
+    def _check_params(self, spark) -> None:
+        if self._params_verified:
+            return
+        p = spark.read.json(f"{self.path}/params").collect()[0]
+        if int(p["n"]) != int(self.n):
+            raise ValueError(
+                f"NoveltyGramIndex width mismatch at {self.path}: index"
+                f" was built with n={int(p['n'])}, instance has"
+                f" n={self.n}; reopen via NoveltyGramIndex.load()"
+            )
+        self._params_verified = True
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NoveltyGramIndex":
+        p = spark.read.json(f"{path}/params").collect()[0]
+        idx = cls(path, n=int(p["n"]))
+        idx._params_verified = True
+        return idx
+
+    def _doc_hashes(
+        self, df: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        toks = _norm_tokens(text_col)
+        return (
+            df.select(
+                F.col(id_col),
+                F.explode(word_ngrams(toks, self.n)).alias("__g"),
+            )
+            .select(id_col, F.xxhash64("__g").alias("__h"))
+            .distinct()
+        )
+
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Index an existing corpus (its single full scan, ever):
+        every gram's owner is the corpus-wide MIN id — identical to
+        the batch operator's attribution."""
+        spark = corpus.sparkSession
+        self._gens.reset(spark)
+        self._doc_hashes(corpus, id_col, text_col).groupBy("__h").agg(
+            F.min(F.col(id_col)).alias("first_id")
+        ).write.mode("overwrite").parquet(f"{self.path}/gen=0/owners")
+        spark.createDataFrame([(int(self.n),)], "n int").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{self.path}/params")
+        self._params_verified = True
+
+    def probe_and_fold(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Insert the batch's truly-new grams (first-writer-wins,
+        intra-batch ties to MIN id) and return the batch's per-doc
+        novelty stats against the UPDATED ownership — (id, n_grams,
+        n_first, novelty_scaled), the exact columns of
+        :func:`marginal_gram_novelty`. The returned frame is pinned
+        (localCheckpoint) BEFORE the index append so its plan cannot
+        observe the mutation it precedes — and so a replay, whose
+        anti-join inserts nothing, re-serves identical stats from the
+        ownership rows its first run created."""
+        spark = batch.sparkSession
+        self._check_params(spark)
+        grams = self._doc_hashes(batch, id_col, text_col).localCheckpoint()
+        owners = spark.read.parquet(self._owners_path(spark))
+        delta_hashes = grams.select("__h").distinct()
+        matched = owners.join(
+            F.broadcast(delta_hashes), "__h", "semi"
+        ).localCheckpoint()
+        batch_first = grams.groupBy("__h").agg(
+            F.min(F.col(id_col)).alias("first_id")
+        )
+        new = batch_first.join(
+            F.broadcast(matched.select("__h")), "__h", "anti"
+        ).localCheckpoint()
+        owned = matched.unionByName(new)
+        stats = (
+            grams.join(F.broadcast(owned), "__h")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum(
+                    (F.col(id_col) == F.col("first_id")).cast("long")
+                )
+                .cast("long")
+                .alias("n_first"),
+            )
+            .selectExpr(
+                id_col,
+                "n_grams",
+                "n_first",
+                "CAST((n_first * CAST(1000000 AS BIGINT)) DIV n_grams"
+                " AS BIGINT) AS novelty_scaled",
+            )
+            .localCheckpoint()
+        )
+        if not new.isEmpty():
+            new.write.mode("append").parquet(self._owners_path(spark))
+        return stats
+
+    def stats(self, spark) -> dict:
+        owners = spark.read.parquet(self._owners_path(spark))
+        return {
+            "generation": self._gens.current_gen(spark),
+            "n_grams": owners.count(),
+            "n_files": len(owners.inputFiles()),
+        }
+
+    def compact(self, spark, target_files: int | None = None) -> None:
+        """Re-layout into generation G+1 via the shared crash-safe
+        stage → marker-commit → GC swap (MIN first_id per hash, a
+        no-op dedup under the insert-if-absent protocol)."""
+        nxt = self._gens.current_gen(spark) + 1
+        live = (
+            spark.read.parquet(self._owners_path(spark))
+            .groupBy("__h")
+            .agg(F.min("first_id").alias("first_id"))
+        )
+        n = target_files or max(
+            1, spark.sparkContext.defaultParallelism // 4
+        )
+        live.repartition(n).write.mode("overwrite").parquet(
+            f"{self.path}/gen={nxt}/owners"
+        )
+        self._gens.commit(spark, nxt)
+        self._gens.gc_below(spark, keep=nxt)

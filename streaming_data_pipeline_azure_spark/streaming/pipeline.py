@@ -955,3 +955,61 @@ def read_histogram_percentiles(
     return histogram_percentiles(
         spark.read.parquet(state_path), group_cols, percents=percents
     )
+
+
+def build_novelty_ingest_query(
+    doc_stream: DataFrame,
+    index,
+    stats_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming marginal-novelty scoring — the online form of
+    ``corpus.marginal_gram_novelty``: each micro-batch probes the
+    :class:`~streaming_data_pipeline_azure_spark.operators.corpus.
+    NoveltyGramIndex` (what do these documents add that everything
+    ingested before them did not), folds the batch's truly-new grams
+    in first-writer-wins, and writes the per-doc stats to its own
+    ``batch_id=N`` partition.
+
+    Replay idempotence is carried by the INDEX protocol, not just the
+    partition overwrite: a replayed batch's anti-join inserts nothing
+    and the ownership rows its first run created re-derive
+    bit-identical stats — so re-running batch N overwrites
+    ``batch_id=N`` with the same rows. When batches arrive in id
+    order, the union of all partitions equals the one-shot batch
+    operator's output on the full corpus (parity-tested), modulo
+    64-bit gram-hash collisions."""
+    from streaming_data_pipeline_azure_spark.functions.cache import (
+        release_caches,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if batch.isEmpty():
+            release_caches()
+            return
+        stats = index.probe_and_fold(batch, id_col, text_col)
+        stats.write.mode("overwrite").parquet(
+            f"{stats_path}/batch_id={batch_id}"
+        )
+        release_caches()
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_novelty(spark, stats_path: str) -> DataFrame:
+    """All per-document novelty stats ingested so far (every batch
+    partition) — the served view; columns match
+    ``corpus.marginal_gram_novelty``."""
+    return spark.read.parquet(stats_path).drop("batch_id")

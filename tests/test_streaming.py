@@ -1716,3 +1716,98 @@ def test_streaming_topk_matches_batch_and_replays(spark, tmp_path):
         map(tuple, read_topk(spark, state, ["g"], "v", "id", 5).collect())
     )
     assert replayed == served
+
+
+def test_streaming_novelty_matches_batch_and_replays(spark, tmp_path):
+    """Streamed marginal novelty, fed in id-ordered micro-batches,
+    serves the IDENTICAL per-doc stats as the one-shot batch operator
+    on the full corpus; a full replay through a fresh checkpoint
+    re-derives the same stats from the first-writer-wins ownership
+    (index-level idempotence), and a late exact mirror scores 0."""
+    import json
+    import time
+
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        NoveltyGramIndex,
+        marginal_gram_novelty,
+    )
+    from streaming_data_pipeline_azure_spark.streaming.pipeline import (
+        build_novelty_ingest_query,
+        read_novelty,
+        run_to_completion,
+    )
+
+    d1 = "the quick brown fox jumps over the lazy dog today"
+    d2 = "a fresh article describing spark physical plans in detail"
+    d3 = "the quick brown fox jumps over the lazy dog today"  # mirror of d1
+    d4 = "totally unrelated text about cooking pasta with olive oil"
+    batch1 = [{"doc_id": 1, "text": d1}, {"doc_id": 2, "text": d2}]
+    batch2 = [{"doc_id": 3, "text": d3}, {"doc_id": 4, "text": d4}]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.json").write_text("\n".join(json.dumps(d) for d in batch1))
+    time.sleep(1.1)  # distinct mtimes: file source orders batches by mtime
+    (in_dir / "b.json").write_text("\n".join(json.dumps(d) for d in batch2))
+
+    idx = NoveltyGramIndex(str(tmp_path / "idx"), n=3)
+    idx.build(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    stats_path = str(tmp_path / "stats")
+    q = build_novelty_ingest_query(
+        stream, idx, stats_path, str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q)
+
+    streamed = {
+        r["doc_id"]: (r["n_grams"], r["n_first"], r["novelty_scaled"])
+        for r in read_novelty(spark, stats_path).collect()
+    }
+    full = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+    batch_ref = {
+        r["doc_id"]: (r["n_grams"], r["n_first"], r["novelty_scaled"])
+        for r in marginal_gram_novelty(full, n=3).collect()
+    }
+    assert streamed == batch_ref
+    assert streamed[3][1] == 0 and streamed[3][2] == 0  # late mirror
+    assert streamed[1][2] == 1_000_000  # first owner keeps everything
+
+    # full replay through a fresh checkpoint: the anti-join inserts
+    # nothing and ownership re-derives bit-identical stats
+    n_owned_before = idx.stats(spark)["n_grams"]
+    q2 = build_novelty_ingest_query(
+        stream, idx, stats_path, str(tmp_path / "ckpt2"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q2)
+    replayed = {
+        r["doc_id"]: (r["n_grams"], r["n_first"], r["novelty_scaled"])
+        for r in read_novelty(spark, stats_path).collect()
+    }
+    assert replayed == batch_ref
+    assert idx.stats(spark)["n_grams"] == n_owned_before
+
+    # compact: generation swap preserves ownership exactly
+    idx.compact(spark)
+    q3 = build_novelty_ingest_query(
+        stream, idx, stats_path, str(tmp_path / "ckpt3"),
+        trigger_available_now=True,
+    )
+    run_to_completion(q3)
+    again = {
+        r["doc_id"]: (r["n_grams"], r["n_first"], r["novelty_scaled"])
+        for r in read_novelty(spark, stats_path).collect()
+    }
+    assert again == batch_ref
