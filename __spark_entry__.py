@@ -4294,6 +4294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_doc_scores": _kn_doc_scores,
         "doc_marginal_novelty": _doc_marginal_novelty,
         "doc_novelty_incremental": _doc_novelty_incremental,
+        "revenue_haar_energy": _revenue_haar_energy,
     }
     out = {k: base[k] for k in _R10_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -12821,6 +12822,56 @@ ORDER BY n_members DESC, community ASC
             WHERE g.is_c = 0
             GROUP BY g.doc_id
         """,
+        # Haar energy: every halving level replayed in one recursive
+        # CTE over a value-aligned HUGEINT list; energies travel as
+        # digit strings, shares as single divisions.
+        "revenue_haar_energy": r"""
+            WITH RECURSIVE daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT)) AS HUGEINT) AS v
+              FROM orders GROUP BY 1
+            ), ord AS (
+              SELECT v, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i
+              FROM daily
+            ), mm AS (
+              SELECT MAX(CAST(POWER(2, g) AS BIGINT)) AS m
+              FROM generate_series(0, 40) t(g)
+              WHERE POWER(2, g) <= (SELECT COUNT(*) FROM ord)
+            ), lvl AS (
+              SELECT 0 AS level,
+                     (SELECT list(v ORDER BY i) FROM ord
+                      WHERE i < (SELECT m FROM mm)) AS vals,
+                     CAST(NULL AS HUGEINT) AS energy
+              UNION ALL
+              SELECT level + 1,
+                     [vals[2*x-1] + vals[2*x]
+                      FOR x IN range(1, len(vals) // 2 + 1)],
+                     list_aggregate(
+                       [(vals[2*x-1] - vals[2*x])
+                        * (vals[2*x-1] - vals[2*x])
+                        FOR x IN range(1, len(vals) // 2 + 1)],
+                       'sum')
+              FROM lvl WHERE len(vals) > 1
+            ), es AS (
+              SELECT level, energy FROM lvl WHERE level >= 1
+            ), tot AS (
+              SELECT SUM(energy) AS t FROM es
+            )
+            SELECT CAST(level AS BIGINT) AS level,
+                   CAST(CAST(POWER(2, level - 1) AS BIGINT)
+                        AS BIGINT) AS scale_days,
+                   CAST((SELECT m FROM mm)
+                        // CAST(POWER(2, level) AS BIGINT)
+                        AS BIGINT) AS n_coeffs,
+                   CAST(energy AS VARCHAR) AS energy,
+                   CASE WHEN (SELECT t FROM tot) > 0
+                        THEN CAST(CAST(energy AS VARCHAR) AS DOUBLE)
+                             / CAST(CAST((SELECT t FROM tot)
+                                         AS VARCHAR) AS DOUBLE)
+                   END AS energy_frac
+            FROM es
+        """,
     }
 
 
@@ -17738,3 +17789,26 @@ def _doc_novelty_incremental(spark: SparkSession, sf: str) -> DataFrame:
     _, batch = _doc_delta_split(spark, sf)
     idx = _corpus_novelty_index(spark, sf)
     return idx.probe_and_fold(batch, "doc_id", "text")
+
+
+def _revenue_haar_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Haar wavelet energy spectrum of daily revenue (r10): which
+    time scales carry the variance — day-to-day noise vs week-scale
+    vs quarter-scale swings (temporal.haar_energy — unnormalized
+    integer transform, exact DECIMAL energies published as digit
+    strings, single-division shares). The dyadic spectral readout
+    behind the holt/holt-winters window choices; on TPC-H's uniform
+    order dates the spectrum must be flat-by-scale (energy ∝ number
+    of coefficients — white noise), which is exactly the null a
+    spectral readout must reproduce. The oracle replays every halving
+    level in one recursive CTE over a value-aligned HUGEINT list (the
+    pagerank device)."""
+    (orders,) = _tables(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    return temporal.haar_energy(daily, "d", "cents")

@@ -2697,3 +2697,107 @@ def stl_lite(
         )
         .orderBy("day")
     )
+
+
+def haar_energy(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Unnormalized Haar wavelet energy spectrum: which TIME SCALES
+    carry the series' variance — level 1 = day-to-day, level k =
+    2^(k-1)-day swings — the dyadic spectral readout a forecaster uses
+    to pick seasonality/smoothing windows, computed with ZERO floats:
+    each level's detail coefficients are pairwise differences
+    d = a − b and the next level's signal is pairwise sums s = a + b
+    (the unnormalized Haar transform; energies relate to the
+    orthonormal ones by the fixed 2^level factor, stated so callers
+    can rescale offline).
+
+    Exactness: integer input (cents); sums/differences/energies ride
+    exact DECIMAL(38,0); each level's energy is published as its digit
+    STRING (Σd² exceeds int64 by construction at realistic scales —
+    the r10 portable-surface rule) plus a single-division double
+    share of total energy. The series is the day-ordered prefix of
+    length 2^k (largest power of two ≤ n_days — the standard dyadic
+    truncation, stated in the row count).
+
+    Shape: one day-grain aggregation upstream; one row_number window
+    at CALENDAR grain (bounded by day cardinality); then k ≈ log₂(days)
+    tiny halving aggregations, each localCheckpoint-pinned (≤ 2^k rows
+    total — the chain would otherwise re-execute every prefix per
+    level). Returns k rows: (level, scale_days, n_coeffs, energy,
+    energy_frac), level-ascending."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = (
+        df.select(
+            F.col(day_col).alias("__d"),
+            F.col(value_col).cast(dec).alias("__v"),
+        )
+        .select(
+            (F.row_number().over(Window.orderBy("__d")) - 1).alias(
+                "__i"
+            ),
+            "__v",
+        )
+    )
+    n = base.count()
+    if n < 2:
+        raise ValueError("haar_energy needs at least 2 observations")
+    k = n.bit_length() - 1
+    m = 1 << k
+    spark = df.sparkSession
+    cur = base.filter(F.col("__i") < m).localCheckpoint()
+    energies = []
+    for level in range(1, k + 1):
+        pairs = (
+            cur.groupBy(
+                F.expr("__i DIV 2").alias("__j")
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("__i") % 2 == 0, F.col("__v"))
+                ).alias("__a"),
+                F.sum(
+                    F.when(F.col("__i") % 2 == 1, F.col("__v"))
+                ).alias("__b"),
+            )
+            .withColumnRenamed("__j", "__i")
+            .localCheckpoint()
+        )
+        e = pairs.agg(
+            F.sum(
+                (F.col("__a") - F.col("__b"))
+                * (F.col("__a") - F.col("__b"))
+            ).cast(dec).alias("__e")
+        ).select(
+            F.lit(level).cast("long").alias("level"),
+            F.lit(1 << (level - 1)).cast("long").alias("scale_days"),
+            F.lit(m >> level).cast("long").alias("n_coeffs"),
+            F.col("__e"),
+        )
+        energies.append(e)
+        cur = pairs.select(
+            "__i", (F.col("__a") + F.col("__b")).alias("__v")
+        )
+    allz = energies[0]
+    for e in energies[1:]:
+        allz = allz.unionByName(e)
+    tot = allz.agg(F.sum("__e").cast(dec).alias("__tot"))
+    return (
+        allz.crossJoin(F.broadcast(tot))
+        .select(
+            "level",
+            "scale_days",
+            "n_coeffs",
+            F.col("__e").cast(dec).cast("string").alias("energy"),
+            F.when(
+                F.col("__tot") > 0,
+                F.col("__e").cast("double")
+                / F.col("__tot").cast("double"),
+            ).alias("energy_frac"),
+        )
+        .orderBy("level")
+    )

@@ -1618,3 +1618,45 @@ def test_stl_lite_finds_weekly_cycle(spark):
     assert all(abs(s - 600.0) < 1e-9 for s in mond)
     assert all(abs(s + 100.0) < 1e-9 for s in rest)
     assert all(abs(r["remainder"]) < 1e-9 for r in out)
+
+
+def test_haar_energy_hand_values(spark):
+    """[5,1,9,7,2,6,4,4]: level energies 36/100/36 (total 172) by the
+    textbook unnormalized transform; a 5-long series truncates to its
+    first dyadic prefix (4); constant series → all-zero energy with
+    NULL fractions guarded by total>0... (total=0 → frac NULL)."""
+    import datetime as _dt
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        haar_energy,
+    )
+
+    d0 = _dt.date(2024, 1, 1)
+    vals = [5, 1, 9, 7, 2, 6, 4, 4]
+    df = spark.createDataFrame(
+        [(d0 + _dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+        "d date, v long",
+    )
+    rows = {r["level"]: r for r in haar_energy(df, "d", "v").collect()}
+    assert [rows[i]["energy"] for i in (1, 2, 3)] == ["36", "100", "36"]
+    assert rows[1]["n_coeffs"] == 4 and rows[3]["n_coeffs"] == 1
+    assert rows[2]["scale_days"] == 2
+    assert abs(rows[2]["energy_frac"] - 100.0 / 172.0) < 1e-15
+
+    trunc = spark.createDataFrame(
+        [(d0 + _dt.timedelta(days=i), v)
+         for i, v in enumerate([1, 3, 2, 2, 99])],
+        "d date, v long",
+    )
+    t = {r["level"]: r for r in haar_energy(trunc, "d", "v").collect()}
+    assert set(t) == {1, 2}            # 99 is beyond the dyadic prefix
+    assert t[1]["energy"] == "4" and t[2]["energy"] == "0"
+    assert abs(t[1]["energy_frac"] - 1.0) < 1e-15
+
+    flat = spark.createDataFrame(
+        [(d0 + _dt.timedelta(days=i), 7) for i in range(4)],
+        "d date, v long",
+    )
+    f = haar_energy(flat, "d", "v").collect()
+    assert all(r["energy"] == "0" and r["energy_frac"] is None
+               for r in f)
