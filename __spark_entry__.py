@@ -4295,6 +4295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_marginal_novelty": _doc_marginal_novelty,
         "doc_novelty_incremental": _doc_novelty_incremental,
         "revenue_haar_energy": _revenue_haar_energy,
+        "customer_fs_weights": _customer_fs_weights,
     }
     out = {k: base[k] for k in _R10_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -12872,6 +12873,84 @@ ORDER BY n_members DESC, community ASC
                    END AS energy_frac
             FROM es
         """,
+        # Fellegi–Sunter: exact per-field counts on the two labeled
+        # pools; the likelihood ratio is ONE division of exact
+        # cross-products.
+        "customer_fs_weights": r"""
+            WITH nn AS (
+              SELECT MAX(c_custkey) AS n FROM customer
+            ), matched AS (
+              SELECT CASE WHEN a.c_nationkey = b.c_nationkey
+                          THEN 1 ELSE 0 END AS nation_eq,
+                     CASE WHEN a.c_mktsegment = b.c_mktsegment
+                          THEN 1 ELSE 0 END AS segment_eq,
+                     CASE WHEN ABS(a.c_acctbal - b.c_acctbal)
+                               <= 100.0
+                          THEN 1 ELSE 0 END AS acctbal_close
+              FROM customer a JOIN customer b
+                ON a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ), nonm AS (
+              SELECT CASE WHEN a.c_nationkey = b.c_nationkey
+                          THEN 1 ELSE 0 END AS nation_eq,
+                     CASE WHEN a.c_mktsegment = b.c_mktsegment
+                          THEN 1 ELSE 0 END AS segment_eq,
+                     CASE WHEN ABS(a.c_acctbal - b.c_acctbal)
+                               <= 100.0
+                          THEN 1 ELSE 0 END AS acctbal_close
+              FROM customer a JOIN customer b
+                ON b.c_custkey = a.c_custkey + (SELECT n // 2
+                                                FROM nn)
+              WHERE a.c_custkey <= (SELECT n - n // 2 FROM nn)
+                AND levenshtein(a.c_name, b.c_name) >= 2
+            ), magg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+                     CAST(SUM(acctbal_close) AS BIGINT) AS s_bal,
+                     CAST(SUM(nation_eq) AS BIGINT) AS s_nat,
+                     CAST(SUM(segment_eq) AS BIGINT) AS s_seg
+              FROM matched
+            ), uagg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_nonmatch,
+                     CAST(SUM(acctbal_close) AS BIGINT) AS u_bal,
+                     CAST(SUM(nation_eq) AS BIGINT) AS u_nat,
+                     CAST(SUM(segment_eq) AS BIGINT) AS u_seg
+              FROM nonm
+            ), melted AS (
+              SELECT 'acctbal_close' AS field, n_match,
+                     s_bal AS n_agree_match, n_nonmatch,
+                     u_bal AS n_agree_nonmatch
+              FROM magg, uagg
+              UNION ALL
+              SELECT 'nation_eq', n_match, s_nat, n_nonmatch, u_nat
+              FROM magg, uagg
+              UNION ALL
+              SELECT 'segment_eq', n_match, s_seg, n_nonmatch, u_seg
+              FROM magg, uagg
+            )
+            SELECT field, n_match, n_agree_match, n_nonmatch,
+                   n_agree_nonmatch,
+                   CASE WHEN n_match > 0
+                        THEN CAST(n_agree_match AS DOUBLE)
+                             / CAST(n_match AS DOUBLE)
+                   END AS m,
+                   CASE WHEN n_nonmatch > 0
+                        THEN CAST(n_agree_nonmatch AS DOUBLE)
+                             / CAST(n_nonmatch AS DOUBLE)
+                   END AS u,
+                   CASE WHEN CAST(n_agree_nonmatch AS HUGEINT)
+                             * (n_match - n_agree_match) > 0
+                        THEN CAST(CAST(CAST(n_agree_match AS HUGEINT)
+                                       * (n_nonmatch
+                                          - n_agree_nonmatch)
+                                       AS VARCHAR) AS DOUBLE)
+                             / CAST(CAST(CAST(n_agree_nonmatch
+                                              AS HUGEINT)
+                                         * (n_match - n_agree_match)
+                                         AS VARCHAR) AS DOUBLE)
+                   END AS fs_weight
+            FROM melted
+            ORDER BY field
+        """,
     }
 
 
@@ -17812,3 +17891,63 @@ def _revenue_haar_energy(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("cents")
     )
     return temporal.haar_energy(daily, "d", "cents")
+
+
+def _customer_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi–Sunter field calibration (r10): how much is each
+    customer field's agreement WORTH as match evidence
+    (linkage.fellegi_sunter_weights — exact per-field counts on two
+    labeled pair pools, likelihood ratio as ONE division of exact
+    cross-products)? Match pairs = the recall-1.0 Levenshtein≤1 pool
+    (`fuzzy_customer_pairs`'s deletion-neighborhood machinery);
+    non-match pairs = the deterministic half-corpus offset pairing
+    (id, id + N/2), with any true fuzzy match (distance ≤ 1) filtered
+    out — a labeled pool both engines construct identically, no RNG.
+    Fields: nation equality, market-segment equality, |acctbal| gap
+    ≤ 100. On templated TPC-H names the expected readout is weights
+    ≈ 1 (fields are independent of name edits) — the null that keeps
+    an FS scorer honest."""
+    (customer,) = _tables(spark, sf, "customer")
+    n = customer.agg(F.max("c_custkey").alias("m")).collect()[0]["m"]
+    half = int(n) // 2
+
+    def attrs(side: str):
+        return customer.select(
+            F.col("c_custkey").alias(f"id_{side}"),
+            F.col("c_nationkey").alias(f"nat_{side}"),
+            F.col("c_mktsegment").alias(f"seg_{side}"),
+            F.col("c_acctbal").alias(f"bal_{side}"),
+            F.col("c_name").alias(f"name_{side}"),
+        )
+
+    agree = [
+        (F.col("nat_a") == F.col("nat_b")).cast("long").alias(
+            "nation_eq"
+        ),
+        (F.col("seg_a") == F.col("seg_b")).cast("long").alias(
+            "segment_eq"
+        ),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) <= 100.0)
+        .cast("long")
+        .alias("acctbal_close"),
+    ]
+    matched = (
+        linkage.fuzzy_match_pairs(customer, "c_custkey", "c_name")
+        .select("id_a", "id_b")
+        .join(attrs("a"), "id_a")
+        .join(attrs("b"), "id_b")
+        .select(*agree)
+    )
+    nonmatched = (
+        attrs("a")
+        .filter(F.col("id_a") <= n - half)
+        .join(
+            attrs("b"),
+            F.col("id_b") == F.col("id_a") + F.lit(half),
+        )
+        .filter(F.levenshtein("name_a", "name_b") >= 2)
+        .select(*agree)
+    )
+    return linkage.fellegi_sunter_weights(
+        matched, nonmatched, ["acctbal_close", "nation_eq", "segment_eq"]
+    )

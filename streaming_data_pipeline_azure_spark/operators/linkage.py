@@ -368,3 +368,89 @@ def blocking_audit(
         f"n_found_pairs * {scale} DIV n_true_pairs END AS BIGINT) "
         "AS completeness_scaled",
     )
+
+
+def fellegi_sunter_weights(
+    matched: DataFrame,
+    nonmatched: DataFrame,
+    agree_cols: list[str],
+) -> DataFrame:
+    """Fellegi–Sunter agreement weights: for each comparison field,
+    m = P(agree | match) estimated on labeled MATCH pairs and
+    u = P(agree | non-match) on labeled NON-MATCH pairs, and the
+    match/non-match likelihood ratio
+
+        fs_weight = (m·(1−u)) / (u·(1−m))
+                  = n_agree_m·(n_u − n_agree_u)
+                    / ( n_agree_u·(n_m − n_agree_m) )
+
+    — the quantity probabilistic record linkage sums (in log space,
+    offline) across fields to score candidate pairs (Fellegi & Sunter
+    1969). Completes the linkage family: blocking finds candidates
+    (`fuzzy_match_pairs`), ER clusters them, THIS calibrates how much
+    each field's agreement is actually worth.
+
+    Exactness: agreement indicators are 0/1 columns the caller
+    defines; per-field counts are exact integers from ONE aggregation
+    per labeled frame; m and u are single divisions and fs_weight is
+    ONE division of exact cross-products (never m/u composed from
+    rounded intermediates). NULL fs_weight when a field never agrees
+    on non-matches or always agrees on matches (infinite weight —
+    reported as NULL with the counts alongside, never ±inf).
+
+    Shape: two map-side-combined aggregations (one per labeled
+    frame) to a single row each, melted to field grain — O(fields)
+    output regardless of pair count. Returns (field, n_match,
+    n_agree_match, n_nonmatch, n_agree_nonmatch, m, u, fs_weight)."""
+    def one_row(df: DataFrame):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.sum(F.col(c).cast("long")).cast("long").alias(c)
+                for c in agree_cols
+            ],
+        )
+
+    def melt(row_df: DataFrame, n_name: str, a_name: str) -> DataFrame:
+        out = None
+        for c in agree_cols:
+            part = row_df.select(
+                F.lit(c).alias("field"),
+                F.col("__n").alias(n_name),
+                F.col(c).alias(a_name),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    m_side = melt(one_row(matched), "n_match", "n_agree_match")
+    u_side = melt(one_row(nonmatched), "n_nonmatch", "n_agree_nonmatch")
+    j = m_side.join(u_side, "field")
+    m = F.when(
+        F.col("n_match") > 0,
+        F.col("n_agree_match").cast("double")
+        / F.col("n_match").cast("double"),
+    )
+    u = F.when(
+        F.col("n_nonmatch") > 0,
+        F.col("n_agree_nonmatch").cast("double")
+        / F.col("n_nonmatch").cast("double"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n_agree_match").cast(dec) * (
+        F.col("n_nonmatch") - F.col("n_agree_nonmatch")
+    ).cast(dec)
+    den = F.col("n_agree_nonmatch").cast(dec) * (
+        F.col("n_match") - F.col("n_agree_match")
+    ).cast(dec)
+    return j.select(
+        "field",
+        "n_match",
+        "n_agree_match",
+        "n_nonmatch",
+        "n_agree_nonmatch",
+        m.alias("m"),
+        u.alias("u"),
+        F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).alias("fs_weight"),
+    ).orderBy("field")

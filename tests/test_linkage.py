@@ -279,3 +279,29 @@ def test_fuzzy_blocking_shuffles_hashed_keys_not_names(spark):
     # end-to-end results stay correct on the padded names
     out = linkage.fuzzy_match_pairs(long, "id", "name")
     assert out.filter("distance = 0").count() == 0
+
+
+def test_fellegi_sunter_hand_values(spark):
+    """m = 3/4 on matches, u = 1/4 on non-matches → fs_weight =
+    (3·3)/(1·1) = 9 exactly; a field that never agrees on non-matches
+    (u = 0) reports NULL weight (infinite evidence), never ±inf."""
+    from streaming_data_pipeline_azure_spark.operators.linkage import (
+        fellegi_sunter_weights,
+    )
+
+    matched = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 0), (0, 1)], "f long, g long"
+    )
+    nonmatched = spark.createDataFrame(
+        [(1, 0), (0, 0), (0, 0), (0, 0)], "f long, g long"
+    )
+    rows = {r["field"]: r for r in
+            fellegi_sunter_weights(matched, nonmatched, ["f", "g"])
+            .collect()}
+    f = rows["f"]
+    assert (f["n_match"], f["n_agree_match"]) == (4, 3)
+    assert (f["n_nonmatch"], f["n_agree_nonmatch"]) == (4, 1)
+    assert abs(f["m"] - 0.75) < 1e-15 and abs(f["u"] - 0.25) < 1e-15
+    assert abs(f["fs_weight"] - 9.0) < 1e-12
+    g = rows["g"]
+    assert g["n_agree_nonmatch"] == 0 and g["fs_weight"] is None
