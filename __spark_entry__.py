@@ -4296,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty_incremental": _doc_novelty_incremental,
         "revenue_haar_energy": _revenue_haar_energy,
         "customer_fs_weights": _customer_fs_weights,
+        "price_jenks_classes": _price_jenks_classes,
     }
     out = {k: base[k] for k in _R10_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -12951,6 +12952,99 @@ ORDER BY n_members DESC, community ASC
             FROM melted
             ORDER BY field
         """,
+        # Fisher–Jenks: every DP cell and the backtrack replayed in
+        # two recursive CTEs over value-aligned HUGEINT prefix lists;
+        # first-occurrence list_position mirrors the strict-< tie-break.
+        "price_jenks_classes": r"""
+            WITH RECURSIVE pts AS (
+              SELECT CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT)
+                         AS v,
+                     CAST(COUNT(*) AS HUGEINT) AS c
+              FROM lineitem GROUP BY 1
+            ), arrs AS (
+              SELECT list(v ORDER BY v) AS vs,
+                     list(c ORDER BY v) AS cs
+              FROM pts
+            ), pre AS (
+              SELECT vs, len(vs) AS m,
+                     [CAST(0 AS HUGEINT)] ||
+                       [list_aggregate(cs[1:i], 'sum')
+                        FOR i IN range(1, len(cs)+1)] AS pw,
+                     [CAST(0 AS HUGEINT)] ||
+                       [list_aggregate([cs[x]*vs[x]
+                                        FOR x IN range(1, i+1)],
+                                       'sum')
+                        FOR i IN range(1, len(cs)+1)] AS ps,
+                     [CAST(0 AS HUGEINT)] ||
+                       [list_aggregate([cs[x]*vs[x]*vs[x]
+                                        FOR x IN range(1, i+1)],
+                                       'sum')
+                        FOR i IN range(1, len(cs)+1)] AS pq
+              FROM arrs
+            ), dp AS (
+              SELECT 1 AS j,
+                     [((pw[i+1]-pw[1])*(pq[i+1]-pq[1])
+                       - (ps[i+1]-ps[1])*(ps[i+1]-ps[1]))
+                        // (pw[i+1]-pw[1])
+                      FOR i IN range(1, m+1)] AS d,
+                     CAST(NULL AS BIGINT[]) AS a
+              FROM pre
+              UNION ALL
+              SELECT j + 1,
+                     [CASE WHEN e >= j + 1 THEN
+                        list_aggregate(
+                          [dp.d[t]
+                           + ((p.pw[e+1]-p.pw[t+1])
+                              * (p.pq[e+1]-p.pq[t+1])
+                              - (p.ps[e+1]-p.ps[t+1])
+                                * (p.ps[e+1]-p.ps[t+1]))
+                             // (p.pw[e+1]-p.pw[t+1])
+                           FOR t IN range(j, e)], 'min')
+                      END FOR e IN range(1, p.m+1)] AS d,
+                     [CASE WHEN e >= j + 1 THEN
+                        CAST(j - 1 + list_position(
+                          [dp.d[t]
+                           + ((p.pw[e+1]-p.pw[t+1])
+                              * (p.pq[e+1]-p.pq[t+1])
+                              - (p.ps[e+1]-p.ps[t+1])
+                                * (p.ps[e+1]-p.ps[t+1]))
+                             // (p.pw[e+1]-p.pw[t+1])
+                           FOR t IN range(j, e)],
+                          list_aggregate(
+                          [dp.d[t]
+                           + ((p.pw[e+1]-p.pw[t+1])
+                              * (p.pq[e+1]-p.pq[t+1])
+                              - (p.ps[e+1]-p.ps[t+1])
+                                * (p.ps[e+1]-p.ps[t+1]))
+                             // (p.pw[e+1]-p.pw[t+1])
+                           FOR t IN range(j, e)], 'min'))
+                          AS BIGINT)
+                      END FOR e IN range(1, p.m+1)] AS a
+              FROM dp, pre p WHERE j < 5
+            ), bt AS (
+              SELECT 5 AS j, (SELECT m FROM pre) AS e,
+                     (SELECT a FROM dp WHERE j = 5)
+                       [(SELECT m FROM pre)] AS t
+              UNION ALL
+              SELECT bt.j - 1, CAST(bt.t AS BIGINT),
+                     CASE WHEN bt.j - 1 >= 2
+                          THEN (SELECT a FROM dp
+                                WHERE j = bt.j - 1)[bt.t]
+                          ELSE 0 END
+              FROM bt WHERE bt.j > 1
+            )
+            SELECT CAST(j AS BIGINT) AS class,
+                   p.vs[CAST(t AS BIGINT) + 1] AS lo,
+                   p.vs[e] AS hi,
+                   CAST(e - t AS BIGINT) AS n_values,
+                   CAST(p.pw[e+1] - p.pw[t+1] AS BIGINT) AS n_rows,
+                   CAST(((p.pw[e+1]-p.pw[t+1])
+                         * (p.pq[e+1]-p.pq[t+1])
+                         - (p.ps[e+1]-p.ps[t+1])
+                           * (p.ps[e+1]-p.ps[t+1]))
+                        // (p.pw[e+1]-p.pw[t+1]) AS BIGINT) AS cost
+            FROM bt, pre p
+        """,
     }
 
 
@@ -17951,3 +18045,22 @@ def _customer_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
     return linkage.fellegi_sunter_weights(
         matched, nonmatched, ["acctbal_close", "nation_eq", "segment_eq"]
     )
+
+
+def _price_jenks_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """Fisher–Jenks natural price tiers (r10): the variance-optimal
+    5-class partition of lineitem price at the 1000-unit value grain
+    (profile.jenks_breaks — exact integer prefix sums, floor-quantized
+    segment SSE, deterministic first-min tie-break; O(m²k) DP over the
+    ~105-value grain by bounded contract). Completes the binning
+    family: `price_histogram` is equal-width, `price_quantile_bins`
+    equal-frequency, THIS is variance-optimal. The oracle replays
+    every DP cell and the backtrack in two recursive CTEs over
+    value-aligned HUGEINT lists (the pagerank device)."""
+    (li,) = _tables(spark, sf, "lineitem")
+    feats = li.select(
+        F.floor(F.col("l_extendedprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("pb")
+    )
+    return profile.jenks_breaks(feats, "pb", k=5)

@@ -822,3 +822,35 @@ def test_partial_correlation_degenerate_nulls(spark):
     [s] = partial_correlation(collinear, "x", "y", "z").collect()
     assert abs(s["r_xz"] - 1.0) < 1e-12
     assert s["r_xy_given_z"] is None
+
+
+def test_jenks_breaks_matches_bruteforce(spark):
+    """k=3 over 8 weighted values: the DP's breaks and total cost
+    equal exhaustive enumeration (classes {1..7}, {20,21}, {40};
+    total floor-cost 49); k ≥ distinct values degenerates to
+    singleton zero-cost classes; the value-cardinality bound raises
+    loudly."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        jenks_breaks,
+    )
+
+    rows = []
+    for v, c in [(1, 3), (2, 1), (5, 2), (6, 2), (7, 1), (20, 4),
+                 (21, 1), (40, 2)]:
+        rows += [(v,)] * c
+    df = spark.createDataFrame(rows, "v long")
+    got = {r["class"]: r for r in jenks_breaks(df, "v", k=3).collect()}
+    assert (got[1]["lo"], got[1]["hi"]) == (1, 7)
+    assert (got[2]["lo"], got[2]["hi"]) == (20, 21)
+    assert (got[3]["lo"], got[3]["hi"]) == (40, 40)
+    assert sum(r["cost"] for r in got.values()) == 49
+    assert got[1]["n_rows"] == 9 and got[2]["n_rows"] == 5
+
+    singles = jenks_breaks(df, "v", k=10).collect()
+    assert len(singles) == 8
+    assert all(r["cost"] == 0 for r in singles)
+
+    with _pytest.raises(ValueError, match="max_values"):
+        jenks_breaks(df, "v", k=3, max_values=4)
