@@ -13020,11 +13020,18 @@ ORDER BY n_members DESC, community ASC
                            FOR t IN range(j, e)], 'min'))
                           AS BIGINT)
                       END FOR e IN range(1, p.m+1)] AS a
-              FROM dp, pre p WHERE j < 5
+              -- kk = LEAST(5, m): fewer distinct values than classes
+              -- degrades to m singleton classes, like the operator
+              FROM dp, pre p WHERE j < (SELECT LEAST(5, m) FROM pre)
             ), bt AS (
-              SELECT 5 AS j, (SELECT m FROM pre) AS e,
-                     (SELECT a FROM dp WHERE j = 5)
-                       [(SELECT m FROM pre)] AS t
+              SELECT (SELECT LEAST(5, m) FROM pre) AS j,
+                     (SELECT m FROM pre) AS e,
+                     CASE WHEN (SELECT LEAST(5, m) FROM pre) > 1
+                          THEN (SELECT a FROM dp
+                                WHERE j = (SELECT LEAST(5, m)
+                                           FROM pre))
+                               [(SELECT m FROM pre)]
+                          ELSE 0 END AS t
               UNION ALL
               SELECT bt.j - 1, CAST(bt.t AS BIGINT),
                      CASE WHEN bt.j - 1 >= 2

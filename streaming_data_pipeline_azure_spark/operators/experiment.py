@@ -1370,7 +1370,19 @@ def friedman_test(
             "__dups"
         ),
     ).collect()[0]
-    if shape["__kvals"] != 1 or shape["__dups"] != 0:
+    # identity, not just count: every block must carry the SAME k
+    # treatments — per-block k distinct + GLOBAL distinct == k forces
+    # set equality (blocks {T1,T2} and {T2,T3} share counts but fail
+    # the global check). Input is cell-grain by contract, so the
+    # extra bounded action is cheap.
+    n_treat = rows.agg(
+        F.countDistinct("__t").alias("__g")
+    ).collect()[0]["__g"]
+    if (
+        shape["__kvals"] != 1
+        or shape["__dups"] != 0
+        or int(n_treat) != int(shape["__k"])
+    ):
         raise ValueError(
             "friedman_test requires a complete design: exactly one row"
             " per (block, treatment) and every block covering the same"
@@ -1452,9 +1464,11 @@ def qini_curve(
     each bin reporting the largest value-grain prefix with
     cum ≤ ⌊b·N/n_bins⌋; counts are exact integers; qini and the
     random-diagonal baseline leave integers through single-division
-    doubles. Returns n_bins rows: (bin, n_prefix, nt, nc, yt, yc,
-    qini, qini_random); qini is NULL while the prefix holds no
-    control units.
+    doubles. Returns AT MOST n_bins rows — (bin, n_prefix, nt, nc,
+    yt, yc, qini, qini_random) — a bin whose boundary falls inside
+    the first tie-run has NO qualifying value-grain prefix and is
+    absent (consumers joining on a 1..n_bins grid must outer-join);
+    qini is NULL while the prefix holds no control units.
 
     Contract: integer-valued ``score_col`` (pre-quantize — the
     ordering window runs at distinct-score grain and must be

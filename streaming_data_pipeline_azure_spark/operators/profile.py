@@ -1787,7 +1787,9 @@ def jenks_breaks(
     loudly — the DP is O(m²k) driver-side over the collected
     value-grain stats, a bounded contract like the whitening eigh;
     the VALUE GRAIN, not the row count, is what must be small).
-    Returns k rows: (class, lo, hi, n_values, n_rows, cost)."""
+    Returns min(k, m) rows — fewer distinct values than classes
+    degrades to m singleton zero-cost classes —
+    (class, lo, hi, n_values, n_rows, cost)."""
     pts = (
         df.groupBy(F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))

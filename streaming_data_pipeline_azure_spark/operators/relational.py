@@ -84,9 +84,23 @@ def unpivot(df: DataFrame, id_cols: list[str], value_cols: list[str],
     scale; the declarative twin of pandas' melt for feeding
     metric-generic downstream operators (per-metric aggregation,
     long-format exports). Values are cast to double (stack requires a
-    common type across the stacked columns)."""
+    common type across the stacked columns).
+
+    The stack() expression is assembled from names, so labels are
+    quote-escaped and column refs backtick-escaped; the two OUTPUT
+    names must be plain identifiers (raises otherwise) — they land
+    unquoted in the AS clause."""
+    for name in (var_name, value_name):
+        if not name.isidentifier():
+            raise ValueError(
+                f"unpivot: output name {name!r} must be a plain"
+                " identifier"
+            )
     pairs = ", ".join(
-        f"'{c}', CAST(`{c}` AS DOUBLE)" for c in value_cols
+        "'{}', CAST(`{}` AS DOUBLE)".format(
+            c.replace("'", "''"), c.replace("`", "``")
+        )
+        for c in value_cols
     )
     stack = F.expr(
         f"stack({len(value_cols)}, {pairs}) AS ({var_name}, {value_name})"

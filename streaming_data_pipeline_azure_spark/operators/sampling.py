@@ -740,7 +740,10 @@ def preference_pairs(
     bucket supports). Buckets with fewer than two items cannot form a
     pair and are absent; a zero margin (all-tied bucket) is kept and
     reported — filtering it is a policy choice that belongs to the
-    caller.
+    caller. NULL-scored items are EXCLUDED before pairing (Spark's
+    ascending rank would otherwise pick a NULL as the 'worst' item —
+    NULLS FIRST — and emit a NULL-margin pair the DuckDB oracle,
+    NULLS LAST, would not), and they do not count toward n_items.
 
     Determinism: ties break on ascending id at BOTH ends (chosen =
     max score then MIN id; rejected = min score then MIN id, with the
@@ -757,7 +760,7 @@ def preference_pairs(
         F.col(bucket_col).alias("bucket"),
         F.col(id_col).alias("__id"),
         F.col(score_col).alias("__s"),
-    )
+    ).filter(F.col("__s").isNotNull())
     w_best = Window.partitionBy("bucket").orderBy(
         F.col("__s").desc(), F.col("__id").asc()
     )

@@ -2528,11 +2528,18 @@ def logrank_test(
         F.col(event_col).cast("long").alias("__e"),
         (g == F.lit(group_a)).cast("long").alias("__a"),
     )
-    pts = rows.groupBy("__t").agg(
-        F.count(F.lit(1)).alias("__r"),
-        F.sum("__a").alias("__ra"),
-        F.sum("__e").alias("__d"),
-        F.sum(F.col("__e") * F.col("__a")).alias("__da"),
+    from ..functions.cache import persist_tracked
+
+    # persist the time grain: the risk-set window, the term fold, and
+    # the size totals all consume it — ONE scan of the fact table
+    # (sizes derive from pts, never a second input scan)
+    pts = persist_tracked(
+        rows.groupBy("__t").agg(
+            F.count(F.lit(1)).alias("__r"),
+            F.sum("__a").alias("__ra"),
+            F.sum("__e").alias("__d"),
+            F.sum(F.col("__e") * F.col("__a")).alias("__da"),
+        )
     )
     # at-risk just before t = everyone whose time >= t
     w = Window.orderBy(F.col("__t").desc()).rowsBetween(
@@ -2594,10 +2601,10 @@ def logrank_test(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sizes = rows.agg(
-        F.sum("__a").cast("long").alias("n_a"),
-        F.sum(1 - F.col("__a")).cast("long").alias("n_b"),
-        F.sum(F.col("__e") * (1 - F.col("__a")))
+    sizes = pts.agg(
+        F.sum("__ra").cast("long").alias("n_a"),
+        F.sum(F.col("__r") - F.col("__ra")).cast("long").alias("n_b"),
+        F.sum(F.col("__d") - F.col("__da"))
         .cast("long")
         .alias("events_b"),
     )

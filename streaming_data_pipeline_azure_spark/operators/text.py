@@ -843,6 +843,66 @@ def msttr(
     )
 
 
+def _kn_pairs(df: DataFrame, text_col: str, id_col: str | None = None):
+    """Adjacent-token pairs (slice + arrays_zip, no self-join), with
+    the doc id carried through when ``id_col`` is given — the shared
+    front half of both Kneser–Ney operators (ONE copy: the exactness
+    contract depends on the expression shape staying identical)."""
+    toks = F.split(normalized_text(text_col), " ")
+    keep = [F.col(id_col)] if id_col else []
+    return (
+        df.select(*keep, toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            *keep,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
+                )
+            ).alias("__p"),
+        )
+        .select(
+            *keep,
+            F.col("__p.w1").alias("w1"),
+            F.col("__p.w2").alias("w2"),
+        )
+    )
+
+
+def _kn_model(pairs: DataFrame):
+    """(big, ctx, fin, nt) count tables of the interpolated-KN bigram
+    model over a pair frame — the shared back half."""
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("__c12").alias("__c1"), F.count(F.lit(1)).alias("__fo")
+    )
+    fin = big.groupBy("w2").agg(F.count(F.lit(1)).alias("__fi"))
+    nt = big.agg(F.count(F.lit(1)).alias("__nt"))
+    return big, ctx, fin, nt
+
+
+def _kn_probability() -> Column:
+    """The exact-rational interpolated-KN probability with D = 3/4,
+    over the ``_kn_model`` column names, as ONE double division:
+    ((4·c12 − 3)·N_t + 3·fanout·fanin) / (4·c1·N_t)."""
+    dec = "decimal(38,0)"
+    return (
+        (
+            (F.lit(4).cast(dec) * F.col("__c12") - 3)
+            * F.col("__nt").cast(dec)
+            + F.lit(3).cast(dec)
+            * F.col("__fo").cast(dec)
+            * F.col("__fi").cast(dec)
+        ).cast("double")
+        / (
+            F.lit(4).cast(dec)
+            * F.col("__c1").cast(dec)
+            * F.col("__nt").cast(dec)
+        ).cast("double")
+    )
+
+
 def kneser_ney_bigrams(
     df: DataFrame,
     *,
@@ -882,53 +942,20 @@ def kneser_ney_bigrams(
     aggregates; fanin/N_t attach by shuffle join on their natural
     keys; the top-k is TakeOrderedAndProject. Model state lives in
     the dataflow — nothing driver-side."""
-    toks = F.split(normalized_text(text_col), " ")
-    pairs = (
-        df.select(toks.alias("__t"))
-        .filter(F.size("__t") >= 2)
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
-                    F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
-                )
-            ).alias("__p")
-        )
-        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-    )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx = big.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fanout")
-    )
-    fin = big.groupBy("w2").agg(F.count(F.lit(1)).alias("fanin"))
-    nt = big.agg(F.count(F.lit(1)).alias("__nt"))
-    dec = "decimal(38,0)"
+    big, ctx, fin, nt = _kn_model(_kn_pairs(df, text_col))
     scored = (
         big.join(ctx, "w1")
         .join(fin, "w2")
         .crossJoin(F.broadcast(nt))
-        .filter(F.col("c1") >= min_context)
+        .filter(F.col("__c1") >= min_context)
         .select(
             "w1",
             "w2",
-            F.col("c12").cast("long").alias("c12"),
-            F.col("c1").cast("long").alias("c1"),
-            F.col("fanout").cast("long").alias("fanout"),
-            F.col("fanin").cast("long").alias("fanin"),
-            (
-                (
-                    (F.lit(4).cast(dec) * F.col("c12") - 3)
-                    * F.col("__nt").cast(dec)
-                    + F.lit(3).cast(dec)
-                    * F.col("fanout").cast(dec)
-                    * F.col("fanin").cast(dec)
-                ).cast("double")
-                / (
-                    F.lit(4).cast(dec)
-                    * F.col("c1").cast(dec)
-                    * F.col("__nt").cast(dec)
-                ).cast("double")
-            ).alias("p_kn"),
+            F.col("__c12").cast("long").alias("c12"),
+            F.col("__c1").cast("long").alias("c1"),
+            F.col("__fo").cast("long").alias("fanout"),
+            F.col("__fi").cast("long").alias("fanin"),
+            _kn_probability().alias("p_kn"),
         )
     )
     return scored.orderBy(
@@ -964,46 +991,8 @@ def kneser_ney_doc_scores(
     on natural keys and one final groupBy(id) serves
     (doc_id, n_transitions, avg_p_kn). Model state lives in the
     dataflow — nothing driver-side."""
-    toks = F.split(normalized_text(text_col), " ")
-    pairs = (
-        df.select(F.col(id_col), toks.alias("__t"))
-        .filter(F.size("__t") >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
-                    F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
-                )
-            ).alias("__p"),
-        )
-        .select(
-            id_col,
-            F.col("__p.w1").alias("w1"),
-            F.col("__p.w2").alias("w2"),
-        )
-    )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
-    ctx = big.groupBy("w1").agg(
-        F.sum("__c12").alias("__c1"), F.count(F.lit(1)).alias("__fo")
-    )
-    fin = big.groupBy("w2").agg(F.count(F.lit(1)).alias("__fi"))
-    nt = big.agg(F.count(F.lit(1)).alias("__nt"))
-    dec = "decimal(38,0)"
-    p = (
-        (
-            (F.lit(4).cast(dec) * F.col("__c12") - 3)
-            * F.col("__nt").cast(dec)
-            + F.lit(3).cast(dec)
-            * F.col("__fo").cast(dec)
-            * F.col("__fi").cast(dec)
-        ).cast("double")
-        / (
-            F.lit(4).cast(dec)
-            * F.col("__c1").cast(dec)
-            * F.col("__nt").cast(dec)
-        ).cast("double")
-    )
+    pairs = _kn_pairs(df, text_col, id_col)
+    big, ctx, fin, nt = _kn_model(pairs.select("w1", "w2"))
     return (
         pairs.join(big, ["w1", "w2"])
         .join(ctx, ["w1"])
@@ -1013,7 +1002,9 @@ def kneser_ney_doc_scores(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_transitions"),
             (
-                F.sum(p.cast("decimal(28,12)")).cast("double")
+                F.sum(_kn_probability().cast("decimal(28,12)")).cast(
+                    "double"
+                )
                 / F.count(F.lit(1)).cast("double")
             ).alias("avg_p_kn"),
         )

@@ -855,3 +855,19 @@ def test_rerandomization_planted_effect_and_null(spark):
         df.repartition(13), "k", "g", "m", "A", "B", n_perm=40
     ).collect()
     assert r2 == r
+
+
+def test_friedman_rejects_non_overlapping_blocks(spark):
+    """Blocks {T1,T2} and {T2,T3} share treatment COUNTS but not
+    IDENTITY — the completeness check must raise, not return a
+    garbage statistic (code-review r10 finding)."""
+    import pytest as _pytest
+
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        friedman_test,
+    )
+
+    rows = [(1, "T1", 5), (1, "T2", 7), (2, "T2", 6), (2, "T3", 8)]
+    df = spark.createDataFrame(rows, "b long, t string, v long")
+    with _pytest.raises(ValueError, match="complete design"):
+        friedman_test(df, "b", "t", "v")

@@ -570,3 +570,21 @@ def test_preference_pairs_hand_case(spark):
     b3 = rows["b3"]
     assert (b3["chosen_id"], b3["rejected_id"]) == (1, 2)
     assert b3["margin"] == 0
+
+
+def test_preference_pairs_excludes_null_scores(spark):
+    """A NULL score must never be picked as the 'rejected' item
+    (Spark ranks NULLS FIRST ascending — the worst item is the lowest
+    NON-NULL score) and does not count toward n_items."""
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        preference_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("b", 1, 9), ("b", 2, 3), ("b", 3, None)],
+        "bucket string, id long, s long",
+    )
+    [r] = preference_pairs(df, "bucket", "id", "s").collect()
+    assert (r["chosen_id"], r["rejected_id"]) == (1, 2)
+    assert r["rejected_score"] == 3 and r["margin"] == 6
+    assert r["n_items"] == 2
