@@ -1156,35 +1156,57 @@ class NoveltyGramIndex:
     (dedup within a gram key keeps the MIN first_id, though duplicates
     cannot arise from the insert-if-absent protocol)."""
 
-    def __init__(self, path: str, *, n: int = 3) -> None:
+    def __init__(self, path: str, *, n: int = 3, n_buckets: int = 64) -> None:
         from streaming_data_pipeline_azure_spark.functions.generations import (
             GenerationalDir,
         )
 
         self.path = path
         self.n = n
+        self.n_buckets = n_buckets
         self._gens = GenerationalDir(path)
         self._params_verified = False
 
+    def _bucket(self, h):
+        # pmod: __h is a signed xxhash64
+        nb = self.n_buckets
+        return ((h % F.lit(nb)) + F.lit(nb)) % F.lit(nb)
+
     def _owners_path(self, spark) -> str:
         return f"{self._gens.gen_path(spark)}/owners"
+
+    def _owners_schema(self) -> str:
+        # explicit schema: an empty (or freshly-reset) partitioned
+        # index has no files to infer from
+        return f"__h long, first_id {self._id_type}, __b int"
+
+    def _read_owners(self, spark) -> DataFrame:
+        return spark.read.schema(self._owners_schema()).parquet(
+            self._owners_path(spark)
+        )
 
     def _check_params(self, spark) -> None:
         if self._params_verified:
             return
         p = spark.read.json(f"{self.path}/params").collect()[0]
-        if int(p["n"]) != int(self.n):
+        self._id_type = p["id_type"]
+        if int(p["n"]) != int(self.n) or int(p["nb"]) != int(
+            self.n_buckets
+        ):
             raise ValueError(
-                f"NoveltyGramIndex width mismatch at {self.path}: index"
-                f" was built with n={int(p['n'])}, instance has"
-                f" n={self.n}; reopen via NoveltyGramIndex.load()"
+                f"NoveltyGramIndex params mismatch at {self.path}:"
+                f" index was built with n={int(p['n'])}/"
+                f"nb={int(p['nb'])}, instance has n={self.n}/"
+                f"nb={self.n_buckets}; reopen via"
+                " NoveltyGramIndex.load()"
             )
         self._params_verified = True
 
     @classmethod
     def load(cls, spark, path: str) -> "NoveltyGramIndex":
         p = spark.read.json(f"{path}/params").collect()[0]
-        idx = cls(path, n=int(p["n"]))
+        idx = cls(path, n=int(p["n"]), n_buckets=int(p["nb"]))
+        idx._id_type = p["id_type"]
         idx._params_verified = True
         return idx
 
@@ -1212,12 +1234,21 @@ class NoveltyGramIndex:
         the batch operator's attribution."""
         spark = corpus.sparkSession
         self._gens.reset(spark)
-        self._doc_hashes(corpus, id_col, text_col).groupBy("__h").agg(
-            F.min(F.col(id_col)).alias("first_id")
-        ).write.mode("overwrite").parquet(f"{self.path}/gen=0/owners")
-        spark.createDataFrame([(int(self.n),)], "n int").coalesce(
-            1
-        ).write.mode("overwrite").json(f"{self.path}/params")
+        owners = self._doc_hashes(corpus, id_col, text_col).groupBy(
+            "__h"
+        ).agg(F.min(F.col(id_col)).alias("first_id")).withColumn(
+            "__b", self._bucket(F.col("__h"))
+        )
+        self._id_type = owners.schema["first_id"].dataType.simpleString()
+        owners.write.mode("overwrite").partitionBy("__b").parquet(
+            f"{self.path}/gen=0/owners"
+        )
+        spark.createDataFrame(
+            [(int(self.n), int(self.n_buckets), self._id_type)],
+            "n int, nb int, id_type string",
+        ).coalesce(1).write.mode("overwrite").json(
+            f"{self.path}/params"
+        )
         self._params_verified = True
 
     def probe_and_fold(
@@ -1238,7 +1269,19 @@ class NoveltyGramIndex:
         spark = batch.sparkSession
         self._check_params(spark)
         grams = self._doc_hashes(batch, id_col, text_col).localCheckpoint()
-        owners = spark.read.parquet(self._owners_path(spark))
+        # partition pruning: a micro-batch touches few hash buckets,
+        # so the owners scan skips whole bucket directories (the
+        # SCALING ladder's owners-scan lever — large batches hit every
+        # bucket and degrade to the full scan, stated there)
+        buckets = [
+            r["__b"]
+            for r in grams.select(
+                self._bucket(F.col("__h")).alias("__b")
+            )
+            .distinct()
+            .collect()
+        ]
+        owners = self._pruned_owners(spark, buckets)
         delta_hashes = grams.select("__h").distinct()
         matched = owners.join(
             F.broadcast(delta_hashes), "__h", "semi"
@@ -1271,11 +1314,25 @@ class NoveltyGramIndex:
             .localCheckpoint()
         )
         if not new.isEmpty():
-            new.write.mode("append").parquet(self._owners_path(spark))
+            new.withColumn(
+                "__b", self._bucket(F.col("__h"))
+            ).write.mode("append").partitionBy("__b").parquet(
+                self._owners_path(spark)
+            )
         return stats
 
+    def _pruned_owners(self, spark, buckets: list[int]) -> DataFrame:
+        """The owners scan restricted to the given hash buckets —
+        partition-pruned (plan-tested), columns (__h, first_id)."""
+        return (
+            self._read_owners(spark)
+            .filter(F.col("__b").isin([int(b) for b in buckets]))
+            .select("__h", "first_id")
+        )
+
     def stats(self, spark) -> dict:
-        owners = spark.read.parquet(self._owners_path(spark))
+        self._check_params(spark)
+        owners = self._read_owners(spark)
         return {
             "generation": self._gens.current_gen(spark),
             "n_grams": owners.count(),
@@ -1286,17 +1343,16 @@ class NoveltyGramIndex:
         """Re-layout into generation G+1 via the shared crash-safe
         stage → marker-commit → GC swap (MIN first_id per hash, a
         no-op dedup under the insert-if-absent protocol)."""
+        self._check_params(spark)
         nxt = self._gens.current_gen(spark) + 1
         live = (
-            spark.read.parquet(self._owners_path(spark))
+            self._read_owners(spark)
             .groupBy("__h")
             .agg(F.min("first_id").alias("first_id"))
+            .withColumn("__b", self._bucket(F.col("__h")))
         )
-        n = target_files or max(
-            1, spark.sparkContext.defaultParallelism // 4
-        )
-        live.repartition(n).write.mode("overwrite").parquet(
-            f"{self.path}/gen={nxt}/owners"
-        )
+        live.repartition("__b").write.mode("overwrite").partitionBy(
+            "__b"
+        ).parquet(f"{self.path}/gen={nxt}/owners")
         self._gens.commit(spark, nxt)
         self._gens.gc_below(spark, keep=nxt)

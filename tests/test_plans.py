@@ -924,3 +924,30 @@ def test_preference_pairs_windows_stay_bucket_partitioned(spark, sf_dir):
     assert "Window" in plan, plan
     assert re.search(r"Window .*partitionBy", plan.replace("\n", " ")) or \
         "hashpartitioning(bucket" in plan, plan
+
+
+def test_novelty_probe_prunes_owner_buckets(spark, tmp_path):
+    """NoveltyGramIndex probe: a micro-batch touching few hash buckets
+    must read ONLY those buckets' partitions (PartitionFilters on __b
+    in the owners scan) — the SCALING §12 owners-scan lever."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        NoveltyGramIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"corpus document number {i} about topic {i % 7} plus "
+             f"filler words {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    idx = NoveltyGramIndex(str(tmp_path / "novidx"), n=3, n_buckets=64)
+    idx.build(docs, "doc_id", "text")
+
+    pruned = idx._pruned_owners(spark, [3, 17])
+    plan = physical_plan(pruned)
+    # the bucket predicate must reach the scan as a PARTITION filter
+    # (directory-level pruning), not a post-scan Filter node
+    assert re.search(r"PartitionFilters: \[.*__b", plan), plan
+    # and the pruned read is a strict subset of the ownership rows
+    # (inputFiles() reports the unpruned listing, so row counts are
+    # the observable)
+    assert 0 < pruned.count() < idx.stats(spark)["n_grams"]
