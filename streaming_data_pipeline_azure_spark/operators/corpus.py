@@ -557,35 +557,60 @@ class GramCorpusIndex:
     many docs), so per-doc tombstones do not apply — takedown of span
     history is a rebuild."""
 
-    def __init__(self, path: str, *, n: int = 5) -> None:
+    def __init__(self, path: str, *, n: int = 5, n_buckets: int = 64) -> None:
         from streaming_data_pipeline_azure_spark.functions.generations import (
             GenerationalDir,
         )
 
         self.path = path
         self.n = n
+        self.n_buckets = n_buckets
         self._gens = GenerationalDir(path)
         self._params_verified = False
 
     def _grams_path(self, spark) -> str:
         return f"{self._gens.gen_path(spark)}/grams"
 
+    def _bucket(self, h):
+        # pmod: __h is a signed xxhash64
+        nb = self.n_buckets
+        return ((h % F.lit(nb)) + F.lit(nb)) % F.lit(nb)
+
+    def _read_grams(self, spark) -> DataFrame:
+        # explicit schema: an empty partitioned index has no files to
+        # infer from
+        return spark.read.schema("__h long, __b int").parquet(
+            self._grams_path(spark)
+        )
+
+    def _pruned_grams(self, spark, buckets: list[int]) -> DataFrame:
+        """The membership scan restricted to the given hash buckets —
+        directory-level partition pruning (plan-tested); column __h."""
+        return (
+            self._read_grams(spark)
+            .filter(F.col("__b").isin([int(b) for b in buckets]))
+            .select("__h")
+        )
+
     def _check_params(self, spark) -> None:
         if self._params_verified:
             return
         p = spark.read.json(f"{self.path}/params").collect()[0]
-        if int(p["n"]) != int(self.n):
+        if int(p["n"]) != int(self.n) or int(p["nb"]) != int(
+            self.n_buckets
+        ):
             raise ValueError(
-                f"GramCorpusIndex width mismatch at {self.path}: index "
-                f"was built with n={int(p['n'])}, instance has n={self.n}; "
-                f"reopen via GramCorpusIndex.load()"
+                f"GramCorpusIndex width mismatch at {self.path}: index"
+                f" was built with n={int(p['n'])}/nb={int(p['nb'])},"
+                f" instance has n={self.n}/nb={self.n_buckets};"
+                " reopen via GramCorpusIndex.load()"
             )
         self._params_verified = True
 
     @classmethod
     def load(cls, spark, path: str) -> "GramCorpusIndex":
         p = spark.read.json(f"{path}/params").collect()[0]
-        idx = cls(path, n=int(p["n"]))
+        idx = cls(path, n=int(p["n"]), n_buckets=int(p["nb"]))
         idx._params_verified = True
         return idx
 
@@ -600,12 +625,16 @@ class GramCorpusIndex:
         """Index an existing corpus (its single full scan, ever)."""
         spark = corpus.sparkSession
         self._gens.reset(spark)
-        self._hashes(corpus, id_col, text_col).write.mode(
-            "overwrite"
-        ).parquet(f"{self.path}/gen=0/grams")
-        spark.createDataFrame([(int(self.n),)], "n int").coalesce(
-            1
-        ).write.mode("overwrite").json(f"{self.path}/params")
+        self._hashes(corpus, id_col, text_col).withColumn(
+            "__b", self._bucket(F.col("__h"))
+        ).write.mode("overwrite").partitionBy("__b").parquet(
+            f"{self.path}/gen=0/grams"
+        )
+        spark.createDataFrame(
+            [(int(self.n), int(self.n_buckets))], "n int, nb int"
+        ).coalesce(1).write.mode("overwrite").json(
+            f"{self.path}/params"
+        )
         self._params_verified = True
 
     def scrub(
@@ -628,7 +657,19 @@ class GramCorpusIndex:
         # query boundary (release_caches), not before the plan runs
         grams = persist_tracked(grams)
         delta_hashes = grams.select("__h").distinct()
-        matched = spark.read.parquet(self._grams_path(spark)).join(
+        # partition pruning (r10, the NoveltyGramIndex lever): a
+        # micro-batch touches few hash buckets, so the membership scan
+        # skips whole bucket directories; large batches hit every
+        # bucket and degrade to the full scan
+        buckets = [
+            r["__b"]
+            for r in delta_hashes.select(
+                self._bucket(F.col("__h")).alias("__b")
+            )
+            .distinct()
+            .collect()
+        ]
+        matched = self._pruned_grams(spark, buckets).join(
             F.broadcast(delta_hashes), "__h", "semi"
         )
         bad_windows = grams.join(F.broadcast(matched), "__h", "semi").select(
@@ -647,12 +688,15 @@ class GramCorpusIndex:
         harmless for membership and collapses at the next compact."""
         spark = accepted.sparkSession
         self._check_params(spark)
-        self._hashes(accepted, id_col, text_col).write.mode(
-            "append"
-        ).parquet(self._grams_path(spark))
+        self._hashes(accepted, id_col, text_col).withColumn(
+            "__b", self._bucket(F.col("__h"))
+        ).write.mode("append").partitionBy("__b").parquet(
+            self._grams_path(spark)
+        )
 
     def stats(self, spark) -> dict:
-        grams = spark.read.parquet(self._grams_path(spark))
+        self._check_params(spark)
+        grams = self._read_grams(spark).select("__h")
         return {
             "generation": self._gens.current_gen(spark),
             "n_grams": grams.count(),
@@ -662,13 +706,19 @@ class GramCorpusIndex:
 
     def compact(self, spark, target_files: int | None = None) -> None:
         """Re-distinct and re-layout into generation G+1 via the shared
-        crash-safe stage → marker-commit → GC swap."""
+        crash-safe stage → marker-commit → GC swap (bucketed layout
+        preserved)."""
+        self._check_params(spark)
         nxt = self._gens.current_gen(spark) + 1
-        live = spark.read.parquet(self._grams_path(spark)).distinct()
-        n = target_files or max(1, spark.sparkContext.defaultParallelism // 4)
-        live.repartition(n).write.mode("overwrite").parquet(
-            f"{self.path}/gen={nxt}/grams"
+        live = (
+            self._read_grams(spark)
+            .select("__h")
+            .distinct()
+            .withColumn("__b", self._bucket(F.col("__h")))
         )
+        live.repartition("__b").write.mode("overwrite").partitionBy(
+            "__b"
+        ).parquet(f"{self.path}/gen={nxt}/grams")
         self._gens.commit(spark, nxt)
         self._gens.gc_below(spark, keep=nxt)
 

@@ -951,3 +951,24 @@ def test_novelty_probe_prunes_owner_buckets(spark, tmp_path):
     # (inputFiles() reports the unpruned listing, so row counts are
     # the observable)
     assert 0 < pruned.count() < idx.stats(spark)["n_grams"]
+
+
+def test_gram_index_scrub_prunes_buckets(spark, tmp_path):
+    """GramCorpusIndex: the membership scan of a small delta probe
+    must carry a PartitionFilter on the hash bucket (directory-level
+    pruning — the NoveltyGramIndex lever, shared by the family)."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        GramCorpusIndex,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"gram corpus doc {i} topic {i % 5} filler words here "
+             f"and more text {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    idx = GramCorpusIndex(str(tmp_path / "gidx"), n=5, n_buckets=64)
+    idx.build(docs, "doc_id", "text")
+    pruned = idx._pruned_grams(spark, [5, 9])
+    plan = physical_plan(pruned)
+    assert re.search(r"PartitionFilters: \[.*__b", plan), plan
+    assert 0 <= pruned.count() < idx.stats(spark)["n_grams"]
