@@ -487,3 +487,120 @@ def test_bottomk_merge_parity_any_slicing(spark, n, k, n_slices):
     )
     assert merged == direct
     assert len(direct) == min(n, k)
+
+
+group_vals = st.lists(
+    st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 50)),
+    min_size=4,
+    max_size=24,
+)
+
+
+@SETTINGS
+@given(rows=group_vals)
+def test_anova_invariants(spark, rows):
+    """SSB, SSW ≥ 0 (up to fold ulps), F ≥ 0 when defined, eta² in
+    [0,1], and SSB+SSW equals the direct total sum of squares."""
+    from streaming_data_pipeline_azure_spark.operators.experiment import (
+        anova_oneway,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    [r] = anova_oneway(df, "g", "v").collect()
+    assert r["ssb"] >= -1e-6 and r["ssw"] >= -1e-6
+    if r["f_stat"] is not None:
+        assert r["f_stat"] >= 0.0
+    if r["eta2"] is not None:
+        assert -1e-12 <= r["eta2"] <= 1.0 + 1e-12
+    vals = [v for _, v in rows]
+    mean = sum(vals) / len(vals)
+    sst = sum((v - mean) ** 2 for v in vals)
+    assert abs((r["ssb"] + r["ssw"]) - sst) < 1e-6 * max(1.0, sst)
+
+
+@SETTINGS
+@given(rows=group_vals)
+def test_partial_correlation_bounds(spark, rows):
+    """Every reported correlation (marginal and partial) lies in
+    [−1, 1] up to IEEE ulps, for arbitrary integer triples."""
+    from streaming_data_pipeline_azure_spark.operators.profile import (
+        partial_correlation,
+    )
+
+    trip = [(v, (v * 3 + i) % 17, (i * 7) % 11)
+            for i, (_, v) in enumerate(rows)]
+    df = spark.createDataFrame(trip, "x long, y long, z long")
+    [r] = partial_correlation(df, "x", "y", "z").collect()
+    for c in ("r_xy", "r_xz", "r_yz", "r_xy_given_z"):
+        if r[c] is not None:
+            assert -1.0 - 1e-9 <= r[c] <= 1.0 + 1e-9
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=2, max_size=40),
+)
+def test_haar_energy_conservation(spark, vals):
+    """Parseval for the unnormalized transform: Σ_level 2^level·E_level
+    + 2^k·(top approx)² = 2^k·Σv² over the dyadic prefix — checked via
+    the exact integer energies the operator publishes."""
+    import datetime as _dt
+
+    from streaming_data_pipeline_azure_spark.operators.temporal import (
+        haar_energy,
+    )
+
+    d0 = _dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(d0 + _dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+        "d date, v long",
+    )
+    rows = haar_energy(df, "d", "v").collect()
+    k = len(rows)
+    m = 1 << k
+    prefix = vals[:m]
+    # unnormalized Parseval: m·Σv² = Σ_l 2^(l-1)·... derive directly:
+    # at each level, Σ s² + Σ d² = 2·Σ (inputs)², so unrolling gives
+    # 2^k Σv² = (Σ_{l=1..k} 2^(k-l)·E_l) + (top approx)²
+    top = sum(prefix)
+    lhs = (2 ** k) * sum(v * v for v in prefix)
+    rhs = sum((2 ** (k - r["level"])) * int(r["energy"]) for r in rows)
+    rhs += top * top
+    assert lhs == rhs
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["b1", "b2"]),
+            st.integers(0, 9999),
+            st.integers(0, 1000),
+        ),
+        min_size=0,
+        max_size=16,
+    )
+)
+def test_preference_pairs_invariants(spark, rows):
+    """margin ≥ 0 always; chosen ≠ rejected; every returned bucket has
+    ≥2 items; chosen score is the bucket max and rejected ≤ every
+    other member's score."""
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        preference_pairs,
+    )
+
+    uniq = {(b, i): s for b, i, s in rows}
+    data = [(b, i, s) for (b, i), s in uniq.items()]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "bucket string, id long, s long")
+    out = preference_pairs(df, "bucket", "id", "s").collect()
+    by_bucket: dict = {}
+    for b, i, s in data:
+        by_bucket.setdefault(b, []).append((i, s))
+    for r in out:
+        members = by_bucket[r["bucket"]]
+        assert len(members) >= 2
+        assert r["margin"] >= 0
+        assert r["chosen_id"] != r["rejected_id"]
+        assert r["chosen_score"] == max(s for _, s in members)
