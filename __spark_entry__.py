@@ -4325,7 +4325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # brand_price_mad_outliers, brand_supplier_diversity,
 # promo_heavy_suppliers, priority_mix_hellinger, price_emd_yearly,
 # neardup_graph_stats, priority_price_jonckheere, ptype_price_kruskal,
-# incremental_priority_topk), then the r10 additions at the dict tail.
+# incremental_priority_topk), then the r10 additions at the dict tail
+# (session 1: none beyond conversions; session 2: the 22-entry wave
+# ptype_price_anova ... price_jenks_classes, all oracle-checked at
+# BOTH sf0.001 and sf0.01 at add time but never driver-checked —
+# they belong AFTER the displaced r7/r9 backlog in the r11 queue).
 _R10_WINDOW = [
     "priority_price_stump",
     "fuzzy_pairs_depth2_stats",
@@ -12366,19 +12370,22 @@ ORDER BY n_members DESC, community ASC
                    END AS r2
             FROM fin2
         """,
-        # Wide→long unpivot: exact decimal sums cast to double, then
-        # a 4-way UNION ALL replays the stack projection.
+        # Wide→long unpivot: exact decimal sums through the VARCHAR
+        # round-trip (DuckDB's direct wide-DECIMAL→DOUBLE is not
+        # correctly rounded past 2^53), then a 4-way UNION ALL
+        # replays the melt.
         "lineitem_unpivot_metrics": r"""
             WITH w AS (
               SELECT l_returnflag,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
-                          AS DOUBLE) AS quantity,
-                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
-                          AS DOUBLE) AS extendedprice,
-                     CAST(SUM(CAST(l_discount AS DECIMAL(18,4)))
-                          AS DOUBLE) AS discount,
-                     CAST(SUM(CAST(l_tax AS DECIMAL(18,4)))
-                          AS DOUBLE) AS tax
+                     CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                          AS VARCHAR) AS DOUBLE) AS quantity,
+                     CAST(CAST(SUM(CAST(l_extendedprice
+                                        AS DECIMAL(18,4)))
+                          AS VARCHAR) AS DOUBLE) AS extendedprice,
+                     CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4)))
+                          AS VARCHAR) AS DOUBLE) AS discount,
+                     CAST(CAST(SUM(CAST(l_tax AS DECIMAL(18,4)))
+                          AS VARCHAR) AS DOUBLE) AS tax
               FROM lineitem GROUP BY 1
             )
             SELECT l_returnflag, 'quantity' AS metric,

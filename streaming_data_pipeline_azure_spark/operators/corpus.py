@@ -596,6 +596,13 @@ class GramCorpusIndex:
         if self._params_verified:
             return
         p = spark.read.json(f"{self.path}/params").collect()[0]
+        pd = p.asDict()
+        if "nb" not in pd:
+            raise ValueError(
+                f"GramCorpusIndex at {self.path} predates the r10"
+                " hash-bucket layout (params has no 'nb'): rebuild()"
+                " the index — there is no in-place migration"
+            )
         if int(p["n"]) != int(self.n) or int(p["nb"]) != int(
             self.n_buckets
         ):
@@ -610,6 +617,11 @@ class GramCorpusIndex:
     @classmethod
     def load(cls, spark, path: str) -> "GramCorpusIndex":
         p = spark.read.json(f"{path}/params").collect()[0]
+        if "nb" not in p.asDict():
+            raise ValueError(
+                f"GramCorpusIndex at {path} predates the r10"
+                " hash-bucket layout: rebuild() the index"
+            )
         idx = cls(path, n=int(p["n"]), n_buckets=int(p["nb"]))
         idx._params_verified = True
         return idx
@@ -704,10 +716,12 @@ class GramCorpusIndex:
             "n_files": len(grams.inputFiles()),
         }
 
-    def compact(self, spark, target_files: int | None = None) -> None:
+    def compact(self, spark) -> None:
         """Re-distinct and re-layout into generation G+1 via the shared
-        crash-safe stage → marker-commit → GC swap (bucketed layout
-        preserved)."""
+        crash-safe stage → marker-commit → GC swap. File count is
+        governed by the bucket layout (≈ one file per non-empty
+        bucket) — the old ``target_files`` knob is gone with the
+        unbucketed layout it controlled."""
         self._check_params(spark)
         nxt = self._gens.current_gen(spark) + 1
         live = (
@@ -1239,6 +1253,11 @@ class NoveltyGramIndex:
         if self._params_verified:
             return
         p = spark.read.json(f"{self.path}/params").collect()[0]
+        if "nb" not in p.asDict():
+            raise ValueError(
+                f"NoveltyGramIndex at {self.path} predates the"
+                " hash-bucket layout: rebuild() the index"
+            )
         self._id_type = p["id_type"]
         if int(p["n"]) != int(self.n) or int(p["nb"]) != int(
             self.n_buckets
@@ -1389,10 +1408,11 @@ class NoveltyGramIndex:
             "n_files": len(owners.inputFiles()),
         }
 
-    def compact(self, spark, target_files: int | None = None) -> None:
+    def compact(self, spark) -> None:
         """Re-layout into generation G+1 via the shared crash-safe
         stage → marker-commit → GC swap (MIN first_id per hash, a
-        no-op dedup under the insert-if-absent protocol)."""
+        no-op dedup under the insert-if-absent protocol; file count
+        is governed by the bucket layout)."""
         self._check_params(spark)
         nxt = self._gens.current_gen(spark) + 1
         live = (

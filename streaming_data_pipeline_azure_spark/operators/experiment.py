@@ -1586,6 +1586,10 @@ def cochran_armitage(
     positives, t_num, var_core, z2); z2 NULL when the outcome or the
     scores are constant (R∈{0,N} or V'=0). Raises on rows whose group
     is not in ``ordered_groups`` (silent drop would bias the trend)."""
+    if len(ordered_groups) < 2:
+        raise ValueError(
+            "cochran_armitage needs at least 2 ordered groups"
+        )
     order_map = {g: i for i, g in enumerate(ordered_groups)}
     g = F.col(group_col)
     w = None

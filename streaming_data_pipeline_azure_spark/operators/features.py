@@ -595,35 +595,33 @@ def two_factor_ols(
 ) -> DataFrame:
     """Two-feature OLS by closed-form normal equations — distributed
     multiple regression with ZERO iteration: one scan collects the
-    nine exact sufficient sums, the centered cross-products
-
-        S11 = n·Σx1² − (Σx1)²   S12 = n·Σx1x2 − Σx1·Σx2   ...
-
-    stay exact DECIMAL(38,0), and Cramer's rule finishes on the
-    driver-free 1-row frame:
+    nine exact sufficient sums (DECIMAL(38,0) — safe to ~1e31 rows at
+    the entry grains), and Cramer's rule finishes on the collected
+    1-row frame in ARBITRARY-PRECISION Python integers
 
         b1 = (S1y·S22 − S2y·S12) / (S11·S22 − S12²)
+
+    (the centered cross-products grow as ~n⁴·max|x|²·max|y|² and would
+    overflow any fixed-width decimal — r10 review finding — so the
+    finisher runs where integers cannot overflow; the single-division
+    doubles float(num)/float(den) are the identical two-correct-
+    roundings-plus-IEEE-divide the VARCHAR-round-trip oracle computes,
+    so the result stays bit-identical across engines). The 1-row
+    collect is a bounded contract, like the mahalanobis stats.
 
     Next to :func:`~.profile.grouped_linreg` (one feature, many
     groups) this is the many-features-one-model corner; at 100 TB it
     is the same single map-side-combined aggregation — model fitting
     with the cost profile of a SUM.
 
-    Exactness: integer-valued inputs (pre-quantize — the contract all
-    exact-sufficient-sum operators share); numerators/denominator
-    leave exact decimals through SINGLE-division doubles, so b1/b2
-    are bit-identical across engines; intercept/r² are fixed IEEE
-    expressions over those doubles. Digit bound: |num| ≤
-    ~n²·max|x|·max|x|·max|y|² — under DECIMAL(38,0) through ~1e9 rows
-    at the entry grains; the operator NULLs (does not garbage) on a
-    singular design (det ≤ 0 cannot occur; det = 0 means collinear).
-
+    Contract: integer-valued inputs (pre-quantize). NULL coefficients
+    (never garbage) on a singular design (det = 0 means collinear).
     Returns ONE row: (n, b1, b2, intercept, r2)."""
     dec = "decimal(38,0)"
     y = F.col(y_col).cast(dec)
     x1 = F.col(x1_col).cast(dec)
     x2 = F.col(x2_col).cast(dec)
-    sums = df.agg(
+    row = df.agg(
         F.count(F.lit(1)).cast(dec).alias("__n"),
         F.sum(y).alias("__sy"),
         F.sum(x1).alias("__s1"),
@@ -634,37 +632,33 @@ def two_factor_ols(
         F.sum(x1 * y).alias("__s1y"),
         F.sum(x2 * y).alias("__s2y"),
         F.sum(y * y).alias("__syy"),
-    )
-    n = F.col("__n")
-    c11 = n * F.col("__s11") - F.col("__s1") * F.col("__s1")
-    c22 = n * F.col("__s22") - F.col("__s2") * F.col("__s2")
-    c12 = n * F.col("__s12") - F.col("__s1") * F.col("__s2")
-    c1y = n * F.col("__s1y") - F.col("__s1") * F.col("__sy")
-    c2y = n * F.col("__s2y") - F.col("__s2") * F.col("__sy")
-    cyy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    ).collect()[0]
+    n = int(row["__n"])
+    sy, s1, s2 = int(row["__sy"]), int(row["__s1"]), int(row["__s2"])
+    s11, s22, s12 = int(row["__s11"]), int(row["__s22"]), int(row["__s12"])
+    s1y, s2y, syy = int(row["__s1y"]), int(row["__s2y"]), int(row["__syy"])
+    c11 = n * s11 - s1 * s1
+    c22 = n * s22 - s2 * s2
+    c12 = n * s12 - s1 * s2
+    c1y = n * s1y - s1 * sy
+    c2y = n * s2y - s2 * sy
+    cyy = n * syy - sy * sy
     det = c11 * c22 - c12 * c12
-    b1 = F.when(
-        det != 0,
-        (c1y * c22 - c2y * c12).cast("double") / det.cast("double"),
-    )
-    b2 = F.when(
-        det != 0,
-        (c2y * c11 - c1y * c12).cast("double") / det.cast("double"),
-    )
-    intercept = (
-        F.col("__sy").cast("double")
-        - b1 * F.col("__s1").cast("double")
-        - b2 * F.col("__s2").cast("double")
-    ) / n.cast("double")
-    r2 = F.when(
-        (det != 0) & (cyy > 0),
-        (b1 * c1y.cast("double") + b2 * c2y.cast("double"))
-        / cyy.cast("double"),
-    )
-    return sums.select(
-        n.cast("long").alias("n"),
-        b1.alias("b1"),
-        b2.alias("b2"),
-        intercept.alias("intercept"),
-        r2.alias("r2"),
+    if det != 0:
+        b1 = float(c1y * c22 - c2y * c12) / float(det)
+        b2 = float(c2y * c11 - c1y * c12) / float(det)
+        intercept = (
+            float(sy) - b1 * float(s1) - b2 * float(s2)
+        ) / float(n)
+        r2 = (
+            (b1 * float(c1y) + b2 * float(c2y)) / float(cyy)
+            if cyy > 0
+            else None
+        )
+    else:
+        b1 = b2 = intercept = r2 = None
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, b1, b2, intercept, r2)],
+        "n long, b1 double, b2 double, intercept double, r2 double",
     )

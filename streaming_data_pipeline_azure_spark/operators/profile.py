@@ -1804,6 +1804,11 @@ def jenks_breaks(
         )
     if m == 0 or k < 1:
         raise ValueError("jenks_breaks: empty input or k < 1")
+    if any(r["__v"] is None for r in pts):
+        raise ValueError(
+            "jenks_breaks: value_col contains NULLs — a NULL has no"
+            " class; filter or impute upstream"
+        )
     kk = min(k, m)
     vs = [int(r["__v"]) for r in pts]
     cs = [int(r["__c"]) for r in pts]

@@ -83,26 +83,12 @@ def unpivot(df: DataFrame, id_cols: list[str], value_cols: list[str],
     A pure projection+generate — narrow, no shuffle, survives any
     scale; the declarative twin of pandas' melt for feeding
     metric-generic downstream operators (per-metric aggregation,
-    long-format exports). Values are cast to double (stack requires a
-    common type across the stacked columns).
-
-    The stack() expression is assembled from names, so labels are
-    quote-escaped and column refs backtick-escaped; the two OUTPUT
-    names must be plain identifiers (raises otherwise) — they land
-    unquoted in the AS clause."""
-    for name in (var_name, value_name):
-        if not name.isidentifier():
-            raise ValueError(
-                f"unpivot: output name {name!r} must be a plain"
-                " identifier"
-            )
-    pairs = ", ".join(
-        "'{}', CAST(`{}` AS DOUBLE)".format(
-            c.replace("'", "''"), c.replace("`", "``")
-        )
-        for c in value_cols
+    long-format exports). Values are cast to double first (unpivot
+    requires a common type across the melted columns). Delegates to
+    the built-in ``DataFrame.unpivot`` (same Expand plan, no
+    hand-assembled SQL string to escape — r10 review)."""
+    casted = df.select(
+        *[F.col(c) for c in id_cols],
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
     )
-    stack = F.expr(
-        f"stack({len(value_cols)}, {pairs}) AS ({var_name}, {value_name})"
-    )
-    return df.select(*[F.col(c) for c in id_cols], stack)
+    return casted.unpivot(id_cols, value_cols, var_name, value_name)

@@ -2750,13 +2750,16 @@ def haar_energy(
             "__v",
         )
     )
+    # pin the day-grain window output ONCE: the count and the level-1
+    # filter both read the checkpointed blocks (r10 review: counting
+    # the un-pinned frame re-executed the scan + sort)
+    base = base.localCheckpoint()
     n = base.count()
     if n < 2:
         raise ValueError("haar_energy needs at least 2 observations")
     k = n.bit_length() - 1
     m = 1 << k
-    spark = df.sparkSession
-    cur = base.filter(F.col("__i") < m).localCheckpoint()
+    cur = base.filter(F.col("__i") < m)
     energies = []
     for level in range(1, k + 1):
         pairs = (
