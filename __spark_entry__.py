@@ -3489,17 +3489,42 @@ def _event_pattern_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def _semantic_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup over the embeddings table (r7): cluster-scoped semantic
-    dedup with the same deterministic 8-centroid set as
-    `kmeans_assign_stats`, reporting per-cluster survivor count plus
-    the exact survivor id-sum (pins membership, not just cardinality).
-    threshold=0.4 is the demo point for this near-uniform synthetic
-    corpus (its max within-cluster cosine is ~0.49); real embedding
-    corpora run 0.9+. Every step is SQL-expressible, so unlike the LSH
-    near-dup family this semantic path is fully oracle-checked."""
+    dedup with a deterministic leading-vec_id centroid set, reporting
+    per-cluster survivor count plus the exact survivor id-sum (pins
+    membership, not just cardinality). threshold=0.4 is the demo
+    point for this near-uniform synthetic corpus (its max
+    within-cluster cosine is ~0.49); real embedding corpora run 0.9+.
+    Every step is SQL-expressible, so unlike the LSH near-dup family
+    this semantic path is fully oracle-checked.
+
+    Scale (r10, the VERDICT-r9-#5 auto-scale discipline): the pair
+    volume is Σ|cluster|²/2, so a FIXED centroid count grows
+    quadratically with the corpus (measured 6.4× wall at 10× on k=8 —
+    SCALING §13). The centroid count now scales as
+    max(8, n_vectors DIV 1000) — ~1000-vector clusters, the
+    operator's documented sizing rule — and the centroid set is the
+    BOTTOM-k by the key-pure knuth hash of vec_id (the
+    `bottomk_sample` device): layout-independent coverage of the
+    whole corpus, replayable in any engine. Two falsified designs are
+    on record (SCALING §13): leading-id centroids collapse a grown
+    corpus's clusters onto one id region (30× ran 3.6× the 10× wall),
+    and stride-spaced ids interact with the scaled copies' shifted
+    key ranges to pick few near-identical centroids (10× ballooned
+    to ~200 s, a one-mega-cluster quadratic)."""
     emb = _emb(spark, sf)
+    n_vecs = int(emb.count())
+    k_cents = max(8, n_vecs // 1000)
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        _knuth_u32,
+    )
+
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < 8).collect()
+        for r in emb.orderBy(
+            _knuth_u32(F.col("vec_id")), F.col("vec_id")
+        )
+        .limit(k_cents)
+        .collect()
     ]
     kept = similarity.semantic_dedup(
         emb, "vec_id", "embedding", cents, threshold=0.4
@@ -9309,10 +9334,17 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(COUNT(*) AS DOUBLE) AS avg_cos
             FROM best GROUP BY cid
         """,
-        "semantic_dedup_stats": """
+        "semantic_dedup_stats": f"""
             WITH cents AS (
+                -- centroid count scales with the corpus (r10):
+                -- k = max(8, n DIV 1000); the set is the BOTTOM-k by
+                -- the key-pure knuth hash (layout-independent
+                -- coverage), same rule as the entry
                 SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-                FROM embeddings WHERE vec_id < 8
+                FROM embeddings
+                ORDER BY {_knuth_int_sql('vec_id')}, vec_id
+                LIMIT (SELECT GREATEST(8, COUNT(*) // 1000)
+                       FROM embeddings)
             ), scored AS (
                 SELECT e.vec_id, c.cid,
                        list_aggregate(list_transform(
