@@ -4323,89 +4323,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_fs_weights": _customer_fs_weights,
         "price_jenks_classes": _price_jenks_classes,
     }
-    out = {k: base[k] for k in _R10_WINDOW}
+    out = {k: base[k] for k in _R11_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
 
-# r10 driver window (VERDICT r9 #1/#3): positions 1-5 are the FIVE r9
-# driver hash-reds (priority_price_stump, fuzzy_pairs_depth2_stats,
-# order_hbos_outliers, part_fifo_allocation, orders_checksum) — all
-# root-caused to DECIMAL/HUGEINT output surfaces and cast portable
-# this round (directive #1's done-condition is these five green in
-# CORRECTNESS_r10). Positions 6-50 follow the r9-precomputed
-# oldest-first rotation queue of never-driver-checked entries, with
-# one documented swap: rolling_weekly_p95 (queue #46, also a
-# decimal-surface fix this round) replaces source_blocklist_screen
-# (queue #45) so all three queued decimal entries
-# (event_value_cusum, priority_winsorized_price, rolling_weekly_p95)
-# get their driver row in the same round as the fix.
-#
-# r11 ROTATION QUEUE (precomputed, oldest-first, assuming this window
-# goes driver-green): source_blocklist_screen, user_activity_streaks,
-# revenue_max_drawdown, priority_class_weights, vocab_coverage_stats
-# (the five displaced), then the r7 tail, then the r9 additions
-# (price_quantile_bins_sketch, order_mahalanobis_outliers,
-# price_quantity_kendall_quantized, returnflag_status_cramers_v,
-# brand_price_mad_outliers, brand_supplier_diversity,
-# promo_heavy_suppliers, priority_mix_hellinger, price_emd_yearly,
-# neardup_graph_stats, priority_price_jonckheere, ptype_price_kruskal,
-# incremental_priority_topk), then the r10 additions at the dict tail
-# (session 1: none beyond conversions; session 2: the 22-entry wave
-# ptype_price_anova ... price_jenks_classes, all oracle-checked at
-# BOTH sf0.001 and sf0.01 at add time but never driver-checked —
-# they belong AFTER the displaced r7/r9 backlog in the r11 queue).
-_R10_WINDOW = [
-    "priority_price_stump",
-    "fuzzy_pairs_depth2_stats",
-    "order_hbos_outliers",
-    "part_fifo_allocation",
-    "orders_checksum",
-    "dedup_bag_of_words",
-    "price_benford",
-    "nation_revenue_gini",
-    "segment_loo_encoding",
-    "ptype_feature_hash",
-    "part_price_band_pairs",
-    "click_purchase_xcorr",
-    "lm_dirichlet_search",
-    "lang_balanced_sample",
-    "copurchase_assortativity",
-    "event_value_cusum",
-    "customer_jw_scores",
-    "event_precedence_pairs",
-    "retrieval_rank_agreement",
-    "doc_sentence_dedup",
-    "nation_theilsen_trend",
-    "user_recency_weighted_value",
-    "term_proximity_search",
-    "lang_confusion_matrix",
-    "revenue_holt_forecast",
-    "acctbal_quantile_normalized",
-    "customer_snm_pairs",
-    "price_log2_histogram",
-    "priority_winsorized_price",
-    "user_interevent_stats",
-    "doc_vocab_growth",
-    "contamination_matrix",
-    "search_snippets",
-    "cluster_quality_report",
-    "part_fd_discovery",
-    "triplet_mining",
-    "attribution_time_decay",
-    "encoding_anomaly_report",
-    "passage_bm25_search",
-    "retrieval_ndcg",
-    "rolling_active_users",
-    "weekly_growth_accounting",
-    "user_stickiness",
-    "cohort_ltv",
-    "monthly_fulfillment_p50",
-    "doc_readability",
-    "forecast_conformal_width",
-    "revenue_dow_seasonality",
-    "dedup_savings_report",
-    "rolling_weekly_p95",
+# r11 driver window (VERDICT r10 #1): the precomputed oldest-first
+# rotation queue of never-driver-checked oracle-backed entries,
+# executed EXACTLY as pinned in the r10 comment — positions 1-5 are
+# the five entries displaced from the r10 window by the decimal-fix
+# swap, then the r7 tail, then the start of the r9 additions, in
+# stable queries() dict order. Derivation is mechanical:
+#   never = [k for k in queries() if k in oracle_sql()
+#            and k has no row in any CORRECTNESS_r{1..10}.json]
+#   _R11_WINDOW = never[:50]
+# (verified: the computed list begins source_blocklist_screen ...
+# vocab_coverage_stats exactly as the r10 precomputation said).
+# 35 never-checked entries remain after this window; the r12 queue
+# head is: copurchase_communities, price_quantile_bins_sketch,
+# order_mahalanobis_outliers, price_quantity_kendall_quantized,
+# returnflag_status_cramers_v, brand_price_mad_outliers,
+# brand_supplier_diversity, promo_heavy_suppliers, ... (the rest of
+# the r9 additions, then the r10 session-2 wave, then any r11-new
+# entries at the tail), backfilled to 50 with the oldest driver-green
+# entries (last seen r5/r6) per the mechanical rule above.
+_R11_WINDOW = [
+    "source_blocklist_screen",
+    "user_activity_streaks",
+    "revenue_max_drawdown",
+    "priority_class_weights",
+    "vocab_coverage_stats",
+    "click_purchase_conversions",
+    "stemmed_top_terms",
+    "part_abc_classes",
+    "revenue_naive_backtest",
+    "order_sample_sweep",
+    "spell_suggestions",
+    "rake_keywords",
+    "event_value_percentile_bins",
+    "price_ks_test",
+    "priority_mannwhitney",
+    "code_switch_stats",
+    "interleaved_ranking",
+    "bm25_hard_negatives",
+    "sink_change_feed",
+    "dow_adjusted_anomalies",
+    "ab_cuped_stats",
+    "temporal_split_check",
+    "brand_smoothed_encoding",
+    "retrieval_rbo",
+    "weekly_audience_overlap",
+    "shard_rebalance_report",
+    "brand_price_ks",
+    "discount_price_isotonic",
+    "lang_id_kappa",
+    "channel_shapley",
+    "join_cardinality_audit",
+    "user_event_overdispersion",
+    "price_quantity_spearman",
+    "ab_did_estimate",
+    "customer_key_skew",
+    "brand_trimmed_price",
+    "copurchase_degree_zipf",
+    "standardized_segment_lift",
+    "order_fulfillment_hazard",
+    "lang_id_mcnemar",
+    "copurchase_kcore",
+    "weighted_price_percentiles_sketch",
+    "customer_mondrian_boxes",
+    "multimodal_features",
+    "multimodal_frames",
+    "item_pagerank",
+    "scene_change_stats",
+    "mmr_diverse_topk",
+    "bpe_merges",
+    "textrank_keywords",
 ]
 
 
@@ -12668,13 +12660,16 @@ ORDER BY n_members DESC, community ASC
                    END AS remainder
             FROM det LEFT JOIN seas USING (dow)
         """,
-        # Re-randomization test: knuth draws on kr·B + b (the
-        # bootstrap-CI device), exact per-replicate decimal sums,
-        # add-one-smoothed exact integer p-value.
+        # Re-randomization test: knuth draws on mix64(k)·B + b (the
+        # bootstrap-CI device; mix64 folds the full int64 key — r11,
+        # identity for keys < 2^32), exact per-replicate decimal
+        # sums, add-one-smoothed exact integer p-value.
         "priority_price_rerandomization": f"""
             WITH base AS (
               SELECT ((o_orderkey % 4294967296 + 4294967296)
-                      % 4294967296) AS kr,
+                       % 4294967296
+                      + {_knuth_int_sql('o_orderkey >> 32')})
+                     % 4294967296 AS kr,
                      CASE WHEN o_orderpriority = '1-URGENT'
                           THEN 1 ELSE 0 END AS a,
                      CAST(o_totalprice AS DECIMAL(18,4)) AS m

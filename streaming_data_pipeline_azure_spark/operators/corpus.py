@@ -555,7 +555,15 @@ class GramCorpusIndex:
     few right-sized files via the crash-safe generation swap. Takedown
     note: membership is aggregate information (a gram may come from
     many docs), so per-doc tombstones do not apply — takedown of span
-    history is a rebuild."""
+    history is a rebuild.
+
+    Upgrade note (r11, ADVICE): pre-r10 unbucketed layouts are
+    rejected with a rebuild error BY DESIGN — the index is derived
+    data whose one-shot migration IS :meth:`build` (a single corpus
+    scan, the same cost an in-place gram rewrite would pay, without a
+    second layout-surgery code path to maintain); likewise
+    ``compact(target_files=...)`` was removed rather than deprecated
+    because the bucket layout now governs file count."""
 
     def __init__(self, path: str, *, n: int = 5, n_buckets: int = 64) -> None:
         from streaming_data_pipeline_azure_spark.functions.generations import (

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import _M32, knuth_uniform
+from .sampling import _M32, _knuth_u32, knuth_uniform
 
 
 def assign_variant(
@@ -1355,12 +1355,23 @@ def friedman_test(
     never row count), one k-row finish."""
     from pyspark.sql import Window
 
-    rows = df.select(
-        F.col(block_col).alias("__b"),
-        F.col(treatment_col).alias("__t"),
-        F.col(value_col).alias("__v"),
+    from ..functions.cache import persist_tracked
+
+    rows = persist_tracked(
+        df.select(
+            F.col(block_col).alias("__b"),
+            F.col(treatment_col).alias("__t"),
+            F.col(value_col).alias("__v"),
+        )
     )
-    shape = rows.groupBy("__b").agg(
+    # identity, not just count: every block must carry the SAME k
+    # treatments — per-block k distinct + GLOBAL distinct == k forces
+    # set equality (blocks {T1,T2} and {T2,T3} share counts but fail
+    # the global check). ONE validation action (r11, ADVICE: two
+    # separate collects scanned an unpersisted input twice): both
+    # 1-row aggregates ride the persisted projection and crossJoin
+    # into a single job; the persist also feeds the ranking job below.
+    shape_agg = rows.groupBy("__b").agg(
         F.count(F.lit(1)).alias("__nrows"),
         F.countDistinct("__t").alias("__nt"),
     ).agg(
@@ -1369,15 +1380,10 @@ def friedman_test(
         F.sum((F.col("__nrows") != F.col("__nt")).cast("long")).alias(
             "__dups"
         ),
-    ).collect()[0]
-    # identity, not just count: every block must carry the SAME k
-    # treatments — per-block k distinct + GLOBAL distinct == k forces
-    # set equality (blocks {T1,T2} and {T2,T3} share counts but fail
-    # the global check). Input is cell-grain by contract, so the
-    # extra bounded action is cheap.
-    n_treat = rows.agg(
-        F.countDistinct("__t").alias("__g")
-    ).collect()[0]["__g"]
+    )
+    gl_agg = rows.agg(F.countDistinct("__t").alias("__g"))
+    shape = shape_agg.crossJoin(gl_agg).collect()[0]
+    n_treat = shape["__g"]
     if (
         shape["__kvals"] != 1
         or shape["__dups"] != 0
@@ -1758,8 +1764,14 @@ def rerandomization_test(
     permutation.
 
     Determinism: draw b for unit k is :func:`~.sampling.knuth_uniform`
-    (pmod(k,2³²)·n_perm + b) — key-pure, engine-replayable, no RNG
+    (mix64(k)·n_perm + b) — key-pure, engine-replayable, no RNG
     state (the bootstrap-CI device), so the whole test value-hashes.
+    mix64 folds the FULL int64 key to 32 bits as
+    ``pmod(pmod(k,2³²) + knuth_u32(k >> 32), 2³²)`` (r11, ADVICE:
+    a plain pmod(k,2³²) gave units congruent mod 2³² identical arm
+    draws in every replicate on >32-bit id domains); for keys in
+    [0, 2³²) the high half hashes to 0 and the fold is the identity,
+    so small-domain results are unchanged.
     Metric sums ride exact DECIMAL(18,4) per replicate; each arm mean
     is ONE division; the p-value is the exact integer ratio
     (1 + #{|diff_b| ≥ |observed|}) / (1 + n_valid) (the add-one
@@ -1796,7 +1808,8 @@ def rerandomization_test(
         n_b
     )
     frac = n_a / n
-    kr = ((F.col("__k") % F.lit(_M32)) + F.lit(_M32)) % F.lit(_M32)
+    lo = ((F.col("__k") % F.lit(_M32)) + F.lit(_M32)) % F.lit(_M32)
+    kr = (lo + _knuth_u32(F.shiftright(F.col("__k"), 32))) % F.lit(_M32)
     rep = base.select(
         "__m",
         F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias(

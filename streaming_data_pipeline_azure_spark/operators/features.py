@@ -633,6 +633,19 @@ def two_factor_ols(
         F.sum(x2 * y).alias("__s2y"),
         F.sum(y * y).alias("__syy"),
     ).collect()[0]
+    if int(row["__n"]) == 0:
+        raise ValueError("two_factor_ols: empty input")
+    nulls = [c for c in row.asDict() if row[c] is None]
+    if nulls:
+        raise ValueError(
+            "two_factor_ols: sufficient-statistic sum(s) "
+            f"{sorted(nulls)} came back NULL — either the inputs are "
+            "entirely NULL, or the sum overflowed DECIMAL(38,0) "
+            "(non-ANSI Spark returns NULL on decimal overflow). The "
+            "contract is non-NULL integer-valued inputs small enough "
+            "that the n^2-scale sums fit 38 digits; pre-quantize to a "
+            "coarser grain"
+        )
     n = int(row["__n"])
     sy, s1, s2 = int(row["__sy"]), int(row["__s1"]), int(row["__s2"])
     s11, s22, s12 = int(row["__s11"]), int(row["__s22"]), int(row["__s12"])

@@ -18,6 +18,28 @@ def physical_plan(df: DataFrame) -> str:
     )
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Count WindowExec nodes with an EMPTY partitionSpec in the
+    pre-AQE physical plan — the 100 TB red flag (a global window
+    funnels every row through ONE task). Plan-only: nothing executes.
+    The standing r11 audit gate (VERDICT r10 #4) walks every
+    ``queries()`` entry through this and requires any non-zero count
+    to carry a docstring grain-bound tag."""
+    count = 0
+
+    def visit(node) -> None:
+        nonlocal count
+        name = node.getClass().getSimpleName()
+        if name == "WindowExec" and node.partitionSpec().size() == 0:
+            count += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            visit(ch.apply(i))
+
+    visit(df._jdf.queryExecution().sparkPlan())
+    return count
+
+
 def assert_broadcast_join(df: DataFrame) -> None:
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, f"expected broadcast join:\n{plan}"

@@ -176,6 +176,72 @@ def test_assign_fixed_centroids_planted_and_ties(spark):
     assert "Exchange" not in plan
 
 
+def test_assign_centroids_kernel_parity(spark, sf_dir):
+    """The kernel strategy of assign_fixed_centroids (engaged above
+    MAX_LITERAL_CENTROIDS — VERDICT r10 #2) must be BIT-identical to
+    the literal-expression path the SQL oracle replays: same
+    left-to-right IEEE fold per dimension, same dot/(na*nb) divide,
+    same smallest-cid tie-break. Checked on real sf0.001 embeddings
+    plus hand-built edge rows (exact tie via duplicated centroid,
+    zero vector, zero-norm centroid)."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .limit(40)
+    )
+    dim = len(emb.first()["embedding"])
+    cent_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+    # duplicated centroid vector under a larger cid -> every row scoring
+    # it ties, and the smaller cid must win on BOTH paths
+    cents = cent_rows + [(10_000, list(cent_rows[0][1])), (10_001, [0.0] * dim)]
+    edge = spark.createDataFrame(
+        [(990_000, [0.0] * dim), (990_001, cent_rows[0][1])],
+        "vec_id long, embedding array<double>",
+    )
+    df = emb.unionByName(edge)
+    lit_rows = {
+        r["vec_id"]: r
+        for r in sim.assign_fixed_centroids(df, "embedding", cents).collect()
+    }
+    ker_rows = {
+        r["vec_id"]: r
+        for r in sim.assign_fixed_centroids(
+            df, "embedding", cents, max_literal_centroids=0
+        ).collect()
+    }
+    assert set(lit_rows) == set(ker_rows)
+    for vid, lr in lit_rows.items():
+        kr = ker_rows[vid]
+        assert kr["cluster_id"] == lr["cluster_id"], vid
+        # bit parity: exact double equality, not approx
+        assert kr["score"] == lr["score"], (vid, kr["score"], lr["score"])
+    # ties resolved to the duplicate's SMALLER cid on both paths
+    assert lit_rows[990_001]["cluster_id"] == cent_rows[0][0]
+    assert ker_rows[990_001]["cluster_id"] == cent_rows[0][0]
+
+
+def test_assign_centroids_kernel_guards(spark):
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5)], "vec_id long, embedding array<double>, score int"
+    )
+    with pytest.raises(ValueError, match="score"):
+        sim.assign_fixed_centroids(
+            df, "embedding", cents, max_literal_centroids=0
+        )
+    df2 = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        sim.assign_fixed_centroids(
+            df2, "embedding", [(0, [1.0, 0.0]), (0, [0.0, 1.0])],
+            max_literal_centroids=0,
+        )
+
+
 def test_groupwise_centroids_exact(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [5.0, 6.0])],
