@@ -2000,7 +2000,9 @@ def _priority_sample_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """The priority sample's unbiased total-weight estimator (r5): with
     tau the 101st priority, sum(max(w, tau)) over the top-100 estimates
     the corpus' total order value from 100 rows (Duffield-Lund-Thorup;
-    accuracy pinned by tests)."""
+    accuracy pinned by tests).
+
+    window: grain-bounded — rank over the k=1000 priority sample."""
     (orders,) = _tables(spark, sf, "orders")
     return sampling.priority_sample_estimate(
         orders, "o_orderkey", "o_totalprice", 100
@@ -2084,7 +2086,9 @@ def _hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     cosine top-50 for the vec_id=0 query vector (semantic; doc and
     embedding ids align row-for-row in the testdata) fused by
     reciprocal-rank fusion, top-10 out — the standard two-tower serving
-    composition, built entirely from existing operators."""
+    composition, built entirely from existing operators.
+
+    window: grain-bounded — RRF fusion over two k-bounded candidate lists."""
     lex = search.bm25_topk(
         _docs(spark, sf), ["hash", "join", "spark"], k=50
     )
@@ -2509,7 +2513,9 @@ def _rolling_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
     rolling-metric shape (ROWS BETWEEN 6 PRECEDING) on top of a daily
     pre-aggregate. The window input stays DECIMAL so frame accumulation
     order cannot perturb the double result; the per-day pre-aggregate
-    means the window runs over ~n_days rows, not raw events."""
+    means the window runs over ~n_days rows, not raw events.
+
+    window: grain-bounded — rolling mean over the calendar-day series."""
     from pyspark.sql import Window
 
     daily = (
@@ -2544,7 +2550,9 @@ def _doc_length_deciles(spark: SparkSession, sf: str) -> DataFrame:
     (`_doc_length_deciles_approx`'s machinery — O(1) driver state,
     shuffle-free comparison assignment) takes over, so the sf0.1+
     bench never executes the single-partition sort. The pytest suite
-    bounds the two paths' divergence at the crossover."""
+    bounds the two paths' divergence at the crossover.
+
+    window: grain-bounded — exact ntile BELOW the documented 3000-doc auto-swap bound; GK boundaries take over above."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf)
@@ -2659,7 +2667,9 @@ def _daily_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     bounds come from a scalar aggregate broadcast back (no driver
     collect); the fill window runs over O(days) pre-aggregated rows, not
     raw events, so the unpartitioned window is bounded at any corpus
-    scale."""
+    scale.
+
+    window: grain-bounded — sequence fill over the calendar-day series."""
     from pyspark.sql import Window
 
     daily = (
@@ -3151,7 +3161,9 @@ def _sampled_rank_values(spark: SparkSession, sf: str) -> DataFrame:
     ranks 1/250/500/750/1000 of the sample sorted by (price, key).
     Rank VALUES instead of interpolated percentiles keeps the output
     hash-exact across engines; the single-partition rank window is
-    bounded by k=1000 rows by construction."""
+    bounded by k=1000 rows by construction.
+
+    window: grain-bounded — rank inside the fixed-k deterministic sample."""
     from pyspark.sql import Window
 
     (orders,) = _tables(spark, sf, "orders")
@@ -13098,7 +13110,9 @@ def _orders_in_flight(spark: SparkSession, sf: str) -> DataFrame:
     delta/running-sum sweep line (temporal.interval_concurrency: one
     O(intervals) delta shuffle + an O(days) cumulative window); the
     oracle brute-forces the per-day expansion (generate_series per
-    interval), so the two formulations are independent."""
+    interval), so the two formulations are independent.
+
+    window: grain-bounded — cumulative open/close balance at distinct-day boundary grain."""
     ords, li = _tables(spark, sf, "orders", "lineitem")
     iv = (
         ords.join(li, ords.o_orderkey == li.l_orderkey)
@@ -13188,7 +13202,9 @@ def _part_value_frontier(spark: SparkSession, sf: str) -> DataFrame:
     skyline (batch-local Arrow prefilter + distinct-x window finish,
     skyline.pareto_frontier); the oracle is the O(n²) NOT EXISTS
     dominance anti-join, so the prefilter's losslessness is exactly
-    what the hash checks."""
+    what the hash checks.
+
+    window: grain-bounded — cumulative max over the per-part totals (dimension grain)."""
     (part,) = _tables(spark, sf, "part")
     return skyline.pareto_frontier(
         part.select("p_partkey", "p_size", "p_retailprice"),
@@ -13212,7 +13228,9 @@ def _retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
     the production bm25_topk path; the metrics are search.eval_rankings
     (integer counts + one exact division per metric); the oracle
     recomputes both the rankings (the _BM25_ORACLE scoring, per query)
-    and the metrics independently."""
+    and the metrics independently.
+
+    window: grain-bounded — per-query metrics over k-bounded result lists."""
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf)
@@ -13664,7 +13682,9 @@ def _neyman_order_allocation(spark: SparkSession, sf: str) -> DataFrame:
     1000-row budget across order priorities, weighted by each
     stratum's exact-decimal o_totalprice spread
     (sampling.neyman_allocation — Hamilton rounding on O(strata)
-    windows)."""
+    windows).
+
+    window: grain-bounded — largest-remainder walk over O(strata) rows."""
     (ords,) = _tables(spark, sf, "orders")
     return sampling.neyman_allocation(
         ords, "o_orderpriority", "o_totalprice", 1000
@@ -13676,7 +13696,9 @@ def _neyman_order_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
     each stratum's allocation (sampling.allocated_sample), reported as
     per-stratum achieved size and exact-decimal sampled totalprice
     mean — the query proves the whole design→draw→estimate loop
-    end-to-end against the oracle."""
+    end-to-end against the oracle.
+
+    window: grain-bounded — largest-remainder walk over O(strata) rows."""
     (ords,) = _tables(spark, sf, "orders")
     alloc = sampling.neyman_allocation(
         ords, "o_orderpriority", "o_totalprice", 1000
@@ -13780,7 +13802,9 @@ def _price_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
     (profile.quantile_binning_stats_sketch, m=32 — the
     `price_quantile_bins_sketch` twin) takes over automatically.
     Divergence at the crossover is bounded by the existing
-    sketch-twin test."""
+    sketch-twin test.
+
+    window: grain-bounded — exact boundaries BELOW the documented 300k auto-swap bound; HDR sketch twin above."""
     (li,) = _tables(spark, sf, "lineitem")
     if li.count() > 300_000:
         return profile.quantile_binning_stats_sketch(
@@ -13797,7 +13821,9 @@ def _contrastive_negatives(spark: SparkSession, sf: str) -> DataFrame:
     has actually ordered (sampling.ring_negative_samples — Knuth-hash
     ring + offset explode + anti-join; O(|customers|·(k+buffer)) rows,
     never |customers|×|parts|). The oracle replays the identical ring
-    arithmetic relationally."""
+    arithmetic relationally.
+
+    window: grain-bounded — ring probe over k+buffer consecutive slots per query."""
     cust, ords, li, part = _tables(
         spark, sf, "customer", "orders", "lineitem", "part"
     )
@@ -13865,7 +13891,9 @@ def _order_fulfillment_survival(spark: SparkSession, sf: str) -> DataFrame:
     (temporal.kaplan_meier). The oracle rebuilds the curve with a
     recursive CTE whose left-to-right running product is the identical
     IEEE operation sequence as the operator's sorted-array fold —
-    bit-identical survival values, no ln/exp tricks."""
+    bit-identical survival values, no ln/exp tricks.
+
+    window: grain-bounded — KM product fold at distinct-day grain."""
     ords, li = _tables(spark, sf, "orders", "lineitem")
     iv = (
         ords.join(li, ords.o_orderkey == li.l_orderkey)
@@ -13888,7 +13916,9 @@ def _customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation (r7): per-customer recency/frequency/monetary
     quintiles over orders (temporal.rfm_segments — one customer-keyed
     agg, ntile windows over the O(customers) summary with full
-    tie-breaks, recency anchored at the data's own max date)."""
+    tie-breaks, recency anchored at the data's own max date).
+
+    window: grain-bounded — ntiles over the O(customers) RFM summary, far smaller than the event input."""
     (ords,) = _tables(spark, sf, "orders")
     return temporal.rfm_segments(
         ords, "o_custkey", "o_orderdate", "o_totalprice", n_tiles=5
@@ -13980,7 +14010,9 @@ def _order_price_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     (experiment.bootstrap_mean_ci). Every weight is a pure function of
     (o_orderkey, replicate) through the shared Knuth hash, so the
     whole bootstrap hash-checks — the auditable version of a
-    statistic that is normally unreproducible by construction."""
+    statistic that is normally unreproducible by construction.
+
+    window: grain-bounded — percentile rank over B=40 replicate means."""
     (ords,) = _tables(spark, sf, "orders")
     return experiment.bootstrap_mean_ci(
         ords, "o_orderkey", "o_totalprice", n_replicates=40
@@ -14013,7 +14045,9 @@ def _source_concentration(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus concentration audit (r7): HHI (exact), Gini and top-3
     share of documents across sources
     (profile.concentration_stats — one group-size aggregation, then
-    O(groups) windows)."""
+    O(groups) windows).
+
+    window: grain-bounded — deterministic-rank Gini at source grain."""
     return profile.concentration_stats(_docs(spark, sf), "source", top_k=3)
 
 
@@ -14022,7 +14056,9 @@ def _funnel_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     FIRST view to the FIRST purchase at-or-after it; exact discrete
     percentiles of that latency (the conversion-SLA readout product
     teams watch). Composes the funnel join with the exact
-    weighted-percentile machinery (unit weights)."""
+    weighted-percentile machinery (unit weights).
+
+    window: grain-bounded — exact percentile walk over completed-funnel sessions (session grain; swap to the sketch twin for unbounded funnels)."""
     ev = _events(spark, sf)
     first_view = (
         ev.filter(F.col("event_type") == "view")
@@ -14196,7 +14232,9 @@ def _retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     contains, 1..3) for the three fixed eval queries
     (search.ndcg_eval — literal discount table, rank-ordered DCG folds
     and grade-descending IDCG folds, everything hash-checks; the
-    oracle rebuilds runs, grades and both folds independently)."""
+    oracle rebuilds runs, grades and both folds independently).
+
+    window: grain-bounded — graded gains over k-bounded result lists."""
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf)
@@ -14775,7 +14813,9 @@ def _doc_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     collapsed to one term→min(doc) aggregation + an O(slices) running
     sum; 3-gram space because this corpus' unigram vocab saturates in
     slice 0, which is exactly the saturation signal the curve
-    reports)."""
+    reports).
+
+    window: grain-bounded — first-occurrence ranks at DISTINCT-gram grain (Heaps curve points)."""
     return corpus.vocab_growth_curve(_docs(spark, sf), ngram=3)
 
 
@@ -14989,7 +15029,9 @@ def _retrieval_rank_agreement(spark: SparkSession, sf: str) -> DataFrame:
     """Ranker-agreement readout (r7): Kendall tau between the BM25 and
     Dirichlet-LM top-15 lists for the benchmark query
     (search.rank_agreement over two oracle-green retrieval paths —
-    the whole two-model composition hash-checks end-to-end)."""
+    the whole two-model composition hash-checks end-to-end).
+
+    window: grain-bounded — Kendall tau over two k-bounded rankings."""
     docs = _docs(spark, sf)
     terms = ["hash", "join", "spark"]
     return search.rank_agreement(
@@ -15255,7 +15297,9 @@ def _revenue_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
     running max / subtraction stay DECIMAL end-to-end, doubles appear
     only in the display casts). Trough = earliest day achieving the
     maximal drawdown; peak = earliest day ≤ trough holding the
-    running max — both engine-independent total orders."""
+    running max — both engine-independent total orders.
+
+    window: grain-bounded — cumulative peak/trough over the CALENDAR-DAY revenue series (O(days))."""
     daily = (
         _events(spark, sf)
         .groupBy(F.to_date("ts").alias("day"))
@@ -15369,7 +15413,9 @@ def _part_abc_classes(spark: SparkSession, sf: str) -> DataFrame:
     (profile.abc_classes — pure-decimal boundary compares, never a
     float share; the window sorts the PART DIMENSION, not lineitem;
     the reported share is a floor-scaled integer ratio of the decimal
-    sums' fixed-point forms, HUGEINT-mirrored in the oracle)."""
+    sums' fixed-point forms, HUGEINT-mirrored in the oracle).
+
+    window: grain-bounded — cumulative value share over the per-part totals (dimension grain, O(parts) << lineitem)."""
     (li,) = _tables(spark, sf, "lineitem")
     return profile.abc_classes(li, "l_partkey", "l_extendedprice")
 
@@ -15379,7 +15425,9 @@ def _revenue_naive_backtest(spark: SparkSession, sf: str) -> DataFrame:
     y(t−7) forecasts over the daily event-value series
     (temporal.seasonal_naive_backtest — decimal residuals end-to-end,
     the MASE denominator / sanity floor for revenue_holt_forecast and
-    forecast_conformal_width)."""
+    forecast_conformal_width).
+
+    window: grain-bounded — lag features over the calendar-day series (O(days))."""
     daily = (
         _events(spark, sf)
         .groupBy(F.to_date("ts").alias("day"))
@@ -15497,7 +15545,9 @@ def _price_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     (R) and accepted (A) lineitems' extended prices
     (experiment.ks_statistic — integer cross-product gap compares in
     DECIMAL(38,0), the one float-free KS formulation; distinct-value
-    grain shuffle, never raw rows)."""
+    grain shuffle, never raw rows).
+
+    window: grain-bounded — ECDF gap walk at DISTINCT-cent-value grain, bounded price domain."""
     (li,) = _tables(spark, sf, "lineitem")
     return experiment.ks_statistic(li, "l_returnflag", "l_extendedprice", "R", "A")
 
@@ -15507,7 +15557,9 @@ def _priority_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
     dominate LOW orders on total price (experiment.mann_whitney_u —
     DOUBLED tie-averaged ranks stay integer, rank sums in
     DECIMAL(38,0), AUC effect size floor-scaled; identity
-    2U_a + 2U_b = 2·n_a·n_b pinned by tests)."""
+    2U_a + 2U_b = 2·n_a·n_b pinned by tests).
+
+    window: grain-bounded — doubled tie-averaged ranks at (group, distinct value) grain."""
     (orders,) = _tables(spark, sf, "orders")
     return experiment.mann_whitney_u(
         orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
@@ -15590,7 +15642,9 @@ def _interleaved_ranking(spark: SparkSession, sf: str) -> DataFrame:
     Knuth-coin tie-breaks, single bounded fold; the oracle replays the
     EXACT draft with a recursive CTE over both rankers' oracle
     rankings). Completes the retrieval-eval family: offline nDCG/
-    recall/tau + the online serving-side merge."""
+    recall/tau + the online serving-side merge.
+
+    window: grain-bounded — team-draft replay over two k-bounded ranked lists."""
     docs = _docs(spark, sf)
     ra = search.bm25_topk(docs, _INTERLEAVE_TERMS, k=10)
     rb = search.lm_dirichlet_topk(docs, _INTERLEAVE_TERMS, mu=250.0, k=10)
@@ -15884,7 +15938,9 @@ def _retrieval_rbo(spark: SparkSession, sf: str) -> DataFrame:
     literal p-power discount table, fixed fold; handles the
     non-conjoint tails Kendall tau must drop). Third member of the
     ranker-agreement family: tau (conjoint), team-draft (serving),
-    RBO (top-weighted)."""
+    RBO (top-weighted).
+
+    window: grain-bounded — rank-biased overlap over two k-bounded ranked lists."""
     docs = _docs(spark, sf)
     ra = search.bm25_topk(docs, _INTERLEAVE_TERMS, k=10)
     rb = search.lm_dirichlet_topk(docs, _INTERLEAVE_TERMS, mu=250.0, k=10)
@@ -16242,7 +16298,9 @@ def _price_quantity_spearman(spark: SparkSession, sf: str) -> DataFrame:
     as the anchor only below a documented 300k-row bound; above it
     the 100-unit quantized grain (the
     `price_quantity_spearman_quantized` twin's transformation, grain
-    saturating at ~1041 buckets) takes over automatically."""
+    saturating at ~1041 buckets) takes over automatically.
+
+    window: grain-bounded — exact ranks at row grain BELOW the documented 300k auto-swap bound; the quantized twin takes over above."""
     (li,) = _tables(spark, sf, "lineitem")
     if li.count() > 300_000:
         q = li.select(
@@ -16267,7 +16325,9 @@ def _price_quantity_spearman_quantized(
     sf0.01) grows ~linearly with data (SCALING.md §8's 3.9×);
     quantization saturates the grain (1041 buckets) so the windows
     stay bounded at any scale. This is the documented fix shipped as
-    a first-class oracle-backed entry, not a docstring note."""
+    a first-class oracle-backed entry, not a docstring note.
+
+    window: grain-bounded — ranks at the quantized 1000-unit value grain."""
     (li,) = _tables(spark, sf, "lineitem")
     q = li.select(
         F.floor(F.col("l_extendedprice") / F.lit(100.0))
@@ -16368,7 +16428,9 @@ def _price_median_ci(spark: SparkSession, sf: str) -> DataFrame:
     entry covers the mean). Rank picks are exact; the only float is
     1.96·√n computed once, identically IEEE in both engines, floored
     into the integer rank. One value-grain rank window — the sorted
-    walk never leaves the engine."""
+    walk never leaves the engine.
+
+    window: grain-bounded — per-replicate medians over B=40 bootstrap aggregates."""
     (li,) = _tables(spark, sf, "lineitem")
     from pyspark.sql import Window
 
@@ -16411,7 +16473,9 @@ def _acctbal_lift_table(spark: SparkSession, sf: str) -> DataFrame:
     ties); lift is the exact integer ratio (cum_buyers·N·10^6) DIV
     (cum_n·total_buyers). A lift ≈ 10^6 everywhere reads 'score
     carries no signal' — the honest expectation on TPC-H's uniform
-    data, which is exactly what the diagnostic is for."""
+    data, which is exactly what the diagnostic is for.
+
+    window: grain-bounded — decile boundaries over the O(customers) summary; output is 10 bins."""
     customer, orders = _tables(spark, sf, "customer", "orders")
     from pyspark.sql import Window
 
@@ -16455,7 +16519,9 @@ def _brand_mix_stability(spark: SparkSession, sf: str) -> DataFrame:
     monitors the mix's trajectory, the alert a merchandising pipeline
     wants). Integer cross-multiplication over the (week, brand) count
     grid with both weeks' brand sets unioned (absent brands count 0);
-    floor-scaled once. Weeks keyed by ISO year-week start date."""
+    floor-scaled once. Weeks keyed by ISO year-week start date.
+
+    window: grain-bounded — per-period shares at brand grain."""
     li, part = _tables(spark, sf, "lineitem", "part")
     wk = F.date_trunc("week", F.col("l_shipdate")).cast("date")
     cells = (
@@ -16617,7 +16683,9 @@ def _revenue_forecast_skill(spark: SparkSession, sf: str) -> DataFrame:
     round() recovers the exact integer identically in both engines
     (a cast would truncate the below-integer ulp cases) and the MAEs
     accumulate as exact DECIMAL sums — skill is one floor-scaled
-    integer DIV."""
+    integer DIV.
+
+    window: grain-bounded — seasonal-naive lags over the calendar-day series."""
     fc = _revenue_hw_forecast(spark, sf).select(
         "d", "x", "one_step_pred"
     )
@@ -16905,7 +16973,9 @@ def _priority_price_stump(spark: SparkSession, sf: str) -> DataFrame:
     exact integral-arithmetic argmax — the univariate split-quality
     diagnostic run before trusting any tree feature. On TPC-H's
     uniform priorities the winning split's score barely beats the
-    base rate — exactly the reading the diagnostic exists to give."""
+    base rate — exactly the reading the diagnostic exists to give.
+
+    window: grain-bounded — candidate split scan at distinct-value grain."""
     (orders,) = _tables(spark, sf, "orders")
     feats = orders.select(
         F.floor(F.col("o_totalprice") / F.lit(1000.0))
@@ -16927,7 +16997,9 @@ def _price_quantile_bins_sketch(spark: SparkSession, sf: str) -> DataFrame:
     distinct-value walk — the scale path for near-continuous columns,
     where the exact fit's window input ≈ row count but the sketch's
     saturates at ≤64·m rows. Full oracle: the HDR fit is integer
-    arithmetic, so DuckDB replays fit + assignment + audit exactly."""
+    arithmetic, so DuckDB replays fit + assignment + audit exactly.
+
+    window: grain-bounded — boundary table grain (O(bins) sketch output)."""
     (li,) = _tables(spark, sf, "lineitem")
     return profile.quantile_binning_stats_sketch(
         li, "l_extendedprice", n_buckets=8, m=32
@@ -17168,7 +17240,9 @@ def _price_emd_yearly(spark: SparkSession, sf: str) -> DataFrame:
     10⁶× more data.
 
     Plan: one filtered scan → (bucket, year) counts, one
-    cumulative window over the bounded bucket grid, one fold."""
+    cumulative window over the bounded bucket grid, one fold.
+
+    window: grain-bounded — run-length ECDF walk at distinct-value grain per year."""
     (orders,) = _tables(spark, sf, "orders")
     from pyspark.sql import Window
 
@@ -17247,7 +17321,9 @@ def _priority_price_jonckheere(spark: SparkSession, sf: str) -> DataFrame:
     the 1000-unit grain (r10, the spearman-quantized discipline): the
     operator's distinct-value window is single-partition by
     construction, so its input must be bounded by value cardinality
-    (~600 buckets), never by row count."""
+    (~600 buckets), never by row count.
+
+    window: grain-bounded — pair concordance at the pre-quantized 1000-unit grain."""
     (orders,) = _tables(spark, sf, "orders")
     feats = orders.select(
         "o_orderpriority",
@@ -17274,7 +17350,9 @@ def _ptype_price_kruskal(spark: SparkSession, sf: str) -> DataFrame:
     1000-unit grain (the price_quantity_spearman_quantized
     discipline, r10): the operator's distinct-value rank window is
     single-partition by construction, so its input must be bounded by
-    VALUE CARDINALITY (~600 buckets here), never by row count."""
+    VALUE CARDINALITY (~600 buckets here), never by row count.
+
+    window: grain-bounded — rank walk at the pre-quantized 1000-unit grain."""
     li, part = _tables(spark, sf, "lineitem", "part")
     joined = li.join(
         F.broadcast(
@@ -17303,7 +17381,9 @@ def _revenue_runs_test(spark: SparkSession, sf: str) -> DataFrame:
     randomness sanity check run before fitting any forecaster. All
     integers; the expectation is a floor-scaled integer ratio. Days
     EQUAL to the median count as below (a convention both engines
-    apply identically)."""
+    apply identically).
+
+    window: grain-bounded — run boundaries over the calendar-day series."""
     (orders,) = _tables(spark, sf, "orders")
     from pyspark.sql import Window
 
@@ -17350,7 +17430,9 @@ def _revenue_pettitt_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     — a Mann-Whitney sweep over every prefix/suffix split, exact
     integer doubled-rank arithmetic; earliest-position tie-break).
     Complements the CUSUM family: CUSUM pages when a KNOWN target
-    drifts, Pettitt locates an UNKNOWN shift after the fact."""
+    drifts, Pettitt locates an UNKNOWN shift after the fact.
+
+    window: grain-bounded — rank cumsum over the calendar-day series (O(days))."""
     (orders,) = _tables(spark, sf, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
@@ -17480,7 +17562,9 @@ def _order_fulfillment_hazard(spark: SparkSession, sf: str) -> DataFrame:
     censoring (temporal.nelson_aalen — KM's additive sibling; exact
     integer d/r, L2R increment fold mirrored by DuckDB list_reduce).
     Same duration construction as order_fulfillment_survival, so the
-    two curves cross-check: exp(−H) ≈ S."""
+    two curves cross-check: exp(−H) ≈ S.
+
+    window: grain-bounded — risk-set walk at distinct-fulfillment-day grain."""
     orders, li = _tables(spark, sf, "orders", "lineitem")
     # same interval construction as order_fulfillment_survival
     # (synthetic shipdates are not ordered against o_orderdate, so the
@@ -17649,7 +17733,9 @@ def _order_uplift_qini(spark: SparkSession, sf: str) -> DataFrame:
     diagonal — exactly the null readout an uplift evaluation has to
     reproduce before it can be trusted on a real assignment. Value
     quantized to the 1000-unit grain (the ordering window is
-    value-cardinality-bounded, ~600 buckets)."""
+    value-cardinality-bounded, ~600 buckets).
+
+    window: grain-bounded — qini curve over score-decile aggregates."""
     (orders,) = _tables(spark, sf, "orders")
     units = orders.select(
         F.floor(F.col("o_totalprice") / F.lit(1000.0))
@@ -17675,7 +17761,9 @@ def _priority_fulfillment_logrank(spark: SparkSession, sf: str) -> DataFrame:
     at 60 days: "was the whole order out the door within two months
     of its first shipment" — on this synthetic data ~7% are (the
     shipdates are corpus-wide uniform), so the risk sets stay large
-    and the test operates in its censoring-heavy regime."""
+    and the test operates in its censoring-heavy regime.
+
+    window: grain-bounded — risk sets at distinct-day grain."""
     ords, li = _tables(spark, sf, "orders", "lineitem")
     iv = (
         ords.filter(
@@ -17913,7 +18001,9 @@ def _revenue_stl_lite(spark: SparkSession, sf: str) -> DataFrame:
     The pre-model inspection the holt/holt-winters entries assume;
     the dow seasonal should read ≈ 0 on TPC-H's uniform order dates
     (no weekly cycle is planted — the decomposition must not invent
-    one)."""
+    one).
+
+    window: grain-bounded — 7-fold decomposition over the calendar-day series."""
     (orders,) = _tables(spark, sf, "orders")
     daily = orders.groupBy(
         F.to_date("o_orderdate").alias("d")

@@ -972,3 +972,55 @@ def test_gram_index_scrub_prunes_buckets(spark, tmp_path):
     plan = physical_plan(pruned)
     assert re.search(r"PartitionFilters: \[.*__b", plan), plan
     assert 0 <= pruned.count() < idx.stats(spark)["n_grams"]
+
+
+def test_unpartitioned_window_detector_catches_planted(spark):
+    """The WindowExec audit helper must flag a deliberately-planted
+    row-grain GLOBAL window (the 100 TB single-task funnel) and stay
+    silent on the partitioned form of the same query."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        unpartitioned_window_count,
+    )
+
+    df = spark.range(100).withColumn("g", F.pmod("id", F.lit(4)))
+    planted = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert unpartitioned_window_count(planted) >= 1
+    fine = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert unpartitioned_window_count(fine) == 0
+
+
+def test_unpartitioned_window_audit_all_entries(spark, sf_dir):
+    """STANDING audit gate (VERDICT r10 #4, seeded from the r10 manual
+    walk of all plans): every ``queries()`` entry whose pre-AQE plan
+    contains a WindowExec with an empty partitionSpec must carry the
+    ``window: grain-bounded`` docstring tag stating WHY the window's
+    input is bounded (calendar/dimension/distinct-value/k-sample
+    grain, or an auto-swap bound). A new entry that funnels row-grain
+    data through one task fails here instead of surfacing as a
+    WindowExec warning spray in the bench log. Plan-only per entry —
+    but entries with internal actions (index builds, bounded
+    collects) do execute those, so this test costs a few minutes."""
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        from streaming_data_pipeline_azure_spark.plans.inspect import (
+            unpartitioned_window_count,
+        )
+
+        if unpartitioned_window_count(df) and (
+            "window: grain-bounded" not in (fn.__doc__ or "")
+        ):
+            offenders.append(name)
+    assert not offenders, (
+        "entries with an UNTAGGED unpartitioned WindowExec (tag the "
+        "docstring with 'window: grain-bounded — <reason>' after "
+        f"verifying the window input is grain-bounded): {offenders}"
+    )
