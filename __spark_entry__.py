@@ -1830,7 +1830,14 @@ def _copurchase_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
     wedge enumeration (hub-proof: Σd_out² not Σd², operators/graph.py),
     and the global clustering coefficient."""
     pairs = _copurchase_lift(spark, sf).select("item_a", "item_b")
-    return graph.graph_summary(pairs, "item_a", "item_b")
+    # persist_edges=False: the lift pipeline is one scan+self-join whose
+    # exchanges ReusedExchange dedups across the summary's ~6 edge
+    # references; the r10 persist measured 2x SLOWER here (5.4 vs 2.7 s
+    # warm triples at sf0.1, r11 A/B) while staying right for the
+    # expensive near-dup pair graph (graph_summary docstring).
+    return graph.graph_summary(
+        pairs, "item_a", "item_b", persist_edges=False
+    )
 
 
 def _copurchase_distances(spark: SparkSession, sf: str) -> DataFrame:

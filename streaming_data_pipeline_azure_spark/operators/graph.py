@@ -45,7 +45,9 @@ def degree_histogram(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def graph_summary(
+    edges: DataFrame, src: str, dst: str, *, persist_edges: bool = True
+) -> DataFrame:
     """One row: (n_nodes, n_edges, n_triangles, avg_degree,
     global_clustering) — global clustering = 3·triangles / wedges with
     wedges = Σ_v C(deg_v, 2).
@@ -54,19 +56,27 @@ def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
     (degree, id)-smaller endpoint to the larger; wedges join a node's
     outgoing pairs; a closing oriented edge completes the triangle.
 
-    The canonical edge set is persisted (tracked — released at the
-    next release_caches sweep): this summary references it ~6 times
-    (degrees, orientation, closing join, edge count), and when the
-    edge list is itself an expensive pipeline (the near-dup pair
-    graph), re-deriving it per reference multiplied the whole
-    upstream cost by the fan-out (r10 — neardup_graph_stats dropped
-    ~21→~8 s at sf0.1 from this persist alone).
+    ``persist_edges``: the summary references the canonical edge set
+    ~6 times (degrees, orientation, closing join, edge count). When
+    the edge list is an expensive pipeline whose subtrees Spark's
+    ReusedExchange does NOT dedup (the near-dup pair graph's
+    kernel/index stages), re-deriving it per reference multiplies the
+    upstream cost by the fan-out — persisting dropped
+    neardup_graph_stats ~21→~8 s at sf0.1 (r10). But when the edge
+    pipeline is one cheap scan+join whose exchanges ARE reused, the
+    InMemoryRelation only blocks codegen fusion and adds cache
+    write/read stages — measured 2× SLOWER on the co-purchase graph
+    (5.4 s persisted vs 2.7 s not, warm triples, r11). Default stays
+    True (the scale-safe choice for expensive upstreams); callers
+    with a cheap, exchange-reusable edge pipeline pass False.
     """
     from streaming_data_pipeline_azure_spark.functions.cache import (
         persist_tracked,
     )
 
-    e = persist_tracked(_canonical_edges(edges, src, dst))
+    e = _canonical_edges(edges, src, dst)
+    if persist_edges:
+        e = persist_tracked(e)
     nodes = e.select(F.col("a").alias("v")).unionAll(
         e.select(F.col("b").alias("v"))
     )
