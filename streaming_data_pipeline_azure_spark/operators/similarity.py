@@ -49,13 +49,17 @@ def score_against(df: DataFrame, vec_col: str, query: list[float],
     )
 
 
-#: Above this many centroids the literal-expression assignment path is
-#: Janino-compile-bound (4096 unrolled cosines measured ~12.5 s to
-#: compile — the embedding_decontaminate dead-end) and the plan itself
-#: is O(n·|C|) interpreted folds; the vectorized kernel takes over.
-#: Oracle grains (k ≤ ~2k on every driver SF) stay on the literal path
-#: the SQL oracle replays; a bit-parity test pins kernel == literal.
-MAX_LITERAL_CENTROIDS = 1024
+#: Above this many centroids the vectorized kernel takes over from the
+#: literal-expression assignment. The bound is set by MEASUREMENT, not
+#: by the Janino compile wall (~4096 unrolled cosines ≈ 12.5 s): the
+#: per-centroid cosine is a higher-order-function fold that Spark
+#: evaluates INTERPRETED (CodegenFallback), so the literal path loses
+#: to the Arrow kernel ~100× already at k=256 (measured 40 s vs 0.4 s
+#: on 20k×64-dim vectors, warm triples, r11). 16 keeps every oracle
+#: grain in the suite (k = 8 at the driver SFs) on the path the SQL
+#: oracle replays; a bit-parity test pins kernel == literal, so the
+#: swap is invisible to values either way.
+MAX_LITERAL_CENTROIDS = 16
 
 
 def assign_fixed_centroids(
@@ -74,14 +78,17 @@ def assign_fixed_centroids(
     SAME doubles bit-for-bit (parity-tested):
 
     - ``|C| <= max_literal_centroids``: each row evaluates all |C|
-      cosines as inline codegen expressions and picks the argmax via
+      cosines as inline expressions and picks the argmax via
       ``array_min`` over ``struct(-score, cid)`` (struct comparison is
       lexicographic: highest score wins, ties break to the smallest
       centroid id) — no join, no shuffle, no Python; this is the path
-      the SQL oracle replays.
+      the SQL oracle replays. It does NOT scale in |C|: the cosine
+      fold is a higher-order function Spark evaluates interpreted
+      (CodegenFallback), measured ~100× slower than the kernel at
+      k=256 (see MAX_LITERAL_CENTROIDS).
     - above the bound (SemDeDup's stated design point is k ≈ 10⁵
-      clusters on a real corpus — far past the ~4096-expression Janino
-      compile wall measured at ~12.5 s): an Arrow-batched
+      clusters on a real corpus — also far past the ~4096-expression
+      Janino compile wall measured at ~12.5 s): an Arrow-batched
       ``mapInPandas`` kernel broadcasts the C×d centroid matrix and
       scores each batch with dimension-by-dimension numpy accumulation
       — the ``embedding_decontaminate`` construction, every add and
@@ -496,8 +503,17 @@ def semantic_dedup(
     )
     a = a.repartition(n_part, "cluster_id", "__blk")
     b = b.repartition(n_part, "__cb", "__blkb")
+    # shuffle_hash hint: BOTH sides are O(n) (a is exploded ×n_blocks),
+    # so a broadcast here is categorically wrong — but the kernel
+    # assignment path (mapInPandas) carries no size stats and Catalyst
+    # under-estimated it, planning a BroadcastHashJoin of the EXPLODED
+    # side that blew spark.driver.maxResultSize at the 100× ladder
+    # point (r11, measured). The hint pins the co-partitioned
+    # shuffled-hash plan (build = the unexploded b side) at every
+    # scale; the literal path plans the same join, so oracle grains
+    # are unaffected.
     pairs = a.join(
-        b,
+        b.hint("shuffle_hash"),
         (a.cluster_id == b.__cb)
         & (F.col("__blk") == F.col("__blkb"))
         & (F.col("id_a") < F.col("id_b")),
