@@ -4341,6 +4341,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_haar_energy": _revenue_haar_energy,
         "customer_fs_weights": _customer_fs_weights,
         "price_jenks_classes": _price_jenks_classes,
+        # ---- new in r11 (dict tail: never-driver-checked; they join
+        # the r12 rotation queue after the r9/r10 backlog) ----
+        "doc_winnowing_stats": _doc_winnowing_stats,
+        "term_keyness_chi2": _term_keyness_chi2,
+        "doc_chunking_stats": _doc_chunking_stats,
     }
     out = {k: base[k] for k in _R11_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -13105,6 +13110,128 @@ ORDER BY n_members DESC, community ASC
                         // (p.pw[e+1]-p.pw[t+1]) AS BIGINT) AS cost
             FROM bt, pre p
         """,
+        # Winnowing (r11): grams via list comprehension, window min
+        # over ROWS frames, rightmost tie via max(pos) on the matched
+        # hash, DISTINCT (hash, pos) selected set, exact sums.
+        "doc_winnowing_stats": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, u.pos AS pos,
+                     CAST(('0x' || substr(md5(u.g), 1, 8))::UBIGINT
+                          AS BIGINT) AS h
+              FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(
+                                 pos := i,
+                                 g := array_to_string(toks[i:i+4], ' '))
+                               FOR i IN range(1, len(toks) - 3)]) AS u
+                FROM norm WHERE len(toks) >= 5)
+            ), win AS (
+              SELECT doc_id, pos AS s,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS mh,
+                     count(*) OVER (PARTITION BY doc_id) AS ng
+              FROM grams
+            ), starts AS (
+              SELECT doc_id, s, mh FROM win
+              WHERE s <= greatest(1, ng - 3)
+            ), sel AS (
+              SELECT st.doc_id, st.mh AS fp_hash,
+                     max(g.pos) AS fp_pos
+              FROM starts st
+              JOIN grams g ON g.doc_id = st.doc_id
+                          AND g.pos BETWEEN st.s AND st.s + 3
+                          AND g.h = st.mh
+              GROUP BY st.doc_id, st.s, st.mh
+            ), fps AS (
+              SELECT DISTINCT doc_id, fp_hash, fp_pos FROM sel
+            ), ngs AS (
+              SELECT doc_id, count(*) AS n_kgrams FROM grams GROUP BY 1
+            )
+            SELECT n.doc_id,
+                   CAST(n.n_kgrams AS BIGINT) AS n_kgrams,
+                   CAST(count(*) AS BIGINT) AS n_fingerprints,
+                   CAST(sum(f.fp_hash) AS BIGINT) AS fp_hash_sum,
+                   CAST(sum(f.fp_pos) AS BIGINT) AS fp_pos_sum
+            FROM ngs n JOIN fps f USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        # Chi-square keyness (r11): exact-integer 2x2 per term,
+        # (ad-bc) through DECIMAL(38,0) + VARCHAR-roundtrip to double
+        # (Spark's decimal->double is correctly rounded; DuckDB's is
+        # not), fixed ((tt*rt)*A)*B parenthesization.
+        "term_keyness_chi2": r"""
+            WITH toks AS (
+              SELECT (lang = 'en') AS t,
+                     unnest(regexp_extract_all(lower(text),
+                            '[a-z0-9]+')) AS term
+              FROM documents
+            ), counts AS (
+              SELECT term,
+                     CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_target,
+                     CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT)
+                         AS n_ref
+              FROM toks GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(n_target) AS BIGINT) AS A,
+                     CAST(SUM(n_ref) AS BIGINT) AS B
+              FROM counts
+            ), f AS (
+              SELECT term, n_target, n_ref,
+                     CAST(n_target AS DECIMAL(38,0))
+                       * CAST(B AS DECIMAL(38,0))
+                     > CAST(n_ref AS DECIMAL(38,0))
+                       * CAST(A AS DECIMAL(38,0)) AS enriched_in_target,
+                     CAST(CAST(CAST(n_target AS DECIMAL(38,0))
+                               * CAST(B - n_ref AS DECIMAL(38,0))
+                             - CAST(n_ref AS DECIMAL(38,0))
+                               * CAST(A - n_target AS DECIMAL(38,0))
+                          AS VARCHAR) AS DOUBLE) AS nd,
+                     ((CAST(n_target + n_ref AS DOUBLE)
+                       * CAST((A - n_target) + (B - n_ref) AS DOUBLE))
+                      * CAST(A AS DOUBLE)) * CAST(B AS DOUBLE) AS den,
+                     CAST(A + B AS DOUBLE) AS nn
+              FROM counts, tot
+              WHERE n_target + n_ref >= 5
+            )
+            SELECT term, n_target, n_ref, enriched_in_target,
+                   CASE WHEN den > 0
+                        THEN ((nd * nd) * nn) / den END AS chi2
+            FROM f
+            ORDER BY chi2 DESC NULLS LAST, term
+            LIMIT 20
+        """,
+        # Chunking plan (r11): pure BIGINT arithmetic, // is exact on
+        # the non-negative branch.
+        "doc_chunking_stats": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(
+                          lower(regexp_replace(trim(text), '\s+', ' ',
+                                'g')), ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(CASE WHEN n_tokens <= 32 THEN 1
+                          ELSE (n_tokens - 32 + 23) // 24 + 1
+                          END AS BIGINT) AS n_chunks
+              FROM n
+            )
+            SELECT doc_id, n_tokens, n_chunks,
+                   CAST(n_tokens - (n_chunks - 1) * 24 AS BIGINT)
+                       AS last_chunk_tokens,
+                   CAST(n_chunks * 32
+                        - (n_tokens + (n_chunks - 1) * 8) AS BIGINT)
+                       AS padded_tokens
+            FROM c
+        """,
     }
 
 
@@ -18202,3 +18329,67 @@ def _price_jenks_classes(spark: SparkSession, sf: str) -> DataFrame:
         .alias("pb")
     )
     return profile.jenks_breaks(feats, "pb", k=5)
+
+
+def _doc_winnowing_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint audit (r11): MOSS-style robust document
+    fingerprints (Schleimer et al., SIGMOD 2003) over word 5-grams
+    with window w=4 — any shared >= 8-token span between documents is
+    guaranteed a shared fingerprint. Grams hash through the portable
+    32-bit md5-prefix device, so the full selection (window minimum,
+    ties to the RIGHTMOST position) replays exactly in SQL — unlike
+    the xxhash64 MinHash family this sampled-fingerprint operator is
+    fully oracle-checked. Per doc: k-gram count, selected-fingerprint
+    count, and exact hash/position sums (pins the selected SET, not
+    just its size)."""
+    docs = _docs(spark, sf)
+    fps = dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+    )
+
+    ng = docs.select(
+        "doc_id",
+        (F.size(_norm_tokens("text")).cast("long") - F.lit(4)).alias(
+            "n_kgrams"
+        ),
+    ).filter(F.col("n_kgrams") > 0)
+    agg = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum("fp_hash").cast("long").alias("fp_hash_sum"),
+        F.sum("fp_pos").cast("long").alias("fp_pos_sum"),
+    )
+    return ng.join(agg, "doc_id").select(
+        "doc_id", "n_kgrams", "n_fingerprints", "fp_hash_sum",
+        "fp_pos_sum",
+    )
+
+
+def _term_keyness_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square keyness (r11): the 20 terms most over/under-
+    represented in the English sub-corpus vs the rest — exact-integer
+    2x2 tables, (ad-bc) through DECIMAL(38,0), one fixed-
+    parenthesization double finish (the ln-free twin of Dunning's
+    G2). Vocabulary-grain aggregate + broadcast totals +
+    TakeOrderedAndProject."""
+    docs = _docs(spark, sf)
+    return tx.term_keyness(
+        docs, "text", F.col("lang") == F.lit("en"), min_count=5, k=20
+    )
+
+
+def _doc_chunking_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking plan (r11): how each document splits
+    into 32-token windows with 8-token overlap (stride 24) — the
+    long-document -> training-sequence step ahead of packing. Pure
+    BIGINT arithmetic (ceil as (x+s-1) DIV s), one scan, no shuffle;
+    the identity n_chunks*chunk = n + (n_chunks-1)*overlap + padded
+    is unit-tested."""
+    docs = _docs(spark, sf)
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        chunk_plan,
+    )
+
+    return chunk_plan(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    )

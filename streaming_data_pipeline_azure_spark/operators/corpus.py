@@ -1434,3 +1434,72 @@ class NoveltyGramIndex:
         ).parquet(f"{self.path}/gen={nxt}/owners")
         self._gens.commit(spark, nxt)
         self._gens.gc_below(spark, keep=nxt)
+
+
+def chunk_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-size overlapping context-window CHUNKING plan — the
+    long-document splitter every training/RAG pipeline runs before
+    tokenizer packing (packing.py packs whole sequences; THIS decides
+    how an over-length document becomes sequences): windows of
+    ``chunk_tokens`` tokens advancing by stride = chunk − overlap, so
+    consecutive chunks share ``overlap`` tokens of context.
+
+    Pure per-row arithmetic on the normalized token count n:
+
+        n_chunks = 1                              if n <= chunk
+                   ceil((n − chunk)/stride) + 1   otherwise
+        last_chunk_tokens = n − (n_chunks − 1)·stride
+        padded_tokens = n_chunks·chunk − (n + (n_chunks − 1)·overlap)
+
+    (padding lands only in the final chunk; the identity
+    n_chunks·chunk = n + (n_chunks−1)·overlap + padded holds — a
+    useful invariant test). ceil is integer arithmetic
+    ((x + s − 1) DIV s) — no floats anywhere, every engine agrees.
+    One scan, no shuffle, no window; at 100 TB this is a projection.
+
+    Returns (id_col, n_tokens, n_chunks, last_chunk_tokens,
+    padded_tokens). The whitespace-normalized token count counts an
+    empty text as one empty token (the `_norm_tokens` split artifact,
+    shared with the span family and replayed identically by SQL
+    engines)."""
+    if chunk_tokens < 1 or not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"chunk_plan: need chunk_tokens >= 1 and 0 <= overlap < "
+            f"chunk_tokens (got {chunk_tokens}, {overlap})"
+        )
+    stride = chunk_tokens - overlap
+    n = F.size(_norm_tokens(text_col)).cast("long")
+    out = df.select(F.col(id_col), n.alias("n_tokens")).select(
+        id_col,
+        "n_tokens",
+        # ceil((n - chunk)/stride) + 1 as pure BIGINT arithmetic
+        # ((x + s - 1) DIV s) — operands non-negative on this branch
+        F.expr(
+            f"CASE WHEN n_tokens <= {chunk_tokens} THEN CAST(1 AS BIGINT)"
+            f" ELSE (n_tokens - {chunk_tokens} + {stride - 1})"
+            f" DIV {stride} + 1 END"
+        ).alias("n_chunks"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_chunks",
+        (
+            F.col("n_tokens")
+            - (F.col("n_chunks") - 1) * F.lit(stride)
+        ).alias("last_chunk_tokens"),
+        (
+            F.col("n_chunks") * F.lit(chunk_tokens)
+            - (
+                F.col("n_tokens")
+                + (F.col("n_chunks") - 1) * F.lit(overlap)
+            )
+        ).alias("padded_tokens"),
+    )

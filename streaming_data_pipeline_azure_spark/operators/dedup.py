@@ -1768,3 +1768,95 @@ def tfidf_cosine_pairs(
             "AS BIGINT) AS cos2_scaled",
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram,
+    slide a window of ``w`` consecutive gram hashes, and select each
+    window's MINIMUM hash (ties broken to the RIGHTMOST position —
+    the paper's robust-winnowing rule, which makes the selected set a
+    deterministic function of content). Any substring match of length
+    >= k + w - 1 tokens between two documents is GUARANTEED to share
+    at least one selected fingerprint, while only ~2/(w+1) of grams
+    are kept — the local, position-robust sampling that plain modulo
+    selection (0 mod p) cannot guarantee.
+
+    Portability: grams hash through the 32-bit md5-prefix device
+    (`conv(substr(md5(gram),1,8),16,10)` — the feature-hash bucket
+    hash), so the ENTIRE selection replays exactly in any SQL engine;
+    unlike the xxhash64 MinHash family this fingerprint operator is
+    fully oracle-checkable.
+
+    Shape at scale: gram hash + windowed min are one scan with a
+    WindowExec PARTITIONED BY document (window input bounded by doc
+    length — never a global window); the only shuffle is the per-doc
+    repartition the window needs. Docs with fewer than ``w`` k-grams
+    contribute their single all-grams minimum (one truncated window
+    at position 1); docs with fewer than ``k`` tokens contribute
+    nothing (word_ngrams yields no grams — the span-family rule).
+
+    Returns DISTINCT (id_col, fp_hash, fp_pos) selected fingerprints
+    — join on fp_hash across documents for candidate near-dup pairs
+    (every shared >= k+w-1-token span is caught; verify candidates
+    with the exact-Jaccard family).
+    """
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+        word_ngrams,
+    )
+    from pyspark.sql import Window
+
+    if k < 1 or w < 1:
+        raise ValueError(
+            f"winnow_fingerprints: k={k} and w={w} must be >= 1"
+        )
+    base = df.select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col("__toks"), k)).alias("__p0", "__g"),
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).alias("__pos"),
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    doc_w = Window.partitionBy(id_col)
+    sel = (
+        grams.select(
+            F.col(id_col),
+            "__pos",
+            # struct min: smallest hash wins; hash tie -> smallest
+            # negated position = RIGHTMOST occurrence (robust
+            # winnowing's tie rule)
+            F.min(
+                F.struct(
+                    F.col("__h").alias("h"),
+                    (-F.col("__pos")).alias("np"),
+                )
+            )
+            .over(win)
+            .alias("__m"),
+            F.count(F.lit(1)).over(doc_w).alias("__ng"),
+        )
+        # valid window starts only (the final w-1 positions start no
+        # full window); short docs keep the single truncated start 1
+        .filter(
+            F.col("__pos")
+            <= F.greatest(F.lit(1), F.col("__ng") - F.lit(w - 1))
+        )
+    )
+    return sel.select(
+        F.col(id_col),
+        F.col("__m")["h"].alias("fp_hash"),
+        (-F.col("__m")["np"]).cast("long").alias("fp_pos"),
+    ).distinct()

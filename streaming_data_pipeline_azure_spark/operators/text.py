@@ -1009,3 +1009,84 @@ def kneser_ney_doc_scores(
             ).alias("avg_p_kn"),
         )
     )
+
+
+def term_keyness(
+    df: DataFrame,
+    text_col: str,
+    target_flag: Column,
+    *,
+    min_count: int = 5,
+    k: int = 20,
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """Chi-square KEYNESS: the terms most over/under-represented in a
+    target sub-corpus vs the rest — the corpus-comparison primitive
+    behind domain-shift audits, source profiling, and
+    contamination-by-style screens (Dunning's log-likelihood G² is the
+    textbook alternative; chi-square is its ln-free twin, in keeping
+    with the engine's no-libm determinism discipline).
+
+    Per term the 2×2 table (a = target count, b = reference count,
+    c = A−a, d = B−b against corpus totals A, B) yields
+
+        chi2 = N·(ad−bc)² / ((a+b)·(c+d)·A·B)
+
+    computed EXACTLY where it matters: (ad−bc) rides DECIMAL(38,0)
+    integer products (safe beyond 10¹⁸ tokens per side), is cast once
+    to double (correctly rounded), and the final expression is a
+    fixed parenthesization of exact-integer-valued doubles — the same
+    IEEE ops any engine replays. `enriched_in_target` compares
+    a·B > b·A in exact decimal (no rate division). Terms below
+    ``min_count`` total occurrences are dropped (the standard keyness
+    floor); output is the top-``k`` by chi2 (ties break on the term)
+    via TakeOrderedAndProject.
+
+    Scale: one token explode into a vocabulary-grain aggregate
+    (map-side combined), one broadcast 1-row totals join, one top-k —
+    no row-grain shuffle, no window."""
+    if min_count < 1 or k < 1:
+        raise ValueError("term_keyness: min_count and k must be >= 1")
+    toks = df.select(
+        target_flag.cast("boolean").alias("__t"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(token_pattern), 0
+            )
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.col("__t").cast("long")).alias("n_target"),
+        F.sum((~F.col("__t")).cast("long")).alias("n_ref"),
+    )
+    tot = counts.agg(
+        F.sum("n_target").cast("long").alias("__A"),
+        F.sum("n_ref").cast("long").alias("__B"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = counts.crossJoin(F.broadcast(tot)).filter(
+        (F.col("n_target") + F.col("n_ref")) >= F.lit(int(min_count))
+    )
+    a, b = F.col("n_target"), F.col("n_ref")
+    A, B = F.col("__A"), F.col("__B")
+    c, d = A - a, B - b
+    nd = (dec(a) * dec(d) - dec(b) * dec(c)).cast("double")
+    n_d = (A + B).cast("double")
+    den = (
+        ((a + b).cast("double") * (c + d).cast("double"))
+        * A.cast("double")
+    ) * B.cast("double")
+    chi2 = F.when(den > 0, ((nd * nd) * n_d) / den)
+    return (
+        j.select(
+            "term",
+            "n_target",
+            "n_ref",
+            (dec(a) * dec(B) > dec(b) * dec(A)).alias(
+                "enriched_in_target"
+            ),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), F.col("term"))
+        .limit(int(k))
+    )

@@ -592,3 +592,35 @@ def test_marginal_gram_novelty_conservation_and_ordering(spark):
     # conservation: every distinct gram is owned exactly once
     total_first = sum(r["n_first"] for r in rows.values())
     assert total_first == rows[1]["n_grams"] + rows[3]["n_grams"]
+
+
+def test_chunk_plan_invariant_and_boundaries(spark):
+    """n_chunks*chunk == n + (n_chunks-1)*overlap + padded for every
+    row, plus the exact boundary cases around n == chunk."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        chunk_plan,
+    )
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [(n, mk(n)) for n in (1, 31, 32, 33, 56, 57, 80, 99)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in chunk_plan(
+        df, chunk_tokens=32, overlap=8).collect()}
+    for n, r in rows.items():
+        assert r["n_tokens"] == n
+        assert (
+            r["n_chunks"] * 32
+            == n + (r["n_chunks"] - 1) * 8 + r["padded_tokens"]
+        ), r
+        assert 1 <= r["last_chunk_tokens"] <= 32
+    assert rows[32]["n_chunks"] == 1
+    assert rows[33]["n_chunks"] == 2   # ceil(1/24)+1
+    assert rows[56]["n_chunks"] == 2   # 32 + 24 exactly
+    assert rows[57]["n_chunks"] == 3
+    assert rows[99]["n_chunks"] == 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_plan(df, chunk_tokens=8, overlap=8)

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
+
+from pyspark.sql import functions as F
+
 from streaming_data_pipeline_azure_spark.operators import dedup
 
 BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
@@ -791,3 +795,80 @@ def test_tfidf_cosine_pairs_weighting_and_exact_dup(spark):
     assert all(3 not in k for k in got)
     with _pytest.raises(ValueError, match="threshold_pct"):
         tfidf_cosine_pairs(df, threshold_pct=0)
+
+
+def test_winnow_fingerprints_hand_checked(spark):
+    """4-token-gram example small enough to verify the window minima by
+    hand via a python replay (same md5-prefix hash), including the
+    rightmost tie rule and the short-doc truncated window."""
+    import hashlib
+
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    text = "a b c d e f g h"     # 8 tokens -> 4 grams of k=5
+    short = "p q r s t u"         # 6 tokens -> 2 grams (< w) -> 1 fp
+    df = spark.createDataFrame(
+        [(1, text), (2, short)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["fp_hash"], r["fp_pos"])
+        for r in winnow_fingerprints(df, k=5, w=4).collect()
+    }
+
+    def h32(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    def replay(doc, toks, k=5, w=4):
+        grams = [
+            (i + 1, h32(" ".join(toks[i:i + k])))
+            for i in range(len(toks) - k + 1)
+        ]
+        out = set()
+        last_start = max(1, len(grams) - w + 1)
+        for s in range(1, last_start + 1):
+            window = grams[s - 1:s - 1 + w]
+            mh = min(h for _, h in window)
+            mp = max(p for p, h in window if h == mh)  # rightmost tie
+            out.add((doc, mh, mp))
+        return out
+
+    want = replay(1, text.split()) | replay(2, short.split())
+    assert got == want
+    assert len({t for t in got if t[0] == 2}) == 1  # short doc: 1 fp
+
+
+def test_winnow_shared_span_guarantee(spark):
+    """The winnowing guarantee: documents sharing a span of
+    >= k + w - 1 tokens share at least one selected fingerprint."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1
+    a = "intro words here " + span + " tail one"
+    b = "totally different prefix tokens " + span + " other ending"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df, k=5, w=4)
+    shared = (
+        fps.filter(F.col("doc_id") == 1)
+        .select("fp_hash")
+        .intersect(fps.filter(F.col("doc_id") == 2).select("fp_hash"))
+        .count()
+    )
+    assert shared >= 1
+
+
+def test_winnow_guards(spark):
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k="):
+        winnow_fingerprints(df, k=0, w=4)
+    # fewer than k tokens -> no grams -> no fingerprints (span rule)
+    assert winnow_fingerprints(df, k=5, w=4).count() == 0

@@ -513,3 +513,35 @@ def test_kneser_ney_doc_scores_hand_values(spark):
     assert abs(rows[1]["avg_p_kn"] - 2.0 / 3.0) < 1e-12
     assert abs(rows[2]["avg_p_kn"] - 2.0 / 3.0) < 1e-12
     assert abs(rows[3]["avg_p_kn"] - 1.0 / 3.0) < 1e-12
+
+
+def test_term_keyness_hand_checked(spark):
+    """Tiny 2x2 verified by hand: target corpus 'cat cat dog',
+    reference 'dog dog fish fish'. For 'cat': a=2 b=0 c=1 d=4, N=7,
+    chi2 = 7*(2*4 - 0*1)^2 / (2*5*3*4) = 448/120."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        term_keyness,
+    )
+
+    df = spark.createDataFrame(
+        [(True, "cat cat dog"), (False, "dog dog fish fish")],
+        "t boolean, text string",
+    )
+    rows = {
+        r["term"]: r
+        for r in term_keyness(
+            df, "text", F.col("t"), min_count=1, k=10
+        ).collect()
+    }
+    cat = rows["cat"]
+    assert (cat["n_target"], cat["n_ref"]) == (2, 0)
+    assert cat["enriched_in_target"] is True
+    assert cat["chi2"] == ((2.0 * 4 - 0 * 1) ** 2 * 7.0) / (
+        (2.0 * 5) * 3.0 * 4.0
+    )
+    dog = rows["dog"]
+    assert dog["enriched_in_target"] is False
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_count"):
+        term_keyness(df, "text", F.col("t"), min_count=0)
