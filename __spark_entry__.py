@@ -4344,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in r11 (dict tail: never-driver-checked; they join
         # the r12 rotation queue after the r9/r10 backlog) ----
         "doc_winnowing_stats": _doc_winnowing_stats,
+        "winnowing_candidate_pairs": _winnowing_candidate_pairs,
         "term_keyness_chi2": _term_keyness_chi2,
         "doc_chunking_stats": _doc_chunking_stats,
     }
@@ -13162,16 +13163,58 @@ ORDER BY n_members DESC, community ASC
             FROM ngs n JOIN fps f USING (doc_id)
             GROUP BY 1, 2
         """,
+        # Winnowing pairs (r11): shares the fingerprint CTEs with
+        # doc_winnowing_stats; pairs within hash buckets only.
+        "winnowing_candidate_pairs": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, u.pos AS pos,
+                     CAST(('0x' || substr(md5(u.g), 1, 8))::UBIGINT
+                          AS BIGINT) AS h
+              FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(
+                                 pos := i,
+                                 g := array_to_string(toks[i:i+4], ' '))
+                               FOR i IN range(1, len(toks) - 3)]) AS u
+                FROM norm WHERE len(toks) >= 5)
+            ), win AS (
+              SELECT doc_id, pos AS s,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS mh,
+                     count(*) OVER (PARTITION BY doc_id) AS ng
+              FROM grams
+            ), fps AS (
+              SELECT DISTINCT doc_id, mh AS fp_hash FROM win
+              WHERE s <= greatest(1, ng - 3)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+            FROM fps a JOIN fps b
+              ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        """,
         # Chi-square keyness (r11): exact-integer 2x2 per term,
         # (ad-bc) through DECIMAL(38,0) + VARCHAR-roundtrip to double
         # (Spark's decimal->double is correctly rounded; DuckDB's is
         # not), fixed ((tt*rt)*A)*B parenthesization.
         "term_keyness_chi2": r"""
             WITH toks AS (
+              -- NULL flags are EXCLUDED (Spark's SUM skips the NULL
+              -- booleans on both arms; without this filter DuckDB's
+              -- CASE ELSE would count them as reference)
               SELECT (lang = 'en') AS t,
                      unnest(regexp_extract_all(lower(text),
                             '[a-z0-9]+')) AS term
               FROM documents
+              WHERE lang IS NOT NULL
             ), counts AS (
               SELECT term,
                      CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
@@ -18392,4 +18435,16 @@ def _doc_chunking_stats(spark: SparkSession, sf: str) -> DataFrame:
 
     return chunk_plan(
         docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
+def _winnowing_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS pipeline second half (r11): candidate near-dup pairs from
+    >= 2 shared winnowing fingerprints (LSH-banding join shape —
+    pairs generate within fingerprint-hash buckets, never all-pairs).
+    Oracle replays selection AND pairing; the exact-Jaccard family is
+    the verify stage downstream."""
+    docs = _docs(spark, sf)
+    return dedup.winnow_candidate_pairs(
+        docs, "doc_id", "text", k=5, w=4, min_shared=2
     )

@@ -1860,3 +1860,43 @@ def winnow_fingerprints(
         F.col("__m")["h"].alias("fp_hash"),
         (-F.col("__m")["np"]).cast("long").alias("fp_pos"),
     ).distinct()
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints —
+    the MOSS pipeline's second half: documents sharing at least
+    ``min_shared`` selected fingerprint HASHES are candidates (any
+    pair sharing a >= k+w-1-token span shares >= 1; raising
+    ``min_shared`` trades recall on short overlaps for precision).
+
+    Scale shape — the LSH-banding join pattern: fingerprints group by
+    hash, pairs generate WITHIN each hash bucket only (never
+    all-pairs), and the per-pair shared count is a hash-keyed
+    aggregate. A degenerate fingerprint shared by B docs contributes
+    B(B-1)/2 candidate rows — the same mass the banded MinHash join
+    carries, with the same remedy (drop top-frequency fingerprints
+    upstream if a boilerplate corpus inflates one bucket). Candidates
+    are CANDIDATES: verify with the exact-Jaccard family
+    (prefix_filter_jaccard_pairs) before dropping documents.
+
+    Returns (id_a, id_b, n_shared_fps) with id_a < id_b."""
+    fps = winnow_fingerprints(
+        df, id_col, text_col, k=k, w=w
+    ).select(F.col(id_col).alias("__id"), "fp_hash").distinct()
+    a = fps.toDF("id_a", "__h")
+    b = fps.toDF("id_b", "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= F.lit(int(min_shared)))
+    )

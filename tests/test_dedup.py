@@ -872,3 +872,30 @@ def test_winnow_guards(spark):
         winnow_fingerprints(df, k=0, w=4)
     # fewer than k tokens -> no grams -> no fingerprints (span rule)
     assert winnow_fingerprints(df, k=5, w=4).count() == 0
+
+
+def test_winnow_candidate_pairs_catches_shared_span(spark):
+    """Pairs: the near-dup pair (shared long span) surfaces with
+    min_shared=1; the unrelated doc pairs with nobody."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    span = ("one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen")
+    df = spark.createDataFrame(
+        [
+            (1, "prefix words " + span + " suffix a"),
+            (2, "other start tokens " + span + " different end"),
+            (3, "nothing in common with anything else at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_fps"]
+        for r in winnow_candidate_pairs(
+            df, k=5, w=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
