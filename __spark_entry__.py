@@ -4364,14 +4364,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   _R11_WINDOW = never[:50]
 # (verified: the computed list begins source_blocklist_screen ...
 # vocab_coverage_stats exactly as the r10 precomputation said).
-# 35 never-checked entries remain after this window; the r12 queue
-# head is: copurchase_communities, price_quantile_bins_sketch,
-# order_mahalanobis_outliers, price_quantity_kendall_quantized,
-# returnflag_status_cramers_v, brand_price_mad_outliers,
-# brand_supplier_diversity, promo_heavy_suppliers, ... (the rest of
-# the r9 additions, then the r10 session-2 wave, then any r11-new
-# entries at the tail), backfilled to 50 with the oldest driver-green
-# entries (last seen r5/r6) per the mechanical rule above.
+# r12 WINDOW (precomputed on final r11 code, assuming this window
+# goes driver-green): the 39 remaining never-driver-checked oracle
+# entries in stable dict order —
+#   copurchase_communities, price_quantile_bins_sketch,
+#   order_mahalanobis_outliers, price_quantity_kendall_quantized,
+#   returnflag_status_cramers_v, brand_price_mad_outliers,
+#   brand_supplier_diversity, promo_heavy_suppliers,
+#   priority_mix_hellinger, price_emd_yearly, neardup_graph_stats,
+#   priority_price_jonckheere, ptype_price_kruskal,
+#   incremental_priority_topk, ptype_price_anova,
+#   priority_price_levene, year_priority_friedman, order_uplift_qini,
+#   priority_fulfillment_logrank, kn_bigram_model,
+#   price_two_factor_ols, lineitem_unpivot_metrics, preference_pairs,
+#   priority_return_trend, segment_return_mh_odds,
+#   lang_token_fertility, price_qty_partial_corr, revenue_stl_lite,
+#   priority_price_rerandomization, kn_doc_scores,
+#   doc_marginal_novelty, doc_novelty_incremental, revenue_haar_energy,
+#   customer_fs_weights, price_jenks_classes, doc_winnowing_stats,
+#   winnowing_candidate_pairs, term_keyness_chi2, doc_chunking_stats
+# — then 11 backfill slots from the OLDEST driver-green block (last
+# seen r4, stable dict order): rolling_daily_revenue,
+# doc_length_deciles, embedding_centroids, embedding_quantize_stats,
+# price_histogram, nation_market_share, skewed_agg_totals,
+# source_capped_stats, daily_gapfill, pricing_grouping_sets,
+# user_activity_similarity. After r12 every oracle-backed entry has a
+# driver row and the rotation returns to pure oldest-first refresh.
 _R11_WINDOW = [
     "source_blocklist_screen",
     "user_activity_streaks",
