@@ -814,3 +814,246 @@ def preference_pairs(
         (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
         F.col("n_items").cast("long").alias("n_items"),
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    target_filter: Column,
+    n_buckets: int = 512,
+    max_grams: int | None = None,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023) over hashed word-bigram features: fit unigram bucket models
+    of the TARGET subset (rows matching ``target_filter``) and the
+    full RAW corpus, then weight every raw document by its importance
+    ratio p_target(doc)/p_raw(doc). Sampling raw data proportionally
+    to these weights yields a corpus distributed like the target —
+    the standard recipe for "more like Wikipedia, less like spam"
+    pretraining mixes.
+
+    Engine-exactness: the per-bucket smoothed ratio is ONE division
+    of exact sub-2^53 integer products,
+    ``((c_t+1)*(S+B)) / ((c_s+1)*(T+B))``, and the per-document
+    weight is the PRODUCT of its grams' ratios folded LEFT-TO-RIGHT
+    IN POSITION ORDER — the ``dirichlet_ql`` fixed-order-product
+    discipline (a log-sum form would drag engine-specific ``ln``
+    rounding into every weight; an ordered IEEE product is
+    bit-identical everywhere, and under/overflow to 0/inf is itself
+    deterministic). ``max_grams`` caps the fold at the document
+    prefix (DSIR's features are already a bag sample; the cap bounds
+    the product's dynamic range for pathologically long docs).
+
+    Shape at 100 TB: bucket counts are TWO conditional aggregates in
+    one pass onto a fixed ``n_buckets`` key domain (map-side combine
+    absorbs the corpus); the O(n_buckets) ratio table broadcasts onto
+    the exploded gram stream; the per-doc fold groups on the document
+    key — one shuffle of (doc, pos, ratio) rows, the minimum for an
+    order-respecting fold. Nothing is collected driver-side.
+    Returns (id_col, n_grams, weight) for every raw doc with >= 1
+    bigram."""
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+        word_ngrams,
+    )
+    from streaming_data_pipeline_azure_spark.operators.features import (
+        _md5_bucket,
+    )
+
+    if n_buckets < 1:
+        raise ValueError(f"dsir_importance_weights: n_buckets={n_buckets}")
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    df = _ensure_parallelism(df)  # 1-file corpus would explode on 1 core
+    grams = df.select(
+        F.col(id_col),
+        target_filter.alias("__is_target"),
+        F.posexplode(word_ngrams(_norm_tokens(text_col), 2)).alias(
+            "__p0", "__g"
+        ),
+    ).select(
+        id_col,
+        "__is_target",
+        (F.col("__p0") + 1).alias("__pos"),
+        _md5_bucket(F.col("__g"), n_buckets).alias("__b"),
+    )
+    if max_grams is not None:
+        grams = grams.filter(F.col("__pos") <= int(max_grams))
+    # one pass, two conditional counts per bucket (raw = everything)
+    counts = grams.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cs"),
+        F.sum(F.col("__is_target").cast("long")).alias("__ct"),
+    )
+    totals = counts.agg(
+        F.sum("__cs").alias("__S"), F.sum("__ct").alias("__T")
+    )
+    b = F.lit(int(n_buckets)).cast("double")
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            (
+                (F.col("__ct") + 1).cast("double")
+                * (F.col("__S").cast("double") + b)
+            )
+            / (
+                (F.col("__cs") + 1).cast("double")
+                * (F.col("__T").cast("double") + b)
+            )
+        ).alias("__r"),
+    )
+    scored = grams.join(F.broadcast(ratios), "__b").select(
+        id_col, "__pos", "__r"
+    )
+    folded = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__r")))
+            ).alias("__rs"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.aggregate(
+                F.transform(F.col("__rs"), lambda s: s["__r"]),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ).alias("weight"),
+        )
+    )
+    return folded
+
+
+def token_budget_selection(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    budget_pct: int = 25,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Greedy quality-ranked corpus selection under a global token
+    budget — "keep the best ``budget_pct`` percent of tokens" — the
+    budgeting step between quality scoring and training-data export.
+    Quality here is the lexical-diversity proxy
+    ``distinct_tokens / tokens`` quantized to an integer bucket by
+    pure integer arithmetic (``(n_buckets * d) DIV t`` — no float
+    boundary anywhere), documents in higher buckets selected first;
+    the one bucket straddling the budget line resolves per-document
+    in ``id_col`` order as a STRICT contiguous prefix (the running
+    total counts every preceding doc, so the first doc crossing the
+    line ends the selection — no skip-ahead packing, whose output
+    would depend on doc-size interleavings). Every decision is a pure
+    function of corpus content (re-runs, backfills, and any engine
+    agree row-for-row).
+
+    Scale shape — the TWO-LEVEL prefix sum that avoids the classic
+    single-task global cumsum: per-bucket token totals aggregate onto
+    a FIXED key domain (``n_buckets``+1 rows), the bucket-level
+    running total is a window over those (grain-bounded: bucket
+    count, not corpus size), and only documents of the single
+    boundary bucket flow through a per-doc cumsum window PARTITIONED
+    BY bucket (~corpus/n_buckets rows — raise ``n_buckets`` to
+    shrink the boundary task; window: grain-bounded). Full buckets
+    above the line select without any per-doc ordering at all.
+
+    Returns (id_col, quality_bucket, n_tokens, selected) for every
+    document with >= 1 token."""
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+    )
+
+    if not 0 <= budget_pct <= 100:
+        raise ValueError(f"budget_pct must be 0..100, got {budget_pct}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    df = _ensure_parallelism(df)  # 1-file corpus tokenizes on 1 core
+    toks = df.select(
+        F.col(id_col), _norm_tokens(text_col).alias("__toks")
+    ).select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("__d"),
+    ).filter(F.col("n_tokens") >= 1)
+    # true integer DIV, not double-divide-then-cast: a correctly
+    # rounded double quotient can land ABOVE the integer boundary
+    # (e.g. 12.999999999999998 -> 13.0) where exact DIV gives 12
+    docs = toks.select(
+        id_col,
+        "n_tokens",
+        F.expr(f"({int(n_buckets)}L * __d) DIV n_tokens")
+        .cast("long")
+        .alias("quality_bucket"),
+    )
+    per_bucket = docs.groupBy("quality_bucket").agg(
+        F.sum("n_tokens").alias("__btok")
+    )
+    total = docs.agg(F.sum("n_tokens").alias("__S"))
+    budget = total.select(
+        F.expr(f"(__S * {int(budget_pct)}L) DIV 100")
+        .cast("long")
+        .alias("__budget")
+    )
+    wb = Window.orderBy(F.col("quality_bucket").desc())  # grain-bounded:
+    # n_buckets+1 rows max (the quantized quality domain), never corpus
+    bucket_line = (
+        per_bucket.withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum("__btok").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "quality_bucket",
+            "__cum_before",
+            (F.col("__cum_before") + F.col("__btok") <= F.col("__budget"))
+            .alias("__full"),
+            (
+                (F.col("__cum_before") < F.col("__budget"))
+                & (F.col("__cum_before") + F.col("__btok") > F.col("__budget"))
+            ).alias("__boundary"),
+            (F.col("__budget") - F.col("__cum_before")).alias("__remain"),
+        )
+    )
+    wd = Window.partitionBy("quality_bucket").orderBy(id_col)
+    out = (
+        docs.join(F.broadcast(bucket_line), "quality_bucket")
+        .withColumn(
+            "__doc_cum",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    wd.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            id_col,
+            "quality_bucket",
+            "n_tokens",
+            (
+                F.col("__full")
+                | (
+                    F.col("__boundary")
+                    & (F.col("__doc_cum") + F.col("n_tokens") <= F.col("__remain"))
+                )
+            ).alias("selected"),
+        )
+    )
+    return out

@@ -102,6 +102,19 @@ def assign_fixed_centroids(
     is the one the SQL oracle checks."""
     if not centroids:
         raise ValueError("assign_fixed_centroids needs >= 1 centroid")
+    # validation is strategy-INDEPENDENT (r12, ADVICE r11): the same
+    # call must not work at |C|<=max_literal and crash at |C|+1, so
+    # both branches refuse output-column clashes and duplicate cids
+    for clash in ("cluster_id", "score"):
+        if clash in df.columns:
+            raise ValueError(
+                f"assign_fixed_centroids: input already has a "
+                f"{clash!r} column — rename it first (silent "
+                "replacement would make behavior depend on which "
+                "physical strategy the centroid count selects)"
+            )
+    if len({int(cid) for cid, _ in centroids}) != len(centroids):
+        raise ValueError("assign_fixed_centroids: duplicate centroid ids")
     if len(centroids) > max_literal_centroids:
         return _assign_fixed_centroids_kernel(df, vec_col, centroids)
     vec = to_double_array(F.col(vec_col))
@@ -141,21 +154,12 @@ def _assign_fixed_centroids_kernel(
         StructType,
     )
 
-    for clash in ("cluster_id", "score"):
-        if clash in df.columns:
-            raise ValueError(
-                f"assign_fixed_centroids kernel path: input already has a "
-                f"{clash!r} column — rename it first (the literal path "
-                "would silently replace it; the kernel refuses instead)"
-            )
+    # clash/duplicate-cid validation happens in assign_fixed_centroids
+    # (strategy-independent — ADVICE r11); this helper assumes it ran
     cents = sorted(
         ((int(cid), [float(x) for x in c]) for cid, c in centroids),
         key=lambda t: t[0],
     )
-    if len({cid for cid, _ in cents}) != len(cents):
-        raise ValueError(
-            "assign_fixed_centroids: duplicate centroid ids"
-        )
     c_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
     C = np.array([c for _, c in cents], dtype=np.float64)
     sc = np.zeros(len(C))
@@ -192,15 +196,42 @@ def _assign_fixed_centroids_kernel(
             for d in range(X.shape[1]):  # dim-by-dim: the SQL fold order
                 S += X[:, d : d + 1] * M[None, :, d]
             denom = na[:, None] * nb[None, :]
-            safe = np.where(denom > 0, denom, 1.0)
-            score = np.where(denom > 0, S / safe, 0.0)
-            best = np.argmax(score, axis=1)  # first max = smallest cid
+            # branch semantics must be SPARK's, not numpy's (r12,
+            # ADVICE r11): the literal path's `denom > 0` evaluates
+            # TRUE for NaN (Spark orders NaN as the largest double),
+            # so a NaN denominator (non-finite vector x zero-norm
+            # centroid) takes the division branch and yields NaN —
+            # numpy's NaN > 0 is False and would yield the guard's
+            # 0.0 instead. Only an exact-zero denominator returns 0.0.
+            take = (denom > 0) | np.isnan(denom)
+            safe = np.where(denom != 0, denom, 1.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                score = np.where(take, S / safe, 0.0)
+            # NaN scores (non-finite components) mask to -inf BEFORE
+            # argmax (r12, ADVICE r11): the literal path's array_min
+            # over struct(-score, cid) orders NaN as the LARGEST
+            # double, i.e. a NaN-scored centroid never wins while any
+            # finite score exists; raw np.argmax would instead return
+            # the FIRST NaN. All-NaN rows fall to the smallest cid on
+            # both paths (struct negscore tie / argmax over all -inf),
+            # and the REPORTED score stays the unmasked value so the
+            # literal path's NaN surfaces identically.
+            masked = np.where(np.isnan(score), -np.inf, score)
+            best = np.argmax(masked, axis=1)  # first max = smallest cid
             yield pdf.assign(
                 cluster_id=ids[best],
                 score=score[np.arange(len(X)), best],
             )
 
-    return df.mapInPandas(kernel, schema=out_schema)
+    out = df.mapInPandas(kernel, schema=out_schema)
+    # Arrow's pandas->JVM transfer turns a NaN score into NULL (pandas
+    # NaN doubles as the null sentinel), while the literal path keeps
+    # the IEEE NaN — coalesce restores it (r12, found by the
+    # non-finite parity test). The kernel always computes a float, so
+    # NULL here can ONLY mean NaN-converted.
+    return out.withColumn(
+        "score", F.coalesce(F.col("score"), F.lit(float("nan")))
+    )
 
 
 def groupwise_centroids(

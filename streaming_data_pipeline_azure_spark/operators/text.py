@@ -1090,3 +1090,63 @@ def term_keyness(
         .orderBy(F.col("chi2").desc(), F.col("term"))
         .limit(int(k))
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Corpus-level distinct-n diversity (Li et al., "A
+    Diversity-Promoting Objective Function for Neural Conversation
+    Models", NAACL 2016): for each gram order ``n``, the number of
+    distinct word ``n``-grams over the total occurrences — the
+    standard degeneracy check on generated or scraped corpora (a
+    template farm or decode-collapsed model scores near 0; natural
+    text sits much higher, falling with n).
+
+    One pass per gram order: explode -> hash aggregate onto the
+    O(distinct grams) key domain (map-side combine absorbs the
+    duplicate mass before the shuffle) -> one-row rollup; orders
+    union at the end, so the whole report is len(ns) independent
+    aggregation trees with no joins and nothing driver-side. Returns
+    (n, total_grams, distinct_grams, distinct_ratio) ordered by n.
+    """
+    from functools import reduce
+
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+        word_ngrams,
+    )
+
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ngram_diversity: orders must be >= 1, got {ns}")
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    df = _ensure_parallelism(df)  # 1-file corpus would explode on 1 core
+    parts = []
+    for n in ns:
+        per = (
+            df.select(
+                F.explode(
+                    word_ngrams(_norm_tokens(text_col), int(n))
+                ).alias("__g")
+            )
+            .groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        parts.append(
+            per.agg(
+                F.lit(int(n)).cast("long").alias("n"),
+                F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("total_grams"),
+                F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+                (
+                    F.count(F.lit(1)).cast("double")
+                    / F.coalesce(F.sum("__c"), F.lit(0)).cast("double")
+                ).alias("distinct_ratio"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -30,8 +30,19 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     def visit(node) -> None:
         nonlocal count
         name = node.getClass().getSimpleName()
-        if name == "WindowExec" and node.partitionSpec().size() == 0:
-            count += 1
+        # any window-family node — matching the exact class name left
+        # the audit blind to non-WindowExec global windows (ADVICE
+        # r11): pandas window UDFs plan as ArrowWindowPythonExec in
+        # Spark 4 (WindowInPandasExec in 3.x — note neither STARTS
+        # with "Window", hence substring), plus WindowGroupLimitExec.
+        # Every window-family exec exposes partitionSpec(); the guard
+        # keeps an unrelated future *Window* node from breaking walks.
+        if "Window" in name:
+            try:
+                if node.partitionSpec().size() == 0:
+                    count += 1
+            except Exception:
+                pass
         ch = node.children()
         for i in range(ch.size()):
             visit(ch.apply(i))

@@ -899,3 +899,107 @@ def test_winnow_candidate_pairs_catches_shared_span(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert all(3 not in p for p in pairs)
+
+
+def test_winnow_candidate_pairs_max_bucket_valve(spark):
+    """r12 (VERDICT r11 #2): the quadratic-bomb valve. 60 documents
+    share one boilerplate sentence (a license-header stand-in) —
+    without the valve that single fingerprint bucket contributes
+    60*59/2 candidate rows; with ``max_bucket`` the over-cap
+    fingerprints are excluded, the boilerplate-only pairs vanish, and
+    an honest near-dup pair (long UNIQUE shared span) survives
+    untouched. On a corpus with no over-cap bucket the valve-on
+    output is IDENTICAL to valve-off."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    boiler = ("licensed under the apache license version two point "
+              "zero see notice file for details")
+    span = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november")
+    rows = [
+        # 60 copies of the same license file (the classic degenerate
+        # mass: identical text -> identical fingerprint sets -> every
+        # one of their buckets holds exactly 60 docs and is over-cap;
+        # docs with per-doc unique tails would instead perturb the
+        # boundary-window selections into PARTIAL buckets that pass
+        # any cap — the valve bounds per-bucket mass, it is not a
+        # boilerplate detector)
+        (i, boiler)
+        for i in range(60)
+    ] + [
+        # the honest pair: long unique shared span, no boilerplate
+        (100, "prefix piece " + span + " ending one"),
+        (101, "different head " + span + " other close"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unvalved = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_candidate_pairs(df, k=5, w=4, min_shared=1).collect()
+    }
+    valved = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_candidate_pairs(
+            df, k=5, w=4, min_shared=1, max_bucket=30
+        ).collect()
+    }
+    boiler_pairs_un = {p for p in unvalved if p[0] < 60 and p[1] < 60}
+    boiler_pairs_v = {p for p in valved if p[0] < 60 and p[1] < 60}
+    assert len(boiler_pairs_un) == 60 * 59 // 2  # the bomb, armed
+    assert boiler_pairs_v == set()               # defused
+    assert (100, 101) in valved                  # honest pair survives
+    assert valved <= unvalved                    # never invents pairs
+    # non-degenerate corpus: valve-on == valve-off exactly
+    honest_only = spark.createDataFrame(rows[60:], "doc_id long, text string")
+    a = {
+        tuple(r) for r in winnow_candidate_pairs(
+            honest_only, k=5, w=4, min_shared=1
+        ).collect()
+    }
+    b = {
+        tuple(r) for r in winnow_candidate_pairs(
+            honest_only, k=5, w=4, min_shared=1, max_bucket=30
+        ).collect()
+    }
+    assert a == b
+    assert any(p[:2] == (100, 101) for p in a)
+
+
+def test_repeated_ngram_stats_planted_span(spark):
+    """r12 (Lee et al. 2022): a 12-token span shared by two docs makes
+    3 duplicated 10-grams in a maximal run -> max_dup_run 3, span
+    3 + 10 - 1 = 12 tokens; a clean doc reports zeros; a doc with the
+    span REPEATED INTERNALLY is caught by the any-repeat semantics."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        repeated_ngram_stats,
+    )
+    import pytest
+
+    span = ("s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12")
+    rows = [
+        (1, "a1 a2 a3 " + span + " a4 a5 a6"),
+        (2, "b1 b2 " + span + " b3 b4 b5 b6"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14"),
+        (4, span + " mid1 mid2 " + span),  # internal repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repeated_ngram_stats(df, n=10, min_count=2).collect()
+    }
+    # doc 3: 14 tokens -> 5 grams, none repeated
+    assert out[3]["n_grams"] == 5
+    assert out[3]["n_dup_grams"] == 0
+    assert out[3]["max_dup_run"] == 0
+    assert out[3]["max_dup_span_tokens"] == 0
+    # docs 1/2: the shared 12-token span = 3 consecutive dup 10-grams
+    for d in (1, 2):
+        assert out[d]["n_dup_grams"] == 3, out[d]
+        assert out[d]["max_dup_run"] == 3
+        assert out[d]["max_dup_span_tokens"] == 12
+    # doc 4 repeats the span internally -> its grams count twice
+    assert out[4]["n_dup_grams"] >= 6
+    assert out[4]["max_dup_span_tokens"] >= 12
+    with pytest.raises(ValueError, match="min_count"):
+        repeated_ngram_stats(df, n=10, min_count=1)

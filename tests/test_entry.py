@@ -104,7 +104,16 @@ def test_oracle_surfaces_are_type_portable(spark, sf_dir):
     (18,4) quantities ≤2^53 travel as exact doubles; everything else
     is bigint/double/varchar/date/bool. Wide-decimal arithmetic stays
     INTERNAL to the operators — only the published projection is
-    constrained."""
+    constrained.
+
+    r12 extension (VERDICT r11 #1): collection types (array/map/
+    struct) are banned on EVERY driver-visible surface — oracle-backed
+    AND rows-only. `multimodal_features`' array<float> column crashed
+    the driver's pandas canonicalizer (`TypeError: unhashable type:
+    'list'` in sort_values) even though values were hash-exact
+    locally: the ARRAY recurrence of the same portability class.
+    Vectors/sketches stay internal; published projections posexplode
+    to scalar rows."""
     import duckdb
 
     from streaming_data_pipeline_azure_spark.functions.cache import (
@@ -118,12 +127,24 @@ def test_oracle_surfaces_are_type_portable(spark, sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    from pyspark.sql import types as T
+
     offenders = {}
-    for name in oracles:
-        stypes = qs[name](spark, sf_dir).schema.simpleString()
+    for name in qs:
+        schema = qs[name](spark, sf_dir).schema
         release_caches()
-        if "decimal" in stypes:
-            offenders[name] = f"spark: {stypes}"
+        nonscalar = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nonscalar:
+            offenders[name] = f"spark non-scalar: {nonscalar}"
+            continue
+        if name not in oracles:
+            continue  # rows-only: no DuckDB side; decimal is oracle-class
+        if "decimal" in schema.simpleString():
+            offenders[name] = f"spark: {schema.simpleString()}"
             continue
         rel = con.sql(oracles[name])
         dtypes = [str(t) for t in rel.types]

@@ -994,6 +994,65 @@ def test_unpartitioned_window_detector_catches_planted(spark):
     )
     assert unpartitioned_window_count(fine) == 0
 
+    # r12 (ADVICE r11): the detector must also catch NON-WindowExec
+    # window-family nodes — a pandas window UDF plans as
+    # WindowInPandasExec, which the exact-class-name match was blind to
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _pmean(v):
+        return float(v.mean())
+
+    planted_pandas = df.withColumn(
+        "m", _pmean("id").over(Window.orderBy("id").rowsBetween(-2, 0))
+    )
+    # Spark 4 plans pandas window UDFs as ArrowWindowPythonExec
+    # (WindowInPandasExec in 3.x) — assert we really planted one
+    plan_str = planted_pandas._jdf.queryExecution().sparkPlan().toString()
+    assert "WindowPython" in plan_str or "WindowInPandas" in plan_str
+    assert unpartitioned_window_count(planted_pandas) >= 1
+    fine_pandas = df.withColumn(
+        "m",
+        _pmean("id").over(
+            Window.partitionBy("g").orderBy("id").rowsBetween(-2, 0)
+        ),
+    )
+    assert unpartitioned_window_count(fine_pandas) == 0
+
+
+def test_winnow_pairs_persists_fingerprints(spark):
+    """r12 (ADVICE r11): winnow_candidate_pairs feeds the fingerprint
+    pipeline (explode + per-doc window + distinct) into BOTH self-join
+    sides — without a persist, AQE's runtime stage dedup only
+    ReusedExchanges the pre-window doc exchange, re-running the
+    window + distinct per branch (measured A/B in the operator
+    docstring). The physical plan must therefore read the fingerprint
+    table from the tracked cache on every consumer."""
+    from streaming_data_pipeline_azure_spark.functions.cache import (
+        release_caches,
+    )
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        winnow_candidate_pairs,
+    )
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo shared{i % 3} run") for i in range(12)],
+        "doc_id long, text string",
+    )
+    try:
+        plan = physical_plan(winnow_candidate_pairs(df))
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        # the valved variant adds a third consumer (the bucket-count
+        # anti-join side) — it must read the same cached table, not
+        # re-derive the fingerprint pipeline
+        plan_v = physical_plan(winnow_candidate_pairs(df, max_bucket=5))
+        assert plan_v.count("InMemoryTableScan") >= 3, plan_v
+    finally:
+        release_caches()
+
 
 def test_unpartitioned_window_audit_all_entries(spark, sf_dir):
     """STANDING audit gate (VERDICT r10 #4, seeded from the r10 manual

@@ -588,3 +588,127 @@ def test_preference_pairs_excludes_null_scores(spark):
     assert (r["chosen_id"], r["rejected_id"]) == (1, 2)
     assert r["rejected_score"] == 3 and r["margin"] == 6
     assert r["n_items"] == 2
+
+
+def test_dsir_importance_weights_hand_replay(spark):
+    """r12: per-doc weight replays exactly in python (same smoothed
+    ratios, same position-ordered left fold), and docs made of
+    target-heavy grams outweigh off-target docs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (1, True, "alpha beta alpha beta alpha"),
+        (2, True, "alpha beta gamma alpha beta"),
+        (3, False, "delta epsilon delta epsilon delta"),
+        (4, False, "alpha beta alpha beta gamma"),  # target-like raw doc
+        (5, False, "zeta"),  # single token -> no bigram -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, is_t boolean, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            df, "doc_id", "text", target_filter=F.col("is_t"), n_buckets=64
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+
+    # python replay
+    B = 64
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    grams = {}  # doc -> [bucket,...] in position order
+    for did, is_t, text in rows:
+        toks = text.lower().split()
+        grams[did] = (is_t, [bucket(" ".join(toks[i:i + 2]))
+                             for i in range(len(toks) - 1)])
+    cs, ct = {}, {}
+    for did, (is_t, bs) in grams.items():
+        for b in bs:
+            cs[b] = cs.get(b, 0) + 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+    S = sum(cs.values())
+    T = sum(ct.values())
+    for did, (is_t, bs) in grams.items():
+        if not bs:
+            continue
+        w = 1.0
+        for b in bs:
+            w = w * ((float(ct.get(b, 0) + 1) * (float(S) + 64.0))
+                     / (float(cs[b] + 1) * (float(T) + 64.0)))
+        assert out[did]["weight"] == w, (did, out[did]["weight"], w)
+        assert out[did]["n_grams"] == len(bs)
+    # the target-like raw doc outweighs the off-target doc
+    assert out[4]["weight"] > out[3]["weight"]
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance_weights(
+            df, "doc_id", "text", target_filter=F.col("is_t"), n_buckets=0
+        )
+
+
+def test_token_budget_selection_invariants(spark):
+    """r12: (a) selected token mass never exceeds the integer budget,
+    (b) the selection is maximal in the declared order — the first
+    unselected doc in (bucket desc, doc_id asc) order would cross the
+    budget, (c) higher-bucket docs are never dropped in favor of
+    lower-bucket docs, (d) guards."""
+    import pytest
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    # diversity d/t spread: repeated words lower the bucket
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(10)) if i % 3 == 0
+         else "dup " * 9 + f"tail{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_budget_selection(df, budget_pct=40, n_buckets=1000).collect()
+    total = sum(r["n_tokens"] for r in out)
+    budget = total * 40 // 100
+    sel = [r for r in out if r["selected"]]
+    assert sum(r["n_tokens"] for r in sel) <= budget
+    # maximality: walk docs in selection order; selected must be the
+    # exact greedy prefix-with-skips of the boundary rule
+    ordered = sorted(out, key=lambda r: (-r["quality_bucket"], r["doc_id"]))
+    cum, expect = 0, {}
+    by_bucket = {}
+    for r in ordered:
+        by_bucket.setdefault(r["quality_bucket"], []).append(r)
+    for b in sorted(by_bucket, reverse=True):
+        btok = sum(r["n_tokens"] for r in by_bucket[b])
+        if cum + btok <= budget:
+            for r in by_bucket[b]:
+                expect[r["doc_id"]] = True
+            cum += btok
+        elif cum < budget:
+            # STRICT positional prefix (the operator's rule): the
+            # cumsum counts every preceding doc in id order, so the
+            # first doc crossing the line also blocks later smaller
+            # docs — no skip-ahead packing (deterministic contiguous
+            # prefix; skip-greedy would make the boundary set depend
+            # on doc-size interleavings)
+            dcum = 0
+            for r in by_bucket[b]:
+                expect[r["doc_id"]] = dcum + r["n_tokens"] <= budget - cum
+                dcum += r["n_tokens"]
+            cum += btok
+        else:
+            for r in by_bucket[b]:
+                expect[r["doc_id"]] = False
+    for r in out:
+        assert r["selected"] == expect[r["doc_id"]], r
+    assert any(r["selected"] for r in out)
+    assert any(not r["selected"] for r in out)
+    with pytest.raises(ValueError, match="budget_pct"):
+        token_budget_selection(df, budget_pct=101)
+    with pytest.raises(ValueError, match="n_buckets"):
+        token_budget_selection(df, n_buckets=0)

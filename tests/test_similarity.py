@@ -223,23 +223,78 @@ def test_assign_centroids_kernel_parity(spark, sf_dir):
     assert ker_rows[990_001]["cluster_id"] == cent_rows[0][0]
 
 
-def test_assign_centroids_kernel_guards(spark):
+def test_assign_centroids_guards_strategy_independent(spark):
+    """r12 (ADVICE r11): clash/duplicate-cid validation must not
+    depend on which physical strategy the centroid count selects —
+    the same call site must behave identically at |C| <= threshold
+    (literal) and above it (kernel)."""
     cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
     df = spark.createDataFrame(
         [(1, [1.0, 0.0], 5)], "vec_id long, embedding array<double>, score int"
     )
-    with pytest.raises(ValueError, match="score"):
-        sim.assign_fixed_centroids(
-            df, "embedding", cents, max_literal_centroids=0
-        )
+    dup = [(0, [1.0, 0.0]), (0, [0.0, 1.0])]
     df2 = spark.createDataFrame(
         [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="duplicate"):
-        sim.assign_fixed_centroids(
-            df2, "embedding", [(0, [1.0, 0.0]), (0, [0.0, 1.0])],
-            max_literal_centroids=0,
+    for mlc in (0, 16):  # kernel strategy, literal strategy
+        with pytest.raises(ValueError, match="score"):
+            sim.assign_fixed_centroids(
+                df, "embedding", cents, max_literal_centroids=mlc
+            )
+        with pytest.raises(ValueError, match="duplicate"):
+            sim.assign_fixed_centroids(
+                df2, "embedding", dup, max_literal_centroids=mlc
+            )
+
+
+def test_assign_centroids_kernel_nonfinite_parity(spark):
+    """r12 (ADVICE r11): vectors with non-finite components must pick
+    the SAME cluster on both strategies. The literal path's array_min
+    over struct(-score, cid) orders NaN as the largest double, so a
+    NaN-scored centroid never wins while any finite score exists; the
+    kernel masks NaN scores to -inf before argmax to match. All-NaN
+    rows fall to the smallest cid on both paths."""
+    import math
+
+    nan, inf = float("nan"), float("inf")
+    # cid 5 is ZERO-NORM (score exactly 0.0 for finite vectors on both
+    # engines); cid 9 is POISONED (inf component -> NaN score against
+    # every finite vector). A finite vector therefore sees MIXED
+    # finite/NaN scores — the case where a raw np.argmax returns the
+    # NaN index (cid 9) while the literal struct-min skips it.
+    cents = [(3, [1.0, 0.0]), (5, [0.0, 0.0]), (9, [inf, 0.0])]
+    df = spark.createDataFrame(
+        [
+            (1, [inf, 1.0]),   # non-finite vec: all scores NaN
+            (2, [nan, nan]),   # all-NaN vec
+            (3, [1.0, nan]),   # NaN component poisons every dot
+            (4, [0.5, 0.5]),   # finite: (0.707.., 0.0, NaN) -> cid 3
+            (5, [0.0, 0.0]),   # zero vec: (0.0, 0.0, NaN) -> cid 3 tie
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    lit = {
+        r["vec_id"]: r
+        for r in sim.assign_fixed_centroids(df, "embedding", cents).collect()
+    }
+    ker = {
+        r["vec_id"]: r
+        for r in sim.assign_fixed_centroids(
+            df, "embedding", cents, max_literal_centroids=0
+        ).collect()
+    }
+    for vid in lit:
+        assert ker[vid]["cluster_id"] == lit[vid]["cluster_id"], (
+            vid, lit[vid], ker[vid],
         )
+        ls, ks = lit[vid]["score"], ker[vid]["score"]
+        assert (ls == ks) or (math.isnan(ls) and math.isnan(ks)), (
+            vid, ls, ks,
+        )
+    # finite vector must SKIP the poisoned centroid on both paths
+    assert lit[4]["cluster_id"] == 3 and ker[4]["cluster_id"] == 3
+    # all-NaN rows fall to the smallest cid with a NaN score
+    assert lit[2]["cluster_id"] == 3 and math.isnan(lit[2]["score"])
 
 
 def test_groupwise_centroids_exact(spark):

@@ -545,3 +545,27 @@ def test_term_keyness_hand_checked(spark):
 
     with _pt.raises(ValueError, match="min_count"):
         term_keyness(df, "text", F.col("t"), min_count=0)
+
+
+def test_ngram_diversity_hand_checked(spark):
+    """r12 (distinct-n): 'a b a b' + 'a b' -> unigrams 6 total /
+    2 distinct, bigrams 4 total ('a b','b a','a b' | 'a b') /
+    2 distinct, trigrams 2 total / 2 distinct."""
+    import pytest
+
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        ngram_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["n"]: r for r in ngram_diversity(df, ns=(1, 2, 3)).collect()}
+    assert (out[1]["total_grams"], out[1]["distinct_grams"]) == (6, 2)
+    assert out[1]["distinct_ratio"] == 2.0 / 6.0
+    assert (out[2]["total_grams"], out[2]["distinct_grams"]) == (4, 2)
+    assert out[2]["distinct_ratio"] == 0.5
+    assert (out[3]["total_grams"], out[3]["distinct_grams"]) == (2, 2)
+    assert out[3]["distinct_ratio"] == 1.0
+    with pytest.raises(ValueError, match="orders"):
+        ngram_diversity(df, ns=())
