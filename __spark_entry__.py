@@ -4465,6 +4465,33 @@ _R12_WINDOW = [
 ]
 
 
+# r13 WINDOW (precomputed on final r12 code, VERDICT r11 #6 — assuming
+# the r12 window goes driver-green): the never-checked backlog is ZERO
+# after r12 except the four r12-wave additions, so the rotation is
+# wave-first then pure oldest-green refresh. Derivation is mechanical:
+#   last[k] = max round with a CORRECTNESS row (r12 window members := 12)
+#   never   = oracle-backed entries with no row  (== the r12 wave, 4)
+#   _R13_WINDOW = never + sorted(green, key=(last[k], dict order))[:46]
+# Computed list (oldest block is the r4-green core; cut-off age r5):
+#   repeated_ngram_stats, ngram_diversity_stats, dsir_importance_weights,
+#   token_budget_selection, user_activity_similarity, skewed_join_totals,
+#   pii_redaction, top_terms, events_date_parts, events_daily_pivot,
+#   doc_fingerprint, alpha_mixture_stats, shard_balance_stats,
+#   embedding_neardup_incremental_exact, dedup_incremental_neardup_exact,
+#   embedding_neardup_exact, dedup_exact, dedup_normalized,
+#   dedup_jaccard_exact, dedup_incremental, enriched_orders,
+#   similarity_topk, multiquery_topk, multimodal_decode,
+#   events_sessionized, asof_latest_click, events_hourly,
+#   events_in_sessions, pricing_summary, orders_by_nation,
+#   revenue_by_segment, pack_documents, pii_redaction_extended,
+#   cross_doc_repetition, decontaminate_ngrams, repetition_stats,
+#   stratified_sample_stats, chunk_documents, tfidf_top_terms,
+#   order_count_distribution, small_order_revenue, large_orders,
+#   nation_trade_flows, kmeans_assign_stats, events_props_map,
+#   customer_name_features, customers_without_orders,
+#   customers_with_orders, segments_above_avg, span_dedup
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "enriched_orders": _ENRICHED_ORACLE,
