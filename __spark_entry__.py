@@ -4385,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity_stats": _ngram_diversity_stats,
         "dsir_importance_weights": _dsir_importance_weights,
         "token_budget_selection": _token_budget_selection,
+        "term_burstiness": _term_burstiness,
     }
     out = {k: base[k] for k in _R12_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -13525,6 +13526,38 @@ ORDER BY n_members DESC, community ASC
                            <= m.remain)) AS selected
             FROM docs d JOIN marked m USING (quality_bucket)
         """,
+        # Term burstiness (r12, Church & Gale 1995): all-BIGINT
+        # sufficient sums (DuckDB's internal HUGEINT sum is fine — the
+        # published columns are BIGINT/DOUBLE), one double divide.
+        "term_burstiness": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS w FROM norm
+            ), per AS (
+              SELECT w, doc_id, count(*) AS c FROM tok
+              WHERE length(w) >= 1 GROUP BY 1, 2
+            ), term AS (
+              SELECT w, sum(c) AS s1, sum(c * c) AS s2,
+                     count(*) AS ndocs
+              FROM per GROUP BY 1
+            ), nn AS (
+              SELECT count(*) AS n FROM documents
+            )
+            SELECT w AS term,
+                   CAST(s1 AS BIGINT) AS n_occurrences,
+                   CAST(ndocs AS BIGINT) AS n_docs,
+                   CAST(n * s2 - s1 * s1 AS DOUBLE)
+                   / CAST(n * s1 AS DOUBLE) AS vmr
+            FROM term, nn
+            WHERE s1 >= 5
+            ORDER BY s1 DESC, w
+            LIMIT 20
+        """,
     }
 
 
@@ -18753,3 +18786,12 @@ def _token_budget_selection(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.token_budget_selection(
         _docs(spark, sf), "doc_id", "text", budget_pct=25, n_buckets=1000
     )
+
+
+def _term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Church-Gale term burstiness (r12): variance-to-mean ratio of
+    per-doc counts (zeros algebraic, never materialized) for the top
+    20 corpus terms — content words read VMR >> 1, function words ~1.
+    All-BIGINT sufficient sums, one double divide;
+    TakeOrderedAndProject on the occurrence rank."""
+    return tx.term_burstiness(_docs(spark, sf), "text", k=20, min_count=5)

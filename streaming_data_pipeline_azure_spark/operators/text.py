@@ -1150,3 +1150,85 @@ def ngram_diversity(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Term burstiness for the corpus' top-``k`` terms (Church & Gale,
+    "Poisson mixtures", 1995; Katz 1996): the variance-to-mean ratio
+    of a term's PER-DOCUMENT count across ALL documents (zeros
+    included). Poisson scatter gives VMR = 1; content words are
+    BURSTY (VMR >> 1 — a doc that mentions a topic mentions it
+    repeatedly) while function words sit near 1. The reading feeds
+    stopword induction and keyword weighting, and a synthetic/
+    template corpus shows its signature here (uniformly low VMR).
+
+    Engine-exactness: with S1 = sum of per-doc counts and S2 = sum of
+    their squares over N docs,
+
+        VMR = ((N*S2 - S1*S1)) / (N*S1)
+
+    — all-BIGINT numerator/denominator (ANSI mode throws loudly on
+    overflow rather than wrapping — at a 100 TB vocabulary lift these
+    to DECIMAL(38,0)), ONE double divide, bit-identical everywhere.
+
+    Shape: token explode -> (term, doc) count aggregate (map-side
+    combine absorbs within-doc repeats) -> term-grain rollup of
+    (S1, S2, df) -> broadcast N -> top-k by total occurrences
+    (TakeOrderedAndProject, term tie-break). Zero-count docs never
+    materialize: their contribution is algebraic (they add nothing to
+    S1/S2 and N carries them).
+
+    Returns (term, n_occurrences, n_docs, vmr), most frequent first.
+    """
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+    )
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    if k < 1 or min_count < 1:
+        raise ValueError(
+            f"term_burstiness: k={k} and min_count={min_count} must be >= 1"
+        )
+    df = _ensure_parallelism(df)
+    docs = df.select(F.monotonically_increasing_id().alias("__rid"),
+                     _norm_tokens(text_col).alias("__toks"))
+    # monotonically_increasing_id is partition-dependent — fine HERE
+    # because it only keys the per-doc count grain and never surfaces
+    # (any distinct doc key gives identical S1/S2/df); the published
+    # stats are key-free
+    n_docs_total = docs.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    per_doc = (
+        docs.select("__rid", F.explode("__toks").alias("__w"))
+        .filter(F.length("__w") >= 1)
+        .groupBy("__w", "__rid")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    term = per_doc.groupBy("__w").agg(
+        F.sum("__c").cast("long").alias("__s1"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__s2"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        term.filter(F.col("__s1") >= int(min_count))
+        .crossJoin(F.broadcast(n_docs_total))
+        .select(
+            F.col("__w").alias("term"),
+            F.col("__s1").alias("n_occurrences"),
+            "n_docs",
+            (
+                (F.col("__N") * F.col("__s2")
+                 - F.col("__s1") * F.col("__s1")).cast("double")
+                / (F.col("__N") * F.col("__s1")).cast("double")
+            ).alias("vmr"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "term")
+        .limit(int(k))
+    )

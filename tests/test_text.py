@@ -569,3 +569,35 @@ def test_ngram_diversity_hand_checked(spark):
     assert out[3]["distinct_ratio"] == 1.0
     with pytest.raises(ValueError, match="orders"):
         ngram_diversity(df, ns=())
+
+
+def test_term_burstiness_hand_checked(spark):
+    """r12 (Church & Gale): 'b' appears 4x concentrated in one of 4
+    docs -> VMR = var/mean with zeros counted = ((4*16-16)/(4*4)) = 3;
+    'a' appears once per doc -> VMR = 0 (deterministic); min_count
+    screens rare terms; top-k orders by occurrences then term."""
+    import pytest
+
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        term_burstiness,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b b b b"),
+            (2, "a"),
+            (3, "a"),
+            (4, "a rare"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in term_burstiness(df, k=5, min_count=2).collect()}
+    assert set(out) == {"a", "b"}  # 'rare' screened by min_count
+    # a: counts (1,1,1,1) over N=4 -> S1=4, S2=4 -> (16-16)/16 = 0
+    assert out["a"]["n_occurrences"] == 4 and out["a"]["n_docs"] == 4
+    assert out["a"]["vmr"] == 0.0
+    # b: counts (4,0,0,0) -> S1=4, S2=16 -> (4*16-16)/(4*4) = 3
+    assert out["b"]["n_occurrences"] == 4 and out["b"]["n_docs"] == 1
+    assert out["b"]["vmr"] == 3.0
+    with pytest.raises(ValueError, match="term_burstiness"):
+        term_burstiness(df, k=0)
