@@ -4386,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": _dsir_importance_weights,
         "token_budget_selection": _token_budget_selection,
         "term_burstiness": _term_burstiness,
+        "repeated_span_cut_plan": _repeated_span_cut_plan,
     }
     out = {k: base[k] for k in _R12_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -13558,6 +13559,71 @@ ORDER BY n_members DESC, community ASC
             ORDER BY s1 DESC, w
             LIMIT 20
         """,
+        # Cut plan (r12): duplicated-gram token intervals unioned by
+        # the running-max sweep (two doc-partitioned windows), exact
+        # BIGINT throughout.
+        "repeated_span_cut_plan": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+                     u.pos AS pos, md5(u.g) AS h
+              FROM (
+                SELECT doc_id, toks,
+                       unnest([struct_pack(
+                                 pos := i,
+                                 g := array_to_string(toks[i:i+9], ' '))
+                               FOR i IN range(1, len(toks) - 8)]) AS u
+                FROM norm WHERE len(toks) >= 10)
+            ), cnt AS (
+              SELECT h, count(*) AS c FROM grams GROUP BY 1
+            ), marked AS (
+              SELECT g.doc_id, g.nt, g.pos, (c.c >= 2) AS dup
+              FROM grams g JOIN cnt c USING (h)
+            ), per_doc AS (
+              SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_grams
+              FROM marked GROUP BY 1
+            ), dup AS (
+              SELECT doc_id, pos, pos + 9 AS e
+              FROM marked WHERE dup
+            ), flagged AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN pos > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -1) + 1
+                          THEN 1 ELSE 0 END AS newspan
+              FROM dup
+            ), islanded AS (
+              SELECT doc_id, pos, e,
+                     sum(newspan) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS span
+              FROM flagged
+            ), spans AS (
+              SELECT doc_id, span,
+                     max(e) - min(pos) + 1 AS slen
+              FROM islanded GROUP BY 1, 2
+            ), cut AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans,
+                     CAST(sum(slen) AS BIGINT) AS tokens_cut
+              FROM spans GROUP BY 1
+            )
+            SELECT p.doc_id, p.n_tokens, p.n_grams,
+                   CAST(coalesce(c.n_cut_spans, 0) AS BIGINT)
+                       AS n_cut_spans,
+                   CAST(coalesce(c.tokens_cut, 0) AS BIGINT)
+                       AS tokens_cut,
+                   CAST(p.n_tokens - coalesce(c.tokens_cut, 0) AS BIGINT)
+                       AS tokens_kept
+            FROM per_doc p LEFT JOIN cut c USING (doc_id)
+        """,
     }
 
 
@@ -18795,3 +18861,15 @@ def _term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     All-BIGINT sufficient sums, one double divide;
     TakeOrderedAndProject on the occurrence rank."""
     return tx.term_burstiness(_docs(spark, sf), "text", k=20, min_count=5)
+
+
+def _repeated_span_cut_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring-dedup cut plan (r12): per-doc union of the
+    token intervals covered by duplicated word-10-grams (overlapping/
+    adjacent intervals merge — the classic sort + running-max sweep as
+    doc-partitioned windows), i.e. exactly what a Lee et al. dedup
+    pass removes and what survives. All-BIGINT; the companion of
+    repeated_ngram_stats' exposure report."""
+    return dedup.repeated_span_cut_plan(
+        _docs(spark, sf), "doc_id", "text", n=10, min_count=2
+    )

@@ -2028,3 +2028,103 @@ def repeated_ngram_stats(
         .cast("long")
         .alias("max_dup_span_tokens"),
     )
+
+
+def repeated_span_cut_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ACTIONABLE half of exact substring deduplication (Lee et
+    al., ACL 2022) — where :func:`repeated_ngram_stats` measures
+    exposure, this emits the per-document CUT PLAN: every duplicated
+    ``n``-gram position covers tokens ``[pos, pos+n-1]``; the union of
+    those intervals (overlapping OR adjacent intervals merge — they
+    cut as one contiguous span) is exactly the text the dedup pass
+    removes. Returns per document: how many disjoint spans get cut,
+    how many tokens they cover, and what survives.
+
+    Interval union is the classic sort + running-max sweep, expressed
+    as two windows PARTITIONED BY document (input bounded by doc
+    length): a position starts a NEW span iff it exceeds the running
+    max end of all earlier intervals by more than 1; the cumulative
+    flag sum is the span id; span extents aggregate per (doc, span).
+    All arithmetic is exact BIGINT — the plan hash-replays in any SQL
+    engine.
+
+    Returns (id_col, n_tokens, n_grams, n_cut_spans, tokens_cut,
+    tokens_kept) for every document with >= 1 ``n``-gram.
+    """
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+        word_ngrams,
+    )
+
+    if n < 1 or min_count < 2:
+        raise ValueError(
+            f"repeated_span_cut_plan: n={n} must be >= 1 and "
+            f"min_count={min_count} must be >= 2"
+        )
+    df = _ensure_parallelism(df)
+    base = df.select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
+    grams = base.select(
+        id_col,
+        F.size("__toks").cast("long").alias("__nt"),
+        F.posexplode(word_ngrams(F.col("__toks"), n)).alias("__p0", "__g"),
+    ).select(
+        id_col,
+        "__nt",
+        (F.col("__p0") + 1).alias("__pos"),
+        F.md5("__g").alias("__h"),
+    )
+    counts = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    marked = grams.join(counts, "__h").select(
+        id_col, "__nt", "__pos", (F.col("__cnt") >= min_count).alias("__dup")
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.max("__nt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    dup = marked.filter("__dup").select(
+        id_col, "__pos", (F.col("__pos") + F.lit(n - 1)).alias("__end")
+    )
+    flagged = dup.withColumn(
+        "__new",
+        F.when(
+            F.col("__pos")
+            > F.coalesce(
+                F.max("__end").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(-1),
+            )
+            + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__span",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy(id_col, "__span").agg(
+        (F.max("__end") - F.min("__pos") + 1).cast("long").alias("__len")
+    )
+    cut = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cut_spans"),
+        F.sum("__len").cast("long").alias("tokens_cut"),
+    )
+    return per_doc.join(cut, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_grams",
+        F.coalesce(F.col("n_cut_spans"), F.lit(0)).cast("long").alias("n_cut_spans"),
+        F.coalesce(F.col("tokens_cut"), F.lit(0)).cast("long").alias("tokens_cut"),
+        (F.col("n_tokens") - F.coalesce(F.col("tokens_cut"), F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+    )

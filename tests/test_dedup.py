@@ -1003,3 +1003,47 @@ def test_repeated_ngram_stats_planted_span(spark):
     assert out[4]["max_dup_span_tokens"] >= 12
     with pytest.raises(ValueError, match="min_count"):
         repeated_ngram_stats(df, n=10, min_count=1)
+
+
+def test_repeated_span_cut_plan_interval_union(spark):
+    """r12: the cut plan must merge overlapping AND adjacent dup-gram
+    token intervals into disjoint spans. Two docs share a 12-token
+    span (3 dup 10-grams at positions p, p+1, p+2 -> ONE merged
+    [p, p+11] cut) and also share a second, separate 10-token span ->
+    a second disjoint cut; the clean doc reports zero cuts and keeps
+    everything."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        repeated_span_cut_plan,
+    )
+
+    span_a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"   # 12 tokens
+    span_b = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"            # 10 tokens
+    gap = "x1 x2 x3 x4 x5"
+    rows = [
+        (1, span_a + " " + gap + " " + span_b),
+        (2, "z0 " + span_a + " z1 z2 z3 z4 z5 " + span_b + " z6"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_cut_plan(df, n=10, min_count=2).collect()
+    }
+    # doc 1: 27 tokens; cuts = [1,12] (12) + [18,27] (10) -> 22 cut, 5 kept
+    assert out[1]["n_tokens"] == 27
+    assert out[1]["n_cut_spans"] == 2
+    assert out[1]["tokens_cut"] == 22
+    assert out[1]["tokens_kept"] == 5
+    # doc 2: 29 tokens (1 + 12 + 5 + 10 + 1); same two spans shifted
+    # -> 22 cut, 7 kept
+    assert out[2]["n_tokens"] == 29
+    assert out[2]["n_cut_spans"] == 2
+    assert out[2]["tokens_cut"] == 22
+    assert out[2]["tokens_kept"] == 7
+    # doc 3: clean
+    assert out[3]["n_cut_spans"] == 0
+    assert out[3]["tokens_cut"] == 0
+    assert out[3]["tokens_kept"] == out[3]["n_tokens"] == 14
+    # invariants
+    for r in out.values():
+        assert r["tokens_cut"] + r["tokens_kept"] == r["n_tokens"]
