@@ -4472,11 +4472,15 @@ _R12_WINDOW = [
 # after r12 except the four r12-wave additions, so the rotation is
 # wave-first then pure oldest-green refresh. Derivation is mechanical:
 #   last[k] = max round with a CORRECTNESS row (r12 window members := 12)
-#   never   = oracle-backed entries with no row  (== the r12 wave, 4)
-#   _R13_WINDOW = never + sorted(green, key=(last[k], dict order))[:46]
-# Computed list (oldest block is the r4-green core; cut-off age r5):
+#   never   = oracle-backed entries with no row  (== the r12 wave, 6)
+#   _R13_WINDOW = never + sorted(green, key=(last[k], dict order))[:44]
+# Computed list (re-derived after the full r12 wave landed — the two
+# addendum entries term_burstiness / repeated_span_cut_plan join the
+# never-checked head and displace segments_above_avg / span_dedup to
+# the r14 queue; oldest green block is the r4 core, cut-off age r5):
 #   repeated_ngram_stats, ngram_diversity_stats, dsir_importance_weights,
-#   token_budget_selection, user_activity_similarity, skewed_join_totals,
+#   token_budget_selection, term_burstiness, repeated_span_cut_plan,
+#   user_activity_similarity, skewed_join_totals,
 #   pii_redaction, top_terms, events_date_parts, events_daily_pivot,
 #   doc_fingerprint, alpha_mixture_stats, shard_balance_stats,
 #   embedding_neardup_incremental_exact, dedup_incremental_neardup_exact,
@@ -4491,7 +4495,7 @@ _R12_WINDOW = [
 #   order_count_distribution, small_order_revenue, large_orders,
 #   nation_trade_flows, kmeans_assign_stats, events_props_map,
 #   customer_name_features, customers_without_orders,
-#   customers_with_orders, segments_above_avg, span_dedup
+#   customers_with_orders
 
 
 def oracle_sql() -> dict[str, str]:
