@@ -4387,6 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_selection": _token_budget_selection,
         "term_burstiness": _term_burstiness,
         "repeated_span_cut_plan": _repeated_span_cut_plan,
+        "budget_selection_by_source": _budget_selection_by_source,
     }
     out = {k: base[k] for k in _R12_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4472,14 +4473,16 @@ _R12_WINDOW = [
 # after r12 except the four r12-wave additions, so the rotation is
 # wave-first then pure oldest-green refresh. Derivation is mechanical:
 #   last[k] = max round with a CORRECTNESS row (r12 window members := 12)
-#   never   = oracle-backed entries with no row  (== the r12 wave, 6)
-#   _R13_WINDOW = never + sorted(green, key=(last[k], dict order))[:44]
-# Computed list (re-derived after the full r12 wave landed — the two
-# addendum entries term_burstiness / repeated_span_cut_plan join the
-# never-checked head and displace segments_above_avg / span_dedup to
-# the r14 queue; oldest green block is the r4 core, cut-off age r5):
+#   never   = oracle-backed entries with no row  (== the r12 wave, 7)
+#   _R13_WINDOW = never + sorted(green, key=(last[k], dict order))[:43]
+# Computed list (re-derived after the FULL r12 wave landed — the three
+# addendum entries term_burstiness / repeated_span_cut_plan /
+# budget_selection_by_source join the never-checked head and displace
+# segments_above_avg / span_dedup / customers_with_orders to the r14
+# queue; oldest green block is the r4 core, cut-off age r5):
 #   repeated_ngram_stats, ngram_diversity_stats, dsir_importance_weights,
 #   token_budget_selection, term_burstiness, repeated_span_cut_plan,
+#   budget_selection_by_source,
 #   user_activity_similarity, skewed_join_totals,
 #   pii_redaction, top_terms, events_date_parts, events_daily_pivot,
 #   doc_fingerprint, alpha_mixture_stats, shard_balance_stats,
@@ -4494,8 +4497,7 @@ _R12_WINDOW = [
 #   stratified_sample_stats, chunk_documents, tfidf_top_terms,
 #   order_count_distribution, small_order_revenue, large_orders,
 #   nation_trade_flows, kmeans_assign_stats, events_props_map,
-#   customer_name_features, customers_without_orders,
-#   customers_with_orders
+#   customer_name_features, customers_without_orders
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13628,6 +13630,72 @@ ORDER BY n_members DESC, community ASC
                        AS tokens_kept
             FROM per_doc p LEFT JOIN cut c USING (doc_id)
         """,
+        # Mixture-shift audit (r12): the token_budget CTEs + a
+        # per-source rollup; share is one divide of exact BIGINTs.
+        "budget_selection_by_source": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS d
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(
+                               lower(regexp_replace(trim(text), '\s+',
+                                     ' ', 'g')), ' ') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 1
+            ), docs AS (
+              SELECT doc_id, n_tokens,
+                     CAST((1000 * d) // n_tokens AS BIGINT)
+                         AS quality_bucket
+              FROM tk
+            ), pb AS (
+              SELECT quality_bucket, sum(n_tokens) AS btok
+              FROM docs GROUP BY 1
+            ), bd AS (
+              SELECT CAST((sum(n_tokens) * 25) // 100 AS BIGINT)
+                     AS budget
+              FROM docs
+            ), line AS (
+              SELECT quality_bucket,
+                     coalesce(sum(btok) OVER (
+                         ORDER BY quality_bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cum_before,
+                     btok
+              FROM pb
+            ), marked AS (
+              SELECT l.quality_bucket,
+                     (l.cum_before + l.btok <= b.budget) AS is_full,
+                     (l.cum_before < b.budget
+                      AND l.cum_before + l.btok > b.budget)
+                         AS is_boundary,
+                     (b.budget - l.cum_before) AS remain
+              FROM line l, bd b
+            ), sel AS (
+              SELECT d.doc_id, d.n_tokens,
+                     (m.is_full OR (m.is_boundary
+                         AND coalesce(sum(d.n_tokens) OVER (
+                                 PARTITION BY d.quality_bucket
+                                 ORDER BY d.doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) + d.n_tokens
+                             <= m.remain)) AS selected
+              FROM docs d JOIN marked m USING (quality_bucket)
+            )
+            SELECT doc.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (s.selected) AS BIGINT)
+                       AS n_selected,
+                   CAST(sum(s.n_tokens) AS BIGINT) AS tokens,
+                   CAST(coalesce(sum(s.n_tokens) FILTER (s.selected),
+                                 0) AS BIGINT) AS tokens_selected,
+                   CAST(coalesce(sum(s.n_tokens) FILTER (s.selected),
+                                 0) AS DOUBLE)
+                   / CAST(sum(s.n_tokens) AS DOUBLE)
+                       AS kept_token_share
+            FROM sel s JOIN documents doc USING (doc_id)
+            GROUP BY 1
+        """,
     }
 
 
@@ -18876,4 +18944,47 @@ def _repeated_span_cut_plan(spark: SparkSession, sf: str) -> DataFrame:
     repeated_ngram_stats' exposure report."""
     return dedup.repeated_span_cut_plan(
         _docs(spark, sf), "doc_id", "text", n=10, min_count=2
+    )
+
+
+def _budget_selection_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture-shift audit of the token-budget cut (r12): quality
+    filtering is never domain-neutral — a diversity-ranked budget cut
+    keeps different token shares from different sources, silently
+    skewing the training mix (the standard Dolma/RefinedWeb-era
+    report). Per source: docs/tokens before and after the cut plus
+    the kept-token share (one divide of exact BIGINTs). Composes
+    token_budget_selection (same params as its entry) with the
+    source dimension — one broadcast-joinable key lookup and an
+    O(sources) rollup on top of the selection plan.
+    window: grain-bounded — inherits token_budget_selection's
+    bucket-level running total, an unpartitioned window over at most
+    1001 quantized-quality rows (the fixed bucket domain), never
+    corpus rows; the per-doc window partitions by bucket."""
+    docs = _docs(spark, sf)
+    sel = sampling.token_budget_selection(
+        docs, "doc_id", "text", budget_pct=25, n_buckets=1000
+    )
+    return (
+        sel.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("selected").cast("long")).cast("long").alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum(
+                F.when(F.col("selected"), F.col("n_tokens")).otherwise(F.lit(0))
+            ).cast("long").alias("tokens_selected"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_selected",
+            "tokens",
+            "tokens_selected",
+            (
+                F.col("tokens_selected").cast("double")
+                / F.col("tokens").cast("double")
+            ).alias("kept_token_share"),
+        )
     )

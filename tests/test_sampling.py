@@ -712,3 +712,41 @@ def test_token_budget_selection_invariants(spark):
         token_budget_selection(df, budget_pct=101)
     with pytest.raises(ValueError, match="n_buckets"):
         token_budget_selection(df, n_buckets=0)
+
+
+def test_budget_selection_by_source_consistency(spark):
+    """r12: the per-source mixture report must tie out exactly with
+    the underlying selection — same totals, and a source whose docs
+    are all low-diversity keeps a smaller token share than one with
+    high-diversity docs (the mixture-shift the report exists to
+    expose)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_azure_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    rows = [
+        (i, "srcA", " ".join(f"w{i}x{j}" for j in range(10)))
+        for i in range(10)
+    ] + [
+        (100 + i, "srcB", "dup " * 9 + f"t{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sel = token_budget_selection(df, budget_pct=50, n_buckets=1000)
+    report = (
+        sel.join(df.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("selected").cast("long")).alias("n_sel"),
+            F.sum(F.when(F.col("selected"), F.col("n_tokens")).otherwise(0)).alias("tok_sel"),
+            F.sum("n_tokens").alias("tok"),
+        )
+    ).collect()
+    r = {x["source"]: x for x in report}
+    total_sel = sum(x["tok_sel"] for x in report)
+    budget = sum(x["tok"] for x in report) * 50 // 100
+    assert total_sel <= budget
+    # high-diversity srcA dominates the kept mix
+    assert r["srcA"]["tok_sel"] / r["srcA"]["tok"] > r["srcB"]["tok_sel"] / r["srcB"]["tok"]
+    assert r["srcA"]["n_sel"] == 10  # all of srcA fits in half the budget
