@@ -4388,8 +4388,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": _term_burstiness,
         "repeated_span_cut_plan": _repeated_span_cut_plan,
         "budget_selection_by_source": _budget_selection_by_source,
+        # ---- new in r13 (dict tail: never-driver-checked; they join
+        # the r14 refresh rotation behind the oldest-green block) ----
+        "span_cut_apply_stats": _span_cut_apply_stats,
+        "quality_classifier_scores": _quality_classifier_scores,
     }
-    out = {k: base[k] for k in _R12_WINDOW}
+    out = {k: base[k] for k in _R13_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
@@ -4498,6 +4502,62 @@ _R12_WINDOW = [
 #   order_count_distribution, small_order_revenue, large_orders,
 #   nation_trade_flows, kmeans_assign_stats, events_props_map,
 #   customer_name_features, customers_without_orders
+#
+# INSTALLED r13 (VERDICT r12 #1): the pinned list above, verbatim.
+_R13_WINDOW = [
+    # positions 1-7: the r12 wave (never driver-checked; judge-green)
+    "repeated_ngram_stats",
+    "ngram_diversity_stats",
+    "dsir_importance_weights",
+    "token_budget_selection",
+    "term_burstiness",
+    "repeated_span_cut_plan",
+    "budget_selection_by_source",
+    # positions 8-50: oldest-green refresh (r4 core block, cut-off r5)
+    "user_activity_similarity",
+    "skewed_join_totals",
+    "pii_redaction",
+    "top_terms",
+    "events_date_parts",
+    "events_daily_pivot",
+    "doc_fingerprint",
+    "alpha_mixture_stats",
+    "shard_balance_stats",
+    "embedding_neardup_incremental_exact",
+    "dedup_incremental_neardup_exact",
+    "embedding_neardup_exact",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_jaccard_exact",
+    "dedup_incremental",
+    "enriched_orders",
+    "similarity_topk",
+    "multiquery_topk",
+    "multimodal_decode",
+    "events_sessionized",
+    "asof_latest_click",
+    "events_hourly",
+    "events_in_sessions",
+    "pricing_summary",
+    "orders_by_nation",
+    "revenue_by_segment",
+    "pack_documents",
+    "pii_redaction_extended",
+    "cross_doc_repetition",
+    "decontaminate_ngrams",
+    "repetition_stats",
+    "stratified_sample_stats",
+    "chunk_documents",
+    "tfidf_top_terms",
+    "order_count_distribution",
+    "small_order_revenue",
+    "large_orders",
+    "nation_trade_flows",
+    "kmeans_assign_stats",
+    "events_props_map",
+    "customer_name_features",
+    "customers_without_orders",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13423,17 +13483,17 @@ ORDER BY n_members DESC, community ASC
                    CAST(count(*) AS BIGINT) AS distinct_grams,
                    CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
                        AS distinct_ratio
-            FROM d1
+            FROM d1 HAVING count(*) > 0
             UNION ALL
             SELECT CAST(2 AS BIGINT), CAST(sum(c) AS BIGINT),
                    CAST(count(*) AS BIGINT),
                    CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-            FROM d2
+            FROM d2 HAVING count(*) > 0
             UNION ALL
             SELECT CAST(3 AS BIGINT), CAST(sum(c) AS BIGINT),
                    CAST(count(*) AS BIGINT),
                    CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-            FROM d3
+            FROM d3 HAVING count(*) > 0
         """,
         # DSIR importance weights (r12, Xie et al. 2023): hashed
         # bigram buckets through the md5-prefix device; per-bucket
@@ -13695,6 +13755,142 @@ ORDER BY n_members DESC, community ASC
                        AS kept_token_share
             FROM sel s JOIN documents doc USING (doc_id)
             GROUP BY 1
+        """,
+        # APPLY stage of the span cut (r13): the cut-plan CTEs carried
+        # through to span extents, then the kept text replayed
+        # POSITION-BY-POSITION (anti-join of token positions against
+        # covered intervals + ordered string_agg) — an independent
+        # formulation of Spark's gap-slicing fold, so agreement checks
+        # the slicing itself, not a shared expression tree.
+        "span_cut_apply_stats": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt
+              FROM norm
+            ), grams AS (
+              SELECT doc_id, u.pos AS pos, md5(u.g) AS h
+              FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(
+                                 pos := i,
+                                 g := array_to_string(toks[i:i+9], ' '))
+                               FOR i IN range(1, len(toks) - 8)]) AS u
+                FROM norm WHERE len(toks) >= 10)
+            ), cnt AS (
+              SELECT h, count(*) AS c FROM grams GROUP BY 1
+            ), dup AS (
+              SELECT g.doc_id, g.pos, g.pos + 9 AS e
+              FROM grams g JOIN cnt c USING (h)
+              WHERE c.c >= 2
+            ), flagged AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN pos > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -1) + 1
+                          THEN 1 ELSE 0 END AS newspan
+              FROM dup
+            ), islanded AS (
+              SELECT doc_id, pos, e,
+                     sum(newspan) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS span
+              FROM flagged
+            ), spans AS (
+              SELECT doc_id, span, min(pos) AS s, max(e) AS e
+              FROM islanded GROUP BY 1, 2
+            ), spancnt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans,
+                     CAST(sum(e - s + 1) AS BIGINT) AS tokens_cut
+              FROM spans GROUP BY 1
+            ), pos AS (
+              SELECT doc_id, u.p AS p, u.w AS w
+              FROM (SELECT doc_id,
+                           unnest([struct_pack(p := i, w := toks[i])
+                                   FOR i IN range(1, len(toks) + 1)])
+                               AS u
+                    FROM norm)
+            ), keptpos AS (
+              SELECT p.doc_id, p.p, p.w FROM pos p
+              WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                WHERE s.doc_id = p.doc_id
+                                  AND p.p BETWEEN s.s AND s.e)
+            ), kept AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+                     string_agg(w, ' ' ORDER BY p) AS kt
+              FROM keptpos GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   t.nt AS n_tokens,
+                   CAST(coalesce(sc.n_cut_spans, 0) AS BIGINT)
+                       AS n_cut_spans,
+                   CAST(coalesce(sc.tokens_cut, 0) AS BIGINT)
+                       AS tokens_cut,
+                   CAST(coalesce(k.nk, 0) AS BIGINT) AS tokens_kept,
+                   coalesce(k.kt, '') AS kept_text
+            FROM tok t
+            LEFT JOIN spancnt sc USING (doc_id)
+            LEFT JOIN kept k USING (doc_id)
+        """,
+        # Quality-classifier gate (r13): every feature is one divide
+        # of exact BIGINTs; the logit replays Spark's left-associative
+        # IEEE chain with identical parenthesization (the mirrored-
+        # parenthesization device); literals cast to DOUBLE because
+        # DuckDB parses bare fractional literals as DECIMAL.
+        "quality_classifier_scores": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), feat AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS nt,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+                     CAST(len(list_filter(toks, t -> t IN
+                         ('the','a','of','and','is','to','in','that',
+                          'it','for'))) AS BIGINT) AS nstop,
+                     CAST(length(array_to_string(toks, '')) AS BIGINT)
+                         AS nc,
+                     CAST(length(regexp_replace(
+                         array_to_string(toks, ''), '[^a-z]', '', 'g'))
+                         AS BIGINT) AS na
+              FROM norm
+            ), f AS (
+              SELECT doc_id, nt,
+                     CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) AS f_div,
+                     CAST(nstop AS DOUBLE) / CAST(nt AS DOUBLE)
+                         AS f_stop,
+                     CASE WHEN nc > 0
+                          THEN CAST(na AS DOUBLE) / CAST(nc AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS f_alpha,
+                     CAST(least(nt, 1000) AS DOUBLE)
+                     / CAST(1000.0 AS DOUBLE) AS f_len
+              FROM feat
+            ), scored AS (
+              SELECT doc_id, nt, f_div, f_stop, f_alpha,
+                     ((((CAST(-3.0 AS DOUBLE)
+                         + CAST(1.0 AS DOUBLE) * f_len)
+                        + CAST(2.0 AS DOUBLE) * f_div)
+                       + CAST(4.0 AS DOUBLE) * f_stop)
+                      + CAST(2.0 AS DOUBLE) * f_alpha) AS logit
+              FROM f
+            )
+            SELECT doc_id,
+                   nt AS n_tokens,
+                   f_div AS f_diversity,
+                   f_stop AS f_stopword,
+                   f_alpha,
+                   logit,
+                   logit > CAST(0.0 AS DOUBLE) AS quality_pass
+            FROM scored
         """,
     }
 
@@ -18988,3 +19184,28 @@ def _budget_selection_by_source(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("kept_token_share"),
         )
     )
+
+
+def _span_cut_apply_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """APPLY stage of the Lee-et-al exact-substring cut (r13, VERDICT
+    r12 #3): materializes the cleaned normalized-token text that
+    repeated_span_cut_plan only plans — duplicated-10-gram intervals
+    merged and SLICED OUT of the token stream, survivors re-joined.
+    Every document returns exactly once (too-short docs pass through
+    whole). Per-doc outputs: token totals, spans/tokens cut, tokens
+    kept, and the cleaned text itself (the oracle replays the interval
+    slicing position-by-position)."""
+    return dedup.apply_span_cuts(
+        _docs(spark, sf), "doc_id", "text", n=10, min_count=2
+    )
+
+
+def _quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-weight linear quality-classifier gate (r13, VERDICT r12
+    #4): the fastText-style pre-mix document filter of the public
+    corpus recipes, distilled to a logit over engine-exact features
+    (capped length, lexical diversity, en stopword ratio, alphabetic
+    purity). No exp — the logit is the score; the left-associative
+    double chain replays bit-identically on any engine. Row-parallel
+    projection: no shuffle anywhere."""
+    return tx.quality_classifier_scores(_docs(spark, sf), "doc_id", "text")

@@ -166,6 +166,19 @@ def main() -> None:
     with open(self_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
+    # Evidence protection (VERDICT r12 "What's wrong" #1): BENCH_SELF.json
+    # is the MUTABLE latest-run file and may be overwritten by the driver's
+    # own per-round run; every run is therefore also APPENDED (never
+    # clobbered) to BENCH_HISTORY.jsonl with a wall-clock stamp, and the
+    # builder commits round-stamped copies (BENCH_SELF_r{N}_early/_close)
+    # as the primary per-round evidence.
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                time.gmtime()),
+                            **payload},
+                           sort_keys=True) + "\n")
     # Stdout stays COMPACT (VERDICT r7 #5): the driver's stdout capture
     # truncates around 8-10 KB, so the former single ~12 KB JSON line was
     # cut mid-map and BENCH_r{5,7}.json recorded "parsed": null. Print one

@@ -2128,3 +2128,137 @@ def repeated_span_cut_plan(
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+def apply_span_cuts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """The APPLY stage of exact substring deduplication (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022) — materializes the cleaned corpus that
+    :func:`repeated_span_cut_plan` only plans: every token covered by
+    a duplicated-``n``-gram interval (overlapping/adjacent intervals
+    merged) is removed, and the survivors re-join into the cleaned
+    normalized-token text. This is the operator a training-data
+    pipeline actually runs between the diagnostic and export.
+
+    EVERY input document comes back exactly once — documents shorter
+    than ``n`` tokens have no grams, hence no cuts, and pass through
+    whole (the plan entry's per-gram-doc grain differs deliberately:
+    a diagnostic reports only measurable docs, an apply must not drop
+    rows).
+
+    The cut intervals are the plan's gaps-and-islands sweep (two
+    windows PARTITIONED BY document — grain-bounded); the apply is a
+    per-doc fold with NO extra shuffle beyond one join of the merged
+    span lists back to the token arrays on the document key: spans
+    collapse to a sorted per-doc array (O(spans) <= O(doc length)),
+    and the kept text is gap SLICING — `zip_with` over span ends
+    [0,e1..ek] and starts [s1..sk,nt+1] emits each uncovered slice,
+    flatten + join rebuilds the text in one pass, O(tokens + spans)
+    per doc (never tokens x spans).
+
+    Returns (id_col, n_tokens, n_cut_spans, tokens_cut, tokens_kept,
+    kept_text) for EVERY document; kept_text is the cleaned
+    NORMALIZED token stream (the stream the dedup pass operates on),
+    '' when the whole document is cut.
+    """
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+        word_ngrams,
+    )
+
+    if n < 1 or min_count < 2:
+        raise ValueError(
+            f"apply_span_cuts: n={n} must be >= 1 and "
+            f"min_count={min_count} must be >= 2"
+        )
+    df = _ensure_parallelism(df)
+    base = df.select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
+    grams = base.select(
+        id_col,
+        F.posexplode(word_ngrams(F.col("__toks"), n)).alias("__p0", "__g"),
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).alias("__pos"),
+        F.md5("__g").alias("__h"),
+    )
+    counts = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    dup = (
+        grams.join(counts, "__h")
+        .filter(F.col("__cnt") >= int(min_count))
+        .select(id_col, "__pos", (F.col("__pos") + F.lit(n - 1)).alias("__end"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    flagged = dup.withColumn(
+        "__new",
+        F.when(
+            F.col("__pos")
+            > F.coalesce(
+                F.max("__end").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(-1),
+            )
+            + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__span",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy(id_col, "__span").agg(
+        F.min("__pos").cast("long").alias("s"),
+        F.max("__end").cast("long").alias("e"),
+    )
+    # per-doc sorted span array: O(disjoint spans) <= O(doc tokens)
+    # per group, the documented collect_list grain bound
+    doc_spans = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s"), F.col("e")))
+        ).alias("__spans")
+    )
+    joined = base.join(doc_spans, id_col, "left")
+    nt = F.size("__toks").cast("long")
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    # gap slicing: uncovered slice i runs (ends0[i]+1 .. starts1[i]-1)
+    ends0 = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(sp, lambda x: x["e"]),
+    )
+    starts1 = F.concat(
+        F.transform(sp, lambda x: x["s"]), F.array(nt + F.lit(1))
+    )
+    kept = F.flatten(
+        F.zip_with(
+            ends0,
+            starts1,
+            lambda e, s: F.slice(
+                F.col("__toks"),
+                (e + 1).cast("int"),
+                F.greatest(F.lit(0).cast("long"), s - e - 1).cast("int"),
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        nt.alias("n_tokens"),
+        F.size(sp).cast("long").alias("n_cut_spans"),
+        F.aggregate(
+            sp,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["e"] - x["s"] + 1,
+        ).alias("tokens_cut"),
+        F.size(kept).cast("long").alias("tokens_kept"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )

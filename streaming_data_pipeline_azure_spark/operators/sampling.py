@@ -872,7 +872,11 @@ def dsir_importance_weights(
     df = _ensure_parallelism(df)  # 1-file corpus would explode on 1 core
     grams = df.select(
         F.col(id_col),
-        target_filter.alias("__is_target"),
+        # NULL target flags must count as "not target" (0), matching the
+        # oracle's count(*) FILTER semantics — an all-NULL bucket would
+        # otherwise sum to NULL and poison every touching doc's weight
+        # (ADVICE r12).
+        F.coalesce(target_filter, F.lit(False)).alias("__is_target"),
         F.posexplode(word_ngrams(_norm_tokens(text_col), 2)).alias(
             "__p0", "__g"
         ),

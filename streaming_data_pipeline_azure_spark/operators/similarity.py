@@ -136,6 +136,27 @@ def assign_fixed_centroids(
     )
 
 
+def _argmax_nan_last(score):
+    """Row-wise argmax over a score matrix under the LITERAL path's
+    ordering: NaN loses to every non-NaN score INCLUDING -inf (the
+    struct-min over (-score, cid) orders NaN above +inf), ties break
+    to the first (= smallest-cid) column, all-NaN rows fall to column
+    0. A plain argmax over a NaN->-inf mask gets every case right
+    EXCEPT a genuine -inf score tying the mask (ADVICE r12): the
+    winner can only be a NaN column when the row max is -inf, and then
+    every non-NaN column scored exactly -inf, so the correct pick is
+    the first non-NaN column."""
+    import numpy as np
+
+    isn = np.isnan(score)
+    masked = np.where(isn, -np.inf, score)
+    best = np.argmax(masked, axis=1)  # first max = smallest cid
+    bad = isn[np.arange(score.shape[0]), best] & ~isn.all(axis=1)
+    if bad.any():
+        best = np.where(bad, (~isn).argmax(axis=1), best)
+    return best
+
+
 def _assign_fixed_centroids_kernel(
     df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -216,8 +237,7 @@ def _assign_fixed_centroids_kernel(
             # both paths (struct negscore tie / argmax over all -inf),
             # and the REPORTED score stays the unmasked value so the
             # literal path's NaN surfaces identically.
-            masked = np.where(np.isnan(score), -np.inf, score)
-            best = np.argmax(masked, axis=1)  # first max = smallest cid
+            best = _argmax_nan_last(score)
             yield pdf.assign(
                 cluster_id=ids[best],
                 score=score[np.arange(len(X)), best],

@@ -1149,7 +1149,13 @@ def ngram_diversity(
                 ).alias("distinct_ratio"),
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    # A gram order with zero grams corpus-wide (every doc shorter than n)
+    # emits no row at all — a 0-total row would carry a NaN ratio here and
+    # a NULL total on a SQL engine, a surface divergence with no reading
+    # behind it (ADVICE r12).
+    return reduce(lambda a, b: a.unionByName(b), parts).filter(
+        F.col("total_grams") > 0
+    )
 
 
 def term_burstiness(
@@ -1173,9 +1179,10 @@ def term_burstiness(
 
         VMR = ((N*S2 - S1*S1)) / (N*S1)
 
-    — all-BIGINT numerator/denominator (ANSI mode throws loudly on
-    overflow rather than wrapping — at a 100 TB vocabulary lift these
-    to DECIMAL(38,0)), ONE double divide, bit-identical everywhere.
+    — numerator/denominator computed in DECIMAL(38,0) (any product of
+    two BIGINTs is < 8.6e37, so the integer arithmetic is EXACT at any
+    corpus size, independent of the session's ansi setting), ONE
+    double divide, bit-identical everywhere.
 
     Shape: token explode -> (term, doc) count aggregate (map-side
     combine absorbs within-doc repeats) -> term-grain rollup of
@@ -1223,12 +1230,133 @@ def term_burstiness(
             F.col("__w").alias("term"),
             F.col("__s1").alias("n_occurrences"),
             "n_docs",
+            # products of two BIGINTs always fit DECIMAL(38,0)
+            # (< 8.6e37), so the numerator/denominator are exact at ANY
+            # corpus size under ANY ansi setting — no silent wrap, no
+            # throw (ADVICE r12); the decimal->double casts are
+            # correctly rounded, matching BIGINT->double on the oracle
+            # wherever its int64 doesn't overflow.
             (
-                (F.col("__N") * F.col("__s2")
-                 - F.col("__s1") * F.col("__s1")).cast("double")
-                / (F.col("__N") * F.col("__s1")).cast("double")
+                (F.col("__N").cast("decimal(20,0)")
+                 * F.col("__s2").cast("decimal(20,0)")
+                 - F.col("__s1").cast("decimal(20,0)")
+                 * F.col("__s1").cast("decimal(20,0)")).cast("double")
+                / (F.col("__N").cast("decimal(20,0)")
+                   * F.col("__s1").cast("decimal(20,0)")).cast("double")
             ).alias("vmr"),
         )
         .orderBy(F.col("n_occurrences").desc(), "term")
         .limit(int(k))
+    )
+
+
+# Fixed reference weights for quality_classifier_scores — a
+# fastText-style document-quality gate distilled to a linear model over
+# exact corpus features (the public-recipe shape: CCNet/Dolma-era
+# pipelines gate on a tiny quality classifier before mixing). Values
+# are documented constants, not fitted artifacts: natural prose scores
+# positive, template/boilerplate junk negative.
+QUALITY_CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "bias": -3.0,
+    "len": 1.0,      # doc length, capped at 1000 tokens, /1000
+    "diversity": 2.0,  # distinct_tokens / tokens
+    "stopword": 4.0,   # en function-word ratio
+    "alpha": 2.0,      # a-z chars / all token chars
+}
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Linear quality-classifier gate over engine-exact text features
+    — the discriminative companion to DSIR importance weighting (Xie
+    et al. 2023) and the fastText-style pre-mix filter of the public
+    corpus recipes (CCNet, Gopher/MassiveText rules, Dolma): a
+    fixed-weight logit over (capped length, lexical diversity, en
+    stopword ratio, alphabetic purity), documents passing at
+    logit > 0.
+
+    Engine-exactness: every feature is ONE divide of exact BIGINTs
+    (correctly rounded double); each weight multiply and the
+    LEFT-ASSOCIATIVE accumulation chain
+
+        logit = ((((bias + w_len*f_len) + w_div*f_div)
+                  + w_stop*f_stop) + w_alpha*f_alpha)
+
+    is plain IEEE double arithmetic in a FIXED parenthesization — the
+    mirrored-parenthesization device: any engine replaying the same
+    chain reproduces the logit bit-for-bit. No exp/sigmoid (the logit
+    IS the published score — monotone in the probability, exact).
+
+    Shape at 100 TB: embarrassingly row-parallel — a single projection
+    over the corpus scan, no shuffle, no state, whole-stage codegen
+    end-to-end; the gate composes with token_budget_selection /
+    sampling downstream.
+
+    Returns (id_col, n_tokens, f_diversity, f_stopword, f_alpha,
+    logit, quality_pass) for every document.
+    """
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+    )
+
+    w = dict(QUALITY_CLASSIFIER_WEIGHTS)
+    if weights:
+        unknown = set(weights) - set(w)
+        if unknown:
+            raise ValueError(
+                f"quality_classifier_scores: unknown weights {sorted(unknown)}"
+            )
+        w.update({k: float(v) for k, v in weights.items()})
+
+    toks = _norm_tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__nd"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(s) for s in STOPWORDS["en"]]), t
+                ),
+            )
+        ).cast("long").alias("__nstop"),
+        F.length(F.array_join(toks, "")).cast("long").alias("__nc"),
+        F.length(
+            F.regexp_replace(F.array_join(toks, ""), "[^a-z]", "")
+        ).cast("long").alias("__na"),
+    )
+    f_len = (
+        F.least(F.col("__nt"), F.lit(1000)).cast("double")
+        / F.lit(1000.0)
+    )
+    f_div = F.col("__nd").cast("double") / F.col("__nt").cast("double")
+    f_stop = F.col("__nstop").cast("double") / F.col("__nt").cast("double")
+    f_alpha = F.when(
+        F.col("__nc") > 0,
+        F.col("__na").cast("double") / F.col("__nc").cast("double"),
+    ).otherwise(F.lit(0.0))
+    logit = (
+        (
+            (
+                (F.lit(w["bias"]) + F.lit(w["len"]) * f_len)
+                + F.lit(w["diversity"]) * f_div
+            )
+            + F.lit(w["stopword"]) * f_stop
+        )
+        + F.lit(w["alpha"]) * f_alpha
+    )
+    return base.select(
+        id_col,
+        F.col("__nt").alias("n_tokens"),
+        f_div.alias("f_diversity"),
+        f_stop.alias("f_stopword"),
+        f_alpha.alias("f_alpha"),
+        logit.alias("logit"),
+        (logit > F.lit(0.0)).alias("quality_pass"),
     )

@@ -6,6 +6,7 @@ regression at 100 TB even when results match).
 
 from __future__ import annotations
 
+from py4j.protocol import Py4JError, Py4JJavaError
 from pyspark.sql import DataFrame
 
 
@@ -41,8 +42,14 @@ def unpartitioned_window_count(df: DataFrame) -> int:
             try:
                 if node.partitionSpec().size() == 0:
                     count += 1
-            except Exception:
-                pass
+            except (AttributeError, Py4JError) as exc:
+                # ONLY the "this *Window* node has no partitionSpec()"
+                # shape may be skipped; a genuine window-family node
+                # failing MID-call (a Java-side exception) must surface
+                # rather than silently undercount the audit (ADVICE
+                # r12).
+                if isinstance(exc, Py4JJavaError):
+                    raise
         ch = node.children()
         for i in range(ch.size()):
             visit(ch.apply(i))

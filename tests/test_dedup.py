@@ -1047,3 +1047,82 @@ def test_repeated_span_cut_plan_interval_union(spark):
     # invariants
     for r in out.values():
         assert r["tokens_cut"] + r["tokens_kept"] == r["n_tokens"]
+
+
+def test_apply_span_cuts_planted(spark):
+    """r13 (VERDICT r12 #3): the apply stage must materialize EXACTLY
+    the text a manual cut produces — same planted corpus as the plan
+    test, so the plan's intervals are known, plus a too-short doc that
+    must pass through whole (the apply returns EVERY document)."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        apply_span_cuts,
+    )
+    import pytest
+
+    span_a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"   # 12 tokens
+    span_b = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"            # 10 tokens
+    gap = "x1 x2 x3 x4 x5"
+    rows = [
+        (1, span_a + " " + gap + " " + span_b),
+        (2, "z0 " + span_a + " z1 z2 z3 z4 z5 " + span_b + " z6"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14"),
+        (4, "too short for any gram"),
+        (5, span_a[:23] + " " + span_b),
+    ]
+    # doc 5: span_a prefix (a1..a8 = 23 chars) + span_b -> span_b IS
+    # shared with docs 1/2, so its 10 tokens cut; the a-prefix stays
+    # (its own 10-grams mix a/b tokens and match nothing)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in apply_span_cuts(df, n=10, min_count=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}  # EVERY doc comes back
+    # doc 1: cuts [1,12] and [18,27] -> keeps exactly the gap
+    assert out[1]["kept_text"] == "x1 x2 x3 x4 x5"
+    assert out[1]["tokens_kept"] == 5
+    assert out[1]["n_cut_spans"] == 2
+    assert out[1]["tokens_cut"] == 22
+    # doc 2: keeps the z tokens around/between the two spans
+    assert out[2]["kept_text"] == "z0 z1 z2 z3 z4 z5 z6"
+    assert out[2]["tokens_kept"] == 7
+    # doc 3: clean -> unchanged normalized text
+    assert out[3]["kept_text"] == rows[2][1]
+    assert out[3]["tokens_cut"] == 0
+    # doc 4: too short for a 10-gram -> passes through whole
+    assert out[4]["kept_text"] == rows[3][1]
+    assert out[4]["n_cut_spans"] == 0
+    assert out[4]["tokens_kept"] == out[4]["n_tokens"] == 5
+    # doc 5: only span_b repeats (tail cut), a-prefix survives
+    assert out[5]["kept_text"] == "a1 a2 a3 a4 a5 a6 a7 a8"
+    assert out[5]["tokens_cut"] == 10
+    # invariants on every row
+    for r in out.values():
+        assert r["tokens_cut"] + r["tokens_kept"] == r["n_tokens"]
+        assert len(r["kept_text"].split()) == (
+            r["tokens_kept"] if r["kept_text"] else 0
+        )
+    with pytest.raises(ValueError, match="min_count"):
+        apply_span_cuts(df, n=10, min_count=1)
+
+
+def test_apply_span_cuts_whole_doc_cut(spark):
+    """A document that is ONE duplicated span end-to-end must come
+    back with empty kept_text and tokens_kept 0 — the '' / NULL edge
+    both engines must agree on."""
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        apply_span_cuts,
+    )
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [(1, span), (2, span), (3, "k1 " + span + " k2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in apply_span_cuts(df, n=10, min_count=2).collect()
+    }
+    for d in (1, 2):
+        assert out[d]["kept_text"] == ""
+        assert out[d]["tokens_kept"] == 0
+        assert out[d]["tokens_cut"] == 10
+    assert out[3]["kept_text"] == "k1 k2"

@@ -297,6 +297,27 @@ def test_assign_centroids_kernel_nonfinite_parity(spark):
     assert lit[2]["cluster_id"] == 3 and math.isnan(lit[2]["score"])
 
 
+def test_argmax_nan_last_inf_tie():
+    """r13 (ADVICE r12): a genuine -inf score must BEAT a NaN-masked
+    centroid with a smaller column index — the literal struct-min
+    orders NaN above +inf(-score), so NaN loses to every non-NaN score
+    including -inf. Unreachable through real vectors (Cauchy-Schwarz
+    keeps |dot| <= denom, so a -inf dot forces an inf denom -> NaN),
+    hence pinned at the selection-helper level."""
+    import numpy as np
+
+    score = np.array(
+        [
+            [np.nan, -np.inf, 1.0],     # finite max wins
+            [np.nan, -np.inf, -np.inf], # -inf ties: first NON-NaN wins
+            [-np.inf, np.nan, -np.inf], # NaN in the middle skipped
+            [np.nan, np.nan, np.nan],   # all-NaN: falls to column 0
+            [0.5, np.nan, 0.9],         # plain finite argmax
+        ]
+    )
+    assert sim._argmax_nan_last(score).tolist() == [2, 1, 0, 0, 2]
+
+
 def test_groupwise_centroids_exact(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [5.0, 6.0])],

@@ -601,3 +601,88 @@ def test_term_burstiness_hand_checked(spark):
     assert out["b"]["vmr"] == 3.0
     with pytest.raises(ValueError, match="term_burstiness"):
         term_burstiness(df, k=0)
+
+
+def test_quality_classifier_scores_manual(spark):
+    """r13 (VERDICT r12 #4): the logit must equal the manual
+    left-associative IEEE chain over the exact features, prose must
+    pass and template junk must fail, and weight overrides must be
+    validated."""
+    import pytest
+
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        QUALITY_CLASSIFIER_WEIGHTS,
+        quality_classifier_scores,
+    )
+
+    prose = (
+        "the quick brown fox jumps over a lazy dog and it is one of "
+        "the finest sentences known to man for that matter"
+    )
+    junk = "111 222 333 444 555 111 222 333 444 555"
+    rows = [(1, prose), (2, junk), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in quality_classifier_scores(df).collect()
+    }
+
+    def manual(text):
+        toks = text.strip().lower()
+        import re
+
+        toks = re.sub(r"\s+", " ", toks).split(" ")
+        nt = len(toks)
+        nd = len(set(toks))
+        stop = {"the", "a", "of", "and", "is", "to", "in", "that",
+                "it", "for"}
+        nstop = sum(1 for t in toks if t in stop)
+        joined = "".join(toks)
+        nc = len(joined)
+        na = len(re.sub(r"[^a-z]", "", joined))
+        w = QUALITY_CLASSIFIER_WEIGHTS
+        f_len = min(nt, 1000) / 1000.0
+        f_div = nd / nt
+        f_stop = nstop / nt
+        f_alpha = (na / nc) if nc > 0 else 0.0
+        return ((((w["bias"] + w["len"] * f_len)
+                  + w["diversity"] * f_div)
+                 + w["stopword"] * f_stop)
+                + w["alpha"] * f_alpha)
+
+    for d, text in rows:
+        assert out[d]["logit"] == manual(text), (d, out[d]["logit"],
+                                                 manual(text))
+        assert out[d]["quality_pass"] == (manual(text) > 0.0)
+    assert out[1]["quality_pass"] is True      # natural prose passes
+    assert out[2]["quality_pass"] is False     # digit template fails
+    assert out[3]["quality_pass"] is False     # empty doc fails
+    # feature surfaces
+    assert out[2]["f_alpha"] == 0.0            # no a-z chars at all
+    assert out[1]["n_tokens"] == len(prose.split())
+    with pytest.raises(ValueError, match="unknown"):
+        quality_classifier_scores(df, weights={"nope": 1.0})
+    # an override shifts the gate: zero every weight, bias +1 -> all pass
+    allpass = quality_classifier_scores(
+        df,
+        weights={"bias": 1.0, "len": 0.0, "diversity": 0.0,
+                 "stopword": 0.0, "alpha": 0.0},
+    ).collect()
+    assert all(r["quality_pass"] for r in allpass)
+
+
+def test_quality_classifier_no_shuffle(spark):
+    """The gate is a pure projection — its physical plan must contain
+    NO exchange (row-parallel at any scale)."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        quality_classifier_scores,
+    )
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "on a mat")],
+        "doc_id long, text string",
+    )
+    plan = physical_plan(quality_classifier_scores(df))
+    assert "Exchange" not in plan, plan
