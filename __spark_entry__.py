@@ -4392,6 +4392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r14 refresh rotation behind the oldest-green block) ----
         "span_cut_apply_stats": _span_cut_apply_stats,
         "quality_classifier_scores": _quality_classifier_scores,
+        "gopher_quality_gate": _gopher_quality_gate,
+        "zipf_doubling_ratios": _zipf_doubling_ratios,
     }
     out = {k: base[k] for k in _R13_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -13892,6 +13894,85 @@ ORDER BY n_members DESC, community ASC
                    logit > CAST(0.0 AS DOUBLE) AS quality_pass
             FROM scored
         """,
+        "gopher_quality_gate": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ',
+                           'g')) AS nt,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), feat AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS wc,
+                     CAST(length(array_to_string(toks, '')) AS BIGINT)
+                         AS chars,
+                     CAST((length(nt)
+                           - length(replace(nt, '#', '')))
+                          + (length(nt)
+                             - length(replace(nt, '...', ''))) / 3
+                          AS BIGINT) AS nsym,
+                     CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+                         AS nalpha,
+                     CAST(len(list_filter(
+                         ['the','be','to','of','and','that','have',
+                          'with'],
+                         w -> list_contains(toks, w))) AS BIGINT)
+                         AS nreq
+              FROM norm
+            ), rules AS (
+              SELECT doc_id, wc, chars, nsym, nalpha, nreq,
+                     (wc >= 50 AND wc <= 100000) AS r_word_count,
+                     (chars >= 3*wc AND chars <= 10*wc)
+                         AS r_mean_word_len,
+                     (10*nsym <= wc) AS r_symbol_ratio,
+                     (5*nalpha >= 4*wc) AS r_alpha_words,
+                     (nreq >= 2) AS r_required_words
+              FROM feat
+            )
+            SELECT doc_id,
+                   wc AS word_count,
+                   CAST(chars AS DOUBLE) / CAST(wc AS DOUBLE)
+                       AS mean_word_len,
+                   CAST(nsym AS DOUBLE) / CAST(wc AS DOUBLE)
+                       AS symbol_ratio,
+                   CAST(nalpha AS DOUBLE) / CAST(wc AS DOUBLE)
+                       AS alpha_word_frac,
+                   nreq AS n_required_hits,
+                   r_word_count, r_mean_word_len, r_symbol_ratio,
+                   r_alpha_words, r_required_words,
+                   (r_word_count AND r_mean_word_len AND
+                    r_symbol_ratio AND r_alpha_words AND
+                    r_required_words) AS gopher_pass
+            FROM rules
+        """,
+        "zipf_doubling_ratios": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ')) AS t
+              FROM documents
+            ), counts AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS c
+              FROM tok WHERE t <> '' GROUP BY t
+            ), head AS (
+              SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 256
+            ), ranked AS (
+              SELECT t, c,
+                     CAST(row_number() OVER (ORDER BY c DESC, t)
+                          AS BIGINT) AS r
+              FROM head
+            )
+            SELECT a.r AS "rank", a.t AS term, a.c AS freq,
+                   b.c AS freq_2x,
+                   CAST(a.c AS DOUBLE) / CAST(b.c AS DOUBLE)
+                       AS doubling_ratio
+            FROM ranked a JOIN ranked b ON b.r = 2 * a.r
+            WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128)
+            ORDER BY a.r
+        """,
     }
 
 
@@ -19209,3 +19290,27 @@ def _quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     double chain replays bit-identically on any engine. Row-parallel
     projection: no shuffle anywhere."""
     return tx.quality_classifier_scores(_docs(spark, sf), "doc_id", "text")
+
+
+def _gopher_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText document-quality rule set (r13 wave 2; Rae
+    et al. 2021 appendix A1.1), word-grain rules: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio, alpha-word
+    fraction, required-function-word presence. Every rule decided by
+    BIGINT cross-multiplication (no float thresholds); published
+    ratios are single divides of exact BIGINTs. Zero-shuffle
+    row-parallel projection."""
+    return tx.gopher_quality_gate(_docs(spark, sf), "doc_id", "text")
+
+
+def _zipf_doubling_ratios(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency signature without transcendentals (r13
+    wave 2): frequency ratio f(r)/f(2r) at power-of-two ranks over the
+    corpus vocabulary — a constant ratio ~2^s is the Zipf-exponent
+    health check every corpus audit runs, published as exact
+    BIGINT-count divides (no-ln discipline). Vocabulary-grain
+    aggregate -> TakeOrderedAndProject head -> tiny self-join.
+
+    window: grain-bounded — row_number over the TakeOrderedAndProject
+    head, at most 2*max_rank = 256 rows by construction."""
+    return tx.zipf_doubling_ratios(_docs(spark, sf), "doc_id", "text")

@@ -1360,3 +1360,219 @@ def quality_classifier_scores(
         logit.alias("logit"),
         (logit > F.lit(0.0)).alias("quality_pass"),
     )
+
+
+# The "required words" of the Gopher document-quality rule set (Rae et
+# al. 2021, "Scaling Language Models: Methods, Analysis & Insights from
+# Training Gopher", appendix A1.1): a document must contain at least 2
+# of these 8 English function words to count as natural prose.
+GOPHER_REQUIRED_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule set (Rae et al.
+    2021, appendix A1.1) — the published heuristic gate every
+    MassiveText-descended corpus pipeline (Gopher, Chinchilla, Dolma's
+    Gopher-rules pass) runs before mixing, restricted to its
+    word-grain rules (the line-grain bullet/ellipsis-line rules need
+    multi-line documents; this corpus' documents are single-line, so
+    those rules are vacuously true and deliberately not published):
+
+    - R1 word count within ``[min_words, max_words]`` (paper: 50..100k)
+    - R2 mean word length within ``[min_mean_word_len,
+      max_mean_word_len]`` (paper: 3..10)
+    - R3 symbol-to-word ratio (``#`` characters + non-overlapping
+      ``...`` runs) at most 0.1
+    - R4 at least 80 % of words contain an alphabetic character
+    - R5 at least ``min_required_hits`` distinct
+      :data:`GOPHER_REQUIRED_WORDS` present (paper: 2 of 8)
+
+    Engine-exactness: every RULE is decided by BIGINT
+    cross-multiplication (``total_chars >= 3*wc`` rather than
+    ``total_chars/wc >= 3.0`` — no float threshold ever compared), so
+    pass/fail bits are exact on any engine; the published diagnostic
+    ratios are each ONE divide of exact BIGINTs (correctly rounded
+    double, the standing scalar-surface device). Integer bounds keep
+    the cross-multiplications in BIGINT (products are bounded by
+    10 * chars, far under 2^63).
+
+    Shape at 100 TB: embarrassingly row-parallel — one projection over
+    the corpus scan, zero shuffles, whole-stage codegen end-to-end,
+    exactly like :func:`quality_classifier_scores`; the two compose
+    into the standard pre-mix gate chain.
+
+    Returns (id_col, word_count, mean_word_len, symbol_ratio,
+    alpha_word_frac, n_required_hits, r_word_count, r_mean_word_len,
+    r_symbol_ratio, r_alpha_words, r_required_words, gopher_pass).
+    """
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+        normalized_text,
+    )
+
+    for name, v in (
+        ("min_words", min_words),
+        ("max_words", max_words),
+        ("min_mean_word_len", min_mean_word_len),
+        ("max_mean_word_len", max_mean_word_len),
+        ("min_required_hits", min_required_hits),
+    ):
+        if not isinstance(v, int) or v < 0:
+            raise ValueError(
+                f"gopher_quality_gate: {name}={v!r} must be a "
+                "non-negative int (integer bounds keep the rule "
+                "cross-multiplications exact in BIGINT)"
+            )
+
+    toks = _norm_tokens(text_col)
+    norm = normalized_text(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__wc"),
+        F.length(F.array_join(toks, "")).cast("long").alias("__chars"),
+        (
+            (F.length(norm) - F.length(F.replace(norm, F.lit("#"), F.lit(""))))
+            + (
+                F.length(norm)
+                - F.length(F.replace(norm, F.lit("..."), F.lit("")))
+            )
+            / F.lit(3)
+        ).cast("long").alias("__nsym"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("long")
+        .alias("__nalpha"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(wd) for wd in GOPHER_REQUIRED_WORDS]),
+                lambda wd: F.array_contains(toks, wd),
+            )
+        ).cast("long").alias("__nreq"),
+    )
+    wc = F.col("__wc")
+    r1 = (wc >= F.lit(min_words)) & (wc <= F.lit(max_words))
+    r2 = (F.col("__chars") >= F.lit(min_mean_word_len) * wc) & (
+        F.col("__chars") <= F.lit(max_mean_word_len) * wc
+    )
+    r3 = F.lit(10) * F.col("__nsym") <= wc
+    r4 = F.lit(5) * F.col("__nalpha") >= F.lit(4) * wc
+    r5 = F.col("__nreq") >= F.lit(min_required_hits)
+    return base.select(
+        id_col,
+        wc.alias("word_count"),
+        (F.col("__chars").cast("double") / wc.cast("double")).alias(
+            "mean_word_len"
+        ),
+        (F.col("__nsym").cast("double") / wc.cast("double")).alias(
+            "symbol_ratio"
+        ),
+        (F.col("__nalpha").cast("double") / wc.cast("double")).alias(
+            "alpha_word_frac"
+        ),
+        F.col("__nreq").alias("n_required_hits"),
+        r1.alias("r_word_count"),
+        r2.alias("r_mean_word_len"),
+        r3.alias("r_symbol_ratio"),
+        r4.alias("r_alpha_words"),
+        r5.alias("r_required_words"),
+        (r1 & r2 & r3 & r4 & r5).alias("gopher_pass"),
+    )
+
+
+def zipf_doubling_ratios(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_rank: int = 128,
+) -> DataFrame:
+    """Zipf-law corpus-health signature WITHOUT transcendentals: the
+    frequency ratio f(r)/f(2r) at every power-of-two rank r — for a
+    Zipfian corpus f(r) ∝ r^(-s), so each doubling ratio equals 2^s
+    and a healthy natural-language corpus reads a roughly CONSTANT
+    ratio ≈ 2 (s ≈ 1) across decades (Zipf 1949; Piantadosi 2014 for
+    the modern treatment). Template/boilerplate corpora bend the curve
+    (head-heavy: early ratios explode; synthetic uniform text: ratios
+    collapse toward 1). This is the rank-frequency OLS fit every
+    corpus audit runs, re-expressed so the published surface stays in
+    exact arithmetic — each ratio is ONE divide of two exact BIGINT
+    counts (the standing no-ln discipline: publishing log-log slopes
+    would put ``ln`` ulps between engines; the user exponentiates
+    nothing, s = log2(ratio) is theirs to take offline).
+
+    Shape at 100 TB: token explode -> (term) count aggregate (map-side
+    combine collapses to vocabulary grain) -> TakeOrderedAndProject of
+    the top ``2*max_rank`` terms -> rank + self-join on the tiny
+    K-row head. Nothing after the vocabulary aggregate touches more
+    than ``2*max_rank`` rows.
+
+    window: grain-bounded — row_number over the TakeOrderedAndProject
+    head, at most ``2*max_rank`` rows by construction.
+
+    Returns (rank, term, freq, freq_2x, doubling_ratio) for each
+    power-of-two rank r = 1, 2, 4, ... <= max_rank where rank 2r
+    exists in the vocabulary; deterministic under count ties (rank
+    orders by count DESC, term ASC).
+    """
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+    )
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    if max_rank < 1 or max_rank & (max_rank - 1):
+        raise ValueError(
+            f"zipf_doubling_ratios: max_rank={max_rank} must be a "
+            "positive power of two"
+        )
+    df = _ensure_parallelism(df)
+    counts = (
+        df.select(F.explode(_norm_tokens(text_col)).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    head = counts.orderBy(F.col("c").desc(), "t").limit(2 * max_rank)
+    ranked = head.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "t")
+        ).cast("long"),
+    )
+    pows = [1 << i for i in range(max_rank.bit_length())]  # 1..max_rank
+    at_r = ranked.filter(F.col("r").isin(pows)).select(
+        F.col("r").alias("rank"), F.col("t").alias("term"),
+        F.col("c").alias("freq"),
+    )
+    at_2r = ranked.filter((F.col("r") % 2 == 0)).select(
+        (F.col("r") / F.lit(2)).cast("long").alias("rank"),
+        F.col("c").alias("freq_2x"),
+    )
+    return (
+        at_r.join(F.broadcast(at_2r), "rank")
+        .select(
+            "rank",
+            "term",
+            "freq",
+            "freq_2x",
+            (
+                F.col("freq").cast("double")
+                / F.col("freq_2x").cast("double")
+            ).alias("doubling_ratio"),
+        )
+        .orderBy("rank")
+    )

@@ -686,3 +686,137 @@ def test_quality_classifier_no_shuffle(spark):
     )
     plan = physical_plan(quality_classifier_scores(df))
     assert "Exchange" not in plan, plan
+
+
+def test_gopher_quality_gate_rules(spark):
+    """r13 wave 2: every Gopher rule trips on its own planted doc and
+    the pass doc clears all five (Rae et al. 2021 A1.1 word-grain
+    rules, integer cross-multiplied)."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        gopher_quality_gate,
+    )
+    import pytest
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and", "that", "have", "with"] * 7
+    )  # 56 words, all alpha, mean len in [3,10], no symbols
+    rows = [
+        (1, good),
+        (2, "the be to of and"),  # 5 words -> fails R1 only
+        # R2 low: mean word len < 3 (56 two-char words, still has
+        # required words as 2-char? no -- keep required hits via 'to'
+        # 'be' 'of' and pad with 'ab')
+        (3, " ".join(["to", "be", "of", "ab"] * 14)),  # mean len 2
+        (4, " ".join(["abcdefghijklmnopqrstu"] * 28 + ["the", "be"] * 14)),
+        (5, good + " " + " ".join(["#"] * 10)),  # symbol spam
+        (6, " ".join(["123", "456"] * 26) + " the be to of"),  # digits
+        (7, " ".join(["lorem", "ipsum", "dolor", "sitam"] * 14)),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_gate(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["gopher_pass"] is True
+    assert all(
+        out[1][c]
+        for c in (
+            "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+            "r_alpha_words", "r_required_words",
+        )
+    )
+    assert out[2]["r_word_count"] is False and out[2]["word_count"] == 5
+    assert out[3]["r_mean_word_len"] is False  # mean len 2 < 3
+    assert out[3]["mean_word_len"] == 2.0
+    assert out[4]["r_mean_word_len"] is False  # mean len > 10
+    assert out[5]["r_symbol_ratio"] is False
+    assert out[5]["gopher_pass"] is False
+    assert out[6]["r_alpha_words"] is False  # half the words digit-only
+    assert out[7]["r_required_words"] is False  # zero function words
+    assert out[7]["n_required_hits"] == 0
+    # boundary exactness: mean word length EXACTLY 3 passes (integer
+    # cross-multiply, no float threshold)
+    b = gopher_quality_gate(
+        spark.createDataFrame(
+            [(9, " ".join(["abc"] * 50))], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert b["mean_word_len"] == 3.0 and b["r_mean_word_len"] is True
+    with pytest.raises(ValueError, match="min_words"):
+        gopher_quality_gate(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_words=-1,
+        )
+
+
+def test_gopher_quality_gate_no_shuffle(spark):
+    """The gate is a pure projection — its physical plan must contain
+    NO exchange (row-parallel at any scale)."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        gopher_quality_gate,
+    )
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "on a mat")],
+        "doc_id long, text string",
+    )
+    plan = physical_plan(gopher_quality_gate(df))
+    assert "Exchange" not in plan
+
+
+def test_zipf_doubling_ratios_planted(spark):
+    """Planted geometric frequencies: term at rank r occurs 2^(8-i)
+    times, so EVERY doubling ratio is exactly 2.0 (s = 1 Zipf), and
+    ranks/terms/freqs are fully determined."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        zipf_doubling_ratios,
+    )
+    import pytest
+
+    words = []
+    for i in range(9):  # w0 x 256, w1 x 128, ..., w8 x 1
+        words += [f"w{i}"] * (256 >> i)
+    # one doc per 50 words to keep rows small
+    rows = [
+        (i, " ".join(words[i * 50:(i + 1) * 50]))
+        for i in range((len(words) + 49) // 50)
+    ]
+    out = zipf_doubling_ratios(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        max_rank=8,
+    ).collect()
+    got = {r["rank"]: r for r in out}
+    # vocab has 9 terms, so rank 8 has no doubling partner (rank 16)
+    assert set(got) == {1, 2, 4}
+    for r in (1, 2, 4):
+        # f(k) = 2^(9-k)  ->  f(r)/f(2r) = 2^r exactly
+        assert got[r]["term"] == f"w{r - 1}"
+        assert got[r]["freq"] == 256 >> (r - 1)
+        assert got[r]["doubling_ratio"] == float(2 ** r)
+    assert got[1]["freq"] == 256 and got[1]["freq_2x"] == 128
+    with pytest.raises(ValueError, match="max_rank"):
+        zipf_doubling_ratios(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            max_rank=12,
+        )
+
+
+def test_zipf_doubling_ratios_tie_determinism(spark):
+    """Count ties order by term ASC on both engines — same input twice
+    must give identical rows (the LIMIT/ranking boundary is a total
+    order)."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        zipf_doubling_ratios,
+    )
+
+    rows = [(1, "b a d c b a d c"), (2, "a b c d")]  # all ties (3,3,3,3)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in zipf_doubling_ratios(df, max_rank=2).collect()]
+    b = [tuple(r) for r in zipf_doubling_ratios(df, max_rank=2).collect()]
+    assert a == b
+    # rank 1 = 'a' (tie broken by term), ratio exactly 1.0
+    assert a[0][1] == "a" and a[0][4] == 1.0
