@@ -4394,6 +4394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": _quality_classifier_scores,
         "gopher_quality_gate": _gopher_quality_gate,
         "zipf_doubling_ratios": _zipf_doubling_ratios,
+        "quality_gate_funnel": _quality_gate_funnel,
+        "vocab_coverage_curve": _vocab_coverage_curve,
     }
     out = {k: base[k] for k in _R13_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4560,6 +4562,39 @@ _R13_WINDOW = [
     "customer_name_features",
     "customers_without_orders",
 ]
+
+
+# r14 WINDOW (pinned on final r13 code, VERDICT r12 #8 — assuming the
+# r13 window goes driver-green): the never-checked head is the SIX r13
+# additions (wave 1: span_cut_apply_stats, quality_classifier_scores;
+# wave 2: gopher_quality_gate, zipf_doubling_ratios; wave 3:
+# quality_gate_funnel, vocab_coverage_curve), then pure oldest-green
+# refresh (the r5 block displaced by earlier rotations, then the r7
+# block head, in stable dict order; cut-off age r7). Derivation is the
+# standing mechanical rule:
+#   last[k] = max round with a CORRECTNESS row (r13 window members := 13)
+#   never   = oracle-backed entries with no row (== the 6 r13 additions)
+#   _R14_WINDOW = never + sorted(green, key=(last[k], dict order))[:44]
+# Computed list (install as the first-50 queries() order in r14):
+#   span_cut_apply_stats, quality_classifier_scores,
+#   gopher_quality_gate, zipf_doubling_ratios, quality_gate_funnel,
+#   vocab_coverage_curve,
+#   customers_with_orders, segments_above_avg, span_dedup,
+#   span_decontaminate, bm25_search, hybrid_search,
+#   span_dedup_incremental, late_shipment_orders, disjunctive_revenue,
+#   top_waiting_suppliers, idle_rich_customers, high_volume_suppliers,
+#   returnflag_priority_counts, daily_active_users,
+#   semantic_dedup_stats, event_pattern_stats, snapshot_diff_stats,
+#   incremental_join_stats, lm_quality_scores, pii_audit_counts,
+#   local_supplier_revenue, embedding_decontaminate,
+#   order_customer_overlap_exact, sink_time_travel, bloom_join_revenue,
+#   sampled_rank_values, pseudonymized_join_stats, containment_pairs,
+#   lineitem_status_asof, pack_documents_by_lang, price_drift_stats,
+#   corpus_datasheet, lineitem_correlations, prf_expansion_terms,
+#   bm25_expanded_search, funnel_windowed, ab_variant_stats,
+#   ab_welch_test, copurchase_distances, attribution_revenue,
+#   bpe_top_pairs, dedup_keep_best, orders_in_flight,
+#   brand_affinity_triples
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13973,6 +14008,115 @@ ORDER BY n_members DESC, community ASC
             WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128)
             ORDER BY a.r
         """,
+        "quality_gate_funnel": r"""
+            WITH norm AS (
+              SELECT source,
+                     lower(regexp_replace(trim(text), '\s+', ' ',
+                           'g')) AS nt,
+                     regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ') AS toks
+              FROM documents
+            ), feat AS (
+              SELECT source,
+                     CAST(len(toks) AS BIGINT) AS wc,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+                     CAST(len(list_filter(toks, t -> t IN
+                         ('the','a','of','and','is','to','in','that',
+                          'it','for'))) AS BIGINT) AS nstop,
+                     CAST(length(array_to_string(toks, '')) AS BIGINT)
+                         AS chars,
+                     CAST(length(regexp_replace(
+                         array_to_string(toks, ''), '[^a-z]', '',
+                         'g')) AS BIGINT) AS na,
+                     CAST((length(nt)
+                           - length(replace(nt, '#', '')))
+                          + (length(nt)
+                             - length(replace(nt, '...', ''))) / 3
+                          AS BIGINT) AS nsym,
+                     CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+                         AS nalpha,
+                     CAST(len(list_filter(
+                         ['the','be','to','of','and','that','have',
+                          'with'],
+                         w -> list_contains(toks, w))) AS BIGINT)
+                         AS nreq
+              FROM norm
+            ), bits AS (
+              SELECT source,
+                     (wc >= 50 AND wc <= 100000
+                      AND chars >= 3*wc AND chars <= 10*wc
+                      AND 10*nsym <= wc
+                      AND 5*nalpha >= 4*wc
+                      AND nreq >= 2) AS g,
+                     (((((CAST(-3.0 AS DOUBLE)
+                          + CAST(1.0 AS DOUBLE)
+                            * (CAST(least(wc, 1000) AS DOUBLE)
+                               / CAST(1000.0 AS DOUBLE)))
+                         + CAST(2.0 AS DOUBLE)
+                           * (CAST(nd AS DOUBLE)
+                              / CAST(wc AS DOUBLE)))
+                        + CAST(4.0 AS DOUBLE)
+                          * (CAST(nstop AS DOUBLE)
+                             / CAST(wc AS DOUBLE)))
+                       + CAST(2.0 AS DOUBLE)
+                         * (CASE WHEN chars > 0
+                                 THEN CAST(na AS DOUBLE)
+                                      / CAST(chars AS DOUBLE)
+                                 ELSE CAST(0.0 AS DOUBLE) END))
+                      > CAST(0.0 AS DOUBLE)) AS q
+              FROM feat
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (g) AS BIGINT)
+                       AS n_gopher_pass,
+                   CAST(count(*) FILTER (q) AS BIGINT)
+                       AS n_classifier_pass,
+                   CAST(count(*) FILTER (g AND q) AS BIGINT)
+                       AS n_both_pass,
+                   CAST(count(*) FILTER (g) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS gopher_pass_rate,
+                   CAST(count(*) FILTER (q) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+                       AS classifier_pass_rate,
+                   CAST(count(*) FILTER (g AND q) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS both_pass_rate
+            FROM bits GROUP BY source ORDER BY source
+        """,
+        "vocab_coverage_curve": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(
+                         lower(regexp_replace(trim(text), '\s+', ' ',
+                               'g')), ' ')) AS t
+              FROM documents
+            ), counts AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS c
+              FROM tok WHERE t <> '' GROUP BY t
+            ), total AS (
+              SELECT CAST(sum(c) AS BIGINT) AS total_tokens
+              FROM counts
+            ), head AS (
+              SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 256
+            ), ranked AS (
+              SELECT c,
+                     CAST(row_number() OVER (ORDER BY c DESC, t)
+                          AS BIGINT) AS r
+              FROM head
+            ), ks AS (
+              SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS kk
+            ), curve AS (
+              SELECT CAST(ks.kk AS BIGINT) AS k,
+                     CAST(sum(ranked.c) AS BIGINT) AS covered_tokens
+              FROM ks JOIN ranked ON ranked.r <= ks.kk
+              GROUP BY ks.kk
+            )
+            SELECT k, covered_tokens, total_tokens,
+                   CAST(covered_tokens AS DOUBLE)
+                       / CAST(total_tokens AS DOUBLE) AS coverage
+            FROM curve, total ORDER BY k
+        """,
     }
 
 
@@ -19314,3 +19458,29 @@ def _zipf_doubling_ratios(spark: SparkSession, sf: str) -> DataFrame:
     window: grain-bounded — row_number over the TakeOrderedAndProject
     head, at most 2*max_rank = 256 rows by construction."""
     return tx.zipf_doubling_ratios(_docs(spark, sf), "doc_id", "text")
+
+
+def _quality_gate_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source pass-rate funnel through BOTH pre-mix gates (r13
+    wave 3): docs surviving the Gopher rule set, the linear
+    classifier gate, and their conjunction, with exact BIGINT counts
+    and one-divide rates — the mixture audit run before setting
+    sampling weights. ONE row-parallel projection (both pass bits
+    re-derived, pinned to the gate operators by a parity test — no
+    doc-grain join) + ONE map-side-combined aggregate to source
+    grain."""
+    return tx.quality_gate_funnel(
+        _docs(spark, sf), "doc_id", "text", "source"
+    )
+
+
+def _vocab_coverage_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary at power-of-two k
+    (r13 wave 3) — the tokenizer/vocabulary-sizing diagnostic: exact
+    BIGINT covered/total counts, coverage one divide each.
+    Vocabulary-grain aggregate -> 256-row TakeOrderedAndProject head
+    -> one explode+sum pass -> broadcast scalar total.
+
+    window: grain-bounded — rank over the TakeOrderedAndProject head,
+    at most max_k = 256 rows by construction."""
+    return tx.vocab_coverage_curve(_docs(spark, sf), "doc_id", "text")

@@ -1576,3 +1576,228 @@ def zipf_doubling_ratios(
         )
         .orderBy("rank")
     )
+
+
+def quality_gate_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source pass-rate funnel through BOTH pre-mix gates — the
+    mixture audit a production corpus pipeline runs before setting
+    sampling weights: how much of each source survives the Gopher
+    rule set (:func:`gopher_quality_gate`, paper defaults), the
+    linear classifier gate (:func:`quality_classifier_scores`,
+    logit > 0), and their conjunction.
+
+    Both per-doc pass bits are computed in ONE row-parallel projection
+    (the funnel deliberately re-derives the bits rather than joining
+    the two gate outputs — a doc-grain join would be the only shuffle
+    in an otherwise O(sources) plan; a parity unit test pins the
+    re-derivation to the operators bit-for-bit), then ONE map-side-
+    combined aggregate to source grain. Counts are exact BIGINTs;
+    each rate is ONE divide of exact BIGINTs (the standing
+    scalar-surface device).
+
+    Shape at 100 TB: scan -> projection -> partial agg -> O(sources)
+    exchange. Nothing holds more than one row per source after the
+    combine.
+
+    Returns (source_col, n_docs, n_gopher_pass, n_classifier_pass,
+    n_both_pass, gopher_pass_rate, classifier_pass_rate,
+    both_pass_rate) sorted by source.
+    """
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+        normalized_text,
+    )
+
+    toks = _norm_tokens(text_col)
+    norm = normalized_text(text_col)
+    w = QUALITY_CLASSIFIER_WEIGHTS
+    base = df.select(
+        F.col(source_col),
+        F.size(toks).cast("long").alias("__wc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__nd"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(s) for s in STOPWORDS["en"]]), t
+                ),
+            )
+        ).cast("long").alias("__nstop"),
+        F.length(F.array_join(toks, "")).cast("long").alias("__chars"),
+        F.length(
+            F.regexp_replace(F.array_join(toks, ""), "[^a-z]", "")
+        ).cast("long").alias("__na"),
+        (
+            (F.length(norm) - F.length(F.replace(norm, F.lit("#"), F.lit(""))))
+            + (
+                F.length(norm)
+                - F.length(F.replace(norm, F.lit("..."), F.lit("")))
+            )
+            / F.lit(3)
+        ).cast("long").alias("__nsym"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("long")
+        .alias("__nalpha"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(wd) for wd in GOPHER_REQUIRED_WORDS]),
+                lambda wd: F.array_contains(toks, wd),
+            )
+        ).cast("long").alias("__nreq"),
+    )
+    wc = F.col("__wc")
+    gopher = (
+        (wc >= F.lit(50))
+        & (wc <= F.lit(100_000))
+        & (F.col("__chars") >= F.lit(3) * wc)
+        & (F.col("__chars") <= F.lit(10) * wc)
+        & (F.lit(10) * F.col("__nsym") <= wc)
+        & (F.lit(5) * F.col("__nalpha") >= F.lit(4) * wc)
+        & (F.col("__nreq") >= F.lit(2))
+    )
+    f_len = F.least(wc, F.lit(1000)).cast("double") / F.lit(1000.0)
+    f_div = F.col("__nd").cast("double") / wc.cast("double")
+    f_stop = F.col("__nstop").cast("double") / wc.cast("double")
+    f_alpha = F.when(
+        F.col("__chars") > 0,
+        F.col("__na").cast("double") / F.col("__chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    logit = (
+        (
+            (
+                (F.lit(w["bias"]) + F.lit(w["len"]) * f_len)
+                + F.lit(w["diversity"]) * f_div
+            )
+            + F.lit(w["stopword"]) * f_stop
+        )
+        + F.lit(w["alpha"]) * f_alpha
+    )
+    classifier = logit > F.lit(0.0)
+    flags = base.select(
+        source_col,
+        gopher.cast("long").alias("__g"),
+        classifier.cast("long").alias("__q"),
+        (gopher & classifier).cast("long").alias("__b"),
+    )
+    agg = flags.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__g").cast("long").alias("n_gopher_pass"),
+        F.sum("__q").cast("long").alias("n_classifier_pass"),
+        F.sum("__b").cast("long").alias("n_both_pass"),
+    )
+    rate = lambda num: num.cast("double") / F.col("n_docs").cast("double")
+    return agg.select(
+        source_col,
+        "n_docs",
+        "n_gopher_pass",
+        "n_classifier_pass",
+        "n_both_pass",
+        rate(F.col("n_gopher_pass")).alias("gopher_pass_rate"),
+        rate(F.col("n_classifier_pass")).alias("classifier_pass_rate"),
+        rate(F.col("n_both_pass")).alias("both_pass_rate"),
+    ).orderBy(source_col)
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_k: int = 256,
+) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary at power-of-two k —
+    the tokenizer/vocabulary-sizing diagnostic (what OOV rate would a
+    k-entry word vocabulary leave?): coverage(k) = (tokens whose term
+    ranks in the top k) / (all tokens). Natural corpora follow
+    Zipf/Heaps, so coverage grows fast then saturates; the curve's
+    knee is where vocabulary budget stops paying
+    (:func:`zipf_doubling_ratios` is the same head seen as ratios).
+
+    Exactness: covered and total token counts are exact BIGINTs
+    (each head rank's mass summed into every power-of-two k at or
+    above it); each coverage value is ONE divide of exact BIGINTs. Rank ties break by term ASC — a
+    total order, so the curve is deterministic on any engine.
+
+    Shape at 100 TB: token explode -> vocabulary-grain count
+    aggregate (map-side combine) -> ``max_k``-row
+    TakeOrderedAndProject head -> one explode+sum pass over the tiny
+    head -> one broadcast scalar join for the corpus total. Nothing
+    after the aggregate touches more than ``max_k`` rows.
+
+    window: grain-bounded — rank over the TakeOrderedAndProject head,
+    at most ``max_k`` rows by construction.
+
+    Returns (k, covered_tokens, total_tokens, coverage) for
+    k = 1, 2, 4, ... max_k (k rows with fewer than k distinct terms
+    report the full corpus mass: coverage saturates at 1.0).
+    """
+    from pyspark.sql import Window
+
+    from streaming_data_pipeline_azure_spark.operators.corpus import (
+        _norm_tokens,
+    )
+    from streaming_data_pipeline_azure_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    if max_k < 1 or max_k & (max_k - 1):
+        raise ValueError(
+            f"vocab_coverage_curve: max_k={max_k} must be a positive "
+            "power of two"
+        )
+    df = _ensure_parallelism(df)
+    toks = _norm_tokens(text_col)
+    # corpus total from the scan directly (no second pass over the
+    # vocabulary aggregate): one scalar, broadcast below
+    total = df.select(
+        F.size(F.filter(toks, lambda t: t != F.lit(""))).alias("__n")
+    ).agg(F.sum("__n").cast("long").alias("total_tokens"))
+    counts = (
+        df.select(F.explode(toks).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    head = counts.orderBy(F.col("c").desc(), "t").limit(max_k)
+    ranked = head.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "t"))
+        .cast("long")
+        .alias("r"),
+        "c",
+    )
+    pows = [1 << i for i in range(max_k.bit_length())]  # 1..max_k
+    # ONE pass over the tiny head: rank r contributes its mass to every
+    # power-of-two k >= r (a k wider than the vocabulary automatically
+    # absorbs the whole head -> coverage saturates at 1.0)
+    curve = (
+        ranked.select(
+            F.explode(
+                F.filter(
+                    F.array(*[F.lit(k).cast("long") for k in pows]),
+                    lambda k: k >= F.col("r"),
+                )
+            ).alias("k"),
+            "c",
+        )
+        .groupBy("k")
+        .agg(F.sum("c").cast("long").alias("covered_tokens"))
+    )
+    return (
+        curve.join(F.broadcast(total))
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -820,3 +820,94 @@ def test_zipf_doubling_ratios_tie_determinism(spark):
     assert a == b
     # rank 1 = 'a' (tie broken by term), ratio exactly 1.0
     assert a[0][1] == "a" and a[0][4] == 1.0
+
+
+def test_quality_gate_funnel_parity_and_counts(spark):
+    """r13 wave 3: the funnel re-derives both pass bits in one
+    projection — they must match the two gate operators bit-for-bit
+    on a mixed planted corpus, and the per-source counts/rates must
+    equal the brute-forced rollup of those bits."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        gopher_quality_gate,
+        quality_classifier_scores,
+        quality_gate_funnel,
+    )
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and", "that", "have", "with"] * 7
+    )
+    rows = [
+        (1, good, "web"),
+        (2, "the be to of and", "web"),
+        (3, " ".join(["to", "be", "of", "ab"] * 14), "books"),
+        (4, " ".join(["123", "456"] * 26) + " the be to of", "books"),
+        (5, good + " extra words here", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    g = {r["doc_id"]: r["gopher_pass"]
+         for r in gopher_quality_gate(df).collect()}
+    q = {r["doc_id"]: r["quality_pass"]
+         for r in quality_classifier_scores(df).collect()}
+    want = {}
+    for did, _, src in rows:
+        d = want.setdefault(src, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += int(g[did])
+        d[2] += int(q[did])
+        d[3] += int(g[did] and q[did])
+    out = {r["source"]: r for r in quality_gate_funnel(df).collect()}
+    assert set(out) == set(want)
+    for src, (n, ng, nq, nb) in want.items():
+        r = out[src]
+        assert r["n_docs"] == n
+        assert r["n_gopher_pass"] == ng, (src, dict(r.asDict()))
+        assert r["n_classifier_pass"] == nq
+        assert r["n_both_pass"] == nb
+        assert r["gopher_pass_rate"] == ng / n
+        assert r["both_pass_rate"] == nb / n
+
+
+def test_quality_gate_funnel_single_exchange(spark):
+    """The funnel's only shuffle is the source-grain aggregate."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        quality_gate_funnel,
+    )
+    from streaming_data_pipeline_azure_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat", "a"), (2, "a mat", "b")],
+        "doc_id long, text string, source string",
+    )
+    plan = physical_plan(quality_gate_funnel(df))
+    # exactly one hash exchange (the source-grain aggregate); the only
+    # other repartitioning is the final orderBy's range exchange
+    import re
+    assert len(re.findall(r"hashpartitioning\(source", plan)) == 1, plan
+    assert "hashpartitioning(doc_id" not in plan, plan  # no doc join
+
+
+def test_vocab_coverage_curve_planted(spark):
+    """Planted counts: a=6, b=3, c=2, d=1 (total 12) -> coverage
+    6/12, 9/12, 12/12 at k=1,2,4; k beyond the vocabulary saturates
+    at exactly 1.0."""
+    from streaming_data_pipeline_azure_spark.operators.text import (
+        vocab_coverage_curve,
+    )
+    import pytest
+
+    rows = [(1, "a a a b b c"), (2, "a a a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["k"]: r for r in vocab_coverage_curve(df, max_k=8).collect()}
+    assert set(out) == {1, 2, 4, 8}
+    assert out[1]["covered_tokens"] == 6
+    assert out[2]["covered_tokens"] == 9
+    assert out[4]["covered_tokens"] == 12
+    assert out[8]["covered_tokens"] == 12  # saturated past the vocab
+    for k in out:
+        assert out[k]["total_tokens"] == 12
+    assert out[1]["coverage"] == 0.5
+    assert out[4]["coverage"] == 1.0 and out[8]["coverage"] == 1.0
+    with pytest.raises(ValueError, match="max_k"):
+        vocab_coverage_curve(df, max_k=6)
