@@ -2878,9 +2878,14 @@ def _pq_init_books(spark: SparkSession, sf: str, m: int = 8, k: int = 16):
 def _pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     """Product quantization encode (r5): every embedding compressed to
     8 sub-codes (64 dims -> 8 bytes, 32x) against the deterministic
-    init codebook — row-local codegen argmin, no shuffle; the oracle
-    replays the exact argmin from the raw table."""
-    return similarity.pq_encode(
+    init codebook — row-local argmin, no shuffle; the oracle replays
+    the exact argmin from the raw table. r13-opt: served by the
+    Arrow-batched numpy long-form kernel (`pq_encode_np_long`),
+    bit-identical to the `pq_encode` expression path (guide §4.2; the
+    M×K inline HOF aggregates were interpreted, not codegen'd, and
+    their plan build alone dominated the entry's wall time) — parity
+    pinned in tests and by the unchanged oracle hash."""
+    return similarity.pq_encode_np_long(
         _emb(spark, sf), "vec_id", "embedding", _pq_init_books(spark, sf)
     )
 

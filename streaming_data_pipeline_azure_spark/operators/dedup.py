@@ -748,7 +748,7 @@ def connected_components(
     # ~1M edges per partition keeps big graphs parallel.
     n_edges = edges.count()
     parts = max(1, min(n_edges // 1_000_000 + 1, 200))
-    edges = edges.repartition(parts, "dst")
+    edges = edges.repartition(parts, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -756,28 +756,41 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # r13-opt (guide §2.4): one join + ONE aggregation per round instead
+    # of join + aggregation + second join — the neighbor-min rows and
+    # the vertex's own label union into a single min-aggregation on the
+    # vertex key (identical integer min semantics, so per-round labels
+    # and the final fixpoint are unchanged bit-for-bit). Change
+    # detection rides on the label-sum invariant: labels only ever
+    # DECREASE, so Σ component (exact DECIMAL(38,0)) strictly decreases
+    # iff any vertex changed — an O(1)-row read off the checkpointed
+    # labels replacing the per-row comparison flag (same round count,
+    # same convergence verdict, one less shuffle per round).
+    def _label_sum(lbls: DataFrame):
+        return lbls.agg(
+            F.coalesce(
+                F.sum(F.col("component").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__s")
+        ).collect()[0]["__s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), "component"
         )
         updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("__chg"),
-            )
+            labels.select("id", "component")
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
         )
-        updated = updated.localCheckpoint()
-        changed = updated.filter(F.col("__chg")).limit(1).count()
-        labels = updated.drop("__chg")
-        if changed == 0:
+        labels = updated
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         msg = (
             f"connected_components: labels still changing after "

@@ -384,12 +384,18 @@ def pagerank_fixedpoint(
     scale — ranking order matches the float twin whenever rank gaps
     exceed the ~n_iter/scale leak, which the parity test pins.
 
-    Scale shape: identical to :func:`pagerank` — per round one join of
-    edges against the rank table on ``src`` (both pre-partitioned on
-    the key) + one aggregation on ``dst``; the dangling mass is a
-    one-row aggregate broadcast back; lineage truncated per round
-    with ``localCheckpoint``; intermediates ≤ num·scale ≈ 1.7e13 —
-    nowhere near int64.
+    Scale shape (r13-opt, guide §2.4 "remove shuffles outright"): the
+    degree join is HOISTED out of the loop — edges are annotated with
+    their source's outdegree ONCE (``e_deg``, checkpointed partitioned
+    on ``src``), and danglingness is a static per-vertex flag computed
+    once — so each round is exactly one edges⋈ranks join (both sides
+    partitioned on the key) + one aggregation on ``dst`` + a one-row
+    dangling-mass aggregate broadcast back. The previous shape re-ran
+    the ``outdeg`` aggregation and a ranks⋈outdeg join EVERY round
+    (outdeg was lazy — 10 extra aggregations + 10 extra joins per
+    call); identical integer arithmetic, so the result is unchanged
+    bit-for-bit. Lineage truncated per round with ``localCheckpoint``;
+    intermediates ≤ num·scale ≈ 1.7e13 — nowhere near int64.
 
     Returns (id, rank_scaled) — one row per vertex in any edge."""
     if damping_num <= 0 or damping_den <= damping_num:
@@ -411,21 +417,31 @@ def pagerank_fixedpoint(
     parts = max(1, min(n_v // 1_000_000 + 1, 200))
     e = e.repartition(parts, "src").localCheckpoint()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
-    verts = verts.repartition(parts, "id").localCheckpoint()
+    # one-time loop invariants: per-edge source outdegree, per-vertex
+    # dangling flag (no out-edges) — both fixed across rounds
+    e_deg = (
+        e.join(outdeg, "src")
+        .select("src", "dst", "__outdeg")
+        .repartition(parts, "src")
+        .localCheckpoint()
+    )
+    verts = (
+        verts.join(outdeg, verts["id"] == outdeg["src"], "left")
+        .select("id", F.col("__outdeg").isNull().alias("__dang"))
+        .repartition(parts, "id")
+        .localCheckpoint()
+    )
     base = ((damping_den - damping_num) * scale) // (damping_den * n_v)
     ranks = verts.withColumn(
         "rank_scaled", F.lit(scale // n_v).cast("long")
     ).localCheckpoint()
     for _ in range(n_iter):
-        with_deg = ranks.join(
-            outdeg, ranks["id"] == outdeg["src"], "left"
-        ).select("id", "rank_scaled", "__outdeg")
-        dangling = with_deg.filter(F.col("__outdeg").isNull()).agg(
+        dangling = ranks.filter(F.col("__dang")).agg(
             F.coalesce(F.sum("rank_scaled"), F.lit(0)).cast("long")
             .alias("__dm")
         )
         contribs = (
-            e.join(with_deg, e["src"] == with_deg["id"])
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
             .select(
                 F.col("dst").alias("id"),
                 F.expr("rank_scaled DIV __outdeg").alias("__c"),
@@ -438,6 +454,7 @@ def pagerank_fixedpoint(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
+                "__dang",
                 (
                     F.lit(base)
                     + F.expr(
@@ -448,7 +465,7 @@ def pagerank_fixedpoint(
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("id", "rank_scaled")
 
 
 def link_prediction_jaccard(

@@ -913,21 +913,30 @@ class IvfIndex:
         )
 
     @staticmethod
-    def _cluster_means(assigned: DataFrame, key: str) -> DataFrame:
-        """Elementwise mean vector per cluster via posexplode + per-position
-        avg, so no cluster's vectors ever collect into a single row
-        (scales to arbitrarily hot clusters): the explode feeds a
-        map-side partial aggregate in the same stage, so the shuffle
-        carries only C×d partials per task, and the final collect_list is
-        exactly `dim` rows per cluster."""
-        per_pos = assigned.select(
-            key, F.posexplode("vec").alias("pos", "val")
-        ).groupBy(key, "pos").agg(F.avg("val").alias("m"))
-        return per_pos.groupBy(key).agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
+    def _cluster_means(assigned: DataFrame, key: str, dim: int) -> DataFrame:
+        """Elementwise mean vector per cluster as ONE aggregation of
+        ``dim`` per-position ``avg`` columns — no cluster's vectors ever
+        collect into a single row (scales to arbitrarily hot clusters:
+        the agg state is C×d (sum, count) partials per task).
+
+        r13-opt (guide §2.3/§2.4): the previous formulation posexploded
+        every vector (a d× row blowup feeding the exchange) and needed a
+        SECOND shuffle to re-assemble positions into an array
+        (groupBy(key, pos) → groupBy(key)); indexing the array directly
+        keeps the same per-position avg semantics with d× fewer exchange
+        rows and one Exchange instead of two — per Lloyd pass, of which
+        a build runs kmeans_iters+1."""
+        per = assigned.groupBy(key).agg(
+            *[
+                F.avg(F.col("vec")[i]).alias(f"__m{i}")
+                for i in range(dim)
+            ]
+        )
+        return per.select(
+            key,
+            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias(
+                "centroid"
+            ),
         )
 
     def build(self, df: DataFrame, vec_col: str, id_col: str = "vec_id") -> None:
@@ -953,7 +962,7 @@ class IvfIndex:
         init = self._cluster_means(
             vecs.select(F.col("__b").alias("centroid_id"),
                         F.col("__v").alias("vec")),
-            "centroid_id",
+            "centroid_id", self.dim,
         ).collect()  # O(C×d): C ≤ 2^n_planes centroids, driver-tiny
         c_ids = np.array([r["centroid_id"] for r in init], dtype=np.int64)
         c_mat = normalized(np.array([r["centroid"] for r in init],
@@ -964,7 +973,9 @@ class IvfIndex:
         # that round-trips through the driver is O(C×d), never O(N).
         for _ in range(self.kmeans_iters):
             assigned = self._assign(vecs, id_col, c_ids, c_mat)
-            means = self._cluster_means(assigned, "centroid_id").collect()
+            means = self._cluster_means(
+                assigned, "centroid_id", self.dim
+            ).collect()
             by_id = {r["centroid_id"]: r["centroid"] for r in means}
             new_mat = np.array(
                 [by_id.get(int(c), c_mat[i]) for i, c in enumerate(c_ids)],
@@ -1738,7 +1749,7 @@ class IvfPqIndex:
             vecs.select(
                 F.col("__b").alias("centroid_id"), F.col("__v").alias("vec")
             ),
-            "centroid_id",
+            "centroid_id", self.dim,
         ).collect()
         c_ids = np.array([r["centroid_id"] for r in init], dtype=np.int64)
         c_mat = np.array([r["centroid"] for r in init], dtype=np.float64)
@@ -2157,6 +2168,75 @@ def pq_encode_np(
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         kernel, schema=f"{id_col} long, codes array<long>"
+    )
+
+
+def pq_encode_np_long(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`pq_encode` in the SAME long
+    form (id, subspace, code, dist) — r13 optimization round: the
+    expression path plants M×K inline ``_sq_l2`` higher-order-function
+    aggregates per row, which Catalyst cannot codegen (HOFs are
+    interpreted) and whose plan alone takes seconds to build; this
+    kernel computes the identical distances as (B × K) numpy ops per
+    subspace per batch.
+
+    BIT-IDENTICAL to :func:`pq_encode` (guide §4.2 with the §1 "do not
+    change what the query computes" constraint): the squared-distance
+    sum is accumulated ELEMENT-BY-ELEMENT (``d2 += diff*diff`` per
+    subvector element), the exact left-to-right IEEE fold ``_sq_l2``
+    evaluates — numpy's pairwise ``sum`` is deliberately not used —
+    and ``argmin`` over code-sorted rows resolves ties to the smallest
+    code exactly like the expression path's struct-min
+    (parity-tested in tests/test_similarity.py)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    sub_len = len(codebooks[0][0][1])
+    m_subs = len(codebooks)
+    mats = [
+        np.asarray([cw for _, cw in sorted(book)], dtype=np.float64)
+        for book in codebooks
+    ]
+    b_mats = spark.sparkContext.broadcast(mats)
+
+    def kernel(batches):
+        import pandas as pd
+
+        books = b_mats.value
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = mat.shape[0]
+            ids = np.repeat(np.asarray(pdf[id_col], dtype=np.int64), m_subs)
+            subspace = np.tile(np.arange(m_subs, dtype=np.int64), n)
+            codes = np.empty((n, m_subs), dtype=np.int64)
+            dists = np.empty((n, m_subs), dtype=np.float64)
+            for m in range(m_subs):
+                sub = mat[:, m * sub_len:(m + 1) * sub_len]
+                # sequential left-to-right fold — see pq_encode_np
+                d2 = np.zeros((n, books[m].shape[0]))
+                for j in range(sub_len):
+                    diff = sub[:, j, None] - books[m][None, :, j]
+                    d2 += diff * diff
+                best = d2.argmin(axis=1)
+                codes[:, m] = best
+                dists[:, m] = d2[np.arange(n), best]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "subspace": subspace,
+                    "code": codes.reshape(-1),
+                    "dist": dists.reshape(-1),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel,
+        schema=f"{id_col} long, subspace long, code long, dist double",
     )
 
 

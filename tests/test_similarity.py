@@ -900,6 +900,29 @@ def test_pq_encode_np_bit_identical_to_expression(spark):
             assert expr[(r["vec_id"], m)] == code, (r["vec_id"], m)
 
 
+def test_pq_encode_np_long_bit_identical_to_expression(spark):
+    """The numpy LONG-form encoder (r13-opt serving path of the
+    `pq_codes` entry) must reproduce the SQL-expression long form
+    bit-for-bit — codes AND the published double `dist` (same
+    element-by-element IEEE fold as `_sq_l2`, same smallest-code tie
+    rule), so the entry's oracle hash is unchanged by the swap."""
+    rows = _clustered_corpus(n_clusters=4, per_cluster=40, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = sim.train_pq_codebooks(
+        df, "embedding", m_subspaces=4, k_codes=8, iters=3
+    )
+    expr = {
+        (r["vec_id"], r["subspace"]): (r["code"], r["dist"])
+        for r in sim.pq_encode(df, "vec_id", "embedding", books).collect()
+    }
+    got = sim.pq_encode_np_long(df, "vec_id", "embedding", books).collect()
+    assert len(got) == len(expr)
+    for r in got:
+        code, dist = expr[(r["vec_id"], r["subspace"])]
+        assert r["code"] == code, (r["vec_id"], r["subspace"])
+        assert r["dist"] == dist, (r["vec_id"], r["subspace"])
+
+
 def test_train_pq_codebooks_small_or_degenerate_sample_guard(spark):
     """Fewer sample rows than k_codes must raise a clear error before
     the Lloyd loop (not IndexError mid-iteration), and duplicate sample
