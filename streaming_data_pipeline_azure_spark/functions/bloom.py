@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 
 def bloom_positions(
     col: Column | str, *, m_bits: int, k_hashes: int
@@ -107,7 +109,7 @@ def bloom_filter_maybe_inline(
     # two's-complement fold back into int64 for the literal array
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     spark = df.sparkSession
-    wdf = spark.createDataFrame([(words,)], "__bloom_words array<bigint>")
+    wdf = local_rows_df(spark, [(words,)], "__bloom_words array<bigint>")
     pos = bloom_positions(col, m_bits=m_bits, k_hashes=k_hashes)
     checks = [
         F.getbit(

@@ -17,6 +17,8 @@ Spark can write (local, HDFS, ABFS/S3A — create-file is atomic on all).
 
 from __future__ import annotations
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 _MARKER = "_COMMITTED"
 
 
@@ -52,8 +54,8 @@ class TombstoneSet:
         if hasattr(ids, "select"):
             df = ids.select(self.id_col)
         else:
-            df = spark.createDataFrame(
-                [(int(i),) for i in ids], f"{self.id_col} long"
+            df = local_rows_df(
+                spark, [(int(i),) for i in ids], f"{self.id_col} long"
             )
         df.coalesce(1).write.mode("append").parquet(self.path)
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 
 def word_histogram(
     docs: DataFrame, *, text_col: str = "text"
@@ -168,7 +170,8 @@ def bpe_train(
         sym = sym.select(
             _apply_merge(left, right).alias("symbols"), "n"
         ).localCheckpoint()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         merges,
         "merge_rank int, left string, right string, pair_count long",
     )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 from streaming_data_pipeline_azure_spark.operators.text import normalized_text
 
 
@@ -650,8 +652,8 @@ class GramCorpusIndex:
         ).write.mode("overwrite").partitionBy("__b").parquet(
             f"{self.path}/gen=0/grams"
         )
-        spark.createDataFrame(
-            [(int(self.n), int(self.n_buckets))], "n int, nb int"
+        local_rows_df(
+            spark, [(int(self.n), int(self.n_buckets))], "n int, nb int"
         ).coalesce(1).write.mode("overwrite").json(
             f"{self.path}/params"
         )
@@ -1117,12 +1119,21 @@ def textrank_keywords(
     dfreq = tok.select("__doc", "__w").distinct().groupBy("__w").agg(
         F.count(F.lit(1)).alias("__df")
     )
-    kept = tok.join(
-        F.broadcast(
-            dfreq.filter(F.col("__df") * max_df_ratio <= n_docs)
-        ),
-        "__w",
-    ).select("__doc", "__pos", "__w", F.xxhash64("__w").alias("__id"))
+    # r13-opt (guide §2.4): the tokenize -> df-filter -> hash pipeline
+    # feeds FOUR edge branches (2 offsets x 2 sides) plus the vocab
+    # lookup; without the checkpoint each branch re-ran the full scan +
+    # explode + join (5 evaluations of the expensive part). One
+    # materialization, identical rows.
+    kept = (
+        tok.join(
+            F.broadcast(
+                dfreq.filter(F.col("__df") * max_df_ratio <= n_docs)
+            ),
+            "__w",
+        )
+        .select("__doc", "__pos", "__w", F.xxhash64("__w").alias("__id"))
+        .localCheckpoint()
+    )
     edges = None
     for off in range(1, window + 1):
         a = kept.select(
@@ -1320,7 +1331,8 @@ class NoveltyGramIndex:
         owners.write.mode("overwrite").partitionBy("__b").parquet(
             f"{self.path}/gen=0/owners"
         )
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(int(self.n), int(self.n_buckets), self._id_type)],
             "n int, nb int, id_type string",
         ).coalesce(1).write.mode("overwrite").json(

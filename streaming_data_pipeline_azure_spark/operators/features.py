@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 
 def _md5_bucket(col: Column, n_buckets: int) -> Column:
     """Portable token→bucket hash: first 32 bits of md5, mod buckets."""
@@ -671,7 +673,8 @@ def two_factor_ols(
     else:
         b1 = b2 = intercept = r2 = None
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(n, b1, b2, intercept, r2)],
         "n long, b1 double, b2 double, intercept double, r2 double",
     )

@@ -402,10 +402,14 @@ def pagerank_fixedpoint(
         raise ValueError(
             "pagerank_fixedpoint needs 0 < damping_num < damping_den"
         )
+    # r13-opt: checkpoint the distinct edge set FIRST, so the upstream
+    # edge DAG (often an expensive self-join / tokenize pipeline) is
+    # evaluated exactly ONCE — the old order ran it twice (once for the
+    # vertex count, once more when the checkpoint materialized).
     e = edges.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -415,7 +419,6 @@ def pagerank_fixedpoint(
     if n_v == 0:
         return verts.withColumn("rank_scaled", F.lit(0).cast("long"))
     parts = max(1, min(n_v // 1_000_000 + 1, 200))
-    e = e.repartition(parts, "src").localCheckpoint()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
     # one-time loop invariants: per-edge source outdegree, per-vertex
     # dangling flag (no out-edges) — both fixed across rounds

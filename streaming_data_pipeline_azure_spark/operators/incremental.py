@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 from streaming_data_pipeline_azure_spark.functions.generations import (
     GenerationalDir,
     TombstoneSet,
@@ -101,7 +103,8 @@ class IncrementalAgg:
         self._partials(df).write.mode("overwrite").parquet(
             f"{self.path}/partials/gen=0"
         )
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(self.group_cols, self.value_col)],
             "group_cols array<string>, value_col string",
         ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
@@ -278,7 +281,8 @@ class IncrementalTopK:
         self._topk(df).write.mode("overwrite").parquet(
             f"{self.path}/partials/gen=0"
         )
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(self.group_cols, self.order_col, self.id_col, self.k)],
             "group_cols array<string>, order_col string, id_col string, "
             "k int",
@@ -430,18 +434,26 @@ class IncrementalJoinView:
         spark = left.sparkSession
         for side in self._sides.values():
             side.reset(spark)
-        self._bucketed(left).write.mode("overwrite").partitionBy(
-            "__batch", "__kb"
-        ).parquet(f"{self.path}/left/gen=0")
-        self._bucketed(right).write.mode("overwrite").partitionBy(
-            "__batch", "__kb"
-        ).parquet(f"{self.path}/right/gen=0")
+        # r13-opt (guide §6 small files): co-locate each bucket before the
+        # partitioned write — without this every write task fans out one
+        # file per bucket it happens to hold (tasks x buckets tiny files
+        # per write; ~500 at demo scale), and every later bucket-pruned
+        # read and the view read pay the listing/open tax. One shuffle of
+        # O(rows) bucket-keyed rows buys one right-sized file per
+        # (batch, bucket) — at warehouse scale with hundreds of buckets
+        # that is exactly the 128MB-1GB output sizing the guide asks for.
+        self._bucketed(left).repartition(F.col("__kb")).write.mode(
+            "overwrite"
+        ).partitionBy("__batch", "__kb").parquet(f"{self.path}/left/gen=0")
+        self._bucketed(right).repartition(F.col("__kb")).write.mode(
+            "overwrite"
+        ).partitionBy("__batch", "__kb").parquet(f"{self.path}/right/gen=0")
         joined = self._bucketed(left.join(right, self.key))
-        joined.write.mode("overwrite").partitionBy("__batch", "__kb").parquet(
-            f"{self.path}/view/gen=0"
-        )
-        spark.createDataFrame(
-            [(self.key, self.n_buckets)], "key string, n_buckets long"
+        joined.repartition(F.col("__kb")).write.mode("overwrite").partitionBy(
+            "__batch", "__kb"
+        ).parquet(f"{self.path}/view/gen=0")
+        local_rows_df(
+            spark, [(self.key, self.n_buckets)], "key string, n_buckets long"
         ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
         self._params_verified = True
 
@@ -520,9 +532,11 @@ class IncrementalJoinView:
             return
 
         def write(df: DataFrame, dest: str) -> None:
-            w = self._bucketed(df, stamp).write.partitionBy(
-                "__batch", "__kb"
-            )
+            # same bucket co-location as build() — one file per touched
+            # (batch, bucket) instead of tasks x buckets (guide §6)
+            w = self._bucketed(df, stamp).repartition(
+                F.col("__kb")
+            ).write.partitionBy("__batch", "__kb")
             path = self._side_path(spark, dest)
             if batch_id is None:
                 w.mode("append").parquet(path)

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 
 def fuzzy_match_pairs(
     df: DataFrame,
@@ -356,7 +358,8 @@ def blocking_audit(
         .count()
     )
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(n, n * (n - 1) // 2, n_cand, n_true, n_found)],
         "n_records long, n_all_pairs long, n_candidates long, "
         "n_true_pairs long, n_found_pairs long",

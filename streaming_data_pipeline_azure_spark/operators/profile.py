@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 
 def profile_columns(
     df: DataFrame,
@@ -222,7 +224,7 @@ def score_cms_partials(
     import numpy as np
 
     if not partials:
-        return spark.createDataFrame([], "value string, est_count long")
+        return local_rows_df(spark, [], "value string, est_count long")
     merged = np.zeros(depth * width, dtype=np.int64)
     cand: set = set()
     for r in partials:
@@ -243,8 +245,8 @@ def score_cms_partials(
     order = sorted(
         zip(cand_list, est.tolist()), key=lambda t: (-t[1], t[0])
     )[:k]
-    return spark.createDataFrame(
-        [(v, int(c)) for v, c in order], "value string, est_count long"
+    return local_rows_df(
+        spark, [(v, int(c)) for v, c in order], "value string, est_count long"
     )
 
 
@@ -1863,7 +1865,8 @@ def jenks_breaks(
             )
         )
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "class long, lo long, hi long, n_values long, n_rows long,"
         " cost long",

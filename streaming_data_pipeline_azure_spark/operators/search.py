@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 from streaming_data_pipeline_azure_spark.operators.corpus import _norm_tokens
 
 
@@ -629,7 +631,8 @@ class PostingsIndex:
         self._doc_stats(corpus, text_col).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{self.path}/gen=0/stats")
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(int(self.n_buckets), self.id_col)], "n_buckets int, id_col string"
         ).coalesce(1).write.mode("overwrite").json(f"{self.path}/params")
         self._params_verified = True
@@ -659,7 +662,7 @@ class PostingsIndex:
         # one O(|Q|)-row job: the bucket ids must come from the SAME
         # xxhash64 the writer used, so compute them in Spark, not Python
         rows = (
-            spark.createDataFrame([(t,) for t in terms], "__t string")
+            local_rows_df(spark, [(t,) for t in terms], "__t string")
             .select(
                 F.pmod(F.xxhash64("__t"), F.lit(self.n_buckets)).alias("b")
             )
@@ -1068,7 +1071,7 @@ def spell_suggest(
     for t in terms:
         variants = {t} | {t[:i] + t[i + 1 :] for i in range(len(t))}
         tv_rows += [(t, v) for v in sorted(variants)]
-    tv = spark.createDataFrame(tv_rows, ["term", "__blk"])
+    tv = local_rows_df(spark, tv_rows, "term string, __blk string")
     vocab = (
         docs.select(F.explode(_norm_tokens(text_col)).alias("__tok"))
         .filter(F.length("__tok") > 0)

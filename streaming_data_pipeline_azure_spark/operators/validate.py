@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 
 def check_rules(
     df: DataFrame, rules: list[tuple[str, Column]]
@@ -632,7 +634,8 @@ def mondrian_generalize(
         # O(boxes) spec table, broadcast-joined: each row picks its
         # split-dim VALUE via element_at over the quasi array — the
         # assignment expression is O(|dims|), constant in box count.
-        spec_df = spark.createDataFrame(
+        spec_df = local_rows_df(
+            spark,
             [(b, dim_idx[d], m, lid, rid) for b, d, m, lid, rid in specs],
             "__box long, __di int, __med double, __lid long, __rid long",
         )

@@ -240,8 +240,22 @@ def test_incremental_join_view_compaction_preserves_rows_and_replay(
 
     before_rows = sorted(tuple(r) for r in view.read(spark).collect())
     before_files = nfiles()
+    # r13-opt: refresh co-locates each bucket before the partitioned
+    # write (one shuffle of the delta), so a 6-partition delta no longer
+    # fans out 6 files per (batch, bucket) directory — the accretion
+    # compact() used to collapse is prevented AT WRITE TIME. Pin that:
+    # one file per populated (batch, bucket) view directory.
+    import os
+
+    per_dir: dict[str, int] = {}
+    for f in glob.glob(
+        str(tmp_path / "cjv" / "view" / "gen=*" / "**" / "*.parquet"),
+        recursive=True,
+    ):
+        per_dir[os.path.dirname(f)] = per_dir.get(os.path.dirname(f), 0) + 1
+    assert per_dir and max(per_dir.values()) == 1
     view.compact(spark)
-    assert nfiles() < before_files
+    assert nfiles() <= before_files
     assert sorted(tuple(r) for r in view.read(spark).collect()) == before_rows
 
     # replay micro-batch 2 after compaction: view unchanged
