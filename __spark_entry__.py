@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
 from streaming_data_pipeline_azure_spark.operators import (
     association,
     attribution,
@@ -2670,7 +2671,9 @@ def _user_activity_similarity(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("user_id") != F.col("__qid"))
         .select(
             "user_id",
-            cosine_similarity(F.col("profile"), F.col("__qv")).alias("score"),
+            cosine_similarity(
+                F.col("profile"), F.col("__qv"), dim=7
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("user_id"))
         .limit(10)
@@ -3093,8 +3096,8 @@ def _mmr_diverse_topk(spark: SparkSession, sf: str) -> DataFrame:
     picked = similarity.mmr_rerank(
         cands, "vec_id", "embedding", "score", k=10, lam=0.5
     )
-    return spark.createDataFrame(
-        picked, "vec_id long, score double, mmr_score double"
+    return local_rows_df(
+        spark, picked, "vec_id long, score double, mmr_score double"
     )
 
 
@@ -17437,7 +17440,8 @@ def _clerk_batch_effect(spark: SparkSession, sf: str) -> DataFrame:
     SS = sum(int(r["ssq"]) for r in rows)
     B = sum(int(r["sq"]) * int(r["sq"]) // int(r["n"]) for r in rows)
     eta2 = (B - S * S // N) * 1_000_000 // (SS - S * S // N)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(n_groups, N, eta2)],
         "n_groups long, n_orders long, eta2_scaled long",
     )

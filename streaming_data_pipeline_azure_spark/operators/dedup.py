@@ -33,6 +33,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
+
 from streaming_data_pipeline_azure_spark.functions.cache import persist_tracked
 from streaming_data_pipeline_azure_spark.functions.generations import (
     GenerationalDir,
@@ -1005,7 +1007,8 @@ class MinHashCorpusIndex:
         """Index an existing corpus (one full scan, ever — every later
         delta probes the result)."""
         self._write(corpus, text_col, "overwrite")
-        corpus.sparkSession.createDataFrame(
+        local_rows_df(
+            corpus.sparkSession,
             [(self.id_col, self.threshold, self.num_perm, self.bands,
               self.shingle_n, self.shingle_kind, self.sig_method)],
             "id_col string, threshold double, num_perm int, bands int, "
@@ -1356,7 +1359,16 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit i = (vec · plane_i) >= 0."""
+    """Sign-LSH bucket id: bit i = (vec · plane_i) >= 0.
+
+    HOF fold deliberately (r13-opt finding): an unrolled
+    ``0.0 + v[0]*p0 + …`` chain per plane is bit-identical but is ONE
+    unsplittable expression — at 18 planes × 64 dims it overflows
+    Janino's method limit and the INTERPRETED nested-Add fallback is
+    slower than the HOF loop (embedding_neardup_pairs isolated triple
+    3.5 → 9.4 s); at 6 planes the per-plan compile cost alone exceeds
+    the interpreted-eval savings at bench scale. See
+    OPTIMIZATION_r13.md §8."""
     bucket = F.lit(0).cast("long")
     v = to_double_array(vec_col)
     for i, plane in enumerate(planes):
@@ -1464,6 +1476,11 @@ def embedding_near_dup_pairs(
         F.when(norm > 0, F.transform(v, lambda x: x / norm))
         .otherwise(v).alias("__u"),
     )
+    # HOF fold deliberately (r13-opt finding): the dim-unrolled variant
+    # is one unsplittable 64-term chain that failed Janino's method
+    # limit inside this stage's join codegen (bhj_doConsume), degrading
+    # the WHOLE verify stage to interpreted — measured 17 s vs 3.5 s
+    # isolated triples. See OPTIMIZATION_r13.md §8.
     dot = F.aggregate(
         F.zip_with(F.col("__ua"), F.col("__ub"), lambda x, y: x * y),
         F.lit(0.0),

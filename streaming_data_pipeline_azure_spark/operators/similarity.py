@@ -21,10 +21,11 @@ expressions; the only driver-side work is the tiny centroid table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from streaming_data_pipeline_azure_spark.functions.cache import persist_tracked
+from streaming_data_pipeline_azure_spark.functions.localdf import local_rows_df
 from streaming_data_pipeline_azure_spark.functions.generations import (
     GenerationalDir,
     TombstoneSet,
@@ -45,6 +46,12 @@ def score_against(df: DataFrame, vec_col: str, query: list[float],
     """Add a cosine-similarity column against a literal query vector."""
     return df.withColumn(
         score_name,
+        # HOF form deliberately (r13-opt finding): a dim-unrolled
+        # 64-term chain is ONE unsplittable expression — it blew
+        # Janino's method limit inside join codegen units elsewhere and
+        # its per-plan Catalyst+Janino cost (~+0.5 s) exceeded the
+        # interpreted-eval cost at every measured call site of the full
+        # cosine (isolated warm triples, OPTIMIZATION_r13.md §8).
         cosine_similarity(to_double_array(F.col(vec_col)), literal_vector(query)),
     )
 
@@ -121,6 +128,13 @@ def assign_fixed_centroids(
     scored = F.array(
         *[
             F.struct(
+                # deliberately the HOF form, NOT dim-unrolled (r13-opt):
+                # this expression is instantiated once PER CENTROID —
+                # unrolling |C|×dim arithmetic into the enclosing
+                # codegen unit blew Janino's 64KB method limit at |C|=8
+                # (gate-observed), degrading the WHOLE stage to
+                # interpreted. One HOF per centroid keeps the stage
+                # codegen'd with per-node fallback only here.
                 (-cosine_similarity(vec, literal_vector(c))).alias("negscore"),
                 F.lit(int(cid)).alias("cid"),
             )
@@ -353,6 +367,7 @@ def multiquery_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Batched k-NN: exact top-k corpus neighbors for EVERY query vector
     in one job (the realistic serving/backfill shape — one query at a
@@ -371,7 +386,9 @@ def multiquery_topk(
     ).crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("score"),
+        cosine_similarity(F.col("__cv"), F.col("__qv"), dim=dim).alias(
+            "score"
+        ),
     )
     from pyspark.sql import Window
 
@@ -563,6 +580,10 @@ def semantic_dedup(
     # shuffled-hash plan (build = the unexploded b side) at every
     # scale; the literal path plans the same join, so oracle grains
     # are unaffected.
+    # HOF fold deliberately (r13-opt finding): the dim-unrolled variant
+    # is one unsplittable chain that fails Janino inside join codegen
+    # units and regressed this entry 4.1 → 5.9 s (isolated triples) —
+    # see OPTIMIZATION_r13.md §8.
     pairs = a.join(
         b.hint("shuffle_hash"),
         (a.cluster_id == b.__cb)
@@ -983,7 +1004,8 @@ class IvfIndex:
             )  # empty clusters keep their previous centroid
             c_mat = normalized(new_mat)
 
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(int(c), [float(x) for x in row]) for c, row in zip(c_ids, c_mat)],
             "centroid_id long, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
@@ -999,7 +1021,8 @@ class IvfIndex:
             "centroid_id"
         ).parquet(f"{self.path}/vectors/gen=0")
         vecs.unpersist()
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(int(self.dim), int(self.n_planes), int(self.seed),
               int(self.kmeans_iters), id_col)],
             "dim int, n_planes int, seed int, kmeans_iters int, id_col string",
@@ -1061,7 +1084,8 @@ class IvfIndex:
                     (int(r[query_id_col]), int(c_ids[ci]),
                      [float(x) for x in qm[qi]])
                 )
-        probe_plan = spark.createDataFrame(
+        probe_plan = local_rows_df(
+            spark,
             plan_rows,
             f"{query_id_col} long, centroid_id long, __qv array<double>",
         )
@@ -1355,9 +1379,16 @@ class IvfIndex:
 # init-only codebook so DuckDB can replay the exact argmin.
 
 
-def _sq_l2(a, b) -> "F.Column":
+def _sq_l2(a, b, dim: int | None = None) -> "F.Column":
     # sequential left-to-right double fold — same order DuckDB's
-    # list_aggregate('sum') uses, so row-local distances match exactly
+    # list_aggregate('sum') uses, so row-local distances match exactly.
+    # dim= (r13-opt): same fold unrolled for whole-stage codegen —
+    # identical sub/mul/add sequence, bit-identical doubles.
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1387,6 +1418,8 @@ def pq_encode(
             F.array(
                 *[
                     F.struct(
+                        # HOF, not dim-unrolled: M×K instances per row (see
+                        # assign_fixed_centroids note on the Janino limit)
                         _sq_l2(sub, literal_vector(cw)).alias("dist"),
                         F.lit(int(code)).alias("code"),
                     )
@@ -1549,6 +1582,8 @@ def pq_code_array(
             F.array(
                 *[
                     F.struct(
+                        # HOF, not dim-unrolled: M×K instances per row (see
+                        # assign_fixed_centroids note on the Janino limit)
                         _sq_l2(sub, literal_vector(cw)).alias("dist"),
                         F.lit(int(code)).alias("code"),
                     )
@@ -1753,7 +1788,8 @@ class IvfPqIndex:
         ).collect()
         c_ids = np.array([r["centroid_id"] for r in init], dtype=np.int64)
         c_mat = np.array([r["centroid"] for r in init], dtype=np.float64)
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(int(c), [float(x) for x in row]) for c, row in zip(c_ids, c_mat)],
             "centroid_id long, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
@@ -1762,9 +1798,10 @@ class IvfPqIndex:
             vecs.select(F.col("__v").alias("embedding")), "embedding",
             m_subspaces=self.m_subspaces, k_codes=self.k_codes, iters=4,
         )
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
-                (m, code, cw)
+                (m, code, [float(x) for x in cw])
                 for m, book in enumerate(books)
                 for code, cw in book
             ],
@@ -1786,7 +1823,8 @@ class IvfPqIndex:
         rows.repartition("centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
         ).parquet(f"{self.path}/codes/gen=0")
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [self._params_tuple() + (id_col, ",".join(self.meta_cols))],
             "dim int, n_planes int, seed int, m_subspaces int, "
             "k_codes int, id_col string, meta_cols string",
@@ -1915,11 +1953,7 @@ class IvfPqIndex:
         ).join(F.broadcast(approx.select("vec_id")), "vec_id", "semi")
         exact = fetched.select(
             "vec_id",
-            F.aggregate(
-                F.zip_with(F.col("__v"), qlit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("exact_dist"),
+            _sq_l2(F.col("__v"), qlit).alias("exact_dist"),
         )
         return exact.orderBy(
             F.col("exact_dist").asc(), F.col("vec_id")
