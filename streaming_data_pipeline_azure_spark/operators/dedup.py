@@ -1463,11 +1463,23 @@ def embedding_near_dup_pairs(
         # over-cap groups are few by construction — broadcast anti-join
         a = a.join(F.broadcast(over), ["__t", "__bucket"], "anti")
         b = b.join(F.broadcast(over), ["__t", "__bucket"], "anti")
+    # r13-opt (guide §2.5 / the semantic_dedup precedent): the verify
+    # stage downstream is COMPUTE-bound (one 64-dim fold per candidate
+    # pair) on ~16-byte rows, so AQE's byte-targeted coalescing fuses
+    # it onto a handful of tasks (observed: 6 partitions for ~10^6
+    # pairs; in long bench sessions as few as 1-2, reading 19 s where
+    # the isolated triple reads 2.9). A user-specified repartition on
+    # the pair key is exempt from coalescing and pins the verify
+    # parallelism at every scale.
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     cand = (
         a.join(b, ["__t", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .repartition(n_part, "id_a", "id_b")
     )
     v = to_double_array(vec_col)
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))

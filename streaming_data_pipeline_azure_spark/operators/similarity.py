@@ -2388,45 +2388,58 @@ def embedding_covariance(
     covariance at ~1e-12 (quantization variance (2^-20)²/12) — far
     below estimation noise, and the tests pin the numpy agreement.
 
-    Shape: each row emits its d(d+1)/2 upper-triangle product terms
-    from a NESTED ARRAY TRANSFORM inside the scan task (codegen HOFs —
-    no posexplode self-join, so nothing row-keyed ever shuffles), and
-    the single exchange is the (i, j)-keyed aggregation whose map-side
-    combine caps it at d²/2 rows PER PARTITION regardless of row
-    count. Covariance leaves the exact sums with double arithmetic
-    only at the very end. At 100 TB the same sums can come from the
-    per-batch numpy Gram kernel in :func:`whiten_embeddings` (whose
-    float accumulation is NOT order-exact, which is precisely why the
-    oracle pins THIS path). Mirrored into full-matrix output
-    (cov(j,i) = cov(i,j)).
+    Shape (r13-opt, guide §4.2): an Arrow-batched numpy INT64 Gram
+    kernel computes per-batch partials — ``XᵀX``, column sums and the
+    row count, all EXACT integers on the quantized grid (values
+    < 2^21, per-batch products Σ < 10^4·2^42 ≈ 2^55 — inside int64) —
+    so the (i, j)-keyed aggregation that follows sums d(d+1)/2 partial
+    rows PER BATCH instead of exploding d(d+1)/2 interpreted-HOF
+    struct terms PER ROW (the former shape; at d=64 that was a 2080×
+    row blowup through `CodegenFallback` transforms). Because every
+    sum is integer-exact, summation order cannot matter and the result
+    is BIT-IDENTICAL to the expression form — which is what lets the
+    DuckDB oracle keep pinning it. The final cross-batch accumulation
+    runs in DECIMAL (unbounded row count; ANSI-safe), and covariance
+    leaves the exact sums with double arithmetic only at the very end.
+    Mirrored into full-matrix output (cov(j,i) = cov(i,j)).
 
     Returns (i, j, cov) for all d² positions."""
+    import numpy as np
+    import pandas as pd
+
     scale = float(2**quant_bits)
     quant = F.transform(
         F.col(vec_col).cast("array<double>"),
-        lambda x: F.floor(x * F.lit(scale)).cast("decimal(18,0)"),
+        lambda x: F.floor(x * F.lit(scale)).cast("long"),
     )
-    terms = emb.select(quant.alias("__q")).select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(__q, (xi, i) -> "
-                    "transform(slice(__q, i + 1, size(__q) - i), "
-                    "(xj, k) -> struct(i AS i, i + k AS j, "
-                    "xi AS xa, xj AS xb)))"
-                )
+
+    def gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__q"].to_numpy()).astype(np.int64)
+            iu, ju = np.triu_indices(X.shape[1])
+            s = X.sum(axis=0)
+            G = X.T @ X
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "pn": np.int64(X.shape[0]),
+                    "psa": s[iu],
+                    "psb": s[ju],
+                    "psab": G[iu, ju],
+                }
             )
-        ).alias("t")
+
+    partials = emb.select(quant.alias("__q")).mapInPandas(
+        gram, schema="i int, j int, pn long, psa long, psb long, psab long"
     )
-    upper = (
-        terms.select("t.i", "t.j", "t.xa", "t.xb")
-        .groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("xa").alias("sa"),
-            F.sum("xb").alias("sb"),
-            F.sum(F.col("xa") * F.col("xb")).alias("sab"),
-        )
+    upper = partials.groupBy("i", "j").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.sum(F.col("psa").cast("decimal(18,0)")).alias("sa"),
+        F.sum(F.col("psb").cast("decimal(18,0)")).alias("sb"),
+        F.sum(F.col("psab").cast("decimal(18,0)")).alias("sab"),
     )
     nn = F.col("n").cast("double")
     cov = (
