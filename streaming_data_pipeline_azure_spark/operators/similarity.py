@@ -547,6 +547,16 @@ def semantic_dedup(
         .otherwise(F.col("__v"))
         .alias("__u"),
     )
+    # r13-opt (guide §2.4/§3.3, the contamination_matrix/textrank
+    # precedent): `assigned` feeds THREE consumers (both self-join
+    # sides and the final anti-join), each of which would re-run the
+    # scan + |C| interpreted cosine folds + the normalize transform —
+    # and on the literal path each copy re-plants every centroid
+    # vector in the plan (the entry-level tree measured ~468 KB,
+    # whole driver-seconds of Catalyst/Janino per run). One
+    # localCheckpoint materializes the assignment once and truncates
+    # the literal-laden lineage; rows are bit-identical.
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col("__u").alias("__ua"),
