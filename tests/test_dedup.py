@@ -90,6 +90,79 @@ def test_embedding_dedup(spark):
     assert {r["vec_id"] for r in out.collect()} == {1, 3, 4}
 
 
+def test_embedding_neardup_verify_kernel_parity(spark):
+    """The broadcast-matrix verify (r13-opt) must be bit-identical to
+    the join+HOF path on every adversarial shape: NULL vector, NULL
+    element, zero vector (stays raw, dots 0), NaN element (dot NaN —
+    survives the filter on both paths: Spark orders NaN above every
+    double), negative cosines, honest near-dups."""
+    import struct
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # cosine -1 with 1
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero norm: kept raw, dots 0
+        (5, None),  # NULL vector: dot NULL, pair dropped
+        (6, [1.0, None, 0.0, 0.0]),  # NULL element: dot NULL, dropped
+        (7, [float("nan"), 1.0, 0.0, 0.0]),  # NaN dot, kept as NaN
+        (8, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    def run(threshold, **kw):
+        rows = dedup.embedding_near_dup_pairs(
+            df, "vec_id", "embedding",
+            threshold=threshold, dim=4, n_planes=1, n_tables=1, **kw,
+        ).collect()
+        return sorted(
+            (r["id_a"], r["id_b"], struct.pack("<d", r["cosine_sim"]).hex())
+            for r in rows
+        )
+
+    for thr in (-2.0, 0.45):
+        kernel = run(thr, max_broadcast_vectors=262_144)  # swap active
+        join = run(thr)  # default: join path
+        assert kernel == join
+    everything = run(-2.0, max_broadcast_vectors=262_144)
+    assert len(everything) > 0
+    # NULL-vector / NULL-element ids never survive either path
+    assert all(a not in (5, 6) and b not in (5, 6) for a, b, _ in everything)
+    # the NaN-element vector shares bucket 1 with exactly one of the
+    # +/-x pair (k=1: its NaN plane dot sets the bit), so a published
+    # NaN cosine is guaranteed at threshold -2
+    nan_hex = struct.pack("<d", float("nan")).hex()
+    assert any(7 in (a, b) and h == nan_hex for a, b, h in everything)
+
+
+def test_embedding_neardup_verify_kernel_fallbacks(spark):
+    """Contract violations must fall back to the join path, not break:
+    duplicate ids (an index lookup cannot reproduce the join's pair
+    multiplication) and a vector table over the broadcast bound."""
+    dup = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.999, 0.01, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(threshold=0.9, dim=4, n_planes=1, n_tables=1)
+    got = dedup.embedding_near_dup_pairs(
+        dup, "vec_id", "embedding", max_broadcast_vectors=262_144, **kw
+    )
+    want = dedup.embedding_near_dup_pairs(dup, "vec_id", "embedding", **kw)
+    key = lambda r: (r["id_a"], r["id_b"], r["cosine_sim"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0, 0.0]),
+         (3, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    over = dedup.embedding_near_dup_pairs(
+        ok, "vec_id", "embedding", max_broadcast_vectors=2, **kw
+    ).collect()  # 3 rows > bound 2: probe collects 3, falls back
+    assert {(r["id_a"], r["id_b"]) for r in over} == {(1, 2)}
+
+
 def test_embedding_lsh_amplified_recall(spark, sf_dir):
     """OR-amplification across L=8 tables of k=4 planes must recover a
     solid fraction of the exact cosine>=0.4 pairs on real embeddings —
